@@ -1,13 +1,397 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import graft.model._
+import graft.operators.Dedup
+import graft.functions.{TextFunctions => TF, VectorFunctions => VF}
+import graft.pipeline.PipelineExecutor
+import graft.sources.Ingest
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/**
+ * Driver contract: one `queries` entry per implemented operator from
+ * SURVEY.md §2 (plus the training-data extensions), each with a DuckDB
+ * oracle SQL where the semantics are SQL-expressible.
+ *
+ * Relational queries run through the real engine path — Stage ADT →
+ * StageCompiler → PipelineExecutor — not hand-written DataFrame code, so
+ * the correctness gate exercises the same code a user of the stage algebra
+ * would (reference: ui/src/sqlGenerator.ts:6-124, ui/src/App.tsx:551-662).
+ *
+ * Float-determinism policy: SUM/AVG over doubles are order-dependent and
+ * will not hash-match an oracle, so headline aggregates cast to
+ * DECIMAL(18,2) before summing (exact, associative) and compute AVG as
+ * CAST(sum_decimal AS DOUBLE) / count (both sides then do the identical
+ * IEEE division). MIN/MAX/COUNT are exact as-is.
+ */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  // ---------------------------------------------------------------- helpers
+
+  /** Per-(session, dir) table cache — parquet footer inference is a Spark
+    * job; don't repeat it for each of the ~30 gate queries. */
+  private val tableCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), Map[String, DataFrame]]
+
+  private def executor(spark: SparkSession, dir: String): PipelineExecutor = {
+    val tables = tableCache.getOrElseUpdate((spark, dir), Ingest.loadDir(spark, dir))
+    val ex = new PipelineExecutor(spark)
+    tables.foreach { case (n, df) => ex.register(n, df) }
+    ex
+  }
+
+  /** Run stages through the pipeline executor over the testdata tables. */
+  private def pipe(stages: Stage*)(spark: SparkSession, dir: String): DataFrame =
+    executor(spark, dir).run(stages.toSeq)
+
+  private def docs(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(s"$dir/documents.parquet")
+
+  private def embeddings(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(s"$dir/embeddings.parquet")
+
+  private def st(n: Int): String = s"stage_$n"
+
+  // -------------------------------------------------------------- flagship
+
+  /** Flagship: chained JOIN → FILTER → GROUP → SORT pipeline on sf0.001
+    * with implicit previous-result chaining (ui/src/App.tsx:567-592). */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    chainedPipeline(spark, "/root/testdata/sf0.001")
+
+  private def chainedPipeline(spark: SparkSession, dir: String): DataFrame =
+    pipe(
+      JoinStage(st(1), "join orders to customers", "INNER",
+        "orders", "customer", "o_custkey", "c_custkey"),
+      FilterStage(st(2), "keep big orders", None,
+        Seq(FilterCondition("o_totalprice", ">", "1000"))),
+      GroupStage(st(3), "orders per segment", None,
+        Seq("c_mktsegment"),
+        Seq(Aggregation("count", "*", Some("n_orders")),
+          Aggregation("sum", "CAST(o_totalprice AS DECIMAL(18,2))", Some("revenue")))),
+      SortStage(st(4), "largest segments first", None,
+        Seq(SortKey("n_orders", "DESC"), SortKey("c_mktsegment", "ASC")))
+    )(spark, dir)
+
+  // ---------------------------------------------------------------- queries
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // -------- FILTER (ui/src/sqlGenerator.ts:39-62)
+    "q_filter_gt" -> ((s, d) => pipe(
+      FilterStage(st(1), "quantity filter", Some("lineitem"),
+        Seq(FilterCondition("l_quantity", ">", "30"))),
+      SelectStage(st(2), "project", None,
+        Seq("l_orderkey", "l_linenumber", "l_quantity", "l_returnflag")))(s, d)),
+
+    "q_filter_andor" -> ((s, d) => pipe(
+      FilterStage(st(1), "mixed AND/OR with SQL precedence", Some("lineitem"), Seq(
+        FilterCondition("l_returnflag", "=", "A"),
+        FilterCondition("l_quantity", ">", "30", Some("AND")),
+        FilterCondition("l_linestatus", "=", "F", Some("OR")),
+        FilterCondition("l_discount", "<", 0.05, Some("AND")))),
+      SelectStage(st(2), "project", None,
+        Seq("l_orderkey", "l_linenumber", "l_returnflag", "l_linestatus",
+          "l_quantity", "l_discount")))(s, d)),
+
+    "q_filter_in" -> ((s, d) => pipe(
+      FilterStage(st(1), "region keys in list", Some("nation"),
+        Seq(FilterCondition("n_regionkey", "IN", "(1, 2)"))))(s, d)),
+
+    "q_filter_notin" -> ((s, d) => pipe(
+      FilterStage(st(1), "nation keys not in list", Some("supplier"),
+        Seq(FilterCondition("s_nationkey", "NOT IN", "(0, 1, 2, 3)"))))(s, d)),
+
+    "q_filter_like" -> ((s, d) => pipe(
+      FilterStage(st(1), "name pattern", Some("part"),
+        Seq(FilterCondition("p_name", "LIKE", "%a%"))),
+      SelectStage(st(2), "project", None, Seq("p_partkey", "p_name")))(s, d)),
+
+    "q_filter_date" -> ((s, d) => pipe(
+      FilterStage(st(1), "shipped after date", Some("lineitem"),
+        Seq(FilterCondition("l_shipdate", ">", "1996-01-01"))),
+      SelectStage(st(2), "project", None,
+        Seq("l_orderkey", "l_linenumber", "l_shipdate")))(s, d)),
+
+    // -------- JOIN ×4 types (ui/src/sqlGenerator.ts:8-26)
+    "q_join_inner" -> ((s, d) => pipe(
+      JoinStage(st(1), "orders to customers", "INNER",
+        "orders", "customer", "o_custkey", "c_custkey"),
+      SelectStage(st(2), "project", None,
+        Seq("o_orderkey", "o_totalprice", "c_custkey", "c_name", "c_mktsegment")))(s, d)),
+
+    "q_join_left" -> ((s, d) => pipe(
+      JoinStage(st(1), "customers with optional orders", "LEFT",
+        "customer", "orders", "c_custkey", "o_custkey"),
+      SelectStage(st(2), "project", None,
+        Seq("c_custkey", "c_name", "o_orderkey", "o_totalprice")))(s, d)),
+
+    "q_join_right" -> ((s, d) => pipe(
+      JoinStage(st(1), "orders right-joined to customers", "RIGHT",
+        "orders", "customer", "o_custkey", "c_custkey"),
+      SelectStage(st(2), "project", None,
+        Seq("o_orderkey", "o_totalprice", "c_custkey", "c_name")))(s, d)),
+
+    "q_join_full" -> ((s, d) => pipe(
+      JoinStage(st(1), "customers full outer orders", "FULL OUTER",
+        "customer", "orders", "c_custkey", "o_custkey"),
+      SelectStage(st(2), "project", None,
+        Seq("c_custkey", "c_name", "o_orderkey", "o_totalprice")))(s, d)),
+
+    // Same-key join: SELECT stages alias both keys to `custkey`, then the
+    // JOIN dedups the key column keeping the LEFT side (sqlGenerator.ts:21;
+    // DuckDB `l.*, r.* EXCLUDE (k)` does NOT coalesce — see StageCompiler).
+    "q_join_samekey_full" -> ((s, d) => pipe(
+      SelectStage(st(1), "orders keyed", Some("orders"),
+        Seq("o_custkey AS custkey", "o_orderkey", "o_totalprice")),
+      SelectStage(st(2), "customers keyed", Some("customer"),
+        Seq("c_custkey AS custkey", "c_name")),
+      JoinStage(st(3), "same-key full outer", "FULL OUTER",
+        "result_stage_1_select", "result_stage_2_select", "custkey", "custkey"))(s, d)),
+
+    // -------- UNION / UNION ALL (ui/src/sqlGenerator.ts:28-37)
+    "q_union" -> ((s, d) => pipe(
+      SelectStage(st(1), "segment pairs a", Some("customer"),
+        Seq("c_mktsegment", "c_nationkey")),
+      SelectStage(st(2), "segment pairs b", Some("customer"),
+        Seq("c_mktsegment", "c_nationkey")),
+      UnionStage(st(3), "distinct union", "UNION",
+        Seq("result_stage_1_select", "result_stage_2_select")))(s, d)),
+
+    "q_union_all" -> ((s, d) => pipe(
+      SelectStage(st(1), "segment pairs a", Some("customer"),
+        Seq("c_mktsegment", "c_nationkey")),
+      SelectStage(st(2), "segment pairs b", Some("customer"),
+        Seq("c_mktsegment", "c_nationkey")),
+      UnionStage(st(3), "bag union", "UNION ALL",
+        Seq("result_stage_1_select", "result_stage_2_select")))(s, d)),
+
+    // -------- GROUP (TPC-H Q1 shape, ui/src/sqlGenerator.ts:64-81)
+    "q_group" -> ((s, d) => pipe(
+      GroupStage(st(1), "pricing summary", Some("lineitem"),
+        Seq("l_returnflag", "l_linestatus"),
+        Seq(
+          Aggregation("sum", "CAST(l_quantity AS DECIMAL(18,2))", Some("sum_qty")),
+          Aggregation("sum", "CAST(l_extendedprice AS DECIMAL(18,2))", Some("sum_base_price")),
+          Aggregation("min", "l_extendedprice", Some("min_price")),
+          Aggregation("max", "l_extendedprice", Some("max_price")),
+          Aggregation("count", "*", Some("count_order")))))(s, d)),
+
+    // -------- AGGREGATE global (ui/src/sqlGenerator.ts:108-119)
+    "q_aggregate" -> ((s, d) => pipe(
+      AggregateStage(st(1), "order grand totals", Some("orders"), Seq(
+        Aggregation("sum", "CAST(o_totalprice AS DECIMAL(18,2))", Some("total_revenue")),
+        Aggregation("count", "*", Some("n_orders")),
+        Aggregation("min", "o_totalprice", Some("min_price")),
+        Aggregation("max", "o_totalprice", Some("max_price")))))(s, d)),
+
+    // -------- SELECT projection w/ expression passthrough (sqlGenerator.ts:83-90)
+    "q_select" -> ((s, d) => pipe(
+      SelectStage(st(1), "projection with expressions", Some("part"),
+        Seq("p_partkey", "p_name", "upper(p_brand) AS brand_uc",
+          "p_retailprice * 1.1 AS inflated")))(s, d)),
+
+    // -------- SORT multi-column (sqlGenerator.ts:92-99); unique total order
+    "q_sort" -> ((s, d) => pipe(
+      SortStage(st(1), "multi-column sort", Some("part"),
+        Seq(SortKey("p_size", "DESC"), SortKey("p_retailprice", "ASC"),
+          SortKey("p_partkey", "ASC"))))(s, d)),
+
+    // -------- CUSTOM SQL escape hatch (sqlGenerator.ts:101-106)
+    "q_custom" -> ((s, d) => pipe(
+      CustomStage(st(1), "join + group + sort in raw SQL", sqlCustom))(s, d)),
+
+    "q_custom_events" -> ((s, d) => pipe(
+      CustomStage(st(1), "hourly event rollup", sqlEvents))(s, d)),
+
+    // -------- chained pipeline with implicit input resolution
+    "q_pipeline" -> ((s, d) => chainedPipeline(s, d)),
+
+    // ======== training-data extensions (SURVEY §7.1 step 8) ========
+
+    // Exact dedup: survivors = min doc_id per identical text.
+    "q_dedup_exact" -> ((s, d) => Dedup.exactDedup(docs(s, d), "doc_id", "text")),
+
+    // Exact-dup group digest (md5 matches DuckDB's md5 for the oracle).
+    "q_dedup_groups" -> ((s, d) => Dedup.exactGroups(docs(s, d), "doc_id", "text")
+      .orderBy("content_hash")),
+
+    // MinHash-LSH near-dup candidate pairs (no SQL oracle: xxhash64-based).
+    "q_dedup_minhash" -> ((s, d) =>
+      Dedup.minhashPairs(docs(s, d), "doc_id", "text", shingleN = 3,
+        numHashes = 64, bands = 16, threshold = 0.5).orderBy("id_a", "id_b")),
+
+    // SimHash near-dup pairs via the native simhash64 expression.
+    "q_dedup_simhash" -> ((s, d) =>
+      Dedup.simhashPairs(docs(s, d), "doc_id", "text", maxHamming = 8)
+        .orderBy("id_a", "id_b")),
+
+    // Exact n-gram Jaccard pairs via inverted shingle index.
+    "q_dedup_ngram" -> ((s, d) =>
+      Dedup.ngramJaccardPairs(docs(s, d), "doc_id", "text", n = 3, threshold = 0.5)
+        .orderBy("id_a", "id_b")),
+
+    // Token counting (whitespace tokens over trimmed text).
+    "q_text_tokens" -> ((s, d) =>
+      docs(s, d).select(col("doc_id"), TF.tokenCount(col("text")).as("n_tokens"))),
+
+    // Language ID: argmax stopword hits, ties by fixed language order.
+    "q_text_langid" -> ((s, d) =>
+      docs(s, d).select(col("doc_id"), TF.langId(col("text")).as("lang_pred"))),
+
+    // Quality scoring: length/diversity/stopword/alnum signals in [0,1].
+    "q_text_quality" -> ((s, d) =>
+      docs(s, d).select(col("doc_id"), TF.qualityScore(col("text")).as("quality"))),
+
+    // 64-bit content fingerprint (xxhash64 — no DuckDB equivalent, rows-only).
+    "q_text_fingerprint" -> ((s, d) =>
+      docs(s, d).select(col("doc_id"), TF.contentFingerprint(col("text")).as("fp"))),
+
+    // Brute-force cosine top-10 for 5 probe vectors (ANN baseline; the
+    // probe side is broadcast so the big side never shuffles).
+    "q_ann_bruteforce" -> ((s, d) => {
+      val e = embeddings(s, d).select(col("vec_id"), VF.asDouble(col("embedding")).as("v"))
+      val probes = broadcast(e.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("query_id"), col("v").as("qv")))
+      val scored = e.join(probes, col("vec_id") =!= col("query_id"))
+        .select(col("query_id"), col("vec_id"),
+          VF.cosine(col("qv"), col("v")).as("cosine"))
+      val w = Window.partitionBy("query_id")
+        .orderBy(col("cosine").desc, col("vec_id").asc)
+      scored.withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 10)
+        .select(col("query_id"), col("rank"), col("vec_id"),
+          round(col("cosine"), 6).as("cosine"))
+        .orderBy("query_id", "rank")
+    })
+  )
+
+  // ------------------------------------------------------------- oracle SQL
+
+  /** Portable SQL (parses in both Spark and DuckDB) used by CUSTOM stages
+    * AND as its own oracle — dialect-neutral by construction. */
+  private val sqlCustom: String =
+    "SELECT n_name, count(*) AS n_customers, " +
+      "CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_bal " +
+      "FROM customer JOIN nation ON c_nationkey = n_nationkey " +
+      "GROUP BY n_name ORDER BY n_name"
+
+  private val sqlEvents: String =
+    "SELECT event_type, date_trunc('hour', ts) AS event_hour, count(*) AS n_events, " +
+      "CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value " +
+      "FROM events GROUP BY event_type, date_trunc('hour', ts)"
+
+  /** Stopword list as a SQL IN-list. */
+  private def inList(lang: String): String =
+    TF.stopwords(lang).map(w => s"'$w'").mkString("(", ", ", ")")
+
+  private val toksSql = "regexp_split_to_array(trim(text), '\\s+')"
+
+  /** DuckDB oracle for langId, generated from the same stopword constants
+    * so the two implementations cannot drift. */
+  private def langIdOracle: String = {
+    val langs = Seq("en", "es", "de", "fr", "zh")
+    val scoreCols = langs.map(l =>
+      s"len(list_filter(toks, x -> x IN ${inList(l)})) AS s_$l").mkString(", ")
+    val whens = langs.map(l =>
+      s"WHEN gm > 0 AND s_$l = gm THEN '$l'").mkString(" ")
+    s"""SELECT doc_id, CASE $whens ELSE 'und' END AS lang_pred
+       |FROM (SELECT doc_id, s_en, s_es, s_de, s_fr, s_zh,
+       |        greatest(s_en, s_es, s_de, s_fr, s_zh) AS gm
+       |      FROM (SELECT doc_id, $scoreCols
+       |            FROM (SELECT doc_id, $toksSql AS toks FROM documents)))""".stripMargin
+  }
+
+  /** DuckDB oracle for qualityScore — identical expression shape so every
+    * FP operation matches bit-for-bit (per-row scalar math only). */
+  private def qualityOracle: String =
+    s"""SELECT doc_id, round(
+       |  least(nt / 100.0, 1.0) * 0.25 +
+       |  (CASE WHEN nt > 0 THEN nd / nt ELSE 0.0 END) * 0.25 +
+       |  (CASE WHEN nt > 0 THEN least(stop * 5.0 / nt, 1.0) ELSE 0.0 END) * 0.25 +
+       |  (CASE WHEN nchars > 0 THEN alnum / nchars ELSE 0.0 END) * 0.25, 6) AS quality
+       |FROM (SELECT doc_id,
+       |        CAST(len(toks) AS DOUBLE) AS nt,
+       |        CAST(len(list_distinct(toks)) AS DOUBLE) AS nd,
+       |        CAST(len(list_filter(toks, x -> x IN ${inList("en")})) AS DOUBLE) AS stop,
+       |        CAST(length(text) AS DOUBLE) AS nchars,
+       |        CAST(length(regexp_replace(text, '[^a-zA-Z0-9]', '', 'g')) AS DOUBLE) AS alnum
+       |      FROM (SELECT doc_id, text, $toksSql AS toks FROM documents))""".stripMargin
+
+  def oracleSql: Map[String, String] = Map(
+    "q_filter_gt" ->
+      "SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag FROM lineitem WHERE l_quantity > 30",
+    "q_filter_andor" ->
+      ("SELECT l_orderkey, l_linenumber, l_returnflag, l_linestatus, l_quantity, l_discount " +
+        "FROM lineitem WHERE l_returnflag = 'A' AND l_quantity > 30 " +
+        "OR l_linestatus = 'F' AND l_discount < 0.05"),
+    "q_filter_in" ->
+      "SELECT * FROM nation WHERE n_regionkey IN (1, 2)",
+    "q_filter_notin" ->
+      "SELECT * FROM supplier WHERE s_nationkey NOT IN (0, 1, 2, 3)",
+    "q_filter_like" ->
+      "SELECT p_partkey, p_name FROM part WHERE p_name LIKE '%a%'",
+    "q_filter_date" ->
+      "SELECT l_orderkey, l_linenumber, l_shipdate FROM lineitem WHERE l_shipdate > '1996-01-01'",
+    "q_join_inner" ->
+      ("SELECT o_orderkey, o_totalprice, c_custkey, c_name, c_mktsegment " +
+        "FROM orders JOIN customer ON o_custkey = c_custkey"),
+    "q_join_left" ->
+      ("SELECT c_custkey, c_name, o_orderkey, o_totalprice " +
+        "FROM customer LEFT JOIN orders ON c_custkey = o_custkey"),
+    "q_join_right" ->
+      ("SELECT o_orderkey, o_totalprice, c_custkey, c_name " +
+        "FROM orders RIGHT JOIN customer ON o_custkey = c_custkey"),
+    "q_join_full" ->
+      ("SELECT c_custkey, c_name, o_orderkey, o_totalprice " +
+        "FROM customer FULL OUTER JOIN orders ON c_custkey = o_custkey"),
+    "q_join_samekey_full" ->
+      ("SELECT l.custkey AS custkey, l.o_orderkey, l.o_totalprice, r.c_name " +
+        "FROM (SELECT o_custkey AS custkey, o_orderkey, o_totalprice FROM orders) l " +
+        "FULL OUTER JOIN (SELECT c_custkey AS custkey, c_name FROM customer) r " +
+        "ON l.custkey = r.custkey"),
+    "q_union" ->
+      ("SELECT c_mktsegment, c_nationkey FROM customer " +
+        "UNION SELECT c_mktsegment, c_nationkey FROM customer"),
+    "q_union_all" ->
+      ("SELECT c_mktsegment, c_nationkey FROM customer " +
+        "UNION ALL SELECT c_mktsegment, c_nationkey FROM customer"),
+    "q_group" ->
+      ("SELECT l_returnflag, l_linestatus, " +
+        "sum(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty, " +
+        "sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS sum_base_price, " +
+        "min(l_extendedprice) AS min_price, max(l_extendedprice) AS max_price, " +
+        "count(*) AS count_order " +
+        "FROM lineitem GROUP BY l_returnflag, l_linestatus"),
+    "q_aggregate" ->
+      ("SELECT sum(CAST(o_totalprice AS DECIMAL(18,2))) AS total_revenue, " +
+        "count(*) AS n_orders, min(o_totalprice) AS min_price, " +
+        "max(o_totalprice) AS max_price FROM orders"),
+    "q_select" ->
+      ("SELECT p_partkey, p_name, upper(p_brand) AS brand_uc, " +
+        "p_retailprice * 1.1 AS inflated FROM part"),
+    "q_sort" ->
+      "SELECT * FROM part ORDER BY p_size DESC, p_retailprice ASC, p_partkey ASC",
+    "q_custom" -> sqlCustom,
+    "q_custom_events" -> sqlEvents,
+    "q_pipeline" ->
+      ("SELECT c_mktsegment, count(*) AS n_orders, " +
+        "sum(CAST(o_totalprice AS DECIMAL(18,2))) AS revenue " +
+        "FROM orders JOIN customer ON o_custkey = c_custkey " +
+        "WHERE o_totalprice > 1000 GROUP BY c_mktsegment " +
+        "ORDER BY n_orders DESC, c_mktsegment ASC"),
+    "q_dedup_exact" ->
+      ("SELECT * FROM documents WHERE doc_id IN " +
+        "(SELECT min(doc_id) FROM documents GROUP BY text)"),
+    "q_dedup_groups" ->
+      ("SELECT md5(text) AS content_hash, min(doc_id) AS keep_id, " +
+        "count(*) AS dup_count FROM documents GROUP BY md5(text) ORDER BY content_hash"),
+    "q_text_tokens" ->
+      s"SELECT doc_id, len($toksSql) AS n_tokens FROM documents",
+    "q_text_langid" -> langIdOracle,
+    "q_text_quality" -> qualityOracle
+    // q_dedup_minhash / q_dedup_simhash / q_dedup_ngram / q_text_fingerprint /
+    // q_ann_bruteforce: hash-function-based — not DuckDB-expressible, so the
+    // driver records the weaker rows-only check for them.
+  )
 }

@@ -1,0 +1,124 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/**
+ * Text-analysis primitives for large-scale training-data pipelines, built
+ * entirely from codegen'd Spark SQL built-ins (no UDFs) so they stay inside
+ * whole-stage codegen and scale linearly with input size.
+ *
+ * These extend the reference's surface (it has no text functions — SURVEY
+ * §2.4); they are the LLM-data-pipeline operators called for by
+ * BASELINE.json's north star.
+ */
+object TextFunctions {
+
+  /** Whitespace tokens of trimmed text. `''` yields `['']` — matching
+    * DuckDB's `regexp_split_to_array` used by the test oracle. */
+  def tokens(text: Column): Column = split(trim(text), "\\s+")
+
+  def tokenCount(text: Column): Column = size(tokens(text))
+
+  def distinctTokens(text: Column): Column = array_distinct(tokens(text))
+
+  /**
+   * Word n-gram shingles, space-joined: `["a b c", "b c d", ...]`.
+   * Documents shorter than `n` tokens produce one whole-document shingle.
+   */
+  def wordShingles(toks: Column, n: Int): Column = {
+    require(n >= 1)
+    when(size(toks) >= n,
+      transform(sequence(lit(0), size(toks) - n),
+        i => array_join(slice(toks, i + 1, lit(n)), " ")))
+      .otherwise(array(array_join(toks, " ")))
+  }
+
+  /** Character n-gram shingles. */
+  def charShingles(text: Column, n: Int): Column = {
+    require(n >= 1)
+    val t = trim(text)
+    when(length(t) >= n,
+      transform(sequence(lit(1), length(t) - (n - 1)), i => t.substr(i, lit(n))))
+      .otherwise(array(t))
+  }
+
+  /** xxhash64 of each distinct shingle — the compact set representation
+    * used by MinHash/Jaccard (longs shuffle ~10x cheaper than strings). */
+  def hashedShingleSet(text: Column, n: Int): Column =
+    array_distinct(transform(wordShingles(tokens(text), n), s => xxhash64(s)))
+
+  /** Jaccard similarity of two (distinct-element) arrays. */
+  def jaccard(a: Column, b: Column): Column = {
+    val inter = size(array_intersect(a, b))
+    val uni = size(a) + size(b) - inter
+    when(uni === 0, lit(1.0)).otherwise(inter.cast("double") / uni.cast("double"))
+  }
+
+  /** Small multilingual stopword lists for the language-ID heuristic. */
+  val stopwords: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "a", "an", "of", "and", "to", "in", "is", "that", "it", "for", "on", "with", "as"),
+    "es" -> Seq("el", "los", "las", "una", "uno", "y", "es", "en", "que", "por", "con", "para", "del"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "ein", "eine", "zu", "mit", "auf", "für"),
+    "fr" -> Seq("le", "les", "une", "et", "est", "que", "pour", "dans", "qui", "pas", "sur", "avec"),
+    "zh" -> Seq("的", "了", "是", "我", "不", "在", "他", "有", "这", "上"))
+
+  /** Per-language stopword hit count over the token array. */
+  def stopwordHits(toks: Column, lang: String): Column =
+    size(filter(toks, t => t.isInCollection(stopwords(lang))))
+
+  /**
+   * N-gram-heuristic language ID: argmax of stopword hits, ties broken by
+   * the fixed language order, zero hits → "und". Deterministic, so it can
+   * be cross-checked against an equivalent SQL oracle.
+   */
+  def langId(text: Column): Column = {
+    val toks = tokens(text)
+    val langs = Seq("en", "es", "de", "fr", "zh")
+    val scores = langs.map(l => l -> stopwordHits(toks, l))
+    val maxScore = greatest(scores.map(_._2): _*)
+    scores.foldRight(lit("und"): Column) { case ((l, s), elseCol) =>
+      when(maxScore > 0 && s === maxScore, lit(l)).otherwise(elseCol)
+    }
+  }
+
+  /**
+   * Heuristic quality score in [0,1]: length signal, lexical diversity,
+   * stopword presence, and alphanumeric ratio, equally mirrorable in the
+   * DuckDB oracle. All counts are exact integers; the only floating-point
+   * ops are the final fixed-shape arithmetic, rounded to 6 decimals.
+   */
+  def qualityScore(text: Column): Column = {
+    val toks = tokens(text)
+    val nt = size(toks).cast("double")
+    val nd = size(array_distinct(toks)).cast("double")
+    val stop = stopwordHits(toks, "en").cast("double")
+    val nchars = length(text).cast("double")
+    val alnum = length(regexp_replace(text, "[^a-zA-Z0-9]", "")).cast("double")
+    val lenSignal = least(nt / lit(100.0), lit(1.0))
+    val diversity = when(nt > 0, nd / nt).otherwise(lit(0.0))
+    val stopSignal = when(nt > 0, least(stop * lit(5.0) / nt, lit(1.0))).otherwise(lit(0.0))
+    val alnumRatio = when(nchars > 0, alnum / nchars).otherwise(lit(0.0))
+    round(lenSignal * lit(0.25) + diversity * lit(0.25) +
+      stopSignal * lit(0.25) + alnumRatio * lit(0.25), 6)
+  }
+
+  /** 64-bit content fingerprint of normalized text (whitespace-collapsed,
+    * lowercased) — exact-dup detection key. */
+  def contentFingerprint(text: Column): Column =
+    xxhash64(lower(regexp_replace(trim(text), "\\s+", " ")))
+
+  /**
+   * Winnowing-style document fingerprint set (Schleimer et al., SIGMOD'03):
+   * hash k-gram shingles, take the min hash in each sliding window of w —
+   * compact, position-robust signature for near-dup / provenance checks.
+   */
+  def winnowedFingerprints(text: Column, k: Int = 5, w: Int = 4): Column = {
+    val hashes = transform(wordShingles(tokens(text), k), s => xxhash64(s))
+    val nWin = size(hashes) - (w - 1)
+    array_distinct(
+      when(nWin > 0,
+        transform(sequence(lit(0), nWin - 1), i => array_min(slice(hashes, i + 1, lit(w)))))
+        .otherwise(array(array_min(hashes))))
+  }
+}

@@ -1,0 +1,136 @@
+package graft.operators
+
+import graft.GraftSession.simhash64
+import graft.functions.TextFunctions._
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/**
+ * Document deduplication for training-data pipelines, at four fidelity
+ * levels. All are pure DataFrame programs: candidate generation is always
+ * a key-partitioned shuffle (never a cross join), so each scales linearly
+ * in data size for fixed duplication density.
+ *
+ *  - exact:        hash-groupBy on normalized content.
+ *  - ngramJaccard: EXACT n-gram-set Jaccard via an inverted shingle index
+ *                  (recall 1; cost grows with shingle sharing).
+ *  - minhash LSH:  MinHash signatures + banding (Broder '97); probabilistic
+ *                  recall, constant-size signatures — the 100 TB path.
+ *  - simhash:      64-bit SimHash + 16-bit band buckets + Hamming filter.
+ */
+object Dedup {
+
+  /** Exact dedup: keep the lowest-id row per normalized-content group. */
+  def exactGroups(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.groupBy(md5(col(textCol)).as("content_hash"))
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("dup_count"))
+
+  /** Exact dedup, survivors only (deterministic: min id wins). */
+  def exactDedup(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.join(
+      df.groupBy(col(textCol).as(textCol)).agg(min(col(idCol)).as(idCol)),
+      Seq(idCol, textCol), "leftsemi")
+
+  /**
+   * EXACT n-gram Jaccard near-dup pairs via inverted index:
+   * doc → distinct hashed shingles → explode → self-join on shingle →
+   * co-occurrence count = |A∩B| → Jaccard from set sizes.
+   *
+   * `maxShingleFreq` optionally drops shingles appearing in more than that
+   * many docs (a frequency cap controls worst-case candidate blowup at the
+   * cost of recall on boilerplate-heavy corpora; None = exact).
+   */
+  def ngramJaccardPairs(
+      df: DataFrame, idCol: String, textCol: String,
+      n: Int = 3, threshold: Double = 0.8,
+      maxShingleFreq: Option[Int] = None): DataFrame = {
+    val docs = df.select(col(idCol).as("id"),
+      hashedShingleSet(col(textCol), n).as("shingles"))
+    val sizes = docs.select(col("id"), size(col("shingles")).as("sz"))
+    val inv0 = docs.select(col("id"), explode(col("shingles")).as("sh"))
+    val inv = maxShingleFreq match {
+      case Some(cap) =>
+        val freq = inv0.groupBy("sh").agg(count(lit(1)).as("f")).filter(col("f") <= cap)
+        inv0.join(broadcastIfSmall(freq.select("sh")), Seq("sh"), "leftsemi")
+      case None => inv0
+    }
+    val co = inv.as("a").join(inv.as("b"),
+        col("a.sh") === col("b.sh") && col("a.id") < col("b.id"))
+      .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .agg(count(lit(1)).as("inter"))
+    co.join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("sz", "sz_a"), "id_a")
+      .join(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("sz", "sz_b"), "id_b")
+      .withColumn("jaccard",
+        col("inter").cast("double") / (col("sz_a") + col("sz_b") - col("inter")).cast("double"))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
+  }
+
+  /**
+   * MinHash + LSH near-dup pairs (Broder '97): k permutation min-hashes →
+   * b bands of r = k/b rows → docs sharing any band bucket are candidates →
+   * exact Jaccard on the hashed shingle sets confirms.
+   *
+   * Permutation i is `min over shingles of xxhash64(i, shingle_hash)` — a
+   * fresh independent 64-bit hash per band row, computed in one codegen'd
+   * pass over the shingle array.
+   *
+   * Candidate generation shuffles only (band, bucket) keys; signatures are
+   * k longs per doc regardless of document size — the property that lets
+   * this run at 100 TB where exact pairwise cannot.
+   */
+  def minhashPairs(
+      df: DataFrame, idCol: String, textCol: String,
+      shingleN: Int = 3, numHashes: Int = 64, bands: Int = 16,
+      threshold: Double = 0.8): DataFrame = {
+    require(numHashes % bands == 0, "numHashes must be divisible by bands")
+    val rows = numHashes / bands
+    val docs = df.select(col(idCol).as("id"),
+        hashedShingleSet(col(textCol), shingleN).as("shingles"))
+      .filter(size(col("shingles")) > 0)
+    val sig = docs.withColumn("sig", array((0 until numHashes).map(i =>
+      array_min(transform(col("shingles"), h => xxhash64(lit(i), h)))): _*))
+    // band j's key: hash of its r signature rows (+ j so bands don't collide)
+    val banded = sig.select(col("id"), col("shingles"), posexplode(
+      array((0 until bands).map(j =>
+        xxhash64(lit(j) +: (0 until rows).map(k => col("sig")(j * rows + k)): _*)): _*))
+      .as(Seq("band", "bucket")))
+    val cand = banded.as("a").join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
+          col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        col("a.shingles").as("sh_a"), col("b.shingles").as("sh_b"))
+      .dropDuplicates("id_a", "id_b")
+    cand.withColumn("jaccard", jaccard(col("sh_a"), col("sh_b")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
+  }
+
+  /**
+   * SimHash near-dup pairs: 64-bit fingerprint per doc (native
+   * `simhash64` expression over xxhash64'd tokens), bucketed by each of the
+   * four 16-bit chunks. By pigeonhole, any pair within Hamming distance 3
+   * shares at least one chunk → recall 1 for maxHamming ≤ 3.
+   */
+  def simhashPairs(
+      df: DataFrame, idCol: String, textCol: String,
+      maxHamming: Int = 3): DataFrame = {
+    val fps = df.select(col(idCol).as("id"),
+      simhash64(transform(tokens(col(textCol)), t => xxhash64(t))).as("fp"))
+    val properChunks = fps.select(col("id"), col("fp"), posexplode(array(
+      (0 until 4).map(j =>
+        shiftrightunsigned(col("fp"), j * 16).bitwiseAND(lit(65535L))): _*))
+      .as(Seq("chunk", "key")))
+    properChunks.as("a").join(properChunks.as("b"),
+        col("a.chunk") === col("b.chunk") && col("a.key") === col("b.key") &&
+          col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        col("a.fp").as("fp_a"), col("b.fp").as("fp_b"))
+      .dropDuplicates("id_a", "id_b")
+      .withColumn("hamming", bit_count(col("fp_a").bitwiseXOR(col("fp_b"))))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("id_a"), col("id_b"), col("hamming"))
+  }
+
+  private def broadcastIfSmall(df: DataFrame): DataFrame = broadcast(df)
+}

@@ -1,0 +1,35 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Shared local SparkSession for all specs (one JVM-wide session — Spark
+  * sessions are expensive; suites must not stop() it). */
+object SparkTestBase {
+  lazy val spark: SparkSession = GraftSession.builder(
+    master = "local[4]", shufflePartitions = 4, appName = "graft-test")
+}
+
+abstract class SparkTestBase extends AnyFunSuite with BeforeAndAfterAll {
+  lazy val spark: SparkSession = SparkTestBase.spark
+  import scala.jdk.CollectionConverters._
+
+  def df(schemaDdl: String, rows: Seq[Row]): DataFrame =
+    spark.createDataFrame(rows.asJava,
+      org.apache.spark.sql.types.StructType.fromDDL(schemaDdl))
+
+  /** Order-insensitive row comparison on stringified values. */
+  def assertSameRows(actual: DataFrame, expected: Seq[Seq[Any]]): Unit = {
+    val a = actual.collect().map(_.toSeq.map(String.valueOf)).sortBy(_.mkString("|"))
+    val e = expected.map(_.map(String.valueOf)).sortBy(_.mkString("|"))
+    assert(a.toSeq == e, s"\nactual:   ${a.toSeq}\nexpected: $e")
+  }
+
+  /** Order-sensitive variant (for SORT outputs). */
+  def assertRowsInOrder(actual: DataFrame, expected: Seq[Seq[Any]]): Unit = {
+    val a = actual.collect().map(_.toSeq.map(String.valueOf)).toSeq
+    val e = expected.map(_.map(String.valueOf))
+    assert(a == e, s"\nactual:   $a\nexpected: $e")
+  }
+}

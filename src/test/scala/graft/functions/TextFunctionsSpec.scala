@@ -1,0 +1,74 @@
+package graft.functions
+
+import graft.SparkTestBase
+import graft.functions.{TextFunctions => TF}
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+
+class TextFunctionsSpec extends SparkTestBase {
+
+  private def one(text: String) = df("text STRING", Seq(Row(text)))
+
+  test("token count over whitespace") {
+    val out = one("  the quick   brown fox ").select(TF.tokenCount(col("text")))
+    assert(out.head().getInt(0) == 4)
+  }
+
+  test("word shingles of n=2; short docs yield one whole-doc shingle") {
+    val out = one("a b c").select(TF.wordShingles(TF.tokens(col("text")), 2))
+    assert(out.head().getSeq[String](0) == Seq("a b", "b c"))
+    val short = one("a").select(TF.wordShingles(TF.tokens(col("text")), 3))
+    assert(short.head().getSeq[String](0) == Seq("a"))
+  }
+
+  test("char shingles") {
+    val out = one("abcd").select(TF.charShingles(col("text"), 3))
+    assert(out.head().getSeq[String](0) == Seq("abc", "bcd"))
+  }
+
+  test("jaccard of hashed shingle sets: identical docs = 1.0, disjoint = 0.0") {
+    val d = df("a STRING, b STRING", Seq(Row("x y z w", "x y z w"), Row("a b c d", "p q r s")))
+    val out = d.select(TF.jaccard(
+      TF.hashedShingleSet(col("a"), 2), TF.hashedShingleSet(col("b"), 2)))
+    val vals = out.collect().map(_.getDouble(0)).toSeq
+    assert(vals == Seq(1.0, 0.0))
+  }
+
+  test("langId picks the language with most stopword hits, und when none") {
+    val d = df("text STRING", Seq(
+      Row("the cat sat on the mat and it is happy"),
+      Row("el perro y el gato en la casa es que"),
+      Row("der hund und die katze ist nicht ein"),
+      Row("xyzzy plugh")))
+    val out = d.select(TF.langId(col("text"))).collect().map(_.getString(0)).toSeq
+    assert(out == Seq("en", "es", "de", "und"))
+  }
+
+  test("quality score stays in [0,1] and rewards diverse alnum text") {
+    val d = df("text STRING", Seq(
+      Row("The quick brown fox jumps over the lazy dog near the riverbank today"),
+      Row("!!! ??? ### $$$"),
+      Row("")))
+    val scores = d.select(TF.qualityScore(col("text"))).collect().map(_.getDouble(0))
+    assert(scores.forall(s => s >= 0.0 && s <= 1.0))
+    assert(scores(0) > scores(1))
+  }
+
+  test("content fingerprint is whitespace/case-insensitive") {
+    val d = df("a STRING, b STRING",
+      Seq(Row("Hello   World", "hello world"), Row("abc", "xyz")))
+    val out = d.select(
+      (TF.contentFingerprint(col("a")) === TF.contentFingerprint(col("b"))).as("same"))
+    assert(out.collect().map(_.getBoolean(0)).toSeq == Seq(true, false))
+  }
+
+  test("winnowed fingerprints are a subset of shingle hashes and non-empty") {
+    val out = one("one two three four five six seven eight nine ten")
+      .select(TF.winnowedFingerprints(col("text"), k = 3, w = 2).as("fp"),
+        transform(TF.wordShingles(TF.tokens(col("text")), 3), s => xxhash64(s)).as("all"))
+    val r = out.head()
+    val fp = r.getSeq[Long](0).toSet
+    val all = r.getSeq[Long](1).toSet
+    assert(fp.nonEmpty && fp.subsetOf(all))
+  }
+}

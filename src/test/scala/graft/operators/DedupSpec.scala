@@ -1,0 +1,58 @@
+package graft.operators
+
+import graft.SparkTestBase
+import org.apache.spark.sql.Row
+
+class DedupSpec extends SparkTestBase {
+
+  // 1↔2 identical; 3 near-identical to 1 (one word changed); 4 unrelated.
+  private lazy val corpus = df("id BIGINT, text STRING", Seq(
+    Row(1L, "the quick brown fox jumps over the lazy dog near the river bank"),
+    Row(2L, "the quick brown fox jumps over the lazy dog near the river bank"),
+    Row(3L, "the quick brown fox jumps over the lazy dog near the river shore"),
+    Row(4L, "completely unrelated content about spark dataframes and catalyst rules")))
+
+  test("exact dedup keeps the lowest id per identical text") {
+    val out = Dedup.exactDedup(corpus, "id", "text")
+    assertSameRows(out.select("id"), Seq(Seq(1L), Seq(3L), Seq(4L)))
+  }
+
+  test("exact groups report duplicate counts") {
+    val out = Dedup.exactGroups(corpus, "id", "text")
+    val dups = out.collect().map(r => (r.getAs[Long]("keep_id"), r.getAs[Long]("dup_count")))
+    assert(dups.toSet == Set((1L, 2L), (3L, 1L), (4L, 1L)))
+  }
+
+  test("ngram Jaccard finds the identical and the near pair, not the unrelated") {
+    val pairs = Dedup.ngramJaccardPairs(corpus, "id", "text", n = 3, threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val keys = pairs.map(p => (p._1, p._2)).toSet
+    assert(keys.contains((1L, 2L)))
+    assert(keys.contains((1L, 3L)) && keys.contains((2L, 3L)))
+    assert(!keys.exists(p => p._1 == 4L || p._2 == 4L))
+    assert(pairs.find(p => (p._1, p._2) == (1L, 2L)).get._3 == 1.0)
+  }
+
+  test("minhash LSH finds identical pairs with exact-verify jaccard") {
+    val pairs = Dedup.minhashPairs(corpus, "id", "text",
+        shingleN = 3, numHashes = 64, bands = 16, threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val keys = pairs.map(p => (p._1, p._2)).toSet
+    assert(keys.contains((1L, 2L)))
+    assert(!keys.exists(p => p._1 == 4L || p._2 == 4L))
+  }
+
+  test("simhash pairs bucket by 16-bit chunks and filter by hamming") {
+    val pairs = Dedup.simhashPairs(corpus, "id", "text", maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.contains((1L, 2L)))
+    assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L))
+  }
+
+  test("candidate generation dedups (a pair sharing many buckets appears once)") {
+    val pairs = Dedup.minhashPairs(corpus, "id", "text",
+      shingleN = 3, numHashes = 64, bands = 16, threshold = 0.1)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.distinct.length == pairs.length)
+  }
+}
