@@ -122,6 +122,25 @@ final class PipelineExecutor(val spark: SparkSession) {
       .getOrElse(throw new RuntimeException("pipeline produced no result"))
   }
 
+  /**
+   * Resolve a planner-supplied table name with the reference's priority
+   * chain (ui/src/App.tsx:1225-1268): alias map → cleaned-name alias →
+   * prior stage results → registered tables → catalog probe → previous
+   * result table → cleaned name as-is.
+   */
+  def resolveTableName(name: String, aliases: Map[String, String] = Map.empty): String = {
+    val cleaned = PipelineExecutor.cleanTableName(name)
+    aliases.get(name)
+      .orElse(aliases.get(cleaned))
+      .orElse(stageToTable.values.find(v => v == name || v == cleaned))
+      .orElse(Option.when(tables.contains(name))(name))
+      .orElse(Option.when(tables.contains(cleaned))(cleaned))
+      .orElse(Option.when(spark.catalog.tableExists(cleaned))(cleaned))
+      .orElse(Option.when(spark.catalog.tableExists(name))(name))
+      .orElse(lastResultTable)
+      .getOrElse(cleaned)
+  }
+
   /** `result_stage_<n>_<type>` (ui/src/App.tsx:603-604). */
   def resultTableName(index: Int, stage: Stage): String =
     s"result_stage_${index}_${stage.stageType.toLowerCase}"

@@ -1,0 +1,84 @@
+package graft.streaming
+
+import graft.compile.StageCompiler
+import graft.model._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/**
+ * Structured Streaming variant of the stage pipeline — an EXTENSION beyond
+ * the reference (which is strictly batch, SURVEY §1.1/§2.7): the same
+ * Stage ADT applied to an unbounded stream.
+ *
+ * Streamability per stage type:
+ *  - FILTER / SELECT / CUSTOM(stateless SQL): map 1:1.
+ *  - JOIN: stream-static joins supported (the static side is a lookup
+ *    table, e.g. a dimension); stream-stream needs watermarks on both
+ *    sides — out of scope for the stage algebra.
+ *  - GROUP / AGGREGATE: supported as windowed aggregations with a
+ *    watermark (append mode) or running aggregates (update mode).
+ *  - SORT / UNION-distinct: unbounded total sort / global dedup are not
+ *    computable on an infinite stream in append mode — rejected up front
+ *    with a clear error instead of failing deep inside Spark.
+ */
+object StreamingPipeline {
+
+  def unsupported(stage: Stage): Option[String] = stage match {
+    case _: SortStage => Some("SORT: total order over an unbounded stream is undefined; sort per micro-batch downstream instead")
+    case u: UnionStage if u.unionType.toUpperCase != "UNION ALL" =>
+      Some("UNION (distinct): global dedup over a stream needs a watermarked dropDuplicates")
+    case _ => None
+  }
+
+  /** Fold stateless stages over a streaming DataFrame. */
+  def applyStages(spark: SparkSession, stream: DataFrame, stages: Seq[Stage],
+                  lookup: String => DataFrame = Map.empty): DataFrame =
+    stages.foldLeft(stream) { (df, stage) =>
+      unsupported(stage).foreach(msg =>
+        throw new UnsupportedOperationException(s"stage ${stage.id}: $msg"))
+      stage match {
+        case FilterStage(_, _, _, conditions) =>
+          df.filter(StageCompiler.compilePredicate(df, conditions))
+        case SelectStage(_, _, _, columns) => df.selectExpr(columns: _*)
+        case JoinStage(_, _, joinType, _, rightTable, leftKey, rightKey) =>
+          // stream-static join; the static side resolves via lookup
+          StageCompiler.compileJoin(df, lookup(rightTable), joinType, leftKey, rightKey)
+        case UnionStage(_, _, _, tables) =>
+          tables.map(lookup).foldLeft(df)(_ union _) // UNION ALL only (gated above)
+        case other =>
+          throw new UnsupportedOperationException(
+            s"stage ${other.id} (${other.stageType}) is not streamable here")
+      }
+    }
+
+  /**
+   * Watermarked tumbling-window aggregation over an events-shaped stream —
+   * the streaming analogue of a GROUP stage. Late rows beyond
+   * `watermarkDelay` are dropped; in append mode a window emits once,
+   * when the watermark passes its end.
+   */
+  def windowedAggregate(stream: DataFrame, tsCol: String, keyCol: String,
+                        window: String = "1 hour",
+                        watermarkDelay: String = "10 minutes",
+                        aggregations: Seq[Aggregation] =
+                          Seq(Aggregation("count", "*", Some("n")))): DataFrame = {
+    val aggCols = aggregations.map(StageCompiler.aggColumn)
+    stream
+      .withWatermark(tsCol, watermarkDelay)
+      .groupBy(org.apache.spark.sql.functions.window(col(tsCol), window), col(keyCol))
+      .agg(aggCols.head, aggCols.tail: _*)
+      .withColumn("window_start", col("window.start"))
+      .withColumn("window_end", col("window.end"))
+      .drop("window")
+  }
+
+  /**
+   * Streaming exact dedup: watermarked dropDuplicates on a content key —
+   * state is bounded by the watermark horizon (the 100 TB/day-safe way to
+   * dedup a stream; unbounded-state dedup OOMs by design).
+   */
+  def dedupStream(stream: DataFrame, tsCol: String, keyCols: Seq[String],
+                  watermarkDelay: String = "1 hour"): DataFrame =
+    stream.withWatermark(tsCol, watermarkDelay)
+      .dropDuplicatesWithinWatermark(keyCols.head, keyCols.tail: _*)
+}

@@ -1,0 +1,58 @@
+package graft.operators
+
+import graft.SparkTestBase
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+
+class MultimodalSpec extends SparkTestBase {
+
+  private val png = Array[Byte](0x89.toByte, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a,
+    0, 0, 0, 0x0d)
+  private val jpeg = Array[Byte](0xff.toByte, 0xd8.toByte, 0xff.toByte, 0xe0.toByte,
+    0, 0x10, 'J', 'F', 'I', 'F', 0, 0)
+  private val wav = "RIFF1234WAVEfmt ".getBytes
+  private val junk = "hello world, not an image".getBytes
+
+  private lazy val media = df("id BIGINT, payload BINARY",
+    Seq(Row(1L, png), Row(2L, jpeg), Row(3L, wav), Row(4L, junk)))
+
+  test("magic-byte mime sniffing via built-ins only") {
+    val out = Multimodal.withMetadata(media, "payload")
+    val mimes = out.select("id", "meta.mime").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(mimes == Map(1L -> "image/png", 2L -> "image/jpeg",
+      3L -> "audio/wav", 4L -> "application/octet-stream"))
+    // metadata plumbing: byte count + content hash present
+    val meta = out.filter("id = 4").select("meta.n_bytes").head().getLong(0)
+    assert(meta == junk.length.toLong)
+  }
+
+  test("decode plumbing: schema extended, deterministic stub features, batching") {
+    val out = Multimodal.decodeFeatures(media, "payload", batchSize = 2)
+    assert(out.schema.fieldNames.toSeq == Seq("id", "payload", "feat"))
+    val feats = out.select("id", "feat.width", "feat.feature").collect()
+    assert(feats.length == 4)
+    // determinism: same bytes → same stub features on a second run
+    val again = Multimodal.decodeFeatures(media, "payload").select("id", "feat.width")
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    feats.foreach(r => assert(again(r.getLong(0)) == r.getInt(1)))
+    // features usable downstream (e.g. similarity over the float array)
+    assert(feats.forall(_.getSeq[Float](2).length == 8))
+  }
+
+  test("partition count is preserved through the decode (sizing stays upstream)") {
+    val repart = media.repartition(3)
+    assert(Multimodal.decodeFeatures(repart, "payload").rdd.getNumPartitions == 3)
+  }
+
+  test("chunk plan explodes oversized payloads with exact offsets") {
+    val big = df("id BIGINT, payload BINARY",
+      Seq(Row(1L, Array.fill[Byte](2500)(1)), Row(2L, Array.fill[Byte](10)(2))))
+    val plan = Multimodal.chunkPlan(big, "payload", chunkBytes = 1000)
+    val rows = plan.select("id", "chunk_index", "chunk_offset", "chunk_length")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3)))
+    assert(rows.count(_._1 == 1L) == 3)
+    assert(rows.filter(_._1 == 1L).map(_._4).sum == 2500)
+    assert(rows.filter(_._1 == 2L).toSeq == Seq((2L, 0, 0L, 10L)))
+  }
+}
