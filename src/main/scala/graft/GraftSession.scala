@@ -46,6 +46,10 @@ object GraftSession {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      // Split even small files across all cores: a single-file scan
+      // otherwise pins compute-heavy per-row expressions (shingling,
+      // hashing) to ONE task regardless of cluster size.
+      .config("spark.sql.files.minPartitionNum", shufflePartitions.toString)
       .config("spark.sql.autoBroadcastJoinThreshold", (64L * 1024 * 1024).toString)
       .config("spark.sql.session.timeZone", "UTC")
       // testdata events.ts is parquet TIMESTAMP(NANOS) — see Ingest.loadDir

@@ -1,0 +1,137 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, XXH64}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/**
+ * Native one-pass text-hashing expressions for the dedup hot path.
+ *
+ * The composable Column versions (TextFunctions.wordShingles + transform +
+ * xxhash64 + array_distinct) are correct but evaluate as INTERPRETED
+ * higher-order-function trees: the token array is re-split per lambda
+ * iteration and every slice/join allocates — ~10 ms/document. These
+ * expressions do the same work in one imperative pass (~5 µs/document),
+ * producing IDENTICAL hash values (Spark's XXH64, seed 42, over the same
+ * shingle strings), so they are drop-in replacements.
+ *
+ * All values match `functions.xxhash64` exactly:
+ *   hash(s)            == xxhash64(s)
+ *   minhash row i uses    xxhash64(lit(i), h) == hashLong(h, hashInt(i, 42))
+ */
+object NativeText {
+  private final val Seed = 42L
+
+  /** xxhash64-identical hash of one string. */
+  def hashString(s: String): Long =
+    XXH64.hashUTF8String(UTF8String.fromString(s), Seed)
+
+  /** Word n-gram shingle hashes of `text` (whitespace tokens of the
+    * trimmed string); `distinct` keeps first occurrence order. Documents
+    * shorter than n tokens yield one whole-document shingle — identical
+    * to TextFunctions.wordShingles. */
+  def shingleHashes(text: UTF8String, n: Int, distinct: Boolean): ArrayData = {
+    val toks = text.toString.trim.split("\\s+")
+    val out =
+      if (toks.length < n) Array(hashString(toks.mkString(" ")))
+      else {
+        val m = toks.length - n + 1
+        val arr = new Array[Long](m)
+        val sb = new java.lang.StringBuilder(64)
+        var i = 0
+        while (i < m) {
+          sb.setLength(0)
+          var j = 0
+          while (j < n) {
+            if (j > 0) sb.append(' ')
+            sb.append(toks(i + j))
+            j += 1
+          }
+          arr(i) = hashString(sb.toString)
+          i += 1
+        }
+        arr
+      }
+    if (!distinct) new GenericArrayData(out)
+    else {
+      val seen = new java.util.LinkedHashSet[java.lang.Long](out.length * 2)
+      out.foreach(seen.add(_))
+      val dedup = new Array[Long](seen.size)
+      val it = seen.iterator()
+      var i = 0
+      while (it.hasNext) { dedup(i) = it.next(); i += 1 }
+      new GenericArrayData(dedup)
+    }
+  }
+
+  /** Whitespace-token hashes (non-distinct) — SimHash input. */
+  def tokenHashes(text: UTF8String): ArrayData = {
+    val toks = text.toString.trim.split("\\s+")
+    val out = new Array[Long](toks.length)
+    var i = 0
+    while (i < toks.length) { out(i) = hashString(toks(i)); i += 1 }
+    new GenericArrayData(out)
+  }
+
+  /** k permutation min-hashes over pre-hashed shingles; row i's permutation
+    * is h → xxhash64(i, h). Empty in → empty out (callers filter empties). */
+  def minhashSignature(hashes: ArrayData, k: Int): ArrayData = {
+    val n = hashes.numElements()
+    if (n == 0) return new GenericArrayData(Array.emptyLongArray)
+    val out = new Array[Long](k)
+    var i = 0
+    while (i < k) {
+      val rowSeed = XXH64.hashInt(i, Seed)
+      var min = Long.MaxValue
+      var j = 0
+      while (j < n) {
+        val h = XXH64.hashLong(hashes.getLong(j), rowSeed)
+        if (h < min) min = h
+        j += 1
+      }
+      out(i) = min
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+}
+
+/** `hashed_shingles(text)` → array<bigint> — see [[NativeText.shingleHashes]]. */
+case class HashedShingles(child: Expression, n: Int, distinct: Boolean = true)
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "hashed_shingles"
+  override protected def nullSafeEval(input: Any): Any =
+    NativeText.shingleHashes(input.asInstanceOf[UTF8String], n, distinct)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.NativeText.shingleHashes($c, $n, $distinct)")
+  override protected def withNewChildInternal(newChild: Expression): HashedShingles =
+    copy(child = newChild)
+}
+
+/** `hashed_tokens(text)` → array<bigint> — see [[NativeText.tokenHashes]]. */
+case class HashedTokens(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "hashed_tokens"
+  override protected def nullSafeEval(input: Any): Any =
+    NativeText.tokenHashes(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.NativeText.tokenHashes($c)")
+  override protected def withNewChildInternal(newChild: Expression): HashedTokens =
+    copy(child = newChild)
+}
+
+/** `minhash_sig(array<bigint>)` → array<bigint> of k permutation minima. */
+case class MinHashSig(child: Expression, k: Int) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "minhash_sig"
+  override protected def nullSafeEval(input: Any): Any =
+    NativeText.minhashSignature(input.asInstanceOf[ArrayData], k)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.NativeText.minhashSignature($c, $k)")
+  override protected def withNewChildInternal(newChild: Expression): MinHashSig =
+    copy(child = newChild)
+}

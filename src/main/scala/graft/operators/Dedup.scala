@@ -88,8 +88,8 @@ object Dedup {
     val docs = df.select(col(idCol).as("id"),
         hashedShingleSet(col(textCol), shingleN).as("shingles"))
       .filter(size(col("shingles")) > 0)
-    val sig = docs.withColumn("sig", array((0 until numHashes).map(i =>
-      array_min(transform(col("shingles"), h => xxhash64(lit(i), h)))): _*))
+    // one-pass native signature (k mins in a single scan of the shingle set)
+    val sig = docs.withColumn("sig", minhashSignature(col("shingles"), numHashes))
     // band j's key: hash of its r signature rows (+ j so bands don't collide)
     val banded = sig.select(col("id"), col("shingles"), posexplode(
       array((0 until bands).map(j =>
@@ -116,7 +116,7 @@ object Dedup {
       df: DataFrame, idCol: String, textCol: String,
       maxHamming: Int = 3): DataFrame = {
     val fps = df.select(col(idCol).as("id"),
-      simhash64(transform(tokens(col(textCol)), t => xxhash64(t))).as("fp"))
+      simhash64(hashedTokens(col(textCol))).as("fp"))
     val properChunks = fps.select(col("id"), col("fp"), posexplode(array(
       (0 until 4).map(j =>
         shiftrightunsigned(col("fp"), j * 16).bitwiseAND(lit(65535L))): _*))
