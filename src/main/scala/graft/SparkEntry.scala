@@ -1,7 +1,7 @@
 package graft
 
 import graft.model._
-import graft.operators.Dedup
+import graft.operators.{Ann, Dedup}
 import graft.functions.{TextFunctions => TF, VectorFunctions => VF}
 import graft.pipeline.PipelineExecutor
 import graft.sources.Ingest
@@ -247,24 +247,38 @@ object SparkEntry {
     "q_text_fingerprint" -> ((s, d) =>
       docs(s, d).select(col("doc_id"), TF.contentFingerprint(col("text")).as("fp"))),
 
-    // Brute-force cosine top-10 for 5 probe vectors (ANN baseline; the
-    // probe side is broadcast so the big side never shuffles).
+    // BPE-ish sub-word token counting (regexp oracle-checked in DuckDB).
+    "q_text_bpe" -> ((s, d) =>
+      docs(s, d).select(col("doc_id"), TF.bpeTokenCount(col("text")).as("n_bpe"))),
+
+    // Brute-force cosine top-10 for 5 probe vectors — the exact ANN
+    // baseline (probe side broadcast; corpus never shuffles).
     "q_ann_bruteforce" -> ((s, d) => {
-      val e = embeddings(s, d).select(col("vec_id"), VF.asDouble(col("embedding")).as("v"))
-      val probes = broadcast(e.filter(col("vec_id") < 5)
-        .select(col("vec_id").as("query_id"), col("v").as("qv")))
-      val scored = e.join(probes, col("vec_id") =!= col("query_id"))
-        .select(col("query_id"), col("vec_id"),
-          VF.cosine(col("qv"), col("v")).as("cosine"))
-      val w = Window.partitionBy("query_id")
-        .orderBy(col("cosine").desc, col("vec_id").asc)
-      scored.withColumn("rank", row_number().over(w))
-        .filter(col("rank") <= 10)
-        .select(col("query_id"), col("rank"), col("vec_id"),
-          round(col("cosine"), 6).as("cosine"))
-        .orderBy("query_id", "rank")
-    })
+      val (e, probes) = annInputs(s, d)
+      Ann.bruteForceTopK(e, "vec_id", "v", probes, "query_id", "qv", k = 10)
+    }),
+
+    // LSH-bucketed approximate top-10 — the corpus-linear scale path.
+    "q_ann_lsh" -> ((s, d) => {
+      val (e, probes) = annInputs(s, d)
+      Ann.lshTopK(e, "vec_id", "v", probes, "query_id", "qv",
+        k = 10, nBits = 64, bands = 16)
+    }),
+
+    // Embedding-cosine near-dup pairs via banded signatures + exact confirm.
+    "q_dedup_embed" -> ((s, d) =>
+      Ann.cosineNearDupPairs(
+        embeddings(s, d).select(col("vec_id"), VF.asDouble(col("embedding")).as("v")),
+        "vec_id", "v", threshold = 0.3, nBits = 64, bands = 16)
+        .orderBy("id_a", "id_b"))
   )
+
+  private def annInputs(s: SparkSession, d: String): (DataFrame, DataFrame) = {
+    val e = embeddings(s, d).select(col("vec_id"), VF.asDouble(col("embedding")).as("v"))
+    val probes = e.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"))
+    (e, probes)
+  }
 
   // ------------------------------------------------------------- oracle SQL
 
@@ -286,6 +300,27 @@ object SparkEntry {
     TF.stopwords(lang).map(w => s"'$w'").mkString("(", ", ", ")")
 
   private val toksSql = "regexp_split_to_array(trim(text), '\\s+')"
+
+  /**
+   * DuckDB oracle for n-gram Jaccard pairs — string shingles instead of
+   * xxhash64'd ones (identical Jaccard absent hash collisions; 64-bit
+   * xxhash64 collisions over ≤10^5 shingles are ~10^-10-probable).
+   */
+  private def ngramJaccardOracle(n: Int, threshold: Double): String =
+    s"""WITH docs AS (
+       |  SELECT doc_id, list_distinct(list_transform(range(1, greatest(len(toks)-${n - 1},1)+1),
+       |         i -> array_to_string(list_slice(toks, i, i+${n - 1}), ' '))) AS sh
+       |  FROM (SELECT doc_id, $toksSql AS toks FROM documents)
+       |),
+       |inv AS (SELECT doc_id, unnest(sh) AS s FROM docs),
+       |co AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+       |       FROM inv a JOIN inv b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2),
+       |sz AS (SELECT doc_id, len(sh) AS sz FROM docs)
+       |SELECT id_a, id_b,
+       |       round(CAST(inter AS DOUBLE)/(sa.sz+sb.sz-inter), 6) AS jaccard
+       |FROM co JOIN sz sa ON co.id_a = sa.doc_id JOIN sz sb ON co.id_b = sb.doc_id
+       |WHERE CAST(inter AS DOUBLE)/(sa.sz+sb.sz-inter) >= $threshold
+       |ORDER BY id_a, id_b""".stripMargin
 
   /** DuckDB oracle for langId, generated from the same stopword constants
     * so the two implementations cannot drift. */
@@ -388,10 +423,15 @@ object SparkEntry {
         "count(*) AS dup_count FROM documents GROUP BY md5(text) ORDER BY content_hash"),
     "q_text_tokens" ->
       s"SELECT doc_id, len($toksSql) AS n_tokens FROM documents",
+    // (DuckDB strings aren't backslash-escaped: only quotes double.)
+    "q_text_bpe" ->
+      ("SELECT doc_id, len(regexp_extract_all(text, " +
+        s"'${TF.bpePattern.replace("'", "''")}')) AS n_bpe FROM documents"),
     "q_text_langid" -> langIdOracle,
-    "q_text_quality" -> qualityOracle
-    // q_dedup_minhash / q_dedup_simhash / q_dedup_ngram / q_text_fingerprint /
-    // q_ann_bruteforce: hash-function-based — not DuckDB-expressible, so the
-    // driver records the weaker rows-only check for them.
+    "q_text_quality" -> qualityOracle,
+    "q_dedup_ngram" -> ngramJaccardOracle(n = 3, threshold = 0.5)
+    // q_dedup_minhash / q_dedup_simhash / q_text_fingerprint /
+    // q_ann_* / q_dedup_embed: hash- or float-topk-based — not DuckDB-
+    // expressible, so the driver records the weaker rows-only check.
   )
 }

@@ -21,6 +21,20 @@ object TextFunctions {
 
   def tokenCount(text: Column): Column = size(tokens(text))
 
+  /**
+   * BPE-ish sub-word segmentation (GPT-2-style pre-tokenizer pattern,
+   * restricted to RE2-compatible syntax so the DuckDB oracle matches):
+   * contraction suffixes, space-prefixed letter/digit runs, punctuation
+   * runs, whitespace runs.
+   */
+  val bpePattern: String =
+    "'(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\\s]+|\\s+"
+
+  def bpeTokens(text: Column): Column =
+    regexp_extract_all(text, lit(bpePattern), lit(0))
+
+  def bpeTokenCount(text: Column): Column = size(bpeTokens(text))
+
   def distinctTokens(text: Column): Column = array_distinct(tokens(text))
 
   /**

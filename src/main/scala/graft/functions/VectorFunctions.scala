@@ -2,6 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graftshim.CatalystBridge
 
 /**
  * Embedding-vector primitives over `array<float|double>` columns, built
@@ -32,24 +33,13 @@ object VectorFunctions {
   /**
    * Random-hyperplane LSH signature (Charikar, STOC'02): bit i = sign of
    * dot(v, r_i) where r_i is a deterministic pseudo-random ±1 hyperplane
-   * derived from xxhash64(seed=i, dimension). `nBits` ≤ 64.
+   * derived from MurmurHash3(seed, i, dimension). `nBits` ≤ 64. The
+   * dimensionality is read from the array at runtime.
    *
    * sign-agreement probability = 1 - angle/π, so bucketing on the signature
    * (or bands of it) yields cosine-ANN candidates without a model fit.
+   * Native one-pass expression — see graft.functions.NativeVector.
    */
-  def hyperplaneSignature(v: Column, nBits: Int, dim: Int, seed: Long = 42L): Column = {
-    require(nBits >= 1 && nBits <= 64)
-    // ±1 component for hyperplane i, dimension d — deterministic at plan time.
-    def comp(i: Int, d: Int): Double = {
-      val h = scala.util.hashing.MurmurHash3.productHash((seed, i, d))
-      if ((h & 1) == 0) 1.0 else -1.0
-    }
-    // Hyperplanes as one literal array<array<double>> so the per-row work is
-    // a single fold, not an O(nBits*dim) expression tree.
-    val planes = array((0 until nBits).map(i =>
-      array((0 until dim).map(d => lit(comp(i, d))): _*)): _*)
-    val bits = transform(planes, (p, i) =>
-      when(dot(v, p) > 0.0, call_function("shiftleft", lit(1L), i)).otherwise(lit(0L)))
-    aggregate(bits, lit(0L), (acc, x) => acc.bitwiseOR(x))
-  }
+  def hyperplaneSignature(v: Column, nBits: Int, seed: Long = 42L): Column =
+    CatalystBridge.column(HyperplaneSig(CatalystBridge.expression(v), nBits, seed))
 }

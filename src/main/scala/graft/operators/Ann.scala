@@ -1,0 +1,93 @@
+package graft.operators
+
+import graft.functions.{VectorFunctions => VF}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/**
+ * Similarity search over an embedding column.
+ *
+ * Two paths:
+ *  - [[bruteForceTopK]] — exact cosine against every vector. The probe
+ *    side is broadcast, so the corpus never shuffles: one scan, local
+ *    top-k per partition via window. The CORRECTNESS baseline; linear
+ *    per probe, so only the small-probe-set regime scales.
+ *  - [[lshTopK]] / [[cosineNearDupPairs]] — the 100 TB path: random-
+ *    hyperplane signatures (sign-agreement probability 1 - angle/π),
+ *    banded into b chunks of nBits/b bits; vectors sharing any band
+ *    bucket are candidates, then exact cosine confirms. Candidate
+ *    generation shuffles only (band, bucket) keys — corpus-linear, with
+ *    recall tunable via band count (more/narrower bands = higher recall,
+ *    more candidates).
+ */
+object Ann {
+
+  /** id + banded signature chunks: one row per (band, key). */
+  private def banded(df: DataFrame, idCol: String, vecCol: String,
+                     nBits: Int, bands: Int, extra: Seq[String]): DataFrame = {
+    require(nBits % bands == 0, "nBits must be divisible by bands")
+    val bandBits = nBits / bands
+    val mask = (1L << bandBits) - 1
+    df.withColumn("__sig", VF.hyperplaneSignature(col(vecCol), nBits))
+      .select((idCol +: vecCol +: extra).map(col) :+ posexplode(array(
+        (0 until bands).map(j =>
+          shiftrightunsigned(col("__sig"), j * bandBits).bitwiseAND(lit(mask))): _*))
+        .as(Seq("band", "key")): _*)
+  }
+
+  /** Exact top-k neighbours of each probe vector (probes broadcast). */
+  def bruteForceTopK(corpus: DataFrame, idCol: String, vecCol: String,
+                     probes: DataFrame, probeIdCol: String, probeVecCol: String,
+                     k: Int = 10): DataFrame = {
+    val scored = corpus
+      .join(broadcast(probes), col(idCol) =!= col(probeIdCol))
+      .select(col(probeIdCol).as("query_id"), col(idCol).as("vec_id"),
+        VF.cosine(col(probeVecCol), col(vecCol)).as("cosine"))
+    topK(scored, k)
+  }
+
+  /** LSH-bucketed approximate top-k: candidates share ≥1 signature band
+    * with the probe; exact cosine ranks them. */
+  def lshTopK(corpus: DataFrame, idCol: String, vecCol: String,
+              probes: DataFrame, probeIdCol: String, probeVecCol: String,
+              k: Int = 10, nBits: Int = 64, bands: Int = 16): DataFrame = {
+    val corpusB = banded(corpus, idCol, vecCol, nBits, bands, Nil)
+    val probesB = banded(probes, probeIdCol, probeVecCol, nBits, bands, Nil)
+    val cand = corpusB.join(broadcast(probesB),
+        corpusB("band") === probesB("band") && corpusB("key") === probesB("key") &&
+          col(idCol) =!= col(probeIdCol))
+      .select(col(probeIdCol).as("query_id"), col(idCol).as("vec_id"),
+        col(probeVecCol).as("__qv"), corpusB(vecCol).as("__v"))
+      .dropDuplicates("query_id", "vec_id")
+    topK(cand.select(col("query_id"), col("vec_id"),
+      VF.cosine(col("__qv"), col("__v")).as("cosine")), k)
+  }
+
+  /** Embedding-cosine near-dup pairs: banded LSH candidates + exact
+    * cosine confirm at `threshold`. */
+  def cosineNearDupPairs(df: DataFrame, idCol: String, vecCol: String,
+                         threshold: Double = 0.9,
+                         nBits: Int = 64, bands: Int = 16): DataFrame = {
+    val b = banded(df, idCol, vecCol, nBits, bands, Nil)
+    val pairs = b.as("a").join(b.as("b"),
+        col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
+          col(s"a.$idCol") < col(s"b.$idCol"))
+      .select(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"),
+        col(s"a.$vecCol").as("__va"), col(s"b.$vecCol").as("__vb"))
+      .dropDuplicates("id_a", "id_b")
+    pairs.withColumn("cosine", VF.cosine(col("__va"), col("__vb")))
+      .filter(col("cosine") >= threshold)
+      .select(col("id_a"), col("id_b"), round(col("cosine"), 6).as("cosine"))
+  }
+
+  private def topK(scored: DataFrame, k: Int): DataFrame = {
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cosine").desc, col("vec_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("vec_id"),
+        round(col("cosine"), 6).as("cosine"))
+      .orderBy("query_id", "rank")
+  }
+}

@@ -38,7 +38,7 @@ class VectorFunctionsSpec extends SparkTestBase {
       Row(Seq(1.0, 2.0, 3.0, 4.0)),          // identical
       Row(Seq(1.01, 2.0, 3.0, 4.0)),         // near-identical
       Row(Seq(-1.0, -2.0, -3.0, -4.0))))     // antipodal
-    val sigs = d.select(VF.hyperplaneSignature(col("v"), nBits = 32, dim = 4))
+    val sigs = d.select(VF.hyperplaneSignature(col("v"), nBits = 32))
       .collect().map(_.getLong(0))
     assert(sigs(0) == sigs(1))
     // In 4 dims many ±1 hyperplanes have dot ≈ 0, so a small perturbation
