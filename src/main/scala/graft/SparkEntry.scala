@@ -204,6 +204,11 @@ object SparkEntry {
     "q_custom_events" -> ((s, d) => pipe(
       CustomStage(st(1), "hourly event rollup", sqlEvents))(s, d)),
 
+    // CUSTOM with DuckDB's `* EXCLUDE (col)` — runs natively in the DuckDB
+    // oracle and through the EXCEPT dialect rewrite in Spark.
+    "q_custom_exclude" -> ((s, d) => pipe(
+      CustomStage(st(1), "key-deduped join via EXCLUDE", sqlExclude))(s, d)),
+
     // -------- chained pipeline with implicit input resolution
     "q_pipeline" -> ((s, d) => chainedPipeline(s, d)),
 
@@ -289,6 +294,10 @@ object SparkEntry {
       "CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_bal " +
       "FROM customer JOIN nation ON c_nationkey = n_nationkey " +
       "GROUP BY n_name ORDER BY n_name"
+
+  private val sqlExclude: String =
+    "SELECT l.o_orderkey, l.o_custkey, r.* EXCLUDE (c_custkey) " +
+      "FROM orders l JOIN customer r ON l.o_custkey = r.c_custkey"
 
   private val sqlEvents: String =
     "SELECT event_type, date_trunc('hour', ts) AS event_hour, count(*) AS n_events, " +
@@ -409,6 +418,7 @@ object SparkEntry {
       "SELECT * FROM part ORDER BY p_size DESC, p_retailprice ASC, p_partkey ASC",
     "q_custom" -> sqlCustom,
     "q_custom_events" -> sqlEvents,
+    "q_custom_exclude" -> sqlExclude,
     "q_pipeline" ->
       ("SELECT c_mktsegment, count(*) AS n_orders, " +
         "sum(CAST(o_totalprice AS DECIMAL(18,2))) AS revenue " +

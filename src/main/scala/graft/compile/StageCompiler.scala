@@ -89,11 +89,22 @@ object StageCompiler {
         input(table).agg(aggCols.head, aggCols.tail: _*)
 
       case CustomStage(_, _, sql) =>
-        // Escape hatch, run verbatim over the registered temp views
+        // Escape hatch, run over the registered temp views
         // (sqlGenerator.ts:101-106 → Spark SQL instead of DuckDB).
-        spark.sql(sql)
+        spark.sql(rewriteDuckSql(sql))
     }
   }
+
+  /**
+   * DuckDB→SparkSQL dialect shim for CUSTOM stages. The only DuckDB-ism
+   * the reference's own stage generator emits is `* EXCLUDE (cols)`
+   * (sqlGenerator.ts:21); Spark spells it `* EXCEPT (cols)`. Heuristic
+   * token rewrite — a SQL string containing the literal word EXCLUDE(
+   * inside a string constant would be mangled, which the reference's
+   * planner never produces.
+   */
+  private[compile] def rewriteDuckSql(sql: String): String =
+    sql.replaceAll("(?i)\\bEXCLUDE\\s*\\(", "EXCEPT (")
 
   /** Equi-join per ui/src/sqlGenerator.ts:8-26. */
   def compileJoin(left: DataFrame, right: DataFrame, joinType: String,

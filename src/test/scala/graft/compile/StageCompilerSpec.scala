@@ -140,6 +140,18 @@ class StageCompilerSpec extends SparkTestBase {
     assertRowsInOrder(desc.select("y"), Seq(Seq(3), Seq(1), Seq(2)))
   }
 
+  test("CUSTOM rewrites DuckDB EXCLUDE to Spark EXCEPT (sqlGenerator.ts:21 shape)") {
+    orders.createOrReplaceTempView("orders_x")
+    customers.createOrReplaceTempView("customers_x")
+    val out = StageCompiler.compile(spark,
+      CustomStage("s", "",
+        "SELECT l.*, r.* EXCLUDE (customer_id) FROM orders_x l " +
+          "JOIN customers_x r ON l.customer_id = r.customer_id"),
+      Map.empty[String, org.apache.spark.sql.DataFrame])
+    assert(out.columns.toSeq == Seq("order_id", "customer_id", "amount", "name"))
+    assert(out.count() == 3)
+  }
+
   test("CUSTOM runs raw SQL against registered temp views") {
     orders.createOrReplaceTempView("orders_v")
     val out = StageCompiler.compile(spark,
