@@ -25,11 +25,22 @@ object Dedup {
     df.groupBy(md5(col(textCol)).as("content_hash"))
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("dup_count"))
 
-  /** Exact dedup, survivors only (deterministic: min id wins). */
-  def exactDedup(df: DataFrame, idCol: String, textCol: String): DataFrame =
-    df.join(
-      df.groupBy(col(textCol).as(textCol)).agg(min(col(idCol)).as(idCol)),
-      Seq(idCol, textCol), "leftsemi")
+  /**
+   * Exact dedup, survivors only (deterministic: min id wins).
+   *
+   * Groups and joins on a 128-bit content digest, NOT the text itself:
+   * at 100 TB the shuffle then carries 32-byte keys instead of whole
+   * documents (the only full-text movement is the initial scan).
+   * md5 collisions across distinct texts are 2^-64-scale — far below
+   * hardware error rates.
+   */
+  def exactDedup(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val keyed = df.withColumn("__digest", md5(col(textCol)))
+    keyed.join(
+        keyed.groupBy("__digest").agg(min(col(idCol)).as(idCol)),
+        Seq("__digest", idCol), "leftsemi")
+      .drop("__digest")
+  }
 
   /**
    * EXACT n-gram Jaccard near-dup pairs via inverted index:
