@@ -107,6 +107,14 @@ object SparkEntry {
         Seq(FilterCondition("p_name", "LIKE", "%a%"))),
       SelectStage(st(2), "project", None, Seq("p_partkey", "p_name")))(s, d)),
 
+    "q_filter_range" -> ((s, d) => pipe(
+      FilterStage(st(1), "range + inequality", Some("lineitem"), Seq(
+        FilterCondition("l_quantity", ">=", "10"),
+        FilterCondition("l_quantity", "<=", "20", Some("AND")),
+        FilterCondition("l_returnflag", "!=", "N", Some("AND")))),
+      SelectStage(st(2), "project", None,
+        Seq("l_orderkey", "l_linenumber", "l_quantity", "l_returnflag")))(s, d)),
+
     "q_filter_date" -> ((s, d) => pipe(
       FilterStage(st(1), "shipped after date", Some("lineitem"),
         Seq(FilterCondition("l_shipdate", ">", "1996-01-01"))),
@@ -165,6 +173,18 @@ object SparkEntry {
         Seq("c_mktsegment", "c_nationkey")),
       UnionStage(st(3), "bag union", "UNION ALL",
         Seq("result_stage_1_select", "result_stage_2_select")))(s, d)),
+
+    // N-way union (reference accepts ≥2 tables, sqlGenerator.ts:29-30)
+    "q_union3" -> ((s, d) => pipe(
+      SelectStage(st(1), "nation region keys", Some("nation"),
+        Seq("n_regionkey AS k")),
+      SelectStage(st(2), "customer nation keys", Some("customer"),
+        Seq("c_nationkey AS k")),
+      SelectStage(st(3), "supplier nation keys", Some("supplier"),
+        Seq("s_nationkey AS k")),
+      UnionStage(st(4), "3-way distinct union",
+        "UNION", Seq("result_stage_1_select", "result_stage_2_select",
+          "result_stage_3_select")))(s, d)),
 
     // -------- GROUP (TPC-H Q1 shape, ui/src/sqlGenerator.ts:64-81)
     "q_group" -> ((s, d) => pipe(
@@ -377,6 +397,13 @@ object SparkEntry {
       "SELECT p_partkey, p_name FROM part WHERE p_name LIKE '%a%'",
     "q_filter_date" ->
       "SELECT l_orderkey, l_linenumber, l_shipdate FROM lineitem WHERE l_shipdate > '1996-01-01'",
+    "q_filter_range" ->
+      ("SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag FROM lineitem " +
+        "WHERE l_quantity >= 10 AND l_quantity <= 20 AND l_returnflag != 'N'"),
+    "q_union3" ->
+      ("SELECT n_regionkey AS k FROM nation UNION " +
+        "SELECT c_nationkey AS k FROM customer UNION " +
+        "SELECT s_nationkey AS k FROM supplier"),
     "q_join_inner" ->
       ("SELECT o_orderkey, o_totalprice, c_custkey, c_name, c_mktsegment " +
         "FROM orders JOIN customer ON o_custkey = c_custkey"),
