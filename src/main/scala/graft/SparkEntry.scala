@@ -290,6 +290,14 @@ object SparkEntry {
         k = 10, nBits = 64, bands = 16)
     }),
 
+    // IVF (k-means coarse quantizer) approximate top-10 — probes search
+    // only their nProbe nearest cells.
+    "q_ann_ivf" -> ((s, d) => {
+      val (e, probes) = annInputs(s, d)
+      Ann.ivfTopK(e, "vec_id", "v", probes, "query_id", "qv",
+        k = 10, nCentroids = 16, nProbe = 4)
+    }),
+
     // Embedding-cosine near-dup pairs via banded signatures + exact confirm.
     "q_dedup_embed" -> ((s, d) =>
       Ann.cosineNearDupPairs(

@@ -81,6 +81,62 @@ object Ann {
       .select(col("id_a"), col("id_b"), round(col("cosine"), 6).as("cosine"))
   }
 
+  /**
+   * IVF (inverted-file) approximate top-k: a k-means coarse quantizer
+   * over L2-normalized vectors (Euclidean on unit vectors ≡ cosine
+   * ordering) partitions the corpus into `nCentroids` cells; each probe
+   * searches only its `nProbe` nearest cells.
+   *
+   * Index build is an offline k-means fit (sampled); the search itself
+   * is corpus-linear in the probed cells only: candidates come from a
+   * broadcast semi-join on cell id — at 100 TB the corpus is scanned
+   * once to assign cells (materialize `assign` as a column to amortize
+   * across queries) and each probe touches nProbe/nCentroids of it.
+   */
+  def ivfTopK(corpus: DataFrame, idCol: String, vecCol: String,
+              probes: DataFrame, probeIdCol: String, probeVecCol: String,
+              k: Int = 10, nCentroids: Int = 16, nProbe: Int = 4,
+              seed: Long = 42L): DataFrame = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+
+    val unit = normalized(corpus, vecCol)
+    val feat = unit.withColumn("__f", array_to_vector(col("__unit")))
+    val model = new KMeans().setK(nCentroids).setSeed(seed)
+      .setFeaturesCol("__f").setPredictionCol("__cell")
+      .fit(feat.select("__f"))
+    val assigned = model.transform(feat)
+      .select(col(idCol), col(vecCol), col("__cell"))
+
+    // Probe → its nProbe nearest cells, via the (tiny) centroid table.
+    val spark = corpus.sparkSession
+    val centroids = spark.createDataFrame(
+      model.clusterCenters.zipWithIndex.toIndexedSeq
+        .map { case (c, i) => (i, c.toArray.toSeq) })
+      .toDF("__cell", "__centroid")
+    val probeCells = normalized(probes, probeVecCol).as("p")
+      .crossJoin(broadcast(centroids))
+      .withColumn("__dist", VF.l2Distance(col("__unit"), col("__centroid")))
+      .withColumn("__r", row_number().over(
+        Window.partitionBy(probeIdCol).orderBy(col("__dist").asc, col("__cell").asc)))
+      .filter(col("__r") <= nProbe)
+      .select(col(probeIdCol), col(probeVecCol), col("__cell"))
+
+    val cand = assigned.join(broadcast(probeCells),
+        assigned("__cell") === probeCells("__cell") && col(idCol) =!= col(probeIdCol))
+      .select(col(probeIdCol).as("query_id"), col(idCol).as("vec_id"),
+        VF.cosine(col(probeVecCol), col(vecCol)).as("cosine"))
+      .dropDuplicates("query_id", "vec_id")
+    topK(cand, k)
+  }
+
+  private def normalized(df: DataFrame, vecCol: String): DataFrame =
+    df.withColumn("__norm", VF.l2Norm(col(vecCol)))
+      .withColumn("__unit",
+        when(col("__norm") === 0.0, col(vecCol))
+          .otherwise(transform(col(vecCol), x => x / col("__norm"))))
+      .drop("__norm")
+
   private def topK(scored: DataFrame, k: Int): DataFrame = {
     val w = Window.partitionBy("query_id")
       .orderBy(col("cosine").desc, col("vec_id").asc)

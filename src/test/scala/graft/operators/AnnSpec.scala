@@ -43,6 +43,28 @@ class AnnSpec extends SparkTestBase {
     assert(!keys.exists(p => p._1 == 4L || p._2 == 4L)) // far vector absent
   }
 
+  test("IVF top-k: identical vector recalled from the probed cells") {
+    val out = Ann.ivfTopK(corpus, "id", "v", probes, "qid", "qv",
+      k = 3, nCentroids = 2, nProbe = 1)
+      .collect().map(r => (r.getInt(1), r.getLong(2), r.getDouble(3)))
+    assert(out.nonEmpty)
+    assert(out.head._2 == 1L && out.head._3 == 1.0) // identical vec, same cell
+  }
+
+  test("IVF recall vs brute force on the real embeddings (nProbe=all == exact)") {
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select(col("vec_id"), graft.functions.VectorFunctions.asDouble(col("embedding")).as("v"))
+    val p = e.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("qid"), col("v").as("qv"))
+    val bf = Ann.bruteForceTopK(e, "vec_id", "v", p, "qid", "qv", k = 5)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    // probing every cell must reproduce the exact result
+    val ivf = Ann.ivfTopK(e, "vec_id", "v", p, "qid", "qv", k = 5,
+      nCentroids = 8, nProbe = 8)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    assert(ivf == bf)
+  }
+
   test("LSH recall vs brute force on the real embeddings table (top-1 of identical)") {
     val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
       .select(col("vec_id"), graft.functions.VectorFunctions.asDouble(col("embedding")).as("v"))
