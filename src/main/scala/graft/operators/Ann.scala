@@ -47,36 +47,60 @@ object Ann {
     topK(scored, k)
   }
 
-  /** LSH-bucketed approximate top-k: candidates share ≥1 signature band
-    * with the probe; exact cosine ranks them. */
+  /**
+   * LSH-bucketed approximate top-k: candidates share ≥1 signature band
+   * with the probe; exact cosine ranks them.
+   *
+   * Candidate generation moves ONLY (query_id, id) pairs — the embedding
+   * arrays are joined back after pair dedup, so a vector crosses the wire
+   * once per unique candidate, not once per shared band.
+   */
   def lshTopK(corpus: DataFrame, idCol: String, vecCol: String,
               probes: DataFrame, probeIdCol: String, probeVecCol: String,
               k: Int = 10, nBits: Int = 64, bands: Int = 16): DataFrame = {
     val corpusB = banded(corpus, idCol, vecCol, nBits, bands, Nil)
+      .select(col(idCol), col("band"), col("key"))
     val probesB = banded(probes, probeIdCol, probeVecCol, nBits, bands, Nil)
+      .select(col(probeIdCol), col("band"), col("key"))
     val cand = corpusB.join(broadcast(probesB),
         corpusB("band") === probesB("band") && corpusB("key") === probesB("key") &&
           col(idCol) =!= col(probeIdCol))
-      .select(col(probeIdCol).as("query_id"), col(idCol).as("vec_id"),
-        col(probeVecCol).as("__qv"), corpusB(vecCol).as("__v"))
+      .select(col(probeIdCol).as("query_id"), col(idCol).as("vec_id"))
       .dropDuplicates("query_id", "vec_id")
-    topK(cand.select(col("query_id"), col("vec_id"),
-      VF.cosine(col("__qv"), col("__v")).as("cosine")), k)
+    val scored = cand
+      .join(broadcast(probes.select(col(probeIdCol).as("query_id"),
+        col(probeVecCol).as("__qv"))), "query_id")
+      .join(corpus.select(col(idCol).as("vec_id"), col(vecCol).as("__v")), "vec_id")
+      .select(col("query_id"), col("vec_id"),
+        VF.cosine(col("__qv"), col("__v")).as("cosine"))
+    topK(scored, k)
   }
 
-  /** Embedding-cosine near-dup pairs: banded LSH candidates + exact
-    * cosine confirm at `threshold`. */
+  /**
+   * Embedding-cosine near-dup pairs: banded LSH candidates + exact
+   * cosine confirm at `threshold`.
+   *
+   * Same id-only discipline: the band self-join and pair dedup shuffle
+   * 16-byte id pairs; vectors join back once per unique pair. (Carrying
+   * the arrays through the candidate join turns megabytes of pair keys
+   * into gigabytes of duplicated embeddings — measured as the difference
+   * between 2s and minutes at sf0.1.)
+   */
   def cosineNearDupPairs(df: DataFrame, idCol: String, vecCol: String,
                          threshold: Double = 0.9,
                          nBits: Int = 64, bands: Int = 16): DataFrame = {
     val b = banded(df, idCol, vecCol, nBits, bands, Nil)
+      .select(col(idCol), col("band"), col("key"))
     val pairs = b.as("a").join(b.as("b"),
         col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
           col(s"a.$idCol") < col(s"b.$idCol"))
-      .select(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"),
-        col(s"a.$vecCol").as("__va"), col(s"b.$vecCol").as("__vb"))
+      .select(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"))
       .dropDuplicates("id_a", "id_b")
-    pairs.withColumn("cosine", VF.cosine(col("__va"), col("__vb")))
+    val vecs = df.select(col(idCol), col(vecCol))
+    pairs
+      .join(vecs.select(col(idCol).as("id_a"), col(vecCol).as("__va")), "id_a")
+      .join(vecs.select(col(idCol).as("id_b"), col(vecCol).as("__vb")), "id_b")
+      .withColumn("cosine", VF.cosine(col("__va"), col("__vb")))
       .filter(col("cosine") >= threshold)
       .select(col("id_a"), col("id_b"), round(col("cosine"), 6).as("cosine"))
   }

@@ -102,17 +102,22 @@ object Dedup {
     // one-pass native signature (k mins in a single scan of the shingle set)
     val sig = docs.withColumn("sig", minhashSignature(col("shingles"), numHashes))
     // band j's key: hash of its r signature rows (+ j so bands don't collide)
-    val banded = sig.select(col("id"), col("shingles"), posexplode(
+    val banded = sig.select(col("id"), posexplode(
       array((0 until bands).map(j =>
         xxhash64(lit(j) +: (0 until rows).map(k => col("sig")(j * rows + k)): _*)): _*))
       .as(Seq("band", "bucket")))
+    // Candidates shuffle ONLY id pairs; the shingle sets join back once
+    // per unique pair for exact verification (carrying the arrays through
+    // the band join duplicates them per shared band — a scale killer).
     val cand = banded.as("a").join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
           col("a.id") < col("b.id"))
-      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
-        col("a.shingles").as("sh_a"), col("b.shingles").as("sh_b"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .dropDuplicates("id_a", "id_b")
-    cand.withColumn("jaccard", jaccard(col("sh_a"), col("sh_b")))
+    cand
+      .join(docs.select(col("id").as("id_a"), col("shingles").as("sh_a")), "id_a")
+      .join(docs.select(col("id").as("id_b"), col("shingles").as("sh_b")), "id_b")
+      .withColumn("jaccard", jaccard(col("sh_a"), col("sh_b")))
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
   }
