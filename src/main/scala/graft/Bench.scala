@@ -9,8 +9,16 @@ package graft
  * the predicate column scan), while noop materializes the full result
  * rows — what a real consumer pays. A warmup action first absorbs JVM/
  * codegen compilation so query 1 isn't charged for it.
+ *
+ * Failure is never silent: a failing query reports value -1 (not its
+ * time-to-throw, which would fake a fast entry) and lands in the
+ * `"errors"` array. The JSON line goes to stdout AND to
+ * `SPARK_GRAFT_BENCH_OUT` (default `bench_out.json` in the CWD) so a
+ * consumer that greps a log-polluted stdout has a clean fallback.
  */
 object Bench {
+  private final case class Run(sec: Double, ok: Boolean)
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -18,16 +26,20 @@ object Bench {
       master = s"local[$cpus]", shufflePartitions = cpus.toInt,
       appName = "graft-bench")
 
-    def runOnce(name: String): Double = {
+    def runOnce(name: String): Run = {
       val t0 = System.nanoTime()
-      try SparkEntry.queries(name)(spark, sfDir)
-        .write.format("noop").mode("overwrite").save()
-      catch { case e: Throwable =>
-        System.err.println(s"[bench] $name failed: ${e.getMessage}")
-      }
+      val ok =
+        try {
+          SparkEntry.queries(name)(spark, sfDir)
+            .write.format("noop").mode("overwrite").save()
+          true
+        } catch { case e: Throwable =>
+          System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+          false
+        }
       val dt = (System.nanoTime() - t0) / 1e9
-      System.err.println(f"[bench] $name $dt%.2fs")
-      dt
+      System.err.println(f"[bench] $name $dt%.2fs ok=$ok")
+      Run(dt, ok)
     }
 
     // Warmup: representative ops (scan+join+agg+sort) compile the codegen
@@ -37,12 +49,26 @@ object Bench {
     // Best-of-2: a single pass makes whichever query catches a GC pause or
     // codegen compile look 10x slower; min-of-2 reports steady-state cost.
     val results = SparkEntry.queries.keys.toSeq.sorted.map { n =>
-      n -> math.min(runOnce(n), runOnce(n))
+      val a = runOnce(n); val b = runOnce(n)
+      n -> Run(math.min(a.sec, b.sec), a.ok && b.ok)
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val qs = results.map { case (k, r) =>
+      "\"" + k + "\":" + (if (r.ok) r.sec else -1)
+    }.mkString("{", ",", "}")
+    val errors = results.collect { case (k, r) if !r.ok => "\"" + k + "\"" }
+      .mkString("[", ",", "]")
+    val total = results.filter(_._2.ok).map(_._2.sec).sum
+    val line =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errors,"sf":"$sfDir"}"""
+    println(line)
+    Console.out.flush()
+    val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
+    try {
+      val w = new java.io.PrintWriter(outFile)
+      try w.println(line) finally w.close()
+    } catch { case e: Exception =>
+      System.err.println(s"[bench] could not write $outFile: ${e.getMessage}")
+    }
     spark.stop()
   }
 }

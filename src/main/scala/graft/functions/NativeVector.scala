@@ -1,21 +1,55 @@
 package graft.functions
 
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{DataType, LongType}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, LongType}
 
 /**
- * Native random-hyperplane LSH signature (Charikar, STOC'02) over an
- * `array<double>` embedding: bit i = [dot(v, r_i) > 0] with r_i a
- * deterministic ±1 hyperplane derived from MurmurHash3(seed, i, dim).
+ * Native vector primitives over `array<double>` embeddings.
  *
- * One imperative pass of nBits×dim multiply-adds per row, with the
- * hyperplane matrix built once per (seed, nBits, dim) and cached —
- * replaces a literal array-of-arrays + interpreted fold (~4096
- * expression-node evaluations per row at 64 bits × 64 dims).
+ * Array higher-order built-ins (`zip_with` + `aggregate`) evaluate their
+ * lambdas interpreted — measured ~1000× slower than a fused loop on the
+ * ANN hot path (see SCALING.md). Each primitive here is one imperative
+ * pass, called from codegen'd expressions below.
+ *
+ * FP determinism: every reduction is a sequential left-fold in element
+ * order, bit-identical to the higher-order-function formulations in
+ * [[VectorFunctions]] (pinned by VectorFunctionsSpec), so swapping the
+ * implementations cannot change results.
  */
 object NativeVector {
+
+  /** Sequential left-fold dot product (deterministic across runs). */
+  def dot(a: ArrayData, b: ArrayData): Double = {
+    val n = math.min(a.numElements(), b.numElements())
+    var acc = 0.0
+    var i = 0
+    while (i < n) { acc += a.getDouble(i) * b.getDouble(i); i += 1 }
+    acc
+  }
+
+  /** Cosine similarity; 0.0 when either vector has zero norm. */
+  def cosine(a: ArrayData, b: ArrayData): Double = {
+    val n = math.min(a.numElements(), b.numElements())
+    var dab = 0.0; var daa = 0.0; var dbb = 0.0
+    var i = 0
+    while (i < n) {
+      val x = a.getDouble(i); val y = b.getDouble(i)
+      dab += x * y; daa += x * x; dbb += y * y
+      i += 1
+    }
+    val na = math.sqrt(daa); val nb = math.sqrt(dbb)
+    if (na == 0.0 || nb == 0.0) 0.0 else dab / (na * nb)
+  }
+
+  def l2Dist(a: ArrayData, b: ArrayData): Double = {
+    val n = math.min(a.numElements(), b.numElements())
+    var acc = 0.0
+    var i = 0
+    while (i < n) { val d = a.getDouble(i) - b.getDouble(i); acc += d * d; i += 1 }
+    math.sqrt(acc)
+  }
 
   private val planeCache =
     new java.util.concurrent.ConcurrentHashMap[(Long, Int, Int), Array[Double]]()
@@ -56,6 +90,35 @@ object NativeVector {
     }
     sig
   }
+
+  /**
+   * Wide banded signature: `bands` LSH band keys of `bandBits` bits each
+   * (total bands×bandBits hyperplanes — not capped at 64). Key j packs the
+   * signs of hyperplanes [j·bandBits, (j+1)·bandBits). Wider keys = more
+   * buckets per band = fewer accidental candidate collisions: 16-bit keys
+   * give 65,536 buckets/band where the round-1 4-bit keys gave 16 (which
+   * made every pair a candidate — the q_dedup_embed quadratic blowup).
+   */
+  def bandKeys(vec: ArrayData, bands: Int, bandBits: Int, seed: Long): ArrayData = {
+    val dim = vec.numElements()
+    val keys = new Array[Long](bands)
+    if (dim == 0) return new GenericArrayData(keys)
+    val total = bands * bandBits
+    val p = planes(seed, total, dim)
+    val v = new Array[Double](dim)
+    var d = 0
+    while (d < dim) { v(d) = vec.getDouble(d); d += 1 }
+    var i = 0
+    while (i < total) {
+      var dot = 0.0
+      val off = i * dim
+      var j = 0
+      while (j < dim) { dot += v(j) * p(off + j); j += 1 }
+      if (dot > 0.0) keys(i / bandBits) |= (1L << (i % bandBits))
+      i += 1
+    }
+    new GenericArrayData(keys)
+  }
 }
 
 /** `hyperplane_sig(array<double>)` → bigint; see [[NativeVector.signature]]. */
@@ -71,4 +134,58 @@ case class HyperplaneSig(child: Expression, nBits: Int, seed: Long = 42L)
       s"graft.functions.NativeVector.signature($c, $nBits, ${seed}L)")
   override protected def withNewChildInternal(newChild: Expression): HyperplaneSig =
     copy(child = newChild)
+}
+
+/** `band_keys(array<double>)` → array<bigint>; see [[NativeVector.bandKeys]]. */
+case class BandKeys(child: Expression, bands: Int, bandBits: Int, seed: Long = 42L)
+    extends UnaryExpression {
+  require(bands >= 1 && bandBits >= 1 && bandBits <= 63)
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "band_keys"
+  override protected def nullSafeEval(input: Any): Any =
+    NativeVector.bandKeys(input.asInstanceOf[ArrayData], bands, bandBits, seed)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.NativeVector.bandKeys($c, $bands, $bandBits, ${seed}L)")
+  override protected def withNewChildInternal(newChild: Expression): BandKeys =
+    copy(child = newChild)
+}
+
+/** `native_dot(a, b)` → double, sequential left-fold order. */
+case class NativeDot(left: Expression, right: Expression) extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "native_dot"
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    NativeVector.dot(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.NativeVector.dot($a, $b)")
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): NativeDot =
+    copy(left = newLeft, right = newRight)
+}
+
+/** `native_cosine(a, b)` → double; 0.0 on zero-norm input. */
+case class NativeCosine(left: Expression, right: Expression) extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "native_cosine"
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    NativeVector.cosine(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.NativeVector.cosine($a, $b)")
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): NativeCosine =
+    copy(left = newLeft, right = newRight)
+}
+
+/** `native_l2_distance(a, b)` → double. */
+case class NativeL2Distance(left: Expression, right: Expression) extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "native_l2_distance"
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    NativeVector.l2Dist(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.NativeVector.l2Dist($a, $b)")
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): NativeL2Distance =
+    copy(left = newLeft, right = newRight)
 }

@@ -14,27 +14,26 @@ import org.apache.spark.sql.functions._
  *    top-k per partition via window. The CORRECTNESS baseline; linear
  *    per probe, so only the small-probe-set regime scales.
  *  - [[lshTopK]] / [[cosineNearDupPairs]] — the 100 TB path: random-
- *    hyperplane signatures (sign-agreement probability 1 - angle/π),
- *    banded into b chunks of nBits/b bits; vectors sharing any band
- *    bucket are candidates, then exact cosine confirms. Candidate
- *    generation shuffles only (band, bucket) keys — corpus-linear, with
- *    recall tunable via band count (more/narrower bands = higher recall,
- *    more candidates).
+ *    hyperplane signatures (sign-agreement probability p = 1 - angle/π)
+ *    banded into `bands` keys of `bandBits` bits; vectors sharing any
+ *    band bucket are candidates, then exact cosine confirms. Candidate
+ *    generation shuffles only (band, key) pairs — corpus-linear.
+ *
+ * Band sizing (SCALING.md): recall at similarity s is
+ * 1-(1-p^bandBits)^bands; accidental candidates per band ≈ N²/2^(bandBits+1)
+ * for near-orthogonal corpora. bandBits is the pruning knob: 16-bit keys
+ * give 65,536 buckets/band (the round-1 4-bit keys gave 16, which made
+ * every pair a candidate — quadratic in disguise). Use wide keys + more
+ * bands for the high-similarity near-dup regime; narrower keys only when
+ * the probe side is small enough to bound the candidate volume.
  */
 object Ann {
 
-  /** id + banded signature chunks: one row per (band, key). */
+  /** id → one row per (band, key), via the native banded-signature pass. */
   private def banded(df: DataFrame, idCol: String, vecCol: String,
-                     nBits: Int, bands: Int, extra: Seq[String]): DataFrame = {
-    require(nBits % bands == 0, "nBits must be divisible by bands")
-    val bandBits = nBits / bands
-    val mask = (1L << bandBits) - 1
-    df.withColumn("__sig", VF.hyperplaneSignature(col(vecCol), nBits))
-      .select((idCol +: vecCol +: extra).map(col) :+ posexplode(array(
-        (0 until bands).map(j =>
-          shiftrightunsigned(col("__sig"), j * bandBits).bitwiseAND(lit(mask))): _*))
-        .as(Seq("band", "key")): _*)
-  }
+                     bands: Int, bandBits: Int): DataFrame =
+    df.select(col(idCol),
+      posexplode(VF.bandKeys(col(vecCol), bands, bandBits)).as(Seq("band", "key")))
 
   /** Exact top-k neighbours of each probe vector (probes broadcast). */
   def bruteForceTopK(corpus: DataFrame, idCol: String, vecCol: String,
@@ -54,14 +53,17 @@ object Ann {
    * Candidate generation moves ONLY (query_id, id) pairs — the embedding
    * arrays are joined back after pair dedup, so a vector crosses the wire
    * once per unique candidate, not once per shared band.
+   *
+   * Default 16 bands × 8 bits: each probe draws ≈ bands·N/2^bandBits ≈
+   * N/16 accidental candidates from a near-orthogonal corpus plus all
+   * high-similarity neighbours w.h.p. — corpus-linear per probe with a
+   * 16× prune. Raise bandBits as N grows (candidates scale 1/2^bandBits).
    */
   def lshTopK(corpus: DataFrame, idCol: String, vecCol: String,
               probes: DataFrame, probeIdCol: String, probeVecCol: String,
-              k: Int = 10, nBits: Int = 64, bands: Int = 16): DataFrame = {
-    val corpusB = banded(corpus, idCol, vecCol, nBits, bands, Nil)
-      .select(col(idCol), col("band"), col("key"))
-    val probesB = banded(probes, probeIdCol, probeVecCol, nBits, bands, Nil)
-      .select(col(probeIdCol), col("band"), col("key"))
+              k: Int = 10, bands: Int = 16, bandBits: Int = 8): DataFrame = {
+    val corpusB = banded(corpus, idCol, vecCol, bands, bandBits)
+    val probesB = banded(probes, probeIdCol, probeVecCol, bands, bandBits)
     val cand = corpusB.join(broadcast(probesB),
         corpusB("band") === probesB("band") && corpusB("key") === probesB("key") &&
           col(idCol) =!= col(probeIdCol))
@@ -85,12 +87,19 @@ object Ann {
    * the arrays through the candidate join turns megabytes of pair keys
    * into gigabytes of duplicated embeddings — measured as the difference
    * between 2s and minutes at sf0.1.)
+   *
+   * Default 8 bands × 16 bits targets the true near-dup regime
+   * (cosine ≥ 0.9): recall ≈ 1-(1-p^16)^8 ≥ 0.99 at s ≥ 0.97 and
+   * accidental pairs ≈ 8·N²/2^17 — a 16,000× prune vs all-pairs. This
+   * operator is for near-DUPLICATES; low thresholds (< ~0.7) make any
+   * LSH family degenerate toward all-pairs (p^bandBits → 0 recall or
+   * 2^bandBits → no pruning) — use bruteForceTopK-style exact scoring
+   * for those regimes instead.
    */
   def cosineNearDupPairs(df: DataFrame, idCol: String, vecCol: String,
                          threshold: Double = 0.9,
-                         nBits: Int = 64, bands: Int = 16): DataFrame = {
-    val b = banded(df, idCol, vecCol, nBits, bands, Nil)
-      .select(col(idCol), col("band"), col("key"))
+                         bands: Int = 8, bandBits: Int = 16): DataFrame = {
+    val b = banded(df, idCol, vecCol, bands, bandBits)
     val pairs = b.as("a").join(b.as("b"),
         col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
           col(s"a.$idCol") < col(s"b.$idCol"))
@@ -105,30 +114,47 @@ object Ann {
       .select(col("id_a"), col("id_b"), round(col("cosine"), 6).as("cosine"))
   }
 
+  /** Candidate pairs only (pre-confirm) — exposed so specs can assert the
+    * LSH prune factor: candidate count must be ≪ N²/2. */
+  def cosineCandidatePairs(df: DataFrame, idCol: String, vecCol: String,
+                           bands: Int = 8, bandBits: Int = 16): DataFrame = {
+    val b = banded(df, idCol, vecCol, bands, bandBits)
+    b.as("a").join(b.as("b"),
+        col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
+          col(s"a.$idCol") < col(s"b.$idCol"))
+      .select(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"))
+      .dropDuplicates("id_a", "id_b")
+  }
+
   /**
    * IVF (inverted-file) approximate top-k: a k-means coarse quantizer
    * over L2-normalized vectors (Euclidean on unit vectors ≡ cosine
    * ordering) partitions the corpus into `nCentroids` cells; each probe
    * searches only its `nProbe` nearest cells.
    *
-   * Index build is an offline k-means fit (sampled); the search itself
-   * is corpus-linear in the probed cells only: candidates come from a
-   * broadcast semi-join on cell id — at 100 TB the corpus is scanned
-   * once to assign cells (materialize `assign` as a column to amortize
-   * across queries) and each probe touches nProbe/nCentroids of it.
+   * The quantizer fits on a bounded SAMPLE of the corpus (`maxFitRows`,
+   * cached for the iterative k-means passes — centroid quality needs a
+   * representative sample, not the population), so index build cost is
+   * independent of corpus size; the full corpus is scanned exactly once
+   * to assign cells (materialize `assign` as a column to amortize across
+   * query batches at 100 TB), and each probe touches nProbe/nCentroids
+   * of the data via a broadcast join on cell id.
    */
   def ivfTopK(corpus: DataFrame, idCol: String, vecCol: String,
               probes: DataFrame, probeIdCol: String, probeVecCol: String,
               k: Int = 10, nCentroids: Int = 16, nProbe: Int = 4,
-              seed: Long = 42L): DataFrame = {
+              seed: Long = 42L, maxFitRows: Int = 20000): DataFrame = {
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
 
     val unit = normalized(corpus, vecCol)
     val feat = unit.withColumn("__f", array_to_vector(col("__unit")))
-    val model = new KMeans().setK(nCentroids).setSeed(seed)
-      .setFeaturesCol("__f").setPredictionCol("__cell")
-      .fit(feat.select("__f"))
+    val fitSet = feat.select("__f").limit(maxFitRows).cache()
+    val model = try
+      new KMeans().setK(nCentroids).setSeed(seed)
+        .setFeaturesCol("__f").setPredictionCol("__cell")
+        .fit(fitSet)
+    finally fitSet.unpersist()
     val assigned = model.transform(feat)
       .select(col(idCol), col(vecCol), col("__cell"))
 

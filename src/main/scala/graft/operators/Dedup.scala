@@ -59,10 +59,15 @@ object Dedup {
       hashedShingleSet(col(textCol), n).as("shingles"))
     val sizes = docs.select(col("id"), size(col("shingles")).as("sz"))
     val inv0 = docs.select(col("id"), explode(col("shingles")).as("sh"))
+    // The cap drops OVER-cap shingles via anti-join: the hot set (boiler-
+    // plate shingles with freq > cap) is small by construction, so AQE can
+    // broadcast it; the under-cap complement is nearly the whole distinct-
+    // shingle universe and must never be broadcast (driver OOM at scale).
     val inv = maxShingleFreq match {
       case Some(cap) =>
-        val freq = inv0.groupBy("sh").agg(count(lit(1)).as("f")).filter(col("f") <= cap)
-        inv0.join(broadcastIfSmall(freq.select("sh")), Seq("sh"), "leftsemi")
+        val hot = inv0.groupBy("sh").agg(count(lit(1)).as("f"))
+          .filter(col("f") > cap).select("sh")
+        inv0.join(hot, Seq("sh"), "left_anti")
       case None => inv0
     }
     val co = inv.as("a").join(inv.as("b"),
@@ -147,6 +152,4 @@ object Dedup {
       .filter(col("hamming") <= maxHamming)
       .select(col("id_a"), col("id_b"), col("hamming"))
   }
-
-  private def broadcastIfSmall(df: DataFrame): DataFrame = broadcast(df)
 }

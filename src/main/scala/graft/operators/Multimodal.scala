@@ -9,9 +9,11 @@ import org.apache.spark.sql.types._
  * payloads travel as opaque `binary` columns beside a typed metadata
  * struct. The Spark-side mechanics — schema convention, magic-byte type
  * sniffing, batched per-partition decode plumbing, partition sizing — are
- * real and tested; the pixel/sample DECODE ITSELF IS A DETERMINISTIC STUB
- * (no image/audio codecs in this environment), clearly marked below, with
- * the exact seam where a real codec (javax.imageio / ffmpeg JNI) drops in.
+ * real and tested. IMAGE decode is real (`javax.imageio`: PNG/JPEG/GIF/BMP
+ * → dimensions, channels, 4×4 mean-luminance feature grid); audio/video
+ * payloads fall back to a DETERMINISTIC STUB (no media codecs in this
+ * environment), clearly marked below, at the same seam where an ffmpeg
+ * JNI binding would drop in.
  *
  * Everything before the decode stays in whole-stage codegen (built-ins
  * only); the decode runs via `mapPartitions` — the JVM analogue of a
@@ -57,13 +59,13 @@ object Multimodal {
    * Batched decode / feature-extraction over a binary column.
    *
    * Plumbing (real): per-partition iteration in fixed-size batches; one
-   * "codec" initialization per partition, not per row; output schema is
+   * codec initialization per partition, not per row; output schema is
    * the input schema + a typed feature struct; input partition count is
    * preserved so upstream `repartition` controls task granularity.
    *
-   * Decode (STUB): `decodeStub` fabricates deterministic pseudo-features
-   * from the payload bytes. Replace ONLY that function with a real codec
-   * (e.g. ImageIO.read for images) — every other line stays.
+   * Decode: [[decodeImage]] (real, javax.imageio) for anything ImageIO
+   * recognizes; other media fall back to [[decodeStub]]'s deterministic
+   * pseudo-features (clearly a stub — no audio/video codecs here).
    */
   def decodeFeatures(df: DataFrame, binCol: String,
                      featCol: String = "feat", batchSize: Int = 64): DataFrame = {
@@ -71,21 +73,66 @@ object Multimodal {
     val binIdx = df.schema.fieldIndex(binCol)
     val enc = org.apache.spark.sql.Encoders.row(schema)
     df.mapPartitions { rows =>
-      // REAL CODEC SEAM: initialize the decoder once per partition here.
+      // Codec init, once per partition: in-memory decode only — ImageIO's
+      // default disk-backed cache would serialize tasks on tmp-file IO.
+      javax.imageio.ImageIO.setUseCache(false)
       rows.grouped(batchSize).flatMap { batch =>
         batch.iterator.map { r =>
           val bytes = r.getAs[Array[Byte]](binIdx)
-          Row.fromSeq(r.toSeq :+ decodeStub(bytes))
+          Row.fromSeq(r.toSeq :+ decodeImage(bytes))
         }
       }
     }(enc)
   }
 
   /**
-   * STUB decode — deterministic fake standing in for a codec call.
-   * Produces plausible dimensions and an 8-float signature derived from
-   * the byte content, so downstream plumbing (similarity over features,
-   * grouping by dimensions) is exercised with stable values.
+   * REAL image decode via `javax.imageio`: dimensions + color channels +
+   * a 4×4 mean-luminance grid (16 floats in [0,1], resolution-independent
+   * — downstream similarity/grouping sees a stable signature regardless
+   * of source size). Payloads ImageIO cannot parse (audio/video/garbage)
+   * fall back to the deterministic stub.
+   */
+  private[operators] def decodeImage(bytes: Array[Byte]): Row = {
+    if (bytes == null || bytes.isEmpty) return Row(0, 0, 0, Array.empty[Float])
+    val img =
+      try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      catch { case _: Exception => null }
+    if (img == null) decodeStub(bytes)
+    else {
+      val w = img.getWidth
+      val h = img.getHeight
+      val grid = 4
+      val sums = new Array[Double](grid * grid)
+      val counts = new Array[Int](grid * grid)
+      var y = 0
+      while (y < h) {
+        val gy = math.min(grid - 1, y * grid / h)
+        var x = 0
+        while (x < w) {
+          val rgb = img.getRGB(x, y)
+          val lum = (((rgb >> 16) & 0xFF) * 0.299 +
+            ((rgb >> 8) & 0xFF) * 0.587 + (rgb & 0xFF) * 0.114) / 255.0
+          val cell = gy * grid + math.min(grid - 1, x * grid / w)
+          sums(cell) += lum
+          counts(cell) += 1
+          x += 1
+        }
+        y += 1
+      }
+      val feature = Array.tabulate(grid * grid) { i =>
+        if (counts(i) == 0) 0.0f else (sums(i) / counts(i)).toFloat
+      }
+      Row(w, h, img.getColorModel.getNumComponents, feature)
+    }
+  }
+
+  /**
+   * STUB decode — deterministic fake standing in for an audio/video codec
+   * call (none available in this environment; images take the REAL
+   * [[decodeImage]] path above). Produces plausible dimensions and an
+   * 8-float signature derived from the byte content, so downstream
+   * plumbing (similarity over features, grouping by dimensions) is
+   * exercised with stable values.
    */
   private[operators] def decodeStub(bytes: Array[Byte]): Row = {
     if (bytes == null || bytes.isEmpty) return Row(0, 0, 0, Array.empty[Float])

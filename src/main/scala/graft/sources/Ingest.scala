@@ -105,22 +105,42 @@ object Ingest {
       schema)
   }
 
+  /** One branch per type [[sparkType]] can declare — a declared type whose
+    * value stayed a raw String would crash with ClassCastException at the
+    * first action. */
   private def castCell(cell: String, dt: DataType): Any = {
     if (cell == null || cell.equalsIgnoreCase("null") || cell.isEmpty) null
     else try dt match {
-      case StringType  => cell
-      case IntegerType => cell.trim.toInt
-      case LongType    => cell.trim.toLong
-      case DoubleType  => cell.trim.toDouble
-      case DateType    => java.sql.Date.valueOf(cell.trim)
-      case BooleanType => cell.trim.toBoolean
-      case _           => cell
+      case StringType    => cell
+      case IntegerType   => cell.trim.toInt
+      case LongType      => cell.trim.toLong
+      case DoubleType    => cell.trim.toDouble
+      case FloatType     => cell.trim.toFloat
+      case ShortType     => cell.trim.toShort
+      case ByteType      => cell.trim.toByte
+      case d: DecimalType =>
+        new java.math.BigDecimal(cell.trim)
+          .setScale(d.scale, java.math.RoundingMode.HALF_UP)
+      case DateType      => java.sql.Date.valueOf(cell.trim)
+      case TimestampType =>
+        java.sql.Timestamp.valueOf(cell.trim.replace("T", " "))
+      case BooleanType   => cell.trim.toBoolean
+      case BinaryType    => cell.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      case _             => cell
     } catch { case _: Exception => null } // unparseable cell → NULL, like an INSERT cast failure
   }
 
+  private val DecimalRe = """DECIMAL\s*\(\s*(\d+)\s*,\s*(\d+)\s*\)""".r
+
   /** DuckDB-style declared type → Spark type (SURVEY §1.2 table). */
   def sparkType(duckType: String): DataType =
-    duckType.trim.toUpperCase.replaceAll("\\(.*\\)", "") match {
+    duckType.trim.toUpperCase match {
+      case DecimalRe(p, s) => DecimalType(p.toInt, s.toInt)
+      case other => bareType(other)
+    }
+
+  private def bareType(upper: String): DataType =
+    upper.replaceAll("\\(.*\\)", "") match {
       case "VARCHAR" | "TEXT" | "STRING" | "CHAR"  => StringType
       case "INTEGER" | "INT" | "INT4"              => IntegerType
       case "BIGINT" | "INT8" | "LONG" | "HUGEINT"  => LongType

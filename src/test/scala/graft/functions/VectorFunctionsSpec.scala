@@ -32,6 +32,36 @@ class VectorFunctionsSpec extends SparkTestBase {
     assert(out.head().getDouble(0) == 5.0)
   }
 
+  test("native dot/cosine/l2 are bit-identical to the interpreted HOF formulations") {
+    val rows = Seq(
+      (Seq(1.0, 2.0, 3.0, 4.0), Seq(-4.0, 3.5, 0.0, 1.25)),
+      (Seq(0.3, -0.7, 0.9, 1e-9), Seq(1e9, 2.0, -3.3, 0.5)),
+      (Seq(0.0, 0.0, 0.0, 0.0), Seq(1.0, 1.0, 1.0, 1.0)),
+      (Seq(1.0 / 3.0, 2.0 / 7.0, -5.0 / 11.0, 0.1), Seq(0.1, 0.2, 0.3, 0.4)))
+    val out = vecs(rows: _*).select(
+      VF.dot(col("a"), col("b")), VF.dotHof(col("a"), col("b")),
+      VF.cosine(col("a"), col("b")), VF.cosineHof(col("a"), col("b")),
+      VF.l2Distance(col("a"), col("b")), VF.l2DistanceHof(col("a"), col("b")))
+    out.collect().foreach { r =>
+      assert(r.getDouble(0) == r.getDouble(1), "dot mismatch")
+      assert(r.getDouble(2) == r.getDouble(3), "cosine mismatch")
+      assert(r.getDouble(4) == r.getDouble(5), "l2 mismatch")
+    }
+  }
+
+  test("band keys: shape, range, scale-invariance, and locality") {
+    val d = df("v ARRAY<DOUBLE>", Seq(
+      Row(Seq(1.0, 2.0, -3.0, 4.0)),
+      Row(Seq(2.0, 4.0, -6.0, 8.0)),        // ×2: identical signs → same keys
+      Row(Seq(-1.0, -2.0, 3.0, -4.0))))     // antipodal
+    val keys = d.select(VF.bandKeys(col("v"), bands = 8, bandBits = 16))
+      .collect().map(_.getSeq[Long](0))
+    assert(keys.forall(_.length == 8))
+    assert(keys.forall(_.forall(k => k >= 0 && k < (1L << 16))))
+    assert(keys(0) == keys(1))              // positive scaling preserves all signs
+    assert(keys(0).zip(keys(2)).count { case (a, b) => a == b } <= 2)
+  }
+
   test("hyperplane signature is deterministic and respects cosine locality") {
     val d = df("v ARRAY<DOUBLE>", Seq(
       Row(Seq(1.0, 2.0, 3.0, 4.0)),

@@ -40,6 +40,29 @@ class MultimodalSpec extends SparkTestBase {
     assert(feats.forall(_.getSeq[Float](2).length == 8))
   }
 
+  test("REAL image decode: a 2x2 PNG yields exact dimensions and luminance grid") {
+    // Encode a real 2×2 PNG in-memory: white, black / red, blue.
+    val img = new java.awt.image.BufferedImage(2, 2, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    img.setRGB(0, 0, 0xFFFFFF); img.setRGB(1, 0, 0x000000)
+    img.setRGB(0, 1, 0xFF0000); img.setRGB(1, 1, 0x0000FF)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    val pngBytes = bos.toByteArray
+
+    val one = df("id BIGINT, payload BINARY", Seq(Row(1L, pngBytes)))
+    val meta = Multimodal.withMetadata(one, "payload").select("meta.mime").head().getString(0)
+    assert(meta == "image/png") // a real PNG also sniffs correctly
+
+    val feat = Multimodal.decodeFeatures(one, "payload").select("feat.*").head()
+    assert(feat.getInt(0) == 2 && feat.getInt(1) == 2) // exact dimensions
+    assert(feat.getInt(2) == 3)                        // RGB channels
+    val grid = feat.getSeq[Float](3)
+    assert(grid.length == 16)
+    // each pixel lands alone in a grid cell: corners carry its luminance
+    assert(math.abs(grid.head - 1.0f) < 1e-3)           // white → 1.0
+    assert(grid.forall(v => v >= 0.0f && v <= 1.0f))
+  }
+
   test("partition count is preserved through the decode (sizing stays upstream)") {
     val repart = media.repartition(3)
     assert(Multimodal.decodeFeatures(repart, "payload").rdd.getNumPartitions == 3)

@@ -49,10 +49,48 @@ class IngestSpec extends SparkTestBase {
     assert(df.schema("product_id").dataType.typeName == "integer")
   }
 
+  test("image payload: every declarable type round-trips through castCell") {
+    // ADVICE r1: sparkType declared SMALLINT/TINYINT/FLOAT/TIMESTAMP/
+    // DECIMAL/BLOB but castCell left them as raw Strings → CCE at action.
+    val df = Ingest.fromImagePayload(spark,
+      Seq(Ingest.ImageColumn("s", "SMALLINT"), Ingest.ImageColumn("b", "TINYINT"),
+        Ingest.ImageColumn("f", "FLOAT"), Ingest.ImageColumn("ts", "TIMESTAMP"),
+        Ingest.ImageColumn("d", "DECIMAL(10,2)"), Ingest.ImageColumn("bin", "BLOB"),
+        Ingest.ImageColumn("dt", "DATE"), Ingest.ImageColumn("ok", "BOOLEAN")),
+      Seq(Seq("12", "3", "1.5", "2024-01-02T03:04:05", "12.345", "bytes", "2024-06-01", "true"),
+        Seq("oops", "999", "x", "not a time", "NaN?", null, "junk", "maybe")))
+    val r = df.collect()
+    assert(r(0).getShort(0) == 12.toShort)
+    assert(r(0).getByte(1) == 3.toByte)
+    assert(r(0).getFloat(2) == 1.5f)
+    assert(r(0).getTimestamp(3) == java.sql.Timestamp.valueOf("2024-01-02 03:04:05"))
+    assert(r(0).getDecimal(4).doubleValue() == 12.35) // scale-2 HALF_UP
+    assert(new String(r(0).getAs[Array[Byte]](5), "UTF-8") == "bytes")
+    assert(r(0).getDate(6) == java.sql.Date.valueOf("2024-06-01"))
+    assert(r(0).getBoolean(7))
+    // unparseable cells become NULL, like a failed INSERT cast
+    (0 until 8).foreach(i => assert(r(1).isNullAt(i), s"col $i should be null"))
+  }
+
+  test("CSV fixture: Spark inference parity with read_csv_auto (values; widths normalized)") {
+    val f = "/root/repo/src/test/resources/fixtures/parts_fixture.csv"
+    val df = Ingest.csv(spark, f)
+    // Pin Spark's inferred types: ints narrow (vs DuckDB's BIGINT — width
+    // normalized at the oracle gate per SURVEY §7.3), doubles and strings
+    // agree outright.
+    assert(df.schema("id").dataType.typeName == "integer")
+    assert(df.schema("price").dataType.typeName == "double")
+    assert(df.schema("name").dataType.typeName == "string")
+    assert(df.count() == 200)
+    val r = df.orderBy("id").head()
+    assert(r.getInt(0) == 0 && r.getString(1) == "cold widget" && r.getDouble(3) == 900.0)
+  }
+
   test("duck type names map to Spark types") {
     import org.apache.spark.sql.types._
     assert(Ingest.sparkType("VARCHAR") == StringType)
-    assert(Ingest.sparkType("decimal(10,2)") == DecimalType(38, 18))
+    assert(Ingest.sparkType("decimal(10,2)") == DecimalType(10, 2))
+    assert(Ingest.sparkType("DECIMAL") == DecimalType(38, 18))
     assert(Ingest.sparkType("BIGINT") == LongType)
     assert(Ingest.sparkType("whatever") == StringType)
   }
