@@ -27,6 +27,10 @@ object Bench {
       appName = "graft-bench")
 
     def runOnce(name: String): Run = {
+      // Quiesce: collect the previous query's garbage NOW instead of letting
+      // a mixed GC land inside the next timed window (measured: the dedup
+      // block's shuffle garbage taxed an unrelated scan 6×).
+      System.gc()
       val t0 = System.nanoTime()
       val ok =
         try {
