@@ -249,10 +249,20 @@ object SparkEntry {
     // infers the narrowest int type, DuckDB always BIGINT — SURVEY says
     // normalize, values are what parity means) and the date column is
     // cast explicitly so the gate is robust to date-inference defaults.
-    "q_load_csv" -> ((s, _) =>
-      Ingest.csv(s, csvFixture).selectExpr(
-        "CAST(id AS BIGINT) AS id", "name", "CAST(size AS BIGINT) AS size",
-        "CAST(price AS DOUBLE) AS price", "CAST(created AS DATE) AS created")),
+    "q_load_csv" -> ((s, _) => {
+      // The real LOAD path: bind via Ingest (the ingest-time side of a
+      // LOAD stage, ui/src/App.tsx:354-459) then run a LOAD + SELECT
+      // pipeline — LOAD validates the binding and is skipped at exec
+      // (ui/src/App.tsx:681-682), SELECT projects through the executor.
+      val ex = new PipelineExecutor(s)
+      val (name, df) = Ingest.loadCsvTable(s, csvFixture)
+      ex.register(name, df)
+      ex.run(Seq(
+        LoadStage(st(1), "bind the uploaded csv", name, "parts_fixture.csv"),
+        SelectStage(st(2), "width-normalized projection", Some(name), Seq(
+          "CAST(id AS BIGINT) AS id", "name", "CAST(size AS BIGINT) AS size",
+          "CAST(price AS DOUBLE) AS price", "CAST(created AS DATE) AS created"))))
+    }),
 
     // ======== training-data extensions (SURVEY §7.1 step 8) ========
 
@@ -297,6 +307,14 @@ object SparkEntry {
     // BPE-ish sub-word token counting (regexp oracle-checked in DuckDB).
     "q_text_bpe" -> ((s, d) =>
       docs(s, d).select(col("doc_id"), TF.bpeTokenCount(col("text")).as("n_bpe"))),
+
+    // Winnowing fingerprint count + digest (Schleimer et al., SIGMOD'03) —
+    // xxhash64-based, so rows-only at the driver; spec-pinned in
+    // TextFunctionsSpec.
+    "q_text_winnow" -> ((s, d) =>
+      docs(s, d).select(col("doc_id"),
+        size(TF.winnowedFingerprints(col("text"))).as("n_fingerprints"),
+        xxhash64(TF.winnowedFingerprints(col("text"))).as("fp_digest"))),
 
     // Brute-force cosine top-10 for 5 probe vectors — the exact ANN
     // baseline (probe side broadcast; corpus never shuffles).
@@ -568,9 +586,25 @@ object SparkEntry {
     // twin pairs — closed-form oracle, no vector math needed in DuckDB.
     "q_dedup_embed" ->
       ("SELECT vec_id AS id_a, vec_id + 1000000 AS id_b, " +
-        "CAST(1.0 AS DOUBLE) AS cosine FROM embeddings ORDER BY id_a, id_b")
-    // q_dedup_minhash / q_dedup_simhash / q_text_fingerprint / q_ann_*:
-    // hash- or float-topk-based — not DuckDB-expressible, so the driver
-    // records the weaker rows-only check.
+        "CAST(1.0 AS DOUBLE) AS cosine FROM embeddings ORDER BY id_a, id_b"),
+    // Exact brute-force top-k IS DuckDB-expressible: both engines compute
+    // double cosine (differences live below the 6-decimal rounding), and
+    // rank ties break on vec_id in both. Top-10 cosine gaps in the
+    // testdata are ~1e-3, far above FP noise, so ranks are stable.
+    "q_ann_bruteforce" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |p AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 5),
+        |scored AS (
+        |  SELECT p.query_id, e.vec_id, list_cosine_similarity(p.qv, e.v) AS cosine
+        |  FROM e CROSS JOIN p WHERE e.vec_id != p.query_id),
+        |ranked AS (
+        |  SELECT query_id, vec_id, cosine,
+        |         row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id ASC) AS rank
+        |  FROM scored)
+        |SELECT query_id, rank, vec_id, round(cosine, 6) AS cosine
+        |FROM ranked WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin
+    // q_dedup_minhash / q_dedup_simhash / q_text_fingerprint / q_ann_lsh /
+    // q_ann_ivf: hash-based or deliberately approximate — not DuckDB-
+    // expressible, so the driver records the weaker rows-only check.
   )
 }

@@ -75,6 +75,39 @@ object NativeText {
     new GenericArrayData(out)
   }
 
+  /**
+   * Winnowing (Schleimer et al., SIGMOD'03) over positional shingle
+   * hashes: min of each sliding window of `w`, then distinct preserving
+   * first occurrence — value-identical to the slice/array_min HOF
+   * formulation in TextFunctions (spec-pinned) in one imperative pass.
+   */
+  def winnow(text: UTF8String, k: Int, w: Int): ArrayData = {
+    val hashes = shingleHashes(text, k, distinct = false)
+    val n = hashes.numElements()
+    val nWin = n - (w - 1)
+    val seen = new java.util.LinkedHashSet[java.lang.Long](16)
+    if (nWin <= 0) {
+      var min = Long.MaxValue
+      var i = 0
+      while (i < n) { val h = hashes.getLong(i); if (h < min) min = h; i += 1 }
+      seen.add(min)
+    } else {
+      var i = 0
+      while (i < nWin) {
+        var min = Long.MaxValue
+        var j = 0
+        while (j < w) { val h = hashes.getLong(i + j); if (h < min) min = h; j += 1 }
+        seen.add(min)
+        i += 1
+      }
+    }
+    val out = new Array[Long](seen.size)
+    val it = seen.iterator()
+    var i = 0
+    while (it.hasNext) { out(i) = it.next(); i += 1 }
+    new GenericArrayData(out)
+  }
+
   /** k permutation min-hashes over pre-hashed shingles; row i's permutation
     * is h → xxhash64(i, h). Empty in → empty out (callers filter empties). */
   def minhashSignature(hashes: ArrayData, k: Int): ArrayData = {
@@ -121,6 +154,18 @@ case class HashedTokens(child: Expression) extends UnaryExpression {
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev, c => s"graft.functions.NativeText.tokenHashes($c)")
   override protected def withNewChildInternal(newChild: Expression): HashedTokens =
+    copy(child = newChild)
+}
+
+/** `winnowed_fingerprints(text)` → array<bigint> — see [[NativeText.winnow]]. */
+case class WinnowedFps(child: Expression, k: Int, w: Int) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "winnowed_fingerprints"
+  override protected def nullSafeEval(input: Any): Any =
+    NativeText.winnow(input.asInstanceOf[UTF8String], k, w)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.NativeText.winnow($c, $k, $w)")
+  override protected def withNewChildInternal(newChild: Expression): WinnowedFps =
     copy(child = newChild)
 }
 

@@ -3,7 +3,7 @@ package graft.functions
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
-import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, LongType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, IntegerType, LongType}
 
 /**
  * Native vector primitives over `array<double>` embeddings.
@@ -119,6 +119,45 @@ object NativeVector {
     }
     new GenericArrayData(keys)
   }
+
+  /**
+   * Indices of the `n` centroids nearest to `vec` by cosine, descending
+   * (ties → lower cell id). Centroids arrive L2-normalized and flattened
+   * row-major, so argmax cosine ≡ argmax dot — one fused pass, no
+   * normalization of the input vector needed (cosine is scale-invariant
+   * and |v| is constant across cells).
+   */
+  def nearestCells(vec: ArrayData, flat: Array[Double], k: Int, n: Int): ArrayData = {
+    val dim = if (k == 0) 0 else flat.length / k
+    val m = math.min(n, k)
+    val dots = new Array[Double](k)
+    val vd = math.min(vec.numElements(), dim)
+    var c = 0
+    while (c < k) {
+      var acc = 0.0
+      val off = c * dim
+      var j = 0
+      while (j < vd) { acc += vec.getDouble(j) * flat(off + j); j += 1 }
+      dots(c) = acc
+      c += 1
+    }
+    val out = new Array[Int](m)
+    val taken = new Array[Boolean](k)
+    var r = 0
+    while (r < m) {
+      var best = -1
+      var bestDot = Double.NegativeInfinity
+      var i = 0
+      while (i < k) {
+        if (!taken(i) && dots(i) > bestDot) { best = i; bestDot = dots(i) }
+        i += 1
+      }
+      taken(best) = true
+      out(r) = best
+      r += 1
+    }
+    new GenericArrayData(out)
+  }
 }
 
 /** `hyperplane_sig(array<double>)` → bigint; see [[NativeVector.signature]]. */
@@ -148,6 +187,30 @@ case class BandKeys(child: Expression, bands: Int, bandBits: Int, seed: Long = 4
     defineCodeGen(ctx, ev, c =>
       s"graft.functions.NativeVector.bandKeys($c, $bands, $bandBits, ${seed}L)")
   override protected def withNewChildInternal(newChild: Expression): BandKeys =
+    copy(child = newChild)
+}
+
+/**
+ * `nearest_cells(array<double>)` → array<int>: the `n` nearest of `k`
+ * unit-normalized centroids by cosine, descending (see
+ * [[NativeVector.nearestCells]]). The centroid matrix (flattened
+ * row-major) rides along as a referenced object in codegen — computed
+ * once on the driver, broadcast with the task binary, zero per-row setup.
+ */
+case class NearestCells(child: Expression, centroidsFlat: Seq[Double],
+                        k: Int, n: Int) extends UnaryExpression {
+  require(k >= 1 && n >= 1 && centroidsFlat.length % k == 0)
+  @transient private lazy val flat: Array[Double] = centroidsFlat.toArray
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def prettyName: String = "nearest_cells"
+  override protected def nullSafeEval(input: Any): Any =
+    NativeVector.nearestCells(input.asInstanceOf[ArrayData], flat, k, n)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val matRef = ctx.addReferenceObj("centroids", flat, "double[]")
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.NativeVector.nearestCells($c, $matRef, $k, $n)")
+  }
+  override protected def withNewChildInternal(newChild: Expression): NearestCells =
     copy(child = newChild)
 }
 

@@ -139,7 +139,12 @@ object TextFunctions {
    * hash k-gram shingles, take the min hash in each sliding window of w —
    * compact, position-robust signature for near-dup / provenance checks.
    */
-  def winnowedFingerprints(text: Column, k: Int = 5, w: Int = 4): Column = {
+  def winnowedFingerprints(text: Column, k: Int = 5, w: Int = 4): Column =
+    CatalystBridge.column(WinnowedFps(CatalystBridge.expression(text), k, w))
+
+  /** Interpreted HOF formulation of winnowing — the executable spec the
+    * native expression is pinned against (TextFunctionsSpec). */
+  def winnowedFingerprintsHof(text: Column, k: Int = 5, w: Int = 4): Column = {
     val hashes = CatalystBridge.column( // positional (non-distinct) shingle hashes
       HashedShingles(CatalystBridge.expression(text), k, distinct = false))
     val nWin = size(hashes) - (w - 1)

@@ -72,4 +72,10 @@ object VectorFunctions {
    */
   def bandKeys(v: Column, bands: Int, bandBits: Int, seed: Long = 42L): Column =
     CatalystBridge.column(BandKeys(expr(v), bands, bandBits, seed))
+
+  /** The `n` nearest of `centroids` (unit-normalized) by cosine, as an
+    * array<int> of cell ids, descending similarity. */
+  def nearestCells(v: Column, centroids: Array[Array[Double]], n: Int): Column =
+    CatalystBridge.column(NearestCells(expr(v),
+      centroids.flatten.toIndexedSeq, centroids.length, n))
 }

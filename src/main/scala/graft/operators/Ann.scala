@@ -127,50 +127,35 @@ object Ann {
   }
 
   /**
-   * IVF (inverted-file) approximate top-k: a k-means coarse quantizer
-   * over L2-normalized vectors (Euclidean on unit vectors ≡ cosine
-   * ordering) partitions the corpus into `nCentroids` cells; each probe
-   * searches only its `nProbe` nearest cells.
+   * IVF (inverted-file) approximate top-k: a spherical k-means coarse
+   * quantizer (cosine assignment over unit centroids) partitions the
+   * corpus into `nCentroids` cells; each probe searches only its `nProbe`
+   * nearest cells.
    *
-   * The quantizer fits on a bounded SAMPLE of the corpus (`maxFitRows`,
-   * cached for the iterative k-means passes — centroid quality needs a
-   * representative sample, not the population), so index build cost is
-   * independent of corpus size; the full corpus is scanned exactly once
-   * to assign cells (materialize `assign` as a column to amortize across
-   * query batches at 100 TB), and each probe touches nProbe/nCentroids
-   * of the data via a broadcast join on cell id.
+   * Index build: the quantizer fits DRIVER-SIDE on a bounded collected
+   * sample (`maxFitRows` — centroid quality needs a representative
+   * sample, not the population), so build cost is independent of corpus
+   * size and involves zero Spark jobs beyond the sample read. Search: one
+   * corpus scan assigns cells via the codegen'd [[graft.functions
+   * .NearestCells]] expression (the unit-centroid matrix rides along as a
+   * task-local reference — no normalization pass, no per-row allocation,
+   * no shuffle), then a broadcast join on cell id touches only
+   * nProbe/nCentroids of the data per probe. At 100 TB, materialize the
+   * `__cell` column once to amortize assignment across query batches.
    */
   def ivfTopK(corpus: DataFrame, idCol: String, vecCol: String,
               probes: DataFrame, probeIdCol: String, probeVecCol: String,
               k: Int = 10, nCentroids: Int = 16, nProbe: Int = 4,
               seed: Long = 42L, maxFitRows: Int = 20000): DataFrame = {
-    import org.apache.spark.ml.clustering.KMeans
-    import org.apache.spark.ml.functions.array_to_vector
+    val sample = corpus.select(col(vecCol)).limit(maxFitRows)
+      .collect().map(_.getSeq[Double](0).toArray)
+    val centroids = fitSphericalCentroids(sample, nCentroids, seed)
 
-    val unit = normalized(corpus, vecCol)
-    val feat = unit.withColumn("__f", array_to_vector(col("__unit")))
-    val fitSet = feat.select("__f").limit(maxFitRows).cache()
-    val model = try
-      new KMeans().setK(nCentroids).setSeed(seed)
-        .setFeaturesCol("__f").setPredictionCol("__cell")
-        .fit(fitSet)
-    finally fitSet.unpersist()
-    val assigned = model.transform(feat)
-      .select(col(idCol), col(vecCol), col("__cell"))
-
-    // Probe → its nProbe nearest cells, via the (tiny) centroid table.
-    val spark = corpus.sparkSession
-    val centroids = spark.createDataFrame(
-      model.clusterCenters.zipWithIndex.toIndexedSeq
-        .map { case (c, i) => (i, c.toArray.toSeq) })
-      .toDF("__cell", "__centroid")
-    val probeCells = normalized(probes, probeVecCol).as("p")
-      .crossJoin(broadcast(centroids))
-      .withColumn("__dist", VF.l2Distance(col("__unit"), col("__centroid")))
-      .withColumn("__r", row_number().over(
-        Window.partitionBy(probeIdCol).orderBy(col("__dist").asc, col("__cell").asc)))
-      .filter(col("__r") <= nProbe)
-      .select(col(probeIdCol), col(probeVecCol), col("__cell"))
+    val assigned = corpus.withColumn("__cell",
+      VF.nearestCells(col(vecCol), centroids, 1)(0))
+    val probeCells = probes
+      .select(col(probeIdCol), col(probeVecCol),
+        explode(VF.nearestCells(col(probeVecCol), centroids, nProbe)).as("__cell"))
 
     val cand = assigned.join(broadcast(probeCells),
         assigned("__cell") === probeCells("__cell") && col(idCol) =!= col(probeIdCol))
@@ -180,17 +165,81 @@ object Ann {
     topK(cand, k)
   }
 
-  private def normalized(df: DataFrame, vecCol: String): DataFrame =
-    df.withColumn("__norm", VF.l2Norm(col(vecCol)))
-      .withColumn("__unit",
-        when(col("__norm") === 0.0, col(vecCol))
-          .otherwise(transform(col(vecCol), x => x / col("__norm"))))
-      .drop("__norm")
+  /**
+   * Seeded spherical k-means (k-means++ init, cosine assignment, mean +
+   * renormalize update) over an in-memory sample. Deterministic for a
+   * given (sample, k, seed). Empty cells keep their previous centroid.
+   */
+  private[operators] def fitSphericalCentroids(
+      sample: Array[Array[Double]], k: Int, seed: Long,
+      iters: Int = 15): Array[Array[Double]] = {
+    require(sample.nonEmpty, "cannot fit centroids on an empty sample")
+    val dim = sample(0).length
+    def normalize(v: Array[Double]): Array[Double] = {
+      var s = 0.0; var i = 0
+      while (i < v.length) { s += v(i) * v(i); i += 1 }
+      val n = math.sqrt(s)
+      if (n == 0.0) v.clone() else v.map(_ / n)
+    }
+    val unit = sample.map(normalize)
+    val rnd = new scala.util.Random(seed)
+
+    // k-means++ seeding on the unit sphere (distance = 1 - cosine).
+    val centers = scala.collection.mutable.ArrayBuffer(unit(rnd.nextInt(unit.length)))
+    while (centers.length < k) {
+      val d2 = unit.map { v =>
+        val best = centers.map(c => 1.0 - dotArr(v, c)).min
+        best * best
+      }
+      val total = d2.sum
+      val pick =
+        if (total <= 0.0) rnd.nextInt(unit.length)
+        else {
+          var r = rnd.nextDouble() * total
+          var i = 0
+          while (i < d2.length - 1 && r > d2(i)) { r -= d2(i); i += 1 }
+          i
+        }
+      centers += unit(pick)
+    }
+    var cents = centers.toArray.map(_.clone())
+
+    var iter = 0
+    while (iter < iters) {
+      val sums = Array.fill(k)(new Array[Double](dim))
+      val counts = new Array[Int](k)
+      unit.foreach { v =>
+        var best = 0; var bestDot = Double.NegativeInfinity
+        var c = 0
+        while (c < k) {
+          val d = dotArr(v, cents(c))
+          if (d > bestDot) { best = c; bestDot = d }
+          c += 1
+        }
+        var j = 0
+        while (j < dim) { sums(best)(j) += v(j); j += 1 }
+        counts(best) += 1
+      }
+      cents = Array.tabulate(k) { c =>
+        if (counts(c) == 0) cents(c) else normalize(sums(c))
+      }
+      iter += 1
+    }
+    cents
+  }
+
+  private def dotArr(a: Array[Double], b: Array[Double]): Double = {
+    var acc = 0.0; var i = 0
+    while (i < a.length) { acc += a(i) * b(i); i += 1 }
+    acc
+  }
 
   private def topK(scored: DataFrame, k: Int): DataFrame = {
     val w = Window.partitionBy("query_id")
       .orderBy(col("cosine").desc, col("vec_id").asc)
-    scored.withColumn("rank", row_number().over(w))
+    // rank as BIGINT: SQL row_number() is 64-bit, and the brute-force gate
+    // is oracle-checked against DuckDB's — keep widths identical.
+    scored.withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("rank"), col("vec_id"),
         round(col("cosine"), 6).as("cosine"))

@@ -71,4 +71,23 @@ class TextFunctionsSpec extends SparkTestBase {
     val all = r.getSeq[Long](1).toSet
     assert(fp.nonEmpty && fp.subsetOf(all))
   }
+
+  test("native winnowing is value-identical to the HOF formulation on real docs") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val out = docs.select(
+      TF.winnowedFingerprints(col("text")).as("native"),
+      TF.winnowedFingerprintsHof(col("text")).as("hof"),
+      TF.winnowedFingerprints(col("text"), k = 2, w = 7).as("native_short"),
+      TF.winnowedFingerprintsHof(col("text"), k = 2, w = 7).as("hof_short"))
+    out.collect().foreach { r =>
+      assert(r.getSeq[Long](0) == r.getSeq[Long](1))
+      assert(r.getSeq[Long](2) == r.getSeq[Long](3))
+    }
+    // degenerate: fewer shingles than the window → single global min
+    val tiny = one("alpha beta").select(
+      TF.winnowedFingerprints(col("text"), k = 5, w = 4).as("n"),
+      TF.winnowedFingerprintsHof(col("text"), k = 5, w = 4).as("h"))
+    val t = tiny.head()
+    assert(t.getSeq[Long](0) == t.getSeq[Long](1) && t.getSeq[Long](0).length == 1)
+  }
 }

@@ -24,7 +24,7 @@ class AnnSpec extends SparkTestBase {
 
   test("brute force: exact ranking, self excluded, identical vector first") {
     val out = Ann.bruteForceTopK(corpus, "id", "v", probes, "qid", "qv", k = 3)
-      .collect().map(r => (r.getInt(1), r.getLong(2), r.getDouble(3)))
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getDouble(3)))
     assert(out.head == ((1, 1L, 1.0)))    // identical vector, cosine 1
     assert(out(1)._2 == 2L)               // near neighbour second
     assert(out.map(_._1).toSeq == Seq(1, 2, 3))
@@ -76,7 +76,7 @@ class AnnSpec extends SparkTestBase {
   test("IVF top-k: identical vector recalled from the probed cells") {
     val out = Ann.ivfTopK(corpus, "id", "v", probes, "qid", "qv",
       k = 3, nCentroids = 2, nProbe = 1)
-      .collect().map(r => (r.getInt(1), r.getLong(2), r.getDouble(3)))
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getDouble(3)))
     assert(out.nonEmpty)
     assert(out.head._2 == 1L && out.head._3 == 1.0) // identical vec, same cell
   }
@@ -86,11 +86,11 @@ class AnnSpec extends SparkTestBase {
     val p = e.filter(col("vec_id") < 5)
       .select(col("vec_id").as("qid"), col("v").as("qv"))
     val bf = Ann.bruteForceTopK(e, "vec_id", "v", p, "qid", "qv", k = 5)
-      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
     // probing every cell must reproduce the exact result
     val ivf = Ann.ivfTopK(e, "vec_id", "v", p, "qid", "qv", k = 5,
       nCentroids = 8, nProbe = 8)
-      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
     assert(ivf == bf)
   }
 
