@@ -288,6 +288,13 @@ object SparkEntry {
       Dedup.ngramJaccardPairs(docs(s, d), "doc_id", "text", n = 3, threshold = 0.5)
         .orderBy("id_a", "id_b")),
 
+    // Winnowing-fingerprint near-dup pairs — fingerprint sets are ~1/w of
+    // the shingle count, so the inverted-index cost shrinks ~w²× vs exact
+    // n-gram Jaccard (rows-only: xxhash64-based).
+    "q_dedup_winnow" -> ((s, d) =>
+      Dedup.winnowJaccardPairs(docs(s, d), "doc_id", "text",
+        k = 3, w = 4, threshold = 0.35).orderBy("id_a", "id_b")),
+
     // Token counting (whitespace tokens over trimmed text).
     "q_text_tokens" -> ((s, d) =>
       docs(s, d).select(col("doc_id"), TF.tokenCount(col("text")).as("n_tokens"))),

@@ -83,6 +83,38 @@ object Dedup {
   }
 
   /**
+   * Winnowing near-dup pairs (Schleimer et al., SIGMOD'03): each document
+   * is reduced to its winnowed fingerprint set (sliding-window minima of
+   * positional k-gram hashes — ~1/w of the shingle count), then the same
+   * inverted-index → co-occurrence → Jaccard pipeline as
+   * [[ngramJaccardPairs]] runs over the fingerprints.
+   *
+   * Sits between SimHash and exact n-gram Jaccard on the cost/fidelity
+   * curve: sets shrink ~w×, so the Σ freq² index blowup shrinks ~w²×,
+   * while guaranteed-overlap properties of winnowing keep matches of
+   * length ≥ w+k-1 represented. Fingerprint Jaccard approximates (and
+   * tracks) shingle Jaccard.
+   */
+  def winnowJaccardPairs(
+      df: DataFrame, idCol: String, textCol: String,
+      k: Int = 5, w: Int = 4, threshold: Double = 0.5): DataFrame = {
+    val docs = df.select(col(idCol).as("id"),
+      winnowedFingerprints(col(textCol), k, w).as("fps"))
+    val sizes = docs.select(col("id"), size(col("fps")).as("sz"))
+    val inv = docs.select(col("id"), explode(col("fps")).as("fp"))
+    val co = inv.as("a").join(inv.as("b"),
+        col("a.fp") === col("b.fp") && col("a.id") < col("b.id"))
+      .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .agg(count(lit(1)).as("inter"))
+    co.join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("sz", "sz_a"), "id_a")
+      .join(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("sz", "sz_b"), "id_b")
+      .withColumn("jaccard",
+        col("inter").cast("double") / (col("sz_a") + col("sz_b") - col("inter")).cast("double"))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
+  }
+
+  /**
    * MinHash + LSH near-dup pairs (Broder '97): k permutation min-hashes →
    * b bands of r = k/b rows → docs sharing any band bucket are candidates →
    * exact Jaccard on the hashed shingle sets confirms.

@@ -33,6 +33,16 @@ class DedupSpec extends SparkTestBase {
     assert(pairs.find(p => (p._1, p._2) == (1L, 2L)).get._3 == 1.0)
   }
 
+  test("winnowing Jaccard: identical pair at 1.0, near pair present, unrelated absent") {
+    val pairs = Dedup.winnowJaccardPairs(corpus, "id", "text", k = 3, w = 2, threshold = 0.3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val keys = pairs.map(p => (p._1, p._2)).toSet
+    assert(keys.contains((1L, 2L)))                    // identical fingerprint sets
+    assert(pairs.find(p => (p._1, p._2) == (1L, 2L)).get._3 == 1.0)
+    assert(keys.contains((1L, 3L)))                    // near pair survives winnowing
+    assert(!keys.exists(p => p._1 == 4L || p._2 == 4L))
+  }
+
   test("minhash LSH finds identical pairs with exact-verify jaccard") {
     val pairs = Dedup.minhashPairs(corpus, "id", "text",
         shingleN = 3, numHashes = 64, bands = 16, threshold = 0.5)
