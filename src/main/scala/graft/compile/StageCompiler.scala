@@ -172,9 +172,13 @@ object StageCompiler {
    */
   private def literal(v: Any, colType: Option[DataType]): Column = (v, colType) match {
     case (s: String, Some(t: NumericType)) if isNumeric(s) => lit(s).cast(t)
-    case (s: String, Some(DateType))       => lit(s).cast(DateType)
-    case (s: String, Some(TimestampType))  => lit(s).cast(TimestampType)
-    case (other, _)                        => lit(other)
+    case (s: String, Some(DateType))          => lit(s).cast(DateType)
+    case (s: String, Some(TimestampType))     => lit(s).cast(TimestampType)
+    // parquet ms-timestamps with isAdjustedToUTC=false read as NTZ in
+    // Spark 4 — cast explicitly so the comparison stays a pushdown-able
+    // typed predicate, not a string coercion.
+    case (s: String, Some(TimestampNTZType))  => lit(s).cast(TimestampNTZType)
+    case (other, _)                           => lit(other)
   }
 
   private def isNumeric(s: String): Boolean =

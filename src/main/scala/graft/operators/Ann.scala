@@ -58,12 +58,28 @@ object Ann {
    * N/16 accidental candidates from a near-orthogonal corpus plus all
    * high-similarity neighbours w.h.p. — corpus-linear per probe with a
    * 16× prune. Raise bandBits as N grows (candidates scale 1/2^bandBits).
+   *
+   * `probeHamming = 1` enables multi-probe (Lv et al., VLDB'07): each
+   * probe also queries every band key within Hamming distance 1 —
+   * recall of a (bands × bandBits+?) config at the index size and
+   * candidate profile of this one. The expansion is PROBE-side only
+   * (×(bandBits+1) rows on the tiny side); the corpus index and its
+   * shuffle volume are unchanged — the right trade when the index is
+   * big and the query batch is small.
    */
   def lshTopK(corpus: DataFrame, idCol: String, vecCol: String,
               probes: DataFrame, probeIdCol: String, probeVecCol: String,
-              k: Int = 10, bands: Int = 16, bandBits: Int = 8): DataFrame = {
+              k: Int = 10, bands: Int = 16, bandBits: Int = 8,
+              probeHamming: Int = 0): DataFrame = {
+    require(probeHamming >= 0 && probeHamming <= 1, "probeHamming must be 0 or 1")
     val corpusB = banded(corpus, idCol, vecCol, bands, bandBits)
-    val probesB = banded(probes, probeIdCol, probeVecCol, bands, bandBits)
+    val probesB0 = banded(probes, probeIdCol, probeVecCol, bands, bandBits)
+    val probesB =
+      if (probeHamming == 0) probesB0
+      else probesB0
+        .select(col(probeIdCol), col("band"), explode(array(
+          col("key") +: (0 until bandBits).map(b =>
+            col("key").bitwiseXOR(lit(1L << b))): _*)).as("key"))
     val cand = corpusB.join(broadcast(probesB),
         corpusB("band") === probesB("band") && corpusB("key") === probesB("key") &&
           col(idCol) =!= col(probeIdCol))

@@ -108,5 +108,13 @@ class AnnSpec extends SparkTestBase {
     // expect a reasonable fraction of true top-1s among the candidates
     val hits = bf.count { case (q, top1) => lsh.get(q).exists(_.contains(top1)) }
     assert(hits >= 3, s"top-1 recall too low: $hits/10")
+
+    // multi-probe (Hamming-1 ball, probe side only) must not lose recall —
+    // and on this corpus it should find strictly more true top-1s
+    val mp = Ann.lshTopK(e, "vec_id", "v", p, "qid", "qv", k = 5,
+      bands = 16, bandBits = 8, probeHamming = 1).collect()
+      .groupBy(_.getLong(0)).map { case (q, rows) => q -> rows.map(_.getLong(2)).toSet }
+    val mpHits = bf.count { case (q, top1) => mp.get(q).exists(_.contains(top1)) }
+    assert(mpHits >= hits, s"multi-probe lost recall: $mpHits < $hits")
   }
 }
