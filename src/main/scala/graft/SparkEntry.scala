@@ -266,6 +266,24 @@ object SparkEntry {
 
     // ======== training-data extensions (SURVEY §7.1 step 8) ========
 
+    // Salted two-phase aggregation on a genuinely skewed key (lineitem has
+    // 3 distinct return flags — each key is ~1/3 of the corpus): results
+    // must equal a plain GROUP BY, which is exactly what the DuckDB oracle
+    // asserts. Decimal partials keep the sums exact through both phases.
+    "q_skew_agg" -> ((s, d) => {
+      import graft.operators.Skew
+      val li = executor(s, d).table("lineitem")
+      Skew.saltedAggregate(li, Seq("l_returnflag"), Seq(
+          Skew.SaltedAgg("sum", "CAST(l_quantity AS DECIMAL(18,2))", "sum_qty_dec"),
+          Skew.SaltedAgg("count", "*", "n_rows"),
+          Skew.SaltedAgg("min", "l_extendedprice", "min_price"),
+          Skew.SaltedAgg("max", "l_extendedprice", "max_price"),
+          Skew.SaltedAgg("avg", "l_linenumber", "avg_linenum")), buckets = 32)
+        .selectExpr("l_returnflag", "CAST(sum_qty_dec AS DOUBLE) AS sum_qty",
+          "n_rows", "min_price", "max_price", "avg_linenum")
+        .orderBy("l_returnflag")
+    }),
+
     // Exact dedup: survivors = min doc_id per identical text.
     "q_dedup_exact" -> ((s, d) => Dedup.exactDedup(docs(s, d), "doc_id", "text")),
 
@@ -582,6 +600,13 @@ object SparkEntry {
     "q_dedup_ngram" -> ngramJaccardOracle(n = 3, threshold = 0.5),
     "q_dedup_ngram_capped" ->
       ngramJaccardOracle(n = 3, threshold = 0.5, maxShingleFreq = Some(5)),
+    "q_skew_agg" ->
+      ("SELECT l_returnflag, " +
+        "CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty, " +
+        "count(*) AS n_rows, min(l_extendedprice) AS min_price, " +
+        "max(l_extendedprice) AS max_price, " +
+        "CAST(sum(l_linenumber) AS DOUBLE) / count(l_linenumber) AS avg_linenum " +
+        "FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"),
     "q_agg_avg" ->
       ("SELECT p_brand, avg(p_size) AS avg_size, count(*) AS n_parts, " +
         "CAST(sum(CAST(p_retailprice AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_price " +
