@@ -81,4 +81,72 @@ object StreamingPipeline {
                   watermarkDelay: String = "1 hour"): DataFrame =
     stream.withWatermark(tsCol, watermarkDelay)
       .dropDuplicatesWithinWatermark(keyCols.head, keyCols.tail: _*)
+
+  /** Open session carried in state: event-time bounds + event count. */
+  final case class SessionState(start: Long, end: Long, n: Long)
+
+  /** A closed session, emitted when its gap expires. */
+  final case class Session(key: String, session_start: java.sql.Timestamp,
+                           session_end: java.sql.Timestamp, n_events: Long)
+
+  /**
+   * Event-time sessionization — custom state via
+   * `flatMapGroupsWithState` (the stage algebra's built-ins can't express
+   * gap-based session windows): events for a key belong to one session
+   * while consecutive gaps stay ≤ `gap`; a session closes (and is
+   * emitted, append mode) when the event-time watermark passes its end +
+   * gap. State per key is ONE open session (start, end, count) — bounded
+   * by key cardinality, evicted by event-time timeout, so this runs
+   * forever on an unbounded stream.
+   */
+  def sessionize(stream: DataFrame, tsCol: String, keyCol: String,
+                 gap: String = "30 minutes",
+                 watermarkDelay: String = "10 minutes"): DataFrame = {
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+    val spark = stream.sparkSession
+    import spark.implicits._
+    val gapMs = org.apache.spark.sql.catalyst.util.IntervalUtils
+      .stringToInterval(org.apache.spark.unsafe.types.UTF8String.fromString(gap))
+    val gapMillis = gapMs.days * 86400000L + gapMs.microseconds / 1000L
+    require(gapMs.months == 0, "session gap must be a fixed duration")
+
+    stream
+      .select(col(keyCol).cast("string").as("key"), col(tsCol).cast("timestamp").as("ts"))
+      .withWatermark("ts", watermarkDelay) // after the cast — a projection re-keys the attribute and would drop the watermark tag
+      .as[(String, java.sql.Timestamp)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[SessionState, Session](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (key, events, state) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator(Session(key, new java.sql.Timestamp(s.start),
+              new java.sql.Timestamp(s.end), s.n))
+          } else {
+            // merge this batch's event times (sorted — micro-batches are
+            // unordered) into the open session, closing on gap violations
+            val times = events.map(_._2.getTime).toArray.sorted
+            var closed = List.empty[SessionState]
+            var cur = state.getOption
+            times.foreach { t =>
+              cur match {
+                case Some(s) if t - s.end <= gapMillis =>
+                  cur = Some(SessionState(s.start, math.max(s.end, t), s.n + 1))
+                case Some(s) =>
+                  closed ::= s
+                  cur = Some(SessionState(t, t, 1))
+                case None =>
+                  cur = Some(SessionState(t, t, 1))
+              }
+            }
+            cur.foreach { s =>
+              state.update(s)
+              state.setTimeoutTimestamp(s.end + gapMillis)
+            }
+            closed.reverse.iterator.map(s => Session(key,
+              new java.sql.Timestamp(s.start), new java.sql.Timestamp(s.end), s.n))
+          }
+      }.toDF()
+  }
 }

@@ -87,4 +87,31 @@ class StreamingPipelineSpec extends SparkTestBase {
     }
     assert(err.getMessage.contains("SORT"))
   }
+
+  test("sessionize: gap-based sessions close via event-time timeout (flatMapGroupsWithState)") {
+    implicit val sq = sqlContextImplicit
+    import spark.implicits._
+    val mem = MemoryStream[Ev]
+    val out = StreamingPipeline.sessionize(
+      mem.toDF(), "ts", "user_id", gap = "5 minutes", watermarkDelay = "1 minute")
+    val q = out.writeStream.format("memory").queryName("sessions_out")
+      .outputMode("append").start()
+    try {
+      // user 7: events at 10:00, 10:02 (one session), then 10:20 (a new one)
+      mem.addData(Ev(1, t(0), 7, "click", 1.0), Ev(2, t(2), 7, "click", 1.0))
+      q.processAllAvailable()
+      mem.addData(Ev(3, t(20), 7, "click", 1.0))
+      q.processAllAvailable()
+      // push the watermark far past 10:20 + gap so every session times out
+      mem.addData(Ev(9, t(59), 8, "view", 0.0))
+      q.processAllAvailable()
+      val rows = spark.sql(
+        "SELECT key, session_start, session_end, n_events FROM sessions_out ORDER BY session_start")
+        .collect().map(r => (r.getString(0), r.getTimestamp(1), r.getTimestamp(2), r.getLong(3)))
+      val u7 = rows.filter(_._1 == "7")
+      assert(u7.length == 2, s"expected 2 sessions for user 7, got ${u7.toSeq}")
+      assert(u7(0)._2 == t(0) && u7(0)._3 == t(2) && u7(0)._4 == 2L) // merged session
+      assert(u7(1)._2 == t(20) && u7(1)._3 == t(20) && u7(1)._4 == 1L)
+    } finally q.stop()
+  }
 }
