@@ -313,6 +313,35 @@ object SparkEntry {
       Dedup.winnowJaccardPairs(docs(s, d), "doc_id", "text",
         k = 3, w = 4, threshold = 0.35).orderBy("id_a", "id_b")),
 
+    // Batch sessionization over events via window functions (an extension —
+    // the reference has no OVER anywhere, SURVEY §2.6): same gap semantics
+    // as the streaming flatMapGroupsWithState sessionizer.
+    "q_sessionize" -> ((s, d) =>
+      graft.operators.Sessionize.batch(
+        executor(s, d).table("events"), "ts", "user_id", gapSeconds = 1800)
+        .orderBy("user_id", "session_id")),
+
+    // Multimodal metadata through the gate: document text as binary
+    // payloads → magic-byte mime sniff + byte counts (all codegen
+    // built-ins). The mime constant is safe: no testdata doc starts with
+    // a media magic sequence (asserted against the oracle's own check).
+    "q_multimodal_meta" -> ((s, d) => {
+      import graft.operators.Multimodal
+      val payloads = docs(s, d).select(col("doc_id"), col("text").cast("binary").as("payload"))
+      Multimodal.withMetadata(payloads, "payload")
+        .select(col("doc_id"), col("meta.mime").as("mime"), col("meta.n_bytes").as("n_bytes"))
+    }),
+
+    // Multimodal decode plumbing over the same payloads (rows-only:
+    // ImageIO rejects text bytes → deterministic stub features).
+    "q_multimodal_decode" -> ((s, d) => {
+      import graft.operators.Multimodal
+      val payloads = docs(s, d).select(col("doc_id"), col("text").cast("binary").as("payload"))
+      Multimodal.decodeFeatures(payloads, "payload")
+        .select(col("doc_id"), col("feat.width").as("width"),
+          col("feat.height").as("height"), col("feat.channels").as("channels"))
+    }),
+
     // Token counting (whitespace tokens over trimmed text).
     "q_text_tokens" -> ((s, d) =>
       docs(s, d).select(col("doc_id"), TF.tokenCount(col("text")).as("n_tokens"))),
@@ -600,6 +629,25 @@ object SparkEntry {
     "q_dedup_ngram" -> ngramJaccardOracle(n = 3, threshold = 0.5),
     "q_dedup_ngram_capped" ->
       ngramJaccardOracle(n = 3, threshold = 0.5, maxShingleFreq = Some(5)),
+    "q_multimodal_meta" ->
+      ("SELECT doc_id, 'application/octet-stream' AS mime, " +
+        "octet_length(encode(text)) AS n_bytes FROM documents"),
+    // Default window frames on both sides (RANGE to current row incl.
+    // peers) — tie rows get identical running sums in both engines.
+    "q_sessionize" ->
+      """WITH flagged AS (
+        |  SELECT user_id, ts,
+        |    CASE WHEN epoch_us(ts) - epoch_us(lag(ts) OVER (PARTITION BY user_id ORDER BY ts))
+        |              > 1800000000 THEN 1 ELSE 0 END AS new_s
+        |  FROM events),
+        |numbered AS (
+        |  SELECT user_id, ts,
+        |    CAST(sum(new_s) OVER (PARTITION BY user_id ORDER BY ts) AS BIGINT) AS session_id
+        |  FROM flagged)
+        |SELECT user_id, session_id, min(ts) AS session_start,
+        |       max(ts) AS session_end, count(*) AS n_events
+        |FROM numbered GROUP BY user_id, session_id
+        |ORDER BY user_id, session_id""".stripMargin,
     "q_skew_agg" ->
       ("SELECT l_returnflag, " +
         "CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty, " +
