@@ -16,11 +16,49 @@ import org.apache.spark.sql.graftshim.CatalystBridge
  *  - `--conf spark.sql.extensions=graft.GraftExtensions` on a real cluster.
  */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  import graft.functions._
+  import org.apache.spark.sql.catalyst.expressions.Literal
+
+  /** Extract a literal Int argument (SQL-side parameters like band counts
+    * must be constants — they size driver-built structures). */
+  private def intArg(e: Expression, fn: String, pos: Int): Int = e match {
+    case Literal(v: Int, _)  => v
+    case Literal(v: Long, _) => v.toInt
+    case other => throw new IllegalArgumentException(
+      s"$fn: argument ${pos + 1} must be an integer literal, got $other")
+  }
+
   override def apply(ext: SparkSessionExtensions): Unit = {
-    ext.injectFunction((
-      new FunctionIdentifier("simhash64"),
-      new ExpressionInfo(classOf[SimHash64].getName, "simhash64"),
-      (children: Seq[Expression]) => SimHash64(children.head)))
+    def inject(name: String, builder: Seq[Expression] => Expression,
+               clazz: Class[_]): Unit =
+      ext.injectFunction((
+        new FunctionIdentifier(name),
+        new ExpressionInfo(clazz.getName, name),
+        builder))
+
+    // Every graft native expression, callable from CUSTOM SQL stages —
+    // the reference's escape hatch thereby reaches the training-data
+    // primitives: e.g.
+    //   SELECT a.doc_id, b.doc_id FROM t a JOIN t b
+    //   ON simhash64(hashed_tokens(a.text)) = simhash64(hashed_tokens(b.text))
+    inject("simhash64", cs => SimHash64(cs.head), classOf[SimHash64])
+    inject("hashed_tokens", cs => HashedTokens(cs.head), classOf[HashedTokens])
+    inject("hashed_shingles", cs => HashedShingles(cs(0),
+      intArg(cs(1), "hashed_shingles", 1)), classOf[HashedShingles])
+    inject("minhash_sig", cs => MinHashSig(cs(0),
+      intArg(cs(1), "minhash_sig", 1)), classOf[MinHashSig])
+    inject("winnowed_fingerprints", cs => WinnowedFps(cs(0),
+      intArg(cs(1), "winnowed_fingerprints", 1),
+      intArg(cs(2), "winnowed_fingerprints", 2)), classOf[WinnowedFps])
+    inject("hyperplane_sig", cs => HyperplaneSig(cs(0),
+      intArg(cs(1), "hyperplane_sig", 1)), classOf[HyperplaneSig])
+    inject("band_keys", cs => BandKeys(cs(0),
+      intArg(cs(1), "band_keys", 1), intArg(cs(2), "band_keys", 2)),
+      classOf[BandKeys])
+    inject("native_dot", cs => NativeDot(cs(0), cs(1)), classOf[NativeDot])
+    inject("native_cosine", cs => NativeCosine(cs(0), cs(1)), classOf[NativeCosine])
+    inject("native_l2_distance", cs => NativeL2Distance(cs(0), cs(1)),
+      classOf[NativeL2Distance])
   }
 }
 

@@ -296,6 +296,20 @@ object SparkEntry {
       Dedup.minhashPairs(docs(s, d), "doc_id", "text", shingleN = 3,
         numHashes = 64, bands = 16, threshold = 0.5).orderBy("id_a", "id_b")),
 
+    // MinHash at threshold 1.0 over docs ∪ exact twins: identical shingle
+    // SETS produce identical signatures, so every band collides — LSH
+    // recall is exactly 1, the exact-verify keeps only set-identical
+    // pairs, and the whole path becomes DuckDB-oracle-checkable (the
+    // string-shingle oracle finds the same pairs; hash collisions aside,
+    // set equality is representation-independent).
+    "q_dedup_minhash_exact" -> ((s, d) => {
+      val d0 = docs(s, d).select(col("doc_id"), col("text"))
+      val twins = d0.select((col("doc_id") + lit(1000000L)).as("doc_id"), col("text"))
+      Dedup.minhashPairs(d0.unionByName(twins), "doc_id", "text",
+        shingleN = 3, numHashes = 64, bands = 16, threshold = 1.0)
+        .orderBy("id_a", "id_b")
+    }),
+
     // SimHash near-dup pairs via the native simhash64 expression.
     "q_dedup_simhash" -> ((s, d) =>
       Dedup.simhashPairs(docs(s, d), "doc_id", "text", maxHamming = 8)
@@ -481,7 +495,8 @@ object SparkEntry {
    * xxhash64 collisions over ≤10^5 shingles are ~10^-10-probable).
    */
   private def ngramJaccardOracle(n: Int, threshold: Double,
-                                 maxShingleFreq: Option[Int] = None): String = {
+                                 maxShingleFreq: Option[Int] = None,
+                                 corpus: String = "documents"): String = {
     // The cap drops shingles whose doc-frequency exceeds it from the
     // inverted index ONLY; set sizes stay uncapped — mirroring
     // Dedup.ngramJaccardPairs exactly.
@@ -495,7 +510,7 @@ object SparkEntry {
     s"""WITH docs AS (
        |  SELECT doc_id, list_distinct(list_transform(range(1, greatest(len(toks)-${n - 1},1)+1),
        |         i -> array_to_string(list_slice(toks, i, i+${n - 1}), ' '))) AS sh
-       |  FROM (SELECT doc_id, $toksSql AS toks FROM documents)
+       |  FROM (SELECT doc_id, $toksSql AS toks FROM $corpus)
        |),
        |inv0 AS (SELECT doc_id, unnest(sh) AS s FROM docs)$invFilter,
        |co AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
@@ -629,6 +644,10 @@ object SparkEntry {
     "q_dedup_ngram" -> ngramJaccardOracle(n = 3, threshold = 0.5),
     "q_dedup_ngram_capped" ->
       ngramJaccardOracle(n = 3, threshold = 0.5, maxShingleFreq = Some(5)),
+    "q_dedup_minhash_exact" ->
+      ngramJaccardOracle(n = 3, threshold = 1.0, corpus =
+        "(SELECT doc_id, text FROM documents UNION ALL " +
+          "SELECT doc_id + 1000000 AS doc_id, text FROM documents)"),
     "q_multimodal_meta" ->
       ("SELECT doc_id, 'application/octet-stream' AS mime, " +
         "octet_length(encode(text)) AS n_bytes FROM documents"),

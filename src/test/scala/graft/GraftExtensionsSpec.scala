@@ -1,0 +1,52 @@
+package graft
+
+import graft.model.CustomStage
+import graft.pipeline.PipelineExecutor
+import org.apache.spark.sql.Row
+
+/** The native expressions must be reachable from SQL — which means a
+  * CUSTOM stage (the reference's escape hatch) can run the training-data
+  * primitives without any Scala. */
+class GraftExtensionsSpec extends SparkTestBase {
+
+  test("native functions resolve by SQL name with literal parameters") {
+    val r = spark.sql(
+      """SELECT
+        |  native_cosine(array(1.0d, 0.0d), array(2.0d, 0.0d)) AS cos,
+        |  native_dot(array(1.0d, 2.0d), array(3.0d, 4.0d)) AS dot,
+        |  native_l2_distance(array(0.0d, 0.0d), array(3.0d, 4.0d)) AS dist,
+        |  size(minhash_sig(hashed_shingles('a b c d e', 3), 16)) AS sig_len,
+        |  size(band_keys(array(1.0d, -2.0d, 0.5d), 4, 8)) AS n_bands,
+        |  size(winnowed_fingerprints('one two three four five six', 2, 3)) AS n_fp,
+        |  simhash64(hashed_tokens('hello world')) AS fp
+        |""".stripMargin).head()
+    assert(r.getDouble(0) == 1.0)
+    assert(r.getDouble(1) == 11.0)
+    assert(r.getDouble(2) == 5.0)
+    assert(r.getInt(3) == 16)
+    assert(r.getInt(4) == 4)
+    assert(r.getInt(5) >= 1)
+    assert(r.getLong(6) != 0L)
+  }
+
+  test("a CUSTOM stage can run a dedup primitive end-to-end in SQL") {
+    val ex = new PipelineExecutor(spark)
+    ex.register("docs_sql", df("doc_id BIGINT, text STRING", Seq(
+      Row(1L, "the quick brown fox jumps over the lazy dog"),
+      Row(2L, "the quick brown fox jumps over the lazy dog"),
+      Row(3L, "completely different content here"))))
+    val out = ex.run(Seq(CustomStage("s1", "pair identical docs via simhash",
+      "SELECT a.doc_id AS id_a, b.doc_id AS id_b FROM docs_sql a JOIN docs_sql b " +
+        "ON simhash64(hashed_tokens(a.text)) = simhash64(hashed_tokens(b.text)) " +
+        "AND a.doc_id < b.doc_id")))
+    assert(out.collect().map(r => (r.getLong(0), r.getLong(1))).toSeq == Seq((1L, 2L)))
+  }
+
+  test("non-literal size parameters are rejected with a clear message") {
+    val e = intercept[Exception] {
+      spark.sql("SELECT minhash_sig(hashed_shingles('a b c', 3), doc_id) " +
+        "FROM (SELECT 1 AS doc_id)").collect()
+    }
+    assert(e.getMessage.contains("integer literal"))
+  }
+}
