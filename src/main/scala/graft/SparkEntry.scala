@@ -315,6 +315,20 @@ object SparkEntry {
       Dedup.simhashPairs(docs(s, d), "doc_id", "text", maxHamming = 8)
         .orderBy("id_a", "id_b")),
 
+    // SimHash recall-1 gate: over docs ∪ exact twins, every twin pair has
+    // hamming 0 and shares all four 16-bit chunks, so the pipeline MUST
+    // recover exactly one (i, i+1e6) row per doc. The projection keeps
+    // only twin pairs — natural hamming-0 collisions (possible for
+    // near-dups whose counter signs all agree) stay out of the oracle'd
+    // set; the probabilistic surface remains q_dedup_simhash (rows-only).
+    "q_dedup_simhash_twins" -> ((s, d) => {
+      val d0 = docs(s, d).select(col("doc_id"), col("text"))
+      val twins = d0.select((col("doc_id") + lit(1000000L)).as("doc_id"), col("text"))
+      Dedup.simhashPairs(d0.unionByName(twins), "doc_id", "text", maxHamming = 0)
+        .filter(col("id_b") === col("id_a") + 1000000L)
+        .orderBy("id_a")
+    }),
+
     // Exact n-gram Jaccard pairs via inverted shingle index.
     "q_dedup_ngram" -> ((s, d) =>
       Dedup.ngramJaccardPairs(docs(s, d), "doc_id", "text", n = 3, threshold = 0.5)
@@ -644,6 +658,9 @@ object SparkEntry {
     "q_dedup_ngram" -> ngramJaccardOracle(n = 3, threshold = 0.5),
     "q_dedup_ngram_capped" ->
       ngramJaccardOracle(n = 3, threshold = 0.5, maxShingleFreq = Some(5)),
+    "q_dedup_simhash_twins" ->
+      ("SELECT doc_id AS id_a, doc_id + 1000000 AS id_b, " +
+        "CAST(0 AS INTEGER) AS hamming FROM documents ORDER BY id_a"),
     "q_dedup_minhash_exact" ->
       ngramJaccardOracle(n = 3, threshold = 1.0, corpus =
         "(SELECT doc_id, text FROM documents UNION ALL " +
