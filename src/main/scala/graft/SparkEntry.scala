@@ -422,6 +422,30 @@ object SparkEntry {
         k = 10, nCentroids = 16, nProbe = 4)
     }),
 
+    // LSH top-k recall-1 gate: corpus ∪ exact twins, k=1 — a twin shares
+    // every band with its probe (positive scaling preserves hyperplane
+    // signs) and its cosine 1.0 beats every real vector (max ~0.6), so
+    // rank 1 is deterministically the twin. Exercises the full banded
+    // candidate pipeline with a closed-form oracle.
+    "q_ann_lsh_twin" -> ((s, d) => {
+      val (e, probes) = annInputs(s, d)
+      val twins = e.select((col("vec_id") + lit(1000000L)).as("vec_id"),
+        transform(col("v"), x => x * lit(2.0)).as("v"))
+      Ann.lshTopK(e.unionByName(twins), "vec_id", "v", probes, "query_id", "qv",
+        k = 1, bands = 16, bandBits = 8)
+    }),
+
+    // IVF recall-1 gate: a twin's cell assignment equals its probe's
+    // (argmax of dots is scale-invariant), so nProbe ≥ 1 always reaches
+    // it and rank 1 is the twin — closed-form oracle for the IVF path.
+    "q_ann_ivf_twin" -> ((s, d) => {
+      val (e, probes) = annInputs(s, d)
+      val twins = e.select((col("vec_id") + lit(1000000L)).as("vec_id"),
+        transform(col("v"), x => x * lit(2.0)).as("v"))
+      Ann.ivfTopK(e.unionByName(twins), "vec_id", "v", probes, "query_id", "qv",
+        k = 1, nCentroids = 16, nProbe = 2)
+    }),
+
     // Embedding-cosine near-dup pairs: LSH-banded candidates (8×16-bit
     // bands — 65,536 buckets/band) + exact native-cosine confirm at the
     // true near-dup regime (0.9; round 1 ran threshold 0.3 with 4-bit
@@ -703,6 +727,14 @@ object SparkEntry {
     "q_dedup_embed" ->
       ("SELECT vec_id AS id_a, vec_id + 1000000 AS id_b, " +
         "CAST(1.0 AS DOUBLE) AS cosine FROM embeddings ORDER BY id_a, id_b"),
+    "q_ann_lsh_twin" ->
+      ("SELECT vec_id AS query_id, CAST(1 AS BIGINT) AS rank, " +
+        "vec_id + 1000000 AS vec_id, CAST(1.0 AS DOUBLE) AS cosine " +
+        "FROM embeddings WHERE vec_id < 5 ORDER BY query_id"),
+    "q_ann_ivf_twin" ->
+      ("SELECT vec_id AS query_id, CAST(1 AS BIGINT) AS rank, " +
+        "vec_id + 1000000 AS vec_id, CAST(1.0 AS DOUBLE) AS cosine " +
+        "FROM embeddings WHERE vec_id < 5 ORDER BY query_id"),
     // Exact brute-force top-k IS DuckDB-expressible: both engines compute
     // double cosine (differences live below the 6-decimal rounding), and
     // rank ties break on vec_id in both. Top-10 cosine gaps in the
