@@ -243,6 +243,26 @@ object SparkEntry {
     // -------- chained pipeline with implicit input resolution
     "q_pipeline" -> ((s, d) => chainedPipeline(s, d)),
 
+    // LOAD fallback tier: manual all-VARCHAR parse (ui/src/App.tsx:417-420)
+    // vs DuckDB's all_varchar read of the same fixture.
+    "q_load_csv_fallback" -> ((s, _) =>
+      Ingest.csvFallback(s, csvFixture)),
+
+    // Image-payload table source (ui/src/App.tsx:812-835): deterministic
+    // inline payload → DataFrame; oracle = the same rows as SQL VALUES.
+    // Covers typed columns, lowercase normalization, literal-NULL cells,
+    // and unparseable-cell → NULL.
+    "q_load_image_payload" -> ((s, _) =>
+      Ingest.fromImagePayload(s,
+        Seq(Ingest.ImageColumn("Product_ID", "INTEGER"),
+          Ingest.ImageColumn("Price", "DOUBLE"),
+          Ingest.ImageColumn("Sold_On", "DATE"),
+          Ingest.ImageColumn("Label")),
+        Seq(
+          Seq("1", "9.99", "2024-01-05", "widget"),
+          Seq("2", "NULL", "2024-02-10", "gadget"),
+          Seq("x", "1.5", "not a date", "gizmo")))),
+
     // -------- LOAD: CSV ingest parity vs DuckDB read_csv_auto (SURVEY
     // §7.3 risk #1). Both engines infer schema from the same committed
     // fixture; integer WIDTH is normalized in the projection (Spark
@@ -656,6 +676,14 @@ object SparkEntry {
       "SELECT * FROM part ORDER BY p_size DESC, p_retailprice ASC, p_partkey ASC",
     "q_load_csv" ->
       s"SELECT * FROM read_csv_auto('$csvFixture', header=true)",
+    "q_load_csv_fallback" ->
+      s"SELECT * FROM read_csv_auto('$csvFixture', header=true, all_varchar=true)",
+    "q_load_image_payload" ->
+      ("SELECT * FROM (VALUES " +
+        "(1, 9.99, DATE '2024-01-05', 'widget'), " +
+        "(2, NULL, DATE '2024-02-10', 'gadget'), " +
+        "(NULL, 1.5, NULL, 'gizmo')) " +
+        "AS t(product_id, price, sold_on, label)"),
     "q_custom" -> sqlCustom,
     "q_custom_events" -> sqlEvents,
     "q_custom_exclude" -> sqlExclude,
