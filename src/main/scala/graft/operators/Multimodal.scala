@@ -64,8 +64,10 @@ object Multimodal {
    * preserved so upstream `repartition` controls task granularity.
    *
    * Decode: [[decodeImage]] (real, javax.imageio) for anything ImageIO
-   * recognizes; other media fall back to [[decodeStub]]'s deterministic
-   * pseudo-features (clearly a stub — no audio/video codecs here).
+   * recognizes; then [[decodeAudio]] (real, javax.sound.sampled) for PCM
+   * WAV/AIFF; everything else falls back to [[decodeStub]]'s
+   * deterministic pseudo-features (clearly a stub — no video/compressed-
+   * audio codecs here).
    */
   def decodeFeatures(df: DataFrame, binCol: String,
                      featCol: String = "feat", batchSize: Int = 64): DataFrame = {
@@ -97,7 +99,7 @@ object Multimodal {
     val img =
       try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
       catch { case _: Exception => null }
-    if (img == null) decodeStub(bytes)
+    if (img == null) decodeAudio(bytes)
     else {
       val w = img.getWidth
       val h = img.getHeight
@@ -127,9 +129,55 @@ object Multimodal {
   }
 
   /**
-   * STUB decode — deterministic fake standing in for an audio/video codec
-   * call (none available in this environment; images take the REAL
-   * [[decodeImage]] path above). Produces plausible dimensions and an
+   * REAL audio decode via `javax.sound.sampled` (PCM WAV/AIFF — the
+   * formats a stock JVM parses): width = frame count, height = sample
+   * rate (Hz), channels = channel count, feature = 8-bucket RMS envelope
+   * over the first channel, normalized to [0,1] — a compact loudness
+   * signature for similarity/quality filtering. Unparseable payloads
+   * (video, MP3/OGG, garbage) fall through to the stub.
+   */
+  private[operators] def decodeAudio(bytes: Array[Byte]): Row = {
+    import javax.sound.sampled.AudioSystem
+    val parsed =
+      try {
+        val in = AudioSystem.getAudioInputStream(new java.io.ByteArrayInputStream(bytes))
+        try {
+          val fmt = in.getFormat
+          val frames = in.getFrameLength
+          val data = in.readAllBytes()
+          val bytesPerSample = math.max(1, fmt.getSampleSizeInBits / 8)
+          val frameSize = math.max(1, fmt.getFrameSize)
+          val n = (data.length / frameSize).toInt
+          val buckets = 8
+          val sums = new Array[Double](buckets)
+          val counts = new Array[Int](buckets)
+          var i = 0
+          while (i < n) {
+            // first channel, first sample of the frame (16-bit LE or 8-bit)
+            val off = i * frameSize
+            val sample =
+              if (bytesPerSample >= 2)
+                ((data(off + 1) << 8) | (data(off) & 0xFF)).toDouble / 32768.0
+              else (data(off) & 0xFF).toDouble / 128.0 - 1.0
+            val b = math.min(buckets - 1, i * buckets / math.max(1, n))
+            sums(b) += sample * sample
+            counts(b) += 1
+            i += 1
+          }
+          val feature = Array.tabulate(buckets) { b =>
+            if (counts(b) == 0) 0.0f else math.sqrt(sums(b) / counts(b)).toFloat
+          }
+          Some(Row(if (frames >= 0) frames.toInt else n,
+            fmt.getSampleRate.toInt, fmt.getChannels, feature))
+        } finally in.close()
+      } catch { case _: Exception => None }
+    parsed.getOrElse(decodeStub(bytes))
+  }
+
+  /**
+   * STUB decode — deterministic fake standing in for a video/compressed-
+   * audio codec call (none available in this environment; images and PCM
+   * audio take the REAL paths above). Produces plausible dimensions and an
    * 8-float signature derived from the byte content, so downstream
    * plumbing (similarity over features, grouping by dimensions) is
    * exercised with stable values.

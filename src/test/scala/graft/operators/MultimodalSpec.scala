@@ -63,6 +63,37 @@ class MultimodalSpec extends SparkTestBase {
     assert(grid.forall(v => v >= 0.0f && v <= 1.0f))
   }
 
+  test("REAL audio decode: a generated PCM WAV yields frames, rate, channels, RMS envelope") {
+    import javax.sound.sampled.{AudioFileFormat, AudioFormat, AudioInputStream, AudioSystem}
+    // 0.1s of a 440 Hz sine at 8 kHz mono, 16-bit LE PCM
+    val rate = 8000f
+    val n = 800
+    val pcm = new Array[Byte](n * 2)
+    (0 until n).foreach { i =>
+      val s = (math.sin(2 * math.Pi * 440 * i / rate) * 12000).toInt
+      pcm(2 * i) = (s & 0xFF).toByte
+      pcm(2 * i + 1) = ((s >> 8) & 0xFF).toByte
+    }
+    val fmt = new AudioFormat(rate, 16, 1, true, false)
+    val ais = new AudioInputStream(new java.io.ByteArrayInputStream(pcm), fmt, n.toLong)
+    val bos = new java.io.ByteArrayOutputStream()
+    AudioSystem.write(ais, AudioFileFormat.Type.WAVE, bos)
+    val wavBytes = bos.toByteArray
+
+    val one = df("id BIGINT, payload BINARY", Seq(Row(1L, wavBytes)))
+    assert(Multimodal.withMetadata(one, "payload")
+      .select("meta.mime").head().getString(0) == "audio/wav")
+    val feat = Multimodal.decodeFeatures(one, "payload").select("feat.*").head()
+    assert(feat.getInt(0) == n)          // frame count
+    assert(feat.getInt(1) == 8000)       // sample rate
+    assert(feat.getInt(2) == 1)          // mono
+    val env = feat.getSeq[Float](3)
+    assert(env.length == 8)
+    // a constant-amplitude sine has RMS ≈ amplitude/√2 in every bucket
+    val expected = (12000.0 / 32768.0 / math.sqrt(2)).toFloat
+    env.foreach(v => assert(math.abs(v - expected) < 0.02f, s"RMS bucket $v"))
+  }
+
   test("partition count is preserved through the decode (sizing stays upstream)") {
     val repart = media.repartition(3)
     assert(Multimodal.decodeFeatures(repart, "payload").rdd.getNumPartitions == 3)
