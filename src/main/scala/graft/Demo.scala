@@ -56,9 +56,9 @@ object Demo {
     val media = Seq((1L, Array[Byte](0x89.toByte, 'P', 'N', 'G', 13, 10, 26, 10,
       0, 0, 0, 13))).toDF("id", "payload")
     println(s"MIME=${Multimodal.withMetadata(media, "payload")
-      .select("meta.mime").head.getString(0)}")
+      .select("meta.mime").head().getString(0)}")
     println(s"FEAT_W=${Multimodal.decodeFeatures(media, "payload")
-      .select("feat.width").head.getInt(0)}")
+      .select("feat.width").head().getInt(0)}")
 
     // 4. Streaming: stage algebra over an unbounded source
     implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext

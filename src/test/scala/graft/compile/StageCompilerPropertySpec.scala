@@ -45,15 +45,22 @@ class StageCompilerPropertySpec extends SparkTestBase {
   private val genCondition: Gen[FilterCondition] = for {
     numeric <- Gen.oneOf(true, false)
     column <- Gen.oneOf(if (numeric) numericCols else stringCols)
-    op <- if (numeric) Gen.oneOf("=", "!=", ">", "<", ">=", "<=")
-          else Gen.oneOf("=", "!=", "LIKE")
-    value <- if (numeric) Gen.choose(0, 60).map(_.toString)
-             else Gen.oneOf("name_1", "name_3", "3", "%2%")
+    op <- if (numeric) Gen.oneOf("=", "!=", ">", "<", ">=", "<=", "IN", "NOT IN")
+          else Gen.oneOf("=", "!=", "LIKE", "IN", "NOT IN")
+    value <- op match {
+      case "IN" | "NOT IN" =>
+        if (numeric) Gen.oneOf("(1, 2, 3)", "(10, 41)")
+        else Gen.oneOf("('name_1', 'name_3')", "('0', '2', '4')")
+      case _ =>
+        if (numeric) Gen.choose(0, 60).map(_.toString)
+        else Gen.oneOf("name_1", "name_3", "3", "%2%")
+    }
     logic <- Gen.oneOf(Some("AND"), Some("OR"), None)
   } yield FilterCondition(column, op, value, logic)
 
   private def renderValue(c: FilterCondition): String =
-    if (numericCols.contains(c.column)) c.value.toString
+    if (c.operator == "IN" || c.operator == "NOT IN") c.value.toString
+    else if (numericCols.contains(c.column)) c.value.toString
     else s"'${c.value}'"
 
   /** Render exactly like ui/src/sqlGenerator.ts:47-51: left-to-right,
