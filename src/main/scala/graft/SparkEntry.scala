@@ -361,6 +361,13 @@ object SparkEntry {
       Dedup.winnowJaccardPairs(docs(s, d), "doc_id", "text",
         k = 3, w = 4, threshold = 0.35).orderBy("id_a", "id_b")),
 
+    // One-pass column profiling (rows/nulls/distinct/range per column in
+    // a single scan) — exact distinct here because the profiled table is
+    // a small dimension; big tables flip to the HLL sketch (rows-only).
+    "q_profile" -> ((s, d) =>
+      graft.operators.Profile.profile(executor(s, d).table("nation"),
+        exactDistinct = true).orderBy("column")),
+
     // Batch sessionization over events via window functions (an extension —
     // the reference has no OVER anywhere, SURVEY §2.6): same gap semantics
     // as the streaming flatMapGroupsWithState sessionizer.
@@ -720,6 +727,13 @@ object SparkEntry {
     "q_multimodal_meta" ->
       ("SELECT doc_id, 'application/octet-stream' AS mime, " +
         "octet_length(encode(text)) AS n_bytes FROM documents"),
+    "q_profile" -> (Seq("n_nationkey", "n_name", "n_regionkey").map { c =>
+      s"""SELECT '$c' AS "column", count(*) AS n_rows,
+         |count(*) - count($c) AS n_nulls,
+         |count(DISTINCT $c) AS n_distinct,
+         |CAST(min($c) AS VARCHAR) AS min_value,
+         |CAST(max($c) AS VARCHAR) AS max_value FROM nation""".stripMargin
+    }.mkString(" UNION ALL ") + " ORDER BY \"column\""),
     // Default window frames on both sides (RANGE to current row incl.
     // peers) — tie rows get identical running sums in both engines.
     "q_sessionize" ->

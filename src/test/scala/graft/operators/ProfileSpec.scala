@@ -1,0 +1,29 @@
+package graft.operators
+
+import graft.SparkTestBase
+import org.apache.spark.sql.Row
+
+class ProfileSpec extends SparkTestBase {
+
+  private lazy val data = df("id BIGINT, name STRING, score DOUBLE", Seq(
+    Row(1L, "a", 1.5), Row(2L, "b", null), Row(3L, null, 2.5),
+    Row(4L, "a", 2.5), Row(5L, "c", 0.5)))
+
+  test("exact profile: rows, nulls, distinct, range per column in one pass") {
+    val p = Profile.profile(data, exactDistinct = true)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4), r.getString(5))).toMap
+    assert(p("id") == ((5L, 0L, 5L, "1", "5")))
+    assert(p("name") == ((5L, 1L, 3L, "a", "c")))
+    assert(p("score") == ((5L, 1L, 3L, "0.5", "2.5")))
+  }
+
+  test("approx profile keeps the same exact stats and a sane distinct estimate") {
+    val p = Profile.profile(data).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(p("id")._1 == 5L && p("id")._2 == 0L)
+    // HLL at this cardinality is exact in practice; allow slack anyway
+    assert(math.abs(p("id")._3 - 5L) <= 1)
+    assert(math.abs(p("name")._3 - 3L) <= 1)
+  }
+}
