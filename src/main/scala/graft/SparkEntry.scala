@@ -248,6 +248,12 @@ object SparkEntry {
     "q_load_csv_fallback" -> ((s, _) =>
       Ingest.csvFallback(s, csvFixture)),
 
+    // RFC-4180 quoting parity (SURVEY §2.3: the reference's parser is
+    // quote-aware): embedded commas, doubled quotes, empty→NULL fields.
+    "q_load_csv_quoted" -> ((s, _) =>
+      Ingest.csv(s, quotedFixture).selectExpr(
+        "CAST(id AS BIGINT) AS id", "label", "quoted", "maybe_null")),
+
     // Image-payload table source (ui/src/App.tsx:812-835): deterministic
     // inline payload → DataFrame; oracle = the same rows as SQL VALUES.
     // Covers typed columns, lowercase normalization, literal-NULL cells,
@@ -360,6 +366,12 @@ object SparkEntry {
     "q_dedup_winnow" -> ((s, d) =>
       Dedup.winnowJaccardPairs(docs(s, d), "doc_id", "text",
         k = 3, w = 4, threshold = 0.35).orderBy("id_a", "id_b")),
+
+    // String cleaning (whitespace collapse + junk-null standardization) —
+    // the deterministic core of the reference's cleaning use case.
+    "q_clean_text" -> ((s, d) =>
+      graft.operators.Clean.cleanStrings(
+        docs(s, d).select(col("doc_id"), col("text")))),
 
     // One-pass column profiling (rows/nulls/distinct/range per column in
     // a single scan) — exact distinct here because the profiled table is
@@ -521,6 +533,7 @@ object SparkEntry {
   /** Committed CSV fixture (derived once from sf0.001 part + a synthetic
     * date column) — the LOAD-parity gate reads it from a stable path. */
   private val csvFixture = "/root/repo/src/test/resources/fixtures/parts_fixture.csv"
+  private val quotedFixture = "/root/repo/src/test/resources/fixtures/quoted_fixture.csv"
 
   private def annInputs(s: SparkSession, d: String): (DataFrame, DataFrame) = {
     val e = embeddings(s, d).select(col("vec_id"), VF.asDouble(col("embedding")).as("v"))
@@ -685,6 +698,8 @@ object SparkEntry {
       s"SELECT * FROM read_csv_auto('$csvFixture', header=true)",
     "q_load_csv_fallback" ->
       s"SELECT * FROM read_csv_auto('$csvFixture', header=true, all_varchar=true)",
+    "q_load_csv_quoted" ->
+      s"SELECT * FROM read_csv_auto('$quotedFixture', header=true)",
     "q_load_image_payload" ->
       ("SELECT * FROM (VALUES " +
         "(1, 9.99, DATE '2024-01-05', 'widget'), " +
@@ -727,6 +742,10 @@ object SparkEntry {
     "q_multimodal_meta" ->
       ("SELECT doc_id, 'application/octet-stream' AS mime, " +
         "octet_length(encode(text)) AS n_bytes FROM documents"),
+    "q_clean_text" ->
+      ("SELECT doc_id, CASE WHEN lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))) " +
+        "IN ('', 'null', 'n/a', 'na', 'none', '-') THEN NULL " +
+        "ELSE trim(regexp_replace(text, '\\s+', ' ', 'g')) END AS text FROM documents"),
     "q_profile" -> (Seq("n_nationkey", "n_name", "n_regionkey").map { c =>
       s"""SELECT '$c' AS "column", count(*) AS n_rows,
          |count(*) - count($c) AS n_nulls,

@@ -18,11 +18,17 @@ import org.apache.spark.sql.types._
  */
 object Ingest {
 
-  /** Primary CSV path: header + schema inference. */
+  /** Primary CSV path: header + schema inference. `escape = "` selects
+    * RFC-4180 doubled-quote escaping ("" inside a quoted field) — what
+    * DuckDB's read_csv_auto and the reference's quote-aware manual parser
+    * (ui/src/App.tsx:328-352) both speak; Spark's default backslash
+    * escape silently splits such fields at embedded commas (caught by the
+    * q_load_csv_quoted parity gate). */
   def csv(spark: SparkSession, path: String): DataFrame =
     spark.read
       .option("header", "true")
       .option("inferSchema", "true")
+      .option("escape", "\"")
       .option("mode", "PERMISSIVE")
       .csv(path)
 
@@ -32,6 +38,7 @@ object Ingest {
     spark.read
       .option("header", "true")
       .option("inferSchema", "false")
+      .option("escape", "\"")
       .option("mode", "PERMISSIVE")
       .csv(path)
       .limit(maxRows)
