@@ -20,9 +20,12 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, IntegerType,
  */
 object NativeVector {
 
-  /** Sequential left-fold dot product (deterministic across runs). */
+  /** Sequential left-fold dot product (deterministic across runs).
+    * Callers guarantee equal lengths — the expressions below return NULL
+    * on mismatch BEFORE calling in, matching the zip_with padding
+    * semantics of the HOF formulations. */
   def dot(a: ArrayData, b: ArrayData): Double = {
-    val n = math.min(a.numElements(), b.numElements())
+    val n = a.numElements()
     var acc = 0.0
     var i = 0
     while (i < n) { acc += a.getDouble(i) * b.getDouble(i); i += 1 }
@@ -31,7 +34,7 @@ object NativeVector {
 
   /** Cosine similarity; 0.0 when either vector has zero norm. */
   def cosine(a: ArrayData, b: ArrayData): Double = {
-    val n = math.min(a.numElements(), b.numElements())
+    val n = a.numElements()
     var dab = 0.0; var daa = 0.0; var dbb = 0.0
     var i = 0
     while (i < n) {
@@ -44,7 +47,7 @@ object NativeVector {
   }
 
   def l2Dist(a: ArrayData, b: ArrayData): Double = {
-    val n = math.min(a.numElements(), b.numElements())
+    val n = a.numElements()
     var acc = 0.0
     var i = 0
     while (i < n) { val d = a.getDouble(i) - b.getDouble(i); acc += d * d; i += 1 }
@@ -145,11 +148,16 @@ object NativeVector {
     val taken = new Array[Boolean](k)
     var r = 0
     while (r < m) {
+      // seed with the first untaken cell so an all-NaN dot vector (NaN
+      // components in the input) degrades to cell order instead of
+      // indexing taken(-1)
       var best = -1
       var bestDot = Double.NegativeInfinity
       var i = 0
       while (i < k) {
-        if (!taken(i) && dots(i) > bestDot) { best = i; bestDot = dots(i) }
+        if (!taken(i) && (best == -1 || dots(i) > bestDot)) {
+          best = i; bestDot = dots(i)
+        }
         i += 1
       }
       taken(best) = true
@@ -214,40 +222,50 @@ case class NearestCells(child: Expression, centroidsFlat: Seq[Double],
     copy(child = newChild)
 }
 
-/** `native_dot(a, b)` → double, sequential left-fold order. */
-case class NativeDot(left: Expression, right: Expression) extends BinaryExpression {
+/** Base for binary vector ops: NULL on length mismatch — exactly what
+  * the `zip_with`-based HOF formulations produce (the shorter side pads
+  * with nulls, poisoning the fold), so native and HOF stay value-
+  * identical even on malformed inputs (schema-drifted embeddings). */
+abstract class BinaryVectorExpression extends BinaryExpression {
   override def dataType: DataType = DoubleType
-  override def prettyName: String = "native_dot"
-  override protected def nullSafeEval(a: Any, b: Any): Any =
-    NativeVector.dot(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override def nullable: Boolean = true
+  protected def staticCall: String
+  protected def compute(a: ArrayData, b: ArrayData): Double
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val aa = a.asInstanceOf[ArrayData]; val bb = b.asInstanceOf[ArrayData]
+    if (aa.numElements() != bb.numElements()) null else compute(aa, bb)
+  }
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.NativeVector.dot($a, $b)")
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"""if ($a.numElements() != $b.numElements()) { ${ev.isNull} = true; }
+         |else { ${ev.value} = $staticCall($a, $b); }""".stripMargin)
+}
+
+/** `native_dot(a, b)` → double, sequential left-fold order. */
+case class NativeDot(left: Expression, right: Expression) extends BinaryVectorExpression {
+  override def prettyName: String = "native_dot"
+  override protected val staticCall = "graft.functions.NativeVector.dot"
+  override protected def compute(a: ArrayData, b: ArrayData): Double = NativeVector.dot(a, b)
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): NativeDot =
     copy(left = newLeft, right = newRight)
 }
 
 /** `native_cosine(a, b)` → double; 0.0 on zero-norm input. */
-case class NativeCosine(left: Expression, right: Expression) extends BinaryExpression {
-  override def dataType: DataType = DoubleType
+case class NativeCosine(left: Expression, right: Expression) extends BinaryVectorExpression {
   override def prettyName: String = "native_cosine"
-  override protected def nullSafeEval(a: Any, b: Any): Any =
-    NativeVector.cosine(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
-  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.NativeVector.cosine($a, $b)")
+  override protected val staticCall = "graft.functions.NativeVector.cosine"
+  override protected def compute(a: ArrayData, b: ArrayData): Double = NativeVector.cosine(a, b)
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): NativeCosine =
     copy(left = newLeft, right = newRight)
 }
 
 /** `native_l2_distance(a, b)` → double. */
-case class NativeL2Distance(left: Expression, right: Expression) extends BinaryExpression {
-  override def dataType: DataType = DoubleType
+case class NativeL2Distance(left: Expression, right: Expression) extends BinaryVectorExpression {
   override def prettyName: String = "native_l2_distance"
-  override protected def nullSafeEval(a: Any, b: Any): Any =
-    NativeVector.l2Dist(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
-  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.NativeVector.l2Dist($a, $b)")
+  override protected val staticCall = "graft.functions.NativeVector.l2Dist"
+  override protected def compute(a: ArrayData, b: ArrayData): Double = NativeVector.l2Dist(a, b)
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): NativeL2Distance =
     copy(left = newLeft, right = newRight)

@@ -115,12 +115,7 @@ object Ann {
   def cosineNearDupPairs(df: DataFrame, idCol: String, vecCol: String,
                          threshold: Double = 0.9,
                          bands: Int = 8, bandBits: Int = 16): DataFrame = {
-    val b = banded(df, idCol, vecCol, bands, bandBits)
-    val pairs = b.as("a").join(b.as("b"),
-        col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
-          col(s"a.$idCol") < col(s"b.$idCol"))
-      .select(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"))
-      .dropDuplicates("id_a", "id_b")
+    val pairs = cosineCandidatePairs(df, idCol, vecCol, bands, bandBits)
     val vecs = df.select(col(idCol), col(vecCol))
     pairs
       .join(vecs.select(col(idCol).as("id_a"), col(vecCol).as("__va")), "id_a")
@@ -163,8 +158,18 @@ object Ann {
               probes: DataFrame, probeIdCol: String, probeVecCol: String,
               k: Int = 10, nCentroids: Int = 16, nProbe: Int = 4,
               seed: Long = 42L, maxFitRows: Int = 20000): DataFrame = {
-    val sample = corpus.select(col(vecCol)).limit(maxFitRows)
-      .collect().map(_.getSeq[Double](0).toArray)
+    // UNIFORM fit sample: limit() would take the first partitions only —
+    // on a date/tenant-clustered table the centroids would all land in
+    // one region of embedding space. count() on parquet is metadata-only,
+    // so sizing the fraction costs no data scan; the 2× headroom keeps
+    // the post-sample limit from biasing either.
+    val vecs = corpus.select(col(vecCol)).where(col(vecCol).isNotNull)
+    val total = vecs.count()
+    val sampled =
+      if (total <= maxFitRows) vecs
+      else vecs.sample(withReplacement = false,
+        math.min(1.0, 2.0 * maxFitRows / total), seed).limit(maxFitRows)
+    val sample = sampled.collect().map(_.getSeq[Double](0).toArray)
     val centroids = fitSphericalCentroids(sample, nCentroids, seed)
 
     val assigned = corpus.withColumn("__cell",

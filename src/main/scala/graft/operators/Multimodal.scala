@@ -106,12 +106,16 @@ object Multimodal {
       val grid = 4
       val sums = new Array[Double](grid * grid)
       val counts = new Array[Int](grid * grid)
+      // bulk pixel fetch: one colorspace conversion pass instead of a
+      // virtual getRGB + ColorModel convert per pixel (~10× on 4K images)
+      val px = img.getRGB(0, 0, w, h, null, 0, w)
       var y = 0
       while (y < h) {
         val gy = math.min(grid - 1, y * grid / h)
+        val rowOff = y * w
         var x = 0
         while (x < w) {
-          val rgb = img.getRGB(x, y)
+          val rgb = px(rowOff + x)
           val lum = (((rgb >> 16) & 0xFF) * 0.299 +
             ((rgb >> 8) & 0xFF) * 0.587 + (rgb & 0xFF) * 0.114) / 255.0
           val cell = gy * grid + math.min(grid - 1, x * grid / w)
@@ -137,38 +141,58 @@ object Multimodal {
    * (video, MP3/OGG, garbage) fall through to the stub.
    */
   private[operators] def decodeAudio(bytes: Array[Byte]): Row = {
-    import javax.sound.sampled.AudioSystem
+    import javax.sound.sampled.{AudioFormat, AudioSystem}
     val parsed =
       try {
         val in = AudioSystem.getAudioInputStream(new java.io.ByteArrayInputStream(bytes))
         try {
           val fmt = in.getFormat
-          val frames = in.getFrameLength
-          val data = in.readAllBytes()
-          val bytesPerSample = math.max(1, fmt.getSampleSizeInBits / 8)
-          val frameSize = math.max(1, fmt.getFrameSize)
-          val n = (data.length / frameSize).toInt
-          val buckets = 8
-          val sums = new Array[Double](buckets)
-          val counts = new Array[Int](buckets)
-          var i = 0
-          while (i < n) {
-            // first channel, first sample of the frame (16-bit LE or 8-bit)
-            val off = i * frameSize
-            val sample =
-              if (bytesPerSample >= 2)
-                ((data(off + 1) << 8) | (data(off) & 0xFF)).toDouble / 32768.0
-              else (data(off) & 0xFF).toDouble / 128.0 - 1.0
-            val b = math.min(buckets - 1, i * buckets / math.max(1, n))
-            sums(b) += sample * sample
-            counts(b) += 1
-            i += 1
+          val enc = fmt.getEncoding
+          val signed = enc == AudioFormat.Encoding.PCM_SIGNED
+          // only raw PCM is decodable without a codec; compressed
+          // encodings (MP3/OGG wrapped in WAV, ULAW...) → stub below
+          if (!signed && enc != AudioFormat.Encoding.PCM_UNSIGNED) None
+          else {
+            val bytesPerSample = math.max(1, fmt.getSampleSizeInBits / 8)
+            // frameSize can be NOT_SPECIFIED (-1): derive channels×width
+            val frameSize =
+              if (fmt.getFrameSize > 0) fmt.getFrameSize
+              else bytesPerSample * math.max(1, fmt.getChannels)
+            val big = fmt.isBigEndian
+            val data = in.readAllBytes()
+            val n = data.length / frameSize
+            val fullScale = (1L << (bytesPerSample * 8 - 1)).toDouble
+            val buckets = 8
+            val sums = new Array[Double](buckets)
+            val counts = new Array[Int](buckets)
+            var i = 0
+            while (i < n) {
+              // first channel of the frame, any width 8/16/24/32, both endiannesses
+              val off = i * frameSize
+              var raw = 0L
+              var b = 0
+              while (b < bytesPerSample) {
+                val byteVal = data(off + (if (big) b else bytesPerSample - 1 - b)) & 0xFF
+                raw = (raw << 8) | byteVal
+                b += 1
+              }
+              val sample =
+                if (signed) { // sign-extend from sample width
+                  val shift = 64 - bytesPerSample * 8
+                  ((raw << shift) >> shift).toDouble / fullScale
+                } else raw.toDouble / fullScale - 1.0
+              val bk = math.min(buckets - 1, i * buckets / math.max(1, n))
+              sums(bk) += sample * sample
+              counts(bk) += 1
+              i += 1
+            }
+            val feature = Array.tabulate(buckets) { b =>
+              if (counts(b) == 0) 0.0f else math.sqrt(sums(b) / counts(b)).toFloat
+            }
+            val frames = in.getFrameLength
+            Some(Row(if (frames >= 0) frames.toInt else n,
+              fmt.getSampleRate.toInt, fmt.getChannels, feature))
           }
-          val feature = Array.tabulate(buckets) { b =>
-            if (counts(b) == 0) 0.0f else math.sqrt(sums(b) / counts(b)).toFloat
-          }
-          Some(Row(if (frames >= 0) frames.toInt else n,
-            fmt.getSampleRate.toInt, fmt.getChannels, feature))
         } finally in.close()
       } catch { case _: Exception => None }
     parsed.getOrElse(decodeStub(bytes))

@@ -10,10 +10,18 @@ import org.apache.spark.sql.functions._
  * where one reducer receives a constant fraction of the corpus (a
  * "language = en" style key at 100 TB is one task with 30 TB of input).
  *
- * Both helpers are deterministic (salt = hash of the row's other columns,
- * not `rand()`), so results are reproducible and spec-checkable.
+ * Both helpers avoid `rand()`: the salt is the row's position
+ * (`monotonically_increasing_id` mod buckets) — uniform by construction,
+ * so even N identical duplicate rows of a hot key spread across all
+ * buckets (a row-content hash would send them to ONE reducer, the exact
+ * failure being fixed), and no column type (maps, structs) can break it.
+ * Deterministic for a fixed input partitioning; the RESULT is identical
+ * under any salt assignment (spec-pinned against unsalted plans).
  */
 object Skew {
+
+  private def rowSalt(buckets: Int): Column =
+    pmod(monotonically_increasing_id(), lit(buckets.toLong))
 
   /** A re-aggregable aggregate: SUM/COUNT/MIN/MAX (+AVG via SUM+COUNT). */
   final case class SaltedAgg(function: String, column: String, alias: String)
@@ -33,7 +41,7 @@ object Skew {
   def saltedAggregate(df: DataFrame, keys: Seq[String], aggs: Seq[SaltedAgg],
                       buckets: Int = 16): DataFrame = {
     require(keys.nonEmpty && aggs.nonEmpty && buckets >= 1)
-    val salt = pmod(xxhash64(df.columns.map(col).toIndexedSeq: _*), lit(buckets)).as("__salt")
+    val salt = rowSalt(buckets).as("__salt")
 
     def partial(a: SaltedAgg, i: Int): Seq[Column] = a.function.toUpperCase match {
       case "SUM"   => Seq(sum(expr(a.column)).as(s"__p$i"))
@@ -87,8 +95,7 @@ object Skew {
                  buckets: Int = 16, joinType: String = "inner"): DataFrame = {
     require(Set("inner", "left", "left_outer").contains(joinType.toLowerCase),
       "salted join preserves semantics for inner/left joins only")
-    val saltedLeft = left.withColumn("__salt",
-      pmod(xxhash64(left.columns.map(col).toIndexedSeq: _*), lit(buckets)))
+    val saltedLeft = left.withColumn("__salt", rowSalt(buckets))
     val replicatedRight = right
       .withColumn("__salt0", explode(sequence(lit(0), lit(buckets - 1))))
       .withColumn("__salt", col("__salt0").cast("long")).drop("__salt0")

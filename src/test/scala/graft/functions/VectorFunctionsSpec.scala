@@ -49,6 +49,17 @@ class VectorFunctionsSpec extends SparkTestBase {
     }
   }
 
+  test("length-mismatched vectors: native returns NULL exactly like the HOF forms") {
+    val out = vecs((Seq(1.0, 2.0, 3.0), Seq(4.0, 5.0)))
+      .select(VF.dot(col("a"), col("b")), VF.dotHof(col("a"), col("b")),
+        VF.cosine(col("a"), col("b")),
+        VF.l2Distance(col("a"), col("b")), VF.l2DistanceHof(col("a"), col("b")))
+      .head()
+    assert(out.isNullAt(0) && out.isNullAt(1), "dot must be NULL on drifted dims")
+    assert(out.isNullAt(2), "cosine must be NULL on drifted dims")
+    assert(out.isNullAt(3) && out.isNullAt(4), "l2 must be NULL on drifted dims")
+  }
+
   test("band keys: shape, range, scale-invariance, and locality") {
     val d = df("v ARRAY<DOUBLE>", Seq(
       Row(Seq(1.0, 2.0, -3.0, 4.0)),

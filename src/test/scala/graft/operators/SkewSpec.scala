@@ -28,12 +28,24 @@ class SkewSpec extends SparkTestBase {
     assert(salted.orderBy("k").collect().toSeq == plain.orderBy("k").collect().toSeq)
   }
 
-  test("salting actually spreads the hot key across buckets") {
+  test("salting actually spreads the hot key across buckets — even identical rows") {
     val partialGroups = facts
-      .withColumn("__salt", pmod(xxhash64(facts.columns.map(col).toIndexedSeq: _*), lit(8)))
+      .withColumn("__salt", pmod(monotonically_increasing_id(), lit(8L)))
       .groupBy("k", "__salt").count()
     // the hot key alone must occupy several shards, not one reducer key
     assert(partialGroups.filter(col("k") === "hot").count() >= 4)
+
+    // row-position salt: N copies of the SAME row still spread (a
+    // row-content hash would collapse them onto one reducer)
+    val dups = df("k STRING, v BIGINT", (1 to 400).map(_ => Row("hot", 7L)))
+    val spread = dups.withColumn("__salt", pmod(monotonically_increasing_id(), lit(8L)))
+      .select("__salt").distinct().count()
+    assert(spread >= 4, s"identical rows collapsed to $spread salt buckets")
+    // and the aggregate over pure duplicates still matches plain groupBy
+    val salted = Skew.saltedAggregate(dups, Seq("k"),
+      Seq(Skew.SaltedAgg("sum", "v", "s"), Skew.SaltedAgg("count", "*", "n")), 8)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(salted.toSeq == Seq(("hot", 2800L, 400L)))
   }
 
   test("salted inner and left joins equal their unsalted counterparts") {
