@@ -399,6 +399,27 @@ object SparkEntry {
         .select(col("doc_id"), col("meta.mime").as("mime"), col("meta.n_bytes").as("n_bytes"))
     }),
 
+    // REAL-payload decode gate: a committed 4×3 PNG and an 800-frame
+    // 16-bit PCM WAV go through the actual javax.imageio / javax.sound
+    // decoders (no stub on this path) and must produce their known
+    // dimensions — (4, 3, 3 channels) and (800 frames, 8000 Hz, 1
+    // channel) — plus the magic-byte mime sniff, against a closed-form
+    // VALUES oracle.
+    "q_multimodal_decode_real" -> ((s, _) => {
+      import graft.operators.Multimodal
+      val rows = Seq("tiny.png", "tiny.wav").map { f =>
+        (f, java.nio.file.Files.readAllBytes(
+          java.nio.file.Paths.get(s"$fixtureDir/$f")))
+      }
+      import s.implicits._
+      val meta = Multimodal.withMetadata(rows.toDF("file", "payload"), "payload")
+      Multimodal.decodeFeatures(meta, "payload")
+        .select(col("file"), col("meta.mime").as("mime"),
+          col("feat.width").as("width"), col("feat.height").as("height"),
+          col("feat.channels").as("channels"))
+        .orderBy("file")
+    }),
+
     // Multimodal decode plumbing over the same payloads (rows-only:
     // ImageIO rejects text bytes → deterministic stub features).
     "q_multimodal_decode" -> ((s, d) => {
@@ -513,6 +534,28 @@ object SparkEntry {
         threshold = 0.5, maxShingleFreq = Some(5))
         .orderBy("id_a", "id_b")),
 
+    // Salted join on a same-name key — the stage algebra's common case
+    // (and the column-dedup fix): results must equal a plain equi-join,
+    // which is what the DuckDB oracle asserts.
+    "q_skew_join" -> ((s, d) => {
+      import graft.operators.Skew
+      val ex = executor(s, d)
+      val li = ex.table("lineitem").select(col("l_partkey").as("partkey"),
+        col("l_orderkey"), col("l_linenumber"), col("l_quantity"))
+      val pt = ex.table("part").select(col("p_partkey").as("partkey"),
+        col("p_name"), col("p_retailprice"))
+      Skew.saltedJoin(li, pt, "partkey", "partkey", buckets = 8)
+    }),
+
+    // CUSTOM-SQL → native-expression demo: the reference's escape hatch
+    // (CustomStage through the ENGINE path — StageCompiler's spark.sql,
+    // not DataFrame code) reaching the SQL-registered graft natives
+    // (simhash64, hashed_tokens via GraftExtensions). Twin construction
+    // makes it closed-form oracle-checkable: every doc's exact twin has
+    // an identical fingerprint, and the join keeps only twin pairs.
+    "q_custom_simhash" -> ((s, d) => pipe(
+      CustomStage(st(1), "simhash twin join via SQL natives", sqlSimhash))(s, d)),
+
     // AVG through the GROUP stage (server/index.js:155 enumerates it).
     // avg over an INTEGER column is FP-deterministic: integer partial sums
     // are exact in double below 2^53, so Spark and DuckDB divide identical
@@ -530,10 +573,12 @@ object SparkEntry {
       SortStage(st(3), "stable order", None, Seq(SortKey("p_brand", "ASC"))))(s, d))
   )
 
-  /** Committed CSV fixture (derived once from sf0.001 part + a synthetic
-    * date column) — the LOAD-parity gate reads it from a stable path. */
-  private val csvFixture = "/root/repo/src/test/resources/fixtures/parts_fixture.csv"
-  private val quotedFixture = "/root/repo/src/test/resources/fixtures/quoted_fixture.csv"
+  /** Committed fixtures (CSV derived once from sf0.001 part + a synthetic
+    * date column; tiny.png/tiny.wav for the real-decode gate) — gates read
+    * them from a stable path. */
+  private val fixtureDir = "/root/repo/src/test/resources/fixtures"
+  private val csvFixture = s"$fixtureDir/parts_fixture.csv"
+  private val quotedFixture = s"$fixtureDir/quoted_fixture.csv"
 
   private def annInputs(s: SparkSession, d: String): (DataFrame, DataFrame) = {
     val e = embeddings(s, d).select(col("vec_id"), VF.asDouble(col("embedding")).as("v"))
@@ -555,6 +600,20 @@ object SparkEntry {
   private val sqlExclude: String =
     "SELECT l.o_orderkey, l.o_custkey, r.* EXCLUDE (c_custkey) " +
       "FROM orders l JOIN customer r ON l.o_custkey = r.c_custkey"
+
+  /** Spark-dialect SQL for the CUSTOM→natives gate (runs ONLY in Spark —
+    * simhash64/hashed_tokens are graft extensions; the oracle is the
+    * closed-form twin construction, not this SQL). Twin filter, not bare
+    * fp equality: near-dup docs can collide at Hamming 0 naturally, twin
+    * pairs are the deterministic subset (cf. q_dedup_simhash_twins). */
+  private val sqlSimhash: String =
+    """WITH all_docs AS (
+      |  SELECT doc_id, text FROM documents
+      |  UNION ALL SELECT doc_id + 1000000 AS doc_id, text FROM documents),
+      |fps AS (SELECT doc_id, simhash64(hashed_tokens(text)) AS fp FROM all_docs)
+      |SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      |FROM fps a JOIN fps b ON a.fp = b.fp AND b.doc_id = a.doc_id + 1000000
+      |ORDER BY id_a""".stripMargin
 
   private val sqlEvents: String =
     "SELECT event_type, date_trunc('hour', ts) AS event_hour, count(*) AS n_events, " +
@@ -769,6 +828,18 @@ object SparkEntry {
         |       max(ts) AS session_end, count(*) AS n_events
         |FROM numbered GROUP BY user_id, session_id
         |ORDER BY user_id, session_id""".stripMargin,
+    "q_skew_join" ->
+      ("SELECT l.partkey, l_orderkey, l_linenumber, l_quantity, p_name, p_retailprice " +
+        "FROM (SELECT l_partkey AS partkey, l_orderkey, l_linenumber, l_quantity FROM lineitem) l " +
+        "JOIN (SELECT p_partkey AS partkey, p_name, p_retailprice FROM part) r " +
+        "ON l.partkey = r.partkey"),
+    "q_custom_simhash" ->
+      "SELECT doc_id AS id_a, doc_id + 1000000 AS id_b FROM documents ORDER BY id_a",
+    "q_multimodal_decode_real" ->
+      ("SELECT * FROM (VALUES " +
+        "('tiny.png', 'image/png', 4, 3, 3), " +
+        "('tiny.wav', 'audio/wav', 800, 8000, 1)) " +
+        "AS t(file, mime, width, height, channels) ORDER BY file"),
     "q_skew_agg" ->
       ("SELECT l_returnflag, " +
         "CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty, " +

@@ -146,38 +146,68 @@ object Ann {
    * Index build: the quantizer fits DRIVER-SIDE on a bounded collected
    * sample (`maxFitRows` — centroid quality needs a representative
    * sample, not the population), so build cost is independent of corpus
-   * size and involves zero Spark jobs beyond the sample read. Search: one
-   * corpus scan assigns cells via the codegen'd [[graft.functions
-   * .NearestCells]] expression (the unit-centroid matrix rides along as a
-   * task-local reference — no normalization pass, no per-row allocation,
-   * no shuffle), then a broadcast join on cell id touches only
-   * nProbe/nCentroids of the data per probe. At 100 TB, materialize the
-   * `__cell` column once to amortize assignment across query batches.
+   * size: one footer-metadata row count plus ONE scan of the vector
+   * column for the sample. Search: one corpus scan assigns cells via the
+   * codegen'd [[graft.functions.NearestCells]] expression (the
+   * unit-centroid matrix rides along as a task-local reference — no
+   * normalization pass, no per-row allocation, no shuffle), then a
+   * broadcast join on cell id touches only nProbe/nCentroids of the data
+   * per probe.
+   *
+   * For repeated query batches, build the index ONCE with [[ivfIndex]]
+   * (persisting `index.assigned` materializes the `__cell` assignment a
+   * single time) and run each batch through [[ivfSearch]] — the
+   * fit-sample scan and the cell assignment are then amortized across
+   * every batch instead of repeated per query set.
    */
   def ivfTopK(corpus: DataFrame, idCol: String, vecCol: String,
               probes: DataFrame, probeIdCol: String, probeVecCol: String,
               k: Int = 10, nCentroids: Int = 16, nProbe: Int = 4,
-              seed: Long = 42L, maxFitRows: Int = 20000): DataFrame = {
+              seed: Long = 42L, maxFitRows: Int = 20000): DataFrame =
+    ivfSearch(ivfIndex(corpus, vecCol, nCentroids, seed, maxFitRows),
+      idCol, vecCol, probes, probeIdCol, probeVecCol, k, nProbe)
+
+  /**
+   * A fitted IVF coarse quantizer: the unit centroid matrix plus the
+   * corpus with its `__cell` assignment column. `assigned` is lazy like
+   * any DataFrame — persist it to materialize the assignment once and
+   * amortize it across query batches.
+   */
+  final case class IvfIndex(centroids: Array[Array[Double]], assigned: DataFrame)
+
+  /** Fit the coarse quantizer and attach `__cell` to the corpus. */
+  def ivfIndex(corpus: DataFrame, vecCol: String,
+               nCentroids: Int = 16, seed: Long = 42L,
+               maxFitRows: Int = 20000): IvfIndex = {
     // UNIFORM fit sample: limit() would take the first partitions only —
     // on a date/tenant-clustered table the centroids would all land in
-    // one region of embedding space. count() on parquet is metadata-only,
-    // so sizing the fraction costs no data scan; the 2× headroom keeps
-    // the post-sample limit from biasing either.
+    // one region of embedding space. Sizing the sample fraction needs a
+    // row count, but NOT a vector-column scan: count() on the unprojected
+    // relation is answered from parquet footer metadata. It counts null
+    // vectors too, which only makes the fraction conservative (the
+    // realized non-null sample shrinks below the 2× headroom, never
+    // biases) — so the vector column is scanned exactly once, by the
+    // sample read itself.
+    val total = corpus.count()
     val vecs = corpus.select(col(vecCol)).where(col(vecCol).isNotNull)
-    val total = vecs.count()
     val sampled =
       if (total <= maxFitRows) vecs
       else vecs.sample(withReplacement = false,
         math.min(1.0, 2.0 * maxFitRows / total), seed).limit(maxFitRows)
     val sample = sampled.collect().map(_.getSeq[Double](0).toArray)
     val centroids = fitSphericalCentroids(sample, nCentroids, seed)
+    IvfIndex(centroids,
+      corpus.withColumn("__cell", VF.nearestCells(col(vecCol), centroids, 1)(0)))
+  }
 
-    val assigned = corpus.withColumn("__cell",
-      VF.nearestCells(col(vecCol), centroids, 1)(0))
+  /** Search a fitted [[IvfIndex]] with one probe batch. */
+  def ivfSearch(index: IvfIndex, idCol: String, vecCol: String,
+                probes: DataFrame, probeIdCol: String, probeVecCol: String,
+                k: Int = 10, nProbe: Int = 4): DataFrame = {
+    val assigned = index.assigned
     val probeCells = probes
       .select(col(probeIdCol), col(probeVecCol),
-        explode(VF.nearestCells(col(probeVecCol), centroids, nProbe)).as("__cell"))
-
+        explode(VF.nearestCells(col(probeVecCol), index.centroids, nProbe)).as("__cell"))
     val cand = assigned.join(broadcast(probeCells),
         assigned("__cell") === probeCells("__cell") && col(idCol) =!= col(probeIdCol))
       .select(col(probeIdCol).as("query_id"), col(idCol).as("vec_id"),

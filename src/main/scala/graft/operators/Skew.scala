@@ -99,10 +99,14 @@ object Skew {
     val replicatedRight = right
       .withColumn("__salt0", explode(sequence(lit(0), lit(buckets - 1))))
       .withColumn("__salt", col("__salt0").cast("long")).drop("__salt0")
-    saltedLeft.join(replicatedRight,
+    val joined = saltedLeft.join(replicatedRight,
         saltedLeft(leftKey) === replicatedRight(rightKey) &&
           saltedLeft("__salt") === replicatedRight("__salt"),
         joinType)
       .drop("__salt")
+    // Same-name keys (the common case in the stage algebra): keep the
+    // LEFT side's key column, like the JOIN stage's key dedup — otherwise
+    // the output carries two ambiguous columns of the same name.
+    if (leftKey == rightKey) joined.drop(replicatedRight(rightKey)) else joined
   }
 }
