@@ -94,6 +94,34 @@ class AnnSpec extends SparkTestBase {
     assert(ivf == bf)
   }
 
+  test("ivfIndex built once serves multiple probe batches from the materialized assignment") {
+    val e = realEmbeddings
+    val index = Ann.ivfIndex(e, "v", nCentroids = 8)
+    index.assigned.persist()
+    try {
+      val p1 = e.filter(col("vec_id") < 3)
+        .select(col("vec_id").as("qid"), col("v").as("qv"))
+      val p2 = e.filter(col("vec_id") >= 3 && col("vec_id") < 6)
+        .select(col("vec_id").as("qid"), col("v").as("qv"))
+      val b1 = Ann.ivfSearch(index, "vec_id", "v", p1, "qid", "qv", k = 5, nProbe = 8)
+      val b2 = Ann.ivfSearch(index, "vec_id", "v", p2, "qid", "qv", k = 5, nProbe = 8)
+      // each shared-index batch equals the single-shot operator (same
+      // seed + sample → same centroids → same cells)
+      val d1 = Ann.ivfTopK(e, "vec_id", "v", p1, "qid", "qv", k = 5,
+        nCentroids = 8, nProbe = 8)
+      val d2 = Ann.ivfTopK(e, "vec_id", "v", p2, "qid", "qv", k = 5,
+        nCentroids = 8, nProbe = 8)
+      assert(b1.collect().toSeq == d1.collect().toSeq)
+      assert(b2.collect().toSeq == d2.collect().toSeq)
+      // and the batches actually REUSE the materialized cell assignment:
+      // the search plan reads the cached relation, not a fresh
+      // scan+assign (this is the "materialize __cell once, query many
+      // batches" 100 TB path)
+      assert(b2.queryExecution.optimizedPlan.toString.contains("InMemoryRelation"),
+        "ivfSearch did not read the persisted cell assignment")
+    } finally index.assigned.unpersist()
+  }
+
   test("LSH recall vs brute force on the real embeddings table (top-1 of identical)") {
     val e = realEmbeddings
     val p = e.filter(col("vec_id") < 10)
