@@ -367,6 +367,42 @@ object SparkEntry {
       Dedup.winnowJaccardPairs(docs(s, d), "doc_id", "text",
         k = 3, w = 4, threshold = 0.35).orderBy("id_a", "id_b")),
 
+    // Winnow recall-1 gate (same twin construction as minhash/simhash):
+    // a doc and its exact twin have identical winnowed fingerprint sets,
+    // so fingerprint Jaccard is exactly 1.0 and every twin pair survives
+    // threshold 1.0; the projection keeps only twin pairs (natural
+    // fingerprint-set-equal near-dups stay out of the oracle'd set — the
+    // probabilistic surface remains q_dedup_winnow, rows-only). Every
+    // testdata doc has ≥ 8 positional 3-grams, so no fingerprint set is
+    // empty and the oracle is exactly one row per doc.
+    "q_dedup_winnow_twins" -> ((s, d) => {
+      val d0 = docs(s, d).select(col("doc_id"), col("text"))
+      val twins = d0.select((col("doc_id") + lit(1000000L)).as("doc_id"), col("text"))
+      Dedup.winnowJaccardPairs(d0.unionByName(twins), "doc_id", "text",
+        k = 3, w = 4, threshold = 1.0)
+        .filter(col("id_b") === col("id_a") + 1000000L)
+        .orderBy("id_a")
+    }),
+
+    // Point-in-time feature lookup: each event joined to the user's most
+    // recent purchase at or before it (union + single window pass — one
+    // shuffle, no range explosion). DuckDB's native ASOF JOIN is the
+    // oracle; the right side is deduped per (user, ts) by max event_id so
+    // both engines pick the identical reference row.
+    "q_asof_join" -> ((s, d) => {
+      import graft.operators.AsofJoin
+      val ev = executor(s, d).table("events")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val refs = executor(s, d).table("events")
+        .filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts").as("ref_ts"), col("event_id"))
+        .groupBy("user_id", "ref_ts")
+        .agg(max(col("event_id")).as("ref_event"))
+      AsofJoin.asofJoin(ev, refs, Seq("user_id"), "ts", "ref_ts",
+        Seq("ref_ts", "ref_event"), "inner")
+        .orderBy("event_id")
+    }),
+
     // String cleaning (whitespace collapse + junk-null standardization) —
     // the deterministic core of the reference's cleaning use case.
     "q_clean_text" -> ((s, d) =>
@@ -828,6 +864,18 @@ object SparkEntry {
         |       max(ts) AS session_end, count(*) AS n_events
         |FROM numbered GROUP BY user_id, session_id
         |ORDER BY user_id, session_id""".stripMargin,
+    "q_dedup_winnow_twins" ->
+      ("SELECT doc_id AS id_a, doc_id + 1000000 AS id_b, " +
+        "CAST(1.0 AS DOUBLE) AS jaccard FROM documents ORDER BY id_a"),
+    "q_asof_join" ->
+      """WITH ref AS (
+        |  SELECT user_id, CAST(ts AS TIMESTAMP) AS ref_ts, max(event_id) AS ref_event
+        |  FROM events WHERE event_type = 'purchase'
+        |  GROUP BY user_id, CAST(ts AS TIMESTAMP)),
+        |ev AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts FROM events)
+        |SELECT ev.event_id, ev.user_id, ev.ts, ref.ref_ts, ref.ref_event
+        |FROM ev ASOF JOIN ref ON ev.user_id = ref.user_id AND ev.ts >= ref.ref_ts
+        |ORDER BY ev.event_id""".stripMargin,
     "q_skew_join" ->
       ("SELECT l.partkey, l_orderkey, l_linenumber, l_quantity, p_name, p_retailprice " +
         "FROM (SELECT l_partkey AS partkey, l_orderkey, l_linenumber, l_quantity FROM lineitem) l " +
