@@ -240,6 +240,14 @@ object SparkEntry {
     "q_custom_exclude" -> ((s, d) => pipe(
       CustomStage(st(1), "key-deduped join via EXCLUDE", sqlExclude))(s, d)),
 
+    // CUSTOM with window functions (reference's stage algebra has no OVER
+    // anywhere — SURVEY §2.6 — so analytic queries arrive through the
+    // escape hatch; both engines parse this SQL verbatim). Top-3 orders
+    // per market segment: rank ties broken on the unique key, total
+    // ORDER BY — deterministic by construction.
+    "q_custom_window" -> ((s, d) => pipe(
+      CustomStage(st(1), "top orders per segment via window", sqlWindow))(s, d)),
+
     // -------- chained pipeline with implicit input resolution
     "q_pipeline" -> ((s, d) => chainedPipeline(s, d)),
 
@@ -366,6 +374,38 @@ object SparkEntry {
     "q_dedup_winnow" -> ((s, d) =>
       Dedup.winnowJaccardPairs(docs(s, d), "doc_id", "text",
         k = 3, w = 4, threshold = 0.35).orderBy("id_a", "id_b")),
+
+    // Connected components over the exact-duplicate pair graph: docs ∪
+    // twins edges come from md5-digest equality (complete graph per
+    // text-equality class), so every component's label is the class's
+    // minimum doc_id — a window-min over text partitions in the oracle.
+    // Gates the iterative min-label-propagation loop (the pairs→clusters
+    // step of dedup) with a closed-form answer.
+    "q_dedup_components" -> ((s, d) => {
+      val d0 = docs(s, d).select(col("doc_id"), col("text"))
+      val twins = d0.select((col("doc_id") + lit(1000000L)).as("doc_id"), col("text"))
+      val keyed = d0.unionByName(twins).withColumn("__digest", md5(col("text")))
+      val pairs = keyed.as("a").join(keyed.as("b"),
+          col("a.__digest") === col("b.__digest") &&
+            col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+      Dedup.connectedComponents(pairs).orderBy("id")
+    }),
+
+    // Deterministic content-hash train/test split (anti-leakage: exact
+    // duplicates always land on the same side) — md5 is engine-portable,
+    // so the exact assignment is oracle-checked, not just the counts.
+    "q_split" -> ((s, d) =>
+      graft.operators.Split.hashSplit(
+        docs(s, d).select(col("doc_id"), col("text")), "text", 0.8)
+        .select(col("doc_id"), col("split"))),
+
+    // Top-5 keywords per doc by (tf DESC, df ASC, term ASC) — tf-idf's
+    // preference order with a pure-integer ranking, so both engines
+    // produce identical rows (no FP score in the ordering).
+    "q_keywords" -> ((s, d) =>
+      graft.operators.Keywords.topTerms(docs(s, d), "doc_id", "text", k = 5)
+        .orderBy("doc_id", "rnk")),
 
     // Winnow recall-1 gate (same twin construction as minhash/simhash):
     // a doc and its exact twin have identical winnowed fingerprint sets,
@@ -651,6 +691,17 @@ object SparkEntry {
       |FROM fps a JOIN fps b ON a.fp = b.fp AND b.doc_id = a.doc_id + 1000000
       |ORDER BY id_a""".stripMargin
 
+  /** Dialect-neutral window-function SQL (CUSTOM surface + its own
+    * oracle, like sqlCustom): row_number ties broken on the unique
+    * order key, so the top-3 set is deterministic in both engines. */
+  private val sqlWindow: String =
+    "SELECT c_mktsegment, o_orderkey, o_totalprice, rnk FROM (" +
+      "SELECT c_mktsegment, o_orderkey, o_totalprice, " +
+      "CAST(row_number() OVER (PARTITION BY c_mktsegment " +
+      "ORDER BY o_totalprice DESC, o_orderkey ASC) AS BIGINT) AS rnk " +
+      "FROM orders JOIN customer ON o_custkey = c_custkey) t " +
+      "WHERE rnk <= 3 ORDER BY c_mktsegment, rnk"
+
   private val sqlEvents: String =
     "SELECT event_type, date_trunc('hour', ts) AS event_hour, count(*) AS n_events, " +
       "CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value " +
@@ -804,6 +855,7 @@ object SparkEntry {
     "q_custom" -> sqlCustom,
     "q_custom_events" -> sqlEvents,
     "q_custom_exclude" -> sqlExclude,
+    "q_custom_window" -> sqlWindow,
     "q_pipeline" ->
       ("SELECT c_mktsegment, count(*) AS n_orders, " +
         "sum(CAST(o_totalprice AS DECIMAL(18,2))) AS revenue " +
@@ -864,6 +916,29 @@ object SparkEntry {
         |       max(ts) AS session_end, count(*) AS n_events
         |FROM numbered GROUP BY user_id, session_id
         |ORDER BY user_id, session_id""".stripMargin,
+    "q_dedup_components" ->
+      ("WITH all_docs AS (SELECT doc_id, text FROM documents " +
+        "UNION ALL SELECT doc_id + 1000000 AS doc_id, text FROM documents) " +
+        "SELECT doc_id AS id, min(doc_id) OVER (PARTITION BY text) AS comp " +
+        "FROM all_docs ORDER BY id"),
+    "q_split" ->
+      ("SELECT doc_id, CASE WHEN substring(md5(text), 1, 8) < '" +
+        graft.operators.Split.thresholdHex(0.8) +
+        "' THEN 'train' ELSE 'test' END AS split FROM documents"),
+    "q_keywords" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS term
+        |  FROM documents),
+        |tf AS (SELECT doc_id, term, count(*) AS tf FROM toks
+        |       WHERE length(term) > 1 GROUP BY doc_id, term),
+        |dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+        |ranked AS (
+        |  SELECT tf.doc_id, tf.term, tf.tf, dfreq.df,
+        |         CAST(row_number() OVER (PARTITION BY tf.doc_id
+        |           ORDER BY tf.tf DESC, dfreq.df ASC, tf.term ASC) AS BIGINT) AS rnk
+        |  FROM tf JOIN dfreq ON tf.term = dfreq.term)
+        |SELECT doc_id, rnk, term, tf, df FROM ranked WHERE rnk <= 5
+        |ORDER BY doc_id, rnk""".stripMargin,
     "q_dedup_winnow_twins" ->
       ("SELECT doc_id AS id_a, doc_id + 1000000 AS id_b, " +
         "CAST(1.0 AS DOUBLE) AS jaccard FROM documents ORDER BY id_a"),

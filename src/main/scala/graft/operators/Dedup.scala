@@ -179,6 +179,52 @@ object Dedup {
   }
 
   /**
+   * Connected components over a near-dup pair graph — the step that turns
+   * PAIRS into dedup CLUSTERS (keep one representative per component,
+   * drop the rest). Iterative min-label propagation: every node adopts
+   * the smallest component id among itself and its neighbours until a
+   * fixpoint; the final label is the component's minimum node id, which
+   * makes "keep the smallest id per cluster" a plain filter.
+   *
+   * Scale shape: each iteration is one join + one groupBy on (id) —
+   * shuffles carry 16-byte (id, comp) pairs, never payloads — and
+   * `localCheckpoint` truncates the plan so the lineage doesn't grow by
+   * two joins per round. Convergence takes O(component diameter)
+   * rounds: near-dup graphs are band/bucket cliques (diameter ≤ 2 per
+   * duplicate group; a handful when groups chain), so the loop ends in
+   * 2-4 rounds in practice. For adversarially long path graphs switch to
+   * alternating star contraction (Kiveris et al., "Connected Components
+   * in MapReduce", SoCC'14) — same join primitive, O(log d) rounds.
+   *
+   * Returns (id, comp): one row per node that appears in `pairs`.
+   */
+  def connectedComponents(pairs: DataFrame,
+                          idA: String = "id_a", idB: String = "id_b",
+                          maxIter: Int = 20): DataFrame = {
+    val edges = pairs.select(col(idA).as("src"), col(idB).as("dst"))
+      .union(pairs.select(col(idB).as("src"), col(idA).as("dst")))
+      .localCheckpoint(true)
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("comp", col("id"))
+      .localCheckpoint(true)
+    var converged = false
+    var iter = 0
+    while (!converged && iter < maxIter) {
+      val msgs = edges
+        .join(labels.select(col("id").as("src"), col("comp")), "src")
+        .select(col("dst").as("id"), col("comp"))
+      val next = labels.union(msgs)
+        .groupBy("id").agg(min(col("comp")).as("comp"))
+        .localCheckpoint(true)
+      // converged when no label shrank this round (anti-join on equality)
+      converged = next.join(labels, Seq("id", "comp"), "left_anti").isEmpty
+      labels = next
+      iter += 1
+    }
+    labels
+  }
+
+  /**
    * SimHash near-dup pairs: 64-bit fingerprint per doc (native
    * `simhash64` expression over xxhash64'd tokens), bucketed by each of the
    * four 16-bit chunks. By pigeonhole, any pair within Hamming distance 3

@@ -1,0 +1,38 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/**
+ * Deterministic train/test splitting for dataset curation — the
+ * anti-leakage primitive of training-data pipelines: the assignment must
+ * be (a) reproducible across runs/engines, (b) a pure function of
+ * CONTENT, so that exact duplicates land on the same side no matter
+ * which copy survived dedup, and (c) free of coordination (no global
+ * sample, no RNG state).
+ *
+ * Assignment: the first 8 hex chars of `md5(key)` — a uniform 32-bit
+ * value — compared against `floor(frac · 2³²)` rendered in fixed-width
+ * lowercase hex (lexicographic compare ≡ numeric compare for same-width
+ * hex). Pure codegen built-ins, no shuffle, scale-invariant; and because
+ * md5 is engine-portable, the exact assignment is DuckDB-oracle-checkable.
+ */
+object Split {
+
+  /** The fixed-width hex threshold for a fraction (exposed so gates can
+    * generate the oracle SQL from the same constant). */
+  def thresholdHex(frac: Double): String = {
+    require(frac >= 0.0 && frac <= 1.0, "fraction must be in [0, 1]")
+    f"${math.min((frac * 4294967296.0).toLong, 4294967295L)}%08x"
+  }
+
+  /** 'train' iff the key hashes below the fraction threshold. */
+  def splitColumn(key: Column, trainFrac: Double): Column =
+    when(substring(md5(key), 1, 8) < lit(thresholdHex(trainFrac)), "train")
+      .otherwise("test")
+
+  /** Attach a deterministic content-hash split column. */
+  def hashSplit(df: DataFrame, keyCol: String, trainFrac: Double,
+                splitCol: String = "split"): DataFrame =
+    df.withColumn(splitCol, splitColumn(col(keyCol), trainFrac))
+}

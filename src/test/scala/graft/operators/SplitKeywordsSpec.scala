@@ -1,0 +1,58 @@
+package graft.operators
+
+import graft.SparkTestBase
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+
+class SplitKeywordsSpec extends SparkTestBase {
+
+  test("hashSplit: deterministic, content-keyed, frac-monotone") {
+    val docs = df("id INT, text STRING", (1 to 200).map(i => Row(i, s"document number $i")))
+    val a = Split.hashSplit(docs, "text", 0.8).collect().map(r => (r.getInt(0), r.getString(2))).toMap
+    val b = Split.hashSplit(docs, "text", 0.8).collect().map(r => (r.getInt(0), r.getString(2))).toMap
+    assert(a == b) // deterministic across runs
+    val trainFrac = a.values.count(_ == "train").toDouble / a.size
+    assert(trainFrac > 0.6 && trainFrac < 0.95, s"got $trainFrac") // ~0.8 ± noise
+    // duplicates land on the same side regardless of id (content-keyed)
+    val dups = df("id INT, text STRING", Seq(Row(1, "same text"), Row(2, "same text")))
+    assert(Split.hashSplit(dups, "text", 0.5).select("split").distinct().count() == 1L)
+    // frac 0 / 1 are total
+    assert(Split.hashSplit(docs, "text", 0.0).filter(col("split") === "train").count() == 0L)
+    assert(Split.hashSplit(docs, "text", 1.0).filter(col("split") === "test").count() == 0L)
+  }
+
+  test("topTerms ranks by (tf desc, df asc, term asc) with single-char tokens dropped") {
+    val docs = df("id INT, text STRING", Seq(
+      Row(1, "apple apple banana cherry x"),
+      Row(2, "banana banana cherry"),
+      Row(3, "cherry date date date")))
+    val out = Keywords.topTerms(docs, "id", "text", k = 2)
+      .orderBy("doc_id", "rnk").collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getString(2), r.getLong(3), r.getLong(4)))
+    assert(out.toSeq == Seq(
+      // doc 1: apple tf=2; banana/cherry tie at tf=1 → banana (df 2) ranks
+      // above cherry (df 3), but k=2 keeps only apple+banana
+      (1, 1L, "apple", 2L, 1L),
+      (1, 2L, "banana", 1L, 2L),
+      (2, 1L, "banana", 2L, 2L),
+      (2, 2L, "cherry", 1L, 3L),
+      (3, 1L, "date", 3L, 1L),
+      (3, 2L, "cherry", 1L, 3L)))
+    assert(!out.exists(_._3 == "x")) // single-char dropped
+  }
+
+  test("connectedComponents labels every node with its component minimum") {
+    // two components: {1,2,3} chained (not a clique) and {10,11}; plus
+    // a long path {20..24} to exercise multi-round propagation
+    val pairs = df("id_a BIGINT, id_b BIGINT", Seq(
+      Row(1L, 2L), Row(2L, 3L),
+      Row(10L, 11L),
+      Row(20L, 21L), Row(21L, 22L), Row(22L, 23L), Row(23L, 24L)))
+    val out = Dedup.connectedComponents(pairs).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(out == Map(
+      1L -> 1L, 2L -> 1L, 3L -> 1L,
+      10L -> 10L, 11L -> 10L,
+      20L -> 20L, 21L -> 20L, 22L -> 20L, 23L -> 20L, 24L -> 20L))
+  }
+}
