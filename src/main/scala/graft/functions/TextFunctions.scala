@@ -38,6 +38,22 @@ object TextFunctions {
   def distinctTokens(text: Column): Column = array_distinct(tokens(text))
 
   /**
+   * Fraction of non-empty segments that are repeats of an earlier
+   * segment (Gopher-style repetition quality rule, parameterized by the
+   * split regex: `"\\s+"` = repeated words, `"\\n"` = repeated lines,
+   * `"\\. "` = repeated sentences). 1 − distinct/total over exact
+   * integer counts, so the double is engine-identical; rounded to 6
+   * decimals like [[qualityScore]].
+   */
+  def repeatedSegmentFraction(text: Column, sepRegex: String = "\\s+"): Column = {
+    val segs = filter(split(trim(text), sepRegex),
+      s => length(trim(s)) > 0)
+    round(when(size(segs) > 0,
+      (size(segs) - size(array_distinct(segs))).cast("double") / size(segs))
+      .otherwise(lit(0.0)), 6)
+  }
+
+  /**
    * Word n-gram shingles, space-joined: `["a b c", "b c d", ...]`.
    * Documents shorter than `n` tokens produce one whole-document shingle.
    */

@@ -27,6 +27,34 @@ object Clean {
     * TRY_CAST parity; under ANSI mode a plain cast would throw). */
   def tryCast(c: Column, dt: String): Column = c.try_cast(dt)
 
+  // ---- PII scrubbing --------------------------------------------------
+  // Patterns deliberately stick to the regex subset Java and RE2 agree
+  // on (char classes, bounded repeats, \b) — no lookaround, no
+  // backreferences — so the same patterns run anywhere.
+
+  /** user@domain.tld (the practical superset form). */
+  val EmailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+
+  /** Dotted-quad IPv4 (syntactic — octet range not enforced). */
+  val Ipv4Pattern = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+
+  /** Long digit runs (account/card/SSN-shaped identifiers). */
+  val LongDigitPattern = "\\b\\d{9,}\\b"
+
+  /**
+   * Redact PII-shaped substrings with typed placeholder tokens.
+   * Order matters: emails first (their local parts may contain digit
+   * runs), then IPs (dotted quads would otherwise partially match the
+   * digit rule), then bare digit runs. One codegen'd projection — the
+   * 100 TB cost is the scan, as with every cleaner here.
+   */
+  def redactPii(c: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(c, EmailPattern, "<EMAIL>"),
+        Ipv4Pattern, "<IP>"),
+      LongDigitPattern, "<NUMBER>")
+
   /**
    * Clean every string column in one pass: whitespace-normalize +
    * nullify junk spellings. Non-string columns pass through.
