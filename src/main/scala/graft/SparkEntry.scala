@@ -646,8 +646,104 @@ object SparkEntry {
       SelectStage(st(2), "deterministic avg shapes", None, Seq(
         "p_brand", "avg_size", "n_parts",
         "CAST(sum_price_dec AS DOUBLE) / n_parts AS avg_price")),
-      SortStage(st(3), "stable order", None, Seq(SortKey("p_brand", "ASC"))))(s, d))
+      SortStage(st(3), "stable order", None, Seq(SortKey("p_brand", "ASC"))))(s, d)),
+
+    // Gopher/C4 quality-rule battery (Rae et al. 2021 §A1.1): all eight
+    // metrics in one codegen'd projection; counts emitted as BIGINT and
+    // keep as INT so widths match DuckDB's (cf. the int-width note in
+    // the oracle policy). Every metric is exact-integer arithmetic with a
+    // fixed-shape final division, so the oracle hash-matches.
+    "q_quality_gopher" -> ((s, d) =>
+      graft.operators.QualityFilter.gopherFlags(docs(s, d), "doc_id", "text")
+        .select(col("doc_id"), col("n_words").cast("long").as("n_words"),
+          col("mean_word_len"), col("symbol_ratio"), col("bullet_frac"),
+          col("ellipsis_frac"), col("alpha_frac"),
+          col("n_stopwords").cast("long").as("n_stopwords"),
+          col("dup_line_frac"), col("keep").cast("int").as("keep"))
+        .orderBy("doc_id")),
+
+    // PII detect + redact over a deterministically PII-injected corpus
+    // (2/3 of docs get a synthetic email/SSN/phone/IP suffix built from
+    // doc_id — both engines construct the identical text, so counts AND
+    // the redacted string are oracle-checked exactly).
+    "q_pii_redact" -> ((s, d) => {
+      import graft.operators.Pii
+      val injected = docs(s, d).select(col("doc_id"),
+        when(col("doc_id") % 3 =!= 0,
+          concat(col("text"), lit(" reach user"), col("doc_id").cast("string"),
+            lit("@example.com or 10."), (col("doc_id") % 200).cast("string"),
+            lit(".0.1 ssn 123-45-6789 tel 555-123-4567")))
+          .otherwise(col("text")).as("text"))
+      Pii.detect(injected, "doc_id", "text")
+        .join(Pii.redact(injected, "doc_id", "text")
+          .withColumnRenamed("text", "redacted"), "doc_id")
+        .select(col("doc_id"), col("n_email").cast("long").as("n_email"),
+          col("n_ssn").cast("long").as("n_ssn"),
+          col("n_phone").cast("long").as("n_phone"),
+          col("n_ip").cast("long").as("n_ip"),
+          col("has_pii").cast("int").as("has_pii"), col("redacted"))
+        .orderBy("doc_id")
+    }),
+
+    // Corpus-level n-gram frequency stats: explode → map-side-combined
+    // hash agg → deterministic top-k (count DESC, ngram ASC) executed as
+    // TakeOrderedAndProject, never a full sort.
+    "q_ngram_counts" -> ((s, d) =>
+      graft.operators.NgramStats.topNgrams(docs(s, d), "text", n = 2, k = 100)),
+
+    // Benchmark decontamination audit: docs sharing any 3-gram with the
+    // eval set (doc_id < 10) and their distinct-shingle hit counts.
+    // Hashed shingles on the engine side, string shingles in the oracle —
+    // identical counts absent 64-bit collisions (cf. ngramJaccardOracle).
+    "q_decontaminate" -> ((s, d) => {
+      val corpus = docs(s, d).select(col("doc_id"), col("text"))
+      graft.operators.Decontaminate.contaminationHits(
+        corpus, "doc_id", "text",
+        corpus.filter(col("doc_id") < 10), "text", n = 3)
+        .orderBy("doc_id")
+    }),
+
+    // Deterministic stratified sampling (domain-mixture weights by lang):
+    // membership is a pure function of md5(text), so the exact kept set —
+    // not just the counts — is oracle-checked.
+    "q_sample_stratified" -> ((s, d) =>
+      graft.operators.Sample.stratifiedHashSample(
+        docs(s, d).select(col("doc_id"), col("lang"), col("text")),
+        "lang", "text", sampleFractions, defaultFrac = 0.1)
+        .select(col("doc_id"), col("lang"))
+        .orderBy("doc_id")),
+
+    // SemDeDup twin gate (same closed-form construction as q_dedup_embed):
+    // embeddings ∪ exact twins (id+1e6, v×2) — cell assignment is
+    // scale-invariant so every twin pair is a within-cell candidate with
+    // cosine exactly 1.0; no natural pair reaches 0.9 (testdata max
+    // ~0.6), so the result is exactly the N twin pairs.
+    "q_dedup_semantic_twins" -> ((s, d) => {
+      val e = embeddings(s, d).select(col("vec_id"), VF.asDouble(col("embedding")).as("v"))
+      val twins = e.select((col("vec_id") + lit(1000000L)).as("vec_id"),
+        transform(col("v"), x => x * lit(2.0)).as("v"))
+      graft.operators.SemDedup.semanticPairs(e.unionByName(twins), "vec_id", "v",
+        threshold = 0.9, nCentroids = 16)
+        .orderBy("id_a", "id_b")
+    }),
+
+    // SemDeDup survivor set over the same twin corpus: every twin has a
+    // smaller-id near-dup (its original) and gets dropped; every original
+    // survives (no natural pair ≥ 0.9) — survivors = the original ids.
+    "q_dedup_semantic" -> ((s, d) => {
+      val e = embeddings(s, d).select(col("vec_id"), VF.asDouble(col("embedding")).as("v"))
+      val twins = e.select((col("vec_id") + lit(1000000L)).as("vec_id"),
+        transform(col("v"), x => x * lit(2.0)).as("v"))
+      graft.operators.SemDedup.dedup(e.unionByName(twins), "vec_id", "v",
+        threshold = 0.9, nCentroids = 16)
+        .select(col("vec_id"))
+        .orderBy("vec_id")
+    })
   )
+
+  /** Stratified-sample gate fractions — shared with the oracle SQL so the
+    * two sides cannot drift. */
+  private val sampleFractions = Map("en" -> 0.5, "de" -> 0.25, "zh" -> 0.75)
 
   /** Committed fixtures (CSV derived once from sf0.001 part + a synthetic
     * date column; tiny.png/tiny.wav for the real-decode gate) — gates read
@@ -777,6 +873,95 @@ object SparkEntry {
        |        CAST(length(text) AS DOUBLE) AS nchars,
        |        CAST(length(regexp_replace(text, '[^a-zA-Z0-9]', '', 'g')) AS DOUBLE) AS alnum
        |      FROM (SELECT doc_id, text, $toksSql AS toks FROM documents))""".stripMargin
+
+  /** DuckDB oracle for the Gopher quality battery — identical expression
+    * shapes (exact integer counts, fixed-shape double division, round 6)
+    * so every metric hash-matches bit-for-bit. */
+  private def gopherOracle: String = {
+    val stopList = graft.operators.QualityFilter.gopherStopwords
+      .map(w => s"'$w'").mkString("(", ", ", ")")
+    s"""WITH base AS (
+       |  SELECT doc_id, text,
+       |    list_filter(regexp_split_to_array(trim(text), '\\s+'), w -> length(w) > 0) AS ws,
+       |    list_filter(regexp_split_to_array(text, '\\n'), l -> length(trim(l)) > 0) AS ls,
+       |    list_filter(regexp_split_to_array(trim(text), '\\n'), s -> length(trim(s)) > 0) AS segs
+       |  FROM documents),
+       |m AS (
+       |  SELECT doc_id,
+       |    CAST(len(ws) AS BIGINT) AS n_words,
+       |    round(CASE WHEN len(ws) > 0
+       |      THEN CAST(list_sum(list_transform(ws, w -> length(w))) AS DOUBLE) / CAST(len(ws) AS DOUBLE)
+       |      ELSE 0.0 END, 6) AS mean_word_len,
+       |    round(CASE WHEN len(ws) > 0
+       |      THEN CAST(length(text) - length(translate(text, '#', ''))
+       |           + (length(text) - length(replace(text, '...', ''))) / 3 AS DOUBLE)
+       |           / CAST(len(ws) AS DOUBLE)
+       |      ELSE 0.0 END, 6) AS symbol_ratio,
+       |    round(CASE WHEN len(ls) > 0
+       |      THEN CAST(len(list_filter(ls, l -> regexp_matches(ltrim(l), '^[-*•]'))) AS DOUBLE)
+       |           / CAST(len(ls) AS DOUBLE)
+       |      ELSE 0.0 END, 6) AS bullet_frac,
+       |    round(CASE WHEN len(ls) > 0
+       |      THEN CAST(len(list_filter(ls, l -> ends_with(rtrim(l), '...'))) AS DOUBLE)
+       |           / CAST(len(ls) AS DOUBLE)
+       |      ELSE 0.0 END, 6) AS ellipsis_frac,
+       |    round(CASE WHEN len(ws) > 0
+       |      THEN CAST(len(list_filter(ws, w -> regexp_matches(w, '[A-Za-z]'))) AS DOUBLE)
+       |           / CAST(len(ws) AS DOUBLE)
+       |      ELSE 0.0 END, 6) AS alpha_frac,
+       |    CAST(len(list_filter(list_transform(ws, w -> lower(w)), x -> x IN $stopList)) AS BIGINT) AS n_stopwords,
+       |    round(CASE WHEN len(segs) > 0
+       |      THEN CAST(len(segs) - len(list_distinct(segs)) AS DOUBLE) / len(segs)
+       |      ELSE 0.0 END, 6) AS dup_line_frac
+       |  FROM base)
+       |SELECT *, CAST(CASE WHEN n_words >= 50 AND n_words <= 100000
+       |  AND mean_word_len >= 3.0 AND mean_word_len <= 10.0
+       |  AND symbol_ratio < 0.1 AND bullet_frac < 0.9 AND ellipsis_frac < 0.3
+       |  AND alpha_frac >= 0.8 AND n_stopwords >= 2 AND dup_line_frac < 0.3
+       |  THEN 1 ELSE 0 END AS INTEGER) AS keep
+       |FROM m ORDER BY doc_id""".stripMargin
+  }
+
+  /** DuckDB oracle for PII detect+redact, generated from the Pii pattern
+    * constants (RE2/Java-portable by construction). */
+  private def piiOracle: String = {
+    import graft.operators.Pii._
+    val inject = "text || ' reach user' || CAST(doc_id AS VARCHAR) || " +
+      "'@example.com or 10.' || CAST(doc_id % 200 AS VARCHAR) || " +
+      "'.0.1 ssn 123-45-6789 tel 555-123-4567'"
+    val redacted = Seq(emailPattern -> "[EMAIL]", ssnPattern -> "[SSN]",
+      phonePattern -> "[PHONE]", ipv4Pattern -> "[IP]")
+      .foldLeft("text") { case (acc, (pat, tag)) =>
+        s"regexp_replace($acc, '$pat', '$tag', 'g')"
+      }
+    s"""WITH injected AS (
+       |  SELECT doc_id,
+       |    CASE WHEN doc_id % 3 <> 0 THEN $inject ELSE text END AS text
+       |  FROM documents)
+       |SELECT doc_id,
+       |  CAST(len(regexp_extract_all(text, '$emailPattern')) AS BIGINT) AS n_email,
+       |  CAST(len(regexp_extract_all(text, '$ssnPattern')) AS BIGINT) AS n_ssn,
+       |  CAST(len(regexp_extract_all(text, '$phonePattern')) AS BIGINT) AS n_phone,
+       |  CAST(len(regexp_extract_all(text, '$ipv4Pattern')) AS BIGINT) AS n_ip,
+       |  CAST(CASE WHEN len(regexp_extract_all(text, '$emailPattern')) > 0
+       |    OR len(regexp_extract_all(text, '$ssnPattern')) > 0
+       |    OR len(regexp_extract_all(text, '$phonePattern')) > 0
+       |    OR len(regexp_extract_all(text, '$ipv4Pattern')) > 0
+       |    THEN 1 ELSE 0 END AS INTEGER) AS has_pii,
+       |  $redacted AS redacted
+       |FROM injected ORDER BY doc_id""".stripMargin
+  }
+
+  /** DuckDB oracle for the stratified sample, generated from the same
+    * fraction constants (thresholds via Split.thresholdHex). */
+  private def sampleOracle: String = {
+    val cases = sampleFractions.map { case (l, f) =>
+      s"WHEN lang = '$l' THEN '${graft.operators.Split.thresholdHex(f)}'"
+    }.mkString(" ")
+    s"SELECT doc_id, lang FROM documents WHERE substring(md5(text), 1, 8) < " +
+      s"CASE $cases ELSE '${graft.operators.Split.thresholdHex(0.1)}' END " +
+      "ORDER BY doc_id"
+  }
 
   def oracleSql: Map[String, String] = Map(
     "q_filter_gt" ->
@@ -1005,7 +1190,37 @@ object SparkEntry {
         |         row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id ASC) AS rank
         |  FROM scored)
         |SELECT query_id, rank, vec_id, round(cosine, 6) AS cosine
-        |FROM ranked WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin
+        |FROM ranked WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
+    "q_quality_gopher" -> gopherOracle,
+    "q_pii_redact" -> piiOracle,
+    "q_sample_stratified" -> sampleOracle,
+    "q_ngram_counts" ->
+      """WITH grams AS (
+        |  SELECT unnest(list_transform(range(1, greatest(len(toks)-1, 1)+1),
+        |    i -> array_to_string(list_slice(toks, i, i+1), ' '))) AS ngram
+        |  FROM (SELECT regexp_split_to_array(trim(lower(text)), '\s+') AS toks
+        |        FROM documents))
+        |SELECT ngram, count(*) AS n_occurrences FROM grams
+        |WHERE length(ngram) > 0
+        |GROUP BY ngram ORDER BY n_occurrences DESC, ngram ASC LIMIT 100""".stripMargin,
+    "q_decontaminate" ->
+      """WITH docs AS (
+        |  SELECT doc_id, list_distinct(list_transform(range(1, greatest(len(toks)-2, 1)+1),
+        |         i -> array_to_string(list_slice(toks, i, i+2), ' '))) AS sh
+        |  FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
+        |        FROM documents)),
+        |ev AS (SELECT DISTINCT unnest(sh) AS s FROM docs WHERE doc_id < 10),
+        |inv AS (SELECT doc_id, unnest(sh) AS s FROM docs)
+        |SELECT inv.doc_id, count(*) AS n_hits
+        |FROM inv JOIN ev ON inv.s = ev.s
+        |GROUP BY inv.doc_id ORDER BY doc_id""".stripMargin,
+    // Same closed-form twin construction as q_dedup_embed: the result is
+    // exactly the N twin pairs (cell assignment is scale-invariant).
+    "q_dedup_semantic_twins" ->
+      ("SELECT vec_id AS id_a, vec_id + 1000000 AS id_b, " +
+        "CAST(1.0 AS DOUBLE) AS cosine FROM embeddings ORDER BY id_a, id_b"),
+    "q_dedup_semantic" ->
+      "SELECT vec_id FROM embeddings ORDER BY vec_id"
     // q_dedup_minhash / q_dedup_simhash / q_text_fingerprint / q_ann_lsh /
     // q_ann_ivf: hash-based or deliberately approximate — not DuckDB-
     // expressible, so the driver records the weaker rows-only check.

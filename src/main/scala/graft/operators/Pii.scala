@@ -1,0 +1,67 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/**
+ * PII detection and redaction for training-data pipelines — an extension
+ * beyond the reference's surface (it has no text functions, SURVEY §2.4).
+ *
+ * Pure regex passes over the text column with Spark's codegen'd
+ * `regexp_extract_all` / `regexp_replace`: detection and redaction are
+ * each a single projection (no shuffle, no UDF), so the operators run at
+ * scan speed at 100 TB and compose with filter pushdown.
+ *
+ * Patterns are restricted to syntax with identical semantics in Java's
+ * regex engine and RE2 (character classes, bounded repetition, `\b`,
+ * non-capturing groups) so the DuckDB oracle reproduces results exactly.
+ * They are deliberately high-precision / moderate-recall document-scale
+ * heuristics — the standard first-pass scrub before model-based PII
+ * tagging.
+ */
+object Pii {
+
+  /** RFC-5322-lite email addresses. */
+  val emailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+
+  /** Dotted-quad IPv4 (syntactic — no octet range check). */
+  val ipv4Pattern = "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b"
+
+  /** US-style SSN: 3-2-4 digit groups, dash-separated. */
+  val ssnPattern = "\\b[0-9]{3}-[0-9]{2}-[0-9]{4}\\b"
+
+  /** US-style phone: 3-3-4 digit groups, dash or dot separated. */
+  val phonePattern = "\\b[0-9]{3}[-.][0-9]{3}[-.][0-9]{4}\\b"
+
+  private val categories: Seq[(String, String, String)] = Seq(
+    // Redaction ORDER matters and is part of the contract: email first
+    // (its local part may contain digit runs), then SSN before phone
+    // (both are dashed digit groups; 3-2-4 must not be consumed as a
+    // partial phone), then IP last.
+    ("email", emailPattern, "[EMAIL]"),
+    ("ssn", ssnPattern, "[SSN]"),
+    ("phone", phonePattern, "[PHONE]"),
+    ("ip", ipv4Pattern, "[IP]"))
+
+  /** Per-category match counts: `n_email`, `n_ssn`, `n_phone`, `n_ip`,
+    * plus `has_pii` — one codegen'd projection. */
+  def detect(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val counts = categories.map { case (name, pat, _) =>
+      size(regexp_extract_all(col(textCol), lit(pat), lit(0))).as(s"n_$name")
+    }
+    df.select(col(idCol) +: counts: _*)
+      .withColumn("has_pii",
+        categories.map(c => col(s"n_${c._1}") > 0).reduce(_ || _))
+  }
+
+  /** Text with every PII match replaced by its category placeholder,
+    * applying the category passes in the documented order. */
+  def redactText(text: Column): Column =
+    categories.foldLeft(text) { case (acc, (_, pat, tag)) =>
+      regexp_replace(acc, pat, tag)
+    }
+
+  /** (id, redacted text) — the scrub pass. */
+  def redact(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol), redactText(col(textCol)).as(textCol))
+}

@@ -1,0 +1,104 @@
+package graft.operators
+
+import graft.functions.TextFunctions
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/**
+ * Document quality filtering for training-data curation — the
+ * Gopher-rule / C4-style heuristic battery (Rae et al. 2021 §A1.1,
+ * Raffel et al. 2020 §2.2), an extension beyond the reference's surface
+ * (SURVEY §2.4: the app layer implements no text functions).
+ *
+ * Every metric is built from codegen'd Spark built-ins over one pass of
+ * the text column — no UDFs, no shuffle: the whole battery is a single
+ * projection, so at 100 TB it runs at scan speed and the subsequent
+ * `keep` filter pushes into the same stage. All fractional metrics are
+ * exact-integer counts divided in fixed expression shapes and rounded to
+ * 6 decimals, which makes them engine-portable (the DuckDB oracle
+ * reproduces them bit-for-bit).
+ */
+object QualityFilter {
+
+  /** The Gopher stopword probe list (Rae et al. 2021, §A1.1). */
+  val gopherStopwords: Seq[String] =
+    Seq("the", "be", "to", "of", "and", "that", "have", "with")
+
+  /** Non-empty whitespace tokens. */
+  private def words(text: Column): Column =
+    filter(TextFunctions.tokens(text), w => length(w) > 0)
+
+  /** Non-blank lines (newline-split, blank lines dropped). */
+  private def lines(text: Column): Column =
+    filter(split(text, "\n"), l => length(trim(l)) > 0)
+
+  private def frac(num: Column, den: Column): Column =
+    round(when(den > 0, num.cast("double") / den.cast("double"))
+      .otherwise(lit(0.0)), 6)
+
+  /**
+   * Per-document quality metrics, one codegen'd projection:
+   *
+   *  - `n_words`        non-empty whitespace tokens
+   *  - `mean_word_len`  mean token length (0.0 for empty docs)
+   *  - `symbol_ratio`   (`#` + `...` occurrences) / words — Gopher's
+   *                     symbol-to-word rule
+   *  - `bullet_frac`    fraction of lines starting with `-`/`*`/`•`
+   *  - `ellipsis_frac`  fraction of lines ending with `...`
+   *  - `alpha_frac`     fraction of words containing a letter
+   *  - `n_stopwords`    hits on the 8-word Gopher probe list
+   *  - `dup_line_frac`  repeated-line fraction (1 − distinct/total)
+   */
+  def metrics(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val t = col(textCol)
+    val ws = words(t)
+    val ls = lines(t)
+    val nWords = size(ws)
+    val nLines = size(ls)
+    // '#' occurrences via translate; '...' via replace-length delta / 3.
+    // Both engines' replace() scans left-to-right non-overlapping, so the
+    // counts agree on runs of dots.
+    val nHash = length(t) - length(translate(t, "#", ""))
+    val nEllipsis = (length(t) - length(replace(t, lit("..."), lit("")))) / 3
+    val lowered = transform(ws, w => lower(w))
+    df.select(
+      col(idCol),
+      nWords.as("n_words"),
+      round(when(nWords > 0,
+        aggregate(ws, lit(0L), (acc, w) => acc + length(w)).cast("double") /
+          nWords.cast("double")).otherwise(lit(0.0)), 6).as("mean_word_len"),
+      frac(nHash + nEllipsis, nWords).as("symbol_ratio"),
+      frac(size(filter(ls, l => regexp_like(ltrim(l), lit("^[-*•]")))), nLines)
+        .as("bullet_frac"),
+      frac(size(filter(ls, l => rtrim(l).endsWith("..."))), nLines)
+        .as("ellipsis_frac"),
+      frac(size(filter(ws, w => regexp_like(w, lit("[A-Za-z]")))), nWords)
+        .as("alpha_frac"),
+      size(filter(lowered, w => w.isInCollection(gopherStopwords)))
+        .as("n_stopwords"),
+      TextFunctions.repeatedSegmentFraction(t, "\n").as("dup_line_frac"))
+  }
+
+  /**
+   * Gopher keep/drop decision. Thresholds are the published defaults
+   * (word-count window relaxed via `minWords` for short-document corpora);
+   * `keep` is emitted as a column so the decision is auditable — filter
+   * on it (predicate pushes into the metric projection) to materialize
+   * survivors only.
+   */
+  def gopherFlags(df: DataFrame, idCol: String, textCol: String,
+                  minWords: Int = 50, maxWords: Int = 100000): DataFrame =
+    metrics(df, idCol, textCol).withColumn("keep",
+      col("n_words") >= minWords && col("n_words") <= maxWords &&
+        col("mean_word_len") >= 3.0 && col("mean_word_len") <= 10.0 &&
+        col("symbol_ratio") < 0.1 &&
+        col("bullet_frac") < 0.9 && col("ellipsis_frac") < 0.3 &&
+        col("alpha_frac") >= 0.8 && col("n_stopwords") >= 2 &&
+        col("dup_line_frac") < 0.3)
+
+  /** Survivors of the Gopher battery (original columns preserved). */
+  def gopherFilter(df: DataFrame, idCol: String, textCol: String,
+                   minWords: Int = 50, maxWords: Int = 100000): DataFrame =
+    df.join(gopherFlags(df, idCol, textCol, minWords, maxWords)
+      .filter(col("keep")).select(col(idCol)), Seq(idCol), "leftsemi")
+}

@@ -1,0 +1,49 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/**
+ * Deterministic stratified sampling — the domain-mixture primitive of
+ * training-data curation (sample each source/language/quality stratum at
+ * its own rate to hit a target mixture, reproducibly).
+ *
+ * Same engine-portable mechanism as [[Split]]: a row is kept iff the
+ * first 8 hex chars of `md5(key)` fall below the stratum's fraction
+ * threshold. Properties that matter at 100 TB:
+ *
+ *  - pure per-row projection + filter — no shuffle, no global count, no
+ *    RNG state; the filter pushes down to the scan;
+ *  - content-keyed (hash of the text, not the row id), so exact
+ *    duplicates are kept or dropped TOGETHER regardless of which copy a
+ *    prior dedup pass left behind — resampling cannot reintroduce leakage;
+ *  - composable with [[Split]]: hashing different columns (or salting the
+ *    key) keeps sample membership independent of split side.
+ */
+object Sample {
+
+  /** Keep-predicate for one fraction over a key column. */
+  def keepColumn(key: Column, frac: Double): Column =
+    substring(md5(key), 1, 8) < lit(Split.thresholdHex(frac))
+
+  /** Uniform deterministic sample: keep ~`frac` of rows by content hash. */
+  def hashSample(df: DataFrame, keyCol: String, frac: Double): DataFrame =
+    df.filter(keepColumn(col(keyCol), frac))
+
+  /**
+   * Stratified sample: per-stratum keep fractions (e.g.
+   * `Map("en" -> 0.5, "de" -> 0.2)`), `defaultFrac` for strata not in the
+   * map. The stratum column only selects the threshold — membership still
+   * depends solely on the key hash, so changing one stratum's rate never
+   * perturbs which rows of another stratum are sampled.
+   */
+  def stratifiedHashSample(df: DataFrame, strataCol: String, keyCol: String,
+                           fractions: Map[String, Double],
+                           defaultFrac: Double = 0.0): DataFrame = {
+    val threshold = fractions.foldLeft(lit(Split.thresholdHex(defaultFrac))) {
+      case (acc, (stratum, frac)) =>
+        when(col(strataCol) === stratum, lit(Split.thresholdHex(frac))).otherwise(acc)
+    }
+    df.filter(substring(md5(col(keyCol)), 1, 8) < threshold)
+  }
+}

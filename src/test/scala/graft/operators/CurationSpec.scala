@@ -1,0 +1,136 @@
+package graft.operators
+
+import graft.SparkTestBase
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+
+/** Round-4 training-data curation operators: quality rules, PII, n-gram
+  * stats, decontamination, stratified sampling, semantic dedup. */
+class CurationSpec extends SparkTestBase {
+
+  private def doc(id: Int, text: String) = Row(id, text)
+
+  test("QualityFilter.metrics computes the Gopher battery closed-form") {
+    val words60 = (1 to 60).map(i => if (i % 10 == 0) "the" else s"word$i").mkString(" ")
+    val docs = df("doc_id INT, text STRING", Seq(
+      doc(1, words60),                        // healthy doc
+      doc(2, "short doc only"),               // fails word count
+      doc(3, "# # # # tag soup of and the"),  // symbol-heavy
+      doc(4, "- item one\n- item two\nplain line ends here with all of the stopwords and be to"),
+      doc(5, "dup line\ndup line\nother line of the and be")))
+    val m = QualityFilter.gopherFlags(docs, "doc_id", "text")
+      .collect().map(r => r.getInt(0) -> r).toMap
+
+    assert(m(1).getAs[Int]("n_words") == 60)
+    assert(m(1).getAs[Boolean]("keep"))
+    assert(!m(2).getAs[Boolean]("keep"))
+    assert(m(2).getAs[Int]("n_words") == 3)
+    // doc 3: 4 '#' among 9 words ('#' are tokens too) → 4/9, fails the 0.1 bar
+    assert(m(3).getAs[Double]("symbol_ratio") == 0.444444)
+    assert(!m(3).getAs[Boolean]("keep"))
+    // doc 4: 2 of 3 lines start with '-'
+    assert(m(4).getAs[Double]("bullet_frac") == math.rint(2.0 / 3.0 * 1e6) / 1e6 ||
+      m(4).getAs[Double]("bullet_frac") == 0.666667)
+    // doc 5: 1 repeated line of 3
+    assert(m(5).getAs[Double]("dup_line_frac") == 0.333333)
+    // filter keeps exactly the keep=true ids and preserves columns
+    assert(QualityFilter.gopherFilter(docs, "doc_id", "text")
+      .select("doc_id").collect().map(_.getInt(0)).toSeq == Seq(1))
+  }
+
+  test("QualityFilter: ellipsis/alpha/mean-length rules") {
+    val docs = df("doc_id INT, text STRING", Seq(
+      doc(1, "first line goes on...\nsecond line..."),
+      doc(2, "1 2 3 4 5 6 7 8 9 10")))
+    val m = QualityFilter.metrics(docs, "doc_id", "text")
+      .collect().map(r => r.getInt(0) -> r).toMap
+    assert(m(1).getAs[Double]("ellipsis_frac") == 1.0)
+    assert(m(2).getAs[Double]("alpha_frac") == 0.0) // all-numeric words
+    assert(m(2).getAs[Double]("mean_word_len") == 1.1) // 11 chars / 10 words
+  }
+
+  test("Pii.detect counts each category without cross-matching") {
+    val docs = df("doc_id INT, text STRING", Seq(
+      doc(1, "mail a@b.co ip 10.1.2.3 ssn 123-45-6789 tel 555-123-4567"),
+      doc(2, "no pii here"),
+      doc(3, "two mails x@y.org z@w.net")))
+    val m = Pii.detect(docs, "doc_id", "text").collect().map(r => r.getInt(0) -> r).toMap
+    assert((m(1).getAs[Int]("n_email"), m(1).getAs[Int]("n_ssn"),
+      m(1).getAs[Int]("n_phone"), m(1).getAs[Int]("n_ip")) == (1, 1, 1, 1))
+    assert(!m(2).getAs[Boolean]("has_pii"))
+    assert(m(3).getAs[Int]("n_email") == 2 && m(3).getAs[Boolean]("has_pii"))
+  }
+
+  test("Pii.redact replaces every category in order and is idempotent on clean text") {
+    val docs = df("doc_id INT, text STRING", Seq(
+      doc(1, "mail a@b.co ip 10.1.2.3 ssn 123-45-6789 tel 555-123-4567"),
+      doc(2, "clean text stays")))
+    val out = Pii.redact(docs, "doc_id", "text").collect().map(r => r.getInt(0) -> r.getString(1)).toMap
+    assert(out(1) == "mail [EMAIL] ip [IP] ssn [SSN] tel [PHONE]")
+    assert(out(2) == "clean text stays")
+  }
+
+  test("NgramStats.topNgrams counts bigrams with deterministic tie-break") {
+    val docs = df("doc_id INT, text STRING", Seq(
+      doc(1, "a b a b c"), doc(2, "a b x")))
+    // bigrams: doc1: "a b","b a","a b","b c"; doc2: "a b","b x"
+    val out = NgramStats.topNgrams(docs, "text", n = 2, k = 3).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(out == Seq(("a b", 3L), ("b a", 1L), ("b c", 1L)))
+  }
+
+  test("Decontaminate flags exactly the docs sharing an eval n-gram") {
+    val corpus = df("doc_id INT, text STRING", Seq(
+      doc(1, "the quick brown fox jumps high"),
+      doc(2, "a completely different sentence here now"),
+      doc(3, "quick brown fox is fast")))
+    val evalSet = df("doc_id INT, text STRING", Seq(
+      doc(100, "watch the quick brown fox run")))
+    val hits = Decontaminate.contaminationHits(corpus, "doc_id", "text", evalSet, "text", n = 3)
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    // doc1 shares "the quick brown"+"quick brown fox"; doc3 shares "quick brown fox"
+    assert(hits == Map(1 -> 2L, 3 -> 1L))
+    assert(Decontaminate.decontaminate(corpus, "doc_id", "text", evalSet, "text", n = 3)
+      .select("doc_id").collect().map(_.getInt(0)).toSeq == Seq(2))
+  }
+
+  test("Sample.stratifiedHashSample: per-stratum rates, cross-stratum independence") {
+    val rows = (1 to 600).map(i => Row(i, if (i % 2 == 0) "en" else "de", s"text body $i"))
+    val docs = df("doc_id INT, lang STRING, text STRING", rows)
+    val kept = Sample.stratifiedHashSample(docs, "lang", "text",
+      Map("en" -> 0.8, "de" -> 0.2)).collect()
+    val en = kept.count(_.getString(1) == "en").toDouble / 300
+    val de = kept.count(_.getString(1) == "de").toDouble / 300
+    assert(en > 0.7 && en < 0.9, s"en rate $en")
+    assert(de > 0.1 && de < 0.3, s"de rate $de")
+    // membership is hash-of-key only: changing de's rate must not perturb en's kept set
+    val keptEn1 = kept.filter(_.getString(1) == "en").map(_.getInt(0)).toSet
+    val keptEn2 = Sample.stratifiedHashSample(docs, "lang", "text",
+      Map("en" -> 0.8, "de" -> 0.9)).collect()
+      .filter(_.getString(1) == "en").map(_.getInt(0)).toSet
+    assert(keptEn1 == keptEn2)
+    // default fraction applies to unmapped strata
+    assert(Sample.stratifiedHashSample(docs, "lang", "text", Map("en" -> 1.0), 0.0)
+      .select("lang").distinct().collect().map(_.getString(0)).toSeq == Seq("en"))
+    // uniform sampler is the single-stratum special case
+    assert(Sample.hashSample(docs, "text", 1.0).count() == 600L)
+    assert(Sample.hashSample(docs, "text", 0.0).count() == 0L)
+  }
+
+  test("SemDedup finds within-cell near-dups and keeps the smallest id") {
+    // orthogonal-ish base vectors + one exact twin pair (scaled copy)
+    val rows = Seq(
+      Row(1L, Seq(1.0, 0.0, 0.0, 0.0)),
+      Row(2L, Seq(0.0, 1.0, 0.0, 0.0)),
+      Row(3L, Seq(0.0, 0.0, 1.0, 0.0)),
+      Row(4L, Seq(2.0, 0.0, 0.0, 0.0)), // twin of 1 (cosine 1.0)
+      Row(5L, Seq(0.0, 0.0, 0.0, 1.0)))
+    val vecs = df("id BIGINT, v ARRAY<DOUBLE>", rows)
+    val pairs = SemDedup.semanticPairs(vecs, "id", "v",
+      threshold = 0.9, nCentroids = 2, maxFitRows = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(pairs == Seq((1L, 4L, 1.0)))
+    assert(SemDedup.dedup(vecs, "id", "v", threshold = 0.9, nCentroids = 2, maxFitRows = 10)
+      .select("id").collect().map(_.getLong(0)).sorted.toSeq == Seq(1L, 2L, 3L, 5L))
+  }
+}
