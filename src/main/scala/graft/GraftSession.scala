@@ -45,6 +45,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     inject("hashed_tokens", cs => HashedTokens(cs.head), classOf[HashedTokens])
     inject("hashed_shingles", cs => HashedShingles(cs(0),
       intArg(cs(1), "hashed_shingles", 1)), classOf[HashedShingles])
+    inject("quality_metrics", cs => QualityMetrics(cs.head), classOf[QualityMetrics])
+    inject("string_shingles", cs => StringShingles(cs(0),
+      intArg(cs(1), "string_shingles", 1)), classOf[StringShingles])
     inject("minhash_sig", cs => MinHashSig(cs(0),
       intArg(cs(1), "minhash_sig", 1)), classOf[MinHashSig])
     inject("winnowed_fingerprints", cs => WinnowedFps(cs(0),

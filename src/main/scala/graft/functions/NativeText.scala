@@ -3,7 +3,7 @@ package graft.functions
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, XXH64}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
-import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /**
@@ -64,6 +64,36 @@ object NativeText {
       while (it.hasNext) { dedup(i) = it.next(); i += 1 }
       new GenericArrayData(dedup)
     }
+  }
+
+  /** Word n-gram shingle STRINGS (non-distinct, positional) — the
+    * corpus-stats variant where the gram text itself is the output.
+    * Identical shingle construction to [[shingleHashes]] (so
+    * `xxhash64(string_shingles(t)(i)) == hashed_shingles(t)(i)`) and
+    * value-identical to the wordShingles HOF formulation (spec-pinned). */
+  def stringShingles(text: UTF8String, n: Int): ArrayData = {
+    val toks = text.toString.trim.split("\\s+")
+    val out: Array[Any] =
+      if (toks.length < n) Array(UTF8String.fromString(toks.mkString(" ")))
+      else {
+        val m = toks.length - n + 1
+        val arr = new Array[Any](m)
+        val sb = new java.lang.StringBuilder(64)
+        var i = 0
+        while (i < m) {
+          sb.setLength(0)
+          var j = 0
+          while (j < n) {
+            if (j > 0) sb.append(' ')
+            sb.append(toks(i + j))
+            j += 1
+          }
+          arr(i) = UTF8String.fromString(sb.toString)
+          i += 1
+        }
+        arr
+      }
+    new GenericArrayData(out)
   }
 
   /** Whitespace-token hashes (non-distinct) — SimHash input. */
@@ -142,6 +172,19 @@ case class HashedShingles(child: Expression, n: Int, distinct: Boolean = true)
     defineCodeGen(ctx, ev, c =>
       s"graft.functions.NativeText.shingleHashes($c, $n, $distinct)")
   override protected def withNewChildInternal(newChild: Expression): HashedShingles =
+    copy(child = newChild)
+}
+
+/** `string_shingles(text)` → array<string> — see [[NativeText.stringShingles]]. */
+case class StringShingles(child: Expression, n: Int) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "string_shingles"
+  override protected def nullSafeEval(input: Any): Any =
+    NativeText.stringShingles(input.asInstanceOf[UTF8String], n)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.NativeText.stringShingles($c, $n)")
+  override protected def withNewChildInternal(newChild: Expression): StringShingles =
     copy(child = newChild)
 }
 

@@ -82,6 +82,12 @@ object TextFunctions {
   def hashedShingleSet(text: Column, n: Int): Column =
     CatalystBridge.column(HashedShingles(CatalystBridge.expression(text), n))
 
+  /** Word n-gram shingle strings (non-distinct, positional) — the native
+    * one-pass variant of `wordShingles(tokens(text), n)` for corpus stats
+    * where the gram text itself is the output (spec-pinned identical). */
+  def stringShingles(text: Column, n: Int): Column =
+    CatalystBridge.column(StringShingles(CatalystBridge.expression(text), n))
+
   /** xxhash64 of each whitespace token (non-distinct) — SimHash input. */
   def hashedTokens(text: Column): Column =
     CatalystBridge.column(HashedTokens(CatalystBridge.expression(text)))

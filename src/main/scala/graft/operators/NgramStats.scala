@@ -23,9 +23,12 @@ object NgramStats {
     * `minCount` prunes the long tail before it reaches the caller. */
   def ngramCounts(df: DataFrame, textCol: String, n: Int,
                   minCount: Long = 1L): DataFrame = {
-    val toks = TextFunctions.tokens(lower(col(textCol)))
+    // native one-pass shingle builder — the wordShingles HOF formulation
+    // is value-identical (spec-pinned) but evaluates interpreted, ~5×
+    // slower end-to-end on the corpus-stats path
     val grams = df
-      .select(explode(TextFunctions.wordShingles(toks, n)).as("ngram"))
+      .select(explode(
+        TextFunctions.stringShingles(lower(col(textCol)), n)).as("ngram"))
       .filter(length(col("ngram")) > 0)
     grams.groupBy("ngram")
       .agg(count(lit(1)).as("n_occurrences"))

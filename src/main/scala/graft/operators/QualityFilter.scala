@@ -21,8 +21,7 @@ import org.apache.spark.sql.functions._
 object QualityFilter {
 
   /** The Gopher stopword probe list (Rae et al. 2021, §A1.1). */
-  val gopherStopwords: Seq[String] =
-    Seq("the", "be", "to", "of", "and", "that", "have", "with")
+  val gopherStopwords: Seq[String] = graft.functions.NativeQuality.gopherStopwords
 
   /** Non-empty whitespace tokens. */
   private def words(text: Column): Column =
@@ -50,6 +49,28 @@ object QualityFilter {
    *  - `dup_line_frac`  repeated-line fraction (1 − distinct/total)
    */
   def metrics(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    import org.apache.spark.sql.graftshim.CatalystBridge
+    val q = CatalystBridge.column(
+      graft.functions.QualityMetrics(CatalystBridge.expression(col(textCol))))
+    // one native evaluation; field extraction is subexpression-eliminated
+    // inside whole-stage codegen, so the battery costs ONE pass per row
+    df.select(col(idCol), q.as("__q"))
+      .select(col(idCol),
+        col("__q.n_words").as("n_words"),
+        col("__q.mean_word_len").as("mean_word_len"),
+        col("__q.symbol_ratio").as("symbol_ratio"),
+        col("__q.bullet_frac").as("bullet_frac"),
+        col("__q.ellipsis_frac").as("ellipsis_frac"),
+        col("__q.alpha_frac").as("alpha_frac"),
+        col("__q.n_stopwords").as("n_stopwords"),
+        col("__q.dup_line_frac").as("dup_line_frac"))
+  }
+
+  /** The composable Column formulation of [[metrics]] — the executable
+    * spec the native expression is pinned against (CurationSpec); each
+    * metric re-derives its inputs as interpreted HOF trees, so use
+    * [[metrics]] on the hot path. */
+  private[graft] def metricsHof(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val t = col(textCol)
     val ws = words(t)
     val ls = lines(t)

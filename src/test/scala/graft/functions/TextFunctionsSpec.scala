@@ -72,6 +72,34 @@ class TextFunctionsSpec extends SparkTestBase {
     assert(fp.nonEmpty && fp.subsetOf(all))
   }
 
+  test("native string shingles are value-identical to the wordShingles HOF on real docs") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val out = docs.select(
+      TF.stringShingles(lower(col("text")), 2).as("native"),
+      TF.wordShingles(TF.tokens(lower(col("text"))), 2).as("hof"),
+      TF.stringShingles(col("text"), 5).as("native5"),
+      TF.wordShingles(TF.tokens(col("text")), 5).as("hof5"))
+    out.collect().foreach { r =>
+      assert(r.getSeq[String](0) == r.getSeq[String](1))
+      assert(r.getSeq[String](2) == r.getSeq[String](3))
+    }
+    // short-doc degenerate: fewer tokens than n → one whole-doc shingle
+    val tiny = one("alpha beta").select(
+      TF.stringShingles(col("text"), 5).as("n"),
+      TF.wordShingles(TF.tokens(col("text")), 5).as("h"))
+    val t = tiny.head()
+    assert(t.getSeq[String](0) == t.getSeq[String](1) &&
+      t.getSeq[String](0) == Seq("alpha beta"))
+    // shingle hashes of the strings equal hashed_shingles (positional)
+    import org.apache.spark.sql.graftshim.CatalystBridge
+    val pin = one("one two three four five").select(
+      transform(TF.stringShingles(col("text"), 3), s => xxhash64(s)).as("viaStr"),
+      CatalystBridge.column(HashedShingles(
+        CatalystBridge.expression(col("text")), 3, distinct = false)).as("direct"))
+    val p = pin.head()
+    assert(p.getSeq[Long](0) == p.getSeq[Long](1))
+  }
+
   test("native winnowing is value-identical to the HOF formulation on real docs") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val out = docs.select(

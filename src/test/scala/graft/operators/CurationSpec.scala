@@ -38,6 +38,23 @@ class CurationSpec extends SparkTestBase {
       .select("doc_id").collect().map(_.getInt(0)).toSeq == Seq(1))
   }
 
+  test("native quality metrics are value-identical to the HOF formulation on real docs") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      // adversarial shapes: bullets, dup lines, ellipses, symbols, blanks
+      .unionByName(df("doc_id BIGINT, text STRING, lang STRING, source STRING, n_chars BIGINT",
+        Seq(
+          Row(90001L, "- one\n- two\n  \nsame\nsame\nend with the and be...", "en", "t", 1L),
+          Row(90002L, "# ## ### x... y...z 1 2 3", "en", "t", 1L),
+          Row(90003L, "   ", "en", "t", 1L),
+          Row(90004L, "", "en", "t", 1L))))
+    val native = QualityFilter.metrics(docs, "doc_id", "text")
+      .orderBy("doc_id").collect().map(_.toSeq.map(String.valueOf))
+    val hof = QualityFilter.metricsHof(docs, "doc_id", "text")
+      .orderBy("doc_id").collect().map(_.toSeq.map(String.valueOf))
+    assert(native.length == hof.length)
+    native.zip(hof).foreach { case (n, h) => assert(n == h, s"\nnative: $n\nhof:    $h") }
+  }
+
   test("QualityFilter: ellipsis/alpha/mean-length rules") {
     val docs = df("doc_id INT, text STRING", Seq(
       doc(1, "first line goes on...\nsecond line..."),
