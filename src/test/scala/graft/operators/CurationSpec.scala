@@ -134,6 +134,33 @@ class CurationSpec extends SparkTestBase {
     assert(Sample.hashSample(docs, "text", 0.0).count() == 0L)
   }
 
+  test("plan shapes: scan-speed projections, broadcast decontamination, single-shuffle ngram agg") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    def plan(df: org.apache.spark.sql.DataFrame): String =
+      df.queryExecution.executedPlan.toString
+
+    // quality battery and PII scrub are pure projections — NO Exchange:
+    // they run at scan speed and never shuffle document bodies
+    assert(!plan(QualityFilter.metrics(docs, "doc_id", "text")).contains("Exchange"))
+    assert(!plan(Pii.redact(docs, "doc_id", "text")).contains("Exchange"))
+    // stratified sampling is projection + filter — NO Exchange
+    assert(!plan(Sample.stratifiedHashSample(docs, "lang", "text",
+      Map("en" -> 0.5))).contains("Exchange"))
+    // decontamination joins the (small) eval shingle set via BROADCAST —
+    // the corpus side must not shuffle for the join
+    val decon = plan(Decontaminate.decontaminate(docs, "doc_id", "text",
+      docs.filter(col("doc_id") < 10), "text", n = 3))
+    assert(decon.contains("BroadcastHashJoin") || decon.contains("BroadcastExchange"),
+      s"expected broadcast join in:\n$decon")
+    // ngram counts: partial_count before the exchange (map-side combine)
+    val ng = plan(NgramStats.ngramCounts(docs, "text", n = 2))
+    assert(ng.contains("partial_count") && ng.contains("Exchange hashpartitioning"),
+      s"expected partial agg + hash exchange in:\n$ng")
+    // deterministic top-k runs as TakeOrderedAndProject, not a global Sort
+    assert(plan(NgramStats.topNgrams(docs, "text", n = 2, k = 10))
+      .contains("TakeOrderedAndProject"))
+  }
+
   test("SemDedup finds within-cell near-dups and keeps the smallest id") {
     // orthogonal-ish base vectors + one exact twin pair (scaled copy)
     val rows = Seq(
