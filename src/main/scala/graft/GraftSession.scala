@@ -46,6 +46,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     inject("hashed_shingles", cs => HashedShingles(cs(0),
       intArg(cs(1), "hashed_shingles", 1)), classOf[HashedShingles])
     inject("quality_metrics", cs => QualityMetrics(cs.head), classOf[QualityMetrics])
+    inject("repetition_metrics", cs => RepetitionMetrics(cs(0),
+      intArg(cs(1), "repetition_metrics", 1)), classOf[RepetitionMetrics])
     inject("string_shingles", cs => StringShingles(cs(0),
       intArg(cs(1), "string_shingles", 1)), classOf[StringShingles])
     inject("minhash_sig", cs => MinHashSig(cs(0),

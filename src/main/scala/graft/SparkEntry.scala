@@ -713,6 +713,14 @@ object SparkEntry {
         .select(col("doc_id"), col("lang"))
         .orderBy("doc_id")),
 
+    // Gopher repetition rules: most-frequent-bigram and duplicated-bigram
+    // character coverage per doc — native hash-map pass, checked against
+    // a DuckDB explode + window oracle (ties broken lexicographically in
+    // both engines; exact integer counts, fixed-shape division).
+    "q_quality_repetition" -> ((s, d) =>
+      graft.operators.QualityFilter.repetitionMetrics(docs(s, d), "doc_id", "text", n = 2)
+        .orderBy("doc_id")),
+
     // SemDeDup twin gate (same closed-form construction as q_dedup_embed):
     // embeddings ∪ exact twins (id+1e6, v×2) — cell assignment is
     // scale-invariant so every twin pair is a within-cell candidate with
@@ -1192,6 +1200,27 @@ object SparkEntry {
         |SELECT query_id, rank, vec_id, round(cosine, 6) AS cosine
         |FROM ranked WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
     "q_quality_gopher" -> gopherOracle,
+    "q_quality_repetition" ->
+      """WITH g AS (
+        |  SELECT doc_id, unnest(list_transform(range(1, greatest(len(toks)-1, 1)+1),
+        |    i -> array_to_string(list_slice(toks, i, i+1), ' '))) AS ngram
+        |  FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
+        |        FROM documents)),
+        |c AS (SELECT doc_id, ngram, count(*) AS cnt FROM g GROUP BY doc_id, ngram),
+        |r AS (SELECT doc_id, ngram, cnt,
+        |        row_number() OVER (PARTITION BY doc_id ORDER BY cnt DESC, ngram ASC) AS rn,
+        |        sum(CASE WHEN cnt >= 2 THEN cnt * length(ngram) ELSE 0 END)
+        |          OVER (PARTITION BY doc_id) AS dup_chars
+        |      FROM c)
+        |SELECT r.doc_id, ngram AS top_ngram, CAST(cnt AS BIGINT) AS top_count,
+        |  round(CASE WHEN length(d.text) > 0
+        |    THEN CAST(cnt * length(ngram) AS DOUBLE) / CAST(length(d.text) AS DOUBLE)
+        |    ELSE 0.0 END, 6) AS top_frac,
+        |  round(CASE WHEN length(d.text) > 0
+        |    THEN CAST(dup_chars AS DOUBLE) / CAST(length(d.text) AS DOUBLE)
+        |    ELSE 0.0 END, 6) AS dup_frac
+        |FROM r JOIN documents d ON r.doc_id = d.doc_id
+        |WHERE rn = 1 ORDER BY r.doc_id""".stripMargin,
     "q_pii_redact" -> piiOracle,
     "q_sample_stratified" -> sampleOracle,
     "q_ngram_counts" ->

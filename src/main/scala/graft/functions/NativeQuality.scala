@@ -150,6 +150,87 @@ object NativeQuality {
       nWords, meanWordLen, symbolRatio, bulletFrac, ellipsisFrac,
       alphaFrac, nStop, dupLineFrac))
   }
+
+  val repetitionSchema: StructType = StructType(Seq(
+    StructField("top_ngram", StringType, nullable = false),
+    StructField("top_count", LongType, nullable = false),
+    StructField("top_frac", DoubleType, nullable = false),
+    StructField("dup_frac", DoubleType, nullable = false)))
+
+  /**
+   * Gopher repetition rules (Rae et al. 2021 §A1.1): over the document's
+   * word n-grams (same positional construction as the n-gram oracle —
+   * whole-doc gram when shorter than n tokens),
+   *
+   *  - `top_frac`: fraction of the document's characters covered by the
+   *    most frequent n-gram — occurrences × gram length / text length,
+   *    ties broken by lexicographically smallest gram;
+   *  - `dup_frac`: the same coverage summed over every n-gram occurring
+   *    more than once (overlaps counted per occurrence, so the value can
+   *    exceed 1 on degenerate loops — callers threshold well below that).
+   *
+   * One in-row hash-map pass; exact integer counts with one fixed-shape
+   * division each, so the DuckDB window-function oracle hash-matches.
+   */
+  def repetition(text: UTF8String, n: Int): InternalRow = {
+    val s = text.toString
+    val totalChars = codePoints(s)
+    val toks = spaceTrim(s).split("\\s+", -1)
+    val grams: Array[String] =
+      if (toks.length < n) Array(toks.mkString(" "))
+      else {
+        val m = toks.length - n + 1
+        val arr = new Array[String](m)
+        val sb = new java.lang.StringBuilder(64)
+        var i = 0
+        while (i < m) {
+          sb.setLength(0)
+          var j = 0
+          while (j < n) {
+            if (j > 0) sb.append(' ')
+            sb.append(toks(i + j))
+            j += 1
+          }
+          arr(i) = sb.toString
+          i += 1
+        }
+        arr
+      }
+    val counts = new java.util.HashMap[String, Int](grams.length * 2)
+    grams.foreach(g => counts.merge(g, 1, Integer.sum))
+    var topGram: String = null
+    var topCnt = 0
+    var dupChars = 0L
+    val it = counts.entrySet().iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      val cnt = e.getValue.intValue()
+      if (cnt > topCnt || (cnt == topCnt && (topGram == null || e.getKey.compareTo(topGram) < 0))) {
+        topGram = e.getKey; topCnt = cnt
+      }
+      if (cnt >= 2) dupChars += cnt.toLong * codePoints(e.getKey)
+    }
+    val topFrac =
+      if (totalChars > 0)
+        round6(topCnt.toLong.toDouble * codePoints(topGram).toDouble / totalChars.toDouble)
+      else 0.0
+    val dupFrac =
+      if (totalChars > 0) round6(dupChars.toDouble / totalChars.toDouble) else 0.0
+    new GenericInternalRow(Array[Any](
+      UTF8String.fromString(topGram), topCnt.toLong, topFrac, dupFrac))
+  }
+}
+
+/** `repetition_metrics(text, n)` → struct — see [[NativeQuality.repetition]]. */
+case class RepetitionMetrics(child: Expression, n: Int) extends UnaryExpression {
+  override def dataType: DataType = NativeQuality.repetitionSchema
+  override def prettyName: String = "repetition_metrics"
+  override protected def nullSafeEval(input: Any): Any =
+    NativeQuality.repetition(input.asInstanceOf[UTF8String], n)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.NativeQuality.repetition($c, $n)")
+  override protected def withNewChildInternal(newChild: Expression): RepetitionMetrics =
+    copy(child = newChild)
 }
 
 /** `quality_metrics(text)` → struct of the eight Gopher metrics —

@@ -66,6 +66,25 @@ object QualityFilter {
         col("__q.dup_line_frac").as("dup_line_frac"))
   }
 
+  /**
+   * Gopher repetition rules: per-doc most-frequent-n-gram character
+   * coverage (`top_ngram`, `top_count`, `top_frac`) and duplicated-n-gram
+   * character coverage (`dup_frac`) — one native hash-map pass per row
+   * (see [[graft.functions.NativeQuality.repetition]]), no shuffle.
+   */
+  def repetitionMetrics(df: DataFrame, idCol: String, textCol: String,
+                        n: Int = 2): DataFrame = {
+    import org.apache.spark.sql.graftshim.CatalystBridge
+    val r = CatalystBridge.column(
+      graft.functions.RepetitionMetrics(CatalystBridge.expression(col(textCol)), n))
+    df.select(col(idCol), r.as("__r"))
+      .select(col(idCol),
+        col("__r.top_ngram").as("top_ngram"),
+        col("__r.top_count").as("top_count"),
+        col("__r.top_frac").as("top_frac"),
+        col("__r.dup_frac").as("dup_frac"))
+  }
+
   /** The composable Column formulation of [[metrics]] — the executable
     * spec the native expression is pinned against (CurationSpec); each
     * metric re-derives its inputs as interpreted HOF trees, so use

@@ -134,6 +134,20 @@ class CurationSpec extends SparkTestBase {
     assert(Sample.hashSample(docs, "text", 0.0).count() == 0L)
   }
 
+  test("repetitionMetrics: top/dup n-gram character coverage, closed-form") {
+    val docs = df("doc_id INT, text STRING", Seq(
+      doc(1, "a b a b c"),       // bigrams: "a b"×2, "b a", "b c"; 9 chars
+      doc(2, "x y z"),           // all unique
+      doc(3, "go go go go")))    // "go go"×3; 11 chars
+    val out = QualityFilter.repetitionMetrics(docs, "doc_id", "text", n = 2)
+      .collect().map(r => r.getInt(0) ->
+        (r.getString(1), r.getLong(2), r.getDouble(3), r.getDouble(4))).toMap
+    assert(out(1) == ("a b", 2L, 0.666667, 0.666667))     // 2*3/9
+    assert(out(2)._2 == 1L && out(2)._4 == 0.0)
+    assert(out(2)._1 == "x y")                            // tie → lexic. smallest
+    assert(out(3) == ("go go", 3L, math.rint(3.0 * 5 / 11 * 1e6) / 1e6, 1.363636))
+  }
+
   test("plan shapes: scan-speed projections, broadcast decontamination, single-shuffle ngram agg") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     def plan(df: org.apache.spark.sql.DataFrame): String =
