@@ -1,0 +1,64 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SaveMode}
+import org.apache.spark.sql.functions.col
+
+/**
+ * Dataset sink: hive-partitioned parquet writes — the output shape of a
+ * curation pipeline (corpus partitioned by language/source/date, readable
+ * with partition pruning by any engine).
+ *
+ * The scale hazards of a naive `df.write.partitionBy(...)` at 100 TB are
+ * file-count explosions, not write throughput:
+ *
+ *  - without a prior repartition on the partition columns, EVERY task
+ *    holding rows of a partition opens a file there → tasks × partitions
+ *    small files (a 10k-task job over 100 languages = 1M files);
+ *    [[writePartitioned]] repartitions on the partition columns first so
+ *    each partition's rows converge on one task → one file per partition
+ *    (plus `maxRecordsPerFile` splits);
+ *  - a single hot partition (English…) then becomes one giant file AND
+ *    one straggler task — `hotBuckets` spreads each partition over that
+ *    many tasks/files while keeping the total file count bounded at
+ *    partitions × hotBuckets;
+ *  - `maxRecordsPerFile` caps file size inside a task (Spark rolls to a
+ *    new file at the cap), bounding downstream reader task skew;
+ *  - `sortWithin` sorts rows inside each file (run-length/locality for
+ *    columnar encodings and range-readers) without any global sort.
+ */
+object Writer {
+
+  def writePartitioned(df: DataFrame, path: String,
+                       partitionBy: Seq[String],
+                       sortWithin: Seq[String] = Nil,
+                       maxRecordsPerFile: Long = 0L,
+                       hotBuckets: Int = 1,
+                       mode: SaveMode = SaveMode.Overwrite): Unit = {
+    require(hotBuckets >= 1, "hotBuckets must be >= 1")
+    val repartitioned =
+      if (partitionBy.isEmpty) df
+      else if (hotBuckets == 1) df.repartition(partitionBy.map(col): _*)
+      else {
+        // spread each hive partition over hotBuckets tasks: salt the
+        // repartition KEY only (deterministic row hash — replayable), the
+        // on-disk layout is unchanged. Explicit partition count: AQE
+        // coalescing would merge the salted splits back into one task
+        // (and one file) — user-numbered repartitions are exempt.
+        import org.apache.spark.sql.functions.{lit, pmod, xxhash64}
+        val salted = df.withColumn("__spread",
+          pmod(xxhash64(df.columns.map(col): _*), lit(hotBuckets.toLong)))
+        val n = df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
+        salted.repartition(n, (partitionBy :+ "__spread").map(col): _*).drop("__spread")
+      }
+    val sorted =
+      if (sortWithin.isEmpty) repartitioned
+      else repartitioned.sortWithinPartitions((partitionBy ++ sortWithin).map(col): _*)
+    val writer0 = sorted.write.mode(mode)
+    val writer =
+      if (maxRecordsPerFile > 0L)
+        writer0.option("maxRecordsPerFile", maxRecordsPerFile)
+      else writer0
+    (if (partitionBy.nonEmpty) writer.partitionBy(partitionBy: _*) else writer)
+      .parquet(path)
+  }
+}
