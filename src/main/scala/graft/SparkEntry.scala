@@ -713,6 +713,22 @@ object SparkEntry {
         .select(col("doc_id"), col("lang"))
         .orderBy("doc_id")),
 
+    // The composed curation pipeline, end-to-end as ONE lazy plan:
+    // clean → Gopher quality filter → exact dedup → content-hash split.
+    // Each step is individually oracle-checked elsewhere; this gate pins
+    // the COMPOSITION (operators chain without materialization barriers
+    // and the oracle reproduces the whole chain).
+    "q_curate_pipeline" -> ((s, d) => {
+      import graft.operators.{Clean, QualityFilter, Split}
+      val cleaned = Clean.cleanStrings(docs(s, d).select(col("doc_id"), col("text")))
+        .filter(col("text").isNotNull)
+      val kept = QualityFilter.gopherFilter(cleaned, "doc_id", "text")
+      val deduped = Dedup.exactDedup(kept, "doc_id", "text")
+      Split.hashSplit(deduped, "text", 0.8)
+        .select(col("doc_id"), col("split"))
+        .orderBy("doc_id")
+    }),
+
     // Gopher repetition rules: most-frequent-bigram and duplicated-bigram
     // character coverage per doc — native hash-map pass, checked against
     // a DuckDB explode + window oracle (ties broken lexicographically in
@@ -882,18 +898,27 @@ object SparkEntry {
        |        CAST(length(regexp_replace(text, '[^a-zA-Z0-9]', '', 'g')) AS DOUBLE) AS alnum
        |      FROM (SELECT doc_id, text, $toksSql AS toks FROM documents))""".stripMargin
 
+  /** The Gopher keep-decision in SQL over the metric columns — shared by
+    * the battery gate and the composed-pipeline gate. */
+  private val gopherKeepCond: String =
+    """n_words >= 50 AND n_words <= 100000
+      |  AND mean_word_len >= 3.0 AND mean_word_len <= 10.0
+      |  AND symbol_ratio < 0.1 AND bullet_frac < 0.9 AND ellipsis_frac < 0.3
+      |  AND alpha_frac >= 0.8 AND n_stopwords >= 2 AND dup_line_frac < 0.3""".stripMargin
+
   /** DuckDB oracle for the Gopher quality battery — identical expression
     * shapes (exact integer counts, fixed-shape double division, round 6)
-    * so every metric hash-matches bit-for-bit. */
-  private def gopherOracle: String = {
+    * so every metric hash-matches bit-for-bit. `corpus` must provide
+    * (doc_id, text). */
+  private def gopherCtes(corpus: String): String = {
     val stopList = graft.operators.QualityFilter.gopherStopwords
       .map(w => s"'$w'").mkString("(", ", ", ")")
-    s"""WITH base AS (
+    s"""base AS (
        |  SELECT doc_id, text,
        |    list_filter(regexp_split_to_array(trim(text), '\\s+'), w -> length(w) > 0) AS ws,
        |    list_filter(regexp_split_to_array(text, '\\n'), l -> length(trim(l)) > 0) AS ls,
        |    list_filter(regexp_split_to_array(trim(text), '\\n'), s -> length(trim(s)) > 0) AS segs
-       |  FROM documents),
+       |  FROM $corpus),
        |m AS (
        |  SELECT doc_id,
        |    CAST(len(ws) AS BIGINT) AS n_words,
@@ -921,13 +946,34 @@ object SparkEntry {
        |    round(CASE WHEN len(segs) > 0
        |      THEN CAST(len(segs) - len(list_distinct(segs)) AS DOUBLE) / len(segs)
        |      ELSE 0.0 END, 6) AS dup_line_frac
-       |  FROM base)
-       |SELECT *, CAST(CASE WHEN n_words >= 50 AND n_words <= 100000
-       |  AND mean_word_len >= 3.0 AND mean_word_len <= 10.0
-       |  AND symbol_ratio < 0.1 AND bullet_frac < 0.9 AND ellipsis_frac < 0.3
-       |  AND alpha_frac >= 0.8 AND n_stopwords >= 2 AND dup_line_frac < 0.3
+       |  FROM base)""".stripMargin
+  }
+
+  private def gopherOracle: String =
+    s"""WITH ${gopherCtes("documents")}
+       |SELECT *, CAST(CASE WHEN $gopherKeepCond
        |  THEN 1 ELSE 0 END AS INTEGER) AS keep
        |FROM m ORDER BY doc_id""".stripMargin
+
+  /** DuckDB oracle for the composed curation pipeline: clean → Gopher
+    * keep → exact dedup (min doc_id per text) → content-hash split —
+    * the same operator chain the Spark gate runs, end-to-end. */
+  private def curateOracle: String = {
+    val cleanedExpr =
+      "CASE WHEN lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))) " +
+        "IN ('', 'null', 'n/a', 'na', 'none', '-') THEN NULL " +
+        "ELSE trim(regexp_replace(text, '\\s+', ' ', 'g')) END"
+    val cleaned = "(SELECT doc_id, text FROM (SELECT doc_id, " +
+      s"$cleanedExpr AS text FROM documents) WHERE text IS NOT NULL)"
+    s"""WITH ${gopherCtes(cleaned)},
+       |kept AS (
+       |  SELECT b.doc_id, b.text FROM m JOIN base b ON m.doc_id = b.doc_id
+       |  WHERE $gopherKeepCond)
+       |SELECT doc_id, CASE WHEN substring(md5(text), 1, 8) < '${
+        graft.operators.Split.thresholdHex(0.8)}' THEN 'train' ELSE 'test' END AS split
+       |FROM kept
+       |WHERE doc_id IN (SELECT min(doc_id) FROM kept GROUP BY text)
+       |ORDER BY doc_id""".stripMargin
   }
 
   /** DuckDB oracle for PII detect+redact, generated from the Pii pattern
@@ -1200,6 +1246,7 @@ object SparkEntry {
         |SELECT query_id, rank, vec_id, round(cosine, 6) AS cosine
         |FROM ranked WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
     "q_quality_gopher" -> gopherOracle,
+    "q_curate_pipeline" -> curateOracle,
     "q_quality_repetition" ->
       """WITH g AS (
         |  SELECT doc_id, unnest(list_transform(range(1, greatest(len(toks)-1, 1)+1),
