@@ -713,6 +713,12 @@ object SparkEntry {
         .select(col("doc_id"), col("lang"))
         .orderBy("doc_id")),
 
+    // CUSTOM-SQL → quality natives: the reference's escape hatch reaching
+    // quality_metrics through the ENGINE path (StageCompiler's spark.sql),
+    // hash-matched against the shared Gopher metric oracle.
+    "q_custom_quality" -> ((s, d) => pipe(
+      CustomStage(st(1), "quality metrics via SQL natives", sqlQuality))(s, d)),
+
     // The composed curation pipeline, end-to-end as ONE lazy plan:
     // clean → Gopher quality filter → exact dedup → content-hash split.
     // Each step is individually oracle-checked elsewhere; this gate pins
@@ -897,6 +903,16 @@ object SparkEntry {
        |        CAST(length(text) AS DOUBLE) AS nchars,
        |        CAST(length(regexp_replace(text, '[^a-zA-Z0-9]', '', 'g')) AS DOUBLE) AS alnum
        |      FROM (SELECT doc_id, text, $toksSql AS toks FROM documents))""".stripMargin
+
+  /** Spark-dialect SQL for the CUSTOM→quality-natives gate (runs ONLY in
+    * Spark — quality_metrics is a graft extension; the oracle is the
+    * shared Gopher metric CTE). Struct field access keeps it one native
+    * evaluation via subexpression elimination. */
+  private val sqlQuality: String =
+    "SELECT doc_id, CAST(quality_metrics(text).n_words AS BIGINT) AS n_words, " +
+      "quality_metrics(text).mean_word_len AS mean_word_len, " +
+      "quality_metrics(text).dup_line_frac AS dup_line_frac " +
+      "FROM documents ORDER BY doc_id"
 
   /** The Gopher keep-decision in SQL over the metric columns — shared by
     * the battery gate and the composed-pipeline gate. */
@@ -1247,6 +1263,10 @@ object SparkEntry {
         |FROM ranked WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
     "q_quality_gopher" -> gopherOracle,
     "q_curate_pipeline" -> curateOracle,
+    "q_custom_quality" ->
+      s"""WITH ${gopherCtes("documents")}
+         |SELECT doc_id, n_words, mean_word_len, dup_line_frac
+         |FROM m ORDER BY doc_id""".stripMargin,
     "q_quality_repetition" ->
       """WITH g AS (
         |  SELECT doc_id, unnest(list_transform(range(1, greatest(len(toks)-1, 1)+1),

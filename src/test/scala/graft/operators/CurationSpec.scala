@@ -157,6 +157,9 @@ class CurationSpec extends SparkTestBase {
     // they run at scan speed and never shuffle document bodies
     assert(!plan(QualityFilter.metrics(docs, "doc_id", "text")).contains("Exchange"))
     assert(!plan(Pii.redact(docs, "doc_id", "text")).contains("Exchange"))
+    // survivor filtering is a pure filter — no self-join, no Exchange
+    val gf = plan(QualityFilter.gopherFilter(docs, "doc_id", "text"))
+    assert(!gf.contains("Exchange") && !gf.contains("Join"), gf)
     // stratified sampling is projection + filter — NO Exchange
     assert(!plan(Sample.stratifiedHashSample(docs, "lang", "text",
       Map("en" -> 0.5))).contains("Exchange"))
