@@ -713,6 +713,18 @@ object SparkEntry {
         .select(col("doc_id"), col("lang"))
         .orderBy("doc_id")),
 
+    // Deterministic sequence packing: docs → fixed token-budget packs,
+    // sharded so the cumulative window parallelizes (shards = independent
+    // shuffle partitions); exact integer arithmetic → SQL oracle.
+    "q_pack" -> ((s, d) => {
+      val toks = docs(s, d).select(col("doc_id"),
+        TF.tokenCount(col("text")).cast("long").as("n_tokens"))
+      graft.operators.Pack.packByTokenBudget(toks, "doc_id", "n_tokens",
+        budget = 500L, shards = 8)
+        .select(col("doc_id"), col("shard"), col("pack"), col("n_tokens"))
+        .orderBy("doc_id")
+    }),
+
     // CUSTOM-SQL → quality natives: the reference's escape hatch reaching
     // quality_metrics through the ENGINE path (StageCompiler's spark.sql),
     // hash-matched against the shared Gopher metric oracle.
@@ -1263,6 +1275,18 @@ object SparkEntry {
         |FROM ranked WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
     "q_quality_gopher" -> gopherOracle,
     "q_curate_pipeline" -> curateOracle,
+    "q_pack" ->
+      """WITH t AS (
+        |  SELECT doc_id, doc_id % 8 AS shard,
+        |    CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_tokens
+        |  FROM documents),
+        |c AS (SELECT doc_id, shard, n_tokens,
+        |        sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id) AS cum
+        |      FROM t)
+        |SELECT doc_id, shard,
+        |  CAST(floor(CAST(cum - n_tokens AS DOUBLE) / CAST(500 AS DOUBLE)) AS BIGINT) AS pack,
+        |  n_tokens
+        |FROM c ORDER BY doc_id""".stripMargin,
     "q_custom_quality" ->
       s"""WITH ${gopherCtes("documents")}
          |SELECT doc_id, n_words, mean_word_len, dup_line_frac

@@ -1,0 +1,47 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/**
+ * Deterministic sequence packing — assign documents to fixed token-budget
+ * packs (the batch-assembly step of LLM pretraining: concatenate docs
+ * until ~`budget` tokens, start the next pack).
+ *
+ * Packing is inherently sequential (a running sum), so a single global
+ * cumulative window would serialize the corpus through ONE partition —
+ * the classic scale killer. This operator shards first (`doc_id %
+ * shards`, engine-portable and reproducible) and packs WITHIN each shard:
+ * every shard's window is an independent partition of the shuffle, so
+ * parallelism = `shards` (size it to the cluster), and pack identity is
+ * the deterministic pair (shard, pack).
+ *
+ * Offset packing rule (the deterministic, windowable formulation):
+ * a document joins the pack whose `budget`-token window contains its
+ * START offset in the shard's running concatenation — packs average
+ * `budget` tokens, documents are never split or dropped, and boundary
+ * documents overflow their pack rather than being truncated (chunk or
+ * truncate upstream if exact caps are required).
+ */
+object Pack {
+
+  /**
+   * Adds (`shard`, `pack`) to each row. `tokenCol` is the document's
+   * token count (see TextFunctions.tokenCount). Pack boundaries follow
+   * cumulative token counts in ascending `idCol` order within the shard:
+   * `pack = floor((cumsum - tokens) / budget)` — exact integer
+   * arithmetic, so the assignment is oracle-checkable in SQL.
+   */
+  def packByTokenBudget(df: DataFrame, idCol: String, tokenCol: String,
+                        budget: Long, shards: Int = 64): DataFrame = {
+    require(budget > 0, "budget must be positive")
+    require(shards >= 1, "shards must be >= 1")
+    val w = Window.partitionBy("shard").orderBy(col(idCol))
+    df.withColumn("shard", pmod(col(idCol), lit(shards.toLong)))
+      .withColumn("__cum", sum(col(tokenCol)).over(w))
+      .withColumn("pack",
+        floor((col("__cum") - col(tokenCol)).cast("double") / lit(budget).cast("double")).cast("long"))
+      .drop("__cum")
+  }
+}

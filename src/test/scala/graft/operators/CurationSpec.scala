@@ -178,6 +178,22 @@ class CurationSpec extends SparkTestBase {
       .contains("TakeOrderedAndProject"))
   }
 
+  test("Pack assigns docs to token-budget packs by start offset, per shard") {
+    val rows = Seq((1L, 3L), (2L, 3L), (3L, 3L), (4L, 3L), (5L, 7L), (6L, 1L))
+      .map { case (id, n) => org.apache.spark.sql.Row(id, n) }
+    val docs = df("id BIGINT, n_tokens BIGINT", rows)
+    // one shard: offsets 0,3,6,9,12,19 with budget 5 → packs 0,0,1,1,2,3
+    val one = Pack.packByTokenBudget(docs, "id", "n_tokens", budget = 5L, shards = 1)
+      .orderBy("id").collect().map(r => r.getAs[Long]("pack")).toSeq
+    assert(one == Seq(0L, 0L, 1L, 1L, 2L, 3L))
+    // two shards: even ids (2,4,6) and odd ids (1,3,5) pack independently
+    val two = Pack.packByTokenBudget(docs, "id", "n_tokens", budget = 5L, shards = 2)
+      .orderBy("id").collect()
+      .map(r => (r.getAs[Long]("id"), r.getAs[Long]("shard"), r.getAs[Long]("pack"))).toSeq
+    assert(two == Seq((1L, 1L, 0L), (2L, 0L, 0L), (3L, 1L, 0L),
+      (4L, 0L, 0L), (5L, 1L, 1L), (6L, 0L, 1L)))
+  }
+
   test("SemDedup finds within-cell near-dups and keeps the smallest id") {
     // orthogonal-ish base vectors + one exact twin pair (scaled copy)
     val rows = Seq(
