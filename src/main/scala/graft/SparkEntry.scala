@@ -713,6 +713,18 @@ object SparkEntry {
         .select(col("doc_id"), col("lang"))
         .orderBy("doc_id")),
 
+    // Vocabulary coverage: per-doc OOV rate against the corpus top-200
+    // vocabulary (broadcast) — counts and the exact kept vocabulary are
+    // both deterministic (top-k tie-break on term), so the whole two-stage
+    // pipeline is oracle-checked.
+    "q_vocab_oov" -> ((s, d) => {
+      val dd = docs(s, d)
+      graft.operators.Vocab.oovRate(dd, "doc_id", "text",
+        graft.operators.Vocab.topVocabulary(dd, "text", k = 200))
+        .select(col("doc_id"), col("n_tokens"), col("n_oov"), col("oov_rate"))
+        .orderBy("doc_id")
+    }),
+
     // Deterministic sequence packing: docs → fixed token-budget packs,
     // sharded so the cumulative window parallelizes (shards = independent
     // shuffle partitions); exact integer arithmetic → SQL oracle.
@@ -1275,6 +1287,20 @@ object SparkEntry {
         |FROM ranked WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
     "q_quality_gopher" -> gopherOracle,
     "q_curate_pipeline" -> curateOracle,
+    "q_vocab_oov" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS term
+        |  FROM documents),
+        |nz AS (SELECT doc_id, term FROM toks WHERE length(term) > 0),
+        |vocab AS (
+        |  SELECT term FROM (
+        |    SELECT term, count(*) AS n FROM nz GROUP BY term
+        |    ORDER BY n DESC, term ASC LIMIT 200)),
+        |j AS (SELECT nz.doc_id, CASE WHEN v.term IS NULL THEN 1 ELSE 0 END AS oov
+        |      FROM nz LEFT JOIN vocab v ON nz.term = v.term)
+        |SELECT doc_id, count(*) AS n_tokens, CAST(sum(oov) AS BIGINT) AS n_oov,
+        |  round(CAST(sum(oov) AS DOUBLE) / CAST(count(*) AS DOUBLE), 6) AS oov_rate
+        |FROM j GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "q_pack" ->
       """WITH t AS (
         |  SELECT doc_id, doc_id % 8 AS shard,

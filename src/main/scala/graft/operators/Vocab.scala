@@ -1,0 +1,48 @@
+package graft.operators
+
+import graft.functions.TextFunctions
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/**
+ * Corpus vocabulary extraction and out-of-vocabulary (OOV) scoring — the
+ * vocabulary-coverage quality signal of training-data pipelines (docs
+ * with high OOV rates against a reference vocabulary are noise, code, or
+ * the wrong language).
+ *
+ * Scale shape mirrors [[Decontaminate]]: the vocabulary is the SMALL side
+ * (top-k terms), so scoring is explode → broadcast join → re-aggregate by
+ * doc id; partial aggregation collapses each partition's token counts
+ * before the single shuffle, which carries (doc_id, counts) pairs only.
+ */
+object Vocab {
+
+  /** Deterministic top-k corpus vocabulary by (count DESC, term ASC),
+    * lowercased whitespace tokens. */
+  def topVocabulary(df: DataFrame, textCol: String, k: Int): DataFrame =
+    df.select(explode(TextFunctions.tokens(lower(col(textCol)))).as("term"))
+      .filter(length(col("term")) > 0)
+      .groupBy("term").agg(count(lit(1)).as("n_occurrences"))
+      .orderBy(col("n_occurrences").desc, col("term").asc)
+      .limit(k)
+
+  /**
+   * Per-document OOV rate against `vocab` (a one-column `term` relation):
+   * fraction of the doc's (lowercased) tokens not present in the
+   * vocabulary, rounded to 6 decimals.
+   */
+  def oovRate(df: DataFrame, idCol: String, textCol: String,
+              vocab: DataFrame): DataFrame = {
+    val toks = df.select(col(idCol),
+      explode(TextFunctions.tokens(lower(col(textCol)))).as("term"))
+      .filter(length(col("term")) > 0)
+    toks.join(broadcast(vocab.select(col("term"), lit(1).as("__in"))),
+        Seq("term"), "left")
+      .groupBy(idCol)
+      .agg(
+        count(lit(1)).as("n_tokens"),
+        sum(when(col("__in").isNull, 1L).otherwise(0L)).as("n_oov"))
+      .withColumn("oov_rate",
+        round(col("n_oov").cast("double") / col("n_tokens").cast("double"), 6))
+  }
+}

@@ -178,6 +178,23 @@ class CurationSpec extends SparkTestBase {
       .contains("TakeOrderedAndProject"))
   }
 
+  test("Vocab: deterministic top-k vocabulary and per-doc OOV rate") {
+    val docs = df("doc_id INT, text STRING", Seq(
+      doc(1, "cat cat dog bird"),
+      doc(2, "dog dog cat fish"),
+      doc(3, "newt newt newt")))
+    val vocab = Vocab.topVocabulary(docs, "text", k = 2)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    // counts: cat 3, dog 3, newt 3, bird 1, fish 1 → top-2 by (n desc, term asc)
+    assert(vocab == Seq(("cat", 3L), ("dog", 3L)))
+    val oov = Vocab.oovRate(docs, "doc_id", "text",
+        Vocab.topVocabulary(docs, "text", k = 2))
+      .collect().map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    assert(oov(1) == ((4L, 1L, 0.25)))  // bird OOV
+    assert(oov(2) == ((4L, 1L, 0.25)))  // fish OOV
+    assert(oov(3) == ((3L, 3L, 1.0)))   // all newt OOV
+  }
+
   test("Pack assigns docs to token-budget packs by start offset, per shard") {
     val rows = Seq((1L, 3L), (2L, 3L), (3L, 3L), (4L, 3L), (5L, 7L), (6L, 1L))
       .map { case (id, n) => org.apache.spark.sql.Row(id, n) }
