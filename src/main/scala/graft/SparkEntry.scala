@@ -363,6 +363,21 @@ object SparkEntry {
         .orderBy("id_a")
     }),
 
+    // MinHash with signature-agreement confirm (the verify path whose
+    // cost is independent of document size): over docs ∪ exact twins,
+    // twin signatures agree at all k positions → estimate exactly 1.0;
+    // the projection keeps twin pairs only (a natural near-dup pair can
+    // deterministically reach estimate 1.0 with probability j^k — those
+    // stay out of the oracle'd set, cf. q_dedup_simhash_twins).
+    "q_dedup_minhash_estimate" -> ((s, d) => {
+      val d0 = docs(s, d).select(col("doc_id"), col("text"))
+      val twins = d0.select((col("doc_id") + lit(1000000L)).as("doc_id"), col("text"))
+      Dedup.minhashPairsEstimated(d0.unionByName(twins), "doc_id", "text",
+        shingleN = 3, numHashes = 64, bands = 16, threshold = 1.0)
+        .filter(col("id_b") === col("id_a") + 1000000L)
+        .orderBy("id_a")
+    }),
+
     // Exact n-gram Jaccard pairs via inverted shingle index.
     "q_dedup_ngram" -> ((s, d) =>
       Dedup.ngramJaccardPairs(docs(s, d), "doc_id", "text", n = 3, threshold = 0.5)
@@ -1221,6 +1236,9 @@ object SparkEntry {
     "q_dedup_winnow_twins" ->
       ("SELECT doc_id AS id_a, doc_id + 1000000 AS id_b, " +
         "CAST(1.0 AS DOUBLE) AS jaccard FROM documents ORDER BY id_a"),
+    "q_dedup_minhash_estimate" ->
+      ("SELECT doc_id AS id_a, doc_id + 1000000 AS id_b, " +
+        "CAST(1.0 AS DOUBLE) AS jaccard_est FROM documents ORDER BY id_a"),
     "q_asof_join" ->
       """WITH ref AS (
         |  SELECT user_id, CAST(ts AS TIMESTAMP) AS ref_ts, max(event_id) AS ref_event

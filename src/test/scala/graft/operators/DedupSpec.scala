@@ -59,6 +59,21 @@ class DedupSpec extends SparkTestBase {
     assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L))
   }
 
+  test("minhash estimate-verify: 1.0 on identical docs, tracks exact jaccard on near-dups") {
+    val est = Dedup.minhashPairsEstimated(corpus, "id", "text",
+        shingleN = 3, numHashes = 64, bands = 16, threshold = 0.3)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    assert(est((1L, 2L)) == 1.0) // identical shingle sets → all k minima agree
+    assert(!est.keySet.exists(p => p._1 == 4L || p._2 == 4L))
+    // estimator within sampling error of the exact confirm (se ≈ 0.06 at k=64)
+    val exact = Dedup.minhashPairs(corpus, "id", "text",
+        shingleN = 3, numHashes = 64, bands = 16, threshold = 0.3)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    est.keySet.intersect(exact.keySet).foreach { k =>
+      assert(math.abs(est(k) - exact(k)) < 0.25, s"$k est=${est(k)} exact=${exact(k)}")
+    }
+  }
+
   test("candidate generation dedups (a pair sharing many buckets appears once)") {
     val pairs = Dedup.minhashPairs(corpus, "id", "text",
       shingleN = 3, numHashes = 64, bands = 16, threshold = 0.1)
