@@ -511,6 +511,21 @@ object SparkEntry {
         .orderBy("file")
     }),
 
+    // REAL resize → re-decode round trip on the committed PNG fixture:
+    // the 4×3 image resized to 2×2 must decode back with the target
+    // dimensions (closed-form VALUES oracle, like q_multimodal_decode_real).
+    "q_multimodal_resize" -> ((s, _) => {
+      import graft.operators.Multimodal
+      val rows = Seq(("tiny.png", java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(s"$fixtureDir/tiny.png"))))
+      import s.implicits._
+      val resized = Multimodal.resizeImages(rows.toDF("file", "payload"),
+        "payload", targetW = 2, targetH = 2)
+      Multimodal.decodeFeatures(resized, "resized")
+        .select(col("file"), col("feat.width").as("width"),
+          col("feat.height").as("height"), col("feat.channels").as("channels"))
+    }),
+
     // Multimodal decode plumbing over the same payloads (rows-only:
     // ImageIO rejects text bytes → deterministic stub features).
     "q_multimodal_decode" -> ((s, d) => {
@@ -1260,6 +1275,9 @@ object SparkEntry {
         "('tiny.png', 'image/png', 4, 3, 3), " +
         "('tiny.wav', 'audio/wav', 800, 8000, 1)) " +
         "AS t(file, mime, width, height, channels) ORDER BY file"),
+    "q_multimodal_resize" ->
+      ("SELECT * FROM (VALUES ('tiny.png', 2, 2, 3)) " +
+        "AS t(file, width, height, channels)"),
     "q_skew_agg" ->
       ("SELECT l_returnflag, " +
         "CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty, " +

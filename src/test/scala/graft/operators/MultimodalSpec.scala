@@ -94,6 +94,46 @@ class MultimodalSpec extends SparkTestBase {
     env.foreach(v => assert(math.abs(v - expected) < 0.02f, s"RMS bucket $v"))
   }
 
+  test("REAL image resize: dimensions change, content decodes, junk yields null") {
+    val img = new java.awt.image.BufferedImage(4, 3, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    (0 until 4).foreach(x => (0 until 3).foreach(y => img.setRGB(x, y, 0x00FF00)))
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    val in = df("id BIGINT, payload BINARY",
+      Seq(Row(1L, bos.toByteArray), Row(2L, junk)))
+
+    val resized = Multimodal.resizeImages(in, "payload", targetW = 2, targetH = 2)
+    assert(resized.schema.fieldNames.toSeq == Seq("id", "payload", "resized"))
+    val byId = resized.collect().map(r => r.getLong(0) -> r.getAs[Array[Byte]]("resized")).toMap
+    assert(byId(2L) == null) // undecodable → null, row preserved
+    // decoding the resized payload yields the target dimensions
+    val out = Multimodal.decodeFeatures(
+      df("id BIGINT, payload BINARY", Seq(Row(1L, byId(1L)))), "payload")
+      .select("feat.width", "feat.height").head()
+    assert(out.getInt(0) == 2 && out.getInt(1) == 2)
+    // resize is deterministic: same input → same bytes
+    val again = Multimodal.resizeImages(in, "payload", 2, 2)
+      .filter("id = 1").select("resized").head().getAs[Array[Byte]](0)
+    assert(java.util.Arrays.equals(again, byId(1L)))
+  }
+
+  test("frame sampling: bounded fan-out, deterministic stub frames, row columns preserved") {
+    val vids = df("id BIGINT, payload BINARY",
+      Seq(Row(1L, "fake video payload one".getBytes),
+        Row(2L, "another fake video".getBytes), Row(3L, Array.empty[Byte])))
+    val frames = Multimodal.sampleFrames(vids, "payload", everyNth = 30, maxFrames = 4)
+    assert(frames.schema.fieldNames.toSeq == Seq("id", "payload", "frame_index", "frame"))
+    val byId = frames.collect().groupBy(_.getLong(0))
+    assert(!byId.contains(3L))                       // empty payload → no frames
+    byId.values.foreach(rs => assert(rs.length >= 1 && rs.length <= 4))
+    byId.values.foreach(rs =>
+      assert(rs.map(_.getInt(2)).toSeq == rs.map(_.getInt(2)).toSeq.sorted))
+    // deterministic across runs
+    val again = Multimodal.sampleFrames(vids, "payload", everyNth = 30, maxFrames = 4)
+      .collect().groupBy(_.getLong(0))
+    assert(again.view.mapValues(_.length).toMap == byId.view.mapValues(_.length).toMap)
+  }
+
   test("partition count is preserved through the decode (sizing stays upstream)") {
     val repart = media.repartition(3)
     assert(Multimodal.decodeFeatures(repart, "payload").rdd.getNumPartitions == 3)
