@@ -743,6 +743,17 @@ object SparkEntry {
         .select(col("doc_id"), col("lang"))
         .orderBy("doc_id")),
 
+    // Per-source document cap (C4-style domain balancing): ≤ 15 docs per
+    // source, picked by content-hash order (testdata has 25 docs/source,
+    // so the cap genuinely truncates); the exact kept set is
+    // deterministic, so the window formulation is oracle-checked.
+    "q_sample_cap" -> ((s, d) =>
+      graft.operators.Sample.capPerKey(
+        docs(s, d).select(col("doc_id"), col("source"), col("text")),
+        "source", "text", "doc_id", maxPerKey = 15)
+        .select(col("doc_id"), col("source"))
+        .orderBy("doc_id")),
+
     // Vocabulary coverage: per-doc OOV rate against the corpus top-200
     // vocabulary (broadcast) — counts and the exact kept vocabulary are
     // both deterministic (top-k tie-break on term), so the whole two-stage
@@ -1323,6 +1334,13 @@ object SparkEntry {
         |FROM ranked WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
     "q_quality_gopher" -> gopherOracle,
     "q_curate_pipeline" -> curateOracle,
+    "q_sample_cap" ->
+      """SELECT doc_id, source FROM (
+        |  SELECT doc_id, source,
+        |    row_number() OVER (PARTITION BY source
+        |      ORDER BY substring(md5(text), 1, 16) ASC, doc_id ASC) AS rn
+        |  FROM documents) t
+        |WHERE rn <= 15 ORDER BY doc_id""".stripMargin,
     "q_vocab_oov" ->
       """WITH toks AS (
         |  SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS term

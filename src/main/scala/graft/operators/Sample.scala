@@ -46,4 +46,27 @@ object Sample {
     }
     df.filter(substring(md5(col(keyCol)), 1, 8) < threshold)
   }
+
+  /**
+   * Per-key document cap (C4-style domain balancing): keep at most
+   * `maxPerKey` rows per key, chosen DETERMINISTICALLY by content-hash
+   * order (md5 of `contentCol`; exact duplicates tie on the hash, so the
+   * unique `idCol` breaks them totally) — an unbiased, reproducible
+   * per-domain sample rather than "whichever rows arrived first".
+   *
+   * One window pass: the shuffle partitions by the cap key, so skew in
+   * the capped dimension is bounded by the hottest key's row count;
+   * for pathological hot keys pre-filter with [[hashSample]] to shed
+   * volume before the window.
+   */
+  def capPerKey(df: DataFrame, keyCol: String, contentCol: String,
+                idCol: String, maxPerKey: Int): DataFrame = {
+    require(maxPerKey >= 1, "maxPerKey must be >= 1")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(keyCol))
+      .orderBy(substring(md5(col(contentCol)), 1, 16).asc, col(idCol).asc)
+    df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= maxPerKey)
+      .drop("__rn")
+  }
 }

@@ -178,6 +178,22 @@ class CurationSpec extends SparkTestBase {
       .contains("TakeOrderedAndProject"))
   }
 
+  test("capPerKey keeps a deterministic content-hash sample of each key") {
+    val rows = (1 to 30).map(i => org.apache.spark.sql.Row(
+      i.toLong, if (i <= 20) "web" else "books", s"text $i"))
+    val docs = df("doc_id BIGINT, source STRING, text STRING", rows)
+    val capped = Sample.capPerKey(docs, "source", "text", "doc_id", maxPerKey = 5)
+    val bySource = capped.collect().groupBy(_.getString(1))
+    assert(bySource("web").length == 5)    // capped
+    assert(bySource("books").length == 5)  // capped
+    // deterministic: second run keeps the identical set
+    val again = Sample.capPerKey(docs, "source", "text", "doc_id", 5)
+      .collect().map(_.getLong(0)).toSet
+    assert(again == capped.collect().map(_.getLong(0)).toSet)
+    // under-cap keys are untouched
+    assert(Sample.capPerKey(docs, "source", "text", "doc_id", 100).count() == 30L)
+  }
+
   test("Vocab: deterministic top-k vocabulary and per-doc OOV rate") {
     val docs = df("doc_id INT, text STRING", Seq(
       doc(1, "cat cat dog bird"),
