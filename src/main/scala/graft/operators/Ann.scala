@@ -200,6 +200,41 @@ object Ann {
       corpus.withColumn("__cell", VF.nearestCells(col(vecCol), centroids, 1)(0)))
   }
 
+  /**
+   * Persist a fitted [[IvfIndex]]: the centroid matrix as a small text
+   * file (one comma-separated row per centroid — driver-side, tiny) and
+   * the assigned corpus as parquet PARTITIONED BY `__cell`. The partition
+   * layout is the on-disk inverted file: a probe batch touches only its
+   * nProbe cells' directories (dynamic partition pruning on the cell
+   * join), so repeated query batches never rescan the corpus.
+   *
+   * Uses the Hadoop FileSystem API for the centroid file, so the same
+   * code addresses local disk, HDFS, or object stores.
+   */
+  def saveIvfIndex(index: IvfIndex, path: String): Unit = {
+    val spark = index.assigned.sparkSession
+    index.assigned.write.mode("overwrite")
+      .partitionBy("__cell").parquet(s"$path/assigned")
+    val p = new org.apache.hadoop.fs.Path(s"$path/centroids.txt")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(p, true)
+    try out.write(index.centroids.map(_.mkString(",")).mkString("\n")
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+  }
+
+  /** Load a persisted [[IvfIndex]] (see [[saveIvfIndex]]). */
+  def loadIvfIndex(spark: org.apache.spark.sql.SparkSession, path: String): IvfIndex = {
+    val p = new org.apache.hadoop.fs.Path(s"$path/centroids.txt")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val buf = new Array[Byte](fs.getFileStatus(p).getLen.toInt)
+    val in = fs.open(p)
+    try in.readFully(buf) finally in.close()
+    val text = new String(buf, java.nio.charset.StandardCharsets.UTF_8)
+    val centroids = text.split("\n").map(_.split(",").map(_.toDouble))
+    IvfIndex(centroids, spark.read.parquet(s"$path/assigned"))
+  }
+
   /** Search a fitted [[IvfIndex]] with one probe batch. */
   def ivfSearch(index: IvfIndex, idCol: String, vecCol: String,
                 probes: DataFrame, probeIdCol: String, probeVecCol: String,

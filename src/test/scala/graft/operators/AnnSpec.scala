@@ -4,6 +4,7 @@ import graft.SparkTestBase
 import graft.functions.{VectorFunctions => VF}
 import org.apache.spark.sql.Row
 import org.apache.spark.sql.functions._
+import scala.jdk.CollectionConverters._
 
 class AnnSpec extends SparkTestBase {
 
@@ -144,5 +145,30 @@ class AnnSpec extends SparkTestBase {
       .groupBy(_.getLong(0)).map { case (q, rows) => q -> rows.map(_.getLong(2)).toSet }
     val mpHits = bf.count { case (q, top1) => mp.get(q).exists(_.contains(top1)) }
     assert(mpHits >= hits, s"multi-probe lost recall: $mpHits < $hits")
+  }
+
+  test("IVF index persists and reloads: identical search results, cell-partitioned layout") {
+    val e = realEmbeddings
+    val index = Ann.ivfIndex(e, "v", nCentroids = 8)
+    val dir = java.nio.file.Files.createTempDirectory("ivf_index").toString
+    Ann.saveIvfIndex(index, dir)
+    val loaded = Ann.loadIvfIndex(spark, dir)
+    // centroid matrix round-trips exactly (text doubles are lossless via toString)
+    assert(loaded.centroids.length == index.centroids.length)
+    loaded.centroids.zip(index.centroids).foreach { case (a, b) =>
+      assert(a.toSeq == b.toSeq)
+    }
+    // the on-disk layout IS the inverted file: one directory per cell
+    val cells = java.nio.file.Files.list(java.nio.file.Paths.get(s"$dir/assigned"))
+      .iterator().asScala.map(_.getFileName.toString).filter(_.startsWith("__cell=")).toSeq
+    assert(cells.nonEmpty && cells.size <= 8)
+    // searching the loaded index equals searching the live one
+    val p = e.filter(col("vec_id") < 4)
+      .select(col("vec_id").as("qid"), col("v").as("qv"))
+    val live = Ann.ivfSearch(index, "vec_id", "v", p, "qid", "qv", k = 5, nProbe = 8)
+      .collect().toSeq
+    val disk = Ann.ivfSearch(loaded, "vec_id", "v", p, "qid", "qv", k = 5, nProbe = 8)
+      .collect().toSeq
+    assert(disk == live)
   }
 }
