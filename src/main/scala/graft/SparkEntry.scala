@@ -363,6 +363,23 @@ object SparkEntry {
         .orderBy("id_a")
     }),
 
+    // Incremental dedup of an arriving batch against history: the batch
+    // is 50 exact copies of history docs ∪ 50 edited descendants — the
+    // bloom pre-filter routes them, the exact confirm removes false
+    // positives, and survivors are exactly the edited rows (closed-form
+    // oracle: the bloom's FPs cannot survive the confirm join, so the
+    // probabilistic structure is invisible in the result).
+    "q_dedup_incremental" -> ((s, d) => {
+      val history = docs(s, d).select(col("doc_id"), col("text"))
+      val copies = history.filter(col("doc_id") < 50)
+      val edited = copies.select((col("doc_id") + lit(1000000L)).as("doc_id"),
+        concat(col("text"), lit(" revised edition")).as("text"))
+      Dedup.incrementalDedup(copies.unionByName(edited), history,
+        "doc_id", "text", expectedHistoryItems = 10000L)
+        .select(col("doc_id"))
+        .orderBy("doc_id")
+    }),
+
     // MinHash with signature-agreement confirm (the verify path whose
     // cost is independent of document size): over docs ∪ exact twins,
     // twin signatures agree at all k positions → estimate exactly 1.0;
@@ -1265,6 +1282,9 @@ object SparkEntry {
     "q_dedup_minhash_estimate" ->
       ("SELECT doc_id AS id_a, doc_id + 1000000 AS id_b, " +
         "CAST(1.0 AS DOUBLE) AS jaccard_est FROM documents ORDER BY id_a"),
+    "q_dedup_incremental" ->
+      ("SELECT doc_id + 1000000 AS doc_id FROM documents " +
+        "WHERE doc_id < 50 ORDER BY doc_id"),
     "q_asof_join" ->
       """WITH ref AS (
         |  SELECT user_id, CAST(ts AS TIMESTAMP) AS ref_ts, max(event_id) AS ref_event

@@ -268,6 +268,43 @@ object Dedup {
   }
 
   /**
+   * Incremental exact dedup of a NEW batch against a (huge) HISTORY
+   * corpus — the continuous-ingest path: drop arriving documents whose
+   * content already exists in history, without joining the new batch
+   * against 100 TB.
+   *
+   * Mechanism: build a Bloom filter over history's content digests
+   * (one distributed aggregation; ~1.2 GB per 10⁹ docs at 1% FPP —
+   * broadcastable), split the batch into definitely-new (bloom miss —
+   * no join AT ALL) and maybe-dup (bloom hit), and exactly confirm only
+   * the maybe-dups with an anti-join whose history side is digest-only.
+   * False positives are removed by the confirm join, so the result
+   * EQUALS the plain anti-join (deterministic, oracle-checkable); the
+   * bloom pass just shrinks the join input by ≈ the new-content
+   * fraction.
+   *
+   * The bloom membership probe is a driver-broadcast object behind a
+   * scalar UDF — the one place a UDF is warranted: Spark's own
+   * BloomFilterMightContain expression is not public API, and the probe
+   * runs only once per batch row.
+   */
+  def incrementalDedup(newBatch: DataFrame, history: DataFrame,
+                       idCol: String, textCol: String,
+                       expectedHistoryItems: Long = 1000000L,
+                       fpp: Double = 0.01): DataFrame = {
+    val spark = newBatch.sparkSession
+    val newKeyed = newBatch.withColumn("__digest", md5(col(textCol)))
+    val histDigests = history.select(md5(col(textCol)).as("__digest"))
+    val bloom = histDigests.stat.bloomFilter("__digest", expectedHistoryItems, fpp)
+    val bloomB = spark.sparkContext.broadcast(bloom)
+    val mightContain = udf((d: String) => bloomB.value.mightContainString(d))
+    val definitelyNew = newKeyed.filter(!mightContain(col("__digest")))
+    val confirmed = newKeyed.filter(mightContain(col("__digest")))
+      .join(histDigests.distinct(), Seq("__digest"), "left_anti")
+    definitelyNew.unionByName(confirmed).drop("__digest")
+  }
+
+  /**
    * SimHash near-dup pairs: 64-bit fingerprint per doc (native
    * `simhash64` expression over xxhash64'd tokens), bucketed by each of the
    * four 16-bit chunks. By pigeonhole, any pair within Hamming distance 3

@@ -74,6 +74,22 @@ class DedupSpec extends SparkTestBase {
     }
   }
 
+  test("incrementalDedup equals the exact anti-join even with a saturated bloom") {
+    val history = df("id BIGINT, text STRING",
+      (1 to 100).map(i => org.apache.spark.sql.Row(i.toLong, s"history document $i")))
+    val batch = df("id BIGINT, text STRING",
+      // 10 exact copies of history + 10 genuinely new docs
+      ((1 to 10).map(i => org.apache.spark.sql.Row(1000L + i, s"history document $i")) ++
+        (1 to 10).map(i => org.apache.spark.sql.Row(2000L + i, s"fresh document $i"))))
+    // undersized bloom (expected 10 for 100 items) → high FP rate, so the
+    // exact-confirm join is genuinely exercised; the result must STILL be
+    // exactly the anti-join
+    val survivors = Dedup.incrementalDedup(batch, history, "id", "text",
+        expectedHistoryItems = 10L, fpp = 0.3)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(survivors == (1 to 10).map(i => 2000L + i).toSet)
+  }
+
   test("candidate generation dedups (a pair sharing many buckets appears once)") {
     val pairs = Dedup.minhashPairs(corpus, "id", "text",
       shingleN = 3, numHashes = 64, bands = 16, threshold = 0.1)
