@@ -363,6 +363,24 @@ object SparkEntry {
         .orderBy("id_a")
     }),
 
+    // n-gram containment pairs (quote/subset duplication that Jaccard
+    // misses) — same inverted-index engine, asymmetric overlap formula.
+    "q_dedup_containment" -> ((s, d) =>
+      Dedup.ngramContainmentPairs(docs(s, d), "doc_id", "text",
+        n = 3, threshold = 0.6).orderBy("id_a", "id_b")),
+
+    // Normalized-exact dedup over docs ∪ case/punctuation-perturbed twins
+    // (UPPER + trailing ' !!'): every twin normalizes to its original's
+    // key, so survivors = the min-id representative per normalized text.
+    "q_dedup_normalized" -> ((s, d) => {
+      val d0 = docs(s, d).select(col("doc_id"), col("text"))
+      val twins = d0.select((col("doc_id") + lit(1000000L)).as("doc_id"),
+        concat(upper(col("text")), lit(" !!")).as("text"))
+      Dedup.exactDedupNormalized(d0.unionByName(twins), "doc_id", "text")
+        .select(col("doc_id"))
+        .orderBy("doc_id")
+    }),
+
     // Incremental dedup of an arriving batch against history: the batch
     // is 50 exact copies of history docs ∪ 50 edited descendants — the
     // bloom pre-filter routes them, the exact confirm removes false
@@ -928,7 +946,11 @@ object SparkEntry {
    */
   private def ngramJaccardOracle(n: Int, threshold: Double,
                                  maxShingleFreq: Option[Int] = None,
-                                 corpus: String = "documents"): String = {
+                                 corpus: String = "documents",
+                                 containment: Boolean = false): String = {
+    val (metric, formula) =
+      if (containment) ("containment", "CAST(inter AS DOUBLE)/least(sa.sz, sb.sz)")
+      else ("jaccard", "CAST(inter AS DOUBLE)/(sa.sz+sb.sz-inter)")
     // The cap drops shingles whose doc-frequency exceeds it from the
     // inverted index ONLY; set sizes stay uncapped — mirroring
     // Dedup.ngramJaccardPairs exactly.
@@ -949,9 +971,9 @@ object SparkEntry {
        |       FROM inv a JOIN inv b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2),
        |sz AS (SELECT doc_id, len(sh) AS sz FROM docs)
        |SELECT id_a, id_b,
-       |       round(CAST(inter AS DOUBLE)/(sa.sz+sb.sz-inter), 6) AS jaccard
+       |       round($formula, 6) AS $metric
        |FROM co JOIN sz sa ON co.id_a = sa.doc_id JOIN sz sb ON co.id_b = sb.doc_id
-       |WHERE CAST(inter AS DOUBLE)/(sa.sz+sb.sz-inter) >= $threshold
+       |WHERE $formula >= $threshold
        |ORDER BY id_a, id_b""".stripMargin
   }
 
@@ -1285,6 +1307,20 @@ object SparkEntry {
     "q_dedup_incremental" ->
       ("SELECT doc_id + 1000000 AS doc_id FROM documents " +
         "WHERE doc_id < 50 ORDER BY doc_id"),
+    "q_dedup_containment" ->
+      ngramJaccardOracle(n = 3, threshold = 0.6, containment = true),
+    "q_dedup_normalized" ->
+      """WITH all_docs AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL SELECT doc_id + 1000000 AS doc_id, upper(text) || ' !!' AS text
+        |  FROM documents),
+        |k AS (SELECT doc_id,
+        |        trim(regexp_replace(regexp_replace(lower(text),
+        |          '[^\p{L}\p{N}\s]', ' ', 'g'), '\s+', ' ', 'g')) AS nk
+        |      FROM all_docs)
+        |SELECT doc_id FROM k
+        |WHERE doc_id IN (SELECT min(doc_id) FROM k GROUP BY nk)
+        |ORDER BY doc_id""".stripMargin,
     "q_asof_join" ->
       """WITH ref AS (
         |  SELECT user_id, CAST(ts AS TIMESTAMP) AS ref_ts, max(event_id) AS ref_event

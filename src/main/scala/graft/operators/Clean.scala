@@ -27,6 +27,15 @@ object Clean {
     * TRY_CAST parity; under ANSI mode a plain cast would throw). */
   def tryCast(c: Column, dt: String): Column = c.try_cast(dt)
 
+  /** Canonical key for normalized-exact dedup: lowercase, punctuation →
+    * space (`\p{L}\p{N}` kept, so non-Latin scripts survive), whitespace
+    * collapsed — catches duplicates that differ only in case/punctuation/
+    * spacing. Unicode-property regex is shared Java/RE2 syntax, so the
+    * key is engine-portable. */
+  def dedupKey(c: Column): Column =
+    trim(regexp_replace(
+      regexp_replace(lower(c), "[^\\p{L}\\p{N}\\s]", " "), "\\s+", " "))
+
   // ---- PII scrubbing --------------------------------------------------
   // Patterns deliberately stick to the regex subset Java and RE2 agree
   // on (char classes, bounded repeats, \b) — no lookaround, no

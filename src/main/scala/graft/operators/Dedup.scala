@@ -54,7 +54,49 @@ object Dedup {
   def ngramJaccardPairs(
       df: DataFrame, idCol: String, textCol: String,
       n: Int = 3, threshold: Double = 0.8,
-      maxShingleFreq: Option[Int] = None): DataFrame = {
+      maxShingleFreq: Option[Int] = None): DataFrame =
+    shingleCoOccurrence(df, idCol, textCol, n, maxShingleFreq)
+      .withColumn("jaccard",
+        col("inter").cast("double") / (col("sz_a") + col("sz_b") - col("inter")).cast("double"))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
+
+  /**
+   * Exact dedup on the NORMALIZED content key ([[Clean.dedupKey]]):
+   * catches duplicates differing only in case, punctuation, or spacing —
+   * the cheap fuzz level between byte-exact and MinHash. Same digest
+   * discipline as [[exactDedup]] (32-byte keys shuffle, never bodies).
+   */
+  def exactDedupNormalized(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val keyed = df.withColumn("__digest", md5(Clean.dedupKey(col(textCol))))
+    keyed.join(
+        keyed.groupBy("__digest").agg(min(col(idCol)).as(idCol)),
+        Seq("__digest", idCol), "leftsemi")
+      .drop("__digest")
+  }
+
+  /**
+   * EXACT n-gram CONTAINMENT pairs: |A∩B| / min(|A|,|B|) — the asymmetric
+   * overlap that catches quotation/subset duplication Jaccard misses
+   * (a paragraph fully contained in a 100× longer document has Jaccard
+   * ≈ 0.01 but containment 1.0). Same inverted-index engine and
+   * frequency-cap knob as [[ngramJaccardPairs]].
+   */
+  def ngramContainmentPairs(
+      df: DataFrame, idCol: String, textCol: String,
+      n: Int = 3, threshold: Double = 0.8,
+      maxShingleFreq: Option[Int] = None): DataFrame =
+    shingleCoOccurrence(df, idCol, textCol, n, maxShingleFreq)
+      .withColumn("containment",
+        col("inter").cast("double") / least(col("sz_a"), col("sz_b")).cast("double"))
+      .filter(col("containment") >= threshold)
+      .select(col("id_a"), col("id_b"), round(col("containment"), 6).as("containment"))
+
+  /** Shared inverted-index core: (id_a, id_b, inter, sz_a, sz_b) for
+    * every pair sharing ≥ 1 (under-cap) shingle. */
+  private def shingleCoOccurrence(
+      df: DataFrame, idCol: String, textCol: String,
+      n: Int, maxShingleFreq: Option[Int]): DataFrame = {
     val docs = df.select(col(idCol).as("id"),
       hashedShingleSet(col(textCol), n).as("shingles"))
     val sizes = docs.select(col("id"), size(col("shingles")).as("sz"))
@@ -76,10 +118,6 @@ object Dedup {
       .agg(count(lit(1)).as("inter"))
     co.join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("sz", "sz_a"), "id_a")
       .join(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("sz", "sz_b"), "id_b")
-      .withColumn("jaccard",
-        col("inter").cast("double") / (col("sz_a") + col("sz_b") - col("inter")).cast("double"))
-      .filter(col("jaccard") >= threshold)
-      .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
   }
 
   /**

@@ -74,6 +74,30 @@ class DedupSpec extends SparkTestBase {
     }
   }
 
+  test("containment catches a fully-quoted subset that Jaccard misses") {
+    val d = df("id BIGINT, text STRING", Seq(
+      org.apache.spark.sql.Row(1L, "alpha beta gamma delta"),
+      // doc 2 fully contains doc 1's shingles inside a longer text
+      org.apache.spark.sql.Row(2L,
+        "intro words here alpha beta gamma delta and then a very long tail " +
+          "of unrelated tokens continues onward for quite a while longer")))
+    val cont = Dedup.ngramContainmentPairs(d, "id", "text", n = 3, threshold = 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(cont.toSeq == Seq((1L, 2L, 1.0)))   // all of doc1's 3-grams appear in doc2
+    val jac = Dedup.ngramJaccardPairs(d, "id", "text", n = 3, threshold = 0.9)
+    assert(jac.count() == 0L)                  // jaccard diluted by doc2's tail
+  }
+
+  test("normalized dedup collapses case/punctuation/spacing variants") {
+    val d = df("id BIGINT, text STRING", Seq(
+      org.apache.spark.sql.Row(1L, "Hello, World!  How are you?"),
+      org.apache.spark.sql.Row(2L, "hello world how are you"),
+      org.apache.spark.sql.Row(3L, "an entirely different document")))
+    val kept = Dedup.exactDedupNormalized(d, "id", "text")
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(1L, 3L)) // 2 normalizes to 1's key; min id wins
+  }
+
   test("incrementalDedup equals the exact anti-join even with a saturated bloom") {
     val history = df("id BIGINT, text STRING",
       (1 to 100).map(i => org.apache.spark.sql.Row(i.toLong, s"history document $i")))
