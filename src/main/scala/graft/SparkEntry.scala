@@ -363,6 +363,21 @@ object SparkEntry {
         .orderBy("id_a")
     }),
 
+    // Corpus curation report: per-(lang, source) doc counts, token
+    // totals, and mean quality — the monitoring aggregate over the text
+    // battery. AVG of rounded doubles goes through DECIMAL(9,6) partial
+    // sums (exact, associative) per the float-determinism policy.
+    "q_corpus_stats" -> ((s, d) =>
+      docs(s, d).select(col("lang"), col("source"),
+          TF.tokenCount(col("text")).cast("long").as("n_tokens"),
+          TF.qualityScore(col("text")).as("quality"))
+        .groupBy("lang", "source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_tokens")).as("total_tokens"),
+          (sum(col("quality").cast("decimal(9,6)")).cast("double") /
+            count(lit(1))).as("avg_quality"))
+        .orderBy("lang", "source")),
+
     // n-gram containment pairs (quote/subset duplication that Jaccard
     // misses) — same inverted-index engine, asymmetric overlap formula.
     "q_dedup_containment" -> ((s, d) =>
@@ -1309,6 +1324,13 @@ object SparkEntry {
         "WHERE doc_id < 50 ORDER BY doc_id"),
     "q_dedup_containment" ->
       ngramJaccardOracle(n = 3, threshold = 0.6, containment = true),
+    "q_corpus_stats" ->
+      s"""WITH q AS ($qualityOracle)
+         |SELECT d.lang, d.source, count(*) AS n_docs,
+         |  CAST(sum(CAST(len($toksSql) AS BIGINT)) AS BIGINT) AS total_tokens,
+         |  CAST(sum(CAST(q.quality AS DECIMAL(9,6))) AS DOUBLE) / count(*) AS avg_quality
+         |FROM q JOIN documents d ON q.doc_id = d.doc_id
+         |GROUP BY d.lang, d.source ORDER BY d.lang, d.source""".stripMargin,
     "q_dedup_normalized" ->
       """WITH all_docs AS (
         |  SELECT doc_id, text FROM documents
