@@ -48,6 +48,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     inject("quality_metrics", cs => QualityMetrics(cs.head), classOf[QualityMetrics])
     inject("repetition_metrics", cs => RepetitionMetrics(cs(0),
       intArg(cs(1), "repetition_metrics", 1)), classOf[RepetitionMetrics])
+    inject("gopher_keep", cs => GopherKeep(cs(0),
+      intArg(cs(1), "gopher_keep", 1), intArg(cs(2), "gopher_keep", 2)),
+      classOf[GopherKeep])
     inject("string_shingles", cs => StringShingles(cs(0),
       intArg(cs(1), "string_shingles", 1)), classOf[StringShingles])
     inject("minhash_sig", cs => MinHashSig(cs(0),

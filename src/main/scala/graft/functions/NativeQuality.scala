@@ -151,6 +151,20 @@ object NativeQuality {
       alphaFrac, nStop, dupLineFrac))
   }
 
+  /** The Gopher keep decision in ONE evaluation (FilterExec has no
+    * common-subexpression elimination, so a filter over the metric
+    * struct's fields would re-evaluate [[metrics]] per conjunct —
+    * this computes the battery once per row). Thresholds compare the
+    * same rounded values as QualityFilter's flag column, so the two
+    * formulations keep identical sets (spec-pinned). */
+  def gopherKeep(text: UTF8String, minWords: Int, maxWords: Int): Boolean = {
+    val m = metrics(text)
+    m.getInt(0) >= minWords && m.getInt(0) <= maxWords &&
+      m.getDouble(1) >= 3.0 && m.getDouble(1) <= 10.0 &&
+      m.getDouble(2) < 0.1 && m.getDouble(3) < 0.9 && m.getDouble(4) < 0.3 &&
+      m.getDouble(5) >= 0.8 && m.getInt(6) >= 2 && m.getDouble(7) < 0.3
+  }
+
   val repetitionSchema: StructType = StructType(Seq(
     StructField("top_ngram", StringType, nullable = false),
     StructField("top_count", LongType, nullable = false),
@@ -219,6 +233,21 @@ object NativeQuality {
     new GenericInternalRow(Array[Any](
       UTF8String.fromString(topGram), topCnt.toLong, topFrac, dupFrac))
   }
+}
+
+/** `gopher_keep(text, minWords, maxWords)` → boolean —
+  * see [[NativeQuality.gopherKeep]]. */
+case class GopherKeep(child: Expression, minWords: Int, maxWords: Int)
+    extends UnaryExpression {
+  override def dataType: DataType = BooleanType
+  override def prettyName: String = "gopher_keep"
+  override protected def nullSafeEval(input: Any): Any =
+    NativeQuality.gopherKeep(input.asInstanceOf[UTF8String], minWords, maxWords)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.NativeQuality.gopherKeep($c, $minWords, $maxWords)")
+  override protected def withNewChildInternal(newChild: Expression): GopherKeep =
+    copy(child = newChild)
 }
 
 /** `repetition_metrics(text, n)` → struct — see [[NativeQuality.repetition]]. */

@@ -149,10 +149,7 @@ object QualityFilter {
   def gopherFilter(df: DataFrame, idCol: String, textCol: String,
                    minWords: Int = 50, maxWords: Int = 100000): DataFrame = {
     import org.apache.spark.sql.graftshim.CatalystBridge
-    val q = CatalystBridge.column(
-      graft.functions.QualityMetrics(CatalystBridge.expression(col(textCol))))
-    df.withColumn("__q", q)
-      .filter(keepOf(f => col(s"__q.$f"), minWords, maxWords))
-      .drop("__q")
+    df.filter(CatalystBridge.column(graft.functions.GopherKeep(
+      CatalystBridge.expression(col(textCol)), minWords, maxWords)))
   }
 }

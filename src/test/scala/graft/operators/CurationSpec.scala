@@ -160,6 +160,12 @@ class CurationSpec extends SparkTestBase {
     // survivor filtering is a pure filter — no self-join, no Exchange
     val gf = plan(QualityFilter.gopherFilter(docs, "doc_id", "text"))
     assert(!gf.contains("Exchange") && !gf.contains("Join"), gf)
+    // single-call keep expression selects exactly the keep=true flag set
+    val viaFlags = QualityFilter.gopherFlags(docs, "doc_id", "text")
+      .filter(col("keep")).select("doc_id").collect().map(_.getLong(0)).toSet
+    val viaFilter = QualityFilter.gopherFilter(docs, "doc_id", "text")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(viaFilter == viaFlags)
     // stratified sampling is projection + filter — NO Exchange
     assert(!plan(Sample.stratifiedHashSample(docs, "lang", "text",
       Map("en" -> 0.5))).contains("Exchange"))
