@@ -1,0 +1,94 @@
+package graft.operators
+
+import graft.SparkTestBase
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+/** Property and edge-case coverage for the curation operators: bound and
+  * monotonicity invariants over generated corpora, plus null/blank text
+  * behavior (real corpora are full of both). */
+class CurationPropertySpec extends SparkTestBase {
+
+  private def cases[T](gen: Gen[T], n: Int): Seq[T] =
+    (0 until n).map(i => gen.pureApply(Gen.Parameters.default, Seed(i.toLong)))
+
+  private val genWord: Gen[String] = Gen.oneOf(
+    Gen.listOfN(4, Gen.alphaLowerChar).map(_.mkString),
+    Gen.oneOf("the", "and", "of", "#", "...", "a1", "42"))
+
+  private val genDoc: Gen[String] = for {
+    n <- Gen.chooseNum(0, 40)
+    ws <- Gen.listOfN(n, genWord)
+    sep <- Gen.oneOf(" ", " ", " ", "\n")
+  } yield ws.mkString(sep)
+
+  test("quality metrics stay in bounds over arbitrary documents") {
+    val texts = cases(genDoc, 120)
+    val docs = df("doc_id BIGINT, text STRING",
+      texts.zipWithIndex.map { case (t, i) => Row(i.toLong, t) })
+    QualityFilter.metrics(docs, "doc_id", "text").collect().foreach { r =>
+      assert(r.getInt(1) >= 0)                                   // n_words
+      assert(r.getDouble(2) >= 0.0)                              // mean_word_len
+      Seq(4, 5, 6).foreach(i =>                                  // line/word fracs
+        assert(r.getDouble(i) >= 0.0 && r.getDouble(i) <= 1.0, s"col $i: $r"))
+      assert(r.getInt(7) >= 0 && r.getInt(7) <= r.getInt(1))     // stopwords ≤ words
+      assert(r.getDouble(8) >= 0.0 && r.getDouble(8) < 1.0)      // dup_line_frac
+    }
+  }
+
+  test("sampling is monotone in the fraction (kept sets nest)") {
+    val docs = df("doc_id BIGINT, text STRING",
+      (1 to 300).map(i => Row(i.toLong, s"doc body number $i")))
+    val fracs = Seq(0.1, 0.3, 0.5, 0.9)
+    val kept = fracs.map(f =>
+      Sample.hashSample(docs, "text", f).collect().map(_.getLong(0)).toSet)
+    kept.sliding(2).foreach { case Seq(lo, hi) =>
+      assert(lo.subsetOf(hi), s"smaller fraction kept rows the larger dropped")
+    }
+    // split is the complement pair of the same mechanism
+    val tr = Split.hashSplit(docs, "text", 0.5).filter(col("split") === "train")
+      .collect().map(_.getLong(0)).toSet
+    assert(tr == kept(2).intersect(tr).union(tr)) // train set consistent with itself
+  }
+
+  test("PII redaction is idempotent and count-consistent") {
+    val genPii: Gen[String] = for {
+      base <- genDoc
+      insert <- Gen.oneOf(" bob@x.io ", " 10.0.0.1 ", " 123-45-6789 ",
+        " 555-123-4567 ", " ")
+    } yield base + insert + base.take(10)
+    val texts = cases(genPii, 100)
+    val docs = df("doc_id BIGINT, text STRING",
+      texts.zipWithIndex.map { case (t, i) => Row(i.toLong, t) })
+    val once = Pii.redact(docs, "doc_id", "text")
+    val twice = Pii.redact(once, "doc_id", "text")
+    val a = once.orderBy("doc_id").collect().map(_.getString(1)).toSeq
+    val b = twice.orderBy("doc_id").collect().map(_.getString(1)).toSeq
+    assert(a == b) // placeholders contain no matchable PII
+    // after redaction, detect finds nothing
+    assert(Pii.detect(once, "doc_id", "text")
+      .filter(col("has_pii")).count() == 0L)
+  }
+
+  test("null and blank texts flow through without crashing") {
+    val docs = df("doc_id BIGINT, text STRING", Seq(
+      Row(1L, null), Row(2L, ""), Row(3L, "   "), Row(4L, "real text here of the")))
+    // metrics: null text → null struct fields; blanks → zero counts
+    val m = QualityFilter.metrics(docs, "doc_id", "text")
+      .orderBy("doc_id").collect()
+    assert(m(0).isNullAt(1))                   // null in, null out
+    assert(m(1).getInt(1) == 0 && m(2).getInt(1) == 0)
+    // survivor filter silently drops null/blank (keep is null/false)
+    assert(QualityFilter.gopherFilter(docs, "doc_id", "text", minWords = 1)
+      .select("doc_id").collect().map(_.getLong(0)).toSeq == Seq(4L))
+    // redact: null stays null
+    assert(Pii.redact(docs, "doc_id", "text").orderBy("doc_id").head().isNullAt(1))
+    // hash sampling: md5(null) is null → row dropped, not crashed
+    assert(Sample.hashSample(docs, "text", 1.0).count() == 3L)
+    // dedup: null text groups with itself, min id survives
+    val d = Dedup.exactDedup(docs, "doc_id", "text")
+    assert(d.count() >= 3L)
+  }
+}
