@@ -952,7 +952,7 @@ object SparkEntry {
   private def inList(lang: String): String =
     TF.stopwords(lang).map(w => s"'$w'").mkString("(", ", ", ")")
 
-  private val toksSql = "regexp_split_to_array(trim(text), '\\s+')"
+  private val toksSql = "regexp_split_to_array(trim(text), '[ \\t\\n\\x0b\\f\\r]+')"
 
   /**
    * DuckDB oracle for n-gram Jaccard pairs — string shingles instead of
@@ -1035,11 +1035,14 @@ object SparkEntry {
 
   /** The Gopher keep-decision in SQL over the metric columns — shared by
     * the battery gate and the composed-pipeline gate. */
-  private val gopherKeepCond: String =
-    """n_words >= 50 AND n_words <= 100000
-      |  AND mean_word_len >= 3.0 AND mean_word_len <= 10.0
-      |  AND symbol_ratio < 0.1 AND bullet_frac < 0.9 AND ellipsis_frac < 0.3
-      |  AND alpha_frac >= 0.8 AND n_stopwords >= 2 AND dup_line_frac < 0.3""".stripMargin
+  private val gopherKeepCond: String = {
+    import graft.functions.{NativeQuality => NQ}
+    s"""n_words >= 50 AND n_words <= 100000
+       |  AND mean_word_len >= ${NQ.MeanWordLenMin} AND mean_word_len <= ${NQ.MeanWordLenMax}
+       |  AND symbol_ratio < ${NQ.SymbolRatioMax} AND bullet_frac < ${NQ.BulletFracMax}
+       |  AND ellipsis_frac < ${NQ.EllipsisFracMax} AND alpha_frac >= ${NQ.AlphaFracMin}
+       |  AND n_stopwords >= ${NQ.StopwordsMin} AND dup_line_frac < ${NQ.DupLineFracMax}""".stripMargin
+  }
 
   /** DuckDB oracle for the Gopher quality battery — identical expression
     * shapes (exact integer counts, fixed-shape double division, round 6)
@@ -1050,7 +1053,7 @@ object SparkEntry {
       .map(w => s"'$w'").mkString("(", ", ", ")")
     s"""base AS (
        |  SELECT doc_id, text,
-       |    list_filter(regexp_split_to_array(trim(text), '\\s+'), w -> length(w) > 0) AS ws,
+       |    list_filter(regexp_split_to_array(trim(text), '[ \\t\\n\\x0b\\f\\r]+'), w -> length(w) > 0) AS ws,
        |    list_filter(regexp_split_to_array(text, '\\n'), l -> length(trim(l)) > 0) AS ls,
        |    list_filter(regexp_split_to_array(trim(text), '\\n'), s -> length(trim(s)) > 0) AS segs
        |  FROM $corpus),
@@ -1095,9 +1098,9 @@ object SparkEntry {
     * the same operator chain the Spark gate runs, end-to-end. */
   private def curateOracle: String = {
     val cleanedExpr =
-      "CASE WHEN lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))) " +
+      "CASE WHEN lower(trim(regexp_replace(text, '[ \\t\\n\\x0b\\f\\r]+', ' ', 'g'))) " +
         "IN ('', 'null', 'n/a', 'na', 'none', '-') THEN NULL " +
-        "ELSE trim(regexp_replace(text, '\\s+', ' ', 'g')) END"
+        "ELSE trim(regexp_replace(text, '[ \\t\\n\\x0b\\f\\r]+', ' ', 'g')) END"
     val cleaned = "(SELECT doc_id, text FROM (SELECT doc_id, " +
       s"$cleanedExpr AS text FROM documents) WHERE text IS NOT NULL)"
     s"""WITH ${gopherCtes(cleaned)},
@@ -1264,9 +1267,9 @@ object SparkEntry {
       ("SELECT doc_id, 'application/octet-stream' AS mime, " +
         "octet_length(encode(text)) AS n_bytes FROM documents"),
     "q_clean_text" ->
-      ("SELECT doc_id, CASE WHEN lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))) " +
+      ("SELECT doc_id, CASE WHEN lower(trim(regexp_replace(text, '[ \\t\\n\\x0b\\f\\r]+', ' ', 'g'))) " +
         "IN ('', 'null', 'n/a', 'na', 'none', '-') THEN NULL " +
-        "ELSE trim(regexp_replace(text, '\\s+', ' ', 'g')) END AS text FROM documents"),
+        "ELSE trim(regexp_replace(text, '[ \\t\\n\\x0b\\f\\r]+', ' ', 'g')) END AS text FROM documents"),
     "q_profile" -> (Seq("n_nationkey", "n_name", "n_regionkey").map { c =>
       s"""SELECT '$c' AS "column", count(*) AS n_rows,
          |count(*) - count($c) AS n_nulls,
@@ -1301,7 +1304,7 @@ object SparkEntry {
         "' THEN 'train' ELSE 'test' END AS split FROM documents"),
     "q_keywords" ->
       """WITH toks AS (
-        |  SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS term
+        |  SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '[ \t\n\x0b\f\r]+')) AS term
         |  FROM documents),
         |tf AS (SELECT doc_id, term, count(*) AS tf FROM toks
         |       WHERE length(term) > 1 GROUP BY doc_id, term),
@@ -1338,7 +1341,7 @@ object SparkEntry {
         |  FROM documents),
         |k AS (SELECT doc_id,
         |        trim(regexp_replace(regexp_replace(lower(text),
-        |          '[^\p{L}\p{N}\s]', ' ', 'g'), '\s+', ' ', 'g')) AS nk
+        |          '[^\p{L}\p{N} \t\n\x0b\f\r]', ' ', 'g'), '[ \t\n\x0b\f\r]+', ' ', 'g')) AS nk
         |      FROM all_docs)
         |SELECT doc_id FROM k
         |WHERE doc_id IN (SELECT min(doc_id) FROM k GROUP BY nk)
@@ -1421,7 +1424,7 @@ object SparkEntry {
         |WHERE rn <= 15 ORDER BY doc_id""".stripMargin,
     "q_vocab_oov" ->
       """WITH toks AS (
-        |  SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS term
+        |  SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '[ \t\n\x0b\f\r]+')) AS term
         |  FROM documents),
         |nz AS (SELECT doc_id, term FROM toks WHERE length(term) > 0),
         |vocab AS (
@@ -1436,7 +1439,7 @@ object SparkEntry {
     "q_pack" ->
       """WITH t AS (
         |  SELECT doc_id, doc_id % 8 AS shard,
-        |    CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_tokens
+        |    CAST(len(regexp_split_to_array(trim(text), '[ \t\n\x0b\f\r]+')) AS BIGINT) AS n_tokens
         |  FROM documents),
         |c AS (SELECT doc_id, shard, n_tokens,
         |        sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id) AS cum
@@ -1453,7 +1456,7 @@ object SparkEntry {
       """WITH g AS (
         |  SELECT doc_id, unnest(list_transform(range(1, greatest(len(toks)-1, 1)+1),
         |    i -> array_to_string(list_slice(toks, i, i+1), ' '))) AS ngram
-        |  FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
+        |  FROM (SELECT doc_id, regexp_split_to_array(trim(text), '[ \t\n\x0b\f\r]+') AS toks
         |        FROM documents)),
         |c AS (SELECT doc_id, ngram, count(*) AS cnt FROM g GROUP BY doc_id, ngram),
         |r AS (SELECT doc_id, ngram, cnt,
@@ -1476,7 +1479,7 @@ object SparkEntry {
       """WITH grams AS (
         |  SELECT unnest(list_transform(range(1, greatest(len(toks)-1, 1)+1),
         |    i -> array_to_string(list_slice(toks, i, i+1), ' '))) AS ngram
-        |  FROM (SELECT regexp_split_to_array(trim(lower(text)), '\s+') AS toks
+        |  FROM (SELECT regexp_split_to_array(trim(lower(text)), '[ \t\n\x0b\f\r]+') AS toks
         |        FROM documents))
         |SELECT ngram, count(*) AS n_occurrences FROM grams
         |WHERE length(ngram) > 0
@@ -1485,7 +1488,7 @@ object SparkEntry {
       """WITH docs AS (
         |  SELECT doc_id, list_distinct(list_transform(range(1, greatest(len(toks)-2, 1)+1),
         |         i -> array_to_string(list_slice(toks, i, i+2), ' '))) AS sh
-        |  FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
+        |  FROM (SELECT doc_id, regexp_split_to_array(trim(text), '[ \t\n\x0b\f\r]+') AS toks
         |        FROM documents)),
         |ev AS (SELECT DISTINCT unnest(sh) AS s FROM docs WHERE doc_id < 10),
         |inv AS (SELECT doc_id, unnest(sh) AS s FROM docs)

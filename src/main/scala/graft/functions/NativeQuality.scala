@@ -27,6 +27,18 @@ object NativeQuality {
   val gopherStopwords: Seq[String] =
     Seq("the", "be", "to", "of", "and", "that", "have", "with")
 
+  // Gopher keep-thresholds (word-count bounds stay per-call parameters) —
+  // the single source for the flag column, the native keep expression,
+  // and the oracle SQL; tune here and every formulation moves together.
+  val MeanWordLenMin = 3.0
+  val MeanWordLenMax = 10.0
+  val SymbolRatioMax = 0.1
+  val BulletFracMax = 0.9
+  val EllipsisFracMax = 0.3
+  val AlphaFracMin = 0.8
+  val StopwordsMin = 2
+  val DupLineFracMax = 0.3
+
   private val stopSet: java.util.Set[String] = {
     val s = new java.util.HashSet[String]()
     gopherStopwords.foreach(s.add)
@@ -58,6 +70,20 @@ object NativeQuality {
   }
 
   private def codePoints(s: String): Int = s.codePointCount(0, s.length)
+
+  /** Code-point lexicographic compare — Java's String.compareTo orders by
+    * UTF-16 code unit, which ranks supplementary-plane characters BELOW
+    * U+E000..U+FFFF; DuckDB (and Spark's UTF8String sorts) order by code
+    * point, so ties must break the same way. */
+  private def compareCodePoints(a: String, b: String): Int = {
+    var i = 0; var j = 0
+    while (i < a.length && j < b.length) {
+      val ca = a.codePointAt(i); val cb = b.codePointAt(j)
+      if (ca != cb) return Integer.compare(ca, cb)
+      i += Character.charCount(ca); j += Character.charCount(cb)
+    }
+    Integer.compare(a.length - i, b.length - j)
+  }
 
   def metrics(text: UTF8String): InternalRow = {
     val s = text.toString
@@ -160,9 +186,10 @@ object NativeQuality {
   def gopherKeep(text: UTF8String, minWords: Int, maxWords: Int): Boolean = {
     val m = metrics(text)
     m.getInt(0) >= minWords && m.getInt(0) <= maxWords &&
-      m.getDouble(1) >= 3.0 && m.getDouble(1) <= 10.0 &&
-      m.getDouble(2) < 0.1 && m.getDouble(3) < 0.9 && m.getDouble(4) < 0.3 &&
-      m.getDouble(5) >= 0.8 && m.getInt(6) >= 2 && m.getDouble(7) < 0.3
+      m.getDouble(1) >= MeanWordLenMin && m.getDouble(1) <= MeanWordLenMax &&
+      m.getDouble(2) < SymbolRatioMax && m.getDouble(3) < BulletFracMax &&
+      m.getDouble(4) < EllipsisFracMax && m.getDouble(5) >= AlphaFracMin &&
+      m.getInt(6) >= StopwordsMin && m.getDouble(7) < DupLineFracMax
   }
 
   val repetitionSchema: StructType = StructType(Seq(
@@ -219,7 +246,8 @@ object NativeQuality {
     while (it.hasNext) {
       val e = it.next()
       val cnt = e.getValue.intValue()
-      if (cnt > topCnt || (cnt == topCnt && (topGram == null || e.getKey.compareTo(topGram) < 0))) {
+      if (cnt > topCnt || (cnt == topCnt &&
+          (topGram == null || compareCodePoints(e.getKey, topGram) < 0))) {
         topGram = e.getKey; topCnt = cnt
       }
       if (cnt >= 2) dupChars += cnt.toLong * codePoints(e.getKey)

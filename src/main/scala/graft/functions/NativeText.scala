@@ -28,12 +28,25 @@ object NativeText {
   def hashString(s: String): Long =
     XXH64.hashUTF8String(UTF8String.fromString(s), Seed)
 
+  /** Tokens exactly as `split(trim(text), "\\s+")` produces them in
+    * Spark SQL: SPACE-only trim (Java's String.trim also strips \t, \n
+    * and all controls ≤ U+0020 — a divergence from the Column
+    * formulations and the DuckDB oracles) and limit -1 (Spark keeps
+    * trailing empty tokens; Java's default limit 0 drops them). */
+  private def sparkTokens(s: String): Array[String] = {
+    var from = 0
+    var to = s.length
+    while (from < to && s.charAt(from) == ' ') from += 1
+    while (to > from && s.charAt(to - 1) == ' ') to -= 1
+    s.substring(from, to).split("\\s+", -1)
+  }
+
   /** Word n-gram shingle hashes of `text` (whitespace tokens of the
     * trimmed string); `distinct` keeps first occurrence order. Documents
     * shorter than n tokens yield one whole-document shingle — identical
     * to TextFunctions.wordShingles. */
   def shingleHashes(text: UTF8String, n: Int, distinct: Boolean): ArrayData = {
-    val toks = text.toString.trim.split("\\s+")
+    val toks = sparkTokens(text.toString)
     val out =
       if (toks.length < n) Array(hashString(toks.mkString(" ")))
       else {
@@ -72,7 +85,7 @@ object NativeText {
     * `xxhash64(string_shingles(t)(i)) == hashed_shingles(t)(i)`) and
     * value-identical to the wordShingles HOF formulation (spec-pinned). */
   def stringShingles(text: UTF8String, n: Int): ArrayData = {
-    val toks = text.toString.trim.split("\\s+")
+    val toks = sparkTokens(text.toString)
     val out: Array[Any] =
       if (toks.length < n) Array(UTF8String.fromString(toks.mkString(" ")))
       else {
@@ -98,7 +111,7 @@ object NativeText {
 
   /** Whitespace-token hashes (non-distinct) — SimHash input. */
   def tokenHashes(text: UTF8String): ArrayData = {
-    val toks = text.toString.trim.split("\\s+")
+    val toks = sparkTokens(text.toString)
     val out = new Array[Long](toks.length)
     var i = 0
     while (i < toks.length) { out(i) = hashString(toks(i)); i += 1 }

@@ -34,11 +34,21 @@ object Dedup {
    * md5 collisions across distinct texts are 2^-64-scale — far below
    * hardware error rates.
    */
-  def exactDedup(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val keyed = df.withColumn("__digest", md5(col(textCol)))
-    keyed.join(
-        keyed.groupBy("__digest").agg(min(col(idCol)).as(idCol)),
-        Seq("__digest", idCol), "leftsemi")
+  def exactDedup(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    digestDedup(df, idCol, md5(col(textCol)))
+
+  /** Keep the min-id row per digest group. Null-SAFE on the digest (`<=>`):
+    * null-text rows form their own group and their min-id representative
+    * survives — matching SQL `GROUP BY text` semantics, where a plain
+    * equi-semi-join would silently drop every null row. */
+  private def digestDedup(df: DataFrame, idCol: String,
+                          digest: org.apache.spark.sql.Column): DataFrame = {
+    val keyed = df.withColumn("__digest", digest)
+    val winners = keyed.groupBy("__digest").agg(min(col(idCol)).as("__keep"))
+    keyed.join(winners,
+        keyed("__digest") <=> winners("__digest") &&
+          keyed(idCol) === winners("__keep"),
+        "leftsemi")
       .drop("__digest")
   }
 
@@ -66,14 +76,11 @@ object Dedup {
    * catches duplicates differing only in case, punctuation, or spacing —
    * the cheap fuzz level between byte-exact and MinHash. Same digest
    * discipline as [[exactDedup]] (32-byte keys shuffle, never bodies).
+   * Note symbol-only documents all normalize to the EMPTY key and dedup
+   * together by design — they carry no retainable content.
    */
-  def exactDedupNormalized(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val keyed = df.withColumn("__digest", md5(Clean.dedupKey(col(textCol))))
-    keyed.join(
-        keyed.groupBy("__digest").agg(min(col(idCol)).as(idCol)),
-        Seq("__digest", idCol), "leftsemi")
-      .drop("__digest")
-  }
+  def exactDedupNormalized(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    digestDedup(df, idCol, md5(Clean.dedupKey(col(textCol))))
 
   /**
    * EXACT n-gram CONTAINMENT pairs: |A∩B| / min(|A|,|B|) — the asymmetric
@@ -335,7 +342,10 @@ object Dedup {
     val histDigests = history.select(md5(col(textCol)).as("__digest"))
     val bloom = histDigests.stat.bloomFilter("__digest", expectedHistoryItems, fpp)
     val bloomB = spark.sparkContext.broadcast(bloom)
-    val mightContain = udf((d: String) => bloomB.value.mightContainString(d))
+    // null digest (null text) → "definitely new": SQL NULL never equals a
+    // history digest, so the plain anti-join keeps such rows too
+    val mightContain = udf((d: String) =>
+      d != null && bloomB.value.mightContainString(d))
     val definitelyNew = newKeyed.filter(!mightContain(col("__digest")))
     val confirmed = newKeyed.filter(mightContain(col("__digest")))
       .join(histDigests.distinct(), Seq("__digest"), "left_anti")

@@ -226,17 +226,18 @@ object Multimodal {
    * `maxPartitionBytes` size the tasks.
    */
   def resizeImages(df: DataFrame, binCol: String, targetW: Int, targetH: Int,
-                   outCol: String = "resized", batchSize: Int = 64): DataFrame = {
+                   outCol: String = "resized"): DataFrame = {
     require(targetW > 0 && targetH > 0, "target dimensions must be positive")
     val schema = StructType(df.schema.fields :+ StructField(outCol, BinaryType))
     val binIdx = df.schema.fieldIndex(binCol)
     val enc = org.apache.spark.sql.Encoders.row(schema)
     df.mapPartitions { rows =>
       javax.imageio.ImageIO.setUseCache(false)
-      rows.grouped(batchSize).flatMap { batch =>
-        batch.iterator.map { r =>
-          Row.fromSeq(r.toSeq :+ resizeOne(r.getAs[Array[Byte]](binIdx), targetW, targetH))
-        }
+      // plain per-row map: unlike decodeFeatures there is no per-batch
+      // state to amortize, and buffering payload batches would only pin
+      // binary arrays in memory
+      rows.map { r =>
+        Row.fromSeq(r.toSeq :+ resizeOne(r.getAs[Array[Byte]](binIdx), targetW, targetH))
       }
     }(enc)
   }
@@ -276,20 +277,17 @@ object Multimodal {
    * environment.
    */
   def sampleFrames(df: DataFrame, binCol: String,
-                   everyNth: Int = 30, maxFrames: Int = 8,
-                   batchSize: Int = 16): DataFrame = {
+                   everyNth: Int = 30, maxFrames: Int = 8): DataFrame = {
     require(everyNth >= 1 && maxFrames >= 1)
     val schema = StructType(df.schema.fields ++
       Seq(StructField("frame_index", IntegerType), StructField("frame", BinaryType)))
     val binIdx = df.schema.fieldIndex(binCol)
     val enc = org.apache.spark.sql.Encoders.row(schema)
     df.mapPartitions { rows =>
-      rows.grouped(batchSize).flatMap { batch =>
-        batch.iterator.flatMap { r =>
-          val bytes = r.getAs[Array[Byte]](binIdx)
-          frameDecoder(bytes, everyNth, maxFrames).map { case (idx, frame) =>
-            Row.fromSeq(r.toSeq ++ Seq(idx, frame))
-          }
+      rows.flatMap { r =>
+        val bytes = r.getAs[Array[Byte]](binIdx)
+        frameDecoder(bytes, everyNth, maxFrames).map { case (idx, frame) =>
+          Row.fromSeq(r.toSeq ++ Seq(idx, frame))
         }
       }
     }(enc)

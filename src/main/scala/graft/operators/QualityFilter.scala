@@ -121,13 +121,15 @@ object QualityFilter {
 
   /** The keep-decision over metric fields, shared between the auditable
     * flag column and the pure-filter survivor path. */
-  private def keepOf(f: String => Column, minWords: Int, maxWords: Int): Column =
+  private def keepOf(f: String => Column, minWords: Int, maxWords: Int): Column = {
+    import graft.functions.{NativeQuality => NQ}
     f("n_words") >= minWords && f("n_words") <= maxWords &&
-      f("mean_word_len") >= 3.0 && f("mean_word_len") <= 10.0 &&
-      f("symbol_ratio") < 0.1 &&
-      f("bullet_frac") < 0.9 && f("ellipsis_frac") < 0.3 &&
-      f("alpha_frac") >= 0.8 && f("n_stopwords") >= 2 &&
-      f("dup_line_frac") < 0.3
+      f("mean_word_len") >= NQ.MeanWordLenMin && f("mean_word_len") <= NQ.MeanWordLenMax &&
+      f("symbol_ratio") < NQ.SymbolRatioMax &&
+      f("bullet_frac") < NQ.BulletFracMax && f("ellipsis_frac") < NQ.EllipsisFracMax &&
+      f("alpha_frac") >= NQ.AlphaFracMin && f("n_stopwords") >= NQ.StopwordsMin &&
+      f("dup_line_frac") < NQ.DupLineFracMax
+  }
 
   /**
    * Gopher keep/drop decision. Thresholds are the published defaults

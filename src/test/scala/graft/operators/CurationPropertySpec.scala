@@ -47,10 +47,11 @@ class CurationPropertySpec extends SparkTestBase {
     kept.sliding(2).foreach { case Seq(lo, hi) =>
       assert(lo.subsetOf(hi), s"smaller fraction kept rows the larger dropped")
     }
-    // split is the complement pair of the same mechanism
+    // split's train side IS the hash-sample kept set at the same fraction
+    // (identical md5-threshold predicate)
     val tr = Split.hashSplit(docs, "text", 0.5).filter(col("split") === "train")
       .collect().map(_.getLong(0)).toSet
-    assert(tr == kept(2).intersect(tr).union(tr)) // train set consistent with itself
+    assert(tr == kept(2))
   }
 
   test("PII redaction is idempotent and count-consistent") {
