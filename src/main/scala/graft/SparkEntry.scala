@@ -363,6 +363,14 @@ object SparkEntry {
         .orderBy("id_a")
     }),
 
+    // Token-window chunking (embedding/RAG preprocessing): 32-token
+    // windows with 8-token overlap; chunk counts and window contents are
+    // exact integer/slice arithmetic → full SQL oracle.
+    "q_text_chunks" -> ((s, d) =>
+      graft.operators.Chunk.chunkByTokens(docs(s, d), "doc_id", "text",
+        maxTokens = 32, overlap = 8)
+        .orderBy("doc_id", "chunk_index")),
+
     // Corpus curation report: per-(lang, source) doc counts, token
     // totals, and mean quality — the monitoring aggregate over the text
     // battery. AVG of rounded doubles goes through DECIMAL(9,6) partial
@@ -1327,6 +1335,19 @@ object SparkEntry {
         "WHERE doc_id < 50 ORDER BY doc_id"),
     "q_dedup_containment" ->
       ngramJaccardOracle(n = 3, threshold = 0.6, containment = true),
+    "q_text_chunks" ->
+      """WITH t AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(text), '[ \t\n\x0b\f\r]+') AS toks
+        |  FROM documents),
+        |c AS (SELECT doc_id, toks,
+        |        CASE WHEN len(toks) <= 32 THEN 1
+        |             ELSE CAST(floor((CAST(len(toks) - 32 AS DOUBLE) + 23) / 24.0) AS INTEGER) + 1
+        |        END AS k
+        |      FROM t),
+        |e AS (SELECT doc_id, toks, unnest(range(0, k)) AS i FROM c)
+        |SELECT doc_id, CAST(i AS INTEGER) AS chunk_index,
+        |       array_to_string(list_slice(toks, i*24 + 1, i*24 + 32), ' ') AS chunk
+        |FROM e ORDER BY doc_id, chunk_index""".stripMargin,
     "q_corpus_stats" ->
       s"""WITH q AS ($qualityOracle)
          |SELECT d.lang, d.source, count(*) AS n_docs,

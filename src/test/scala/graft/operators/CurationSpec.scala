@@ -217,6 +217,23 @@ class CurationSpec extends SparkTestBase {
     assert(oov(3) == ((3L, 3L, 1.0)))   // all newt OOV
   }
 
+  test("Chunk splits documents into overlapping token windows") {
+    val docs = df("doc_id INT, text STRING", Seq(
+      doc(1, (1 to 10).map(i => s"w$i").mkString(" ")), // 10 tokens
+      doc(2, "tiny doc")))
+    // maxTokens=4, overlap=1 → stride 3; k = ceil((10-4)/3)+1 = 3
+    val out = Chunk.chunkByTokens(docs, "doc_id", "text", maxTokens = 4, overlap = 1)
+      .orderBy("doc_id", "chunk_index").collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getString(2))).toSeq
+    assert(out == Seq(
+      (1, 0, "w1 w2 w3 w4"),
+      (1, 1, "w4 w5 w6 w7"),
+      (1, 2, "w7 w8 w9 w10"),
+      (2, 0, "tiny doc")))
+    // adjacent chunks share exactly `overlap` tokens
+    assert(out(0)._3.split(" ").last == out(1)._3.split(" ").head)
+  }
+
   test("Pack assigns docs to token-budget packs by start offset, per shard") {
     val rows = Seq((1L, 3L), (2L, 3L), (3L, 3L), (4L, 3L), (5L, 7L), (6L, 1L))
       .map { case (id, n) => org.apache.spark.sql.Row(id, n) }
