@@ -48,6 +48,45 @@ object Sample {
   }
 
   /**
+   * Temperature-scaled mixture fractions (the multilingual "alpha
+   * sampling" recipe: sample probability ∝ count^alpha, alpha ∈ [0, 1] —
+   * alpha = 1 keeps natural proportions, alpha → 0 equalizes domains).
+   * Returns per-domain KEEP fractions for [[stratifiedHashSample]] such
+   * that the sampled total ≈ `targetRows`.
+   *
+   * Water-filling: a small domain whose share exceeds its size caps at
+   * fraction 1.0 and releases its surplus budget to the remaining
+   * domains (iterates until no new domain caps — ≤ |domains| rounds).
+   * Driver-side arithmetic over a handful of (domain, count) pairs; the
+   * 100 TB work stays in the hash-filter scan.
+   */
+  def temperatureFractions(counts: Map[String, Long], alpha: Double,
+                           targetRows: Long): Map[String, Double] = {
+    require(alpha >= 0.0 && counts.values.forall(_ > 0))
+    var capped = Set.empty[String]
+    var result = Map.empty[String, Double]
+    var remaining = targetRows.toDouble
+    var changed = true
+    while (changed) {
+      changed = false
+      val open = counts.keySet -- capped
+      val wSum = open.toSeq.map(k => math.pow(counts(k).toDouble, alpha)).sum
+      result = result ++ open.map { k =>
+        val share = if (wSum > 0) remaining * math.pow(counts(k).toDouble, alpha) / wSum else 0.0
+        k -> math.min(1.0, share / counts(k).toDouble)
+      }
+      val newlyCapped = open.filter(k => result(k) >= 1.0)
+      if (newlyCapped.nonEmpty) {
+        capped = capped ++ newlyCapped
+        remaining = math.max(0.0, targetRows.toDouble -
+          capped.toSeq.map(counts(_).toDouble).sum)
+        changed = true
+      }
+    }
+    result
+  }
+
+  /**
    * Per-key document cap (C4-style domain balancing): keep at most
    * `maxPerKey` rows per key, chosen DETERMINISTICALLY by content-hash
    * order (md5 of `contentCol`; exact duplicates tie on the hash, so the

@@ -184,6 +184,25 @@ class CurationSpec extends SparkTestBase {
       .contains("TakeOrderedAndProject"))
   }
 
+  test("temperatureFractions: proportional at alpha=1, equalizing at alpha=0, caps water-fill") {
+    val counts = Map("en" -> 8000L, "de" -> 1500L, "sw" -> 500L)
+    // alpha = 1: natural proportions → uniform keep fraction
+    val f1 = Sample.temperatureFractions(counts, alpha = 1.0, targetRows = 5000L)
+    assert(f1.values.map(v => math.rint(v * 1e9)).toSet.size == 1) // all equal
+    assert(math.abs(f1("en") - 0.5) < 1e-9)
+    // alpha = 0: equal row budget (1667) exceeds both sw (500) and de
+    // (1500) — both cap at 1.0 and release their surplus to en
+    val f0 = Sample.temperatureFractions(counts, alpha = 0.0, targetRows = 5000L)
+    assert(f0("sw") == 1.0 && f0("de") == 1.0)
+    assert(math.abs(f0("en") - (5000.0 - 2000.0) / 8000.0) < 1e-9)
+    // sampled totals land near target in expectation
+    val total1 = counts.map { case (k, c) => c * f1(k) }.sum
+    assert(math.abs(total1 - 5000.0) < 1e-6)
+    // intermediate alpha upweights the tail monotonically
+    val fHalf = Sample.temperatureFractions(counts, alpha = 0.5, targetRows = 5000L)
+    assert(fHalf("sw") > f1("sw") && fHalf("en") < f1("en"))
+  }
+
   test("capPerKey keeps a deterministic content-hash sample of each key") {
     val rows = (1 to 30).map(i => org.apache.spark.sql.Row(
       i.toLong, if (i <= 20) "web" else "books", s"text $i"))
