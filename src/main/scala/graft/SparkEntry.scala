@@ -866,6 +866,18 @@ object SparkEntry {
       graft.operators.QualityFilter.repetitionMetrics(docs(s, d), "doc_id", "text", n = 2)
         .orderBy("doc_id")),
 
+    // int8 embedding quantization, exploded to scalar rows so the driver
+    // compare sees plain columns: per-component codes are exact integer
+    // outputs of a fixed-shape double expression (floor(x+0.5) — the
+    // tie-rule-portable rounding), so the oracle hash-matches.
+    "q_embed_quantize" -> ((s, d) => {
+      val e = embeddings(s, d).select(col("vec_id"), VF.asDouble(col("embedding")).as("v"))
+      graft.operators.Quantize.int8(e, "vec_id", "v")
+        .select(col("vec_id"), round(col("scale"), 6).as("scale"),
+          posexplode(col("q")).as(Seq("idx", "code")))
+        .orderBy("vec_id", "idx")
+    }),
+
     // SemDeDup twin gate (same closed-form construction as q_dedup_embed):
     // embeddings ∪ exact twins (id+1e6, v×2) — cell assignment is
     // scale-invariant so every twin pair is a within-cell candidate with
@@ -1402,6 +1414,15 @@ object SparkEntry {
       ("SELECT p_brand, avg(p_size) AS avg_size, count(*) AS n_parts, " +
         "CAST(sum(CAST(p_retailprice AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_price " +
         "FROM part GROUP BY p_brand ORDER BY p_brand"),
+    "q_embed_quantize" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |s AS (SELECT vec_id, v,
+        |        list_max(list_transform(v, x -> abs(x))) AS scale FROM e),
+        |x AS (SELECT vec_id, scale, v, unnest(range(1, len(v)+1)) AS i FROM s)
+        |SELECT vec_id, round(scale, 6) AS scale, CAST(i - 1 AS INTEGER) AS idx,
+        |  CASE WHEN scale = 0.0 THEN 0
+        |       ELSE CAST(floor(v[i] / scale * 127.0 + 0.5) AS INTEGER) END AS code
+        |FROM x ORDER BY vec_id, idx""".stripMargin,
     // The q_dedup_embed corpus is embeddings ∪ exact twins (id+1e6, v×2):
     // twin pairs have cosine exactly 1.0 after round(…,6) and LSH recall 1
     // by sign-invariance under positive scaling; no real pair reaches the

@@ -147,6 +147,25 @@ class AnnSpec extends SparkTestBase {
     assert(mpHits >= hits, s"multi-probe lost recall: $mpHits < $hits")
   }
 
+  test("int8 quantization bounds reconstruction error and preserves near-dup cosine") {
+    val e = realEmbeddings
+    val q = Quantize.int8(e, "vec_id", "v")
+    val recon = q.select(col("vec_id"),
+      Quantize.dequantize(col("q"), col("scale")).as("rv"))
+    val joined = e.join(recon, "vec_id")
+      .select(col("vec_id"),
+        array_max(zip_with(col("v"), col("rv"), (a, b) => abs(a - b))).as("max_err"),
+        graft.functions.VectorFunctions.cosine(col("v"), col("rv")).as("cos"))
+      .collect()
+    joined.foreach { r =>
+      assert(r.getDouble(1) < 0.02, s"reconstruction error too large: $r")
+      assert(r.getDouble(2) > 0.999, s"quantization destroyed direction: $r")
+    }
+    // codes stay in the int8 range
+    val bounds = q.select(array_max(col("q")).as("mx"), array_min(col("q")).as("mn")).collect()
+    assert(bounds.forall(r => r.getInt(0) <= 127 && r.getInt(1) >= -127))
+  }
+
   test("IVF index persists and reloads: identical search results, cell-partitioned layout") {
     val e = realEmbeddings
     val index = Ann.ivfIndex(e, "v", nCentroids = 8)
