@@ -166,6 +166,26 @@ class AnnSpec extends SparkTestBase {
     assert(bounds.forall(r => r.getInt(0) <= 127 && r.getInt(1) >= -127))
   }
 
+  test("brute-force search over int8 codes recalls the exact top-k (scale cancels in cosine)") {
+    val e = realEmbeddings
+    val codes = Quantize.int8(e, "vec_id", "v")
+      .select(col("vec_id"), transform(col("q"), x => x.cast("double")).as("v"))
+    val p = e.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("qid"), col("v").as("qv"))
+    val pCodes = codes.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("qid"), col("v").as("qv"))
+    val exact = Ann.bruteForceTopK(e, "vec_id", "v", p, "qid", "qv", k = 5)
+      .collect().groupBy(_.getLong(0))
+      .map { case (q, rs) => q -> rs.map(_.getLong(2)).toSet }
+    val quant = Ann.bruteForceTopK(codes, "vec_id", "v", pCodes, "qid", "qv", k = 5)
+      .collect().groupBy(_.getLong(0))
+      .map { case (q, rs) => q -> rs.map(_.getLong(2)).toSet }
+    // per-component error ≤ scale/254 barely moves cosine: expect ≥ 4/5 overlap
+    exact.foreach { case (q, top) =>
+      assert(quant(q).intersect(top).size >= 4, s"query $q: $top vs ${quant(q)}")
+    }
+  }
+
   test("IVF index persists and reloads: identical search results, cell-partitioned layout") {
     val e = realEmbeddings
     val index = Ann.ivfIndex(e, "v", nCentroids = 8)
