@@ -871,7 +871,8 @@ object SparkEntry {
     // outputs of a fixed-shape double expression (floor(x+0.5) — the
     // tie-rule-portable rounding), so the oracle hash-matches.
     "q_embed_quantize" -> ((s, d) => {
-      val e = embeddings(s, d).select(col("vec_id"), VF.asDouble(col("embedding")).as("v"))
+      val e = embeddings(s, d).filter(col("vec_id") < 1000)
+        .select(col("vec_id"), VF.asDouble(col("embedding")).as("v"))
       graft.operators.Quantize.int8(e, "vec_id", "v")
         .select(col("vec_id"), round(col("scale"), 6).as("scale"),
           posexplode(col("q")).as(Seq("idx", "code")))
@@ -1415,7 +1416,8 @@ object SparkEntry {
         "CAST(sum(CAST(p_retailprice AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_price " +
         "FROM part GROUP BY p_brand ORDER BY p_brand"),
     "q_embed_quantize" ->
-      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+        |           FROM embeddings WHERE vec_id < 1000),
         |s AS (SELECT vec_id, v,
         |        list_max(list_transform(v, x -> abs(x))) AS scale FROM e),
         |x AS (SELECT vec_id, scale, v, unnest(range(1, len(v)+1)) AS i FROM s)
