@@ -29,6 +29,22 @@ class GraftExtensionsSpec extends SparkTestBase {
     assert(r.getLong(6) != 0L)
   }
 
+  test("round-4 quality/shingle natives resolve by SQL name") {
+    val r = spark.sql(
+      """SELECT
+        |  quality_metrics('the quick brown fox and the lazy dog').n_words AS nw,
+        |  quality_metrics('the quick brown fox and the lazy dog').n_stopwords AS ns,
+        |  repetition_metrics('go go go go', 2).top_count AS topc,
+        |  gopher_keep('short text', 50, 100000) AS keep_short,
+        |  string_shingles('a b c', 2) AS sh
+        |""".stripMargin).head()
+    assert(r.getInt(0) == 8)
+    assert(r.getInt(1) == 3)   // the, and, the
+    assert(r.getLong(2) == 3L) // "go go" x3
+    assert(!r.getBoolean(3))   // fails the word-count floor
+    assert(r.getSeq[String](4) == Seq("a b", "b c"))
+  }
+
   test("a CUSTOM stage can run a dedup primitive end-to-end in SQL") {
     val ex = new PipelineExecutor(spark)
     ex.register("docs_sql", df("doc_id BIGINT, text STRING", Seq(
