@@ -18,7 +18,10 @@ import org.apache.spark.sql.functions._
 object Chunk {
 
   /** (id, chunk_index, chunk) — one row per token window. Documents with
-    * ≤ maxTokens tokens yield exactly one chunk (the whole document). */
+    * ≤ maxTokens tokens yield exactly one chunk (the whole document);
+    * NULL-text rows are dropped (posexplode of a null chunk list — the
+    * same contract as SQL UNNEST of NULL; run [[Clean.cleanStrings]] +
+    * a null filter first if ids must be preserved). */
   def chunkByTokens(df: DataFrame, idCol: String, textCol: String,
                     maxTokens: Int, overlap: Int = 0): DataFrame = {
     require(maxTokens > 0 && overlap >= 0 && overlap < maxTokens,

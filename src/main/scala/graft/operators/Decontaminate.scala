@@ -27,6 +27,15 @@ object Decontaminate {
     evalSet.select(explode(
       TextFunctions.hashedShingleSet(col(textCol), n)).as("sh")).distinct()
 
+  /** Corpus-side shingle rows matched against the broadcast eval set —
+    * the shared candidate derivation for both the audit and the filter. */
+  private def matchedShingles(corpus: DataFrame, idCol: String, textCol: String,
+                              evalSet: DataFrame, evalTextCol: String,
+                              n: Int): DataFrame =
+    corpus.select(col(idCol),
+        explode(TextFunctions.hashedShingleSet(col(textCol), n)).as("sh"))
+      .join(broadcast(evalShingles(evalSet, evalTextCol, n)), "sh")
+
   /**
    * Per-document contamination report: every corpus doc with the number
    * of distinct eval shingles it contains (`n_hits`, > 0 by construction
@@ -34,14 +43,10 @@ object Decontaminate {
    */
   def contaminationHits(corpus: DataFrame, idCol: String, textCol: String,
                         evalSet: DataFrame, evalTextCol: String,
-                        n: Int = 13): DataFrame = {
-    val corpusShingles = corpus.select(col(idCol),
-      explode(TextFunctions.hashedShingleSet(col(textCol), n)).as("sh"))
-    corpusShingles
-      .join(broadcast(evalShingles(evalSet, evalTextCol, n)), "sh")
+                        n: Int = 13): DataFrame =
+    matchedShingles(corpus, idCol, textCol, evalSet, evalTextCol, n)
       .groupBy(idCol)
       .agg(count(lit(1)).as("n_hits"))
-  }
 
   /**
    * The clean corpus: documents sharing NO n-gram with the eval set.
@@ -52,11 +57,9 @@ object Decontaminate {
   def decontaminate(corpus: DataFrame, idCol: String, textCol: String,
                     evalSet: DataFrame, evalTextCol: String,
                     n: Int = 13): DataFrame = {
-    val contaminatedIds = corpus
-      .select(col(idCol), explode(
-        TextFunctions.hashedShingleSet(col(textCol), n)).as("sh"))
-      .join(broadcast(evalShingles(evalSet, evalTextCol, n)), "sh")
-      .select(idCol).distinct()
+    val contaminatedIds =
+      matchedShingles(corpus, idCol, textCol, evalSet, evalTextCol, n)
+        .select(idCol).distinct()
     corpus.join(contaminatedIds, Seq(idCol), "left_anti")
   }
 }

@@ -330,15 +330,18 @@ object Dedup {
    *
    * The bloom membership probe is a driver-broadcast object behind a
    * scalar UDF — the one place a UDF is warranted: Spark's own
-   * BloomFilterMightContain expression is not public API, and the probe
-   * runs only once per batch row.
+   * BloomFilterMightContain expression is not public API. The probe is
+   * computed as ONE column per scan; the batch (the small side) is read
+   * once per branch of the hit/miss split. For repeated batches against
+   * the same history, persist `history`'s digest projection so the 100 TB
+   * side isn't rescanned per batch (it is read twice per call otherwise:
+   * bloom build + confirm anti-join).
    */
   def incrementalDedup(newBatch: DataFrame, history: DataFrame,
                        idCol: String, textCol: String,
                        expectedHistoryItems: Long = 1000000L,
                        fpp: Double = 0.01): DataFrame = {
     val spark = newBatch.sparkSession
-    val newKeyed = newBatch.withColumn("__digest", md5(col(textCol)))
     val histDigests = history.select(md5(col(textCol)).as("__digest"))
     val bloom = histDigests.stat.bloomFilter("__digest", expectedHistoryItems, fpp)
     val bloomB = spark.sparkContext.broadcast(bloom)
@@ -346,10 +349,12 @@ object Dedup {
     // history digest, so the plain anti-join keeps such rows too
     val mightContain = udf((d: String) =>
       d != null && bloomB.value.mightContainString(d))
-    val definitelyNew = newKeyed.filter(!mightContain(col("__digest")))
-    val confirmed = newKeyed.filter(mightContain(col("__digest")))
+    val probed = newBatch.withColumn("__digest", md5(col(textCol)))
+      .withColumn("__hit", mightContain(col("__digest")))
+    val definitelyNew = probed.filter(!col("__hit"))
+    val confirmed = probed.filter(col("__hit"))
       .join(histDigests.distinct(), Seq("__digest"), "left_anti")
-    definitelyNew.unionByName(confirmed).drop("__digest")
+    definitelyNew.unionByName(confirmed).drop("__digest", "__hit")
   }
 
   /**

@@ -19,7 +19,7 @@ import org.apache.spark.sql.functions._
  */
 object NgramStats {
 
-  /** (ngram, n_occurrences, n_docs) for every word n-gram, lowercased.
+  /** (ngram, n_occurrences) for every word n-gram, lowercased.
     * `minCount` prunes the long tail before it reaches the caller. */
   def ngramCounts(df: DataFrame, textCol: String, n: Int,
                   minCount: Long = 1L): DataFrame = {

@@ -101,9 +101,12 @@ object Sample {
   def capPerKey(df: DataFrame, keyCol: String, contentCol: String,
                 idCol: String, maxPerKey: Int): DataFrame = {
     require(maxPerKey >= 1, "maxPerKey must be >= 1")
+    // nulls LAST explicitly: Spark's ASC default is nulls-first, DuckDB's
+    // is nulls-last — without this a null-content row would win the cap
+    // in Spark and lose it in the oracle
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col(keyCol))
-      .orderBy(substring(md5(col(contentCol)), 1, 16).asc, col(idCol).asc)
+      .orderBy(substring(md5(col(contentCol)), 1, 16).asc_nulls_last, col(idCol).asc)
     df.withColumn("__rn", row_number().over(w))
       .filter(col("__rn") <= maxPerKey)
       .drop("__rn")

@@ -20,10 +20,16 @@ import org.apache.spark.sql.functions._
 object Split {
 
   /** The fixed-width hex threshold for a fraction (exposed so gates can
-    * generate the oracle SQL from the same constant). */
+    * generate the oracle SQL from the same constant). frac = 1.0 returns
+    * "g" — lexicographically above every 8-char hex string — because
+    * saturating at "ffffffff" under the strict `<` comparison would
+    * silently drop the ~2⁻³² of rows whose md5 prefix is exactly that
+    * (expected occurrences at 10⁹-row scale); both engines compare the
+    * strings identically, so keep-all stays keep-ALL. */
   def thresholdHex(frac: Double): String = {
     require(frac >= 0.0 && frac <= 1.0, "fraction must be in [0, 1]")
-    f"${math.min((frac * 4294967296.0).toLong, 4294967295L)}%08x"
+    if (frac >= 1.0) "g"
+    else f"${(frac * 4294967296.0).toLong}%08x"
   }
 
   /** 'train' iff the key hashes below the fraction threshold. */

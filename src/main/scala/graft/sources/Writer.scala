@@ -39,14 +39,17 @@ object Writer {
       if (partitionBy.isEmpty) df
       else if (hotBuckets == 1) df.repartition(partitionBy.map(col): _*)
       else {
-        // spread each hive partition over hotBuckets tasks: salt the
-        // repartition KEY only (deterministic row hash — replayable), the
-        // on-disk layout is unchanged. Explicit partition count: AQE
-        // coalescing would merge the salted splits back into one task
+        // spread each hive partition over hotBuckets tasks by salting the
+        // repartition KEY only — the on-disk layout is unchanged, so the
+        // salt needs no determinism (it picks a writer task, not content).
+        // A row-content hash would reject unhashable column types (maps)
+        // and send all copies of a duplicate row to ONE bucket, defeating
+        // the spread on duplicate-heavy data. Explicit partition count:
+        // AQE coalescing would merge the salted splits back into one task
         // (and one file) — user-numbered repartitions are exempt.
-        import org.apache.spark.sql.functions.{lit, pmod, xxhash64}
+        import org.apache.spark.sql.functions.{lit, monotonically_increasing_id, pmod}
         val salted = df.withColumn("__spread",
-          pmod(xxhash64(df.columns.map(col): _*), lit(hotBuckets.toLong)))
+          pmod(monotonically_increasing_id(), lit(hotBuckets.toLong)))
         val n = df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
         salted.repartition(n, (partitionBy :+ "__spread").map(col): _*).drop("__spread")
       }

@@ -251,6 +251,11 @@ class CurationSpec extends SparkTestBase {
       (2, 0, "tiny doc")))
     // adjacent chunks share exactly `overlap` tokens
     assert(out(0)._3.split(" ").last == out(1)._3.split(" ").head)
+    // null text rows are dropped (documented UNNEST-of-NULL contract)
+    val withNull = df("doc_id INT, text STRING",
+      Seq(doc(1, "a b c"), org.apache.spark.sql.Row(2, null)))
+    assert(Chunk.chunkByTokens(withNull, "doc_id", "text", 4, 1)
+      .select("doc_id").collect().map(_.getInt(0)).toSeq == Seq(1))
   }
 
   test("Pack assigns docs to token-budget packs by start offset, per shard") {
