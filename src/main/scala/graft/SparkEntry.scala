@@ -298,6 +298,38 @@ object SparkEntry {
           "CAST(price AS DOUBLE) AS price", "CAST(created AS DATE) AS created"))))
     }),
 
+    // -------- LOAD: JSONL ingest (engine extra beyond the reference's
+    // sources — THE training-data interchange format). Parity vs DuckDB
+    // read_json_auto on the same committed fixture: sparse fields → NULL,
+    // JSON-escaped multi-line titles, unicode. `created` is cast
+    // explicitly (DuckDB infers DATE from ISO strings, Spark's JSON
+    // reader keeps VARCHAR — same normalization convention as
+    // q_load_csv's int widths).
+    "q_load_jsonl" -> ((s, _) =>
+      Ingest.jsonl(s, jsonlFixture).selectExpr(
+        "id", "title", "score", "flag", "lang",
+        "CAST(created AS DATE) AS created")),
+
+    // Nested parity: struct dot-access through a NULL struct and array
+    // flattening. nullif(...,'') maps Spark's array_join('' on empty
+    // array) onto DuckDB's string_agg-style NULL-on-empty.
+    "q_load_jsonl_nested" -> ((s, _) =>
+      Ingest.jsonl(s, jsonlFixture).selectExpr(
+        "id", "meta.source AS meta_source", "meta.tokens AS meta_tokens",
+        "nullif(array_join(tags, ','), '') AS tags_csv")),
+
+    // -------- EXPORT: JSONL round-trip (Writer.jsonl → Ingest.jsonl).
+    // Spark writes the documents table as sharded JSONL (explicit nulls,
+    // JSON-escaped newlines in text) and reads it back; the oracle reads
+    // the ORIGINAL parquet — equality proves the export is lossless.
+    "q_export_jsonl" -> ((s, d) => {
+      val out = new java.io.File(
+        sys.props("java.io.tmpdir"), "graft_export_jsonl").getPath
+      graft.sources.Writer.jsonl(docs(s, d), out, shards = 4)
+      Ingest.jsonl(s, out).selectExpr(
+        "doc_id", "text", "lang", "source", "n_chars")
+    }),
+
     // ======== training-data extensions (SURVEY §7.1 step 8) ========
 
     // Salted two-phase aggregation on a genuinely skewed key (lineitem has
@@ -514,6 +546,24 @@ object SparkEntry {
       AsofJoin.asofJoin(ev, refs, Seq("user_id"), "ts", "ref_ts",
         Seq("ref_ts", "ref_event"), "inner")
         .orderBy("event_id")
+    }),
+
+    // Interval (range) join — points into half-open time windows, planned
+    // as a time-bin equi-join + refine (IntervalJoin's scale path; the
+    // naive theta formulation is a nested-loop product). Ranges are pure
+    // arithmetic over the events month (6-hour stride, 2..19-hour widths
+    // → overlapping, bin-straddling); DuckDB evaluates the same join as
+    // an IEJoin on the identical range construction.
+    "q_interval_join" -> ((s, d) => {
+      import graft.operators.IntervalJoin
+      val ev = executor(s, d).table("events")
+        .select(col("event_id"), col("ts"))
+      val ranges = s.range(80).selectExpr(
+        "id AS range_id",
+        "timestampadd(HOUR, CAST(id * 6 AS INT), TIMESTAMP '2024-01-01 00:00:00') AS r_start",
+        "timestampadd(HOUR, CAST(id * 6 + id % 18 + 2 AS INT), TIMESTAMP '2024-01-01 00:00:00') AS r_end")
+      IntervalJoin.join(ev, ranges, "ts", "r_start", "r_end")
+        .select("event_id", "range_id")
     }),
 
     // String cleaning (whitespace collapse + junk-null standardization) —
@@ -812,6 +862,23 @@ object SparkEntry {
         .select(col("doc_id"), col("source"))
         .orderBy("doc_id")),
 
+    // Best-k per key (quality-ordered, not random): the 10 longest docs
+    // per language, ties on doc_id — the "best k per domain" curation
+    // selection, exact kept set oracle-checked against the same window.
+    "q_sample_topk" -> ((s, d) =>
+      graft.operators.Sample.topPerKey(
+        docs(s, d).select(col("doc_id"), col("lang"), col("n_chars")),
+        "lang", "n_chars", k = 10, idCol = "doc_id")
+        .orderBy("doc_id")),
+
+    // Relative-threshold variant: top 20% per language by length via
+    // percent_rank (rank-based — engine-portable, no float aggregation).
+    "q_sample_topfrac" -> ((s, d) =>
+      graft.operators.Sample.topFraction(
+        docs(s, d).select(col("doc_id"), col("lang"), col("n_chars")),
+        "lang", "n_chars", frac = 0.2, idCol = "doc_id")
+        .orderBy("doc_id")),
+
     // Vocabulary coverage: per-doc OOV rate against the corpus top-200
     // vocabulary (broadcast) — counts and the exact kept vocabulary are
     // both deterministic (top-k tie-break on term), so the whole two-stage
@@ -917,6 +984,7 @@ object SparkEntry {
   private val fixtureDir = "/root/repo/src/test/resources/fixtures"
   private val csvFixture = s"$fixtureDir/parts_fixture.csv"
   private val quotedFixture = s"$fixtureDir/quoted_fixture.csv"
+  private val jsonlFixture = s"$fixtureDir/docs_fixture.jsonl"
 
   private def annInputs(s: SparkSession, d: String): (DataFrame, DataFrame) = {
     val e = embeddings(s, d).select(col("vec_id"), VF.asDouble(col("embedding")).as("v"))
@@ -1244,6 +1312,15 @@ object SparkEntry {
       s"SELECT * FROM read_csv_auto('$csvFixture', header=true, all_varchar=true)",
     "q_load_csv_quoted" ->
       s"SELECT * FROM read_csv_auto('$quotedFixture', header=true)",
+    "q_load_jsonl" ->
+      (s"SELECT id, title, score, flag, lang, CAST(created AS DATE) AS created " +
+        s"FROM read_json_auto('$jsonlFixture')"),
+    "q_load_jsonl_nested" ->
+      (s"SELECT id, meta.source AS meta_source, meta.tokens AS meta_tokens, " +
+        s"array_to_string(tags, ',') AS tags_csv " +
+        s"FROM read_json_auto('$jsonlFixture')"),
+    "q_export_jsonl" ->
+      "SELECT doc_id, text, lang, source, n_chars FROM documents",
     "q_load_image_payload" ->
       ("SELECT * FROM (VALUES " +
         "(1, 9.99, DATE '2024-01-05', 'widget'), " +
@@ -1389,6 +1466,15 @@ object SparkEntry {
         |SELECT ev.event_id, ev.user_id, ev.ts, ref.ref_ts, ref.ref_event
         |FROM ev ASOF JOIN ref ON ev.user_id = ref.user_id AND ev.ts >= ref.ref_ts
         |ORDER BY ev.event_id""".stripMargin,
+    "q_interval_join" ->
+      """WITH r AS (
+        |  SELECT id AS range_id,
+        |    TIMESTAMP '2024-01-01 00:00:00' + INTERVAL (id * 6) HOUR AS r_start,
+        |    TIMESTAMP '2024-01-01 00:00:00' + INTERVAL (id * 6 + id % 18 + 2) HOUR AS r_end
+        |  FROM range(80) t(id))
+        |SELECT e.event_id, r.range_id
+        |FROM events e JOIN r ON CAST(e.ts AS TIMESTAMP) >= r.r_start
+        |  AND CAST(e.ts AS TIMESTAMP) < r.r_end""".stripMargin,
     "q_skew_join" ->
       ("SELECT l.partkey, l_orderkey, l_linenumber, l_quantity, p_name, p_retailprice " +
         "FROM (SELECT l_partkey AS partkey, l_orderkey, l_linenumber, l_quantity FROM lineitem) l " +
@@ -1466,6 +1552,20 @@ object SparkEntry {
         |      ORDER BY substring(md5(text), 1, 16) ASC, doc_id ASC) AS rn
         |  FROM documents) t
         |WHERE rn <= 15 ORDER BY doc_id""".stripMargin,
+    "q_sample_topk" ->
+      """SELECT doc_id, lang, n_chars FROM (
+        |  SELECT doc_id, lang, n_chars,
+        |    row_number() OVER (PARTITION BY lang
+        |      ORDER BY n_chars DESC, doc_id ASC) AS rn
+        |  FROM documents) t
+        |WHERE rn <= 10 ORDER BY doc_id""".stripMargin,
+    "q_sample_topfrac" ->
+      """SELECT doc_id, lang, n_chars FROM (
+        |  SELECT doc_id, lang, n_chars,
+        |    percent_rank() OVER (PARTITION BY lang
+        |      ORDER BY n_chars DESC, doc_id ASC) AS pr
+        |  FROM documents) t
+        |WHERE pr <= 0.2 ORDER BY doc_id""".stripMargin,
     "q_vocab_oov" ->
       """WITH toks AS (
         |  SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '[ \t\n\x0b\f\r]+')) AS term

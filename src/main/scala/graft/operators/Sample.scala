@@ -111,4 +111,46 @@ object Sample {
       .filter(col("__rn") <= maxPerKey)
       .drop("__rn")
   }
+
+  /**
+   * Keep the k BEST rows per key by `orderCol` (descending — quality
+   * scores, token counts), ties broken on `idCol` ascending so the
+   * selection is deterministic across engines and runs. Where
+   * [[capPerKey]] caps with an unbiased random-order survivor set, this
+   * is the curation move "best k documents per domain".
+   *
+   * One shuffle on the key + a per-group sort — the standard Spark
+   * window shape. A key whose group outgrows a task's memory spills but
+   * still sorts; if one key dominates the corpus, pre-aggregate with a
+   * coarser score bucket or cap that key with [[capPerKey]] first.
+   */
+  def topPerKey(df: DataFrame, keyCol: String, orderCol: String,
+                k: Int, idCol: String): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(keyCol))
+      .orderBy(col(orderCol).desc_nulls_last, col(idCol).asc)
+    df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= k)
+      .drop("__rn")
+  }
+
+  /**
+   * Keep the top `frac` of each key's rows by `orderCol` (descending),
+   * via `percent_rank <= frac` — the relative-threshold variant of
+   * [[topPerKey]] ("top decile per language"), robust to groups of very
+   * different sizes. percent_rank = (rank-1)/(n-1) is rank-based and
+   * engine-portable (no float aggregation); a single-row group has
+   * percent_rank 0 and is always kept, matching SQL semantics.
+   */
+  def topFraction(df: DataFrame, keyCol: String, orderCol: String,
+                  frac: Double, idCol: String): DataFrame = {
+    require(frac >= 0.0 && frac <= 1.0, "frac must be in [0, 1]")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(keyCol))
+      .orderBy(col(orderCol).desc_nulls_last, col(idCol).asc)
+    df.withColumn("__pr", percent_rank().over(w))
+      .filter(col("__pr") <= frac)
+      .drop("__pr")
+  }
 }

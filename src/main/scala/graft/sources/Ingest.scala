@@ -52,6 +52,43 @@ object Ingest {
     (name, df)
   }
 
+  /**
+   * JSONL (newline-delimited JSON) — the dominant training-data interchange
+   * format, and an engine extra beyond the reference's CSV/image sources
+   * (SURVEY §2.3). One JSON document per line; nested objects become
+   * structs, JSON arrays become Spark arrays, fields missing on a line
+   * become NULL — so sparse heterogeneous corpora load without a schema
+   * declaration. Embedded newlines/commas/quotes in values are JSON-escaped
+   * on the line, which is exactly the fragility CSV has and JSONL doesn't.
+   *
+   * Schema-inference parity with DuckDB `read_json_auto` (the q_load_jsonl
+   * gates): both agree on BIGINT/DOUBLE/BOOLEAN/VARCHAR/struct/array;
+   * DuckDB additionally infers DATE/TIMESTAMP from ISO strings where Spark
+   * keeps VARCHAR — date-typed fields are normalized by an explicit CAST in
+   * the consuming projection, same convention as the CSV gate's int widths.
+   *
+   * Scale: splittable line format — Spark assigns byte ranges of large
+   * files to tasks and snaps to line boundaries, so a single 1-TB JSONL
+   * shard still parallelizes. Inference samples every line by default;
+   * pass `sampleRatio < 1` to bound the inference pass on huge corpora
+   * (the data scan itself is lazy either way).
+   */
+  def jsonl(spark: SparkSession, path: String, sampleRatio: Double = 1.0): DataFrame =
+    spark.read
+      .option("multiLine", "false")
+      .option("mode", "PERMISSIVE")
+      .option("samplingRatio", sampleRatio.toString)
+      .json(path)
+
+  /** Load + register a JSONL file under the `table_<stem>` naming rule. */
+  def loadJsonlTable(spark: SparkSession, path: String): (String, DataFrame) = {
+    val fileName = new java.io.File(path).getName
+    val name = PipelineExecutor.tableNameForFile(fileName)
+    val df = jsonl(spark, path)
+    df.createOrReplaceTempView(name)
+    (name, df)
+  }
+
   def parquet(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(path)
 

@@ -64,4 +64,29 @@ object Writer {
     (if (partitionBy.nonEmpty) writer.partitionBy(partitionBy: _*) else writer)
       .parquet(path)
   }
+
+  /**
+   * Sharded JSONL export — the training-data handoff format (one JSON
+   * object per line, newline-safe by escaping, readable by any loader).
+   *
+   * `shards` bounds the output file count explicitly (a round-robin
+   * repartition, cheap and skew-free since no key is involved); 0 keeps
+   * the input partitioning. Null fields are written explicitly
+   * (`ignoreNullFields=false`) so a reader recovers the exact schema and
+   * row content — the q_export_jsonl gate proves write→read round-trip
+   * fidelity against the original parquet, including multi-line text.
+   *
+   * At 100 TB the knobs that matter are the same as [[writePartitioned]]:
+   * file count (here `shards`) and per-file size; JSONL compresses ~5×
+   * with the default codec, so pair with `option("compression","gzip")`
+   * downstream if the consumer supports it — left uncompressed here
+   * because splittability of plain text is the default consumers expect.
+   */
+  def jsonl(df: DataFrame, path: String, shards: Int = 0,
+            mode: SaveMode = SaveMode.Overwrite): Unit = {
+    val out = if (shards > 0) df.repartition(shards) else df
+    out.write.mode(mode)
+      .option("ignoreNullFields", "false")
+      .json(path)
+  }
 }

@@ -219,6 +219,34 @@ class CurationSpec extends SparkTestBase {
     assert(Sample.capPerKey(docs, "source", "text", "doc_id", 100).count() == 30L)
   }
 
+  test("topPerKey keeps the k best rows per key with deterministic tie-breaks") {
+    val rows = Seq(
+      (1L, "web", 50L), (2L, "web", 90L), (3L, "web", 90L), (4L, "web", 10L),
+      (5L, "books", 70L), (6L, "books", null)
+    ).map { case (i, s, n) => org.apache.spark.sql.Row(i, s, n) }
+    val docs = df("doc_id BIGINT, lang STRING, n_chars BIGINT", rows)
+    val top = Sample.topPerKey(docs, "lang", "n_chars", k = 2, idCol = "doc_id")
+      .collect().map(_.getLong(0)).toSet
+    // web: 90s win, tie broken to the lower doc_id first (2, 3); books:
+    // the null score sorts last but k=2 still admits it
+    assert(top == Set(2L, 3L, 5L, 6L))
+    val top1 = Sample.topPerKey(docs, "lang", "n_chars", k = 1, idCol = "doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(top1 == Set(2L, 5L))
+  }
+
+  test("topFraction keeps the top percent_rank share; singleton groups survive") {
+    val rows = (1 to 10).map(i =>
+      org.apache.spark.sql.Row(i.toLong, "web", i.toLong * 10)) :+
+      org.apache.spark.sql.Row(99L, "books", 5L)
+    val docs = df("doc_id BIGINT, lang STRING, n_chars BIGINT", rows)
+    val kept = Sample.topFraction(docs, "lang", "n_chars", frac = 0.25, idCol = "doc_id")
+      .collect().map(_.getLong(0)).toSet
+    // web: percent_rank over 10 rows = (rank-1)/9 ≤ 0.25 → ranks 1..3
+    // (docs 10, 9, 8); books: single row has percent_rank 0 → kept
+    assert(kept == Set(10L, 9L, 8L, 99L))
+  }
+
   test("Vocab: deterministic top-k vocabulary and per-doc OOV rate") {
     val docs = df("doc_id INT, text STRING", Seq(
       doc(1, "cat cat dog bird"),

@@ -86,6 +86,36 @@ class IngestSpec extends SparkTestBase {
     assert(r.getInt(0) == 0 && r.getString(1) == "cold widget" && r.getDouble(3) == 900.0)
   }
 
+  test("JSONL fixture: inference, sparse fields, nested struct/array, escaped newlines") {
+    val f = "/root/repo/src/test/resources/fixtures/docs_fixture.jsonl"
+    val df = Ingest.jsonl(spark, f)
+    // inference parity surface with read_json_auto: BIGINT/DOUBLE/BOOLEAN/
+    // VARCHAR/struct/array agree; dates stay strings on the Spark side
+    // (cast at the consuming projection — pinned by the q_load_jsonl gate)
+    assert(df.schema("id").dataType.typeName == "long")
+    assert(df.schema("score").dataType.typeName == "double")
+    assert(df.schema("flag").dataType.typeName == "boolean")
+    assert(df.schema("created").dataType.typeName == "string")
+    assert(df.schema("meta").dataType.typeName == "struct")
+    assert(df.schema("tags").dataType.typeName == "array")
+    assert(df.count() == 25)
+    val byId = df.orderBy("id").collect()
+    // sparse field (flag missing on every 3rd line) → NULL
+    assert(byId(2).isNullAt(byId(2).fieldIndex("flag")))
+    // JSON-escaped newline survives into the value (what CSV can't carry)
+    assert(byId(7).getAs[String]("title") == "multi\nline 8")
+    // dot-access through a NULL struct yields NULL, not an error
+    val meta11 = df.where("id = 11").selectExpr("meta.tokens").head()
+    assert(meta11.isNullAt(0))
+  }
+
+  test("loadJsonlTable registers under the table_<stem> naming rule") {
+    val f = "/root/repo/src/test/resources/fixtures/docs_fixture.jsonl"
+    val (name, _) = Ingest.loadJsonlTable(spark, f)
+    assert(name == "table_docs_fixture")
+    assert(spark.sql(s"SELECT count(*) FROM $name").head().getLong(0) == 25L)
+  }
+
   test("duck type names map to Spark types") {
     import org.apache.spark.sql.types._
     assert(Ingest.sparkType("VARCHAR") == StringType)

@@ -53,4 +53,20 @@ class WriterSpec extends SparkTestBase {
     assert(hotFiles > 1 && hotFiles <= 4, s"expected 2..4 files, got $hotFiles")
     assert(spark.read.parquet(p3).count() == docs.count())
   }
+
+  test("jsonl export: sharded file count and lossless round-trip") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val p = tmp("writer_jsonl")
+    Writer.jsonl(docs, p, shards = 3)
+    val parts = Files.list(Paths.get(p)).iterator().asScala
+      .map(_.getFileName.toString).filter(_.endsWith(".json")).toSeq
+    assert(parts.size == 3, s"expected 3 shards, got ${parts.size}")
+    // round-trip: every column and row identical to the source, including
+    // multi-line text (JSON-escaped on the line) and explicit nulls
+    val back = Ingest.jsonl(spark, p)
+      .selectExpr("doc_id", "text", "lang", "source", "n_chars")
+    val orig = docs.selectExpr("doc_id", "text", "lang", "source", "n_chars")
+    assert(back.count() == orig.count())
+    assert(back.exceptAll(orig).isEmpty && orig.exceptAll(back).isEmpty)
+  }
 }
