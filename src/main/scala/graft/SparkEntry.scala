@@ -879,6 +879,68 @@ object SparkEntry {
         "lang", "n_chars", frac = 0.2, idCol = "doc_id")
         .orderBy("doc_id")),
 
+    // -------- OLAP beyond the reference's flat GROUP BY: subtotal
+    // levels in ONE aggregation (map-side grouping-set expansion, one
+    // shuffle), grouping_id bit order pinned against SQL-standard
+    // GROUPING(). Decimal sums per the float-determinism policy.
+    "q_olap_rollup" -> ((s, d) =>
+      graft.operators.Olap.rollupAgg(
+        executor(s, d).table("orders")
+          .select(col("o_orderpriority"), col("o_orderstatus"), col("o_totalprice")),
+        Seq("o_orderpriority", "o_orderstatus"),
+        Seq(count(lit(1)).as("n"),
+          sum(col("o_totalprice").cast("decimal(18,2)")).as("rev")))),
+
+    // Count matrix (day × event_type): explicit pivot domain — no
+    // domain-discovery scan — and 0-filled empty cells, vs DuckDB
+    // conditional aggregation.
+    "q_olap_pivot" -> ((s, d) =>
+      graft.operators.Olap.pivotCount(
+        executor(s, d).table("events").select(
+          to_date(col("ts")).as("day"), col("event_type")),
+        "day", "event_type",
+        Seq("click", "error", "purchase", "signup", "view"))),
+
+    // Fixed-width histogram: one scan, arithmetic binning (both engines
+    // state the identical floor expression), clamped edges.
+    "q_profile_hist" -> ((s, d) =>
+      graft.operators.Profile.histogram(
+        docs(s, d), "n_chars", lo = 0.0, hi = 2000.0, nBins = 20)),
+
+    // Per-key rolling aggregate over event time (trailing 1h, RANGE
+    // frame over integer epoch micros — tied timestamps are peers, so
+    // the result is deterministic; decimal sum stays exact under the
+    // sliding add/remove evaluator).
+    "q_rolling_window" -> ((s, d) =>
+      graft.operators.Rolling.trailingAgg(
+        executor(s, d).table("events")
+          .select(col("event_id"), col("user_id"), col("ts"), col("value")),
+        "user_id", "ts", "value", windowSeconds = 3600L)
+        .select(col("event_id"), col("n_window"), col("sum_window"))),
+
+    // Domain blocklist over synthesized crawl URLs: host extraction by
+    // portable regex, suffix-chain semantics (subdomains blocked too),
+    // all equi-joins — the oracle states the same rule as LIKE-suffix
+    // predicates.
+    "q_web_block" -> ((s, d) => {
+      val withUrl = docs(s, d).select(col("doc_id"),
+        concat(lit("https://cdn"), (col("doc_id") % 5).cast("string"),
+          lit("."), col("source"), lit(".example.com/p/"),
+          col("doc_id").cast("string")).as("url"))
+      graft.operators.Web.blockByDomain(withUrl, "url", "doc_id",
+        Seq("src2.example.com", "cdn1.src5.example.com", "example.net"))
+        .orderBy("doc_id")
+    }),
+
+    // Unicode NFC normalization parity: Java Normalizer (codegen'd
+    // native expr) vs DuckDB's utf8proc — same UAX #15 spec, byte-equal
+    // output. A decomposed suffix is appended so the gate genuinely
+    // exercises composition, not just pass-through.
+    "q_text_nfc" -> ((s, d) =>
+      docs(s, d).select(col("doc_id"),
+        TF.nfcNormalize(concat(col("text"), lit(" re\u0301sume\u0301")))
+          .as("nfc_text"))),
+
     // Vocabulary coverage: per-doc OOV rate against the corpus top-200
     // vocabulary (broadcast) — counts and the exact kept vocabulary are
     // both deterministic (top-k tie-break on term), so the whole two-stage
@@ -1566,6 +1628,47 @@ object SparkEntry {
         |      ORDER BY n_chars DESC, doc_id ASC) AS pr
         |  FROM documents) t
         |WHERE pr <= 0.2 ORDER BY doc_id""".stripMargin,
+    "q_olap_rollup" ->
+      ("SELECT o_orderpriority, o_orderstatus, " +
+        "CAST(GROUPING(o_orderpriority, o_orderstatus) AS BIGINT) AS gid, " +
+        "count(*) AS n, sum(CAST(o_totalprice AS DECIMAL(18,2))) AS rev " +
+        "FROM orders GROUP BY ROLLUP(o_orderpriority, o_orderstatus)"),
+    "q_olap_pivot" ->
+      ("SELECT CAST(ts AS DATE) AS day, " +
+        "count(*) FILTER (WHERE event_type = 'click') AS click, " +
+        "count(*) FILTER (WHERE event_type = 'error') AS error, " +
+        "count(*) FILTER (WHERE event_type = 'purchase') AS purchase, " +
+        "count(*) FILTER (WHERE event_type = 'signup') AS signup, " +
+        "count(*) FILTER (WHERE event_type = 'view') AS view " +
+        "FROM events GROUP BY CAST(ts AS DATE)"),
+    "q_profile_hist" ->
+      """SELECT bucket, 0.0 + bucket * 100.0 AS lo_edge, count(*) AS n FROM (
+        |  SELECT CAST(least(greatest(floor((CAST(n_chars AS DOUBLE) - 0.0) / 100.0), 0), 19) AS BIGINT) AS bucket
+        |  FROM documents WHERE n_chars IS NOT NULL) t
+        |GROUP BY bucket""".stripMargin,
+    "q_rolling_window" ->
+      """SELECT event_id, count(*) OVER w AS n_window,
+        |  sum(CAST(value AS DECIMAL(18,2))) OVER w AS sum_window
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(CAST(ts AS TIMESTAMP))
+        |  RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)""".stripMargin,
+    "q_web_block" ->
+      """WITH u AS (
+        |  SELECT doc_id,
+        |    'https://cdn' || CAST(doc_id % 5 AS VARCHAR) || '.' || source ||
+        |      '.example.com/p/' || CAST(doc_id AS VARCHAR) AS url
+        |  FROM documents),
+        |h AS (SELECT doc_id, url,
+        |    regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://(?:[^/@]*@)?([^/:?#]+)', 1) AS host
+        |  FROM u)
+        |SELECT doc_id, url FROM h
+        |WHERE NOT (host = 'src2.example.com' OR host LIKE '%.src2.example.com'
+        |  OR host = 'cdn1.src5.example.com' OR host LIKE '%.cdn1.src5.example.com'
+        |  OR host = 'example.net' OR host LIKE '%.example.net')
+        |ORDER BY doc_id""".stripMargin,
+    "q_text_nfc" ->
+      ("SELECT doc_id, nfc_normalize(text || ' re\u0301sume\u0301') AS nfc_text " +
+        "FROM documents"),
     "q_vocab_oov" ->
       """WITH toks AS (
         |  SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '[ \t\n\x0b\f\r]+')) AS term

@@ -151,6 +151,21 @@ object NativeText {
     new GenericArrayData(out)
   }
 
+  /** Unicode NFC normalization (UAX #15, java.text.Normalizer) — canonical
+    * composition so visually-identical text hashes identically (a
+    * decomposed `e`+U+0301 and a composed `é` are DIFFERENT bytes to
+    * every dedup/fingerprint operator above). Already-normalized input —
+    * the overwhelmingly common case — is detected with the quick-check
+    * and returned without allocating. NFC is a stable, engine-portable
+    * spec: DuckDB's utf8proc `nfc_normalize` produces identical bytes
+    * (the q_text_nfc oracle). */
+  def nfc(text: UTF8String): UTF8String = {
+    val s = text.toString
+    if (java.text.Normalizer.isNormalized(s, java.text.Normalizer.Form.NFC)) text
+    else UTF8String.fromString(
+      java.text.Normalizer.normalize(s, java.text.Normalizer.Form.NFC))
+  }
+
   /** k permutation min-hashes over pre-hashed shingles; row i's permutation
     * is h → xxhash64(i, h). Empty in → empty out (callers filter empties). */
   def minhashSignature(hashes: ArrayData, k: Int): ArrayData = {
@@ -222,6 +237,18 @@ case class WinnowedFps(child: Expression, k: Int, w: Int) extends UnaryExpressio
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev, c => s"graft.functions.NativeText.winnow($c, $k, $w)")
   override protected def withNewChildInternal(newChild: Expression): WinnowedFps =
+    copy(child = newChild)
+}
+
+/** `nfc_normalize(text)` → string — see [[NativeText.nfc]]. */
+case class NfcNormalize(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = StringType
+  override def prettyName: String = "nfc_normalize"
+  override protected def nullSafeEval(input: Any): Any =
+    NativeText.nfc(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.NativeText.nfc($c)")
+  override protected def withNewChildInternal(newChild: Expression): NfcNormalize =
     copy(child = newChild)
 }
 

@@ -164,6 +164,12 @@ object TextFunctions {
   def winnowedFingerprints(text: Column, k: Int = 5, w: Int = 4): Column =
     CatalystBridge.column(WinnowedFps(CatalystBridge.expression(text), k, w))
 
+  /** Unicode NFC normalization (codegen'd; see [[NativeText.nfc]]) — run
+    * it before any hash-based dedup so canonically-equivalent text
+    * (composed vs decomposed accents) collides as it should. */
+  def nfcNormalize(text: Column): Column =
+    CatalystBridge.column(NfcNormalize(CatalystBridge.expression(text)))
+
   /** Interpreted HOF formulation of winnowing — the executable spec the
     * native expression is pinned against (TextFunctionsSpec). */
   def winnowedFingerprintsHof(text: Column, k: Int = 5, w: Int = 4): Column = {

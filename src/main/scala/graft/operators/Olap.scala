@@ -1,0 +1,49 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/**
+ * OLAP shapes beyond the reference's flat GROUP BY (SURVEY §2.1 row 5 is
+ * single-level grouping only): multi-level subtotals (ROLLUP), the full
+ * dimension lattice (CUBE), and wide activity matrices (PIVOT) — the
+ * reporting layer of a corpus-statistics dashboard.
+ *
+ * All three are single-shuffle in Spark: rollup/cube expand each input
+ * row to its grouping sets BEFORE the exchange (map-side), then aggregate
+ * once — no per-level re-scan; pivot is a plain hash aggregate whose
+ * values are laid out as columns. `grouping_id()` disambiguates a NULL
+ * group value from an aggregated-out level, matching SQL-standard
+ * GROUPING() bit order (first column = most significant bit).
+ */
+object Olap {
+
+  /** Subtotal levels: (a,b), (a), () for `groupCols` = a,b — plus a
+    * `gid` column (grouping_id) so subtotal rows are self-describing. */
+  def rollupAgg(df: DataFrame, groupCols: Seq[String],
+                aggs: Seq[Column]): DataFrame =
+    df.rollup(groupCols.map(col): _*)
+      .agg(grouping_id().cast("long").as("gid"), aggs: _*)
+
+  /** Every subset of `groupCols` — the full cross-dimension lattice. At
+    * scale prefer [[rollupAgg]] unless all 2^n levels are really read:
+    * cube multiplies the pre-shuffle row expansion by 2^n. */
+  def cubeAgg(df: DataFrame, groupCols: Seq[String],
+              aggs: Seq[Column]): DataFrame =
+    df.cube(groupCols.map(col): _*)
+      .agg(grouping_id().cast("long").as("gid"), aggs: _*)
+
+  /**
+   * Count matrix: one row per `rowCol` value, one column per entry of
+   * `values` (the pivoted `pivotCol` domain). `values` is REQUIRED — an
+   * explicit domain keeps the output schema deterministic and skips the
+   * extra distinct-collect job Spark otherwise runs to discover it (a
+   * full scan at 100 TB). Empty cells are 0, not NULL (SQL conditional
+   * aggregation semantics, and what a reader of a count matrix expects).
+   */
+  def pivotCount(df: DataFrame, rowCol: String, pivotCol: String,
+                 values: Seq[String]): DataFrame = {
+    val wide = df.groupBy(col(rowCol)).pivot(pivotCol, values).agg(count(lit(1)))
+    values.foldLeft(wide)((d, v) => d.withColumn(v, coalesce(col(s"`$v`"), lit(0L))))
+  }
+}

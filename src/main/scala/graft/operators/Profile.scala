@@ -48,4 +48,35 @@ object Profile {
     spark.createDataFrame(out)
       .toDF("column", "n_rows", "n_nulls", "n_distinct", "min_value", "max_value")
   }
+
+  /**
+   * Fixed-width histogram of a numeric column over [lo, hi): bucket i
+   * covers [lo + i·w, lo + (i+1)·w) with w = (hi − lo) / nBins; values
+   * at or beyond `hi` clamp into the last bucket (so `hi` = max is
+   * safe), values below `lo` into the first. NULLs drop. Output is one
+   * row per NON-EMPTY bucket (bucket, lo_edge, count) — a groupBy on the
+   * bucket id, so the cost is one scan + a tiny aggregate regardless of
+   * table size; empty buckets are the reader's `generate_series` join,
+   * not a 100-TB scan's job to materialize.
+   *
+   * Bounds are explicit, not discovered: a min/max pre-pass would double
+   * the scans, and curation dashboards bin on known domains (score in
+   * [0,1], tokens in [0, 8k]). Pair with [[profile]] when bounds are
+   * genuinely unknown. Binning is plain floor arithmetic on doubles —
+   * identical across engines (the oracle states the same expression).
+   */
+  def histogram(df: DataFrame, colName: String,
+                lo: Double, hi: Double, nBins: Int): DataFrame = {
+    require(nBins >= 1, "nBins must be >= 1")
+    require(hi > lo, "hi must exceed lo")
+    val w = (hi - lo) / nBins
+    val bucket = least(
+      greatest(floor((col(colName).cast("double") - lit(lo)) / lit(w)), lit(0L)),
+      lit(nBins - 1L))
+    df.where(col(colName).isNotNull)
+      .groupBy(bucket.as("bucket"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("lo_edge", lit(lo) + col("bucket") * lit(w))
+      .select("bucket", "lo_edge", "n")
+  }
 }

@@ -1,0 +1,60 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/**
+ * Web-corpus curation: URL → host extraction and domain blocklisting —
+ * the C4-style cleanup a crawl-derived corpus runs before anything else
+ * (drop documents from listed domains, including all their subdomains).
+ *
+ * Host parsing is a single portable regex (RE2- and Java-compatible, so
+ * the DuckDB oracle states the same pattern) rather than a URL library:
+ * scheme://host[:port]/… with userinfo tolerated. Blocklisting matches
+ * the host's DOMAIN-SUFFIX CHAIN (`a.b.c` is blocked by `a.b.c`, `b.c`,
+ * or `c`), the semantics of real blocklists.
+ *
+ * Scale shape: the suffix chain of a host is bounded by its label count
+ * (≤ ~10), so [[blockByDomain]] explodes each row into a handful of
+ * (id, suffix) pairs, BROADCAST hash semi-joins them against the
+ * blocklist, and anti-joins the hit ids back — every join is an
+ * equi-join. The tempting one-step formulation
+ * `anti-join ON array_contains(suffixes, blocked)` is a nested-loop
+ * product (|corpus| × |blocklist| comparisons) and is exactly what this
+ * operator avoids.
+ */
+object Web {
+
+  /** Host of a URL, NULL when `url` has no `scheme://host` shape; strips
+    * port and userinfo. */
+  def host(url: Column): Column =
+    nullif(regexp_extract(url,
+      "^[A-Za-z][A-Za-z0-9+.-]*://(?:[^/@]*@)?([^/:?#]+)", 1), lit(""))
+
+  /** All dot-suffixes of a host: a.b.c → [a.b.c, b.c, c]; NULL host →
+    * NULL (propagates through transform, kept by [[blockByDomain]]). */
+  def domainSuffixes(hostCol: Column): Column = {
+    val labels = split(hostCol, "\\.")
+    transform(sequence(lit(1), size(labels)),
+      i => array_join(slice(labels, i, size(labels)), "."))
+  }
+
+  /**
+   * Drop every row whose URL's host falls under a blocked domain
+   * (exact host or any parent domain). `idCol` must be unique per row —
+   * it carries the verdict back from the exploded suffix join. Rows
+   * whose URL has no parseable host are KEPT (they're not on any list).
+   */
+  def blockByDomain(df: DataFrame, urlCol: String, idCol: String,
+                    blocked: Seq[String]): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val bl = broadcast(blocked.toDF("__blocked"))
+    val hits = df
+      .select(col(idCol), explode_outer(domainSuffixes(host(col(urlCol)))).as("__sfx"))
+      .join(bl, col("__sfx") === col("__blocked"), "left_semi")
+      .select(idCol)
+      .distinct()
+    df.join(hits, Seq(idCol), "left_anti")
+  }
+}

@@ -118,4 +118,26 @@ class TextFunctionsSpec extends SparkTestBase {
     val t = tiny.head()
     assert(t.getSeq[Long](0) == t.getSeq[Long](1) && t.getSeq[Long](0).length == 1)
   }
+
+  test("nfc_normalize composes decomposed text; normalized input passes through") {
+    val rows = Seq(
+      "e\u0301clair",      // e + combining acute -> composed e-acute
+      "caf\u00e9",          // already composed -- unchanged
+      "A\u030a",            // A + combining ring -> composed Angstrom A
+      "plain ascii").map(s => org.apache.spark.sql.Row(s))
+    val d = df("text STRING", rows)
+    val out = d.select(TF.nfcNormalize(col("text"))).collect().map(_.getString(0))
+    assert(out(0) == "\u00e9clair" && out(0).length == 6)
+    assert(out(1) == "caf\u00e9")
+    assert(out(2) == "\u00c5" && out(2).length == 1)
+    assert(out(3) == "plain ascii")
+    // dedup consequence: canonically-equivalent spellings now hash together
+    val pair = df("text STRING", Seq(
+      org.apache.spark.sql.Row("re\u0301sume\u0301"),
+      org.apache.spark.sql.Row("r\u00e9sum\u00e9")))
+    assert(pair.select(TF.nfcNormalize(col("text"))).distinct().count() == 1L)
+    // null flows through (UnaryExpression null-safety)
+    val n = df("text STRING", Seq(org.apache.spark.sql.Row(null)))
+    assert(n.select(TF.nfcNormalize(col("text"))).head().isNullAt(0))
+  }
 }

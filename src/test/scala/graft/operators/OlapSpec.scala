@@ -1,0 +1,45 @@
+package graft.operators
+
+import graft.SparkTestBase
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+
+class OlapSpec extends SparkTestBase {
+
+  private lazy val sales = df("region STRING, product STRING, amount BIGINT", Seq(
+    Row("east", "widget", 10L), Row("east", "widget", 20L),
+    Row("east", "gadget", 5L), Row("west", "widget", 7L)))
+
+  test("rollupAgg: per-level subtotals with grouping_id disambiguation") {
+    val out = Olap.rollupAgg(sales, Seq("region", "product"),
+      Seq(count(lit(1)).as("n"), sum("amount").as("total")))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSet
+    assert(out == Set(
+      ("east", "widget", 0L, 2L, 30L),
+      ("east", "gadget", 0L, 1L, 5L),
+      ("west", "widget", 0L, 1L, 7L),
+      ("east", null, 1L, 3L, 35L),     // product aggregated out → gid bit 1
+      ("west", null, 1L, 1L, 7L),
+      (null, null, 3L, 4L, 42L)))      // grand total
+  }
+
+  test("cubeAgg adds the product-only slice rollup lacks") {
+    val cube = Olap.cubeAgg(sales, Seq("region", "product"),
+      Seq(count(lit(1)).as("n")))
+    val productOnly = cube.where(col("gid") === 2L)
+      .collect().map(r => (r.getString(1), r.getLong(3))).toSet
+    assert(productOnly == Set(("widget", 3L), ("gadget", 1L)))
+    assert(cube.count() == 6 + 2) // rollup levels + the (·, product) slice
+  }
+
+  test("pivotCount: explicit domain, zero-filled cells, deterministic columns") {
+    val wide = Olap.pivotCount(sales, "region", "product",
+      Seq("widget", "gadget", "doohickey"))
+    assert(wide.columns.toSeq == Seq("region", "widget", "gadget", "doohickey"))
+    val byRegion = wide.collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(byRegion("east") == ((2L, 1L, 0L)))
+    assert(byRegion("west") == ((1L, 0L, 0L))) // empty cells are 0, not null
+  }
+}

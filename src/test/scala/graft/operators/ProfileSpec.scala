@@ -26,4 +26,20 @@ class ProfileSpec extends SparkTestBase {
     assert(math.abs(p("id")._3 - 5L) <= 1)
     assert(math.abs(p("name")._3 - 3L) <= 1)
   }
+
+  test("histogram: fixed-width bins, edge clamping, nulls dropped, empty bins absent") {
+    val vals = df("x DOUBLE", Seq(
+      Row(0.0), Row(2.4), Row(2.5), Row(9.99),     // interior values
+      Row(10.0), Row(25.0),                         // at/above hi → last bucket
+      Row(-3.0),                                    // below lo → first bucket
+      Row(null)))                                   // dropped
+    val h = Profile.histogram(vals, "x", lo = 0.0, hi = 10.0, nBins = 4)
+      .collect().map(r => r.getLong(0) -> (r.getDouble(1), r.getLong(2))).toMap
+    // w = 2.5: bucket 0 = [0, 2.5) ← {0.0, 2.4, -3.0}; bucket 1 ← {2.5};
+    // bucket 3 ← {9.99, 10.0, 25.0}; bucket 2 is empty and absent
+    assert(h == Map(
+      0L -> ((0.0, 3L)),
+      1L -> ((2.5, 1L)),
+      3L -> ((7.5, 3L))))
+  }
 }

@@ -1,0 +1,52 @@
+package graft.operators
+
+import graft.SparkTestBase
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+
+class WebSpec extends SparkTestBase {
+
+  private lazy val pages = df("id BIGINT, url STRING", Seq(
+    Row(1L, "https://ads.tracker.net/pixel?x=1"),
+    Row(2L, "https://sub.ads.tracker.net:8443/deep/path"),
+    Row(3L, "https://docs.example.org/guide"),
+    Row(4L, "http://user:pw@tracker.net/login"),
+    Row(5L, "ftp://files.example.org/data.bin"),
+    Row(6L, "not a url at all"),
+    Row(7L, null)))
+
+  test("host: scheme/userinfo/port stripped; junk and null → NULL") {
+    val out = pages.select(col("id"), Web.host(col("url")).as("h"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out(1) == "ads.tracker.net")
+    assert(out(2) == "sub.ads.tracker.net")
+    assert(out(4) == "tracker.net")
+    assert(out(5) == "files.example.org")
+    assert(out(6) == null && out(7) == null)
+  }
+
+  test("domainSuffixes yields the full parent chain") {
+    val s = pages.where(col("id") === 2L)
+      .select(Web.domainSuffixes(Web.host(col("url"))))
+      .head().getSeq[String](0)
+    assert(s == Seq("sub.ads.tracker.net", "ads.tracker.net", "tracker.net", "net"))
+  }
+
+  test("blockByDomain drops exact hosts and all subdomains; unparseable URLs stay") {
+    val kept = Web.blockByDomain(pages, "url", "id", Seq("tracker.net"))
+      .collect().map(_.getLong(0)).toSet
+    assert(kept == Set(3L, 5L, 6L, 7L))
+    // a leaf block only removes that exact host
+    val leaf = Web.blockByDomain(pages, "url", "id", Seq("sub.ads.tracker.net"))
+      .collect().map(_.getLong(0)).toSet
+    assert(leaf == Set(1L, 3L, 4L, 5L, 6L, 7L))
+    // empty blocklist is the identity
+    assert(Web.blockByDomain(pages, "url", "id", Nil).count() == 7L)
+  }
+
+  test("blockByDomain plans broadcast equi-joins, no nested-loop product") {
+    val plan = Web.blockByDomain(pages, "url", "id", Seq("tracker.net"))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"), plan)
+  }
+}
