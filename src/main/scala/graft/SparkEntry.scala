@@ -907,6 +907,21 @@ object SparkEntry {
       graft.operators.Profile.histogram(
         docs(s, d), "n_chars", lo = 0.0, hi = 2000.0, nBins = 20)),
 
+    // Exact discrete quantiles per key (value at rank ⌈p·n⌉ — integer
+    // rank arithmetic, no interpolation-formula ulp divergence): p50/
+    // p90/p99 document length per language, one window pass for all ps.
+    "q_profile_quantiles" -> ((s, d) =>
+      graft.operators.Profile.quantiles(
+        docs(s, d).select(col("lang"), col("n_chars")),
+        "lang", "n_chars", Seq(0.5, 0.9, 0.99))),
+
+    // Keyed pseudonymization for privacy-preserving export: stable
+    // sha256(salt ‖ id) hex, NULL-preserving, pure projection.
+    "q_pii_pseudo" -> ((s, d) =>
+      graft.operators.Pii.pseudonymize(
+        executor(s, d).table("events").select(col("event_id"), col("user_id")),
+        Seq("user_id"), salt = "graft-salt-1")),
+
     // Per-key rolling aggregate over event time (trailing 1h, RANGE
     // frame over integer epoch micros — tied timestamps are peers, so
     // the result is deterministic; decimal sum stays exact under the
@@ -1646,6 +1661,19 @@ object SparkEntry {
         |  SELECT CAST(least(greatest(floor((CAST(n_chars AS DOUBLE) - 0.0) / 100.0), 0), 19) AS BIGINT) AS bucket
         |  FROM documents WHERE n_chars IS NOT NULL) t
         |GROUP BY bucket""".stripMargin,
+    "q_profile_quantiles" ->
+      """WITH ranked AS (
+        |  SELECT lang, n_chars,
+        |    row_number() OVER (PARTITION BY lang ORDER BY n_chars ASC) AS rn,
+        |    count(*) OVER (PARTITION BY lang) AS n
+        |  FROM documents WHERE n_chars IS NOT NULL)
+        |SELECT lang, CAST(p AS DOUBLE) AS p, n_chars AS value
+        |FROM ranked CROSS JOIN (VALUES (0.5), (0.9), (0.99)) AS ps(p)
+        |WHERE rn = CAST(ceil(p * n) AS BIGINT)""".stripMargin,
+    "q_pii_pseudo" ->
+      ("SELECT event_id, CASE WHEN user_id IS NOT NULL THEN " +
+        "sha256('graft-salt-1' || CAST(user_id AS VARCHAR)) END AS user_id " +
+        "FROM events"),
     "q_rolling_window" ->
       """SELECT event_id, count(*) OVER w AS n_window,
         |  sum(CAST(value AS DECIMAL(18,2))) OVER w AS sum_window

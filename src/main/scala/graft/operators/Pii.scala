@@ -64,4 +64,20 @@ object Pii {
   /** (id, redacted text) — the scrub pass. */
   def redact(df: DataFrame, idCol: String, textCol: String): DataFrame =
     df.select(col(idCol), redactText(col(textCol)).as(textCol))
+
+  /**
+   * Keyed pseudonymization: replace identifier columns with
+   * `sha256(salt ‖ value)` hex — stable within a salt (joins and
+   * group-bys still line up across tables pseudonymized with the same
+   * salt), unlinkable without it, and irreversible. The salt must be
+   * secret and long: with a guessable salt, low-entropy identifiers
+   * (user ids, emails) fall to dictionary re-identification.
+   *
+   * Pure per-row projection (codegen'd sha2) — no shuffle, pushes
+   * through scans like any expression; NULLs stay NULL.
+   */
+  def pseudonymize(df: DataFrame, cols: Seq[String], salt: String): DataFrame =
+    cols.foldLeft(df)((d, c) => d.withColumn(c,
+      when(col(c).isNotNull,
+        sha2(concat(lit(salt), col(c).cast("string")), 256))))
 }

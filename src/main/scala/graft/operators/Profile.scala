@@ -79,4 +79,34 @@ object Profile {
       .withColumn("lo_edge", lit(lo) + col("bucket") * lit(w))
       .select("bucket", "lo_edge", "n")
   }
+
+  /**
+   * Exact discrete quantiles per key: for each p, the value at rank
+   * ⌈p·n⌉ of the key's sorted non-null values — "p95 document length
+   * per language" for curation cutoffs. Discrete (an actual data value,
+   * no interpolation) because interpolation formulas differ across
+   * engines by a ulp ((1−g)a+gb vs a+(b−a)g) and would break exact
+   * parity; rank arithmetic is integer-exact everywhere.
+   *
+   * One window pass computes every requested p (the p list is exploded
+   * against each ranked row, then filtered to rank matches): a single
+   * shuffle on the key regardless of |ps|. Duplicate values are fine —
+   * the value at a given rank of the sorted multiset is deterministic
+   * whatever order ties land in.
+   */
+  def quantiles(df: DataFrame, keyCol: String, valueCol: String,
+                ps: Seq[Double]): DataFrame = {
+    require(ps.nonEmpty && ps.forall(p => p > 0.0 && p <= 1.0),
+      "each p must be in (0, 1]")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(keyCol)).orderBy(col(valueCol).asc)
+    val wAll = org.apache.spark.sql.expressions.Window.partitionBy(col(keyCol))
+    df.where(col(valueCol).isNotNull)
+      .withColumn("__rn", row_number().over(w))
+      .withColumn("__n", count(lit(1)).over(wAll))
+      .select(col(keyCol), col(valueCol),
+        explode(array(ps.map(lit): _*)).as("p"), col("__rn"), col("__n"))
+      .where(col("__rn") === ceil(col("p") * col("__n")).cast("long"))
+      .select(col(keyCol), col("p"), col(valueCol).as("value"))
+  }
 }

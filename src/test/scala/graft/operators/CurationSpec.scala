@@ -219,6 +219,24 @@ class CurationSpec extends SparkTestBase {
     assert(Sample.capPerKey(docs, "source", "text", "doc_id", 100).count() == 30L)
   }
 
+  test("pseudonymize: stable keyed hashes, null-preserving, salt-sensitive") {
+    val users = df("id BIGINT, user STRING", Seq(
+      org.apache.spark.sql.Row(1L, "alice"),
+      org.apache.spark.sql.Row(2L, "alice"),
+      org.apache.spark.sql.Row(3L, "bob"),
+      org.apache.spark.sql.Row(4L, null)))
+    val p1 = Pii.pseudonymize(users, Seq("user"), "salt-A")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    // stable: equal inputs get equal pseudonyms; joins still line up
+    assert(p1(1) == p1(2) && p1(1) != p1(3))
+    assert(p1(1).matches("[0-9a-f]{64}"))
+    assert(p1(4) == null)
+    // a different salt unlinks the pseudonym space
+    val p2 = Pii.pseudonymize(users, Seq("user"), "salt-B")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(p1(1) != p2(1))
+  }
+
   test("topPerKey keeps the k best rows per key with deterministic tie-breaks") {
     val rows = Seq(
       (1L, "web", 50L), (2L, "web", 90L), (3L, "web", 90L), (4L, "web", 10L),

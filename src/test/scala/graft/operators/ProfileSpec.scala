@@ -42,4 +42,18 @@ class ProfileSpec extends SparkTestBase {
       1L -> ((2.5, 1L)),
       3L -> ((7.5, 3L))))
   }
+
+  test("quantiles: value at rank ceil(p*n), nulls dropped, ties deterministic") {
+    val vals = df("k STRING, x BIGINT", Seq(
+      Row("a", 10L), Row("a", 20L), Row("a", 30L), Row("a", 40L),
+      Row("a", null),                       // ignored
+      Row("b", 7L), Row("b", 7L), Row("b", 9L)))  // duplicate values
+    val q = Profile.quantiles(vals, "k", "x", Seq(0.5, 1.0))
+      .collect().map(r => (r.getString(0), r.getDouble(1)) -> r.getLong(2)).toMap
+    // a: n=4 → p=0.5 rank 2 → 20; p=1.0 rank 4 → 40
+    // b: n=3 → p=0.5 rank 2 → 7 (tie, same value either way); p=1.0 → 9
+    assert(q == Map(
+      ("a", 0.5) -> 20L, ("a", 1.0) -> 40L,
+      ("b", 0.5) -> 7L, ("b", 1.0) -> 9L))
+  }
 }
