@@ -57,4 +57,21 @@ object Web {
       .distinct()
     df.join(hits, Seq(idCol), "left_anti")
   }
+
+  /** Per-row blocked verdict — NULL when the URL has no parseable host. */
+  def isBlocked(url: Column, blocked: Seq[String]): Column =
+    arrays_overlap(domainSuffixes(host(url)), typedlit(blocked))
+
+  /**
+   * Join-free variant of [[blockByDomain]]: the blocklist ships as a
+   * literal array and each row answers for itself — a pure filter, so it
+   * applies UNCHANGED to a stream (the join formulation's hit set is
+   * stream-derived, and stream-stream anti-joins aren't a thing).
+   * Right for lists up to ~10k domains (≤ label-count × |list| string
+   * compares per row); beyond that, the exploded-join form with its
+   * broadcast hash table wins — same trade as Decontaminate's semi-join.
+   */
+  def blockByDomainInline(df: DataFrame, urlCol: String,
+                          blocked: Seq[String]): DataFrame =
+    df.where(!coalesce(isBlocked(col(urlCol), blocked), lit(false)))
 }

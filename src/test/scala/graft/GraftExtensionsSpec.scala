@@ -45,6 +45,13 @@ class GraftExtensionsSpec extends SparkTestBase {
     assert(r.getSeq[String](4) == Seq("a b", "b c"))
   }
 
+  test("nfc_normalize resolves by SQL name and composes decomposed text") {
+    val r = spark.sql(
+      "SELECT nfc_normalize('e\u0301clair') AS t, nfc_normalize(NULL) AS n").head()
+    assert(r.getString(0) == "\u00e9clair" && r.getString(0).length == 6)
+    assert(r.isNullAt(1))
+  }
+
   test("a CUSTOM stage can run a dedup primitive end-to-end in SQL") {
     val ex = new PipelineExecutor(spark)
     ex.register("docs_sql", df("doc_id BIGINT, text STRING", Seq(

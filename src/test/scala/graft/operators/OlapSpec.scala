@@ -33,6 +33,13 @@ class OlapSpec extends SparkTestBase {
     assert(cube.count() == 6 + 2) // rollup levels + the (·, product) slice
   }
 
+  test("rollup is one shuffle: grouping sets expand map-side, single exchange") {
+    val plan = Olap.rollupAgg(sales, Seq("region", "product"),
+      Seq(count(lit(1)).as("n"))).queryExecution.executedPlan.toString
+    assert(plan.contains("Expand"), plan)
+    assert("Exchange".r.findAllMatchIn(plan).size == 1, plan)
+  }
+
   test("pivotCount: explicit domain, zero-filled cells, deterministic columns") {
     val wide = Olap.pivotCount(sales, "region", "product",
       Seq("widget", "gadget", "doohickey"))

@@ -44,6 +44,17 @@ class WebSpec extends SparkTestBase {
     assert(Web.blockByDomain(pages, "url", "id", Nil).count() == 7L)
   }
 
+  test("blockByDomainInline equals the join formulation on every blocklist") {
+    for (bl <- Seq(Seq("tracker.net"), Seq("sub.ads.tracker.net", "example.org"),
+        Seq("net"), Nil)) {
+      val joined = Web.blockByDomain(pages, "url", "id", bl)
+        .collect().map(_.getLong(0)).toSet
+      val inline = Web.blockByDomainInline(pages, "url", bl)
+        .collect().map(_.getLong(0)).toSet
+      assert(inline == joined, s"blocklist $bl: inline $inline vs join $joined")
+    }
+  }
+
   test("blockByDomain plans broadcast equi-joins, no nested-loop product") {
     val plan = Web.blockByDomain(pages, "url", "id", Seq("tracker.net"))
       .queryExecution.executedPlan.toString

@@ -71,4 +71,38 @@ class StreamingCurationSpec extends SparkTestBase {
       assert(!streamKept.contains(4L))
     } finally q.stop()
   }
+
+  case class Page(id: Long, url: String, user: String)
+
+  test("pseudonymization and domain blocklisting stream unchanged") {
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    val pages = Seq(
+      Page(1, "https://ads.tracker.net/x", "alice"),
+      Page(2, "https://docs.example.org/y", "alice"),
+      Page(3, "https://sub.tracker.net/z", "bob"),
+      Page(4, "junk", null))
+    val mem = MemoryStream[Page]
+    mem.addData(pages: _*)
+    // pseudonymize is a pure projection and the INLINE blocklist a pure
+    // filter — both legal on an unaggregated stream in append mode (the
+    // join formulation's hit set would be a stream-stream anti-join)
+    val cleaned = graft.operators.Web.blockByDomainInline(
+      graft.operators.Pii.pseudonymize(mem.toDF(), Seq("user"), "s1"),
+      "url", Seq("tracker.net"))
+    val q = cleaned.writeStream.format("memory").queryName("q_web_out")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val stream = spark.sql("SELECT id, user FROM q_web_out ORDER BY id")
+        .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+      val batch = graft.operators.Web.blockByDomainInline(
+          graft.operators.Pii.pseudonymize(spark.createDataFrame(pages), Seq("user"), "s1"),
+          "url", Seq("tracker.net"))
+        .select("id", "user").orderBy("id")
+        .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+      assert(stream == batch)
+      assert(stream.map(_._1) == Seq(2L, 4L)) // tracker.net + subdomain dropped
+    } finally q.stop()
+  }
 }
