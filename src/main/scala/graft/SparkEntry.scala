@@ -1687,7 +1687,8 @@ object SparkEntry {
         |      '.example.com/p/' || CAST(doc_id AS VARCHAR) AS url
         |  FROM documents),
         |h AS (SELECT doc_id, url,
-        |    regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://(?:[^/@]*@)?([^/:?#]+)', 1) AS host
+        |    regexp_replace(lower(regexp_extract(url,
+        |      '^[A-Za-z][A-Za-z0-9+.-]*://(?:[^/?#@]*@)?([^/:?#]+)', 1)), '\.$', '') AS host
         |  FROM u)
         |SELECT doc_id, url FROM h
         |WHERE NOT (host = 'src2.example.com' OR host LIKE '%.src2.example.com'

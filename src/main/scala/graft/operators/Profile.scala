@@ -73,7 +73,10 @@ object Profile {
     val bucket = least(
       greatest(floor((col(colName).cast("double") - lit(lo)) / lit(w)), lit(0L)),
       lit(nBins - 1L))
-    df.where(col(colName).isNotNull)
+    // NaN would otherwise land in bucket 0 (floor(NaN).toLong == 0 slips
+    // through the clamp) and the engines disagree on NaN casts — drop it
+    // with the NULLs
+    df.where(col(colName).isNotNull && !isnan(col(colName).cast("double")))
       .groupBy(bucket.as("bucket"))
       .agg(count(lit(1)).as("n"))
       .withColumn("lo_edge", lit(lo) + col("bucket") * lit(w))
@@ -86,7 +89,8 @@ object Profile {
    * per language" for curation cutoffs. Discrete (an actual data value,
    * no interpolation) because interpolation formulas differ across
    * engines by a ulp ((1−g)a+gb vs a+(b−a)g) and would break exact
-   * parity; rank arithmetic is integer-exact everywhere.
+   * parity; the rank itself is computed as ceil(round(p·n, 9)) so
+   * double rounding in the product can't bump the rank either.
    *
    * One window pass computes every requested p (the p list is exploded
    * against each ranked row, then filtered to rank matches): a single
@@ -106,7 +110,11 @@ object Profile {
       .withColumn("__n", count(lit(1)).over(wAll))
       .select(col(keyCol), col(valueCol),
         explode(array(ps.map(lit): _*)).as("p"), col("__rn"), col("__n"))
-      .where(col("__rn") === ceil(col("p") * col("__n")).cast("long"))
+      // round before ceil: p·n in IEEE double can land a hair ABOVE the
+      // exact product (0.07 × 100 = 7.000000000000001 → ceil 8, wrong
+      // rank), while the DuckDB oracle multiplies exact decimals; 9
+      // digits restores exactness for any p stated to ≤9 decimals
+      .where(col("__rn") === ceil(round(col("p") * col("__n"), 9)).cast("long"))
       .select(col(keyCol), col("p"), col(valueCol).as("value"))
   }
 }

@@ -26,10 +26,15 @@ import org.apache.spark.sql.functions._
 object Web {
 
   /** Host of a URL, NULL when `url` has no `scheme://host` shape; strips
-    * port and userinfo. */
+    * port and userinfo, lowercases (DNS names are case-insensitive) and
+    * drops a trailing-dot FQDN marker. The userinfo group excludes
+    * `?`/`#` as well as `/` — RFC 3986 ends the authority at any of
+    * them, so an `@` in a pathless URL's query can't steal the host. */
   def host(url: Column): Column =
-    nullif(regexp_extract(url,
-      "^[A-Za-z][A-Za-z0-9+.-]*://(?:[^/@]*@)?([^/:?#]+)", 1), lit(""))
+    regexp_replace(
+      lower(nullif(regexp_extract(url,
+        "^[A-Za-z][A-Za-z0-9+.-]*://(?:[^/?#@]*@)?([^/:?#]+)", 1), lit(""))),
+      "\\.$", "")
 
   /** All dot-suffixes of a host: a.b.c → [a.b.c, b.c, c]; NULL host →
     * NULL (propagates through transform, kept by [[blockByDomain]]). */
@@ -49,7 +54,7 @@ object Web {
                     blocked: Seq[String]): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
-    val bl = broadcast(blocked.toDF("__blocked"))
+    val bl = broadcast(normalizeList(blocked).toDF("__blocked"))
     val hits = df
       .select(col(idCol), explode_outer(domainSuffixes(host(col(urlCol)))).as("__sfx"))
       .join(bl, col("__sfx") === col("__blocked"), "left_semi")
@@ -60,7 +65,11 @@ object Web {
 
   /** Per-row blocked verdict — NULL when the URL has no parseable host. */
   def isBlocked(url: Column, blocked: Seq[String]): Column =
-    arrays_overlap(domainSuffixes(host(url)), typedlit(blocked))
+    arrays_overlap(domainSuffixes(host(url)), typedlit(normalizeList(blocked)))
+
+  /** Blocklist entries get the same normalization as extracted hosts. */
+  private def normalizeList(blocked: Seq[String]): Seq[String] =
+    blocked.map(b => b.toLowerCase.stripSuffix("."))
 
   /**
    * Join-free variant of [[blockByDomain]]: the blocklist ships as a

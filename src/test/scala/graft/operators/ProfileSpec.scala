@@ -56,4 +56,20 @@ class ProfileSpec extends SparkTestBase {
       ("a", 0.5) -> 20L, ("a", 1.0) -> 40L,
       ("b", 0.5) -> 7L, ("b", 1.0) -> 9L))
   }
+
+  test("quantiles: double rounding in p*n cannot bump the rank (0.07 × 100)") {
+    val rows = (1 to 100).map(i => Row("k", i.toLong))
+    val vals = df("k STRING, x BIGINT", rows)
+    // 0.07 * 100 = 7.000000000000001 in IEEE double; exact ceil is 7
+    val q = Profile.quantiles(vals, "k", "x", Seq(0.07)).head()
+    assert(q.getLong(2) == 7L, q.toString)
+  }
+
+  test("histogram drops NaN instead of counting it in bucket 0") {
+    val vals = df("x DOUBLE", Seq(
+      Row(1.0), Row(Double.NaN), Row(0.0 / 0.0), Row(6.0)))
+    val h = Profile.histogram(vals, "x", lo = 0.0, hi = 10.0, nBins = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(h == Map(0L -> 1L, 1L -> 1L))
+  }
 }

@@ -13,7 +13,10 @@ class WebSpec extends SparkTestBase {
     Row(4L, "http://user:pw@tracker.net/login"),
     Row(5L, "ftp://files.example.org/data.bin"),
     Row(6L, "not a url at all"),
-    Row(7L, null)))
+    Row(7L, null),
+    Row(8L, "https://Ads.Tracker.NET/case"),          // DNS is case-insensitive
+    Row(9L, "https://ads.tracker.net./fqdn"),          // trailing-dot FQDN
+    Row(10L, "https://ads.tracker.net?next=@cdn.ok.org"))) // @ in a pathless query
 
   test("host: scheme/userinfo/port stripped; junk and null → NULL") {
     val out = pages.select(col("id"), Web.host(col("url")).as("h"))
@@ -23,6 +26,11 @@ class WebSpec extends SparkTestBase {
     assert(out(4) == "tracker.net")
     assert(out(5) == "files.example.org")
     assert(out(6) == null && out(7) == null)
+    // normalization: lowercase, trailing dot stripped; an @ after ? stays
+    // in the query (RFC 3986 ends the authority at /, ? or #)
+    assert(out(8) == "ads.tracker.net")
+    assert(out(9) == "ads.tracker.net")
+    assert(out(10) == "ads.tracker.net")
   }
 
   test("domainSuffixes yields the full parent chain") {
@@ -35,13 +43,19 @@ class WebSpec extends SparkTestBase {
   test("blockByDomain drops exact hosts and all subdomains; unparseable URLs stay") {
     val kept = Web.blockByDomain(pages, "url", "id", Seq("tracker.net"))
       .collect().map(_.getLong(0)).toSet
+    // 8/9/10 are case/FQDN-dot/query-@ spellings of tracker.net hosts —
+    // all blocked
     assert(kept == Set(3L, 5L, 6L, 7L))
     // a leaf block only removes that exact host
     val leaf = Web.blockByDomain(pages, "url", "id", Seq("sub.ads.tracker.net"))
       .collect().map(_.getLong(0)).toSet
-    assert(leaf == Set(1L, 3L, 4L, 5L, 6L, 7L))
+    assert(leaf == Set(1L, 3L, 4L, 5L, 6L, 7L, 8L, 9L, 10L))
+    // blocklist entries get the same normalization as hosts
+    val cased = Web.blockByDomain(pages, "url", "id", Seq("Tracker.NET."))
+      .collect().map(_.getLong(0)).toSet
+    assert(cased == kept)
     // empty blocklist is the identity
-    assert(Web.blockByDomain(pages, "url", "id", Nil).count() == 7L)
+    assert(Web.blockByDomain(pages, "url", "id", Nil).count() == 10L)
   }
 
   test("blockByDomainInline equals the join formulation on every blocklist") {
