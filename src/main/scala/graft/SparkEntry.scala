@@ -1048,8 +1048,57 @@ object SparkEntry {
         threshold = 0.9, nCentroids = 16)
         .select(col("vec_id"))
         .orderBy("vec_id")
-    })
+    }),
+
+    // C4-style corpus-global line dedup over a multi-line construction:
+    // every doc gets a shared boilerplate line (500 docs) and a per-source
+    // line (25 docs at sf0.01); maxDocs=20 removes both, keeps the two
+    // unique body lines, and reassembles in original order.
+    "q_lines_dedup" -> ((s, d) =>
+      graft.operators.Lines.dedupLines(multiLineDocs(s, d), "doc_id", "text",
+          maxDocs = 20)
+        .select("doc_id", "text").orderBy("doc_id")),
+
+    "q_lines_dup_stats" -> ((s, d) =>
+      graft.operators.Lines.duplicatedLines(multiLineDocs(s, d), "doc_id", "text",
+          maxDocs = 20)
+        .orderBy(col("n_docs").desc, col("line").asc)),
+
+    // HTML → text extraction over a synthesized crawl page (script/style/
+    // comment blocks, block tags, one-level entity decode) — the step
+    // before line dedup in a real web pipeline.
+    "q_web_extract" -> ((s, d) =>
+      htmlDocs(s, d)
+        .select(col("doc_id"),
+          graft.operators.Web.extractText(col("html")).as("text"))
+        .orderBy("doc_id"))
   )
+
+  /** Synthesized HTML page per document (testdata has no raw HTML) —
+    * mirrored verbatim in `htmlDocsSql`. */
+  private def htmlDocs(s: SparkSession, d: String): DataFrame =
+    docs(s, d).select(col("doc_id"),
+      concat(
+        lit("<html><head><title>Doc "), col("doc_id"), lit("</title>"),
+        lit("<style>p {color: red}</style><script>var x = 1 < 2;</script></head>"),
+        lit("<body><h1>"), col("source"), lit("</h1><p>"),
+        substring(coalesce(col("text"), lit("")), 1, 60),
+        lit("</p><div class=\"body\">"),
+        expr("substring(coalesce(text, ''), 61)"),
+        lit(" &amp;amp; more &lt;b&gt;bold&lt;/b&gt; &quot;q&quot; &#39;s&#39;&nbsp;end</div>"),
+        lit("<!-- hidden --></body></html>")).as("html"))
+
+  /** Multi-line document construction for the line-dedup gates (testdata
+    * docs are single-line): inject a corpus-global boilerplate line and a
+    * per-source line between two unique body halves. Mirrored verbatim in
+    * `lineDocsSql`. */
+  private def multiLineDocs(s: SparkSession, d: String): DataFrame =
+    docs(s, d).select(col("doc_id"),
+      concat(
+        substring(coalesce(col("text"), lit("")), 1, 80), lit("\n"),
+        lit("PLEASE SUBSCRIBE TO OUR NEWSLETTER"), lit("\n"),
+        concat(lit("FROM "), col("source")), lit("\n"),
+        expr("substring(coalesce(text, ''), 81)")).as("text"))
 
   /** Stratified-sample gate fractions — shared with the oracle SQL so the
     * two sides cannot drift. */
@@ -1777,9 +1826,74 @@ object SparkEntry {
       ("SELECT vec_id AS id_a, vec_id + 1000000 AS id_b, " +
         "CAST(1.0 AS DOUBLE) AS cosine FROM embeddings ORDER BY id_a, id_b"),
     "q_dedup_semantic" ->
-      "SELECT vec_id FROM embeddings ORDER BY vec_id"
+      "SELECT vec_id FROM embeddings ORDER BY vec_id",
+    "q_lines_dedup" ->
+      s"""WITH d2 AS ($lineDocsSql),
+         |ex AS (
+         |  SELECT doc_id, unnest(ss) AS line,
+         |         unnest(range(1, len(ss) + 1)) AS pos
+         |  FROM (SELECT doc_id, string_split(text, chr(10)) AS ss FROM d2)),
+         |hot AS (
+         |  SELECT line FROM (
+         |    SELECT line, count(DISTINCT doc_id) AS n_docs FROM ex GROUP BY 1
+         |  ) WHERE n_docs > 20),
+         |kept AS (SELECT * FROM ex WHERE line NOT IN (SELECT line FROM hot)),
+         |rebuilt AS (
+         |  SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS text
+         |  FROM kept GROUP BY 1)
+         |SELECT d2.doc_id, coalesce(r.text, '') AS text
+         |FROM d2 LEFT JOIN rebuilt r USING (doc_id)
+         |ORDER BY doc_id""".stripMargin,
+    "q_lines_dup_stats" ->
+      s"""WITH d2 AS ($lineDocsSql),
+         |ex AS (
+         |  SELECT doc_id, unnest(string_split(text, chr(10))) AS line FROM d2)
+         |SELECT line, count(DISTINCT doc_id) AS n_docs FROM ex GROUP BY 1
+         |HAVING count(DISTINCT doc_id) > 20
+         |ORDER BY n_docs DESC, line ASC""".stripMargin,
+    "q_web_extract" ->
+      s"""WITH h AS ($htmlDocsSql)
+         |SELECT doc_id,
+         |regexp_replace(trim(regexp_replace(regexp_replace(regexp_replace(
+         |  replace(replace(replace(replace(replace(replace(
+         |    regexp_replace(
+         |      regexp_replace(
+         |        regexp_replace(regexp_replace(regexp_replace(html,
+         |          '(?is)<script[^>]*>.*?</script>', '', 'g'),
+         |          '(?is)<style[^>]*>.*?</style>', '', 'g'),
+         |          '(?s)<!--.*?-->', '', 'g'),
+         |        '(?i)</?(?:p|div|br|li|ul|ol|h[1-6]|tr|table|blockquote)[^>]*>',
+         |        chr(10), 'g'),
+         |      '<[^>]*>', '', 'g'),
+         |    '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&#39;', chr(39)),
+         |    '&nbsp;', ' '), '&amp;', '&'),
+         |  '[ \\t]+', ' ', 'g'),
+         |  ' ?\\n ?', chr(10), 'g'),
+         |  '\\n+', chr(10), 'g')),
+         |  '^\\n|\\n$$', '', 'g') AS text
+         |FROM h ORDER BY doc_id""".stripMargin
     // q_dedup_minhash / q_dedup_simhash / q_text_fingerprint / q_ann_lsh /
     // q_ann_ivf: hash-based or deliberately approximate — not DuckDB-
     // expressible, so the driver records the weaker rows-only check.
   )
+
+  /** DuckDB mirror of `htmlDocs`. */
+  private val htmlDocsSql: String =
+    """SELECT doc_id,
+      |  '<html><head><title>Doc ' || doc_id || '</title>' ||
+      |  '<style>p {color: red}</style><script>var x = 1 < 2;</script></head>' ||
+      |  '<body><h1>' || source || '</h1><p>' || substr(coalesce(text,''),1,60) ||
+      |  '</p><div class="body">' || substr(coalesce(text,''),61) ||
+      |  ' &amp;amp; more &lt;b&gt;bold&lt;/b&gt; &quot;q&quot; &#39;s&#39;&nbsp;end</div>' ||
+      |  '<!-- hidden --></body></html>' AS html
+      |FROM documents""".stripMargin
+
+  /** DuckDB mirror of `multiLineDocs`. */
+  private val lineDocsSql: String =
+    """SELECT doc_id,
+      |       substr(coalesce(text, ''), 1, 80) || chr(10) ||
+      |       'PLEASE SUBSCRIBE TO OUR NEWSLETTER' || chr(10) ||
+      |       'FROM ' || source || chr(10) ||
+      |       substr(coalesce(text, ''), 81) AS text
+      |FROM documents""".stripMargin
 }

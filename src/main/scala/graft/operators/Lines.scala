@@ -1,0 +1,77 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/**
+ * Corpus-global line-level deduplication — the C4/RefinedWeb boilerplate
+ * pass: a line that recurs across more than `maxDocs` distinct documents
+ * (navigation chrome, cookie banners, "subscribe" calls-to-action) is
+ * removed from EVERY document, and each document's remaining lines are
+ * stitched back together in their original order.
+ *
+ * Scale shape (the 100 TB story):
+ *   1. `posexplode(split(text, '\n'))` — one codegen'd scan, no shuffle.
+ *   2. Hot-line detection aggregates DISTINCT (line, doc) then counts per
+ *      line — the only shuffle that carries line text, and partial
+ *      aggregation dedups (line, doc) pairs map-side first.
+ *   3. The hot set is tiny by construction (Zipf: at threshold k there are
+ *      at most total_lines/k hot lines, and real boilerplate sets are
+ *      thousands of lines) — so the removal join is a broadcast LEFT ANTI
+ *      on an 8-byte `xxhash64(line)` key; document lines never shuffle.
+ *   4. Reassembly groups the surviving lines by document — the one
+ *      unavoidable by-doc shuffle, carrying exactly the kept lines once.
+ *
+ * Reference scope: the reference has no corpus-global text operator (its
+ * engine is per-stage SQL over one browser tab); this is part of the
+ * training-data extension surface, like graft.operators.Dedup.
+ */
+object Lines {
+
+  /** (doc_id, pos, line) — one row per physical line, `pos` 0-based. */
+  private def explodeLines(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol).as("doc_id"),
+      posexplode(split(coalesce(col(textCol), lit("")), "\n", -1)).as(Seq("pos", "line")))
+
+  /**
+   * Lines occurring in more than `maxDocs` DISTINCT documents, with their
+   * document frequency: `(line, n_docs)`. Repeats of a line inside one
+   * document count once — boilerplate is a cross-document phenomenon.
+   */
+  def duplicatedLines(df: DataFrame, idCol: String, textCol: String,
+                      maxDocs: Int): DataFrame =
+    explodeLines(df, idCol, textCol)
+      .select("line", "doc_id").distinct()
+      .groupBy("line").agg(count(lit(1)).as("n_docs"))
+      .filter(col("n_docs") > maxDocs)
+
+  /**
+   * Remove every line that appears in more than `maxDocs` distinct
+   * documents; rebuild each document's text from its surviving lines in
+   * original order. Documents whose every line was boilerplate come back
+   * as the empty string (they are candidates for a follow-up length
+   * filter, not silent row loss). All non-text columns pass through.
+   */
+  def dedupLines(df: DataFrame, idCol: String, textCol: String,
+                 maxDocs: Int): DataFrame = {
+    val lines = explodeLines(df, idCol, textCol)
+    // 8-byte join key: the anti-join never carries hot line TEXT, only
+    // hashes, and xxhash64 collisions (~2^-64 per pair) merely remove an
+    // extra innocent line — same failure class as Dedup.exactDedup digests.
+    val hot = broadcast(
+      duplicatedLines(df, idCol, textCol, maxDocs)
+        .select(xxhash64(col("line")).as("line_h")))
+    val kept = lines.withColumn("line_h", xxhash64(col("line")))
+      .join(hot, Seq("line_h"), "left_anti")
+    val rebuilt = kept.groupBy("doc_id")
+      .agg(concat_ws("\n",
+        expr("transform(array_sort(collect_list(struct(pos, line))), s -> s.line)"))
+        .as("__rebuilt"))
+    df.withColumnRenamed(idCol, "doc_id")
+      .drop(textCol)
+      .join(rebuilt, Seq("doc_id"), "left")
+      .withColumn(textCol, coalesce(col("__rebuilt"), lit("")))
+      .drop("__rebuilt")
+      .withColumnRenamed("doc_id", idCol)
+  }
+}

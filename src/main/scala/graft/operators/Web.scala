@@ -83,4 +83,42 @@ object Web {
   def blockByDomainInline(df: DataFrame, urlCol: String,
                           blocked: Seq[String]): DataFrame =
     df.where(!coalesce(isBlocked(col(urlCol), blocked), lit(false)))
+
+  /**
+   * HTML → text extraction: strip script/style/comment blocks, turn
+   * block-level tags into newlines (paragraph structure feeds the
+   * line-level operators — [[Lines]], quality line fractions), drop the
+   * remaining tags, decode the named XML entities (+&nbsp;), and collapse
+   * runs of whitespace. Numeric character references (&#x2019;) pass
+   * through untouched — decoding them needs a real parser, and a corpus
+   * pass that guesses gets mojibake; they are rare enough to leave to the
+   * quality filter.
+   *
+   * Every step is a codegen'd `regexp_replace`/`replace` over one row —
+   * no shuffle, no UDF — and each pattern is written in the common
+   * Java-regex/RE2 subset so the DuckDB oracle can state the identical
+   * chain. Entity decode runs AFTER tag removal (`&lt;script&gt;` in text
+   * must not become a live tag) and `&amp;` decodes last (double-encoded
+   * entities resolve one level, the HTML rule).
+   */
+  def extractText(html: Column): Column = {
+    val noBlocks = regexp_replace(regexp_replace(regexp_replace(html,
+      "(?is)<script[^>]*>.*?</script>", ""),
+      "(?is)<style[^>]*>.*?</style>", ""),
+      "(?s)<!--.*?-->", "")
+    val structural = regexp_replace(noBlocks,
+      "(?i)</?(?:p|div|br|li|ul|ol|h[1-6]|tr|table|blockquote)[^>]*>", "\n")
+    val noTags = regexp_replace(structural, "<[^>]*>", "")
+    val decoded = Seq("&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"",
+      "&#39;" -> "'", "&nbsp;" -> " ", "&amp;" -> "&")
+      .foldLeft(noTags) { case (c, (from, to)) =>
+        call_function("replace", c, lit(from), lit(to)) }
+    // trim() strips spaces only, so edge newlines (a leading block tag)
+    // need their own pass after the \n+ collapse.
+    regexp_replace(trim(regexp_replace(regexp_replace(regexp_replace(decoded,
+      "[ \\t]+", " "),
+      " ?\\n ?", "\n"),
+      "\\n+", "\n")),
+      "^\\n|\\n$", "")
+  }
 }

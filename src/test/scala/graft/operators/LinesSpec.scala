@@ -1,0 +1,41 @@
+package graft.operators
+
+import graft.SparkTestBase
+import org.apache.spark.sql.Row
+
+class LinesSpec extends SparkTestBase {
+
+  // "FOOTER" is in 3/4 docs; "MENU" in 2; unique lines everywhere else.
+  private lazy val docs = df("doc_id BIGINT, text STRING, lang STRING", Seq(
+    Row(1L, "alpha\nFOOTER\nbravo", "en"),
+    Row(2L, "FOOTER\ncharlie\nMENU", "en"),
+    Row(3L, "MENU\nFOOTER\nFOOTER", "de"),
+    Row(4L, "delta", "fr"),
+    Row(5L, null, "fr")))
+
+  test("duplicatedLines counts distinct docs, not occurrences") {
+    // FOOTER occurs 4 times but in 3 docs; MENU in 2 docs.
+    assertSameRows(
+      Lines.duplicatedLines(docs, "doc_id", "text", 2),
+      Seq(Seq("FOOTER", 3L)))
+    assertSameRows(
+      Lines.duplicatedLines(docs, "doc_id", "text", 1),
+      Seq(Seq("FOOTER", 3L), Seq("MENU", 2L)))
+  }
+
+  test("dedupLines removes hot lines, keeps order, passes through columns") {
+    val out = Lines.dedupLines(docs, "doc_id", "text", 2)
+    assertSameRows(out.select("doc_id", "text", "lang"), Seq(
+      Seq(1L, "alpha\nbravo", "en"),
+      Seq(2L, "charlie\nMENU", "en"),
+      Seq(3L, "MENU", "de"),
+      Seq(4L, "delta", "fr"),
+      Seq(5L, "", "fr")))
+  }
+
+  test("dedupLines: a document made entirely of boilerplate becomes empty, not dropped") {
+    val out = Lines.dedupLines(docs, "doc_id", "text", 1)
+    assert(out.count() == 5)
+    assertSameRows(out.filter("doc_id = 3").select("text"), Seq(Seq("")))
+  }
+}

@@ -74,4 +74,25 @@ class WebSpec extends SparkTestBase {
       .queryExecution.executedPlan.toString
     assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"), plan)
   }
+
+  test("extractText strips blocks/tags, decodes entities one level, keeps structure") {
+    import org.apache.spark.sql.functions.col
+    val html = df("id BIGINT, h STRING", Seq(
+      Row(1L, "<html><head><script>if (1 < 2) alert('x')</script>" +
+        "<style>p { color: red }</style></head><body>" +
+        "<h1>Title</h1><p>one   two</p><div>three</div>" +
+        "<!-- secret --><span>four</span></body></html>"),
+      Row(2L, "a &amp;amp; b &lt;i&gt;it&lt;/i&gt; &quot;q&quot; &#39;s&#39;&nbsp;z &#x2019;"),
+      Row(3L, "<P CLASS='x'>upper</P><BR/>case"),
+      Row(4L, "")))
+    val out = html.select(col("id"), Web.extractText(col("h")).as("t"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    // script/style/comment gone, block tags become line breaks, spaces collapse
+    assert(out(1L) == "Title\none two\nthree\nfour")
+    // one-level entity decode; numeric character references pass through
+    assert(out(2L) == "a &amp; b <i>it</i> \"q\" 's' z &#x2019;")
+    // tag matching is case-insensitive
+    assert(out(3L) == "upper\ncase")
+    assert(out(4L) == "")
+  }
 }
