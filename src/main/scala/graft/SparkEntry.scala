@@ -1071,7 +1071,17 @@ object SparkEntry {
       htmlDocs(s, d)
         .select(col("doc_id"),
           graft.operators.Web.extractText(col("html")).as("text"))
-        .orderBy("doc_id"))
+        .orderBy("doc_id")),
+
+    // BM25 top-k search for three fixed probe queries (mirrored in the
+    // oracle's VALUES list).
+    "q_search_bm25" -> ((s, d) => {
+      import s.implicits._
+      val q = Seq((1L, "spark"), (1L, "join"), (2L, "window"), (2L, "merge"),
+        (2L, "sort"), (3L, "customer")).toDF("query_id", "term")
+      graft.operators.Search.bm25TopK(docs(s, d), "doc_id", "text", q, k = 10)
+        .orderBy("query_id", "rank")
+    })
   )
 
   /** Synthesized HTML page per document (testdata has no raw HTML) —
@@ -1871,7 +1881,41 @@ object SparkEntry {
          |  ' ?\\n ?', chr(10), 'g'),
          |  '\\n+', chr(10), 'g')),
          |  '^\\n|\\n$$', '', 'g') AS text
-         |FROM h ORDER BY doc_id""".stripMargin
+         |FROM h ORDER BY doc_id""".stripMargin,
+    "q_search_bm25" ->
+      """WITH q AS (
+        |  SELECT CAST(query_id AS BIGINT) AS query_id, term
+        |  FROM (VALUES (1, 'spark'), (1, 'join'), (2, 'window'), (2, 'merge'),
+        |               (2, 'sort'), (3, 'customer')) v(query_id, term)),
+        |toks AS (
+        |  SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)),
+        |    '[ \t\n\x0b\f\r]+')) AS term
+        |  FROM documents),
+        |tf AS (SELECT doc_id, term, count(*) AS tf FROM toks
+        |       WHERE length(term) > 0 GROUP BY 1, 2),
+        |dl AS (SELECT doc_id, sum(tf) AS dl FROM tf GROUP BY 1),
+        |dfreq AS (SELECT term, count(*) AS n_t FROM tf GROUP BY 1),
+        |stats AS (
+        |  SELECT (SELECT count(*) FROM documents) AS n,
+        |         (SELECT CAST(sum(dl) AS DOUBLE) / count(*) FROM dl) AS avgdl),
+        |contrib AS (
+        |  SELECT q.query_id, tf.doc_id,
+        |    round(ln(1 + (n - n_t + 0.5) / (n_t + 0.5)) * (tf * 2.2) /
+        |          (tf + 1.2 * (0.25 + 0.75 * dl / avgdl)), 9) AS w
+        |  FROM tf JOIN q USING (term) JOIN dfreq USING (term)
+        |       JOIN dl USING (doc_id) CROSS JOIN stats),
+        |scored AS (
+        |  SELECT query_id, doc_id,
+        |    round(CAST(sum(CAST(w AS DECIMAL(20,9))) AS DOUBLE), 6) AS score
+        |  FROM contrib GROUP BY 1, 2),
+        |ranked AS (
+        |  SELECT query_id,
+        |    CAST(row_number() OVER (PARTITION BY query_id
+        |         ORDER BY score DESC, doc_id ASC) AS BIGINT) AS rank,
+        |    doc_id, score
+        |  FROM scored)
+        |SELECT query_id, rank, doc_id, score FROM ranked
+        |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin
     // q_dedup_minhash / q_dedup_simhash / q_text_fingerprint / q_ann_lsh /
     // q_ann_ivf: hash-based or deliberately approximate — not DuckDB-
     // expressible, so the driver records the weaker rows-only check.
