@@ -1081,7 +1081,14 @@ object SparkEntry {
         (2L, "sort"), (3L, "customer")).toDF("query_id", "term")
       graft.operators.Search.bm25TopK(docs(s, d), "doc_id", "text", q, k = 10)
         .orderBy("query_id", "rank")
-    })
+    }),
+
+    // Unigram LM self-scoring: every document's mean token NLL under the
+    // corpus's own add-0.5 unigram model (CCNet perplexity bucketing).
+    "q_lm_score" -> ((s, d) =>
+      graft.operators.LmScore.unigramNll(docs(s, d), "text",
+          docs(s, d), "doc_id", "text")
+        .orderBy("doc_id"))
   )
 
   /** Synthesized HTML page per document (testdata has no raw HTML) —
@@ -1915,7 +1922,34 @@ object SparkEntry {
         |    doc_id, score
         |  FROM scored)
         |SELECT query_id, rank, doc_id, score FROM ranked
-        |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin
+        |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
+    "q_lm_score" ->
+      """WITH toks AS (
+        |  SELECT unnest(regexp_split_to_array(trim(lower(text)),
+        |    '[ \t\n\x0b\f\r]+')) AS term
+        |  FROM documents),
+        |counts AS (SELECT term, count(*) AS c FROM toks
+        |           WHERE length(term) > 0 GROUP BY 1),
+        |stats AS (SELECT CAST(sum(c) AS DOUBLE) AS t_total,
+        |                 CAST(count(*) AS DOUBLE) AS v FROM counts),
+        |dtoks AS (
+        |  SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)),
+        |    '[ \t\n\x0b\f\r]+')) AS term
+        |  FROM documents),
+        |tf AS (SELECT doc_id, term, count(*) AS tf FROM dtoks
+        |       WHERE length(term) > 0 GROUP BY 1, 2),
+        |contrib AS (
+        |  SELECT doc_id, tf,
+        |    round(-tf * ln((coalesce(c, 0) + 0.5) /
+        |          (t_total + 0.5 * (v + 1.0))), 9) AS w
+        |  FROM tf LEFT JOIN counts USING (term) CROSS JOIN stats),
+        |scored AS (
+        |  SELECT doc_id, sum(tf) AS n_tokens,
+        |    round(CAST(sum(CAST(w AS DECIMAL(20,9))) AS DOUBLE) / sum(tf), 6) AS nll
+        |  FROM contrib GROUP BY 1)
+        |SELECT d.doc_id, CAST(coalesce(s.n_tokens, 0) AS BIGINT) AS n_tokens, s.nll
+        |FROM documents d LEFT JOIN scored s USING (doc_id)
+        |ORDER BY doc_id""".stripMargin
     // q_dedup_minhash / q_dedup_simhash / q_text_fingerprint / q_ann_lsh /
     // q_ann_ivf: hash-based or deliberately approximate — not DuckDB-
     // expressible, so the driver records the weaker rows-only check.

@@ -1,0 +1,30 @@
+package graft.operators
+
+import graft.SparkTestBase
+import org.apache.spark.sql.Row
+
+class LmScoreSpec extends SparkTestBase {
+
+  private lazy val train = df("text STRING", Seq(Row("a a b")))
+  private lazy val docs = df("doc_id BIGINT, text STRING", Seq(
+    Row(1L, "a b"), Row(2L, "z"), Row(3L, "")))
+
+  test("unigramNll matches the hand-computed add-alpha model") {
+    // c(a)=2 c(b)=1, T=3, V=2, alpha=0.5 → denom = 3 + 0.5*3 = 4.5
+    val out = LmScore.unigramNll(train, "text", docs, "doc_id", "text")
+      .orderBy("doc_id").collect()
+    val denom = 4.5
+    val nll1 = -(math.log(2.5 / denom) + math.log(1.5 / denom)) / 2
+    val nll2 = -math.log(0.5 / denom)
+    assert(out(0).getLong(1) == 2L && math.abs(out(0).getDouble(2) - nll1) < 1e-6)
+    assert(out(1).getLong(1) == 1L && math.abs(out(1).getDouble(2) - nll2) < 1e-6)
+    // empty doc: zero tokens, NULL score — present, not dropped
+    assert(out(2).getLong(1) == 0L && out(2).isNullAt(2))
+  }
+
+  test("unseen tokens score strictly worse than seen ones") {
+    val out = LmScore.unigramNll(train, "text", docs, "doc_id", "text")
+      .orderBy("doc_id").collect()
+    assert(out(1).getDouble(2) > out(0).getDouble(2))
+  }
+}
