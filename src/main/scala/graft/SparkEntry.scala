@@ -1088,7 +1088,20 @@ object SparkEntry {
     "q_lm_score" -> ((s, d) =>
       graft.operators.LmScore.unigramNll(docs(s, d), "text",
           docs(s, d), "doc_id", "text")
-        .orderBy("doc_id"))
+        .orderBy("doc_id")),
+
+    // Join-free inline line blocklist (the streaming-safe variant of
+    // q_lines_dedup, known hot set shipped as a literal).
+    "q_lines_inline" -> ((s, d) =>
+      graft.operators.Lines.removeLinesInline(multiLineDocs(s, d), "text",
+          Seq("PLEASE SUBSCRIBE TO OUR NEWSLETTER", "FROM src0"))
+        .select("doc_id", "text").orderBy("doc_id")),
+
+    // Ordered funnel conversion over the event log.
+    "q_funnel" -> ((s, d) =>
+      graft.operators.Funnel.conversion(executor(s, d).table("events"),
+          "user_id", "ts", "event_type", Seq("view", "click", "purchase"))
+        .orderBy("step"))
   )
 
   /** Synthesized HTML page per document (testdata has no raw HTML) —
@@ -1949,7 +1962,28 @@ object SparkEntry {
         |  FROM contrib GROUP BY 1)
         |SELECT d.doc_id, CAST(coalesce(s.n_tokens, 0) AS BIGINT) AS n_tokens, s.nll
         |FROM documents d LEFT JOIN scored s USING (doc_id)
-        |ORDER BY doc_id""".stripMargin
+        |ORDER BY doc_id""".stripMargin,
+    "q_lines_inline" ->
+      s"""WITH d2 AS ($lineDocsSql)
+         |SELECT doc_id, array_to_string(
+         |  list_filter(string_split(text, chr(10)),
+         |    x -> NOT list_contains(
+         |      ['PLEASE SUBSCRIBE TO OUR NEWSLETTER', 'FROM src0'], x)),
+         |  chr(10)) AS text
+         |FROM d2 ORDER BY doc_id""".stripMargin,
+    "q_funnel" ->
+      """WITH ev AS (SELECT user_id AS u, CAST(ts AS TIMESTAMP) AS ts,
+        |              event_type AS et FROM events),
+        |s1 AS (SELECT u, min(ts) AS t FROM ev WHERE et = 'view' GROUP BY 1),
+        |s2 AS (SELECT e.u, min(e.ts) AS t FROM ev e JOIN s1 ON e.u = s1.u
+        |       WHERE e.et = 'click' AND e.ts > s1.t GROUP BY e.u),
+        |s3 AS (SELECT e.u, min(e.ts) AS t FROM ev e JOIN s2 ON e.u = s2.u
+        |       WHERE e.et = 'purchase' AND e.ts > s2.t GROUP BY e.u)
+        |SELECT CAST(1 AS BIGINT) AS step, 'view' AS step_name,
+        |       (SELECT count(*) FROM s1) AS n_users
+        |UNION ALL SELECT 2, 'click', (SELECT count(*) FROM s2)
+        |UNION ALL SELECT 3, 'purchase', (SELECT count(*) FROM s3)
+        |ORDER BY step""".stripMargin
     // q_dedup_minhash / q_dedup_simhash / q_text_fingerprint / q_ann_lsh /
     // q_ann_ivf: hash-based or deliberately approximate — not DuckDB-
     // expressible, so the driver records the weaker rows-only check.

@@ -1,0 +1,77 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/**
+ * Ordered-funnel conversion over an event log: of the users who performed
+ * step 1, how many went on to perform step 2 strictly after it, then
+ * step 3 after that, … — the product-analytics staple (and, on a training
+ * pipeline's telemetry, the "ingest → clean → dedup → shipped" yield
+ * report).
+ *
+ * Semantics: a user converts step i at the EARLIEST event of type
+ * `steps(i)` strictly after their step-(i−1) conversion time (min-time
+ * matching). Earliest-next matching maximizes completion counts — if any
+ * ordered assignment completes the funnel, the greedy earliest one does —
+ * and makes the result deterministic under event-time ties across
+ * engines: ties on min(ts) collapse to the same instant, so no
+ * tie-breaking rule is ever needed.
+ *
+ * Scale shape: one pass per step over the events projected to
+ * (user, ts, type) — each pass filters to ONE event type (predicate
+ * pushes to the scan), joins on the user key against the (shrinking)
+ * converted-user set, and min-aggregates with map-side combine. k steps =
+ * k pushed-down scans + k user-key joins; no window over the full log, no
+ * per-user event-array collect (the sequence-match-via-array alternative
+ * materializes every user's full history in one row — skew bomb on hot
+ * users).
+ */
+object Funnel {
+
+  /**
+   * Per-step conversion counts: `(step, step_name, n_users)` with step
+   * numbered from 1; `n_users` is non-increasing by construction.
+   */
+  def conversion(events: DataFrame, userCol: String, tsCol: String,
+                 typeCol: String, steps: Seq[String]): DataFrame = {
+    require(steps.nonEmpty, "funnel needs at least one step")
+    val ev = events.select(col(userCol).as("u"), col(tsCol).as("ts"),
+      col(typeCol).as("et"))
+    val converted = steps.tail.scanLeft(
+      ev.filter(col("et") === steps.head).groupBy("u").agg(min("ts").as("t"))) {
+      (prev, step) =>
+        ev.filter(col("et") === step)
+          .join(prev, "u")
+          .filter(col("ts") > col("t"))
+          .groupBy("u").agg(min("ts").as("t"))
+    }
+    converted.zip(steps).zipWithIndex.map { case ((users, name), i) =>
+      users.agg(count(lit(1)).as("n_users"))
+        .select(lit(i + 1L).as("step"), lit(name).as("step_name"),
+          col("n_users"))
+    }.reduce(_ union _)
+  }
+
+  /**
+   * The per-user conversion times for the FULL funnel — `(user, t_1 …
+   * t_k)` for users who completed every step, for downstream latency
+   * percentiles (`Profile.quantiles` on `t_k − t_1`).
+   */
+  def completions(events: DataFrame, userCol: String, tsCol: String,
+                  typeCol: String, steps: Seq[String]): DataFrame = {
+    require(steps.nonEmpty, "funnel needs at least one step")
+    val ev = events.select(col(userCol).as("u"), col(tsCol).as("ts"),
+      col(typeCol).as("et"))
+    steps.zipWithIndex.foldLeft(Option.empty[DataFrame]) {
+      case (None, (step, _)) =>
+        Some(ev.filter(col("et") === step).groupBy("u").agg(min("ts").as("t_1")))
+      case (Some(prev), (step, i)) =>
+        Some(ev.filter(col("et") === step)
+          .join(prev, "u")
+          .filter(col("ts") > col(s"t_$i"))
+          .groupBy((col("u") +: (1 to i).map(j => col(s"t_$j"))): _*)
+          .agg(min("ts").as(s"t_${i + 1}")))
+    }.get.withColumnRenamed("u", userCol)
+  }
+}

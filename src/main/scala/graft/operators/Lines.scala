@@ -52,6 +52,25 @@ object Lines {
    * as the empty string (they are candidates for a follow-up length
    * filter, not silent row loss). All non-text columns pass through.
    */
+  /**
+   * Join-free removal of a KNOWN boilerplate line set (e.g. the output of
+   * [[duplicatedLines]] from a prior batch run): the list ships as a
+   * literal array and each row answers for itself — a pure projection, so
+   * it applies UNCHANGED to a Structured Streaming source, where the
+   * corpus-global count of [[dedupLines]] is unbounded state. Right for
+   * lists up to ~10k lines (≤ lines-per-doc × |list| compares per row);
+   * the same inline-vs-join trade as Web.blockByDomainInline.
+   */
+  def removeLinesInline(df: DataFrame, textCol: String,
+                        boilerplate: Seq[String]): DataFrame = {
+    val bl = typedlit(boilerplate)
+    df.withColumn(textCol,
+      array_join(
+        filter(split(coalesce(col(textCol), lit("")), "\n", -1),
+          x => !array_contains(bl, x)),
+        "\n"))
+  }
+
   def dedupLines(df: DataFrame, idCol: String, textCol: String,
                  maxDocs: Int): DataFrame = {
     val lines = explodeLines(df, idCol, textCol)

@@ -1,0 +1,44 @@
+package graft.operators
+
+import graft.SparkTestBase
+import org.apache.spark.sql.Row
+import java.sql.Timestamp
+
+class FunnelSpec extends SparkTestBase {
+
+  private def ts(s: Long) = Timestamp.from(java.time.Instant.ofEpochSecond(s))
+
+  // u1: full ordered funnel; u2: click BEFORE view (order violated);
+  // u3: view only; u4: view+click ordered, no purchase.
+  private lazy val events = df("user_id BIGINT, ts TIMESTAMP, event_type STRING", Seq(
+    Row(1L, ts(10), "view"), Row(1L, ts(20), "click"), Row(1L, ts(30), "purchase"),
+    Row(2L, ts(50), "click"), Row(2L, ts(60), "view"),
+    Row(3L, ts(70), "view"),
+    Row(4L, ts(80), "view"), Row(4L, ts(85), "click"),
+    Row(5L, ts(90), "purchase")))
+
+  private val steps = Seq("view", "click", "purchase")
+
+  test("conversion counts respect strict event order") {
+    assertRowsInOrder(
+      Funnel.conversion(events, "user_id", "ts", "event_type", steps)
+        .orderBy("step"),
+      Seq(Seq(1L, "view", 4L), Seq(2L, "click", 2L), Seq(3L, "purchase", 1L)))
+  }
+
+  test("earliest-next matching: a re-view after the click doesn't reset the funnel") {
+    val ev2 = events.union(df("user_id BIGINT, ts TIMESTAMP, event_type STRING",
+      Seq(Row(4L, ts(86), "view"), Row(4L, ts(87), "purchase"))))
+    assertRowsInOrder(
+      Funnel.conversion(ev2, "user_id", "ts", "event_type", steps).orderBy("step"),
+      Seq(Seq(1L, "view", 4L), Seq(2L, "click", 2L), Seq(3L, "purchase", 2L)))
+  }
+
+  test("completions returns full-funnel users with their step times") {
+    val out = Funnel.completions(events, "user_id", "ts", "event_type", steps)
+      .collect()
+    assert(out.length == 1)
+    assert(out(0).getLong(0) == 1L)
+    assert(out(0).getTimestamp(1) == ts(10) && out(0).getTimestamp(3) == ts(30))
+  }
+}

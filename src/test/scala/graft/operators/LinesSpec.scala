@@ -38,4 +38,15 @@ class LinesSpec extends SparkTestBase {
     assert(out.count() == 5)
     assertSameRows(out.filter("doc_id = 3").select("text"), Seq(Seq("")))
   }
+
+  test("removeLinesInline equals dedupLines given the discovered hot set, shuffle-free") {
+    val hot = Lines.duplicatedLines(docs, "doc_id", "text", 2)
+      .collect().map(_.getString(0)).toSeq
+    val inline = Lines.removeLinesInline(docs, "text", hot)
+    val joined = Lines.dedupLines(docs, "doc_id", "text", 2)
+    assert(inline.select("doc_id", "text").collect().map(_.toSeq).toSet ==
+      joined.select("doc_id", "text").collect().map(_.toSeq).toSet)
+    // pure projection: streaming-safe, no Exchange in the plan
+    assert(!inline.queryExecution.executedPlan.toString.contains("Exchange"))
+  }
 }
