@@ -1101,7 +1101,13 @@ object SparkEntry {
     "q_funnel" -> ((s, d) =>
       graft.operators.Funnel.conversion(executor(s, d).table("events"),
           "user_id", "ts", "event_type", Seq("view", "click", "purchase"))
-        .orderBy("step"))
+        .orderBy("step")),
+
+    // Weekly cohort retention triangle over the event log.
+    "q_cohort_retention" -> ((s, d) =>
+      graft.operators.Cohort.retention(executor(s, d).table("events"),
+          "user_id", "ts")
+        .orderBy("cohort", "period_offset"))
   )
 
   /** Synthesized HTML page per document (testdata has no raw HTML) —
@@ -1983,7 +1989,20 @@ object SparkEntry {
         |       (SELECT count(*) FROM s1) AS n_users
         |UNION ALL SELECT 2, 'click', (SELECT count(*) FROM s2)
         |UNION ALL SELECT 3, 'purchase', (SELECT count(*) FROM s3)
-        |ORDER BY step""".stripMargin
+        |ORDER BY step""".stripMargin,
+    "q_cohort_retention" ->
+      """WITH ev AS (SELECT user_id AS u, CAST(ts AS TIMESTAMP) AS ts FROM events),
+        |fst AS (SELECT u, min(ts) AS first_ts FROM ev GROUP BY 1),
+        |active AS (
+        |  SELECT DISTINCT e.u,
+        |    CAST(date_trunc('week', f.first_ts) AS DATE) AS cohort,
+        |    CAST(datediff('day',
+        |           CAST(date_trunc('week', f.first_ts) AS DATE),
+        |           CAST(date_trunc('week', e.ts) AS DATE)) / 7 AS BIGINT)
+        |      AS period_offset
+        |  FROM ev e JOIN fst f ON e.u = f.u)
+        |SELECT cohort, period_offset, count(*) AS n_users
+        |FROM active GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
     // q_dedup_minhash / q_dedup_simhash / q_text_fingerprint / q_ann_lsh /
     // q_ann_ivf: hash-based or deliberately approximate — not DuckDB-
     // expressible, so the driver records the weaker rows-only check.
