@@ -1107,8 +1107,28 @@ object SparkEntry {
     "q_cohort_retention" -> ((s, d) =>
       graft.operators.Cohort.retention(executor(s, d).table("events"),
           "user_id", "ts")
-        .orderBy("cohort", "period_offset"))
+        .orderBy("cohort", "period_offset")),
+
+    // Character-class (script) profiling over docs with a mixed-script
+    // suffix appended (testdata is pure ASCII) — wrong-script screening.
+    "q_script_profile" -> ((s, d) =>
+      docs(s, d)
+        .select(col("doc_id"),
+          TF.scriptProfile(
+            concat(coalesce(col("text"), lit("")), lit(scriptSuffix))).as("p"))
+        .select(col("doc_id"), col("p.latin").as("latin"),
+          col("p.digit").as("digit"), col("p.space").as("space"),
+          col("p.cjk").as("cjk"), col("p.cyrillic").as("cyrillic"),
+          col("p.arabic").as("arabic"), col("p.other").as("other"))
+        .orderBy("doc_id"))
   )
+
+  /** Mixed-script text appended by the script-profile gate — CJK,
+    * Cyrillic, Arabic (incl. Arabic-Indic digits), ASCII digits — shared
+    * with the oracle SQL so the two sides cannot drift. */
+  private val scriptSuffix =
+    " 你好世界 Привет" +
+      " مرحبا ١٢٣ 2024!"
 
   /** Synthesized HTML page per document (testdata has no raw HTML) —
     * mirrored verbatim in `htmlDocsSql`. */
@@ -2002,7 +2022,22 @@ object SparkEntry {
         |      AS period_offset
         |  FROM ev e JOIN fst f ON e.u = f.u)
         |SELECT cohort, period_offset, count(*) AS n_users
-        |FROM active GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+        |FROM active GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q_script_profile" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, coalesce(text, '') || '$scriptSuffix' AS t2
+         |  FROM documents)
+         |SELECT doc_id,
+         |  round(length(regexp_replace(t2, '[^A-Za-z]', '', 'g')) / length(t2), 6) AS latin,
+         |  round(length(regexp_replace(t2, '[^0-9]', '', 'g')) / length(t2), 6) AS digit,
+         |  round(length(regexp_replace(t2, '[^ \\t\\n\\r]', '', 'g')) / length(t2), 6) AS space,
+         |  round(length(regexp_replace(t2, '[^\\x{4e00}-\\x{9fff}\\x{3040}-\\x{30ff}]', '', 'g')) / length(t2), 6) AS cjk,
+         |  round(length(regexp_replace(t2, '[^\\x{0400}-\\x{04ff}]', '', 'g')) / length(t2), 6) AS cyrillic,
+         |  round(length(regexp_replace(t2, '[^\\x{0600}-\\x{06ff}]', '', 'g')) / length(t2), 6) AS arabic,
+         |  round(length(regexp_replace(t2,
+         |    '[A-Za-z0-9 \\t\\n\\r\\x{4e00}-\\x{9fff}\\x{3040}-\\x{30ff}\\x{0400}-\\x{04ff}\\x{0600}-\\x{06ff}]',
+         |    '', 'g')) / length(t2), 6) AS other
+         |FROM t ORDER BY doc_id""".stripMargin
     // q_dedup_minhash / q_dedup_simhash / q_text_fingerprint / q_ann_lsh /
     // q_ann_ivf: hash-based or deliberately approximate — not DuckDB-
     // expressible, so the driver records the weaker rows-only check.

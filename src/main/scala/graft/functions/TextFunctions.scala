@@ -151,6 +151,41 @@ object TextFunctions {
       stopSignal * lit(0.25) + alnumRatio * lit(0.25), 6)
   }
 
+  /** Unicode script ranges for [[scriptProfile]], in the `\x{…}` class
+    * syntax Java regex and RE2 share (the DuckDB oracle states the same
+    * classes). Deliberately the big contiguous blocks, not full Unicode
+    * script properties — `\p{Script=…}` is NOT portable across engines. */
+  val scriptRanges: Seq[(String, String)] = Seq(
+    "latin"    -> "A-Za-z",
+    "digit"    -> "0-9",
+    "space"    -> " \\t\\n\\r",
+    "cjk"      -> "\\x{4e00}-\\x{9fff}\\x{3040}-\\x{30ff}",
+    "cyrillic" -> "\\x{0400}-\\x{04ff}",
+    "arabic"   -> "\\x{0600}-\\x{06ff}")
+
+  /**
+   * Per-document character-class fractions — struct of
+   * `latin/digit/space/cjk/cyrillic/arabic/other`, each rounded to
+   * 6 dp (empty text → all zero). The cheap "is this corpus slice the
+   * language its metadata claims" screen: wrong-script text is the
+   * loudest contamination signal and needs no model. Counts are exact
+   * integers (length of a class-filtered copy); only the final division
+   * is floating-point — the [[qualityScore]] determinism pattern.
+   */
+  def scriptProfile(text: Column): Column = {
+    val t = coalesce(text, lit(""))
+    val n = length(t).cast("double")
+    def frac(cls: String): Column =
+      when(n > 0, round(length(regexp_replace(t, s"[^$cls]", "")) / n, 6))
+        .otherwise(lit(0.0))
+    val allCls = scriptRanges.map(_._2).mkString
+    val other = when(n > 0,
+      round(length(regexp_replace(t, s"[$allCls]", "")) / n, 6))
+      .otherwise(lit(0.0))
+    struct((scriptRanges.map { case (name, cls) => frac(cls).as(name) } :+
+      other.as("other")): _*)
+  }
+
   /** 64-bit content fingerprint of normalized text (whitespace-collapsed,
     * lowercased) — exact-dup detection key. */
   def contentFingerprint(text: Column): Column =

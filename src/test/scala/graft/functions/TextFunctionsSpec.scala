@@ -140,4 +140,20 @@ class TextFunctionsSpec extends SparkTestBase {
     val n = df("text STRING", Seq(org.apache.spark.sql.Row(null)))
     assert(n.select(TF.nfcNormalize(col("text"))).head().isNullAt(0))
   }
+
+  test("scriptProfile: exact character-class fractions; empty and null are all-zero") {
+    import org.apache.spark.sql.Row
+    val d = df("text STRING", Seq(
+      Row("abc 你好"),        // 3 latin, 1 space, 2 CJK of 6
+      Row("При 12"),   // 3 cyrillic, 1 space, 2 digits of 6
+      Row("١٢~"),           // 2 arabic-indic digits + 1 other of 3
+      Row(""), Row(null)))
+    val out = d.select(TF.scriptProfile(col("text")).as("p")).select("p.*").collect()
+    def f(v: Double) = BigDecimal(v).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(out(0).getDouble(0) == f(3.0 / 6) && out(0).getDouble(3) == f(2.0 / 6)
+      && out(0).getDouble(2) == f(1.0 / 6) && out(0).getDouble(6) == 0.0)
+    assert(out(1).getDouble(4) == f(3.0 / 6) && out(1).getDouble(1) == f(2.0 / 6))
+    assert(out(2).getDouble(5) == f(2.0 / 3) && out(2).getDouble(6) == f(1.0 / 3))
+    assert(out(3).toSeq.forall(_ == 0.0) && out(4).toSeq.forall(_ == 0.0))
+  }
 }
