@@ -1120,7 +1120,16 @@ object SparkEntry {
           col("p.digit").as("digit"), col("p.space").as("space"),
           col("p.cjk").as("cjk"), col("p.cyrillic").as("cyrillic"),
           col("p.arabic").as("arabic"), col("p.other").as("other"))
-        .orderBy("doc_id"))
+        .orderBy("doc_id")),
+
+    // Label-centroid outlier screen: 5 most-suspect vectors per label by
+    // cosine to their own label's centroid (mislabel/junk curation queue).
+    "q_embed_outliers" -> ((s, d) =>
+      graft.operators.Centroids.outliers(
+          embeddings(s, d).select(col("vec_id"), col("label"),
+            VF.asDouble(col("embedding")).as("v")),
+          "vec_id", "v", "label", k = 5)
+        .orderBy("label", "rank"))
   )
 
   /** Mixed-script text appended by the script-profile gate — CJK,
@@ -2037,7 +2046,28 @@ object SparkEntry {
          |  round(length(regexp_replace(t2,
          |    '[A-Za-z0-9 \\t\\n\\r\\x{4e00}-\\x{9fff}\\x{3040}-\\x{30ff}\\x{0400}-\\x{04ff}\\x{0600}-\\x{06ff}]',
          |    '', 'g')) / length(t2), 6) AS other
-         |FROM t ORDER BY doc_id""".stripMargin
+         |FROM t ORDER BY doc_id""".stripMargin,
+    "q_embed_outliers" ->
+      """WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+        |           FROM embeddings),
+        |ex AS (SELECT vec_id, label, unnest(v) AS x,
+        |              unnest(range(1, len(v) + 1)) AS pos FROM e),
+        |cent AS (
+        |  SELECT label, pos,
+        |    CAST(sum(CAST(round(x, 9) AS DECIMAL(27,9))) AS DOUBLE) / count(*) AS c
+        |  FROM ex GROUP BY 1, 2),
+        |cl AS (SELECT label, list(c ORDER BY pos) AS cv FROM cent GROUP BY 1),
+        |scored AS (
+        |  SELECT e.vec_id, e.label,
+        |         round(list_cosine_similarity(e.v, cl.cv), 6) AS cosine
+        |  FROM e JOIN cl USING (label)),
+        |ranked AS (
+        |  SELECT label, vec_id, cosine,
+        |    CAST(row_number() OVER (PARTITION BY label
+        |         ORDER BY cosine ASC, vec_id ASC) AS BIGINT) AS rank
+        |  FROM scored)
+        |SELECT label, rank, vec_id, cosine FROM ranked
+        |WHERE rank <= 5 ORDER BY label, rank""".stripMargin
     // q_dedup_minhash / q_dedup_simhash / q_text_fingerprint / q_ann_lsh /
     // q_ann_ivf: hash-based or deliberately approximate — not DuckDB-
     // expressible, so the driver records the weaker rows-only check.

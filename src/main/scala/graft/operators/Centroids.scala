@@ -1,0 +1,65 @@
+package graft.operators
+
+import graft.functions.{VectorFunctions => VF}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/**
+ * Per-label embedding centroids and distance-to-centroid outlier
+ * screening — the standard "is this example labeled right / is this
+ * cluster coherent" pass over an embedded dataset: vectors far from
+ * their own label's centroid are mislabels, boundary cases, or junk, and
+ * ranking by that distance is the curation queue.
+ *
+ * Determinism at scale: the centroid mean is a per-dimension DECIMAL sum
+ * (each component rounds to 9 dp first) — associative, so the result is
+ * identical under any partitioning — divided once as DOUBLE; cosines
+ * against the centroid use the same fused loop as the ANN operators and
+ * round to 6 dp (SparkEntry float policy).
+ *
+ * Scale shape: posexplode multiplies rows by the dimension count, but
+ * the (label, dim) aggregate map-side-combines to |labels|×dims partial
+ * rows per partition — network volume is independent of corpus size.
+ * Centroids are |labels|-sized, so the score join BROADCASTs; scoring is
+ * then one codegen'd map pass, and outlier top-k is a per-label window
+ * over (small) per-label candidate sets.
+ */
+object Centroids {
+
+  /** `(label, centroid)` — per-dimension add-exact mean of each label's
+    * vectors. All vectors must share one dimensionality. */
+  def labelCentroids(df: DataFrame, vecCol: String, labelCol: String): DataFrame = {
+    val ex = df.select(col(labelCol).as("label"),
+      posexplode(col(vecCol)).as(Seq("pos", "x")))
+    ex.groupBy("label", "pos")
+      .agg((sum(round(col("x"), 9).cast("decimal(27,9)")).cast("double") /
+        count(lit(1))).as("c"))
+      .groupBy("label")
+      .agg(expr("transform(array_sort(collect_list(struct(pos, c))), s -> s.c)")
+        .as("centroid"))
+  }
+
+  /** Each vector's cosine to its OWN label's centroid:
+    * `(idCol, label, cosine)`, cosine rounded to 6 dp. */
+  def cosineToCentroid(df: DataFrame, idCol: String, vecCol: String,
+                       labelCol: String): DataFrame = {
+    val cents = broadcast(labelCentroids(df, vecCol, labelCol))
+    df.select(col(idCol), col(labelCol).as("label"), col(vecCol).as("__v"))
+      .join(cents, "label")
+      .select(col(idCol), col("label"),
+        round(VF.cosine(col("__v"), col("centroid")), 6).as("cosine"))
+  }
+
+  /** The k vectors FARTHEST from their label centroid, per label —
+    * `(label, rank, idCol, cosine)`, rank 1 = most suspicious. */
+  def outliers(df: DataFrame, idCol: String, vecCol: String,
+               labelCol: String, k: Int): DataFrame = {
+    val w = Window.partitionBy("label")
+      .orderBy(col("cosine").asc, col(idCol).asc)
+    cosineToCentroid(df, idCol, vecCol, labelCol)
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("label"), col("rank"), col(idCol), col("cosine"))
+  }
+}

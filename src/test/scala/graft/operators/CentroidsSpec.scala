@@ -1,0 +1,37 @@
+package graft.operators
+
+import graft.SparkTestBase
+import org.apache.spark.sql.Row
+
+class CentroidsSpec extends SparkTestBase {
+
+  private lazy val vecs = df("id BIGINT, label STRING, v ARRAY<DOUBLE>", Seq(
+    Row(1L, "a", Seq(1.0, 0.0)),
+    Row(2L, "a", Seq(0.0, 1.0)),
+    Row(3L, "a", Seq(1.0, 1.0)),     // closest to centroid (0.5+1/3... )
+    Row(4L, "b", Seq(-1.0, 0.0)),
+    Row(5L, "b", Seq(-1.0, -0.02))))
+
+  test("labelCentroids computes per-dimension means in order") {
+    val cents = Centroids.labelCentroids(vecs, "v", "label")
+      .collect().map(r => r.getString(0) -> r.getSeq[Double](1)).toMap
+    assert(cents("a") == Seq(2.0 / 3, 2.0 / 3))
+    assert(cents("b") == Seq(-1.0, -0.01))
+  }
+
+  test("outliers ranks the farthest-from-centroid vectors first") {
+    // label a: centroid (2/3, 2/3); v3 is perfectly aligned (cos=1),
+    // v1/v2 are symmetric at cos = 1/sqrt(2) — id tiebreak puts v1 first.
+    val out = Centroids.outliers(vecs, "id", "v", "label", k = 2)
+      .orderBy("label", "rank").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(out.toSeq == Seq(("a", 1L, 1L), ("a", 2L, 2L), ("b", 1L, 4L), ("b", 2L, 5L)))
+  }
+
+  test("a vector equal to the centroid scores cosine 1.0") {
+    val one = df("id BIGINT, label STRING, v ARRAY<DOUBLE>", Seq(
+      Row(1L, "x", Seq(3.0, 4.0))))
+    val c = Centroids.cosineToCentroid(one, "id", "v", "label").collect()
+    assert(c(0).getDouble(2) == 1.0)
+  }
+}
