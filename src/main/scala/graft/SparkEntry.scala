@@ -1129,7 +1129,18 @@ object SparkEntry {
           embeddings(s, d).select(col("vec_id"), col("label"),
             VF.asDouble(col("embedding")).as("v")),
           "vec_id", "v", "label", k = 5)
-        .orderBy("label", "rank"))
+        .orderBy("label", "rank")),
+
+    // Token-budget mixture sampling: per-source token budgets, greedy
+    // md5-ordered take (src2's 1-token budget keeps exactly one doc;
+    // sources without a budget drop).
+    "q_sample_token_budget" -> ((s, d) =>
+      graft.operators.Sample.tokenBudgetPerKey(
+          docs(s, d).select(col("doc_id"), col("source"),
+            TF.tokenCount(col("text")).as("n_tokens")),
+          "source", "n_tokens", "doc_id",
+          Map("src0" -> 2000L, "src1" -> 600L, "src2" -> 1L))
+        .orderBy("doc_id"))
   )
 
   /** Mixed-script text appended by the script-profile gate — CJK,
@@ -2067,7 +2078,21 @@ object SparkEntry {
         |         ORDER BY cosine ASC, vec_id ASC) AS BIGINT) AS rank
         |  FROM scored)
         |SELECT label, rank, vec_id, cosine FROM ranked
-        |WHERE rank <= 5 ORDER BY label, rank""".stripMargin
+        |WHERE rank <= 5 ORDER BY label, rank""".stripMargin,
+    "q_sample_token_budget" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, source, len($toksSql) AS n_tokens FROM documents),
+         |wb AS (
+         |  SELECT *, coalesce(sum(n_tokens) OVER (
+         |    PARTITION BY source
+         |    ORDER BY md5(CAST(doc_id AS VARCHAR)) ASC, doc_id ASC
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS bef
+         |  FROM t)
+         |SELECT doc_id, source, n_tokens FROM wb
+         |WHERE (source = 'src0' AND bef < 2000)
+         |   OR (source = 'src1' AND bef < 600)
+         |   OR (source = 'src2' AND bef < 1)
+         |ORDER BY doc_id""".stripMargin
     // q_dedup_minhash / q_dedup_simhash / q_text_fingerprint / q_ann_lsh /
     // q_ann_ivf: hash-based or deliberately approximate — not DuckDB-
     // expressible, so the driver records the weaker rows-only check.

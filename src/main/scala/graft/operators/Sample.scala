@@ -153,4 +153,36 @@ object Sample {
       .filter(col("__pr") <= frac)
       .drop("__pr")
   }
+
+  /**
+   * Sample each key's documents up to a TOKEN budget, not a document
+   * count — how pretraining mixtures are actually specified ("300 B
+   * tokens of web, 50 B of code"). Documents are taken in deterministic
+   * md5(id) order (unbiased w.r.t. content and insert order, identical
+   * across engines/reruns); a document is kept iff the tokens BEFORE it
+   * in that order leave budget open, so the budget may overshoot by at
+   * most one document — the greedy rule every mixture script uses;
+   * `sizeCol` is the per-document token count (precomputed, e.g.
+   * `TextFunctions.tokenCount`). Keys missing from `budgets` are dropped.
+   *
+   * One window pass per the [[capPerKey]] shape: shuffle on the mixture
+   * key, per-group sort, running DECIMAL-exact integer sum — no global
+   * count, no RNG, no driver loop.
+   */
+  def tokenBudgetPerKey(df: DataFrame, keyCol: String, sizeCol: String,
+                        idCol: String, budgets: Map[String, Long]): DataFrame = {
+    require(budgets.values.forall(_ >= 0), "budgets must be >= 0")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(keyCol))
+      .orderBy(md5(col(idCol).cast("string")).asc, col(idCol).asc)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val budget = budgets.foldLeft(lit(null).cast("long")) {
+      case (elseCol, (k, b)) =>
+        when(col(keyCol) === k, lit(b)).otherwise(elseCol)
+    }
+    df.withColumn("__before", coalesce(sum(col(sizeCol)).over(w), lit(0L)))
+      .withColumn("__budget", budget)
+      .filter(col("__budget").isNotNull && col("__before") < col("__budget"))
+      .drop("__before", "__budget")
+  }
 }

@@ -219,6 +219,27 @@ class CurationSpec extends SparkTestBase {
     assert(Sample.capPerKey(docs, "source", "text", "doc_id", 100).count() == 30L)
   }
 
+  test("tokenBudgetPerKey: greedy md5-order take, ≤1-doc overshoot, budgetless keys drop") {
+    val rows = (1 to 10).map(i => org.apache.spark.sql.Row(
+      i.toLong, if (i <= 8) "web" else "books", 100L))
+    val docs = df("doc_id BIGINT, source STRING, n_tokens BIGINT", rows)
+    val kept = Sample.tokenBudgetPerKey(docs, "source", "n_tokens", "doc_id",
+      Map("web" -> 250L))
+    val web = kept.collect()
+    // 100+100 < 250, third doc starts at 200 < 250 (overshoot by one), fourth at 300 stops
+    assert(web.length == 3 && web.forall(_.getString(1) == "web"))
+    // books has no budget → dropped entirely
+    assert(!web.exists(_.getString(1) == "books"))
+    // deterministic rerun, zero budget drops all, exact-fit keeps exactly those docs
+    assert(Sample.tokenBudgetPerKey(docs, "source", "n_tokens", "doc_id",
+      Map("web" -> 250L)).collect().map(_.getLong(0)).toSeq ==
+      web.map(_.getLong(0)).toSeq)
+    assert(Sample.tokenBudgetPerKey(docs, "source", "n_tokens", "doc_id",
+      Map("web" -> 0L)).count() == 0L)
+    assert(Sample.tokenBudgetPerKey(docs, "source", "n_tokens", "doc_id",
+      Map("web" -> 800L, "books" -> 200L)).count() == 10L)
+  }
+
   test("pseudonymize: stable keyed hashes, null-preserving, salt-sensitive") {
     val users = df("id BIGINT, user STRING", Seq(
       org.apache.spark.sql.Row(1L, "alice"),
