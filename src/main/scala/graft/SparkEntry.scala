@@ -1140,7 +1140,20 @@ object SparkEntry {
             TF.tokenCount(col("text")).as("n_tokens")),
           "source", "n_tokens", "doc_id",
           Map("src0" -> 2000L, "src1" -> 600L, "src2" -> 1L))
-        .orderBy("doc_id"))
+        .orderBy("doc_id")),
+
+    // Snapshot diff: v2 drops ids %10=0, edits ids %7=0, adds 5 new ids —
+    // classified per id against the original (mirrored in the oracle).
+    "q_snapshot_diff" -> ((s, d) => {
+      val base = docs(s, d).select(col("doc_id"), col("text"))
+      val v2 = base.filter(col("doc_id") % 10 =!= 0)
+        .withColumn("text", when(col("doc_id") % 7 === 0,
+          concat(col("text"), lit(" v2"))).otherwise(col("text")))
+        .unionByName(base.filter(col("doc_id") < 5)
+          .select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
+      graft.operators.Snapshot.diff(base, v2, "doc_id", "text")
+        .orderBy("id")
+    })
   )
 
   /** Mixed-script text appended by the script-profile gate — CJK,
@@ -2092,7 +2105,24 @@ object SparkEntry {
          |WHERE (source = 'src0' AND bef < 2000)
          |   OR (source = 'src1' AND bef < 600)
          |   OR (source = 'src2' AND bef < 1)
-         |ORDER BY doc_id""".stripMargin
+         |ORDER BY doc_id""".stripMargin,
+    "q_snapshot_diff" ->
+      """WITH o AS (SELECT doc_id AS id, md5(text) AS od, true AS op
+        |           FROM documents),
+        |n0 AS (
+        |  SELECT doc_id, CASE WHEN doc_id % 7 = 0 THEN text || ' v2'
+        |                      ELSE text END AS text
+        |  FROM documents WHERE doc_id % 10 != 0
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, text FROM documents WHERE doc_id < 5),
+        |n AS (SELECT doc_id AS id, md5(text) AS nd, true AS np FROM n0)
+        |SELECT coalesce(o.id, n.id) AS id,
+        |  CASE WHEN op IS NULL THEN 'added'
+        |       WHEN np IS NULL THEN 'removed'
+        |       WHEN od IS NOT DISTINCT FROM nd THEN 'unchanged'
+        |       ELSE 'changed' END AS status
+        |FROM o FULL OUTER JOIN n ON o.id = n.id
+        |ORDER BY id""".stripMargin
     // q_dedup_minhash / q_dedup_simhash / q_text_fingerprint / q_ann_lsh /
     // q_ann_ivf: hash-based or deliberately approximate — not DuckDB-
     // expressible, so the driver records the weaker rows-only check.
