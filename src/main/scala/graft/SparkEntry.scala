@@ -1153,7 +1153,26 @@ object SparkEntry {
           .select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
       graft.operators.Snapshot.diff(base, v2, "doc_id", "text")
         .orderBy("id")
-    })
+    }),
+
+    // Canonical URL normalization over four synthesized URL shapes
+    // (tracking params, default ports, mixed case, fragments,
+    // non-http scheme, relative pass-through).
+    "q_web_canonical" -> ((s, d) =>
+      docs(s, d).select(col("doc_id"),
+          when(col("doc_id") % 4 === 0,
+            concat(lit("HTTP://WWW.Example.com:80/A/"), col("doc_id"),
+              lit("?utm_campaign=x&page="), col("doc_id")))
+            .when(col("doc_id") % 4 === 1,
+              concat(lit("https://Example.com/p/"), col("doc_id"),
+                lit("?a=1&fbclid="), col("doc_id"), lit("&b=2#sec")))
+            .when(col("doc_id") % 4 === 2,
+              concat(lit("FTP://Host.Example:21/data/"), col("doc_id")))
+            .otherwise(concat(lit("relative/path/"), col("doc_id")))
+            .as("url"))
+        .select(col("doc_id"),
+          graft.operators.Web.canonicalUrl(col("url")).as("url"))
+        .orderBy("doc_id"))
   )
 
   /** Mixed-script text appended by the script-profile gate — CJK,
@@ -2122,7 +2141,33 @@ object SparkEntry {
         |       WHEN od IS NOT DISTINCT FROM nd THEN 'unchanged'
         |       ELSE 'changed' END AS status
         |FROM o FULL OUTER JOIN n ON o.id = n.id
-        |ORDER BY id""".stripMargin
+        |ORDER BY id""".stripMargin,
+    "q_web_canonical" ->
+      """WITH raw AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 4 = 0 THEN
+        |      'HTTP://WWW.Example.com:80/A/' || doc_id || '?utm_campaign=x&page=' || doc_id
+        |    WHEN doc_id % 4 = 1 THEN
+        |      'https://Example.com/p/' || doc_id || '?a=1&fbclid=' || doc_id || '&b=2#sec'
+        |    WHEN doc_id % 4 = 2 THEN
+        |      'FTP://Host.Example:21/data/' || doc_id
+        |    ELSE 'relative/path/' || doc_id END AS u
+        |  FROM documents),
+        |pre AS (SELECT doc_id, u, regexp_replace(u, '(?s)#.*$', '') AS u2 FROM raw)
+        |SELECT doc_id,
+        |  CASE WHEN regexp_extract(u2, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1) = '' THEN u
+        |  ELSE lower(regexp_extract(u2, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) || '://' ||
+        |    CASE WHEN lower(regexp_extract(u2, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) = 'http'
+        |         THEN regexp_replace(lower(regexp_extract(u2, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1)), ':80$', '')
+        |         WHEN lower(regexp_extract(u2, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) = 'https'
+        |         THEN regexp_replace(lower(regexp_extract(u2, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1)), ':443$', '')
+        |         ELSE lower(regexp_extract(u2, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1)) END ||
+        |    regexp_replace(regexp_replace(regexp_replace(
+        |      regexp_replace(regexp_extract(u2, '(?s)^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*(.*)$', 1),
+        |        '([?&])(?:utm_[A-Za-z0-9_]+|fbclid|gclid|mc_cid|mc_eid)=[^&]*', '\1', 'g'),
+        |      '&{2,}', '&', 'g'), '\?&', '?', 'g'), '[?&]+$', '', 'g')
+        |  END AS url
+        |FROM pre ORDER BY doc_id""".stripMargin
     // q_dedup_minhash / q_dedup_simhash / q_text_fingerprint / q_ann_lsh /
     // q_ann_ivf: hash-based or deliberately approximate — not DuckDB-
     // expressible, so the driver records the weaker rows-only check.

@@ -85,6 +85,35 @@ object Web {
     df.where(!coalesce(isBlocked(col(urlCol), blocked), lit(false)))
 
   /**
+   * Canonical URL normalization — the dedup-prep pass that makes "the
+   * same page" hash the same: drop the fragment, lowercase scheme and
+   * authority (DNS is case-insensitive; the PATH stays case-sensitive),
+   * strip the scheme's default port (:80/:443), and remove the common
+   * tracking parameters (utm_*, fbclid, gclid, mc_cid/mc_eid) with
+   * separator cleanup. Non-absolute inputs pass through unchanged.
+   * Pure regex chain in the portable Java/RE2 subset (the oracle states
+   * the same chain — only the backreference spelling differs, `$1`
+   * vs `\1`).
+   */
+  def canonicalUrl(url: Column): Column = {
+    val u2 = regexp_replace(url, "(?s)#.*$", "")
+    val scheme = lower(regexp_extract(u2, "^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
+    val auth = lower(regexp_extract(u2, "^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)", 1))
+    val authNoPort =
+      when(scheme === "http", regexp_replace(auth, ":80$", ""))
+        .when(scheme === "https", regexp_replace(auth, ":443$", ""))
+        .otherwise(auth)
+    val rest = regexp_extract(u2,
+      "(?s)^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*(.*)$", 1)
+    val cleaned = regexp_replace(regexp_replace(regexp_replace(
+      regexp_replace(rest,
+        "([?&])(?:utm_[A-Za-z0-9_]+|fbclid|gclid|mc_cid|mc_eid)=[^&]*", "$1"),
+      "&{2,}", "&"), "\\?&", "?"), "[?&]+$", "")
+    when(scheme === "", url)
+      .otherwise(concat(scheme, lit("://"), authNoPort, cleaned))
+  }
+
+  /**
    * HTML → text extraction: strip script/style/comment blocks, turn
    * block-level tags into newlines (paragraph structure feeds the
    * line-level operators — [[Lines]], quality line fractions), drop the

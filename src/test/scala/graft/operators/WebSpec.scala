@@ -75,6 +75,29 @@ class WebSpec extends SparkTestBase {
     assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"), plan)
   }
 
+  test("canonicalUrl: case, ports, fragments, tracking params; path case preserved") {
+    import org.apache.spark.sql.functions.col
+    val urls = df("id BIGINT, u STRING", Seq(
+      Row(1L, "HTTP://WWW.Example.com:80/A/x?utm_campaign=z&page=2"),
+      Row(2L, "https://Example.com/p?a=1&fbclid=99&b=2#sec"),
+      Row(3L, "FTP://Host.Example:21/data"),      // non-http port kept
+      Row(4L, "relative/path"),                   // pass-through
+      Row(5L, "https://h.com/x?utm_a=1&utm_b=2"), // all params tracking
+      Row(6L, "https://h.com:443/x")))
+    val out = urls.select(col("id"), Web.canonicalUrl(col("u")).as("c"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out(1L) == "http://www.example.com/A/x?page=2")
+    assert(out(2L) == "https://example.com/p?a=1&b=2")
+    assert(out(3L) == "ftp://host.example:21/data")
+    assert(out(4L) == "relative/path")
+    assert(out(5L) == "https://h.com/x")
+    assert(out(6L) == "https://h.com/x")
+    // dedup consequence: variant spellings of one page now hash together
+    val variants = df("u STRING", Seq(
+      Row("https://A.com/p?utm_source=m"), Row("HTTPS://a.com:443/p#top")))
+    assert(variants.select(Web.canonicalUrl(col("u"))).distinct().count() == 1L)
+  }
+
   test("extractText strips blocks/tags, decodes entities one level, keeps structure") {
     import org.apache.spark.sql.functions.col
     val html = df("id BIGINT, h STRING", Seq(
