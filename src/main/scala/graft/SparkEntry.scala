@@ -1172,7 +1172,24 @@ object SparkEntry {
             .as("url"))
         .select(col("doc_id"),
           graft.operators.Web.canonicalUrl(col("url")).as("url"))
-        .orderBy("doc_id"))
+        .orderBy("doc_id")),
+
+    // Composed keep-best-per-dup-cluster: corpus ∪ SHOUTING twins cluster
+    // on the case-normalized digest; the quality argmax keeps the natural-
+    // cased original every time (stopword hits are case-sensitive, all
+    // other quality terms are case-invariant, ties fall to the smaller
+    // id) — so the oracle is closed-form: the originals + their scores.
+    "q_dedup_keep_best" -> ((s, d) => {
+      val d0 = docs(s, d).select(col("doc_id"), col("text"))
+      val twins = d0.select((col("doc_id") + lit(1000000L)).as("doc_id"),
+        upper(col("text")).as("text"))
+      val all = d0.unionByName(twins)
+        .withColumn("__cluster", md5(lower(col("text"))))
+        .withColumn("__q", TF.qualityScore(col("text")))
+      graft.operators.Sample.topPerKey(all, "__cluster", "__q", k = 1, "doc_id")
+        .select(col("doc_id"), col("__q").as("quality"))
+        .orderBy("doc_id")
+    })
   )
 
   /** Mixed-script text appended by the script-profile gate — CJK,
@@ -2167,7 +2184,10 @@ object SparkEntry {
         |        '([?&])(?:utm_[A-Za-z0-9_]+|fbclid|gclid|mc_cid|mc_eid)=[^&]*', '\1', 'g'),
         |      '&{2,}', '&', 'g'), '\?&', '?', 'g'), '[?&]+$', '', 'g')
         |  END AS url
-        |FROM pre ORDER BY doc_id""".stripMargin
+        |FROM pre ORDER BY doc_id""".stripMargin,
+    // Closed form (see the gate comment): survivors are exactly the
+    // original documents with their own quality scores.
+    "q_dedup_keep_best" -> (qualityOracle + " ORDER BY doc_id")
     // q_dedup_minhash / q_dedup_simhash / q_text_fingerprint / q_ann_lsh /
     // q_ann_ivf: hash-based or deliberately approximate — not DuckDB-
     // expressible, so the driver records the weaker rows-only check.
