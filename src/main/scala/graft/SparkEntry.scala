@@ -891,6 +891,16 @@ object SparkEntry {
         Seq(count(lit(1)).as("n"),
           sum(col("o_totalprice").cast("decimal(18,2)")).as("rev")))),
 
+    // Full CUBE lattice over the same shape (2^n grouping sets in one
+    // aggregation), vs SQL-standard GROUP BY CUBE.
+    "q_olap_cube" -> ((s, d) =>
+      graft.operators.Olap.cubeAgg(
+        executor(s, d).table("orders")
+          .select(col("o_orderpriority"), col("o_orderstatus"), col("o_totalprice")),
+        Seq("o_orderpriority", "o_orderstatus"),
+        Seq(count(lit(1)).as("n"),
+          sum(col("o_totalprice").cast("decimal(18,2)")).as("rev")))),
+
     // Count matrix (day × event_type): explicit pivot domain — no
     // domain-discovery scan — and 0-filled empty cells, vs DuckDB
     // conditional aggregation.
@@ -1822,6 +1832,11 @@ object SparkEntry {
         "CAST(GROUPING(o_orderpriority, o_orderstatus) AS BIGINT) AS gid, " +
         "count(*) AS n, sum(CAST(o_totalprice AS DECIMAL(18,2))) AS rev " +
         "FROM orders GROUP BY ROLLUP(o_orderpriority, o_orderstatus)"),
+    "q_olap_cube" ->
+      ("SELECT o_orderpriority, o_orderstatus, " +
+        "CAST(GROUPING(o_orderpriority, o_orderstatus) AS BIGINT) AS gid, " +
+        "count(*) AS n, sum(CAST(o_totalprice AS DECIMAL(18,2))) AS rev " +
+        "FROM orders GROUP BY CUBE(o_orderpriority, o_orderstatus)"),
     "q_olap_pivot" ->
       ("SELECT CAST(ts AS DATE) AS day, " +
         "count(*) FILTER (WHERE event_type = 'click') AS click, " +

@@ -15,6 +15,7 @@ import org.apache.spark.sql.functions._
 class StreamingCurationSpec extends SparkTestBase {
 
   case class Doc(doc_id: Long, text: String, lang: String)
+  case class HtmlPage(id: Long, html: String)
 
   private val docsFixture = Seq(
     Doc(1, (1 to 60).map(i => if (i % 7 == 0) "the" else s"tok$i").mkString(" "), "en"),
@@ -103,6 +104,35 @@ class StreamingCurationSpec extends SparkTestBase {
         .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
       assert(stream == batch)
       assert(stream.map(_._1) == Seq(2L, 4L)) // tracker.net + subdomain dropped
+    } finally q.stop()
+  }
+
+  test("HTML extract → inline line blocklist → script profile on a stream equal batch") {
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    val pages = Seq(
+      HtmlPage(1, "<html><body><p>Real content</p><div>SUBSCRIBE NOW</div></body></html>"),
+      HtmlPage(2, "<p>Другой текст</p><div>SUBSCRIBE NOW</div><script>x()</script>"),
+      HtmlPage(3, "no markup at all"))
+    val mem = MemoryStream[HtmlPage]
+    mem.addData(pages: _*)
+    def chain(df: org.apache.spark.sql.DataFrame) = {
+      val extracted = df.select(col("id"),
+        graft.operators.Web.extractText(col("html")).as("text"))
+      graft.operators.Lines.removeLinesInline(extracted, "text", Seq("SUBSCRIBE NOW"))
+        .withColumn("script", graft.functions.TextFunctions.scriptProfile(col("text")))
+    }
+    val q = chain(mem.toDF()).writeStream.format("memory")
+      .queryName("q_webtext_out").outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val stream = spark.sql("SELECT * FROM q_webtext_out ORDER BY id")
+        .collect().map(_.toSeq.map(String.valueOf)).toSeq
+      val batch = chain(spark.createDataFrame(pages)).orderBy("id")
+        .collect().map(_.toSeq.map(String.valueOf)).toSeq
+      assert(stream == batch)
+      assert(stream(0)(1) == "Real content")         // boilerplate line gone
+      assert(stream(1)(1) == "Другой текст")         // script stripped too
     } finally q.stop()
   }
 }
