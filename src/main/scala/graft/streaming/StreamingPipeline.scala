@@ -149,4 +149,64 @@ object StreamingPipeline {
           }
       }.toDF()
   }
+
+  final case class FunnelState(step: Int, times: List[Long])
+  final case class FunnelCompletion(key: String,
+                                    funnel_start: java.sql.Timestamp,
+                                    funnel_end: java.sql.Timestamp,
+                                    duration_ms: Long)
+
+  /**
+   * Streaming ordered-funnel tracking — the continuous version of
+   * [[graft.operators.Funnel]]: per key, advance a step cursor on each
+   * event that matches the NEXT step strictly after the previous step's
+   * time (the same greedy earliest-next matching as the batch operator,
+   * so the first streaming completion per key equals the batch
+   * `Funnel.completions` row — cross-checked in the spec). On full
+   * completion a row is emitted and the cursor resets, so repeat
+   * conversions each count (the streaming-native semantic; batch reports
+   * first-completions).
+   *
+   * State per key is one (step, prefix-times) cursor — bounded by steps
+   * length × key cardinality. Events are event-time-sorted within each
+   * micro-batch; an event later than the watermark that should have
+   * advanced the cursor earlier is missed — the standard lateness trade,
+   * same as [[sessionize]].
+   */
+  def funnel(stream: DataFrame, tsCol: String, keyCol: String,
+             typeCol: String, steps: Seq[String],
+             watermarkDelay: String = "10 minutes"): DataFrame = {
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+    require(steps.nonEmpty, "funnel needs at least one step")
+    val spark = stream.sparkSession
+    import spark.implicits._
+    stream
+      .select(col(keyCol).cast("string").as("key"),
+        col(tsCol).cast("timestamp").as("ts"),
+        col(typeCol).cast("string").as("et"))
+      .withWatermark("ts", watermarkDelay)
+      .as[(String, java.sql.Timestamp, String)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[FunnelState, FunnelCompletion](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (key, events, state) =>
+          val evs = events.map(e => (e._2.getTime, e._3)).toArray.sortBy(_._1)
+          var st = state.getOption.getOrElse(FunnelState(0, Nil))
+          val out = scala.collection.mutable.ListBuffer.empty[FunnelCompletion]
+          evs.foreach { case (t, et) =>
+            if (st.step < steps.length && et == steps(st.step) &&
+              (st.times.isEmpty || t > st.times.head)) {
+              st = FunnelState(st.step + 1, t :: st.times)
+              if (st.step == steps.length) {
+                val start = st.times.last
+                out += FunnelCompletion(key, new java.sql.Timestamp(start),
+                  new java.sql.Timestamp(t), t - start)
+                st = FunnelState(0, Nil)
+              }
+            }
+          }
+          if (st.step == 0) state.remove() else state.update(st)
+          out.iterator
+      }.toDF()
+  }
 }
