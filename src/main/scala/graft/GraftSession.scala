@@ -68,6 +68,16 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     inject("native_cosine", cs => NativeCosine(cs(0), cs(1)), classOf[NativeCosine])
     inject("native_l2_distance", cs => NativeL2Distance(cs(0), cs(1)),
       classOf[NativeL2Distance])
+
+    // Composed-expression functions (pure Column chains, no custom
+    // Expression class): the builder applies the composition and hands
+    // Catalyst the resulting tree — same codegen as the DataFrame path.
+    def injectComposed(name: String, f: Column => Column): Unit =
+      inject(name, cs => CatalystBridge.resolvedExpression(
+        f(CatalystBridge.column(cs.head))), classOf[GraftExtensions])
+    injectComposed("canonical_url", graft.operators.Web.canonicalUrl)
+    injectComposed("extract_html_text", graft.operators.Web.extractText)
+    injectComposed("script_profile", TextFunctions.scriptProfile)
   }
 }
 

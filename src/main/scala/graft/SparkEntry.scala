@@ -1184,6 +1184,12 @@ object SparkEntry {
           graft.operators.Web.canonicalUrl(col("url")).as("url"))
         .orderBy("doc_id")),
 
+    // CUSTOM stage reaching the composed SQL-registered function
+    // canonical_url on the engine path (oracle: the q_web_canonical
+    // DuckDB mirror — same construction, same normalization).
+    "q_custom_canonical" -> ((s, d) => pipe(
+      CustomStage(st(1), "canonical urls via SQL function", sqlCanonical))(s, d)),
+
     // Composed keep-best-per-dup-cluster: corpus ∪ SHOUTING twins cluster
     // on the case-normalized digest; the quality argmax keeps the natural-
     // cased original every time (stopword hits are case-sensitive, all
@@ -2174,32 +2180,8 @@ object SparkEntry {
         |       ELSE 'changed' END AS status
         |FROM o FULL OUTER JOIN n ON o.id = n.id
         |ORDER BY id""".stripMargin,
-    "q_web_canonical" ->
-      """WITH raw AS (
-        |  SELECT doc_id,
-        |    CASE WHEN doc_id % 4 = 0 THEN
-        |      'HTTP://WWW.Example.com:80/A/' || doc_id || '?utm_campaign=x&page=' || doc_id
-        |    WHEN doc_id % 4 = 1 THEN
-        |      'https://Example.com/p/' || doc_id || '?a=1&fbclid=' || doc_id || '&b=2#sec'
-        |    WHEN doc_id % 4 = 2 THEN
-        |      'FTP://Host.Example:21/data/' || doc_id
-        |    ELSE 'relative/path/' || doc_id END AS u
-        |  FROM documents),
-        |pre AS (SELECT doc_id, u, regexp_replace(u, '(?s)#.*$', '') AS u2 FROM raw)
-        |SELECT doc_id,
-        |  CASE WHEN regexp_extract(u2, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1) = '' THEN u
-        |  ELSE lower(regexp_extract(u2, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) || '://' ||
-        |    CASE WHEN lower(regexp_extract(u2, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) = 'http'
-        |         THEN regexp_replace(lower(regexp_extract(u2, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1)), ':80$', '')
-        |         WHEN lower(regexp_extract(u2, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) = 'https'
-        |         THEN regexp_replace(lower(regexp_extract(u2, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1)), ':443$', '')
-        |         ELSE lower(regexp_extract(u2, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1)) END ||
-        |    regexp_replace(regexp_replace(regexp_replace(
-        |      regexp_replace(regexp_extract(u2, '(?s)^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*(.*)$', 1),
-        |        '([?&])(?:utm_[A-Za-z0-9_]+|fbclid|gclid|mc_cid|mc_eid)=[^&]*', '\1', 'g'),
-        |      '&{2,}', '&', 'g'), '\?&', '?', 'g'), '[?&]+$', '', 'g')
-        |  END AS url
-        |FROM pre ORDER BY doc_id""".stripMargin,
+    "q_web_canonical" -> canonicalUrlOracle,
+    "q_custom_canonical" -> canonicalUrlOracle,
     // Closed form (see the gate comment): survivors are exactly the
     // original documents with their own quality scores.
     "q_dedup_keep_best" -> (qualityOracle + " ORDER BY doc_id")
@@ -2207,6 +2189,49 @@ object SparkEntry {
     // q_ann_ivf: hash-based or deliberately approximate — not DuckDB-
     // expressible, so the driver records the weaker rows-only check.
   )
+
+  /** Spark-dialect SQL for the CUSTOM→canonical_url gate (runs ONLY in
+    * Spark — canonical_url is a graft extension; the oracle is
+    * `canonicalUrlOracle`, the same construction normalized in DuckDB). */
+  private val sqlCanonical: String =
+    """SELECT doc_id, canonical_url(
+      |  CASE WHEN doc_id % 4 = 0 THEN
+      |    'HTTP://WWW.Example.com:80/A/' || doc_id || '?utm_campaign=x&page=' || doc_id
+      |  WHEN doc_id % 4 = 1 THEN
+      |    'https://Example.com/p/' || doc_id || '?a=1&fbclid=' || doc_id || '&b=2#sec'
+      |  WHEN doc_id % 4 = 2 THEN
+      |    'FTP://Host.Example:21/data/' || doc_id
+      |  ELSE 'relative/path/' || doc_id END) AS url
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  /** DuckDB mirror of the canonical-URL gates (q_web_canonical and
+    * the CUSTOM-stage q_custom_canonical share it). */
+  private val canonicalUrlOracle: String =
+    """WITH raw AS (
+      |  SELECT doc_id,
+      |    CASE WHEN doc_id % 4 = 0 THEN
+      |      'HTTP://WWW.Example.com:80/A/' || doc_id || '?utm_campaign=x&page=' || doc_id
+      |    WHEN doc_id % 4 = 1 THEN
+      |      'https://Example.com/p/' || doc_id || '?a=1&fbclid=' || doc_id || '&b=2#sec'
+      |    WHEN doc_id % 4 = 2 THEN
+      |      'FTP://Host.Example:21/data/' || doc_id
+      |    ELSE 'relative/path/' || doc_id END AS u
+      |  FROM documents),
+      |pre AS (SELECT doc_id, u, regexp_replace(u, '(?s)#.*$', '') AS u2 FROM raw)
+      |SELECT doc_id,
+      |  CASE WHEN regexp_extract(u2, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1) = '' THEN u
+      |  ELSE lower(regexp_extract(u2, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) || '://' ||
+      |    CASE WHEN lower(regexp_extract(u2, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) = 'http'
+      |         THEN regexp_replace(lower(regexp_extract(u2, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1)), ':80$', '')
+      |         WHEN lower(regexp_extract(u2, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) = 'https'
+      |         THEN regexp_replace(lower(regexp_extract(u2, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1)), ':443$', '')
+      |         ELSE lower(regexp_extract(u2, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1)) END ||
+      |    regexp_replace(regexp_replace(regexp_replace(
+      |      regexp_replace(regexp_extract(u2, '(?s)^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*(.*)$', 1),
+      |        '([?&])(?:utm_[A-Za-z0-9_]+|fbclid|gclid|mc_cid|mc_eid)=[^&]*', '\1', 'g'),
+      |      '&{2,}', '&', 'g'), '\?&', '?', 'g'), '[?&]+$', '', 'g')
+      |  END AS url
+      |FROM pre ORDER BY doc_id""".stripMargin
 
   /** DuckDB mirror of `htmlDocs`. */
   private val htmlDocsSql: String =

@@ -20,4 +20,13 @@ import org.apache.spark.sql.classic.ExpressionUtils
 object CatalystBridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
+
+  /** Eagerly convert a composed Column's node tree into a concrete
+    * Catalyst expression. `expression` wraps the tree lazily
+    * (`ColumnNodeExpression`, Unevaluable) — fine inside Dataset ops,
+    * which convert on resolution, but an expression handed straight to
+    * the FunctionRegistry (GraftExtensions' composed SQL functions) never
+    * goes through that path and must be converted up front. */
+  def resolvedExpression(c: Column): Expression =
+    org.apache.spark.sql.classic.ColumnNodeToExpressionConverter.apply(c.node)
 }

@@ -65,6 +65,17 @@ class GraftExtensionsSpec extends SparkTestBase {
     assert(out.collect().map(r => (r.getLong(0), r.getLong(1))).toSeq == Seq((1L, 2L)))
   }
 
+  test("composed expression functions resolve by SQL name") {
+    val r = spark.sql(
+      "SELECT u, t, p.latin AS lat FROM (SELECT " +
+        "canonical_url('HTTPS://A.com:443/p?utm_source=m&x=1#f') AS u, " +
+        "extract_html_text('<p>hi</p><script>x()</script>') AS t, " +
+        "script_profile('ab 你好') AS p)").head()
+    assert(r.getString(0) == "https://a.com/p?x=1")
+    assert(r.getString(1) == "hi")
+    assert(r.getDouble(2) == 0.4)
+  }
+
   test("non-literal size parameters are rejected with a clear message") {
     val e = intercept[Exception] {
       spark.sql("SELECT minhash_sig(hashed_shingles('a b c', 3), doc_id) " +
