@@ -841,6 +841,17 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // The removal half of the same pass: the clean corpus (no shared
+    // 3-gram with the eval slice) — survivors, not just flags.
+    "q_decontaminate_remove" -> ((s, d) => {
+      val corpus = docs(s, d).select(col("doc_id"), col("text"))
+      graft.operators.Decontaminate.decontaminate(
+        corpus, "doc_id", "text",
+        corpus.filter(col("doc_id") < 10), "text", n = 3)
+        .select("doc_id")
+        .orderBy("doc_id")
+    }),
+
     // Deterministic stratified sampling (domain-mixture weights by lang):
     // membership is a pure function of md5(text), so the exact kept set —
     // not just the counts — is oracle-checked.
@@ -1966,6 +1977,18 @@ object SparkEntry {
         |SELECT inv.doc_id, count(*) AS n_hits
         |FROM inv JOIN ev ON inv.s = ev.s
         |GROUP BY inv.doc_id ORDER BY doc_id""".stripMargin,
+    "q_decontaminate_remove" ->
+      """WITH docs AS (
+        |  SELECT doc_id, list_distinct(list_transform(range(1, greatest(len(toks)-2, 1)+1),
+        |         i -> array_to_string(list_slice(toks, i, i+2), ' '))) AS sh
+        |  FROM (SELECT doc_id, regexp_split_to_array(trim(text), '[ \t\n\x0b\f\r]+') AS toks
+        |        FROM documents)),
+        |ev AS (SELECT DISTINCT unnest(sh) AS s FROM docs WHERE doc_id < 10),
+        |inv AS (SELECT doc_id, unnest(sh) AS s FROM docs),
+        |hit AS (SELECT DISTINCT inv.doc_id FROM inv JOIN ev ON inv.s = ev.s)
+        |SELECT d.doc_id FROM documents d
+        |WHERE d.doc_id NOT IN (SELECT doc_id FROM hit)
+        |ORDER BY d.doc_id""".stripMargin,
     // Same closed-form twin construction as q_dedup_embed: the result is
     // exactly the N twin pairs (cell assignment is scale-invariant).
     "q_dedup_semantic_twins" ->
