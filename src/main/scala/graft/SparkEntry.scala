@@ -330,6 +330,17 @@ object SparkEntry {
         "doc_id", "text", "lang", "source", "n_chars")
     }),
 
+    // ORC interchange: write the documents table as ORC, read it back —
+    // equality against the parquet-reading oracle proves losslessness
+    // (Spark-native columnar alternative where a consumer requires ORC).
+    "q_export_orc" -> ((s, d) => {
+      val out = new java.io.File(
+        sys.props("java.io.tmpdir"), "graft_export_orc").getPath
+      docs(s, d).write.mode("overwrite").orc(out)
+      s.read.orc(out).selectExpr(
+        "doc_id", "text", "lang", "source", "n_chars")
+    }),
+
     // ======== training-data extensions (SURVEY §7.1 step 8) ========
 
     // Salted two-phase aggregation on a genuinely skewed key (lineitem has
@@ -1598,6 +1609,8 @@ object SparkEntry {
         s"array_to_string(tags, ',') AS tags_csv " +
         s"FROM read_json_auto('$jsonlFixture')"),
     "q_export_jsonl" ->
+      "SELECT doc_id, text, lang, source, n_chars FROM documents",
+    "q_export_orc" ->
       "SELECT doc_id, text, lang, source, n_chars FROM documents",
     "q_load_image_payload" ->
       ("SELECT * FROM (VALUES " +
