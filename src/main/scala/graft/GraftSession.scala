@@ -77,7 +77,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         f(CatalystBridge.column(cs.head))), classOf[GraftExtensions])
     injectComposed("canonical_url", graft.operators.Web.canonicalUrl)
     injectComposed("extract_html_text", graft.operators.Web.extractText)
-    injectComposed("script_profile", TextFunctions.scriptProfile)
+    inject("script_profile", cs => ScriptProfile(cs.head), classOf[ScriptProfile])
   }
 }
 

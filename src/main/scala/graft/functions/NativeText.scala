@@ -1,9 +1,10 @@
 package graft.functions
 
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, XXH64}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Expression, GenericInternalRow, UnaryExpression, XXH64}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
-import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, LongType, StringType, StructField, StructType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /**
@@ -187,6 +188,46 @@ object NativeText {
     }
     new GenericArrayData(out)
   }
+
+  /** Field layout of [[scriptCounts]] — mirrors
+    * TextFunctions.scriptProfileHof's struct exactly. */
+  val scriptSchema: StructType = StructType(
+    Seq("latin", "digit", "space", "cjk", "cyrillic", "arabic", "other")
+      .map(StructField(_, DoubleType, nullable = false)))
+
+  /** Spark's round(x, 6): BigDecimal HALF_UP at scale 6. */
+  private def round6(x: Double): Double =
+    java.math.BigDecimal.valueOf(x)
+      .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+
+  /**
+   * One-pass character-class fractions (TextFunctions.scriptProfile):
+   * the HOF formulation runs SEVEN regexp_replace passes over the text;
+   * this walks the codepoints once. Class ranges are bit-identical to
+   * the portable regex classes ([[TextFunctions.scriptRanges]]), counts
+   * are codepoint counts (what both engines' `length()` returns), and
+   * fractions use the same int→double promotion + round(,6).
+   */
+  def scriptCounts(text: UTF8String): InternalRow = {
+    val s = text.toString
+    var latin, digit, space, cjk, cyr, ar, other, n = 0
+    var i = 0
+    while (i < s.length) {
+      val cp = s.codePointAt(i)
+      i += Character.charCount(cp)
+      n += 1
+      if ((cp >= 'A' && cp <= 'Z') || (cp >= 'a' && cp <= 'z')) latin += 1
+      else if (cp >= '0' && cp <= '9') digit += 1
+      else if (cp == ' ' || cp == '\t' || cp == '\n' || cp == '\r') space += 1
+      else if ((cp >= 0x4e00 && cp <= 0x9fff) || (cp >= 0x3040 && cp <= 0x30ff)) cjk += 1
+      else if (cp >= 0x0400 && cp <= 0x04ff) cyr += 1
+      else if (cp >= 0x0600 && cp <= 0x06ff) ar += 1
+      else other += 1
+    }
+    def f(c: Int): Double = if (n > 0) round6(c.toDouble / n.toDouble) else 0.0
+    new GenericInternalRow(Array[Any](
+      f(latin), f(digit), f(space), f(cjk), f(cyr), f(ar), f(other)))
+  }
 }
 
 /** `hashed_shingles(text)` → array<bigint> — see [[NativeText.shingleHashes]]. */
@@ -237,6 +278,19 @@ case class WinnowedFps(child: Expression, k: Int, w: Int) extends UnaryExpressio
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev, c => s"graft.functions.NativeText.winnow($c, $k, $w)")
   override protected def withNewChildInternal(newChild: Expression): WinnowedFps =
+    copy(child = newChild)
+}
+
+/** `script_profile(text)` → struct of character-class fractions —
+  * see [[NativeText.scriptCounts]]. */
+case class ScriptProfile(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = NativeText.scriptSchema
+  override def prettyName: String = "script_profile"
+  override protected def nullSafeEval(input: Any): Any =
+    NativeText.scriptCounts(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.NativeText.scriptCounts($c)")
+  override protected def withNewChildInternal(newChild: Expression): ScriptProfile =
     copy(child = newChild)
 }
 

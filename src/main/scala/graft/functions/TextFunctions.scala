@@ -166,13 +166,20 @@ object TextFunctions {
   /**
    * Per-document character-class fractions — struct of
    * `latin/digit/space/cjk/cyrillic/arabic/other`, each rounded to
-   * 6 dp (empty text → all zero). The cheap "is this corpus slice the
-   * language its metadata claims" screen: wrong-script text is the
-   * loudest contamination signal and needs no model. Counts are exact
-   * integers (length of a class-filtered copy); only the final division
-   * is floating-point — the [[qualityScore]] determinism pattern.
+   * 6 dp (empty or NULL text → all zero). The cheap "is this corpus
+   * slice the language its metadata claims" screen: wrong-script text is
+   * the loudest contamination signal and needs no model. Evaluates as
+   * ONE native codepoint walk ([[NativeText.scriptCounts]]); the
+   * seven-regex HOF formulation below is value-identical (spec-pinned)
+   * and exists as the oracle-shaped reference.
    */
-  def scriptProfile(text: Column): Column = {
+  def scriptProfile(text: Column): Column =
+    CatalystBridge.column(ScriptProfile(
+      CatalystBridge.expression(coalesce(text, lit("")))))
+
+  /** The composable seven-pass formulation of [[scriptProfile]] — the
+    * shape the DuckDB oracle states; kept for the parity spec. */
+  def scriptProfileHof(text: Column): Column = {
     val t = coalesce(text, lit(""))
     val n = length(t).cast("double")
     def frac(cls: String): Column =

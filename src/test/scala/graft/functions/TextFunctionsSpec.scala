@@ -156,4 +156,21 @@ class TextFunctionsSpec extends SparkTestBase {
     assert(out(2).getDouble(5) == f(2.0 / 3) && out(2).getDouble(6) == f(1.0 / 3))
     assert(out(3).toSeq.forall(_ == 0.0) && out(4).toSeq.forall(_ == 0.0))
   }
+
+  test("native scriptProfile is bit-identical to the seven-regex HOF formulation") {
+    import org.apache.spark.sql.Row
+    val d = df("text STRING", Seq(
+      Row("abc 你好 Привет مرحبا 123 ~!@"),
+      Row("😀 emoji is one 'other' codepoint"),  // astral char
+      Row("tabs\tand\nnewlines\r"),
+      Row(""), Row(null)))
+    val native = d.select(TF.scriptProfile(col("text")).as("p")).select("p.*")
+      .collect().map(_.toSeq).toSeq
+    val hof = d.select(TF.scriptProfileHof(col("text")).as("p")).select("p.*")
+      .collect().map(_.toSeq).toSeq
+    assert(native == hof)
+    // the astral char counts once (codepoints, not UTF-16 units)
+    val emoji = native(1).map(_.asInstanceOf[Double])
+    assert(math.abs(emoji.sum - 1.0) < 1e-5) // 7 independently-rounded fractions
+  }
 }
