@@ -17,8 +17,10 @@ import org.apache.spark.sql.functions._
  *      aggregation dedups (line, doc) pairs map-side first.
  *   3. The hot set is tiny by construction (Zipf: at threshold k there are
  *      at most total_lines/k hot lines, and real boilerplate sets are
- *      thousands of lines) — so the removal join is a broadcast LEFT ANTI
- *      on an 8-byte `xxhash64(line)` key; document lines never shuffle.
+ *      thousands of lines) — the removal LEFT ANTI joins on an 8-byte
+ *      `xxhash64(line)` key and AQE broadcasts the hot side from runtime
+ *      stats (unhinted: a pathological threshold degrades to a shuffled
+ *      anti-join instead of a forced-broadcast OOM).
  *   4. Reassembly groups the surviving lines by document — the one
  *      unavoidable by-doc shuffle, carrying exactly the kept lines once.
  *
@@ -77,9 +79,11 @@ object Lines {
     // 8-byte join key: the anti-join never carries hot line TEXT, only
     // hashes, and xxhash64 collisions (~2^-64 per pair) merely remove an
     // extra innocent line — same failure class as Dedup.exactDedup digests.
-    val hot = broadcast(
-      duplicatedLines(df, idCol, textCol, maxDocs)
-        .select(xxhash64(col("line")).as("line_h")))
+    // No broadcast HINT: the hot set is usually tiny and AQE broadcasts it
+    // from runtime stats, but a pathological threshold must degrade to a
+    // shuffled anti-join, not to a forced-broadcast driver OOM.
+    val hot = duplicatedLines(df, idCol, textCol, maxDocs)
+      .select(xxhash64(col("line")).as("line_h"))
     val kept = lines.withColumn("line_h", xxhash64(col("line")))
       .join(hot, Seq("line_h"), "left_anti")
     val rebuilt = kept.groupBy("doc_id")
