@@ -92,4 +92,50 @@ class CurationPropertySpec extends SparkTestBase {
     val d = Dedup.exactDedup(docs, "doc_id", "text")
     assert(d.count() >= 3L)
   }
+
+  test("line dedup invariants over generated multi-line corpora") {
+    val texts = cases(genDoc, 100)
+    val docs = df("doc_id BIGINT, text STRING",
+      texts.zipWithIndex.map { case (t, i) => Row(i.toLong, t) })
+    for (k <- Seq(1, 3, 10)) {
+      val hot = Lines.duplicatedLines(docs, "doc_id", "text", k)
+        .collect().map(_.getString(0)).toSet
+      val out = Lines.dedupLines(docs, "doc_id", "text", k).collect()
+      // row-preserving, and no surviving text contains a hot line
+      assert(out.length == 100)
+      out.filter(_.getString(1).nonEmpty).foreach { r =>
+        // "" is the all-boilerplate representation, not a surviving line
+        val lines = r.getString(1).split("\n", -1).toSet
+        assert(lines.intersect(hot).isEmpty, s"hot line survived at k=$k")
+      }
+      // non-hot lines survive with multiplicity and order (spot: rebuild equals
+      // filtering the original line sequence)
+      val byId = docs.collect().map(r => r.getLong(0) ->
+        Option(r.getString(1)).getOrElse("")).toMap
+      out.foreach { r =>
+        val expect = byId(r.getLong(0)).split("\n", -1)
+          .filterNot(hot.contains).mkString("\n")
+        assert(r.getString(1) == expect)
+      }
+    }
+  }
+
+  test("token-budget sampling: per-key spend bounded by budget + one doc") {
+    val rows = cases(Gen.chooseNum(1L, 50L), 200).zipWithIndex.map {
+      case (tok, i) => Row(i.toLong, s"src${i % 5}", tok)
+    }
+    val docs = df("doc_id BIGINT, source STRING, n_tokens BIGINT", rows)
+    val budgets = Map("src0" -> 100L, "src1" -> 0L, "src2" -> 37L, "src3" -> 10000L)
+    val kept = Sample.tokenBudgetPerKey(docs, "source", "n_tokens", "doc_id", budgets)
+      .collect().groupBy(_.getString(1))
+    budgets.foreach { case (k, b) =>
+      val spend = kept.getOrElse(k, Array()).map(_.getLong(2)).sum
+      val maxDoc = 50L
+      assert(spend <= b + maxDoc, s"$k spent $spend over budget $b")
+      // greedy: if anything was excluded, the budget is actually exhausted
+      val total = docs.collect().filter(_.getString(1) == k).map(_.getLong(2)).sum
+      if (spend < total) assert(spend >= b, s"$k stopped early: $spend < $b")
+    }
+    assert(!kept.contains("src4")) // budgetless key drops
+  }
 }

@@ -48,4 +48,14 @@ class SearchSpec extends SparkTestBase {
       .collect()
     assert(out.length == 1 && out(0).getLong(2) == 3L)
   }
+
+  test("plan: top-k pushes into the window, no cartesian beyond the 1-row stats") {
+    val plan = Search.bm25TopK(docs, "doc_id", "text", q(1L -> "spark"), 10)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"), plan) // rank filter pushed down
+    assert(!plan.contains("CartesianProduct"), plan)
+    // the only nested-loop joins are the broadcast 1-row corpus-stats rides
+    val bnl = "BroadcastNestedLoopJoin".r.findAllIn(plan).length
+    assert(bnl <= 2, s"unexpected nested-loop joins ($bnl):\n$plan")
+  }
 }
