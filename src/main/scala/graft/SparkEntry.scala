@@ -1135,6 +1135,14 @@ object SparkEntry {
           "user_id", "ts", "event_type", Seq("view", "click", "purchase"))
         .orderBy("step")),
 
+    // Same funnel bounded to a day from first view — the windowed form
+    // conversion is usually reported in (150 → 60 → 14 at sf0.01).
+    "q_funnel_window" -> ((s, d) =>
+      graft.operators.Funnel.conversion(executor(s, d).table("events"),
+          "user_id", "ts", "event_type", Seq("view", "click", "purchase"),
+          windowSeconds = Some(86400L))
+        .orderBy("step")),
+
     // Weekly cohort retention triangle over the event log.
     "q_cohort_retention" -> ((s, d) =>
       graft.operators.Cohort.retention(executor(s, d).table("events"),
@@ -2131,6 +2139,24 @@ object SparkEntry {
         |       WHERE e.et = 'click' AND e.ts > s1.t GROUP BY e.u),
         |s3 AS (SELECT e.u, min(e.ts) AS t FROM ev e JOIN s2 ON e.u = s2.u
         |       WHERE e.et = 'purchase' AND e.ts > s2.t GROUP BY e.u)
+        |SELECT CAST(1 AS BIGINT) AS step, 'view' AS step_name,
+        |       (SELECT count(*) FROM s1) AS n_users
+        |UNION ALL SELECT 2, 'click', (SELECT count(*) FROM s2)
+        |UNION ALL SELECT 3, 'purchase', (SELECT count(*) FROM s3)
+        |ORDER BY step""".stripMargin,
+    "q_funnel_window" ->
+      """WITH ev AS (SELECT user_id AS u, CAST(ts AS TIMESTAMP) AS ts,
+        |              event_type AS et FROM events),
+        |s1 AS (SELECT u, min(ts) AS t, min(ts) AS t1 FROM ev
+        |       WHERE et = 'view' GROUP BY 1),
+        |s2 AS (SELECT e.u, min(e.ts) AS t, s1.t1 FROM ev e JOIN s1 ON e.u = s1.u
+        |       WHERE e.et = 'click' AND e.ts > s1.t
+        |         AND e.ts <= s1.t1 + INTERVAL 86400 SECONDS
+        |       GROUP BY e.u, s1.t1),
+        |s3 AS (SELECT e.u, min(e.ts) AS t, s2.t1 FROM ev e JOIN s2 ON e.u = s2.u
+        |       WHERE e.et = 'purchase' AND e.ts > s2.t
+        |         AND e.ts <= s2.t1 + INTERVAL 86400 SECONDS
+        |       GROUP BY e.u, s2.t1)
         |SELECT CAST(1 AS BIGINT) AS step, 'view' AS step_name,
         |       (SELECT count(*) FROM s1) AS n_users
         |UNION ALL SELECT 2, 'click', (SELECT count(*) FROM s2)

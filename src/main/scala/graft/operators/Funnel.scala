@@ -32,19 +32,28 @@ object Funnel {
   /**
    * Per-step conversion counts: `(step, step_name, n_users)` with step
    * numbered from 1; `n_users` is non-increasing by construction.
+   * `windowSeconds` bounds the WHOLE funnel relative to the step-1 time
+   * ("purchase within a day of first view") — the usual way conversion
+   * is reported; None = unbounded.
    */
   def conversion(events: DataFrame, userCol: String, tsCol: String,
-                 typeCol: String, steps: Seq[String]): DataFrame = {
+                 typeCol: String, steps: Seq[String],
+                 windowSeconds: Option[Long] = None): DataFrame = {
     require(steps.nonEmpty, "funnel needs at least one step")
     val ev = events.select(col(userCol).as("u"), col(tsCol).as("ts"),
       col(typeCol).as("et"))
-    val converted = steps.tail.scanLeft(
-      ev.filter(col("et") === steps.head).groupBy("u").agg(min("ts").as("t"))) {
-      (prev, step) =>
-        ev.filter(col("et") === step)
-          .join(prev, "u")
-          .filter(col("ts") > col("t"))
-          .groupBy("u").agg(min("ts").as("t"))
+    val first = ev.filter(col("et") === steps.head)
+      .groupBy("u").agg(min("ts").as("t"))
+      .withColumn("t1", col("t"))
+    val inWindow = windowSeconds match {
+      case Some(w) => col("ts") <= col("t1") + expr(s"INTERVAL $w SECONDS")
+      case None    => lit(true)
+    }
+    val converted = steps.tail.scanLeft(first) { (prev, step) =>
+      ev.filter(col("et") === step)
+        .join(prev, "u")
+        .filter(col("ts") > col("t") && inWindow)
+        .groupBy("u", "t1").agg(min("ts").as("t"))
     }
     converted.zip(steps).zipWithIndex.map { case ((users, name), i) =>
       users.agg(count(lit(1)).as("n_users"))

@@ -34,6 +34,18 @@ class FunnelSpec extends SparkTestBase {
       Seq(Seq(1L, "view", 4L), Seq(2L, "click", 2L), Seq(3L, "purchase", 2L)))
   }
 
+  test("windowSeconds bounds the whole funnel from the first step") {
+    // u1 completes at t=30, 20s after first view (t=10): a 15s window
+    // keeps click (t=20) but cuts purchase; a 5s window cuts u1's click
+    // too (u4's click at t1+5 stays — the bound is inclusive).
+    val out15 = Funnel.conversion(events, "user_id", "ts", "event_type",
+      steps, windowSeconds = Some(15L)).orderBy("step").collect()
+    assert(out15.map(_.getLong(2)).toSeq == Seq(4L, 2L, 0L))
+    val out5 = Funnel.conversion(events, "user_id", "ts", "event_type",
+      steps, windowSeconds = Some(5L)).orderBy("step").collect()
+    assert(out5.map(_.getLong(2)).toSeq == Seq(4L, 1L, 0L))
+  }
+
   test("completions returns full-funnel users with their step times") {
     val out = Funnel.completions(events, "user_id", "ts", "event_type", steps)
       .collect()
