@@ -1135,6 +1135,17 @@ object SparkEntry {
           "user_id", "ts", "event_type", Seq("view", "click", "purchase"))
         .orderBy("step")),
 
+    // Composed funnel → exact latency quantiles: full-funnel completion
+    // durations (µs, exact integers) through Profile.quantiles.
+    "q_funnel_latency" -> ((s, d) =>
+      graft.operators.Profile.quantiles(
+        graft.operators.Funnel.completions(executor(s, d).table("events"),
+            "user_id", "ts", "event_type", Seq("view", "click", "purchase"))
+          .select(lit("all").as("g"),
+            (unix_micros(col("t_3")) - unix_micros(col("t_1"))).as("dur_us")),
+        "g", "dur_us", Seq(0.5, 0.9, 0.99))
+        .orderBy("p")),
+
     // Same funnel bounded to a day from first view — the windowed form
     // conversion is usually reported in (150 → 60 → 14 at sf0.01).
     "q_funnel_window" -> ((s, d) =>
@@ -2144,6 +2155,24 @@ object SparkEntry {
         |UNION ALL SELECT 2, 'click', (SELECT count(*) FROM s2)
         |UNION ALL SELECT 3, 'purchase', (SELECT count(*) FROM s3)
         |ORDER BY step""".stripMargin,
+    "q_funnel_latency" ->
+      """WITH ev AS (SELECT user_id AS u, CAST(ts AS TIMESTAMP) AS ts,
+        |              event_type AS et FROM events),
+        |s1 AS (SELECT u, min(ts) AS t1 FROM ev WHERE et = 'view' GROUP BY 1),
+        |s2 AS (SELECT e.u, s1.t1, min(e.ts) AS t2 FROM ev e JOIN s1 ON e.u = s1.u
+        |       WHERE e.et = 'click' AND e.ts > s1.t1 GROUP BY e.u, s1.t1),
+        |s3 AS (SELECT e.u, s2.t1, min(e.ts) AS t3 FROM ev e JOIN s2 ON e.u = s2.u
+        |       WHERE e.et = 'purchase' AND e.ts > s2.t2 GROUP BY e.u, s2.t1),
+        |durs AS (SELECT 'all' AS g, epoch_us(t3) - epoch_us(t1) AS dur_us FROM s3),
+        |ranked AS (
+        |  SELECT g, dur_us,
+        |    row_number() OVER (PARTITION BY g ORDER BY dur_us ASC) AS rn,
+        |    count(*) OVER (PARTITION BY g) AS n
+        |  FROM durs)
+        |SELECT g, CAST(p AS DOUBLE) AS p, dur_us AS value
+        |FROM ranked CROSS JOIN (VALUES (0.5), (0.9), (0.99)) AS ps(p)
+        |WHERE rn = CAST(ceil(p * n) AS BIGINT)
+        |ORDER BY p""".stripMargin,
     "q_funnel_window" ->
       """WITH ev AS (SELECT user_id AS u, CAST(ts AS TIMESTAMP) AS ts,
         |              event_type AS et FROM events),
