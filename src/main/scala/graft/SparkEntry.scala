@@ -2317,10 +2317,14 @@ object SparkEntry {
       |         WHEN lower(regexp_extract(u2, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) = 'https'
       |         THEN regexp_replace(lower(regexp_extract(u2, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1)), ':443$', '')
       |         ELSE lower(regexp_extract(u2, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1)) END ||
+      |    regexp_extract(regexp_extract(u2, '(?s)^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*(.*)$', 1),
+      |      '(?s)^([^?]*)', 1) ||
       |    regexp_replace(regexp_replace(regexp_replace(
-      |      regexp_replace(regexp_extract(u2, '(?s)^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*(.*)$', 1),
-      |        '([?&])(?:utm_[A-Za-z0-9_]+|fbclid|gclid|mc_cid|mc_eid)=[^&]*', '\1', 'g'),
-      |      '&{2,}', '&', 'g'), '\?&', '?', 'g'), '[?&]+$', '', 'g')
+      |      regexp_extract(regexp_extract(u2, '(?s)^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*(.*)$', 1),
+      |        '(?s)^[^?]*(\?.*)$', 1),
+      |      '&(?:utm_[A-Za-z0-9_]+|fbclid|gclid|mc_cid|mc_eid)=[^&]*', '', 'g'),
+      |      '^\?(?:utm_[A-Za-z0-9_]+|fbclid|gclid|mc_cid|mc_eid)=[^&]*&', '?', 'g'),
+      |      '^\?(?:utm_[A-Za-z0-9_]+|fbclid|gclid|mc_cid|mc_eid)=[^&]*$', '', 'g')
       |  END AS url
       |FROM pre ORDER BY doc_id""".stripMargin
 

@@ -176,10 +176,8 @@ object Sample {
       .partitionBy(col(keyCol))
       .orderBy(md5(col(idCol).cast("string")).asc, col(idCol).asc)
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
-    val budget = budgets.foldLeft(lit(null).cast("long")) {
-      case (elseCol, (k, b)) =>
-        when(col(keyCol) === k, lit(b)).otherwise(elseCol)
-    }
+    // literal map lookup: null for keys without a budget (→ dropped below)
+    val budget = element_at(typedlit(budgets), col(keyCol))
     df.withColumn("__before", coalesce(sum(col(sizeCol)).over(w), lit(0L)))
       .withColumn("__budget", budget)
       .filter(col("__budget").isNotNull && col("__before") < col("__budget"))

@@ -105,12 +105,22 @@ object Web {
         .otherwise(auth)
     val rest = regexp_extract(u2,
       "(?s)^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*(.*)$", 1)
-    val cleaned = regexp_replace(regexp_replace(regexp_replace(
-      regexp_replace(rest,
-        "([?&])(?:utm_[A-Za-z0-9_]+|fbclid|gclid|mc_cid|mc_eid)=[^&]*", "$1"),
-      "&{2,}", "&"), "\\?&", "?"), "[?&]+$", "")
+    // Tracking-param removal touches ONLY the query (after the first `?`)
+    // and each pattern consumes its own separator, so a URL with no
+    // tracking params comes through byte-identical — a `&` in a path or a
+    // stray `?` inside a query value must not be rewritten (canonicalUrl
+    // is a dedup key; over-normalizing merges distinct pages). Three
+    // separator cases, no lookaround (RE2 has none): `&p=v` anywhere,
+    // `?p=v&` at the front (keeps `?`), `?p=v` alone (drops `?`).
+    val trackers = "utm_[A-Za-z0-9_]+|fbclid|gclid|mc_cid|mc_eid"
+    val path = regexp_extract(rest, "(?s)^([^?]*)", 1)
+    val query = regexp_extract(rest, "(?s)^[^?]*(\\?.*)$", 1)
+    val cleanedQuery = regexp_replace(regexp_replace(regexp_replace(query,
+      s"&(?:$trackers)=[^&]*", ""),
+      s"^\\?(?:$trackers)=[^&]*&", "?"),
+      s"^\\?(?:$trackers)=[^&]*$$", "")
     when(scheme === "", url)
-      .otherwise(concat(scheme, lit("://"), authNoPort, cleaned))
+      .otherwise(concat(scheme, lit("://"), authNoPort, path, cleanedQuery))
   }
 
   /**

@@ -98,6 +98,23 @@ class WebSpec extends SparkTestBase {
     assert(variants.select(Web.canonicalUrl(col("u"))).distinct().count() == 1L)
   }
 
+  test("canonicalUrl never rewrites URLs that carry no tracking params") {
+    import org.apache.spark.sql.functions.col
+    val odd = df("id BIGINT, u STRING", Seq(
+      Row(1L, "https://h.com/p?q=a?&b=1"),      // '?' inside a query value
+      Row(2L, "https://h.com/a&fbclid=1"),      // '&…' in the PATH, no query
+      Row(3L, "https://h.com/p?a=1&&b=2"),      // literal double separator
+      Row(4L, "https://h.com/p?"),              // bare trailing '?'
+      Row(5L, "https://h.com/p?a=1&utm_x=2?y"))) // tracker value containing '?'
+    val out = odd.select(col("id"), Web.canonicalUrl(col("u")).as("c"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out(1L) == "https://h.com/p?q=a?&b=1")
+    assert(out(2L) == "https://h.com/a&fbclid=1")
+    assert(out(3L) == "https://h.com/p?a=1&&b=2")
+    assert(out(4L) == "https://h.com/p?")
+    assert(out(5L) == "https://h.com/p?a=1")
+  }
+
   test("extractText strips blocks/tags, decodes entities one level, keeps structure") {
     import org.apache.spark.sql.functions.col
     val html = df("id BIGINT, h STRING", Seq(
