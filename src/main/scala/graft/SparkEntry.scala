@@ -1135,6 +1135,14 @@ object SparkEntry {
           "user_id", "ts", "event_type", Seq("view", "click", "purchase"))
         .orderBy("step")),
 
+    // C4-style content filter: survivors after dropping docs containing
+    // any listed word (whole-token match, pure filter).
+    "q_filter_content" -> ((s, d) =>
+      graft.operators.QualityFilter.dropListedWords(
+          docs(s, d), "text", Seq("spark", "vector"))
+        .select("doc_id")
+        .orderBy("doc_id")),
+
     // Composed funnel → exact latency quantiles: full-funnel completion
     // durations (µs, exact integers) through Profile.quantiles.
     "q_funnel_latency" -> ((s, d) =>
@@ -2155,6 +2163,13 @@ object SparkEntry {
         |UNION ALL SELECT 2, 'click', (SELECT count(*) FROM s2)
         |UNION ALL SELECT 3, 'purchase', (SELECT count(*) FROM s3)
         |ORDER BY step""".stripMargin,
+    "q_filter_content" ->
+      """SELECT doc_id FROM (
+        |  SELECT doc_id,
+        |    len(list_filter(regexp_split_to_array(trim(lower(text)),
+        |      '[ \t\n\x0b\f\r]+'), x -> x IN ('spark', 'vector'))) AS hits
+        |  FROM documents)
+        |WHERE hits = 0 ORDER BY doc_id""".stripMargin,
     "q_funnel_latency" ->
       """WITH ev AS (SELECT user_id AS u, CAST(ts AS TIMESTAMP) AS ts,
         |              event_type AS et FROM events),

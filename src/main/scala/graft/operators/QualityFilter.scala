@@ -154,4 +154,25 @@ object QualityFilter {
     df.filter(CatalystBridge.column(graft.functions.GopherKeep(
       CatalystBridge.expression(col(textCol)), minWords, maxWords)))
   }
+
+  /** Count of listed words in the document, whole-token matches on the
+    * lowercased whitespace tokenization ("class" never hits a list entry
+    * "ass" — the C4 badword pass is word-boundary, not substring). */
+  def listedWordHits(text: Column, listed: Seq[String]): Column = {
+    val set = listed.map(_.toLowerCase)
+    size(filter(split(trim(lower(coalesce(text, lit("")))), "\\s+"),
+      t => t.isInCollection(set)))
+  }
+
+  /**
+   * C4-style content filter: drop documents containing ANY listed word
+   * (word-boundary match). A pure per-row filter — the list ships as a
+   * literal, so it runs at scan speed, pushes into the parquet scan, and
+   * applies UNCHANGED to a stream. NULL text carries no listed word and
+   * is kept (it is a length/quality concern, not a content one).
+   */
+  def dropListedWords(df: DataFrame, textCol: String,
+                      listed: Seq[String]): DataFrame =
+    if (listed.isEmpty) df
+    else df.filter(listedWordHits(col(textCol), listed) === 0)
 }

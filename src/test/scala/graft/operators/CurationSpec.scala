@@ -219,6 +219,22 @@ class CurationSpec extends SparkTestBase {
     assert(Sample.capPerKey(docs, "source", "text", "doc_id", 100).count() == 30L)
   }
 
+  test("dropListedWords: whole-token matches only, case-insensitive, null kept") {
+    val docs = df("doc_id BIGINT, text STRING", Seq(
+      org.apache.spark.sql.Row(1L, "a classic document"),   // substring, no hit
+      org.apache.spark.sql.Row(2L, "contains BAD word"),     // case-folded hit
+      org.apache.spark.sql.Row(3L, "clean text"),
+      org.apache.spark.sql.Row(4L, null)))
+    val kept = QualityFilter.dropListedWords(docs, "text", Seq("bad", "ass"))
+      .collect().map(_.getLong(0)).toSet
+    assert(kept == Set(1L, 3L, 4L))
+    // empty list is the identity, and the filter plans shuffle-free
+    assert(QualityFilter.dropListedWords(docs, "text", Nil).count() == 4L)
+    val plan = QualityFilter.dropListedWords(docs, "text", Seq("bad"))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"))
+  }
+
   test("tokenBudgetPerKey: greedy md5-order take, ≤1-doc overshoot, budgetless keys drop") {
     val rows = (1 to 10).map(i => org.apache.spark.sql.Row(
       i.toLong, if (i <= 8) "web" else "books", 100L))
