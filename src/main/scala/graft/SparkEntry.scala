@@ -1012,6 +1012,16 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // The consumer half of packing: each pack materialized as one
+    // training row (ordered concat within the pack).
+    "q_pack_assemble" -> ((s, d) => {
+      val toks = docs(s, d).select(col("doc_id"), col("text"),
+        TF.tokenCount(col("text")).cast("long").as("n_tokens"))
+      graft.operators.Pack.assemble(toks, "doc_id", "n_tokens", "text",
+        budget = 500L, shards = 8)
+        .orderBy("shard", "pack")
+    }),
+
     // CUSTOM-SQL → quality natives: the reference's escape hatch reaching
     // quality_metrics through the ENGINE path (StageCompiler's spark.sql),
     // hash-matched against the shared Gopher metric oracle.
@@ -1970,6 +1980,21 @@ object SparkEntry {
         |  CAST(floor(CAST(cum - n_tokens AS DOUBLE) / CAST(500 AS DOUBLE)) AS BIGINT) AS pack,
         |  n_tokens
         |FROM c ORDER BY doc_id""".stripMargin,
+    "q_pack_assemble" ->
+      """WITH t AS (
+        |  SELECT doc_id, text, doc_id % 8 AS shard,
+        |    CAST(len(regexp_split_to_array(trim(text), '[ \t\n\x0b\f\r]+')) AS BIGINT) AS n_tokens
+        |  FROM documents),
+        |c AS (SELECT doc_id, text, shard, n_tokens,
+        |        sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id) AS cum
+        |      FROM t),
+        |p AS (SELECT doc_id, text, shard, n_tokens,
+        |        CAST(floor(CAST(cum - n_tokens AS DOUBLE) / CAST(500 AS DOUBLE)) AS BIGINT) AS pack
+        |      FROM c)
+        |SELECT shard, pack, count(*) AS n_docs,
+        |       CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+        |       string_agg(text, chr(10) || chr(10) ORDER BY doc_id) AS text
+        |FROM p GROUP BY shard, pack ORDER BY shard, pack""".stripMargin,
     "q_custom_quality" ->
       s"""WITH ${gopherCtes("documents")}
          |SELECT doc_id, n_words, mean_word_len, dup_line_frac

@@ -44,4 +44,24 @@ object Pack {
         floor((col("__cum") - col(tokenCol)).cast("double") / lit(budget).cast("double")).cast("long"))
       .drop("__cum")
   }
+
+  /**
+   * The consumer half of packing: materialize each pack as ONE training
+   * row — `(shard, pack, n_docs, n_tokens, text)` with member documents
+   * concatenated in `idCol` order, separated by `sep` (defaults to the
+   * end-of-text sentinel style "\n\n"). One aggregation keyed by the
+   * (shard, pack) pair [[packByTokenBudget]] produced; the per-pack
+   * collect is bounded by the token budget, so no group outgrows a task.
+   */
+  def assemble(df: DataFrame, idCol: String, tokenCol: String,
+               textCol: String, budget: Long, shards: Int = 64,
+               sep: String = "\n\n"): DataFrame =
+    packByTokenBudget(df, idCol, tokenCol, budget, shards)
+      .groupBy("shard", "pack")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col(tokenCol)).as("n_tokens"),
+        concat_ws(sep,
+          expr(s"transform(array_sort(collect_list(struct($idCol, $textCol))), s -> s.$textCol)"))
+          .as("text"))
 }

@@ -357,6 +357,19 @@ class CurationSpec extends SparkTestBase {
       (4L, 0L, 0L), (5L, 1L, 1L), (6L, 0L, 1L)))
   }
 
+  test("Pack.assemble materializes packs as ordered concatenated rows") {
+    val rows = Seq((1L, "one", 3L), (2L, "two", 3L), (3L, "three", 3L),
+      (5L, "five", 7L))
+      .map { case (id, t, n) => org.apache.spark.sql.Row(id, t, n) }
+    val docs = df("id BIGINT, text STRING, n_tokens BIGINT", rows)
+    // one shard, budget 6: offsets 0,3,6,9 → packs 0,0,1,1
+    val out = Pack.assemble(docs, "id", "n_tokens", "text",
+      budget = 6L, shards = 1, sep = " | ")
+      .orderBy("pack").collect()
+    assert(out.map(r => (r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4))).toSeq ==
+      Seq((0L, 2L, 6L, "one | two"), (1L, 2L, 10L, "three | five")))
+  }
+
   test("SemDedup finds within-cell near-dups and keeps the smallest id") {
     // orthogonal-ish base vectors + one exact twin pair (scaled copy)
     val rows = Seq(
