@@ -516,6 +516,13 @@ object SparkEntry {
         docs(s, d).select(col("doc_id"), col("text")), "text", 0.8)
         .select(col("doc_id"), col("split"))),
 
+    // Three-way split on the same hash — train set provably identical to
+    // q_split's (thresholds nest).
+    "q_split3" -> ((s, d) =>
+      graft.operators.Split.hashSplit3(
+        docs(s, d).select(col("doc_id"), col("text")), "text", 0.8, 0.1)
+        .select(col("doc_id"), col("split"))),
+
     // Top-5 keywords per doc by (tf DESC, df ASC, term ASC) — tf-idf's
     // preference order with a pure-integer ranking, so both engines
     // produce identical rows (no FP score in the ordering).
@@ -1728,6 +1735,12 @@ object SparkEntry {
       ("SELECT doc_id, CASE WHEN substring(md5(text), 1, 8) < '" +
         graft.operators.Split.thresholdHex(0.8) +
         "' THEN 'train' ELSE 'test' END AS split FROM documents"),
+    "q_split3" ->
+      ("SELECT doc_id, CASE WHEN substring(md5(text), 1, 8) < '" +
+        graft.operators.Split.thresholdHex(0.8) +
+        "' THEN 'train' WHEN substring(md5(text), 1, 8) < '" +
+        graft.operators.Split.thresholdHex(0.8 + 0.1) +
+        "' THEN 'val' ELSE 'test' END AS split FROM documents"),
     "q_keywords" ->
       """WITH toks AS (
         |  SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '[ \t\n\x0b\f\r]+')) AS term

@@ -41,4 +41,21 @@ object Split {
   def hashSplit(df: DataFrame, keyCol: String, trainFrac: Double,
                 splitCol: String = "split"): DataFrame =
     df.withColumn(splitCol, splitColumn(col(keyCol), trainFrac))
+
+  /** Three-way 'train'/'val'/'test' by two thresholds on the same hash —
+    * the train set is IDENTICAL to [[hashSplit]]'s at the same
+    * `trainFrac` (thresholds nest), so growing a 2-way split to 3-way
+    * never moves a training example across the leakage boundary. */
+  def splitColumn3(key: Column, trainFrac: Double, valFrac: Double): Column = {
+    require(trainFrac >= 0 && valFrac >= 0 && trainFrac + valFrac <= 1.0,
+      "fractions must be non-negative and sum to at most 1")
+    val h = substring(md5(key), 1, 8)
+    when(h < lit(thresholdHex(trainFrac)), "train")
+      .when(h < lit(thresholdHex(trainFrac + valFrac)), "val")
+      .otherwise("test")
+  }
+
+  def hashSplit3(df: DataFrame, keyCol: String, trainFrac: Double,
+                 valFrac: Double, splitCol: String = "split"): DataFrame =
+    df.withColumn(splitCol, splitColumn3(col(keyCol), trainFrac, valFrac))
 }

@@ -21,6 +21,22 @@ class SplitKeywordsSpec extends SparkTestBase {
     assert(Split.hashSplit(docs, "text", 1.0).filter(col("split") === "test").count() == 0L)
   }
 
+  test("hashSplit3 nests with hashSplit: growing 2-way to 3-way never moves train") {
+    val docs = df("id INT, text STRING", (1 to 200).map(i => Row(i, s"document number $i")))
+    val two = Split.hashSplit(docs, "text", 0.8)
+      .filter(col("split") === "train").select("id").collect().map(_.getInt(0)).toSet
+    val three = Split.hashSplit3(docs, "text", 0.8, 0.1)
+      .collect().map(r => (r.getInt(0), r.getString(2)))
+    assert(three.filter(_._2 == "train").map(_._1).toSet == two)
+    val counts = three.groupBy(_._2).view.mapValues(_.length).toMap
+    assert(counts.keySet == Set("train", "val", "test"))
+    // val+test of the 3-way == test of the 2-way
+    assert(counts("val") + counts("test") == 200 - two.size)
+    intercept[IllegalArgumentException] {
+      Split.hashSplit3(docs, "text", 0.8, 0.3).collect()
+    }
+  }
+
   test("topTerms ranks by (tf desc, df asc, term asc) with single-char tokens dropped") {
     val docs = df("id INT, text STRING", Seq(
       Row(1, "apple apple banana cherry x"),
