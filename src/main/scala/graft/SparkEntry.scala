@@ -516,6 +516,15 @@ object SparkEntry {
         docs(s, d).select(col("doc_id"), col("text")), "text", 0.8)
         .select(col("doc_id"), col("split"))),
 
+    // Reproducible corpus shuffle: dense global position from a seeded
+    // content-independent hash (bucketed two-phase rank — no single-task
+    // global window).
+    "q_shuffle" -> ((s, d) =>
+      graft.operators.Sample.deterministicShuffle(
+          docs(s, d).select(col("doc_id")), "doc_id", seed = "graft")
+        .select(col("pos"), col("doc_id"))
+        .orderBy("pos")),
+
     // Three-way split on the same hash — train set provably identical to
     // q_split's (thresholds nest).
     "q_split3" -> ((s, d) =>
@@ -1735,6 +1744,11 @@ object SparkEntry {
       ("SELECT doc_id, CASE WHEN substring(md5(text), 1, 8) < '" +
         graft.operators.Split.thresholdHex(0.8) +
         "' THEN 'train' ELSE 'test' END AS split FROM documents"),
+    "q_shuffle" ->
+      """SELECT CAST(row_number() OVER (
+        |  ORDER BY md5('graft:' || CAST(doc_id AS VARCHAR)) ASC, doc_id ASC)
+        |  AS BIGINT) AS pos, doc_id
+        |FROM documents ORDER BY pos""".stripMargin,
     "q_split3" ->
       ("SELECT doc_id, CASE WHEN substring(md5(text), 1, 8) < '" +
         graft.operators.Split.thresholdHex(0.8) +

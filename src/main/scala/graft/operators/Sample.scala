@@ -183,4 +183,35 @@ object Sample {
       .filter(col("__budget").isNotNull && col("__before") < col("__budget"))
       .drop("__before", "__budget")
   }
+
+  /**
+   * Reproducible corpus shuffle — the "randomize training order, but the
+   * same way every run" step before sharded export: a dense global
+   * position by `md5(seed ‖ id)` (id tiebreak); different seeds give
+   * independent permutations. No RNG state, no driver coordination.
+   *
+   * A bare global `row_number()` window would serialize the corpus
+   * through ONE task, so positions are two-phase: rank within one of 256
+   * hash-prefix buckets (the by-bucket window parallelizes), plus the
+   * bucket's offset from a 256-row count aggregate that broadcasts back.
+   * The composition equals the global rank because bucket prefix order
+   * IS hash order.
+   */
+  def deterministicShuffle(df: DataFrame, idCol: String,
+                           seed: String = "graft"): DataFrame = {
+    val h = md5(concat(lit(seed), lit(":"), col(idCol).cast("string")))
+    val keyed = df.withColumn("__h", h).withColumn("__b", substring(col("__h"), 1, 2))
+    val offsets = keyed.groupBy("__b").agg(count(lit(1)).as("__n"))
+      .withColumn("__offset",
+        coalesce(sum("__n").over(org.apache.spark.sql.expressions.Window
+          .orderBy("__b")
+          .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)),
+          lit(0L)))
+      .select("__b", "__offset")
+    val wInBucket = org.apache.spark.sql.expressions.Window
+      .partitionBy("__b").orderBy(col("__h").asc, col(idCol).asc)
+    keyed.join(broadcast(offsets), "__b")
+      .withColumn("pos", (col("__offset") + row_number().over(wInBucket)).cast("long"))
+      .drop("__h", "__b", "__offset")
+  }
 }

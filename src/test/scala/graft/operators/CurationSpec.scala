@@ -357,6 +357,28 @@ class CurationSpec extends SparkTestBase {
       (4L, 0L, 0L), (5L, 1L, 1L), (6L, 0L, 1L)))
   }
 
+  test("deterministicShuffle: dense permutation, seed-stable, matches the global rank") {
+    import org.apache.spark.sql.expressions.Window
+    val docs = df("doc_id BIGINT, text STRING",
+      (1 to 300).map(i => org.apache.spark.sql.Row(i.toLong, s"doc $i")))
+    val out = Sample.deterministicShuffle(docs, "doc_id")
+      .collect().map(r => r.getLong(0) -> r.getAs[Long]("pos")).toMap
+    // dense 1..n permutation, stable across runs
+    assert(out.values.toSeq.sorted == (1L to 300L))
+    assert(Sample.deterministicShuffle(docs, "doc_id")
+      .collect().map(r => r.getLong(0) -> r.getAs[Long]("pos")).toMap == out)
+    // bucketed two-phase rank equals the single-window global rank
+    val reference = docs.withColumn("pos", row_number().over(
+        Window.orderBy(md5(concat(lit("graft:"), col("doc_id").cast("string"))).asc,
+          col("doc_id").asc)).cast("long"))
+      .collect().map(r => r.getLong(0) -> r.getAs[Long]("pos")).toMap
+    assert(out == reference)
+    // a different seed is a different permutation
+    val other = Sample.deterministicShuffle(docs, "doc_id", seed = "epoch2")
+      .collect().map(r => r.getLong(0) -> r.getAs[Long]("pos")).toMap
+    assert(other != out && other.values.toSeq.sorted == (1L to 300L))
+  }
+
   test("Pack.assemble materializes packs as ordered concatenated rows") {
     val rows = Seq((1L, "one", 3L), (2L, "two", 3L), (3L, "three", 3L),
       (5L, "five", 7L))
