@@ -516,6 +516,17 @@ object SparkEntry {
         docs(s, d).select(col("doc_id"), col("text")), "text", 0.8)
         .select(col("doc_id"), col("split"))),
 
+    // CRLF/blank-run normalization over synthesized line-ending damage —
+    // the pass before any line-keyed operator on crawl text.
+    "q_clean_newlines" -> ((s, d) =>
+      docs(s, d).select(col("doc_id"),
+          graft.operators.Clean.normalizeNewlines(concat(
+            substring(coalesce(col("text"), lit("")), 1, 40), lit("\r\n"),
+            lit("mid \t\n"),
+            expr("substring(coalesce(text, ''), 41)"), lit("\r"),
+            lit("\n\n\n\n"), lit("end"))).as("text"))
+        .orderBy("doc_id")),
+
     // Reproducible corpus shuffle: dense global position from a seeded
     // content-independent hash (bucketed two-phase rank — no single-task
     // global window).
@@ -1744,6 +1755,20 @@ object SparkEntry {
       ("SELECT doc_id, CASE WHEN substring(md5(text), 1, 8) < '" +
         graft.operators.Split.thresholdHex(0.8) +
         "' THEN 'train' ELSE 'test' END AS split FROM documents"),
+    "q_clean_newlines" ->
+      """WITH d2 AS (
+        |  SELECT doc_id,
+        |    substr(coalesce(text, ''), 1, 40) || chr(13) || chr(10) ||
+        |    'mid ' || chr(9) || chr(10) ||
+        |    substr(coalesce(text, ''), 41) || chr(13) ||
+        |    chr(10) || chr(10) || chr(10) || chr(10) || 'end' AS t
+        |  FROM documents)
+        |SELECT doc_id,
+        |  regexp_replace(regexp_replace(regexp_replace(t,
+        |    '\r\n?', chr(10), 'g'),
+        |    '[ \t]+\n', chr(10), 'g'),
+        |    '\n{3,}', chr(10) || chr(10), 'g') AS text
+        |FROM d2 ORDER BY doc_id""".stripMargin,
     "q_shuffle" ->
       """SELECT CAST(row_number() OVER (
         |  ORDER BY md5('graft:' || CAST(doc_id AS VARCHAR)) ASC, doc_id ASC)

@@ -17,6 +17,17 @@ object Clean {
   def normalizeWhitespace(c: Column): Column =
     trim(regexp_replace(c, "\\s+", " "))
 
+  /** Line-ending normalization for crawl text: CRLF/CR → LF, trailing
+    * per-line whitespace dropped, 3+ blank lines collapsed to one blank
+    * (paragraph break preserved) — run BEFORE any line-keyed operator
+    * ([[Lines]], duplicate-line fractions) so `a\r\n` and `a\n` count as
+    * the same line. Pure regex chain in the portable subset. */
+  def normalizeNewlines(c: Column): Column =
+    regexp_replace(regexp_replace(regexp_replace(c,
+      "\\r\\n?", "\n"),
+      "[ \\t]+\\n", "\n"),
+      "\\n{3,}", "\n\n")
+
   /** Standard junk-null spellings → real NULL (case-insensitive). */
   val defaultNullTokens: Seq[String] = Seq("", "null", "n/a", "na", "none", "-")
 

@@ -23,6 +23,19 @@ class CleanSpec extends SparkTestBase {
     assert(out.map(_.getLong(2)).toSeq == (1L to 6L))
   }
 
+  test("normalizeNewlines: CRLF/CR → LF, trailing space stripped, blank runs capped") {
+    val out = df("s STRING", Seq(
+      Row("a\r\nb\rc\nd"),           // all three line-ending styles
+      Row("x  \t\ny"),                // trailing whitespace before break
+      Row("p\n\n\n\n\nq"),            // blank-line run → one blank line
+      Row("keep\n\nparagraph")))      // a single blank line is preserved
+      .select(Clean.normalizeNewlines(col("s"))).collect().map(_.getString(0))
+    assert(out(0) == "a\nb\nc\nd")
+    assert(out(1) == "x\ny")
+    assert(out(2) == "p\n\nq")
+    assert(out(3) == "keep\n\nparagraph")
+  }
+
   test("tryCast: parseable values cast, junk becomes NULL (no ANSI throw)") {
     val out = df("v STRING", Seq(Row("12"), Row("12.5"), Row("x"), Row("")))
       .select(Clean.tryCast(col("v"), "double").as("d")).collect()
