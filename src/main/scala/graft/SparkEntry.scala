@@ -516,6 +516,21 @@ object SparkEntry {
         docs(s, d).select(col("doc_id"), col("text")), "text", 0.8)
         .select(col("doc_id"), col("split"))),
 
+    // Distribution drift between the corpus and a filtered snapshot
+    // (doc_id % 3 pruned): per-language detail and the JS divergence.
+    "q_drift_detail" -> ((s, d) =>
+      graft.operators.Drift.categoricalDetail(
+          docs(s, d).select("lang"),
+          docs(s, d).filter(col("doc_id") % 3 =!= 0).select("lang"),
+          "lang")
+        .orderBy("value")),
+
+    "q_drift_js" -> ((s, d) =>
+      graft.operators.Drift.jsDivergence(
+          docs(s, d).select("lang"),
+          docs(s, d).filter(col("doc_id") % 3 =!= 0).select("lang"),
+          "lang")),
+
     // CRLF/blank-run normalization over synthesized line-ending damage —
     // the pass before any line-keyed operator on crawl text.
     "q_clean_newlines" -> ((s, d) =>
@@ -1755,6 +1770,19 @@ object SparkEntry {
       ("SELECT doc_id, CASE WHEN substring(md5(text), 1, 8) < '" +
         graft.operators.Split.thresholdHex(0.8) +
         "' THEN 'train' ELSE 'test' END AS split FROM documents"),
+    "q_drift_detail" ->
+      s"""WITH $driftCtes
+         |SELECT value, CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+         |       round(p_a, 6) AS p_a, round(p_b, 6) AS p_b
+         |FROM p ORDER BY value""".stripMargin,
+    "q_drift_js" ->
+      s"""WITH $driftCtes
+         |SELECT CAST(count(*) AS BIGINT) AS n_values,
+         |  round(CAST(sum(CAST(round(
+         |    0.5 * (CASE WHEN p_a > 0 THEN p_a * ln(p_a / ((p_a + p_b) / 2.0)) ELSE 0.0 END) +
+         |    0.5 * (CASE WHEN p_b > 0 THEN p_b * ln(p_b / ((p_a + p_b) / 2.0)) ELSE 0.0 END),
+         |    9) AS DECIMAL(20,9))) AS DOUBLE), 6) AS js
+         |FROM p""".stripMargin,
     "q_clean_newlines" ->
       """WITH d2 AS (
         |  SELECT doc_id,
@@ -2419,6 +2447,21 @@ object SparkEntry {
       |      '^\?(?:utm_[A-Za-z0-9_]+|fbclid|gclid|mc_cid|mc_eid)=[^&]*$', '', 'g')
       |  END AS url
       |FROM pre ORDER BY doc_id""".stripMargin
+
+  /** Shared CTEs for the drift gates: value counts of both corpus
+    * versions, null-safe full outer join, exact-count probabilities. */
+  private val driftCtes: String =
+    """a AS (SELECT lang FROM documents),
+      |b AS (SELECT lang FROM documents WHERE doc_id % 3 != 0),
+      |ca AS (SELECT lang AS va, count(*) AS n_a FROM a GROUP BY 1),
+      |cb AS (SELECT lang AS vb, count(*) AS n_b FROM b GROUP BY 1),
+      |j AS (SELECT coalesce(va, vb) AS value,
+      |             coalesce(n_a, 0) AS n_a, coalesce(n_b, 0) AS n_b
+      |      FROM ca FULL JOIN cb ON va IS NOT DISTINCT FROM vb),
+      |t AS (SELECT (SELECT CAST(count(*) AS DOUBLE) FROM a) AS t_a,
+      |             (SELECT CAST(count(*) AS DOUBLE) FROM b) AS t_b),
+      |p AS (SELECT value, n_a, n_b, n_a / t_a AS p_a, n_b / t_b AS p_b
+      |      FROM j CROSS JOIN t)""".stripMargin
 
   /** DuckDB mirror of `htmlDocs`. */
   private val htmlDocsSql: String =

@@ -1,0 +1,65 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/**
+ * Distribution drift between two corpus versions — the monitoring half of
+ * [[Snapshot]]: when the language/source/score-bucket mixture of the new
+ * snapshot shifts, a retrained model inherits the shift, so pipelines
+ * gate on a divergence threshold before promoting data.
+ *
+ * Jensen-Shannon divergence (symmetric, bounded by ln 2, finite even
+ * when a value exists on only one side — KL's blind spot) over the two
+ * empirical distributions of a categorical column.
+ *
+ * Float determinism: counts are exact; each probability is one exact
+ * int/int double division; each value's JS contribution rounds to 9 dp
+ * and sums as DECIMAL(20,9) (associative — partitioning can't move the
+ * hash), and the final figure rounds to 6 dp — the SparkEntry policy.
+ *
+ * Scale shape: two map-side-combined value counts (|domain|-sized), a
+ * full-outer join on the value key, totals riding broadcast one-row
+ * aggregates. Corpus rows are touched once per side; everything after is
+ * domain-sized.
+ */
+object Drift {
+
+  /** Per-value comparison: `(value, n_a, n_b, p_a, p_b)` — probabilities
+    * rounded to 6 dp, absent values present with zeros (that IS the
+    * drift). NULL category values count as a real level. */
+  def categoricalDetail(a: DataFrame, b: DataFrame, valueCol: String): DataFrame =
+    joined(a, b, valueCol)
+      .select(col("value"), col("n_a"), col("n_b"),
+        round(col("p_a"), 6).as("p_a"), round(col("p_b"), 6).as("p_b"))
+
+  /** One-row summary: `(n_values, js)` — JS divergence in nats, ≤ ln 2. */
+  def jsDivergence(a: DataFrame, b: DataFrame, valueCol: String): DataFrame = {
+    val m = (col("p_a") + col("p_b")) / lit(2.0)
+    val term = (c: org.apache.spark.sql.Column) =>
+      when(c > 0, c * log(c / m)).otherwise(lit(0.0))
+    joined(a, b, valueCol)
+      .withColumn("w", round(
+        lit(0.5) * term(col("p_a")) + lit(0.5) * term(col("p_b")), 9))
+      .agg(count(lit(1)).as("n_values"),
+        round(sum(col("w").cast("decimal(20,9)")).cast("double"), 6).as("js"))
+  }
+
+  private def joined(a: DataFrame, b: DataFrame, valueCol: String): DataFrame = {
+    def counts(df: DataFrame, n: String) =
+      df.groupBy(col(valueCol).as("value")).agg(count(lit(1)).as(n))
+    val ca = counts(a, "n_a").withColumnRenamed("value", "va")
+    val cb = counts(b, "n_b").withColumnRenamed("value", "vb")
+    val ta = broadcast(a.agg(count(lit(1)).cast("double").as("t_a")))
+    val tb = broadcast(b.agg(count(lit(1)).cast("double").as("t_b")))
+    // null-SAFE join key: a NULL category is a real level and must line
+    // up across sides, not split into two half-rows
+    ca.join(cb, col("va") <=> col("vb"), "full_outer")
+      .select(coalesce(col("va"), col("vb")).as("value"),
+        coalesce(col("n_a"), lit(0L)).as("n_a"),
+        coalesce(col("n_b"), lit(0L)).as("n_b"))
+      .crossJoin(ta).crossJoin(tb)
+      .withColumn("p_a", col("n_a") / col("t_a"))
+      .withColumn("p_b", col("n_b") / col("t_b"))
+  }
+}

@@ -1,0 +1,40 @@
+package graft.operators
+
+import graft.SparkTestBase
+import org.apache.spark.sql.Row
+
+class DriftSpec extends SparkTestBase {
+
+  private def corpus(vals: String*) =
+    df("lang STRING", vals.map(Row(_)))
+
+  test("jsDivergence matches the hand formula; zero for identical, ln 2 for disjoint") {
+    val a = corpus("x", "x", "y")
+    val b = corpus("x", "z")
+    val out = Drift.jsDivergence(a, b, "lang").head()
+    // pa: x=2/3 y=1/3; pb: x=1/2 z=1/2
+    def term(p: Double, m: Double) = if (p > 0) p * math.log(p / m) else 0.0
+    val expect = Seq(
+      (2.0 / 3, 1.0 / 2), (1.0 / 3, 0.0), (0.0, 1.0 / 2)).map { case (pa, pb) =>
+      val m = (pa + pb) / 2
+      BigDecimal(0.5 * term(pa, m) + 0.5 * term(pb, m))
+        .setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }.sum
+    assert(out.getLong(0) == 3L)
+    assert(math.abs(out.getDouble(1) - expect) < 1e-6)
+    assert(Drift.jsDivergence(a, a, "lang").head().getDouble(1) == 0.0)
+    val disjoint = Drift.jsDivergence(corpus("p"), corpus("q"), "lang").head()
+    assert(math.abs(disjoint.getDouble(1) - math.log(2)) < 1e-6)
+  }
+
+  test("categoricalDetail keeps one-sided and NULL levels") {
+    val a = df("lang STRING", Seq(Row("x"), Row(null), Row(null)))
+    val b = df("lang STRING", Seq(Row("x"), Row("y")))
+    val rows = Drift.categoricalDetail(a, b, "lang")
+      .collect().map(r => (Option(r.getString(0)), r.getLong(1), r.getLong(2))).toSet
+    assert(rows == Set(
+      (Some("x"), 1L, 1L),
+      (Some("y"), 0L, 1L),
+      (None, 2L, 0L)))   // NULL level aligned on one row, not split
+  }
+}
