@@ -336,6 +336,12 @@ object Dedup {
    * the same history, persist `history`'s digest projection so the 100 TB
    * side isn't rescanned per batch (it is read twice per call otherwise:
    * bloom build + confirm anti-join).
+   *
+   * Streaming: `newBatch` may be a streaming DataFrame — the bloom probe
+   * is a pure filter and the confirm a stream-STATIC left-anti join, both
+   * legal in append mode (cross-checked against the batch result in
+   * StreamingCurationSpec) — the continuous-ingest "don't re-admit
+   * yesterday's corpus" gate.
    */
   def incrementalDedup(newBatch: DataFrame, history: DataFrame,
                        idCol: String, textCol: String,

@@ -107,6 +107,36 @@ class StreamingCurationSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("incremental dedup against a STATIC history applies unchanged to a stream") {
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    val history = spark.createDataFrame(Seq(
+      Doc(100, "seen before", "en"), Doc(101, "also seen", "en")))
+    val arriving = Seq(
+      Doc(1, "brand new", "en"),
+      Doc(2, "seen before", "en"),   // exact dup of history → dropped
+      Doc(3, "also seen", "de"),     // dup by CONTENT despite other cols
+      Doc(4, "fresh too", "en"))
+    val mem = MemoryStream[Doc]
+    mem.addData(arriving: _*)
+    // bloom probe is a pure filter; the confirm is a stream-static
+    // left_anti join — both legal in append mode
+    val out = graft.operators.Dedup.incrementalDedup(
+      mem.toDF(), history, "doc_id", "text")
+    val q = out.writeStream.format("memory").queryName("q_incr_out")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val stream = spark.sql("SELECT doc_id FROM q_incr_out ORDER BY doc_id")
+        .collect().map(_.getLong(0)).toSeq
+      assert(stream == Seq(1L, 4L))
+      val batch = graft.operators.Dedup.incrementalDedup(
+          spark.createDataFrame(arriving), history, "doc_id", "text")
+        .select("doc_id").orderBy("doc_id").collect().map(_.getLong(0)).toSeq
+      assert(stream == batch)
+    } finally q.stop()
+  }
+
   test("HTML extract → inline line blocklist → script profile on a stream equal batch") {
     implicit val sq = spark.sqlContext
     import spark.implicits._
