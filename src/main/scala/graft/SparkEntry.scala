@@ -531,6 +531,14 @@ object SparkEntry {
           docs(s, d).filter(col("doc_id") % 3 =!= 0).select("lang"),
           "lang")),
 
+    // Numeric drift over the length distribution vs a "short docs only"
+    // snapshot — binned JS with histogram-identical clamped arithmetic.
+    "q_drift_numeric" -> ((s, d) =>
+      graft.operators.Drift.numericJs(
+          docs(s, d).select("n_chars"),
+          docs(s, d).filter(col("n_chars") < 800).select("n_chars"),
+          "n_chars", lo = 0.0, hi = 2000.0, nBins = 20)),
+
     // CRLF/blank-run normalization over synthesized line-ending damage —
     // the pass before any line-keyed operator on crawl text.
     "q_clean_newlines" -> ((s, d) =>
@@ -1777,12 +1785,14 @@ object SparkEntry {
          |FROM p ORDER BY value""".stripMargin,
     "q_drift_js" ->
       s"""WITH $driftCtes
-         |SELECT CAST(count(*) AS BIGINT) AS n_values,
-         |  round(CAST(sum(CAST(round(
-         |    0.5 * (CASE WHEN p_a > 0 THEN p_a * ln(p_a / ((p_a + p_b) / 2.0)) ELSE 0.0 END) +
-         |    0.5 * (CASE WHEN p_b > 0 THEN p_b * ln(p_b / ((p_a + p_b) / 2.0)) ELSE 0.0 END),
-         |    9) AS DECIMAL(20,9))) AS DOUBLE), 6) AS js
-         |FROM p""".stripMargin,
+         |$driftJsSelect""".stripMargin,
+    "q_drift_numeric" ->
+      s"""WITH ${driftScaffold(
+          "SELECT CAST(least(greatest(floor((CAST(n_chars AS DOUBLE) - 0.0) / 100.0), 0), 19) AS BIGINT) AS v " +
+            "FROM documents WHERE n_chars IS NOT NULL",
+          "SELECT CAST(least(greatest(floor((CAST(n_chars AS DOUBLE) - 0.0) / 100.0), 0), 19) AS BIGINT) AS v " +
+            "FROM documents WHERE n_chars IS NOT NULL AND n_chars < 800")}
+         |$driftJsSelect""".stripMargin,
     "q_clean_newlines" ->
       """WITH d2 AS (
         |  SELECT doc_id,
@@ -2448,20 +2458,34 @@ object SparkEntry {
       |  END AS url
       |FROM pre ORDER BY doc_id""".stripMargin
 
-  /** Shared CTEs for the drift gates: value counts of both corpus
-    * versions, null-safe full outer join, exact-count probabilities. */
-  private val driftCtes: String =
-    """a AS (SELECT lang FROM documents),
-      |b AS (SELECT lang FROM documents WHERE doc_id % 3 != 0),
-      |ca AS (SELECT lang AS va, count(*) AS n_a FROM a GROUP BY 1),
-      |cb AS (SELECT lang AS vb, count(*) AS n_b FROM b GROUP BY 1),
-      |j AS (SELECT coalesce(va, vb) AS value,
-      |             coalesce(n_a, 0) AS n_a, coalesce(n_b, 0) AS n_b
-      |      FROM ca FULL JOIN cb ON va IS NOT DISTINCT FROM vb),
-      |t AS (SELECT (SELECT CAST(count(*) AS DOUBLE) FROM a) AS t_a,
-      |             (SELECT CAST(count(*) AS DOUBLE) FROM b) AS t_b),
-      |p AS (SELECT value, n_a, n_b, n_a / t_a AS p_a, n_b / t_b AS p_b
-      |      FROM j CROSS JOIN t)""".stripMargin
+  /** Shared CTE scaffold for the drift oracles: `aSql`/`bSql` each select
+    * ONE column aliased `v`; the scaffold builds value counts, the
+    * null-safe full outer join, and exact-count probabilities. */
+  private def driftScaffold(aSql: String, bSql: String): String =
+    s"""a AS ($aSql),
+       |b AS ($bSql),
+       |ca AS (SELECT v AS va, count(*) AS n_a FROM a GROUP BY 1),
+       |cb AS (SELECT v AS vb, count(*) AS n_b FROM b GROUP BY 1),
+       |j AS (SELECT coalesce(va, vb) AS value,
+       |             coalesce(n_a, 0) AS n_a, coalesce(n_b, 0) AS n_b
+       |      FROM ca FULL JOIN cb ON va IS NOT DISTINCT FROM vb),
+       |t AS (SELECT (SELECT CAST(count(*) AS DOUBLE) FROM a) AS t_a,
+       |             (SELECT CAST(count(*) AS DOUBLE) FROM b) AS t_b),
+       |p AS (SELECT value, n_a, n_b, n_a / t_a AS p_a, n_b / t_b AS p_b
+       |      FROM j CROSS JOIN t)""".stripMargin
+
+  private val driftCtes: String = driftScaffold(
+    "SELECT lang AS v FROM documents",
+    "SELECT lang AS v FROM documents WHERE doc_id % 3 != 0")
+
+  /** The JS-divergence tail shared by the drift oracles. */
+  private val driftJsSelect: String =
+    """SELECT CAST(count(*) AS BIGINT) AS n_values,
+      |  round(CAST(sum(CAST(round(
+      |    0.5 * (CASE WHEN p_a > 0 THEN p_a * ln(p_a / ((p_a + p_b) / 2.0)) ELSE 0.0 END) +
+      |    0.5 * (CASE WHEN p_b > 0 THEN p_b * ln(p_b / ((p_a + p_b) / 2.0)) ELSE 0.0 END),
+      |    9) AS DECIMAL(20,9))) AS DOUBLE), 6) AS js
+      |FROM p""".stripMargin
 
   /** DuckDB mirror of `htmlDocs`. */
   private val htmlDocsSql: String =

@@ -45,6 +45,26 @@ object Drift {
         round(sum(col("w").cast("decimal(20,9)")).cast("double"), 6).as("js"))
   }
 
+  /**
+   * Numeric drift: JS divergence over a fixed-width binning of a numeric
+   * column — same clamped floor arithmetic as `Profile.histogram`, so
+   * both engines bin identically; explicit [lo, hi) bounds, NO min/max
+   * pre-pass (that would double the scans AND make the binning depend on
+   * the data being compared). NULLs are excluded (they are a
+   * completeness concern — diff their counts via [[categoricalDetail]]).
+   */
+  def numericJs(a: DataFrame, b: DataFrame, valueCol: String,
+                lo: Double, hi: Double, nBins: Int): DataFrame = {
+    require(nBins >= 1 && hi > lo, "need hi > lo and at least one bin")
+    val width = (hi - lo) / nBins
+    def binned(df: DataFrame) = df
+      .where(col(valueCol).isNotNull)
+      .select(least(greatest(
+        floor((col(valueCol).cast("double") - lit(lo)) / lit(width)), lit(0)),
+        lit(nBins - 1)).cast("long").as("bin"))
+    jsDivergence(binned(a), binned(b), "bin")
+  }
+
   private def joined(a: DataFrame, b: DataFrame, valueCol: String): DataFrame = {
     def counts(df: DataFrame, n: String) =
       df.groupBy(col(valueCol).as("value")).agg(count(lit(1)).as(n))

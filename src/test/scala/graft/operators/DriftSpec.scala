@@ -27,6 +27,20 @@ class DriftSpec extends SparkTestBase {
     assert(math.abs(disjoint.getDouble(1) - math.log(2)) < 1e-6)
   }
 
+  test("numericJs bins with clamped edges and excludes NULLs") {
+    val a = df("n BIGINT", Seq(1L, 5L, 15L, 25L, 999L).map(Row(_)))
+    val b = df("n BIGINT", (Seq(1L, 5L, 15L, 25L, 999L) :+ null).map(Row(_)))
+    // same non-null values (the NULL is excluded) → zero divergence
+    assert(Drift.numericJs(a, b, "n", 0.0, 30.0, 3).head().getDouble(1) == 0.0)
+    // out-of-range values clamp into the edge bins, not a crash or drop
+    val c = df("n BIGINT", Seq(Row(-50L), Row(500L)))
+    val r = Drift.numericJs(a, c, "n", 0.0, 30.0, 3).head()
+    assert(r.getLong(0) == 3L && r.getDouble(1) > 0.0)
+    intercept[IllegalArgumentException] {
+      Drift.numericJs(a, b, "n", 10.0, 10.0, 3)
+    }
+  }
+
   test("categoricalDetail keeps one-sided and NULL levels") {
     val a = df("lang STRING", Seq(Row("x"), Row(null), Row(null)))
     val b = df("lang STRING", Seq(Row("x"), Row("y")))
