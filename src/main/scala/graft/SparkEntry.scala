@@ -531,6 +531,19 @@ object SparkEntry {
           docs(s, d).filter(col("doc_id") % 3 =!= 0).select("lang"),
           "lang")),
 
+    // Embedding drift: the distribution of cosine-to-own-label-centroid,
+    // full corpus vs the even-id half — Centroids ∘ Drift composition
+    // (an embedding-space shift shows up here before any label flips).
+    "q_drift_embedding" -> ((s, d) => {
+      val e = embeddings(s, d).select(col("vec_id"), col("label"),
+        VF.asDouble(col("embedding")).as("v"))
+      val scored = graft.operators.Centroids.cosineToCentroid(e, "vec_id", "v", "label")
+      graft.operators.Drift.numericJs(
+        scored.select(col("vec_id"), col("cosine")),
+        scored.filter(col("vec_id") % 2 === 0).select(col("cosine")),
+        "cosine", lo = -1.0, hi = 1.0, nBins = 20)
+    }),
+
     // Numeric drift over the length distribution vs a "short docs only"
     // snapshot — binned JS with histogram-identical clamped arithmetic.
     "q_drift_numeric" -> ((s, d) =>
@@ -1785,6 +1798,26 @@ object SparkEntry {
          |FROM p ORDER BY value""".stripMargin,
     "q_drift_js" ->
       s"""WITH $driftCtes
+         |$driftJsSelect""".stripMargin,
+    "q_drift_embedding" ->
+      s"""WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+         |           FROM embeddings),
+         |ex AS (SELECT vec_id, label, unnest(v) AS x,
+         |              unnest(range(1, len(v) + 1)) AS pos FROM e),
+         |cent AS (
+         |  SELECT label, pos,
+         |    CAST(sum(CAST(round(x, 9) AS DECIMAL(27,9))) AS DOUBLE) / count(*) AS c
+         |  FROM ex GROUP BY 1, 2),
+         |cl AS (SELECT label, list(c ORDER BY pos) AS cv FROM cent GROUP BY 1),
+         |scored AS (
+         |  SELECT e.vec_id,
+         |         round(list_cosine_similarity(e.v, cl.cv), 6) AS cosine
+         |  FROM e JOIN cl USING (label)),
+         |${driftScaffold(
+            "SELECT CAST(least(greatest(floor((CAST(cosine AS DOUBLE) - (-1.0)) / 0.1), 0), 19) AS BIGINT) AS v " +
+              "FROM scored WHERE cosine IS NOT NULL",
+            "SELECT CAST(least(greatest(floor((CAST(cosine AS DOUBLE) - (-1.0)) / 0.1), 0), 19) AS BIGINT) AS v " +
+              "FROM scored WHERE cosine IS NOT NULL AND vec_id % 2 = 0")}
          |$driftJsSelect""".stripMargin,
     "q_drift_numeric" ->
       s"""WITH ${driftScaffold(
