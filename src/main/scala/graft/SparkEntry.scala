@@ -695,6 +695,21 @@ object SparkEntry {
 
     // REAL resize → re-decode round trip on the committed PNG fixture:
     // the 4×3 image resized to 2×2 must decode back with the target
+    // Perceptual image hash over the committed fixtures: the PNG's aHash
+    // is a pinned constant (brightness/re-encode invariant by spec), the
+    // WAV is not an image → NULL.
+    "q_multimodal_phash" -> ((s, _) => {
+      import graft.operators.Multimodal
+      val rows = Seq("tiny.png", "tiny.wav").map { f =>
+        (f, java.nio.file.Files.readAllBytes(
+          java.nio.file.Paths.get(s"$fixtureDir/$f")))
+      }
+      import s.implicits._
+      Multimodal.imagePhash(rows.toDF("file", "payload"), "payload")
+        .select(col("file"), col("phash"))
+        .orderBy("file")
+    }),
+
     // dimensions (closed-form VALUES oracle, like q_multimodal_decode_real).
     "q_multimodal_resize" -> ((s, _) => {
       import graft.operators.Multimodal
@@ -1938,6 +1953,13 @@ object SparkEntry {
         "('tiny.png', 'image/png', 4, 3, 3), " +
         "('tiny.wav', 'audio/wav', 800, 8000, 1)) " +
         "AS t(file, mime, width, height, channels) ORDER BY file"),
+    // Pinned aHash of the committed 4×3 PNG (spec proves re-encode and
+    // brightness invariance; this pins the exact bit layout).
+    "q_multimodal_phash" ->
+      ("SELECT * FROM (VALUES " +
+        "('tiny.png', CAST(93458493603840 AS BIGINT)), " +
+        "('tiny.wav', CAST(NULL AS BIGINT))) " +
+        "AS t(file, phash) ORDER BY file"),
     "q_multimodal_resize" ->
       ("SELECT * FROM (VALUES ('tiny.png', 2, 2, 3)) " +
         "AS t(file, width, height, channels)"),

@@ -133,6 +133,78 @@ object Multimodal {
   }
 
   /**
+   * 64-bit perceptual image hash (aHash): 8×8 mean-luminance grid, bit i
+   * set iff cell i is brighter than the global mean. Invariant to
+   * lossless re-encoding AND to uniform brightness shifts (every cell
+   * and the mean move together); near-identical images differ in few
+   * bits, so downstream exact-or-Hamming grouping (the SimHash chunk
+   * trick) finds visual near-dups that byte-level md5 never can. NULL
+   * for anything ImageIO cannot parse.
+   */
+  def imagePhash(df: DataFrame, binCol: String,
+                 hashCol: String = "phash", batchSize: Int = 64): DataFrame = {
+    val schema = StructType(df.schema.fields :+
+      StructField(hashCol, org.apache.spark.sql.types.LongType, nullable = true))
+    val binIdx = df.schema.fieldIndex(binCol)
+    val enc = org.apache.spark.sql.Encoders.row(schema)
+    df.mapPartitions { rows =>
+      javax.imageio.ImageIO.setUseCache(false)
+      rows.grouped(batchSize).flatMap { batch =>
+        batch.iterator.map { r =>
+          Row.fromSeq(r.toSeq :+ phashOne(r.getAs[Array[Byte]](binIdx)))
+        }
+      }
+    }(enc)
+  }
+
+  private[operators] def phashOne(bytes: Array[Byte]): java.lang.Long = {
+    if (bytes == null || bytes.isEmpty) return null
+    val img =
+      try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      catch { case _: Exception => null }
+    if (img == null) null
+    else {
+      val grid = 8
+      val w = img.getWidth
+      val h = img.getHeight
+      val sums = new Array[Double](grid * grid)
+      val counts = new Array[Int](grid * grid)
+      val px = img.getRGB(0, 0, w, h, null, 0, w)
+      var y = 0
+      while (y < h) {
+        val gy = math.min(grid - 1, y * grid / h)
+        val rowOff = y * w
+        var x = 0
+        while (x < w) {
+          val rgb = px(rowOff + x)
+          val lum = (((rgb >> 16) & 0xFF) * 0.299 +
+            ((rgb >> 8) & 0xFF) * 0.587 + (rgb & 0xFF) * 0.114) / 255.0
+          val cell = gy * grid + math.min(grid - 1, x * grid / w)
+          sums(cell) += lum
+          counts(cell) += 1
+          x += 1
+        }
+        y += 1
+      }
+      var total = 0.0
+      var n = 0
+      var i = 0
+      while (i < grid * grid) {
+        if (counts(i) > 0) { sums(i) /= counts(i); total += sums(i); n += 1 }
+        i += 1
+      }
+      val mean = if (n > 0) total / n else 0.0
+      var hash = 0L
+      i = 0
+      while (i < grid * grid) {
+        if (counts(i) > 0 && sums(i) > mean) hash |= (1L << i)
+        i += 1
+      }
+      java.lang.Long.valueOf(hash)
+    }
+  }
+
+  /**
    * REAL audio decode via `javax.sound.sampled` (PCM WAV/AIFF — the
    * formats a stock JVM parses): width = frame count, height = sample
    * rate (Hz), channels = channel count, feature = 8-bucket RMS envelope

@@ -139,6 +139,42 @@ class MultimodalSpec extends SparkTestBase {
     assert(Multimodal.decodeFeatures(repart, "payload").rdd.getNumPartitions == 3)
   }
 
+  test("perceptual hash: re-encode and brightness invariant, content sensitive") {
+    def png(f: (Int, Int) => Int, w: Int = 16, h: Int = 16): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until h; x <- 0 until w) img.setRGB(x, y, f(x, y))
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    }
+    // left half dark, right half bright
+    val base = png((x, _) => if (x < 8) 0x202020 else 0xD0D0D0)
+    // same pixels decoded+re-encoded → identical bytes are NOT required,
+    // identical phash IS
+    val reencoded = {
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(base))
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos); bos.toByteArray
+    }
+    // uniform brightness lift: every cell and the mean move together
+    val brighter = png((x, _) => if (x < 8) 0x303030 else 0xE0E0E0)
+    // different content: top/bottom split instead of left/right
+    val flipped = png((_, y) => if (y < 8) 0x202020 else 0xD0D0D0)
+
+    val rows = df("id BIGINT, payload BINARY", Seq(
+      Row(1L, base), Row(2L, reencoded), Row(3L, brighter), Row(4L, flipped),
+      Row(5L, "not an image".getBytes("UTF-8"))))
+    val ph = Multimodal.imagePhash(rows, "payload")
+      .collect().map(r => r.getLong(0) -> (if (r.isNullAt(2)) None else Some(r.getLong(2)))).toMap
+    assert(ph(1L).isDefined && ph(1L) == ph(2L))
+    assert(ph(1L) == ph(3L))
+    assert(ph(1L) != ph(4L))
+    assert(ph(5L).isEmpty)
+    // the hash actually encodes the geometry: exactly half the bits set
+    assert(java.lang.Long.bitCount(ph(1L).get) == 32)
+  }
+
   test("chunk plan explodes oversized payloads with exact offsets") {
     val big = df("id BIGINT, payload BINARY",
       Seq(Row(1L, Array.fill[Byte](2500)(1)), Row(2L, Array.fill[Byte](10)(2))))
