@@ -693,8 +693,6 @@ object SparkEntry {
         .orderBy("file")
     }),
 
-    // REAL resize → re-decode round trip on the committed PNG fixture:
-    // the 4×3 image resized to 2×2 must decode back with the target
     // Perceptual image hash over the committed fixtures: the PNG's aHash
     // is a pinned constant (brightness/re-encode invariant by spec), the
     // WAV is not an image → NULL.
@@ -710,6 +708,8 @@ object SparkEntry {
         .orderBy("file")
     }),
 
+    // REAL resize → re-decode round trip on the committed PNG fixture:
+    // the 4×3 image resized to 2×2 must decode back with the target
     // dimensions (closed-form VALUES oracle, like q_multimodal_decode_real).
     "q_multimodal_resize" -> ((s, _) => {
       import graft.operators.Multimodal
@@ -2336,7 +2336,7 @@ object SparkEntry {
     "q_filter_content" ->
       """SELECT doc_id FROM (
         |  SELECT doc_id,
-        |    len(list_filter(regexp_split_to_array(trim(lower(text)),
+        |    len(list_filter(regexp_split_to_array(trim(lower(coalesce(text, ''))),
         |      '[ \t\n\x0b\f\r]+'), x -> x IN ('spark', 'vector'))) AS hits
         |  FROM documents)
         |WHERE hits = 0 ORDER BY doc_id""".stripMargin,

@@ -19,9 +19,9 @@ import org.apache.spark.sql.functions._
  * hash), and the final figure rounds to 6 dp — the SparkEntry policy.
  *
  * Scale shape: two map-side-combined value counts (|domain|-sized), a
- * full-outer join on the value key, totals riding broadcast one-row
- * aggregates. Corpus rows are touched once per side; everything after is
- * domain-sized.
+ * full-outer join on the value key, totals derived from the counts
+ * themselves. Corpus rows are touched exactly once per side; everything
+ * after is domain-sized.
  */
 object Drift {
 
@@ -70,15 +70,21 @@ object Drift {
       df.groupBy(col(valueCol).as("value")).agg(count(lit(1)).as(n))
     val ca = counts(a, "n_a").withColumnRenamed("value", "va")
     val cb = counts(b, "n_b").withColumnRenamed("value", "vb")
-    val ta = broadcast(a.agg(count(lit(1)).cast("double").as("t_a")))
-    val tb = broadcast(b.agg(count(lit(1)).cast("double").as("t_b")))
     // null-SAFE join key: a NULL category is a real level and must line
-    // up across sides, not split into two half-rows
+    // up across sides, not split into two half-rows. Corpus totals come
+    // from the counts themselves (Σ n_a = |a|) via a window over the
+    // DOMAIN-sized joined frame — a separate a.count()/b.count() would
+    // re-scan each corpus a second time.
+    val all = org.apache.spark.sql.expressions.Window
+      .partitionBy(lit(1))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.unboundedFollowing)
     ca.join(cb, col("va") <=> col("vb"), "full_outer")
       .select(coalesce(col("va"), col("vb")).as("value"),
         coalesce(col("n_a"), lit(0L)).as("n_a"),
         coalesce(col("n_b"), lit(0L)).as("n_b"))
-      .crossJoin(ta).crossJoin(tb)
+      .withColumn("t_a", sum("n_a").over(all).cast("double"))
+      .withColumn("t_b", sum("n_b").over(all).cast("double"))
       .withColumn("p_a", col("n_a") / col("t_a"))
       .withColumn("p_b", col("n_b") / col("t_b"))
   }

@@ -101,34 +101,12 @@ object Multimodal {
       catch { case _: Exception => null }
     if (img == null) decodeAudio(bytes)
     else {
-      val w = img.getWidth
-      val h = img.getHeight
       val grid = 4
-      val sums = new Array[Double](grid * grid)
-      val counts = new Array[Int](grid * grid)
-      // bulk pixel fetch: one colorspace conversion pass instead of a
-      // virtual getRGB + ColorModel convert per pixel (~10× on 4K images)
-      val px = img.getRGB(0, 0, w, h, null, 0, w)
-      var y = 0
-      while (y < h) {
-        val gy = math.min(grid - 1, y * grid / h)
-        val rowOff = y * w
-        var x = 0
-        while (x < w) {
-          val rgb = px(rowOff + x)
-          val lum = (((rgb >> 16) & 0xFF) * 0.299 +
-            ((rgb >> 8) & 0xFF) * 0.587 + (rgb & 0xFF) * 0.114) / 255.0
-          val cell = gy * grid + math.min(grid - 1, x * grid / w)
-          sums(cell) += lum
-          counts(cell) += 1
-          x += 1
-        }
-        y += 1
-      }
+      val (sums, counts) = lumaGrid(img, grid)
       val feature = Array.tabulate(grid * grid) { i =>
         if (counts(i) == 0) 0.0f else (sums(i) / counts(i)).toFloat
       }
-      Row(w, h, img.getColorModel.getNumComponents, feature)
+      Row(img.getWidth, img.getHeight, img.getColorModel.getNumComponents, feature)
     }
   }
 
@@ -142,18 +120,14 @@ object Multimodal {
    * for anything ImageIO cannot parse.
    */
   def imagePhash(df: DataFrame, binCol: String,
-                 hashCol: String = "phash", batchSize: Int = 64): DataFrame = {
+                 hashCol: String = "phash"): DataFrame = {
     val schema = StructType(df.schema.fields :+
       StructField(hashCol, org.apache.spark.sql.types.LongType, nullable = true))
     val binIdx = df.schema.fieldIndex(binCol)
     val enc = org.apache.spark.sql.Encoders.row(schema)
     df.mapPartitions { rows =>
       javax.imageio.ImageIO.setUseCache(false)
-      rows.grouped(batchSize).flatMap { batch =>
-        batch.iterator.map { r =>
-          Row.fromSeq(r.toSeq :+ phashOne(r.getAs[Array[Byte]](binIdx)))
-        }
-      }
+      rows.map(r => Row.fromSeq(r.toSeq :+ phashOne(r.getAs[Array[Byte]](binIdx))))
     }(enc)
   }
 
@@ -165,27 +139,7 @@ object Multimodal {
     if (img == null) null
     else {
       val grid = 8
-      val w = img.getWidth
-      val h = img.getHeight
-      val sums = new Array[Double](grid * grid)
-      val counts = new Array[Int](grid * grid)
-      val px = img.getRGB(0, 0, w, h, null, 0, w)
-      var y = 0
-      while (y < h) {
-        val gy = math.min(grid - 1, y * grid / h)
-        val rowOff = y * w
-        var x = 0
-        while (x < w) {
-          val rgb = px(rowOff + x)
-          val lum = (((rgb >> 16) & 0xFF) * 0.299 +
-            ((rgb >> 8) & 0xFF) * 0.587 + (rgb & 0xFF) * 0.114) / 255.0
-          val cell = gy * grid + math.min(grid - 1, x * grid / w)
-          sums(cell) += lum
-          counts(cell) += 1
-          x += 1
-        }
-        y += 1
-      }
+      val (sums, counts) = lumaGrid(img, grid)
       var total = 0.0
       var n = 0
       var i = 0
@@ -202,6 +156,37 @@ object Multimodal {
       }
       java.lang.Long.valueOf(hash)
     }
+  }
+
+  /** Shared mean-luminance accumulation for [[decodeImage]] (4×4 float
+    * grid) and [[phashOne]] (8×8 aHash): per-cell luminance sums and
+    * pixel counts via one bulk getRGB pass. */
+  private def lumaGrid(img: java.awt.image.BufferedImage,
+                       grid: Int): (Array[Double], Array[Int]) = {
+    val w = img.getWidth
+    val h = img.getHeight
+    val sums = new Array[Double](grid * grid)
+    val counts = new Array[Int](grid * grid)
+    // bulk pixel fetch: one colorspace conversion pass instead of a
+    // virtual getRGB + ColorModel convert per pixel (~10× on 4K images)
+    val px = img.getRGB(0, 0, w, h, null, 0, w)
+    var y = 0
+    while (y < h) {
+      val gy = math.min(grid - 1, y * grid / h)
+      val rowOff = y * w
+      var x = 0
+      while (x < w) {
+        val rgb = px(rowOff + x)
+        val lum = (((rgb >> 16) & 0xFF) * 0.299 +
+          ((rgb >> 8) & 0xFF) * 0.587 + (rgb & 0xFF) * 0.114) / 255.0
+        val cell = gy * grid + math.min(grid - 1, x * grid / w)
+        sums(cell) += lum
+        counts(cell) += 1
+        x += 1
+      }
+      y += 1
+    }
+    (sums, counts)
   }
 
   /**
