@@ -1256,6 +1256,18 @@ object SparkEntry {
           "user_id", "ts")
         .orderBy("cohort", "period_offset")),
 
+    // The rate-normalized triangle (offset 0 ≡ 1.0).
+    "q_cohort_rate" -> ((s, d) =>
+      graft.operators.Cohort.retentionRate(executor(s, d).table("events"),
+          "user_id", "ts")
+        .orderBy("cohort", "period_offset")),
+
+    // Categorical profiling: top-k frequent values with deterministic
+    // tie-breaks (all sources tie at sf0.01 — the cut is the point).
+    "q_profile_top_values" -> ((s, d) =>
+      graft.operators.Profile.topValues(docs(s, d), "source", k = 5)
+        .orderBy("rank")),
+
     // Character-class (script) profiling over docs with a mixed-script
     // suffix appended (testdata is pure ASCII) — wrong-script screening.
     "q_script_profile" -> ((s, d) =>
@@ -2389,6 +2401,28 @@ object SparkEntry {
         |  FROM ev e JOIN fst f ON e.u = f.u)
         |SELECT cohort, period_offset, count(*) AS n_users
         |FROM active GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q_cohort_rate" ->
+      """WITH ev AS (SELECT user_id AS u, CAST(ts AS TIMESTAMP) AS ts FROM events),
+        |fst AS (SELECT u, min(ts) AS first_ts FROM ev GROUP BY 1),
+        |active AS (
+        |  SELECT DISTINCT e.u,
+        |    CAST(date_trunc('week', f.first_ts) AS DATE) AS cohort,
+        |    CAST(datediff('day',
+        |           CAST(date_trunc('week', f.first_ts) AS DATE),
+        |           CAST(date_trunc('week', e.ts) AS DATE)) / 7 AS BIGINT)
+        |      AS period_offset
+        |  FROM ev e JOIN fst f ON e.u = f.u),
+        |tri AS (SELECT cohort, period_offset, count(*) AS n_users
+        |        FROM active GROUP BY 1, 2)
+        |SELECT cohort, period_offset, n_users,
+        |  round(n_users / CAST(max(CASE WHEN period_offset = 0 THEN n_users END)
+        |        OVER (PARTITION BY cohort) AS DOUBLE), 6) AS rate
+        |FROM tri ORDER BY cohort, period_offset""".stripMargin,
+    "q_profile_top_values" ->
+      """SELECT value, n, CAST(row_number() OVER (ORDER BY n DESC, value ASC) AS BIGINT) AS rank
+        |FROM (SELECT source AS value, count(*) AS n FROM documents GROUP BY 1
+        |      ORDER BY n DESC, value ASC LIMIT 5) t
+        |ORDER BY rank""".stripMargin,
     "q_script_profile" ->
       s"""WITH t AS (
          |  SELECT doc_id, coalesce(text, '') || '$scriptSuffix' AS t2

@@ -47,4 +47,21 @@ object Cohort {
     active.groupBy("cohort", "period_offset")
       .agg(count(lit(1)).as("n_users"))
   }
+
+  /**
+   * [[retention]] normalized by cohort size: `(cohort, period_offset,
+   * n_users, rate)` with `rate = n_users / cohort_size` rounded to 6 dp —
+   * offset 0 is 1.0 by construction. The size join is cohort-count-sized
+   * (a window over the triangle, not a corpus re-scan).
+   */
+  def retentionRate(events: DataFrame, userCol: String, tsCol: String,
+                    period: String = "week"): DataFrame = {
+    val tri = retention(events, userCol, tsCol, period)
+    val size = org.apache.spark.sql.expressions.Window.partitionBy("cohort")
+    tri.withColumn("__size",
+        max(when(col("period_offset") === 0, col("n_users"))).over(size))
+      .withColumn("rate",
+        round(col("n_users") / col("__size").cast("double"), 6))
+      .drop("__size")
+  }
 }

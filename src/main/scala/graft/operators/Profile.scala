@@ -65,6 +65,25 @@ object Profile {
    * genuinely unknown. Binning is plain floor arithmetic on doubles —
    * identical across engines (the oracle states the same expression).
    */
+  /**
+   * Top-k most frequent values of one column — the categorical half of
+   * profiling (histogram covers numerics): `(value, n, rank)` ranked by
+   * count DESC with a value-ASC tiebreak so the cut is deterministic;
+   * NULL counts as a real value (its frequency is usually the finding).
+   * One map-side-combined count + TakeOrderedAndProject — never a full
+   * sort of the domain.
+   */
+  def topValues(df: DataFrame, colName: String, k: Int): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    df.groupBy(col(colName).as("value"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("value").asc_nulls_last)
+      .limit(k)
+      .withColumn("rank",
+        row_number().over(org.apache.spark.sql.expressions.Window
+          .orderBy(col("n").desc, col("value").asc_nulls_last)).cast("long"))
+  }
+
   def histogram(df: DataFrame, colName: String,
                 lo: Double, hi: Double, nBins: Int): DataFrame = {
     require(nBins >= 1, "nBins must be >= 1")

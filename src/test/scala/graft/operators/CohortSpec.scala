@@ -26,6 +26,17 @@ class CohortSpec extends SparkTestBase {
         Seq("2024-01-08", 1L, 1L)))
   }
 
+  test("retentionRate normalizes by cohort size; offset 0 is exactly 1.0") {
+    val out = Cohort.retentionRate(events, "user_id", "ts")
+      .orderBy("cohort", "period_offset").collect()
+      .map(r => (r.getDate(0).toString, r.getLong(1), r.getDouble(3)))
+    assert(out.toSeq == Seq(
+      ("2024-01-01", 0L, 1.0),
+      ("2024-01-01", 2L, 0.5),
+      ("2024-01-08", 0L, 1.0),
+      ("2024-01-08", 1L, 1.0)))
+  }
+
   test("daily period and bad period argument") {
     val daily = Cohort.retention(events, "user_id", "ts", "day")
       .filter("cohort = '2024-01-01'").orderBy("period_offset").collect()

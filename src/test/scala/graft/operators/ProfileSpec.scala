@@ -72,4 +72,16 @@ class ProfileSpec extends SparkTestBase {
       .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
     assert(h == Map(0L -> 1L, 1L -> 1L))
   }
+
+  test("topValues ranks by count with value tiebreak; NULL is a real value") {
+    val vals = df("s STRING", (Seq.fill(3)("b") ++ Seq.fill(3)("a") ++
+      Seq.fill(2)(null) ++ Seq("z")).map(Row(_)))
+    val out = Profile.topValues(vals, "s", k = 3)
+      .orderBy("rank").collect()
+      .map(r => (Option(r.getString(0)), r.getLong(1), r.getLong(2)))
+    assert(out.toSeq == Seq(
+      (Some("a"), 3L, 1L),   // tie with b broken by value asc
+      (Some("b"), 3L, 2L),
+      (None, 2L, 3L)))       // NULL counted, not dropped
+  }
 }
