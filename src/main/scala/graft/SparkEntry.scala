@@ -661,6 +661,18 @@ object SparkEntry {
         executor(s, d).table("events"), "ts", "user_id", gapSeconds = 1800)
         .orderBy("user_id", "session_id")),
 
+    // Session-duration quantiles — Sessionize ∘ Profile.quantiles
+    // composition (exact discrete quantiles over µs durations).
+    "q_session_stats" -> ((s, d) =>
+      graft.operators.Profile.quantiles(
+        graft.operators.Sessionize.batch(
+            executor(s, d).table("events"), "ts", "user_id", gapSeconds = 1800)
+          .select(lit("all").as("g"),
+            (unix_micros(col("session_end")) - unix_micros(col("session_start")))
+              .as("dur_us")),
+        "g", "dur_us", Seq(0.5, 0.9, 0.99))
+        .orderBy("p")),
+
     // Multimodal metadata through the gate: document text as binary
     // payloads → magic-byte mime sniff + byte counts (all codegen
     // built-ins). The mime constant is safe: no testdata doc starts with
@@ -1809,6 +1821,31 @@ object SparkEntry {
         |       max(ts) AS session_end, count(*) AS n_events
         |FROM numbered GROUP BY user_id, session_id
         |ORDER BY user_id, session_id""".stripMargin,
+    "q_session_stats" ->
+      """WITH flagged AS (
+        |  SELECT user_id, ts,
+        |    CASE WHEN epoch_us(ts) - epoch_us(lag(ts) OVER (PARTITION BY user_id ORDER BY ts))
+        |              > 1800000000 THEN 1 ELSE 0 END AS new_s
+        |  FROM events),
+        |numbered AS (
+        |  SELECT user_id, ts,
+        |    CAST(sum(new_s) OVER (PARTITION BY user_id ORDER BY ts) AS BIGINT) AS session_id
+        |  FROM flagged),
+        |sessions AS (
+        |  SELECT user_id, session_id,
+        |         epoch_us(CAST(max(ts) AS TIMESTAMP)) -
+        |         epoch_us(CAST(min(ts) AS TIMESTAMP)) AS dur_us
+        |  FROM numbered GROUP BY user_id, session_id),
+        |durs AS (SELECT 'all' AS g, dur_us FROM sessions),
+        |ranked AS (
+        |  SELECT g, dur_us,
+        |    row_number() OVER (PARTITION BY g ORDER BY dur_us ASC) AS rn,
+        |    count(*) OVER (PARTITION BY g) AS n
+        |  FROM durs)
+        |SELECT g, CAST(p AS DOUBLE) AS p, dur_us AS value
+        |FROM ranked CROSS JOIN (VALUES (0.5), (0.9), (0.99)) AS ps(p)
+        |WHERE rn = CAST(ceil(p * n) AS BIGINT)
+        |ORDER BY p""".stripMargin,
     "q_dedup_components" ->
       ("WITH all_docs AS (SELECT doc_id, text FROM documents " +
         "UNION ALL SELECT doc_id + 1000000 AS doc_id, text FROM documents) " +
