@@ -73,8 +73,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // Expression class): the builder applies the composition and hands
     // Catalyst the resulting tree — same codegen as the DataFrame path.
     def injectComposed(name: String, f: Column => Column): Unit =
-      inject(name, cs => CatalystBridge.resolvedExpression(
-        f(CatalystBridge.column(cs.head))), classOf[GraftExtensions])
+      inject(name, cs => {
+        if (cs.length != 1) throw new IllegalArgumentException(
+          s"$name expects exactly 1 argument, got ${cs.length}")
+        CatalystBridge.resolvedExpression(f(CatalystBridge.column(cs.head)))
+      }, classOf[GraftExtensions])
     injectComposed("canonical_url", graft.operators.Web.canonicalUrl)
     injectComposed("extract_html_text", graft.operators.Web.extractText)
     inject("script_profile", cs => ScriptProfile(cs.head), classOf[ScriptProfile])

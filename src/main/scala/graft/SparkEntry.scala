@@ -53,6 +53,14 @@ object SparkEntry {
 
   private def st(n: Int): String = s"stage_$n"
 
+  /** Per-JVM-scoped tmp dir for export round-trip gates: two concurrent
+    * driver/test runs on one machine must not clobber each other's
+    * export mid-read (same name per JVM keeps repeated bench runs from
+    * accumulating garbage dirs). */
+  private def exportDir(spark: SparkSession, name: String): String =
+    new java.io.File(sys.props("java.io.tmpdir"),
+      s"${name}_${spark.sparkContext.applicationId}").getPath
+
   // -------------------------------------------------------------- flagship
 
   /** Flagship: chained JOIN → FILTER → GROUP → SORT pipeline on sf0.001
@@ -69,8 +77,12 @@ object SparkEntry {
       GroupStage(st(3), "orders per segment", None,
         Seq("c_mktsegment"),
         Seq(Aggregation("count", "*", Some("n_orders")),
-          Aggregation("sum", "CAST(o_totalprice AS DECIMAL(18,2))", Some("revenue")))),
-      SortStage(st(4), "largest segments first", None,
+          Aggregation("sum", "CAST(o_totalprice AS DECIMAL(18,2))", Some("revenue_dec")))),
+      // Exact decimal sum, then back to DOUBLE per the float-determinism
+      // convention (decimal stringification is not canonical across engines).
+      SelectStage(st(4), "double-cast revenue", None, Seq(
+        "c_mktsegment", "n_orders", "CAST(revenue_dec AS DOUBLE) AS revenue")),
+      SortStage(st(5), "largest segments first", None,
         Seq(SortKey("n_orders", "DESC"), SortKey("c_mktsegment", "ASC")))
     )(spark, dir)
 
@@ -211,10 +223,15 @@ object SparkEntry {
     // -------- AGGREGATE global (ui/src/sqlGenerator.ts:108-119)
     "q_aggregate" -> ((s, d) => pipe(
       AggregateStage(st(1), "order grand totals", Some("orders"), Seq(
-        Aggregation("sum", "CAST(o_totalprice AS DECIMAL(18,2))", Some("total_revenue")),
+        Aggregation("sum", "CAST(o_totalprice AS DECIMAL(18,2))", Some("total_revenue_dec")),
         Aggregation("count", "*", Some("n_orders")),
         Aggregation("min", "o_totalprice", Some("min_price")),
-        Aggregation("max", "o_totalprice", Some("max_price")))))(s, d)),
+        Aggregation("max", "o_totalprice", Some("max_price")))),
+      // Exact decimal sum, then back to DOUBLE: decimal output types
+      // hash-diverge on trailing-zero stringification across engines.
+      SelectStage(st(2), "double-cast total", None, Seq(
+        "CAST(total_revenue_dec AS DOUBLE) AS total_revenue",
+        "n_orders", "min_price", "max_price")))(s, d)),
 
     // -------- SELECT projection w/ expression passthrough (sqlGenerator.ts:83-90)
     "q_select" -> ((s, d) => pipe(
@@ -323,8 +340,7 @@ object SparkEntry {
     // JSON-escaped newlines in text) and reads it back; the oracle reads
     // the ORIGINAL parquet — equality proves the export is lossless.
     "q_export_jsonl" -> ((s, d) => {
-      val out = new java.io.File(
-        sys.props("java.io.tmpdir"), "graft_export_jsonl").getPath
+      val out = exportDir(s, "graft_export_jsonl")
       graft.sources.Writer.jsonl(docs(s, d), out, shards = 4)
       Ingest.jsonl(s, out).selectExpr(
         "doc_id", "text", "lang", "source", "n_chars")
@@ -334,8 +350,7 @@ object SparkEntry {
     // equality against the parquet-reading oracle proves losslessness
     // (Spark-native columnar alternative where a consumer requires ORC).
     "q_export_orc" -> ((s, d) => {
-      val out = new java.io.File(
-        sys.props("java.io.tmpdir"), "graft_export_orc").getPath
+      val out = exportDir(s, "graft_export_orc")
       docs(s, d).write.mode("overwrite").orc(out)
       s.read.orc(out).selectExpr(
         "doc_id", "text", "lang", "source", "n_chars")
@@ -523,7 +538,9 @@ object SparkEntry {
           docs(s, d).select("lang"),
           docs(s, d).filter(col("doc_id") % 3 =!= 0).select("lang"),
           "lang")
-        .orderBy("value")),
+        // NULL is a legal category level; DuckDB's ORDER BY puts NULLs
+        // last while Spark defaults to first — pin NULLS LAST on both.
+        .orderBy(col("value").asc_nulls_last)),
 
     "q_drift_js" -> ((s, d) =>
       graft.operators.Drift.jsDivergence(
@@ -761,6 +778,27 @@ object SparkEntry {
     "q_text_fingerprint" -> ((s, d) =>
       docs(s, d).select(col("doc_id"), TF.contentFingerprint(col("text")).as("fp"))),
 
+    // Twin construction for the fingerprint (oracle-green counterpart of
+    // the rows-only gate above): the fingerprint normalizes whitespace
+    // (trim + collapse), so a whitespace-perturbed twin (padded, every
+    // space doubled) MUST collide with its original. The join keeps only
+    // (doc, twin) pairs, so the oracle is exactly one row per doc —
+    // hash-pinning the normalization semantics without DuckDB needing
+    // xxhash64. Case perturbation is deliberately excluded (lower∘upper
+    // is not identity for ß/Turkish-i classes).
+    "q_text_fingerprint_twins" -> ((s, d) => {
+      val d0 = docs(s, d).select(col("doc_id"), col("text"))
+      val twins = d0.select((col("doc_id") + lit(1000000L)).as("doc_id"),
+        concat(lit("  "), regexp_replace(col("text"), " ", "  "), lit(" ")).as("text"))
+      val fps = d0.unionByName(twins)
+        .select(col("doc_id"), TF.contentFingerprint(col("text")).as("fp"))
+      fps.as("a").join(fps.as("b"),
+          col("a.fp") === col("b.fp") &&
+            col("b.doc_id") === col("a.doc_id") + lit(1000000L))
+        .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+        .orderBy("id_a")
+    }),
+
     // BPE-ish sub-word token counting (regexp oracle-checked in DuckDB).
     "q_text_bpe" -> ((s, d) =>
       docs(s, d).select(col("doc_id"), TF.bpeTokenCount(col("text")).as("n_bpe"))),
@@ -772,6 +810,37 @@ object SparkEntry {
       docs(s, d).select(col("doc_id"),
         size(TF.winnowedFingerprints(col("text"))).as("n_fingerprints"),
         xxhash64(TF.winnowedFingerprints(col("text"))).as("fp_digest"))),
+
+    // Twin construction for the winnow digest (oracle-green counterpart
+    // of the rows-only gate above): (1) an exact twin row produces the
+    // identical count and digest — content purity across rows and
+    // partitions; (2) the native codegen'd expression set-equals the
+    // interpreted HOF formulation (its executable spec) on every real
+    // doc. Both properties have closed-form TRUE oracles per doc.
+    "q_text_winnow_twins" -> ((s, d) => {
+      val d0 = docs(s, d).select(col("doc_id"), col("text"))
+      val sig = d0.select(col("doc_id"),
+        size(TF.winnowedFingerprints(col("text"))).as("n_fp"),
+        xxhash64(TF.winnowedFingerprints(col("text"))).as("dig"),
+        (size(array_except(
+          array_sort(TF.winnowedFingerprints(col("text"))),
+          array_sort(TF.winnowedFingerprintsHof(col("text"))))) === 0 &&
+         size(array_except(
+          array_sort(TF.winnowedFingerprintsHof(col("text"))),
+          array_sort(TF.winnowedFingerprints(col("text"))))) === 0)
+          .as("matches_spec"))
+      val twin = d0
+        .select((col("doc_id") + lit(1000000L)).as("tid"), col("text"))
+        .select(col("tid"),
+          size(TF.winnowedFingerprints(col("text"))).as("t_n_fp"),
+          xxhash64(TF.winnowedFingerprints(col("text"))).as("t_dig"))
+      sig.join(twin, col("tid") === col("doc_id") + lit(1000000L))
+        .select(col("doc_id"),
+          (col("n_fp") === col("t_n_fp")).as("same_count"),
+          (col("dig") === col("t_dig")).as("same_digest"),
+          col("matches_spec"))
+        .orderBy("doc_id")
+    }),
 
     // Brute-force cosine top-10 for 5 probe vectors — the exact ANN
     // baseline (probe side broadcast; corpus never shuffles).
@@ -1001,7 +1070,7 @@ object SparkEntry {
           .select(col("o_orderpriority"), col("o_orderstatus"), col("o_totalprice")),
         Seq("o_orderpriority", "o_orderstatus"),
         Seq(count(lit(1)).as("n"),
-          sum(col("o_totalprice").cast("decimal(18,2)")).as("rev")))),
+          sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("rev")))),
 
     // Full CUBE lattice over the same shape (2^n grouping sets in one
     // aggregation), vs SQL-standard GROUP BY CUBE.
@@ -1011,7 +1080,7 @@ object SparkEntry {
           .select(col("o_orderpriority"), col("o_orderstatus"), col("o_totalprice")),
         Seq("o_orderpriority", "o_orderstatus"),
         Seq(count(lit(1)).as("n"),
-          sum(col("o_totalprice").cast("decimal(18,2)")).as("rev")))),
+          sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("rev")))),
 
     // Count matrix (day × event_type): explicit pivot domain — no
     // domain-discovery scan — and 0-filled empty cells, vs DuckDB
@@ -1726,7 +1795,7 @@ object SparkEntry {
         "FROM lineitem GROUP BY l_returnflag, l_linestatus " +
         "ORDER BY l_returnflag, l_linestatus"),
     "q_aggregate" ->
-      ("SELECT sum(CAST(o_totalprice AS DECIMAL(18,2))) AS total_revenue, " +
+      ("SELECT CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_revenue, " +
         "count(*) AS n_orders, min(o_totalprice) AS min_price, " +
         "max(o_totalprice) AS max_price FROM orders"),
     "q_select" ->
@@ -1763,7 +1832,7 @@ object SparkEntry {
     "q_custom_window" -> sqlWindow,
     "q_pipeline" ->
       ("SELECT c_mktsegment, count(*) AS n_orders, " +
-        "sum(CAST(o_totalprice AS DECIMAL(18,2))) AS revenue " +
+        "CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue " +
         "FROM orders JOIN customer ON o_custkey = c_custkey " +
         "WHERE o_totalprice > 1000 GROUP BY c_mktsegment " +
         "ORDER BY n_orders DESC, c_mktsegment ASC"),
@@ -1859,7 +1928,7 @@ object SparkEntry {
       s"""WITH $driftCtes
          |SELECT value, CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
          |       round(p_a, 6) AS p_a, round(p_b, 6) AS p_b
-         |FROM p ORDER BY value""".stripMargin,
+         |FROM p ORDER BY value NULLS LAST""".stripMargin,
     "q_drift_js" ->
       s"""WITH $driftCtes
          |$driftJsSelect""".stripMargin,
@@ -1932,6 +2001,12 @@ object SparkEntry {
     "q_dedup_winnow_twins" ->
       ("SELECT doc_id AS id_a, doc_id + 1000000 AS id_b, " +
         "CAST(1.0 AS DOUBLE) AS jaccard FROM documents ORDER BY id_a"),
+    "q_text_fingerprint_twins" ->
+      ("SELECT doc_id AS id_a, doc_id + 1000000 AS id_b " +
+        "FROM documents ORDER BY id_a"),
+    "q_text_winnow_twins" ->
+      ("SELECT doc_id, TRUE AS same_count, TRUE AS same_digest, " +
+        "TRUE AS matches_spec FROM documents ORDER BY doc_id"),
     "q_dedup_minhash_estimate" ->
       ("SELECT doc_id AS id_a, doc_id + 1000000 AS id_b, " +
         "CAST(1.0 AS DOUBLE) AS jaccard_est FROM documents ORDER BY id_a"),
@@ -2091,12 +2166,12 @@ object SparkEntry {
     "q_olap_rollup" ->
       ("SELECT o_orderpriority, o_orderstatus, " +
         "CAST(GROUPING(o_orderpriority, o_orderstatus) AS BIGINT) AS gid, " +
-        "count(*) AS n, sum(CAST(o_totalprice AS DECIMAL(18,2))) AS rev " +
+        "count(*) AS n, CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS rev " +
         "FROM orders GROUP BY ROLLUP(o_orderpriority, o_orderstatus)"),
     "q_olap_cube" ->
       ("SELECT o_orderpriority, o_orderstatus, " +
         "CAST(GROUPING(o_orderpriority, o_orderstatus) AS BIGINT) AS gid, " +
-        "count(*) AS n, sum(CAST(o_totalprice AS DECIMAL(18,2))) AS rev " +
+        "count(*) AS n, CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS rev " +
         "FROM orders GROUP BY CUBE(o_orderpriority, o_orderstatus)"),
     "q_olap_pivot" ->
       ("SELECT CAST(ts AS DATE) AS day, " +
@@ -2126,7 +2201,7 @@ object SparkEntry {
         "FROM events"),
     "q_rolling_window" ->
       """SELECT event_id, count(*) OVER w AS n_window,
-        |  sum(CAST(value AS DECIMAL(18,2))) OVER w AS sum_window
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE) AS sum_window
         |FROM events
         |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(CAST(ts AS TIMESTAMP))
         |  RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)""".stripMargin,

@@ -300,13 +300,26 @@ object Dedup {
     while (!converged && iter < maxIter) {
       val msgs = edges
         .join(labels.select(col("id").as("src"), col("comp")), "src")
-        .select(col("dst").as("id"), col("comp"))
-      val next = labels.union(msgs)
-        .groupBy("id").agg(min(col("comp")).as("comp"))
-        .localCheckpoint(true)
-      // converged when no label shrank this round (anti-join on equality)
-      converged = next.join(labels, Seq("id", "comp"), "left_anti").isEmpty
-      labels = next
+        .select(col("dst").as("id"), col("comp"), lit(false).as("__own"))
+      // One aggregation carries both the new label (min over own +
+      // neighbour messages) and the node's previous label (min over the
+      // own row alone), so convergence — "no label shrank" — folds into
+      // the SAME job as the label update: the count action below both
+      // materializes the lazy checkpoint and returns the changed count.
+      // (One Spark action per round; the old shape paid a second
+      // anti-join + isEmpty job per iteration.)
+      val next = labels.withColumn("__own", lit(true)).union(msgs)
+        .groupBy("id").agg(
+          min(col("comp")).as("comp"),
+          min(when(col("__own"), col("comp"))).as("__own_comp"))
+        .withColumn("__changed", col("comp") < col("__own_comp"))
+        .select("id", "comp", "__changed")
+        .localCheckpoint(false)
+      val nChanged = next
+        .agg(count(when(col("__changed"), lit(1))).as("n"))
+        .first().getLong(0)
+      converged = nChanged == 0L
+      labels = next.select("id", "comp")
       iter += 1
     }
     labels

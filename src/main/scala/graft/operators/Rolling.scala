@@ -23,6 +23,9 @@ import org.apache.spark.sql.functions._
  * O(1) amortized per row, not O(k). The summed value is cast to
  * DECIMAL(18,2) first: the add/remove updates stay exact (a double
  * accumulator would drift under subtraction — and be order-dependent).
+ * The final sum is cast back to DOUBLE per the repo's float-determinism
+ * convention: the exact decimal is the ACCUMULATOR, never the output
+ * type (decimal stringification is not canonical across engines).
  */
 object Rolling {
 
@@ -40,6 +43,6 @@ object Rolling {
       .rangeBetween(-micros, 0L)
     df.withColumn("n_window", count(lit(1)).over(w))
       .withColumn("sum_window",
-        sum(col(valueCol).cast("decimal(18,2)")).over(w))
+        sum(col(valueCol).cast("decimal(18,2)")).over(w).cast("double"))
   }
 }

@@ -19,6 +19,15 @@ class SparkEntrySpec extends SparkTestBase {
     test(s"query $name runs and returns rows at sf0.001") {
       val out = fn(spark, sf)
       assert(out.count() > 0, s"$name returned 0 rows")
+      // Float-determinism convention: DECIMAL is an accumulator type,
+      // never an output type — decimal stringification ('123.4' vs
+      // '123.40') is not canonical across engines, so any DecimalType
+      // column is a latent oracle hash mismatch.
+      val decimalCols = out.schema.fields.collect {
+        case f if f.dataType.isInstanceOf[org.apache.spark.sql.types.DecimalType] => f.name
+      }
+      assert(decimalCols.isEmpty,
+        s"$name emits DecimalType columns ${decimalCols.mkString(",")}; cast to DOUBLE")
     }
   }
 }

@@ -40,6 +40,13 @@ class OlapSpec extends SparkTestBase {
     assert("Exchange".r.findAllMatchIn(plan).size == 1, plan)
   }
 
+  test("cube is one shuffle too: 2^n grouping sets expand map-side") {
+    val plan = Olap.cubeAgg(sales, Seq("region", "product"),
+      Seq(count(lit(1)).as("n"))).queryExecution.executedPlan.toString
+    assert(plan.contains("Expand"), plan)
+    assert("Exchange".r.findAllMatchIn(plan).size == 1, plan)
+  }
+
   test("pivotCount: explicit domain, zero-filled cells, deterministic columns") {
     val wide = Olap.pivotCount(sales, "region", "product",
       Seq("widget", "gadget", "doohickey"))

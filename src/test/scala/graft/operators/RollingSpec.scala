@@ -19,7 +19,7 @@ class RollingSpec extends SparkTestBase {
     val out = Rolling.trailingAgg(events, "user_id", "ts", "value", 3600L)
       .select("user_id", "ts", "value", "n_window", "sum_window")
       .collect().map(r => (r.getLong(0), r.getTimestamp(1).toString, r.getDouble(2),
-        r.getLong(3), r.getDecimal(4).doubleValue())).toSet
+        r.getLong(3), r.getDouble(4))).toSet
     assert(out == Set(
       (1L, "2024-01-01 10:00:00.0", 1.0, 1L, 1.0),
       (1L, "2024-01-01 10:30:00.0", 2.0, 2L, 3.0),
