@@ -1,0 +1,112 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/**
+ * Scale-shape probe: measures the dedup / ANN / BM25 / sessionize gate
+ * families at the base SF and at an N×-replicated SF in the same JVM,
+ * and prints one JSON line with per-query seconds and the scaled/base
+ * ratio — the empirical check behind SCALING.md's linearity claims
+ * (a family whose ratio grows much past the replication factor has a
+ * hidden super-linear term).
+ *
+ * The replica construction keeps each copy STATISTICALLY INDEPENDENT
+ * instead of exactly duplicated, because naive duplication changes the
+ * workload, not just its size: 10 identical copies of every document
+ * multiply shingle frequencies by 10 and thus the inverted-index join's
+ * Σf² bound by 100 — a super-linear blow-up the OPERATOR would be
+ * wrongly blamed for. Per replica k:
+ *  - documents: ids shift by k·10⁸; text goes through a Caesar-k letter
+ *    rotation (lengths, whitespace, and per-replica frequency profiles
+ *    preserved; shingle/term sets disjoint across replicas — each
+ *    replica behaves like an independent corpus of the same shape);
+ *  - embeddings: ids shift; vectors unchanged (ANN cost scales with
+ *    candidate density, which 10× data legitimately multiplies);
+ *  - events: event ids and user ids shift (disjoint users → session
+ *    and window counts scale linearly, as real growth would).
+ * Replica 0 is the identity, so the base corpus is a subset.
+ */
+object ScaleProbe {
+
+  /** Gate families the probe times (all read only documents /
+    * embeddings / events, which is what the scaled dir carries). */
+  val probeQueries: Seq[String] = Seq(
+    // dedup family
+    "q_dedup_exact", "q_dedup_normalized", "q_dedup_ngram_capped",
+    "q_dedup_minhash_exact", "q_dedup_minhash_estimate",
+    "q_dedup_semantic", "q_lines_dedup", "q_dedup_components",
+    // ANN family
+    "q_ann_bruteforce", "q_ann_lsh", "q_ann_ivf",
+    // search + sessionize families
+    "q_search_bm25", "q_sessionize", "q_session_stats")
+
+  private def caesar(c: org.apache.spark.sql.Column, k: Int) = {
+    val lower = "abcdefghijklmnopqrstuvwxyz"
+    val upper = lower.toUpperCase
+    def rot(s: String) = s.drop(k % 26) + s.take(k % 26)
+    translate(c, lower + upper, rot(lower) + rot(upper))
+  }
+
+  /** Builds `scaledDir` with `rep` shifted replicas of documents,
+    * embeddings, and events from `srcDir` (skipped when present). */
+  def buildScaled(spark: SparkSession, srcDir: String, scaledDir: String,
+                  rep: Int): Unit = {
+    if (new java.io.File(s"$scaledDir/documents.parquet").exists()) return
+    val src = graft.sources.Ingest.loadDir(spark, srcDir,
+      Seq("documents", "embeddings", "events"))
+
+    def replicate(name: String, f: (DataFrame, Int) => DataFrame): Unit = {
+      val base = src(name)
+      val all = (0 until rep).map(k => f(base, k)).reduce(_ unionByName _)
+      all.repartition(32).write.mode("overwrite")
+        .parquet(s"$scaledDir/$name.parquet")
+      System.err.println(s"[scale] wrote $name x$rep")
+    }
+    replicate("documents", (d, k) => d
+      .withColumn("doc_id", col("doc_id") + lit(k * 100000000L))
+      .withColumn("text", caesar(col("text"), k)))
+    replicate("embeddings", (d, k) => d
+      .withColumn("vec_id", col("vec_id") + lit(k * 100000000L)))
+    replicate("events", (d, k) => d
+      .withColumn("event_id", col("event_id") + lit(k * 100000000L))
+      .withColumn("user_id", col("user_id") + lit(k * 10000000L)))
+  }
+
+  private def time(spark: SparkSession, name: String, dir: String): Double = {
+    System.gc()
+    val t0 = System.nanoTime()
+    SparkEntry.queries(name)(spark, dir)
+      .write.format("noop").mode("overwrite").save()
+    (System.nanoTime() - t0) / 1e9
+  }
+
+  def main(args: Array[String]): Unit = {
+    val srcDir = if (args.length > 0) args(0) else "/root/testdata/sf0.1"
+    val scaledDir = if (args.length > 1) args(1) else "/tmp/graft_sf_scaled"
+    val rep = if (args.length > 2) args(2).toInt else 10
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = GraftSession.builder(
+      master = s"local[$cpus]", shufflePartitions = cpus.toInt,
+      appName = "graft-scale-probe")
+
+    buildScaled(spark, srcDir, scaledDir, rep)
+
+    // warmup compiles the codegen paths; not reported
+    time(spark, "q_dedup_exact", srcDir)
+
+    val rows = probeQueries.map { n =>
+      val base = math.min(time(spark, n, srcDir), time(spark, n, srcDir))
+      val scaled = math.min(time(spark, n, scaledDir), time(spark, n, scaledDir))
+      System.err.println(f"[scale] $n base=$base%.2fs scaled=$scaled%.2fs " +
+        f"ratio=${scaled / base}%.1f")
+      (n, base, scaled)
+    }
+    val qs = rows.map { case (n, b, s) =>
+      f""""$n":{"base":$b%.3f,"scaled":$s%.3f,"ratio":${s / b}%.2f}"""
+    }.mkString("{", ",", "}")
+    println(s"""{"metric":"scale_probe","replication":$rep,"queries":$qs}""")
+    Console.out.flush()
+    spark.stop()
+  }
+}

@@ -67,6 +67,20 @@ object TransformResponse {
       if (isValid) stages else Nil) // invalid → stripped, like the voice path
   }
 
+  /** [[ParsedResponse]] → the engine's [[Plan]]: stages go through
+    * [[StageRepair]] (the reference repairs every LLM stage before
+    * execution, ui/src/App.tsx:1007-1446), everything else carries over.
+    * With this, `parse andThen toPlan` is a complete [[Planner]]
+    * implementation over any transport that yields the response text. */
+  def toPlan(r: ParsedResponse,
+             schemaOf: graft.pipeline.StageRepair.SchemaLookup): Plan =
+    Plan(
+      sql = r.sql.getOrElse(""),
+      stages = graft.pipeline.StageRepair.repairAll(r.rawStages, schemaOf, _ => None),
+      chartConfig = r.chartConfig,
+      explanation = r.explanation,
+      isValid = r.isValid)
+
   /** JValue → the plain-Scala values [[RawStage]]'s `data` map carries
     * (strings, numbers, booleans, Seq, nested Map). */
   private def anyValue(jv: JValue): Any = jv match {

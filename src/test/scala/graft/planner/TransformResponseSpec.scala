@@ -109,6 +109,14 @@ class TransformResponseSpec extends SparkTestBase {
     assert(ex.resultTableFor("stage_4").contains("result_stage_4_sort"))
   }
 
+  test("toPlan: a recorded response becomes a Plan, completing the Planner seam") {
+    val plan = TransformResponse.toPlan(
+      TransformResponse.parse(goldenJson), _ => None)
+    assert(plan.isValid && plan.stages.size == 4)
+    assert(plan.chartConfig.exists(_.chartType == "bar"))
+    assert(plan.sql.nonEmpty && plan.explanation.nonEmpty)
+  }
+
   test("invalid response is stripped to {isValid, explanation}, like the client") {
     val r = TransformResponse.parse(
       """{"isValid": false,
