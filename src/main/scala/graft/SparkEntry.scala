@@ -589,6 +589,32 @@ object SparkEntry {
         .select(col("pos"), col("doc_id"))
         .orderBy("pos")),
 
+    // Exact-ratio corpus mixing (the training "data recipe" step):
+    // en : non-en at 3 : 1 parts — T = min(n_i/w_i) bounds the mix so
+    // no source upsamples, md5 ranking makes the exact row set
+    // reproducible and oracle-assertable (two-phase rank ≡ the oracle's
+    // global row_number because bucket prefix order IS hash order).
+    "q_mix_weighted" -> ((s, d) => {
+      val doc = docs(s, d).select(col("doc_id"), col("lang"))
+      val en = doc.filter(col("lang") === "en")
+      val rest = doc.filter(col("lang") =!= "en" || col("lang").isNull)
+      graft.operators.Mix.weightedMix(Seq((en, 3), (rest, 1)),
+          "doc_id", "graft-mix-1")
+        .select(col("doc_id"), col("mix_source"))
+        .orderBy("doc_id")
+    }),
+
+    // Epoch-repeat to a row budget: every doc ⌊t/n⌋ times plus one more
+    // for the first (t mod n) md5-ranked docs, t = min(target, cap·n) —
+    // at sf0.001 the maxEpochs cap binds, at sf0.01 the remainder path
+    // does, so both regimes are oracle-checked.
+    "q_mix_epochs" -> ((s, d) =>
+      graft.operators.Mix.repeatToBudget(
+          docs(s, d).select(col("doc_id"), col("lang")), "doc_id",
+          targetRows = 1200L, maxEpochs = 3, salt = "graft-epoch-1")
+        .select(col("doc_id"), col("epoch"))
+        .orderBy("doc_id", "epoch")),
+
     // Three-way split on the same hash — train set provably identical to
     // q_split's (thresholds nest).
     "q_split3" -> ((s, d) =>
@@ -1978,6 +2004,36 @@ object SparkEntry {
         |  ORDER BY md5('graft:' || CAST(doc_id AS VARCHAR)) ASC, doc_id ASC)
         |  AS BIGINT) AS pos, doc_id
         |FROM documents ORDER BY pos""".stripMargin,
+    "q_mix_weighted" ->
+      """WITH src AS (
+        |  SELECT doc_id, 0 AS mix_source, 3 AS w,
+        |         md5('graft-mix-1:0' || ':' || CAST(doc_id AS VARCHAR)) AS h
+        |  FROM documents WHERE lang = 'en'
+        |  UNION ALL
+        |  SELECT doc_id, 1, 1,
+        |         md5('graft-mix-1:1' || ':' || CAST(doc_id AS VARCHAR))
+        |  FROM documents WHERE lang <> 'en' OR lang IS NULL),
+        |stats AS (
+        |  SELECT min(CAST(floor(CAST(n AS DOUBLE) / w) AS BIGINT)) AS t FROM (
+        |    SELECT mix_source, w, count(*) AS n FROM src GROUP BY 1, 2)),
+        |r AS (
+        |  SELECT doc_id, mix_source, w,
+        |         row_number() OVER (PARTITION BY mix_source ORDER BY h, doc_id) AS rn
+        |  FROM src)
+        |SELECT doc_id, mix_source FROM r, stats
+        |WHERE rn <= w * t ORDER BY doc_id""".stripMargin,
+    "q_mix_epochs" ->
+      """WITH b AS (
+        |  SELECT least(1200, 3 * count(*)) AS t, count(*) AS n FROM documents),
+        |r AS (
+        |  SELECT doc_id, row_number() OVER (
+        |    ORDER BY md5('graft-epoch-1' || ':' || CAST(doc_id AS VARCHAR)), doc_id) - 1 AS rn
+        |  FROM documents),
+        |k AS (
+        |  SELECT doc_id, CAST(ceil(CAST(t - rn AS DOUBLE) / n) AS BIGINT) AS reps
+        |  FROM r, b)
+        |SELECT doc_id, CAST(unnest(range(0, reps)) AS BIGINT) AS epoch
+        |FROM k WHERE reps >= 1 ORDER BY doc_id, epoch""".stripMargin,
     "q_split3" ->
       ("SELECT doc_id, CASE WHEN substring(md5(text), 1, 8) < '" +
         graft.operators.Split.thresholdHex(0.8) +
