@@ -1132,6 +1132,22 @@ object SparkEntry {
         docs(s, d).select(col("lang"), col("n_chars")),
         "lang", "n_chars", Seq(0.5, 0.9, 0.99))),
 
+    // Sketch-vs-exact cardinality (the 100 TB profiling path): exact
+    // COUNT(DISTINCT) is the oracle contract; the HLL++ estimate's
+    // within-tolerance verdict is pinned TRUE per key — same exact-twin
+    // pattern as minhash exact/estimate.
+    "q_sketch_cardinality" -> ((s, d) =>
+      graft.operators.Profile.cardinalitySketch(
+        docs(s, d).select(col("lang"), col("text")), "lang", "text")),
+
+    // Sketch-vs-exact quantiles: the rank-statistic exact value is the
+    // oracle; the Greenwald–Khanna approx_percentile verdict is pinned
+    // within 10% relative error per (key, p).
+    "q_sketch_quantiles" -> ((s, d) =>
+      graft.operators.Profile.quantileSketch(
+        docs(s, d).select(col("lang"), col("n_chars")),
+        "lang", "n_chars", Seq(0.5, 0.9, 0.99))),
+
     // Keyed pseudonymization for privacy-preserving export: stable
     // sha256(salt ‖ id) hex, NULL-preserving, pure projection.
     "q_pii_pseudo" -> ((s, d) =>
@@ -2249,6 +2265,18 @@ object SparkEntry {
         |    count(*) OVER (PARTITION BY lang) AS n
         |  FROM documents WHERE n_chars IS NOT NULL)
         |SELECT lang, CAST(p AS DOUBLE) AS p, n_chars AS value
+        |FROM ranked CROSS JOIN (VALUES (0.5), (0.9), (0.99)) AS ps(p)
+        |WHERE rn = CAST(ceil(p * n) AS BIGINT)""".stripMargin,
+    "q_sketch_cardinality" ->
+      ("SELECT lang, count(DISTINCT text) AS n_exact, TRUE AS within_tol " +
+        "FROM documents GROUP BY lang"),
+    "q_sketch_quantiles" ->
+      """WITH ranked AS (
+        |  SELECT lang, n_chars,
+        |    row_number() OVER (PARTITION BY lang ORDER BY n_chars ASC) AS rn,
+        |    count(*) OVER (PARTITION BY lang) AS n
+        |  FROM documents WHERE n_chars IS NOT NULL)
+        |SELECT lang, CAST(p AS DOUBLE) AS p, n_chars AS value, TRUE AS within_tol
         |FROM ranked CROSS JOIN (VALUES (0.5), (0.9), (0.99)) AS ps(p)
         |WHERE rn = CAST(ceil(p * n) AS BIGINT)""".stripMargin,
     "q_pii_pseudo" ->

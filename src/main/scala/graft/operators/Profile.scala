@@ -136,4 +136,53 @@ object Profile {
       .where(col("__rn") === ceil(round(col("p") * col("__n"), 9)).cast("long"))
       .select(col(keyCol), col("p"), col(valueCol).as("value"))
   }
+
+  /**
+   * Sketch-accuracy harness for per-key cardinality: exact
+   * COUNT(DISTINCT) side by side with the HyperLogLog++ estimate and a
+   * `within_tol` verdict. The same exact-twin pattern as
+   * minhash exact/estimate: the EXACT column is the oracle contract,
+   * the sketch is the 100 TB path (one scan, bounded-memory registers,
+   * no expand), and the verdict pins the estimate to the exact value on
+   * every run. Exact distinct shuffles the (key, value-digest) pairs
+   * once; the sketch never shuffles values at all.
+   */
+  def cardinalitySketch(df: DataFrame, keyCol: String, valueCol: String,
+                        rsd: Double = 0.05,
+                        tolerance: Double = 0.1): DataFrame =
+    df.groupBy(col(keyCol)).agg(
+        countDistinct(col(valueCol)).as("n_exact"),
+        approx_count_distinct(col(valueCol), rsd).as("n_approx"))
+      .select(col(keyCol), col("n_exact"),
+        (abs(col("n_approx") - col("n_exact")) <=
+          col("n_exact") * lit(tolerance)).as("within_tol"))
+
+  /**
+   * Sketch-accuracy harness for per-key quantiles: the exact
+   * rank-statistic quantile ([[quantiles]]) joined with
+   * `approx_percentile` (Greenwald–Khanna) and a relative-error
+   * verdict. GK guarantees rank error ≤ n/accuracy, so at any n the
+   * returned element's rank is provably close; the verdict additionally
+   * pins the VALUE within `tolerance` of exact on this corpus.
+   */
+  def quantileSketch(df: DataFrame, keyCol: String, valueCol: String,
+                     ps: Seq[Double], accuracy: Int = 10000,
+                     tolerance: Double = 0.1): DataFrame = {
+    val exact = quantiles(df, keyCol, valueCol, ps)
+    val approx = df.where(col(valueCol).isNotNull)
+      .groupBy(col(keyCol)).agg(percentile_approx(col(valueCol),
+        array(ps.map(lit): _*), lit(accuracy)).as("__qs"))
+      .select(col(keyCol).as("__k"),
+        posexplode(col("__qs")).as(Seq("__i", "__approx")))
+      .select(col("__k"),
+        element_at(array(ps.map(lit): _*), col("__i") + 1).as("__p"),
+        col("__approx"))
+    // null-safe key match: NULL is a legal profiling key (a real level,
+    // same rule as Drift), and === would silently drop its group
+    exact.join(approx,
+        exact(keyCol) <=> col("__k") && exact("p") === col("__p"))
+      .select(exact(keyCol), col("p"), col("value"),
+        (abs(col("__approx").cast("double") - col("value").cast("double")) <=
+          abs(col("value").cast("double")) * lit(tolerance)).as("within_tol"))
+  }
 }

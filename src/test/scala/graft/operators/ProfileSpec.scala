@@ -73,6 +73,26 @@ class ProfileSpec extends SparkTestBase {
     assert(h == Map(0L -> 1L, 1L -> 1L))
   }
 
+  test("cardinalitySketch: exact column is truth, HLL verdict holds") {
+    val vals = df("k STRING, v STRING",
+      (1 to 40).map(i => Row("a", s"v${i % 25}")) ++ // 25 distinct
+        (1 to 10).map(i => Row(null, s"u$i")))       // NULL key is a level
+    val out = Profile.cardinalitySketch(vals, "k", "v")
+      .collect().map(r => (Option(r.getString(0)), r.getLong(1), r.getBoolean(2)))
+    assert(out.toSet == Set((Some("a"), 25L, true), (None, 10L, true)))
+  }
+
+  test("quantileSketch: verdicts true and exact values match quantiles()") {
+    val vals = df("k STRING, x BIGINT",
+      (1 to 100).map(i => Row("a", i.toLong)) ++
+        (1 to 10).map(i => Row(null, (i * 7).toLong)))
+    val out = Profile.quantileSketch(vals, "k", "x", Seq(0.5, 0.9))
+    assert(out.count() == 4) // 2 keys x 2 ps (NULL key survives the join)
+    assert(out.collect().forall(_.getBoolean(3)), out.collect().mkString(","))
+    val exact = Profile.quantiles(vals, "k", "x", Seq(0.5, 0.9))
+    assert(out.select("k", "p", "value").exceptAll(exact).isEmpty)
+  }
+
   test("topValues ranks by count with value tiebreak; NULL is a real value") {
     val vals = df("s STRING", (Seq.fill(3)("b") ++ Seq.fill(3)("a") ++
       Seq.fill(2)(null) ++ Seq("z")).map(Row(_)))
