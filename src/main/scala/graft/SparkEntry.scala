@@ -523,6 +523,27 @@ object SparkEntry {
       Dedup.connectedComponents(pairs).orderBy("id")
     }),
 
+    // Scalable edit-distance similarity join (record linkage): q-gram
+    // count-filter + length-filter candidates from an inverted positional
+    // gram index, then exact levenshtein confirm. The filter is
+    // result-invisible by the Gravano count bound, so the brute-force
+    // cross-join oracle checks the whole pipeline end-to-end.
+    "q_fuzzy_pairs" -> ((s, d) =>
+      graft.operators.FuzzyJoin.editDistancePairs(
+        executor(s, d).table("supplier"), "s_suppkey", "s_name", maxDist = 2)
+        .orderBy("id_a", "id_b")),
+
+    // Typo-tolerant lookup of a dirtied probe table against the canonical
+    // table (deterministic injected typo: 'Supplier#' → 'Suplier#', ed 1).
+    "q_fuzzy_lookup" -> ((s, d) => {
+      val sup = executor(s, d).table("supplier")
+      val probes = sup.select(col("s_suppkey").as("p_id"),
+        regexp_replace(col("s_name"), "Supplier#", "Suplier#").as("p_name"))
+      graft.operators.FuzzyJoin.editDistanceLookup(
+        probes, "p_id", "p_name", sup, "s_suppkey", "s_name", maxDist = 1)
+        .orderBy("probe_id", "ref_id")
+    }),
+
     // Deterministic content-hash train/test split (anti-leakage: exact
     // duplicates always land on the same side) — md5 is engine-portable,
     // so the exact assignment is oracle-checked, not just the counts.
@@ -1892,6 +1913,19 @@ object SparkEntry {
         s"'${TF.bpePattern.replace("'", "''")}')) AS n_bpe FROM documents"),
     "q_text_langid" -> langIdOracle,
     "q_text_quality" -> qualityOracle,
+    "q_fuzzy_pairs" ->
+      """SELECT a.s_suppkey AS id_a, b.s_suppkey AS id_b,
+        |  CAST(levenshtein(a.s_name, b.s_name) AS INTEGER) AS dist
+        |FROM supplier a JOIN supplier b ON a.s_suppkey < b.s_suppkey
+        |WHERE levenshtein(a.s_name, b.s_name) <= 2
+        |ORDER BY id_a, id_b""".stripMargin,
+    "q_fuzzy_lookup" ->
+      """SELECT p.s_suppkey AS probe_id, r.s_suppkey AS ref_id,
+        |  CAST(levenshtein(replace(p.s_name, 'Supplier#', 'Suplier#'), r.s_name)
+        |       AS INTEGER) AS dist
+        |FROM supplier p JOIN supplier r
+        |  ON levenshtein(replace(p.s_name, 'Supplier#', 'Suplier#'), r.s_name) <= 1
+        |ORDER BY probe_id, ref_id""".stripMargin,
     "q_dedup_ngram" -> ngramJaccardOracle(n = 3, threshold = 0.5),
     "q_dedup_ngram_capped" ->
       ngramJaccardOracle(n = 3, threshold = 0.5, maxShingleFreq = Some(5)),
