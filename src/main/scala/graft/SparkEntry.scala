@@ -356,6 +356,22 @@ object SparkEntry {
         "doc_id", "text", "lang", "source", "n_chars")
     }),
 
+    // Schema-evolution ingest: an "early" shard written before two
+    // columns existed and a "late" shard with the full schema, read back
+    // as one table via mergeSchema — early rows carry NULLs in the added
+    // columns; the oracle CASE-emulates the evolution over the original.
+    "q_load_parquet_merge" -> ((s, d) => {
+      val base = exportDir(s, "graft_merge")
+      val d0 = docs(s, d)
+      d0.filter(col("doc_id") % 2 === 0).select("doc_id", "text", "lang")
+        .write.mode("overwrite").parquet(s"$base/early")
+      d0.filter(col("doc_id") % 2 === 1)
+        .select("doc_id", "text", "lang", "source", "n_chars")
+        .write.mode("overwrite").parquet(s"$base/late")
+      Ingest.parquetMerged(s, Seq(s"$base/early", s"$base/late"))
+        .select("doc_id", "text", "lang", "source", "n_chars")
+    }),
+
     // ======== training-data extensions (SURVEY §7.1 step 8) ========
 
     // Salted two-phase aggregation on a genuinely skewed key (lineitem has
@@ -642,6 +658,14 @@ object SparkEntry {
       graft.operators.Split.hashSplit3(
         docs(s, d).select(col("doc_id"), col("text")), "text", 0.8, 0.1)
         .select(col("doc_id"), col("split"))),
+
+    // GROUP-level split: hash the source (the group), not the content —
+    // sibling documents of one source can never straddle the train/test
+    // boundary (the leakage content hashing can't prevent).
+    "q_split_group" -> ((s, d) =>
+      graft.operators.Split.groupSplit(
+        docs(s, d).select(col("doc_id"), col("source")), "source", 0.5)
+        .select(col("doc_id"), col("source"), col("split"))),
 
     // Top-5 keywords per doc by (tf DESC, df ASC, term ASC) — tf-idf's
     // preference order with a pure-integer ranking, so both engines
@@ -1129,6 +1153,18 @@ object SparkEntry {
         Seq(count(lit(1)).as("n"),
           sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("rev")))),
 
+    // Explicit GROUPING SETS — ((priority), (status)): two INDEPENDENT
+    // one-dimensional subtotal slices with no cross product, a lattice
+    // ROLLUP/CUBE can't express; same single-shuffle map-side expansion.
+    "q_olap_grouping_sets" -> ((s, d) =>
+      graft.operators.Olap.groupingSetsAgg(
+        executor(s, d).table("orders")
+          .select(col("o_orderpriority"), col("o_orderstatus"), col("o_totalprice")),
+        Seq(Seq("o_orderpriority"), Seq("o_orderstatus")),
+        Seq("o_orderpriority", "o_orderstatus"),
+        Seq(count(lit(1)).as("n"),
+          sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("rev")))),
+
     // Count matrix (day × event_type): explicit pivot domain — no
     // domain-discovery scan — and 0-filled empty cells, vs DuckDB
     // conditional aggregation.
@@ -1187,6 +1223,18 @@ object SparkEntry {
         "user_id", "ts", "value", windowSeconds = 3600L)
         .select(col("event_id"), col("n_window"), col("sum_window"))),
 
+    // Per-user event-sequence navigation: inter-event gap + next-event
+    // value lookahead, totally ordered by (ts, event_id) so lag/lead are
+    // deterministic under ties (next_value is a pure double passthrough —
+    // no arithmetic, so it hash-matches).
+    "q_window_nav" -> ((s, d) =>
+      graft.operators.Rolling.keyedNav(
+        executor(s, d).table("events")
+          .select(col("event_id"), col("user_id"), col("ts"), col("value")),
+        "user_id", "ts", "event_id", "value")
+        .select(col("event_id"), col("user_id"), col("rn"),
+          col("gap_micros"), col("next_value"))),
+
     // Domain blocklist over synthesized crawl URLs: host extraction by
     // portable regex, suffix-chain semantics (subdomains blocked too),
     // all equi-joins — the oracle states the same rule as LIKE-suffix
@@ -1243,6 +1291,18 @@ object SparkEntry {
         budget = 500L, shards = 8)
         .orderBy("shard", "pack")
     }),
+
+    // Length-bucketed batching: similar-length rows batch together so
+    // pad-to-max waste is bounded by the bucket cap, not the corpus max;
+    // rank-within-(bucket, shard) batch ids are integer-exact on both
+    // engines.
+    "q_pack_buckets" -> ((s, d) =>
+      graft.operators.Pack.lengthBuckets(
+        docs(s, d).select(col("doc_id"), col("n_chars")),
+        "doc_id", "n_chars", Seq(256L, 512L, 1024L, 2048L),
+        batchSize = 32, shards = 8)
+        .select(col("doc_id"), col("bucket_cap"), col("shard"),
+          col("batch"), col("padding"))),
 
     // CUSTOM-SQL → quality natives: the reference's escape hatch reaching
     // quality_metrics through the ENGINE path (StageCompiler's spark.sql),
@@ -1883,6 +1943,11 @@ object SparkEntry {
       "SELECT doc_id, text, lang, source, n_chars FROM documents",
     "q_export_orc" ->
       "SELECT doc_id, text, lang, source, n_chars FROM documents",
+    "q_load_parquet_merge" ->
+      """SELECT doc_id, text, lang,
+        |  CASE WHEN doc_id % 2 = 1 THEN source END AS source,
+        |  CASE WHEN doc_id % 2 = 1 THEN n_chars END AS n_chars
+        |FROM documents""".stripMargin,
     "q_load_image_payload" ->
       ("SELECT * FROM (VALUES " +
         "(1, 9.99, DATE '2024-01-05', 'widget'), " +
@@ -2090,6 +2155,10 @@ object SparkEntry {
         "' THEN 'train' WHEN substring(md5(text), 1, 8) < '" +
         graft.operators.Split.thresholdHex(0.8 + 0.1) +
         "' THEN 'val' ELSE 'test' END AS split FROM documents"),
+    "q_split_group" ->
+      ("SELECT doc_id, source, CASE WHEN substring(md5(source), 1, 8) < '" +
+        graft.operators.Split.thresholdHex(0.5) +
+        "' THEN 'train' ELSE 'test' END AS split FROM documents"),
     "q_keywords" ->
       """WITH toks AS (
         |  SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '[ \t\n\x0b\f\r]+')) AS term
@@ -2279,6 +2348,19 @@ object SparkEntry {
         "CAST(GROUPING(o_orderpriority, o_orderstatus) AS BIGINT) AS gid, " +
         "count(*) AS n, CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS rev " +
         "FROM orders GROUP BY CUBE(o_orderpriority, o_orderstatus)"),
+    "q_olap_grouping_sets" ->
+      ("SELECT o_orderpriority, o_orderstatus, " +
+        "CAST(GROUPING(o_orderpriority, o_orderstatus) AS BIGINT) AS gid, " +
+        "count(*) AS n, CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS rev " +
+        "FROM orders GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus))"),
+    "q_window_nav" ->
+      """SELECT event_id, user_id, CAST(row_number() OVER w AS INTEGER) AS rn,
+        |  epoch_us(CAST(ts AS TIMESTAMP)) - lag(epoch_us(CAST(ts AS TIMESTAMP))) OVER w
+        |    AS gap_micros,
+        |  lead(value) OVER w AS next_value
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id
+        |  ORDER BY epoch_us(CAST(ts AS TIMESTAMP)), event_id)""".stripMargin,
     "q_olap_pivot" ->
       ("SELECT CAST(ts AS DATE) AS day, " +
         "count(*) FILTER (WHERE event_type = 'click') AS click, " +
@@ -2382,6 +2464,18 @@ object SparkEntry {
         |       CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
         |       string_agg(text, chr(10) || chr(10) ORDER BY doc_id) AS text
         |FROM p GROUP BY shard, pack ORDER BY shard, pack""".stripMargin,
+    "q_pack_buckets" ->
+      """WITH b AS (
+        |  SELECT doc_id, n_chars,
+        |    CAST(CASE WHEN n_chars <= 256 THEN 256 WHEN n_chars <= 512 THEN 512
+        |         WHEN n_chars <= 1024 THEN 1024 ELSE 2048 END AS BIGINT) AS bucket_cap,
+        |    doc_id % 8 AS shard
+        |  FROM documents)
+        |SELECT doc_id, bucket_cap, shard,
+        |  CAST(floor((row_number() OVER (PARTITION BY bucket_cap, shard
+        |    ORDER BY doc_id) - 1) / 32.0) AS BIGINT) AS batch,
+        |  bucket_cap - least(n_chars, bucket_cap) AS padding
+        |FROM b""".stripMargin,
     "q_custom_quality" ->
       s"""WITH ${gopherCtes("documents")}
          |SELECT doc_id, n_words, mean_word_len, dup_line_frac

@@ -34,6 +34,24 @@ object Olap {
       .agg(grouping_id().cast("long").as("gid"), aggs: _*)
 
   /**
+   * Arbitrary grouping-set lattices — the shapes ROLLUP/CUBE can't
+   * express (e.g. two INDEPENDENT subtotal dimensions without their
+   * cross product). Same single-shuffle execution: each input row
+   * expands map-side to one row per set it participates in, then one
+   * hash aggregate. `groupCols` fixes the output column order and the
+   * `grouping_id` bit order (first column = MSB) regardless of which
+   * sets mention which columns.
+   */
+  def groupingSetsAgg(df: DataFrame, sets: Seq[Seq[String]],
+                      groupCols: Seq[String], aggs: Seq[Column]): DataFrame = {
+    require(sets.nonEmpty, "at least one grouping set")
+    require(sets.forall(_.forall(groupCols.contains)),
+      "every set column must appear in groupCols")
+    df.groupingSets(sets.map(_.map(col)), groupCols.map(col): _*)
+      .agg(grouping_id().cast("long").as("gid"), aggs: _*)
+  }
+
+  /**
    * Count matrix: one row per `rowCol` value, one column per entry of
    * `values` (the pivoted `pivotCol` domain). `values` is REQUIRED — an
    * explicit domain keeps the output schema deterministic and skips the

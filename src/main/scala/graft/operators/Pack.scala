@@ -64,4 +64,43 @@ object Pack {
         concat_ws(sep,
           expr(s"transform(array_sort(collect_list(struct($idCol, $textCol))), s -> s.$textCol)"))
           .as("text"))
+
+  /**
+   * Length-bucketed batching — the inference/eval counterpart of
+   * [[packByTokenBudget]]: group rows into fixed-size batches of
+   * SIMILAR length so each batch's pad-to-max waste is bounded by its
+   * bucket cap, not the corpus maximum (the difference between ~5% and
+   * ~500% padding on a long-tailed length distribution).
+   *
+   * `edges` are ascending bucket caps; a row lands in the smallest cap
+   * ≥ its length (longer rows clamp into the top bucket — truncate
+   * upstream if hard caps are required). Batch index = rank within
+   * (bucket, shard) by ascending `idCol`, integer-divided by
+   * `batchSize` — deterministic and oracle-checkable. Sharding keeps
+   * the per-bucket window from serializing a huge bucket through one
+   * partition, same discipline as [[packByTokenBudget]]; parallelism =
+   * buckets × shards.
+   *
+   * Output = input + `bucket_cap`, `shard`, `batch`, `padding`
+   * (cap − min(len, cap): the per-row pad cost at assembly time).
+   */
+  def lengthBuckets(df: DataFrame, idCol: String, lenCol: String,
+                    edges: Seq[Long], batchSize: Int,
+                    shards: Int = 64): DataFrame = {
+    require(edges.nonEmpty && edges == edges.sorted && edges.distinct == edges,
+      "edges must be ascending and distinct")
+    require(batchSize >= 1, "batchSize must be >= 1")
+    require(shards >= 1, "shards must be >= 1")
+    val len = col(lenCol).cast("long")
+    val cap = edges.dropRight(1).reverse.foldLeft(lit(edges.last)) {
+      (acc, e) => when(len <= e, lit(e)).otherwise(acc)
+    }
+    val w = Window.partitionBy(col("bucket_cap"), col("shard"))
+      .orderBy(col(idCol))
+    df.withColumn("bucket_cap", cap.cast("long"))
+      .withColumn("shard", pmod(col(idCol), lit(shards.toLong)))
+      .withColumn("batch",
+        floor((row_number().over(w) - lit(1)) / lit(batchSize)).cast("long"))
+      .withColumn("padding", col("bucket_cap") - least(len, col("bucket_cap")))
+  }
 }

@@ -45,4 +45,27 @@ object Rolling {
       .withColumn("sum_window",
         sum(col(valueCol).cast("decimal(18,2)")).over(w).cast("double"))
   }
+
+  /**
+   * Per-key event-sequence navigation — inter-event gaps and
+   * next-event lookahead (dwell time, retry spacing, next-action
+   * features). A ROWS-navigation window is only deterministic if the
+   * ordering is total, so the sort key is (event time, `tieCol`) with
+   * `tieCol` a unique id: ties on the timestamp alone would make
+   * lag/lead shuffle-order-dependent. Gaps are integer microsecond
+   * arithmetic (engine-portable; no interval types). Output = input
+   * columns + `rn`, `gap_micros` (NULL for each key's first event),
+   * `next_<valueCol>` (NULL for the last).
+   *
+   * Scale shape: one shuffle on the key, one ordered pass per
+   * partition — lag/lead/row_number all ride the same window.
+   */
+  def keyedNav(df: DataFrame, keyCol: String, tsCol: String,
+               tieCol: String, valueCol: String): DataFrame = {
+    val t = unix_micros(col(tsCol))
+    val w = Window.partitionBy(col(keyCol)).orderBy(t, col(tieCol))
+    df.withColumn("rn", row_number().over(w))
+      .withColumn("gap_micros", t - lag(t, 1).over(w))
+      .withColumn(s"next_$valueCol", lead(col(valueCol), 1).over(w))
+  }
 }

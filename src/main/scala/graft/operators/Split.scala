@@ -58,4 +58,18 @@ object Split {
   def hashSplit3(df: DataFrame, keyCol: String, trainFrac: Double,
                  valFrac: Double, splitCol: String = "split"): DataFrame =
     df.withColumn(splitCol, splitColumn3(col(keyCol), trainFrac, valFrac))
+
+  /** GROUP-level split: hash the GROUP key (domain, source, parent
+    * document), not the row content, so every row of a group lands on
+    * the same side. This is the anti-leakage boundary content hashing
+    * can't give: near-duplicates and sibling chunks DIFFER in content
+    * but share the group, and splitting them apart leaks test data into
+    * training. Identical machinery to [[hashSplit]] — a distinct entry
+    * point because choosing the hash INPUT is the design decision.
+    * Note the achieved row fraction tracks trainFrac only as group sizes
+    * allow (few/skewed groups → coarse steps); that is inherent to
+    * group-level assignment, not a defect. */
+  def groupSplit(df: DataFrame, groupCol: String, trainFrac: Double,
+                 splitCol: String = "split"): DataFrame =
+    hashSplit(df, groupCol, trainFrac, splitCol)
 }

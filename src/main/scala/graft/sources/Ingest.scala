@@ -93,6 +93,19 @@ object Ingest {
     spark.read.parquet(path)
 
   /**
+   * Schema-evolution read: parquet shards written at different times
+   * with different (compatible) schemas — a column added mid-crawl —
+   * read as ONE DataFrame whose schema is the union; rows from
+   * pre-evolution shards carry NULL in the added columns. `mergeSchema`
+   * reconciles footers in a parallel metadata-only job (no data scan),
+   * but it IS per-file work: at 100 TB pin the expected schema or use a
+   * table format with tracked schema history; for raw parquet lakes this
+   * is the correct ingest.
+   */
+  def parquetMerged(spark: SparkSession, paths: Seq[String]): DataFrame =
+    spark.read.option("mergeSchema", "true").parquet(paths: _*)
+
+  /**
    * Read `<dir>/<table>.parquet` for every given table and register each
    * as a temp view. Used for the driver's testdata star schema.
    *

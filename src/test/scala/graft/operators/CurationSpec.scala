@@ -357,6 +357,25 @@ class CurationSpec extends SparkTestBase {
       (4L, 0L, 0L), (5L, 1L, 1L), (6L, 0L, 1L)))
   }
 
+  test("Pack.lengthBuckets: cap assignment, batch fill, padding, clamping") {
+    val rows = Seq((1L, 10L), (2L, 100L), (3L, 128L), (4L, 129L), (5L, 500L),
+      (6L, 40L), (7L, 90L)).map { case (id, n) => org.apache.spark.sql.Row(id, n) }
+    val docs = df("id BIGINT, len BIGINT", rows)
+    val out = Pack.lengthBuckets(docs, "id", "len",
+        edges = Seq(128L, 256L), batchSize = 2, shards = 1)
+      .orderBy("id").collect()
+      .map(r => (r.getAs[Long]("id"), r.getAs[Long]("bucket_cap"),
+        r.getAs[Long]("batch"), r.getAs[Long]("padding"))).toSeq
+    assert(out == Seq(
+      (1L, 128L, 0L, 118L),   // 128-bucket, first batch
+      (2L, 128L, 0L, 28L),
+      (3L, 128L, 1L, 0L),     // len == edge lands in that bucket
+      (4L, 256L, 0L, 127L),   // first past the edge → next bucket
+      (5L, 256L, 0L, 0L),     // over the top cap: clamped, zero padding
+      (6L, 128L, 1L, 88L),    // third row of the 128 bucket → batch 1
+      (7L, 128L, 2L, 38L)))
+  }
+
   test("deterministicShuffle: dense permutation, seed-stable, matches the global rank") {
     import org.apache.spark.sql.expressions.Window
     val docs = df("doc_id BIGINT, text STRING",

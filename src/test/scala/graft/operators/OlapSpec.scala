@@ -47,6 +47,27 @@ class OlapSpec extends SparkTestBase {
     assert("Exchange".r.findAllMatchIn(plan).size == 1, plan)
   }
 
+  test("groupingSetsAgg: independent slices only — no cross product, no grand total") {
+    val out = Olap.groupingSetsAgg(sales,
+      Seq(Seq("region"), Seq("product")), Seq("region", "product"),
+      Seq(count(lit(1)).as("n"), sum("amount").as("total")))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSet
+    assert(out == Set(
+      ("east", null, 1L, 3L, 35L),     // region slice: status bit set
+      ("west", null, 1L, 1L, 7L),
+      (null, "widget", 2L, 3L, 37L),   // product slice: region bit set
+      (null, "gadget", 2L, 1L, 5L)))
+  }
+
+  test("groupingSetsAgg is one shuffle: sets expand map-side like rollup") {
+    val plan = Olap.groupingSetsAgg(sales,
+      Seq(Seq("region"), Seq("product")), Seq("region", "product"),
+      Seq(count(lit(1)).as("n"))).queryExecution.executedPlan.toString
+    assert(plan.contains("Expand"), plan)
+    assert("Exchange".r.findAllMatchIn(plan).size == 1, plan)
+  }
+
   test("pivotCount: explicit domain, zero-filled cells, deterministic columns") {
     val wide = Olap.pivotCount(sales, "region", "product",
       Seq("widget", "gadget", "doohickey"))

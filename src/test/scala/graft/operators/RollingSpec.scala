@@ -29,6 +29,26 @@ class RollingSpec extends SparkTestBase {
       (2L, "2024-01-01 10:15:00.0", 100.0, 1L, 100.0)))
   }
 
+  test("keyedNav: gaps, lookahead, and deterministic tie order") {
+    val events = df("event_id BIGINT, user_id BIGINT, ts TIMESTAMP, value DOUBLE", Seq(
+      Row(1L, 1L, ts("2024-01-01 10:00:00"), 1.0),
+      Row(2L, 1L, ts("2024-01-01 10:00:10"), 2.0),
+      Row(4L, 1L, ts("2024-01-01 10:01:00"), 4.0),  // tie on ts with #3…
+      Row(3L, 1L, ts("2024-01-01 10:01:00"), 3.0),  // …event_id breaks it: 3 before 4
+      Row(9L, 2L, ts("2024-01-01 12:00:00"), 9.0)))
+    val out = Rolling.keyedNav(events, "user_id", "ts", "event_id", "value")
+      .select("event_id", "rn", "gap_micros", "next_value")
+      .collect().map(r => (r.getLong(0), r.getInt(1),
+        Option(r.get(2)).map(_.asInstanceOf[Long]),
+        Option(r.get(3)).map(_.asInstanceOf[Double]))).toSet
+    assert(out == Set(
+      (1L, 1, None, Some(2.0)),
+      (2L, 2, Some(10000000L), Some(3.0)),
+      (3L, 3, Some(50000000L), Some(4.0)),  // tie-broken by event_id
+      (4L, 4, Some(0L), None),              // zero gap across the tie
+      (9L, 1, None, None)))                 // other key: fresh window
+  }
+
   test("trailingAgg matches a naive per-row self-join on real events") {
     val events = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
       .withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))

@@ -21,6 +21,23 @@ class SplitKeywordsSpec extends SparkTestBase {
     assert(Split.hashSplit(docs, "text", 1.0).filter(col("split") === "test").count() == 0L)
   }
 
+  test("groupSplit: whole groups stay on one side, even with differing content") {
+    val chunks = df("id INT, domain STRING, text STRING",
+      (1 to 100).flatMap(i => (0 until 3).map(c =>
+        Row(i * 10 + c, s"site$i.example", s"chunk $c of site $i"))))
+    val out = Split.groupSplit(chunks, "domain", 0.5)
+    // exactly one split value per group — no sibling leakage
+    val perGroup = out.groupBy("domain")
+      .agg(countDistinct("split").as("k"))
+      .filter(col("k") =!= 1L).count()
+    assert(perGroup == 0L)
+    // and it is NOT the content split: content-keyed would scatter chunks
+    val contentScatter = Split.hashSplit(chunks, "text", 0.5)
+      .groupBy("domain").agg(countDistinct("split").as("k"))
+      .filter(col("k") > 1L).count()
+    assert(contentScatter > 0L)
+  }
+
   test("hashSplit3 nests with hashSplit: growing 2-way to 3-way never moves train") {
     val docs = df("id INT, text STRING", (1 to 200).map(i => Row(i, s"document number $i")))
     val two = Split.hashSplit(docs, "text", 0.8)

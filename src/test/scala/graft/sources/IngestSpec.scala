@@ -11,6 +11,20 @@ class IngestSpec extends SparkTestBase {
     f.toString
   }
 
+  test("parquetMerged: schema union across shards, NULLs for missing columns") {
+    import org.apache.spark.sql.Row
+    val base = Files.createTempDirectory("graft_merge_spec").toString
+    df("id BIGINT, a STRING", Seq(Row(1L, "x"), Row(2L, "y")))
+      .write.parquet(s"$base/early")
+    df("id BIGINT, a STRING, b BIGINT", Seq(Row(3L, "z", 30L)))
+      .write.parquet(s"$base/late")
+    val merged = Ingest.parquetMerged(spark, Seq(s"$base/early", s"$base/late"))
+      .select("id", "a", "b")
+    assert(merged.columns.toSeq == Seq("id", "a", "b"))
+    assertSameRows(merged, Seq(
+      Seq(1L, "x", null), Seq(2L, "y", null), Seq(3L, "z", 30L)))
+  }
+
   test("primary CSV path infers schema like read_csv_auto") {
     val p = writeCsv("id,name,amount\n1,Alice,10.5\n2,Bob,20.0\n")
     val df = Ingest.csv(spark, p)
