@@ -626,6 +626,15 @@ object SparkEntry {
         .select(col("pos"), col("doc_id"))
         .orderBy("pos")),
 
+    // Deterministic negative-pair mining (contrastive training): each
+    // anchor gets k strided picks from the seeded hash permutation —
+    // distinct, non-self, reproducible, and position-join-only (no RNG,
+    // no cross join).
+    "q_sample_negatives" -> ((s, d) =>
+      graft.operators.Sample.negativePairs(
+        docs(s, d).select(col("doc_id")), "doc_id", k = 3)
+        .orderBy("anchor_id", "neg_idx")),
+
     // Exact-ratio corpus mixing (the training "data recipe" step):
     // en : non-en at 3 : 1 parts — T = min(n_i/w_i) bounds the mix so
     // no source upsamples, md5 ranking makes the exact row set
@@ -1222,6 +1231,17 @@ object SparkEntry {
           .select(col("event_id"), col("user_id"), col("ts"), col("value")),
         "user_id", "ts", "value", windowSeconds = 3600L)
         .select(col("event_id"), col("n_window"), col("sum_window"))),
+
+    // Per-user z-score outlier flags: both moments from exact decimal
+    // sums (order-independent), double arithmetic only at the end — so
+    // the flags are deterministic and oracle-checkable, unlike anything
+    // built on float avg/stddev.
+    "q_anomaly_zscore" -> ((s, d) =>
+      graft.operators.Profile.zscoreFlags(
+        executor(s, d).table("events")
+          .select(col("event_id"), col("user_id"), col("value")),
+        "user_id", "value", threshold = 2.0)
+        .select(col("event_id"), col("z"), col("is_outlier"))),
 
     // Per-user event-sequence navigation: inter-event gap + next-event
     // value lookahead, totally ordered by (ts, event_id) so lag/lead are
@@ -2119,6 +2139,38 @@ object SparkEntry {
         |  ORDER BY md5('graft:' || CAST(doc_id AS VARCHAR)) ASC, doc_id ASC)
         |  AS BIGINT) AS pos, doc_id
         |FROM documents ORDER BY pos""".stripMargin,
+    "q_sample_negatives" ->
+      """WITH pos AS (
+        |  SELECT doc_id, CAST(row_number() OVER (
+        |      ORDER BY md5('graft:' || CAST(doc_id AS VARCHAR)) ASC, doc_id ASC)
+        |    AS BIGINT) AS pos,
+        |    CAST(count(*) OVER () AS BIGINT) AS n
+        |  FROM documents),
+        |e AS (
+        |  SELECT p.doc_id AS anchor_id, i.neg_idx,
+        |    ((p.pos - 1 + i.neg_idx * greatest(n // 4, 1)) % n) + 1 AS neg_pos
+        |  FROM pos p CROSS JOIN (VALUES (1), (2), (3)) AS i(neg_idx))
+        |SELECT e.anchor_id, e.neg_idx, q.doc_id AS negative_id
+        |FROM e JOIN pos q ON q.pos = e.neg_pos
+        |WHERE e.anchor_id <> q.doc_id
+        |ORDER BY anchor_id, neg_idx""".stripMargin,
+    "q_anomaly_zscore" ->
+      """WITH s AS (
+        |  SELECT user_id,
+        |    count(CAST(value AS DECIMAL(18,2))) AS n,
+        |    CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sv,
+        |    CAST(sum(CAST(value AS DECIMAL(18,2)) * CAST(value AS DECIMAL(18,2)))
+        |      AS DOUBLE) AS svv
+        |  FROM events GROUP BY user_id),
+        |t AS (
+        |  SELECT user_id, sv / n AS mean,
+        |    sqrt(greatest((svv - sv * sv / n) / n, 0.0)) AS std
+        |  FROM s)
+        |SELECT e.event_id,
+        |  CASE WHEN t.std > 0 THEN round((e.value - t.mean) / t.std, 6) END AS z,
+        |  coalesce(abs(CASE WHEN t.std > 0
+        |    THEN round((e.value - t.mean) / t.std, 6) END) > 2.0, FALSE) AS is_outlier
+        |FROM events e JOIN t USING (user_id)""".stripMargin,
     "q_mix_weighted" ->
       """WITH src AS (
         |  SELECT doc_id, 0 AS mix_source, 3 AS w,

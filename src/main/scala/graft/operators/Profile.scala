@@ -185,4 +185,43 @@ object Profile {
         (abs(col("__approx").cast("double") - col("value").cast("double")) <=
           abs(col("value").cast("double")) * lit(tolerance)).as("within_tol"))
   }
+
+  /**
+   * Per-key z-score outlier flags — the monitoring primitive ("which
+   * events are >3σ from their user's norm"). Naive mean/std via
+   * `avg`/`stddev` over doubles is shuffle-order-dependent (FP addition
+   * isn't associative); here both moments come from EXACT decimal sums
+   * (Σv and Σv² as DECIMAL — associative, order-independent), cast to
+   * double only for the final mean/variance/sqrt arithmetic, which is
+   * then a pure function of exact inputs — deterministic on any engine
+   * (IEEE division and sqrt are correctly rounded). Population variance
+   * (÷ n); z is NULL when σ = 0 or n = 1 (no dispersion to score
+   * against — those keys have no outliers by definition).
+   *
+   * Scale shape: one map-side-combined aggregate per key joined back to
+   * the rows (two key-shuffles, no window), so a huge key costs its row
+   * share, never a single-task sort.
+   */
+  def zscoreFlags(df: DataFrame, keyCol: String, valueCol: String,
+                  threshold: Double = 3.0): DataFrame = {
+    val v = col(valueCol).cast("decimal(18,2)")
+    val stats = df.groupBy(col(keyCol)).agg(
+        count(v).as("__n"),
+        sum(v).as("__s"),
+        sum(v * v).as("__ss"))
+      .select(col(keyCol), col("__n"),
+        (col("__s").cast("double") / col("__n")).as("__mean"),
+        // clamp at 0 BEFORE sqrt: FP cancellation can leave a tiny
+        // negative where true variance is 0, and sqrt(neg) = NaN whose
+        // comparison semantics differ across engines
+        sqrt(greatest((col("__ss").cast("double") -
+          col("__s").cast("double") * col("__s").cast("double") / col("__n")) /
+          col("__n"), lit(0.0))).as("__std"))
+    df.join(stats, Seq(keyCol))
+      .withColumn("z", when(col("__std") > 0,
+        round((col(valueCol).cast("double") - col("__mean")) / col("__std"), 6)))
+      .withColumn("is_outlier",
+        coalesce(abs(col("z")) > lit(threshold), lit(false)))
+      .drop("__n", "__mean", "__std")
+  }
 }

@@ -197,6 +197,43 @@ object Sample {
    * The composition equals the global rank because bucket prefix order
    * IS hash order.
    */
+  /**
+   * Deterministic negative-pair mining — contrastive training needs, for
+   * every anchor row, `k` pseudo-random OTHER rows as negatives, the
+   * same ones every run. True random sampling per anchor would need a
+   * per-row RNG (order-dependent) or a cross join (quadratic); instead:
+   * lay the corpus on the [[deterministicShuffle]] permutation (content-
+   * independent, seed-keyed) and pair the anchor at position p with the
+   * rows at `((p − 1 + i·stride) mod n) + 1`, `stride = max(n div
+   * (k+1), 1)` — for n > k these offsets are distinct and never 0, so
+   * each anchor gets k distinct non-self negatives, and because the
+   * permutation is hash-ordered the strided picks are as good as random
+   * with respect to any content attribute.
+   *
+   * Scale shape: n comes from a 1-row count that BROADCASTS (no
+   * collect); the k-fold expansion is map-side (`explode(sequence)`);
+   * the only shuffle is the position equi-join, whose key is dense and
+   * skew-free by construction.
+   */
+  def negativePairs(df: DataFrame, idCol: String, k: Int,
+                    seed: String = "graft"): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    val pos = deterministicShuffle(df.select(col(idCol)), idCol, seed)
+    val nDf = pos.agg(count(lit(1)).as("__n"))
+    pos.crossJoin(broadcast(nDf))
+      .select(col(idCol).as("anchor_id"), col("pos"), col("__n"),
+        explode(expr(s"sequence(1, $k)")).as("neg_idx"))
+      .withColumn("neg_pos",
+        pmod(col("pos") - 1 + col("neg_idx") * expr(s"greatest(__n div ${k + 1}, 1L)"),
+          col("__n")) + 1)
+      .join(pos.select(col("pos").as("neg_pos"), col(idCol).as("negative_id")),
+        "neg_pos")
+      // for n <= k the modular strides can wrap onto the anchor itself —
+      // drop those rather than emit a degenerate self-pair
+      .filter(col("anchor_id") =!= col("negative_id"))
+      .select(col("anchor_id"), col("neg_idx"), col("negative_id"))
+  }
+
   def deterministicShuffle(df: DataFrame, idCol: String,
                            seed: String = "graft"): DataFrame = {
     val h = md5(concat(lit(seed), lit(":"), col(idCol).cast("string")))

@@ -357,6 +357,25 @@ class CurationSpec extends SparkTestBase {
       (4L, 0L, 0L), (5L, 1L, 1L), (6L, 0L, 1L)))
   }
 
+  test("negativePairs: k distinct non-self negatives per anchor, deterministic") {
+    val docs = df("doc_id BIGINT, text STRING",
+      (1 to 50).map(i => org.apache.spark.sql.Row(i.toLong, s"doc $i")))
+    val out = Sample.negativePairs(docs, "doc_id", k = 3)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    // every anchor has exactly k rows, negatives distinct and non-self
+    val byAnchor = out.groupBy(_._1)
+    assert(byAnchor.size == 50 && byAnchor.values.forall(_.length == 3))
+    assert(byAnchor.forall { case (a, rs) =>
+      val negs = rs.map(_._3); negs.distinct.length == 3 && !negs.contains(a) })
+    // deterministic across runs; different seed → different pairing
+    val again = Sample.negativePairs(docs, "doc_id", k = 3)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    assert(out.toSet == again.toSet)
+    val other = Sample.negativePairs(docs, "doc_id", k = 3, seed = "other")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    assert(out.toSet != other.toSet)
+  }
+
   test("Pack.lengthBuckets: cap assignment, batch fill, padding, clamping") {
     val rows = Seq((1L, 10L), (2L, 100L), (3L, 128L), (4L, 129L), (5L, 500L),
       (6L, 40L), (7L, 90L)).map { case (id, n) => org.apache.spark.sql.Row(id, n) }

@@ -104,4 +104,22 @@ class ProfileSpec extends SparkTestBase {
       (Some("b"), 3L, 2L),
       (None, 2L, 3L)))       // NULL counted, not dropped
   }
+
+  test("zscoreFlags: exact-moment z-scores, degenerate keys yield no outliers") {
+    import org.apache.spark.sql.Row
+    val events = df("id BIGINT, k STRING, v DOUBLE", Seq(
+      // key a: values 1,1,1,1,9 → mean 2.6, var = (4·1.6² + 6.4²)/5 = 10.24, std 3.2
+      Row(1L, "a", 1.0), Row(2L, "a", 1.0), Row(3L, "a", 1.0),
+      Row(4L, "a", 1.0), Row(5L, "a", 9.0),
+      Row(6L, "b", 5.0),               // singleton: std 0 → z NULL
+      Row(7L, "c", 2.0), Row(8L, "c", 2.0))) // constant: std 0 → z NULL
+    val out = Profile.zscoreFlags(events, "k", "v", threshold = 1.5)
+      .select("id", "z", "is_outlier")
+      .collect().map(r => (r.getLong(0),
+        Option(r.get(1)).map(_.asInstanceOf[Double]), r.getBoolean(2))).toSet
+    assert(out == Set(
+      (1L, Some(-0.5), false), (2L, Some(-0.5), false), (3L, Some(-0.5), false),
+      (4L, Some(-0.5), false), (5L, Some(2.0), true),
+      (6L, None, false), (7L, None, false), (8L, None, false)))
+  }
 }
