@@ -39,7 +39,9 @@ object ScaleProbe {
     // ANN family
     "q_ann_bruteforce", "q_ann_lsh", "q_ann_ivf",
     // search + sessionize families
-    "q_search_bm25", "q_sessionize", "q_session_stats")
+    "q_search_bm25", "q_sessionize", "q_session_stats",
+    // fuzzy join (supplier), window nav (events), batching (documents)
+    "q_fuzzy_pairs", "q_window_nav", "q_pack_buckets")
 
   private def caesar(c: org.apache.spark.sql.Column, k: Int) = {
     val lower = "abcdefghijklmnopqrstuvwxyz"
@@ -52,11 +54,11 @@ object ScaleProbe {
     * embeddings, and events from `srcDir` (skipped when present). */
   def buildScaled(spark: SparkSession, srcDir: String, scaledDir: String,
                   rep: Int): Unit = {
-    if (new java.io.File(s"$scaledDir/documents.parquet").exists()) return
     val src = graft.sources.Ingest.loadDir(spark, srcDir,
-      Seq("documents", "embeddings", "events"))
+      Seq("documents", "embeddings", "events", "supplier"))
 
     def replicate(name: String, f: (DataFrame, Int) => DataFrame): Unit = {
+      if (new java.io.File(s"$scaledDir/$name.parquet").exists()) return
       val base = src(name)
       val all = (0 until rep).map(k => f(base, k)).reduce(_ unionByName _)
       all.repartition(32).write.mode("overwrite")
@@ -71,6 +73,15 @@ object ScaleProbe {
     replicate("events", (d, k) => d
       .withColumn("event_id", col("event_id") + lit(k * 100000000L))
       .withColumn("user_id", col("user_id") + lit(k * 10000000L)))
+    // supplier (fuzzy-join probe): rotate DIGITS by k — names keep their
+    // length and within-replica edit structure, while cross-replica name
+    // pairs differ in every digit position (edit distance way past the
+    // bound). Naive duplication would instead create rep² exact-match
+    // pairs — a workload artifact, not operator cost.
+    replicate("supplier", (d, k) => d
+      .withColumn("s_suppkey", col("s_suppkey") + lit(k * 100000000L))
+      .withColumn("s_name", translate(col("s_name"), "0123456789",
+        "0123456789".drop(k % 10) + "0123456789".take(k % 10))))
   }
 
   private def time(spark: SparkSession, name: String, dir: String): Double = {

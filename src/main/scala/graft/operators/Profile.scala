@@ -111,29 +111,42 @@ object Profile {
    * parity; the rank itself is computed as ceil(round(p·n, 9)) so
    * double rounding in the product can't bump the rank either.
    *
-   * One window pass computes every requested p (the p list is exploded
-   * against each ranked row, then filtered to rank matches): a single
-   * shuffle on the key regardless of |ps|. Duplicate values are fine —
-   * the value at a given rank of the sorted multiset is deterministic
-   * whatever order ties land in.
+   * The frame is compressed to per-(key, value) COUNTS before any
+   * window: the groupBy map-side-combines rows down to distinct values,
+   * and the cumulative-count window then ranks the compressed multiset
+   * — the value at rank r is the first whose cumulative count reaches
+   * r, identical to ranking raw rows. This matters precisely when a
+   * caller wants GLOBAL quantiles (constant key): Catalyst folds the
+   * constant partition key away and the window runs single-partition,
+   * so what flows through it must be distinct values, not the corpus.
+   * A truly continuous value domain (distinct ≈ rows) at extreme scale
+   * should use [[quantileSketch]] — that trade-off is the sketch's
+   * whole reason to exist.
+   *
+   * One pass computes every requested p (the p list is exploded against
+   * each compressed row, then filtered to rank-interval hits): a single
+   * shuffle on the key regardless of |ps|.
    */
   def quantiles(df: DataFrame, keyCol: String, valueCol: String,
                 ps: Seq[Double]): DataFrame = {
     require(ps.nonEmpty && ps.forall(p => p > 0.0 && p <= 1.0),
       "each p must be in (0, 1]")
-    val w = org.apache.spark.sql.expressions.Window
+    val wCum = org.apache.spark.sql.expressions.Window
       .partitionBy(col(keyCol)).orderBy(col(valueCol).asc)
     val wAll = org.apache.spark.sql.expressions.Window.partitionBy(col(keyCol))
     df.where(col(valueCol).isNotNull)
-      .withColumn("__rn", row_number().over(w))
-      .withColumn("__n", count(lit(1)).over(wAll))
-      .select(col(keyCol), col(valueCol),
-        explode(array(ps.map(lit): _*)).as("p"), col("__rn"), col("__n"))
+      .groupBy(col(keyCol), col(valueCol)).agg(count(lit(1)).as("__c"))
+      .withColumn("__cum", sum(col("__c")).over(wCum))
+      .withColumn("__n", sum(col("__c")).over(wAll))
+      .select(col(keyCol), col(valueCol), col("__c"), col("__cum"), col("__n"),
+        explode(array(ps.map(lit): _*)).as("p"))
       // round before ceil: p·n in IEEE double can land a hair ABOVE the
       // exact product (0.07 × 100 = 7.000000000000001 → ceil 8, wrong
       // rank), while the DuckDB oracle multiplies exact decimals; 9
       // digits restores exactness for any p stated to ≤9 decimals
-      .where(col("__rn") === ceil(round(col("p") * col("__n"), 9)).cast("long"))
+      .withColumn("__r", ceil(round(col("p") * col("__n"), 9)).cast("long"))
+      // the value spanning ranks (cum−c, cum] holds rank r
+      .where(col("__cum") - col("__c") < col("__r") && col("__r") <= col("__cum"))
       .select(col(keyCol), col("p"), col(valueCol).as("value"))
   }
 

@@ -71,6 +71,24 @@ class FuzzyJoinSpec extends SparkTestBase {
     assert(out == Set((1L, 10L, 1), (3L, 30L, 1)))
   }
 
+  test("clone-prefixed corpus (hot grams) still matches brute force") {
+    // Every name shares a long constant prefix — the shape that blows up
+    // an all-grams co-occurrence index (hot grams join n×n). The Ed-Join
+    // rarest-prefix index must stay correct here; rarity ordering keeps
+    // the shared grams out of the index entirely.
+    val rows = (1 to 800).map(i => Row(i.toLong, f"Supplier#$i%09d"))
+    val corpus = df("id BIGINT, s STRING", rows)
+    val fuzzy = FuzzyJoin.editDistancePairs(corpus, "id", "s", maxDist = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val brute = corpus.as("a").join(corpus.as("b"), col("a.id") < col("b.id"))
+      .select(col("a.id"), col("b.id"),
+        levenshtein(col("a.s"), col("b.s")).as("d"))
+      .filter(col("d") <= 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(fuzzy == brute,
+      s"missed: ${(brute -- fuzzy).take(5)}; extra: ${(fuzzy -- brute).take(5)}")
+  }
+
   test("candidate filter actually prunes: no cross join in the plan") {
     val plan = FuzzyJoin.editDistancePairs(names, "id", "name", maxDist = 1)
       .queryExecution.executedPlan.toString
