@@ -1243,6 +1243,27 @@ object SparkEntry {
         "user_id", "value", threshold = 2.0)
         .select(col("event_id"), col("z"), col("is_outlier"))),
 
+    // Per-user winsorization: clip event values to the user's exact
+    // [p05, p95] rank-statistic band — actual data values as bounds, so
+    // clipping is engine-exact (no interpolated float thresholds).
+    "q_clip_winsorize" -> ((s, d) =>
+      graft.operators.Profile.winsorize(
+        executor(s, d).table("events")
+          .select(col("event_id"), col("user_id"), col("value")),
+        "user_id", "value", pLo = 0.05, pHi = 0.95)
+        .select(col("event_id"), col("value_clipped"), col("was_clipped"))),
+
+    // Per-user weekly rate cap: first 3 events per (user, week bucket) by
+    // (ts, event_id) — a binding cap on this corpus (~2.2k of 10k rows
+    // survive), deterministic kept set, (key, bucket) shuffle.
+    "q_sample_rate_limit" -> ((s, d) =>
+      graft.operators.Sample.rateLimit(
+        executor(s, d).table("events")
+          .select(col("event_id"), col("user_id"), col("ts"), col("value")),
+        "user_id", "ts", "event_id", windowSeconds = 604800L, maxPerWindow = 3)
+        .select(col("event_id"), col("user_id"), col("value"))
+        .orderBy("event_id")),
+
     // Per-user event-sequence navigation: inter-event gap + next-event
     // value lookahead, totally ordered by (ts, event_id) so lag/lead are
     // deterministic under ties (next_value is a pure double passthrough —
@@ -2139,6 +2160,30 @@ object SparkEntry {
         |  ORDER BY md5('graft:' || CAST(doc_id AS VARCHAR)) ASC, doc_id ASC)
         |  AS BIGINT) AS pos, doc_id
         |FROM documents ORDER BY pos""".stripMargin,
+    "q_clip_winsorize" ->
+      """WITH cnt AS (
+        |  SELECT user_id, value,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY value ASC) AS rn,
+        |    count(value) OVER (PARTITION BY user_id) AS n
+        |  FROM events WHERE value IS NOT NULL),
+        |b AS (
+        |  SELECT user_id,
+        |    min(CASE WHEN rn = CAST(ceil(0.05 * n) AS BIGINT) THEN value END) AS lo,
+        |    max(CASE WHEN rn = CAST(ceil(0.95 * n) AS BIGINT) THEN value END) AS hi
+        |  FROM cnt GROUP BY user_id)
+        |SELECT e.event_id,
+        |  CASE WHEN e.value IS NULL THEN NULL
+        |       ELSE least(greatest(e.value, b.lo), b.hi) END AS value_clipped,
+        |  coalesce(e.value < b.lo OR e.value > b.hi, FALSE) AS was_clipped
+        |FROM events e LEFT JOIN b USING (user_id)""".stripMargin,
+    "q_sample_rate_limit" ->
+      """SELECT event_id, user_id, value FROM (
+        |  SELECT event_id, user_id, value,
+        |    row_number() OVER (
+        |      PARTITION BY user_id, epoch_us(CAST(ts AS TIMESTAMP)) // 604800000000
+        |      ORDER BY epoch_us(CAST(ts AS TIMESTAMP)), event_id) AS rn
+        |  FROM events) t
+        |WHERE rn <= 3 ORDER BY event_id""".stripMargin,
     "q_sample_negatives" ->
       """WITH pos AS (
         |  SELECT doc_id, CAST(row_number() OVER (

@@ -200,6 +200,37 @@ object Profile {
   }
 
   /**
+   * Per-key winsorization — clip values to their key's exact
+   * [pLo, pHi] quantile band (the standard tail-taming step before
+   * feature scaling or reward normalization). Bounds are [[quantiles]]'
+   * rank statistics (actual data values, engine-exact), so the clipped
+   * output is deterministic — no interpolated float thresholds. NULL
+   * values pass through as NULL and never count as clipped.
+   *
+   * Scale shape: the bounds frame is one row per key (pivoted from the
+   * quantile output) and joins back in a single key-shuffle; with few
+   * keys AQE broadcasts it.
+   */
+  def winsorize(df: DataFrame, keyCol: String, valueCol: String,
+                pLo: Double, pHi: Double): DataFrame = {
+    require(pLo > 0 && pLo < pHi && pHi <= 1.0, "need 0 < pLo < pHi <= 1")
+    val bounds = quantiles(df, keyCol, valueCol, Seq(pLo, pHi))
+      .groupBy(col(keyCol)).agg(
+        min(when(col("p") === pLo, col("value"))).as("__lo"),
+        max(when(col("p") === pHi, col("value"))).as("__hi"))
+    val v = col(valueCol)
+    df.join(bounds, Seq(keyCol), "left")
+      // explicit NULL guard: greatest/least NULL-skipping would otherwise
+      // "clip" a NULL value up to the lower bound
+      .withColumn("value_clipped",
+        when(v.isNull, lit(null))
+          .otherwise(least(greatest(v, col("__lo")), col("__hi"))))
+      .withColumn("was_clipped",
+        coalesce(v < col("__lo") || v > col("__hi"), lit(false)))
+      .drop("__lo", "__hi")
+  }
+
+  /**
    * Per-key z-score outlier flags — the monitoring primitive ("which
    * events are >3σ from their user's norm"). Naive mean/std via
    * `avg`/`stddev` over doubles is shuffle-order-dependent (FP addition

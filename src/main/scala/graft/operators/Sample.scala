@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /**
@@ -197,6 +198,31 @@ object Sample {
    * The composition equals the global rank because bucket prefix order
    * IS hash order.
    */
+  /**
+   * Per-key rate cap over tumbling event-time windows — keep at most
+   * `maxPerWindow` events per key per window, FIRST-come by event time
+   * (bot/abuse damping and per-source ingestion quotas). The window
+   * bucket is integer microsecond division (engine-portable); ordering
+   * within a bucket is (event time, `tieCol`) with a unique tiebreak,
+   * so the kept set is deterministic under any shuffle order.
+   *
+   * Scale shape: one shuffle on (key, bucket) — finer than the key
+   * alone, so a hot key's history spreads across buckets rather than
+   * serializing through one partition.
+   */
+  def rateLimit(df: DataFrame, keyCol: String, tsCol: String,
+                tieCol: String, windowSeconds: Long,
+                maxPerWindow: Int): DataFrame = {
+    require(windowSeconds > 0, "windowSeconds must be positive")
+    require(maxPerWindow >= 1, "maxPerWindow must be >= 1")
+    val bucket = expr(s"unix_micros(`$tsCol`) div ${windowSeconds * 1000000L}")
+    val w = Window.partitionBy(col(keyCol), bucket)
+      .orderBy(unix_micros(col(tsCol)), col(tieCol))
+    df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= maxPerWindow)
+      .drop("__rn")
+  }
+
   /**
    * Deterministic negative-pair mining — contrastive training needs, for
    * every anchor row, `k` pseudo-random OTHER rows as negatives, the

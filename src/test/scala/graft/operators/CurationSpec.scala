@@ -357,6 +357,22 @@ class CurationSpec extends SparkTestBase {
       (4L, 0L, 0L), (5L, 1L, 1L), (6L, 0L, 1L)))
   }
 
+  test("rateLimit: first m per (key, window), tie-broken deterministically") {
+    import org.apache.spark.sql.Row
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val events = df("id BIGINT, u STRING, ts TIMESTAMP", Seq(
+      Row(1L, "a", ts("2024-01-01 10:00:01")),
+      Row(2L, "a", ts("2024-01-01 10:10:00")),
+      Row(3L, "a", ts("2024-01-01 10:20:00")),  // 3rd in hour → dropped at m=2
+      Row(5L, "a", ts("2024-01-01 10:00:01")),  // tie with #1: id orders it 2nd
+      Row(4L, "a", ts("2024-01-01 11:00:01")),  // next hour bucket: fresh quota
+      Row(6L, "b", ts("2024-01-01 10:59:00")))) // other key: own quota
+    val kept = Sample.rateLimit(events, "u", "ts", "id",
+        windowSeconds = 3600L, maxPerWindow = 2)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(1L, 5L, 4L, 6L))
+  }
+
   test("negativePairs: k distinct non-self negatives per anchor, deterministic") {
     val docs = df("doc_id BIGINT, text STRING",
       (1 to 50).map(i => org.apache.spark.sql.Row(i.toLong, s"doc $i")))

@@ -105,6 +105,26 @@ class ProfileSpec extends SparkTestBase {
       (None, 2L, 3L)))       // NULL counted, not dropped
   }
 
+  test("winsorize: clips to exact per-key quantile band, NULLs pass through") {
+    import org.apache.spark.sql.Row
+    // key a: values 1..10 → p20 bound = value at rank 2 (=2), p80 at rank 8 (=8)
+    val rows = (1 to 10).map(i => Row(i.toLong, "a", i.toDouble)) ++
+      Seq(Row(11L, "a", null), Row(12L, "b", 5.0))
+    val events = df("id BIGINT, k STRING, v DOUBLE", rows)
+    val out = Profile.winsorize(events, "k", "v", pLo = 0.2, pHi = 0.8)
+      .select("id", "value_clipped", "was_clipped")
+      .collect().map(r => (r.getLong(0),
+        Option(r.get(1)).map(_.asInstanceOf[Double]), r.getBoolean(2))).toSet
+    assert(out == Set(
+      (1L, Some(2.0), true),   // below p20 → raised
+      (2L, Some(2.0), false), (3L, Some(3.0), false), (4L, Some(4.0), false),
+      (5L, Some(5.0), false), (6L, Some(6.0), false), (7L, Some(7.0), false),
+      (8L, Some(8.0), false),
+      (9L, Some(8.0), true), (10L, Some(8.0), true), // above p80 → lowered
+      (11L, None, false),      // NULL passes through unclipped
+      (12L, Some(5.0), false))) // singleton key: both bounds = the value
+  }
+
   test("zscoreFlags: exact-moment z-scores, degenerate keys yield no outliers") {
     import org.apache.spark.sql.Row
     val events = df("id BIGINT, k STRING, v DOUBLE", Seq(
