@@ -150,6 +150,60 @@ object StreamingPipeline {
       }.toDF()
   }
 
+  final case class RateState(n: Long)
+
+  /** An admitted event (streaming rate limiter output). */
+  final case class Admitted(key: String, ts: java.sql.Timestamp, tie: Long)
+
+  /**
+   * Streaming-legal per-key rate cap — the continuous-ingest counterpart
+   * of `Sample.rateLimit` (whose `row_number` window is not streamable):
+   * admit at most `maxPerWindow` events per (key, tumbling event-time
+   * bucket). State per open (key, bucket) is ONE admitted-count —
+   * bounded by keys × open buckets and evicted by event-time timeout
+   * when the watermark passes the bucket end (no more admissible
+   * events can exist past that point), so this runs forever.
+   *
+   * Parity caveat (inherent to streaming, stated honestly): within a
+   * micro-batch events are event-time-sorted with a `tieCol` tiebreak,
+   * so when a bucket's events arrive in one batch the admitted set
+   * EQUALS the batch operator's; events split across batches are
+   * admitted first-batch-first — a later batch cannot displace an
+   * already-admitted event.
+   */
+  def rateLimit(stream: DataFrame, tsCol: String, keyCol: String,
+                tieCol: String, windowSeconds: Long, maxPerWindow: Int,
+                watermarkDelay: String = "10 minutes"): DataFrame = {
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+    require(windowSeconds > 0 && maxPerWindow >= 1, "bad rate-limit params")
+    val spark = stream.sparkSession
+    import spark.implicits._
+    val bucketMillis = windowSeconds * 1000L
+
+    stream
+      .select(col(keyCol).cast("string").as("key"),
+        col(tsCol).cast("timestamp").as("ts"), col(tieCol).cast("long").as("tie"))
+      .withWatermark("ts", watermarkDelay)
+      .as[(String, java.sql.Timestamp, Long)]
+      .groupByKey(r => (r._1, r._2.getTime / bucketMillis))
+      .flatMapGroupsWithState[RateState, Admitted](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (kb, events, state) =>
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            val sorted = events.toArray.sortBy(e => (e._2.getTime, e._3))
+            val already = state.getOption.map(_.n).getOrElse(0L)
+            val room = math.max(maxPerWindow - already, 0L).toInt
+            val admitted = sorted.take(room)
+            state.update(RateState(already + admitted.length))
+            // evict once the watermark passes the bucket end: every
+            // later event of this bucket would be watermark-late anyway
+            state.setTimeoutTimestamp((kb._2 + 1) * bucketMillis)
+            admitted.iterator.map(e => Admitted(e._1, e._2, e._3))
+          }
+      }.toDF()
+  }
+
   final case class FunnelState(step: Int, times: List[Long])
   final case class FunnelCompletion(key: String,
                                     funnel_start: java.sql.Timestamp,
