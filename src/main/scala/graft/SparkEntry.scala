@@ -1559,6 +1559,27 @@ object SparkEntry {
         .orderBy("id")
     }),
 
+    // CDC round-trip: diff base→v2, turn the classification into an
+    // upsert/delete change batch, apply it back to base — the result
+    // must BE v2 (the oracle reconstructs v2 directly). Proves
+    // diff + applyChanges compose into exact incremental maintenance.
+    "q_snapshot_apply" -> ((s, d) => {
+      val base = docs(s, d).select(col("doc_id"), col("text"))
+      val v2 = base.filter(col("doc_id") % 10 =!= 0)
+        .withColumn("text", when(col("doc_id") % 7 === 0,
+          concat(col("text"), lit(" v2"))).otherwise(col("text")))
+        .unionByName(base.filter(col("doc_id") < 5)
+          .select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
+      val classified = graft.operators.Snapshot.diff(base, v2, "doc_id", "text")
+      val changes = classified.filter(col("status") =!= "unchanged").as("c")
+        .join(v2.as("v"), col("c.id") === col("v.doc_id"), "left")
+        .select(col("c.id").as("doc_id"), col("v.text").as("text"),
+          when(col("c.status") === "removed", "delete")
+            .otherwise("upsert").as("op"))
+      graft.operators.Snapshot.applyChanges(base, changes, "doc_id", "op")
+        .orderBy("doc_id")
+    }),
+
     // Canonical URL normalization over four synthesized URL shapes
     // (tracking params, default ports, mixed case, fragments,
     // non-http scheme, relative pass-through).
@@ -2911,6 +2932,13 @@ object SparkEntry {
         |       ELSE 'changed' END AS status
         |FROM o FULL OUTER JOIN n ON o.id = n.id
         |ORDER BY id""".stripMargin,
+    "q_snapshot_apply" ->
+      """SELECT doc_id, CASE WHEN doc_id % 7 = 0 THEN text || ' v2'
+        |                    ELSE text END AS text
+        |FROM documents WHERE doc_id % 10 != 0
+        |UNION ALL
+        |SELECT doc_id + 1000000, text FROM documents WHERE doc_id < 5
+        |ORDER BY doc_id""".stripMargin,
     "q_web_canonical" -> canonicalUrlOracle,
     "q_custom_canonical" -> canonicalUrlOracle,
     // Closed form (see the gate comment): survivors are exactly the

@@ -40,4 +40,30 @@ object Snapshot {
                   contentCol: String): DataFrame =
     diff(oldDf, newDf, idCol, contentCol)
       .groupBy("status").agg(count(lit(1)).as("n"))
+
+  /**
+   * The write half of incremental maintenance: apply a change batch to a
+   * base snapshot — CDC upsert/delete merge semantics. `changes` carries
+   * full rows plus an `opCol` of `upsert` (insert-or-replace by id) or
+   * `delete` (tombstone). Result = base rows whose id has no change row,
+   * plus the upsert rows. With `diff`, this closes the loop: reprocess
+   * only added/changed, then merge the results back — snapshot N+1
+   * without touching the untouched 99%.
+   *
+   * Scale shape: one left-anti join on id (base side streams through;
+   * the change batch is the small side by definition and AQE broadcasts
+   * it) plus a union — no window, no full-corpus shuffle when the
+   * change batch broadcasts.
+   */
+  def applyChanges(base: DataFrame, changes: DataFrame, idCol: String,
+                   opCol: String): DataFrame = {
+    // bad op labels fail the JOB (raise_error in-plan — no extra driver
+    // action) instead of silently dropping rows
+    val checked = changes.withColumn(opCol,
+      when(col(opCol).isin("upsert", "delete"), col(opCol))
+        .otherwise(raise_error(concat(
+          lit(s"applyChanges: unknown op in $opCol: "), col(opCol)))))
+    base.join(checked.select(col(idCol)), Seq(idCol), "left_anti")
+      .unionByName(checked.filter(col(opCol) === "upsert").drop(opCol))
+  }
 }

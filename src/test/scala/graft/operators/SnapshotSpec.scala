@@ -25,4 +25,32 @@ class SnapshotSpec extends SparkTestBase {
     assertSameRows(Snapshot.diffSummary(v1, v2b, "id", "text"), Seq(
       Seq("unchanged", 1L), Seq("changed", 2L), Seq("removed", 1L), Seq("added", 1L)))
   }
+
+  test("applyChanges merges upserts and deletes; diff∘apply reproduces v2") {
+    val changes = df("id BIGINT, text STRING, op STRING", Seq(
+      Row(2L, "new", "upsert"),     // replace
+      Row(3L, null, "delete"),      // tombstone
+      Row(5L, "fresh", "upsert")))  // insert
+    assertSameRows(Snapshot.applyChanges(v1, changes, "id", "op"), Seq(
+      Seq(1L, "same"), Seq(2L, "new"), Seq(4L, null), Seq(5L, "fresh")))
+    // closing the loop: build the change batch FROM diff, apply, get v2
+    val fromDiff = Snapshot.diff(v1, v2, "id", "text")
+      .filter(org.apache.spark.sql.functions.col("status") !== "unchanged")
+      .join(v2.withColumnRenamed("id", "vid"),
+        org.apache.spark.sql.functions.col("id") ===
+          org.apache.spark.sql.functions.col("vid"), "left")
+      .selectExpr("id", "text",
+        "CASE WHEN status = 'removed' THEN 'delete' ELSE 'upsert' END AS op")
+    assertSameRows(Snapshot.applyChanges(v1, fromDiff, "id", "op"),
+      v2.collect().map(_.toSeq))
+  }
+
+  test("applyChanges fails the job on an unknown op label") {
+    val bad = df("id BIGINT, text STRING, op STRING", Seq(Row(2L, "x", "replace")))
+    val e = intercept[Exception] {
+      Snapshot.applyChanges(v1, bad, "id", "op").collect()
+    }
+    assert(e.getMessage.contains("unknown op") ||
+      Option(e.getCause).exists(_.getMessage.contains("unknown op")), e.getMessage)
+  }
 }
