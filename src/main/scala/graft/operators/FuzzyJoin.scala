@@ -187,8 +187,8 @@ object FuzzyJoin {
     cand
       .join(p.select(col("id").as("id_a"), col("s").as("s_a")), "id_a")
       .join(r.select(col("id").as("id_b"), col("s").as("s_b")), "id_b")
-      .withColumn("dist", levenshtein(col("s_a"), col("s_b")))
-      .filter(col("dist") <= maxDist)
+      .withColumn("dist", levenshtein(col("s_a"), col("s_b"), maxDist))
+      .filter(col("dist") >= 0) // threshold variant: -1 = early-exited past bound
       .select(col("id_a").as("probe_id"), col("id_b").as("ref_id"), col("dist"))
   }
 
@@ -198,7 +198,9 @@ object FuzzyJoin {
     cand
       .join(strs.select(col("id").as("id_a"), col("s").as("s_a")), "id_a")
       .join(strs.select(col("id").as("id_b"), col("s").as("s_b")), "id_b")
-      .withColumn("dist", levenshtein(col("s_a"), col("s_b")))
-      .filter(col("dist") <= maxDist)
+      // the threshold variant abandons a row's DP as soon as the running
+      // minimum exceeds the bound — O(k·len) per pair instead of O(len²)
+      .withColumn("dist", levenshtein(col("s_a"), col("s_b"), maxDist))
+      .filter(col("dist") >= 0)
       .select(col("id_a"), col("id_b"), col("dist"))
 }
