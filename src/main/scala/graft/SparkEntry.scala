@@ -899,21 +899,25 @@ object SparkEntry {
     // doc. Both properties have closed-form TRUE oracles per doc.
     "q_text_winnow_twins" -> ((s, d) => {
       val d0 = docs(s, d).select(col("doc_id"), col("text"))
+      // materialize each fingerprint array ONCE in a producer projection:
+      // both aliases are referenced multiple times below, so
+      // CollapseProject keeps the boundary instead of re-inlining the
+      // (expensive, deliberately-interpreted) HOF spec evaluation per use
       val sig = d0.select(col("doc_id"),
-        size(TF.winnowedFingerprints(col("text"))).as("n_fp"),
-        xxhash64(TF.winnowedFingerprints(col("text"))).as("dig"),
-        (size(array_except(
-          array_sort(TF.winnowedFingerprints(col("text"))),
-          array_sort(TF.winnowedFingerprintsHof(col("text"))))) === 0 &&
-         size(array_except(
-          array_sort(TF.winnowedFingerprintsHof(col("text"))),
-          array_sort(TF.winnowedFingerprints(col("text"))))) === 0)
-          .as("matches_spec"))
+          TF.winnowedFingerprints(col("text")).as("fp"),
+          TF.winnowedFingerprintsHof(col("text")).as("fph"))
+        .select(col("doc_id"),
+          size(col("fp")).as("n_fp"),
+          xxhash64(col("fp")).as("dig"),
+          (size(array_except(array_sort(col("fp")), array_sort(col("fph")))) === 0 &&
+           size(array_except(array_sort(col("fph")), array_sort(col("fp")))) === 0)
+            .as("matches_spec"))
       val twin = d0
         .select((col("doc_id") + lit(1000000L)).as("tid"), col("text"))
+        .select(col("tid"), TF.winnowedFingerprints(col("text")).as("tfp"))
         .select(col("tid"),
-          size(TF.winnowedFingerprints(col("text"))).as("t_n_fp"),
-          xxhash64(TF.winnowedFingerprints(col("text"))).as("t_dig"))
+          size(col("tfp")).as("t_n_fp"),
+          xxhash64(col("tfp")).as("t_dig"))
       sig.join(twin, col("tid") === col("doc_id") + lit(1000000L))
         .select(col("doc_id"),
           (col("n_fp") === col("t_n_fp")).as("same_count"),
