@@ -1,0 +1,93 @@
+package graft.planner
+
+import graft.pipeline.StageRepair
+import org.json4s._
+import org.json4s.JsonDSL._
+import org.json4s.jackson.JsonMethods
+
+import java.net.URI
+import java.net.http.{HttpClient, HttpRequest, HttpResponse}
+import java.time.Duration
+
+/**
+ * Live HTTP [[Planner]] — the drop-in behind the seam the rest of the
+ * engine already consumes (`PromptBuilder` builds the request,
+ * `TransformResponse.parse andThen toPlan` consumes the reply; this
+ * class only moves bytes).
+ *
+ * Wire shape: the reference calls the `@google/generative-ai` SDK
+ * (ref: server/index.js:246-320); the REST form that SDK resolves to is
+ * `POST {base}/v1beta/models/{model}:generateContent` with body
+ * `{contents:[{parts:[{text: prompt}]}], generationConfig:
+ * {responseMimeType, responseSchema}}` and reply
+ * `{candidates:[{content:{parts:[{text: "<forced-schema json>"}]}}]}`.
+ * The API key travels in the `x-goog-api-key` header (not a `?key=`
+ * query param — keys in URLs end up in access logs).
+ *
+ * `baseUrl` is injectable, which is also how the adapter is TESTED in
+ * this offline environment: the spec boots a localhost fixture server
+ * and drives the full client — same bytes, no egress. Transport errors
+ * and non-200s surface as [[HttpPlanner.PlannerHttpException]]; a 200
+ * whose body lacks the candidates path fails parsing loudly rather than
+ * returning an empty plan.
+ */
+object HttpPlanner {
+  final class PlannerHttpException(val status: Int, msg: String)
+    extends RuntimeException(msg)
+}
+
+final class HttpPlanner(
+    baseUrl: String,
+    apiKey: String,
+    schemaOf: StageRepair.SchemaLookup,
+    model: String = PromptBuilder.ModelId,
+    timeout: Duration = Duration.ofSeconds(30)) extends Planner {
+
+  private val client = HttpClient.newBuilder()
+    .connectTimeout(timeout)
+    .build()
+
+  override def plan(userPrompt: String, schemas: Seq[TableSchema]): Plan = {
+    val req = PromptBuilder.transformRequest(userPrompt, schemas)
+    val body: JObject =
+      ("contents" -> List(
+        ("parts" -> List(("text" -> req.prompt): JObject)): JObject)) ~
+      ("generationConfig" ->
+        (("responseMimeType" -> req.responseMimeType) ~
+          ("responseSchema" -> req.responseSchema)))
+    val http = HttpRequest.newBuilder(
+        URI.create(s"$baseUrl/v1beta/models/$model:generateContent"))
+      .header("Content-Type", "application/json")
+      .header("x-goog-api-key", apiKey)
+      .timeout(timeout)
+      .POST(HttpRequest.BodyPublishers.ofString(
+        JsonMethods.compact(JsonMethods.render(body))))
+      .build()
+    val resp = client.send(http, HttpResponse.BodyHandlers.ofString())
+    if (resp.statusCode() != 200)
+      throw new HttpPlanner.PlannerHttpException(resp.statusCode(),
+        s"transform call failed: HTTP ${resp.statusCode()}: " +
+          resp.body().take(500))
+    TransformResponse.toPlan(
+      TransformResponse.parse(extractText(resp.body())), schemaOf)
+  }
+
+  /** Pull `candidates[0].content.parts[*].text` (parts concatenate, per
+    * the SDK's `response.text()`); anything else is a malformed reply. */
+  private def extractText(body: String): String = {
+    val texts = JsonMethods.parse(body) \ "candidates" match {
+      case JArray(c0 :: _) =>
+        c0 \ "content" \ "parts" match {
+          case JArray(parts) => parts.collect { case p =>
+            p \ "text" match { case JString(t) => t; case _ => "" } }
+          case _ => Nil
+        }
+      case _ => Nil
+    }
+    val text = texts.mkString
+    if (text.isEmpty)
+      throw new HttpPlanner.PlannerHttpException(200,
+        s"malformed generateContent reply (no candidates text): ${body.take(500)}")
+    text
+  }
+}
