@@ -34,27 +34,19 @@ import java.time.Duration
 object HttpPlanner {
   final class PlannerHttpException(val status: Int, msg: String)
     extends RuntimeException(msg)
-}
 
-final class HttpPlanner(
-    baseUrl: String,
-    apiKey: String,
-    schemaOf: StageRepair.SchemaLookup,
-    model: String = PromptBuilder.ModelId,
-    timeout: Duration = Duration.ofSeconds(30)) extends Planner {
-
-  private val client = HttpClient.newBuilder()
-    .connectTimeout(timeout)
-    .build()
-
-  override def plan(userPrompt: String, schemas: Seq[TableSchema]): Plan = {
-    val req = PromptBuilder.transformRequest(userPrompt, schemas)
+  /** Shared generateContent POST: parts in, forced-schema reply text
+    * out. Used by both the text planner and the voice transcriber —
+    * the surfaces differ only in their parts list. */
+  private[planner] def generateContent(
+      client: HttpClient, baseUrl: String, apiKey: String, model: String,
+      timeout: Duration, parts: List[JObject],
+      responseMimeType: String, responseSchema: JObject): String = {
     val body: JObject =
-      ("contents" -> List(
-        ("parts" -> List(("text" -> req.prompt): JObject)): JObject)) ~
+      ("contents" -> List(("parts" -> parts): JObject)) ~
       ("generationConfig" ->
-        (("responseMimeType" -> req.responseMimeType) ~
-          ("responseSchema" -> req.responseSchema)))
+        (("responseMimeType" -> responseMimeType) ~
+          ("responseSchema" -> responseSchema)))
     val http = HttpRequest.newBuilder(
         URI.create(s"$baseUrl/v1beta/models/$model:generateContent"))
       .header("Content-Type", "application/json")
@@ -65,11 +57,10 @@ final class HttpPlanner(
       .build()
     val resp = client.send(http, HttpResponse.BodyHandlers.ofString())
     if (resp.statusCode() != 200)
-      throw new HttpPlanner.PlannerHttpException(resp.statusCode(),
-        s"transform call failed: HTTP ${resp.statusCode()}: " +
+      throw new PlannerHttpException(resp.statusCode(),
+        s"generateContent failed: HTTP ${resp.statusCode()}: " +
           resp.body().take(500))
-    TransformResponse.toPlan(
-      TransformResponse.parse(extractText(resp.body())), schemaOf)
+    extractText(resp.body())
   }
 
   /** Pull `candidates[0].content.parts[*].text` (parts concatenate, per
@@ -86,8 +77,67 @@ final class HttpPlanner(
     }
     val text = texts.mkString
     if (text.isEmpty)
-      throw new HttpPlanner.PlannerHttpException(200,
+      throw new PlannerHttpException(200,
         s"malformed generateContent reply (no candidates text): ${body.take(500)}")
     text
+  }
+}
+
+final class HttpPlanner(
+    baseUrl: String,
+    apiKey: String,
+    schemaOf: StageRepair.SchemaLookup,
+    model: String = PromptBuilder.ModelId,
+    timeout: Duration = Duration.ofSeconds(30)) extends Planner {
+
+  private val client = HttpClient.newBuilder()
+    .connectTimeout(timeout)
+    .build()
+
+  override def plan(userPrompt: String, schemas: Seq[TableSchema]): Plan = {
+    val req = PromptBuilder.transformRequest(userPrompt, schemas)
+    val text = HttpPlanner.generateContent(client, baseUrl, apiKey, model,
+      timeout, List(("text" -> req.prompt): JObject),
+      req.responseMimeType, req.responseSchema)
+    TransformResponse.toPlan(TransformResponse.parse(text), schemaOf)
+  }
+}
+
+/**
+ * Live HTTP [[VoiceTranscriber]] — same wire as [[HttpPlanner]] with the
+ * audio blob as a second part: `[{text: prompt}, {inline_data:
+ * {mime_type, data: base64}}]`, matching the reference's
+ * `model.generateContent([prompt, audioPart])` order
+ * (ref: server/index.js:1073-1082). The JSON-forced reply goes through
+ * [[VoicePromptBuilder.normalize]] — transcript extraction, invalid-audio
+ * field stripping — exactly like the mock path, so gating behavior is
+ * transport-independent.
+ */
+final class HttpVoiceTranscriber(
+    baseUrl: String,
+    apiKey: String,
+    model: String = VoicePromptBuilder.ModelId,
+    timeout: Duration = Duration.ofSeconds(60)) extends VoiceTranscriber {
+
+  private val client = HttpClient.newBuilder()
+    .connectTimeout(timeout)
+    .build()
+
+  def command(audio: Array[Byte], schema: Seq[(String, String)],
+      allSchemas: Seq[TableSchema]): VoicePromptBuilder.VoiceCommandResponse =
+    command(audio, schema, allSchemas, VoicePromptBuilder.DefaultAudioMimeType)
+
+  def command(audio: Array[Byte], schema: Seq[(String, String)],
+      allSchemas: Seq[TableSchema], audioMimeType: String)
+      : VoicePromptBuilder.VoiceCommandResponse = {
+    val req = VoicePromptBuilder.buildRequest(schema, allSchemas, audioMimeType)
+    val audioB64 = java.util.Base64.getEncoder.encodeToString(audio)
+    val parts = List(
+      ("text" -> req.prompt): JObject,
+      ("inline_data" ->
+        (("mime_type" -> req.audioMimeType) ~ ("data" -> audioB64))): JObject)
+    val text = HttpPlanner.generateContent(client, baseUrl, apiKey, model,
+      timeout, parts, req.responseMimeType, req.responseSchema)
+    VoicePromptBuilder.normalize(JsonMethods.parse(text))
   }
 }

@@ -93,6 +93,37 @@ class HttpPlannerSpec extends AnyFunSuite {
     }
   }
 
+  test("voice transcriber ships the audio as a base64 inline_data part") {
+    val audio = "filter big orders please".getBytes(StandardCharsets.UTF_8)
+    val voiceReply =
+      """{
+        |  "isValid": true,
+        |  "sql": "SELECT * FROM orders WHERE amount > 100",
+        |  "chartType": "none",
+        |  "explanation": "User said: filter big orders please.\nKeeps orders over 100.",
+        |  "transformationStages": [
+        |    {"type": "FILTER", "description": "big orders",
+        |     "data": {"column": "amount", "operator": ">", "value": "100"}}
+        |  ]
+        |}""".stripMargin
+    @volatile var seenBody = ""
+    withServer { ex =>
+      seenBody = new String(ex.getRequestBody.readAllBytes(), StandardCharsets.UTF_8)
+      respond(ex, 200, geminiReply(voiceReply))
+    } { base =>
+      val t = new HttpVoiceTranscriber(base, "test-key-123")
+      val r = t.command(audio, schemas.head.columns, schemas)
+      // audio part: base64 payload + mime, AFTER the text prompt part
+      val b64 = java.util.Base64.getEncoder.encodeToString(audio)
+      assert(seenBody.contains(b64))
+      assert(seenBody.contains("inline_data") && seenBody.contains("audio/webm"))
+      assert(seenBody.indexOf("VOICE COMMAND") < seenBody.indexOf(b64))
+      // normalized through the same gating path as the mock
+      assert(r.isValid && r.transcript == "filter big orders please.")
+      assert(r.sql.exists(_.contains("amount > 100")))
+    }
+  }
+
   test("non-200 raises with status; empty-candidates 200 raises, not empty plan") {
     withServer(ex => respond(ex, 429, """{"error":{"message":"quota"}}""")) { base =>
       val e = intercept[HttpPlanner.PlannerHttpException] {
