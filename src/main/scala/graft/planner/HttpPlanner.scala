@@ -141,3 +141,49 @@ final class HttpVoiceTranscriber(
     VoicePromptBuilder.normalize(JsonMethods.parse(text))
   }
 }
+
+/**
+ * Live HTTP chat-audio loop (`/api/voice/chat-audio`,
+ * ref: server/index.js:1150-1310): history-aware prompt + the audio
+ * inline_data part through the same generateContent wire, reply parsed
+ * into the `{transcript, response, shouldTransform}` [[ChatAudioBuilder
+ * .ChatTurn]] contract. `shouldTransform` defaults FALSE when absent —
+ * the conservative side of the gate (never auto-run a transformation the
+ * model didn't explicitly confirm).
+ */
+final class HttpChatAudio(
+    baseUrl: String,
+    apiKey: String,
+    model: String = ChatAudioBuilder.ModelId,
+    timeout: Duration = Duration.ofSeconds(60)) {
+
+  private val client = HttpClient.newBuilder()
+    .connectTimeout(timeout)
+    .build()
+
+  def turn(audio: Array[Byte], schema: Seq[(String, String)],
+      history: Seq[ChatAudioBuilder.ChatMessage],
+      audioMimeType: String = VoicePromptBuilder.DefaultAudioMimeType)
+      : ChatAudioBuilder.ChatTurn = {
+    val req = ChatAudioBuilder.buildRequest(schema, history, audioMimeType)
+    val audioB64 = java.util.Base64.getEncoder.encodeToString(audio)
+    val parts = List(
+      ("text" -> req.prompt): JObject,
+      ("inline_data" ->
+        (("mime_type" -> req.audioMimeType) ~ ("data" -> audioB64))): JObject)
+    val text = HttpPlanner.generateContent(client, baseUrl, apiKey, model,
+      timeout, parts, req.responseMimeType, req.responseSchema)
+    val jv = JsonMethods.parse(text)
+    def str(field: String, dflt: String): String = jv \ field match {
+      case JString(s) => s
+      case _          => dflt
+    }
+    ChatAudioBuilder.ChatTurn(
+      transcript = str("transcript", ""),
+      response = str("response", ""),
+      shouldTransform = jv \ "shouldTransform" match {
+        case JBool(b) => b
+        case _        => false
+      })
+  }
+}

@@ -124,6 +124,36 @@ class HttpPlannerSpec extends AnyFunSuite {
     }
   }
 
+  test("chat-audio turn: history in prompt, {transcript, response, shouldTransform} out") {
+    val reply =
+      """{"transcript": "yes run it", "response": "Running the filter now.",
+        | "shouldTransform": true}""".stripMargin
+    @volatile var seenBody = ""
+    withServer { ex =>
+      seenBody = new String(ex.getRequestBody.readAllBytes(), StandardCharsets.UTF_8)
+      respond(ex, 200, geminiReply(reply))
+    } { base =>
+      val history = Seq(
+        ChatAudioBuilder.ChatMessage("user", "filter orders over 100"),
+        ChatAudioBuilder.ChatMessage("assistant", "Ready when you are."))
+      val t = new HttpChatAudio(base, "k").turn(
+        "yes run it".getBytes(StandardCharsets.UTF_8),
+        schemas.head.columns, history)
+      assert(seenBody.contains("filter orders over 100")) // history reaches the prompt
+      assert(seenBody.contains("inline_data"))
+      assert(t == ChatAudioBuilder.ChatTurn("yes run it", "Running the filter now.",
+        shouldTransform = true))
+    }
+    // shouldTransform missing → conservative false
+    withServer { ex =>
+      respond(ex, 200, geminiReply("""{"transcript": "hm", "response": "Could you clarify?"}"""))
+    } { base =>
+      val t = new HttpChatAudio(base, "k").turn(
+        "hm".getBytes(StandardCharsets.UTF_8), schemas.head.columns, Nil)
+      assert(!t.shouldTransform)
+    }
+  }
+
   test("non-200 raises with status; empty-candidates 200 raises, not empty plan") {
     withServer(ex => respond(ex, 429, """{"error":{"message":"quota"}}""")) { base =>
       val e = intercept[HttpPlanner.PlannerHttpException] {
