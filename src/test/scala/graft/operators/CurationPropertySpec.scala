@@ -138,4 +138,58 @@ class CurationPropertySpec extends SparkTestBase {
     }
     assert(!kept.contains("src4")) // budgetless key drops
   }
+
+  test("lengthBuckets invariants: full batches, bounded padding, total coverage") {
+    val lens = cases(Gen.chooseNum(1L, 3000L), 300)
+    val docs = df("id BIGINT, len BIGINT",
+      lens.zipWithIndex.map { case (l, i) => Row(i.toLong, l) })
+    val edges = Seq(128L, 512L, 2048L)
+    val out = Pack.lengthBuckets(docs, "id", "len", edges, batchSize = 8,
+        shards = 4)
+      .collect().map(r => (r.getAs[Long]("id"), r.getAs[Long]("len"),
+        r.getAs[Long]("bucket_cap"), r.getAs[Long]("shard"),
+        r.getAs[Long]("batch"), r.getAs[Long]("padding")))
+    assert(out.length == 300) // nothing dropped
+    out.foreach { case (_, len, cap, _, _, padding) =>
+      assert(edges.contains(cap))
+      assert(cap >= math.min(len, edges.last)) // smallest admissible cap
+      assert(padding == math.max(cap - len, 0L) && padding < cap)
+    }
+    // every batch except possibly the last per (cap, shard) is FULL
+    out.groupBy(t => (t._3, t._4)).foreach { case (_, rows) =>
+      val byBatch = rows.groupBy(_._5).toSeq.sortBy(_._1)
+      byBatch.dropRight(1).foreach { case (_, b) => assert(b.length == 8) }
+    }
+  }
+
+  test("winsorize properties: output within bounds, order-preserving, idempotent") {
+    val vals = cases(Gen.chooseNum(-1000.0, 1000.0), 200)
+    val docs = df("id BIGINT, k STRING, v DOUBLE",
+      vals.zipWithIndex.map { case (v, i) =>
+        Row(i.toLong, s"g${i % 3}", math.rint(v * 100) / 100) })
+    val out = Profile.winsorize(docs, "k", "v", 0.1, 0.9)
+      .select("id", "k", "v", "value_clipped", "was_clipped").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2), r.getDouble(3),
+        r.getBoolean(4)))
+    val byKey = out.groupBy(_._2)
+    byKey.values.foreach { rows =>
+      val clipped = rows.map(_._4)
+      // clipped values live inside the clipped range (bounds are data values)
+      assert(clipped.min >= rows.filter(!_._5).map(_._4).min)
+      // order preservation: v1 <= v2 ⟹ clip(v1) <= clip(v2)
+      val sorted = rows.sortBy(_._3)
+      sorted.sliding(2).foreach {
+        case Array(a, b) => assert(a._4 <= b._4)
+        case _           =>
+      }
+    }
+    // idempotence: winsorizing the clipped column again changes nothing
+    val once = Profile.winsorize(docs, "k", "v", 0.1, 0.9)
+      .select(col("id"), col("k"), col("value_clipped").as("v"))
+    val twice = Profile.winsorize(once, "k", "v", 0.1, 0.9)
+      .select("id", "value_clipped").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val first = out.map(t => t._1 -> t._4).toMap
+    assert(twice == first)
+  }
 }
