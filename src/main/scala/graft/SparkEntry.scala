@@ -53,6 +53,17 @@ object SparkEntry {
 
   private def st(n: Int): String = s"stage_$n"
 
+  /** documents re-shaped as conversation turns for the SFT gates:
+    * conv = doc_id div 4, turn = doc_id mod 4, roles alternate by id
+    * parity — a deterministic conversation-log stand-in. */
+  private def sftTurns(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir).select(
+      expr("doc_id div 4").as("conv_id"),
+      pmod(col("doc_id"), lit(4)).as("turn"),
+      when(pmod(col("doc_id"), lit(2)) === 0, lit("user"))
+        .otherwise(lit("assistant")).as("role"),
+      col("text").as("content"))
+
   /** Per-JVM-scoped tmp dir for export round-trip gates: two concurrent
     * driver/test runs on one machine must not clobber each other's
     * export mid-read (same name per JVM keeps repeated bench runs from
@@ -936,6 +947,67 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // Image near-dup pairs over perceptual hashes: generic banded
+    // Hamming pairs (16-bit pigeonhole + exact bit_count confirm) fed
+    // synthetic-but-oracle-expressible 64-bit "pHashes" — base hash is a
+    // Knuth-multiplied doc_id, its twin flips bits 0 and 2 (Hamming 2),
+    // so every (doc, twin) must pair and the DuckDB oracle brute-forces
+    // the identical hamming≤3 pair set.
+    "q_dedup_phash" -> ((s, d) => {
+      val base = docs(s, d).select(col("doc_id").as("id"),
+        (col("doc_id") * lit(2654435761L)).as("fp"))
+      val twins = base.select((col("id") + lit(1000000L)).as("id"),
+        col("fp").bitwiseXOR(lit(5L)).as("fp"))
+      Dedup.hammingPairs(base.unionByName(twins), "id", "fp", maxHamming = 3)
+        .orderBy("id_a", "id_b")
+    }),
+
+    // --- SFT / preference-data assembly --------------------------------
+
+    // Chat-template rendering: documents re-keyed into 4-turn
+    // conversations (conv = doc_id div 4, alternating user/assistant by
+    // id parity), collapsed to one ChatML training string each.
+    "q_sft_render" -> ((s, d) =>
+      graft.operators.Sft.renderChatML(sftTurns(s, d),
+          "conv_id", "turn", "role", "content")
+        .orderBy("conv_id")),
+
+    // Context-window trimming: keep only the LAST 2 turns per
+    // conversation before rendering (most recent context survives).
+    "q_sft_truncate" -> ((s, d) =>
+      graft.operators.Sft.renderChatML(sftTurns(s, d),
+          "conv_id", "turn", "role", "content", maxTurns = 2)
+        .orderBy("conv_id")),
+
+    // DPO pair assembly: best-vs-worst quality completion per language,
+    // margin-gated — a single map-side-combined aggregate per group.
+    "q_pref_pairs" -> ((s, d) =>
+      graft.operators.Preference.pairs(
+          docs(s, d).select(col("lang").as("group"), col("doc_id"),
+            TF.qualityScore(col("text")).as("q")),
+          "group", "doc_id", "q", minMargin = 0.05)
+        .withColumnRenamed("group", "lang")
+        .orderBy("lang")),
+
+    // Rank-i-vs-rank-i preference pairs, 3 per language — the k-pair
+    // window variant (non-crossing ranks, so no candidate double-sides).
+    "q_pref_topk" -> ((s, d) =>
+      graft.operators.Preference.topBottomPairs(
+          docs(s, d).select(col("lang").as("group"), col("doc_id"),
+            TF.qualityScore(col("text")).as("q")),
+          "group", "doc_id", "q", k = 3, minMargin = 0.0)
+        .withColumnRenamed("group", "lang")
+        .orderBy("lang", "rank")),
+
+    // Nearest-centroid cluster assignment over the label centroids —
+    // broadcast centroids, argmax per vector (relabeling/confusion pass).
+    "q_cluster_assign" -> ((s, d) =>
+      graft.operators.Centroids.assignNearest(
+          embeddings(s, d).select(col("vec_id"), col("label"),
+            VF.asDouble(col("embedding")).as("v")),
+          "vec_id", "v", "label")
+        .orderBy("vec_id")),
+
     // Brute-force cosine top-10 for 5 probe vectors — the exact ANN
     // baseline (probe side broadcast; corpus never shuffles).
     "q_ann_bruteforce" -> ((s, d) => {
@@ -1792,6 +1864,13 @@ object SparkEntry {
        |            FROM (SELECT doc_id, $toksSql AS toks FROM documents)))""".stripMargin
   }
 
+  /** DuckDB mirror of `sftTurns` — the SFT gates' conversation re-keying
+    * of documents (integer div/mod, parity roles). */
+  private def sftTurnsSql: String =
+    "SELECT doc_id // 4 AS conv_id, doc_id % 4 AS turn, " +
+      "CASE WHEN doc_id % 2 = 0 THEN 'user' ELSE 'assistant' END AS role, " +
+      "text AS content FROM documents"
+
   /** DuckDB oracle for qualityScore — identical expression shape so every
     * FP operation matches bit-for-bit (per-row scalar math only). */
   private def qualityOracle: String =
@@ -2314,6 +2393,85 @@ object SparkEntry {
     "q_text_winnow_twins" ->
       ("SELECT doc_id, TRUE AS same_count, TRUE AS same_digest, " +
         "TRUE AS matches_spec FROM documents ORDER BY doc_id"),
+    "q_dedup_phash" ->
+      """WITH h AS (
+        |  SELECT doc_id AS id, doc_id * 2654435761 AS fp FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, xor(doc_id * 2654435761, 5) FROM documents)
+        |SELECT a.id AS id_a, b.id AS id_b,
+        |       CAST(bit_count(xor(a.fp, b.fp)) AS INTEGER) AS hamming
+        |FROM h a JOIN h b ON a.id < b.id
+        |WHERE bit_count(xor(a.fp, b.fp)) <= 3
+        |ORDER BY id_a, id_b""".stripMargin,
+    "q_sft_render" ->
+      s"""WITH t AS ($sftTurnsSql)
+         |SELECT conv_id, count(*) AS n_turns,
+         |       string_agg('<|im_start|>' || role || chr(10) || content || '<|im_end|>' || chr(10),
+         |                  '' ORDER BY turn) AS rendered
+         |FROM t GROUP BY conv_id ORDER BY conv_id""".stripMargin,
+    "q_sft_truncate" ->
+      s"""WITH t AS ($sftTurnsSql),
+         |k AS (SELECT conv_id, turn, role, content,
+         |        row_number() OVER (PARTITION BY conv_id ORDER BY turn DESC) AS rd
+         |      FROM t)
+         |SELECT conv_id, count(*) AS n_turns,
+         |       string_agg('<|im_start|>' || role || chr(10) || content || '<|im_end|>' || chr(10),
+         |                  '' ORDER BY turn) AS rendered
+         |FROM k WHERE rd <= 2 GROUP BY conv_id ORDER BY conv_id""".stripMargin,
+    "q_pref_pairs" ->
+      s"""WITH q AS ($qualityOracle),
+         |s AS (SELECT d.lang, d.doc_id, q.quality
+         |      FROM documents d JOIN q USING (doc_id)),
+         |b AS (SELECT lang,
+         |        first(doc_id ORDER BY quality DESC, doc_id ASC) AS chosen_id,
+         |        first(quality ORDER BY quality DESC, doc_id ASC) AS s_best,
+         |        first(doc_id ORDER BY quality ASC, doc_id ASC) AS rejected_id,
+         |        first(quality ORDER BY quality ASC, doc_id ASC) AS s_worst
+         |      FROM s GROUP BY lang)
+         |SELECT lang, chosen_id, rejected_id,
+         |       round(s_best - s_worst, 6) AS margin
+         |FROM b
+         |WHERE chosen_id != rejected_id AND round(s_best - s_worst, 6) >= 0.05
+         |ORDER BY lang""".stripMargin,
+    "q_pref_topk" ->
+      s"""WITH q AS ($qualityOracle),
+         |s AS (SELECT d.lang, d.doc_id, q.quality
+         |      FROM documents d JOIN q USING (doc_id)),
+         |r AS (SELECT lang, doc_id, quality,
+         |        CAST(row_number() OVER (PARTITION BY lang
+         |          ORDER BY quality DESC, doc_id ASC) AS BIGINT) AS r_top,
+         |        CAST(row_number() OVER (PARTITION BY lang
+         |          ORDER BY quality ASC, doc_id ASC) AS BIGINT) AS r_bot,
+         |        count(*) OVER (PARTITION BY lang) AS n
+         |      FROM s),
+         |t AS (SELECT lang, r_top AS rank, doc_id AS chosen_id,
+         |             quality AS s_best
+         |      FROM r WHERE r_top <= 3 AND r_top * 2 <= n),
+         |b AS (SELECT lang, r_bot AS rank, doc_id AS rejected_id,
+         |             quality AS s_worst
+         |      FROM r WHERE r_bot <= 3 AND r_bot * 2 <= n)
+         |SELECT lang, rank, chosen_id, rejected_id,
+         |       round(s_best - s_worst, 6) AS margin
+         |FROM t JOIN b USING (lang, rank)
+         |WHERE round(s_best - s_worst, 6) >= 0.0
+         |ORDER BY lang, rank""".stripMargin,
+    "q_cluster_assign" ->
+      s"""WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+         |           FROM embeddings),
+         |ex AS (SELECT vec_id, label, unnest(v) AS x,
+         |              unnest(range(1, len(v) + 1)) AS pos FROM e),
+         |cent AS (
+         |  SELECT label, pos,
+         |    CAST(sum(CAST(round(x, 9) AS DECIMAL(27,9))) AS DOUBLE) / count(*) AS c
+         |  FROM ex GROUP BY 1, 2),
+         |cl AS (SELECT label, list(c ORDER BY pos) AS cv FROM cent GROUP BY 1),
+         |sc AS (SELECT e.vec_id, cl.label,
+         |              round(list_cosine_similarity(e.v, cl.cv), 6) AS c
+         |       FROM e CROSS JOIN cl)
+         |SELECT vec_id,
+         |       first(label ORDER BY c DESC, label ASC) AS cluster,
+         |       first(c ORDER BY c DESC, label ASC) AS cosine
+         |FROM sc GROUP BY vec_id ORDER BY vec_id""".stripMargin,
     "q_dedup_minhash_estimate" ->
       ("SELECT doc_id AS id_a, doc_id + 1000000 AS id_b, " +
         "CAST(1.0 AS DOUBLE) AS jaccard_est FROM documents ORDER BY id_a"),

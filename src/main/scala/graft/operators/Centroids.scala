@@ -51,6 +51,31 @@ object Centroids {
         round(VF.cosine(col("__v"), col("centroid")), 6).as("cosine"))
   }
 
+  /** Assign every vector to its NEAREST label centroid by cosine
+    * (regardless of its own label) — `(idCol, cluster, cosine)`; ties
+    * break to the smallest label, via struct-ordered min over
+    * `(-cosine, label)` so the tie-break works for ANY ordered label
+    * type (string labels included). This is the cluster-assignment /
+    * relabeling pass: rows whose assigned cluster differs from their
+    * label are confusable or mislabeled.
+    *
+    * Scale shape: centroids broadcast (|labels| rows), the cross join is
+    * a codegen'd nested-loop over the broadcast side, and the argmax is
+    * a map-side-combined hash aggregate keyed by id — constant-size
+    * partials, no sort. */
+  def assignNearest(df: DataFrame, idCol: String, vecCol: String,
+                    labelCol: String): DataFrame = {
+    val cents = broadcast(labelCentroids(df, vecCol, labelCol))
+    df.select(col(idCol), col(vecCol).as("__v"))
+      .crossJoin(cents)
+      .select(col(idCol), col("label"),
+        round(VF.cosine(col("__v"), col("centroid")), 6).as("c"))
+      .groupBy(idCol)
+      .agg(min(struct((-col("c")).as("nc"), col("label").as("l"))).as("m"))
+      .select(col(idCol), col("m.l").as("cluster"),
+        (-col("m.nc")).as("cosine"))
+  }
+
   /** The k vectors FARTHEST from their label centroid, per label —
     * `(label, rank, idCol, cosine)`, rank 1 = most suspicious. */
   def outliers(df: DataFrame, idCol: String, vecCol: String,

@@ -384,14 +384,32 @@ object Dedup {
    */
   def simhashPairs(
       df: DataFrame, idCol: String, textCol: String,
-      maxHamming: Int = 3): DataFrame = {
-    val fps = df.select(col(idCol).as("id"),
-      simhash64(hashedTokens(col(textCol))).as("fp"))
-    val properChunks = fps.select(col("id"), col("fp"), posexplode(array(
+      maxHamming: Int = 3): DataFrame =
+    hammingPairs(df.select(col(idCol),
+        simhash64(hashedTokens(col(textCol))).as("__fp")),
+      idCol, "__fp", maxHamming)
+
+  /**
+   * Banded Hamming near-dup pairs over PRECOMPUTED 64-bit hashes — the
+   * generic core behind [[simhashPairs]], and directly the image-dedup
+   * path when fed perceptual hashes (`Multimodal.imagePhash`). Hashes
+   * bucket by each of their four 16-bit chunks; by pigeonhole any pair
+   * within Hamming distance 3 agrees on at least one chunk → recall
+   * EXACTLY 1 for `maxHamming` ≤ 3. Larger thresholds are legal but
+   * approximate (banded-LSH recall < 1: a pair can differ in all four
+   * chunks) — the simhash gate runs at 8 in that regime deliberately.
+   * Candidates carry only (id, fp) — 16 bytes through the shuffle — and
+   * the exact `bit_count` confirm runs on the pair, so precision is 1
+   * at any threshold.
+   */
+  def hammingPairs(df: DataFrame, idCol: String, hashCol: String,
+                   maxHamming: Int = 3): DataFrame = {
+    val fps = df.select(col(idCol).as("id"), col(hashCol).cast("long").as("fp"))
+    val chunks = fps.select(col("id"), col("fp"), posexplode(array(
       (0 until 4).map(j =>
         shiftrightunsigned(col("fp"), j * 16).bitwiseAND(lit(65535L))): _*))
       .as(Seq("chunk", "key")))
-    properChunks.as("a").join(properChunks.as("b"),
+    chunks.as("a").join(chunks.as("b"),
         col("a.chunk") === col("b.chunk") && col("a.key") === col("b.key") &&
           col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"),

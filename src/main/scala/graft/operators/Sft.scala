@@ -1,0 +1,61 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/**
+ * SFT corpus assembly: collapse per-turn conversation rows into one
+ * chat-template training string per conversation — the step between a
+ * raw interaction log and a supervised-fine-tuning dataset. The marker
+ * format is ChatML-shaped (`<|im_start|>role\ncontent<|im_end|>\n`), the
+ * de-facto-public template family; the markers are parameters of nothing
+ * here because the oracle pins them, but swapping them is a one-line
+ * template change.
+ *
+ * Determinism: turns order by an explicit BIGINT turn index (ties are a
+ * data error; `array_sort` on the `(turn, role, content)` struct makes
+ * even that case deterministic by full-struct ordering), so the rendered
+ * string is identical under any partitioning.
+ *
+ * Scale shape: one hash aggregate keyed by conversation id — the only
+ * shuffle, map-side combined on the collect_list partials. Rendering is
+ * a codegen'd projection over the collected array; no window (a window
+ * would sort whole partitions for what is a per-group fold). Truncation
+ * slices the LAST k turns (the context-window-trimming direction — most
+ * recent context survives) before rendering, so dropped turns never hit
+ * the concat.
+ */
+object Sft {
+
+  private def turnMarkup(t: Column): Column =
+    concat(lit("<|im_start|>"), t.getField("role"), lit("\n"),
+      t.getField("content"), lit("<|im_end|>\n"))
+
+  /**
+   * `(conv_id, n_turns, rendered)` — one row per conversation.
+   *
+   * @param maxTurns keep only the last `maxTurns` turns by turn order
+   *                 (`Int.MaxValue` = keep all); `n_turns` reports the
+   *                 KEPT count, so the output is self-describing.
+   */
+  def renderChatML(df: DataFrame, convCol: String, turnCol: String,
+                   roleCol: String, contentCol: String,
+                   maxTurns: Int = Int.MaxValue): DataFrame = {
+    val turns = df.select(col(convCol).as("conv_id"),
+      struct(col(turnCol).cast("long").as("turn"),
+        col(roleCol).as("role"), col(contentCol).as("content")).as("t"))
+    val all = turns.groupBy("conv_id")
+      .agg(array_sort(collect_list(col("t"))).as("all"))
+    val kept =
+      if (maxTurns == Int.MaxValue) all.select(col("conv_id"), col("all").as("ts"))
+      else all.select(col("conv_id"),
+        // guard the short-conversation case: slice with a negative start
+        // whose magnitude exceeds the array length is engine-edge
+        // behavior we refuse to depend on
+        when(size(col("all")) <= maxTurns, col("all"))
+          .otherwise(slice(col("all"), -maxTurns, maxTurns)).as("ts"))
+    kept.select(col("conv_id"),
+      size(col("ts")).cast("long").as("n_turns"),
+      array_join(transform(col("ts"), turnMarkup _), "").as("rendered"))
+  }
+}

@@ -28,6 +28,27 @@ class CentroidsSpec extends SparkTestBase {
     assert(out.toSeq == Seq(("a", 1L, 1L), ("a", 2L, 2L), ("b", 1L, 4L), ("b", 2L, 5L)))
   }
 
+  test("assignNearest assigns to the nearest centroid across labels") {
+    // b's centroid is (-1, -0.01): v4/v5 stay with b, and a's members
+    // all point into the positive quadrant so they stay with a — but a
+    // vector near (-1, 0) added under label a must flip to cluster b.
+    val flipped = vecs.union(df("id BIGINT, label STRING, v ARRAY<DOUBLE>",
+      Seq(Row(6L, "a", Seq(-5.0, -0.05)))))
+    val assigned = Centroids.assignNearest(flipped, "id", "v", "label")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(assigned(6L) == "b")
+    assert(Seq(4L, 5L).forall(assigned(_) == "b"))
+  }
+
+  test("assignNearest tie-breaks to the smallest label") {
+    // two identical centroids (one vector each) → every cosine ties
+    val twol = df("id BIGINT, label STRING, v ARRAY<DOUBLE>", Seq(
+      Row(1L, "b", Seq(1.0, 0.0)), Row(2L, "a", Seq(1.0, 0.0))))
+    val assigned = Centroids.assignNearest(twol, "id", "v", "label")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(assigned == Map(1L -> "a", 2L -> "a"))
+  }
+
   test("a vector equal to the centroid scores cosine 1.0") {
     val one = df("id BIGINT, label STRING, v ARRAY<DOUBLE>", Seq(
       Row(1L, "x", Seq(3.0, 4.0))))

@@ -59,6 +59,30 @@ class DedupSpec extends SparkTestBase {
     assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L))
   }
 
+  test("hammingPairs finds exactly the hamming<=k pairs over raw hashes") {
+    val hashes = df("id BIGINT, fp BIGINT", Seq(
+      Row(1L, 0x00000000000000FFL),
+      Row(2L, 0x00000000000000FCL),    // hamming 2 from id 1
+      Row(3L, 0x00000000000000F0L),    // hamming 4 from id 1, 2 from id 2
+      Row(4L, 0x7F000000000000FFL)))   // hamming 7 from id 1
+    val pairs = Dedup.hammingPairs(hashes, "id", "fp", maxHamming = 3)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getInt(2))).toMap
+    assert(pairs == Map((1L, 2L) -> 2, (2L, 3L) -> 2))
+  }
+
+  test("hammingPairs past the pigeonhole bound still has precision 1") {
+    // hamming(fp1, fp2) = 4 spread across ALL four chunks → no shared
+    // chunk, so the pair is (legally) missed at maxHamming 4; a same-
+    // chunk hamming-4 pair IS found — precision stays exact either way
+    val hashes = df("id BIGINT, fp BIGINT", Seq(
+      Row(1L, 0x0001000100010001L),
+      Row(2L, 0x0000000000000000L),    // differs in all 4 chunks
+      Row(3L, 0x0001000100010016L)))   // differs from 1 in chunk 0 only, hamming 4
+    val pairs = Dedup.hammingPairs(hashes, "id", "fp", maxHamming = 4)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getInt(2))).toMap
+    assert(pairs == Map((1L, 3L) -> 4))
+  }
+
   test("minhash estimate-verify: 1.0 on identical docs, tracks exact jaccard on near-dups") {
     val est = Dedup.minhashPairsEstimated(corpus, "id", "text",
         shingleN = 3, numHashes = 64, bands = 16, threshold = 0.3)
