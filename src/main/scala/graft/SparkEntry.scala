@@ -962,6 +962,26 @@ object SparkEntry {
         .orderBy("id_a", "id_b")
     }),
 
+    // pHash dedup CLUSTERS: hammingPairs ∘ connectedComponents — the
+    // pair set collapses to min-label components (the oracle runs a
+    // fully general recursive min-label propagation, so accidental
+    // non-twin pairs, if the corpus ever produced them, agree too).
+    "q_dedup_phash_clusters" -> ((s, d) => {
+      val base = docs(s, d).select(col("doc_id").as("id"),
+        (col("doc_id") * lit(2654435761L)).as("fp"))
+      val twins = base.select((col("id") + lit(1000000L)).as("id"),
+        col("fp").bitwiseXOR(lit(5L)).as("fp"))
+      Dedup.connectedComponents(
+          Dedup.hammingPairs(base.unionByName(twins), "id", "fp", maxHamming = 3))
+        .orderBy("id")
+    }),
+
+    // BPE merge-candidate induction: top-20 adjacent character pairs
+    // over whitespace tokens — step zero of tokenizer training.
+    "q_vocab_merges" -> ((s, d) =>
+      graft.operators.Vocab.bpeMergeCandidates(docs(s, d), "text", k = 20)
+        .orderBy("rank")),
+
     // --- SFT / preference-data assembly --------------------------------
 
     // Chat-template rendering: documents re-keyed into 4-turn
@@ -2403,6 +2423,27 @@ object SparkEntry {
         |FROM h a JOIN h b ON a.id < b.id
         |WHERE bit_count(xor(a.fp, b.fp)) <= 3
         |ORDER BY id_a, id_b""".stripMargin,
+    "q_dedup_phash_clusters" ->
+      """WITH RECURSIVE h AS (
+        |  SELECT doc_id AS id, doc_id * 2654435761 AS fp FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, xor(doc_id * 2654435761, 5) FROM documents),
+        |e AS (SELECT a.id AS src, b.id AS dst FROM h a JOIN h b ON a.id <> b.id
+        |      WHERE bit_count(xor(a.fp, b.fp)) <= 3),
+        |reach(id, comp) AS (
+        |  SELECT DISTINCT src, src FROM e
+        |  UNION
+        |  SELECT e.dst, r.comp FROM reach r JOIN e ON e.src = r.id)
+        |SELECT id, min(comp) AS comp FROM reach GROUP BY id ORDER BY id""".stripMargin,
+    "q_vocab_merges" ->
+      s"""WITH toks AS (SELECT unnest($toksSql) AS w FROM documents),
+         |p AS (SELECT substr(w, i, 2) AS pair
+         |      FROM (SELECT w, unnest(range(1, length(w))) AS i
+         |            FROM toks WHERE length(w) >= 2)),
+         |c AS (SELECT pair, count(*) AS cnt FROM p GROUP BY pair)
+         |SELECT CAST(row_number() OVER (ORDER BY cnt DESC, pair ASC) AS BIGINT) AS rank,
+         |       pair, cnt
+         |FROM c ORDER BY cnt DESC, pair ASC LIMIT 20""".stripMargin,
     "q_sft_render" ->
       s"""WITH t AS ($sftTurnsSql)
          |SELECT conv_id, count(*) AS n_turns,

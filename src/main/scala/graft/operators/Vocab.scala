@@ -27,6 +27,34 @@ object Vocab {
       .limit(k)
 
   /**
+   * BPE merge-candidate induction, step zero of tokenizer training: the
+   * top-k most frequent ADJACENT CHARACTER PAIRS across all whitespace
+   * tokens (non-distinct — a word occurring twice contributes its pairs
+   * twice, as BPE counts corpus frequency, not type frequency).
+   * `(rank, pair, cnt)`, rank by (count DESC, pair ASC) so ties are
+   * deterministic.
+   *
+   * Scale shape: tokens explode to pairs via a codegen'd
+   * `transform(sequence)` projection (no UDF), partial aggregation
+   * collapses each partition's pair counts before the one shuffle
+   * (pair-space is bounded by charset², so partials are tiny), and the
+   * top-k is a single-partition sort of that bounded aggregate — the
+   * same shape full BPE training iterates.
+   */
+  def bpeMergeCandidates(df: DataFrame, textCol: String, k: Int): DataFrame =
+    df.select(explode(TextFunctions.tokens(col(textCol))).as("w"))
+      .filter(length(col("w")) >= 2)
+      .select(explode(expr(
+        "transform(sequence(1, length(w) - 1), i -> substring(w, i, 2))")).as("pair"))
+      .groupBy("pair").agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("pair").asc)
+      .limit(k)
+      .withColumn("rank",
+        row_number().over(org.apache.spark.sql.expressions.Window
+          .orderBy(col("cnt").desc, col("pair").asc)).cast("long"))
+      .select("rank", "pair", "cnt")
+
+  /**
    * Per-document OOV rate against `vocab` (a one-column `term` relation):
    * fraction of the doc's (lowercased) tokens not present in the
    * vocabulary, rounded to 6 decimals.

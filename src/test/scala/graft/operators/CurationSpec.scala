@@ -319,6 +319,16 @@ class CurationSpec extends SparkTestBase {
     assert(oov(3) == ((3L, 3L, 1.0)))   // all newt OOV
   }
 
+  test("Vocab.bpeMergeCandidates counts adjacent char pairs by corpus frequency") {
+    val docs = df("doc_id INT, text STRING", Seq(
+      doc(1, "aaa ab"),      // aaa → aa,aa ; ab → ab
+      doc(2, "aaa x")))      // aaa → aa,aa ; x dropped (length 1)
+    val out = Vocab.bpeMergeCandidates(docs, "text", k = 2)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq
+    // counts: aa 4, ab 1 → ranks deterministic by (cnt desc, pair asc)
+    assert(out == Seq((1L, "aa", 4L), (2L, "ab", 1L)))
+  }
+
   test("Chunk splits documents into overlapping token windows") {
     val docs = df("doc_id INT, text STRING", Seq(
       doc(1, (1 to 10).map(i => s"w$i").mkString(" ")), // 10 tokens
