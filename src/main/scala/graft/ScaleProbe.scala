@@ -41,7 +41,11 @@ object ScaleProbe {
     // search + sessionize families
     "q_search_bm25", "q_sessionize", "q_session_stats",
     // fuzzy join (supplier), window nav (events), batching (documents)
-    "q_fuzzy_pairs", "q_window_nav", "q_pack_buckets")
+    "q_fuzzy_pairs", "q_window_nav", "q_pack_buckets",
+    // round-5 additions: SFT assembly, preference pairs, BPE induction,
+    // hamming/pHash dedup + clustering, centroid assignment
+    "q_sft_render", "q_pref_pairs", "q_pref_topk", "q_vocab_merges",
+    "q_dedup_phash", "q_dedup_phash_clusters", "q_cluster_assign")
 
   private def caesar(c: org.apache.spark.sql.Column, k: Int) = {
     val lower = "abcdefghijklmnopqrstuvwxyz"

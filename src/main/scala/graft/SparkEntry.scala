@@ -53,6 +53,18 @@ object SparkEntry {
 
   private def st(n: Int): String = s"stage_$n"
 
+  /** Synthetic pHash corpus for the hamming-dedup gates: 64-bit hashes
+    * from two independent 31-bit multiplicative halves (every 16-bit
+    * chunk varies — see the q_dedup_phash scaladoc for why that's
+    * load-bearing), plus a Hamming-2 twin (bits 0,2 flipped) per doc. */
+  private def phashCorpus(spark: SparkSession, dir: String): DataFrame = {
+    val base = docs(spark, dir).select(col("doc_id").as("id"),
+      (((col("doc_id") * lit(2654435761L)) % lit(2147483647L)) * lit(4294967296L) +
+        (col("doc_id") * lit(40503L)) % lit(2147483647L)).as("fp"))
+    base.unionByName(base.select((col("id") + lit(1000000L)).as("id"),
+      col("fp").bitwiseXOR(lit(5L)).as("fp")))
+  }
+
   /** documents re-shaped as conversation turns for the SFT gates:
     * conv = doc_id div 4, turn = doc_id mod 4, roles alternate by id
     * parity — a deterministic conversation-log stand-in. */
@@ -949,32 +961,26 @@ object SparkEntry {
 
     // Image near-dup pairs over perceptual hashes: generic banded
     // Hamming pairs (16-bit pigeonhole + exact bit_count confirm) fed
-    // synthetic-but-oracle-expressible 64-bit "pHashes" — base hash is a
-    // Knuth-multiplied doc_id, its twin flips bits 0 and 2 (Hamming 2),
-    // so every (doc, twin) must pair and the DuckDB oracle brute-forces
-    // the identical hamming≤3 pair set.
-    "q_dedup_phash" -> ((s, d) => {
-      val base = docs(s, d).select(col("doc_id").as("id"),
-        (col("doc_id") * lit(2654435761L)).as("fp"))
-      val twins = base.select((col("id") + lit(1000000L)).as("id"),
-        col("fp").bitwiseXOR(lit(5L)).as("fp"))
-      Dedup.hammingPairs(base.unionByName(twins), "id", "fp", maxHamming = 3)
-        .orderBy("id_a", "id_b")
-    }),
+    // synthetic-but-oracle-expressible 64-bit "pHashes"; the twin flips
+    // bits 0 and 2 (Hamming 2), so every (doc, twin) must pair and the
+    // DuckDB oracle brute-forces the identical hamming≤3 pair set.
+    // The hash MUST populate all four 16-bit chunks — the first cut used
+    // doc_id * K, whose top chunk was 0 for every row, so one band
+    // degenerated to all-pairs (43.9s at sf0.1, the exact LSH failure
+    // mode the 4-bit ANN bands hit in round 1). Two independent 31-bit
+    // halves keep every chunk varying and the products inside signed-64.
+    "q_dedup_phash" -> ((s, d) =>
+      Dedup.hammingPairs(phashCorpus(s, d), "id", "fp", maxHamming = 3)
+        .orderBy("id_a", "id_b")),
 
     // pHash dedup CLUSTERS: hammingPairs ∘ connectedComponents — the
     // pair set collapses to min-label components (the oracle runs a
     // fully general recursive min-label propagation, so accidental
     // non-twin pairs, if the corpus ever produced them, agree too).
-    "q_dedup_phash_clusters" -> ((s, d) => {
-      val base = docs(s, d).select(col("doc_id").as("id"),
-        (col("doc_id") * lit(2654435761L)).as("fp"))
-      val twins = base.select((col("id") + lit(1000000L)).as("id"),
-        col("fp").bitwiseXOR(lit(5L)).as("fp"))
+    "q_dedup_phash_clusters" -> ((s, d) =>
       Dedup.connectedComponents(
-          Dedup.hammingPairs(base.unionByName(twins), "id", "fp", maxHamming = 3))
-        .orderBy("id")
-    }),
+          Dedup.hammingPairs(phashCorpus(s, d), "id", "fp", maxHamming = 3))
+        .orderBy("id")),
 
     // BPE merge-candidate induction: top-20 adjacent character pairs
     // over whitespace tokens — step zero of tokenizer training.
@@ -998,6 +1004,16 @@ object SparkEntry {
       graft.operators.Sft.renderChatML(sftTurns(s, d),
           "conv_id", "turn", "role", "content", maxTurns = 2)
         .orderBy("conv_id")),
+
+    // Render ∘ parse identity: the rendered ChatML corpus exploded back
+    // into turn rows must reproduce the original turns exactly (the
+    // oracle IS the original turn relation — a fixed-point check).
+    "q_sft_roundtrip" -> ((s, d) =>
+      graft.operators.Sft.parseChatML(
+          graft.operators.Sft.renderChatML(sftTurns(s, d),
+            "conv_id", "turn", "role", "content"),
+          "conv_id", "rendered")
+        .orderBy("conv_id", "turn")),
 
     // DPO pair assembly: best-vs-worst quality completion per language,
     // margin-gated — a single map-side-combined aggregate per group.
@@ -1884,6 +1900,14 @@ object SparkEntry {
        |            FROM (SELECT doc_id, $toksSql AS toks FROM documents)))""".stripMargin
   }
 
+  /** DuckDB mirror of `phashCorpus` (two 31-bit halves + hamming-2 twin). */
+  private def phashCorpusSql: String =
+    "SELECT doc_id AS id, (doc_id * 2654435761 % 2147483647) * 4294967296 " +
+      "+ (doc_id * 40503 % 2147483647) AS fp FROM documents " +
+      "UNION ALL " +
+      "SELECT doc_id + 1000000, xor((doc_id * 2654435761 % 2147483647) * 4294967296 " +
+      "+ (doc_id * 40503 % 2147483647), 5) FROM documents"
+
   /** DuckDB mirror of `sftTurns` — the SFT gates' conversation re-keying
     * of documents (integer div/mod, parity roles). */
   private def sftTurnsSql: String =
@@ -2414,22 +2438,16 @@ object SparkEntry {
       ("SELECT doc_id, TRUE AS same_count, TRUE AS same_digest, " +
         "TRUE AS matches_spec FROM documents ORDER BY doc_id"),
     "q_dedup_phash" ->
-      """WITH h AS (
-        |  SELECT doc_id AS id, doc_id * 2654435761 AS fp FROM documents
-        |  UNION ALL
-        |  SELECT doc_id + 1000000, xor(doc_id * 2654435761, 5) FROM documents)
-        |SELECT a.id AS id_a, b.id AS id_b,
-        |       CAST(bit_count(xor(a.fp, b.fp)) AS INTEGER) AS hamming
-        |FROM h a JOIN h b ON a.id < b.id
-        |WHERE bit_count(xor(a.fp, b.fp)) <= 3
-        |ORDER BY id_a, id_b""".stripMargin,
+      s"""WITH h AS ($phashCorpusSql)
+         |SELECT a.id AS id_a, b.id AS id_b,
+         |       CAST(bit_count(xor(a.fp, b.fp)) AS INTEGER) AS hamming
+         |FROM h a JOIN h b ON a.id < b.id
+         |WHERE bit_count(xor(a.fp, b.fp)) <= 3
+         |ORDER BY id_a, id_b""".stripMargin,
     "q_dedup_phash_clusters" ->
-      """WITH RECURSIVE h AS (
-        |  SELECT doc_id AS id, doc_id * 2654435761 AS fp FROM documents
-        |  UNION ALL
-        |  SELECT doc_id + 1000000, xor(doc_id * 2654435761, 5) FROM documents),
-        |e AS (SELECT a.id AS src, b.id AS dst FROM h a JOIN h b ON a.id <> b.id
-        |      WHERE bit_count(xor(a.fp, b.fp)) <= 3),
+      s"""WITH RECURSIVE h AS ($phashCorpusSql),
+         |e AS (SELECT a.id AS src, b.id AS dst FROM h a JOIN h b ON a.id <> b.id
+         |      WHERE bit_count(xor(a.fp, b.fp)) <= 3),
         |reach(id, comp) AS (
         |  SELECT DISTINCT src, src FROM e
         |  UNION
@@ -2459,6 +2477,9 @@ object SparkEntry {
          |       string_agg('<|im_start|>' || role || chr(10) || content || '<|im_end|>' || chr(10),
          |                  '' ORDER BY turn) AS rendered
          |FROM k WHERE rd <= 2 GROUP BY conv_id ORDER BY conv_id""".stripMargin,
+    "q_sft_roundtrip" ->
+      s"""SELECT conv_id, turn, role, content FROM ($sftTurnsSql)
+         |ORDER BY conv_id, turn""".stripMargin,
     "q_pref_pairs" ->
       s"""WITH q AS ($qualityOracle),
          |s AS (SELECT d.lang, d.doc_id, q.quality

@@ -58,4 +58,30 @@ object Sft {
       size(col("ts")).cast("long").as("n_turns"),
       array_join(transform(col("ts"), turnMarkup _), "").as("rendered"))
   }
+
+  /**
+   * Inverse of [[renderChatML]]: explode a rendered ChatML string back
+   * into `(conv_id, turn, role, content)` rows, turn = 0-based position.
+   * Content may contain newlines (role never does — it's the text before
+   * the first newline of each segment; content is recovered by length
+   * arithmetic, not a second regex). Assumes the markers are RESERVED —
+   * content containing a literal `<|im_start|>` is malformed input, the
+   * same contract real ChatML corpora rely on.
+   *
+   * Scale shape: pure codegen'd projection + one generator (posexplode);
+   * no shuffle at all.
+   */
+  def parseChatML(df: DataFrame, convCol: String,
+                  renderedCol: String): DataFrame = {
+    // split leaves an empty element before the first marker — drop it
+    val segs = expr(
+      s"slice(split($renderedCol, '<\\\\|im_start\\\\|>'), 2, 2147483647)")
+    val role = substring_index(col("seg"), "\n", 1)
+    // seg = role + "\n" + content + "<|im_end|>\n"  →  strip both ends
+    val content = col("seg").substr(length(role) + lit(2),
+      length(col("seg")) - length(role) - lit(12))
+    df.select(col(convCol).as("conv_id"), posexplode(segs).as(Seq("turn", "seg")))
+      .select(col("conv_id"), col("turn").cast("long").as("turn"),
+        role.as("role"), content.as("content"))
+  }
 }

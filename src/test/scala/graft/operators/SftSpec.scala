@@ -36,6 +36,20 @@ class SftSpec extends SparkTestBase {
     assert(out(1).getString(2) == "<|im_start|>user\nsolo<|im_end|>\n")
   }
 
+  test("parseChatML inverts renderChatML, multiline content included") {
+    val tricky = df("conv BIGINT, turn INT, role STRING, content STRING", Seq(
+      Row(9L, 0, "user", "line one\nline two\n"),
+      Row(9L, 1, "assistant", ""),               // empty content survives
+      Row(9L, 2, "user", "plain")))
+    val back = Sft.parseChatML(
+        Sft.renderChatML(tricky, "conv", "turn", "role", "content"),
+        "conv_id", "rendered")
+      .orderBy("turn").collect()
+      .map(r => (r.getLong(1), r.getString(2), r.getString(3)))
+    assert(back.toSeq == Seq((0L, "user", "line one\nline two\n"),
+      (1L, "assistant", ""), (2L, "user", "plain")))
+  }
+
   test("rendering is order-insensitive to input row order") {
     val shuffled = turns.orderBy(org.apache.spark.sql.functions.rand(7))
       .repartition(3)
