@@ -263,4 +263,68 @@ object StreamingPipeline {
           out.iterator
       }.toDF()
   }
+
+  final case class ConvState(lastTs: Long, turns: List[(Long, String, String)])
+  final case class Conversation(conv_id: String, n_turns: Long, rendered: String)
+
+  /**
+   * Streaming SFT conversation assembly — the continuous counterpart of
+   * [[graft.operators.Sft.renderChatML]]: turns buffer per conversation
+   * id in state; when the event-time watermark passes the last turn's
+   * time + `gap` (no further turns can legally arrive), the conversation
+   * closes and emits ONE rendered ChatML string. Turn order is the
+   * explicit turn index with the batch operator's full (turn, role,
+   * content) tiebreak, and the markup is byte-identical to
+   * `renderChatML` — parity cross-checked in the spec.
+   *
+   * State per open conversation is its turn list — bounded by open
+   * conversations × turns and evicted by the event-time timeout, so this
+   * runs forever on an unbounded stream. (A conversation longer than the
+   * executor's memory share should be length-capped upstream; a chat
+   * log's turn count is bounded by construction.)
+   */
+  def assembleConversations(stream: DataFrame, tsCol: String, convCol: String,
+                            turnCol: String, roleCol: String, contentCol: String,
+                            gap: String = "30 minutes",
+                            watermarkDelay: String = "10 minutes"): DataFrame = {
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+    val spark = stream.sparkSession
+    import spark.implicits._
+    val iv = org.apache.spark.sql.catalyst.util.IntervalUtils
+      .stringToInterval(org.apache.spark.unsafe.types.UTF8String.fromString(gap))
+    require(iv.months == 0, "conversation gap must be a fixed duration")
+    val gapMillis = iv.days * 86400000L + iv.microseconds / 1000L
+
+    stream
+      .select(col(convCol).cast("string").as("conv"),
+        col(tsCol).cast("timestamp").as("ts"),
+        col(turnCol).cast("long").as("turn"),
+        col(roleCol).cast("string").as("role"),
+        col(contentCol).cast("string").as("content"))
+      .withWatermark("ts", watermarkDelay)
+      .as[(String, java.sql.Timestamp, Long, String, String)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[ConvState, Conversation](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (conv, rows, state) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            val ordered = s.turns.sortBy(identity)
+            val rendered = ordered.map { case (_, role, content) =>
+              s"<|im_start|>$role\n$content<|im_end|>\n"
+            }.mkString
+            Iterator(Conversation(conv, ordered.length.toLong, rendered))
+          } else {
+            val batch = rows.toList
+            val lastTs = (state.getOption.map(_.lastTs).getOrElse(Long.MinValue) ::
+              batch.map(_._2.getTime)).max
+            val turns = state.getOption.map(_.turns).getOrElse(Nil) :::
+              batch.map(r => (r._3, r._4, r._5))
+            state.update(ConvState(lastTs, turns))
+            state.setTimeoutTimestamp(lastTs + gapMillis)
+            Iterator.empty
+          }
+      }.toDF()
+  }
 }

@@ -88,6 +88,43 @@ class StreamingPipelineSpec extends SparkTestBase {
     assert(err.getMessage.contains("SORT"))
   }
 
+  case class Turn(conv: Long, ts: Timestamp, turn: Long,
+                  role: String, content: String)
+
+  test("assembleConversations matches batch renderChatML when conversations close") {
+    implicit val sq = sqlContextImplicit
+    import spark.implicits._
+    val mem = MemoryStream[Turn]
+    val out = StreamingPipeline.assembleConversations(
+      mem.toDF(), "ts", "conv", "turn", "role", "content",
+      gap = "5 minutes", watermarkDelay = "10 minutes")
+    val q = out.writeStream.format("memory").queryName("convs_out")
+      .outputMode("append").start()
+    try {
+      // conv 1 arrives out of order and across two micro-batches (the
+      // second batch's t(0) turn stays inside the 10-minute lateness
+      // allowance — a tighter watermark would legally drop it)
+      mem.addData(Turn(1L, t(1), 1L, "assistant", "hello\nthere"))
+      q.processAllAvailable()
+      mem.addData(Turn(1L, t(0), 0L, "user", "hi"), Turn(1L, t(2), 2L, "user", "bye"))
+      q.processAllAvailable()
+      // watermark far past conv 1's last turn + gap → it closes
+      mem.addData(Turn(2L, t(30), 0L, "user", "new conv"))
+      q.processAllAvailable()
+      mem.addData(Turn(2L, t(59), 1L, "assistant", "late"))
+      q.processAllAvailable()
+      val got = spark.sql(
+          "SELECT conv_id, n_turns, rendered FROM convs_out WHERE conv_id = '1'")
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getString(2))).toSeq
+      val batch = graft.operators.Sft.renderChatML(
+          Seq((1L, 0L, "user", "hi"), (1L, 1L, "assistant", "hello\nthere"),
+            (1L, 2L, "user", "bye")).toDF("conv", "turn", "role", "content"),
+          "conv", "turn", "role", "content")
+        .collect().map(r => (r.getLong(0).toString, r.getLong(1), r.getString(2))).toSeq
+      assert(got == batch, s"\nstream: $got\nbatch:  $batch")
+    } finally q.stop()
+  }
+
   test("sessionize: gap-based sessions close via event-time timeout (flatMapGroupsWithState)") {
     implicit val sq = sqlContextImplicit
     import spark.implicits._
