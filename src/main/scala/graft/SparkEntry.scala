@@ -65,6 +65,17 @@ object SparkEntry {
       col("fp").bitwiseXOR(lit(5L)).as("fp")))
   }
 
+  /** Mixed JSON/prose corpus for the structured-data gate: even ids get
+    * a concat-constructed JSON object (identical string on the DuckDB
+    * side by the same concatenation), odd ids a guaranteed-invalid
+    * prose payload. */
+  private def jsonMixed(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir).select(col("doc_id"),
+      when(pmod(col("doc_id"), lit(2)) === 0,
+        concat(lit("{\"id\": "), col("doc_id"), lit(", \"lang\": \""),
+          col("lang"), lit("\"}")))
+        .otherwise(concat(lit("not-json: "), col("text"))).as("payload"))
+
   /** documents re-shaped as conversation turns for the SFT gates:
     * conv = doc_id div 4, turn = doc_id mod 4, roles alternate by id
     * parity — a deterministic conversation-log stand-in. */
@@ -1004,6 +1015,18 @@ object SparkEntry {
       graft.operators.Sft.renderChatML(sftTurns(s, d),
           "conv_id", "turn", "role", "content", maxTurns = 2)
         .orderBy("conv_id")),
+
+    // Tool-call/JSON screening over a mixed corpus (even ids carry a
+    // constructed JSON payload, odd ids prose): validity flag + field
+    // extraction — the format gate every function-calling dataset needs.
+    "q_json_screen" -> ((s, d) => {
+      val mixed = jsonMixed(s, d)
+      graft.operators.StructuredData.jsonValidity(mixed, "doc_id", "payload")
+        .join(graft.operators.StructuredData.extractFields(mixed, "doc_id",
+          "payload", Seq("id_field" -> "$.id", "lang_field" -> "$.lang")),
+          Seq("doc_id"))
+        .orderBy("doc_id")
+    }),
 
     // Render ∘ parse identity: the rendered ChatML corpus exploded back
     // into turn rows must reproduce the original turns exactly (the
@@ -2480,6 +2503,19 @@ object SparkEntry {
     "q_sft_roundtrip" ->
       s"""SELECT conv_id, turn, role, content FROM ($sftTurnsSql)
          |ORDER BY conv_id, turn""".stripMargin,
+    "q_json_screen" ->
+      """WITH m AS (
+        |  SELECT doc_id,
+        |         CASE WHEN doc_id % 2 = 0
+        |              THEN '{"id": ' || doc_id || ', "lang": "' || lang || '"}'
+        |              ELSE 'not-json: ' || text END AS payload
+        |  FROM documents)
+        |SELECT doc_id, json_valid(payload) AS is_valid_json,
+        |       CASE WHEN json_valid(payload)
+        |            THEN json_extract_string(payload, '$.id') END AS id_field,
+        |       CASE WHEN json_valid(payload)
+        |            THEN json_extract_string(payload, '$.lang') END AS lang_field
+        |FROM m ORDER BY doc_id""".stripMargin,
     "q_pref_pairs" ->
       s"""WITH q AS ($qualityOracle),
          |s AS (SELECT d.lang, d.doc_id, q.quality
