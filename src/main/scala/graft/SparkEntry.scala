@@ -1016,6 +1016,22 @@ object SparkEntry {
           "conv_id", "turn", "role", "content", maxTurns = 2)
         .orderBy("conv_id")),
 
+    // Persisted MinHash band index: save on the base corpus, then probe
+    // with a twin batch — every probe must rediscover its original at
+    // estimated Jaccard 1.0 WITHOUT re-reading history bodies (identical
+    // shingle sets → identical signatures → jaccard_est exactly 1).
+    "q_dedup_index" -> ((s, d) => {
+      val d0 = docs(s, d).select(col("doc_id"), col("text"))
+      val path = exportDir(s, "graft_minhash_index")
+      Dedup.saveMinhashIndex(d0, "doc_id", "text", path,
+        shingleN = 3, numHashes = 64, bands = 16)
+      val probes = d0.select((col("doc_id") + lit(1000000L)).as("doc_id"), col("text"))
+      Dedup.minhashPairsAgainstIndex(probes, "doc_id", "text", path,
+          shingleN = 3, numHashes = 64, bands = 16, threshold = 1.0)
+        .filter(col("id_new") === col("id_hist") + 1000000L)
+        .orderBy("id_hist")
+    }),
+
     // Tool-call/JSON screening over a mixed corpus (even ids carry a
     // constructed JSON payload, odd ids prose): validity flag + field
     // extraction — the format gate every function-calling dataset needs.
@@ -2503,6 +2519,9 @@ object SparkEntry {
     "q_sft_roundtrip" ->
       s"""SELECT conv_id, turn, role, content FROM ($sftTurnsSql)
          |ORDER BY conv_id, turn""".stripMargin,
+    "q_dedup_index" ->
+      ("SELECT doc_id + 1000000 AS id_new, doc_id AS id_hist, " +
+        "CAST(1.0 AS DOUBLE) AS jaccard_est FROM documents ORDER BY id_hist"),
     "q_json_screen" ->
       """WITH m AS (
         |  SELECT doc_id,

@@ -236,6 +236,82 @@ object Dedup {
    * Jaccard is required; use this when candidates vastly outnumber true
    * pairs or documents are large.
    */
+  /** Shared MinHash plumbing: `(signatures, banded)` — one native
+    * signature pass, then the b band keys (band-salted xxhash64 of each
+    * band's r signature rows). */
+  private def minhashSigAndBands(df: DataFrame, idCol: String, textCol: String,
+                                 shingleN: Int, numHashes: Int,
+                                 bands: Int): (DataFrame, DataFrame) = {
+    require(numHashes % bands == 0, "numHashes must be divisible by bands")
+    val rows = numHashes / bands
+    val sig = df.select(col(idCol).as("id"),
+        hashedShingleSet(col(textCol), shingleN).as("shingles"))
+      .filter(size(col("shingles")) > 0)
+      .select(col("id"), minhashSignature(col("shingles"), numHashes).as("sig"))
+    val banded = sig.select(col("id"), posexplode(
+      array((0 until bands).map(j =>
+        xxhash64(lit(j) +: (0 until rows).map(k => col("sig")(j * rows + k)): _*)): _*))
+      .as(Seq("band", "bucket")))
+    (sig, banded)
+  }
+
+  /**
+   * Persist a MinHash band index for INCREMENTAL near-dup screening —
+   * the signature/band computation is the expensive full-body pass, so
+   * a corpus epoch pays it ONCE: `path/signatures` holds `(id, sig)`
+   * (k longs per doc), `path/bands` holds `(id, band, bucket)`
+   * partitioned by band. A later batch recomputes signatures only for
+   * its OWN rows and joins against these id-only relations — history
+   * BODIES are never re-read (the [[incrementalDedup]] Bloom path
+   * answers "exact duplicate of history?"; this one answers "NEAR-dup
+   * of history?", which the Bloom cannot).
+   */
+  def saveMinhashIndex(df: DataFrame, idCol: String, textCol: String,
+                       path: String, shingleN: Int = 3, numHashes: Int = 64,
+                       bands: Int = 16): Unit = {
+    val (sig, banded) = minhashSigAndBands(df, idCol, textCol,
+      shingleN, numHashes, bands)
+    sig.write.mode("overwrite").parquet(s"$path/signatures")
+    banded.write.mode("overwrite").partitionBy("band")
+      .parquet(s"$path/bands")
+  }
+
+  /**
+   * Probe a persisted [[saveMinhashIndex]] with a new batch:
+   * `(id_new, id_hist, jaccard_est)` for every batch row whose estimated
+   * Jaccard against a history row reaches `threshold`. The confirm is
+   * the signature-agreement estimator (fixed k longs per side —
+   * document-size-independent, the 100 TB regime), parameters must match
+   * the ones the index was built with (`numHashes` is re-derived from
+   * the stored signature length; mismatched shingleN/bands silently
+   * degrade recall, so pass the same ones).
+   */
+  def minhashPairsAgainstIndex(newBatch: DataFrame, idCol: String,
+                               textCol: String, path: String,
+                               shingleN: Int = 3, numHashes: Int = 64,
+                               bands: Int = 16,
+                               threshold: Double = 0.8): DataFrame = {
+    val spark = newBatch.sparkSession
+    val (sig, banded) = minhashSigAndBands(newBatch, idCol, textCol,
+      shingleN, numHashes, bands)
+    val histBands = spark.read.parquet(s"$path/bands")
+    val histSig = spark.read.parquet(s"$path/signatures")
+    val cand = banded.as("a").join(histBands.as("b"),
+        col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket"))
+      .select(col("a.id").as("id_new"), col("b.id").as("id_hist"))
+      .dropDuplicates("id_new", "id_hist")
+    cand
+      .join(sig.select(col("id").as("id_new"), col("sig").as("sig_a")), "id_new")
+      .join(histSig.select(col("id").as("id_hist"), col("sig").as("sig_b")), "id_hist")
+      .withColumn("jaccard_est",
+        aggregate(zip_with(col("sig_a"), col("sig_b"),
+            (x, y) => when(x === y, 1).otherwise(0)),
+          lit(0), (acc, m) => acc + m).cast("double") / lit(numHashes.toDouble))
+      .filter(col("jaccard_est") >= threshold)
+      .select(col("id_new"), col("id_hist"),
+        round(col("jaccard_est"), 6).as("jaccard_est"))
+  }
+
   def minhashPairsEstimated(
       df: DataFrame, idCol: String, textCol: String,
       shingleN: Int = 3, numHashes: Int = 64, bands: Int = 16,

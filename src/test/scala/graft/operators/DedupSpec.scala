@@ -2,6 +2,7 @@ package graft.operators
 
 import graft.SparkTestBase
 import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions.col
 
 class DedupSpec extends SparkTestBase {
 
@@ -81,6 +82,22 @@ class DedupSpec extends SparkTestBase {
     val pairs = Dedup.hammingPairs(hashes, "id", "fp", maxHamming = 4)
       .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getInt(2))).toMap
     assert(pairs == Map((1L, 3L) -> 4))
+  }
+
+  test("persisted minhash index: probes rediscover history near-dups without bodies") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_mh_idx").toString
+    Dedup.saveMinhashIndex(corpus, "id", "text", dir,
+      shingleN = 3, numHashes = 64, bands = 16)
+    // probe 101 = exact copy of doc 1; probe 102 = unrelated
+    val probes = df("id BIGINT, text STRING", Seq(
+      Row(101L, corpus.filter(col("id") === 1L).head().getString(1)),
+      Row(102L, "completely unrelated probe content zzz qqq xxx")))
+    val hits = Dedup.minhashPairsAgainstIndex(probes, "id", "text", dir,
+        shingleN = 3, numHashes = 64, bands = 16, threshold = 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(hits.exists(h => h._1 == 101L && h._2 == 1L && h._3 == 1.0),
+      s"probe should match doc 1: ${hits.toSeq}")
+    assert(!hits.exists(_._1 == 102L), s"unrelated probe matched: ${hits.toSeq}")
   }
 
   test("minhash estimate-verify: 1.0 on identical docs, tracks exact jaccard on near-dups") {
