@@ -1345,6 +1345,16 @@ object SparkEntry {
         "day", "event_type",
         Seq("click", "error", "purchase", "signup", "view"))),
 
+    // Unpivot/melt — the pivot inverse: four lineitem metrics to long
+    // form via the shuffle-free Expand projection.
+    "q_olap_unpivot" -> ((s, d) =>
+      graft.operators.Olap.unpivot(
+          executor(s, d).table("lineitem")
+            .filter(col("l_orderkey") % 50 === 0),
+          Seq("l_orderkey", "l_linenumber"),
+          Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax"))
+        .orderBy("l_orderkey", "l_linenumber", "metric")),
+
     // Fixed-width histogram: one scan, arithmetic binning (both engines
     // state the identical floor expression), clamped edges.
     "q_profile_hist" -> ((s, d) =>
@@ -2776,6 +2786,17 @@ object SparkEntry {
         "count(*) FILTER (WHERE event_type = 'signup') AS signup, " +
         "count(*) FILTER (WHERE event_type = 'view') AS view " +
         "FROM events GROUP BY CAST(ts AS DATE)"),
+    "q_olap_unpivot" ->
+      """WITH f AS (SELECT * FROM lineitem WHERE l_orderkey % 50 = 0),
+        |u AS (
+        |  SELECT l_orderkey, l_linenumber, 'l_quantity' AS metric, l_quantity AS value FROM f
+        |  UNION ALL
+        |  SELECT l_orderkey, l_linenumber, 'l_extendedprice', l_extendedprice FROM f
+        |  UNION ALL
+        |  SELECT l_orderkey, l_linenumber, 'l_discount', l_discount FROM f
+        |  UNION ALL
+        |  SELECT l_orderkey, l_linenumber, 'l_tax', l_tax FROM f)
+        |SELECT * FROM u ORDER BY l_orderkey, l_linenumber, metric""".stripMargin,
     "q_profile_hist" ->
       """SELECT bucket, 0.0 + bucket * 100.0 AS lo_edge, count(*) AS n FROM (
         |  SELECT CAST(least(greatest(floor((CAST(n_chars AS DOUBLE) - 0.0) / 100.0), 0), 19) AS BIGINT) AS bucket

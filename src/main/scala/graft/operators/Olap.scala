@@ -64,4 +64,19 @@ object Olap {
     val wide = df.groupBy(col(rowCol)).pivot(pivotCol, values).agg(count(lit(1)))
     values.foldLeft(wide)((d, v) => d.withColumn(v, coalesce(col(s"`$v`"), lit(0L))))
   }
+
+  /**
+   * Inverse of pivot (melt): widen-to-long over `valueCols`, keeping
+   * `idCols` — `(idCols..., varName, valueName)`, one output row per
+   * (input row × value column). Shuffle-free: Spark's native `unpivot`
+   * plans as an Expand projection, the same map-side machinery
+   * rollup/cube use, so the cost is output size and nothing else. All
+   * `valueCols` must share one type (enforced by the plan — melt
+   * mixed-type columns through an explicit cast first).
+   */
+  def unpivot(df: DataFrame, idCols: Seq[String], valueCols: Seq[String],
+              varName: String = "metric",
+              valueName: String = "value"): DataFrame =
+    df.unpivot(idCols.map(col).toArray, valueCols.map(col).toArray,
+      varName, valueName)
 }

@@ -68,6 +68,18 @@ class OlapSpec extends SparkTestBase {
     assert("Exchange".r.findAllMatchIn(plan).size == 1, plan)
   }
 
+  test("unpivot melts value columns long, shuffle-free") {
+    val wide = df("id BIGINT, a DOUBLE, b DOUBLE", Seq(
+      Row(1L, 1.5, 2.5), Row(2L, 3.0, 4.0)))
+    val long = Olap.unpivot(wide, Seq("id"), Seq("a", "b"))
+    assert(long.columns.toSeq == Seq("id", "metric", "value"))
+    val rows = long.orderBy("id", "metric").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSeq
+    assert(rows == Seq((1L, "a", 1.5), (1L, "b", 2.5), (2L, "a", 3.0), (2L, "b", 4.0)))
+    val plan = long.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan)
+  }
+
   test("pivotCount: explicit domain, zero-filled cells, deterministic columns") {
     val wide = Olap.pivotCount(sales, "region", "product",
       Seq("widget", "gadget", "doohickey"))
