@@ -45,7 +45,10 @@ object ScaleProbe {
     // round-5 additions: SFT assembly, preference pairs, BPE induction,
     // hamming/pHash dedup + clustering, centroid assignment
     "q_sft_render", "q_pref_pairs", "q_pref_topk", "q_vocab_merges",
-    "q_dedup_phash", "q_dedup_phash_clusters", "q_cluster_assign")
+    "q_dedup_phash", "q_dedup_phash_clusters", "q_cluster_assign",
+    // (q_olap_unpivot reads lineitem, which the scaled dir doesn't
+    // carry — its cost is pure output size anyway)
+    "q_dedup_index", "q_json_screen", "q_sft_roundtrip")
 
   private def caesar(c: org.apache.spark.sql.Column, k: Int) = {
     val lower = "abcdefghijklmnopqrstuvwxyz"
