@@ -1016,6 +1016,15 @@ object SparkEntry {
           "conv_id", "turn", "role", "content", maxTurns = 2)
         .orderBy("conv_id")),
 
+    // Domain-quality propagation: per-source mean quality decides every
+    // doc's keep flag (the junk-farm wholesale filter).
+    "q_domain_quality" -> ((s, d) =>
+      graft.operators.QualityFilter.domainQuality(
+          docs(s, d).select(col("doc_id"), col("source"),
+            TF.qualityScore(col("text")).as("q")),
+          "doc_id", "source", "q", minMean = 0.4)
+        .orderBy("doc_id")),
+
     // Persisted MinHash band index: save on the base corpus, then probe
     // with a twin batch — every probe must rediscover its original at
     // estimated Jaccard 1.0 WITHOUT re-reading history bodies (identical
@@ -2532,6 +2541,19 @@ object SparkEntry {
     "q_dedup_index" ->
       ("SELECT doc_id + 1000000 AS id_new, doc_id AS id_hist, " +
         "CAST(1.0 AS DOUBLE) AS jaccard_est FROM documents ORDER BY id_hist"),
+    "q_domain_quality" ->
+      s"""WITH q AS ($qualityOracle),
+         |s AS (SELECT d.doc_id, d.source, q.quality
+         |      FROM documents d JOIN q USING (doc_id)),
+         |m AS (SELECT source,
+         |        CAST(sum(CAST(round(quality, 9) AS DECIMAL(27,9))) AS DOUBLE)
+         |          / count(*) AS mean_q,
+         |        count(*) AS n_docs
+         |      FROM s GROUP BY source)
+         |SELECT s.doc_id, s.source, m.n_docs,
+         |       round(m.mean_q, 6) AS domain_mean,
+         |       m.mean_q >= 0.4 AS keep
+         |FROM s JOIN m USING (source) ORDER BY doc_id""".stripMargin,
     "q_json_screen" ->
       """WITH m AS (
         |  SELECT doc_id,

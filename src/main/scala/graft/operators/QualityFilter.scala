@@ -175,4 +175,33 @@ object QualityFilter {
                       listed: Seq[String]): DataFrame =
     if (listed.isEmpty) df
     else df.filter(listedWordHits(col(textCol), listed) === 0)
+
+  /**
+   * Domain-level quality propagation — the Common-Crawl-style pass where
+   * a source/domain's AGGREGATE quality decides its documents' fate
+   * (junk farms get filtered wholesale even when individual pages sneak
+   * past per-doc thresholds): per-domain mean score joined back,
+   * `keep = domain_mean >= minMean`.
+   *
+   * The mean is the repo's exact-decimal sum (9 dp pre-round) divided
+   * once as DOUBLE — partitioning-independent, so the keep decision is
+   * too. Output `domain_mean` rounds to 6 dp for the float policy; the
+   * keep comparison uses the UNROUNDED mean (same expression both
+   * engines, so the boundary case agrees).
+   *
+   * Scale shape: the stats aggregate map-side-combines to |domains|
+   * partials; the join-back is stats-side small (AQE broadcasts it), so
+   * a skewed giant domain costs only its own scan — no per-doc state.
+   */
+  def domainQuality(df: DataFrame, idCol: String, domainCol: String,
+                    scoreCol: String, minMean: Double): DataFrame = {
+    val stats = df.groupBy(col(domainCol))
+      .agg((sum(round(col(scoreCol), 9).cast("decimal(27,9)")).cast("double") /
+        count(lit(1))).as("__mean"), count(lit(1)).as("n_docs"))
+    df.select(col(idCol), col(domainCol), col(scoreCol))
+      .join(stats, domainCol)
+      .select(col(idCol), col(domainCol), col("n_docs"),
+        round(col("__mean"), 6).as("domain_mean"),
+        (col("__mean") >= minMean).as("keep"))
+  }
 }

@@ -319,6 +319,19 @@ class CurationSpec extends SparkTestBase {
     assert(oov(3) == ((3L, 3L, 1.0)))   // all newt OOV
   }
 
+  test("QualityFilter.domainQuality keeps/drops whole domains by mean score") {
+    val scored = df("id BIGINT, dom STRING, s DOUBLE", Seq(
+      Row(1L, "good.com", 0.9), Row(2L, "good.com", 0.7),
+      Row(3L, "junk.biz", 0.1), Row(4L, "junk.biz", 0.5),
+      Row(5L, "edge.org", 0.4)))      // mean exactly at the threshold
+    val out = QualityFilter.domainQuality(scored, "id", "dom", "s", minMean = 0.4)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(2), r.getDouble(3), r.getBoolean(4))).toMap
+    assert(out(1L) == ((2L, 0.8, true)) && out(2L) == ((2L, 0.8, true)))
+    assert(out(3L) == ((2L, 0.3, false)) && out(4L) == ((2L, 0.3, false)))
+    assert(out(5L) == ((1L, 0.4, true)))  // >= is inclusive at the boundary
+  }
+
   test("Vocab.bpeMergeCandidates counts adjacent char pairs by corpus frequency") {
     val docs = df("doc_id INT, text STRING", Seq(
       doc(1, "aaa ab"),      // aaa → aa,aa ; ab → ab
