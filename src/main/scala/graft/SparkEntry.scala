@@ -921,9 +921,14 @@ object SparkEntry {
     // xxhash64-based, so rows-only at the driver; spec-pinned in
     // TextFunctionsSpec.
     "q_text_winnow" -> ((s, d) =>
-      docs(s, d).select(col("doc_id"),
-        size(TF.winnowedFingerprints(col("text"))).as("n_fingerprints"),
-        xxhash64(TF.winnowedFingerprints(col("text"))).as("fp_digest"))),
+      // producer projection so the fingerprint array evaluates ONCE for
+      // the two consumers (same CollapseProject-boundary trick as the
+      // twins gate — inlining would run the rolling-hash pass twice)
+      docs(s, d)
+        .select(col("doc_id"), TF.winnowedFingerprints(col("text")).as("fp"))
+        .select(col("doc_id"),
+          size(col("fp")).as("n_fingerprints"),
+          xxhash64(col("fp")).as("fp_digest"))),
 
     // Twin construction for the winnow digest (oracle-green counterpart
     // of the rows-only gate above): (1) an exact twin row produces the
@@ -1015,6 +1020,13 @@ object SparkEntry {
       graft.operators.Sft.renderChatML(sftTurns(s, d),
           "conv_id", "turn", "role", "content", maxTurns = 2)
         .orderBy("conv_id")),
+
+    // Percent-rank normalization per language: length scores mapped onto
+    // [0,1] within each group for cross-group mixing, ties sharing ranks.
+    "q_rank_normalize" -> ((s, d) =>
+      graft.operators.Profile.rankNormalize(
+          docs(s, d), "lang", "doc_id", "n_chars")
+        .orderBy("doc_id")),
 
     // Domain-quality propagation: per-source mean quality decides every
     // doc's keep flag (the junk-farm wholesale filter).
@@ -2541,6 +2553,10 @@ object SparkEntry {
     "q_dedup_index" ->
       ("SELECT doc_id + 1000000 AS id_new, doc_id AS id_hist, " +
         "CAST(1.0 AS DOUBLE) AS jaccard_est FROM documents ORDER BY id_hist"),
+    "q_rank_normalize" ->
+      ("SELECT doc_id, lang, n_chars, round(percent_rank() OVER " +
+        "(PARTITION BY lang ORDER BY n_chars), 6) AS pct_rank " +
+        "FROM documents ORDER BY doc_id"),
     "q_domain_quality" ->
       s"""WITH q AS ($qualityOracle),
          |s AS (SELECT d.doc_id, d.source, q.quality

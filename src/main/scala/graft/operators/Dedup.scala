@@ -143,16 +143,20 @@ object Dedup {
   def winnowJaccardPairs(
       df: DataFrame, idCol: String, textCol: String,
       k: Int = 5, w: Int = 4, threshold: Double = 0.5): DataFrame = {
-    val docs = df.select(col(idCol).as("id"),
-      winnowedFingerprints(col(textCol), k, w).as("fps"))
-    val sizes = docs.select(col("id"), size(col("fps")).as("sz"))
-    val inv = docs.select(col("id"), explode(col("fps")).as("fp"))
-    val co = inv.as("a").join(inv.as("b"),
+    // sizes ride ALONG the inverted index (sz is per-id constant, legal
+    // as a grouping key) instead of a separate subtree: the fingerprint
+    // pass — the expensive part — then exists once in the plan, and the
+    // self-join's two sides collapse via exchange reuse. The previous
+    // separate-sizes formulation re-ran the rolling-hash pass for the
+    // size relation and again per size join.
+    val inv = df.select(col(idCol).as("id"),
+        winnowedFingerprints(col(textCol), k, w).as("fps"))
+      .select(col("id"), size(col("fps")).as("sz"), explode(col("fps")).as("fp"))
+    inv.as("a").join(inv.as("b"),
         col("a.fp") === col("b.fp") && col("a.id") < col("b.id"))
-      .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        col("a.sz").as("sz_a"), col("b.sz").as("sz_b"))
       .agg(count(lit(1)).as("inter"))
-    co.join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("sz", "sz_a"), "id_a")
-      .join(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("sz", "sz_b"), "id_b")
       .withColumn("jaccard",
         col("inter").cast("double") / (col("sz_a") + col("sz_b") - col("inter")).cast("double"))
       .filter(col("jaccard") >= threshold)

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -268,4 +269,22 @@ object Profile {
         coalesce(abs(col("z")) > lit(threshold), lit(false)))
       .drop("__n", "__mean", "__std")
   }
+
+  /**
+   * Percent-rank normalization within each key group — maps
+   * heterogeneous score scales (per-domain quality, per-language
+   * perplexity) onto [0,1] so they mix comparably: SQL `percent_rank`
+   * = (rank−1)/(n−1), ties share a rank (equal values get equal
+   * percentiles — adding a tiebreak would instead rank equal evidence
+   * unequally), single-row groups map to 0. The division is
+   * small-integer IEEE — identical across engines and partitionings.
+   *
+   * Scale shape: one exchange on the key + per-group sort (rank needs
+   * order); the output adds one column, nothing materializes per group.
+   */
+  def rankNormalize(df: DataFrame, keyCol: String, idCol: String,
+                    valueCol: String): DataFrame =
+    df.select(col(idCol), col(keyCol), col(valueCol))
+      .withColumn("pct_rank", round(percent_rank().over(
+        Window.partitionBy(col(keyCol)).orderBy(col(valueCol))), 6))
 }

@@ -142,4 +142,17 @@ class ProfileSpec extends SparkTestBase {
       (4L, Some(-0.5), false), (5L, Some(2.0), true),
       (6L, None, false), (7L, None, false), (8L, None, false)))
   }
+
+  test("rankNormalize maps scores to [0,1] per key, ties sharing ranks") {
+    val scores = df("id BIGINT, k STRING, v DOUBLE", Seq(
+      Row(1L, "a", 10.0), Row(2L, "a", 20.0), Row(3L, "a", 20.0),
+      Row(4L, "a", 30.0), Row(5L, "b", 7.0)))
+    val out = Profile.rankNormalize(scores, "k", "id", "v")
+      .collect().map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    // group a, n=4: rank(10)=1→0, rank(20)=2 (both)→1/3, rank(30)=4→1
+    assert(out(1L) == 0.0)
+    assert(out(2L) == out(3L) && out(2L) == 0.333333)
+    assert(out(4L) == 1.0)
+    assert(out(5L) == 0.0)   // single-row group
+  }
 }
