@@ -1021,6 +1021,22 @@ object SparkEntry {
           "conv_id", "turn", "role", "content", maxTurns = 2)
         .orderBy("conv_id")),
 
+    // Semantic decontamination: eval set = every 20th embedding scaled
+    // ×3 (same direction → cosine rounds to exactly 1.0 with its
+    // original; the corpus's true max off-diagonal cosine ≈ 0.6 sits far
+    // under the 0.95 threshold) → the flagged set is exactly the sampled
+    // originals, each matching its own eval twin — closed-form oracle.
+    "q_decontaminate_semantic" -> ((s, d) => {
+      val e = embeddings(s, d).select(col("vec_id"),
+        VF.asDouble(col("embedding")).as("v"))
+      val eval_ = e.filter(col("vec_id") % 20 === 0)
+        .select(col("vec_id").as("eval_id"),
+          transform(col("v"), x => x * lit(3.0)).as("ev"))
+      graft.operators.Decontaminate.semanticOverlap(
+          e, "vec_id", "v", eval_, "eval_id", "ev", threshold = 0.95)
+        .orderBy("vec_id")
+    }),
+
     // Percent-rank normalization per language: length scores mapped onto
     // [0,1] within each group for cross-group mixing, ties sharing ranks.
     "q_rank_normalize" -> ((s, d) =>
@@ -2553,6 +2569,9 @@ object SparkEntry {
     "q_dedup_index" ->
       ("SELECT doc_id + 1000000 AS id_new, doc_id AS id_hist, " +
         "CAST(1.0 AS DOUBLE) AS jaccard_est FROM documents ORDER BY id_hist"),
+    "q_decontaminate_semantic" ->
+      ("SELECT vec_id, vec_id AS eval_id, CAST(1.0 AS DOUBLE) AS cosine " +
+        "FROM embeddings WHERE vec_id % 20 = 0 ORDER BY vec_id"),
     "q_rank_normalize" ->
       ("SELECT doc_id, lang, n_chars, round(percent_rank() OVER " +
         "(PARTITION BY lang ORDER BY n_chars), 6) AS pct_rank " +

@@ -62,4 +62,35 @@ object Decontaminate {
         .select(idCol).distinct()
     corpus.join(contaminatedIds, Seq(idCol), "left_anti")
   }
+
+  /**
+   * SEMANTIC decontamination: corpus rows whose embedding is
+   * near-identical (cosine ≥ `threshold`) to ANY eval example — catches
+   * paraphrased/translated eval leakage that shingle overlap cannot see.
+   * Output is the best eval match per contaminated corpus row:
+   * `(idCol, eval_id, cosine)` (ties → smallest eval id).
+   *
+   * Scale shape: the eval set is the SMALL side by definition →
+   * broadcast nested-loop with the codegen'd fused cosine, one pass over
+   * the corpus (|corpus|×|eval| dot products, corpus never shuffles);
+   * the per-row argmax is a map-side-combined struct-min. For an
+   * unusually large eval set, band both sides with
+   * [[Ann.cosineNearDupPairs]] on the union instead — that path trades
+   * the exact scan for LSH recall.
+   */
+  def semanticOverlap(corpus: DataFrame, idCol: String, vecCol: String,
+                      evalSet: DataFrame, evalIdCol: String,
+                      evalVecCol: String, threshold: Double): DataFrame = {
+    import graft.functions.{VectorFunctions => VF}
+    corpus.select(col(idCol), col(vecCol).as("__v"))
+      .crossJoin(broadcast(evalSet.select(col(evalIdCol).as("__eid"),
+        col(evalVecCol).as("__ev"))))
+      .select(col(idCol), col("__eid"),
+        round(VF.cosine(col("__v"), col("__ev")), 6).as("__cos"))
+      .filter(col("__cos") >= threshold)
+      .groupBy(idCol)
+      .agg(min(struct((-col("__cos")).as("nc"), col("__eid").as("e"))).as("m"))
+      .select(col(idCol), col("m.e").as("eval_id"),
+        (-col("m.nc")).as("cosine"))
+  }
 }

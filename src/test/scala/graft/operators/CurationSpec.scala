@@ -111,6 +111,22 @@ class CurationSpec extends SparkTestBase {
       .select("doc_id").collect().map(_.getInt(0)).toSeq == Seq(2))
   }
 
+  test("semanticOverlap flags embedding-level eval leakage with best match") {
+    val corpus = df("id BIGINT, v ARRAY<DOUBLE>", Seq(
+      Row(1L, Seq(1.0, 0.0)),          // paraphrase of eval 100
+      Row(2L, Seq(0.0, 1.0)),          // orthogonal to everything
+      Row(3L, Seq(0.96, 0.28))))       // cos≈0.96 vs eval 100 AND 101
+    val evalSet = df("eid BIGINT, ev ARRAY<DOUBLE>", Seq(
+      Row(100L, Seq(5.0, 0.0)),
+      Row(101L, Seq(2.0, 0.0))))       // same direction as 100 — tie
+    val hits = Decontaminate.semanticOverlap(
+        corpus, "id", "v", evalSet, "eid", "ev", threshold = 0.9)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(hits(1L) == ((100L, 1.0)))  // tie on cosine 1.0 → smaller eval id
+    assert(!hits.contains(2L))
+    assert(hits(3L)._1 == 100L && hits(3L)._2 > 0.9)
+  }
+
   test("Sample.stratifiedHashSample: per-stratum rates, cross-stratum independence") {
     val rows = (1 to 600).map(i => Row(i, if (i % 2 == 0) "en" else "de", s"text body $i"))
     val docs = df("doc_id INT, lang STRING, text STRING", rows)
