@@ -192,4 +192,41 @@ class CurationPropertySpec extends SparkTestBase {
     val first = out.map(t => t._1 -> t._4).toMap
     assert(twice == first)
   }
+
+  test("ChatML render ∘ parse is the identity over generated conversations") {
+    // content: any printable text WITHOUT the reserved markers (the
+    // operator's documented contract); newlines and empties included
+    val genContent: Gen[String] = for {
+      n <- Gen.chooseNum(0, 8)
+      ws <- Gen.listOfN(n, genWord)
+      sep <- Gen.oneOf(" ", "\n", "  ")
+    } yield ws.mkString(sep)
+    val genConv: Gen[Seq[(String, String)]] = for {
+      n <- Gen.chooseNum(1, 6)
+      turns <- Gen.listOfN(n, for {
+        role <- Gen.oneOf("user", "assistant", "system", "tool")
+        content <- genContent
+      } yield (role, content))
+    } yield turns
+
+    val convs = cases(genConv, 60).zipWithIndex
+    val rows = convs.flatMap { case (turns, cid) =>
+      turns.zipWithIndex.map { case ((role, content), t) =>
+        Row(cid.toLong, t.toLong, role, content)
+      }
+    }
+    val turnsDf = df("conv BIGINT, turn BIGINT, role STRING, content STRING", rows)
+    val back = Sft.parseChatML(
+        Sft.renderChatML(turnsDf, "conv", "turn", "role", "content"),
+        "conv_id", "rendered")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> ((r.getString(2), r.getString(3))))
+      .toMap
+    val expected = convs.flatMap { case (turns, cid) =>
+      turns.zipWithIndex.map { case ((role, content), t) =>
+        (cid.toLong, t.toLong) -> ((role, content))
+      }
+    }.toMap
+    assert(back == expected)
+  }
 }
