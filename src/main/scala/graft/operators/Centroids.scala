@@ -61,8 +61,10 @@ object Centroids {
     *
     * Scale shape: centroids broadcast (|labels| rows), the cross join is
     * a codegen'd nested-loop over the broadcast side, and the argmax is
-    * a map-side-combined hash aggregate keyed by id — constant-size
-    * partials, no sort. */
+    * a struct-min aggregate (plans as SortAggregate — struct buffers
+    * aren't hash-agg-supported — but the partial pass still collapses
+    * each vector's |labels| candidate rows before the exchange, so the
+    * shuffle carries one row per vector). */
   def assignNearest(df: DataFrame, idCol: String, vecCol: String,
                     labelCol: String): DataFrame = {
     val cents = broadcast(labelCentroids(df, vecCol, labelCol))

@@ -14,10 +14,11 @@ import org.apache.spark.sql.functions._
  * score then lowest id, `min(struct(score, id))` picks lowest score then
  * lowest id. No window, no sort of whole groups.
  *
- * Scale shape: `pairs` is a single map-side-combined hash aggregate on
- * the group key — the struct-max partials are constant-size, so network
- * volume is |groups|, independent of candidates per group (a skewed
- * group costs nothing extra). `topBottomPairs` (rank-i-vs-rank-i, k
+ * Scale shape: `pairs` is a single aggregate on the group key (struct
+ * buffers plan as SortAggregate, not hash — but the partial pass still
+ * combines map-side), so the struct-max partials are constant-size and
+ * network volume is |groups|, independent of candidates per group (a
+ * skewed group costs nothing extra). `topBottomPairs` (rank-i-vs-rank-i, k
  * pairs per group) does need per-group order and uses two row_number
  * windows over the SAME partition key, which Catalyst plans as one
  * exchange + one sort pass each — acceptable because k-pair assembly is
