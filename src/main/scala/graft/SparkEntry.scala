@@ -1021,6 +1021,13 @@ object SparkEntry {
           "conv_id", "turn", "role", "content", maxTurns = 2)
         .orderBy("conv_id")),
 
+    // Simpson diversity (char + token): the repetition/junk signal —
+    // integer Σn² keeps the score bit-identical across engines.
+    "q_text_diversity" -> ((s, d) =>
+      docs(s, d).select(col("doc_id"),
+        TF.charDiversity(col("text")).as("char_div"),
+        TF.tokenDiversity(col("text")).as("token_div"))),
+
     // Semantic decontamination: eval set = every 20th embedding scaled
     // ×3 (same direction → cosine rounds to exactly 1.0 with its
     // original; the corpus's true max off-diagonal cosine ≈ 0.6 sits far
@@ -2572,6 +2579,27 @@ object SparkEntry {
     "q_decontaminate_semantic" ->
       ("SELECT vec_id, vec_id AS eval_id, CAST(1.0 AS DOUBLE) AS cosine " +
         "FROM embeddings WHERE vec_id % 20 = 0 ORDER BY vec_id"),
+    "q_text_diversity" ->
+      s"""WITH ch AS (
+         |  SELECT doc_id, substr(text, CAST(i AS INTEGER), 1) AS c
+         |  FROM (SELECT doc_id, text, unnest(range(1, length(text) + 1)) AS i
+         |        FROM documents)),
+         |cf AS (SELECT doc_id, c, count(*) AS n FROM ch GROUP BY 1, 2),
+         |cd AS (SELECT doc_id,
+         |         round(1.0 - CAST(sum(n * n) AS DOUBLE)
+         |           / CAST(sum(n) * sum(n) AS DOUBLE), 6) AS char_div
+         |       FROM cf GROUP BY doc_id),
+         |tk AS (SELECT doc_id, unnest($toksSql) AS w FROM documents),
+         |tf2 AS (SELECT doc_id, w, count(*) AS n FROM tk GROUP BY 1, 2),
+         |td AS (SELECT doc_id,
+         |         round(1.0 - CAST(sum(n * n) AS DOUBLE)
+         |           / CAST(sum(n) * sum(n) AS DOUBLE), 6) AS token_div
+         |       FROM tf2 GROUP BY doc_id)
+         |SELECT d.doc_id, coalesce(cd.char_div, 0.0) AS char_div,
+         |       coalesce(td.token_div, 0.0) AS token_div
+         |FROM documents d
+         |LEFT JOIN cd USING (doc_id) LEFT JOIN td USING (doc_id)
+         |ORDER BY d.doc_id""".stripMargin,
     "q_rank_normalize" ->
       ("SELECT doc_id, lang, n_chars, round(percent_rank() OVER " +
         "(PARTITION BY lang ORDER BY n_chars), 6) AS pct_rank " +

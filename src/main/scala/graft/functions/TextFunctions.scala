@@ -223,4 +223,39 @@ object TextFunctions {
         transform(sequence(lit(0), nWin - 1), i => array_min(slice(hashes, i + 1, lit(w)))))
         .otherwise(array(array_min(hashes))))
   }
+
+  /**
+   * Simpson diversity 1 − Σ p² over the elements of `items` — the
+   * repetition/junk signal (boilerplate and keyword-stuffed text score
+   * near 0, natural text high) WITHOUT the transcendental-parity problem
+   * Shannon entropy has across engines. Σ p² = (Σ n_d²)/N² where n_d are
+   * per-distinct counts: Σ n_d² is summed in INTEGER space — exact,
+   * order-free, partition-free — and exactly ONE float division happens
+   * at the end, so any engine computing the same counts produces the
+   * bit-identical double. Empty input → 0.
+   *
+   * Cost is O(|distinct| × |items|) per row — row-local, no shuffle;
+   * fine for documents, size-cap upstream for megabyte blobs.
+   */
+  def simpsonDiversity(items: Column): Column = {
+    val sumSq = aggregate(
+      transform(array_distinct(items),
+        d => size(filter(items, x => x === d)).cast("long")),
+      lit(0L), (acc, c) => acc + c * c)
+    val n = size(items).cast("long")
+    when(size(items) === 0, lit(0.0))
+      .otherwise(round(
+        lit(1.0) - sumSq.cast("double") / (n * n).cast("double"), 6))
+  }
+
+  /** Character-level Simpson diversity of `text` (one-char substrings —
+    * NOT `split(text, '')`, whose trailing-empty semantics differ from
+    * DuckDB's `string_split`). */
+  def charDiversity(text: Column): Column =
+    when(length(text) === 0 || text.isNull, lit(0.0))
+      .otherwise(simpsonDiversity(
+        transform(sequence(lit(1), length(text)), i => text.substr(i, lit(1)))))
+
+  /** Token-level Simpson diversity (whitespace tokens). */
+  def tokenDiversity(text: Column): Column = simpsonDiversity(tokens(text))
 }

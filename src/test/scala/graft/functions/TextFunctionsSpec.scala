@@ -173,4 +173,22 @@ class TextFunctionsSpec extends SparkTestBase {
     val emoji = native(1).map(_.asInstanceOf[Double])
     assert(math.abs(emoji.sum - 1.0) < 1e-5) // 7 independently-rounded fractions
   }
+
+  test("Simpson diversity: 0 for single-symbol runs, rising with variety") {
+    val d = df("doc_id BIGINT, text STRING", Seq(
+      Row(1L, "aaaa"),            // one char class → char_div 0
+      Row(2L, "abcd"),            // all distinct → 1 - 4/16 = 0.75
+      Row(3L, "spam spam spam"),  // one token → token_div 0
+      Row(4L, ""),                // empty → char_div 0 by definition
+      Row(5L, "x y z")))          // 3 distinct tokens → 1 - 3/9
+    val out = d.select(col("doc_id"),
+        TF.charDiversity(col("text")).as("c"),
+        TF.tokenDiversity(col("text")).as("t"))
+      .collect().map(r => r.getLong(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    assert(out(1L)._1 == 0.0)
+    assert(out(2L)._1 == 0.75)
+    assert(out(3L)._2 == 0.0)
+    assert(out(4L)._1 == 0.0)
+    assert(out(5L)._2 == 0.666667)
+  }
 }
