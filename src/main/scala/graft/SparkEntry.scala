@@ -500,6 +500,15 @@ object SparkEntry {
       Dedup.ngramContainmentPairs(docs(s, d), "doc_id", "text",
         n = 3, threshold = 0.6).orderBy("id_a", "id_b")),
 
+    // ExactSubstr dedup (Lee et al., ACL'22): pairs sharing a verbatim
+    // ≥30-char run, with the longest-run length from diagonal islands.
+    // The one dedup mode the set-based family can't express — a long
+    // quote inside two otherwise-different docs has near-zero Jaccard
+    // but a 100+-char max_run_chars here.
+    "q_dedup_substring" -> ((s, d) =>
+      Dedup.substringDupSpans(docs(s, d), "doc_id", "text", minLen = 30)
+        .orderBy("id_a", "id_b")),
+
     // Normalized-exact dedup over docs ∪ case/punctuation-perturbed twins
     // (UPPER + trailing ' !!'): every twin normalizes to its original's
     // key, so survivors = the min-id representative per normalized text.
@@ -2284,6 +2293,29 @@ object SparkEntry {
         |  ON levenshtein(replace(p.s_name, 'Supplier#', 'Suplier#'), r.s_name) <= 1
         |ORDER BY probe_id, ref_id""".stripMargin,
     "q_dedup_ngram" -> ngramJaccardOracle(n = 3, threshold = 0.5),
+    // Mirrors Dedup.substringDupSpans: sliding 30-char windows, matches
+    // grouped into diagonal islands (pos_a - pos_b constant, consecutive
+    // pos_a), longest island -> longest shared run. DuckDB joins on the
+    // window text directly; Spark keys the join on xxhash64 with a
+    // residual text-equality filter — same match set by construction.
+    "q_dedup_substring" ->
+      """WITH p AS (
+        |  SELECT doc_id AS id, text,
+        |         unnest(range(1, greatest(length(text) - 28, 1))) AS pos
+        |  FROM documents WHERE length(text) >= 30),
+        |s AS (SELECT id, pos, substr(text, pos, 30) AS sub FROM p),
+        |sh AS (SELECT a.id AS id_a, b.id AS id_b, a.pos AS pos_a, b.pos AS pos_b
+        |       FROM s a JOIN s b ON a.sub = b.sub AND a.id < b.id),
+        |isl AS (SELECT id_a, id_b, pos_a,
+        |          pos_a - row_number() OVER (
+        |            PARTITION BY id_a, id_b, pos_a - pos_b ORDER BY pos_a) AS grp,
+        |          pos_a - pos_b AS diag
+        |        FROM sh),
+        |runs AS (SELECT id_a, id_b, count(*) AS rw
+        |         FROM isl GROUP BY id_a, id_b, diag, grp)
+        |SELECT id_a, id_b, CAST(sum(rw) AS BIGINT) AS shared_windows,
+        |       CAST(29 + max(rw) AS BIGINT) AS max_run_chars
+        |FROM runs GROUP BY id_a, id_b ORDER BY id_a, id_b""".stripMargin,
     "q_dedup_ngram_capped" ->
       ngramJaccardOracle(n = 3, threshold = 0.5, maxShingleFreq = Some(5)),
     "q_dedup_simhash_twins" ->

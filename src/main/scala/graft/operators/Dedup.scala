@@ -3,6 +3,7 @@ package graft.operators
 import graft.GraftSession.simhash64
 import graft.functions.TextFunctions._
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /**
@@ -498,5 +499,79 @@ object Dedup {
       .withColumn("hamming", bit_count(col("fp_a").bitwiseXOR(col("fp_b"))))
       .filter(col("hamming") <= maxHamming)
       .select(col("id_a"), col("id_b"), col("hamming"))
+  }
+
+  /**
+   * EXACT shared-substring spans (the "ExactSubstr" dedup mode of Lee et
+   * al., "Deduplicating Training Data Makes Language Models Better",
+   * ACL'22): for every document pair sharing a verbatim character run of
+   * length ≥ `minLen`, report how many length-`minLen` windows they share
+   * and the length of the longest shared run. This is the dedup mode the
+   * set-based family (Jaccard/MinHash/SimHash) cannot express — those
+   * score BAG overlap and lose positions, so a verbatim 500-char quote
+   * inside two otherwise-different documents scores near 0 Jaccard but is
+   * exactly what ExactSubstr exists to find.
+   *
+   * Plan: every sliding `minLen`-char window becomes (id, pos, h=xxhash64,
+   * sub); the self-join keys on the 8-byte hash (partitioner-cheap) with a
+   * residual equality filter on the window text, so precision is exactly 1
+   * — no collision caveat. Shared windows land on "diagonals"
+   * (pos_a − pos_b constant along a contiguous run); a per-diagonal
+   * island detection (pos_a − row_number) turns consecutive windows into
+   * runs, and a run of `r` consecutive windows is a shared substring of
+   * exactly `minLen − 1 + r` chars.
+   *
+   * Scale shape: the window explode amplifies text ~(len − minLen)×, but
+   * each window row is (id, pos, h, sub) and the join shuffles only
+   * matching-hash partitions. At the 100 TB regime the knobs are
+   * `sampleEvery` (keep windows with h ≡ 0 mod s — CONTENT-defined, so
+   * the same window text is kept or dropped in every document; detection
+   * of runs ≥ minLen + s·k becomes probabilistic with p = 1−(1−1/s)^k and
+   * `max_run_chars` degrades to a lower bound — kept windows are rarely
+   * position-adjacent, so islands fragment — while the shuffle shrinks s×)
+   * and `maxWindowFreq` (drop boilerplate
+   * windows hotter than the cap via anti-join, same discipline as
+   * [[ngramJaccardPairs]] — the hot set is small by construction and AQE
+   * broadcasts it). Output: (id_a, id_b, shared_windows, max_run_chars).
+   */
+  def substringDupSpans(
+      df: DataFrame, idCol: String, textCol: String,
+      minLen: Int = 30, maxWindowFreq: Option[Int] = None,
+      sampleEvery: Int = 1): DataFrame = {
+    val w0 = df.select(col(idCol).as("id"), col(textCol).as("t"))
+      .filter(length(col("t")) >= minLen)
+      .select(col("id"),
+        explode(expr(s"sequence(1, length(t) - ${minLen - 1})")).as("pos"),
+        col("t"))
+      .select(col("id"), col("pos"),
+        expr(s"substring(t, pos, $minLen)").as("sub"))
+      .withColumn("h", xxhash64(col("sub")))
+    val sampled =
+      if (sampleEvery > 1) w0.filter(pmod(col("h"), lit(sampleEvery)) === 0)
+      else w0
+    val win = maxWindowFreq match {
+      case Some(cap) =>
+        val hot = sampled.groupBy("h").agg(count(lit(1)).as("f"))
+          .filter(col("f") > cap).select("h")
+        sampled.join(hot, Seq("h"), "left_anti")
+      case None => sampled
+    }
+    val shared = win.as("a").join(win.as("b"),
+        col("a.h") === col("b.h") && col("a.id") < col("b.id") &&
+          col("a.sub") === col("b.sub"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        col("a.pos").as("pos_a"), col("b.pos").as("pos_b"))
+    // (pos_a, pos_b) is unique per pair (window positions are unique per
+    // doc), so row_number over pos_a within a diagonal is collision-free
+    // and the island key (pos_a - rank) is deterministic.
+    val isl = shared
+      .withColumn("diag", col("pos_a") - col("pos_b"))
+      .withColumn("grp", col("pos_a") - row_number().over(
+        Window.partitionBy("id_a", "id_b", "diag").orderBy("pos_a")))
+    isl.groupBy("id_a", "id_b", "diag", "grp")
+      .agg(count(lit(1)).as("rw"))
+      .groupBy("id_a", "id_b")
+      .agg(sum("rw").cast("long").as("shared_windows"),
+        (max("rw") + lit(minLen - 1)).cast("long").as("max_run_chars"))
   }
 }

@@ -161,4 +161,46 @@ class DedupSpec extends SparkTestBase {
       .collect().map(r => (r.getLong(0), r.getLong(1)))
     assert(pairs.distinct.length == pairs.length)
   }
+
+  test("substringDupSpans: exact run lengths, quote detection, no false pairs") {
+    // Docs 1 and 2 share ONLY the verbatim 35-char quote (boundary chars
+    // 1/2 vs 3/4 differ on purpose, so the shared run is exactly the
+    // quote); doc 3 is byte-identical to doc 1; doc 4 shares nothing
+    // 20 chars long with anyone.
+    val quote = "shared verbatim quote inside a text"
+    assert(quote.length == 35)
+    val d = df("id BIGINT, text STRING", Seq(
+      Row(1L, s"first_document_prolog1${quote}2first_document_epilog"),
+      Row(2L, s"other_kind_of_opening3${quote}4rather_different_tail"),
+      Row(3L, s"first_document_prolog1${quote}2first_document_epilog"),
+      Row(4L, "nothing in common with the others at all in this one")))
+    val out = Dedup.substringDupSpans(d, "id", "text", minLen = 20)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)),
+        (r.getAs[Long]("shared_windows"), r.getAs[Long]("max_run_chars")))).toMap
+    // 1-3 identical: one run spanning the whole doc.
+    val full = d.filter(col("id") === 1L).head.getString(1).length
+    assert(out((1L, 3L)) == ((full - 19).toLong, full.toLong))
+    // 1-2 and 2-3 share exactly the 35-char quote: 16 windows of 20.
+    assert(out((1L, 2L)) == ((quote.length - 19).toLong, quote.length.toLong))
+    assert(out((2L, 3L)) == ((quote.length - 19).toLong, quote.length.toLong))
+    assert(!out.keySet.exists(p => p._1 == 4L || p._2 == 4L))
+  }
+
+  test("substringDupSpans: two separate runs on one diagonal do not bridge") {
+    // A shared 25-char prefix run and a shared 40-char suffix run sit at
+    // IDENTICAL offsets (one diagonal), separated by differing middles of
+    // equal length: islands must report the longest single run (40), not
+    // the bridged prefix-to-suffix span. Runs use non-repeating alphabets
+    // so no window matches across or within runs spuriously.
+    val pre = "abcdefghijklmnopqrstuvwxy" // 25 chars, all distinct
+    val suf = "ABCDEFGHIJKLMNOPQRSTUVWXYZ0123456789!@#$" // 40 chars
+    assert(pre.length == 25 && suf.length == 40)
+    val d = df("id BIGINT, text STRING", Seq(
+      Row(1L, pre + ("x" * 25) + suf),
+      Row(2L, pre + ("y" * 25) + suf)))
+    val r = Dedup.substringDupSpans(d, "id", "text", minLen = 20).head()
+    assert(r.getAs[Long]("max_run_chars") == 40L)
+    // runs of 25 and 40 chars yield (25-19)+(40-19) = 27 shared windows
+    assert(r.getAs[Long]("shared_windows") == 27L)
+  }
 }
