@@ -1438,6 +1438,16 @@ object SparkEntry {
         docs(s, d).select(col("lang"), col("n_chars")),
         "lang", "n_chars", Seq(0.5, 0.9, 0.99))),
 
+    // Vocabulary heavy hitters (tokens with freq > n/40) via per-
+    // partition Misra-Gries + exact confirm — the two-phase shape whose
+    // candidate union provably contains every true heavy hitter, so the
+    // probabilistic sketch is invisible in the result (cf. the HLL/GK
+    // verdict gates).
+    "q_heavy_hitters" -> ((s, d) =>
+      graft.operators.Profile.heavyHitters(
+        docs(s, d).select(explode(split(col("text"), " ")).as("tok")),
+        "tok", k = 40).orderBy("value")),
+
     // Keyed pseudonymization for privacy-preserving export: stable
     // sha256(salt ‖ id) hex, NULL-preserving, pure projection.
     "q_pii_pseudo" -> ((s, d) =>
@@ -2298,6 +2308,11 @@ object SparkEntry {
     // pos_a), longest island -> longest shared run. DuckDB joins on the
     // window text directly; Spark keys the join on xxhash64 with a
     // residual text-equality filter — same match set by construction.
+    "q_heavy_hitters" ->
+      """WITH t AS (SELECT unnest(string_split(text, ' ')) AS value FROM documents)
+        |SELECT value, count(*) AS n FROM t GROUP BY value
+        |HAVING count(*) * 40 > (SELECT count(*) FROM t)
+        |ORDER BY value""".stripMargin,
     "q_dedup_substring" ->
       """WITH p AS (
         |  SELECT doc_id AS id, text,

@@ -201,6 +201,59 @@ object Profile {
   }
 
   /**
+   * Exact heavy hitters (values with frequency strictly > n/k) via the
+   * two-phase sketch-then-confirm pattern production systems actually
+   * run: a per-partition Misra–Gries summary (k counters, O(k) memory,
+   * one pass, no shuffle) nominates candidates, and an exact count
+   * restricted to the candidate set confirms. Correctness is a
+   * pigeonhole argument, not a heuristic: a value with global frequency
+   * > n/k must exceed n_p/k in at least one partition p (else summing
+   * the per-partition bounds caps the global at n/k), and k-counter
+   * Misra–Gries retains every value with partition frequency
+   * > n_p/(k+1) ⊇ > n_p/k — so the candidate union contains every true
+   * heavy hitter, and the confirm's exact counts + threshold filter
+   * leave exactly the true set with exact counts. Deterministic output
+   * (the sketch's order-dependence only affects which EXTRA candidates
+   * get nominated, and the confirm discards those), which is what makes
+   * the gate oracle-expressible as plain GROUP BY ... HAVING.
+   *
+   * Scale shape: the sketch pass is mapPartitions with a k-entry map —
+   * no shuffle, no driver state; candidates are ≤ partitions × k rows,
+   * broadcast into the confirm's pre-aggregation filter, so the count
+   * shuffle carries candidate values only (≤ k distinct keys survive
+   * the filter's groupBy map-side combine, vs the full value domain for
+   * a naive global count). n rides along as a broadcast 1-row frame
+   * (the BM25 stats pattern), never a driver collect. NULLs are
+   * excluded (their count is [[profile]]'s job; a null key would also
+   * silently vanish from the confirm's equi-join).
+   */
+  def heavyHitters(df: DataFrame, colName: String, k: Int): DataFrame = {
+    require(k >= 2, "k must be >= 2")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val vals = df.select(col(colName).cast("string").as("value"))
+      .where(col("value").isNotNull)
+    val cands = vals.as[String].mapPartitions { it =>
+      val m = scala.collection.mutable.HashMap.empty[String, Long]
+      it.foreach { v =>
+        if (m.contains(v)) m(v) += 1L
+        else if (m.size < k) m(v) = 1L
+        else {
+          m.mapValuesInPlace((_, c) => c - 1L)
+          m.filterInPlace((_, c) => c > 0L)
+        }
+      }
+      m.keysIterator
+    }.toDF("value").distinct()
+    val total = vals.agg(count(lit(1)).as("__n"))
+    vals.join(broadcast(cands), "value")
+      .groupBy("value").agg(count(lit(1)).as("n"))
+      .crossJoin(broadcast(total))
+      .where(col("n") * lit(k) > col("__n"))
+      .select(col("value"), col("n"))
+  }
+
+  /**
    * Per-key winsorization — clip values to their key's exact
    * [pLo, pHi] quantile band (the standard tail-taming step before
    * feature scaling or reward normalization). Bounds are [[quantiles]]'

@@ -155,4 +155,29 @@ class ProfileSpec extends SparkTestBase {
     assert(out(4L) == 1.0)
     assert(out(5L) == 0.0)   // single-row group
   }
+
+  test("heavyHitters: exactly the values with freq > n/k, exact counts") {
+    // 100 rows: 'a'×40, 'b'×25, 'c'×20, then 15 singletons. k=5 →
+    // threshold n/k = 20: a and b strictly exceed, c equals (excluded).
+    val rows = (Seq.fill(40)("a") ++ Seq.fill(25)("b") ++ Seq.fill(20)("c") ++
+      (1 to 15).map(i => s"s$i")).map(Row(_))
+    val d = df("v STRING", rows)
+    val out = Profile.heavyHitters(d, "v", k = 5)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(out == Map("a" -> 40L, "b" -> 25L))
+  }
+
+  test("heavyHitters: result is partitioning-independent and null-free") {
+    val rows = (Seq.fill(9)("hot") ++ (1 to 30).map(i => s"cold$i") ++
+      Seq.fill(3)(null: String)).map(Row(_))
+    val d = df("v STRING", rows)
+    // 39 non-null rows, k=4 → threshold 9.75: no value qualifies at 9…
+    assert(Profile.heavyHitters(d, "v", k = 4).count() == 0L)
+    // …but k=5 → threshold 7.8: 'hot' (9) qualifies under any repartition.
+    for (p <- Seq(1, 3, 13)) {
+      val out = Profile.heavyHitters(d.repartition(p), "v", k = 5)
+        .collect().map(r => (r.getString(0), r.getLong(1)))
+      assert(out.toSeq == Seq(("hot", 9L)), s"partitions=$p")
+    }
+  }
 }
