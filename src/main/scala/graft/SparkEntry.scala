@@ -1013,6 +1013,14 @@ object SparkEntry {
       graft.operators.Vocab.bpeMergeCandidates(docs(s, d), "text", k = 20)
         .orderBy("rank")),
 
+    // BPE encoding with a fixed learned merge table: the merge list is
+    // compiled INTO the plan as a rank-ordered replace chain (no join),
+    // so the only shuffle is the map-side-combined per-doc sum.
+    "q_vocab_encode" -> ((s, d) =>
+      graft.operators.Vocab.bpeTokenCount(docs(s, d), "doc_id", "text",
+          bpeGateMerges)
+        .orderBy("id")),
+
     // --- SFT / preference-data assembly --------------------------------
 
     // Chat-template rendering: documents re-keyed into 4-turn
@@ -1959,6 +1967,31 @@ object SparkEntry {
 
   private val toksSql = "regexp_split_to_array(trim(text), '[ \\t\\n\\x0b\\f\\r]+')"
 
+  /** Fixed well-formed merge list for the BPE-encode gate (each merge's
+    * symbols are single chars or outputs of earlier merges). */
+  private val bpeGateMerges = Seq(
+    ("s", "c"), ("sc", "a"), ("sca", "n"),
+    ("j", "o"), ("jo", "i"), ("joi", "n"),
+    ("r", "o"), ("ro", "w"))
+
+  /** DuckDB oracle for [[graft.operators.Vocab.bpeTokenCount]]: the same
+    * char-spacing regex and rank-ordered literal-replace chain, built
+    * from the same merge list. */
+  private def bpeEncodeOracle(merges: Seq[(String, String)]): String = {
+    val spaced = "trim(regexp_replace(w, '(.)', '\\1 ', 'g'))"
+    val merged = merges.foldLeft(spaced) { case (e, (a, b)) =>
+      s"replace($e, '$a $b', '$a$b')"
+    }
+    s"""WITH t AS (SELECT doc_id AS id,
+       |  unnest(regexp_split_to_array(trim(lower(text)), '[ \\t\\n\\x0b\\f\\r]+')) AS w
+       |  FROM documents),
+       |nz AS (SELECT id, w FROM t WHERE length(w) > 0),
+       |enc AS (SELECT id, len(string_split($merged, ' ')) AS wt FROM nz),
+       |s AS (SELECT id, CAST(sum(wt) AS BIGINT) AS n FROM enc GROUP BY id)
+       |SELECT d.doc_id AS id, CAST(coalesce(s.n, 0) AS BIGINT) AS n_tokens
+       |FROM documents d LEFT JOIN s ON d.doc_id = s.id ORDER BY id""".stripMargin
+  }
+
   /**
    * DuckDB oracle for n-gram Jaccard pairs — string shingles instead of
    * xxhash64'd ones (identical Jaccard absent hash collisions; 64-bit
@@ -2602,6 +2635,7 @@ object SparkEntry {
          |SELECT CAST(row_number() OVER (ORDER BY cnt DESC, pair ASC) AS BIGINT) AS rank,
          |       pair, cnt
          |FROM c ORDER BY cnt DESC, pair ASC LIMIT 20""".stripMargin,
+    "q_vocab_encode" -> bpeEncodeOracle(bpeGateMerges),
     "q_sft_render" ->
       s"""WITH t AS ($sftTurnsSql)
          |SELECT conv_id, count(*) AS n_turns,

@@ -73,4 +73,51 @@ object Vocab {
       .withColumn("oov_rate",
         round(col("n_oov").cast("double") / col("n_tokens").cast("double"), 6))
   }
+
+  /**
+   * BPE ENCODING with a learned merge list — the other half of
+   * [[bpeMergeCandidates]]: per-document token count after applying
+   * `merges` (ordered by rank) to every lowercased whitespace word. The
+   * real token-budget signal: [[TextFunctions]]' regex count
+   * approximates a tokenizer; this IS one, for the given merge table.
+   *
+   * Encoding is per-word symbol rewriting: the word becomes a
+   * space-separated symbol string ("t h e"), and each merge (a,b), in
+   * rank order, rewrites every non-overlapping "a b" to "ab" — a chain
+   * of literal `replace` calls, one per merge. For a WELL-FORMED merge
+   * list (each merge's two symbols are single characters or outputs of
+   * EARLIER merges — true of any list actually learned by BPE training,
+   * which can only pair symbols that already exist) this single
+   * rank-ordered pass is exactly the iterated highest-priority-first
+   * encoding loop: a merge can never create an adjacency for an
+   * earlier-ranked merge, because that earlier merge's constituents
+   * were all formed before it.
+   *
+   * Scale shape: pure codegen'd string expressions (explode + replace
+   * chain + split/size), one map-side-combined sum shuffle on doc id —
+   * the merge table is compiled INTO the plan, not joined. Merge lists
+   * are bounded (50k for GPT-2); each merge is one literal replace, and
+   * for very long lists the chain should be built in rank order exactly
+   * as here, just from a collected merge table.
+   */
+  def bpeTokenCount(df: DataFrame, idCol: String, textCol: String,
+                    merges: Seq[(String, String)]): DataFrame = {
+    require(merges.forall { case (a, b) =>
+      a.nonEmpty && b.nonEmpty && !(a + b).contains(' ') },
+      "merge symbols must be non-empty and space-free")
+    val toks = df.select(col(idCol).as("id"),
+      explode(TextFunctions.tokens(lower(col(textCol)))).as("w"))
+      .filter(length(col("w")) > 0)
+    val spaced = trim(regexp_replace(col("w"), "(.)", "$1 "))
+    val merged = merges.foldLeft(spaced) { case (c, (a, b)) =>
+      replace(c, lit(s"$a $b"), lit(a + b))
+    }
+    val counts = toks
+      .select(col("id"), size(split(merged, " ")).cast("long").as("wt"))
+      .groupBy("id").agg(sum("wt").as("n_tokens"))
+    // empty/whitespace-only docs still get a row (0 tokens)
+    df.select(col(idCol).as("id")).join(counts, Seq("id"), "left")
+      .select(col("id"),
+        coalesce(col("n_tokens"), lit(0L)).cast("long").as("n_tokens"))
+  }
 }

@@ -358,6 +358,27 @@ class CurationSpec extends SparkTestBase {
     assert(out == Seq((1L, "aa", 4L), (2L, "ab", 1L)))
   }
 
+  test("Vocab.bpeTokenCount applies merges in rank order, matching the BPE loop") {
+    // Merge list learned-order well-formed: (t,h) -> th, (th,e) -> the,
+    // (i,n) -> in. "the" encodes to 1 token, "thin" to th+in = 2,
+    // "other" to o+the+r = 3 (the (th,e) merge fires inside a longer
+    // word), "ten" to t+e+n = 3 (no t-h adjacency).
+    val merges = Seq(("t", "h"), ("th", "e"), ("i", "n"))
+    val docs = df("doc_id INT, text STRING", Seq(
+      doc(1, "the thin other"),   // 1 + 2 + 3 = 6
+      doc(2, "TEN the"),          // lowercased: 3 + 1 = 4
+      doc(3, "   ")))             // whitespace-only -> 0
+    val out = Vocab.bpeTokenCount(docs, "doc_id", "text", merges)
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(out == Map(1 -> 6L, 2 -> 4L, 3 -> 0L))
+  }
+
+  test("Vocab.bpeTokenCount with no merges equals character count of words") {
+    val docs = df("doc_id INT, text STRING", Seq(doc(1, "ab cde")))
+    val out = Vocab.bpeTokenCount(docs, "doc_id", "text", Nil).head()
+    assert(out.getLong(1) == 5L)
+  }
+
   test("Chunk splits documents into overlapping token windows") {
     val docs = df("doc_id INT, text STRING", Seq(
       doc(1, (1 to 10).map(i => s"w$i").mkString(" ")), // 10 tokens
