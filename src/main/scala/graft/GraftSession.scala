@@ -81,6 +81,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     injectComposed("canonical_url", graft.operators.Web.canonicalUrl)
     injectComposed("extract_html_text", graft.operators.Web.extractText)
     inject("script_profile", cs => ScriptProfile(cs.head), classOf[ScriptProfile])
+    inject("simpson_chars", cs => SimpsonChars(cs.head), classOf[SimpsonChars])
+    inject("simpson_tokens", cs => SimpsonTokens(cs.head), classOf[SimpsonTokens])
+    inject("dsir_buckets", cs => DsirBuckets(cs(0),
+      intArg(cs(1), "dsir_buckets", 1)), classOf[DsirBuckets])
   }
 }
 

@@ -1697,6 +1697,16 @@ object SparkEntry {
           docs(s, d), "doc_id", "text")
         .orderBy("doc_id")),
 
+    // DSIR importance weights: target = the English slice, raw = the
+    // whole corpus — positive weight ⇒ doc looks more like the target
+    // distribution than the raw one under hashed unigram+bigram feats.
+    "q_dsir_weights" -> ((s, d) => {
+      val ds = docs(s, d)
+      graft.operators.Dsir.importanceWeights(
+          ds, ds.filter(col("lang") === "en"), "doc_id", "text")
+        .orderBy("doc_id")
+    }),
+
     // Join-free inline line blocklist (the streaming-safe variant of
     // q_lines_dedup, known hot set shipped as a literal).
     "q_lines_inline" -> ((s, d) =>
@@ -3242,6 +3252,47 @@ object SparkEntry {
         |SELECT d.doc_id, CAST(coalesce(s.n_tokens, 0) AS BIGINT) AS n_tokens, s.nll
         |FROM documents d LEFT JOIN scored s USING (doc_id)
         |ORDER BY doc_id""".stripMargin,
+    // DSIR: the polynomial bucket hash is reproduced character-by-
+    // character — list_reduce seeds with the first code point, which
+    // equals the Spark fold's first step because PolyMod > 0x10FFFF.
+    "q_dsir_weights" ->
+      """WITH toks AS (
+        |  SELECT doc_id, lang,
+        |    regexp_split_to_array(trim(lower(text)), '[ \t\n\x0b\f\r]+') AS ws
+        |  FROM documents),
+        |uni AS (
+        |  SELECT doc_id, lang, w, i
+        |  FROM (SELECT doc_id, lang, unnest(ws) AS w,
+        |               unnest(range(1, len(ws) + 1)) AS i FROM toks)
+        |  WHERE length(w) > 0),
+        |feats AS (
+        |  SELECT doc_id, lang, w AS f FROM uni
+        |  UNION ALL
+        |  SELECT a.doc_id, a.lang, a.w || ' ' || b.w
+        |  FROM uni a JOIN uni b ON a.doc_id = b.doc_id AND b.i = a.i + 1),
+        |fb AS (
+        |  SELECT doc_id, lang,
+        |    list_reduce(list_transform(string_split(f, ''), x -> unicode(x)),
+        |                (h, c) -> (h * 31 + c) % 2000003) % 4096 AS b
+        |  FROM feats),
+        |tc AS (SELECT b, count(*) AS ct FROM fb WHERE lang = 'en' GROUP BY 1),
+        |rc AS (SELECT b, count(*) AS cr FROM fb GROUP BY 1),
+        |tot AS (SELECT (SELECT CAST(sum(ct) AS DOUBLE) FROM tc) AS tt,
+        |               (SELECT CAST(sum(cr) AS DOUBLE) FROM rc) AS tr),
+        |df AS (SELECT doc_id, b, count(*) AS c FROM fb GROUP BY 1, 2),
+        |con AS (
+        |  SELECT doc_id, c,
+        |    round(CAST(c AS DOUBLE) *
+        |          (ln((coalesce(ct, 0) + 1.0) / (tt + 1.0 * 4096)) -
+        |           ln((coalesce(cr, 0) + 1.0) / (tr + 1.0 * 4096))), 9) AS w
+        |  FROM df LEFT JOIN tc USING (b) LEFT JOIN rc USING (b) CROSS JOIN tot),
+        |s AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_feats,
+        |        round(CAST(sum(CAST(w AS DECIMAL(20,9))) AS DOUBLE), 6)
+        |          AS dsir_weight
+        |      FROM con GROUP BY 1)
+        |SELECT d.doc_id, CAST(coalesce(s.n_feats, 0) AS BIGINT) AS n_feats,
+        |       s.dsir_weight
+        |FROM documents d LEFT JOIN s USING (doc_id) ORDER BY doc_id""".stripMargin,
     "q_lines_inline" ->
       s"""WITH d2 AS ($lineDocsSql)
          |SELECT doc_id, array_to_string(

@@ -4,7 +4,7 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{Expression, GenericInternalRow, UnaryExpression, XXH64}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
-import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, LongType, StringType, StructField, StructType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, IntegerType, LongType, StringType, StructField, StructType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /**
@@ -228,6 +228,89 @@ object NativeText {
     new GenericInternalRow(Array[Any](
       f(latin), f(digit), f(space), f(cjk), f(cyr), f(ar), f(other)))
   }
+
+  /**
+   * Simpson diversity 1 − Σp² in one pass: per-distinct counts in a hash
+   * map, Σn² in INTEGER space, exactly one float division + round6 at
+   * the end — bit-identical to TextFunctions.simpsonDiversity's
+   * transform/filter formulation (spec-pinned) without its
+   * O(|distinct|·|items|) interpreted-HOF cost.
+   */
+  private def simpson(counts: java.util.Collection[java.lang.Long],
+                      n: Long): Double = {
+    if (n == 0L) return 0.0
+    var sumSq = 0L
+    val it = counts.iterator()
+    while (it.hasNext) { val c = it.next().longValue(); sumSq += c * c }
+    round6(1.0 - sumSq.toDouble / (n.toDouble * n.toDouble))
+  }
+
+  /** Character (code-point) Simpson diversity — `length`/`substr` count
+    * code points, so iteration is by code point too. Empty → 0. */
+  def simpsonChars(text: UTF8String): Double = {
+    val s = text.toString
+    val counts = new java.util.HashMap[Integer, java.lang.Long]()
+    var i = 0
+    var n = 0L
+    while (i < s.length) {
+      val cp = s.codePointAt(i)
+      counts.merge(cp, 1L, (a, b) => a + b)
+      n += 1
+      i += Character.charCount(cp)
+    }
+    simpson(counts.values, n)
+  }
+
+  /** Whitespace-token Simpson diversity; empty text yields the single
+    * empty token (split semantics), hence diversity 0. */
+  def simpsonTokens(text: UTF8String): Double = {
+    val toks = sparkTokens(text.toString)
+    val counts = new java.util.HashMap[String, java.lang.Long]()
+    var i = 0
+    while (i < toks.length) {
+      counts.merge(toks(i), 1L, (a, b) => a + b)
+      i += 1
+    }
+    simpson(counts.values, toks.length.toLong)
+  }
+
+  /** Engine-portable polynomial hash: fold (h·31 + codepoint) mod
+    * 2000003 over the string's code points, then mod `buckets`. The
+    * modulus is a prime ABOVE 0x10FFFF so the first code point is
+    * already < M — DuckDB's seedless `list_reduce` (first element as
+    * accumulator) and this 0-seeded fold then agree from step one,
+    * making the bucket ids reproducible in plain SQL on any engine. */
+  private final val PolyMod = 2000003L
+
+  private def polyBucket(s: String, buckets: Int): Int = {
+    var h = 0L
+    var i = 0
+    while (i < s.length) {
+      val cp = s.codePointAt(i)
+      h = (h * 31L + cp) % PolyMod
+      i += Character.charCount(cp)
+    }
+    (h % buckets).toInt
+  }
+
+  /** DSIR hashed features of one document: bucket ids of every
+    * whitespace token (unigrams) followed by every adjacent token pair
+    * joined with a single space (bigrams) — 2n−1 ints for n tokens,
+    * empty tokens dropped. One pass, no string re-allocation beyond the
+    * bigram join. */
+  def dsirBuckets(text: UTF8String, buckets: Int): ArrayData = {
+    val toks = sparkTokens(text.toString).filter(_.nonEmpty)
+    val n = toks.length
+    val out = new Array[Int](if (n == 0) 0 else 2 * n - 1)
+    var i = 0
+    while (i < n) { out(i) = polyBucket(toks(i), buckets); i += 1 }
+    i = 0
+    while (i < n - 1) {
+      out(n + i) = polyBucket(toks(i) + " " + toks(i + 1), buckets)
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
 }
 
 /** `hashed_shingles(text)` → array<bigint> — see [[NativeText.shingleHashes]]. */
@@ -303,6 +386,42 @@ case class NfcNormalize(child: Expression) extends UnaryExpression {
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev, c => s"graft.functions.NativeText.nfc($c)")
   override protected def withNewChildInternal(newChild: Expression): NfcNormalize =
+    copy(child = newChild)
+}
+
+/** `simpson_chars(text)` → double — see [[NativeText.simpsonChars]]. */
+case class SimpsonChars(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "simpson_chars"
+  override protected def nullSafeEval(input: Any): Any =
+    NativeText.simpsonChars(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.NativeText.simpsonChars($c)")
+  override protected def withNewChildInternal(newChild: Expression): SimpsonChars =
+    copy(child = newChild)
+}
+
+/** `simpson_tokens(text)` → double — see [[NativeText.simpsonTokens]]. */
+case class SimpsonTokens(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "simpson_tokens"
+  override protected def nullSafeEval(input: Any): Any =
+    NativeText.simpsonTokens(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.NativeText.simpsonTokens($c)")
+  override protected def withNewChildInternal(newChild: Expression): SimpsonTokens =
+    copy(child = newChild)
+}
+
+/** `dsir_buckets(text, B)` → array<int> — see [[NativeText.dsirBuckets]]. */
+case class DsirBuckets(child: Expression, buckets: Int) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def prettyName: String = "dsir_buckets"
+  override protected def nullSafeEval(input: Any): Any =
+    NativeText.dsirBuckets(input.asInstanceOf[UTF8String], buckets)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.NativeText.dsirBuckets($c, $buckets)")
+  override protected def withNewChildInternal(newChild: Expression): DsirBuckets =
     copy(child = newChild)
 }
 

@@ -1,0 +1,83 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.functions.TextFunctions
+
+/**
+ * Data Selection via Importance Resampling (DSIR; Xie et al.,
+ * NeurIPS 2023): score every raw document by how much more likely its
+ * hashed n-gram features are under a small TARGET corpus (the
+ * distribution you want more of — curated text, a domain, a language
+ * register) than under the raw corpus itself. Sampling proportional to
+ * exp(weight) then reshapes 100 TB of web crawl toward the target
+ * distribution — the published recipe behind domain-targeted pretraining
+ * mixes. Reference scope: the quality/selection stage of the wrangler's
+ * curation flow (ui/src/App.tsx:1007-1446 stage repair feeds the same
+ * filter surface); the estimator itself is from the paper.
+ *
+ * Features are unigram + adjacent-bigram buckets (`dsir_buckets`, an
+ * engine-portable polynomial hash — NativeText.dsirBuckets), so the
+ * "vocabulary" is a FIXED `buckets`-sized space: both bucket-count
+ * tables are ≤ `buckets` rows no matter the corpus size. With add-α
+ * smoothing over that space,
+ *
+ *   weight(d) = Σ_b c_b(d) · [ ln p̂_target(b) − ln p̂_raw(b) ]
+ *   p̂(b)     = (count(b) + α) / (total + α·B)
+ *
+ * Scale shape: two map-side-combined aggregations build the bucket
+ * tables (≤B rows each — AQE broadcasts them into the per-document
+ * join); corpus totals ride a broadcast one-row aggregate, never a
+ * driver collect. Per-(doc, bucket) contributions round to 9 dp and sum
+ * as DECIMAL(20,9) — associative, so partition order can't move the
+ * hash (same float-determinism policy as LmScore / Search.bm25TopK).
+ * The doc-side feature aggregation is the only data-sized shuffle.
+ */
+object Dsir {
+
+  /**
+   * `(doc_id, n_feats, dsir_weight)` for every row of `raw` — weight
+   * rounded to 6 dp; documents with no tokens get NULL weight (no
+   * evidence) and n_feats 0. `target` is typically a filtered subset of
+   * `raw` or a separate curated table; only its text column is read.
+   */
+  def importanceWeights(raw: DataFrame, target: DataFrame,
+                        idCol: String, textCol: String,
+                        buckets: Int = 4096,
+                        alpha: Double = 1.0): DataFrame = {
+    require(buckets > 0 && alpha > 0, "buckets and alpha must be positive")
+
+    def feats(df: DataFrame) =
+      df.select(explode(
+        TextFunctions.dsirBuckets(lower(col(textCol)), buckets)).as("b"))
+
+    val tCounts = feats(target).groupBy("b").agg(count(lit(1)).as("ct"))
+    val rCounts = feats(raw).groupBy("b").agg(count(lit(1)).as("cr"))
+    val totals = broadcast(
+      tCounts.agg(sum("ct").cast("double").as("tt"))
+        .crossJoin(rCounts.agg(sum("cr").cast("double").as("tr"))))
+
+    val docFeats = raw
+      .select(col(idCol).as("doc_id"),
+        explode(TextFunctions.dsirBuckets(lower(col(textCol)), buckets))
+          .as("b"))
+      .groupBy("doc_id", "b").agg(count(lit(1)).as("c"))
+
+    val contrib = docFeats
+      .join(tCounts, Seq("b"), "left")
+      .join(rCounts, Seq("b"), "left")
+      .crossJoin(totals)
+      .withColumn("w", round(
+        col("c").cast("double") *
+          (log((coalesce(col("ct"), lit(0L)) + lit(alpha)) /
+               (col("tt") + lit(alpha * buckets))) -
+           log((coalesce(col("cr"), lit(0L)) + lit(alpha)) /
+               (col("tr") + lit(alpha * buckets)))), 9))
+    val scored = contrib.groupBy("doc_id").agg(
+      sum("c").as("n_feats"),
+      round(sum(col("w").cast("decimal(20,9)")).cast("double"), 6)
+        .as("dsir_weight"))
+    raw.select(col(idCol).as("doc_id")).join(scored, Seq("doc_id"), "left")
+      .withColumn("n_feats", coalesce(col("n_feats"), lit(0L)))
+  }
+}

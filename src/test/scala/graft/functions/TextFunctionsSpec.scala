@@ -191,4 +191,22 @@ class TextFunctionsSpec extends SparkTestBase {
     assert(out(4L)._1 == 0.0)
     assert(out(5L)._2 == 0.666667)
   }
+
+  test("native Simpson diversity is value-identical to the HOF formulation") {
+    val texts = Seq("aaaa", "abcd", "héllo wörld", "x 😀 x 😀 y",
+      "  padded  ", "a\tb\nc", "", "singleton", "ab cd " * 40)
+    val d = df("text STRING", texts.map(Row(_)))
+    // the pre-native formulations, verbatim
+    val hofChar = when(length(col("text")) === 0 || col("text").isNull, lit(0.0))
+      .otherwise(TF.simpsonDiversity(
+        transform(sequence(lit(1), length(col("text"))),
+          i => col("text").substr(i, lit(1)))))
+    val hofTok = TF.simpsonDiversity(TF.tokens(col("text")))
+    d.select(TF.charDiversity(col("text")).as("nc"), hofChar.as("hc"),
+        TF.tokenDiversity(col("text")).as("nt"), hofTok.as("ht"))
+      .collect().foreach { r =>
+        assert(r.getDouble(0) == r.getDouble(1), s"char: $r")
+        assert(r.getDouble(2) == r.getDouble(3), s"token: $r")
+      }
+  }
 }
