@@ -512,10 +512,18 @@ object Dedup {
    * inside two otherwise-different documents scores near 0 Jaccard but is
    * exactly what ExactSubstr exists to find.
    *
-   * Plan: every sliding `minLen`-char window becomes (id, pos, h=xxhash64,
-   * sub); the self-join keys on the 8-byte hash (partitioner-cheap) with a
-   * residual equality filter on the window text, so precision is exactly 1
-   * — no collision caveat. Shared windows land on "diagonals"
+   * Plan: every sliding `minLen`-char window becomes a 28-byte
+   * (id, pos, h, h2) row — TWO independently-seeded xxhash64 values of
+   * the window, never the window text itself (128 collision bits, the
+   * same digest-equality standard [[exactDuplicates]] rests on: a false
+   * pair needs a 2⁻¹²⁸ double collision — below any physical corpus
+   * size). Occurrences group on the digest in ONE map-side-combined
+   * shuffle; groups of size 1 — almost all of them — die in a size
+   * filter, and surviving groups expand to cross pairs. Keeping text
+   * out of the exchange matters more than anything else here: window
+   * rows amplify the corpus ~(len − minLen)×, so every byte per row is
+   * a byte × corpus-length in the shuffle. Shared windows land on
+   * "diagonals"
    * (pos_a − pos_b constant along a contiguous run); a per-diagonal
    * island detection (pos_a − row_number) turns consecutive windows into
    * runs, and a run of `r` consecutive windows is a shared substring of
@@ -529,36 +537,60 @@ object Dedup {
    * of runs ≥ minLen + s·k becomes probabilistic with p = 1−(1−1/s)^k and
    * `max_run_chars` degrades to a lower bound — kept windows are rarely
    * position-adjacent, so islands fragment — while the shuffle shrinks s×)
-   * and `maxWindowFreq` (drop boilerplate
-   * windows hotter than the cap via anti-join, same discipline as
-   * [[ngramJaccardPairs]] — the hot set is small by construction and AQE
-   * broadcasts it). Output: (id_a, id_b, shared_windows, max_run_chars).
+   * and `maxWindowFreq` (skip digest groups larger than the cap BEFORE
+   * pair expansion — the boilerplate knob is a size comparison on the
+   * already-grouped rows, bounding the output at cap²/2 pairs per
+   * window). Output: (id_a, id_b, shared_windows, max_run_chars).
    */
   def substringDupSpans(
       df: DataFrame, idCol: String, textCol: String,
       minLen: Int = 30, maxWindowFreq: Option[Int] = None,
       sampleEvery: Int = 1): DataFrame = {
+    // The window explode amplifies each input split ~(len − minLen)×
+    // BEFORE the first exchange, so scan-partition boundaries, not
+    // cores, would bound the hashing stage (one 128 MB split → one task
+    // doing 268× its byte weight). A doc-id repartition first is a
+    // shuffle of the SMALL pre-explode rows that lets the amplified
+    // stage use every core.
     val w0 = df.select(col(idCol).as("id"), col(textCol).as("t"))
       .filter(length(col("t")) >= minLen)
+      .repartition(col("id"))
       .select(col("id"),
         explode(expr(s"sequence(1, length(t) - ${minLen - 1})")).as("pos"),
         col("t"))
       .select(col("id"), col("pos"),
         expr(s"substring(t, pos, $minLen)").as("sub"))
-      .withColumn("h", xxhash64(col("sub")))
+      .select(col("id"), col("pos"),
+        xxhash64(col("sub")).as("h"),
+        // different seed chain: XXH64(sub, XXH64(1L, 42)) vs XXH64(sub, 42)
+        xxhash64(lit(1L), col("sub")).as("h2"))
     val sampled =
       if (sampleEvery > 1) w0.filter(pmod(col("h"), lit(sampleEvery)) === 0)
       else w0
-    val win = maxWindowFreq match {
-      case Some(cap) =>
-        val hot = sampled.groupBy("h").agg(count(lit(1)).as("f"))
-          .filter(col("f") > cap).select("h")
-        sampled.join(hot, Seq("h"), "left_anti")
-      case None => sampled
+    // ONE evaluation of the amplified window stream, ONE digest-keyed
+    // shuffle. A windowed count tags every occurrence with its group
+    // size so singletons — almost all rows — die in a plain filter;
+    // collect_list then runs only on survivors AND reuses the window's
+    // (h, h2) hash partitioning (no second exchange), dodging the
+    // object-aggregation GC cost of building 1-element lists for every
+    // unique window (measured 2× the whole query). A self-join
+    // formulation is worse still: it evaluates the explode lineage
+    // three times (dup-set + both sides). `maxWindowFreq` becomes a
+    // pre-expansion comparison on the same count, not an anti-join.
+    val winSpec = Window.partitionBy("h", "h2")
+    val occ = sampled
+      .withColumn("cnt", count(lit(1)).over(winSpec))
+      .filter(col("cnt") >= 2)
+    val kept = maxWindowFreq match {
+      case Some(cap) => occ.filter(col("cnt") <= cap)
+      case None => occ
     }
-    val shared = win.as("a").join(win.as("b"),
-        col("a.h") === col("b.h") && col("a.id") < col("b.id") &&
-          col("a.sub") === col("b.sub"))
+    val shared = kept
+      .groupBy("h", "h2")
+      .agg(collect_list(struct(col("id"), col("pos"))).as("ws"))
+      .select(explode(col("ws")).as("a"), col("ws"))
+      .select(col("a"), explode(col("ws")).as("b"))
+      .filter(col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
         col("a.pos").as("pos_a"), col("b.pos").as("pos_b"))
     // (pos_a, pos_b) is unique per pair (window positions are unique per
