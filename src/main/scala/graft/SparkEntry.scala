@@ -390,6 +390,20 @@ object SparkEntry {
         "doc_id", "text", "lang", "source", "n_chars")
     }),
 
+    // Hive-partitioned layout + partition-pruned read-back: the write
+    // converges each lang's rows on one task (no small-file explosion)
+    // and the filtered re-read scans ONLY lang=en directories
+    // (PartitionFilters, spec-asserted) — the 100 TB output contract.
+    "q_export_partitioned" -> ((s, d) => {
+      val out = exportDir(s, "graft_export_part")
+      graft.sources.Writer.writePartitioned(
+        docs(s, d).select(col("doc_id"), col("source"), col("lang")),
+        out, partitionBy = Seq("lang"), sortWithin = Seq("doc_id"))
+      s.read.parquet(out).filter(col("lang") === "en")
+        .select(col("doc_id"), col("source"), col("lang"))
+        .orderBy("doc_id")
+    }),
+
     // Schema-evolution ingest: an "early" shard written before two
     // columns existed and a "late" shard with the full schema, read back
     // as one table via mergeSchema — early rows carry NULLs in the added
@@ -1707,8 +1721,28 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // CCNet perplexity tiers: per-language ntile cut over the unigram
+    // LM score — bucket 1 = head (most in-distribution).
+    "q_lm_buckets" -> ((s, d) =>
+      graft.operators.LmScore.perplexityBuckets(docs(s, d), "text",
+          docs(s, d), "doc_id", "text", "lang")
+        .orderBy("doc_id")),
+
+    // PMI collocations: set phrases that co-occur far above chance.
+    "q_pmi_collocations" -> ((s, d) =>
+      graft.operators.NgramStats.pmiCollocations(docs(s, d), "text",
+        minCount = 5, k = 50)),
+
     // Join-free inline line blocklist (the streaming-safe variant of
     // q_lines_dedup, known hot set shipped as a literal).
+    // Within-doc duplicate-line removal: docs synthesized with the
+    // boilerplate line AND their own opening line repeated — both
+    // vanish, first occurrences and order preserved.
+    "q_lines_dedup_within" -> ((s, d) =>
+      graft.operators.Lines.dedupLinesWithinDoc(
+          selfRepeatDocs(s, d), "doc_id", "text")
+        .orderBy("doc_id")),
+
     "q_lines_inline" -> ((s, d) =>
       graft.operators.Lines.removeLinesInline(multiLineDocs(s, d), "text",
           Seq("PLEASE SUBSCRIBE TO OUR NEWSLETTER", "FROM src0"))
@@ -1900,6 +1934,18 @@ object SparkEntry {
     * docs are single-line): inject a corpus-global boilerplate line and a
     * per-source line between two unique body halves. Mirrored verbatim in
     * `lineDocsSql`. */
+  /** Docs with INTRA-document repeats: opening line + boilerplate, the
+    * body, then the same boilerplate and opening line again — exercised
+    * by the within-doc line dedup gate (shared shape with its oracle). */
+  private def selfRepeatDocs(s: SparkSession, d: String): DataFrame =
+    docs(s, d).select(col("doc_id"),
+      concat(
+        substring(coalesce(col("text"), lit("")), 1, 60), lit("\n"),
+        lit("PLEASE SUBSCRIBE TO OUR NEWSLETTER"), lit("\n"),
+        expr("substring(coalesce(text, ''), 61)"), lit("\n"),
+        lit("PLEASE SUBSCRIBE TO OUR NEWSLETTER"), lit("\n"),
+        substring(coalesce(col("text"), lit("")), 1, 60)).as("text"))
+
   private def multiLineDocs(s: SparkSession, d: String): DataFrame =
     docs(s, d).select(col("doc_id"),
       concat(
@@ -2297,6 +2343,9 @@ object SparkEntry {
       "SELECT doc_id, text, lang, source, n_chars FROM documents",
     "q_export_orc" ->
       "SELECT doc_id, text, lang, source, n_chars FROM documents",
+    "q_export_partitioned" ->
+      """SELECT doc_id, source, lang FROM documents
+        |WHERE lang = 'en' ORDER BY doc_id""".stripMargin,
     "q_load_parquet_merge" ->
       """SELECT doc_id, text, lang,
         |  CASE WHEN doc_id % 2 = 1 THEN source END AS source,
@@ -3116,6 +3165,33 @@ object SparkEntry {
         |SELECT ngram, count(*) AS n_occurrences FROM grams
         |WHERE length(ngram) > 0
         |GROUP BY ngram ORDER BY n_occurrences DESC, ngram ASC LIMIT 100""".stripMargin,
+    // PMI: the bigram CTE reuses the shingle formulation above; the
+    // whole-doc fallback shingle of 1-token docs has no space and is
+    // filtered on both sides. The PMI product chain is parenthesized
+    // identically to the Spark expression.
+    "q_pmi_collocations" ->
+      """WITH bg0 AS (
+        |  SELECT unnest(list_transform(range(1, greatest(len(toks)-1, 1)+1),
+        |    i -> array_to_string(list_slice(toks, i, i+1), ' '))) AS g
+        |  FROM (SELECT regexp_split_to_array(trim(lower(text)), '[ \t\n\x0b\f\r]+') AS toks
+        |        FROM documents)),
+        |bg AS (SELECT g FROM bg0 WHERE g LIKE '% %'),
+        |ut AS (SELECT unnest(regexp_split_to_array(trim(lower(text)),
+        |         '[ \t\n\x0b\f\r]+')) AS w FROM documents),
+        |cu AS (SELECT w, count(*) AS cu FROM ut
+        |       WHERE length(w) > 0 GROUP BY 1),
+        |cb AS (SELECT string_split(g, ' ')[1] AS w1, string_split(g, ' ')[2] AS w2,
+        |              count(*) AS c_pair
+        |       FROM bg GROUP BY 1, 2 HAVING count(*) >= 5),
+        |tot AS (SELECT (SELECT CAST(sum(cu) AS DOUBLE) FROM cu) AS n_tok,
+        |               (SELECT CAST(count(*) AS DOUBLE) FROM bg) AS n_big),
+        |s AS (SELECT w1, w2, c_pair,
+        |        round(ln(CAST(c_pair AS DOUBLE) * n_tok * n_tok /
+        |              (n_big * CAST(a.cu AS DOUBLE) * CAST(b.cu AS DOUBLE))), 6) AS pmi
+        |      FROM cb JOIN cu a ON a.w = cb.w1 JOIN cu b ON b.w = cb.w2
+        |      CROSS JOIN tot)
+        |SELECT w1, w2, c_pair, pmi FROM s
+        |ORDER BY pmi DESC, w1 ASC, w2 ASC LIMIT 50""".stripMargin,
     "q_decontaminate" ->
       """WITH docs AS (
         |  SELECT doc_id, list_distinct(list_transform(range(1, greatest(len(toks)-2, 1)+1),
@@ -3252,6 +3328,38 @@ object SparkEntry {
         |SELECT d.doc_id, CAST(coalesce(s.n_tokens, 0) AS BIGINT) AS n_tokens, s.nll
         |FROM documents d LEFT JOIN scored s USING (doc_id)
         |ORDER BY doc_id""".stripMargin,
+    // CCNet tiers: identical scoring CTE as q_lm_score, then a
+    // per-language ntile with NULLS LAST pinned on both engines.
+    "q_lm_buckets" ->
+      """WITH toks AS (
+        |  SELECT unnest(regexp_split_to_array(trim(lower(text)),
+        |    '[ \t\n\x0b\f\r]+')) AS term
+        |  FROM documents),
+        |counts AS (SELECT term, count(*) AS c FROM toks
+        |           WHERE length(term) > 0 GROUP BY 1),
+        |stats AS (SELECT CAST(sum(c) AS DOUBLE) AS t_total,
+        |                 CAST(count(*) AS DOUBLE) AS v FROM counts),
+        |dtoks AS (
+        |  SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)),
+        |    '[ \t\n\x0b\f\r]+')) AS term
+        |  FROM documents),
+        |tf AS (SELECT doc_id, term, count(*) AS tf FROM dtoks
+        |       WHERE length(term) > 0 GROUP BY 1, 2),
+        |contrib AS (
+        |  SELECT doc_id, tf,
+        |    round(-tf * ln((coalesce(c, 0) + 0.5) /
+        |          (t_total + 0.5 * (v + 1.0))), 9) AS w
+        |  FROM tf LEFT JOIN counts USING (term) CROSS JOIN stats),
+        |scored AS (
+        |  SELECT doc_id, sum(tf) AS n_tokens,
+        |    round(CAST(sum(CAST(w AS DECIMAL(20,9))) AS DOUBLE) / sum(tf), 6) AS nll
+        |  FROM contrib GROUP BY 1)
+        |SELECT d.doc_id, d.lang,
+        |  CAST(coalesce(s.n_tokens, 0) AS BIGINT) AS n_tokens, s.nll,
+        |  CAST(ntile(3) OVER (PARTITION BY d.lang
+        |       ORDER BY s.nll ASC NULLS LAST, d.doc_id ASC) AS INT) AS bucket
+        |FROM documents d LEFT JOIN scored s USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
     // DSIR: the polynomial bucket hash is reproduced character-by-
     // character — list_reduce seeds with the first code point, which
     // equals the Spark fold's first step because PolyMod > 0x10FFFF.
@@ -3293,6 +3401,25 @@ object SparkEntry {
         |SELECT d.doc_id, CAST(coalesce(s.n_feats, 0) AS BIGINT) AS n_feats,
         |       s.dsir_weight
         |FROM documents d LEFT JOIN s USING (doc_id) ORDER BY doc_id""".stripMargin,
+    // Within-doc line dedup over the self-repeating construction;
+    // DuckDB's list_filter index is 1-based where Spark's is 0-based.
+    "q_lines_dedup_within" ->
+      """WITH d2 AS (
+        |  SELECT doc_id,
+        |    substr(coalesce(text, ''), 1, 60) || chr(10) ||
+        |    'PLEASE SUBSCRIBE TO OUR NEWSLETTER' || chr(10) ||
+        |    substr(coalesce(text, ''), 61) || chr(10) ||
+        |    'PLEASE SUBSCRIBE TO OUR NEWSLETTER' || chr(10) ||
+        |    substr(coalesce(text, ''), 1, 60) AS text
+        |  FROM documents),
+        |ls AS (SELECT doc_id, string_split(text, chr(10)) AS l FROM d2),
+        |k AS (SELECT doc_id, l,
+        |        list_filter(l, (x, i) -> list_position(l, x) = i) AS kept
+        |      FROM ls)
+        |SELECT doc_id, array_to_string(kept, chr(10)) AS text,
+        |       CAST(len(l) AS BIGINT) AS n_lines,
+        |       CAST(len(l) - len(kept) AS BIGINT) AS n_removed
+        |FROM k ORDER BY doc_id""".stripMargin,
     "q_lines_inline" ->
       s"""WITH d2 AS ($lineDocsSql)
          |SELECT doc_id, array_to_string(

@@ -73,6 +73,33 @@ object Lines {
         "\n"))
   }
 
+  /**
+   * WITHIN-document duplicate-line removal — the complement of the
+   * corpus-global pass: a page that repeats its own nav block or a
+   * scraper that doubled a paragraph dedups against ITSELF, keeping the
+   * first occurrence of every line in original order. A pure projection
+   * — no shuffle, no state — so it applies unchanged to a streaming
+   * source and composes before [[dedupLines]] (intra-doc repeats would
+   * otherwise never trip the distinct-document threshold). The
+   * first-occurrence test is `array_position` per element — O(lines²)
+   * compares per document, row-local; documents are line-bounded (a
+   * megabyte blob wants a length cap upstream, same caveat as
+   * TextFunctions.simpsonDiversity).
+   *
+   * Output: original columns with `textCol` rewritten, plus
+   * `n_lines`/`n_removed` counters for the curation report.
+   */
+  def dedupLinesWithinDoc(df: DataFrame, idCol: String,
+                          textCol: String): DataFrame =
+    df.withColumn("__lines", split(coalesce(col(textCol), lit("")), "\n", -1))
+      .withColumn("__kept", expr(
+        "filter(__lines, (x, i) -> array_position(__lines, x) == i + 1)"))
+      .withColumn("n_lines", size(col("__lines")).cast("long"))
+      .withColumn("n_removed",
+        (size(col("__lines")) - size(col("__kept"))).cast("long"))
+      .withColumn(textCol, array_join(col("__kept"), "\n"))
+      .drop("__lines", "__kept")
+
   def dedupLines(df: DataFrame, idCol: String, textCol: String,
                  maxDocs: Int): DataFrame = {
     val lines = explodeLines(df, idCol, textCol)

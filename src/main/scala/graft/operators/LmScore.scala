@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /**
@@ -61,5 +62,35 @@ object LmScore {
         .as("nll"))
     docs.select(col(idCol).as("doc_id")).join(scored, Seq("doc_id"), "left")
       .withColumn("n_tokens", coalesce(col("n_tokens"), lit(0L)))
+  }
+
+  /**
+   * CCNet-style perplexity bucketing (Wenzek et al., LREC 2020): per
+   * LANGUAGE, rank documents by LM score and cut into `buckets`
+   * equal-size tiers — bucket 1 = most in-distribution ("head"), last =
+   * "tail". Per-language cuts matter because raw NLL is not comparable
+   * across languages (different token entropy); CCNet keeps head+middle
+   * and drops or down-weights tail.
+   *
+   * Scale shape: scoring is [[unigramNll]]; the tier cut is one window
+   * per language partition — `ntile` needs a per-language sort, and
+   * languages are a bounded partition key (skew toward big languages is
+   * real; at the 100 TB regime sub-salt the window by a hash bucket and
+   * re-merge, or cut by approx quantiles instead — documented knob).
+   * NULL-NLL docs (no tokens) sort LAST on both engines (explicit
+   * NULLS LAST — Spark's asc default is nulls-first, DuckDB's is
+   * nulls-last; left unpinned this is a silent cross-engine divergence).
+   * Ties break on doc_id, so the cut is deterministic.
+   */
+  def perplexityBuckets(train: DataFrame, trainTextCol: String,
+                        docs: DataFrame, idCol: String, textCol: String,
+                        langCol: String, buckets: Int = 3,
+                        alpha: Double = 0.5): DataFrame = {
+    val scored = unigramNll(train, trainTextCol, docs, idCol, textCol, alpha)
+    docs.select(col(idCol).as("doc_id"), col(langCol).as("lang"))
+      .join(scored, Seq("doc_id"))
+      .withColumn("bucket", ntile(buckets).over(
+        Window.partitionBy("lang")
+          .orderBy(col("nll").asc_nulls_last, col("doc_id").asc)))
   }
 }

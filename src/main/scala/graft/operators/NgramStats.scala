@@ -40,4 +40,52 @@ object NgramStats {
     ngramCounts(df, textCol, n)
       .orderBy(col("n_occurrences").desc, col("ngram").asc)
       .limit(k)
+
+  /**
+   * PMI collocation mining (Church & Hanks, 1990): adjacent token pairs
+   * that co-occur far more than their unigram frequencies predict —
+   * multi-word entities and set phrases ("hong kong", "per capita").
+   * pmi(a,b) = ln( p(a,b) / (p(a)·p(b)) ) with p(a,b) over the bigram
+   * total and p(·) over the token total.
+   *
+   * Scale shape: both count tables are map-side-combined aggregations
+   * (network bounded by distinct grams, not occurrences); `minCount`
+   * prunes the bigram tail BEFORE the two vocabulary-sized unigram
+   * joins (AQE broadcasts the unigram table when it fits); totals ride
+   * a broadcast one-row aggregate. Top-k is TakeOrderedAndProject,
+   * never a full sort. The PMI expression is one double product chain,
+   * identically parenthesized in the DuckDB oracle, rounded to 6 dp.
+   */
+  def pmiCollocations(df: DataFrame, textCol: String,
+                      minCount: Long = 5L, k: Int = 100): DataFrame = {
+    val uni = ngramCounts(df, textCol, 1)
+      .select(col("ngram").as("w"), col("n_occurrences").as("cu"))
+    // stringShingles emits one whole-doc fallback shingle for docs
+    // shorter than n tokens; true bigrams contain exactly one space,
+    // the 1-token fallback none — filter it out.
+    val big = df
+      .select(explode(
+        TextFunctions.stringShingles(lower(col(textCol)), 2)).as("ngram"))
+      .filter(col("ngram").contains(" "))
+      .groupBy("ngram").agg(count(lit(1)).as("c_pair"))
+      .filter(col("c_pair") >= minCount)
+      .select(split(col("ngram"), " ").getItem(0).as("w1"),
+        split(col("ngram"), " ").getItem(1).as("w2"), col("c_pair"))
+    val totals = broadcast(
+      uni.agg(sum("cu").cast("double").as("n_tok"))
+        .crossJoin(df.select(explode(TextFunctions.stringShingles(
+            lower(col(textCol)), 2)).as("g"))
+          .filter(col("g").contains(" "))
+          .agg(count(lit(1)).cast("double").as("n_big"))))
+    val scored = big
+      .join(uni.select(col("w").as("w1"), col("cu").as("ca")), Seq("w1"))
+      .join(uni.select(col("w").as("w2"), col("cu").as("cb")), Seq("w2"))
+      .crossJoin(totals)
+      .select(col("w1"), col("w2"), col("c_pair"),
+        round(log(col("c_pair").cast("double") * col("n_tok") * col("n_tok") /
+          (col("n_big") * col("ca") * col("cb"))), 6).as("pmi"))
+    scored
+      .orderBy(col("pmi").desc, col("w1").asc, col("w2").asc)
+      .limit(k)
+  }
 }

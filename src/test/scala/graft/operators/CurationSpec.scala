@@ -522,4 +522,25 @@ class CurationSpec extends SparkTestBase {
     assert(SemDedup.dedup(vecs, "id", "v", threshold = 0.9, nCentroids = 2, maxFitRows = 10)
       .select("id").collect().map(_.getLong(0)).sorted.toSeq == Seq(1L, 2L, 3L, 5L))
   }
+
+  test("NgramStats.pmiCollocations matches the hand-computed PMI model") {
+    val docs = df("doc_id BIGINT, text STRING", Seq(
+      Row(1L, "new york is big"), Row(2L, "new york is big"),
+      Row(3L, "new york is big"), Row(4L, "a new day"),
+      Row(5L, "a new day")))
+    // tokens: new=5 york=3 is=3 big=3 a=2 day=2 -> N=18; bigrams B=13
+    val n = 18.0; val b = 13.0
+    def pmi(c: Long, ca: Long, cb: Long): Double =
+      BigDecimal(math.log(c.toDouble * n * n / (b * ca * cb)))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val out = NgramStats.pmiCollocations(docs, "text", minCount = 2, k = 10)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getDouble(3))).toMap
+    assert(out(("new", "york")) == (3L, pmi(3, 5, 3)))
+    assert(out(("york", "is")) == (3L, pmi(3, 3, 3)))
+    assert(out(("a", "new")) == (2L, pmi(2, 2, 5)))
+    assert(out.size == 5)
+    // rarity raises PMI: (york,is) is a purer pair than (new,york)
+    assert(out(("york", "is"))._2 > out(("new", "york"))._2)
+  }
 }

@@ -13,6 +13,21 @@ class LinesSpec extends SparkTestBase {
     Row(4L, "delta", "fr"),
     Row(5L, null, "fr")))
 
+  test("dedupLinesWithinDoc keeps first occurrences in order, counts removals") {
+    val d = df("doc_id BIGINT, text STRING", Seq(
+      Row(1L, "a\nb\na\nc\nb"),   // -> a,b,c (2 removed)
+      Row(2L, "x\nx\nx"),         // -> x (2 removed)
+      Row(3L, "solo"),            // unchanged
+      Row(4L, null)))             // null -> "" (1 line, 0 removed)
+    val out = Lines.dedupLinesWithinDoc(d, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        (r.getString(1), r.getLong(2), r.getLong(3))).toMap
+    assert(out(1L) == ("a\nb\nc", 5L, 2L))
+    assert(out(2L) == ("x", 3L, 2L))
+    assert(out(3L) == ("solo", 1L, 0L))
+    assert(out(4L) == ("", 1L, 0L))
+  }
+
   test("duplicatedLines counts distinct docs, not occurrences") {
     // FOOTER occurs 4 times but in 3 docs; MENU in 2 docs.
     assertSameRows(

@@ -27,4 +27,20 @@ class LmScoreSpec extends SparkTestBase {
       .orderBy("doc_id").collect()
     assert(out(1).getDouble(2) > out(0).getDouble(2))
   }
+
+  test("perplexityBuckets cuts per language, head = lowest nll, nulls last") {
+    val d = df("doc_id BIGINT, text STRING, lang STRING", Seq(
+      Row(1L, "a a b", "en"),   // pure training distribution -> head
+      Row(2L, "a z", "en"),
+      Row(3L, "z z z", "en"),   // all-unseen -> tail
+      Row(4L, "", "en"),        // NULL nll -> sorts last (tail)
+      Row(5L, "a a", "de")))    // own language partition
+    val out = LmScore.perplexityBuckets(train, "text", d,
+        "doc_id", "text", "lang", buckets = 2)
+      .collect().map(r => r.getLong(0) -> r.getInt(4)).toMap
+    assert(out(1L) == 1)       // best en doc in the head tier
+    assert(out(4L) == 2)       // NULL nll lands in the last tier
+    assert(out(5L) == 1)       // sole de doc: its own partition's head
+    assert(out(3L) == 2)
+  }
 }
