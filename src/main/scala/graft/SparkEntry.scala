@@ -1728,6 +1728,29 @@ object SparkEntry {
           docs(s, d), "doc_id", "text", "lang")
         .orderBy("doc_id")),
 
+    // Kneser-Ney bigram scoring (the KenLM model family at order 2),
+    // trained on and scoring the corpus itself — no OOV path taken.
+    "q_lm_kn" -> ((s, d) =>
+      graft.operators.LmScore.knBigramNll(docs(s, d), "text",
+          docs(s, d), "doc_id", "text")
+        .orderBy("doc_id")),
+
+    // DSIR selection step: Gumbel top-50 over the importance weights —
+    // the deterministic exp(weight)-proportional sample.
+    "q_dsir_sample" -> ((s, d) => {
+      val ds = docs(s, d)
+      graft.operators.Dsir.gumbelTopK(
+        graft.operators.Dsir.importanceWeights(
+          ds, ds.filter(col("lang") === "en"), "doc_id", "text"),
+        "doc_id", "dsir_weight", k = 50)
+    }),
+
+    // Tokenizer fertility: BPE-ish tokens per word and chars per token,
+    // by language — the multilingual tokenizer-equity table.
+    "q_vocab_fertility" -> ((s, d) =>
+      graft.operators.Vocab.tokenizerFertility(docs(s, d), "lang", "text")
+        .orderBy("lang")),
+
     // PMI collocations: set phrases that co-occur far above chance.
     "q_pmi_collocations" -> ((s, d) =>
       graft.operators.NgramStats.pmiCollocations(docs(s, d), "text",
@@ -2047,6 +2070,48 @@ object SparkEntry {
        |SELECT d.doc_id AS id, CAST(coalesce(s.n, 0) AS BIGINT) AS n_tokens
        |FROM documents d LEFT JOIN s ON d.doc_id = s.id ORDER BY id""".stripMargin
   }
+
+  /** DuckDB oracle for [[graft.operators.Dsir.importanceWeights]] —
+    * shared by the weights gate and the Gumbel-sample gate. The
+    * polynomial bucket hash is reproduced character-by-character. */
+  private val dsirWeightsSql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, lang,
+      |    regexp_split_to_array(trim(lower(text)), '[ \t\n\x0b\f\r]+') AS ws
+      |  FROM documents),
+      |uni AS (
+      |  SELECT doc_id, lang, w, i
+      |  FROM (SELECT doc_id, lang, unnest(ws) AS w,
+      |               unnest(range(1, len(ws) + 1)) AS i FROM toks)
+      |  WHERE length(w) > 0),
+      |feats AS (
+      |  SELECT doc_id, lang, w AS f FROM uni
+      |  UNION ALL
+      |  SELECT a.doc_id, a.lang, a.w || ' ' || b.w
+      |  FROM uni a JOIN uni b ON a.doc_id = b.doc_id AND b.i = a.i + 1),
+      |fb AS (
+      |  SELECT doc_id, lang,
+      |    list_reduce(list_transform(string_split(f, ''), x -> unicode(x)),
+      |                (h, c) -> (h * 31 + c) % 2000003) % 4096 AS b
+      |  FROM feats),
+      |tc AS (SELECT b, count(*) AS ct FROM fb WHERE lang = 'en' GROUP BY 1),
+      |rc AS (SELECT b, count(*) AS cr FROM fb GROUP BY 1),
+      |tot AS (SELECT (SELECT CAST(sum(ct) AS DOUBLE) FROM tc) AS tt,
+      |               (SELECT CAST(sum(cr) AS DOUBLE) FROM rc) AS tr),
+      |df AS (SELECT doc_id, b, count(*) AS c FROM fb GROUP BY 1, 2),
+      |con AS (
+      |  SELECT doc_id, c,
+      |    round(CAST(c AS DOUBLE) *
+      |          (ln((coalesce(ct, 0) + 1.0) / (tt + 1.0 * 4096)) -
+      |           ln((coalesce(cr, 0) + 1.0) / (tr + 1.0 * 4096))), 9) AS w
+      |  FROM df LEFT JOIN tc USING (b) LEFT JOIN rc USING (b) CROSS JOIN tot),
+      |s AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_feats,
+      |        round(CAST(sum(CAST(w AS DECIMAL(20,9))) AS DOUBLE), 6)
+      |          AS dsir_weight
+      |      FROM con GROUP BY 1)
+      |SELECT d.doc_id, CAST(coalesce(s.n_feats, 0) AS BIGINT) AS n_feats,
+      |       s.dsir_weight
+      |FROM documents d LEFT JOIN s USING (doc_id) ORDER BY doc_id""".stripMargin
 
   /**
    * DuckDB oracle for n-gram Jaccard pairs — string shingles instead of
@@ -2695,6 +2760,21 @@ object SparkEntry {
          |       pair, cnt
          |FROM c ORDER BY cnt DESC, pair ASC LIMIT 20""".stripMargin,
     "q_vocab_encode" -> bpeEncodeOracle(bpeGateMerges),
+    "q_vocab_fertility" ->
+      (s"""WITH t AS (SELECT lang,
+         |  len(regexp_extract_all(text, '${TF.bpePattern.replace("'", "''")}')) AS b,
+         |  len(list_filter(regexp_split_to_array(trim(text),
+         |    '[ \\t\\n\\x0b\\f\\r]+'), w -> length(w) > 0)) AS w,
+         |  length(text) AS c
+         |  FROM documents)
+         |SELECT lang, CAST(sum(b) AS BIGINT) AS n_bpe,
+         |  CAST(sum(w) AS BIGINT) AS n_words,
+         |  CAST(sum(c) AS BIGINT) AS n_chars,
+         |  round(CAST(sum(b) AS DOUBLE) / CAST(sum(w) AS DOUBLE), 6)
+         |    AS fertility,
+         |  round(CAST(sum(c) AS DOUBLE) / CAST(sum(b) AS DOUBLE), 6)
+         |    AS chars_per_token
+         |FROM t GROUP BY lang ORDER BY lang""".stripMargin),
     "q_sft_render" ->
       s"""WITH t AS ($sftTurnsSql)
          |SELECT conv_id, count(*) AS n_turns,
@@ -3360,47 +3440,68 @@ object SparkEntry {
         |       ORDER BY s.nll ASC NULLS LAST, d.doc_id ASC) AS INT) AS bucket
         |FROM documents d LEFT JOIN scored s USING (doc_id)
         |ORDER BY doc_id""".stripMargin,
+    // Interpolated Kneser-Ney bigram NLL; identical count tables,
+    // identically-parenthesized probability expression, LmScore
+    // decimal-sum determinism recipe.
+    "q_lm_kn" ->
+      """WITH bg AS (
+        |  SELECT doc_id, string_split(g, ' ')[1] AS w1,
+        |         string_split(g, ' ')[2] AS w2
+        |  FROM (
+        |    SELECT doc_id, unnest(list_transform(
+        |      range(1, greatest(len(toks)-1, 1)+1),
+        |      i -> array_to_string(list_slice(toks, i, i+1), ' '))) AS g
+        |    FROM (SELECT doc_id, regexp_split_to_array(trim(lower(text)),
+        |            '[ \t\n\x0b\f\r]+') AS toks FROM documents))
+        |  WHERE g LIKE '% %'),
+        |c12 AS (SELECT w1, w2, count(*) AS c12 FROM bg GROUP BY 1, 2),
+        |ctx AS (SELECT w1, sum(c12) AS c1, count(*) AS n1fw
+        |        FROM c12 GROUP BY 1),
+        |cont AS (SELECT w2, count(*) AS n1bw FROM c12 GROUP BY 1),
+        |tot AS (SELECT
+        |  (SELECT CAST(count(*) AS DOUBLE) FROM c12) AS nbig,
+        |  (SELECT CAST(count(DISTINCT w) AS DOUBLE) FROM
+        |     (SELECT unnest(regexp_split_to_array(trim(lower(text)),
+        |        '[ \t\n\x0b\f\r]+')) AS w FROM documents)
+        |     WHERE length(w) > 0) AS v),
+        |tf AS (SELECT doc_id, w1, w2, count(*) AS tf
+        |       FROM bg GROUP BY 1, 2, 3),
+        |p AS (SELECT doc_id, tf, v,
+        |  (greatest(CAST(coalesce(c12, 0) AS DOUBLE) - 0.75, 0.0) +
+        |   0.75 * CAST(coalesce(n1fw, 0) AS DOUBLE) *
+        |     CAST(coalesce(n1bw, 0) AS DOUBLE) / nbig)
+        |  / CAST(c1 AS DOUBLE) AS p0
+        |  FROM tf LEFT JOIN c12 USING (w1, w2) LEFT JOIN ctx USING (w1)
+        |       LEFT JOIN cont USING (w2) CROSS JOIN tot),
+        |con AS (SELECT doc_id, tf,
+        |  round(-tf * ln(CASE WHEN p0 IS NULL OR p0 = 0.0
+        |                      THEN 1.0 / (v + 1.0) ELSE p0 END), 9) AS w
+        |  FROM p),
+        |s AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_bigrams,
+        |  round(CAST(sum(CAST(w AS DECIMAL(20,9))) AS DOUBLE) / sum(tf), 6)
+        |    AS kn_nll
+        |  FROM con GROUP BY 1)
+        |SELECT d.doc_id, CAST(coalesce(s.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+        |       s.kn_nll
+        |FROM documents d LEFT JOIN s USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
     // DSIR: the polynomial bucket hash is reproduced character-by-
     // character — list_reduce seeds with the first code point, which
     // equals the Spark fold's first step because PolyMod > 0x10FFFF.
-    "q_dsir_weights" ->
-      """WITH toks AS (
-        |  SELECT doc_id, lang,
-        |    regexp_split_to_array(trim(lower(text)), '[ \t\n\x0b\f\r]+') AS ws
-        |  FROM documents),
-        |uni AS (
-        |  SELECT doc_id, lang, w, i
-        |  FROM (SELECT doc_id, lang, unnest(ws) AS w,
-        |               unnest(range(1, len(ws) + 1)) AS i FROM toks)
-        |  WHERE length(w) > 0),
-        |feats AS (
-        |  SELECT doc_id, lang, w AS f FROM uni
-        |  UNION ALL
-        |  SELECT a.doc_id, a.lang, a.w || ' ' || b.w
-        |  FROM uni a JOIN uni b ON a.doc_id = b.doc_id AND b.i = a.i + 1),
-        |fb AS (
-        |  SELECT doc_id, lang,
-        |    list_reduce(list_transform(string_split(f, ''), x -> unicode(x)),
-        |                (h, c) -> (h * 31 + c) % 2000003) % 4096 AS b
-        |  FROM feats),
-        |tc AS (SELECT b, count(*) AS ct FROM fb WHERE lang = 'en' GROUP BY 1),
-        |rc AS (SELECT b, count(*) AS cr FROM fb GROUP BY 1),
-        |tot AS (SELECT (SELECT CAST(sum(ct) AS DOUBLE) FROM tc) AS tt,
-        |               (SELECT CAST(sum(cr) AS DOUBLE) FROM rc) AS tr),
-        |df AS (SELECT doc_id, b, count(*) AS c FROM fb GROUP BY 1, 2),
-        |con AS (
-        |  SELECT doc_id, c,
-        |    round(CAST(c AS DOUBLE) *
-        |          (ln((coalesce(ct, 0) + 1.0) / (tt + 1.0 * 4096)) -
-        |           ln((coalesce(cr, 0) + 1.0) / (tr + 1.0 * 4096))), 9) AS w
-        |  FROM df LEFT JOIN tc USING (b) LEFT JOIN rc USING (b) CROSS JOIN tot),
-        |s AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_feats,
-        |        round(CAST(sum(CAST(w AS DECIMAL(20,9))) AS DOUBLE), 6)
-        |          AS dsir_weight
-        |      FROM con GROUP BY 1)
-        |SELECT d.doc_id, CAST(coalesce(s.n_feats, 0) AS BIGINT) AS n_feats,
-        |       s.dsir_weight
-        |FROM documents d LEFT JOIN s USING (doc_id) ORDER BY doc_id""".stripMargin,
+    "q_dsir_weights" -> dsirWeightsSql,
+    // Gumbel top-k over the same weights: u replays the Spark-side
+    // polynomial fold of the doc id, so the sample is bit-identical.
+    "q_dsir_sample" ->
+      s"""WITH dw AS ($dsirWeightsSql)
+         |SELECT doc_id, n_feats, dsir_weight,
+         |  round(dsir_weight + (-ln(-ln(
+         |    (CAST(list_reduce(list_transform(
+         |       string_split(CAST(doc_id AS VARCHAR), ''), x -> unicode(x)),
+         |       (h, c) -> (h * 31 + c) % 2000003) AS DOUBLE) + 0.5)
+         |    / 2000003.0))), 6) AS gumbel_key
+         |FROM dw
+         |ORDER BY gumbel_key DESC NULLS LAST, doc_id ASC
+         |LIMIT 50""".stripMargin,
     // Within-doc line dedup over the self-repeating construction;
     // DuckDB's list_filter index is 1-based where Spark's is 0-based.
     "q_lines_dedup_within" ->

@@ -80,4 +80,31 @@ object Dsir {
     raw.select(col(idCol).as("doc_id")).join(scored, Seq("doc_id"), "left")
       .withColumn("n_feats", coalesce(col("n_feats"), lit(0L)))
   }
+
+  /**
+   * Gumbel top-k importance resampling — DSIR's selection step: drawing
+   * k documents WITHOUT replacement with probability ∝ exp(weight) is
+   * exactly "add independent Gumbel(0,1) noise to each weight, keep the
+   * k largest keys" (Gumbel-max trick; Vieira 2014). Deterministic and
+   * engine-portable: the uniform u for each row derives from the doc id
+   * through the same polynomial fold as the feature hash — u =
+   * (fold(id) + 0.5) / 2000003, strictly inside (0,1) — so any engine
+   * replays the identical sample. NULL-weight docs (no features) carry
+   * NULL keys and sort last, never sampled.
+   *
+   * Scale shape: one projection over the weighted table; top-k is
+   * TakeOrderedAndProject (per-partition heads + driver merge of k
+   * rows), never a global sort.
+   */
+  def gumbelTopK(weighted: DataFrame, idCol: String, weightCol: String,
+                 k: Int): DataFrame = {
+    val fold = TextFunctions.dsirBuckets(col(idCol).cast("string"), 2000003)
+      .getItem(0)
+    val u = (fold.cast("double") + lit(0.5)) / lit(2000003.0)
+    weighted
+      .withColumn("gumbel_key",
+        round(col(weightCol) + -log(-log(u)), 6))
+      .orderBy(col("gumbel_key").desc_nulls_last, col(idCol).asc)
+      .limit(k)
+  }
 }

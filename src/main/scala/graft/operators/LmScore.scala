@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -62,6 +62,85 @@ object LmScore {
         .as("nll"))
     docs.select(col(idCol).as("doc_id")).join(scored, Seq("doc_id"), "left")
       .withColumn("n_tokens", coalesce(col("n_tokens"), lit(0L)))
+  }
+
+  /**
+   * Interpolated Kneser-Ney BIGRAM scoring (Kneser & Ney, ICASSP 1995;
+   * Chen & Goodman, 1999 — the model family behind KenLM, which CCNet
+   * uses at 5-gram order): unlike the unigram model, KN scores a token
+   * by how PREDICTABLE it is from its left neighbor, and its famous
+   * continuation probability ranks a word by how many distinct contexts
+   * it follows ("francisco" is frequent but only ever follows "san" —
+   * KN correctly scores it useless as a generic continuation).
+   *
+   *   p(w2|w1) = ( max(c(w1w2) − D, 0) + D·N1+(w1·)·N1+(·w2)/N1+(··) )
+   *              / c(w1·)
+   *
+   * with fixed discount D = 0.75, N1+ = distinct-neighbor counts and
+   * c(w1·) the bigram-context total. Documents score mean −ln p over
+   * their adjacent interior token pairs; docs with < 2 tokens get NULL
+   * (no bigram evidence). Unseen events (w1 never a context, or a
+   * continuation mass of zero) floor at 1/(V+1) — the documented OOV
+   * fallback, unreachable when scoring the training corpus itself.
+   *
+   * Scale shape: the model is three count DataFrames (bigram types,
+   * per-context totals + distinct-continuation counts, per-word
+   * distinct-context counts), all map-side-combined aggregations keyed
+   * by vocabulary-sized keys; scoring joins each document's bigram tf
+   * against them (AQE broadcast when they fit), with the two scalar
+   * totals riding a broadcast one-row aggregate. Per-(doc, bigram)
+   * contributions round to 9 dp and sum as DECIMAL(20,9) — the same
+   * float-determinism policy as [[unigramNll]].
+   */
+  def knBigramNll(train: DataFrame, trainTextCol: String,
+                  docs: DataFrame, idCol: String, textCol: String,
+                  discount: Double = 0.75): DataFrame = {
+    require(discount > 0 && discount < 1, "discount must be in (0,1)")
+
+    def bigrams(df: DataFrame, key: Column, out: String, tcol: String) = df
+      .select(key.as(out), explode(graft.functions.TextFunctions
+        .stringShingles(lower(col(tcol)), 2)).as("g"))
+      .filter(col("g").contains(" "))
+      .select(col(out), split(col("g"), " ").getItem(0).as("w1"),
+        split(col("g"), " ").getItem(1).as("w2"))
+
+    val c12 = bigrams(train, lit(1L), "__one", trainTextCol)
+      .groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+    // per-context totals and distinct continuations, one pass over c12
+    val ctx = c12.groupBy("w1").agg(
+      sum("c12").as("c1"), count(lit(1)).as("n1fw"))
+    val cont = c12.groupBy("w2").agg(count(lit(1)).as("n1bw"))
+    val totals = broadcast(
+      c12.agg(count(lit(1)).cast("double").as("nbig"))
+        .crossJoin(train.select(explode(graft.functions.TextFunctions
+            .stringShingles(lower(col(trainTextCol)), 1)).as("t"))
+          .filter(length(col("t")) > 0)
+          .agg(countDistinct(col("t")).cast("double").as("v"))))
+
+    val tf = bigrams(docs.select(col(idCol).as("doc_id"), col(textCol)),
+        col("doc_id"), "doc_id", textCol)
+      .groupBy("doc_id", "w1", "w2").agg(count(lit(1)).as("tf"))
+    val p = tf
+      .join(c12, Seq("w1", "w2"), "left")
+      .join(ctx, Seq("w1"), "left")
+      .join(cont, Seq("w2"), "left")
+      .crossJoin(totals)
+      .withColumn("p0",
+        (greatest(coalesce(col("c12"), lit(0L)).cast("double") -
+            lit(discount), lit(0.0)) +
+          lit(discount) * coalesce(col("n1fw"), lit(0L)) *
+            coalesce(col("n1bw"), lit(0L)) / col("nbig")) /
+          col("c1").cast("double"))
+      .withColumn("p",
+        when(col("p0").isNull || col("p0") === 0.0,
+          lit(1.0) / (col("v") + lit(1.0))).otherwise(col("p0")))
+      .withColumn("w", round(-col("tf") * log(col("p")), 9))
+    val scored = p.groupBy("doc_id").agg(
+      sum("tf").as("n_bigrams"),
+      round((sum(col("w").cast("decimal(20,9)")).cast("double") /
+        sum("tf")), 6).as("kn_nll"))
+    docs.select(col(idCol).as("doc_id")).join(scored, Seq("doc_id"), "left")
+      .withColumn("n_bigrams", coalesce(col("n_bigrams"), lit(0L)))
   }
 
   /**

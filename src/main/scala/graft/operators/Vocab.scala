@@ -75,6 +75,36 @@ object Vocab {
   }
 
   /**
+   * Tokenizer fertility by group (typically language): BPE-ish tokens
+   * per whitespace word, and characters per token — the multilingual
+   * tokenizer-equity report. A tokenizer trained mostly on English
+   * "explodes" other scripts into many more tokens per word, which
+   * silently taxes those languages' effective context window and
+   * training budget; this is the table that makes the tax visible.
+   *
+   * Scale shape: one codegen'd projection (regex token count, token
+   * filter, length) then a map-side-combined sum per group — group
+   * cardinality is #languages, so the shuffle is trivially small.
+   * Integer sums, exactly two final divisions rounded to 6 dp.
+   */
+  def tokenizerFertility(df: DataFrame, groupCol: String,
+                         textCol: String): DataFrame =
+    df.select(col(groupCol).as("grp"),
+        TextFunctions.bpeTokenCount(col(textCol)).cast("long").as("b"),
+        size(filter(TextFunctions.tokens(col(textCol)),
+          t => length(t) > 0)).cast("long").as("w"),
+        length(col(textCol)).cast("long").as("c"))
+      .groupBy("grp").agg(
+        sum("b").as("n_bpe"), sum("w").as("n_words"),
+        sum("c").as("n_chars"))
+      .select(col("grp").as(groupCol), col("n_bpe"), col("n_words"),
+        col("n_chars"),
+        round(col("n_bpe").cast("double") / col("n_words").cast("double"), 6)
+          .as("fertility"),
+        round(col("n_chars").cast("double") / col("n_bpe").cast("double"), 6)
+          .as("chars_per_token"))
+
+  /**
    * BPE ENCODING with a learned merge list — the other half of
    * [[bpeMergeCandidates]]: per-document token count after applying
    * `merges` (ordered by rank) to every lowercased whitespace word. The

@@ -523,6 +523,19 @@ class CurationSpec extends SparkTestBase {
       .select("id").collect().map(_.getLong(0)).sorted.toSeq == Seq(1L, 2L, 3L, 5L))
   }
 
+  test("Vocab.tokenizerFertility aggregates tokens-per-word by group") {
+    val docs = df("doc_id BIGINT, text STRING, lang STRING", Seq(
+      Row(1L, "ab cd", "en"),   // 2 bpe tokens, 2 words, 5 chars
+      Row(2L, "x", "en"),       // 1 / 1 / 1
+      Row(3L, "hello", "de")))  // 1 / 1 / 5
+    val out = Vocab.tokenizerFertility(docs, "lang", "text")
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3),
+         r.getDouble(4), r.getDouble(5))).toMap
+    assert(out("en") == (3L, 3L, 6L, 1.0, 2.0))
+    assert(out("de") == (1L, 1L, 5L, 1.0, 5.0))
+  }
+
   test("NgramStats.pmiCollocations matches the hand-computed PMI model") {
     val docs = df("doc_id BIGINT, text STRING", Seq(
       Row(1L, "new york is big"), Row(2L, "new york is big"),

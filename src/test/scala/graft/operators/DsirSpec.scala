@@ -25,6 +25,22 @@ class DsirSpec extends SparkTestBase {
     assert(joined != poly("abcd"))
   }
 
+  test("gumbelTopK: weight dominates bounded noise, NULL weights never sampled") {
+    val w = df("doc_id BIGINT, dsir_weight DOUBLE", Seq(
+      Row(1L, 100.0), Row(2L, -100.0), Row(3L, null)))
+    val top = Dsir.gumbelTopK(w, "doc_id", "dsir_weight", k = 2)
+      .select("doc_id").collect().map(_.getLong(0)).toSeq
+    // the Gumbel noise for u in ((0.5)/M, (M-0.5)/M) lies in ~(-2.7, 15),
+    // so a 200-point weight gap can never flip; the NULL row sorts out
+    assert(top == Seq(1L, 2L))
+    // deterministic replay
+    val again = Dsir.gumbelTopK(w, "doc_id", "dsir_weight", k = 2)
+      .collect().map(r => (r.getLong(0), r.getDouble(2)))
+    assert(again.toSeq ==
+      Dsir.gumbelTopK(w, "doc_id", "dsir_weight", k = 2)
+        .collect().map(r => (r.getLong(0), r.getDouble(2))).toSeq)
+  }
+
   test("importanceWeights favors target-like documents") {
     val docs = df("doc_id BIGINT, text STRING, lang STRING", Seq(
       Row(1L, "the quick brown fox", "en"),

@@ -28,6 +28,25 @@ class LmScoreSpec extends SparkTestBase {
     assert(out(1).getDouble(2) > out(0).getDouble(2))
   }
 
+  test("knBigramNll matches the hand-computed interpolated KN model") {
+    // train bigrams: (a,b)x2 (b,a)x2 (a,c)x1
+    // ctx: a->(c1=3,n1fw=2) b->(c1=2,n1fw=1); cont: a,b,c all n1bw=1
+    // nbig=3 distinct pairs, V=3, D=0.75
+    val tr = df("text STRING", Seq(Row("a b a b a c")))
+    val d = df("doc_id BIGINT, text STRING", Seq(
+      Row(1L, "a b"),    // p(b|a) = (1.25 + 0.75*2*1/3)/3 = 1.75/3
+      Row(2L, "x a"),    // unseen context x -> OOV floor 1/(V+1) = 0.25
+      Row(3L, "z")))     // no bigrams -> NULL
+    val out = LmScore.knBigramNll(tr, "text", d, "doc_id", "text")
+      .orderBy("doc_id").collect()
+    def r6(x: Double) = BigDecimal(x)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(out(0).getLong(1) == 1L)
+    assert(math.abs(out(0).getDouble(2) - r6(-math.log(1.75 / 3))) < 1e-9)
+    assert(math.abs(out(1).getDouble(2) - r6(-math.log(0.25))) < 1e-9)
+    assert(out(2).getLong(1) == 0L && out(2).isNullAt(2))
+  }
+
   test("perplexityBuckets cuts per language, head = lowest nll, nulls last") {
     val d = df("doc_id BIGINT, text STRING, lang STRING", Seq(
       Row(1L, "a a b", "en"),   // pure training distribution -> head
