@@ -48,7 +48,14 @@ object ScaleProbe {
     "q_dedup_phash", "q_dedup_phash_clusters", "q_cluster_assign",
     // (q_olap_unpivot reads lineitem, which the scaled dir doesn't
     // carry — its cost is pure output size anyway)
-    "q_dedup_index", "q_json_screen", "q_sft_roundtrip")
+    "q_dedup_index", "q_json_screen", "q_sft_roundtrip",
+    // round-5 late additions: native Simpson diversity, restructured
+    // exact-substring dedup, DSIR weights + Gumbel sample, KN bigram
+    // LM, CCNet perplexity tiers, PMI collocations, BPE encode,
+    // tokenizer fertility, within-doc line dedup
+    "q_text_diversity", "q_dedup_substring", "q_dsir_weights",
+    "q_dsir_sample", "q_lm_kn", "q_lm_buckets", "q_pmi_collocations",
+    "q_vocab_encode", "q_vocab_fertility", "q_lines_dedup_within")
 
   private def caesar(c: org.apache.spark.sql.Column, k: Int) = {
     val lower = "abcdefghijklmnopqrstuvwxyz"

@@ -1234,6 +1234,18 @@ object SparkEntry {
         threshold = 0.5, maxShingleFreq = Some(5))
         .orderBy("id_a", "id_b")),
 
+    // Approximation-quality report: what the shingle-frequency cap
+    // actually traded — precision/recall of the capped pass against the
+    // uncapped exact pass, as a one-row pair-set evaluation.
+    "q_dedup_eval" -> ((s, d) => {
+      val ds = docs(s, d)
+      Dedup.evaluatePairs(
+        Dedup.ngramJaccardPairs(ds, "doc_id", "text", n = 3,
+          threshold = 0.5, maxShingleFreq = Some(5)),
+        Dedup.ngramJaccardPairs(ds, "doc_id", "text", n = 3,
+          threshold = 0.5))
+    }),
+
     // Salted join on a same-name key — the stage algebra's common case
     // (and the column-dedup fix): results must equal a plain equi-join,
     // which is what the DuckDB oracle asserts.
@@ -2490,6 +2502,30 @@ object SparkEntry {
         |FROM runs GROUP BY id_a, id_b ORDER BY id_a, id_b""".stripMargin,
     "q_dedup_ngram_capped" ->
       ngramJaccardOracle(n = 3, threshold = 0.5, maxShingleFreq = Some(5)),
+    "q_dedup_eval" ->
+      s"""WITH ap AS (${ngramJaccardOracle(n = 3, threshold = 0.5,
+             maxShingleFreq = Some(5))}),
+         |ex AS (${ngramJaccardOracle(n = 3, threshold = 0.5)}),
+         |j AS (SELECT a.id_a AS aa, e.id_a AS ea
+         |      FROM ap a FULL OUTER JOIN ex e
+         |        ON a.id_a = e.id_a AND a.id_b = e.id_b),
+         |c AS (SELECT
+         |  CAST(count(aa) AS BIGINT) AS n_approx,
+         |  CAST(count(ea) AS BIGINT) AS n_exact,
+         |  CAST(sum(CASE WHEN aa IS NOT NULL AND ea IS NOT NULL
+         |           THEN 1 ELSE 0 END) AS BIGINT) AS n_common
+         |  FROM j)
+         |SELECT n_approx, n_exact, n_common,
+         |  round(CASE WHEN n_approx > 0 THEN
+         |    CAST(n_common AS DOUBLE) / CAST(n_approx AS DOUBLE) END, 6)
+         |    AS "precision",
+         |  round(CASE WHEN n_exact > 0 THEN
+         |    CAST(n_common AS DOUBLE) / CAST(n_exact AS DOUBLE) END, 6)
+         |    AS recall,
+         |  round(CASE WHEN n_approx + n_exact > 0 THEN
+         |    2.0 * CAST(n_common AS DOUBLE) /
+         |    CAST(n_approx + n_exact AS DOUBLE) END, 6) AS f1
+         |FROM c""".stripMargin,
     "q_dedup_simhash_twins" ->
       ("SELECT doc_id AS id_a, doc_id + 1000000 AS id_b, " +
         "CAST(0 AS INTEGER) AS hamming FROM documents ORDER BY id_a"),

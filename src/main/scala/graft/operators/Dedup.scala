@@ -502,6 +502,42 @@ object Dedup {
   }
 
   /**
+   * Pair-set evaluation harness: precision/recall/F1 of an APPROXIMATE
+   * duplicate-pair pass against an exact reference pass — the tuning
+   * report for every knob in this file (shingle-frequency caps,
+   * winnowing, LSH band counts, sampling rates trade recall for cost;
+   * this measures exactly what was traded). Both inputs are
+   * (id_a, id_b) pair sets with id_a < id_b; extra columns are ignored.
+   *
+   * Scale shape: one full-outer join on the id pair (16-byte keys, no
+   * payloads) then a single-row aggregate — the counts are the whole
+   * output, so this composes after any pair generator at any corpus
+   * size. Ratios are single IEEE divisions of exact longs, rounded to
+   * 6 dp (0-denominator cases yield NULL, not Inf).
+   */
+  def evaluatePairs(approx: DataFrame, exact: DataFrame): DataFrame = {
+    val a = approx.select(col("id_a"), col("id_b"), lit(1).as("__a"))
+    val e = exact.select(col("id_a"), col("id_b"), lit(1).as("__e"))
+    val j = a.join(e, Seq("id_a", "id_b"), "full_outer")
+    val agg = j.agg(
+      sum(coalesce(col("__a"), lit(0))).cast("long").as("n_approx"),
+      sum(coalesce(col("__e"), lit(0))).cast("long").as("n_exact"),
+      sum(when(col("__a").isNotNull && col("__e").isNotNull, 1)
+        .otherwise(0)).cast("long").as("n_common"))
+    agg.select(col("n_approx"), col("n_exact"), col("n_common"),
+      round(when(col("n_approx") > 0,
+        col("n_common").cast("double") / col("n_approx").cast("double")), 6)
+        .as("precision"),
+      round(when(col("n_exact") > 0,
+        col("n_common").cast("double") / col("n_exact").cast("double")), 6)
+        .as("recall"),
+      round(when(col("n_approx") + col("n_exact") > 0,
+        lit(2.0) * col("n_common").cast("double") /
+          (col("n_approx") + col("n_exact")).cast("double")), 6)
+        .as("f1"))
+  }
+
+  /**
    * EXACT shared-substring spans (the "ExactSubstr" dedup mode of Lee et
    * al., "Deduplicating Training Data Makes Language Models Better",
    * ACL'22): for every document pair sharing a verbatim character run of

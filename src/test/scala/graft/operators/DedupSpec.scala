@@ -203,4 +203,19 @@ class DedupSpec extends SparkTestBase {
     // runs of 25 and 40 chars yield (25-19)+(40-19) = 27 shared windows
     assert(r.getAs[Long]("shared_windows") == 27L)
   }
+
+  test("evaluatePairs computes precision/recall/F1 over pair sets") {
+    val ap = df("id_a BIGINT, id_b BIGINT",
+      Seq(Row(1L, 2L), Row(1L, 3L), Row(4L, 5L)))       // 1 false positive
+    val ex = df("id_a BIGINT, id_b BIGINT",
+      Seq(Row(1L, 2L), Row(1L, 3L), Row(6L, 7L), Row(8L, 9L)))
+    val r = Dedup.evaluatePairs(ap, ex).head()
+    assert((r.getLong(0), r.getLong(1), r.getLong(2)) == (3L, 4L, 2L))
+    assert(r.getDouble(3) == 0.666667)  // precision 2/3
+    assert(r.getDouble(4) == 0.5)       // recall 2/4
+    assert(r.getDouble(5) == 0.571429)  // f1 = 2*2/7
+    // empty approx set: 0 counts, NULL precision, recall 0
+    val r2 = Dedup.evaluatePairs(ap.limit(0), ex).head()
+    assert(r2.getLong(0) == 0L && r2.isNullAt(3) && r2.getDouble(4) == 0.0)
+  }
 }
