@@ -1650,9 +1650,15 @@ object SparkEntry {
     "q_embed_quantize" -> ((s, d) => {
       val e = embeddings(s, d).filter(col("vec_id") < 1000)
         .select(col("vec_id"), VF.asDouble(col("embedding")).as("v"))
+      // posexplode_OUTER: plain posexplode makes Catalyst infer a
+      // size(q) > 0 filter and push it below the projections,
+      // re-inlining the whole quantize expression (array_max per
+      // element) into a per-row predicate — the exact O(d²) the
+      // operator materializes `scale` to avoid (plan-audit-asserted).
+      // Vectors are never empty, so the rows are identical.
       graft.operators.Quantize.int8(e, "vec_id", "v")
         .select(col("vec_id"), round(col("scale"), 6).as("scale"),
-          posexplode(col("q")).as(Seq("idx", "code")))
+          posexplode_outer(col("q")).as(Seq("idx", "code")))
         .orderBy("vec_id", "idx")
     }),
 

@@ -44,4 +44,26 @@ class PlanAuditSpec extends SparkTestBase {
     // must not read the untouched wide ones
     assert(!plan.contains("l_comment"), plan)
   }
+
+  test("substring dedup: no self-join — one window over the digest shuffle") {
+    val plan = SparkEntry.queries("q_dedup_substring")(spark, dir)
+      .queryExecution.executedPlan.toString
+    // the restructured shape: a windowed count + object agg reuse one
+    // (h, h2) exchange; any SortMergeJoin would mean the 3×-lineage
+    // self-join formulation crept back
+    assert(!plan.contains("SortMergeJoin"), plan)
+    assert(plan.contains("Window"), plan)
+  }
+
+  test("quantize: scale is materialized once, not inlined per element") {
+    val plan = SparkEntry.queries("q_embed_quantize")(spark, dir)
+      .queryExecution.executedPlan.toString
+    // CollapseProject must NOT re-inline the array_max into the
+    // per-element encode lambda (that would re-evaluate it d times per
+    // vector: the O(d²) regression) — the FLOOR-encode projection line
+    // must reference the materialized `scale` attr, not the aggregate
+    val encodeLines = plan.linesIterator.filter(_.contains("FLOOR")).toSeq
+    assert(encodeLines.nonEmpty && encodeLines.forall(!_.contains("array_max")),
+      plan)
+  }
 }
