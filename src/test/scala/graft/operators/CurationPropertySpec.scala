@@ -24,6 +24,42 @@ class CurationPropertySpec extends SparkTestBase {
     sep <- Gen.oneOf(" ", " ", " ", "\n")
   } yield ws.mkString(sep)
 
+  test("Kneser-Ney bigram model is properly normalized per context") {
+    // For every observed context w1, Σ over the FULL vocabulary of
+    // p(w2|w1) must equal exactly 1 — the discounted mass D·N1+(w1·)
+    // redistributed via continuation weights sums back to what was
+    // removed. Checked by scoring a synthetic doc set containing every
+    // (context, vocab-word) pair once: each doc's nll is -ln p of its
+    // single bigram, so Σ exp(-nll) per context = Σ p.
+    val trainTxt = cases(genDoc, 12).filter(_.split("\\s+").count(_.nonEmpty) >= 2)
+    val train = df("text STRING", trainTxt.map(Row(_)))
+    // vocabulary of CONTINUATIONS (tokens at position >= 1 somewhere):
+    // a word only ever seen doc-initial has zero continuation mass and
+    // deliberately draws the 1/(V+1) OOV floor instead — including it
+    // would add exactly floor mass on top of the normalized 1
+    val vocab = trainTxt.flatMap(
+      _.toLowerCase.split("\\s+").filter(_.nonEmpty).drop(1)).distinct
+    val contexts = trainTxt.flatMap { t =>
+      val ws = t.toLowerCase.split("\\s+").filter(_.nonEmpty)
+      ws.dropRight(1)
+    }.distinct.take(8)
+    val probes = for {
+      (w1, i) <- contexts.zipWithIndex
+      (w2, j) <- vocab.zipWithIndex
+    } yield Row((i * 10000 + j).toLong, s"$w1 $w2")
+    val out = LmScore.knBigramNll(train, "text",
+        df("doc_id BIGINT, text STRING", probes), "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getDouble(2))
+    val byCtx = out.groupBy(_._1 / 10000)
+      .view.mapValues(_.map { case (_, nll) => math.exp(-nll) }.sum)
+    byCtx.foreach { case (ctx, total) =>
+      // rounding at 6 dp per doc bounds the drift well under 1e-3
+      assert(math.abs(total - 1.0) < 1e-3,
+        s"context ${contexts(ctx.toInt)}: sum p = $total")
+    }
+    assert(byCtx.nonEmpty)
+  }
+
   test("quality metrics stay in bounds over arbitrary documents") {
     val texts = cases(genDoc, 120)
     val docs = df("doc_id BIGINT, text STRING",
