@@ -1763,6 +1763,19 @@ object SparkEntry {
         "doc_id", "dsir_weight", k = 50)
     }),
 
+    // Streaming half of DSIR: the ≤4096-row weight table from a batch
+    // run ships as a literal map (bounded driver collect — the same
+    // inline-list trade as q_lines_inline) and docs score in a pure,
+    // stream-legal projection.
+    "q_dsir_stream_score" -> ((s, d) => {
+      val ds = docs(s, d)
+      val w = graft.operators.Dsir.bucketWeights(
+          ds, ds.filter(col("lang") === "en"), "text")
+        .collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
+      graft.operators.Dsir.scoreWithWeights(ds, "doc_id", "text", w)
+        .orderBy("doc_id")
+    }),
+
     // Tokenizer fertility: BPE-ish tokens per word and chars per token,
     // by language — the multilingual tokenizer-equity table.
     "q_vocab_fertility" -> ((s, d) =>
@@ -3531,6 +3544,45 @@ object SparkEntry {
     // character — list_reduce seeds with the first code point, which
     // equals the Spark fold's first step because PolyMod > 0x10FFFF.
     "q_dsir_weights" -> dsirWeightsSql,
+    // Stream-score: per-occurrence rounded bucket weights, exact
+    // decimal sum per doc (associative — any summation order matches
+    // the Spark HOF's left fold).
+    "q_dsir_stream_score" ->
+      """WITH toks AS (
+        |  SELECT doc_id, lang,
+        |    regexp_split_to_array(trim(lower(text)), '[ \t\n\x0b\f\r]+') AS ws
+        |  FROM documents),
+        |uni AS (
+        |  SELECT doc_id, lang, w, i
+        |  FROM (SELECT doc_id, lang, unnest(ws) AS w,
+        |               unnest(range(1, len(ws) + 1)) AS i FROM toks)
+        |  WHERE length(w) > 0),
+        |feats AS (
+        |  SELECT doc_id, lang, w AS f FROM uni
+        |  UNION ALL
+        |  SELECT a.doc_id, a.lang, a.w || ' ' || b.w
+        |  FROM uni a JOIN uni b ON a.doc_id = b.doc_id AND b.i = a.i + 1),
+        |fb AS (
+        |  SELECT doc_id, lang,
+        |    list_reduce(list_transform(string_split(f, ''), x -> unicode(x)),
+        |                (h, c) -> (h * 31 + c) % 2000003) % 4096 AS b
+        |  FROM feats),
+        |tc AS (SELECT b, count(*) AS ct FROM fb WHERE lang = 'en' GROUP BY 1),
+        |rc AS (SELECT b, count(*) AS cr FROM fb GROUP BY 1),
+        |tot AS (SELECT (SELECT CAST(sum(ct) AS DOUBLE) FROM tc) AS tt,
+        |               (SELECT CAST(sum(cr) AS DOUBLE) FROM rc) AS tr),
+        |wt AS (SELECT t.b,
+        |         round(ln((coalesce(ct, 0) + 1.0) / (tt + 1.0 * 4096)) -
+        |               ln((coalesce(cr, 0) + 1.0) / (tr + 1.0 * 4096)), 9) AS w
+        |       FROM (SELECT unnest(range(0, 4096)) AS b) t
+        |       LEFT JOIN tc USING (b) LEFT JOIN rc USING (b) CROSS JOIN tot),
+        |sc AS (SELECT fb.doc_id,
+        |         round(CAST(sum(CAST(w AS DECIMAL(20,9))) AS DOUBLE), 6)
+        |           AS dsir_score
+        |       FROM fb JOIN wt USING (b) GROUP BY 1)
+        |SELECT d.doc_id, sc.dsir_score
+        |FROM documents d LEFT JOIN sc USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
     // Gumbel top-k over the same weights: u replays the Spark-side
     // polynomial fold of the doc id, so the sample is bit-identical.
     "q_dsir_sample" ->

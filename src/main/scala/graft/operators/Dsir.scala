@@ -82,6 +82,64 @@ object Dsir {
   }
 
   /**
+   * The full bucket-weight table — one row per bucket id in [0, B),
+   * including buckets observed in neither corpus (their weight is the
+   * nonzero smoothing constant ln(α/(Tt+αB)) − ln(α/(Tr+αB)), so a
+   * lookup never needs a missing-key path). ≤`buckets` rows by
+   * construction: this is the artifact a nightly batch run persists and
+   * the streaming scorer ships inline. Weights round to 9 dp.
+   */
+  def bucketWeights(raw: DataFrame, target: DataFrame, textCol: String,
+                    buckets: Int = 4096, alpha: Double = 1.0): DataFrame = {
+    def feats(df: DataFrame) =
+      df.select(explode(
+        TextFunctions.dsirBuckets(lower(col(textCol)), buckets)).as("b"))
+    val tCounts = feats(target).groupBy("b").agg(count(lit(1)).as("ct"))
+    val rCounts = feats(raw).groupBy("b").agg(count(lit(1)).as("cr"))
+    val totals = broadcast(
+      tCounts.agg(sum("ct").cast("double").as("tt"))
+        .crossJoin(rCounts.agg(sum("cr").cast("double").as("tr"))))
+    raw.sparkSession.range(buckets).select(col("id").cast("int").as("b"))
+      .join(tCounts, Seq("b"), "left")
+      .join(rCounts, Seq("b"), "left")
+      .crossJoin(totals)
+      .select(col("b"), round(
+        log((coalesce(col("ct"), lit(0L)) + lit(alpha)) /
+            (col("tt") + lit(alpha * buckets))) -
+        log((coalesce(col("cr"), lit(0L)) + lit(alpha)) /
+            (col("tr") + lit(alpha * buckets))), 9).as("w"))
+  }
+
+  /**
+   * STREAMING-LEGAL scoring against a precomputed weight table — the
+   * incremental-ingest half of DSIR: [[bucketWeights]] runs on
+   * yesterday's snapshot, the (bounded, ≤B-entry) table ships as a
+   * literal map, and arriving documents score in a pure projection —
+   * no aggregation, no state, applies unchanged to a streaming source
+   * (same inline-vs-join trade as Lines.removeLinesInline).
+   *
+   * The per-document sum accumulates in DECIMAL(20,9) inside the
+   * `aggregate` HOF — exact and associative, so feature order cannot
+   * move the result and any engine summing the same rounded weights
+   * reproduces it. Docs with no features score NULL (no evidence).
+   */
+  def scoreWithWeights(df: DataFrame, idCol: String, textCol: String,
+                       weights: Map[Int, Double],
+                       buckets: Int = 4096): DataFrame = {
+    require(weights.keys.forall(b => b >= 0 && b < buckets),
+      "weight keys must be bucket ids in [0, buckets)")
+    val wlit = typedlit(weights)
+    val arr = TextFunctions.dsirBuckets(lower(col(textCol)), buckets)
+    val total = aggregate(arr,
+      lit(java.math.BigDecimal.ZERO).cast("decimal(20,9)"),
+      (acc, b) => (acc + coalesce(element_at(wlit, b), lit(0.0))
+        .cast("decimal(20,9)")).cast("decimal(20,9)"))
+    df.select(col(idCol).as("doc_id"),
+      when(size(arr) === 0, lit(null).cast("double"))
+        .otherwise(round(total.cast("double"), 6)).as("dsir_score"))
+  }
+
+  /**
    * Gumbel top-k importance resampling — DSIR's selection step: drawing
    * k documents WITHOUT replacement with probability ∝ exp(weight) is
    * exactly "add independent Gumbel(0,1) noise to each weight, keep the

@@ -23,6 +23,44 @@ class StreamingCurationSpec extends SparkTestBase {
     Doc(3, "mail me at a@b.co or 10.1.2.3 now with the and of that be to have", "en"),
     Doc(4, "ein kurzer text und die der das mit", "de"))
 
+  test("DSIR stream-scoring and within-doc line dedup apply to a stream unchanged") {
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    import graft.operators.{Dsir, Lines}
+    val mem = MemoryStream[Doc]
+    val lineDocs = Seq(
+      Doc(1, "alpha\nbeta\nalpha\ngamma", "en"),
+      Doc(2, "x\nx", "de"),
+      Doc(3, "solo", "en"))
+    mem.addData(lineDocs: _*)
+    val batchDf = spark.createDataFrame(lineDocs)
+    val w = Dsir.bucketWeights(batchDf,
+      batchDf.filter(col("lang") === "en"), "text", buckets = 256)
+      .collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
+    val scoreQ = Dsir.scoreWithWeights(mem.toDF(), "doc_id", "text", w,
+        buckets = 256)
+      .writeStream.format("memory").queryName("dsir_stream_out")
+      .outputMode("append").start()
+    val dedupQ = Lines.dedupLinesWithinDoc(mem.toDF(), "doc_id", "text")
+      .writeStream.format("memory").queryName("linededup_stream_out")
+      .outputMode("append").start()
+    try {
+      scoreQ.processAllAvailable(); dedupQ.processAllAvailable()
+      val batchScores = Dsir.scoreWithWeights(batchDf, "doc_id", "text", w,
+          buckets = 256)
+        .orderBy("doc_id").collect().map(_.toSeq.map(String.valueOf)).toSeq
+      val streamScores = spark.sql(
+          "SELECT * FROM dsir_stream_out ORDER BY doc_id")
+        .collect().map(_.toSeq.map(String.valueOf)).toSeq
+      assert(streamScores == batchScores && batchScores.size == 3)
+      val streamDedup = spark.sql(
+          "SELECT doc_id, text FROM linededup_stream_out ORDER BY doc_id")
+        .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+      assert(streamDedup(1L) == "alpha\nbeta\ngamma")
+      assert(streamDedup(2L) == "x")
+    } finally { scoreQ.stop(); dedupQ.stop() }
+  }
+
   test("quality metrics + PII redaction on a stream equal the batch result") {
     implicit val sq = spark.sqlContext
     import spark.implicits._
