@@ -55,7 +55,12 @@ object ScaleProbe {
     // tokenizer fertility, within-doc line dedup
     "q_text_diversity", "q_dedup_substring", "q_dsir_weights",
     "q_dsir_sample", "q_lm_kn", "q_lm_buckets", "q_pmi_collocations",
-    "q_vocab_encode", "q_vocab_fertility", "q_lines_dedup_within")
+    "q_vocab_encode", "q_vocab_fertility", "q_lines_dedup_within",
+    // relational families over replicated TPC-H tables (10× sf0.1
+    // lineitem ≈ 6M rows ≈ sf1): scan+partial-agg, equi-join,
+    // grouping-set expansion, range-frame window, salted skew join
+    "q_group", "q_join_inner", "q_olap_rollup", "q_olap_cube",
+    "q_rolling_window", "q_skew_join", "q_asof_join", "q_interval_join")
 
   private def caesar(c: org.apache.spark.sql.Column, k: Int) = {
     val lower = "abcdefghijklmnopqrstuvwxyz"
@@ -69,7 +74,8 @@ object ScaleProbe {
   def buildScaled(spark: SparkSession, srcDir: String, scaledDir: String,
                   rep: Int): Unit = {
     val src = graft.sources.Ingest.loadDir(spark, srcDir,
-      Seq("documents", "embeddings", "events", "supplier"))
+      Seq("documents", "embeddings", "events", "supplier",
+        "lineitem", "orders", "customer", "part"))
 
     def replicate(name: String, f: (DataFrame, Int) => DataFrame): Unit = {
       if (new java.io.File(s"$scaledDir/$name.parquet").exists()) return
@@ -96,6 +102,23 @@ object ScaleProbe {
       .withColumn("s_suppkey", col("s_suppkey") + lit(k * 100000000L))
       .withColumn("s_name", translate(col("s_name"), "0123456789",
         "0123456789".drop(k % 10) + "0123456789".take(k % 10))))
+    // TPC-H relational tables: join keys shift IN LOCKSTEP so every
+    // join stays within its replica — 10× fact rows meet 10× dimension
+    // rows through 10× disjoint key ranges, exactly like real growth.
+    // Non-key columns stay as-is: group-by cardinality (returnflag,
+    // priority, ...) is domain-bounded, so aggregate outputs stay
+    // fixed-size while scans and partial aggs grow linearly.
+    replicate("lineitem", (d, k) => d
+      .withColumn("l_orderkey", col("l_orderkey") + lit(k * 100000000L))
+      .withColumn("l_partkey", col("l_partkey") + lit(k * 10000000L))
+      .withColumn("l_suppkey", col("l_suppkey") + lit(k * 100000000L)))
+    replicate("orders", (d, k) => d
+      .withColumn("o_orderkey", col("o_orderkey") + lit(k * 100000000L))
+      .withColumn("o_custkey", col("o_custkey") + lit(k * 10000000L)))
+    replicate("customer", (d, k) => d
+      .withColumn("c_custkey", col("c_custkey") + lit(k * 10000000L)))
+    replicate("part", (d, k) => d
+      .withColumn("p_partkey", col("p_partkey") + lit(k * 10000000L)))
   }
 
   private def time(spark: SparkSession, name: String, dir: String): Double = {
