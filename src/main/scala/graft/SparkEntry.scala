@@ -1246,6 +1246,25 @@ object SparkEntry {
           threshold = 0.5))
     }),
 
+    // Data-quality expectations: four row-local rules fused into ONE
+    // aggregate pass, plus key-uniqueness (one aggregation) and
+    // referential integrity (one anti-join) — the pre-flight validation
+    // report of a production pipeline.
+    "q_expect" -> ((s, d) => {
+      val E = graft.operators.Expect
+      val li = executor(s, d).table("lineitem")
+      val or = executor(s, d).table("orders")
+      E.validate(li, Seq(
+          E.notNull("l_orderkey"),
+          E.inRange("l_quantity", 1, 50),
+          E.oneOf("l_returnflag", Seq("A", "N", "R")),
+          E.matches("l_linestatus", "^[OF]$")))
+        .unionByName(E.unique(li, Seq("l_orderkey", "l_linenumber")))
+        .unionByName(E.referentialIntegrity(li, "l_orderkey",
+          or, "o_orderkey"))
+        .orderBy("rule")
+    }),
+
     // Salted join on a same-name key — the stage algebra's common case
     // (and the column-dedup fix): results must equal a plain equi-join,
     // which is what the DuckDB oracle asserts.
@@ -2521,6 +2540,42 @@ object SparkEntry {
         |FROM runs GROUP BY id_a, id_b ORDER BY id_a, id_b""".stripMargin,
     "q_dedup_ngram_capped" ->
       ngramJaccardOracle(n = 3, threshold = 0.5, maxShingleFreq = Some(5)),
+    "q_expect" ->
+      """WITH v AS (
+        |  SELECT count(*) AS n,
+        |    sum(CASE WHEN l_orderkey IS NULL THEN 1 ELSE 0 END) AS v0,
+        |    sum(CASE WHEN l_quantity IS NOT NULL
+        |             AND (l_quantity < 1 OR l_quantity > 50)
+        |        THEN 1 ELSE 0 END) AS v1,
+        |    sum(CASE WHEN l_returnflag IS NOT NULL
+        |             AND l_returnflag NOT IN ('A','N','R')
+        |        THEN 1 ELSE 0 END) AS v2,
+        |    sum(CASE WHEN l_linestatus IS NOT NULL
+        |             AND NOT regexp_matches(l_linestatus, '^[OF]$')
+        |        THEN 1 ELSE 0 END) AS v3
+        |  FROM lineitem),
+        |u AS (SELECT sum(c) AS n, sum(c) - count(*) AS v
+        |      FROM (SELECT count(*) AS c FROM lineitem
+        |            GROUP BY l_orderkey, l_linenumber)),
+        |f AS (SELECT (SELECT count(*) FROM lineitem) AS n,
+        |        (SELECT count(*) FROM lineitem
+        |         WHERE l_orderkey IS NOT NULL
+        |           AND l_orderkey NOT IN (SELECT o_orderkey FROM orders))
+        |          AS v)
+        |SELECT * FROM (
+        |  SELECT 'not_null(l_orderkey)' AS rule, CAST(n AS BIGINT) AS n_rows,
+        |         CAST(v0 AS BIGINT) AS n_violations, v0 = 0 AS pass FROM v
+        |  UNION ALL SELECT 'in_range(l_quantity,1.0,50.0)', CAST(n AS BIGINT),
+        |         CAST(v1 AS BIGINT), v1 = 0 FROM v
+        |  UNION ALL SELECT 'one_of(l_returnflag)', CAST(n AS BIGINT),
+        |         CAST(v2 AS BIGINT), v2 = 0 FROM v
+        |  UNION ALL SELECT 'matches(l_linestatus)', CAST(n AS BIGINT),
+        |         CAST(v3 AS BIGINT), v3 = 0 FROM v
+        |  UNION ALL SELECT 'unique(l_orderkey,l_linenumber)',
+        |         CAST(n AS BIGINT), CAST(v AS BIGINT), v = 0 FROM u
+        |  UNION ALL SELECT 'fk(l_orderkey->o_orderkey)', CAST(n AS BIGINT),
+        |         CAST(v AS BIGINT), v = 0 FROM f)
+        |ORDER BY rule""".stripMargin,
     "q_dedup_eval" ->
       s"""WITH ap AS (${ngramJaccardOracle(n = 3, threshold = 0.5,
              maxShingleFreq = Some(5))}),
