@@ -1265,6 +1265,21 @@ object SparkEntry {
         .orderBy("rule")
     }),
 
+    // Row-level quarantine: each doc annotated with the rules it
+    // violates (joined to a string for engine-portable comparison) —
+    // the split point that routes dirty rows to a reasoned sink.
+    "q_expect_quarantine" -> ((s, d) => {
+      val E = graft.operators.Expect
+      E.quarantine(docs(s, d), Seq(
+          E.oneOf("lang", Seq("en", "fr", "de")),
+          E.inRange("n_chars", 1, 400),
+          E.notNull("text")))
+        .select(col("doc_id"), col("lang"), col("n_chars"),
+          array_join(col("violations"), ",").as("violations"),
+          (size(col("violations")) === 0).as("clean"))
+        .orderBy("doc_id")
+    }),
+
     // Salted join on a same-name key — the stage algebra's common case
     // (and the column-dedup fix): results must equal a plain equi-join,
     // which is what the DuckDB oracle asserts.
@@ -2576,6 +2591,21 @@ object SparkEntry {
         |  UNION ALL SELECT 'fk(l_orderkey->o_orderkey)', CAST(n AS BIGINT),
         |         CAST(v AS BIGINT), v = 0 FROM f)
         |ORDER BY rule""".stripMargin,
+    "q_expect_quarantine" ->
+      """WITH q AS (
+        |  SELECT doc_id, lang, n_chars,
+        |    list_filter([
+        |      CASE WHEN lang IS NOT NULL AND lang NOT IN ('en','fr','de')
+        |           THEN 'one_of(lang)' END,
+        |      CASE WHEN n_chars IS NOT NULL AND (n_chars < 1 OR n_chars > 400)
+        |           THEN 'in_range(n_chars,1.0,400.0)' END,
+        |      CASE WHEN text IS NULL THEN 'not_null(text)' END],
+        |      x -> x IS NOT NULL) AS v
+        |  FROM documents)
+        |SELECT doc_id, lang, n_chars,
+        |       coalesce(array_to_string(v, ','), '') AS violations,
+        |       len(v) = 0 AS clean
+        |FROM q ORDER BY doc_id""".stripMargin,
     "q_dedup_eval" ->
       s"""WITH ap AS (${ngramJaccardOracle(n = 3, threshold = 0.5,
              maxShingleFreq = Some(5))}),

@@ -63,6 +63,22 @@ object Expect {
         col("r.n_violations"), col("r.pass"))
   }
 
+  /**
+   * Row-level quarantine routing: annotate every row with the names of
+   * the row-local rules it violates (`violations` array, empty = clean)
+   * — the split point of a validating pipeline: clean rows flow on,
+   * dirty rows divert to a quarantine sink WITH the reason attached.
+   * A pure projection (no aggregation, no state), so it applies
+   * unchanged to a streaming source.
+   */
+  def quarantine(df: DataFrame, rules: Seq[Rule]): DataFrame = {
+    require(rules.nonEmpty, "at least one rule")
+    val names = rules.map(r =>
+      when(r.violated, lit(r.name)).otherwise(lit(null)))
+    df.withColumn("violations",
+      filter(array(names: _*), x => x.isNotNull))
+  }
+
   /** Key-uniqueness report: violations = rows beyond the first per key
     * (n_rows − n_distinct_keys); NULL key components count as a key
     * value, matching SQL GROUP BY. One aggregation, no join. */

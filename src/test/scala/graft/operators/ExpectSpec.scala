@@ -31,6 +31,14 @@ class ExpectSpec extends SparkTestBase {
     assert(!plan.contains("Join"), plan)
   }
 
+  test("quarantine annotates rows with their violated rules, in rule order") {
+    val out = Expect.quarantine(t, Seq(
+        Expect.notNull("id"), Expect.inRange("v", 0, 50)))
+      .collect().map(r => r.getSeq[String](3).toList)
+    assert(out.toList == List(
+      Nil, List("in_range(v,0.0,50.0)"), List("not_null(id)"), Nil, Nil))
+  }
+
   test("unique and referentialIntegrity count violations") {
     val u = Expect.unique(t, Seq("id")).head()
     // ids: 1,2,null,1,3 -> 4 distinct keys (null is a key), 1 extra row
