@@ -1954,6 +1954,42 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // Incremental aggregate maintenance: three date-batches of orders
+    // fold into one state via a MERGE TREE ((b1+b2)+b3) — the finished
+    // metrics must equal a direct aggregation over all orders (the
+    // oracle), proving the partial-state monoid is exact and
+    // arrival-order-free. At 100 TB the merge shuffles state rows
+    // (≤ keys per batch), never base data.
+    "q_incr_agg" -> ((s, d) => {
+      val A = graft.operators.IncrementalAgg
+      val or = executor(s, d).table("orders")
+      val keys = Seq("o_orderpriority")
+      val cut1 = to_timestamp(lit("1996-01-01"))
+      val cut2 = to_timestamp(lit("1997-01-01"))
+      val s1 = A.state(or.filter(col("o_orderdate") < cut1), keys, "o_totalprice")
+      val s2 = A.state(or.filter(col("o_orderdate") >= cut1 &&
+        col("o_orderdate") < cut2), keys, "o_totalprice")
+      val s3 = A.state(or.filter(col("o_orderdate") >= cut2), keys, "o_totalprice")
+      A.finish(A.merge(keys, A.merge(keys, s1, s2), s3), keys)
+        .orderBy("o_orderpriority")
+    }),
+
+    // Retraction: fold a delete-batch (every 10th order) out of the full
+    // state via negated accumulators — must equal aggregating the
+    // surviving rows directly. Only the invertible metrics (n, total)
+    // survive retraction; min/max are dropped by design (IncrementalAgg
+    // scaladoc).
+    "q_incr_retract" -> ((s, d) => {
+      val A = graft.operators.IncrementalAgg
+      val or = executor(s, d).table("orders")
+      val keys = Seq("o_orderpriority")
+      val base = A.state(or, keys, "o_totalprice")
+      A.retract(base, or.filter(col("o_orderkey") % 10 === 0), keys, "o_totalprice")
+        .select(col("o_orderpriority"), col("n"),
+          col("sum_dec").cast("double").as("total"))
+        .orderBy("o_orderpriority")
+    }),
+
     // Canonical URL normalization over four synthesized URL shapes
     // (tracking params, default ports, mixed case, fragments,
     // non-http scheme, relative pass-through).
@@ -3873,6 +3909,20 @@ object SparkEntry {
         |UNION ALL
         |SELECT doc_id + 1000000, text FROM documents WHERE doc_id < 5
         |ORDER BY doc_id""".stripMargin,
+    "q_incr_agg" ->
+      """SELECT o_orderpriority, count(o_totalprice) AS n,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total,
+        |  min(o_totalprice) AS min_v, max(o_totalprice) AS max_v,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+        |    / count(o_totalprice) AS avg_v
+        |FROM orders GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin,
+    "q_incr_retract" ->
+      """SELECT o_orderpriority, count(o_totalprice) AS n,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |FROM orders WHERE o_orderkey % 10 != 0
+        |GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin,
     "q_web_canonical" -> canonicalUrlOracle,
     "q_custom_canonical" -> canonicalUrlOracle,
     // Closed form (see the gate comment): survivors are exactly the
