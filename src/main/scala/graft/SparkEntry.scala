@@ -1990,6 +1990,25 @@ object SparkEntry {
         .orderBy("o_orderpriority")
     }),
 
+    // Link-graph authority: PageRank over the customer↔supplier
+    // transaction graph (both directions, so every node both emits and
+    // receives mass), 3 iterations — the domain-authority curation
+    // signal. The oracle unrolls the same iterations in SQL; the 9-dp
+    // round + decimal contribution sum makes each iteration
+    // order-independent, so the iterative Spark plan and the set-based
+    // CTE chain agree bit-for-bit.
+    "q_graph_pagerank" -> ((s, d) => {
+      val ex = executor(s, d)
+      val pairs = ex.table("lineitem").join(ex.table("orders"),
+          col("l_orderkey") === col("o_orderkey"))
+        .select(concat(lit("c:"), col("o_custkey")).as("c"),
+          concat(lit("s:"), col("l_suppkey")).as("p"))
+      val edges = pairs.select(col("c").as("src"), col("p").as("dst"))
+        .unionByName(pairs.select(col("p").as("src"), col("c").as("dst")))
+      graft.operators.Graph.pageRank(edges, "src", "dst", iterations = 3)
+        .orderBy("node")
+    }),
+
     // Canonical URL normalization over four synthesized URL shapes
     // (tracking params, default ports, mixed case, fragments,
     // non-http scheme, relative pass-through).
@@ -3923,6 +3942,7 @@ object SparkEntry {
         |FROM orders WHERE o_orderkey % 10 != 0
         |GROUP BY o_orderpriority
         |ORDER BY o_orderpriority""".stripMargin,
+    "q_graph_pagerank" -> pageRankOracle(iterations = 3, damping = 0.85),
     "q_web_canonical" -> canonicalUrlOracle,
     "q_custom_canonical" -> canonicalUrlOracle,
     // Closed form (see the gate comment): survivors are exactly the
@@ -3983,6 +4003,36 @@ object SparkEntry {
   /** Shared CTE scaffold for the drift oracles: `aSql`/`bSql` each select
     * ONE column aliased `v`; the scaffold builds value counts, the
     * null-safe full outer join, and exact-count probabilities. */
+  /** DuckDB mirror of q_graph_pagerank: the same iteration count
+    * unrolled as CTE rounds. Teleport is spelled `(1 - d)` — NEVER a
+    * folded 0.15 literal — because 1-0.85 and 0.15 are different
+    * doubles and the 9-dp round can straddle a boundary. */
+  private def pageRankOracle(iterations: Int, damping: Double): String = {
+    val d = damping.toString
+    val rounds = (1 to iterations).map { i =>
+      s"""c$i AS (SELECT e.dst AS node,
+         |  CAST(round(r.rank / o.deg, 9) AS DECIMAL(22,9)) AS c
+         |  FROM edges e JOIN r${i - 1} r ON e.src = r.node
+         |  JOIN outdeg o ON e.src = o.src),
+         |s$i AS (SELECT node, sum(c) AS s FROM c$i GROUP BY node),
+         |r$i AS (SELECT n.node,
+         |  round((1 - $d) + $d * CAST(coalesce(s.s, 0) AS DOUBLE), 9) AS rank
+         |  FROM nodes n LEFT JOIN s$i s ON n.node = s.node)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH pairs AS (
+       |  SELECT DISTINCT 'c:' || o_custkey AS c, 's:' || l_suppkey AS p
+       |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+       |edges AS (SELECT c AS src, p AS dst FROM pairs
+       |          UNION SELECT p, c FROM pairs),
+       |outdeg AS (SELECT src, count(*) AS deg FROM edges GROUP BY src),
+       |nodes AS (SELECT src AS node FROM edges
+       |          UNION SELECT dst FROM edges),
+       |r0 AS (SELECT node, CAST(1.0 AS DOUBLE) AS rank FROM nodes),
+       |$rounds
+       |SELECT node, round(rank, 6) AS rank FROM r$iterations
+       |ORDER BY node""".stripMargin
+  }
+
   private def driftScaffold(aSql: String, bSql: String): String =
     s"""a AS ($aSql),
        |b AS ($bSql),

@@ -1,0 +1,40 @@
+package graft.operators
+
+import org.apache.spark.sql.Row
+import graft.SparkTestBase
+
+class GraphSpec extends SparkTestBase {
+
+  private def ranks(edges: Seq[(String, String)], iters: Int): Map[String, Double] = {
+    val e = df("src STRING, dst STRING",
+      edges.map { case (a, b) => Row(a, b) })
+    Graph.pageRank(e, "src", "dst", iters)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+  }
+
+  test("a symmetric 2-cycle is a fixed point at rank 1.0") {
+    val r = ranks(Seq("a" -> "b", "b" -> "a"), 4)
+    assert(r == Map("a" -> 1.0, "b" -> 1.0))
+  }
+
+  test("bidirectional star concentrates rank on the hub (1 iteration, exact)") {
+    val leaves = Seq("x", "y", "z")
+    val r = ranks(leaves.map(_ -> "hub") ++ leaves.map("hub" -> _), 1)
+    // hub: 0.15 + 0.85 * (3 leaves x 1.0/1) ; leaf: 0.15 + 0.85 * round(1/3, 9)
+    assert(r("hub") == 2.7)
+    assert(leaves.forall(l => r(l) == 0.433333))
+    assert(r("hub") > r("x"))
+  }
+
+  test("dangling sink keeps received mass; source decays to teleport") {
+    val r = ranks(Seq("a" -> "b"), 2)
+    assert(r("a") == 0.15)                       // nothing points at a
+    assert(r("b") == 0.2775)                     // 0.15 + 0.85 * 0.15, 9-dp rounded
+  }
+
+  test("duplicate edges count once") {
+    val once = ranks(Seq("a" -> "b", "b" -> "a"), 2)
+    val dup = ranks(Seq("a" -> "b", "a" -> "b", "b" -> "a"), 2)
+    assert(once == dup)
+  }
+}
