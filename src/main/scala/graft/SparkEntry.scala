@@ -2009,6 +2009,19 @@ object SparkEntry {
         .orderBy("node")
     }),
 
+    // Z-order (Morton) clustering key: bit-interleave of two dims
+    // masked to 8 bits — the multi-dimensional data-skipping layout
+    // (LayoutSpec measures the file-pruning win; this gate pins the key
+    // function itself bit-for-bit against the oracle's shift/mask SQL).
+    "q_layout_zorder" -> ((s, d) => {
+      val x = col("l_partkey") % 256
+      val y = col("l_suppkey") % 256
+      executor(s, d).table("lineitem")
+        .select(col("l_orderkey"), col("l_linenumber"), x.as("x"), y.as("y"),
+          graft.sources.Layout.zValue(Seq(x, y), bits = 8).as("z"))
+        .orderBy("l_orderkey", "l_linenumber")
+    }),
+
     // Canonical URL normalization over four synthesized URL shapes
     // (tracking params, default ports, mixed case, fragments,
     // non-http scheme, relative pass-through).
@@ -3943,6 +3956,11 @@ object SparkEntry {
         |GROUP BY o_orderpriority
         |ORDER BY o_orderpriority""".stripMargin,
     "q_graph_pagerank" -> pageRankOracle(iterations = 3, damping = 0.85),
+    "q_layout_zorder" ->
+      s"""SELECT l_orderkey, l_linenumber, l_partkey % 256 AS x,
+         |  l_suppkey % 256 AS y,
+         |  ${zOracleExpr(Seq("l_partkey % 256", "l_suppkey % 256"), 8)} AS z
+         |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin,
     "q_web_canonical" -> canonicalUrlOracle,
     "q_custom_canonical" -> canonicalUrlOracle,
     // Closed form (see the gate comment): survivors are exactly the
@@ -4003,6 +4021,16 @@ object SparkEntry {
   /** Shared CTE scaffold for the drift oracles: `aSql`/`bSql` each select
     * ONE column aliased `v`; the scaffold builds value counts, the
     * null-safe full outer join, and exact-count probabilities. */
+  /** DuckDB mirror of [[graft.sources.Layout.zValue]]: bit i of dim j
+    * at position i*k+j. Every term is fully parenthesized — SQL's `+`
+    * binds TIGHTER than `<<`, so a bare `a << p + b << q` chain would
+    * shift by the neighbor's term. */
+  private def zOracleExpr(dims: Seq[String], bits: Int): String =
+    dims.zipWithIndex.flatMap { case (e, j) =>
+      (0 until bits).map(i =>
+        s"(((($e) >> $i) & 1) << ${i * dims.size + j})")
+    }.mkString(" + ")
+
   /** DuckDB mirror of q_graph_pagerank: the same iteration count
     * unrolled as CTE rounds. Teleport is spelled `(1 - d)` — NEVER a
     * folded 0.15 literal — because 1-0.85 and 0.15 are different
