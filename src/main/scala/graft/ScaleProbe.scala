@@ -60,7 +60,10 @@ object ScaleProbe {
     // lineitem ≈ 6M rows ≈ sf1): scan+partial-agg, equi-join,
     // grouping-set expansion, range-frame window, salted skew join
     "q_group", "q_join_inner", "q_olap_rollup", "q_olap_cube",
-    "q_rolling_window", "q_skew_join", "q_asof_join", "q_interval_join")
+    "q_rolling_window", "q_skew_join", "q_asof_join", "q_interval_join",
+    // round-5 late additions: mergeable partial-agg maintenance,
+    // iterative link-graph PageRank, Morton-key projection
+    "q_incr_agg", "q_incr_retract", "q_graph_pagerank", "q_layout_zorder")
 
   private def caesar(c: org.apache.spark.sql.Column, k: Int) = {
     val lower = "abcdefghijklmnopqrstuvwxyz"

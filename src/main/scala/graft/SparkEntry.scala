@@ -380,6 +380,21 @@ object SparkEntry {
         "doc_id", "text", "lang", "source", "n_chars")
     }),
 
+    // Write-audit-publish: stage documents to a hidden dir, audit the
+    // STAGED FILES with row-local expectations, publish by rename, read
+    // the published dir back — equality with the parquet-reading oracle
+    // proves the staged/published data is the input, byte-faithfully,
+    // and that the audit sits between write and visibility.
+    "q_export_wap" -> ((s, d) => {
+      val out = exportDir(s, "graft_export_wap")
+      val E = graft.operators.Expect
+      graft.sources.Writer.writeAuditPublish(docs(s, d), out, Seq(
+        E.notNull("doc_id"), E.notNull("text"),
+        E.oneOf("lang", Seq("en", "fr", "de", "es", "ja", "zh"))))
+      s.read.parquet(out).selectExpr(
+        "doc_id", "text", "lang", "source", "n_chars")
+    }),
+
     // ORC interchange: write the documents table as ORC, read it back —
     // equality against the parquet-reading oracle proves losslessness
     // (Spark-native columnar alternative where a consumer requires ORC).
@@ -2540,6 +2555,8 @@ object SparkEntry {
     "q_export_jsonl" ->
       "SELECT doc_id, text, lang, source, n_chars FROM documents",
     "q_export_orc" ->
+      "SELECT doc_id, text, lang, source, n_chars FROM documents",
+    "q_export_wap" ->
       "SELECT doc_id, text, lang, source, n_chars FROM documents",
     "q_export_partitioned" ->
       """SELECT doc_id, source, lang FROM documents

@@ -89,4 +89,65 @@ object Writer {
       .option("ignoreNullFields", "false")
       .json(path)
   }
+
+  /**
+   * Write-audit-publish: stage the batch, validate it, and only then
+   * make it visible — the idempotent-publish pattern that keeps a
+   * half-written or rule-violating batch from ever being read
+   * downstream. A failed job (or failed audit) leaves the destination
+   * EXACTLY as it was; a rerun republishes from scratch.
+   *
+   *  1. WRITE to a hidden sibling staging dir (unique per attempt, so
+   *     concurrent attempts never collide);
+   *  2. AUDIT the staged files with [[graft.operators.Expect]] row-local
+   *     rules — re-reading what was actually written catches write-path
+   *     corruption too, and costs one scan of the BATCH, not the base;
+   *  3. PUBLISH by renaming staging onto the destination, with the
+   *     audit report embedded as `_AUDIT.json`.
+   *
+   * Rename is atomic-and-O(1) on HDFS-like filesystems; on S3-like
+   * stores it degrades to copy — there the staging dir should live
+   * under the final prefix and a manifest commit (or a table format)
+   * replaces the rename. The seam is this function either way.
+   *
+   * Returns the report rows `(rule, n_rows, n_violations, pass)`;
+   * throws (and cleans staging, leaving the destination untouched) if
+   * any rule fails.
+   */
+  def writeAuditPublish(df: DataFrame, path: String,
+                        rules: Seq[graft.operators.Expect.Rule],
+                        partitionBy: Seq[String] = Nil)
+      : Seq[(String, Long, Long, Boolean)] = {
+    import org.apache.hadoop.fs.Path
+    val spark = df.sparkSession
+    val dest = new Path(path)
+    val fs = dest.getFileSystem(spark.sessionState.newHadoopConf())
+    val staging = new Path(dest.getParent,
+      s".${dest.getName}_staging_${java.util.UUID.randomUUID()}")
+    try {
+      val w = df.write.mode(SaveMode.Overwrite)
+      (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w)
+        .parquet(staging.toString)
+      val report = graft.operators.Expect
+        .validate(spark.read.parquet(staging.toString), rules)
+        .collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getBoolean(3)))
+        .toSeq
+      val failed = report.filter(!_._4)
+      if (failed.nonEmpty)
+        throw new IllegalStateException("audit failed, not publishing: " +
+          failed.map(f => s"${f._1} (${f._3} violations)").mkString(", "))
+      val audit = report.map { case (rule, n, v, pass) =>
+        s"""{"rule":"$rule","n_rows":$n,"n_violations":$v,"pass":$pass}"""
+      }.mkString("[", ",", "]")
+      val out = fs.create(new Path(staging, "_AUDIT.json"))
+      try out.write(audit.getBytes("UTF-8")) finally out.close()
+      if (fs.exists(dest)) fs.delete(dest, true)
+      if (!fs.rename(staging, dest))
+        throw new java.io.IOException(s"publish rename failed: $staging -> $dest")
+      report
+    } catch {
+      case e: Throwable => fs.delete(staging, true); throw e
+    }
+  }
 }
