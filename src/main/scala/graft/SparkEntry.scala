@@ -1711,6 +1711,19 @@ object SparkEntry {
         .orderBy("vec_id", "idx")
     }),
 
+    // Matryoshka truncation to 16 dims + unit renorm. The squared-norm
+    // is a sequential left-fold (identical IEEE order in both engines —
+    // Spark aggregate's 0.0 seed is exact under +x₁²), so values agree
+    // bit-for-bit before the 6-dp publish round.
+    "q_embed_matryoshka" -> ((s, d) => {
+      val e = embeddings(s, d).filter(col("vec_id") < 1000)
+        .select(col("vec_id"), VF.asDouble(col("embedding")).as("v"))
+      graft.operators.Quantize.matryoshka(e, "vec_id", "v", dims = 16)
+        .select(col("vec_id"), posexplode_outer(col("v")).as(Seq("idx", "va")))
+        .select(col("vec_id"), col("idx"), round(col("va"), 6).as("val"))
+        .orderBy("vec_id", "idx")
+    }),
+
     // SemDeDup twin gate (same closed-form construction as q_dedup_embed):
     // embeddings ∪ exact twins (id+1e6, v×2) — cell assignment is
     // scale-invariant so every twin pair is a within-cell candidate with
@@ -3229,6 +3242,18 @@ object SparkEntry {
         |SELECT vec_id, round(scale, 6) AS scale, CAST(i - 1 AS INTEGER) AS idx,
         |  CASE WHEN scale = 0.0 THEN 0
         |       ELSE CAST(floor(v[i] / scale * 127.0 + 0.5) AS INTEGER) END AS code
+        |FROM x ORDER BY vec_id, idx""".stripMargin,
+    "q_embed_matryoshka" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v0
+        |           FROM embeddings WHERE vec_id < 1000),
+        |t AS (SELECT vec_id, v0[1:16] AS tv FROM e),
+        |n AS (SELECT vec_id, tv,
+        |        sqrt(list_reduce(list_transform(tv, x -> x*x),
+        |                         (a, b) -> a + b)) AS nrm
+        |      FROM t),
+        |x AS (SELECT vec_id, tv, nrm, unnest(range(1, len(tv)+1)) AS i FROM n)
+        |SELECT vec_id, CAST(i - 1 AS INTEGER) AS idx,
+        |  round(CASE WHEN nrm = 0.0 THEN tv[i] ELSE tv[i] / nrm END, 6) AS val
         |FROM x ORDER BY vec_id, idx""".stripMargin,
     // The q_dedup_embed corpus is embeddings ∪ exact twins (id+1e6, v×2):
     // twin pairs have cosine exactly 1.0 after round(…,6) and LSH recall 1

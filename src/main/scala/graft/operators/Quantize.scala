@@ -44,4 +44,31 @@ object Quantize {
   /** Approximate reconstruction of a quantized vector column. */
   def dequantize(q: Column, scale: Column): Column =
     transform(q, x => x.cast("double") * scale / 127.0)
+
+  /**
+   * Matryoshka truncation: keep the first `dims` components and
+   * re-normalize to unit L2 — the MRL serving trick (a nested-prefix-
+   * trained embedding keeps most of its similarity structure in its
+   * prefix), cutting ANN index size by d/dims with no re-embedding.
+   * Dot products of truncated unit vectors are then directly cosines.
+   *
+   * Engine-portable determinism: the squared-norm is a SEQUENTIAL
+   * left-fold over ≤ dims doubles (identical IEEE operation order in
+   * any engine's list-reduce), not a distributed sum — no decimal
+   * detour needed. The norm is materialized in its own projection
+   * before the divide lambda references it (same O(d²) re-inline trap
+   * as [[int8]]'s scale). All-zero prefixes stay zero.
+   */
+  def matryoshka(df: DataFrame, idCol: String, vecCol: String,
+                 dims: Int): DataFrame = {
+    require(dims >= 1, "dims must be >= 1")
+    df.select(col(idCol), slice(col(vecCol), 1, dims).as("__t"))
+      .select(col(idCol), col("__t"),
+        sqrt(aggregate(col("__t"), lit(0.0), (acc, x) => acc + x * x))
+          .as("__norm"))
+      .select(col(idCol),
+        when(col("__norm") === 0.0, col("__t"))
+          .otherwise(transform(col("__t"), x => x / col("__norm")))
+          .as("v"))
+  }
 }

@@ -186,6 +186,22 @@ class AnnSpec extends SparkTestBase {
     }
   }
 
+  test("matryoshka truncation yields unit-norm prefixes; zero prefix passes through") {
+    val e = realEmbeddings
+    val m = Quantize.matryoshka(e, "vec_id", "v", dims = 16)
+    val checked = m.select(col("vec_id"), size(col("v")).as("d"),
+        aggregate(col("v"), lit(0.0), (acc, x) => acc + x * x).as("sq"))
+      .collect()
+    assert(checked.forall(_.getInt(1) == 16))
+    assert(checked.forall(r => math.abs(r.getDouble(2) - 1.0) < 1e-9))
+    // an all-zero prefix must not divide by zero
+    val z = df("vec_id BIGINT, v ARRAY<DOUBLE>", Seq(
+      org.apache.spark.sql.Row(1L, Seq(0.0, 0.0, 0.0, 5.0))))
+    val zv = Quantize.matryoshka(z, "vec_id", "v", dims = 3)
+      .head().getSeq[Double](1)
+    assert(zv == Seq(0.0, 0.0, 0.0))
+  }
+
   test("IVF index persists and reloads: identical search results, cell-partitioned layout") {
     val e = realEmbeddings
     val index = Ann.ivfIndex(e, "v", nCentroids = 8)
