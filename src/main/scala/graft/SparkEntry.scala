@@ -733,6 +733,22 @@ object SparkEntry {
         .select(col("doc_id"), col("epoch"))
         .orderBy("doc_id", "epoch")),
 
+    // Water-filling budget mix: 90% of the corpus drawn across the 20
+    // sources at weights cycling 1..4 — the three heaviest weight
+    // classes saturate their (uniform) capacities at BOTH sf0.001 and
+    // sf0.01, so the redistribution path is what the oracle checks, not
+    // just proportional allocation. Selection is the capPerKey md5-rank
+    // idiom, so the exact row set is oracle-expressible.
+    "q_mix_budget" -> ((s, d) => {
+      val weight = substring(col("source"), 4, 10).cast("int") % 4 + 1
+      graft.operators.Mix.budgetMix(
+          docs(s, d).select(col("doc_id"), col("source")),
+          "doc_id", "source", weight,
+          floor(count(lit(1)) * 0.9), salt = "graft-mixb-1")
+        .select(col("doc_id"), col("source"))
+        .orderBy("doc_id")
+    }),
+
     // Three-way split on the same hash — train set provably identical to
     // q_split's (thresholds nest).
     "q_split3" -> ((s, d) =>
@@ -2939,6 +2955,34 @@ object SparkEntry {
         |  FROM r, b)
         |SELECT doc_id, CAST(unnest(range(0, reps)) AS BIGINT) AS epoch
         |FROM k WHERE reps >= 1 ORDER BY doc_id, epoch""".stripMargin,
+    "q_mix_budget" ->
+      """WITH b AS (SELECT floor(count(*) * 0.9) AS bud FROM documents),
+        |st AS (SELECT source, CAST(count(*) AS DOUBLE) AS cap,
+        |         CAST(CAST(substring(source, 4) AS INT) % 4 + 1 AS DOUBLE) AS w
+        |       FROM documents GROUP BY source),
+        |s3 AS (SELECT source, cap, w, cap / w AS ratio,
+        |         row_number() OVER (ORDER BY cap / w ASC, source ASC) AS rn,
+        |         coalesce(sum(cap) OVER (ORDER BY cap / w ASC, source ASC
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS capb,
+        |         sum(w) OVER (ORDER BY cap / w ASC, source ASC
+        |           ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS wfrom,
+        |         bud
+        |       FROM st CROSS JOIN b),
+        |s4 AS (SELECT *, (bud - capb) / wfrom AS lam FROM s3),
+        |stop AS (SELECT rn AS krn, lam AS klam FROM s4
+        |         WHERE ratio >= lam ORDER BY rn LIMIT 1),
+        |alloc AS (SELECT source,
+        |    CASE WHEN krn IS NULL OR rn < krn THEN cap
+        |         ELSE least(cap, floor(w * klam)) END AS alloc
+        |  FROM s4 LEFT JOIN stop ON true),
+        |ranked AS (SELECT doc_id, source, row_number() OVER (
+        |    PARTITION BY source
+        |    ORDER BY substring(md5('graft-mixb-1:' || CAST(doc_id AS VARCHAR)),
+        |                       1, 16) ASC, doc_id ASC) AS rnk
+        |  FROM documents)
+        |SELECT r.doc_id, r.source FROM ranked r
+        |JOIN alloc a ON r.source = a.source
+        |WHERE r.rnk <= a.alloc ORDER BY r.doc_id""".stripMargin,
     "q_split3" ->
       ("SELECT doc_id, CASE WHEN substring(md5(text), 1, 8) < '" +
         graft.operators.Split.thresholdHex(0.8) +

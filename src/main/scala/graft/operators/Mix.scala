@@ -80,4 +80,72 @@ object Mix {
       .withColumn("epoch", explode(sequence(lit(0L), col("__k") - 1L)))
       .drop("pos", "__t", "__n", "__k")
   }
+
+  /**
+   * Budget-constrained mixture realization with WATER-FILLING: draw
+   * `budget` total rows from the groups of `keyCol` at target
+   * proportions `weightOf`, redistributing the share a small group
+   * cannot fill to the rest — the step that turns a data recipe
+   * ("web:code:books at 6:3:1, 10B docs total") into an actual sample
+   * when some sources are finite. [[weightedMix]] shrinks the WHOLE mix
+   * to the scarcest source; this keeps the budget and bends the ratios
+   * instead — the other standard resolution.
+   *
+   * The water level λ solves Σᵢ min(capᵢ, wᵢλ) = budget: groups with
+   * cap < wλ contribute everything; the rest take ⌊wλ⌋. Solved
+   * IN-PLAN, not on the driver: sort the per-group stats by cap/w
+   * ascending — λ along a saturating prefix is strictly increasing, so
+   * the first group whose cap/w reaches its prefix level is where
+   * saturation stops — with prefix-sum windows over the stats table
+   * (#groups rows; the single-partition window is a non-issue at that
+   * size) and a 1-row broadcast of (stop-rank, λ). Row selection within
+   * each group is the capPerKey md5 rank — deterministic, engine-
+   * portable, re-run-identical. Total drawn is within #groups rows
+   * under budget (per-group floors), never over.
+   *
+   * `weightOf` must be constant within a group; `budget` is evaluated
+   * in one global aggregate over `df`, so both absolute (`lit(1000)`)
+   * and relative (`floor(count(lit(1)) * 0.9)`) budgets express.
+   */
+  def budgetMix(df: DataFrame, idCol: String, keyCol: String,
+                weightOf: org.apache.spark.sql.Column,
+                budget: org.apache.spark.sql.Column,
+                salt: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val bRow = df.agg(budget.cast("double").as("__B"))
+    val stats = df.groupBy(col(keyCol))
+      .agg(count(lit(1)).cast("double").as("__cap"),
+        max(weightOf).cast("double").as("__w"))
+      .crossJoin(broadcast(bRow))
+    val ord = Window.orderBy(col("__ratio").asc, col(keyCol).asc)
+    val s2 = stats
+      .withColumn("__ratio", col("__cap") / col("__w"))
+      .withColumn("__rn", row_number().over(ord))
+      .withColumn("__capBefore", coalesce(
+        sum(col("__cap")).over(ord.rowsBetween(Window.unboundedPreceding, -1)),
+        lit(0.0)))
+      .withColumn("__wFrom",
+        sum(col("__w")).over(ord.rowsBetween(Window.currentRow,
+          Window.unboundedFollowing)))
+      .withColumn("__lam",
+        (col("__B") - col("__capBefore")) / col("__wFrom"))
+    // first group (in cap/w order) that does NOT saturate fixes λ; if
+    // every group saturates (budget ≥ total), the left join yields NULL
+    // and every allocation falls back to cap
+    val stop = s2.filter(col("__ratio") >= col("__lam"))
+      .orderBy(col("__rn")).limit(1)
+      .select(col("__rn").as("__krn"), col("__lam").as("__klam"))
+    val alloc = s2.join(broadcast(stop), lit(true), "left")
+      .select(col(keyCol),
+        when(col("__krn").isNull || col("__rn") < col("__krn"), col("__cap"))
+          .otherwise(least(col("__cap"), floor(col("__w") * col("__klam"))))
+          .as("__alloc"))
+    val rank = Window.partitionBy(col(keyCol))
+      .orderBy(substring(md5(concat(lit(s"$salt:"), col(idCol).cast("string"))),
+        1, 16).asc, col(idCol).asc)
+    df.withColumn("__rnk", row_number().over(rank))
+      .join(broadcast(alloc), keyCol)
+      .filter(col("__rnk") <= col("__alloc"))
+      .drop("__rnk", "__alloc")
+  }
 }

@@ -81,4 +81,51 @@ class MixSpec extends SparkTestBase {
     assert(rowNumberWindows.nonEmpty &&
       rowNumberWindows.forall(_.contains("__b")), plan)
   }
+
+  /** Brute-force water level: binary-search λ with Σ min(cap, wλ) = B. */
+  private def waterRef(caps: Map[String, Long], ws: Map[String, Double],
+                       b: Double): Map[String, Long] = {
+    var (lo, hi) = (0.0, 1e12)
+    (1 to 200).foreach { _ =>
+      val mid = (lo + hi) / 2
+      if (caps.map { case (k, c) => math.min(c.toDouble, ws(k) * mid) }.sum < b)
+        lo = mid
+      else hi = mid
+    }
+    // epsilon guards the floor when λ converges to an exact integer share
+    caps.map { case (k, c) =>
+      k -> math.min(c.toDouble, math.floor(ws(k) * lo + 1e-6)).toLong }
+  }
+
+  test("budgetMix matches the water-filling reference across regimes") {
+    import org.apache.spark.sql.functions._
+    val data = corpus(0 until 40, "big") // caps: big=40, mid=12, tiny=3
+      .union(corpus(100 until 112, "mid"))
+      .union(corpus(200 until 203, "tiny"))
+    val ws = Map("big" -> 1.0, "mid" -> 2.0, "tiny" -> 6.0)
+    val wCol = when(col("src") === "big", 1.0)
+      .when(col("src") === "mid", 2.0).otherwise(6.0)
+    for (budget <- Seq(9L, 30L, 54L, 100L)) {
+      val got = Mix.budgetMix(data, "id", "src", wCol, lit(budget), "t")
+        .groupBy("src").count().collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      val ref = waterRef(Map("big" -> 40L, "mid" -> 12L, "tiny" -> 3L), ws,
+        budget.toDouble).filter(_._2 > 0)
+      assert(got == ref, s"budget=$budget: $got vs $ref")
+      // never over budget, within #groups under (per-group floors)
+      val total = got.values.sum
+      assert(total <= budget && total >= math.min(budget, 55L) - 3,
+        s"budget=$budget drew $total")
+    }
+  }
+
+  test("budgetMix selection is deterministic and nested under growing budgets") {
+    import org.apache.spark.sql.functions._
+    val data = corpus(0 until 20, "a").union(corpus(100 until 120, "b"))
+    def pick(b: Long) = Mix.budgetMix(data, "id", "src", lit(1.0), lit(b), "s")
+      .select("id").collect().map(_.getLong(0)).toSet
+    val small = pick(10)
+    assert(small == pick(10))            // rerun-identical
+    assert(small.subsetOf(pick(30)))     // md5 ranks nest: more budget only adds
+  }
 }
