@@ -1800,6 +1800,26 @@ object SparkEntry {
         .orderBy("query_id", "rank")
     }),
 
+    // Hybrid retrieval: BM25 top-10 ∪ dense cosine top-10 fused by
+    // reciprocal rank (k0=60) per query — queries 1..3 exist in BOTH
+    // systems (terms above; probe vectors vec_id 1..3, ids aligned with
+    // doc_id), so the fusion exercises both-present and one-sided
+    // candidates.
+    "q_search_hybrid" -> ((s, d) => {
+      import s.implicits._
+      val q = Seq((1L, "spark"), (1L, "join"), (2L, "window"), (2L, "merge"),
+        (2L, "sort"), (3L, "customer")).toDF("query_id", "term")
+      val bm = graft.operators.Search.bm25TopK(docs(s, d), "doc_id", "text", q, k = 10)
+      val e = embeddings(s, d)
+        .select(col("vec_id"), VF.asDouble(col("embedding")).as("v"))
+      val p = e.filter(col("vec_id").isin(1L, 2L, 3L))
+        .select(col("vec_id").as("qid"), col("v").as("qv"))
+      val ann = graft.operators.Ann.bruteForceTopK(e, "vec_id", "v", p, "qid", "qv", k = 10)
+        .select(col("query_id"), col("rank"), col("vec_id").as("doc_id"))
+      graft.operators.Search.rrfFuse(bm, ann, k = 10)
+        .orderBy("query_id", "rank")
+    }),
+
     // Unigram LM self-scoring: every document's mean token NLL under the
     // corpus's own add-0.5 unigram model (CCNet perplexity bucketing).
     "q_lm_score" -> ((s, d) =>
@@ -3675,6 +3695,60 @@ object SparkEntry {
         |  FROM scored)
         |SELECT query_id, rank, doc_id, score FROM ranked
         |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
+    "q_search_hybrid" ->
+      """WITH q AS (
+        |  SELECT CAST(query_id AS BIGINT) AS query_id, term
+        |  FROM (VALUES (1, 'spark'), (1, 'join'), (2, 'window'), (2, 'merge'),
+        |               (2, 'sort'), (3, 'customer')) v(query_id, term)),
+        |toks AS (
+        |  SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)),
+        |    '[ \t\n\x0b\f\r]+')) AS term
+        |  FROM documents),
+        |tf AS (SELECT doc_id, term, count(*) AS tf FROM toks
+        |       WHERE length(term) > 0 GROUP BY 1, 2),
+        |dl AS (SELECT doc_id, sum(tf) AS dl FROM tf GROUP BY 1),
+        |dfreq AS (SELECT term, count(*) AS n_t FROM tf GROUP BY 1),
+        |stats AS (
+        |  SELECT (SELECT count(*) FROM documents) AS n,
+        |         (SELECT CAST(sum(dl) AS DOUBLE) / count(*) FROM dl) AS avgdl),
+        |contrib AS (
+        |  SELECT q.query_id, tf.doc_id,
+        |    round(ln(1 + (n - n_t + 0.5) / (n_t + 0.5)) * (tf * 2.2) /
+        |          (tf + 1.2 * (0.25 + 0.75 * dl / avgdl)), 9) AS w
+        |  FROM tf JOIN q USING (term) JOIN dfreq USING (term)
+        |       JOIN dl USING (doc_id) CROSS JOIN stats),
+        |scoredb AS (
+        |  SELECT query_id, doc_id,
+        |    round(CAST(sum(CAST(w AS DECIMAL(20,9))) AS DOUBLE), 6) AS score
+        |  FROM contrib GROUP BY 1, 2),
+        |bm AS (SELECT query_id, rank, doc_id FROM (
+        |  SELECT query_id, doc_id,
+        |    CAST(row_number() OVER (PARTITION BY query_id
+        |         ORDER BY score DESC, doc_id ASC) AS BIGINT) AS rank
+        |  FROM scoredb) WHERE rank <= 10),
+        |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |p AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id IN (1, 2, 3)),
+        |scoreda AS (
+        |  SELECT p.query_id, e.vec_id, list_cosine_similarity(p.qv, e.v) AS cosine
+        |  FROM e CROSS JOIN p WHERE e.vec_id != p.query_id),
+        |ann AS (SELECT query_id, rank, vec_id AS doc_id FROM (
+        |  SELECT query_id, vec_id,
+        |    CAST(row_number() OVER (PARTITION BY query_id
+        |         ORDER BY cosine DESC, vec_id ASC) AS BIGINT) AS rank
+        |  FROM scoreda) WHERE rank <= 10),
+        |f AS (
+        |  SELECT coalesce(bm.query_id, ann.query_id) AS query_id,
+        |    coalesce(bm.doc_id, ann.doc_id) AS doc_id,
+        |    round(coalesce(CAST(1.0 AS DOUBLE) / (60 + bm.rank), 0) +
+        |          coalesce(CAST(1.0 AS DOUBLE) / (60 + ann.rank), 0), 9) AS rrf
+        |  FROM bm FULL OUTER JOIN ann
+        |    ON bm.query_id = ann.query_id AND bm.doc_id = ann.doc_id)
+        |SELECT query_id, rank, doc_id, rrf FROM (
+        |  SELECT query_id, doc_id, rrf,
+        |    CAST(row_number() OVER (PARTITION BY query_id
+        |         ORDER BY rrf DESC, doc_id ASC) AS BIGINT) AS rank
+        |  FROM f) WHERE rank <= 10
+        |ORDER BY query_id, rank""".stripMargin,
     "q_lm_score" ->
       """WITH toks AS (
         |  SELECT unnest(regexp_split_to_array(trim(lower(text)),

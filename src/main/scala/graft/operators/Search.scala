@@ -70,4 +70,34 @@ object Search {
       .filter(col("rank") <= k)
       .select("query_id", "rank", "doc_id", "score")
   }
+
+  /**
+   * Reciprocal-rank fusion — the standard hybrid-retrieval combiner
+   * (lexical BM25 ∪ dense ANN): fused(d) = Σ_sys 1/(k0 + rank_sys(d)),
+   * summing only over systems that returned d. Rank-based, so the two
+   * systems' incommensurable score scales never need calibration;
+   * k0 = 60 is the conventional damping.
+   *
+   * Inputs are two `(query_id, rank, doc_id)` ranked lists (any extra
+   * columns ignored). Scale shape: both inputs are already top-k-per-
+   * query (k·|queries| rows — the expensive part happened upstream);
+   * the fusion is one full-outer join on (query_id, doc_id) and a
+   * per-query window over ≤ 2k candidates. Determinism: 1/(k0+rank) is
+   * the same IEEE division in any engine, the two-term sum has a fixed
+   * order, and ties break on doc_id.
+   */
+  def rrfFuse(a: DataFrame, b: DataFrame, k: Int = 10,
+              k0: Int = 60): DataFrame = {
+    val an = a.select(col("query_id"), col("doc_id"), col("rank").as("__ra"))
+    val bn = b.select(col("query_id"), col("doc_id"), col("rank").as("__rb"))
+    val fused = an.join(bn, Seq("query_id", "doc_id"), "full_outer")
+      .withColumn("rrf", round(
+        coalesce(lit(1.0) / (lit(k0.toDouble) + col("__ra")), lit(0.0)) +
+          coalesce(lit(1.0) / (lit(k0.toDouble) + col("__rb")), lit(0.0)), 9))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("rrf").desc, col("doc_id").asc)
+    fused.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select("query_id", "rank", "doc_id", "rrf")
+  }
 }

@@ -49,6 +49,24 @@ class SearchSpec extends SparkTestBase {
     assert(out.length == 1 && out(0).getLong(2) == 3L)
   }
 
+  test("rrfFuse sums reciprocal ranks; one-sided candidates keep their single term") {
+    import org.apache.spark.sql.Row
+    def ranked(rows: (Long, Long, Long)*) =
+      df("query_id BIGINT, rank BIGINT, doc_id BIGINT",
+        rows.map { case (q, r, d) => Row(q, r, d) })
+    val a = ranked((1L, 1L, 101L), (1L, 2L, 102L))
+    val b = ranked((1L, 1L, 102L), (1L, 2L, 103L))
+    val out = Search.rrfFuse(a, b, k = 10).orderBy("rank")
+      .collect().map(r => (r.getLong(2), r.getDouble(3)))
+    def rr(ranks: Long*) = {
+      val x = ranks.map(r => 1.0 / (60 + r)).sum
+      math.round(x * 1e9) / 1e9
+    }
+    // d102 appears in both (ranks 2 and 1); d101/d103 are one-sided
+    assert(out.toSeq == Seq(
+      101L -> rr(1), 102L -> rr(2, 1), 103L -> rr(2)).sortBy(-_._2))
+  }
+
   test("plan: top-k pushes into the window, no cartesian beyond the 1-row stats") {
     val plan = Search.bm25TopK(docs, "doc_id", "text", q(1L -> "spark"), 10)
       .queryExecution.executedPlan.toString
