@@ -1554,6 +1554,18 @@ object SparkEntry {
         executor(s, d).table("events").select(col("event_id"), col("user_id")),
         Seq("user_id"), salt = "graft-salt-1")),
 
+    // k-anonymity audit on (lang, source, length-bucket) quasi-
+    // identifiers: equivalence classes with fewer than 4 members are
+    // re-identification risks. The length bucket keeps class sizes
+    // small enough that violations exist at every SF.
+    "q_pii_kanon" -> ((s, d) =>
+      graft.operators.Pii.kAnonymityViolations(
+          docs(s, d).withColumn("len_bucket", col("n_chars") % 10)
+            .select(col("lang"), col("source"), col("len_bucket")),
+          Seq("lang", "source", "len_bucket"), k = 4)
+        .orderBy(col("lang").asc_nulls_last, col("source").asc_nulls_last,
+          col("len_bucket").asc_nulls_last)),
+
     // Per-key rolling aggregate over event time (trailing 1h, RANGE
     // frame over integer epoch micros — tied timestamps are peers, so
     // the result is deterministic; decimal sum stays exact under the
@@ -3446,6 +3458,11 @@ object SparkEntry {
       ("SELECT event_id, CASE WHEN user_id IS NOT NULL THEN " +
         "sha256('graft-salt-1' || CAST(user_id AS VARCHAR)) END AS user_id " +
         "FROM events"),
+    "q_pii_kanon" ->
+      """SELECT lang, source, n_chars % 10 AS len_bucket, count(*) AS n
+        |FROM documents GROUP BY 1, 2, 3 HAVING count(*) < 4
+        |ORDER BY lang NULLS LAST, source NULLS LAST,
+        |  len_bucket NULLS LAST""".stripMargin,
     "q_rolling_window" ->
       """SELECT event_id, count(*) OVER w AS n_window,
         |  CAST(sum(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE) AS sum_window

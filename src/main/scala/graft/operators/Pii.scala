@@ -80,4 +80,28 @@ object Pii {
     cols.foldLeft(df)((d, c) => d.withColumn(c,
       when(col(c).isNotNull,
         sha2(concat(lit(salt), col(c).cast("string")), 256))))
+
+  /**
+   * k-anonymity audit over quasi-identifier columns: every combination
+   * of quasi-identifier values observed in fewer than k rows is a
+   * re-identification risk (those rows are distinguishable by the
+   * combination alone) — the standard check before releasing a dataset
+   * keyed on demographic-like columns. Returns the violating
+   * equivalence classes `(quasiCols..., n)`, empty ⇒ the dataset IS
+   * k-anonymous on those columns. NULL counts as a quasi-identifier
+   * value (SQL GROUP BY semantics): an absent value distinguishes a
+   * row as well as a present one.
+   *
+   * One map-side-combined aggregation — the report is bounded by the
+   * number of RARE combinations, not corpus size. Pair with
+   * [[pseudonymize]]/generalization to repair, then re-audit.
+   */
+  def kAnonymityViolations(df: DataFrame, quasiCols: Seq[String],
+                           k: Long): DataFrame = {
+    require(quasiCols.nonEmpty, "need at least one quasi-identifier")
+    require(k >= 2, "k < 2 is vacuous")
+    df.groupBy(quasiCols.map(col): _*)
+      .agg(count(lit(1)).as("n"))
+      .filter(col("n") < k)
+  }
 }

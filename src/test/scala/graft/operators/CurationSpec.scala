@@ -87,6 +87,18 @@ class CurationSpec extends SparkTestBase {
     assert(out(2) == "clean text stays")
   }
 
+  test("Pii.kAnonymityViolations reports classes under k; NULL is a class value") {
+    val rows = df("zip STRING, age INT", Seq(
+      org.apache.spark.sql.Row("10001", 30), org.apache.spark.sql.Row("10001", 30),
+      org.apache.spark.sql.Row("10001", 30), org.apache.spark.sql.Row("10002", 40),
+      org.apache.spark.sql.Row(null, 40), org.apache.spark.sql.Row(null, 40)))
+    val out = Pii.kAnonymityViolations(rows, Seq("zip", "age"), k = 3)
+      .collect().map(r => (Option(r.getString(0)), r.getLong(2))).toSet
+    // (10001,30) has 3 members = k-anonymous; the singleton and the
+    // NULL-zip pair are both violations
+    assert(out == Set((Some("10002"), 1L), (None, 2L)))
+  }
+
   test("NgramStats.topNgrams counts bigrams with deterministic tie-break") {
     val docs = df("doc_id INT, text STRING", Seq(
       doc(1, "a b a b c"), doc(2, "a b x")))
