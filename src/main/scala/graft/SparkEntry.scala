@@ -1189,6 +1189,19 @@ object SparkEntry {
           "vec_id", "v", "label")
         .orderBy("vec_id")),
 
+    // Distributed Lloyd: 2 spherical k-means iterations from 8 data-
+    // vector seeds, fully in-plan (no driver fit) — the oracle unrolls
+    // the same iterations; 6-dp-rounded cosines + decimal per-dim means
+    // make every intermediate assignment engine-exact.
+    "q_cluster_lloyd" -> ((s, d) => {
+      val e = embeddings(s, d)
+        .select(col("vec_id"), VF.asDouble(col("embedding")).as("v"))
+      val seeds = e.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("label"), col("v").as("centroid"))
+      graft.operators.Centroids.lloyd(e, "vec_id", "v", seeds, iterations = 2)
+        .orderBy("vec_id")
+    }),
+
     // Brute-force cosine top-10 for 5 probe vectors — the exact ANN
     // baseline (probe side broadcast; corpus never shuffles).
     "q_ann_bruteforce" -> ((s, d) => {
@@ -3218,6 +3231,7 @@ object SparkEntry {
          |       first(label ORDER BY c DESC, label ASC) AS cluster,
          |       first(c ORDER BY c DESC, label ASC) AS cosine
          |FROM sc GROUP BY vec_id ORDER BY vec_id""".stripMargin,
+    "q_cluster_lloyd" -> lloydOracle(iterations = 2),
     "q_dedup_minhash_estimate" ->
       ("SELECT doc_id AS id_a, doc_id + 1000000 AS id_b, " +
         "CAST(1.0 AS DOUBLE) AS jaccard_est FROM documents ORDER BY id_a"),
@@ -4198,6 +4212,40 @@ object SparkEntry {
   /** Shared CTE scaffold for the drift oracles: `aSql`/`bSql` each select
     * ONE column aliased `v`; the scaffold builds value counts, the
     * null-safe full outer join, and exact-count probabilities. */
+  /** DuckDB mirror of q_cluster_lloyd: the same Lloyd iterations
+    * unrolled — assignment CTE (6-dp cosine argmax, label tie-break)
+    * and per-dimension decimal-mean centroid CTE per round, seeded
+    * from the first 8 data vectors. */
+  private def lloydOracle(iterations: Int): String = {
+    def asg(i: Int) =
+      s"""sc$i AS (SELECT e.vec_id, c.label,
+         |  round(list_cosine_similarity(e.v, c.cv), 6) AS c
+         |  FROM e CROSS JOIN cent${i - 1} c),
+         |asg$i AS (SELECT vec_id,
+         |  first(label ORDER BY c DESC, label ASC) AS cluster,
+         |  first(c ORDER BY c DESC, label ASC) AS cosine
+         |  FROM sc$i GROUP BY vec_id)""".stripMargin
+    def cent(i: Int) =
+      s"""ex$i AS (SELECT a.cluster AS label, unnest(e.v) AS x,
+         |  unnest(range(1, len(e.v) + 1)) AS pos
+         |  FROM e JOIN asg$i a USING (vec_id)),
+         |cm$i AS (SELECT label, pos,
+         |  CAST(sum(CAST(round(x, 9) AS DECIMAL(27,9))) AS DOUBLE)
+         |    / count(*) AS c
+         |  FROM ex$i GROUP BY 1, 2),
+         |cent$i AS (SELECT label, list(c ORDER BY pos) AS cv
+         |  FROM cm$i GROUP BY 1)""".stripMargin
+    val rounds = (1 to iterations).map { i =>
+      if (i < iterations) asg(i) + ",\n" + cent(i) else asg(i)
+    }.mkString(",\n")
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+       |           FROM embeddings),
+       |cent0 AS (SELECT vec_id AS label, v AS cv FROM e WHERE vec_id < 8),
+       |$rounds
+       |SELECT vec_id, cluster, cosine FROM asg$iterations
+       |ORDER BY vec_id""".stripMargin
+  }
+
   /** DuckDB mirror of [[graft.sources.Layout.zValue]]: bit i of dim j
     * at position i*k+j. Every term is fully parenthesized — SQL's `+`
     * binds TIGHTER than `<<`, so a bare `a << p + b << q` chain would

@@ -66,16 +66,54 @@ object Centroids {
     * each vector's |labels| candidate rows before the exchange, so the
     * shuffle carries one row per vector). */
   def assignNearest(df: DataFrame, idCol: String, vecCol: String,
-                    labelCol: String): DataFrame = {
-    val cents = broadcast(labelCentroids(df, vecCol, labelCol))
+                    labelCol: String): DataFrame =
+    assignToCentroids(df, idCol, vecCol, labelCentroids(df, vecCol, labelCol))
+
+  /** Assign each vector to the nearest of an explicit `(label,
+    * centroid)` set by 6-dp-rounded cosine (same argmax/tie-break
+    * semantics as [[assignNearest]]; centroids broadcast). */
+  def assignToCentroids(df: DataFrame, idCol: String, vecCol: String,
+                        cents: DataFrame): DataFrame =
     df.select(col(idCol), col(vecCol).as("__v"))
-      .crossJoin(cents)
+      .crossJoin(broadcast(cents))
       .select(col(idCol), col("label"),
         round(VF.cosine(col("__v"), col("centroid")), 6).as("c"))
       .groupBy(idCol)
       .agg(min(struct((-col("c")).as("nc"), col("label").as("l"))).as("m"))
       .select(col(idCol), col("m.l").as("cluster"),
         (-col("m.nc")).as("cosine"))
+
+  /**
+   * Distributed Lloyd iterations (spherical k-means): assign → re-mean →
+   * repeat, entirely in-plan — the 100 TB-scale FIT path, complementing
+   * [[Ann.ivfIndex]]'s bounded-sample driver fit. Each iteration is one
+   * broadcast-nested-loop assignment (centroids are k rows) plus one
+   * per-dimension mean (posexplode + decimal sum — shuffles (cluster,
+   * dim) partial sums, never vectors); intermediate centroids
+   * localCheckpoint (k rows) so the plan stays flat. Cosine is
+   * scale-invariant, so the un-renormalized mean IS the spherical
+   * update. Deterministic end-to-end: 6-dp-rounded cosines with
+   * label-ordered tie-breaks make every assignment — and therefore
+   * every centroid — engine-exact, which is how an iterative
+   * distributed fit can hash-match an unrolled SQL oracle.
+   *
+   * `seeds` is the `(label, centroid)` init (pick data vectors for
+   * stability). A cluster that loses all members drops out (standard
+   * Lloyd degeneracy — re-seed if k must stay fixed). Returns the
+   * final `(idCol, cluster, cosine)` assignment.
+   */
+  def lloyd(df: DataFrame, idCol: String, vecCol: String,
+            seeds: DataFrame, iterations: Int): DataFrame = {
+    require(iterations >= 1, "at least one iteration")
+    var cents = seeds
+    var asg = assignToCentroids(df, idCol, vecCol, cents)
+    for (_ <- 2 to iterations) {
+      cents = labelCentroids(
+        df.join(asg.select(col(idCol), col("cluster").as("label")), idCol),
+        vecCol, "label").localCheckpoint(true)
+      asg = assignToCentroids(df, idCol, vecCol, cents)
+    }
+    asg
   }
 
   /** The k vectors FARTHEST from their label centroid, per label —

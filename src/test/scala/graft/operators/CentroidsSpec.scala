@@ -55,4 +55,22 @@ class CentroidsSpec extends SparkTestBase {
     val c = Centroids.cosineToCentroid(one, "id", "v", "label").collect()
     assert(c(0).getDouble(2) == 1.0)
   }
+
+  test("lloyd recovers two angular clusters from bad seeds and never degrades fit") {
+    // two tight angular groups; seeds deliberately taken from ONE group
+    val pts = df("id BIGINT, v ARRAY<DOUBLE>", Seq(
+      Row(1L, Seq(1.0, 0.01)), Row(2L, Seq(1.0, -0.01)), Row(3L, Seq(0.99, 0.02)),
+      Row(4L, Seq(0.01, 1.0)), Row(5L, Seq(-0.01, 1.0)), Row(6L, Seq(0.02, 0.99))))
+    val seeds = df("label BIGINT, centroid ARRAY<DOUBLE>", Seq(
+      Row(0L, Seq(1.0, 0.01)), Row(1L, Seq(0.01, 1.0))))
+    def meanCos(iters: Int): Double =
+      Centroids.lloyd(pts, "id", "v", seeds, iters)
+        .agg(org.apache.spark.sql.functions.avg("cosine")).head().getDouble(0)
+    val asg = Centroids.lloyd(pts, "id", "v", seeds, 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(Set(asg(1), asg(2), asg(3)).size == 1)
+    assert(Set(asg(4), asg(5), asg(6)).size == 1)
+    assert(asg(1) != asg(4)) // the two groups separate
+    assert(meanCos(3) >= meanCos(1) - 1e-9) // Lloyd monotonicity (rounded)
+  }
 }
