@@ -3,6 +3,7 @@ package graft
 import graft.model._
 import graft.operators.{Ann, Dedup}
 import graft.functions.{TextFunctions => TF, VectorFunctions => VF}
+import graft.functions.TimeFunctions.epochMicros
 import graft.pipeline.PipelineExecutor
 import graft.sources.Ingest
 import org.apache.spark.sql.{DataFrame, SparkSession}
@@ -853,7 +854,7 @@ object SparkEntry {
         graft.operators.Sessionize.batch(
             executor(s, d).table("events"), "ts", "user_id", gapSeconds = 1800)
           .select(lit("all").as("g"),
-            (unix_micros(col("session_end")) - unix_micros(col("session_start")))
+            (epochMicros(col("session_end")) - epochMicros(col("session_start")))
               .as("dur_us")),
         "g", "dur_us", Seq(0.5, 0.9, 0.99))
         .orderBy("p")),
@@ -1946,7 +1947,7 @@ object SparkEntry {
         graft.operators.Funnel.completions(executor(s, d).table("events"),
             "user_id", "ts", "event_type", Seq("view", "click", "purchase"))
           .select(lit("all").as("g"),
-            (unix_micros(col("t_3")) - unix_micros(col("t_1"))).as("dur_us")),
+            (epochMicros(col("t_3")) - epochMicros(col("t_1"))).as("dur_us")),
         "g", "dur_us", Seq(0.5, 0.9, 0.99))
         .orderBy("p")),
 

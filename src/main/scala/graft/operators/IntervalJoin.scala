@@ -44,13 +44,16 @@ object IntervalJoin {
            binSeconds: Long = 86400L): DataFrame = {
     require(binSeconds > 0, "binSeconds must be positive")
     val binMicros = binSeconds * 1000000L
+    val pMicros = graft.functions.TimeFunctions.epochMicrosSql(pointTs)
+    val sMicros = graft.functions.TimeFunctions.epochMicrosSql(rangeStart)
+    val eMicros = graft.functions.TimeFunctions.epochMicrosSql(rangeEnd)
     val p = points.withColumn("__bin",
-      expr(s"floor(unix_micros($pointTs) / ${binMicros}L)"))
+      expr(s"floor($pMicros / ${binMicros}L)"))
     val r = ranges
       .where(col(rangeEnd) > col(rangeStart))
       .withColumn("__bin", explode(expr(
-        s"sequence(floor(unix_micros($rangeStart) / ${binMicros}L), " +
-          s"floor((unix_micros($rangeEnd) - 1) / ${binMicros}L))")))
+        s"sequence(floor($sMicros / ${binMicros}L), " +
+          s"floor(($eMicros - 1) / ${binMicros}L))")))
     val cond = (Seq(p("__bin") === r("__bin")) ++ keys.map(k => p(k) === r(k)))
       .reduce(_ && _) &&
       p(pointTs) >= r(rangeStart) && p(pointTs) < r(rangeEnd)

@@ -1,5 +1,6 @@
 package graft.operators
 
+import graft.functions.TimeFunctions.epochMicros
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -39,7 +40,7 @@ object Rolling {
     require(windowSeconds >= 0, "windowSeconds must be >= 0")
     val micros = windowSeconds * 1000000L
     val w = Window.partitionBy(col(keyCol))
-      .orderBy(unix_micros(col(tsCol)))
+      .orderBy(epochMicros(col(tsCol)))
       .rangeBetween(-micros, 0L)
     df.withColumn("n_window", count(lit(1)).over(w))
       .withColumn("sum_window",
@@ -62,7 +63,7 @@ object Rolling {
    */
   def keyedNav(df: DataFrame, keyCol: String, tsCol: String,
                tieCol: String, valueCol: String): DataFrame = {
-    val t = unix_micros(col(tsCol))
+    val t = epochMicros(col(tsCol))
     val w = Window.partitionBy(col(keyCol)).orderBy(t, col(tieCol))
     df.withColumn("rn", row_number().over(w))
       .withColumn("gap_micros", t - lag(t, 1).over(w))

@@ -215,9 +215,11 @@ object Sample {
                 maxPerWindow: Int): DataFrame = {
     require(windowSeconds > 0, "windowSeconds must be positive")
     require(maxPerWindow >= 1, "maxPerWindow must be >= 1")
-    val bucket = expr(s"unix_micros(`$tsCol`) div ${windowSeconds * 1000000L}")
+    val bucket = expr(
+      s"${graft.functions.TimeFunctions.epochMicrosSql(s"`$tsCol`")} " +
+        s"div ${windowSeconds * 1000000L}")
     val w = Window.partitionBy(col(keyCol), bucket)
-      .orderBy(unix_micros(col(tsCol)), col(tieCol))
+      .orderBy(graft.functions.TimeFunctions.epochMicros(col(tsCol)), col(tieCol))
     df.withColumn("__rn", row_number().over(w))
       .filter(col("__rn") <= maxPerWindow)
       .drop("__rn")

@@ -1,5 +1,6 @@
 package graft.operators
 
+import graft.functions.TimeFunctions.epochMicros
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -26,7 +27,7 @@ object Sessionize {
     val byKey = Window.partitionBy(keyCol).orderBy(col(tsCol))
     // microsecond arithmetic: full timestamp precision, no truncation
     val newSession = when(
-      unix_micros(col(tsCol)) - unix_micros(lag(col(tsCol), 1).over(byKey))
+      epochMicros(col(tsCol)) - epochMicros(lag(col(tsCol), 1).over(byKey))
         > gapSeconds * 1000000L, 1).otherwise(0)
     df.select(col(keyCol), col(tsCol))
       .withColumn("__new", coalesce(newSession, lit(0)))

@@ -5,9 +5,7 @@ import org.apache.spark.sql.functions._
 
 class IntervalJoinSpec extends SparkTestBase {
 
-  private lazy val events =
-    spark.read.parquet("/root/testdata/sf0.001/events.parquet")
-      .withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
+  private lazy val events = eventsTable()
 
   /** Overlapping synthetic ranges over the events month: 6-hour stride,
     * 2..19-hour widths — so points hit multiple ranges, ranges straddle

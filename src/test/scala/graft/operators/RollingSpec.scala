@@ -50,9 +50,7 @@ class RollingSpec extends SparkTestBase {
   }
 
   test("trailingAgg matches a naive per-row self-join on real events") {
-    val events = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
-      .withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
-      .limit(500)
+    val events = eventsTable().limit(500)
     val fast = Rolling.trailingAgg(events, "user_id", "ts", "value", 1800L)
       .select(col("event_id"), col("n_window"))
     val a = events.selectExpr("event_id", "user_id", "unix_micros(ts) AS t")
