@@ -1846,6 +1846,40 @@ object SparkEntry {
         .orderBy("query_id", "rank")
     }),
 
+    // Retrieval-quality audit: BM25 top-10 scored against the dense
+    // exact-cosine top-10 as gold — recall@10 / MRR@10 / nDCG@10 per
+    // query, the lexical-vs-dense agreement diagnostic behind the
+    // q_search_hybrid fusion (same aligned ids: probe vec_id 1..3 ↔
+    // query terms 1..3).
+    "q_retrieval_eval" -> ((s, d) => {
+      import s.implicits._
+      val q = Seq((1L, "spark"), (1L, "join"), (2L, "window"), (2L, "merge"),
+        (2L, "sort"), (3L, "customer")).toDF("query_id", "term")
+      val bm = graft.operators.Search.bm25TopK(docs(s, d), "doc_id", "text", q, k = 10)
+      val e = embeddings(s, d)
+        .select(col("vec_id"), VF.asDouble(col("embedding")).as("v"))
+      val p = e.filter(col("vec_id").isin(1L, 2L, 3L))
+        .select(col("vec_id").as("qid"), col("v").as("qv"))
+      val gold = Ann.bruteForceTopK(e, "vec_id", "v", p, "qid", "qv", k = 10)
+        .select(col("query_id"), col("vec_id").as("doc_id"))
+      graft.operators.Eval.rankedRetrieval(bm, gold,
+          "query_id", "doc_id", "rank", k = 10)
+        .orderBy("query_id")
+    }),
+
+    // Inter-rater agreement: Cohen's κ between two heuristic keep/drop
+    // quality raters (char-length vs token-count threshold) — the "do my
+    // filters even agree beyond chance?" audit run before trusting
+    // either to cut a corpus.
+    "q_rater_kappa" -> ((s, d) =>
+      graft.operators.Eval.cohenKappa(
+        docs(s, d).select(
+          when(col("n_chars") >= 400, lit("keep")).otherwise(lit("drop"))
+            .as("rater_len"),
+          when(TF.tokenCount(col("text")) >= 60, lit("keep")).otherwise(lit("drop"))
+            .as("rater_tok")),
+        "rater_len", "rater_tok")),
+
     // Unigram LM self-scoring: every document's mean token NLL under the
     // corpus's own add-0.5 unigram model (CCNet perplexity bucketing).
     "q_lm_score" -> ((s, d) =>
@@ -3781,6 +3815,94 @@ object SparkEntry {
         |         ORDER BY rrf DESC, doc_id ASC) AS BIGINT) AS rank
         |  FROM f) WHERE rank <= 10
         |ORDER BY query_id, rank""".stripMargin,
+    // Same bm/ann CTEs as q_search_hybrid; ann's top-10 is the gold set
+    // (n_gold = 10 per query here, so the ideal-DCG prefix is the
+    // constant Σ_{i=1..10} — matching the operator's least(k, n_gold)).
+    "q_retrieval_eval" ->
+      """WITH q AS (
+        |  SELECT CAST(query_id AS BIGINT) AS query_id, term
+        |  FROM (VALUES (1, 'spark'), (1, 'join'), (2, 'window'), (2, 'merge'),
+        |               (2, 'sort'), (3, 'customer')) v(query_id, term)),
+        |toks AS (
+        |  SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)),
+        |    '[ \t\n\x0b\f\r]+')) AS term
+        |  FROM documents),
+        |tf AS (SELECT doc_id, term, count(*) AS tf FROM toks
+        |       WHERE length(term) > 0 GROUP BY 1, 2),
+        |dl AS (SELECT doc_id, sum(tf) AS dl FROM tf GROUP BY 1),
+        |dfreq AS (SELECT term, count(*) AS n_t FROM tf GROUP BY 1),
+        |stats AS (
+        |  SELECT (SELECT count(*) FROM documents) AS n,
+        |         (SELECT CAST(sum(dl) AS DOUBLE) / count(*) FROM dl) AS avgdl),
+        |contrib AS (
+        |  SELECT q.query_id, tf.doc_id,
+        |    round(ln(1 + (n - n_t + 0.5) / (n_t + 0.5)) * (tf * 2.2) /
+        |          (tf + 1.2 * (0.25 + 0.75 * dl / avgdl)), 9) AS w
+        |  FROM tf JOIN q USING (term) JOIN dfreq USING (term)
+        |       JOIN dl USING (doc_id) CROSS JOIN stats),
+        |scoredb AS (
+        |  SELECT query_id, doc_id,
+        |    round(CAST(sum(CAST(w AS DECIMAL(20,9))) AS DOUBLE), 6) AS score
+        |  FROM contrib GROUP BY 1, 2),
+        |bm AS (SELECT query_id, rank, doc_id FROM (
+        |  SELECT query_id, doc_id,
+        |    CAST(row_number() OVER (PARTITION BY query_id
+        |         ORDER BY score DESC, doc_id ASC) AS BIGINT) AS rank
+        |  FROM scoredb) WHERE rank <= 10),
+        |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |p AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id IN (1, 2, 3)),
+        |scoreda AS (
+        |  SELECT p.query_id, e.vec_id, list_cosine_similarity(p.qv, e.v) AS cosine
+        |  FROM e CROSS JOIN p WHERE e.vec_id != p.query_id),
+        |ann AS (SELECT query_id, vec_id AS doc_id FROM (
+        |  SELECT query_id, vec_id,
+        |    row_number() OVER (PARTITION BY query_id
+        |         ORDER BY cosine DESC, vec_id ASC) AS rank
+        |  FROM scoreda) WHERE rank <= 10),
+        |gct AS (SELECT query_id, count(*) AS n_gold FROM ann GROUP BY 1),
+        |h AS (SELECT bm.query_id, bm.rank FROM bm JOIN ann USING (query_id, doc_id)),
+        |perq AS (
+        |  SELECT query_id, count(*) AS hits, min(rank) AS first_rank,
+        |    CAST(sum(CAST(round(CAST(1.0 AS DOUBLE) / log2(rank + 1), 9)
+        |             AS DECIMAL(20,9))) AS DOUBLE) AS dcg
+        |  FROM h GROUP BY 1),
+        |ideal AS (
+        |  SELECT CAST(sum(CAST(round(CAST(1.0 AS DOUBLE) / log2(i + 1), 9)
+        |             AS DECIMAL(20,9))) AS DOUBLE) AS idcg
+        |  FROM range(1, 11) t(i))
+        |SELECT g.query_id, g.n_gold,
+        |  coalesce(p.hits, 0) AS hits,
+        |  round(CAST(coalesce(p.hits, 0) AS DOUBLE) / g.n_gold, 6) AS recall_at_k,
+        |  CASE WHEN p.first_rank IS NULL THEN CAST(0.0 AS DOUBLE)
+        |       ELSE round(CAST(1.0 AS DOUBLE) / p.first_rank, 6) END AS mrr_at_k,
+        |  CASE WHEN p.dcg IS NULL THEN CAST(0.0 AS DOUBLE)
+        |       ELSE round(p.dcg / idcg, 6) END AS ndcg_at_k
+        |FROM gct g LEFT JOIN perq p USING (query_id) CROSS JOIN ideal
+        |ORDER BY query_id""".stripMargin,
+    "q_rater_kappa" ->
+      """WITH r AS (
+        |  SELECT CASE WHEN n_chars >= 400 THEN 'keep' ELSE 'drop' END AS a,
+        |         CASE WHEN len(regexp_split_to_array(trim(text),
+        |           '[ \t\n\x0b\f\r]+')) >= 60 THEN 'keep' ELSE 'drop' END AS b
+        |  FROM documents),
+        |cells AS (SELECT a, b, count(*) AS c FROM r GROUP BY 1, 2),
+        |tot AS (SELECT CAST(sum(c) AS BIGINT) AS n,
+        |               CAST(sum(CASE WHEN a = b THEN c ELSE 0 END) AS BIGINT) AS agree
+        |        FROM cells),
+        |ma AS (SELECT a, sum(c) AS na FROM cells GROUP BY 1),
+        |mb AS (SELECT b, sum(c) AS nb FROM cells GROUP BY 1),
+        |ch AS (SELECT sum(na * nb) AS prod FROM ma JOIN mb ON ma.a = mb.b)
+        |SELECT n, agree,
+        |  round(CAST(agree AS DOUBLE) / CAST(n AS DOUBLE), 6) AS observed_agreement,
+        |  round(CAST(prod AS DOUBLE) / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)), 6)
+        |    AS chance_agreement,
+        |  CASE WHEN CAST(prod AS DOUBLE) / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)) = 1.0
+        |       THEN NULL
+        |       ELSE round((CAST(agree AS DOUBLE) / CAST(n AS DOUBLE) -
+        |                   CAST(prod AS DOUBLE) / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE))) /
+        |                  (1.0 - CAST(prod AS DOUBLE) / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE))),
+        |                  6) END AS kappa
+        |FROM tot CROSS JOIN ch""".stripMargin,
     "q_lm_score" ->
       """WITH toks AS (
         |  SELECT unnest(regexp_split_to_array(trim(lower(text)),

@@ -1,0 +1,118 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/**
+ * Dataset-evaluation metrics for curation pipelines: ranked-retrieval
+ * quality (recall@k / MRR@k / nDCG@k — Järvelin & Kekäläinen 2002) and
+ * inter-rater agreement (Cohen's κ, 1960). Both are the audit half of
+ * operators that already exist here: `rankedRetrieval` scores one
+ * retriever (BM25, ANN) against another's top-k as gold — the lexical-vs-
+ * dense agreement diagnostic behind hybrid fusion tuning — and
+ * `cohenKappa` quantifies whether two labeling heuristics (quality
+ * raters, language IDs, toxicity tags) agree beyond chance before either
+ * is trusted to filter a corpus.
+ *
+ * Float determinism: every fractional metric follows the repo convention
+ * (SparkEntry decimal-sum policy) — per-term DCG contributions round to
+ * 9 dp and accumulate in DECIMAL(20,9) (exact, order-independent, so any
+ * engine summing the same rounded terms agrees), divisions happen once on
+ * exact operands, and final outputs round to 6 dp.
+ *
+ * Scale shape: `rankedRetrieval` joins two already-top-k tables
+ * (k·|queries| rows each — the expensive retrieval happened upstream), so
+ * every shuffle is bounded by k·|queries| regardless of corpus size.
+ * `cohenKappa` reduces the corpus to a confusion-cell table in ONE
+ * map-side-combining aggregate (|labels|² cells cross the wire, not
+ * rows); the marginal products are computed on the cells.
+ */
+object Eval {
+
+  /**
+   * Per-query ranked-retrieval quality of `results` against `gold`.
+   *
+   * `results`: ranked candidates `(queryCol, docCol, rankCol)` (rank
+   * 1-based; rows with rank > k are ignored). `gold`: the relevant set
+   * per query (any ranking ignored; duplicates collapse). One output row
+   * per gold query, zeros where the retriever found nothing:
+   * `(query_id, n_gold, hits, recall_at_k, mrr_at_k, ndcg_at_k)` —
+   * recall@k = hits/|gold|, MRR@k = 1/first-relevant-rank, nDCG@k with
+   * binary gains: DCG = Σ_hits 1/log2(rank+1) against the ideal prefix
+   * Σ_{i≤min(k,|gold|)} 1/log2(i+1).
+   */
+  def rankedRetrieval(results: DataFrame, gold: DataFrame,
+                      queryCol: String, docCol: String, rankCol: String,
+                      k: Int): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    val r = results.filter(col(rankCol) <= k)
+      .select(col(queryCol).as("query_id"), col(docCol).as("__d"),
+        col(rankCol).cast("long").as("__rk"))
+    val g = gold
+      .select(col(queryCol).as("query_id"), col(docCol).as("__d"))
+      .distinct()
+    val nGold = g.groupBy("query_id").agg(count(lit(1)).as("n_gold"))
+    val perQ = r.join(g, Seq("query_id", "__d"))
+      .groupBy("query_id")
+      .agg(count(lit(1)).as("__hits"),
+        min(col("__rk")).as("__first"),
+        sum(round(lit(1.0) / log2(col("__rk").cast("double") + lit(1.0)), 9)
+          .cast("decimal(20,9)")).as("__dcg"))
+    // ideal DCG: sequential fold over 1..min(k, n_gold) of the same
+    // 9-dp-rounded terms — decimal accumulation, so term order is moot
+    val idcg = aggregate(
+      sequence(lit(1L), least(lit(k.toLong), col("n_gold"))),
+      lit(java.math.BigDecimal.ZERO).cast("decimal(20,9)"),
+      (acc, i) => (acc + round(lit(1.0) / log2(i.cast("double") + lit(1.0)), 9)
+        .cast("decimal(20,9)")).cast("decimal(20,9)"))
+    nGold.join(perQ, Seq("query_id"), "left")
+      .select(col("query_id"), col("n_gold"),
+        coalesce(col("__hits"), lit(0L)).as("hits"),
+        round(coalesce(col("__hits"), lit(0L)).cast("double") /
+          col("n_gold").cast("double"), 6).as("recall_at_k"),
+        when(col("__first").isNull, lit(0.0))
+          .otherwise(round(lit(1.0) / col("__first").cast("double"), 6))
+          .as("mrr_at_k"),
+        when(col("__dcg").isNull, lit(0.0))
+          .otherwise(round(
+            col("__dcg").cast("double") / idcg.cast("double"), 6))
+          .as("ndcg_at_k"))
+  }
+
+  /**
+   * Cohen's κ between two categorical label columns: one row
+   * `(n, agree, observed_agreement, chance_agreement, kappa)` where
+   * κ = (p_o − p_e)/(1 − p_e), p_e = Σ_c p(A=c)·p(B=c). Rows where
+   * either label is NULL are excluded (no judgment to compare). κ is
+   * NULL when p_e = 1 (both raters constant and identical — undefined).
+   *
+   * One corpus pass: partial (a,b)-cell counts combine map-side; totals,
+   * the agreement diagonal, and the marginal products all derive from
+   * the tiny cell table. Counts are exact longs; the two divisions and
+   * the κ ratio are single IEEE ops on exact operands (engine-portable),
+   * rounded to 6 dp.
+   */
+  def cohenKappa(df: DataFrame, raterA: String, raterB: String): DataFrame = {
+    val cells = df
+      .select(col(raterA).cast("string").as("a"),
+        col(raterB).cast("string").as("b"))
+      .filter(col("a").isNotNull && col("b").isNotNull)
+      .groupBy("a", "b").agg(count(lit(1)).as("c"))
+    val tot = cells.agg(sum(col("c")).as("n"),
+      sum(when(col("a") === col("b"), col("c")).otherwise(lit(0L))).as("agree"))
+    val ma = cells.groupBy("a").agg(sum(col("c")).as("na"))
+    val mb = cells.groupBy("b").agg(sum(col("c")).as("nb"))
+    // only labels both raters ever used contribute to pe (others × 0)
+    val chance = ma.join(mb, col("a") === col("b"))
+      .agg(sum(col("na") * col("nb")).as("prod"))
+    val po = col("agree").cast("double") / col("n").cast("double")
+    val pe = col("prod").cast("double") /
+      (col("n").cast("double") * col("n").cast("double"))
+    tot.crossJoin(chance)
+      .select(col("n"), col("agree"),
+        round(po, 6).as("observed_agreement"),
+        round(pe, 6).as("chance_agreement"),
+        when(pe === lit(1.0), lit(null).cast("double"))
+          .otherwise(round((po - pe) / (lit(1.0) - pe), 6)).as("kappa"))
+  }
+}

@@ -1,0 +1,66 @@
+package graft.operators
+
+import graft.SparkTestBase
+import org.apache.spark.sql.Row
+
+class EvalSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("rankedRetrieval: recall/MRR/nDCG hand-computed; zero rows for missed queries") {
+    // q1: gold {a,b,c}; results x,a,b → hits 2 at ranks 2,3
+    // q2: gold {a}; results miss entirely
+    // q3: in gold only — retriever returned nothing
+    val results = Seq(
+      (1L, "x", 1L), (1L, "a", 2L), (1L, "b", 3L),
+      (2L, "y", 1L), (2L, "z", 2L)).toDF("query_id", "doc_id", "rank")
+    val gold = Seq((1L, "a"), (1L, "b"), (1L, "c"), (2L, "a"), (3L, "a"))
+      .toDF("query_id", "doc_id")
+    val out = Eval.rankedRetrieval(results, gold, "query_id", "doc_id", "rank", k = 3)
+      .orderBy("query_id").collect()
+
+    assert(out.length == 3)
+    val Row(q1, ng1, h1, rec1, mrr1, ndcg1) = out(0)
+    assert((q1, ng1, h1) == (1L, 3L, 2L))
+    assert(rec1 == 0.666667) // round(2/3, 6)
+    assert(mrr1 == 0.5)      // first relevant at rank 2
+    // dcg = round(1/log2(3),9) + round(1/log2(4),9); idcg = 1 + those terms
+    val t3 = BigDecimal(1.0 / (math.log(3.0) / math.log(2.0)))
+      .setScale(9, BigDecimal.RoundingMode.HALF_UP)
+    val dcg = (t3 + BigDecimal("0.5")).toDouble
+    val idcg = (BigDecimal(1) + t3 + BigDecimal("0.5")).toDouble
+    assert(math.abs(ndcg1.asInstanceOf[Double] -
+      BigDecimal(dcg / idcg).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble) < 1e-9)
+    assert(out(1) == Row(2L, 1L, 0L, 0.0, 0.0, 0.0))
+    assert(out(2) == Row(3L, 1L, 0L, 0.0, 0.0, 0.0))
+  }
+
+  test("rankedRetrieval ignores results beyond k and duplicate gold rows") {
+    val results = Seq((1L, "a", 5L)).toDF("query_id", "doc_id", "rank")
+    val gold = Seq((1L, "a"), (1L, "a")).toDF("query_id", "doc_id")
+    val hit = Eval.rankedRetrieval(results, gold, "query_id", "doc_id", "rank", k = 5)
+      .collect()(0)
+    assert(hit.getLong(1) == 1L && hit.getLong(2) == 1L) // dup collapsed, rank 5 counted
+    val miss = Eval.rankedRetrieval(results, gold, "query_id", "doc_id", "rank", k = 4)
+      .collect()(0)
+    assert(miss.getLong(2) == 0L) // rank 5 > k=4 excluded
+  }
+
+  test("cohenKappa matches the textbook example; constant raters → NULL κ") {
+    // 20 yes/yes, 15 no/no, 5 yes/no, 10 no/yes: po=0.7, pe=0.5, κ=0.4
+    val labels =
+      Seq.fill(20)(("yes", "yes")) ++ Seq.fill(15)(("no", "no")) ++
+        Seq.fill(5)(("yes", "no")) ++ Seq.fill(10)(("no", "yes"))
+    val out = Eval.cohenKappa(labels.toDF("a", "b"), "a", "b").collect()(0)
+    assert(out == Row(50L, 35L, 0.7, 0.5, 0.4))
+
+    val const = Eval.cohenKappa(
+      Seq.fill(4)(("x", "x")).toDF("a", "b"), "a", "b").collect()(0)
+    assert(const.getLong(0) == 4L && const.isNullAt(4)) // pe = 1 → undefined
+
+    // NULL labels excluded
+    val withNulls = Eval.cohenKappa(
+      Seq(("x", "x"), (null, "x"), ("x", null)).toDF("a", "b"), "a", "b")
+      .collect()(0)
+    assert(withNulls.getLong(0) == 1L)
+  }
+}
