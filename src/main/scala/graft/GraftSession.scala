@@ -54,6 +54,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     inject("string_shingles", cs => StringShingles(cs(0),
       intArg(cs(1), "string_shingles", 1)), classOf[StringShingles])
     inject("nfc_normalize", cs => NfcNormalize(cs.head), classOf[NfcNormalize])
+    inject("deflate_size", cs => DeflateSize(cs.head), classOf[DeflateSize])
     inject("minhash_sig", cs => MinHashSig(cs(0),
       intArg(cs(1), "minhash_sig", 1)), classOf[MinHashSig])
     inject("winnowed_fingerprints", cs => WinnowedFps(cs(0),

@@ -1377,6 +1377,35 @@ object SparkEntry {
           col("dup_line_frac"), col("keep").cast("int").as("keep"))
         .orderBy("doc_id")),
 
+    // Compression-ratio quality signal (zlib entropy proxy for
+    // repetition/boilerplate). Rows-only: the byte count is a function
+    // of the JVM's zlib (see DeflateSize scaladoc) — the oracle-green
+    // surface is the twin below.
+    "q_quality_compress" -> ((s, d) =>
+      docs(s, d).select(col("doc_id"),
+          octet_length(col("text")).cast("long").as("n_bytes"),
+          TF.deflateSize(col("text")).as("deflate_bytes"),
+          when(octet_length(col("text")) === 0, lit(null).cast("double"))
+            .otherwise(round(TF.deflateSize(col("text")).cast("double") /
+              octet_length(col("text")).cast("double"), 6))
+            .as("compression_ratio"))
+        .orderBy("doc_id")),
+
+    // Twin construction for the compression signal: zlib's structural
+    // guarantees ARE oracle-predictable even though byte counts aren't —
+    // a 4× self-repetition back-references its copies (strictly beating
+    // 4 independent streams), and raw DEFLATE never expands beyond
+    // input + stored-block overhead.
+    "q_quality_compress_twins" -> ((s, d) =>
+      docs(s, d).filter(col("n_chars") >= 64)
+        .select(col("doc_id"),
+          (TF.deflateSize(repeat(col("text"), 4)) <
+            TF.deflateSize(col("text")) * 4).as("repetition_compresses"),
+          (TF.deflateSize(col("text")) <=
+            octet_length(col("text")).cast("long") + lit(64L))
+            .as("bounded_by_plain"))
+        .orderBy("doc_id")),
+
     // PII detect + redact over a deterministically PII-injected corpus
     // (2/3 of docs get a synthetic email/SSN/phone/IP suffix built from
     // doc_id — both engines construct the identical text, so counts AND
@@ -3413,6 +3442,12 @@ object SparkEntry {
         |SELECT query_id, rank, vec_id, round(cosine, 6) AS cosine
         |FROM ranked WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
     "q_quality_gopher" -> gopherOracle,
+    // Compression-monotonicity twin: the properties are structural zlib
+    // guarantees, so the oracle predicts the booleans without being able
+    // to reproduce the byte counts (q_quality_compress stays rows-only).
+    "q_quality_compress_twins" ->
+      """SELECT doc_id, true AS repetition_compresses, true AS bounded_by_plain
+        |FROM documents WHERE n_chars >= 64 ORDER BY doc_id""".stripMargin,
     "q_curate_pipeline" -> curateOracle,
     "q_sample_cap" ->
       """SELECT doc_id, source FROM (

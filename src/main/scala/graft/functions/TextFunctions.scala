@@ -212,6 +212,12 @@ object TextFunctions {
   def nfcNormalize(text: Column): Column =
     CatalystBridge.column(NfcNormalize(CatalystBridge.expression(text)))
 
+  /** Raw-DEFLATE byte length — the compression-ratio quality signal
+    * (see [[DeflateSize]]'s determinism scope: in-run stable, not a
+    * cross-engine contract). */
+  def deflateSize(text: Column): Column =
+    CatalystBridge.column(DeflateSize(CatalystBridge.expression(text)))
+
   /** Interpreted HOF formulation of winnowing — the executable spec the
     * native expression is pinned against (TextFunctionsSpec). */
   def winnowedFingerprintsHof(text: Column, k: Int = 5, w: Int = 4): Column = {
