@@ -1909,6 +1909,22 @@ object SparkEntry {
             .as("rater_tok")),
         "rater_len", "rater_tok")),
 
+    // Three-rater panel agreement (Fleiss' κ): char-length, token-count,
+    // and line-count keep/drop heuristics rated per document, unpivoted
+    // to long form.
+    "q_rater_fleiss" -> ((s, d) =>
+      graft.operators.Eval.fleissKappa(
+        docs(s, d).select(col("doc_id"),
+            when(col("n_chars") >= 400, lit("keep")).otherwise(lit("drop"))
+              .as("r_len"),
+            when(TF.tokenCount(col("text")) >= 60, lit("keep"))
+              .otherwise(lit("drop")).as("r_tok"),
+            when(size(split(col("text"), "\n", -1)) >= 5, lit("keep"))
+              .otherwise(lit("drop")).as("r_lines"))
+          .selectExpr("doc_id",
+            "stack(3, r_len, r_tok, r_lines) AS label"),
+        "doc_id", "label", nRaters = 3)),
+
     // Unigram LM self-scoring: every document's mean token NLL under the
     // corpus's own add-0.5 unigram model (CCNet perplexity bucketing).
     "q_lm_score" -> ((s, d) =>
@@ -3938,6 +3954,41 @@ object SparkEntry {
         |                  (1.0 - CAST(prod AS DOUBLE) / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE))),
         |                  6) END AS kappa
         |FROM tot CROSS JOIN ch""".stripMargin,
+    // All operands are small exact integers in doubles, so each division
+    // is IEEE-identical cross-engine; multiplication order mirrors the
+    // operator ((N·n)·(n−1) and (N·n)·(N·n)).
+    "q_rater_fleiss" ->
+      """WITH r AS (
+        |  SELECT doc_id,
+        |    CASE WHEN n_chars >= 400 THEN 'keep' ELSE 'drop' END AS r_len,
+        |    CASE WHEN len(regexp_split_to_array(trim(text),
+        |      '[ \t\n\x0b\f\r]+')) >= 60 THEN 'keep' ELSE 'drop' END AS r_tok,
+        |    CASE WHEN len(string_split(text, chr(10))) >= 5
+        |         THEN 'keep' ELSE 'drop' END AS r_lines
+        |  FROM documents),
+        |long AS (
+        |  SELECT doc_id, r_len AS label FROM r UNION ALL
+        |  SELECT doc_id, r_tok FROM r UNION ALL
+        |  SELECT doc_id, r_lines FROM r),
+        |cells AS (SELECT doc_id, label, count(*) AS nij FROM long GROUP BY 1, 2),
+        |peri AS (SELECT doc_id, sum(nij) AS ni, sum(nij * nij) AS sq
+        |         FROM cells GROUP BY 1 HAVING sum(nij) = 3),
+        |agg AS (SELECT CAST(count(*) AS BIGINT) AS n_items,
+        |               sum(sq - 3) AS agree_num FROM peri),
+        |cat AS (SELECT sum(cj * cj) AS cj2 FROM (
+        |  SELECT label, sum(nij) AS cj
+        |  FROM cells JOIN peri USING (doc_id) GROUP BY 1)),
+        |m AS (SELECT n_items,
+        |  CAST(agree_num AS DOUBLE) /
+        |    (CAST(n_items AS DOUBLE) * 3.0 * 2.0) AS po,
+        |  CAST(cj2 AS DOUBLE) /
+        |    ((CAST(n_items AS DOUBLE) * 3.0) * (CAST(n_items AS DOUBLE) * 3.0)) AS pe
+        |  FROM agg CROSS JOIN cat)
+        |SELECT n_items, round(po, 6) AS observed_agreement,
+        |  round(pe, 6) AS chance_agreement,
+        |  CASE WHEN pe = 1.0 THEN NULL
+        |       ELSE round((po - pe) / (1.0 - pe), 6) END AS kappa
+        |FROM m""".stripMargin,
     "q_lm_score" ->
       """WITH toks AS (
         |  SELECT unnest(regexp_split_to_array(trim(lower(text)),

@@ -92,6 +92,51 @@ object Eval {
    * the κ ratio are single IEEE ops on exact operands (engine-portable),
    * rounded to 6 dp.
    */
+  /**
+   * Fleiss' κ (1971) — agreement among a FIXED number of raters per item,
+   * in long form: one `(itemCol, labelCol)` row per individual rating.
+   * Items with a rating count ≠ `nRaters` are dropped (the classic
+   * formulation requires a constant panel; partial items would silently
+   * bias P̄), NULL labels are excluded before counting. One output row:
+   * `(n_items, observed_agreement, chance_agreement, kappa)` with
+   * P̄ = Σ_i(Σ_j n_ij² − n) / (N·n·(n−1)), P̄_e = Σ_j p_j², κ as usual;
+   * NULL κ when P̄_e = 1.
+   *
+   * Scale shape: ratings reduce to (item, label) cells in one
+   * map-side-combining aggregate; everything after is per-item/per-label
+   * sums of exact integers — the only doubles are the three final
+   * divisions, rounded to 6 dp.
+   */
+  def fleissKappa(df: DataFrame, itemCol: String, labelCol: String,
+                  nRaters: Int): DataFrame = {
+    require(nRaters >= 2, "nRaters must be >= 2")
+    val n = lit(nRaters.toLong)
+    val cells = df
+      .select(col(itemCol).as("i"), col(labelCol).cast("string").as("l"))
+      .filter(col("l").isNotNull)
+      .groupBy("i", "l").agg(count(lit(1)).as("nij"))
+    val perItem = cells.groupBy("i")
+      .agg(sum(col("nij")).as("ni"),
+        sum(col("nij") * col("nij")).as("sq"))
+      .filter(col("ni") === n)
+    val agg = perItem.agg(count(lit(1)).as("n_items"),
+      sum(col("sq") - n).as("agree_num"))
+    val cat = cells.join(perItem.select(col("i")), Seq("i"))
+      .groupBy("l").agg(sum(col("nij")).as("cj"))
+      .agg(sum(col("cj") * col("cj")).as("cj2"))
+    val nItems = col("n_items").cast("double")
+    val nd = n.cast("double")
+    val pBar = col("agree_num").cast("double") /
+      (nItems * nd * (nd - lit(1.0)))
+    val pE = col("cj2").cast("double") / ((nItems * nd) * (nItems * nd))
+    agg.crossJoin(cat)
+      .select(col("n_items"),
+        round(pBar, 6).as("observed_agreement"),
+        round(pE, 6).as("chance_agreement"),
+        when(pE === lit(1.0), lit(null).cast("double"))
+          .otherwise(round((pBar - pE) / (lit(1.0) - pE), 6)).as("kappa"))
+  }
+
   def cohenKappa(df: DataFrame, raterA: String, raterB: String): DataFrame = {
     val cells = df
       .select(col(raterA).cast("string").as("a"),

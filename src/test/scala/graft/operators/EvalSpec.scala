@@ -45,6 +45,26 @@ class EvalSpec extends SparkTestBase {
     assert(miss.getLong(2) == 0L) // rank 5 > k=4 excluded
   }
 
+  test("fleissKappa: hand-computed 3-rater example; short panels dropped") {
+    // item A unanimous (P_A = 1), item B 1-vs-2 (P_B = 1/3):
+    // P̄ = 2/3; p_yes = 4/6, p_no = 2/6 → P̄e = 5/9; κ = (1/9)/(4/9) = 0.25
+    val ratings = Seq(
+      ("A", "yes"), ("A", "yes"), ("A", "yes"),
+      ("B", "yes"), ("B", "no"), ("B", "no"),
+      ("C", "yes"), ("C", "yes")) // only 2 ratings → dropped
+      .toDF("item", "label")
+    val out = Eval.fleissKappa(ratings, "item", "label", nRaters = 3).collect()(0)
+    assert(out.getLong(0) == 2L)
+    assert(out.getDouble(1) == 0.666667)
+    assert(out.getDouble(2) == 0.555556)
+    assert(out.getDouble(3) == 0.25)
+
+    val unanimous = Seq.fill(3)(("A", "x")) ++ Seq.fill(3)(("B", "x"))
+    val const = Eval.fleissKappa(unanimous.toDF("item", "label"),
+      "item", "label", nRaters = 3).collect()(0)
+    assert(const.isNullAt(3)) // pe = 1 → undefined
+  }
+
   test("cohenKappa matches the textbook example; constant raters → NULL κ") {
     // 20 yes/yes, 15 no/no, 5 yes/no, 10 no/yes: po=0.7, pe=0.5, κ=0.4
     val labels =
