@@ -63,7 +63,11 @@ object ScaleProbe {
     "q_rolling_window", "q_skew_join", "q_asof_join", "q_interval_join",
     // round-5 late additions: mergeable partial-agg maintenance,
     // iterative link-graph PageRank, Morton-key projection
-    "q_incr_agg", "q_incr_retract", "q_graph_pagerank", "q_layout_zorder")
+    "q_incr_agg", "q_incr_retract", "q_graph_pagerank", "q_layout_zorder",
+    // round-5 audit additions: retrieval-quality metrics (top-k-bounded
+    // joins), rater-agreement reductions, native deflate quality signal
+    "q_retrieval_eval", "q_rater_kappa", "q_rater_fleiss",
+    "q_quality_compress")
 
   private def caesar(c: org.apache.spark.sql.Column, k: Int) = {
     val lower = "abcdefghijklmnopqrstuvwxyz"

@@ -1795,6 +1795,19 @@ object SparkEntry {
         .orderBy("vec_id", "idx")
     }),
 
+    // Chunk→document mean pooling: 4 chunk embeddings per synthetic
+    // parent (vec_id mod 250), add-exact per-dim mean, unit renorm —
+    // the doc-level embedding assembly step of long-document retrieval.
+    "q_embed_pool" -> ((s, d) => {
+      val e = embeddings(s, d)
+        .select((col("vec_id") % 250).as("parent_id"),
+          VF.asDouble(col("embedding")).as("v"))
+      graft.operators.Centroids.meanPoolNormalized(e, "parent_id", "v")
+        .select(col("parent_id"), posexplode(col("pooled")).as(Seq("idx", "va")))
+        .select(col("parent_id"), col("idx"), round(col("va"), 6).as("val"))
+        .orderBy("parent_id", "idx")
+    }),
+
     // SemDeDup twin gate (same closed-form construction as q_dedup_embed):
     // embeddings ∪ exact twins (id+1e6, v×2) — cell assignment is
     // scale-invariant so every twin pair is a within-cell candidate with
@@ -3425,6 +3438,27 @@ object SparkEntry {
         |SELECT vec_id, CAST(i - 1 AS INTEGER) AS idx,
         |  round(CASE WHEN nrm = 0.0 THEN tv[i] ELSE tv[i] / nrm END, 6) AS val
         |FROM x ORDER BY vec_id, idx""".stripMargin,
+    // Mean = the labelCentroids decimal recipe; norm = the same
+    // index-order left fold as VF.l2Norm (proven by q_embed_matryoshka).
+    "q_embed_pool" ->
+      """WITH e AS (SELECT vec_id % 250 AS parent_id,
+        |                  CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |x AS (SELECT parent_id, unnest(range(1, len(v)+1)) AS i, v FROM e),
+        |d AS (SELECT parent_id, i, v[i] AS x FROM x),
+        |m AS (SELECT parent_id, i,
+        |        CAST(sum(CAST(round(x, 9) AS DECIMAL(27,9))) AS DOUBLE)
+        |          / count(*) AS c
+        |      FROM d GROUP BY 1, 2),
+        |vec AS (SELECT parent_id, list(c ORDER BY i) AS cv FROM m GROUP BY 1),
+        |n AS (SELECT parent_id, cv,
+        |        sqrt(list_reduce(list_transform(cv, x -> x*x),
+        |                         (a, b) -> a + b)) AS nrm
+        |      FROM vec),
+        |y AS (SELECT parent_id, cv, nrm,
+        |        unnest(range(1, len(cv)+1)) AS i FROM n)
+        |SELECT parent_id, CAST(i - 1 AS INTEGER) AS idx,
+        |  round(CASE WHEN nrm = 0.0 THEN cv[i] ELSE cv[i] / nrm END, 6) AS val
+        |FROM y ORDER BY parent_id, idx""".stripMargin,
     // The q_dedup_embed corpus is embeddings ∪ exact twins (id+1e6, v×2):
     // twin pairs have cosine exactly 1.0 after round(…,6) and LSH recall 1
     // by sign-invariance under positive scaling; no real pair reaches the

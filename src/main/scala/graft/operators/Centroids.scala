@@ -40,6 +40,25 @@ object Centroids {
         .as("centroid"))
   }
 
+  /** Chunk→parent mean pooling with unit renormalization — the
+    * document-level embedding from chunk embeddings (chunk → embed →
+    * pool, the standard long-document retrieval recipe; matryoshka-style
+    * unit renorm so downstream cosine = dot). Mean is [[labelCentroids]]'
+    * add-exact per-dimension decimal mean keyed by the parent id; the
+    * L2 norm is the same sequential index-order fold as VF.l2Norm, so
+    * the result is engine-reproducible. An all-zero pooled vector stays
+    * zeros (no direction to normalize to). Output: `(parentCol,
+    * pooled)`. Scale shape: identical to [[labelCentroids]] — network
+    * volume |parents|×dims partials, independent of chunk count. */
+  def meanPoolNormalized(df: DataFrame, parentCol: String,
+                         vecCol: String): DataFrame = {
+    val nrm = VF.l2Norm(col("centroid"))
+    labelCentroids(df, vecCol, parentCol)
+      .select(col("label").as(parentCol),
+        when(nrm === lit(0.0), col("centroid"))
+          .otherwise(transform(col("centroid"), x => x / nrm)).as("pooled"))
+  }
+
   /** Each vector's cosine to its OWN label's centroid:
     * `(idCol, label, cosine)`, cosine rounded to 6 dp. */
   def cosineToCentroid(df: DataFrame, idCol: String, vecCol: String,

@@ -73,4 +73,17 @@ class CentroidsSpec extends SparkTestBase {
     assert(asg(1) != asg(4)) // the two groups separate
     assert(meanCos(3) >= meanCos(1) - 1e-9) // Lloyd monotonicity (rounded)
   }
+
+  test("meanPoolNormalized: unit-norm mean per parent; zero vectors stay zeros") {
+    val chunks = df("parent BIGINT, v ARRAY<DOUBLE>", Seq(
+      Row(1L, Seq(1.0, 0.0)), Row(1L, Seq(0.0, 1.0)), // mean (.5,.5) → unit diag
+      Row(2L, Seq(3.0, 4.0)),                         // singleton → (0.6, 0.8)
+      Row(3L, Seq(0.0, 0.0)), Row(3L, Seq(0.0, 0.0)))) // zero mean stays zeros
+    val out = Centroids.meanPoolNormalized(chunks, "parent", "v")
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    val s = math.sqrt(0.5)
+    assert(out(1).zip(Seq(s, s)).forall { case (a, b) => math.abs(a - b) < 1e-9 })
+    assert(out(2).zip(Seq(0.6, 0.8)).forall { case (a, b) => math.abs(a - b) < 1e-9 })
+    assert(out(3) == Seq(0.0, 0.0))
+  }
 }
