@@ -1496,6 +1496,15 @@ object SparkEntry {
         "lang", "n_chars", frac = 0.2, idCol = "doc_id")
         .orderBy("doc_id")),
 
+    // Nucleus (top-p) selection: per language, the minimal top-score
+    // prefix carrying 80% of the char MASS (not row count) — decimal
+    // cumulative sums, so the cut is engine-exact.
+    "q_sample_topmass" -> ((s, d) =>
+      graft.operators.Sample.topMassFraction(
+        docs(s, d).select(col("doc_id"), col("lang"), col("n_chars")),
+        "lang", "doc_id", "n_chars", p = 0.8)
+        .orderBy("doc_id")),
+
     // -------- OLAP beyond the reference's flat GROUP BY: subtotal
     // levels in ONE aggregation (map-side grouping-set expansion, one
     // shuffle), grouping_id bit order pinned against SQL-standard
@@ -3520,6 +3529,18 @@ object SparkEntry {
         |      ORDER BY n_chars DESC, doc_id ASC) AS pr
         |  FROM documents) t
         |WHERE pr <= 0.2 ORDER BY doc_id""".stripMargin,
+    "q_sample_topmass" ->
+      """SELECT doc_id, lang, n_chars FROM (
+        |  SELECT doc_id, lang, n_chars,
+        |    CAST(round(CAST(n_chars AS DOUBLE), 6) AS DECIMAL(24,6)) AS s,
+        |    sum(CAST(round(CAST(n_chars AS DOUBLE), 6) AS DECIMAL(24,6)))
+        |      OVER (PARTITION BY lang ORDER BY n_chars DESC, doc_id ASC
+        |            ROWS UNBOUNDED PRECEDING) AS cum,
+        |    sum(CAST(round(CAST(n_chars AS DOUBLE), 6) AS DECIMAL(24,6)))
+        |      OVER (PARTITION BY lang) AS tot
+        |  FROM documents) t
+        |WHERE cum - s < tot * CAST(0.8 AS DECIMAL(10,9))
+        |ORDER BY doc_id""".stripMargin,
     "q_olap_rollup" ->
       ("SELECT o_orderpriority, o_orderstatus, " +
         "CAST(GROUPING(o_orderpriority, o_orderstatus) AS BIGINT) AS gid, " +

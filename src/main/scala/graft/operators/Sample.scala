@@ -137,6 +137,40 @@ object Sample {
   }
 
   /**
+   * Nucleus (top-p) selection per key — keep the MINIMAL highest-score
+   * prefix carrying at least `p` of the key's total score MASS (not row
+   * count): "the documents holding 90% of the quality mass", the
+   * data-selection analogue of nucleus sampling (Holtzman et al. 2020).
+   * The crossing row is included; ties resolve through the total
+   * (score desc, id asc) order. Scores MUST be non-negative — negative
+   * mass makes the cumulative share non-monotone and the "minimal
+   * prefix" ill-defined (caller contract, same as any probability mass).
+   *
+   * Exactness: scores round to 6 dp and cumulate as DECIMAL, and the
+   * keep predicate `mass-before < p·total` compares DECIMALs — no float
+   * aggregation anywhere, so shuffle order and engine cannot move the
+   * cut. Scale shape: one shuffle on the key, two window passes over the
+   * same partitioning (running + total), same cost class as
+   * [[topFraction]].
+   */
+  def topMassFraction(df: DataFrame, keyCol: String, idCol: String,
+                      scoreCol: String, p: Double): DataFrame = {
+    require(p > 0.0 && p <= 1.0, "p must be in (0, 1]")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(keyCol))
+      .orderBy(col(scoreCol).desc, col(idCol).asc)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val wAll = org.apache.spark.sql.expressions.Window.partitionBy(col(keyCol))
+    val s = round(col(scoreCol).cast("double"), 6).cast("decimal(24,6)")
+    df.withColumn("__s", s)
+      .withColumn("__cum", sum(col("__s")).over(w))
+      .withColumn("__tot", sum(col("__s")).over(wAll))
+      .filter(col("__cum") - col("__s") <
+        col("__tot") * lit(p).cast("decimal(10,9)"))
+      .drop("__s", "__cum", "__tot")
+  }
+
+  /**
    * Keep the top `frac` of each key's rows by `orderCol` (descending),
    * via `percent_rank <= frac` — the relative-threshold variant of
    * [[topPerKey]] ("top decile per language"), robust to groups of very

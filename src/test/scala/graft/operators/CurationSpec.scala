@@ -330,6 +330,29 @@ class CurationSpec extends SparkTestBase {
     assert(kept == Set(10L, 9L, 8L, 99L))
   }
 
+  test("topMassFraction keeps the minimal prefix reaching p of the score mass") {
+    val docs = df("doc_id BIGINT, lang STRING, score BIGINT", Seq(
+      // web: masses 5,3,1,1 (total 10); p=0.7 → {5,3} (before-mass 0,5 < 7;
+      // the rank-3 row starts at 8 ≥ 7)
+      org.apache.spark.sql.Row(1L, "web", 5L),
+      org.apache.spark.sql.Row(2L, "web", 3L),
+      org.apache.spark.sql.Row(3L, "web", 1L),
+      org.apache.spark.sql.Row(4L, "web", 1L),
+      // books: zero-mass rows are never part of a minimal prefix
+      org.apache.spark.sql.Row(9L, "books", 0L)))
+    val kept = Sample.topMassFraction(docs, "lang", "doc_id", "score", p = 0.7)
+      .collect().map(_.getLong(0)).toSet
+    assert(kept == Set(1L, 2L))
+    // p=1.0 keeps every mass-carrying row, still excludes zero-mass tails
+    val all = Sample.topMassFraction(docs, "lang", "doc_id", "score", p = 1.0)
+      .collect().map(_.getLong(0)).toSet
+    assert(all == Set(1L, 2L, 3L, 4L))
+    // crossing row included: p=0.5 on web needs 5 ≥ 5 → just the top row
+    val half = Sample.topMassFraction(docs, "lang", "doc_id", "score", p = 0.5)
+      .collect().map(_.getLong(0)).toSet
+    assert(half == Set(1L))
+  }
+
   test("Vocab: deterministic top-k vocabulary and per-doc OOV rate") {
     val docs = df("doc_id INT, text STRING", Seq(
       doc(1, "cat cat dog bird"),
