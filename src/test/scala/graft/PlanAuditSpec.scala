@@ -55,6 +55,25 @@ class PlanAuditSpec extends SparkTestBase {
     assert(plan.contains("Window"), plan)
   }
 
+  test("rater agreement: the corpus reduces through partial aggregation") {
+    // cohenKappa's only corpus-wide pass must be the (a, b)-cell count
+    // with a map-side partial (HashAggregate partial → exchange of cell
+    // rows, not document rows); everything after runs on the cells.
+    val plan = SparkEntry.queries("q_rater_kappa")(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("partial_count") || plan.contains("partial count")
+      || plan.contains("Partial"), plan)
+    assert(!plan.contains("SortMergeJoin"), plan) // cell-table joins broadcast
+  }
+
+  test("retrieval eval: gold/results joins broadcast, corpus never re-shuffles wide") {
+    // both inputs are top-k-per-query; the metric joins must be
+    // broadcast-hash, not a sort-merge over corpus-sized relations
+    val plan = SparkEntry.queries("q_retrieval_eval")(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan)
+  }
+
   test("quantize: scale is materialized once, not inlined per element") {
     val plan = SparkEntry.queries("q_embed_quantize")(spark, dir)
       .queryExecution.executedPlan.toString
