@@ -2200,6 +2200,33 @@ object SparkEntry {
         .orderBy("node")
     }),
 
+    // Label propagation: audited keep/drop seeds (even-quintet hubs)
+    // spread over a quintet-star + hub-chain graph in 2 synchronous
+    // rounds — leaves of seeded hubs label in round 1, odd hubs vote
+    // from their two seed neighbors (ties → smallest label), their
+    // leaves follow in round 2. Integer majority votes, so the 2-round
+    // unrolling is oracle-exact.
+    "q_graph_labelprop" -> ((s, d) => {
+      val ids = docs(s, d).select(col("doc_id"), col("n_chars"))
+      val leaves = ids.filter(col("doc_id") % 5 =!= 0)
+        .select(col("doc_id").as("src"),
+          (col("doc_id") - (col("doc_id") % 5)).as("dst"))
+      val hubIds = ids.filter(col("doc_id") % 5 === 0)
+        .select(col("doc_id").as("hid"))
+      val chain = ids.filter(col("doc_id") % 5 === 0)
+        .select(col("doc_id").as("src"), (col("doc_id") + 5).as("dst"))
+        .join(hubIds, col("dst") === col("hid"))
+        .select(col("src"), col("dst"))
+      val seeds = ids.filter(col("doc_id") % 10 === 0)
+        .select(col("doc_id").as("node"),
+          when(col("n_chars") >= 300, lit("keep")).otherwise(lit("drop"))
+            .as("label"))
+      graft.operators.Graph.labelPropagation(
+          leaves.unionByName(chain), "src", "dst",
+          seeds, "node", "label", iterations = 2)
+        .orderBy("node")
+    }),
+
     // Z-order (Morton) clustering key: bit-interleave of two dims
     // masked to 8 bits — the multi-dimensional data-skipping layout
     // (LayoutSpec measures the file-pruning win; this gate pins the key
@@ -4411,6 +4438,46 @@ object SparkEntry {
         |GROUP BY o_orderpriority
         |ORDER BY o_orderpriority""".stripMargin,
     "q_graph_pagerank" -> pageRankOracle(iterations = 3, damping = 0.85),
+    // 2-round synchronous label propagation, unrolled: each round is a
+    // labeled-neighbor vote + (count desc, label asc) argmax; seeds
+    // clamp via the coalesce order.
+    "q_graph_labelprop" ->
+      """WITH ids AS (SELECT doc_id, n_chars FROM documents),
+        |leaves AS (SELECT doc_id AS src, doc_id - (doc_id % 5) AS dst
+        |           FROM ids WHERE doc_id % 5 != 0),
+        |hubset AS (SELECT doc_id AS hid FROM ids WHERE doc_id % 5 = 0),
+        |chain AS (SELECT h.doc_id AS src, h.doc_id + 5 AS dst
+        |          FROM ids h JOIN hubset t ON h.doc_id + 5 = t.hid
+        |          WHERE h.doc_id % 5 = 0),
+        |fwd AS (SELECT src, dst FROM leaves UNION ALL SELECT src, dst FROM chain),
+        |und AS (SELECT DISTINCT a, b FROM (
+        |  SELECT src AS a, dst AS b FROM fwd
+        |  UNION ALL SELECT dst AS a, src AS b FROM fwd) t WHERE a != b),
+        |nodes AS (SELECT DISTINCT a AS node FROM und
+        |          UNION SELECT doc_id FROM ids WHERE doc_id % 10 = 0),
+        |seed AS (SELECT doc_id AS node,
+        |           CASE WHEN n_chars >= 300 THEN 'keep' ELSE 'drop' END AS lab
+        |         FROM ids WHERE doc_id % 10 = 0),
+        |l0 AS (SELECT n.node, s.lab FROM nodes n LEFT JOIN seed s USING (node)),
+        |v1 AS (SELECT u.b AS node, l.lab, count(*) AS n
+        |       FROM und u JOIN l0 l ON u.a = l.node WHERE l.lab IS NOT NULL
+        |       GROUP BY 1, 2),
+        |m1 AS (SELECT node, lab FROM (
+        |         SELECT node, lab, row_number() OVER (PARTITION BY node
+        |           ORDER BY n DESC, lab ASC) AS rn FROM v1) t WHERE rn = 1),
+        |l1 AS (SELECT n.node, coalesce(s.lab, m.lab) AS lab
+        |       FROM nodes n LEFT JOIN seed s USING (node)
+        |       LEFT JOIN m1 m USING (node)),
+        |v2 AS (SELECT u.b AS node, l.lab, count(*) AS n
+        |       FROM und u JOIN l1 l ON u.a = l.node WHERE l.lab IS NOT NULL
+        |       GROUP BY 1, 2),
+        |m2 AS (SELECT node, lab FROM (
+        |         SELECT node, lab, row_number() OVER (PARTITION BY node
+        |           ORDER BY n DESC, lab ASC) AS rn FROM v2) t WHERE rn = 1),
+        |l2 AS (SELECT n.node, coalesce(s.lab, m.lab) AS lab
+        |       FROM nodes n LEFT JOIN seed s USING (node)
+        |       LEFT JOIN m2 m USING (node))
+        |SELECT node, lab AS label FROM l2 ORDER BY node""".stripMargin,
     "q_layout_zorder" ->
       s"""SELECT l_orderkey, l_linenumber, l_partkey % 256 AS x,
          |  l_suppkey % 256 AS y,

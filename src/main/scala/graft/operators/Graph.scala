@@ -71,4 +71,64 @@ object Graph {
     }
     ranks.select(col("node"), round(col("rank"), 6).as("rank"))
   }
+
+  /**
+   * Synchronous label propagation over an UNDIRECTED graph — spread a
+   * small audited seed set's labels (keep/drop, license class, topic)
+   * across a similarity/link graph: near-duplicates of junk are junk,
+   * mirrors of a licensed source share its license. Seeds are CLAMPED
+   * (never relabeled); every other node recomputes each round as the
+   * MAJORITY label among its labeled neighbors from the previous round
+   * (fresh each round — the classic synchronous update), ties breaking
+   * to the smallest label so the result is a pure function of the
+   * graph. Nodes that no label has reached stay NULL.
+   *
+   * Determinism: majority counts are exact integers and the argmax is a
+   * (count desc, label asc) window rank — no floats anywhere, so the
+   * k-round result is oracle-expressible by unrolling k rounds in SQL.
+   *
+   * Scale shape: the symmetrized edge list — the big input — is
+   * partitioned once and cached; each round shuffles (node, label)
+   * pairs bounded by the LABELED frontier's edge incidence, plus a
+   * per-node window over ≤|labels| candidate rows. Same iterative
+   * discipline as [[pageRank]] (localCheckpoint lineage truncation).
+   */
+  def labelPropagation(edges: DataFrame, srcCol: String, dstCol: String,
+                       seeds: DataFrame, nodeCol: String, labelCol: String,
+                       iterations: Int,
+                       checkpointEvery: Int = 5): DataFrame = {
+    require(iterations >= 1, "at least one iteration")
+    val fwd = edges.select(col(srcCol).as("a"), col(dstCol).as("b"))
+    val und = fwd.union(fwd.select(col("b").as("a"), col("a").as("b")))
+      .filter(col("a") =!= col("b"))
+      .distinct()
+      .repartition(col("a"))
+      .cache()
+    val nodes = und.select(col("a").as("node")).distinct()
+      .union(seeds.select(col(nodeCol).as("node"))).distinct().cache()
+    val seed = seeds.select(col(nodeCol).as("node"),
+      col(labelCol).cast("string").as("__seed"))
+
+    var labels = nodes.join(seed, Seq("node"), "left")
+      .select(col("node"), col("__seed").as("label"))
+    for (i <- 1 to iterations) {
+      val votes = und
+        .join(labels.filter(col("label").isNotNull), und("a") === labels("node"))
+        .select(col("b").as("node"), col("label"))
+        .groupBy("node", "label").agg(count(lit(1)).as("__n"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("node")
+        .orderBy(col("__n").desc, col("label").asc)
+      val majority = votes
+        .withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") === 1)
+        .select(col("node").as("__mn"), col("label").as("__ml"))
+      labels = nodes.join(seed, Seq("node"), "left")
+        .join(majority, col("node") === col("__mn"), "left")
+        .select(col("node"), coalesce(col("__seed"), col("__ml")).as("label"))
+      if (i % checkpointEvery == 0 && i < iterations)
+        labels = labels.localCheckpoint(eager = true)
+    }
+    labels
+  }
 }

@@ -37,4 +37,40 @@ class GraphSpec extends SparkTestBase {
     val dup = ranks(Seq("a" -> "b", "a" -> "b", "b" -> "a"), 2)
     assert(once == dup)
   }
+
+  private def propagate(edges: Seq[(String, String)],
+                        seeds: Seq[(String, String)],
+                        iters: Int): Map[String, String] = {
+    val e = df("src STRING, dst STRING", edges.map { case (a, b) => Row(a, b) })
+    val s = df("node STRING, label STRING", seeds.map { case (n, l) => Row(n, l) })
+    Graph.labelPropagation(e, "src", "dst", s, "node", "label", iters)
+      .collect().map(r => r.getString(0) ->
+        (if (r.isNullAt(1)) null else r.getString(1))).toMap
+  }
+
+  test("labelPropagation: 2-hop chain needs 2 rounds; seeds clamp; ties go smallest") {
+    // seed(a)=keep; chain a-b-c: b labels round 1, c round 2
+    val chain = Seq("a" -> "b", "b" -> "c")
+    val r1 = propagate(chain, Seq("a" -> "keep"), 1)
+    assert(r1 == Map("a" -> "keep", "b" -> "keep", "c" -> null))
+    val r2 = propagate(chain, Seq("a" -> "keep"), 2)
+    assert(r2 == Map("a" -> "keep", "b" -> "keep", "c" -> "keep"))
+
+    // x has one 'drop' and one 'keep' neighbor → tie → smallest label wins
+    val tie = propagate(Seq("d" -> "x", "k" -> "x"),
+      Seq("d" -> "drop", "k" -> "keep"), 3)
+    assert(tie("x") == "drop")
+
+    // a seeded node never relabels, even when outvoted by neighbors
+    val clamp = propagate(Seq("k1" -> "s", "k2" -> "s", "s" -> "leaf"),
+      Seq("s" -> "drop", "k1" -> "keep", "k2" -> "keep"), 2)
+    assert(clamp("s") == "drop" && clamp("leaf") == "drop")
+  }
+
+  test("labelPropagation: majority beats minority; recompute is fresh each round") {
+    // y: two 'keep' neighbors vs one 'drop' → keep
+    val r = propagate(Seq("a" -> "y", "b" -> "y", "c" -> "y"),
+      Seq("a" -> "keep", "b" -> "keep", "c" -> "drop"), 1)
+    assert(r("y") == "keep")
+  }
 }
