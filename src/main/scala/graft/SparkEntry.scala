@@ -1931,6 +1931,23 @@ object SparkEntry {
             .as("rater_tok")),
         "rater_len", "rater_tok")),
 
+    // Krippendorff's α with MISSING ratings: the same 3-heuristic panel,
+    // but the line rater abstains on every third document — variable
+    // raters per item, which Fleiss cannot express.
+    "q_rater_alpha" -> ((s, d) =>
+      graft.operators.Eval.krippendorffAlpha(
+        docs(s, d).select(col("doc_id"),
+            when(col("n_chars") >= 400, lit("keep")).otherwise(lit("drop"))
+              .as("r_len"),
+            when(TF.tokenCount(col("text")) >= 60, lit("keep"))
+              .otherwise(lit("drop")).as("r_tok"),
+            when(col("doc_id") % 3 === 0, lit(null).cast("string"))
+              .otherwise(when(size(split(col("text"), "\n", -1)) >= 5,
+                lit("keep")).otherwise(lit("drop"))).as("r_lines"))
+          .selectExpr("doc_id",
+            "stack(3, r_len, r_tok, r_lines) AS label"),
+        "doc_id", "label")),
+
     // Three-rater panel agreement (Fleiss' κ): char-length, token-count,
     // and line-count keep/drop heuristics rated per document, unpivoted
     // to long form.
@@ -4036,6 +4053,46 @@ object SparkEntry {
         |                  (1.0 - CAST(prod AS DOUBLE) / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE))),
         |                  6) END AS kappa
         |FROM tot CROSS JOIN ch""".stripMargin,
+    // Per-item disagreement terms round to 9 dp and decimal-sum (the
+    // BM25 recipe); category products run in DECIMAL; divisions mirror
+    // the operator's expression shapes exactly.
+    "q_rater_alpha" ->
+      """WITH r AS (
+        |  SELECT doc_id,
+        |    CASE WHEN n_chars >= 400 THEN 'keep' ELSE 'drop' END AS r_len,
+        |    CASE WHEN len(regexp_split_to_array(trim(text),
+        |      '[ \t\n\x0b\f\r]+')) >= 60 THEN 'keep' ELSE 'drop' END AS r_tok,
+        |    CASE WHEN doc_id % 3 = 0 THEN NULL
+        |         WHEN len(string_split(text, chr(10))) >= 5
+        |         THEN 'keep' ELSE 'drop' END AS r_lines
+        |  FROM documents),
+        |long AS (
+        |  SELECT doc_id, r_len AS label FROM r UNION ALL
+        |  SELECT doc_id, r_tok FROM r UNION ALL
+        |  SELECT doc_id, r_lines FROM r),
+        |cells AS (SELECT doc_id, label, count(*) AS nij FROM long
+        |          WHERE label IS NOT NULL GROUP BY 1, 2),
+        |items AS (SELECT doc_id, sum(nij) AS mi FROM cells
+        |          GROUP BY 1 HAVING sum(nij) >= 2),
+        |pair AS (SELECT c.doc_id, c.label, c.nij, i.mi
+        |         FROM cells c JOIN items i USING (doc_id)),
+        |obs AS (SELECT sum(CAST(round(
+        |          CAST(nij * (mi - nij) AS DOUBLE) / CAST(mi - 1 AS DOUBLE), 9)
+        |          AS DECIMAL(28,9))) AS d_o FROM pair),
+        |tot AS (SELECT CAST(sum(mi) AS BIGINT) AS n,
+        |               CAST(count(*) AS BIGINT) AS n_items FROM items),
+        |cat AS (SELECT sum(CAST(nc AS DECIMAL(38,0)) * nc) AS nc2 FROM (
+        |          SELECT label, sum(nij) AS nc FROM pair GROUP BY 1)),
+        |m AS (SELECT n_items, n,
+        |        CAST(d_o AS DOUBLE) / CAST(n AS DOUBLE) AS davg,
+        |        CAST(CAST(n AS DECIMAL(38,0)) * n - nc2 AS DOUBLE) /
+        |          CAST(CAST(n AS DECIMAL(38,0)) * (n - 1) AS DOUBLE) AS de
+        |      FROM tot CROSS JOIN obs CROSS JOIN cat)
+        |SELECT n_items, n, round(davg, 6) AS observed_disagreement,
+        |  round(de, 6) AS expected_disagreement,
+        |  CASE WHEN de = 0.0 THEN NULL
+        |       ELSE round(1.0 - davg / de, 6) END AS alpha
+        |FROM m""".stripMargin,
     // All operands are small exact integers in doubles, so each division
     // is IEEE-identical cross-engine; multiplication order mirrors the
     // operator ((N·n)·(n−1) and (N·n)·(N·n)).

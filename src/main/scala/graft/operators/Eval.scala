@@ -137,6 +137,53 @@ object Eval {
           .otherwise(round((pBar - pE) / (lit(1.0) - pE), 6)).as("kappa"))
   }
 
+  /**
+   * Krippendorff's α (nominal data) — the agreement coefficient that
+   * tolerates VARIABLE raters per item and missing ratings, where
+   * Fleiss requires a fixed panel. Long form `(itemCol, labelCol)`, one
+   * row per rating; items with fewer than 2 ratings aren't pairable and
+   * drop (Krippendorff 2004). α = 1 − D_o/D_e with
+   * D_o = (1/n)·Σ_i Σ_c n_ic(m_i − n_ic)/(m_i − 1) and
+   * D_e = (n² − Σ_c n_c²)/(n(n−1)) over the n pairable ratings.
+   * α is NULL when D_e = 0 (every rating one label — undefined).
+   *
+   * Determinism: the only non-integer intermediate is each item's
+   * disagreement term, which rounds to 9 dp and accumulates as DECIMAL
+   * (order-independent); category products run in DECIMAL so n² cannot
+   * overflow a long at corpus scale; the final divisions are fixed-shape
+   * IEEE ops rounded to 6 dp. Scale shape: same as [[fleissKappa]] —
+   * one map-side-combining reduce to (item, label) cells, everything
+   * after on cell/marginal tables.
+   */
+  def krippendorffAlpha(df: DataFrame, itemCol: String,
+                        labelCol: String): DataFrame = {
+    val cells = df
+      .select(col(itemCol).as("i"), col(labelCol).cast("string").as("l"))
+      .filter(col("l").isNotNull)
+      .groupBy("i", "l").agg(count(lit(1)).as("nij"))
+    val items = cells.groupBy("i").agg(sum(col("nij")).as("mi"))
+      .filter(col("mi") >= 2)
+    val pair = cells.join(items, Seq("i"))
+    val obs = pair.agg(
+      sum(round((col("nij") * (col("mi") - col("nij"))).cast("double") /
+            (col("mi") - lit(1L)).cast("double"), 9)
+        .cast("decimal(28,9)")).as("__do"))
+    val tot = items.agg(sum(col("mi")).as("n"),
+      count(lit(1)).as("n_items"))
+    val cat = pair.groupBy("l").agg(sum(col("nij")).as("nc"))
+      .agg(sum(col("nc").cast("decimal(38,0)") * col("nc")).as("__nc2"))
+    val nD = col("n").cast("decimal(38,0)")
+    val doAvg = col("__do").cast("double") / col("n").cast("double")
+    val de = (nD * nD - col("__nc2")).cast("double") /
+      (nD * (nD - lit(1))).cast("double")
+    tot.crossJoin(obs).crossJoin(cat)
+      .select(col("n_items"), col("n"),
+        round(doAvg, 6).as("observed_disagreement"),
+        round(de, 6).as("expected_disagreement"),
+        when(de === lit(0.0), lit(null).cast("double"))
+          .otherwise(round(lit(1.0) - doAvg / de, 6)).as("alpha"))
+  }
+
   def cohenKappa(df: DataFrame, raterA: String, raterB: String): DataFrame = {
     val cells = df
       .select(col(raterA).cast("string").as("a"),

@@ -65,6 +65,29 @@ class EvalSpec extends SparkTestBase {
     assert(const.isNullAt(3)) // pe = 1 → undefined
   }
 
+  test("krippendorffAlpha: hand-computed with missing ratings; degenerate cases") {
+    // A (yes,yes): no disagreement; B (yes,no): term 2; C (yes): unpairable, drops
+    // n=4, Do=2/4=0.5; n_yes=3, n_no=1 → De=(16−10)/12=0.5 → α = 0
+    val r = Seq(("A", "yes"), ("A", "yes"), ("B", "yes"), ("B", "no"), ("C", "yes"))
+    val out = Eval.krippendorffAlpha(r.toDF("item", "label"), "item", "label")
+      .collect()(0)
+    assert(out.getLong(0) == 2L && out.getLong(1) == 4L)
+    assert(out.getDouble(2) == 0.5 && out.getDouble(3) == 0.5)
+    assert(out.getDouble(4) == 0.0)
+
+    // perfect within-item agreement across distinct labels → α = 1
+    val perfect = Seq(("A", "yes"), ("A", "yes"), ("B", "no"), ("B", "no"))
+    val p = Eval.krippendorffAlpha(perfect.toDF("item", "label"), "item", "label")
+      .collect()(0)
+    assert(p.getDouble(2) == 0.0 && p.getDouble(4) == 1.0)
+
+    // one label everywhere → De = 0 → α undefined
+    val const = Seq(("A", "x"), ("A", "x"), ("B", "x"), ("B", "x"))
+    val c = Eval.krippendorffAlpha(const.toDF("item", "label"), "item", "label")
+      .collect()(0)
+    assert(c.isNullAt(4))
+  }
+
   test("cohenKappa matches the textbook example; constant raters → NULL κ") {
     // 20 yes/yes, 15 no/no, 5 yes/no, 10 no/yes: po=0.7, pe=0.5, κ=0.4
     val labels =
