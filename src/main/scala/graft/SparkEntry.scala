@@ -708,6 +708,20 @@ object SparkEntry {
         docs(s, d).select(col("doc_id")), "doc_id", k = 3)
         .orderBy("anchor_id", "neg_idx")),
 
+    // HARD negative mining: each probe's top retrieval candidates with
+    // the known positive (its rank-1 nearest neighbor) excluded, ranks
+    // renumbered — the contrastive-training data recipe.
+    "q_sample_hard_negatives" -> ((s, d) => {
+      val (e, probes) = annInputs(s, d)
+      val cands = Ann.bruteForceTopK(e, "vec_id", "v", probes,
+        "query_id", "qv", k = 10)
+      val positives = cands.filter(col("rank") === 1)
+        .select(col("query_id"), col("vec_id"))
+      graft.operators.Sample.hardNegatives(cands, "query_id", "vec_id",
+          "cosine", positives, "query_id", "vec_id", k = 3)
+        .orderBy("anchor_id", "neg_rank")
+    }),
+
     // Exact-ratio corpus mixing (the training "data recipe" step):
     // en : non-en at 3 : 1 parts — T = min(n_i/w_i) bounds the mix so
     // no source upsamples, md5 ranking makes the exact row set
@@ -3544,6 +3558,30 @@ object SparkEntry {
         |  FROM scored)
         |SELECT query_id, rank, vec_id, round(cosine, 6) AS cosine
         |FROM ranked WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
+    // Same bruteforce top-10; rank-1 rows are the positives, the rest
+    // re-rank on the ROUNDED cosine (the operator consumes topK's
+    // 6-dp output) with id tie-breaks.
+    "q_sample_hard_negatives" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |p AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 5),
+        |scored AS (
+        |  SELECT p.query_id, e.vec_id, list_cosine_similarity(p.qv, e.v) AS cosine
+        |  FROM e CROSS JOIN p WHERE e.vec_id != p.query_id),
+        |ranked AS (
+        |  SELECT query_id, vec_id, cosine,
+        |         row_number() OVER (PARTITION BY query_id
+        |           ORDER BY cosine DESC, vec_id ASC) AS rank
+        |  FROM scored),
+        |top AS (SELECT query_id, vec_id, round(cosine, 6) AS cosine, rank
+        |        FROM ranked WHERE rank <= 10),
+        |h AS (SELECT query_id, vec_id, cosine FROM top WHERE rank <> 1)
+        |SELECT anchor_id, neg_rank, neg_id, score FROM (
+        |  SELECT query_id AS anchor_id,
+        |    CAST(row_number() OVER (PARTITION BY query_id
+        |      ORDER BY cosine DESC, vec_id ASC) AS BIGINT) AS neg_rank,
+        |    vec_id AS neg_id, cosine AS score
+        |  FROM h) t
+        |WHERE neg_rank <= 3 ORDER BY anchor_id, neg_rank""".stripMargin,
     "q_quality_gopher" -> gopherOracle,
     // Compression-monotonicity twin: the properties are structural zlib
     // guarantees, so the oracle predicts the booleans without being able

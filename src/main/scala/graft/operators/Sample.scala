@@ -296,6 +296,38 @@ object Sample {
       .select(col("anchor_id"), col("neg_idx"), col("negative_id"))
   }
 
+  /**
+   * HARD negative mining — the contrastive-training complement of
+   * [[negativePairs]]: instead of random negatives, take each anchor's
+   * highest-scoring retrieval candidates that are NOT known positives
+   * (near-duplicates, paraphrases, labeled matches). `candidates` is
+   * any ranked retrieval output (`Ann.bruteForceTopK` / `lshTopK` /
+   * `Search.bm25TopK` — already top-k-per-anchor, so this pass is
+   * bounded by k·|anchors| regardless of corpus size); `positives` is
+   * the exclusion pair set. Output: `(anchor_id, neg_rank, neg_id,
+   * score)` with ranks re-numbered 1..k after exclusion, ties broken
+   * (score desc, id asc) as everywhere else.
+   */
+  def hardNegatives(candidates: DataFrame, queryCol: String, docCol: String,
+                    scoreCol: String, positives: DataFrame,
+                    posQueryCol: String, posDocCol: String,
+                    k: Int): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    val pos = positives
+      .select(col(posQueryCol).as("__pq"), col(posDocCol).as("__pd"))
+      .distinct()
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(queryCol))
+      .orderBy(col(scoreCol).desc, col(docCol).asc)
+    candidates
+      .join(pos, candidates(queryCol) === col("__pq") &&
+        candidates(docCol) === col("__pd"), "left_anti")
+      .withColumn("neg_rank", row_number().over(w).cast("long"))
+      .filter(col("neg_rank") <= k)
+      .select(col(queryCol).as("anchor_id"), col("neg_rank"),
+        col(docCol).as("neg_id"), col(scoreCol).as("score"))
+  }
+
   def deterministicShuffle(df: DataFrame, idCol: String,
                            seed: String = "graft"): DataFrame = {
     val h = md5(concat(lit(seed), lit(":"), col(idCol).cast("string")))

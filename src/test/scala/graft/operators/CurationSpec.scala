@@ -353,6 +353,19 @@ class CurationSpec extends SparkTestBase {
     assert(half == Set(1L))
   }
 
+  test("hardNegatives excludes positives and renumbers ranks deterministically") {
+    val cands = df("q BIGINT, d STRING, s DOUBLE", Seq(
+      org.apache.spark.sql.Row(1L, "dup", 0.99),  // known positive
+      org.apache.spark.sql.Row(1L, "a", 0.9),
+      org.apache.spark.sql.Row(1L, "b", 0.9),     // tie → id asc
+      org.apache.spark.sql.Row(1L, "c", 0.5),
+      org.apache.spark.sql.Row(2L, "x", 0.8)))
+    val pos = df("q BIGINT, d STRING", Seq(org.apache.spark.sql.Row(1L, "dup")))
+    val out = Sample.hardNegatives(cands, "q", "d", "s", pos, "q", "d", k = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+    assert(out == Set((1L, 1L, "a"), (1L, 2L, "b"), (2L, 1L, "x")))
+  }
+
   test("Vocab: deterministic top-k vocabulary and per-doc OOV rate") {
     val docs = df("doc_id INT, text STRING", Seq(
       doc(1, "cat cat dog bird"),
