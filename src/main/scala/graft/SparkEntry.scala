@@ -1911,6 +1911,19 @@ object SparkEntry {
         .orderBy("query_id", "rank")
     }),
 
+    // Mutual (reciprocal) top-5 self-retrieval pairs over a 50-vector
+    // slice — the hubness-robust near-neighbor signal (one-directional
+    // membership is not enough; both ends must reciprocate).
+    "q_ann_mutual" -> ((s, d) => {
+      val e = embeddings(s, d).filter(col("vec_id") < 50)
+        .select(col("vec_id"), VF.asDouble(col("embedding")).as("v"))
+      val probes = e.select(col("vec_id").as("query_id"), col("v").as("qv"))
+      val cands = Ann.bruteForceTopK(e, "vec_id", "v", probes,
+        "query_id", "qv", k = 5)
+      Ann.mutualTopK(cands, "query_id", "vec_id", "cosine")
+        .orderBy("id_a", "id_b")
+    }),
+
     // Retrieval-quality audit: BM25 top-10 scored against the dense
     // exact-cosine top-10 as gold — recall@10 / MRR@10 / nDCG@10 per
     // query, the lexical-vs-dense agreement diagnostic behind the
@@ -4003,6 +4016,24 @@ object SparkEntry {
         |         ORDER BY rrf DESC, doc_id ASC) AS BIGINT) AS rank
         |  FROM f) WHERE rank <= 10
         |ORDER BY query_id, rank""".stripMargin,
+    "q_ann_mutual" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+        |           FROM embeddings WHERE vec_id < 50),
+        |p AS (SELECT vec_id AS query_id, v AS qv FROM e),
+        |scored AS (
+        |  SELECT p.query_id, e.vec_id, list_cosine_similarity(p.qv, e.v) AS cosine
+        |  FROM e CROSS JOIN p WHERE e.vec_id != p.query_id),
+        |top AS (SELECT query_id, vec_id, round(cosine, 6) AS cosine FROM (
+        |  SELECT query_id, vec_id, cosine,
+        |    row_number() OVER (PARTITION BY query_id
+        |      ORDER BY cosine DESC, vec_id ASC) AS rank
+        |  FROM scored) t WHERE rank <= 5)
+        |SELECT a.query_id AS id_a, a.vec_id AS id_b,
+        |  a.cosine AS cosine_ab, b.cosine AS cosine_ba
+        |FROM top a JOIN top b
+        |  ON a.query_id = b.vec_id AND a.vec_id = b.query_id
+        |WHERE a.query_id < a.vec_id
+        |ORDER BY id_a, id_b""".stripMargin,
     // Same bm/ann CTEs as q_search_hybrid; ann's top-10 is the gold set
     // (n_gold = 10 per query here, so the ideal-DCG prefix is the
     // constant Σ_{i=1..10} — matching the operator's least(k, n_gold)).

@@ -320,6 +320,34 @@ object Ann {
     acc
   }
 
+  /**
+   * Mutual (reciprocal) top-k pairs — the stricter near-neighbor signal
+   * used by cluster-pruning/SemDeDup-style curation: keep `(a, b)` only
+   * when b is in a's top-k AND a is in b's top-k of the SAME ranked
+   * self-retrieval table (one-directional top-k admits hubness
+   * artifacts: a popular vector appears in everyone's list without
+   * reciprocating). Input is any `(query_id, vec_id, cosine)` ranked
+   * output over one id space (e.g. [[bruteForceTopK]] / [[lshTopK]]
+   * probed with the corpus itself); output one row per unordered pair,
+   * `id_a < id_b`, with both directed cosines (equal for exact scoring;
+   * they can differ under approximate/truncated candidates — keeping
+   * both makes the asymmetry visible instead of silently averaged).
+   *
+   * Scale shape: a self-join of two k·N-row projections on the flipped
+   * pair key — never the vectors, never the corpus.
+   */
+  def mutualTopK(candidates: DataFrame, queryCol: String, docCol: String,
+                 scoreCol: String): DataFrame = {
+    val fwd = candidates.select(col(queryCol).as("__qa"),
+      col(docCol).as("__da"), col(scoreCol).as("cosine_ab"))
+    val rev = candidates.select(col(queryCol).as("__qb"),
+      col(docCol).as("__db"), col(scoreCol).as("cosine_ba"))
+    fwd.join(rev, col("__qa") === col("__db") && col("__da") === col("__qb"))
+      .filter(col("__qa") < col("__da"))
+      .select(col("__qa").as("id_a"), col("__da").as("id_b"),
+        col("cosine_ab"), col("cosine_ba"))
+  }
+
   private def topK(scored: DataFrame, k: Int): DataFrame = {
     val w = Window.partitionBy("query_id")
       .orderBy(col("cosine").desc, col("vec_id").asc)

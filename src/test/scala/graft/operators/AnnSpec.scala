@@ -226,4 +226,23 @@ class AnnSpec extends SparkTestBase {
       .collect().toSeq
     assert(disk == live)
   }
+
+  test("mutualTopK keeps only reciprocating pairs — a hub that never reciprocates drops") {
+    // a and b point at each other; hub c is a's & b's 2nd choice but
+    // c's own top-1 is a — with k=1, only (a, b) is mutual
+    val vecs = df("vec_id BIGINT, v ARRAY<DOUBLE>", Seq(
+      org.apache.spark.sql.Row(1L, Seq(1.0, 0.0)),
+      org.apache.spark.sql.Row(2L, Seq(0.99, 0.02)),
+      org.apache.spark.sql.Row(3L, Seq(0.6, 0.6))))
+    val probes = vecs.selectExpr("vec_id AS query_id", "v AS qv")
+    val top1 = Ann.bruteForceTopK(vecs, "vec_id", "v", probes, "query_id", "qv", k = 1)
+    val m = Ann.mutualTopK(top1, "query_id", "vec_id", "cosine")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(m.toSeq == Seq((1L, 2L)))
+    // at k=2 every pair reciprocates in this 3-clique
+    val top2 = Ann.bruteForceTopK(vecs, "vec_id", "v", probes, "query_id", "qv", k = 2)
+    val m2 = Ann.mutualTopK(top2, "query_id", "vec_id", "cosine")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(m2 == Set((1L, 2L), (1L, 3L), (2L, 3L)))
+  }
 }
