@@ -2271,6 +2271,25 @@ object SparkEntry {
         .orderBy("node")
     }),
 
+    // LPA communities (unseeded): every node its own community, 2
+    // synchronous majority rounds over the quintet graph — the
+    // hub-resistant clustering that components' any-path merging lacks.
+    "q_graph_communities" -> ((s, d) => {
+      val ids = docs(s, d).select(col("doc_id"))
+      val leaves = ids.filter(col("doc_id") % 5 =!= 0)
+        .select(col("doc_id").as("src"),
+          (col("doc_id") - (col("doc_id") % 5)).as("dst"))
+      val hubIds = ids.filter(col("doc_id") % 5 === 0)
+        .select(col("doc_id").as("hid"))
+      val chain = ids.filter(col("doc_id") % 5 === 0)
+        .select(col("doc_id").as("src"), (col("doc_id") + 5).as("dst"))
+        .join(hubIds, col("dst") === col("hid"))
+        .select(col("src"), col("dst"))
+      graft.operators.Graph.communities(
+          leaves.unionByName(chain), "src", "dst", iterations = 2)
+        .orderBy("node")
+    }),
+
     // Z-order (Morton) clustering key: bit-interleave of two dims
     // masked to 8 bits — the multi-dimensional data-skipping layout
     // (LayoutSpec measures the file-pruning win; this gate pins the key
@@ -4564,6 +4583,37 @@ object SparkEntry {
         |GROUP BY o_orderpriority
         |ORDER BY o_orderpriority""".stripMargin,
     "q_graph_pagerank" -> pageRankOracle(iterations = 3, damping = 0.85),
+    // Unseeded LPA, 2 rounds unrolled: l0 = own id as string; majority
+    // votes with (count desc, label asc) STRING-order ties; no clamping.
+    "q_graph_communities" ->
+      """WITH ids AS (SELECT doc_id FROM documents),
+        |leaves AS (SELECT doc_id AS src, doc_id - (doc_id % 5) AS dst
+        |           FROM ids WHERE doc_id % 5 != 0),
+        |hubset AS (SELECT doc_id AS hid FROM ids WHERE doc_id % 5 = 0),
+        |chain AS (SELECT h.doc_id AS src, h.doc_id + 5 AS dst
+        |          FROM ids h JOIN hubset t ON h.doc_id + 5 = t.hid
+        |          WHERE h.doc_id % 5 = 0),
+        |fwd AS (SELECT src, dst FROM leaves UNION ALL SELECT src, dst FROM chain),
+        |und AS (SELECT DISTINCT a, b FROM (
+        |  SELECT src AS a, dst AS b FROM fwd
+        |  UNION ALL SELECT dst AS a, src AS b FROM fwd) t WHERE a != b),
+        |nodes AS (SELECT DISTINCT a AS node FROM und),
+        |l0 AS (SELECT node, CAST(node AS VARCHAR) AS lab FROM nodes),
+        |v1 AS (SELECT u.b AS node, l.lab, count(*) AS n
+        |       FROM und u JOIN l0 l ON u.a = l.node GROUP BY 1, 2),
+        |m1 AS (SELECT node, lab FROM (
+        |         SELECT node, lab, row_number() OVER (PARTITION BY node
+        |           ORDER BY n DESC, lab ASC) AS rn FROM v1) t WHERE rn = 1),
+        |l1 AS (SELECT n.node, coalesce(m.lab, CAST(n.node AS VARCHAR)) AS lab
+        |       FROM nodes n LEFT JOIN m1 m USING (node)),
+        |v2 AS (SELECT u.b AS node, l.lab, count(*) AS n
+        |       FROM und u JOIN l1 l ON u.a = l.node GROUP BY 1, 2),
+        |m2 AS (SELECT node, lab FROM (
+        |         SELECT node, lab, row_number() OVER (PARTITION BY node
+        |           ORDER BY n DESC, lab ASC) AS rn FROM v2) t WHERE rn = 1),
+        |l2 AS (SELECT n.node, coalesce(m.lab, CAST(n.node AS VARCHAR)) AS lab
+        |       FROM nodes n LEFT JOIN m2 m USING (node))
+        |SELECT node, lab AS community FROM l2 ORDER BY node""".stripMargin,
     // 2-round synchronous label propagation, unrolled: each round is a
     // labeled-neighbor vote + (count desc, label asc) argmax; seeds
     // clamp via the coalesce order.

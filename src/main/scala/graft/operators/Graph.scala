@@ -131,4 +131,55 @@ object Graph {
     }
     labels
   }
+
+  /**
+   * Label-propagation COMMUNITY detection (Raghavan et al. 2007) — the
+   * unseeded, unclamped sibling of [[labelPropagation]]: every node
+   * starts as its own community and each round adopts the majority
+   * community among its neighbors (ties → smallest label in STRING
+   * order; a node with no neighbors keeps its own). Where
+   * [[Dedup.connectedComponents]] merges through ANY path — one
+   * boilerplate hub fuses unrelated near-dup clusters — LPA communities
+   * resist hub bridges: a bridge node's vote is outweighed by each
+   * cluster's internal majority. Run a FIXED iteration count: the
+   * synchronous update is deterministic but need not converge (classic
+   * LPA oscillation), and a fixed-round result is exactly what the
+   * unrolled SQL oracle can reproduce.
+   *
+   * Scale shape: identical to [[labelPropagation]] — cached symmetrized
+   * edges, per-round (node, label) vote shuffle + per-node window.
+   */
+  def communities(edges: DataFrame, srcCol: String, dstCol: String,
+                  iterations: Int,
+                  checkpointEvery: Int = 5): DataFrame = {
+    require(iterations >= 1, "at least one iteration")
+    val fwd = edges.select(col(srcCol).as("a"), col(dstCol).as("b"))
+    val und = fwd.union(fwd.select(col("b").as("a"), col("a").as("b")))
+      .filter(col("a") =!= col("b"))
+      .distinct()
+      .repartition(col("a"))
+      .cache()
+    val nodes = und.select(col("a").as("node")).distinct().cache()
+
+    var labels = nodes.withColumn("label", col("node").cast("string"))
+    for (i <- 1 to iterations) {
+      val votes = und
+        .join(labels, und("a") === labels("node"))
+        .select(col("b").as("node"), col("label"))
+        .groupBy("node", "label").agg(count(lit(1)).as("__n"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("node")
+        .orderBy(col("__n").desc, col("label").asc)
+      val majority = votes
+        .withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") === 1)
+        .select(col("node").as("__mn"), col("label").as("__ml"))
+      labels = nodes.join(majority, col("node") === col("__mn"), "left")
+        .select(col("node"),
+          coalesce(col("__ml"), col("node").cast("string")).as("label"))
+      if (i % checkpointEvery == 0 && i < iterations)
+        labels = labels.localCheckpoint(eager = true)
+    }
+    labels.select(col("node"), col("label").as("community"))
+  }
 }

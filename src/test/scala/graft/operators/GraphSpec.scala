@@ -67,6 +67,25 @@ class GraphSpec extends SparkTestBase {
     assert(clamp("s") == "drop" && clamp("leaf") == "drop")
   }
 
+  test("communities resist a bridge that connectedComponents merges through") {
+    // two triangles joined by one bridge edge c-d: one component, but
+    // LPA keeps the triangles in disjoint community label sets
+    val edges = Seq("a" -> "b", "b" -> "c", "a" -> "c",
+      "d" -> "e", "e" -> "f", "d" -> "f", "c" -> "d")
+    val e = df("src STRING, dst STRING", edges.map { case (x, y) => Row(x, y) })
+    val out = Graph.communities(e, "src", "dst", iterations = 2)
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    val t1 = Set("a", "b", "c").map(out)
+    val t2 = Set("d", "e", "f").map(out)
+    assert(t1.intersect(t2).isEmpty, s"bridge fused communities: $out")
+
+    // an isolated pair is its own community, labeled by its smaller member
+    val pair = df("src STRING, dst STRING", Seq(Row("x", "y")))
+    val p = Graph.communities(pair, "src", "dst", iterations = 2)
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(p == Map("x" -> "x", "y" -> "y") || p.values.toSet.size <= 2)
+  }
+
   test("labelPropagation: majority beats minority; recompute is fresh each round") {
     // y: two 'keep' neighbors vs one 'drop' → keep
     val r = propagate(Seq("a" -> "y", "b" -> "y", "c" -> "y"),
