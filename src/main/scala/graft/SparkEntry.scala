@@ -2290,6 +2290,27 @@ object SparkEntry {
         .orderBy("node")
     }),
 
+    // Modularity of the LPA assignment on the same quintet graph — the
+    // "is this clustering better than chance?" audit, exact integer
+    // edge counts with decimal-summed per-community terms.
+    "q_graph_modularity" -> ((s, d) => {
+      val ids = docs(s, d).select(col("doc_id"))
+      val leaves = ids.filter(col("doc_id") % 5 =!= 0)
+        .select(col("doc_id").as("src"),
+          (col("doc_id") - (col("doc_id") % 5)).as("dst"))
+      val hubIds = ids.filter(col("doc_id") % 5 === 0)
+        .select(col("doc_id").as("hid"))
+      val chain = ids.filter(col("doc_id") % 5 === 0)
+        .select(col("doc_id").as("src"), (col("doc_id") + 5).as("dst"))
+        .join(hubIds, col("dst") === col("hid"))
+        .select(col("src"), col("dst"))
+      val edges = leaves.unionByName(chain)
+      val assign = graft.operators.Graph.communities(
+        edges, "src", "dst", iterations = 2)
+      graft.operators.Graph.modularity(edges, "src", "dst",
+        assign, "node", "community")
+    }),
+
     // Z-order (Morton) clustering key: bit-interleave of two dims
     // masked to 8 bits — the multi-dimensional data-skipping layout
     // (LayoutSpec measures the file-pruning win; this gate pins the key
@@ -4614,6 +4635,50 @@ object SparkEntry {
         |l2 AS (SELECT n.node, coalesce(m.lab, CAST(n.node AS VARCHAR)) AS lab
         |       FROM nodes n LEFT JOIN m2 m USING (node))
         |SELECT node, lab AS community FROM l2 ORDER BY node""".stripMargin,
+    // Communities CTE chain + modularity: per-community terms round to
+    // 9 dp and decimal-sum; every division shape mirrors the operator.
+    "q_graph_modularity" ->
+      """WITH ids AS (SELECT doc_id FROM documents),
+        |leaves AS (SELECT doc_id AS src, doc_id - (doc_id % 5) AS dst
+        |           FROM ids WHERE doc_id % 5 != 0),
+        |hubset AS (SELECT doc_id AS hid FROM ids WHERE doc_id % 5 = 0),
+        |chain AS (SELECT h.doc_id AS src, h.doc_id + 5 AS dst
+        |          FROM ids h JOIN hubset t ON h.doc_id + 5 = t.hid
+        |          WHERE h.doc_id % 5 = 0),
+        |fwd AS (SELECT src, dst FROM leaves UNION ALL SELECT src, dst FROM chain),
+        |und AS (SELECT DISTINCT a, b FROM (
+        |  SELECT src AS a, dst AS b FROM fwd
+        |  UNION ALL SELECT dst AS a, src AS b FROM fwd) t WHERE a != b),
+        |nodes AS (SELECT DISTINCT a AS node FROM und),
+        |l0 AS (SELECT node, CAST(node AS VARCHAR) AS lab FROM nodes),
+        |v1 AS (SELECT u.b AS node, l.lab, count(*) AS n
+        |       FROM und u JOIN l0 l ON u.a = l.node GROUP BY 1, 2),
+        |m1 AS (SELECT node, lab FROM (
+        |         SELECT node, lab, row_number() OVER (PARTITION BY node
+        |           ORDER BY n DESC, lab ASC) AS rn FROM v1) t WHERE rn = 1),
+        |l1 AS (SELECT n.node, coalesce(m.lab, CAST(n.node AS VARCHAR)) AS lab
+        |       FROM nodes n LEFT JOIN m1 m USING (node)),
+        |v2 AS (SELECT u.b AS node, l.lab, count(*) AS n
+        |       FROM und u JOIN l1 l ON u.a = l.node GROUP BY 1, 2),
+        |m2 AS (SELECT node, lab FROM (
+        |         SELECT node, lab, row_number() OVER (PARTITION BY node
+        |           ORDER BY n DESC, lab ASC) AS rn FROM v2) t WHERE rn = 1),
+        |l2 AS (SELECT n.node, coalesce(m.lab, CAST(n.node AS VARCHAR)) AS lab
+        |       FROM nodes n LEFT JOIN m2 m USING (node)),
+        |tagged AS (SELECT la.lab AS ca, lb.lab AS cb
+        |           FROM und u JOIN l2 la ON u.a = la.node
+        |                      JOIN l2 lb ON u.b = lb.node),
+        |perc AS (SELECT ca, count(*) AS dc,
+        |           sum(CASE WHEN ca = cb THEN 1 ELSE 0 END) AS intra2
+        |         FROM tagged GROUP BY 1),
+        |mm AS (SELECT CAST(count(*) / 2 AS BIGINT) AS m FROM und)
+        |SELECT max(m) AS n_edges, CAST(count(*) AS BIGINT) AS n_communities,
+        |  round(CAST(sum(CAST(round(
+        |    CAST(intra2 AS DOUBLE) / (2.0 * CAST(m AS DOUBLE)) -
+        |    (CAST(dc AS DOUBLE) / (2.0 * CAST(m AS DOUBLE))) *
+        |    (CAST(dc AS DOUBLE) / (2.0 * CAST(m AS DOUBLE))), 9)
+        |    AS DECIMAL(28,9))) AS DOUBLE), 6) AS modularity
+        |FROM perc CROSS JOIN mm""".stripMargin,
     // 2-round synchronous label propagation, unrolled: each round is a
     // labeled-neighbor vote + (count desc, label asc) argmax; seeds
     // clamp via the coalesce order.

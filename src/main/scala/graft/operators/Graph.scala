@@ -182,4 +182,56 @@ object Graph {
     }
     labels.select(col("node"), col("label").as("community"))
   }
+
+  /**
+   * Newman modularity of a community assignment — the standard "is this
+   * clustering better than chance?" score for [[communities]] /
+   * [[Dedup.connectedComponents]] output:
+   * Q = Σ_c [ m_c/m − (d_c/2m)² ] over communities, with m total
+   * undirected edges, m_c intra-community edges, d_c the community's
+   * degree sum. Q ≈ 0 for random structure, → 1 for strong modular
+   * structure, negative when the assignment is worse than chance.
+   * Nodes missing from `assign` count as their own singleton (no
+   * intra-edges credited). One row: `(n_edges, n_communities,
+   * modularity)`.
+   *
+   * Determinism: m, m_c, d_c are exact integers; each community's term
+   * is a fixed-shape double expression rounded to 9 dp and accumulated
+   * as DECIMAL (order-independent), final Q rounded to 6 dp. Scale
+   * shape: two joins of the edge list against the (node, community)
+   * table, then per-community integer aggregates — |communities|-sized
+   * from there.
+   */
+  def modularity(edges: DataFrame, srcCol: String, dstCol: String,
+                 assign: DataFrame, nodeCol: String,
+                 commCol: String): DataFrame = {
+    val fwd = edges.select(col(srcCol).as("a"), col(dstCol).as("b"))
+    val und = fwd.union(fwd.select(col("b").as("a"), col("a").as("b")))
+      .filter(col("a") =!= col("b"))
+      .distinct()
+    val ca = assign.select(col(nodeCol).as("a"),
+      col(commCol).cast("string").as("__ca"))
+    val cb = assign.select(col(nodeCol).as("b"),
+      col(commCol).cast("string").as("__cb"))
+    val tagged = und.join(ca, Seq("a"), "left").join(cb, Seq("b"), "left")
+      .select(
+        coalesce(col("__ca"), concat(lit("__self:"), col("a").cast("string")))
+          .as("ca"),
+        coalesce(col("__cb"), concat(lit("__self:"), col("b").cast("string")))
+          .as("cb"))
+    // per-community: degree sum = directed rows with a∈c; intra = both ends
+    val perC = tagged.groupBy("ca").agg(
+      count(lit(1)).as("dc"),
+      sum(when(col("ca") === col("cb"), 1L).otherwise(0L)).as("intra2"))
+    val mRow = und.agg((count(lit(1)) / lit(2)).cast("long").as("m"))
+    val term = round(
+      col("intra2").cast("double") / (lit(2.0) * col("m").cast("double")) -
+        (col("dc").cast("double") / (lit(2.0) * col("m").cast("double"))) *
+          (col("dc").cast("double") / (lit(2.0) * col("m").cast("double"))), 9)
+      .cast("decimal(28,9)")
+    perC.crossJoin(broadcast(mRow))
+      .agg(max(col("m")).as("n_edges"),
+        count(lit(1)).as("n_communities"),
+        round(sum(term).cast("double"), 6).as("modularity"))
+  }
 }

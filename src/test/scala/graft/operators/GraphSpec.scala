@@ -86,6 +86,25 @@ class GraphSpec extends SparkTestBase {
     assert(p == Map("x" -> "x", "y" -> "y") || p.values.toSet.size <= 2)
   }
 
+  test("modularity: perfect 2-community split scores 0.5; one blob scores 0") {
+    val twoTri = Seq("a" -> "b", "b" -> "c", "a" -> "c",
+      "d" -> "e", "e" -> "f", "d" -> "f")
+    val e = df("src STRING, dst STRING", twoTri.map { case (x, y) => Row(x, y) })
+    val good = df("node STRING, community STRING",
+      Seq(Row("a", "t1"), Row("b", "t1"), Row("c", "t1"),
+        Row("d", "t2"), Row("e", "t2"), Row("f", "t2")))
+    val g = Graph.modularity(e, "src", "dst", good, "node", "community")
+      .collect()(0)
+    assert(g.getLong(0) == 6L && g.getLong(1) == 2L)
+    assert(g.getDouble(2) == 0.5) // 2 × (3/6 − (6/12)²)
+
+    val blob = df("node STRING, community STRING",
+      Seq("a", "b", "c", "d", "e", "f").map(n => Row(n, "all")))
+    val b = Graph.modularity(e, "src", "dst", blob, "node", "community")
+      .collect()(0)
+    assert(b.getDouble(2) == 0.0) // m_c/m = 1, (d_c/2m)² = 1
+  }
+
   test("labelPropagation: majority beats minority; recompute is fresh each round") {
     // y: two 'keep' neighbors vs one 'drop' → keep
     val r = propagate(Seq("a" -> "y", "b" -> "y", "c" -> "y"),
