@@ -1510,6 +1510,14 @@ object SparkEntry {
         "lang", "n_chars", frac = 0.2, idCol = "doc_id")
         .orderBy("doc_id")),
 
+    // Gini concentration of char mass across sources — the
+    // mixture-inequality audit (0 = even shares, →1 = one source
+    // dominates); exact integer rank·total products.
+    "q_profile_gini" -> ((s, d) =>
+      graft.operators.Profile.giniConcentration(
+        docs(s, d).select(col("source"), col("n_chars")),
+        "source", "n_chars")),
+
     // Nucleus (top-p) selection: per language, the minimal top-score
     // prefix carrying 80% of the char MASS (not row count) — decimal
     // cumulative sums, so the cut is engine-exact.
@@ -3664,6 +3672,22 @@ object SparkEntry {
         |      ORDER BY n_chars DESC, doc_id ASC) AS pr
         |  FROM documents) t
         |WHERE pr <= 0.2 ORDER BY doc_id""".stripMargin,
+    "q_profile_gini" ->
+      """WITH t AS (SELECT source AS k, sum(n_chars) AS t
+        |           FROM documents GROUP BY 1),
+        |r AS (SELECT k, t, CAST(row_number() OVER (ORDER BY t ASC, k ASC)
+        |        AS BIGINT) AS r FROM t),
+        |a AS (SELECT CAST(count(*) AS BIGINT) AS n_groups,
+        |        CAST(sum(t) AS BIGINT) AS total,
+        |        sum(CAST(r AS DECIMAL(38,0)) * t) AS rt FROM r)
+        |SELECT n_groups, total,
+        |  CASE WHEN total <= 0 OR n_groups < 2 THEN NULL
+        |       ELSE round(2.0 * CAST(rt AS DOUBLE) /
+        |              (CAST(n_groups AS DOUBLE) * CAST(total AS DOUBLE)) -
+        |              (CAST(n_groups AS DOUBLE) + 1.0) /
+        |                CAST(n_groups AS DOUBLE), 6)
+        |  END AS gini
+        |FROM a""".stripMargin,
     "q_sample_topmass" ->
       """SELECT doc_id, lang, n_chars FROM (
         |  SELECT doc_id, lang, n_chars,

@@ -161,6 +161,46 @@ object Profile {
    * every run. Exact distinct shuffles the (key, value-digest) pairs
    * once; the sketch never shuffles values at all.
    */
+  /**
+   * Gini coefficient of a weight's concentration across groups — the
+   * mixture-inequality audit ("how lopsided is my corpus across
+   * sources/languages?"): 0 = perfectly even shares, → 1 = one group
+   * holds everything. Computed over per-group totals with the sorted-
+   * share identity G = (2·Σ rᵢtᵢ)/(n·Σt) − (n+1)/n, ranks ascending by
+   * (total, key) — rank ties on equal totals don't move Σ rᵢtᵢ, so the
+   * tie-break only pins determinism. One row: `(n_groups, total,
+   * gini)`; NULL gini when the total weight is 0 or there's one group.
+   *
+   * Determinism: totals and rank products are exact integers
+   * (DECIMAL-widened so rank·total cannot overflow), the two divisions
+   * are fixed-shape doubles rounded at 6 dp. Scale shape: one
+   * map-side-combining aggregate to |groups| rows, then a single
+   * |groups|-sized window — the corpus crosses the wire once as group
+   * partials.
+   */
+  def giniConcentration(df: DataFrame, keyCol: String,
+                        weightCol: String): DataFrame = {
+    val totals = df
+      .groupBy(col(keyCol).as("k"))
+      .agg(sum(col(weightCol).cast("long")).as("t"))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("t").asc, col("k").asc)
+    totals
+      .withColumn("r", row_number().over(w).cast("long"))
+      .agg(count(lit(1)).as("n_groups"),
+        sum(col("t")).as("total"),
+        sum(col("r").cast("decimal(38,0)") * col("t")).as("__rt"))
+      .select(col("n_groups"), col("total"),
+        when(col("total") <= 0 || col("n_groups") < 2,
+          lit(null).cast("double"))
+          .otherwise(round(
+            lit(2.0) * col("__rt").cast("double") /
+              (col("n_groups").cast("double") * col("total").cast("double")) -
+              (col("n_groups").cast("double") + lit(1.0)) /
+                col("n_groups").cast("double"), 6))
+          .as("gini"))
+  }
+
   def cardinalitySketch(df: DataFrame, keyCol: String, valueCol: String,
                         rsd: Double = 0.05,
                         tolerance: Double = 0.1): DataFrame =

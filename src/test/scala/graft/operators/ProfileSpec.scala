@@ -180,4 +180,19 @@ class ProfileSpec extends SparkTestBase {
       assert(out.toSeq == Seq(("hot", 9L)), s"partitions=$p")
     }
   }
+
+  test("giniConcentration: even shares 0, 2-group extreme 0.5, degenerate NULL") {
+    def gini(rows: Seq[(String, Long)]) =
+      Profile.giniConcentration(
+        df("k STRING, w BIGINT", rows.map { case (k, w) =>
+          org.apache.spark.sql.Row(k, w) }), "k", "w").collect()(0)
+    val even = gini(Seq("a" -> 5L, "b" -> 5L))
+    assert(even.getLong(0) == 2L && even.getDouble(2) == 0.0)
+    val extreme = gini(Seq("a" -> 0L, "b" -> 10L))
+    assert(extreme.getDouble(2) == 0.5) // max for n=2 is (n-1)/n · 1
+    val quarters = gini(Seq("a" -> 1L, "b" -> 1L, "c" -> 1L, "d" -> 97L))
+    assert(quarters.getDouble(2) > 0.7) // one dominant source
+    assert(gini(Seq("a" -> 7L)).isNullAt(2))       // single group
+    assert(gini(Seq("a" -> 0L, "b" -> 0L)).isNullAt(2)) // zero mass
+  }
 }
