@@ -69,7 +69,8 @@ object ScaleProbe {
     "q_retrieval_eval", "q_rater_kappa", "q_rater_fleiss",
     "q_quality_compress", "q_sample_topmass", "q_embed_pool",
     "q_graph_labelprop", "q_rater_alpha", "q_sample_hard_negatives",
-    "q_ann_mutual", "q_graph_communities", "q_graph_modularity")
+    "q_ann_mutual", "q_graph_communities", "q_graph_modularity",
+    "q_profile_gini")
 
   private def caesar(c: org.apache.spark.sql.Column, k: Int) = {
     val lower = "abcdefghijklmnopqrstuvwxyz"
