@@ -459,6 +459,15 @@ object SparkEntry {
     // Exact dedup: survivors = min doc_id per identical text.
     "q_dedup_exact" -> ((s, d) => Dedup.exactDedup(docs(s, d), "doc_id", "text")),
 
+    // Duplication report over docs ∪ exact twins (known 50% dup mass):
+    // the decide-before-you-dedup audit numbers.
+    "q_dedup_report" -> ((s, d) => {
+      val d0 = docs(s, d).select(col("doc_id"), col("text"))
+      val twins = d0.select((col("doc_id") + lit(1000000L)).as("doc_id"),
+        col("text"))
+      Dedup.duplicationReport(d0.unionByName(twins), "doc_id", "text")
+    }),
+
     // Exact-dup group digest (md5 matches DuckDB's md5 for the oracle).
     "q_dedup_groups" -> ((s, d) => Dedup.exactGroups(docs(s, d), "doc_id", "text")
       .orderBy("content_hash")),
@@ -3644,6 +3653,30 @@ object SparkEntry {
         |  FROM h) t
         |WHERE neg_rank <= 3 ORDER BY anchor_id, neg_rank""".stripMargin,
     "q_quality_gopher" -> gopherOracle,
+    // GROUP BY text ≡ the digest grouping (nulls group together both
+    // ways); strlen = UTF-8 bytes, matching Spark octet_length.
+    "q_dedup_report" ->
+      """WITH c AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL SELECT doc_id + 1000000, text FROM documents),
+        |g AS (SELECT count(*) AS n,
+        |        sum(coalesce(strlen(text), 0)) AS bytes,
+        |        min(coalesce(strlen(text), 0)) AS one
+        |      FROM c GROUP BY text),
+        |a AS (SELECT CAST(sum(n) AS BIGINT) AS n_docs,
+        |        CAST(count(*) AS BIGINT) AS n_distinct,
+        |        CAST(sum(n - 1) AS BIGINT) AS dup_docs,
+        |        CAST(sum(bytes) AS BIGINT) AS total_bytes,
+        |        CAST(sum(bytes - one) AS BIGINT) AS dup_bytes FROM g)
+        |SELECT n_docs, n_distinct, dup_docs,
+        |  CASE WHEN n_docs = 0 THEN NULL
+        |       ELSE round(CAST(dup_docs AS DOUBLE) / CAST(n_docs AS DOUBLE), 6)
+        |  END AS dup_doc_frac,
+        |  total_bytes, dup_bytes,
+        |  CASE WHEN total_bytes = 0 THEN NULL
+        |       ELSE round(CAST(dup_bytes AS DOUBLE) / CAST(total_bytes AS DOUBLE), 6)
+        |  END AS dup_byte_frac
+        |FROM a""".stripMargin,
     // Compression-monotonicity twin: the properties are structural zlib
     // guarantees, so the oracle predicts the booleans without being able
     // to reproduce the byte counts (q_quality_compress stays rows-only).

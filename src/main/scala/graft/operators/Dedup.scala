@@ -38,6 +38,47 @@ object Dedup {
   def exactDedup(df: DataFrame, idCol: String, textCol: String): DataFrame =
     digestDedup(df, idCol, md5(col(textCol)))
 
+  /**
+   * Duplication report — the headline numbers of a dedup audit, BEFORE
+   * deciding to dedup: how many documents, and how much content MASS,
+   * is exact-duplicate material. One row: `(n_docs, n_distinct,
+   * dup_docs, dup_doc_frac, total_bytes, dup_bytes, dup_byte_frac)`
+   * where dup = every row beyond each digest group's first (the rows
+   * [[exactDedup]] would remove) and the mass columns weight by UTF-8
+   * BYTES (`octet_length` — engine-portable where char counts differ on
+   * surrogate pairs, and bytes are what storage/training actually
+   * pays). NULL-text rows group together, length 0.
+   *
+   * Scale shape: one map-side-combining aggregate per digest (32-byte
+   * keys + two longs on the wire), then one global reduce — strictly
+   * cheaper than running the dedup itself. Fractions are single
+   * divisions of exact longs, rounded to 6 dp.
+   */
+  def duplicationReport(df: DataFrame, idCol: String,
+                        textCol: String): DataFrame = {
+    val perDigest = df
+      .withColumn("__digest", md5(col(textCol)))
+      .withColumn("__len",
+        coalesce(octet_length(col(textCol)).cast("long"), lit(0L)))
+      .groupBy("__digest")
+      .agg(count(lit(1)).as("__n"), sum(col("__len")).as("__bytes"),
+        min(col("__len")).as("__one")) // all group lengths equal; min = each
+    perDigest.agg(
+        sum(col("__n")).as("n_docs"),
+        count(lit(1)).as("n_distinct"),
+        sum(col("__n") - lit(1L)).as("dup_docs"),
+        sum(col("__bytes")).as("total_bytes"),
+        sum(col("__bytes") - col("__one")).as("dup_bytes"))
+      .select(col("n_docs"), col("n_distinct"), col("dup_docs"),
+        when(col("n_docs") === 0, lit(null).cast("double"))
+          .otherwise(round(col("dup_docs").cast("double") /
+            col("n_docs").cast("double"), 6)).as("dup_doc_frac"),
+        col("total_bytes"), col("dup_bytes"),
+        when(col("total_bytes") === 0, lit(null).cast("double"))
+          .otherwise(round(col("dup_bytes").cast("double") /
+            col("total_bytes").cast("double"), 6)).as("dup_byte_frac"))
+  }
+
   /** Keep the min-id row per digest group. Null-SAFE on the digest (`<=>`):
     * null-text rows form their own group and their min-id representative
     * survives — matching SQL `GROUP BY text` semantics, where a plain

@@ -218,4 +218,21 @@ class DedupSpec extends SparkTestBase {
     val r2 = Dedup.evaluatePairs(ap.limit(0), ex).head()
     assert(r2.getLong(0) == 0L && r2.isNullAt(3) && r2.getDouble(4) == 0.0)
   }
+
+  test("duplicationReport: doc and byte mass of removable copies, null-text grouped") {
+    // "aaaa"(4B)×3, "bb"(2B)×1, null×2 → 6 docs, 3 distinct, 3 dups;
+    // bytes: total 4·3+2=14, dup 4·2=8
+    val d = df("doc_id BIGINT, text STRING", Seq(
+      org.apache.spark.sql.Row(1L, "aaaa"), org.apache.spark.sql.Row(2L, "aaaa"),
+      org.apache.spark.sql.Row(3L, "aaaa"), org.apache.spark.sql.Row(4L, "bb"),
+      org.apache.spark.sql.Row(5L, null), org.apache.spark.sql.Row(6L, null)))
+    val r = Dedup.duplicationReport(d, "doc_id", "text").head()
+    assert((r.getLong(0), r.getLong(1), r.getLong(2)) == ((6L, 3L, 3L)))
+    assert(r.getDouble(3) == 0.5)
+    assert((r.getLong(4), r.getLong(5)) == ((14L, 8L)))
+    assert(math.abs(r.getDouble(6) - 0.571429) < 1e-9)
+    // the report's dup_docs equals what exactDedup would actually remove
+    val removed = d.count() - Dedup.exactDedup(d, "doc_id", "text").count()
+    assert(removed == r.getLong(2))
+  }
 }
