@@ -70,7 +70,7 @@ object ScaleProbe {
     "q_quality_compress", "q_sample_topmass", "q_embed_pool",
     "q_graph_labelprop", "q_rater_alpha", "q_sample_hard_negatives",
     "q_ann_mutual", "q_graph_communities", "q_graph_modularity",
-    "q_profile_gini")
+    "q_profile_gini", "q_dedup_report")
 
   private def caesar(c: org.apache.spark.sql.Column, k: Int) = {
     val lower = "abcdefghijklmnopqrstuvwxyz"
