@@ -80,19 +80,6 @@ object Eval {
   }
 
   /**
-   * Cohen's κ between two categorical label columns: one row
-   * `(n, agree, observed_agreement, chance_agreement, kappa)` where
-   * κ = (p_o − p_e)/(1 − p_e), p_e = Σ_c p(A=c)·p(B=c). Rows where
-   * either label is NULL are excluded (no judgment to compare). κ is
-   * NULL when p_e = 1 (both raters constant and identical — undefined).
-   *
-   * One corpus pass: partial (a,b)-cell counts combine map-side; totals,
-   * the agreement diagonal, and the marginal products all derive from
-   * the tiny cell table. Counts are exact longs; the two divisions and
-   * the κ ratio are single IEEE ops on exact operands (engine-portable),
-   * rounded to 6 dp.
-   */
-  /**
    * Fleiss' κ (1971) — agreement among a FIXED number of raters per item,
    * in long form: one `(itemCol, labelCol)` row per individual rating.
    * Items with a rating count ≠ `nRaters` are dropped (the classic
@@ -184,6 +171,19 @@ object Eval {
           .otherwise(round(lit(1.0) - doAvg / de, 6)).as("alpha"))
   }
 
+  /**
+   * Cohen's κ between two categorical label columns: one row
+   * `(n, agree, observed_agreement, chance_agreement, kappa)` where
+   * κ = (p_o − p_e)/(1 − p_e), p_e = Σ_c p(A=c)·p(B=c). Rows where
+   * either label is NULL are excluded (no judgment to compare). κ is
+   * NULL when p_e = 1 (both raters constant and identical — undefined).
+   *
+   * One corpus pass: partial (a,b)-cell counts combine map-side; totals,
+   * the agreement diagonal, and the marginal products all derive from
+   * the tiny cell table. Counts are exact longs; the two divisions and
+   * the κ ratio are single IEEE ops on exact operands (engine-portable),
+   * rounded to 6 dp.
+   */
   def cohenKappa(df: DataFrame, raterA: String, raterB: String): DataFrame = {
     val cells = df
       .select(col(raterA).cast("string").as("a"),
@@ -194,9 +194,10 @@ object Eval {
       sum(when(col("a") === col("b"), col("c")).otherwise(lit(0L))).as("agree"))
     val ma = cells.groupBy("a").agg(sum(col("c")).as("na"))
     val mb = cells.groupBy("b").agg(sum(col("c")).as("nb"))
-    // only labels both raters ever used contribute to pe (others × 0)
+    // only labels both raters ever used contribute to pe (others × 0);
+    // disjoint vocabularies → empty join → p_e = 0, not NULL
     val chance = ma.join(mb, col("a") === col("b"))
-      .agg(sum(col("na") * col("nb")).as("prod"))
+      .agg(coalesce(sum(col("na") * col("nb")), lit(0L)).as("prod"))
     val po = col("agree").cast("double") / col("n").cast("double")
     val pe = col("prod").cast("double") /
       (col("n").cast("double") * col("n").cast("double"))

@@ -69,7 +69,11 @@ object Graph {
       if (i % checkpointEvery == 0 && i < iterations)
         ranks = ranks.localCheckpoint(eager = true)
     }
-    ranks.select(col("node"), round(col("rank"), 6).as("rank"))
+    // materialize before releasing the cached inputs the lineage reads
+    val out = ranks.select(col("node"), round(col("rank"), 6).as("rank"))
+      .localCheckpoint(eager = true)
+    withDeg.unpersist(); e.unpersist(); nodes.unpersist()
+    out
   }
 
   /**
@@ -129,7 +133,9 @@ object Graph {
       if (i % checkpointEvery == 0 && i < iterations)
         labels = labels.localCheckpoint(eager = true)
     }
-    labels
+    val out = labels.localCheckpoint(eager = true)
+    und.unpersist(); nodes.unpersist()
+    out
   }
 
   /**
@@ -137,7 +143,10 @@ object Graph {
    * unseeded, unclamped sibling of [[labelPropagation]]: every node
    * starts as its own community and each round adopts the majority
    * community among its neighbors (ties → smallest label in STRING
-   * order; a node with no neighbors keeps its own). Where
+   * order; a node that receives no votes keeps its current community).
+   * The node universe is the symmetrized edge list with self-loops
+   * dropped, so isolated and self-loop-only nodes do NOT appear in the
+   * output — callers wanting them must union singletons back in. Where
    * [[Dedup.connectedComponents]] merges through ANY path — one
    * boilerplate hub fuses unrelated near-dup clusters — LPA communities
    * resist hub bridges: a bridge node's vote is outweighed by each
@@ -180,7 +189,10 @@ object Graph {
       if (i % checkpointEvery == 0 && i < iterations)
         labels = labels.localCheckpoint(eager = true)
     }
-    labels.select(col("node"), col("label").as("community"))
+    val out = labels.select(col("node"), col("label").as("community"))
+      .localCheckpoint(eager = true)
+    und.unpersist(); nodes.unpersist()
+    out
   }
 
   /**

@@ -171,18 +171,27 @@ object Profile {
    * tie-break only pins determinism. One row: `(n_groups, total,
    * gini)`; NULL gini when the total weight is 0 or there's one group.
    *
-   * Determinism: totals and rank products are exact integers
-   * (DECIMAL-widened so rank·total cannot overflow), the two divisions
-   * are fixed-shape doubles rounded at 6 dp. Scale shape: one
+   * Determinism: totals and rank products are exact — integral weight
+   * columns accumulate as longs; fractional ones (double scores,
+   * token-fraction mass) as DECIMAL(30,6), never silently truncated —
+   * and DECIMAL-widened so rank·total cannot overflow. The two
+   * divisions are fixed-shape doubles rounded at 6 dp. Scale shape: one
    * map-side-combining aggregate to |groups| rows, then a single
    * |groups|-sized window — the corpus crosses the wire once as group
    * partials.
    */
   def giniConcentration(df: DataFrame, keyCol: String,
                         weightCol: String): DataFrame = {
+    val integral = df.schema(df.schema.fieldIndex(weightCol)).dataType match {
+      case _: org.apache.spark.sql.types.ByteType | _: org.apache.spark.sql.types.ShortType |
+           _: org.apache.spark.sql.types.IntegerType | _: org.apache.spark.sql.types.LongType => true
+      case _ => false
+    }
+    val wExpr = if (integral) col(weightCol).cast("long")
+                else col(weightCol).cast("decimal(30,6)")
     val totals = df
       .groupBy(col(keyCol).as("k"))
-      .agg(sum(col(weightCol).cast("long")).as("t"))
+      .agg(sum(wExpr).as("t"))
     val w = org.apache.spark.sql.expressions.Window
       .orderBy(col("t").asc, col("k").asc)
     totals

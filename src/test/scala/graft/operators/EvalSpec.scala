@@ -105,5 +105,11 @@ class EvalSpec extends SparkTestBase {
       Seq(("x", "x"), (null, "x"), ("x", null)).toDF("a", "b"), "a", "b")
       .collect()(0)
     assert(withNulls.getLong(0) == 1L)
+
+    // disjoint label vocabularies: the marginal join is empty, so
+    // p_e = 0 (not NULL) and κ = p_o = 0
+    val disjoint = Eval.cohenKappa(
+      Seq(("x", "p"), ("y", "q")).toDF("a", "b"), "a", "b").collect()(0)
+    assert(disjoint.getDouble(3) == 0.0 && disjoint.getDouble(4) == 0.0)
   }
 }

@@ -195,4 +195,21 @@ class ProfileSpec extends SparkTestBase {
     assert(gini(Seq("a" -> 7L)).isNullAt(2))       // single group
     assert(gini(Seq("a" -> 0L, "b" -> 0L)).isNullAt(2)) // zero mass
   }
+
+  test("giniConcentration: fractional weights accumulate exactly, not truncated") {
+    def gini(rows: Seq[(String, Double)]) =
+      Profile.giniConcentration(
+        df("k STRING, w DOUBLE", rows.map { case (k, w) =>
+          org.apache.spark.sql.Row(k, w) }), "k", "w").collect()(0)
+    // long-cast truncation would make these (0, 0) → NULL; decimal path
+    // sees (0.5, 0.5) → perfectly even → gini 0
+    val even = gini(Seq("a" -> 0.5, "b" -> 0.5))
+    assert(even.getLong(0) == 2L && even.getDouble(2) == 0.0)
+    // 0.25 / 0.75 split matches the same split at integer scale
+    val frac = gini(Seq("a" -> 0.25, "b" -> 0.75))
+    val ints = Profile.giniConcentration(
+      df("k STRING, w BIGINT", Seq(org.apache.spark.sql.Row("a", 25L),
+        org.apache.spark.sql.Row("b", 75L))), "k", "w").collect()(0)
+    assert(frac.getDouble(2) == ints.getDouble(2))
+  }
 }
