@@ -621,6 +621,36 @@ object SparkEntry {
       Dedup.connectedComponents(pairs).orderBy("id")
     }),
 
+    // Same pair graph through the O(log d) alternating star-contraction
+    // algorithm (Kiveris SoCC'14) — pins that the two CC algorithms are
+    // interchangeable on the same closed-form oracle.
+    "q_dedup_components_star" -> ((s, d) => {
+      val d0 = docs(s, d).select(col("doc_id"), col("text"))
+      val twins = d0.select((col("doc_id") + lit(1000000L)).as("doc_id"), col("text"))
+      val keyed = d0.unionByName(twins).withColumn("__digest", md5(col("text")))
+      val pairs = keyed.as("a").join(keyed.as("b"),
+          col("a.__digest") === col("b.__digest") &&
+            col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+      Dedup.connectedComponentsStar(pairs).orderBy("id")
+    }),
+
+    // Adversarial-diameter CC: a PATH over all doc_ids (doc k ↔ next id
+    // ascending — the substring-dup-chain shape), diameter = |docs|-1 ≫
+    // the default maxIter=20, so this gate exercises the automatic
+    // min-label → star-contraction escalation end to end. Closed form:
+    // one component labeled by the global minimum id. (The window chain
+    // builder is test scaffolding, not the operator under test.)
+    "q_dedup_components_chain" -> ((s, d) => {
+      val ids = docs(s, d).select(col("doc_id"))
+      val w = org.apache.spark.sql.expressions.Window.orderBy("doc_id")
+      val pairs = ids
+        .withColumn("__next", lead(col("doc_id"), 1).over(w))
+        .filter(col("__next").isNotNull)
+        .select(col("doc_id").as("id_a"), col("__next").as("id_b"))
+      Dedup.connectedComponents(pairs).orderBy("id")
+    }),
+
     // Scalable edit-distance similarity join (record linkage): q-gram
     // count-filter + length-filter candidates from an inverted positional
     // gram index, then exact levenshtein confirm. The filter is
@@ -3086,6 +3116,14 @@ object SparkEntry {
         "UNION ALL SELECT doc_id + 1000000 AS doc_id, text FROM documents) " +
         "SELECT doc_id AS id, min(doc_id) OVER (PARTITION BY text) AS comp " +
         "FROM all_docs ORDER BY id"),
+    "q_dedup_components_star" ->
+      ("WITH all_docs AS (SELECT doc_id, text FROM documents " +
+        "UNION ALL SELECT doc_id + 1000000 AS doc_id, text FROM documents) " +
+        "SELECT doc_id AS id, min(doc_id) OVER (PARTITION BY text) AS comp " +
+        "FROM all_docs ORDER BY id"),
+    "q_dedup_components_chain" ->
+      ("SELECT doc_id AS id, (SELECT min(doc_id) FROM documents) AS comp " +
+        "FROM documents ORDER BY id"),
     "q_split" ->
       ("SELECT doc_id, CASE WHEN substring(md5(text), 1, 8) < '" +
         graft.operators.Split.thresholdHex(0.8) +

@@ -402,9 +402,13 @@ object Dedup {
    * two joins per round. Convergence takes O(component diameter)
    * rounds: near-dup graphs are band/bucket cliques (diameter ≤ 2 per
    * duplicate group; a handful when groups chain), so the loop ends in
-   * 2-4 rounds in practice. For adversarially long path graphs switch to
-   * alternating star contraction (Kiveris et al., "Connected Components
-   * in MapReduce", SoCC'14) — same join primitive, O(log d) rounds.
+   * 2-4 rounds in practice. When `maxIter` rounds pass WITHOUT
+   * convergence — the adversarially-long-diameter case (substring /
+   * containment dup CHAINS, where doc k overlaps only docs k±1) — the
+   * loop escalates automatically: the graph is contracted by the
+   * partial labels (every already-merged cluster becomes one node) and
+   * [[connectedComponentsStar]] finishes in O(log d) rounds, so the
+   * work done before escalation is kept, not discarded.
    *
    * Returns (id, comp): one row per node that appears in `pairs`.
    */
@@ -444,7 +448,103 @@ object Dedup {
       labels = next.select("id", "comp")
       iter += 1
     }
+    if (!converged) {
+      // maxIter exceeded: long-diameter component. Contract by the
+      // partial labels — |clusters| nodes, inter-cluster edges only —
+      // and let star contraction close the remaining distance.
+      val reduced = edges
+        .join(labels.select(col("id").as("src"), col("comp").as("__ca")), "src")
+        .join(labels.select(col("id").as("dst"), col("comp").as("__cb")), "dst")
+        .filter(col("__ca") =!= col("__cb"))
+        .select(col("__ca").as("id_a"), col("__cb").as("id_b"))
+        .distinct()
+      val starred = connectedComponentsStar(reduced)
+      // isolated-in-reduced clusters (already component minima) keep
+      // their own label via the left join
+      labels = labels.select(col("id"), col("comp").as("__mid"))
+        .join(starred.select(col("id").as("__mid"), col("comp").as("__fc")),
+          Seq("__mid"), "left")
+        .select(col("id"), coalesce(col("__fc"), col("__mid")).as("comp"))
+    }
     labels
+  }
+
+  /**
+   * Alternating star-contraction connected components (Kiveris et al.,
+   * "Connected Components in MapReduce and Beyond", SoCC'14) — the
+   * O(log d)-round algorithm for graphs whose DIAMETER, not size, is
+   * the problem. [[connectedComponents]]'s min-label loop moves a
+   * component's minimum one hop per round; on a k-node path that is k
+   * rounds. Star contraction instead halves path lengths every
+   * (large-star, small-star) pair:
+   *
+   *  - LARGE-STAR (per node v): rewire every strictly-larger neighbour
+   *    to min(Γ(v) ∪ {v}).
+   *  - SMALL-STAR (per node v): rewire every smaller-or-equal neighbour
+   *    (and v itself) to that same minimum.
+   *
+   * Both steps preserve connectivity and strictly shrink the potential
+   * Σ(depth) (SoCC'14 Thm 3.2/3.3); the fixed point is a star forest
+   * whose centres are the component minima — the same (id, comp)
+   * contract as min-label, so the two are interchangeable.
+   *
+   * Scale shape: each half-step is one groupBy + one join on node ids —
+   * shuffles carry (id, id) pairs only, `distinct` keeps the edge
+   * multiset bounded by the input edge count, and `localCheckpoint`
+   * truncates lineage per round. The fixed-point test ("no node is
+   * both a child and a parent") shares the round's single action.
+   *
+   * Returns (id, comp): one row per node that appears in `pairs`.
+   */
+  def connectedComponentsStar(pairs: DataFrame,
+                              idA: String = "id_a", idB: String = "id_b",
+                              maxIter: Int = 50): DataFrame = {
+    val nodes = pairs.select(col(idA).as("id"))
+      .union(pairs.select(col(idB).as("id")))
+      .distinct()
+      .localCheckpoint(true)
+    var edges = pairs
+      .select(col(idA).as("a"), col(idB).as("b"))
+      .filter(col("a") =!= col("b"))
+      .select(greatest(col("a"), col("b")).as("hi"),
+        least(col("a"), col("b")).as("lo"))
+      .distinct()
+      .localCheckpoint(true)
+    var done = false
+    var iter = 0
+    while (!done && iter < maxIter) {
+      // large-star: centres see BOTH directions; larger neighbours n > c
+      // rewire to m = min(neighbourhood ∪ centre)
+      val sym = edges.select(col("hi").as("c"), col("lo").as("n"))
+        .union(edges.select(col("lo").as("c"), col("hi").as("n")))
+      val m1 = sym.groupBy("c").agg(min(col("n")).as("__nm"))
+        .select(col("c"), least(col("c"), col("__nm")).as("m"))
+      val ls = sym.join(m1, "c")
+        .filter(col("n") > col("c") && col("n") =!= col("m"))
+        .select(col("n").as("hi"), col("m").as("lo"))
+        .distinct()
+      // small-star: every edge now points hi→lo, so a centre's smaller
+      // neighbourhood is exactly its lo set; rewire it (and the centre)
+      // to the minimum lo
+      val m2 = ls.groupBy("hi").agg(min(col("lo")).as("m"))
+      val withM = ls.join(m2, "hi")
+      val ss = withM.filter(col("lo") =!= col("m"))
+        .select(col("lo").as("hi"), col("m").as("lo"))
+        .union(withM.select(col("hi"), col("m").as("lo")))
+        .distinct()
+        .localCheckpoint(false)
+      // fixed point = star forest: no id appears as both child (hi) and
+      // parent (lo); this count also materializes the lazy checkpoint
+      val chained = ss.select(col("hi").as("x")).distinct()
+        .join(ss.select(col("lo").as("x")).distinct(), "x")
+        .count()
+      done = chained == 0L
+      edges = ss
+      iter += 1
+    }
+    nodes.join(edges.groupBy("hi").agg(min(col("lo")).as("__c")),
+        nodes("id") === col("hi"), "left")
+      .select(col("id"), coalesce(col("__c"), col("id")).as("comp"))
   }
 
   /**

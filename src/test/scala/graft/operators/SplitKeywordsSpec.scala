@@ -88,4 +88,47 @@ class SplitKeywordsSpec extends SparkTestBase {
       10L -> 10L, 11L -> 10L,
       20L -> 20L, 21L -> 20L, 22L -> 20L, 23L -> 20L, 24L -> 20L))
   }
+
+  test("connectedComponentsStar agrees with min-label on mixed components") {
+    val pairs = df("id_a BIGINT, id_b BIGINT", Seq(
+      Row(1L, 2L), Row(2L, 3L),
+      Row(10L, 11L),
+      Row(20L, 21L), Row(21L, 22L), Row(22L, 23L), Row(23L, 24L),
+      Row(30L, 30L))) // self-loop: node still labeled, own component
+    val star = Dedup.connectedComponentsStar(pairs).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    val minLabel = Dedup.connectedComponents(pairs).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(star == minLabel)
+    assert(star(30L) == 30L)
+  }
+
+  test("connectedComponentsStar closes a 1000-node path in O(log d) rounds") {
+    val spark2 = spark
+    import spark2.implicits._
+    val n = 1000L
+    val pairs = spark.range(1L, n)
+      .select(col("id").as("id_a"), (col("id") + 1L).as("id_b"))
+    // maxIter=12 ≪ diameter 999: only the O(log d) algorithm fits
+    val out = Dedup.connectedComponentsStar(pairs, maxIter = 12)
+    assert(out.count() == n)
+    val comps = out.select("comp").distinct().as[Long].collect().toSeq
+    assert(comps == Seq(1L))
+  }
+
+  test("connectedComponents escalates to star contraction past maxIter") {
+    val spark2 = spark
+    import spark2.implicits._
+    val n = 200L
+    val pairs = spark.range(1L, n)
+      .select(col("id").as("id_a"), (col("id") + 1L).as("id_b"))
+    // diameter 199 ≫ maxIter 5: min-label alone cannot converge; the
+    // escalation must still produce the exact component minimum
+    val out = Dedup.connectedComponents(pairs, maxIter = 5)
+    assert(out.count() == n)
+    assert(out.select("comp").distinct().as[Long].collect().toSeq == Seq(1L))
+    // and the partial work is composed correctly: every node labeled 1
+    val bad = out.filter(col("comp") =!= 1L).count()
+    assert(bad == 0L)
+  }
 }
