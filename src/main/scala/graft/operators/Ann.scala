@@ -143,12 +143,14 @@ object Ann {
    * corpus into `nCentroids` cells; each probe searches only its `nProbe`
    * nearest cells.
    *
-   * Index build: the quantizer fits DRIVER-SIDE on a bounded collected
-   * sample (`maxFitRows` — centroid quality needs a representative
-   * sample, not the population), so build cost is independent of corpus
-   * size: one footer-metadata row count plus ONE scan of the vector
-   * column for the sample. Search: one corpus scan assigns cells via the
-   * codegen'd [[graft.functions.NearestCells]] expression (the
+   * Index build: the quantizer fits IN-PLAN via [[Centroids.lloyd]] —
+   * a deterministic k-row seed followed by `lloydIter` distributed
+   * assign→re-mean rounds whose shuffles carry (cluster, dim) decimal
+   * partial sums, never vectors and never a corpus sample. The only
+   * driver materialization is the k-row centroid table, which must live
+   * on the driver regardless: it is the broadcast matrix inside the
+   * codegen'd [[graft.functions.NearestCells]] assignment expression.
+   * Search: one corpus scan assigns cells via that expression (the
    * unit-centroid matrix rides along as a task-local reference — no
    * normalization pass, no per-row allocation, no shuffle), then a
    * broadcast join on cell id touches only nProbe/nCentroids of the data
@@ -156,15 +158,15 @@ object Ann {
    *
    * For repeated query batches, build the index ONCE with [[ivfIndex]]
    * (persisting `index.assigned` materializes the `__cell` assignment a
-   * single time) and run each batch through [[ivfSearch]] — the
-   * fit-sample scan and the cell assignment are then amortized across
-   * every batch instead of repeated per query set.
+   * single time) and run each batch through [[ivfSearch]] — the fit
+   * scans and the cell assignment are then amortized across every batch
+   * instead of repeated per query set.
    */
   def ivfTopK(corpus: DataFrame, idCol: String, vecCol: String,
               probes: DataFrame, probeIdCol: String, probeVecCol: String,
               k: Int = 10, nCentroids: Int = 16, nProbe: Int = 4,
-              seed: Long = 42L, maxFitRows: Int = 20000): DataFrame =
-    ivfSearch(ivfIndex(corpus, vecCol, nCentroids, seed, maxFitRows),
+              seed: Long = 42L, lloydIter: Int = 3): DataFrame =
+    ivfSearch(ivfIndex(corpus, idCol, vecCol, nCentroids, seed, lloydIter),
       idCol, vecCol, probes, probeIdCol, probeVecCol, k, nProbe)
 
   /**
@@ -175,27 +177,52 @@ object Ann {
    */
   final case class IvfIndex(centroids: Array[Array[Double]], assigned: DataFrame)
 
-  /** Fit the coarse quantizer and attach `__cell` to the corpus. */
-  def ivfIndex(corpus: DataFrame, vecCol: String,
+  /**
+   * Fit the coarse quantizer IN-PLAN and attach `__cell` to the corpus.
+   *
+   * Seed: the `nCentroids` vectors with the smallest `xxhash64(id,
+   * seed)` — a hash order is id-clustering-blind (a date/tenant-sorted
+   * table still seeds from all regions of embedding space), and
+   * `orderBy(...).limit(k)` plans as TakeOrderedAndProject (per-partition
+   * top-k + driver merge of k·partitions rows), NOT a global sort
+   * shuffle. Fit: `lloydIter` rounds of [[Centroids.lloyd]] — every
+   * iteration one broadcast assignment scan plus one (cluster, dim)
+   * partial-sum shuffle, all distributed. The sole driver
+   * materialization is the final k-row centroid table, unavoidable by
+   * design: the matrix must be broadcast into the codegen'd
+   * [[graft.functions.NearestCells]] expression. Centroids are
+   * unit-normalized on collection (k·dims flops) so the expression's dot
+   * products are cosines. Deterministic for a given (corpus, k, seed):
+   * hash seed order is total, and Lloyd's assign/re-mean rounds are
+   * engine-exact (6-dp cosines, decimal sums).
+   *
+   * The projected (id, vector) frame is cached for the fit's repeated
+   * scans and unpersisted before returning.
+   */
+  def ivfIndex(corpus: DataFrame, idCol: String, vecCol: String,
                nCentroids: Int = 16, seed: Long = 42L,
-               maxFitRows: Int = 20000): IvfIndex = {
-    // UNIFORM fit sample: limit() would take the first partitions only —
-    // on a date/tenant-clustered table the centroids would all land in
-    // one region of embedding space. Sizing the sample fraction needs a
-    // row count, but NOT a vector-column scan: count() on the unprojected
-    // relation is answered from parquet footer metadata. It counts null
-    // vectors too, which only makes the fraction conservative (the
-    // realized non-null sample shrinks below the 2× headroom, never
-    // biases) — so the vector column is scanned exactly once, by the
-    // sample read itself.
-    val total = corpus.count()
-    val vecs = corpus.select(col(vecCol)).where(col(vecCol).isNotNull)
-    val sampled =
-      if (total <= maxFitRows) vecs
-      else vecs.sample(withReplacement = false,
-        math.min(1.0, 2.0 * maxFitRows / total), seed).limit(maxFitRows)
-    val sample = sampled.collect().map(_.getSeq[Double](0).toArray)
-    val centroids = fitSphericalCentroids(sample, nCentroids, seed)
+               lloydIter: Int = 3): IvfIndex = {
+    val vecs = corpus
+      .select(col(idCol).as("__fid"), col(vecCol).as("__fv"))
+      .where(col("__fv").isNotNull)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val hashOrd = Seq(xxhash64(col("__fid"), lit(seed)).asc, col("__fid").asc)
+    val w = org.apache.spark.sql.expressions.Window.orderBy(hashOrd: _*)
+    val seeds = vecs.orderBy(hashOrd: _*).limit(nCentroids)
+      .withColumn("label", row_number().over(w).cast("long"))
+      .select(col("label"), col("__fv").as("centroid"))
+    val asg = Centroids.lloyd(vecs, "__fid", "__fv", seeds, lloydIter)
+    val cents = Centroids.labelCentroids(
+        vecs.join(asg.select(col("__fid"), col("cluster").as("label")), "__fid"),
+        "__fv", "label")
+      .orderBy("label")
+      .collect() // k rows — the NearestCells broadcast matrix
+      .map(_.getSeq[Double](1).toArray)
+    vecs.unpersist()
+    val centroids = cents.map { v =>
+      val n = math.sqrt(v.map(x => x * x).sum)
+      if (n == 0.0) v else v.map(_ / n)
+    }
     IvfIndex(centroids,
       corpus.withColumn("__cell", VF.nearestCells(col(vecCol), centroids, 1)(0)))
   }
@@ -249,75 +276,6 @@ object Ann {
         VF.cosine(col(probeVecCol), col(vecCol)).as("cosine"))
       .dropDuplicates("query_id", "vec_id")
     topK(cand, k)
-  }
-
-  /**
-   * Seeded spherical k-means (k-means++ init, cosine assignment, mean +
-   * renormalize update) over an in-memory sample. Deterministic for a
-   * given (sample, k, seed). Empty cells keep their previous centroid.
-   */
-  private[operators] def fitSphericalCentroids(
-      sample: Array[Array[Double]], k: Int, seed: Long,
-      iters: Int = 15): Array[Array[Double]] = {
-    require(sample.nonEmpty, "cannot fit centroids on an empty sample")
-    val dim = sample(0).length
-    def normalize(v: Array[Double]): Array[Double] = {
-      var s = 0.0; var i = 0
-      while (i < v.length) { s += v(i) * v(i); i += 1 }
-      val n = math.sqrt(s)
-      if (n == 0.0) v.clone() else v.map(_ / n)
-    }
-    val unit = sample.map(normalize)
-    val rnd = new scala.util.Random(seed)
-
-    // k-means++ seeding on the unit sphere (distance = 1 - cosine).
-    val centers = scala.collection.mutable.ArrayBuffer(unit(rnd.nextInt(unit.length)))
-    while (centers.length < k) {
-      val d2 = unit.map { v =>
-        val best = centers.map(c => 1.0 - dotArr(v, c)).min
-        best * best
-      }
-      val total = d2.sum
-      val pick =
-        if (total <= 0.0) rnd.nextInt(unit.length)
-        else {
-          var r = rnd.nextDouble() * total
-          var i = 0
-          while (i < d2.length - 1 && r > d2(i)) { r -= d2(i); i += 1 }
-          i
-        }
-      centers += unit(pick)
-    }
-    var cents = centers.toArray.map(_.clone())
-
-    var iter = 0
-    while (iter < iters) {
-      val sums = Array.fill(k)(new Array[Double](dim))
-      val counts = new Array[Int](k)
-      unit.foreach { v =>
-        var best = 0; var bestDot = Double.NegativeInfinity
-        var c = 0
-        while (c < k) {
-          val d = dotArr(v, cents(c))
-          if (d > bestDot) { best = c; bestDot = d }
-          c += 1
-        }
-        var j = 0
-        while (j < dim) { sums(best)(j) += v(j); j += 1 }
-        counts(best) += 1
-      }
-      cents = Array.tabulate(k) { c =>
-        if (counts(c) == 0) cents(c) else normalize(sums(c))
-      }
-      iter += 1
-    }
-    cents
-  }
-
-  private def dotArr(a: Array[Double], b: Array[Double]): Double = {
-    var acc = 0.0; var i = 0
-    while (i < a.length) { acc += a(i) * b(i); i += 1 }
-    acc
   }
 
   /**

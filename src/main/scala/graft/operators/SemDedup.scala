@@ -10,8 +10,8 @@ import org.apache.spark.sql.functions._
  * near-duplicate pairs ONLY within each cluster — the cluster bound is
  * what keeps the pairwise step tractable at scale.
  *
- * Reuses [[Ann.ivfIndex]] (driver-side sampled spherical k-means fit +
- * codegen'd cell assignment, no shuffle) for the clustering step. The
+ * Reuses [[Ann.ivfIndex]] (in-plan Lloyd spherical k-means fit +
+ * codegen'd cell assignment) for the clustering step. The
  * within-cell candidate join shuffles (cell, id) pairs and the pairwise
  * cost is Σ |cell|² — with k cells of balanced size that is N²/k, and k
  * grows with N (SemDeDup's own scaling recipe), so each cell's quadratic
@@ -31,9 +31,9 @@ object SemDedup {
    */
   def semanticPairs(df: DataFrame, idCol: String, vecCol: String,
                     threshold: Double = 0.9, nCentroids: Int = 16,
-                    seed: Long = 42L, maxFitRows: Int = 20000): DataFrame = {
-    val index = Ann.ivfIndex(df.select(col(idCol), col(vecCol)), vecCol,
-      nCentroids, seed, maxFitRows)
+                    seed: Long = 42L, lloydIter: Int = 3): DataFrame = {
+    val index = Ann.ivfIndex(df.select(col(idCol), col(vecCol)), idCol, vecCol,
+      nCentroids, seed, lloydIter)
     val cells = index.assigned.select(col(idCol).as("id"), col("__cell"))
     val pairs = cells.as("a").join(cells.as("b"),
         col("a.__cell") === col("b.__cell") && col("a.id") < col("b.id"))
@@ -50,9 +50,9 @@ object SemDedup {
   /** Survivors: rows with no smaller-id semantic near-dup in their cell. */
   def dedup(df: DataFrame, idCol: String, vecCol: String,
             threshold: Double = 0.9, nCentroids: Int = 16,
-            seed: Long = 42L, maxFitRows: Int = 20000): DataFrame = {
+            seed: Long = 42L, lloydIter: Int = 3): DataFrame = {
     val dropped = semanticPairs(df, idCol, vecCol, threshold, nCentroids,
-      seed, maxFitRows).select(col("id_b").as(idCol)).distinct()
+      seed, lloydIter).select(col("id_b").as(idCol)).distinct()
     df.join(dropped, Seq(idCol), "left_anti")
   }
 }

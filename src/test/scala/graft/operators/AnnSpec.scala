@@ -97,7 +97,7 @@ class AnnSpec extends SparkTestBase {
 
   test("ivfIndex built once serves multiple probe batches from the materialized assignment") {
     val e = realEmbeddings
-    val index = Ann.ivfIndex(e, "v", nCentroids = 8)
+    val index = Ann.ivfIndex(e, "vec_id", "v", nCentroids = 8)
     index.assigned.persist()
     try {
       val p1 = e.filter(col("vec_id") < 3)
@@ -121,6 +121,30 @@ class AnnSpec extends SparkTestBase {
       assert(b2.queryExecution.optimizedPlan.toString.contains("InMemoryRelation"),
         "ivfSearch did not read the persisted cell assignment")
     } finally index.assigned.unpersist()
+  }
+
+  test("ivfIndex in-plan Lloyd fit: deterministic per seed, cells = nearest centroid") {
+    val e = realEmbeddings
+    val a = Ann.ivfIndex(e, "vec_id", "v", nCentroids = 8, seed = 7L)
+    val b = Ann.ivfIndex(e, "vec_id", "v", nCentroids = 8, seed = 7L)
+    // fit-path equality on a fixed seed: two independent distributed
+    // fits produce the identical centroid matrix
+    assert(a.centroids.length == b.centroids.length)
+    a.centroids.zip(b.centroids).foreach { case (x, y) =>
+      assert(x.toSeq == y.toSeq)
+    }
+    // every centroid is unit (NearestCells' dots must BE cosines)
+    a.centroids.foreach { c =>
+      assert(math.abs(math.sqrt(c.map(x => x * x).sum) - 1.0) < 1e-12)
+    }
+    // the expression-assigned cell equals the plan-level nearest-centroid
+    // assignment over the same matrix
+    val cents = df("label BIGINT, centroid ARRAY<DOUBLE>",
+      a.centroids.zipWithIndex.map { case (c, i) => Row(i.toLong, c.toSeq) })
+    val viaPlan = Centroids.assignToCentroids(e, "vec_id", "v", cents)
+      .select(col("vec_id"), col("cluster"))
+    val viaExpr = a.assigned.select(col("vec_id"), col("__cell").cast("long").as("cluster"))
+    assert(viaExpr.except(viaPlan).isEmpty && viaPlan.except(viaExpr).isEmpty)
   }
 
   test("LSH recall vs brute force on the real embeddings table (top-1 of identical)") {
@@ -204,7 +228,7 @@ class AnnSpec extends SparkTestBase {
 
   test("IVF index persists and reloads: identical search results, cell-partitioned layout") {
     val e = realEmbeddings
-    val index = Ann.ivfIndex(e, "v", nCentroids = 8)
+    val index = Ann.ivfIndex(e, "vec_id", "v", nCentroids = 8)
     val dir = java.nio.file.Files.createTempDirectory("ivf_index").toString
     Ann.saveIvfIndex(index, dir)
     val loaded = Ann.loadIvfIndex(spark, dir)

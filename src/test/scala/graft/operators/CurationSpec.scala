@@ -564,10 +564,10 @@ class CurationSpec extends SparkTestBase {
       Row(5L, Seq(0.0, 0.0, 0.0, 1.0)))
     val vecs = df("id BIGINT, v ARRAY<DOUBLE>", rows)
     val pairs = SemDedup.semanticPairs(vecs, "id", "v",
-      threshold = 0.9, nCentroids = 2, maxFitRows = 10)
+      threshold = 0.9, nCentroids = 2)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
     assert(pairs == Seq((1L, 4L, 1.0)))
-    assert(SemDedup.dedup(vecs, "id", "v", threshold = 0.9, nCentroids = 2, maxFitRows = 10)
+    assert(SemDedup.dedup(vecs, "id", "v", threshold = 0.9, nCentroids = 2)
       .select("id").collect().map(_.getLong(0)).sorted.toSeq == Seq(1L, 2L, 3L, 5L))
   }
 
