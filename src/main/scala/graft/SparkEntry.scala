@@ -168,6 +168,31 @@ object SparkEntry {
       SelectStage(st(2), "project", None,
         Seq("l_orderkey", "l_linenumber", "l_shipdate")))(s, d)),
 
+    // Adversarial literal-coercion parity (SURVEY §7.3, the known
+    // cross-engine cliff): whitespace-padded numerics, Infinity, and a
+    // fractional string against a BIGINT column — which DuckDB ROUNDS
+    // ('13.5' matches 14), the rule StageCompiler now reproduces via an
+    // explicit decimal round. Oracle-checked against DuckDB verbatim.
+    "q_filter_coerce" -> ((s, d) => pipe(
+      FilterStage(st(1), "padded / special / fractional literals", Some("events"), Seq(
+        FilterCondition("value", ">", " 42 "),
+        FilterCondition("value", "<", "Infinity", Some("AND")),
+        FilterCondition("user_id", "=", "13.5", Some("OR")),
+        FilterCondition("value", ">=", ".5", Some("AND")))),
+      SelectStage(st(2), "project", None,
+        Seq("event_id", "user_id", "value")))(s, d)),
+
+    // Scientific notation, NaN ordering (NaN sorts greatest in BOTH
+    // engines), sign prefix, and trailing-point literals.
+    "q_filter_coerce_special" -> ((s, d) => pipe(
+      FilterStage(st(1), "sci / NaN / signed literals", Some("events"), Seq(
+        FilterCondition("value", ">", "1e2"),
+        FilterCondition("value", "!=", "NaN", Some("AND")),
+        FilterCondition("value", ">=", "+4", Some("OR")),
+        FilterCondition("value", "<=", "5.", Some("AND")))),
+      SelectStage(st(2), "project", None,
+        Seq("event_id", "user_id", "value")))(s, d)),
+
     // -------- JOIN ×4 types (ui/src/sqlGenerator.ts:8-26)
     "q_join_inner" -> ((s, d) => pipe(
       JoinStage(st(1), "orders to customers", "INNER",
@@ -648,7 +673,10 @@ object SparkEntry {
         .withColumn("__next", lead(col("doc_id"), 1).over(w))
         .filter(col("__next").isNotNull)
         .select(col("doc_id").as("id_a"), col("__next").as("id_b"))
-      Dedup.connectedComponents(pairs).orderBy("id")
+      // maxIter=4 (vs default 20): the escalation is the thing under
+      // test; paying 20 fruitless min-label rounds first only adds
+      // fixed per-round job overhead to the gate
+      Dedup.connectedComponents(pairs, maxIter = 4).orderBy("id")
     }),
 
     // Scalable edit-distance similarity join (record linkage): q-gram
@@ -2829,6 +2857,14 @@ object SparkEntry {
     "q_filter_range" ->
       ("SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag FROM lineitem " +
         "WHERE l_quantity >= 10 AND l_quantity <= 20 AND l_returnflag != 'N'"),
+    "q_filter_coerce" ->
+      ("SELECT event_id, user_id, value FROM events " +
+        "WHERE value > ' 42 ' AND value < 'Infinity' " +
+        "OR user_id = '13.5' AND value >= '.5'"),
+    "q_filter_coerce_special" ->
+      ("SELECT event_id, user_id, value FROM events " +
+        "WHERE value > '1e2' AND value != 'NaN' " +
+        "OR value >= '+4' AND value <= '5.'"),
     "q_union3" ->
       ("SELECT n_regionkey AS k FROM nation UNION " +
         "SELECT c_nationkey AS k FROM customer UNION " +

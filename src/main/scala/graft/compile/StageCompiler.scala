@@ -169,9 +169,32 @@ object StageCompiler {
    * `'100'` against a numeric/temporal column. Spark's string/numeric
    * comparison rules differ at the edges, so cast explicitly when the
    * column type is known (SURVEY §7.3).
+   *
+   * Pinned edge rules (probed against DuckDB, spec'd in
+   * StageCompilerPropertySpec):
+   *  - whitespace-padded (`' 42 '`), signed (`'+5'`), bare-point
+   *    (`'.5'`, `'5.'`), scientific (`'1e2'`) and special (`'NaN'`,
+   *    `'Infinity'`) numerics coerce identically in both engines;
+   *  - fractional strings against INTEGRAL columns ROUND half away from
+   *    zero in DuckDB (`'13.5'` matches 14, `'-13.5'` matches -14) —
+   *    and for inequalities too (`id > '13.5'` means `id > 14`);
+   *    Spark's bare string→integral cast truncates, so integral targets
+   *    round at plan time in BigDecimal (exact — no double
+   *    representation error at a .5 boundary, no ANSI runtime cast);
+   *  - un-coercible strings (`''`, `'0x10'`) and out-of-range literals
+   *    (`'1e999'` vs integral): DuckDB raises a conversion error and the
+   *    reference surfaces a failed query; graft instead yields a NULL
+   *    literal, so the predicate matches NOTHING — the deliberate
+   *    lenient-planner divergence (an LLM-emitted junk value degrades to
+   *    an empty result, not a pipeline abort).
    */
   private def literal(v: Any, colType: Option[DataType]): Column = (v, colType) match {
+    case (s: String, Some(t @ (ByteType | ShortType | IntegerType | LongType))) =>
+      roundedIntegral(s, t)
     case (s: String, Some(t: NumericType)) if isNumeric(s) => lit(s).cast(t)
+    // un-coercible string vs numeric column: typed NULL literal — the
+    // predicate matches nothing, and no ANSI runtime cast can throw
+    case (_: String, Some(t: NumericType)) => lit(null).cast(t)
     case (s: String, Some(DateType))          => lit(s).cast(DateType)
     case (s: String, Some(TimestampType))     => lit(s).cast(TimestampType)
     // parquet ms-timestamps with isAdjustedToUTC=false read as NTZ in
@@ -183,6 +206,25 @@ object StageCompiler {
 
   private def isNumeric(s: String): Boolean =
     s.nonEmpty && scala.util.Try(java.lang.Double.parseDouble(s)).isSuccess
+
+  /** DuckDB-parity literal for an INTEGRAL column: round half away from
+    * zero at PLAN TIME (the value is a constant — coercing in Scala
+    * avoids any ANSI runtime cast), typed NULL when unparseable
+    * ('NaN', '0x10', '') or out of the target's range ('1e999') — those
+    * raise in DuckDB; here the predicate just matches nothing. */
+  private def roundedIntegral(s: String, t: DataType): Column =
+    scala.util.Try(BigDecimal(s.trim)).toOption
+      .map(_.setScale(0, scala.math.BigDecimal.RoundingMode.HALF_UP))
+      .filter { r =>
+        t match {
+          case ByteType    => r.isValidByte
+          case ShortType   => r.isValidShort
+          case IntegerType => r.isValidInt
+          case _           => r.isValidLong
+        }
+      }
+      .map(r => lit(r.toLong).cast(t))
+      .getOrElse(lit(null).cast(t))
 
   /** IN/NOT IN list: a Seq value, or a string like `(1, 2, 3)` / `'a','b'`. */
   private def inList(v: Any, colType: Option[DataType]): Seq[Column] = {

@@ -165,7 +165,7 @@ object Ann {
   def ivfTopK(corpus: DataFrame, idCol: String, vecCol: String,
               probes: DataFrame, probeIdCol: String, probeVecCol: String,
               k: Int = 10, nCentroids: Int = 16, nProbe: Int = 4,
-              seed: Long = 42L, lloydIter: Int = 3): DataFrame =
+              seed: Long = 42L, lloydIter: Int = 2): DataFrame =
     ivfSearch(ivfIndex(corpus, idCol, vecCol, nCentroids, seed, lloydIter),
       idCol, vecCol, probes, probeIdCol, probeVecCol, k, nProbe)
 
@@ -201,7 +201,7 @@ object Ann {
    */
   def ivfIndex(corpus: DataFrame, idCol: String, vecCol: String,
                nCentroids: Int = 16, seed: Long = 42L,
-               lloydIter: Int = 3): IvfIndex = {
+               lloydIter: Int = 2): IvfIndex = {
     val vecs = corpus
       .select(col(idCol).as("__fid"), col(vecCol).as("__fv"))
       .where(col("__fv").isNotNull)

@@ -41,6 +41,20 @@ object Graph {
   def pageRank(edges: DataFrame, srcCol: String, dstCol: String,
                iterations: Int, damping: Double = 0.85,
                checkpointEvery: Int = 5): DataFrame = {
+    val (ranks, caches) = pageRankRaw(edges, srcCol, dstCol, iterations,
+      damping, checkpointEvery)
+    // materialize before releasing the cached inputs the lineage reads
+    val out = ranks.localCheckpoint(eager = true)
+    caches.foreach(_.unpersist())
+    out
+  }
+
+  /** [[pageRank]] minus the final checkpoint/unpersist: the live plan
+    * (for PlanAuditSpec's cached-edge-reuse assert) plus the cached
+    * frames the caller must unpersist. */
+  private[graft] def pageRankRaw(edges: DataFrame, srcCol: String, dstCol: String,
+                                 iterations: Int, damping: Double = 0.85,
+                                 checkpointEvery: Int = 5): (DataFrame, Seq[DataFrame]) = {
     require(iterations >= 1, "at least one iteration")
     val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
       .distinct()
@@ -69,11 +83,8 @@ object Graph {
       if (i % checkpointEvery == 0 && i < iterations)
         ranks = ranks.localCheckpoint(eager = true)
     }
-    // materialize before releasing the cached inputs the lineage reads
-    val out = ranks.select(col("node"), round(col("rank"), 6).as("rank"))
-      .localCheckpoint(eager = true)
-    withDeg.unpersist(); e.unpersist(); nodes.unpersist()
-    out
+    (ranks.select(col("node"), round(col("rank"), 6).as("rank")),
+      Seq(withDeg, e, nodes))
   }
 
   /**

@@ -10,10 +10,13 @@ import org.apache.spark.sql.types._
  * struct. The Spark-side mechanics — schema convention, magic-byte type
  * sniffing, batched per-partition decode plumbing, partition sizing — are
  * real and tested. IMAGE decode is real (`javax.imageio`: PNG/JPEG/GIF/BMP
- * → dimensions, channels, 4×4 mean-luminance feature grid); audio/video
- * payloads fall back to a DETERMINISTIC STUB (no media codecs in this
- * environment), clearly marked below, at the same seam where an ffmpeg
- * JNI binding would drop in.
+ * → dimensions, channels, 4×4 mean-luminance feature grid); PCM WAV/AIFF
+ * decode is real (`javax.sound.sampled`); richer media (video,
+ * compressed audio) decodes through the [[FfmpegDecoder]] subprocess
+ * seam WHEN ffmpeg/ffprobe binaries exist in the runtime environment,
+ * and falls back to a DETERMINISTIC STUB when they don't (as in this
+ * build environment), clearly marked below — so gate results are stable
+ * per environment either way.
  *
  * Everything before the decode stays in whole-stage codegen (built-ins
  * only); the decode runs via `mapPartitions` — the JVM analogue of a
@@ -252,16 +255,27 @@ object Multimodal {
           }
         } finally in.close()
       } catch { case _: Exception => None }
-    parsed.getOrElse(decodeStub(bytes))
+    parsed.getOrElse(ffmpegOrStub(bytes))
   }
+
+  /** The video/compressed-audio seam: a REAL `ffmpeg` subprocess decode
+    * when the binaries exist in this environment ([[FfmpegDecoder]] —
+    * probed once per JVM), else the deterministic stub — so the same
+    * build serves codec-equipped clusters and codec-free CI with stable
+    * gate results in each. */
+  private def ffmpegOrStub(bytes: Array[Byte]): Row =
+    if (FfmpegDecoder.available)
+      FfmpegDecoder.decodeVideo(bytes).getOrElse(decodeStub(bytes))
+    else decodeStub(bytes)
 
   /**
    * STUB decode — deterministic fake standing in for a video/compressed-
-   * audio codec call (none available in this environment; images and PCM
-   * audio take the REAL paths above). Produces plausible dimensions and an
-   * 8-float signature derived from the byte content, so downstream
-   * plumbing (similarity over features, grouping by dimensions) is
-   * exercised with stable values.
+   * audio codec call (none available in this build environment; images
+   * and PCM audio take the REAL paths above, and richer media takes the
+   * [[FfmpegDecoder]] subprocess path when binaries exist). Produces
+   * plausible dimensions and an 8-float signature derived from the byte
+   * content, so downstream plumbing (similarity over features, grouping
+   * by dimensions) is exercised with stable values.
    */
   private[operators] def decodeStub(bytes: Array[Byte]): Row = {
     if (bytes == null || bytes.isEmpty) return Row(0, 0, 0, Array.empty[Float])
@@ -351,14 +365,20 @@ object Multimodal {
   }
 
   /**
-   * STUB frame decoder (the ffmpeg seam): derives a deterministic frame
+   * Frame decoder (the ffmpeg seam): the REAL [[FfmpegDecoder]]
+   * subprocess demux when binaries exist (grayscale planes, exact
+   * rawvideo splitting), else a deterministic STUB that derives a frame
    * count from the payload and emits 16-byte fake "frames" keyed by
    * (content, frame index) — stable values so downstream joins/specs
-   * exercise real plumbing. Replace with a real demuxer to go live.
+   * exercise real plumbing in codec-free environments.
    */
   private[operators] def frameDecoder(bytes: Array[Byte], everyNth: Int,
                                       maxFrames: Int): Seq[(Int, Array[Byte])] = {
     if (bytes == null || bytes.isEmpty) return Seq.empty
+    if (FfmpegDecoder.available) {
+      val real = FfmpegDecoder.videoFrames(bytes, everyNth, maxFrames)
+      if (real.nonEmpty) return real
+    }
     val totalFrames = 1 + math.abs(
       scala.util.hashing.MurmurHash3.bytesHash(bytes, 7) % 600)
     (0 until totalFrames by everyNth).take(maxFrames).map { idx =>

@@ -31,7 +31,7 @@ object SemDedup {
    */
   def semanticPairs(df: DataFrame, idCol: String, vecCol: String,
                     threshold: Double = 0.9, nCentroids: Int = 16,
-                    seed: Long = 42L, lloydIter: Int = 3): DataFrame = {
+                    seed: Long = 42L, lloydIter: Int = 2): DataFrame = {
     val index = Ann.ivfIndex(df.select(col(idCol), col(vecCol)), idCol, vecCol,
       nCentroids, seed, lloydIter)
     val cells = index.assigned.select(col(idCol).as("id"), col("__cell"))
@@ -50,7 +50,7 @@ object SemDedup {
   /** Survivors: rows with no smaller-id semantic near-dup in their cell. */
   def dedup(df: DataFrame, idCol: String, vecCol: String,
             threshold: Double = 0.9, nCentroids: Int = 16,
-            seed: Long = 42L, lloydIter: Int = 3): DataFrame = {
+            seed: Long = 42L, lloydIter: Int = 2): DataFrame = {
     val dropped = semanticPairs(df, idCol, vecCol, threshold, nCentroids,
       seed, lloydIter).select(col("id_b").as(idCol)).distinct()
     df.join(dropped, Seq(idCol), "left_anti")

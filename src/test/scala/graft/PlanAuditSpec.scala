@@ -74,6 +74,58 @@ class PlanAuditSpec extends SparkTestBase {
     assert(plan.contains("BroadcastHashJoin"), plan)
   }
 
+  test("graph: iterations reuse the cached edge frame, never rescan the source") {
+    // pageRankRaw exposes the live pre-checkpoint plan (the public API
+    // eagerly checkpoints + unpersists, which hides the shape)
+    val edges = df("src BIGINT, dst BIGINT",
+      (1L to 50L).map(i => org.apache.spark.sql.Row(i, i % 10)))
+    val (ranks, caches) = graft.operators.Graph.pageRankRaw(
+      edges, "src", "dst", iterations = 2)
+    try {
+      val plan = ranks.queryExecution.executedPlan.toString
+      // every per-iteration contribution join must read the cached
+      // degree-annotated edge list — 2 iterations ⇒ ≥2 cache scans
+      val cacheScans = plan.linesIterator.count(_.contains("InMemoryTableScan"))
+      assert(cacheScans >= 2, s"expected >=2 InMemoryTableScan, got $cacheScans:\n$plan")
+    } finally caches.foreach(_.unpersist())
+  }
+
+  test("fuzzy join: the gram-index join reads only the rarest-prefix rows") {
+    import org.apache.spark.sql.execution.{FilterExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.execution.joins.{BroadcastHashJoinExec, ShuffledHashJoinExec, SortMergeJoinExec}
+    val plan0 = SparkEntry.queries("q_fuzzy_pairs")(spark, dir)
+      .queryExecution.executedPlan
+    val plan = plan0 match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case p                        => p
+    }
+    // the candidate self-join on (gram, occ) — AQE/stats may plan it as
+    // any join flavor at this SF; the scale property is its INPUT shape
+    val gramJoins: Seq[(SparkPlan, SparkPlan)] = plan.collect {
+      case j: SortMergeJoinExec
+        if j.leftKeys.exists(_.toString.contains("gram")) => (j.left, j.right)
+      case j: BroadcastHashJoinExec
+        if j.leftKeys.exists(_.toString.contains("gram")) => (j.left, j.right)
+      case j: ShuffledHashJoinExec
+        if j.leftKeys.exists(_.toString.contains("gram")) => (j.left, j.right)
+    }
+    assert(gramJoins.nonEmpty, "no gram-keyed candidate join found:\n" + plan)
+    // Ed-Join discipline: the CANDIDATE self-join (pfx ⋈ pfx) must have
+    // BOTH sides prefix-filtered (__rk <= kq+1) before the join — the
+    // full gram index never feeds it. (The frequency-count join also
+    // keys on gram and legitimately reads the full index — corpus-linear
+    // aggregation — so we assert existence of the filtered self-join,
+    // not a property of every gram join.)
+    val hasFilteredSelfJoin = gramJoins.exists { case (l, r) =>
+      Seq(l, r).forall(side => side.collectFirst {
+        case f: FilterExec if f.condition.toString.contains("__rk") => f
+      }.isDefined)
+    }
+    assert(hasFilteredSelfJoin,
+      "no gram self-join with both sides rarest-prefix-filtered:\n" + plan)
+  }
+
   test("quantize: scale is materialized once, not inlined per element") {
     val plan = SparkEntry.queries("q_embed_quantize")(spark, dir)
       .queryExecution.executedPlan.toString

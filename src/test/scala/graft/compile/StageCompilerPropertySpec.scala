@@ -52,7 +52,15 @@ class StageCompilerPropertySpec extends SparkTestBase {
         if (numeric) Gen.oneOf("(1, 2, 3)", "(10, 41)")
         else Gen.oneOf("('name_1', 'name_3')", "('0', '2', '4')")
       case _ =>
-        if (numeric) Gen.choose(0, 60).map(_.toString)
+        if (numeric) Gen.oneOf(
+          Gen.choose(0, 60).map(_.toString),
+          // SQL-renderable adversarial numeric forms. Fractional forms
+          // only against the DOUBLE column: vs BIGINT DuckDB rounds the
+          // literal (graft reproduces it), which this Spark-SQL render
+          // proxy cannot express — that rule is pinned in the directed
+          // test below instead. Quoted-only forms (' 42 ', 'NaN') ditto.
+          if (column == "amount") Gen.oneOf("+5", ".5", "5.", "1e1", "30.5")
+          else Gen.oneOf("+5", "1e1"))
         else Gen.oneOf("name_1", "name_3", "3", "%2%")
     }
     logic <- Gen.oneOf(Some("AND"), Some("OR"), None)
@@ -84,6 +92,55 @@ class StageCompilerPropertySpec extends SparkTestBase {
           s"mismatch for WHERE ${renderWhere(conds)}")
       }
     }
+  }
+
+  /**
+   * Adversarial literal-coercion parity, pinned against live-probed
+   * DuckDB semantics (see StageCompiler.literal's scaladoc for the rule
+   * table). Expectations below were derived by running each predicate in
+   * DuckDB 1.x on equivalent data; where DuckDB raises a conversion
+   * error (un-coercible / out-of-range strings) graft's documented rule
+   * is match-nothing, asserted here explicitly.
+   */
+  test("FILTER: adversarial value coercion follows the pinned DuckDB-parity rules") {
+    val d = df("dv DOUBLE, k BIGINT", Seq(
+      Row(0.0, 13L), Row(0.5, 14L), Row(1.0, -14L), Row(13.0, 42L),
+      Row(14.0, 43L), Row(42.0, 0L), Row(100.0, 5L), Row(null, 1L)))
+    d.createOrReplaceTempView("coerce_t")
+    val clookup: StageCompiler.TableLookup = { case "coerce_t" => d }
+    def count(colName: String, op: String, value: String): Long =
+      StageCompiler.compile(spark,
+        FilterStage("p", "", Some("coerce_t"),
+          Seq(FilterCondition(colName, op, value))), clookup).count()
+
+    // whitespace / sign / point / scientific forms agree with DuckDB
+    assert(count("dv", ">", " 42 ") == 1)   // {100}
+    assert(count("dv", ">", "42 ") == 1)
+    assert(count("dv", ">", "+5") == 4)     // {13,14,42,100}
+    assert(count("dv", ">", ".5") == 5)     // {1,13,14,42,100}
+    assert(count("dv", ">=", "5.") == 4)    // {13,14,42,100}
+    assert(count("dv", ">", "1e1") == 4)    // {13,14,42,100}
+    // NaN sorts greatest in both engines; Infinity bounds everything
+    assert(count("dv", ">", "NaN") == 0)
+    assert(count("dv", "<", "Infinity") == 7)
+    assert(count("dv", ">", "1e999") == 0)  // +inf as double; > inf empty
+    // fractional strings vs BIGINT: DuckDB rounds half away from zero
+    assert(count("k", "=", "13.5") == 1)    // → 14
+    assert(count("k", "=", "13.4") == 1)    // → 13
+    assert(count("k", "=", "-13.5") == 1)   // → -14
+    assert(count("k", "=", "42.5") == 1)    // → 43
+    assert(count("k", "=", "42") == 1)      // integral strings unchanged
+    // ...and DuckDB rounds for INEQUALITIES too (probed: user_id >
+    // '13.5' matches nothing when max is 14 — the literal becomes 14,
+    // not a double 13.5)
+    assert(count("k", ">", "13.5") == 2)    // k > 14 → {42,43}
+    assert(count("k", ">=", "13.5") == 3)   // k ≥ 14 → {14,42,43}
+    assert(count("k", "<", "0.5") == 2)     // k < 1 → {-14,0}
+    assert(count("k", "<=", "0.5") == 3)    // k ≤ 1 → {-14,0,1}
+    // un-coercible / out-of-range: DuckDB raises; graft matches nothing
+    assert(count("dv", ">", "") == 0)
+    assert(count("dv", ">", "0x10") == 0)
+    assert(count("k", ">", "1e999") == 0)
   }
 
   private val genSortKeys: Gen[List[SortKey]] = for {

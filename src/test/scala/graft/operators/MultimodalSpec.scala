@@ -134,6 +134,94 @@ class MultimodalSpec extends SparkTestBase {
     assert(again.view.mapValues(_.length).toMap == byId.view.mapValues(_.length).toMap)
   }
 
+  // ---- ffmpeg seam ------------------------------------------------------
+
+  /** Write scripted fake ffprobe/ffmpeg binaries into a temp dir: the
+    * fake probe reports an 8×4 "video"; the fake ffmpeg emits two 32-byte
+    * gray planes (value 0x80 → luminance 128/255). Exercises the WHOLE
+    * subprocess plumbing — stdin feed thread, stdout chunking, CSV parse,
+    * exit-code gating — without any real codec. */
+  private def withFakeBinaries[T](probeOut: String, frameBytes: Int)(body: => T): T = {
+    val dir = java.nio.file.Files.createTempDirectory("fake_ffmpeg")
+    def script(name: String, content: String): Unit = {
+      val p = dir.resolve(name)
+      java.nio.file.Files.write(p, content.getBytes)
+      p.toFile.setExecutable(true)
+    }
+    // both scripts must drain stdin or the feeder thread sees EPIPE
+    script("ffprobe", s"#!/bin/sh\ncat > /dev/null\necho '$probeOut'\n")
+    script("ffmpeg", s"#!/bin/sh\ncat > /dev/null\nhead -c $frameBytes /dev/zero | tr '\\0' '\\200'\n")
+    FfmpegDecoder.binaryDir = Some(dir.toString)
+    try body
+    finally {
+      FfmpegDecoder.binaryDir = None
+      dir.toFile.listFiles().foreach(_.delete()); dir.toFile.delete()
+    }
+  }
+
+  test("ffmpeg seam (scripted fakes): probe CSV parse, rawvideo plane split, feature grid") {
+    withFakeBinaries("fakecodec,8,4,10", frameBytes = 64) {
+      assert(FfmpegDecoder.available)
+      assert(FfmpegDecoder.probeMeta(junk).contains(("fakecodec", 8, 4, 10L)))
+      // 64 bytes of 0x80 = two 8×4 gray planes
+      val frames = FfmpegDecoder.videoFrames(junk, everyNth = 3, maxFrames = 5)
+      assert(frames.map(_._1) == Seq(0, 3))
+      assert(frames.forall(_._2.length == 32))
+      // full decode: dimensions from the probe, 4×4 grid of 128/255
+      val row = FfmpegDecoder.decodeVideo(junk).get
+      assert(row.getInt(0) == 8 && row.getInt(1) == 4)
+      // a GenericRow carries the raw Array[Float] (the Spark encoder
+      // wraps it only inside a DataFrame)
+      val feat = row.get(3).asInstanceOf[Array[Float]].toSeq
+      assert(feat.length == 16)
+      assert(feat.forall(f => math.abs(f - 128f / 255f) < 1e-6))
+      // and the Multimodal chain routes junk through the ffmpeg path now
+      val viaChain = Multimodal.decodeFeatures(
+        df("id BIGINT, payload BINARY", Seq(Row(1L, junk))), "payload")
+        .select("feat.width", "feat.height").head()
+      assert((viaChain.getInt(0), viaChain.getInt(1)) == ((8, 4)))
+    }
+  }
+
+  test("ffmpeg seam: probe failure (nonzero exit) and absent binaries fall back to stub") {
+    val stub = Multimodal.decodeStub(junk)
+    // absent: no binaries in the override dir
+    val empty = java.nio.file.Files.createTempDirectory("no_ffmpeg")
+    FfmpegDecoder.binaryDir = Some(empty.toString)
+    try {
+      assert(!FfmpegDecoder.available)
+      assert(FfmpegDecoder.probeMeta(junk).isEmpty)
+      val viaChain = Multimodal.decodeFeatures(
+        df("id BIGINT, payload BINARY", Seq(Row(1L, junk))), "payload")
+        .select("feat.width").head().getInt(0)
+      assert(viaChain == stub.getInt(0))
+    } finally { FfmpegDecoder.binaryDir = None; empty.toFile.delete() }
+    // present but failing (exit 1): decode degrades to the stub, task survives
+    withFakeBinaries("fakecodec,8,4,10", frameBytes = 64) {
+      val dir = FfmpegDecoder.binaryDir.get
+      val p = java.nio.file.Paths.get(dir, "ffprobe")
+      java.nio.file.Files.write(p, "#!/bin/sh\ncat > /dev/null\nexit 1\n".getBytes)
+      assert(FfmpegDecoder.decodeVideo(junk).isEmpty)
+      val viaChain = Multimodal.decodeFeatures(
+        df("id BIGINT, payload BINARY", Seq(Row(1L, junk))), "payload")
+        .select("feat.width").head().getInt(0)
+      assert(viaChain == stub.getInt(0))
+    }
+  }
+
+  test("ffmpeg seam: REAL binaries (skipped when ffmpeg is not installed)") {
+    assume(FfmpegDecoder.available, "no ffmpeg/ffprobe on PATH — skipping real-codec test")
+    // a genuine ffmpeg can synthesize its own test input
+    val gen = FfmpegDecoder.run(Seq("ffmpeg", "-f", "lavfi", "-i",
+      "testsrc=duration=1:size=64x48:rate=10", "-f", "avi", "pipe:1"), Array.empty)
+    assume(gen.isDefined, "ffmpeg lavfi synthesis unavailable")
+    val avi = gen.get
+    val meta = FfmpegDecoder.probeMeta(avi)
+    assert(meta.exists { case (_, w, h, _) => w == 64 && h == 48 })
+    val row = FfmpegDecoder.decodeVideo(avi)
+    assert(row.exists(r => r.getInt(0) == 64 && r.getInt(1) == 48))
+  }
+
   test("partition count is preserved through the decode (sizing stays upstream)") {
     val repart = media.repartition(3)
     assert(Multimodal.decodeFeatures(repart, "payload").rdd.getNumPartitions == 3)
