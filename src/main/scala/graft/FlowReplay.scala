@@ -34,7 +34,7 @@ object FlowReplay {
 
   /** The 6-stage planner response, verbatim in the /api/transform wire
     * shape (server/index.js:257-316 response contract). */
-  private val sixStageResponse: String =
+  private[graft] val sixStageResponse: String =
     """{
       |  "isValid": true,
       |  "explanation": "Revenue by market segment for high-value recent orders",
