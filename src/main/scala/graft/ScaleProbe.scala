@@ -70,7 +70,11 @@ object ScaleProbe {
     "q_quality_compress", "q_sample_topmass", "q_embed_pool",
     "q_graph_labelprop", "q_rater_alpha", "q_sample_hard_negatives",
     "q_ann_mutual", "q_graph_communities", "q_graph_modularity",
-    "q_profile_gini", "q_dedup_report")
+    "q_profile_gini", "q_dedup_report",
+    // round-6 additions: O(log d) star-contraction CC, the
+    // escalating path-graph gate, adversarial literal coercion
+    "q_dedup_components_star", "q_dedup_components_chain",
+    "q_filter_coerce")
 
   private def caesar(c: org.apache.spark.sql.Column, k: Int) = {
     val lower = "abcdefghijklmnopqrstuvwxyz"

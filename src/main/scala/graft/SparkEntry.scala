@@ -831,6 +831,13 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // Temperature-flattened mixture weights (Conneau & Lample 2019;
+    // the multilingual-LM sampling recipe): q_i ∝ p_i^(1/T), T=2 — the
+    // per-language sampling plan with exact counts and 6-dp shares.
+    "q_mix_temperature" -> ((s, d) =>
+      graft.operators.Mix.temperatureWeights(
+        docs(s, d), "lang", temperature = 2.0).orderBy("lang")),
+
     // Three-way split on the same hash — train set provably identical to
     // q_split's (thresholds nest).
     "q_split3" -> ((s, d) =>
@@ -3332,6 +3339,16 @@ object SparkEntry {
         |SELECT r.doc_id, r.source FROM ranked r
         |JOIN alloc a ON r.source = a.source
         |WHERE r.rnk <= a.alloc ORDER BY r.doc_id""".stripMargin,
+    "q_mix_temperature" ->
+      """WITH c AS (SELECT lang, count(*) AS n_rows FROM documents GROUP BY 1),
+        |t AS (SELECT CAST(sum(n_rows) AS DOUBLE) AS N,
+        |             sum(pow(CAST(n_rows AS DOUBLE), 0.5)) AS Z FROM c)
+        |SELECT lang, n_rows,
+        |  round(CAST(n_rows AS DOUBLE) / N, 6) AS p_raw,
+        |  round(pow(CAST(n_rows AS DOUBLE), 0.5) / Z, 6) AS p_temp,
+        |  CAST(round(pow(CAST(n_rows AS DOUBLE), 0.5) / Z * N, 0) AS BIGINT)
+        |    AS target_rows
+        |FROM c CROSS JOIN t ORDER BY lang""".stripMargin,
     "q_split3" ->
       ("SELECT doc_id, CASE WHEN substring(md5(text), 1, 8) < '" +
         graft.operators.Split.thresholdHex(0.8) +

@@ -148,4 +148,41 @@ object Mix {
       .filter(col("__rnk") <= col("__alloc"))
       .drop("__rnk", "__alloc")
   }
+
+  /**
+   * Temperature-based mixture reweighting — the standard multilingual /
+   * multi-source LM sampling recipe (Conneau & Lample 2019 §3.1;
+   * Arivazhagan et al. 2019 §4.2): raw group shares p_i are flattened to
+   * q_i ∝ p_i^(1/T). T = 1 keeps natural proportions, T → ∞ approaches
+   * uniform, T < 1 sharpens toward the head — the knob that stops a
+   * 100× bigger English corpus from drowning low-resource groups.
+   *
+   * One row per group: `(group, n_rows, p_raw, p_temp,
+   * target_rows)` where `target_rows = round(p_temp · Σn)` — the
+   * sampling plan a caller feeds to [[Sample.capPerKey]] (or
+   * [[repeatToBudget]] when a group's target exceeds its size).
+   *
+   * Determinism: counts are exact longs; each power/normalization is a
+   * fixed-shape double expression rounded to 6 dp, so the oracle can
+   * reproduce every row bit-for-bit. Scale shape: ONE map-side-combined
+   * count to |groups| rows; the normalizing sum is a 1-row broadcast —
+   * the corpus crosses the wire once as count partials.
+   */
+  def temperatureWeights(df: DataFrame, keyCol: String,
+                         temperature: Double): DataFrame = {
+    require(temperature > 0, "temperature must be positive")
+    val counts = df.groupBy(col(keyCol)).agg(count(lit(1)).as("n_rows"))
+    val tot = counts.agg(sum(col("n_rows")).as("__N"),
+      sum(pow(col("n_rows").cast("double"), lit(1.0 / temperature)))
+        .as("__Z"))
+    counts.crossJoin(broadcast(tot))
+      .select(col(keyCol), col("n_rows"),
+        round(col("n_rows").cast("double") / col("__N").cast("double"), 6)
+          .as("p_raw"),
+        round(pow(col("n_rows").cast("double"), lit(1.0 / temperature)) /
+          col("__Z"), 6).as("p_temp"),
+        round(pow(col("n_rows").cast("double"), lit(1.0 / temperature)) /
+          col("__Z") * col("__N").cast("double"), 0).cast("long")
+          .as("target_rows"))
+  }
 }

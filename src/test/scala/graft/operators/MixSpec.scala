@@ -128,4 +128,32 @@ class MixSpec extends SparkTestBase {
     assert(small == pick(10))            // rerun-identical
     assert(small.subsetOf(pick(30)))     // md5 ranks nest: more budget only adds
   }
+
+  test("temperatureWeights: T=1 is natural, T→∞ flattens, T=2 matches hand math") {
+    // 90/9/1 split — the head-heavy shape temperature sampling exists for
+    val data = corpus(0 until 90, "en")
+      .union(corpus(100 until 109, "fr"))
+      .union(corpus(200 until 201, "sw"))
+    def shares(t: Double): Map[String, (Double, Long)] =
+      Mix.temperatureWeights(data, "src", t).collect()
+        .map(r => r.getString(0) -> ((r.getDouble(3), r.getLong(4)))).toMap
+
+    val t1 = shares(1.0)
+    assert(t1("en")._1 == 0.9 && t1("fr")._1 == 0.09 && t1("sw")._1 == 0.01)
+    assert(t1("en")._2 == 90L) // T=1: targets reproduce raw counts
+
+    // T=2: q_i ∝ sqrt(n_i): sqrt(90)+sqrt(9)+sqrt(1) = 9.48683... + 3 + 1
+    val z = math.sqrt(90.0) + 3.0 + 1.0
+    val t2 = shares(2.0)
+    assert(math.abs(t2("en")._1 - math.sqrt(90.0) / z) < 1e-6)
+    assert(math.abs(t2("sw")._1 - 1.0 / z) < 1e-6)
+    // tail group's target grows from 1 toward uniform as T rises
+    val t100 = shares(100.0)
+    assert(t100("sw")._2 > t2("sw")._2 && t2("sw")._2 >= t1("sw")._2)
+    assert(math.abs(t100("en")._1 - 1.0 / 3) < 0.02) // near-uniform
+    // shares always normalize
+    Seq(t1, t2, t100).foreach { m =>
+      assert(math.abs(m.values.map(_._1).sum - 1.0) < 1e-5)
+    }
+  }
 }
