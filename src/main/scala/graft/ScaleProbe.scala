@@ -72,9 +72,11 @@ object ScaleProbe {
     "q_ann_mutual", "q_graph_communities", "q_graph_modularity",
     "q_profile_gini", "q_dedup_report",
     // round-6 additions: O(log d) star-contraction CC, the
-    // escalating path-graph gate, adversarial literal coercion
+    // escalating path-graph gate, adversarial literal coercion,
+    // ExactSubstr removal (same digest shuffle as the audit + interval
+    // merge + reconstruction fold), temperature mixture weights
     "q_dedup_components_star", "q_dedup_components_chain",
-    "q_filter_coerce")
+    "q_filter_coerce", "q_dedup_substring_remove", "q_mix_temperature")
 
   private def caesar(c: org.apache.spark.sql.Column, k: Int) = {
     val lower = "abcdefghijklmnopqrstuvwxyz"

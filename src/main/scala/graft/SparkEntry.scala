@@ -573,6 +573,18 @@ object SparkEntry {
       Dedup.substringDupSpans(docs(s, d), "doc_id", "text", minLen = 30)
         .orderBy("id_a", "id_b")),
 
+    // The ExactSubstr TRANSFORM (Lee et al. ACL'22 §4.1): every ≥30-char
+    // span occurring twice keeps its global first occurrence (min
+    // (id, pos)) and is cut everywhere else; overlapping delete windows
+    // merge so a duplicated run is removed as one span. Oracle rebuilds
+    // the exact cleaned text in DuckDB — the cut positions, the interval
+    // merge, and the reconstruction fold must all agree char-for-char.
+    "q_dedup_substring_remove" -> ((s, d) =>
+      Dedup.removeDupSubstrings(
+        docs(s, d).select(col("doc_id"), col("text")),
+        "doc_id", "text", minLen = 30)
+        .orderBy("doc_id")),
+
     // Normalized-exact dedup over docs ∪ case/punctuation-perturbed twins
     // (UPPER + trailing ' !!'): every twin normalizes to its original's
     // key, so survivors = the min-id representative per normalized text.
@@ -3015,6 +3027,49 @@ object SparkEntry {
         |SELECT id_a, id_b, CAST(sum(rw) AS BIGINT) AS shared_windows,
         |       CAST(29 + max(rw) AS BIGINT) AS max_run_chars
         |FROM runs GROUP BY id_a, id_b ORDER BY id_a, id_b""".stripMargin,
+    "q_dedup_substring_remove" ->
+      """WITH w AS (
+        |  SELECT doc_id AS id, unnest(range(1, length(text) - 28)) AS pos, text
+        |  FROM documents WHERE length(text) >= 30),
+        |w2 AS (SELECT id, pos, substring(text, pos, 30) AS sub FROM w),
+        |d AS (SELECT id, pos,
+        |        count(*) OVER (PARTITION BY sub) AS cnt,
+        |        row_number() OVER (PARTITION BY sub ORDER BY id, pos) AS rn
+        |      FROM w2),
+        |del AS (SELECT id, pos FROM d WHERE cnt >= 2 AND rn > 1),
+        |m AS (SELECT id, pos,
+        |        max(pos + 30) OVER (PARTITION BY id ORDER BY pos
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pe
+        |      FROM del),
+        |m2 AS (SELECT id, pos,
+        |         CASE WHEN pe IS NULL OR pos > pe THEN 1 ELSE 0 END AS brk
+        |       FROM m),
+        |m3 AS (SELECT id, pos,
+        |         sum(brk) OVER (PARTITION BY id ORDER BY pos) AS g FROM m2),
+        |isl AS (SELECT id, g, min(pos) AS s, max(pos) + 30 AS e
+        |        FROM m3 GROUP BY id, g),
+        |segs AS (
+        |  SELECT id, coalesce(lag(e) OVER (PARTITION BY id ORDER BY s), 1)
+        |           AS ss, s AS se
+        |  FROM isl
+        |  UNION ALL
+        |  SELECT id, max(e) AS ss, NULL AS se FROM isl GROUP BY id),
+        |rec AS (
+        |  SELECT d0.doc_id,
+        |    string_agg(CASE WHEN seg.se IS NULL
+        |        THEN substring(d0.text, CAST(seg.ss AS INT),
+        |               length(d0.text) - CAST(seg.ss AS INT) + 1)
+        |        ELSE substring(d0.text, CAST(seg.ss AS INT),
+        |               CAST(seg.se - seg.ss AS INT)) END,
+        |      '' ORDER BY seg.ss) AS text_clean
+        |  FROM documents d0 JOIN segs seg ON d0.doc_id = seg.id
+        |  GROUP BY d0.doc_id)
+        |SELECT d0.doc_id,
+        |  coalesce(r.text_clean, d0.text) AS text_clean,
+        |  CAST(length(d0.text) - length(coalesce(r.text_clean, d0.text))
+        |    AS BIGINT) AS removed_chars
+        |FROM documents d0 LEFT JOIN rec r ON d0.doc_id = r.doc_id
+        |ORDER BY d0.doc_id""".stripMargin,
     "q_dedup_ngram_capped" ->
       ngramJaccardOracle(n = 3, threshold = 0.5, maxShingleFreq = Some(5)),
     "q_expect" ->

@@ -783,4 +783,83 @@ object Dedup {
       .agg(sum("rw").cast("long").as("shared_windows"),
         (max("rw") + lit(minLen - 1)).cast("long").as("max_run_chars"))
   }
+
+  /**
+   * Repeated-substring REMOVAL — the actual ExactSubstr TRANSFORM of Lee
+   * et al. ACL'22 (where [[substringDupSpans]] is the audit): every
+   * character span that appears ≥ 2 times in the corpus keeps its FIRST
+   * occurrence (smallest (id, pos) — deterministic, not "whichever task
+   * ran first") and is CUT from every other position, including repeats
+   * within one document. Output: one row per input row with the cleaned
+   * text and the count of removed characters.
+   *
+   * Plan: the same 28-byte (id, pos, h, h2) window stream and single
+   * digest-keyed shuffle as the audit (window text never crosses the
+   * wire); a windowed (count, row_number) pass marks every non-first
+   * occurrence's [pos, pos+minLen) as a delete interval; per-document
+   * interval merge (prefix-max island detection) collapses overlapping
+   * windows so a duplicated run of length L becomes ONE [start, start+L)
+   * cut, exactly the span the audit reports; reconstruction is a pure
+   * codegen'd `aggregate` fold over the ≤|intervals| array — substring
+   * segments between cuts concatenate in one pass, no UDF.
+   *
+   * Scale shape: identical to the audit up to the digest shuffle (the
+   * dominant term, corpus-linear with the ~(len−minLen)× window
+   * amplification); the delete set is bounded by duplicated windows
+   * only, and the per-document interval state is |cuts|, not |windows|.
+   * Documents shorter than `minLen` (or with no duplicated span) pass
+   * through byte-identical via the left join.
+   */
+  def removeDupSubstrings(df: DataFrame, idCol: String, textCol: String,
+                          minLen: Int = 30,
+                          outCol: String = "text_clean"): DataFrame = {
+    val passthrough = df.columns.filterNot(_ == textCol).map(col)
+    val base = df.select(col(idCol).as("__rid"), col(textCol).as("__t"))
+    val w = base.filter(length(col("__t")) >= minLen)
+      .repartition(col("__rid"))
+      .select(col("__rid"),
+        explode(expr(s"sequence(1, length(__t) - ${minLen - 1})")).as("__pos"),
+        col("__t"))
+      .select(col("__rid"), col("__pos"),
+        expr(s"substring(__t, __pos, $minLen)").as("__sub"))
+      .select(col("__rid"), col("__pos"),
+        xxhash64(col("__sub")).as("__h"),
+        xxhash64(lit(1L), col("__sub")).as("__h2"))
+    // one digest shuffle carries both the group size and the global
+    // first-occurrence rank (same partitioning, two window functions)
+    val grp = Window.partitionBy("__h", "__h2")
+    val del = w
+      .withColumn("__cnt", count(lit(1)).over(grp))
+      .withColumn("__rn", row_number().over(
+        grp.orderBy(col("__rid"), col("__pos"))))
+      .filter(col("__cnt") >= 2 && col("__rn") > 1)
+      .select(col("__rid"), col("__pos"))
+    // merge overlapping/adjacent delete windows into intervals
+    val byDoc = Window.partitionBy("__rid").orderBy("__pos")
+    val isl = del
+      .withColumn("__pe", max(col("__pos") + lit(minLen))
+        .over(byDoc.rowsBetween(Window.unboundedPreceding, -1)))
+      .withColumn("__brk",
+        when(col("__pe").isNull || col("__pos") > col("__pe"), 1).otherwise(0))
+      .withColumn("__g", sum("__brk").over(byDoc))
+      .groupBy("__rid", "__g")
+      .agg(min("__pos").cast("int").as("s"),
+        (max("__pos") + lit(minLen)).cast("int").as("e"))
+    val ivs = isl.groupBy("__rid")
+      .agg(sort_array(collect_list(struct(col("s"), col("e")))).as("__ivs"))
+    val cleaned = base.join(ivs, Seq("__rid"), "left")
+      .select(col("__rid"), col("__t"),
+        when(col("__ivs").isNull, col("__t")).otherwise(expr(
+          """aggregate(__ivs, named_struct('c', 1, 'acc', ''),
+            |  (st, iv) -> named_struct(
+            |    'c', iv.e,
+            |    'acc', concat(st.acc, substring(__t, st.c, iv.s - st.c))),
+            |  st -> concat(st.acc,
+            |    substring(__t, st.c, length(__t) - st.c + 1)))""".stripMargin))
+          .as(outCol))
+    df.join(cleaned.select(col("__rid").as(idCol), col(outCol)), Seq(idCol))
+      .select(passthrough :+ col(outCol)
+        :+ (length(col(textCol)) - length(col(outCol))).cast("long")
+          .as("removed_chars"): _*)
+  }
 }

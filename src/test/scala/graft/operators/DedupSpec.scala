@@ -235,4 +235,26 @@ class DedupSpec extends SparkTestBase {
     val removed = d.count() - Dedup.exactDedup(d, "doc_id", "text").count()
     assert(removed == r.getLong(2))
   }
+
+  test("removeDupSubstrings keeps the global first occurrence, merges overlapping cuts") {
+    val quote = "0123456789abcdefghijklmnopqrstuvwxyz" // 36 chars
+    val inner = "ABCDEFGHIJKLMNOPQRSTUVWXYZ!@#$" // 30 chars, only in doc 5
+    val d = df("doc_id BIGINT, text STRING", Seq(
+      Row(1L, s"AAA${quote}BBB"),   // global first occurrence — intact
+      Row(2L, s"xx${quote}yy"),     // later duplicate — quote cut
+      Row(3L, "short"),             // < minLen — untouched
+      Row(4L, quote + quote),       // two occurrences, cuts merge to all
+      Row(5L, s"PP${inner}QQ${inner}RR"))) // within-doc repeat
+    val out = Dedup.removeDupSubstrings(d, "doc_id", "text", minLen = 30)
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2)))).toMap
+    assert(out(1L) == ((s"AAA${quote}BBB", 0L)))
+    assert(out(2L) == (("xxyy", 36L)))
+    assert(out(3L) == (("short", 0L)))
+    // both of doc 4's quote copies are non-first; the junction windows
+    // are unique but the two delete intervals touch and merge away the
+    // entire text
+    assert(out(4L) == (("", 72L)))
+    // doc 5: first inner copy kept, second cut — within-doc dedup
+    assert(out(5L) == ((s"PP${inner}QQRR", 30L)))
+  }
 }
