@@ -76,7 +76,11 @@ object ScaleProbe {
     // ExactSubstr removal (same digest shuffle as the audit + interval
     // merge + reconstruction fold), temperature mixture weights
     "q_dedup_components_star", "q_dedup_components_chain",
-    "q_filter_coerce", "q_dedup_substring_remove", "q_mix_temperature")
+    "q_filter_coerce", "q_dedup_substring_remove", "q_mix_temperature",
+    // round-6 batch A: sorted-neighborhood blocking, Fellegi-Sunter
+    // linkage (blocked pair scoring + rate estimation), join-key audit
+    "q_dedup_sortedneigh", "q_linkage_score", "q_linkage_rates",
+    "q_profile_key_overlap")
 
   private def caesar(c: org.apache.spark.sql.Column, k: Int) = {
     val lower = "abcdefghijklmnopqrstuvwxyz"
@@ -133,8 +137,17 @@ object ScaleProbe {
       .withColumn("o_custkey", col("o_custkey") + lit(k * 10000000L)))
     replicate("customer", (d, k) => d
       .withColumn("c_custkey", col("c_custkey") + lit(k * 10000000L)))
+    // part (sorted-neighborhood / linkage probes): names Caesar-rotate
+    // and brand digits rotate per replica, so blocking keys (name
+    // prefix, brand) are DISJOINT across replicas — 10× data means 10×
+    // blocks of the same size, like a catalog gaining new brands, not
+    // 10×-bigger blocks (which would 100× the blocked pair count — a
+    // replication artifact the linkage operator would be blamed for).
     replicate("part", (d, k) => d
-      .withColumn("p_partkey", col("p_partkey") + lit(k * 10000000L)))
+      .withColumn("p_partkey", col("p_partkey") + lit(k * 10000000L))
+      .withColumn("p_name", caesar(col("p_name"), k))
+      .withColumn("p_brand", translate(col("p_brand"), "0123456789",
+        "0123456789".drop(k % 10) + "0123456789".take(k % 10))))
   }
 
   private def time(spark: SparkSession, name: String, dir: String): Double = {

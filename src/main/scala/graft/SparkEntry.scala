@@ -2458,8 +2458,66 @@ object SparkEntry {
       graft.operators.Sample.topPerKey(all, "__cluster", "__q", k = 1, "doc_id")
         .select(col("doc_id"), col("__q").as("quality"))
         .orderBy("doc_id")
-    })
+    }),
+
+    // Sorted-neighborhood blocking (Hernández-Stolfo): parts block by
+    // the 4-char name prefix, sort by full name within the block, pair
+    // each record with its 2 successors — the prefix-similarity blocking
+    // scheme the token-based dedup family can't express.
+    "q_dedup_sortedneigh" -> ((s, d) =>
+      Dedup.sortedNeighborhoodPairs(
+        executor(s, d).table("part"), "p_partkey",
+        keyExpr = "p_name", blockLen = 4, windowSize = 3)
+        .orderBy("id_a", "id_b")),
+
+    // Fellegi-Sunter linkage scores: part self-linkage blocked on brand,
+    // three field comparisons (type, name prefix, size) with fixed (m,u)
+    // weights — per-pair fixed-order literal sum, so doubles are
+    // engine-identical before the 6-dp round.
+    "q_linkage_score" -> ((s, d) => {
+      val p = executor(s, d).table("part")
+      graft.operators.Linkage.linkageScores(p, p, "p_partkey", "p_partkey",
+        "p_brand", "p_brand", linkageFields, selfPairs = true)
+        .orderBy("id_a", "id_b")
+    }),
+
+    // Same model, links only (score >= 4.0 — two agreeing fields
+    // including at least one strong one).
+    "q_linkage_match" -> ((s, d) => {
+      val p = executor(s, d).table("part")
+      graft.operators.Linkage.linkageMatches(p, p, "p_partkey", "p_partkey",
+        "p_brand", "p_brand", linkageFields, threshold = 4.0,
+        selfPairs = true)
+        .orderBy("id_a", "id_b")
+    }),
+
+    // Per-field empirical agreement rates over the blocked pairs — the
+    // u-probability estimation surface of the linkage model.
+    "q_linkage_rates" -> ((s, d) => {
+      val p = executor(s, d).table("part")
+      graft.operators.Linkage.fieldAgreementRates(p, p, "p_partkey",
+        "p_partkey", "p_brand", "p_brand", linkageFields,
+        selfPairs = true)
+        .orderBy("field")
+    }),
+
+    // Join-key overlap audit: orders.o_custkey vs customer.c_custkey —
+    // key-set intersection, row match rates, and worst-case fanout, the
+    // pre-join health check.
+    "q_profile_key_overlap" -> ((s, d) =>
+      graft.operators.Profile.keyOverlap(
+        executor(s, d).table("orders"), executor(s, d).table("customer"),
+        "o_custkey", "c_custkey"))
   )
+
+  /** Shared field model for the linkage gates (weights are derived from
+    * these (m,u) pairs identically in the Spark plan and the oracle SQL
+    * emitted by [[linkageOracle]]). */
+  private val linkageFields = Seq(
+    graft.operators.Linkage.FieldSpec("p_type", "p_type", 0.9, 0.15),
+    graft.operators.Linkage.FieldSpec(
+      "substr(p_name, 1, 6)", "substr(p_name, 1, 6)", 0.8, 0.05),
+    graft.operators.Linkage.FieldSpec("p_size", "p_size", 0.7, 0.02))
 
   /** Mixed-script text appended by the script-profile gate — CJK,
     * Cyrillic, Arabic (incl. Arabic-Indic digits), ASCII digits — shared
@@ -4931,11 +4989,102 @@ object SparkEntry {
     "q_custom_canonical" -> canonicalUrlOracle,
     // Closed form (see the gate comment): survivors are exactly the
     // original documents with their own quality scores.
-    "q_dedup_keep_best" -> (qualityOracle + " ORDER BY doc_id")
+    "q_dedup_keep_best" -> (qualityOracle + " ORDER BY doc_id"),
+
+    // Sorted-neighborhood: the sliding window over sort ranks is a
+    // rank-difference self-join in SQL (same block, rank gap 1..w-1).
+    "q_dedup_sortedneigh" ->
+      """WITH ranked AS (
+        |  SELECT p_partkey AS id, p_name AS k, substr(p_name, 1, 4) AS blk,
+        |    row_number() OVER (PARTITION BY substr(p_name, 1, 4)
+        |                       ORDER BY p_name, p_partkey) AS rnk
+        |  FROM part)
+        |SELECT a.id AS id_a, b.id AS id_b,
+        |  CAST(b.rnk - a.rnk AS INTEGER) AS dist
+        |FROM ranked a JOIN ranked b
+        |  ON a.blk = b.blk AND b.rnk > a.rnk AND b.rnk - a.rnk <= 2
+        |ORDER BY id_a, id_b""".stripMargin,
+
+    "q_linkage_score" -> (linkageOracleBase + " ORDER BY id_a, id_b"),
+    "q_linkage_match" ->
+      s"""SELECT * FROM ($linkageOracleBase) t
+         |WHERE score >= 4.0 ORDER BY id_a, id_b""".stripMargin,
+    "q_linkage_rates" -> linkageRatesOracle,
+
+    "q_profile_key_overlap" ->
+      """WITH lk AS (SELECT o_custkey AS k, count(*) AS nl FROM orders
+        |            WHERE o_custkey IS NOT NULL GROUP BY 1),
+        |rk AS (SELECT c_custkey AS k, count(*) AS nr FROM customer
+        |       WHERE c_custkey IS NOT NULL GROUP BY 1),
+        |j AS (SELECT nl, nr FROM lk FULL OUTER JOIN rk ON lk.k = rk.k),
+        |s AS (SELECT
+        |  CAST(count(nl) AS BIGINT) AS n_left_keys,
+        |  CAST(count(nr) AS BIGINT) AS n_right_keys,
+        |  CAST(count(CASE WHEN nl IS NOT NULL AND nr IS NOT NULL THEN 1 END)
+        |       AS BIGINT) AS n_shared_keys,
+        |  CAST(coalesce(sum(nl), 0) AS BIGINT) AS n_left_rows,
+        |  CAST(coalesce(sum(CASE WHEN nr IS NOT NULL THEN nl END), 0)
+        |       AS BIGINT) AS left_rows_matched,
+        |  CAST(coalesce(sum(nr), 0) AS BIGINT) AS n_right_rows,
+        |  CAST(coalesce(sum(CASE WHEN nl IS NOT NULL THEN nr END), 0)
+        |       AS BIGINT) AS right_rows_matched,
+        |  CAST(coalesce(max(nl * nr), 0) AS BIGINT) AS max_fanout
+        |  FROM j)
+        |SELECT n_left_keys, n_right_keys, n_shared_keys,
+        |  round(CAST(n_shared_keys AS DOUBLE) /
+        |        (n_left_keys + n_right_keys - n_shared_keys), 6) AS key_jaccard,
+        |  round(CAST(n_shared_keys AS DOUBLE) / n_left_keys, 6)
+        |    AS left_key_containment,
+        |  round(CAST(n_shared_keys AS DOUBLE) / n_right_keys, 6)
+        |    AS right_key_containment,
+        |  n_left_rows, left_rows_matched, n_right_rows, right_rows_matched,
+        |  max_fanout
+        |FROM s""".stripMargin
     // q_dedup_minhash / q_dedup_simhash / q_text_fingerprint / q_ann_lsh /
     // q_ann_ivf: hash-based or deliberately approximate — not DuckDB-
     // expressible, so the driver records the weaker rows-only check.
   )
+
+  /** Fellegi-Sunter oracle: the same (m,u)-derived weight literals as
+    * `linkageFields` (Double.toString is shortest-round-trip, so DuckDB
+    * parses back the identical IEEE double), summed in the same field
+    * order — per-pair fixed-order double arithmetic on both engines. */
+  /** The pre-projected side of the linkage oracle — mirrors
+    * Linkage.project (field exprs evaluated once per row, bare columns). */
+  private def linkageProjCte: String = {
+    val fs = linkageFields.zipWithIndex
+      .map { case (f, i) => s"${f.exprA} AS f$i" }.mkString(", ")
+    s"pa AS (SELECT p_partkey AS id, p_brand AS blk, $fs FROM part)"
+  }
+
+  private def linkageOracleBase: String = {
+    val terms = linkageFields.zipWithIndex.map { case (f, i) =>
+      s"CASE WHEN a.f$i = b.f$i THEN ${f.agreeWeight} " +
+        s"ELSE ${f.disagreeWeight} END"
+    }.mkString("(", " + ", ")")
+    val agrees = linkageFields.indices.map { i =>
+      s"CASE WHEN a.f$i = b.f$i THEN 1 ELSE 0 END"
+    }.mkString("(", " + ", ")")
+    s"""WITH $linkageProjCte
+       |SELECT a.id AS id_a, b.id AS id_b,
+       |  CAST($agrees AS INTEGER) AS n_agree,
+       |  round($terms, 6) AS score
+       |FROM pa a JOIN pa b ON a.blk = b.blk AND a.id < b.id""".stripMargin
+  }
+
+  private def linkageRatesOracle: String = {
+    val arms = linkageFields.indices.map { i =>
+      s"""SELECT $i AS field, CAST(count(*) AS BIGINT) AS n_pairs,
+         |  CAST(sum(CASE WHEN a.f$i = b.f$i THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_agree,
+         |  round(CAST(sum(CASE WHEN a.f$i = b.f$i THEN 1 ELSE 0 END)
+         |        AS DOUBLE) / count(*), 6) AS agree_rate
+         |FROM pa a JOIN pa b ON a.blk = b.blk AND a.id < b.id""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""WITH $linkageProjCte
+       |$arms
+       |ORDER BY field""".stripMargin
+  }
 
   /** Spark-dialect SQL for the CUSTOM→canonical_url gate (runs ONLY in
     * Spark — canonical_url is a graft extension; the oracle is

@@ -98,13 +98,48 @@ object StageCompiler {
   /**
    * DuckDB→SparkSQL dialect shim for CUSTOM stages. The only DuckDB-ism
    * the reference's own stage generator emits is `* EXCLUDE (cols)`
-   * (sqlGenerator.ts:21); Spark spells it `* EXCEPT (cols)`. Heuristic
-   * token rewrite — a SQL string containing the literal word EXCLUDE(
-   * inside a string constant would be mangled, which the reference's
-   * planner never produces.
+   * (sqlGenerator.ts:21); Spark spells it `* EXCEPT (cols)`. The rewrite
+   * is quote-aware: text inside single-quoted string constants (with ''
+   * escapes) and double-quoted identifiers is left untouched, so a
+   * literal like `WHERE note = 'EXCLUDE (x)'` survives intact.
    */
-  private[compile] def rewriteDuckSql(sql: String): String =
-    sql.replaceAll("(?i)\\bEXCLUDE\\s*\\(", "EXCEPT (")
+  private[compile] def rewriteDuckSql(sql: String): String = {
+    val out = new StringBuilder(sql.length)
+    val upper = sql.toUpperCase
+    var i = 0
+    while (i < sql.length) {
+      sql.charAt(i) match {
+        case '\'' => // string constant; '' is an escaped quote, stay inside
+          val j = {
+            var k = i + 1
+            while (k < sql.length &&
+                   !(sql.charAt(k) == '\'' &&
+                     (k + 1 >= sql.length || sql.charAt(k + 1) != '\''))) {
+              k += (if (sql.charAt(k) == '\'') 2 else 1)
+            }
+            math.min(k + 1, sql.length)
+          }
+          out.append(sql.substring(i, j)); i = j
+        case '"' => // quoted identifier
+          val close = sql.indexOf('"', i + 1)
+          val j = if (close < 0) sql.length else close + 1
+          out.append(sql.substring(i, j)); i = j
+        case c if (c == 'E' || c == 'e') &&
+            upper.startsWith("EXCLUDE", i) &&
+            (i == 0 || !Character.isLetterOrDigit(sql.charAt(i - 1)) && sql.charAt(i - 1) != '_') && {
+              var k = i + 7
+              while (k < sql.length && Character.isWhitespace(sql.charAt(k))) k += 1
+              k < sql.length && sql.charAt(k) == '('
+            } =>
+          var k = i + 7
+          while (k < sql.length && Character.isWhitespace(sql.charAt(k))) k += 1
+          out.append("EXCEPT ("); i = k + 1
+        case c =>
+          out.append(c); i += 1
+      }
+    }
+    out.toString
+  }
 
   /** Equi-join per ui/src/sqlGenerator.ts:8-26. */
   def compileJoin(left: DataFrame, right: DataFrame, joinType: String,

@@ -862,4 +862,48 @@ object Dedup {
         :+ (length(col(textCol)) - length(col(outCol))).cast("long")
           .as("removed_chars"): _*)
   }
+
+  /**
+   * Sorted-neighborhood candidate pairs (Hernández & Stolfo, SIGMOD '95):
+   * records sorted by a discriminating key are compared only against
+   * their `windowSize - 1` successors in sort order — the classic cheap
+   * blocking when near-duplicates share key PREFIXES (names, addresses,
+   * normalized titles) rather than exact tokens.
+   *
+   * The textbook method needs one global sort; a single total order is a
+   * scale anti-pattern (one reducer owns the tail), so this implements
+   * the standard blocked variant: records first partition by the first
+   * `blockLen` characters of the key, and the sliding window runs
+   * WITHIN each block (pairs whose keys differ in the first `blockLen`
+   * chars are dropped — by construction they disagree early, exactly
+   * the records the method's sort-key assumption already writes off).
+   * Multi-pass usage = union over calls with different `keyExpr`s.
+   *
+   * Output: `(id_a, id_b, dist)` where `dist` is the rank distance in
+   * sort order (1 = adjacent), `id_a` the earlier record. Ties in the
+   * key sort break by id, so output is deterministic.
+   *
+   * Scale shape: ONE shuffle on the block prefix; within a block the
+   * window functions and the `windowSize-1` lead projections are linear
+   * in block size. Candidate count ≤ (windowSize-1)·n regardless of
+   * corpus size — the defining property of the method. Skewed blocks
+   * (many records sharing a prefix) cost O(block) not O(block²),
+   * because neighbors come from `lead`, not a self-join.
+   */
+  def sortedNeighborhoodPairs(df: DataFrame, idCol: String, keyExpr: String,
+                              blockLen: Int = 4,
+                              windowSize: Int = 5): DataFrame = {
+    val keyed = df.select(col(idCol).as("__id"), expr(keyExpr).as("__k"))
+      .withColumn("__blk", substring(col("__k"), 1, blockLen))
+    val order = Window.partitionBy("__blk").orderBy(col("__k"), col("__id"))
+    val withNext = (1 until windowSize).foldLeft(keyed) { (acc, o) =>
+      acc.withColumn(s"__n$o", lead(col("__id"), o).over(order))
+    }
+    withNext
+      .select(col("__id"), posexplode(
+        array((1 until windowSize).map(o => col(s"__n$o")): _*)))
+      .filter(col("col").isNotNull)
+      .select(col("__id").as("id_a"), col("col").as("id_b"),
+        (col("pos") + 1).cast("int").as("dist"))
+  }
 }

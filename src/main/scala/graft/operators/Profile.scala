@@ -389,4 +389,55 @@ object Profile {
     df.select(col(idCol), col(keyCol), col(valueCol))
       .withColumn("pct_rank", round(percent_rank().over(
         Window.partitionBy(col(keyCol)).orderBy(col(valueCol))), 6))
+
+  /**
+   * Join-key overlap audit — the numbers to read BEFORE running a join:
+   * how the two key sets intersect and what fraction of each side's
+   * ROWS would find a partner. One row:
+   * `(n_left_keys, n_right_keys, n_shared_keys, key_jaccard,
+   *   left_key_containment, right_key_containment,
+   *   n_left_rows, left_rows_matched, n_right_rows, right_rows_matched,
+   *   max_fanout)` — `*_containment` = shared/|side| over DISTINCT keys,
+   * `*_rows_matched` the row counts that survive an inner join's semi
+   * filter, and `max_fanout` the largest per-key row-count product (the
+   * worst-case output amplification a single hot key causes — the
+   * number that predicts join skew). NULL keys never match (SQL join
+   * semantics) and are excluded from key counts.
+   *
+   * Scale shape: each side collapses to per-key counts first (map-side
+   * combine, key+long on the wire), then ONE full-outer join of the two
+   * key-count tables and a global 1-row reduce. Strictly cheaper than
+   * the join being audited; no row data moves. Fractions are exact-long
+   * divisions rounded to 6 dp.
+   */
+  def keyOverlap(left: DataFrame, right: DataFrame,
+                 leftKey: String, rightKey: String): DataFrame = {
+    val lk = left.filter(col(leftKey).isNotNull)
+      .groupBy(col(leftKey).as("__k")).agg(count(lit(1)).as("__nl"))
+    val rk = right.filter(col(rightKey).isNotNull)
+      .groupBy(col(rightKey).as("__k")).agg(count(lit(1)).as("__nr"))
+    lk.join(rk, Seq("__k"), "full_outer")
+      .agg(
+        count(col("__nl")).as("n_left_keys"),
+        count(col("__nr")).as("n_right_keys"),
+        count(when(col("__nl").isNotNull && col("__nr").isNotNull, 1))
+          .as("n_shared_keys"),
+        coalesce(sum(col("__nl")), lit(0L)).as("n_left_rows"),
+        coalesce(sum(when(col("__nr").isNotNull, col("__nl"))), lit(0L))
+          .as("left_rows_matched"),
+        coalesce(sum(col("__nr")), lit(0L)).as("n_right_rows"),
+        coalesce(sum(when(col("__nl").isNotNull, col("__nr"))), lit(0L))
+          .as("right_rows_matched"),
+        coalesce(max(col("__nl") * col("__nr")), lit(0L)).as("max_fanout"))
+      .select(col("n_left_keys"), col("n_right_keys"), col("n_shared_keys"),
+        round(col("n_shared_keys").cast("double") /
+          (col("n_left_keys") + col("n_right_keys") - col("n_shared_keys")), 6)
+          .as("key_jaccard"),
+        round(col("n_shared_keys").cast("double") / col("n_left_keys"), 6)
+          .as("left_key_containment"),
+        round(col("n_shared_keys").cast("double") / col("n_right_keys"), 6)
+          .as("right_key_containment"),
+        col("n_left_rows"), col("left_rows_matched"),
+        col("n_right_rows"), col("right_rows_matched"), col("max_fanout"))
+  }
 }

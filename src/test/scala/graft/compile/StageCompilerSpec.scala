@@ -152,6 +152,26 @@ class StageCompilerSpec extends SparkTestBase {
     assert(out.count() == 3)
   }
 
+  test("EXCLUDE rewrite is quote-aware: literals and quoted identifiers survive") {
+    // Outside quotes → rewritten (any case, any spacing).
+    assert(StageCompiler.rewriteDuckSql("SELECT * exclude  (a) FROM t") ==
+      "SELECT * EXCEPT (a) FROM t")
+    // Inside a single-quoted constant (with '' escape) → untouched.
+    assert(StageCompiler.rewriteDuckSql(
+      "SELECT * FROM t WHERE note = 'don''t EXCLUDE (x)'") ==
+      "SELECT * FROM t WHERE note = 'don''t EXCLUDE (x)'")
+    // Inside a double-quoted identifier → untouched.
+    assert(StageCompiler.rewriteDuckSql(
+      "SELECT \"EXCLUDE (weird)\" FROM t") == "SELECT \"EXCLUDE (weird)\" FROM t")
+    // Part of a longer identifier → untouched.
+    assert(StageCompiler.rewriteDuckSql("SELECT my_EXCLUDE (a) FROM t") ==
+      "SELECT my_EXCLUDE (a) FROM t")
+    // Mixed: literal preserved, real EXCLUDE rewritten.
+    assert(StageCompiler.rewriteDuckSql(
+      "SELECT * EXCLUDE (k) FROM t WHERE c = 'EXCLUDE (k)'") ==
+      "SELECT * EXCEPT (k) FROM t WHERE c = 'EXCLUDE (k)'")
+  }
+
   test("CUSTOM runs raw SQL against registered temp views") {
     orders.createOrReplaceTempView("orders_v")
     val out = StageCompiler.compile(spark,

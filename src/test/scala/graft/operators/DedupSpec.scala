@@ -257,4 +257,28 @@ class DedupSpec extends SparkTestBase {
     // doc 5: first inner copy kept, second cut — within-doc dedup
     assert(out(5L) == ((s"PP${inner}QQRR", 30L)))
   }
+
+  test("sortedNeighborhoodPairs: window pairs within blocks, none across") {
+    val d = df("id BIGINT, name STRING", Seq(
+      Row(1L, "aa-alpha"), Row(2L, "aa-alpine"), Row(3L, "aa-azure"),
+      Row(4L, "bb-beta"), Row(5L, "bb-botan"),
+      Row(6L, "cc-gamma"))) // singleton block -> no pairs
+    val out = Dedup.sortedNeighborhoodPairs(d, "id", "name",
+      blockLen = 2, windowSize = 2) // only adjacent neighbors
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    assert(out.toSet == Set((1L, 2L, 1), (2L, 3L, 1), (4L, 5L, 1)))
+  }
+
+  test("sortedNeighborhoodPairs: wider window reaches dist-2 neighbors, sorted by key") {
+    val d = df("id BIGINT, name STRING", Seq(
+      // ids deliberately NOT in key order: sort is by key, ties by id
+      Row(9L, "k-a"), Row(1L, "k-b"), Row(5L, "k-c"), Row(7L, "k-d")))
+    val out = Dedup.sortedNeighborhoodPairs(d, "id", "name",
+      blockLen = 1, windowSize = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(out == Set(
+      (9L, 1L, 1), (9L, 5L, 2),   // a -> b, c
+      (1L, 5L, 1), (1L, 7L, 2),   // b -> c, d
+      (5L, 7L, 1)))               // c -> d
+  }
 }

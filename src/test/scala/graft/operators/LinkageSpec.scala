@@ -1,0 +1,70 @@
+package graft.operators
+
+import graft.SparkTestBase
+import org.apache.spark.sql.Row
+
+class LinkageSpec extends SparkTestBase {
+
+  // Two true duplicates (1,2): same city block, same zip, same name
+  // initial; 3 shares the block with them but agrees on nothing else;
+  // 4/5 live in another block and agree only on zip.
+  private lazy val people = df(
+    "id BIGINT, city STRING, zip STRING, initial STRING, active BOOLEAN", Seq(
+      Row(1L, "springfield", "11111", "A", true),
+      Row(2L, "springfield", "11111", "A", true),
+      Row(3L, "springfield", "99999", "Z", false),
+      Row(4L, "shelbyville", "22222", "B", true),
+      Row(5L, "shelbyville", "22222", "C", false)))
+
+  private val fields = Seq(
+    Linkage.FieldSpec("zip", "zip", 0.9, 0.1),       // ±3.1699 / -3.1699
+    Linkage.FieldSpec("initial", "initial", 0.8, 0.04),
+    Linkage.FieldSpec("active", "active", 0.9, 0.5))
+
+  test("scores: full agreement ranks above partial, above none") {
+    val out = Linkage.linkageScores(people, people, "id", "id",
+      "city", "city", fields, selfPairs = true)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)),
+        (r.getInt(2), r.getDouble(3)))).toMap
+    // blocks: springfield {1,2,3} -> 3 pairs; shelbyville {4,5} -> 1
+    assert(out.keySet == Set((1L, 2L), (1L, 3L), (2L, 3L), (4L, 5L)))
+    val w = fields.map(f => (f.agreeWeight, f.disagreeWeight))
+    def round6(d: Double) = BigDecimal(d)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(out((1L, 2L)) == ((3, round6(w.map(_._1).sum))))
+    assert(out((1L, 3L)) == ((0, round6(w.map(_._2).sum))))
+    assert(out((4L, 5L))._1 == 1) // zip agrees only
+    assert(out((1L, 2L))._2 > out((4L, 5L))._2)
+    assert(out((4L, 5L))._2 > out((1L, 3L))._2)
+  }
+
+  test("matches: threshold keeps only the true duplicate pair") {
+    val out = Linkage.linkageMatches(people, people, "id", "id",
+      "city", "city", fields, threshold = 5.0, selfPairs = true)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(out.toSeq == Seq((1L, 2L)))
+  }
+
+  test("cross-table linkage keeps all block pairs (no id guard)") {
+    val out = Linkage.linkageScores(people, people, "id", "id",
+      "city", "city", fields, selfPairs = false)
+    // 3x3 + 2x2 ordered pairs, including self-matches
+    assert(out.count() == 13)
+  }
+
+  test("field agreement rates match hand counts over blocked pairs") {
+    val out = Linkage.fieldAgreementRates(people, people, "id", "id",
+      "city", "city", fields, selfPairs = true)
+      .collect().map(r => (r.getInt(0), (r.getLong(1), r.getLong(2)))).toMap
+    // 4 pairs; zip agrees on (1,2) and (4,5); initial only (1,2); active (1,2)
+    assert(out(0) == ((4L, 2L)))
+    assert(out(1) == ((4L, 1L)))
+    assert(out(2) == ((4L, 1L)))
+  }
+
+  test("FieldSpec rejects degenerate probabilities") {
+    intercept[IllegalArgumentException] {
+      Linkage.FieldSpec("a", "a", 0.2, 0.9) // m < u
+    }
+  }
+}

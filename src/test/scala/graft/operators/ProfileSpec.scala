@@ -212,4 +212,35 @@ class ProfileSpec extends SparkTestBase {
         org.apache.spark.sql.Row("b", 75L))), "k", "w").collect()(0)
     assert(frac.getDouble(2) == ints.getDouble(2))
   }
+
+  test("keyOverlap: counts, containments, row match rates, fanout") {
+    import org.apache.spark.sql.Row
+    val left = df("k BIGINT", Seq(
+      Row(1L), Row(1L), Row(2L), Row(3L), Row(null))) // 3 keys, 4 non-null rows
+    val right = df("k BIGINT", Seq(
+      Row(2L), Row(2L), Row(2L), Row(4L)))            // 2 keys, 3+1 rows
+    val r = Profile.keyOverlap(left, right, "k", "k").collect()(0)
+    assert(r.getAs[Long]("n_left_keys") == 3L)
+    assert(r.getAs[Long]("n_right_keys") == 2L)
+    assert(r.getAs[Long]("n_shared_keys") == 1L)       // only key 2
+    assert(r.getAs[Double]("key_jaccard") == 0.25)     // 1 / (3+2-1)
+    assert(r.getAs[Double]("left_key_containment") == math.rint(1.0 / 3 * 1e6) / 1e6)
+    assert(r.getAs[Double]("right_key_containment") == 0.5)
+    assert(r.getAs[Long]("n_left_rows") == 4L)         // NULL excluded
+    assert(r.getAs[Long]("left_rows_matched") == 1L)   // the single k=2 row
+    assert(r.getAs[Long]("n_right_rows") == 4L)
+    assert(r.getAs[Long]("right_rows_matched") == 3L)  // three k=2 rows
+    assert(r.getAs[Long]("max_fanout") == 3L)          // 1 left x 3 right
+  }
+
+  test("keyOverlap: disjoint key sets yield zero overlap, zero fanout") {
+    import org.apache.spark.sql.Row
+    val a = df("k BIGINT", Seq(Row(1L)))
+    val b = df("k BIGINT", Seq(Row(2L)))
+    val r = Profile.keyOverlap(a, b, "k", "k").collect()(0)
+    assert(r.getAs[Long]("n_shared_keys") == 0L)
+    assert(r.getAs[Double]("key_jaccard") == 0.0)
+    assert(r.getAs[Long]("left_rows_matched") == 0L)
+    assert(r.getAs[Long]("max_fanout") == 0L)
+  }
 }
