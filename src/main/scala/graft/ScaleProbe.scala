@@ -80,7 +80,10 @@ object ScaleProbe {
     // round-6 batch A: sorted-neighborhood blocking, Fellegi-Sunter
     // linkage (blocked pair scoring + rate estimation), join-key audit
     "q_dedup_sortedneigh", "q_linkage_score", "q_linkage_rates",
-    "q_profile_key_overlap")
+    "q_profile_key_overlap",
+    // round-6 batch B: packing-efficiency report, corpus PII report,
+    // column entropy, functional-dependency audit
+    "q_pack_stats", "q_pii_report", "q_profile_entropy", "q_profile_fd")
 
   private def caesar(c: org.apache.spark.sql.Column, k: Int) = {
     val lower = "abcdefghijklmnopqrstuvwxyz"

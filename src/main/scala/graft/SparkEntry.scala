@@ -2507,7 +2507,47 @@ object SparkEntry {
     "q_profile_key_overlap" -> ((s, d) =>
       graft.operators.Profile.keyOverlap(
         executor(s, d).table("orders"), executor(s, d).table("customer"),
-        "o_custkey", "c_custkey"))
+        "o_custkey", "c_custkey")),
+
+    // Packing-efficiency report over the q_pack construction: pack
+    // fill/overflow/padding mass and utilization in one pass.
+    "q_pack_stats" -> ((s, d) => {
+      val toks = docs(s, d).select(col("doc_id"),
+        TF.tokenCount(col("text")).cast("long").as("n_tokens"))
+      graft.operators.Pack.packStats(
+        graft.operators.Pack.packByTokenBudget(toks, "doc_id", "n_tokens",
+          budget = 500L, shards = 8),
+        "n_tokens", budget = 500L)
+    }),
+
+    // Corpus-level PII exposure report over the q_pii_redact injected
+    // corpus: per-category document and match counts.
+    "q_pii_report" -> ((s, d) => {
+      val injected = docs(s, d).select(col("doc_id"),
+        when(col("doc_id") % 3 =!= 0,
+          concat(col("text"), lit(" reach user"), col("doc_id").cast("string"),
+            lit("@example.com or 10."), (col("doc_id") % 200).cast("string"),
+            lit(".0.1 ssn 123-45-6789 tel 555-123-4567")))
+          .otherwise(col("text")).as("text"))
+      graft.operators.Pii.detectionReport(injected, "doc_id", "text")
+        .orderBy("category")
+    }),
+
+    // Shannon entropy per column over documents (categorical lang/source
+    // + the long-tailed n_chars) — the information-content profile.
+    "q_profile_entropy" -> ((s, d) =>
+      graft.operators.Profile.columnEntropy(docs(s, d),
+        Seq("lang", "source", "n_chars")).orderBy("column")),
+
+    // Approximate functional dependencies on lineitem: orderkey ->
+    // returnflag is near (same-order lines mostly share status dates);
+    // partkey -> suppkey and returnflag -> linestatus are the violated /
+    // independent shapes.
+    "q_profile_fd" -> ((s, d) =>
+      graft.operators.Profile.functionalDeps(executor(s, d).table("lineitem"),
+        Seq(("l_orderkey", "l_returnflag"), ("l_partkey", "l_suppkey"),
+          ("l_returnflag", "l_linestatus")))
+        .orderBy("determinant", "dependent"))
   )
 
   /** Shared field model for the linkage gates (weights are derived from
@@ -5039,11 +5079,113 @@ object SparkEntry {
         |    AS right_key_containment,
         |  n_left_rows, left_rows_matched, n_right_rows, right_rows_matched,
         |  max_fanout
-        |FROM s""".stripMargin
+        |FROM s""".stripMargin,
+
+    // The q_pack packing CTE, aggregated to the efficiency report.
+    "q_pack_stats" ->
+      """WITH t AS (
+        |  SELECT doc_id, doc_id % 8 AS shard,
+        |    CAST(len(regexp_split_to_array(trim(text), '[ \t\n\x0b\f\r]+')) AS BIGINT) AS n_tokens
+        |  FROM documents),
+        |c AS (SELECT doc_id, shard, n_tokens,
+        |        sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id) AS cum
+        |      FROM t),
+        |p AS (SELECT shard,
+        |        CAST(floor(CAST(cum - n_tokens AS DOUBLE) / CAST(500 AS DOUBLE)) AS BIGINT) AS pack,
+        |        n_tokens
+        |      FROM c),
+        |g AS (SELECT shard, pack, CAST(count(*) AS BIGINT) AS docs,
+        |        CAST(sum(n_tokens) AS BIGINT) AS toks
+        |      FROM p GROUP BY shard, pack),
+        |s AS (SELECT CAST(count(*) AS BIGINT) AS n_packs,
+        |        CAST(sum(docs) AS BIGINT) AS n_docs,
+        |        CAST(sum(toks) AS BIGINT) AS n_tokens,
+        |        CAST(min(toks) AS BIGINT) AS min_pack_tokens,
+        |        CAST(max(toks) AS BIGINT) AS max_pack_tokens,
+        |        CAST(count(CASE WHEN toks > 500 THEN 1 END) AS BIGINT)
+        |          AS n_overflow_packs,
+        |        CAST(sum(greatest(500 - toks, 0)) AS BIGINT) AS pad_tokens,
+        |        CAST(sum(greatest(toks - 500, 0)) AS BIGINT) AS overflow_tokens
+        |      FROM g)
+        |SELECT n_packs, n_docs, n_tokens, min_pack_tokens, max_pack_tokens,
+        |  n_overflow_packs, pad_tokens, overflow_tokens,
+        |  round(CAST(n_tokens AS DOUBLE) / n_packs, 6) AS avg_pack_tokens,
+        |  round(CAST(n_tokens - overflow_tokens AS DOUBLE) / (n_packs * 500), 6)
+        |    AS utilization
+        |FROM s""".stripMargin,
+
+    "q_pii_report" -> piiReportOracle,
+
+    "q_profile_entropy" -> entropyOracle,
+
+    "q_profile_fd" -> Seq(
+      ("l_orderkey", "l_returnflag"), ("l_partkey", "l_suppkey"),
+      ("l_returnflag", "l_linestatus")).map { case (a, b) =>
+      s"""SELECT '$a' AS determinant, '$b' AS dependent,
+         |  CAST(sum(nr) AS BIGINT) AS n_rows,
+         |  CAST(count(*) AS BIGINT) AS n_groups,
+         |  CAST(sum(nr - keep) AS BIGINT) AS n_violations,
+         |  round(1.0 - CAST(sum(nr - keep) AS DOUBLE) / sum(nr), 6)
+         |    AS strength
+         |FROM (SELECT $a, CAST(sum(c) AS BIGINT) AS nr,
+         |        CAST(max(c) AS BIGINT) AS keep
+         |      FROM (SELECT $a, $b, count(*) AS c FROM lineitem GROUP BY 1, 2) t
+         |      GROUP BY 1) g""".stripMargin
+    }.mkString("SELECT * FROM (\n", "\nUNION ALL\n",
+      "\n) u ORDER BY determinant, dependent")
     // q_dedup_minhash / q_dedup_simhash / q_text_fingerprint / q_ann_lsh /
     // q_ann_ivf: hash-based or deliberately approximate — not DuckDB-
     // expressible, so the driver records the weaker rows-only check.
   )
+
+  /** Per-category PII report over the injected corpus (same construction
+    * as piiOracle), one UNION arm per category in redaction order. */
+  private def piiReportOracle: String = {
+    import graft.operators.Pii._
+    val inject = "text || ' reach user' || CAST(doc_id AS VARCHAR) || " +
+      "'@example.com or 10.' || CAST(doc_id % 200 AS VARCHAR) || " +
+      "'.0.1 ssn 123-45-6789 tel 555-123-4567'"
+    val cats = Seq("email" -> emailPattern, "ssn" -> ssnPattern,
+      "phone" -> phonePattern, "ip" -> ipv4Pattern)
+    val arms = cats.zipWithIndex.map { case ((name, pat), i) =>
+      s"""SELECT '${i + 1}_$name' AS category,
+         |  CAST(count(CASE WHEN len(regexp_extract_all(text, '$pat')) > 0
+         |    THEN 1 END) AS BIGINT) AS n_docs,
+         |  CAST(sum(len(regexp_extract_all(text, '$pat'))) AS BIGINT)
+         |    AS n_matches,
+         |  round(CAST(count(CASE WHEN len(regexp_extract_all(text, '$pat')) > 0
+         |    THEN 1 END) AS DOUBLE) / count(*), 6) AS doc_frac
+         |FROM injected""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""WITH injected AS (
+       |  SELECT doc_id,
+       |    CASE WHEN doc_id % 3 <> 0 THEN $inject ELSE text END AS text
+       |  FROM documents)
+       |SELECT * FROM ($arms) u ORDER BY category""".stripMargin
+  }
+
+  /** Column-entropy oracle: per-column value counts unioned, the same
+    * 9-dp-rounded natural-log bits terms summed as DECIMAL(20,9) — the
+    * 1/ln2 factor is the interpolated literal ${math.log(2.0)} on both
+    * engines. */
+  private def entropyOracle: String = {
+    val ln2 = math.log(2.0)
+    val arms = Seq("lang", "source", "n_chars").map { c =>
+      s"SELECT '$c' AS col, CAST($c AS VARCHAR) AS v FROM documents"
+    }.mkString("\nUNION ALL\n")
+    s"""WITH pairs AS (SELECT col, v FROM ($arms) u),
+       |counts AS (SELECT col, v, CAST(count(*) AS BIGINT) AS c
+       |           FROM pairs GROUP BY 1, 2),
+       |tot AS (SELECT col, CAST(sum(c) AS BIGINT) AS n,
+       |          CAST(count(*) AS BIGINT) AS n_distinct
+       |        FROM counts GROUP BY 1),
+       |terms AS (SELECT counts.col, n, n_distinct,
+       |    round((CAST(c AS DOUBLE) / n) * (ln(n) - ln(c)) / $ln2, 9) AS term
+       |  FROM counts JOIN tot ON counts.col = tot.col)
+       |SELECT col AS "column", max(n) AS n, max(n_distinct) AS n_distinct,
+       |  round(CAST(sum(CAST(term AS DECIMAL(20,9))) AS DOUBLE), 6) AS entropy
+       |FROM terms GROUP BY col ORDER BY col""".stripMargin
+  }
 
   /** Fellegi-Sunter oracle: the same (m,u)-derived weight literals as
     * `linkageFields` (Double.toString is shortest-round-trip, so DuckDB

@@ -103,4 +103,42 @@ object Pack {
         floor((row_number().over(w) - lit(1)) / lit(batchSize)).cast("long"))
       .withColumn("padding", col("bucket_cap") - least(len, col("bucket_cap")))
   }
+
+  /**
+   * Packing-efficiency report over [[packByTokenBudget]] output — the
+   * numbers that decide whether the budget/shard choice is wasting
+   * accelerator time. One row:
+   * `(n_packs, n_docs, n_tokens, min_pack_tokens, max_pack_tokens,
+   *   n_overflow_packs, pad_tokens, overflow_tokens, avg_pack_tokens,
+   *   utilization)` — `pad_tokens` the mass a pad-to-budget assembler
+   * would add (Σ max(0, budget − pack)), `overflow_tokens` the mass
+   * past the budget in overflowing packs (boundary documents overflow
+   * by contract), `utilization` = in-budget tokens / (n_packs·budget).
+   *
+   * Scale shape: one (shard, pack)-keyed aggregate (map-side combined;
+   * key count = n_tokens/budget, not corpus rows) then a global 1-row
+   * reduce. All sums are exact longs; the two ratios are single IEEE
+   * divisions rounded to 6 dp — engine- and partitioning-portable.
+   */
+  def packStats(packed: DataFrame, tokenCol: String, budget: Long): DataFrame =
+    packed
+      .groupBy("shard", "pack")
+      .agg(count(lit(1)).as("__docs"), sum(col(tokenCol)).as("__toks"))
+      .agg(
+        count(lit(1)).as("n_packs"),
+        sum("__docs").as("n_docs"),
+        sum("__toks").as("n_tokens"),
+        min("__toks").as("min_pack_tokens"),
+        max("__toks").as("max_pack_tokens"),
+        count(when(col("__toks") > budget, 1)).as("n_overflow_packs"),
+        sum(greatest(lit(budget) - col("__toks"), lit(0L))).as("pad_tokens"),
+        sum(greatest(col("__toks") - lit(budget), lit(0L)))
+          .as("overflow_tokens"))
+      .select(col("n_packs"), col("n_docs"), col("n_tokens"),
+        col("min_pack_tokens"), col("max_pack_tokens"),
+        col("n_overflow_packs"), col("pad_tokens"), col("overflow_tokens"),
+        round(col("n_tokens").cast("double") / col("n_packs"), 6)
+          .as("avg_pack_tokens"),
+        round((col("n_tokens") - col("overflow_tokens")).cast("double") /
+          (col("n_packs") * lit(budget)), 6).as("utilization"))
 }

@@ -104,4 +104,35 @@ object Pii {
       .agg(count(lit(1)).as("n"))
       .filter(col("n") < k)
   }
+
+  /**
+   * Corpus-level PII exposure report — the audit run BEFORE deciding to
+   * scrub: one row per category, `(category, n_docs, n_matches,
+   * doc_frac)` where `n_docs` counts documents containing ≥1 match,
+   * `n_matches` total occurrences, `doc_frac` the document share
+   * rounded to 6 dp. Categories always present (zero rows included) in
+   * the documented redaction order, `category` index-prefixed so the
+   * report sorts in that order.
+   *
+   * Scale shape: the [[detect]] projection (codegen'd regex counts)
+   * followed by ONE global map-side-combined aggregate and a
+   * #categories-sized unpivot — no shuffle of document data.
+   */
+  def detectionReport(df: DataFrame, idCol: String,
+                      textCol: String): DataFrame = {
+    val d = detect(df, idCol, textCol)
+    val aggs = count(lit(1)).as("__n") +: categories.flatMap { case (c, _, _) =>
+      Seq(count(when(col(s"n_$c") > 0, 1)).as(s"__d_$c"),
+        sum(col(s"n_$c").cast("long")).as(s"__m_$c"))
+    }
+    val structs = array(categories.zipWithIndex.map { case ((c, _, _), i) =>
+      struct(lit(s"${i + 1}_$c").as("category"),
+        col(s"__d_$c").as("n_docs"), col(s"__m_$c").as("n_matches"))
+    }: _*)
+    d.agg(aggs.head, aggs.tail: _*)
+      .select(col("__n"), explode(structs).as("s"))
+      .select(col("s.category").as("category"), col("s.n_docs").as("n_docs"),
+        col("s.n_matches").as("n_matches"),
+        round(col("s.n_docs").cast("double") / col("__n"), 6).as("doc_frac"))
+  }
 }

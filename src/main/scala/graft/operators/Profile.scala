@@ -410,6 +410,86 @@ object Profile {
    * the join being audited; no row data moves. Fractions are exact-long
    * divisions rounded to 6 dp.
    */
+  /**
+   * Shannon entropy per column — the information-content profile that
+   * separates near-constant columns (entropy ≈ 0, candidates for
+   * dictionary encoding or dropping) from identifier-like ones
+   * (entropy ≈ log2 n). One row per requested column:
+   * `(column, n, n_distinct, entropy)`, entropy in bits over the
+   * column's value distribution, NULL counted as a real value (SQL
+   * GROUP BY semantics — absence is information too).
+   *
+   * FP determinism: each value's −p·log2(p) contribution is an
+   * int/int-derived double rounded to 9 dp, summed as DECIMAL(20,9)
+   * (associative — partitioning can't move the hash), final round to
+   * 6 dp — the [[Drift]] policy.
+   *
+   * Scale shape: values stack into (column, value-string) pairs in the
+   * scan projection, then ONE map-side-combined aggregate keyed by
+   * (column, value) and a #columns-sized reduce. Cost ≈ one groupBy
+   * over k·n rows; high-cardinality columns dominate by their distinct
+   * count, exactly like the equivalent COUNT DISTINCT.
+   */
+  def columnEntropy(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "need at least one column")
+    val pairs = df.select(explode(array(cols.map(c =>
+      struct(lit(c).as("column"), col(c).cast("string").as("v"))): _*)).as("s"))
+      .select(col("s.column").as("column"), col("s.v").as("v"))
+    val counts = pairs.groupBy("column", "v").agg(count(lit(1)).as("c"))
+    // per-column totals are #columns rows — broadcast back instead of
+    // sorting each column's whole distinct set through one window
+    // partition
+    val totals = counts.groupBy("column")
+      .agg(sum("c").as("n"), count(lit(1)).as("n_distinct"))
+    // bits via natural logs and a LITERAL 1/ln2 factor — the oracle SQL
+    // interpolates the same literal, so both engines run the identical
+    // IEEE expression (a built-in log2 may differ in the last ulp)
+    counts.join(broadcast(totals), "column")
+      .withColumn("term", round(
+        (col("c").cast("double") / col("n")) *
+          (log(col("n")) - log(col("c"))) / lit(math.log(2.0)), 9))
+      .groupBy("column")
+      .agg(max("n").as("n"),
+        max("n_distinct").as("n_distinct"),
+        round(sum(col("term").cast("decimal(20,9)")).cast("double"), 6)
+          .as("entropy"))
+  }
+
+  /**
+   * Approximate functional-dependency audit: for each candidate pair
+   * A → B, the g3-style violation count — the minimum number of rows
+   * to delete so A determines B exactly (Σ over A-groups of
+   * group size − most-common-B count). `strength` = 1 − violations/n:
+   * 1.0 is an exact FD, near-1 a almost-FD worth normalizing around,
+   * near-0 independence. One row per pair: `(determinant, dependent,
+   * n_rows, n_groups, n_violations, strength)`. NULLs group as values
+   * on both sides.
+   *
+   * Scale shape: per pair, one aggregate keyed by (A, B) then one by A
+   * (both map-side combined; the second input is |A×B distinct|, not
+   * corpus rows) and a 1-row reduce. Exact integer arithmetic
+   * throughout; the single division rounds to 6 dp. Pairs evaluate
+   * independently (a pair per requested dependency — audit-sized
+   * inputs, not a mining loop over all column pairs).
+   */
+  def functionalDeps(df: DataFrame,
+                     pairs: Seq[(String, String)]): DataFrame = {
+    require(pairs.nonEmpty, "need at least one (determinant, dependent) pair")
+    pairs.map { case (a, b) =>
+      df.groupBy(col(a).as("__a"), col(b).as("__b"))
+        .agg(count(lit(1)).as("__c"))
+        .groupBy("__a")
+        .agg(sum("__c").as("__rows"), max("__c").as("__keep"))
+        .agg(sum("__rows").as("n_rows"),
+          count(lit(1)).as("n_groups"),
+          sum(col("__rows") - col("__keep")).as("n_violations"))
+        .select(lit(a).as("determinant"), lit(b).as("dependent"), col("n_rows"),
+          col("n_groups"), col("n_violations"),
+          round(lit(1.0) - col("n_violations").cast("double") /
+            col("n_rows"), 6).as("strength"))
+    }.reduce(_ unionByName _)
+  }
+
   def keyOverlap(left: DataFrame, right: DataFrame,
                  leftKey: String, rightKey: String): DataFrame = {
     val lk = left.filter(col(leftKey).isNotNull)

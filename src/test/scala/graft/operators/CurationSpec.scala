@@ -604,4 +604,50 @@ class CurationSpec extends SparkTestBase {
     // rarity raises PMI: (york,is) is a purer pair than (new,york)
     assert(out(("york", "is"))._2 > out(("new", "york"))._2)
   }
+
+  test("Pii.detectionReport: per-category doc/match counts, zero rows kept") {
+    val docs = df("doc_id INT, text STRING", Seq(
+      doc(1, "mail a@b.co and c@d.org ssn 123-45-6789"),
+      doc(2, "mail e@f.net"),
+      doc(3, "clean")))
+    val out = Pii.detectionReport(docs, "doc_id", "text")
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(out("1_email") == ((2L, 3L, math.rint(2.0 / 3 * 1e6) / 1e6)))
+    assert(out("2_ssn") == ((1L, 1L, math.rint(1.0 / 3 * 1e6) / 1e6)))
+    assert(out("3_phone") == ((0L, 0L, 0.0)))
+    assert(out("4_ip") == ((0L, 0L, 0.0)))
+  }
+
+  test("Pack.packStats: fill, overflow, padding, utilization closed-form") {
+    // one shard; budget 10; docs 6,6,6,5 -> cum 6,12,18,23
+    // pack = floor((cum-tok)/10): 0,0,1,1 -> packs: (0: 12 toks), (1: 11)
+    val docs = df("id BIGINT, n_tokens BIGINT", Seq(
+      Row(1L, 6L), Row(2L, 6L), Row(3L, 6L), Row(4L, 5L)))
+    val packed = Pack.packByTokenBudget(docs, "id", "n_tokens",
+      budget = 10L, shards = 1)
+    val r = Pack.packStats(packed, "n_tokens", budget = 10L).collect()(0)
+    assert(r.getAs[Long]("n_packs") == 2L)
+    assert(r.getAs[Long]("n_docs") == 4L)
+    assert(r.getAs[Long]("n_tokens") == 23L)
+    assert(r.getAs[Long]("min_pack_tokens") == 11L)
+    assert(r.getAs[Long]("max_pack_tokens") == 12L)
+    assert(r.getAs[Long]("n_overflow_packs") == 2L)
+    assert(r.getAs[Long]("pad_tokens") == 0L)
+    assert(r.getAs[Long]("overflow_tokens") == 3L)
+    assert(r.getAs[Double]("avg_pack_tokens") == 11.5)
+    assert(r.getAs[Double]("utilization") == 1.0) // (23-3)/(2*10)
+  }
+
+  test("Pack.packStats: underfilled packs report padding mass") {
+    val docs = df("id BIGINT, n_tokens BIGINT", Seq(
+      Row(1L, 3L), Row(2L, 2L))) // one pack of 5, budget 10
+    val packed = Pack.packByTokenBudget(docs, "id", "n_tokens",
+      budget = 10L, shards = 1)
+    val r = Pack.packStats(packed, "n_tokens", budget = 10L).collect()(0)
+    assert(r.getAs[Long]("n_packs") == 1L)
+    assert(r.getAs[Long]("pad_tokens") == 5L)
+    assert(r.getAs[Long]("n_overflow_packs") == 0L)
+    assert(r.getAs[Double]("utilization") == 0.5)
+  }
 }

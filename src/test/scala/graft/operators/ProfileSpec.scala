@@ -233,6 +233,37 @@ class ProfileSpec extends SparkTestBase {
     assert(r.getAs[Long]("max_fanout") == 3L)          // 1 left x 3 right
   }
 
+  test("columnEntropy: uniform, constant, and NULL-bearing columns") {
+    import org.apache.spark.sql.Row
+    val d = df("a STRING, b STRING, c STRING", Seq(
+      Row("x", "k", "u"), Row("y", "k", "u"),
+      Row("z", "k", null), Row("w", "k", null)))
+    val out = Profile.columnEntropy(d, Seq("a", "b", "c"))
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(out("a") == ((4L, 4L, 2.0)))  // uniform over 4 -> log2(4)
+    assert(out("b") == ((4L, 1L, 0.0)))  // constant
+    assert(out("c") == ((4L, 2L, 1.0)))  // 50/50 incl. the NULL group
+  }
+
+  test("functionalDeps: exact FD, violated FD, independence") {
+    import org.apache.spark.sql.Row
+    val d = df("city STRING, zip STRING, name STRING", Seq(
+      Row("a", "1", "n1"), Row("a", "1", "n2"),
+      Row("b", "2", "n1"), Row("b", "2", "n2"),
+      Row("b", "3", "n3")))
+    val out = Profile.functionalDeps(d,
+      Seq(("zip", "city"), ("city", "zip"), ("name", "city")))
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5)))).toMap
+    // zip -> city holds exactly (each zip one city)
+    assert(out(("zip", "city")) == ((5L, 3L, 0L, 1.0)))
+    // city -> zip: city b splits 2/1 -> one violation
+    assert(out(("city", "zip")) == ((5L, 2L, 1L, 0.8)))
+    // name -> city: n1 and n2 each split 1/1 -> 2 violations
+    assert(out(("name", "city")) == ((5L, 3L, 2L, 0.6)))
+  }
+
   test("keyOverlap: disjoint key sets yield zero overlap, zero fanout") {
     import org.apache.spark.sql.Row
     val a = df("k BIGINT", Seq(Row(1L)))
