@@ -83,7 +83,12 @@ object ScaleProbe {
     "q_profile_key_overlap",
     // round-6 batch B: packing-efficiency report, corpus PII report,
     // column entropy, functional-dependency audit
-    "q_pack_stats", "q_pii_report", "q_profile_entropy", "q_profile_fd")
+    "q_pack_stats", "q_pii_report", "q_profile_entropy", "q_profile_fd",
+    // round-6 batch C: n-gram novelty (shingle-keyed anti-membership),
+    // weighted sampling (global top-k), curriculum ordering, temporal
+    // split (day-count cumulative + broadcast cutoff)
+    "q_text_novelty", "q_sample_weighted", "q_sample_curriculum",
+    "q_split_temporal")
 
   private def caesar(c: org.apache.spark.sql.Column, k: Int) = {
     val lower = "abcdefghijklmnopqrstuvwxyz"

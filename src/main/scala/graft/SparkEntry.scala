@@ -2547,7 +2547,41 @@ object SparkEntry {
       graft.operators.Profile.functionalDeps(executor(s, d).table("lineitem"),
         Seq(("l_orderkey", "l_returnflag"), ("l_partkey", "l_suppkey"),
           ("l_returnflag", "l_linestatus")))
-        .orderBy("determinant", "dependent"))
+        .orderBy("determinant", "dependent")),
+
+    // N-gram novelty vs a reference slice (docs ≡ 0 mod 5): per-doc
+    // share of 3-grams absent from the reference inventory — hashed
+    // shingles on the engine side, string shingles in the oracle.
+    "q_text_novelty" -> ((s, d) => {
+      val all = docs(s, d)
+      graft.operators.NgramStats.novelty(all,
+        all.filter(col("doc_id") % 5 === 0), "doc_id", "text", "text", n = 3)
+        .orderBy("doc_id")
+    }),
+
+    // Weighted sampling without replacement (A-ExpJ exponential clocks,
+    // Knuth-hash u): 200 docs by n_chars mass.
+    "q_sample_weighted" -> ((s, d) =>
+      graft.operators.Sample.weightedSample(
+        docs(s, d).select(col("doc_id"), col("n_chars")),
+        "doc_id", "n_chars", k = 200, seed = 7L)
+        .orderBy("samp_key", "doc_id")),
+
+    // Curriculum ordering: 3 difficulty stages by n_chars with a
+    // deterministic within-stage shuffle position.
+    "q_sample_curriculum" -> ((s, d) =>
+      graft.operators.Sample.curriculum(
+        docs(s, d).select(col("doc_id"), col("n_chars")),
+        "doc_id", "n_chars", edges = Seq(250.0, 400.0))
+        .orderBy("doc_id")),
+
+    // Temporal split on events at the 80% day-granular cutoff.
+    "q_split_temporal" -> ((s, d) =>
+      graft.operators.Split.temporalSplit(
+        executor(s, d).table("events").select(col("event_id"), col("ts")),
+        "ts", trainFrac = 0.8)
+        .select(col("event_id"), col("split"))
+        .orderBy("event_id"))
   )
 
   /** Shared field model for the linkage gates (weights are derived from
@@ -5117,6 +5151,64 @@ object SparkEntry {
     "q_pii_report" -> piiReportOracle,
 
     "q_profile_entropy" -> entropyOracle,
+
+    // Same docs-CTE shingle construction as ngramJaccardOracle; the
+    // reference inventory is the distinct shingle set of the mod-5 slice.
+    "q_text_novelty" ->
+      s"""WITH docs AS (
+         |  SELECT doc_id, list_distinct(list_transform(range(1, greatest(len(toks)-2,1)+1),
+         |         i -> array_to_string(list_slice(toks, i, i+2), ' '))) AS sh
+         |  FROM (SELECT doc_id, $toksSql AS toks FROM documents)
+         |),
+         |ref AS (SELECT DISTINCT unnest(sh) AS s FROM docs WHERE doc_id % 5 = 0),
+         |corp AS (SELECT doc_id, unnest(sh) AS s FROM docs),
+         |j AS (SELECT c.doc_id,
+         |        CAST(count(*) AS BIGINT) AS n_shingles,
+         |        CAST(count(CASE WHEN r.s IS NULL THEN 1 END) AS BIGINT) AS n_novel
+         |      FROM corp c LEFT JOIN ref r ON c.s = r.s GROUP BY 1)
+         |SELECT d.doc_id,
+         |  coalesce(n_shingles, 0) AS n_shingles,
+         |  coalesce(n_novel, 0) AS n_novel,
+         |  round(CAST(n_novel AS DOUBLE) / n_shingles, 6) AS novelty
+         |FROM (SELECT doc_id FROM documents) d LEFT JOIN j USING (doc_id)
+         |ORDER BY d.doc_id""".stripMargin,
+
+    // The A-ExpJ key replayed in SQL from the same Knuth hash constants.
+    "q_sample_weighted" ->
+      """SELECT * FROM (
+        |  SELECT doc_id, n_chars,
+        |    round(-ln((((doc_id + 7) * 2654435761) % 2147483647 + 1)
+        |          / 2147483648.0) / CAST(n_chars AS DOUBLE), 9) AS samp_key
+        |  FROM documents WHERE n_chars > 0) t
+        |ORDER BY samp_key, doc_id LIMIT 200""".stripMargin,
+
+    // Stage by edges; pos = rank within stage by (md5('graft:'||id), id)
+    // — the bucketed-offset construction collapses to exactly this.
+    "q_sample_curriculum" ->
+      """WITH staged AS (
+        |  SELECT doc_id, n_chars,
+        |    CAST(CASE WHEN n_chars <= 250.0 THEN 0
+        |              WHEN n_chars <= 400.0 THEN 1 ELSE 2 END AS INTEGER) AS stage
+        |  FROM documents)
+        |SELECT doc_id, n_chars, stage,
+        |  CAST(row_number() OVER (PARTITION BY stage
+        |    ORDER BY md5('graft:' || CAST(doc_id AS VARCHAR)), doc_id)
+        |    AS BIGINT) AS pos
+        |FROM staged ORDER BY doc_id""".stripMargin,
+
+    // Day-granular temporal split: cutoff = first day whose cumulative
+    // count reaches ceil(0.8 n); 9-dp round before ceil as in quantiles.
+    "q_split_temporal" ->
+      """WITH e AS (SELECT event_id, CAST(ts AS DATE) AS d FROM events),
+        |dc AS (SELECT d, count(*) AS c FROM e GROUP BY 1),
+        |cum AS (SELECT d, sum(c) OVER (ORDER BY d) AS cum
+        |        FROM dc),
+        |n AS (SELECT count(*) AS n FROM e),
+        |cut AS (SELECT min(d) AS cutoff FROM cum, n
+        |        WHERE cum >= ceil(round(0.8 * n, 9)))
+        |SELECT event_id,
+        |  CASE WHEN d <= cutoff THEN 'train' ELSE 'test' END AS split
+        |FROM e, cut ORDER BY event_id""".stripMargin,
 
     "q_profile_fd" -> Seq(
       ("l_orderkey", "l_returnflag"), ("l_partkey", "l_suppkey"),

@@ -88,4 +88,41 @@ object NgramStats {
       .orderBy(col("pmi").desc, col("w1").asc, col("w2").asc)
       .limit(k)
   }
+
+  /**
+   * N-gram novelty vs a reference corpus — the memorization/freshness
+   * audit: per document, the share of its DISTINCT word n-grams never
+   * seen in `reference` (novelty 0 ⇒ fully reconstructible from the
+   * reference n-gram inventory; 1 ⇒ entirely new surface forms). One
+   * row per corpus document: `(idCol, n_shingles, n_novel, novelty)`,
+   * documents too short for any n-gram kept with (0, 0, NULL).
+   *
+   * Scale shape: both sides reduce to 8-byte xxhash64 shingles (the
+   * [[graft.operators.Dedup]] discipline — set membership over 64-bit
+   * hashes equals string membership up to ~2⁻⁶⁴ collisions); the
+   * reference's DISTINCT shingle set is shuffle-joined on the hash, NOT
+   * broadcast — at 100 TB the reference inventory is itself huge, and a
+   * shingle-keyed sort-merge/hash join partitions both sides. Per-doc
+   * counts map-side-combine on the doc id.
+   */
+  def novelty(corpus: DataFrame, reference: DataFrame, idCol: String,
+              textCol: String, refTextCol: String, n: Int): DataFrame = {
+    val refSh = reference
+      .select(explode(TextFunctions.hashedShingleSet(col(refTextCol), n)).as("sh"))
+      .distinct()
+      .withColumn("__seen", lit(1))
+    val docSh = corpus
+      .select(col(idCol), explode(
+        TextFunctions.hashedShingleSet(col(textCol), n)).as("sh"))
+    val perDoc = docSh.join(refSh, Seq("sh"), "left")
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n_shingles"),
+        count(when(col("__seen").isNull, 1)).as("n_novel"))
+    corpus.select(col(idCol)).join(perDoc, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_shingles"), lit(0L)).as("n_shingles"),
+        coalesce(col("n_novel"), lit(0L)).as("n_novel"),
+        round(col("n_novel").cast("double") / col("n_shingles"), 6)
+          .as("novelty"))
+  }
 }

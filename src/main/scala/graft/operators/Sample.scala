@@ -345,4 +345,79 @@ object Sample {
       .withColumn("pos", (col("__offset") + row_number().over(wInBucket)).cast("long"))
       .drop("__h", "__b", "__offset")
   }
+
+  /**
+   * Weighted sampling WITHOUT replacement (Efraimidis–Spirakis A-ExpJ
+   * keys, IPL 2006): each row draws an exponential clock
+   * `key = −ln(u)/w` from a deterministic u ∈ (0,1] and the k SMALLEST
+   * keys win — exactly the distribution of sequential weighted draws
+   * without replacement, in one pass. Rows with non-positive weight are
+   * excluded (they can never be drawn).
+   *
+   * u comes from the Knuth multiplicative hash of (id + seed) — pure
+   * 64-bit integer arithmetic, reproducible across engines and runs
+   * (same contract as [[hashSample]]'s md5 threshold: seeded
+   * PSEUDO-randomness, chosen for engine portability; ids are already
+   * hash-distributed after any upstream digest assignment). Keys round
+   * to 9 dp BEFORE ordering, with the id as tiebreak, so the selected
+   * set is identical across engines and partitionings.
+   *
+   * Scale shape: one projection + global top-k — Spark executes
+   * orderBy+limit as TakeOrderedAndProject (per-partition heaps, k-row
+   * merge on the driver), never a full sort.
+   */
+  def weightedSample(df: DataFrame, idCol: String, weightCol: String,
+                     k: Int, seed: Long = 0L): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    val h = pmod((col(idCol) + lit(seed)) * lit(2654435761L), lit(2147483647L))
+    val u = (h + lit(1)).cast("double") / lit(2147483648.0)
+    df.filter(col(weightCol) > 0)
+      .withColumn("samp_key",
+        round(-log(u) / col(weightCol).cast("double"), 9))
+      .orderBy(col("samp_key").asc, col(idCol).asc)
+      .limit(k)
+  }
+
+  /**
+   * Curriculum ordering — the easy-to-hard training schedule: rows land
+   * in a difficulty `stage` by ascending score `edges` (stage 0 =
+   * score ≤ edges(0), …, stage #edges = above the last edge), and get a
+   * deterministic within-stage shuffle position `pos` (1-based). The
+   * training consumer reads (stage, pos) lexicographically: stages in
+   * order, each stage internally shuffled — curriculum without
+   * correlated batches inside a stage.
+   *
+   * The shuffle order is the md5 of `seed:id` (engine-portable, same
+   * idiom as [[capPerKey]]/[[deterministicShuffle]]); positions come
+   * from the bucketed-offset construction of [[deterministicShuffle]]
+   * (256 md5-prefix buckets per stage, broadcast cumulative offsets),
+   * so no stage ever sorts through a single partition: `pos` equals
+   * row_number within the stage ordered by (hash, id), computed with
+   * per-(stage, bucket) parallelism.
+   */
+  def curriculum(df: DataFrame, idCol: String, scoreCol: String,
+                 edges: Seq[Double], seed: String = "graft"): DataFrame = {
+    require(edges.nonEmpty && edges == edges.sorted && edges.distinct == edges,
+      "edges must be ascending and distinct")
+    val stage = edges.zipWithIndex.reverse.foldLeft(
+      lit(edges.size): org.apache.spark.sql.Column) { case (acc, (e, i)) =>
+      when(col(scoreCol) <= e, lit(i)).otherwise(acc)
+    }
+    val keyed = df.withColumn("stage", stage.cast("int"))
+      .withColumn("__h", md5(concat(lit(seed), lit(":"), col(idCol).cast("string"))))
+      .withColumn("__b", substring(col("__h"), 1, 2))
+    val offsets = keyed.groupBy("stage", "__b").agg(count(lit(1)).as("__n"))
+      .withColumn("__offset",
+        coalesce(sum("__n").over(org.apache.spark.sql.expressions.Window
+          .partitionBy("stage").orderBy("__b")
+          .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)),
+          lit(0L)))
+      .select("stage", "__b", "__offset")
+    val wInBucket = org.apache.spark.sql.expressions.Window
+      .partitionBy("stage", "__b").orderBy(col("__h").asc, col(idCol).asc)
+    keyed.join(broadcast(offsets), Seq("stage", "__b"))
+      .withColumn("pos", (col("__offset") + row_number().over(wInBucket)).cast("long"))
+      // the USING join fronts its keys; restore input order + (stage, pos)
+      .select(df.columns.map(col) :+ col("stage") :+ col("pos"): _*)
+  }
 }

@@ -72,4 +72,44 @@ object Split {
   def groupSplit(df: DataFrame, groupCol: String, trainFrac: Double,
                  splitCol: String = "split"): DataFrame =
     hashSplit(df, groupCol, trainFrac, splitCol)
+
+  /**
+   * TEMPORAL split — train on the past, evaluate on the future, the
+   * split that hash assignment cannot give: forecasting/drift evals are
+   * invalid if training rows postdate test rows. The cutoff is the
+   * earliest DAY whose cumulative row count reaches `trainFrac` of the
+   * corpus, and whole days land on one side (splitting inside a day
+   * leaks intra-day correlations across the boundary — the same
+   * reasoning as [[groupSplit]], with the day as the group).
+   *
+   * The achieved train fraction overshoots `trainFrac` by at most the
+   * cutoff day's mass — inherent to day-granularity assignment.
+   *
+   * Scale shape: one map-side-combined count per day (the corpus
+   * crosses the wire as |days| longs), a cumulative window over that
+   * |days|-sized table (bounded: years of data ≈ 10³ rows), and a
+   * broadcast of the 1-row cutoff back onto the scan — rows never
+   * shuffle. The rank arithmetic mirrors Profile.quantiles: 9-dp round
+   * before ceil so IEEE `frac·n` cannot cross an integer boundary.
+   */
+  def temporalSplit(df: DataFrame, tsCol: String, trainFrac: Double,
+                    splitCol: String = "split"): DataFrame = {
+    require(trainFrac > 0.0 && trainFrac < 1.0, "trainFrac must be in (0,1)")
+    val days = df.groupBy(to_date(col(tsCol)).as("__d"))
+      .agg(count(lit(1)).as("__c"))
+    val cum = days
+      .withColumn("__cum", sum("__c").over(
+        org.apache.spark.sql.expressions.Window.orderBy("__d")))
+      .withColumn("__n", sum("__c").over(
+        org.apache.spark.sql.expressions.Window.partitionBy()))
+    val cutoff = cum
+      .filter(col("__cum") >=
+        ceil(round(lit(trainFrac) * col("__n"), 9)).cast("long"))
+      .agg(min("__d").as("__cutoff"))
+    df.crossJoin(broadcast(cutoff))
+      .withColumn(splitCol,
+        when(to_date(col(tsCol)) <= col("__cutoff"), lit("train"))
+          .otherwise(lit("test")))
+      .drop("__cutoff")
+  }
 }

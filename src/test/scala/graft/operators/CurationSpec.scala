@@ -639,6 +639,60 @@ class CurationSpec extends SparkTestBase {
     assert(r.getAs[Double]("utilization") == 1.0) // (23-3)/(2*10)
   }
 
+  test("NgramStats.novelty: seen, mixed, and fully-novel documents") {
+    val ref = df("doc_id BIGINT, text STRING", Seq(
+      Row(100L, "the quick brown fox jumps")))
+    val corpus = df("doc_id BIGINT, text STRING", Seq(
+      Row(1L, "the quick brown fox jumps"),        // all 3-grams seen
+      Row(2L, "the quick brown cat sleeps"),       // 1 of 3 seen
+      Row(3L, "entirely different words here now"))) // none seen
+    val out = NgramStats.novelty(corpus, ref, "doc_id", "text", "text", n = 3)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), Option(r.get(3)).map(_.asInstanceOf[Double])))).toMap
+    assert(out(1L) == ((3L, 0L, Some(0.0))))
+    assert(out(2L) == ((3L, 2L, Some(math.rint(2.0 / 3 * 1e6) / 1e6))))
+    assert(out(3L) == ((3L, 3L, Some(1.0))))
+  }
+
+  test("Sample.weightedSample: keys favor heavy weights, zero weights excluded") {
+    val rows = (1L to 200L).map(i => Row(i, if (i <= 100) 1000.0 else 0.001)) :+
+      Row(201L, 0.0) :+ Row(202L, -5.0)
+    val d = df("id BIGINT, w DOUBLE", rows)
+    val out = Sample.weightedSample(d, "id", "w", k = 20, seed = 7L)
+      .collect().map(r => r.getLong(0))
+    assert(out.length == 20)
+    // heavy rows (w=1000) dominate the selection over w=0.001 rows
+    assert(out.count(_ <= 100L) == 20)
+    assert(!out.contains(201L) && !out.contains(202L))
+    // deterministic across invocations
+    val again = Sample.weightedSample(d, "id", "w", k = 20, seed = 7L)
+      .collect().map(r => r.getLong(0))
+    assert(out.toSeq == again.toSeq)
+    // different seed -> (almost surely) different internal order: keys differ
+    val other = Sample.weightedSample(d, "id", "w", k = 20, seed = 8L)
+      .collect().map(r => r.getLong(0))
+    assert(other.toSet != out.toSet || other.toSeq != out.toSeq)
+  }
+
+  test("Sample.curriculum: stage by edges, pos is a within-stage permutation") {
+    val d = df("id BIGINT, score DOUBLE",
+      (1L to 40L).map(i => Row(i, i.toDouble)))
+    val out = Sample.curriculum(d, "id", "score", edges = Seq(10.0, 30.0))
+      .collect().map(r => (r.getLong(0), r.getInt(2), r.getLong(3)))
+    val byStage = out.groupBy(_._2)
+    assert(byStage(0).map(_._1).toSet == (1L to 10L).toSet)
+    assert(byStage(1).map(_._1).toSet == (11L to 30L).toSet)
+    assert(byStage(2).map(_._1).toSet == (31L to 40L).toSet)
+    // pos is 1..|stage| exactly once per stage
+    assert(byStage(1).map(_._3).sorted.toSeq == (1L to 20L).toSeq)
+    // and equals rank by (md5(seed:id), id) within the stage
+    val expected = byStage(1).sortBy { case (id, _, _) =>
+      (org.apache.commons.codec.digest.DigestUtils.md5Hex(s"graft:$id"), id)
+    }.map(_._1)
+    val actual = byStage(1).sortBy(_._3).map(_._1)
+    assert(expected.toSeq == actual.toSeq)
+  }
+
   test("Pack.packStats: underfilled packs report padding mass") {
     val docs = df("id BIGINT, n_tokens BIGINT", Seq(
       Row(1L, 3L), Row(2L, 2L))) // one pack of 5, budget 10

@@ -131,4 +131,38 @@ class SplitKeywordsSpec extends SparkTestBase {
     val bad = out.filter(col("comp") =!= 1L).count()
     assert(bad == 0L)
   }
+
+  test("temporalSplit: day-granular cutoff at the trainFrac row quantile") {
+    import org.apache.spark.sql.Row
+    // 3 days with 2/3/5 rows; frac 0.5 of 10 -> rank 5 -> cutoff day 2
+    val rows = Seq.tabulate(10) { i =>
+      val day = if (i < 2) 1 else if (i < 5) 2 else 3
+      Row(i.toLong, java.sql.Timestamp.valueOf(f"2024-01-0$day%d 0$i%02d:00:00"))
+    }
+    val d = df("id BIGINT, ts TIMESTAMP", rows)
+    val out = Split.temporalSplit(d, "ts", 0.5)
+      .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    (0 until 5).foreach(i => assert(out(i.toLong) == "train"))
+    (5 until 10).foreach(i => assert(out(i.toLong) == "test"))
+    // whole days move together: frac 0.3 of 10 -> rank 3 -> inside day 2,
+    // so ALL of day 2 is train (overshoot, never a split day)
+    val out2 = Split.temporalSplit(d, "ts", 0.3)
+      .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    (0 until 5).foreach(i => assert(out2(i.toLong) == "train"))
+    (5 until 10).foreach(i => assert(out2(i.toLong) == "test"))
+  }
+
+  test("temporalSplit: train never postdates test") {
+    import org.apache.spark.sql.Row
+    val rows = Seq.tabulate(30) { i =>
+      Row(i.toLong, java.sql.Timestamp.valueOf(
+        f"2024-02-${i % 10 + 1}%02d 12:00:00"))
+    }
+    val out = Split.temporalSplit(df("id BIGINT, ts TIMESTAMP", rows), "ts", 0.7)
+    val maxTrain = out.filter(col("split") === "train")
+      .agg(org.apache.spark.sql.functions.max("ts")).collect()(0).getTimestamp(0)
+    val minTest = out.filter(col("split") === "test")
+      .agg(org.apache.spark.sql.functions.min("ts")).collect()(0).getTimestamp(0)
+    assert(maxTrain.before(minTest))
+  }
 }
