@@ -88,7 +88,10 @@ object ScaleProbe {
     // weighted sampling (global top-k), curriculum ordering, temporal
     // split (day-count cumulative + broadcast cutoff)
     "q_text_novelty", "q_sample_weighted", "q_sample_curriculum",
-    "q_split_temporal")
+    "q_split_temporal",
+    // round-6 batch D: conversation audit (one lag window + agg),
+    // dataset card (two 1-row reduces), MAD flags (two quantile passes)
+    "q_sft_audit", "q_report_card", "q_anomaly_mad")
 
   private def caesar(c: org.apache.spark.sql.Column, k: Int) = {
     val lower = "abcdefghijklmnopqrstuvwxyz"

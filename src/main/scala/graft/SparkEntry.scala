@@ -2581,6 +2581,35 @@ object SparkEntry {
         executor(s, d).table("events").select(col("event_id"), col("ts")),
         "ts", trainFrac = 0.8)
         .select(col("event_id"), col("split"))
+        .orderBy("event_id")),
+
+    // Conversation-structure audit over the sftTurns reshaping: parity
+    // roles make full conversations valid; tail fragments exercise the
+    // failure flags.
+    "q_sft_audit" -> ((s, d) =>
+      graft.operators.Sft.conversationAudit(
+        sftTurns(s, d), "conv_id", "turn", "role", "content")
+        .orderBy("conv_id")),
+
+    // One-row dataset card for the documents corpus.
+    "q_report_card" -> ((s, d) =>
+      graft.operators.Profile.datasetCard(
+        docs(s, d), "doc_id", "text", "lang", "source")),
+
+    // Benford's-law digit audit of order totals.
+    "q_profile_benford" -> ((s, d) =>
+      graft.operators.Profile.benford(
+        executor(s, d).table("orders"), "o_totalprice")
+        .orderBy("digit")),
+
+    // Robust median/MAD outlier flags per user — the zscore gate's
+    // non-parametric twin (exact medians via the quantiles machinery).
+    "q_anomaly_mad" -> ((s, d) =>
+      graft.operators.Profile.madFlags(
+        executor(s, d).table("events")
+          .select(col("event_id"), col("user_id"), col("value")),
+        "user_id", "value", threshold = 3.5)
+        .select(col("event_id"), col("rz"), col("is_outlier"))
         .orderBy("event_id"))
   )
 
@@ -5196,6 +5225,78 @@ object SparkEntry {
         |    AS BIGINT) AS pos
         |FROM staged ORDER BY doc_id""".stripMargin,
 
+    // sftTurns reconstructed in SQL; first/last roles via min_by/max_by,
+    // alternation via a lag window before the aggregate.
+    "q_sft_audit" ->
+      """WITH t AS (
+        |  SELECT doc_id // 4 AS conv_id, doc_id % 4 AS turn,
+        |    CASE WHEN doc_id % 2 = 0 THEN 'user' ELSE 'assistant' END AS role,
+        |    text AS content
+        |  FROM documents),
+        |w AS (SELECT conv_id, turn, role, length(content) AS len,
+        |        lag(role) OVER (PARTITION BY conv_id ORDER BY turn) AS prev
+        |      FROM t),
+        |a AS (SELECT conv_id,
+        |  CAST(count(*) AS BIGINT) AS n_turns,
+        |  CAST(count(CASE WHEN role = 'user' THEN 1 END) AS BIGINT) AS n_user,
+        |  CAST(count(CASE WHEN role = 'assistant' THEN 1 END) AS BIGINT)
+        |    AS n_assistant,
+        |  CAST(coalesce(sum(len), 0) AS BIGINT) AS total_chars,
+        |  CAST(max(len) AS BIGINT) AS max_turn_chars,
+        |  min_by(role, turn) = 'user' AS starts_with_user,
+        |  count(CASE WHEN prev = role THEN 1 END) = 0 AS alternates,
+        |  max_by(role, turn) = 'assistant' AS ends_with_assistant
+        |  FROM w GROUP BY conv_id)
+        |SELECT *, starts_with_user AND alternates AND ends_with_assistant
+        |  AS is_valid
+        |FROM a ORDER BY conv_id""".stripMargin,
+
+    "q_report_card" ->
+      s"""WITH base AS (SELECT
+         |  CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+         |  CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
+         |  CAST(coalesce(sum(length(text)), 0) AS BIGINT) AS total_chars,
+         |  CAST(coalesce(sum(len($toksSql)), 0) AS BIGINT) AS total_tokens
+         |  FROM documents),
+         |dup AS (SELECT CAST(coalesce(sum(c - 1), 0) AS BIGINT) AS dup_docs
+         |        FROM (SELECT md5(text) AS h, count(*) AS c
+         |              FROM documents GROUP BY 1) g)
+         |SELECT n_docs, n_langs, n_sources, total_chars, total_tokens,
+         |  round(CAST(total_tokens AS DOUBLE) / n_docs, 6) AS avg_doc_tokens,
+         |  dup_docs,
+         |  round(CAST(dup_docs AS DOUBLE) / n_docs, 6) AS dup_doc_frac
+         |FROM base, dup""".stripMargin,
+
+    "q_profile_benford" -> benfordOracle,
+
+    // The two exact-median passes of madFlags replayed with the
+    // rank-at-ceil(n/2) machinery of the quantiles oracle.
+    "q_anomaly_mad" ->
+      """WITH e AS (SELECT event_id, user_id, value FROM events),
+        |r1 AS (SELECT user_id, value,
+        |         row_number() OVER (PARTITION BY user_id ORDER BY value) AS rn,
+        |         count(*) OVER (PARTITION BY user_id) AS n
+        |       FROM e WHERE value IS NOT NULL),
+        |med AS (SELECT user_id, CAST(value AS DOUBLE) AS med FROM r1
+        |        WHERE rn = CAST(ceil(round(0.5 * n, 9)) AS BIGINT)),
+        |d AS (SELECT e.event_id, e.user_id, CAST(e.value AS DOUBLE) AS v,
+        |        abs(CAST(e.value AS DOUBLE) - med) AS dev, med
+        |      FROM e JOIN med USING (user_id)),
+        |r2 AS (SELECT user_id, dev,
+        |         row_number() OVER (PARTITION BY user_id ORDER BY dev) AS rn,
+        |         count(*) OVER (PARTITION BY user_id) AS n
+        |       FROM d WHERE dev IS NOT NULL),
+        |mad AS (SELECT user_id, dev AS mad FROM r2
+        |        WHERE rn = CAST(ceil(round(0.5 * n, 9)) AS BIGINT)),
+        |z AS (SELECT event_id,
+        |        CASE WHEN mad > 0
+        |          THEN round((v - med) / (1.4826 * mad), 6) END AS rz
+        |      FROM d JOIN mad USING (user_id))
+        |SELECT event_id, rz,
+        |  coalesce(abs(rz) > 3.5, FALSE) AS is_outlier
+        |FROM z ORDER BY event_id""".stripMargin,
+
     // Day-granular temporal split: cutoff = first day whose cumulative
     // count reaches ceil(0.8 n); 9-dp round before ceil as in quantiles.
     "q_split_temporal" ->
@@ -5277,6 +5378,31 @@ object SparkEntry {
        |SELECT col AS "column", max(n) AS n, max(n_distinct) AS n_distinct,
        |  round(CAST(sum(CAST(term AS DECIMAL(20,9))) AS DOUBLE), 6) AS entropy
        |FROM terms GROUP BY col ORDER BY col""".stripMargin
+  }
+
+  /** Benford oracle: expected shares are the same Scala-computed
+    * literals the operator broadcasts; deviation derives from the
+    * already-rounded pair on both engines. */
+  private def benfordOracle: String = {
+    val support = (1 to 9).map(d =>
+      s"('${d}', ${math.log10(1.0 + 1.0 / d)})").mkString(", ")
+    s"""WITH obs AS (
+       |  SELECT regexp_extract(CAST(abs(CAST(o_totalprice AS DECIMAL(18,2)))
+       |           AS VARCHAR), '[1-9]') AS digit,
+       |    count(*) AS n
+       |  FROM orders
+       |  WHERE regexp_extract(CAST(abs(CAST(o_totalprice AS DECIMAL(18,2)))
+       |          AS VARCHAR), '[1-9]') <> ''
+       |  GROUP BY 1),
+       |total AS (SELECT CAST(coalesce(sum(n), 0) AS BIGINT) AS t FROM obs),
+       |s AS (SELECT sup.digit, CAST(coalesce(obs.n, 0) AS BIGINT) AS n,
+       |        round(CAST(coalesce(obs.n, 0) AS DOUBLE) / total.t, 6) AS share,
+       |        round(sup.p, 6) AS benford_p
+       |      FROM (VALUES $support) AS sup(digit, p)
+       |      LEFT JOIN obs ON sup.digit = obs.digit CROSS JOIN total)
+       |SELECT digit, n, share, benford_p,
+       |  round(share - benford_p, 6) AS deviation
+       |FROM s ORDER BY digit""".stripMargin
   }
 
   /** Fellegi-Sunter oracle: the same (m,u)-derived weight literals as

@@ -490,6 +490,120 @@ object Profile {
     }.reduce(_ unionByName _)
   }
 
+  /**
+   * Benford's-law audit of a numeric column — the fabrication/anomaly
+   * screen for "organically grown" quantities (transaction amounts,
+   * populations, file sizes): their leading significant digits follow
+   * P(d) = log10(1 + 1/d), and systematic deviation flags synthetic or
+   * truncated data. One row per digit 1–9:
+   * `(digit, n, share, benford_p, deviation)` with `share` the observed
+   * fraction and `deviation` = share − benford_p (both 6 dp).
+   *
+   * The leading digit is extracted from the DECIMAL(18,2) rendering
+   * (first [1-9] character) — decimal stringification is canonical
+   * across engines, unlike double formatting (scientific notation), and
+   * avoids `floor(log10 x)` whose IEEE value can sit a hair below an
+   * integer at powers of ten. Zero/NULL values carry no leading digit
+   * and are excluded. Expected shares are Scala-computed literals, so
+   * both engines compare against identical doubles.
+   *
+   * Scale shape: one projection + one 9-group map-side-combined
+   * aggregate + a broadcast of the 1-row total. Digits with zero
+   * observations still appear (the report is the full support).
+   */
+  def benford(df: DataFrame, colName: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val digit = regexp_extract(
+      abs(col(colName).cast("decimal(18,2)")).cast("string"), "[1-9]", 0)
+    val observed = df.select(digit.as("digit"))
+      .filter(col("digit") =!= "")
+      .groupBy("digit").agg(count(lit(1)).as("n"))
+    val support = (1 to 9)
+      .map(d => (d.toString, math.log10(1.0 + 1.0 / d))).toDF("digit", "benford_p")
+    val total = observed.agg(coalesce(sum("n"), lit(0L)).as("__total"))
+    support.join(observed, Seq("digit"), "left")
+      .crossJoin(broadcast(total))
+      .select(col("digit"),
+        coalesce(col("n"), lit(0L)).as("n"),
+        round(coalesce(col("n"), lit(0L)).cast("double") / col("__total"), 6)
+          .as("share"),
+        round(col("benford_p"), 6).as("benford_p"))
+      .withColumn("deviation", round(col("share") - col("benford_p"), 6))
+  }
+
+  /**
+   * One-row dataset card — the headline numbers a corpus release ships
+   * with: `(n_docs, n_langs, n_sources, total_chars, total_tokens,
+   * avg_doc_tokens, dup_docs, dup_doc_frac)`. `dup_docs` counts rows
+   * beyond each exact-content group's first (what
+   * [[Dedup.exactDedup]] would remove); averages are single divisions
+   * of exact longs rounded to 6 dp.
+   *
+   * Scale shape: one global aggregate over the scan (counts, lengths,
+   * native token counts, two exact distincts over small-domain
+   * columns) plus one digest-keyed aggregate for the dup mass, crossed
+   * as 1-row frames. Strictly two passes, no row data shuffles beyond
+   * the 32-byte digests.
+   */
+  def datasetCard(df: DataFrame, idCol: String, textCol: String,
+                  langCol: String, sourceCol: String): DataFrame = {
+    val base = df.agg(
+      count(lit(1)).as("n_docs"),
+      countDistinct(col(langCol)).as("n_langs"),
+      countDistinct(col(sourceCol)).as("n_sources"),
+      coalesce(sum(length(col(textCol)).cast("long")), lit(0L))
+        .as("total_chars"),
+      coalesce(sum(graft.functions.TextFunctions.tokenCount(col(textCol))
+        .cast("long")), lit(0L)).as("total_tokens"))
+    val dup = df.groupBy(md5(col(textCol)).as("__digest"))
+      .agg(count(lit(1)).as("__c"))
+      .agg(coalesce(sum(col("__c") - lit(1)), lit(0L)).as("dup_docs"))
+    base.crossJoin(broadcast(dup))
+      .select(col("n_docs"), col("n_langs"), col("n_sources"),
+        col("total_chars"), col("total_tokens"),
+        round(col("total_tokens").cast("double") / col("n_docs"), 6)
+          .as("avg_doc_tokens"),
+        col("dup_docs"),
+        round(col("dup_docs").cast("double") / col("n_docs"), 6)
+          .as("dup_doc_frac"))
+  }
+
+  /**
+   * Robust outlier flags via median/MAD — [[zscoreFlags]]'s
+   * non-parametric sibling: `rz = (x − median) / (1.4826 · MAD)`
+   * (the 1.4826 factor makes MAD consistent with σ under normality),
+   * immune to the outliers themselves inflating the spread — the
+   * standard choice when the contamination is heavy enough to mask
+   * itself from a mean/σ z-score. Output = input + `rz` (6 dp, NULL
+   * when MAD = 0 — degenerate spread flags nothing, like the σ = 0
+   * case of zscoreFlags) + `is_outlier`.
+   *
+   * Both medians are EXACT (the [[quantiles]] rank-at-⌈n/2⌉ machinery,
+   * not an approximate percentile), so the flags are deterministic and
+   * oracle-checkable. Scale shape: two key-partitioned count-compressed
+   * quantile passes (each shuffles (key, value) counts, not rows) and
+   * two key joins back onto the data.
+   */
+  def madFlags(df: DataFrame, keyCol: String, valueCol: String,
+               threshold: Double = 3.5): DataFrame = {
+    val med = quantiles(df, keyCol, valueCol, Seq(0.5))
+      .select(col(keyCol), col("value").cast("double").as("__med"))
+    val withMed = df.join(med, Seq(keyCol))
+    val mad = quantiles(
+      withMed.withColumn("__dev",
+        abs(col(valueCol).cast("double") - col("__med"))),
+      keyCol, "__dev", Seq(0.5))
+      .select(col(keyCol), col("value").as("__mad"))
+    withMed.join(mad, Seq(keyCol))
+      .withColumn("rz", when(col("__mad") > 0,
+        round((col(valueCol).cast("double") - col("__med")) /
+          (lit(1.4826) * col("__mad")), 6)))
+      .withColumn("is_outlier",
+        coalesce(abs(col("rz")) > lit(threshold), lit(false)))
+      .drop("__med", "__mad")
+  }
+
   def keyOverlap(left: DataFrame, right: DataFrame,
                  leftKey: String, rightKey: String): DataFrame = {
     val lk = left.filter(col(leftKey).isNotNull)

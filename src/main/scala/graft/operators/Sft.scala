@@ -84,4 +84,44 @@ object Sft {
       .select(col("conv_id"), col("turn").cast("long").as("turn"),
         role.as("role"), content.as("content"))
   }
+
+  /**
+   * Conversation-structure audit — the validity screen run before
+   * rendering an SFT corpus: one row per conversation with
+   * `(n_turns, n_user, n_assistant, total_chars, max_turn_chars,
+   *   starts_with_user, alternates, ends_with_assistant, is_valid)`.
+   * `alternates` = no two consecutive turns share a role;
+   * `is_valid` = starts with user ∧ alternates ∧ ends with assistant —
+   * the contract chat-template tokenizers assume (a corpus violating it
+   * silently trains the model on malformed role sequences).
+   *
+   * Scale shape: one conversation-partitioned `lag` window (the
+   * consecutive-role check) feeding one aggregate on the same key — a
+   * single shuffle, no turn lists materialized. First/last roles come
+   * from struct-ordered min/max (turn is the leading field), not a
+   * second sort.
+   */
+  def conversationAudit(df: DataFrame, convCol: String, turnCol: String,
+                        roleCol: String, contentCol: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("conv_id")).orderBy(col("__t"))
+    df.select(col(convCol).as("conv_id"), col(turnCol).cast("long").as("__t"),
+        col(roleCol).as("__r"), length(col(contentCol)).cast("long").as("__len"))
+      .withColumn("__same",
+        when(lag(col("__r"), 1).over(w) === col("__r"), 1).otherwise(0))
+      .groupBy("conv_id")
+      .agg(
+        count(lit(1)).as("n_turns"),
+        count(when(col("__r") === "user", 1)).as("n_user"),
+        count(when(col("__r") === "assistant", 1)).as("n_assistant"),
+        coalesce(sum("__len"), lit(0L)).as("total_chars"),
+        max("__len").as("max_turn_chars"),
+        (min(struct(col("__t"), col("__r"))).getField("__r") === "user")
+          .as("starts_with_user"),
+        (sum("__same") === 0).as("alternates"),
+        (max(struct(col("__t"), col("__r"))).getField("__r") === "assistant")
+          .as("ends_with_assistant"))
+      .withColumn("is_valid",
+        col("starts_with_user") && col("alternates") && col("ends_with_assistant"))
+  }
 }

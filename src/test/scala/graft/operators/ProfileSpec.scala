@@ -233,6 +233,66 @@ class ProfileSpec extends SparkTestBase {
     assert(r.getAs[Long]("max_fanout") == 3L)          // 1 left x 3 right
   }
 
+  test("benford: leading digits from decimal rendering, zero rows excluded") {
+    import org.apache.spark.sql.Row
+    val d = df("v DOUBLE", Seq(
+      Row(123.4), Row(0.045), Row(-20.0), Row(0.0), Row(null),
+      Row(1000000.0), Row(9.9), Row(2.5)))
+    // decimal(18,2) renderings: 123.40, 0.05(!cast rounds), -20.00, 0.00,
+    // 1000000.00, 9.90, 2.50 -> leading digits: 1,5(0.05),2,1,9,2; 0.00 excluded
+    val out = Profile.benford(d, "v")
+      .collect().map(r => r.getString(0) ->
+        ((r.getAs[Long]("n"), r.getAs[Double]("share")))).toMap
+    assert(out.keySet == (1 to 9).map(_.toString).toSet)
+    assert(out("1")._1 == 2L) // 123.40, 1000000.00
+    assert(out("2")._1 == 2L) // -20.00, 2.50
+    assert(out("5")._1 == 1L) // 0.045 -> 0.05
+    assert(out("9")._1 == 1L)
+    assert(out("3")._1 == 0L && out("3")._2 == 0.0)
+    val total = out.values.map(_._1).sum
+    assert(total == 6L)
+    // expected shares follow log10(1+1/d)
+    val p1 = Profile.benford(d, "v").collect()
+      .find(_.getString(0) == "1").get.getAs[Double]("benford_p")
+    assert(p1 == math.rint(math.log10(2.0) * 1e6) / 1e6)
+  }
+
+  test("madFlags: robust z immune to the outlier, degenerate MAD flags nothing") {
+    import org.apache.spark.sql.Row
+    val d = df("k STRING, id BIGINT, v DOUBLE", Seq(
+      Row("a", 1L, 10.0), Row("a", 2L, 11.0), Row("a", 3L, 12.0),
+      Row("a", 4L, 13.0), Row("a", 5L, 1000.0), // extreme outlier
+      Row("b", 6L, 5.0), Row("b", 7L, 5.0), Row("b", 8L, 5.0))) // MAD 0
+    val out = Profile.madFlags(d, "k", "v", threshold = 3.5)
+      .collect().map(r => r.getAs[Long]("id") ->
+        ((Option(r.getAs[Any]("rz")), r.getAs[Boolean]("is_outlier")))).toMap
+    // key a: n=5 -> median = value at rank 3 = 12; devs = 2,1,0,1,988
+    // -> MAD = 1; rz(1000) = 988/1.4826 ≈ 666 -> flagged
+    assert(out(5L)._2)
+    assert(!out(1L)._2 && !out(4L)._2)
+    // a mean/σ z-score would NOT flag 1000 at 3.5σ here (σ ≈ 395 pulls
+    // the threshold to ~1383); MAD does — that's the robustness claim
+    // degenerate key b: MAD 0 -> NULL rz, not flagged
+    assert(out(6L)._1.isEmpty && !out(6L)._2)
+  }
+
+  test("datasetCard: counts, token totals, dup mass in one row") {
+    import org.apache.spark.sql.Row
+    val d = df("id BIGINT, text STRING, lang STRING, src STRING", Seq(
+      Row(1L, "a b c", "en", "web"), Row(2L, "a b c", "en", "web"),
+      Row(3L, "d e", "fr", "web"), Row(4L, "d e", "fr", "books"),
+      Row(5L, "unique text", "en", "books")))
+    val r = Profile.datasetCard(d, "id", "text", "lang", "src").collect()(0)
+    assert(r.getAs[Long]("n_docs") == 5L)
+    assert(r.getAs[Long]("n_langs") == 2L)
+    assert(r.getAs[Long]("n_sources") == 2L)
+    assert(r.getAs[Long]("total_chars") == 5 + 5 + 3 + 3 + 11)
+    assert(r.getAs[Long]("total_tokens") == 3 + 3 + 2 + 2 + 2)
+    assert(r.getAs[Long]("dup_docs") == 2L) // one copy each of "a b c", "d e"
+    assert(r.getAs[Double]("dup_doc_frac") == 0.4)
+    assert(r.getAs[Double]("avg_doc_tokens") == 2.4)
+  }
+
   test("columnEntropy: uniform, constant, and NULL-bearing columns") {
     import org.apache.spark.sql.Row
     val d = df("a STRING, b STRING, c STRING", Seq(

@@ -59,4 +59,33 @@ class SftSpec extends SparkTestBase {
       .orderBy("conv_id").collect().map(_.toSeq).toSeq
     assert(a == b)
   }
+
+  test("conversationAudit: valid, double-role, wrong-start, wrong-end shapes") {
+    import org.apache.spark.sql.Row
+    val t = df("conv BIGINT, turn INT, role STRING, content STRING", Seq(
+      // conv 1: textbook u/a/u/a
+      Row(1L, 0, "user", "hi"), Row(1L, 1, "assistant", "hello!"),
+      Row(1L, 2, "user", "bye"), Row(1L, 3, "assistant", "bye"),
+      // conv 2: double assistant turn
+      Row(2L, 0, "user", "q"), Row(2L, 1, "assistant", "a1"),
+      Row(2L, 2, "assistant", "a2"),
+      // conv 3: starts with assistant
+      Row(3L, 0, "assistant", "preamble"), Row(3L, 1, "user", "??"),
+      // conv 4: alternates but ends on user
+      Row(4L, 0, "user", "q"), Row(4L, 1, "assistant", "a"),
+      Row(4L, 2, "user", "dangling")))
+    val out = Sft.conversationAudit(t, "conv", "turn", "role", "content")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    val c1 = out(1L)
+    assert(c1.getAs[Long]("n_turns") == 4L)
+    assert(c1.getAs[Long]("n_user") == 2L && c1.getAs[Long]("n_assistant") == 2L)
+    assert(c1.getAs[Long]("total_chars") == 2 + 6 + 3 + 3)
+    assert(c1.getAs[Long]("max_turn_chars") == 6L)
+    assert(c1.getAs[Boolean]("is_valid"))
+    assert(!out(2L).getAs[Boolean]("alternates") && !out(2L).getAs[Boolean]("is_valid"))
+    assert(out(2L).getAs[Boolean]("starts_with_user"))
+    assert(!out(3L).getAs[Boolean]("starts_with_user") && !out(3L).getAs[Boolean]("is_valid"))
+    assert(out(4L).getAs[Boolean]("alternates"))
+    assert(!out(4L).getAs[Boolean]("ends_with_assistant") && !out(4L).getAs[Boolean]("is_valid"))
+  }
 }
