@@ -91,7 +91,11 @@ object ScaleProbe {
     "q_split_temporal",
     // round-6 batch D: conversation audit (one lag window + agg),
     // dataset card (two 1-row reduces), MAD flags (two quantile passes)
-    "q_sft_audit", "q_report_card", "q_anomaly_mad")
+    "q_sft_audit", "q_report_card", "q_anomaly_mad",
+    // round-6 batch E: cluster-size histogram, cross-source dup matrix,
+    // vocab coverage curve, Zipf fit
+    "q_dedup_cluster_sizes", "q_dedup_cross_source", "q_vocab_coverage",
+    "q_text_zipf")
 
   private def caesar(c: org.apache.spark.sql.Column, k: Int) = {
     val lower = "abcdefghijklmnopqrstuvwxyz"

@@ -2610,7 +2610,38 @@ object SparkEntry {
           .select(col("event_id"), col("user_id"), col("value")),
         "user_id", "value", threshold = 3.5)
         .select(col("event_id"), col("rz"), col("is_outlier"))
-        .orderBy("event_id"))
+        .orderBy("event_id")),
+
+    // Duplicate-cluster size histogram over docs ∪ identical twins:
+    // every text has ≥2 copies; naturally-duplicated texts form larger
+    // classes.
+    "q_dedup_cluster_sizes" -> ((s, d) => {
+      val d0 = docs(s, d).select(col("doc_id"), col("text"))
+      val twins = d0.select((col("doc_id") + lit(1000000L)).as("doc_id"),
+        col("text"))
+      Dedup.clusterSizeProfile(d0.unionByName(twins), "doc_id", "text")
+        .orderBy("cluster_size")
+    }),
+
+    // Cross-source duplication matrix over docs ∪ a 'mirror' source
+    // carrying the same texts — the republication-flow audit.
+    "q_dedup_cross_source" -> ((s, d) => {
+      val d0 = docs(s, d).select(col("doc_id"), col("text"), col("source"))
+      val mirror = d0.select((col("doc_id") + lit(1000000L)).as("doc_id"),
+        col("text"), lit("mirror").as("source"))
+      Dedup.crossSourceDuplication(d0.unionByName(mirror),
+        "doc_id", "text", "source")
+        .orderBy("source_a", "source_b")
+    }),
+
+    // Vocabulary coverage curve at four sizes (the last clamps to |V|).
+    "q_vocab_coverage" -> ((s, d) =>
+      graft.operators.Vocab.coverageCurve(docs(s, d), "text",
+        ks = Seq(10, 100, 1000, 1000000)).orderBy("k")),
+
+    // Zipf-law fit over the top-500 token frequencies.
+    "q_text_zipf" -> ((s, d) =>
+      graft.operators.NgramStats.zipfFit(docs(s, d), "text", k = 500))
   )
 
   /** Shared field model for the linkage gates (weights are derived from
@@ -5270,6 +5301,58 @@ object SparkEntry {
 
     "q_profile_benford" -> benfordOracle,
 
+    "q_dedup_cluster_sizes" ->
+      """WITH all_docs AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL SELECT doc_id + 1000000, text FROM documents),
+        |g AS (SELECT md5(text) AS h, CAST(count(*) AS BIGINT) AS cluster_size
+        |      FROM all_docs GROUP BY 1),
+        |s AS (SELECT cluster_size, CAST(count(*) AS BIGINT) AS n_clusters
+        |      FROM g GROUP BY 1),
+        |t AS (SELECT CAST(sum(cluster_size * n_clusters) AS BIGINT) AS total
+        |      FROM s)
+        |SELECT cluster_size, n_clusters,
+        |  CAST(cluster_size * n_clusters AS BIGINT) AS n_docs,
+        |  round(CAST(cluster_size * n_clusters AS DOUBLE) / total, 6)
+        |    AS doc_share
+        |FROM s, t ORDER BY cluster_size""".stripMargin,
+
+    "q_dedup_cross_source" ->
+      """WITH all_docs AS (
+        |  SELECT text, source FROM documents
+        |  UNION ALL SELECT text, 'mirror' FROM documents),
+        |ps AS (SELECT md5(text) AS h, source, CAST(count(*) AS BIGINT) AS c
+        |       FROM all_docs GROUP BY 1, 2),
+        |p AS (SELECT a.source AS source_a, b.source AS source_b,
+        |        CASE WHEN a.source = b.source THEN a.c * (a.c - 1) // 2
+        |             ELSE a.c * b.c END AS pairs
+        |      FROM ps a JOIN ps b ON a.h = b.h AND a.source <= b.source)
+        |SELECT source_a, source_b,
+        |  CAST(count(*) AS BIGINT) AS n_shared_clusters,
+        |  CAST(sum(pairs) AS BIGINT) AS n_dup_pairs
+        |FROM p WHERE pairs > 0 GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q_vocab_coverage" ->
+      """WITH toks AS (
+        |  SELECT unnest(regexp_split_to_array(trim(lower(text)), '[ \t\n\x0b\f\r]+')) AS term
+        |  FROM documents),
+        |counts AS (SELECT term, CAST(count(*) AS BIGINT) AS n FROM toks
+        |           WHERE length(term) > 0 GROUP BY 1),
+        |ranked AS (SELECT term, n,
+        |    CAST(row_number() OVER (ORDER BY n DESC, term ASC) AS BIGINT) AS rnk,
+        |    CAST(sum(n) OVER (ORDER BY n DESC, term ASC
+        |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+        |  FROM counts),
+        |tot AS (SELECT CAST(sum(n) AS BIGINT) AS total,
+        |          CAST(count(*) AS BIGINT) AS v FROM counts)
+        |SELECT k, rnk AS vocab_terms, cum AS covered_occurrences,
+        |  round(CAST(cum AS DOUBLE) / total, 6) AS coverage
+        |FROM (VALUES (10), (100), (1000), (1000000)) AS ks(k)
+        |JOIN ranked ON ranked.rnk = least(CAST(k AS BIGINT), (SELECT v FROM tot))
+        |CROSS JOIN tot ORDER BY k""".stripMargin,
+
+    "q_text_zipf" -> zipfOracle,
+
     // The two exact-median passes of madFlags replayed with the
     // rank-at-ceil(n/2) machinery of the quantiles oracle.
     "q_anomaly_mad" ->
@@ -5379,6 +5462,36 @@ object SparkEntry {
        |  round(CAST(sum(CAST(term AS DECIMAL(20,9))) AS DOUBLE), 6) AS entropy
        |FROM terms GROUP BY col ORDER BY col""".stripMargin
   }
+
+  /** Zipf oracle: the same 9-dp-rounded (ln rank, ln freq) terms summed
+    * as DECIMAL(25,9), closed-form slope/intercept/r² in the identical
+    * expression shape (precedence-matched to the operator). */
+  private def zipfOracle: String =
+    """WITH toks AS (
+      |  SELECT unnest(regexp_split_to_array(trim(lower(text)), '[ \t\n\x0b\f\r]+')) AS term
+      |  FROM documents),
+      |top AS (SELECT term, CAST(count(*) AS BIGINT) AS n FROM toks
+      |        WHERE length(term) > 0 GROUP BY 1
+      |        ORDER BY n DESC, term ASC LIMIT 500),
+      |ranked AS (SELECT n,
+      |    CAST(row_number() OVER (ORDER BY n DESC, term ASC) AS BIGINT) AS rnk
+      |  FROM top),
+      |vals AS (SELECT round(ln(CAST(rnk AS DOUBLE)), 9) AS x,
+      |           round(ln(CAST(n AS DOUBLE)), 9) AS y FROM ranked),
+      |sums AS (SELECT CAST(count(*) AS BIGINT) AS n,
+      |    CAST(sum(CAST(x AS DECIMAL(25,9))) AS DOUBLE) AS sx,
+      |    CAST(sum(CAST(y AS DECIMAL(25,9))) AS DOUBLE) AS sy,
+      |    CAST(sum(CAST(round(x * y, 9) AS DECIMAL(25,9))) AS DOUBLE) AS sxy,
+      |    CAST(sum(CAST(round(x * x, 9) AS DECIMAL(25,9))) AS DOUBLE) AS sxx,
+      |    CAST(sum(CAST(round(y * y, 9) AS DECIMAL(25,9))) AS DOUBLE) AS syy
+      |  FROM vals)
+      |SELECT n AS n_terms,
+      |  round(-(sxy - sx * sy / n) / (sxx - sx * sx / n), 6) AS slope,
+      |  round((sy - (sxy - sx * sy / n) / (sxx - sx * sx / n) * sx) / n, 6)
+      |    AS intercept,
+      |  round(((sxy - sx * sy / n) * (sxy - sx * sy / n)) /
+      |    ((sxx - sx * sx / n) * (syy - sy * sy / n)), 6) AS r2
+      |FROM sums""".stripMargin
 
   /** Benford oracle: expected shares are the same Scala-computed
     * literals the operator broadcasts; deviation derives from the

@@ -864,6 +864,71 @@ object Dedup {
   }
 
   /**
+   * Duplicate-cluster size distribution — the histogram behind
+   * [[duplicationReport]]'s totals: one row per observed cluster size
+   * `(cluster_size, n_clusters, n_docs, doc_share)` where a cluster is
+   * an exact-content (md5) equivalence class. Reading it tells you
+   * WHICH dedup strategy pays: mass in size-2 clusters (mirrors/reposts
+   * — cheap wins) vs a few giant clusters (boilerplate — consider
+   * substring removal instead of whole-doc dedup).
+   *
+   * Scale shape: digest aggregate (32-byte keys) → size aggregate
+   * (|distinct sizes| rows, ≤ log-ish in practice) → broadcast 1-row
+   * total. Nothing beyond digests crosses the wire.
+   */
+  def clusterSizeProfile(df: DataFrame, idCol: String,
+                         textCol: String): DataFrame = {
+    val sizes = df.groupBy(md5(col(textCol)).as("__digest"))
+      .agg(count(lit(1)).as("cluster_size"))
+      .groupBy("cluster_size")
+      .agg(count(lit(1)).as("n_clusters"))
+      .withColumn("n_docs", col("cluster_size") * col("n_clusters"))
+    val total = sizes.agg(coalesce(sum("n_docs"), lit(0L)).as("__total"))
+    sizes.crossJoin(broadcast(total))
+      .select(col("cluster_size"), col("n_clusters"), col("n_docs"),
+        round(col("n_docs").cast("double") / col("__total"), 6)
+          .as("doc_share"))
+  }
+
+  /**
+   * Cross-source duplication matrix — WHERE duplicate mass flows
+   * between corpus slices: for each unordered source pair, the number
+   * of exact-duplicate document pairs spanning them and the number of
+   * content classes shared. High off-diagonal mass means one source
+   * republishes another (dedup order then decides who survives); the
+   * diagonal is within-source duplication.
+   *
+   * Output: `(source_a, source_b, n_shared_clusters, n_dup_pairs)`
+   * with source_a ≤ source_b; the diagonal's `n_dup_pairs` is C(c,2)
+   * within the class, off-diagonals c_a·c_b.
+   *
+   * Scale shape: one (digest, source) aggregate, then a digest-keyed
+   * self-join of that COUNT table — per digest the join fans out to
+   * (#sources present)², bounded by |sources|² regardless of cluster
+   * size (the reason this never materializes doc-level pairs), then a
+   * map-side-combined aggregate to the |sources|² matrix.
+   */
+  def crossSourceDuplication(df: DataFrame, idCol: String, textCol: String,
+                             sourceCol: String): DataFrame = {
+    val perSrc = df.groupBy(md5(col(textCol)).as("__digest"),
+        col(sourceCol).as("__src"))
+      .agg(count(lit(1)).as("__c"))
+    perSrc.as("a").join(perSrc.as("b"),
+        col("a.__digest") === col("b.__digest") &&
+          col("a.__src") <= col("b.__src"))
+      .select(col("a.__src").as("source_a"), col("b.__src").as("source_b"),
+        // integer `div`, not `/`: Spark's Divide on longs yields DOUBLE,
+        // which loses exactness past 2^53 pair counts
+        when(col("a.__src") === col("b.__src"),
+          expr("a.__c * (a.__c - 1) div 2"))
+          .otherwise(col("a.__c") * col("b.__c")).as("__pairs"))
+      .filter(col("__pairs") > 0)
+      .groupBy("source_a", "source_b")
+      .agg(count(lit(1)).as("n_shared_clusters"),
+        sum("__pairs").as("n_dup_pairs"))
+  }
+
+  /**
    * Sorted-neighborhood candidate pairs (Hernández & Stolfo, SIGMOD '95):
    * records sorted by a discriminating key are compared only against
    * their `windowSize - 1` successors in sort order — the classic cheap

@@ -90,6 +90,50 @@ object NgramStats {
   }
 
   /**
+   * Zipf-law fit over the top-k token frequencies — the corpus-health
+   * audit: natural text follows freq ∝ rank^(−s) with s ≈ 1; a slope
+   * far off (or a poor fit) flags templated/machine-generated text,
+   * aggressive dedup artifacts, or heavy boilerplate. Least squares on
+   * (x, y) = (ln rank, ln freq): one row
+   * `(n_terms, slope, intercept, r2)` (slope reported as the POSITIVE
+   * Zipf exponent s, 6 dp).
+   *
+   * FP determinism: each term contributes 9-dp-rounded x, y, xy, x²,
+   * y² values summed as DECIMAL(25,9) (associative), and the closed-
+   * form slope/intercept/r² are fixed-shape double expressions over
+   * those exact sums — the [[graft.operators.Drift]] policy.
+   *
+   * Scale shape: one term-count aggregate, a deterministic top-k
+   * (TakeOrderedAndProject — never a full sort), and a k-row reduce.
+   */
+  def zipfFit(df: DataFrame, textCol: String, k: Int = 1000): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("n_occurrences").desc, col("term").asc)
+    val ranked = Vocab.topVocabulary(df, textCol, k)
+      .withColumn("__x", round(log(row_number().over(w).cast("double")), 9))
+      .withColumn("__y", round(log(col("n_occurrences").cast("double")), 9))
+    val dec = (c: org.apache.spark.sql.Column) => c.cast("decimal(25,9)")
+    val sums = ranked.agg(
+      count(lit(1)).as("n"),
+      sum(dec(col("__x"))).cast("double").as("sx"),
+      sum(dec(col("__y"))).cast("double").as("sy"),
+      sum(dec(round(col("__x") * col("__y"), 9))).cast("double").as("sxy"),
+      sum(dec(round(col("__x") * col("__x"), 9))).cast("double").as("sxx"),
+      sum(dec(round(col("__y") * col("__y"), 9))).cast("double").as("syy"))
+    sums.select(col("n").as("n_terms"),
+      round(-(col("sxy") - col("sx") * col("sy") / col("n")) /
+        (col("sxx") - col("sx") * col("sx") / col("n")), 6).as("slope"),
+      round((col("sy") - (col("sxy") - col("sx") * col("sy") / col("n")) /
+        (col("sxx") - col("sx") * col("sx") / col("n")) * col("sx")) /
+        col("n"), 6).as("intercept"),
+      round(
+        ((col("sxy") - col("sx") * col("sy") / col("n")) *
+          (col("sxy") - col("sx") * col("sy") / col("n"))) /
+          ((col("sxx") - col("sx") * col("sx") / col("n")) *
+            (col("syy") - col("sy") * col("sy") / col("n"))), 6).as("r2"))
+  }
+
+  /**
    * N-gram novelty vs a reference corpus — the memorization/freshness
    * audit: per document, the share of its DISTINCT word n-grams never
    * seen in `reference` (novelty 0 ⇒ fully reconstructible from the

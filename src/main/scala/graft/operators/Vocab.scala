@@ -150,4 +150,45 @@ object Vocab {
       .select(col("id"),
         coalesce(col("n_tokens"), lit(0L)).cast("long").as("n_tokens"))
   }
+
+  /**
+   * Vocabulary coverage curve — how much of the corpus token mass the
+   * top-k vocabulary captures, for each requested k: the sizing curve
+   * behind "how big does my tokenizer's word list need to be". One row
+   * per k: `(k, vocab_terms, covered_occurrences, coverage)` with
+   * `vocab_terms = min(k, |vocab|)`, rank by (count DESC, term ASC).
+   *
+   * Scale shape: the corpus collapses to the term-count table in one
+   * map-side-combined aggregate; the cumulative rank window then runs
+   * over |vocab| rows — bounded by distinct terms, orders of magnitude
+   * under corpus size, the standard trade of every vocabulary job (the
+   * same single-order window topVocabulary's sort already pays).
+   * Each k picks ONE row of the cumulative table (rank = vocab_terms),
+   * so the curve costs one filter-join regardless of |ks|.
+   */
+  def coverageCurve(df: DataFrame, textCol: String, ks: Seq[Int]): DataFrame = {
+    require(ks.nonEmpty && ks.forall(_ >= 1) && ks.distinct == ks,
+      "ks must be distinct positive ranks")
+    val counts = df
+      .select(explode(TextFunctions.tokens(lower(col(textCol)))).as("term"))
+      .filter(length(col("term")) > 0)
+      .groupBy("term").agg(count(lit(1)).as("__n"))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("__n").desc, col("term").asc)
+    val ranked = counts
+      .withColumn("__rank", row_number().over(w).cast("long"))
+      .withColumn("__cum", sum("__n").over(
+        w.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)))
+    val totals = ranked.agg(
+      coalesce(sum("__n"), lit(0L)).as("__total"),
+      count(lit(1)).as("__v"))
+    val spark = df.sparkSession
+    import spark.implicits._
+    ranked.crossJoin(broadcast(totals))
+      .join(broadcast(ks.toDF("k")),
+        col("__rank") === least(col("k").cast("long"), col("__v")))
+      .select(col("k"), col("__rank").as("vocab_terms"),
+        col("__cum").as("covered_occurrences"),
+        round(col("__cum").cast("double") / col("__total"), 6).as("coverage"))
+  }
 }

@@ -639,6 +639,41 @@ class CurationSpec extends SparkTestBase {
     assert(r.getAs[Double]("utilization") == 1.0) // (23-3)/(2*10)
   }
 
+  test("Vocab.coverageCurve: cumulative mass at each k, clamped to |vocab|") {
+    val d = df("id BIGINT, text STRING", Seq(
+      Row(1L, "a a a a b b b c c d"))) // freqs: a4 b3 c2 d1, total 10
+    val out = Vocab.coverageCurve(d, "text", ks = Seq(1, 2, 100))
+      .collect().map(r => r.getInt(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(out(1) == ((1L, 4L, 0.4)))
+    assert(out(2) == ((2L, 7L, 0.7)))
+    assert(out(100) == ((4L, 10L, 1.0))) // clamps to the 4-term vocab
+  }
+
+  test("NgramStats.zipfFit: exact power law recovers its exponent") {
+    // freq(rank) = round(1e6 * rank^-1.2) for ranks 1..50 -> slope ≈ 1.2
+    val terms = (1 to 50).flatMap { r =>
+      val freq = math.round(1e6 * math.pow(r, -1.2)).toInt
+      // encode frequency via repeated tokens would be huge; instead use
+      // distinct rows with one token each, freq rows for term t<r>
+      Seq.fill(math.max(freq / 1000, 1))(f"t$r%03d")
+    }
+    val d = df("id BIGINT, text STRING",
+      terms.zipWithIndex.map { case (t, i) => Row(i.toLong, t) })
+    val r = NgramStats.zipfFit(d, "text", k = 50).collect()(0)
+    assert(r.getAs[Long]("n_terms") == 50L)
+    val slope = r.getAs[Double]("slope")
+    assert(slope > 1.1 && slope < 1.3, s"slope $slope")
+    assert(r.getAs[Double]("r2") > 0.99)
+  }
+
+  test("NgramStats.zipfFit: uniform frequencies give slope 0") {
+    val d = df("id BIGINT, text STRING",
+      (1 to 30).map(i => Row(i.toLong, s"u${i % 10}")))
+    val r = NgramStats.zipfFit(d, "text", k = 10).collect()(0)
+    assert(r.getAs[Double]("slope") == 0.0)
+  }
+
   test("NgramStats.novelty: seen, mixed, and fully-novel documents") {
     val ref = df("doc_id BIGINT, text STRING", Seq(
       Row(100L, "the quick brown fox jumps")))

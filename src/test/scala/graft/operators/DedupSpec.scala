@@ -258,6 +258,33 @@ class DedupSpec extends SparkTestBase {
     assert(out(5L) == ((s"PP${inner}QQRR", 30L)))
   }
 
+  test("clusterSizeProfile: sizes, cluster counts, doc shares") {
+    val d = df("id BIGINT, text STRING", Seq(
+      Row(1L, "aaa"), Row(2L, "aaa"), Row(3L, "aaa"), // size-3 cluster
+      Row(4L, "bbb"), Row(5L, "bbb"),                 // size-2
+      Row(6L, "ccc"), Row(7L, "ddd")))                // two singletons
+    val out = Dedup.clusterSizeProfile(d, "id", "text")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(out(1L) == ((2L, 2L, math.rint(2.0 / 7 * 1e6) / 1e6)))
+    assert(out(2L) == ((1L, 2L, math.rint(2.0 / 7 * 1e6) / 1e6)))
+    assert(out(3L) == ((1L, 3L, math.rint(3.0 / 7 * 1e6) / 1e6)))
+  }
+
+  test("crossSourceDuplication: within- and cross-source pair mass") {
+    val d = df("id BIGINT, text STRING, src STRING", Seq(
+      Row(1L, "aaa", "web"), Row(2L, "aaa", "web"), Row(3L, "aaa", "books"),
+      Row(4L, "bbb", "web"), Row(5L, "bbb", "books"),
+      Row(6L, "ccc", "web"))) // unique -> contributes nothing
+    val out = Dedup.crossSourceDuplication(d, "id", "text", "src")
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3)))).toMap
+    // books<=web lexicographically
+    assert(out(("books", "web")) == ((2L, 3L))) // aaa: 1*2, bbb: 1*1
+    assert(out(("web", "web")) == ((1L, 1L)))   // aaa within web: C(2,2)=1
+    assert(!out.contains(("books", "books")))   // no within-books dups
+  }
+
   test("sortedNeighborhoodPairs: window pairs within blocks, none across") {
     val d = df("id BIGINT, name STRING", Seq(
       Row(1L, "aa-alpha"), Row(2L, "aa-alpine"), Row(3L, "aa-azure"),
