@@ -95,7 +95,10 @@ object ScaleProbe {
     // round-6 batch E: cluster-size histogram, cross-source dup matrix,
     // vocab coverage curve, Zipf fit
     "q_dedup_cluster_sizes", "q_dedup_cross_source", "q_vocab_coverage",
-    "q_text_zipf")
+    "q_text_zipf",
+    // round-6 batch F: stride interleave, per-stratum weighted draw,
+    // classification report
+    "q_mix_interleave", "q_sample_weighted_perkey", "q_eval_classification")
 
   private def caesar(c: org.apache.spark.sql.Column, k: Int) = {
     val lower = "abcdefghijklmnopqrstuvwxyz"

@@ -2641,7 +2641,36 @@ object SparkEntry {
 
     // Zipf-law fit over the top-500 token frequencies.
     "q_text_zipf" -> ((s, d) =>
-      graft.operators.NgramStats.zipfFit(docs(s, d), "text", k = 500))
+      graft.operators.NgramStats.zipfFit(docs(s, d), "text", k = 500)),
+
+    // Stride-scheduled mixture interleave: 3:1 evens:odds data-loader
+    // order — every prefix of the mix_key order carries the weight mix.
+    "q_mix_interleave" -> ((s, d) => {
+      val d0 = docs(s, d).select(col("doc_id"))
+      graft.operators.Mix.interleave(Seq(
+        (d0.filter(col("doc_id") % 2 === 0), 3.0),
+        (d0.filter(col("doc_id") % 2 =!= 0), 1.0)), "doc_id", salt = "s")
+        .orderBy("mix_key", "mix_source", "doc_id")
+    }),
+
+    // Per-stratum weighted sampling: 20 docs per language by n_chars
+    // mass (exponential clocks, same Knuth-hash u as q_sample_weighted).
+    "q_sample_weighted_perkey" -> ((s, d) =>
+      graft.operators.Sample.weightedSamplePerKey(
+        docs(s, d).select(col("doc_id"), col("lang"), col("n_chars")),
+        "lang", "doc_id", "n_chars", k = 20, seed = 3L)
+        .orderBy("lang", "samp_key", "doc_id")),
+
+    // Per-class precision/recall/F1 of a synthetic classifier (gold =
+    // lang; every 7th doc mispredicted as 'xx') — NULL-precision /
+    // NULL-recall classes exercised by construction.
+    "q_eval_classification" -> ((s, d) =>
+      graft.operators.Eval.classificationReport(
+        docs(s, d).select(col("lang").as("gold"),
+          when(col("doc_id") % 7 === 0, lit("xx"))
+            .otherwise(col("lang")).as("pred")),
+        "gold", "pred")
+        .orderBy("label"))
   )
 
   /** Shared field model for the linkage gates (weights are derived from
@@ -5352,6 +5381,71 @@ object SparkEntry {
         |CROSS JOIN tot ORDER BY k""".stripMargin,
 
     "q_text_zipf" -> zipfOracle,
+
+    // deterministicShuffle pos ≡ row_number by (md5(seed:id), id) within
+    // the source; mix_key = round(pos / w, 6).
+    "q_mix_interleave" ->
+      """WITH ev AS (SELECT doc_id,
+        |    CAST(row_number() OVER (
+        |      ORDER BY md5('s:0:' || CAST(doc_id AS VARCHAR)), doc_id)
+        |      AS BIGINT) AS mix_rank
+        |  FROM documents WHERE doc_id % 2 = 0),
+        |od AS (SELECT doc_id,
+        |    CAST(row_number() OVER (
+        |      ORDER BY md5('s:1:' || CAST(doc_id AS VARCHAR)), doc_id)
+        |      AS BIGINT) AS mix_rank
+        |  FROM documents WHERE doc_id % 2 <> 0),
+        |u AS (
+        |  SELECT doc_id, 0 AS mix_source, mix_rank,
+        |    round(CAST(mix_rank AS DOUBLE) / 3.0, 6) AS mix_key FROM ev
+        |  UNION ALL
+        |  SELECT doc_id, 1 AS mix_source, mix_rank,
+        |    round(CAST(mix_rank AS DOUBLE) / 1.0, 6) AS mix_key FROM od)
+        |SELECT * FROM u ORDER BY mix_key, mix_source, doc_id""".stripMargin,
+
+    "q_sample_weighted_perkey" ->
+      """WITH keyed AS (
+        |  SELECT doc_id, lang, n_chars,
+        |    round(-ln((((doc_id + 3) * 2654435761) % 2147483647 + 1)
+        |          / 2147483648.0) / CAST(n_chars AS DOUBLE), 9) AS samp_key
+        |  FROM documents WHERE n_chars > 0),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY lang
+        |        ORDER BY samp_key, doc_id) AS rn FROM keyed)
+        |SELECT doc_id, lang, n_chars, samp_key FROM r WHERE rn <= 20
+        |ORDER BY lang, samp_key, doc_id""".stripMargin,
+
+    "q_eval_classification" ->
+      """WITH d AS (SELECT lang AS gold,
+        |    CASE WHEN doc_id % 7 = 0 THEN 'xx' ELSE lang END AS pred
+        |  FROM documents),
+        |cells AS (SELECT gold, pred, CAST(count(*) AS BIGINT) AS c
+        |          FROM d GROUP BY 1, 2),
+        |bg AS (SELECT gold AS label, CAST(sum(c) AS BIGINT) AS support,
+        |         CAST(coalesce(sum(CASE WHEN gold = pred THEN c END), 0)
+        |           AS BIGINT) AS tp_g
+        |       FROM cells GROUP BY 1),
+        |bp AS (SELECT pred AS label, CAST(sum(c) AS BIGINT) AS predicted,
+        |         CAST(coalesce(sum(CASE WHEN gold = pred THEN c END), 0)
+        |           AS BIGINT) AS tp_p
+        |       FROM cells GROUP BY 1),
+        |m AS (SELECT coalesce(bg.label, bp.label) AS label,
+        |        coalesce(support, 0) AS support,
+        |        coalesce(tp_g, tp_p, 0) AS tp,
+        |        coalesce(predicted, 0) - coalesce(tp_p, 0) AS fp,
+        |        coalesce(support, 0) - coalesce(tp_g, 0) AS fn
+        |      FROM bg FULL OUTER JOIN bp ON bg.label = bp.label),
+        |pr AS (SELECT label, support, tp, fp, fn,
+        |        CASE WHEN tp + fp > 0
+        |          THEN round(CAST(tp AS DOUBLE) / (tp + fp), 6) END AS precision,
+        |        CASE WHEN support > 0
+        |          THEN round(CAST(tp AS DOUBLE) / support, 6) END AS recall
+        |      FROM m)
+        |SELECT label, support, tp, fp, fn, precision, recall,
+        |  CASE WHEN precision IS NOT NULL AND recall IS NOT NULL
+        |        AND precision + recall > 0
+        |    THEN round(2.0 * precision * recall / (precision + recall), 6)
+        |  END AS f1
+        |FROM pr ORDER BY label""".stripMargin,
 
     // The two exact-median passes of madFlags replayed with the
     // rank-at-ceil(n/2) machinery of the quantiles oracle.

@@ -208,4 +208,50 @@ object Eval {
         when(pe === lit(1.0), lit(null).cast("double"))
           .otherwise(round((po - pe) / (lit(1.0) - pe), 6)).as("kappa"))
   }
+
+  /**
+   * Per-class classification report — the audit of a quality/toxicity
+   * classifier against gold labels before its verdicts filter a corpus:
+   * one row per label in gold ∪ predicted,
+   * `(label, support, tp, fp, fn, precision, recall, f1)`. Precision is
+   * NULL when the class is never predicted, recall NULL when it never
+   * occurs in gold, F1 NULL when either is (division by an absent
+   * denominator is undefined, not zero — masking it as 0 hides the
+   * difference between "never fires" and "always wrong").
+   *
+   * Scale shape: the corpus reduces to |labels|² confusion cells in ONE
+   * map-side-combined aggregate; tp/fp/fn derive from two |labels|-row
+   * re-aggregations of that cell table. Exact integer counts; the three
+   * ratios are single divisions rounded to 6 dp.
+   */
+  def classificationReport(df: DataFrame, goldCol: String,
+                           predCol: String): DataFrame = {
+    val cells = df.groupBy(col(goldCol).as("__g"), col(predCol).as("__p"))
+      .agg(count(lit(1)).as("__c"))
+    val byGold = cells.groupBy(col("__g").as("label"))
+      .agg(sum("__c").as("support"),
+        coalesce(sum(when(col("__p") === col("__g"), col("__c"))), lit(0L))
+          .as("tp_g"))
+    val byPred = cells.groupBy(col("__p").as("label"))
+      .agg(sum("__c").as("predicted"),
+        coalesce(sum(when(col("__p") === col("__g"), col("__c"))), lit(0L))
+          .as("tp_p"))
+    byGold.join(byPred, Seq("label"), "full_outer")
+      .select(col("label"),
+        coalesce(col("support"), lit(0L)).as("support"),
+        coalesce(col("tp_g"), col("tp_p"), lit(0L)).as("tp"),
+        (coalesce(col("predicted"), lit(0L)) -
+          coalesce(col("tp_p"), lit(0L))).as("fp"),
+        (coalesce(col("support"), lit(0L)) -
+          coalesce(col("tp_g"), lit(0L))).as("fn"))
+      .withColumn("precision", when(col("tp") + col("fp") > 0,
+        round(col("tp").cast("double") / (col("tp") + col("fp")), 6)))
+      .withColumn("recall", when(col("support") > 0,
+        round(col("tp").cast("double") / col("support"), 6)))
+      .withColumn("f1", when(
+        col("precision").isNotNull && col("recall").isNotNull &&
+          col("precision") + col("recall") > 0,
+        round(lit(2.0) * col("precision") * col("recall") /
+          (col("precision") + col("recall")), 6)))
+  }
 }

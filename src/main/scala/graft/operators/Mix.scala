@@ -185,4 +185,38 @@ object Mix {
           col("__Z") * col("__N").cast("double"), 0).cast("long")
           .as("target_rows"))
   }
+
+  /**
+   * Deterministic stride-scheduled interleave — the DATA-LOADER order
+   * for a weighted mixture: each row gets `mix_key = rank_in_source /
+   * weight` (rank = the source-internal deterministic-shuffle position),
+   * and reading rows by ascending (mix_key, source, id) yields the
+   * smooth weighted round-robin of stride scheduling: after any prefix
+   * of length L, source i has contributed ≈ wᵢ/Σw · L rows — no epoch
+   * boundaries, no RNG, restartable from any offset.
+   *
+   * Emits `mix_source`, `mix_rank` (1-based within source) and
+   * `mix_key`; the consumer sorts by the key (or range-partitions on it
+   * for distributed readers — the key is uniformly dense in ranks/w).
+   * `mix_key` divides a ≤2⁵³ integer rank by a literal weight — both
+   * engines produce the identical IEEE double, rounded to 6 dp with the
+   * (source, id) tiebreak carrying determinism at collisions.
+   *
+   * Scale shape: per-source [[Sample.deterministicShuffle]] (bucketed
+   * offsets, no global sort) + a pure projection. The final ordering is
+   * the CONSUMER's range partition/sort — deliberately not materialized
+   * here.
+   */
+  def interleave(sources: Seq[(DataFrame, Double)], idCol: String,
+                 salt: String): DataFrame = {
+    require(sources.nonEmpty, "need at least one source")
+    require(sources.forall(_._2 > 0), "weights must be positive")
+    sources.zipWithIndex.map { case ((df, w), i) =>
+      Sample.deterministicShuffle(df, idCol, seed = s"$salt:$i")
+        .withColumn("mix_source", lit(i))
+        .withColumnRenamed("pos", "mix_rank")
+        .withColumn("mix_key",
+          round(col("mix_rank").cast("double") / lit(w), 6))
+    }.reduce(_ unionByName _)
+  }
 }

@@ -379,6 +379,33 @@ object Sample {
   }
 
   /**
+   * [[weightedSample]] per stratum: the k smallest exponential-clock
+   * keys WITHIN each key group — weighted sampling without replacement
+   * from every stratum in one pass (per-language/per-source quota draws
+   * where heavy documents should win proportionally to weight).
+   *
+   * Scale shape: one shuffle on the stratum + per-group top-k via
+   * row_number (rank ≤ k prunes inside the window stage); the window
+   * sorts each group once — the [[topPerKey]] shape.
+   */
+  def weightedSamplePerKey(df: DataFrame, keyCol: String, idCol: String,
+                           weightCol: String, k: Int,
+                           seed: Long = 0L): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    val h = pmod((col(idCol) + lit(seed)) * lit(2654435761L), lit(2147483647L))
+    val u = (h + lit(1)).cast("double") / lit(2147483648.0)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(keyCol))
+      .orderBy(col("samp_key").asc, col(idCol).asc)
+    df.filter(col(weightCol) > 0)
+      .withColumn("samp_key",
+        round(-log(u) / col(weightCol).cast("double"), 9))
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= k)
+      .drop("__rn")
+  }
+
+  /**
    * Curriculum ordering — the easy-to-hard training schedule: rows land
    * in a difficulty `stage` by ascending score `edges` (stage 0 =
    * score ≤ edges(0), …, stage #edges = above the last edge), and get a

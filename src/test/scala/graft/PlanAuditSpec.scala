@@ -137,4 +137,50 @@ class PlanAuditSpec extends SparkTestBase {
     assert(encodeLines.nonEmpty && encodeLines.forall(!_.contains("array_max")),
       plan)
   }
+
+  test("column entropy: per-column totals broadcast back, one value shuffle") {
+    val plan = SparkEntry.queries("q_profile_entropy")(spark, dir)
+      .queryExecution.executedPlan.toString
+    // the #columns-row totals join must be a broadcast, not a second
+    // shuffle of the (column, value) count table
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("SortMergeJoin"), plan)
+  }
+
+  test("novelty: the reference side carries no broadcast hint") {
+    // design contract: at 100 TB the reference inventory is huge, so the
+    // operator must NOT pin it with a broadcast hint — size-based
+    // planning then broadcasts small references (as it correctly does at
+    // this sf) and shuffle-joins large ones. Decontaminate's eval side
+    // IS hinted (eval sets are small by definition); novelty's must not be.
+    val logical = SparkEntry.queries("q_text_novelty")(spark, dir)
+      .queryExecution.analyzed.toString
+    assert(!logical.contains("ResolvedHint"), logical)
+  }
+
+  test("curriculum: stage windows are bucketed, never a whole-stage sort") {
+    val plan = SparkEntry.queries("q_sample_curriculum")(spark, dir)
+      .queryExecution.executedPlan.toString
+    // every Window's partition spec must include the md5-prefix bucket —
+    // a Window partitioned on stage alone would serialize n/stages rows
+    // through one task
+    val rowNumberWindows = plan.linesIterator
+      .filter(l => l.contains("Window") && l.contains("row_number")).toSeq
+    assert(rowNumberWindows.nonEmpty, plan)
+    assert(rowNumberWindows.forall(_.contains("__b")), plan)
+  }
+
+  test("weighted sample: global top-k plans as TakeOrderedAndProject") {
+    val plan = SparkEntry.queries("q_sample_weighted")(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+  }
+
+  test("key overlap: row tables collapse to counts before the single join") {
+    val df = SparkEntry.queries("q_profile_key_overlap")(spark, dir)
+    val plan = df.queryExecution.executedPlan.toString
+    // exactly one full-outer join, fed by aggregates on both sides —
+    // row data never meets row data
+    assert("FullOuter".r.findAllIn(plan).size == 1, plan)
+  }
 }

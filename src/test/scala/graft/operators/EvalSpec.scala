@@ -112,4 +112,35 @@ class EvalSpec extends SparkTestBase {
       Seq(("x", "p"), ("y", "q")).toDF("a", "b"), "a", "b").collect()(0)
     assert(disjoint.getDouble(3) == 0.0 && disjoint.getDouble(4) == 0.0)
   }
+
+  test("classificationReport: per-class counts, NULL semantics for absent classes") {
+    import spark.implicits._
+    // gold: a,a,a,b,b,c ; pred: a,a,b,b,b,b -> c never predicted,
+    // d predicted once but never gold
+    val d = Seq(("a", "a"), ("a", "a"), ("a", "b"), ("b", "b"), ("b", "b"),
+      ("c", "d")).toDF("gold", "pred")
+    val out = Eval.classificationReport(d, "gold", "pred")
+      .collect().map(r => r.getString(0) -> r).toMap
+    val a = out("a")
+    assert(a.getAs[Long]("support") == 3L && a.getAs[Long]("tp") == 2L &&
+      a.getAs[Long]("fp") == 0L && a.getAs[Long]("fn") == 1L)
+    assert(a.getAs[Double]("precision") == 1.0)
+    assert(a.getAs[Double]("recall") == math.rint(2.0 / 3 * 1e6) / 1e6)
+    val b = out("b")
+    assert(b.getAs[Long]("tp") == 2L && b.getAs[Long]("fp") == 1L)
+    // c: gold-only -> precision NULL (never predicted), recall 0
+    val c = out("c")
+    assert(c.isNullAt(c.fieldIndex("precision")))
+    assert(c.getAs[Double]("recall") == 0.0)
+    assert(c.isNullAt(c.fieldIndex("f1")))
+    // d: predicted-only -> support 0, recall NULL, precision 0
+    val dd = out("d")
+    assert(dd.getAs[Long]("support") == 0L && dd.getAs[Long]("fp") == 1L)
+    assert(dd.isNullAt(dd.fieldIndex("recall")))
+    assert(dd.getAs[Double]("precision") == 0.0)
+    // f1 for a: harmonic mean of rounded precision/recall
+    val p = 1.0; val r = 0.666667
+    assert(a.getAs[Double]("f1") ==
+      math.rint(2 * p * r / (p + r) * 1e6) / 1e6)
+  }
 }

@@ -156,4 +156,39 @@ class MixSpec extends SparkTestBase {
       assert(math.abs(m.values.map(_._1).sum - 1.0) < 1e-5)
     }
   }
+
+  test("interleave: stride keys give every prefix the weight mix") {
+    import org.apache.spark.sql.Row
+    def src(n: Int, tag: String) = df("id BIGINT, tag STRING",
+      (1 to n).map(i => Row(i.toLong, tag)))
+    val out = Mix.interleave(
+      Seq((src(300, "big"), 3.0), (src(100, "small"), 1.0)), "id", "s")
+      .orderBy("mix_key", "mix_source", "id")
+      .collect().map(_.getString(1))
+    assert(out.length == 400)
+    // any aligned prefix carries ~3:1; check at 25% and 50%
+    val p100 = out.take(100).count(_ == "big")
+    val p200 = out.take(200).count(_ == "big")
+    assert(p100 >= 73 && p100 <= 77, s"p100=$p100")
+    assert(p200 >= 148 && p200 <= 152, s"p200=$p200")
+    // deterministic
+    val again = Mix.interleave(
+      Seq((src(300, "big"), 3.0), (src(100, "small"), 1.0)), "id", "s")
+      .orderBy("mix_key", "mix_source", "id")
+      .collect().map(_.getString(1))
+    assert(out.toSeq == again.toSeq)
+  }
+
+  test("Sample.weightedSamplePerKey: per-stratum quotas, weights respected") {
+    import org.apache.spark.sql.Row
+    val rows = (1L to 50L).map(i => Row("a", i, if (i <= 25) 100.0 else 0.01)) ++
+      (51L to 60L).map(i => Row("b", i, 1.0))
+    val d = df("k STRING, id BIGINT, w DOUBLE", rows)
+    val out = Sample.weightedSamplePerKey(d, "k", "id", "w", k = 5, seed = 3L)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val byKey = out.groupBy(_._1)
+    assert(byKey("a").length == 5 && byKey("b").length == 5)
+    // heavy a-rows dominate their stratum's draw
+    assert(byKey("a").map(_._2).count(_ <= 25L) == 5)
+  }
 }
