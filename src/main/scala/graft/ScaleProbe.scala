@@ -98,7 +98,8 @@ object ScaleProbe {
     "q_text_zipf",
     // round-6 batch F: stride interleave, per-stratum weighted draw,
     // classification report
-    "q_mix_interleave", "q_sample_weighted_perkey", "q_eval_classification")
+    "q_mix_interleave", "q_sample_weighted_perkey", "q_eval_classification",
+    "q_embed_separation")
 
   private def caesar(c: org.apache.spark.sql.Column, k: Int) = {
     val lower = "abcdefghijklmnopqrstuvwxyz"

@@ -2670,6 +2670,15 @@ object SparkEntry {
           when(col("doc_id") % 7 === 0, lit("xx"))
             .otherwise(col("lang")).as("pred")),
         "gold", "pred")
+        .orderBy("label")),
+
+    // Embedding-space label separability: per-label cohesion vs the
+    // most-confusable rival centroid.
+    "q_embed_separation" -> ((s, d) =>
+      graft.operators.Centroids.classSeparation(
+        embeddings(s, d).select(col("vec_id"),
+          col("embedding").cast("array<double>").as("v"), col("label")),
+        "vec_id", "v", "label")
         .orderBy("label"))
   )
 
@@ -5413,6 +5422,39 @@ object SparkEntry {
         |        ORDER BY samp_key, doc_id) AS rn FROM keyed)
         |SELECT doc_id, lang, n_chars, samp_key FROM r WHERE rn <= 20
         |ORDER BY lang, samp_key, doc_id""".stripMargin,
+
+    // Same centroid construction as the q_cluster_assign oracle; member
+    // cosines via list_cosine_similarity (matches VF.cosine at 6 dp),
+    // mean as a DECIMAL(20,6) sum of exact 6-dp terms.
+    "q_embed_separation" ->
+      """WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+        |           FROM embeddings),
+        |ex AS (SELECT vec_id, label, unnest(v) AS x,
+        |              unnest(range(1, len(v) + 1)) AS pos FROM e),
+        |cent AS (
+        |  SELECT label, pos,
+        |    CAST(sum(CAST(round(x, 9) AS DECIMAL(27,9))) AS DOUBLE) / count(*) AS c
+        |  FROM ex GROUP BY 1, 2),
+        |cl AS (SELECT label, list(c ORDER BY pos) AS cv FROM cent GROUP BY 1),
+        |self AS (SELECT e.vec_id, e.label,
+        |           round(list_cosine_similarity(e.v, cl.cv), 6) AS c
+        |         FROM e JOIN cl USING (label)),
+        |coh AS (SELECT label, CAST(count(*) AS BIGINT) AS n,
+        |          round(CAST(sum(CAST(c AS DECIMAL(20,6))) AS DOUBLE)
+        |            / count(*), 6) AS mean_self_cosine
+        |        FROM self GROUP BY 1),
+        |cc AS (SELECT a.label AS label, b.label AS other,
+        |         round(list_cosine_similarity(a.cv, b.cv), 6) AS c
+        |       FROM cl a JOIN cl b ON a.label <> b.label),
+        |nn AS (SELECT label,
+        |         first(other ORDER BY c DESC, other ASC) AS nearest_label,
+        |         first(c ORDER BY c DESC, other ASC) AS nearest_centroid_cosine
+        |       FROM cc GROUP BY 1)
+        |SELECT coh.label, n, mean_self_cosine, nearest_label,
+        |  nearest_centroid_cosine,
+        |  round(mean_self_cosine - nearest_centroid_cosine, 6) AS margin
+        |FROM coh LEFT JOIN nn ON coh.label = nn.label
+        |ORDER BY coh.label""".stripMargin,
 
     "q_eval_classification" ->
       """WITH d AS (SELECT lang AS gold,

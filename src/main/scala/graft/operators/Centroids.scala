@@ -70,6 +70,46 @@ object Centroids {
         round(VF.cosine(col("__v"), col("centroid")), 6).as("cosine"))
   }
 
+  /**
+   * Embedding-space class-separation audit — are the labels actually
+   * separable in this embedding? One row per label:
+   * `(label, n, mean_self_cosine, nearest_label,
+   *   nearest_centroid_cosine, margin)` — members' mean cosine to their
+   * own centroid (cohesion), the most-confusable other label by
+   * centroid-centroid cosine, and the cohesion−confusion margin. A
+   * label whose margin ≤ 0 is not linearly separable at the centroid
+   * level: expect label noise, or an embedding that doesn't encode the
+   * distinction — the screen to run BEFORE training a classifier head
+   * or trusting [[assignNearest]] relabeling.
+   *
+   * Determinism: member cosines are the 6-dp [[cosineToCentroid]]
+   * values, their mean a DECIMAL(20,6) sum over exact 6-dp terms
+   * divided once; the centroid matrix is |labels|² tiny with
+   * (cosine DESC, label ASC) tie-breaks. Scale shape: one
+   * [[labelCentroids]] pass + the broadcast self-cosine join (corpus
+   * never shuffles) + a |labels|²-row nested loop.
+   */
+  def classSeparation(df: DataFrame, idCol: String, vecCol: String,
+                      labelCol: String): DataFrame = {
+    val cohesion = cosineToCentroid(df, idCol, vecCol, labelCol)
+      .groupBy("label")
+      .agg(count(lit(1)).as("n"),
+        round(sum(col("cosine").cast("decimal(20,6)")).cast("double") /
+          count(lit(1)), 6).as("mean_self_cosine"))
+    val cents = labelCentroids(df, vecCol, labelCol)
+    val confusion = cents.alias("a")
+      .join(broadcast(cents.alias("b")), col("a.label") =!= col("b.label"))
+      .select(col("a.label").as("label"), col("b.label").as("__other"),
+        round(VF.cosine(col("a.centroid"), col("b.centroid")), 6).as("__c"))
+      .groupBy("label")
+      .agg(min(struct((-col("__c")).as("nc"), col("__other").as("l"))).as("m"))
+      .select(col("label"), col("m.l").as("nearest_label"),
+        (-col("m.nc")).as("nearest_centroid_cosine"))
+    cohesion.join(confusion, Seq("label"), "left")
+      .withColumn("margin",
+        round(col("mean_self_cosine") - col("nearest_centroid_cosine"), 6))
+  }
+
   /** Assign every vector to its NEAREST label centroid by cosine
     * (regardless of its own label) — `(idCol, cluster, cosine)`; ties
     * break to the smallest label, via struct-ordered min over

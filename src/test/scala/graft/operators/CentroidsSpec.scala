@@ -86,4 +86,32 @@ class CentroidsSpec extends SparkTestBase {
     assert(out(2).zip(Seq(0.6, 0.8)).forall { case (a, b) => math.abs(a - b) < 1e-9 })
     assert(out(3) == Seq(0.0, 0.0))
   }
+
+  test("classSeparation: cohesion, nearest rival, and margin sign") {
+    // three tight clusters on distinct axes + one label overlapping 'a'
+    val d = df("id BIGINT, label STRING, v ARRAY<DOUBLE>", Seq(
+      Row(1L, "a", Seq(1.0, 0.0, 0.0)), Row(2L, "a", Seq(0.9, 0.1, 0.0)),
+      Row(3L, "b", Seq(0.0, 1.0, 0.0)), Row(4L, "b", Seq(0.0, 0.9, 0.1)),
+      Row(5L, "c", Seq(0.95, 0.05, 0.0)), // sits inside cluster a
+      Row(6L, "d", Seq(0.0, 0.0, 1.0))))
+    val out = Centroids.classSeparation(d, "id", "v", "label")
+      .collect().map(r => r.getString(0) -> r).toMap
+    // a's nearest rival is the overlapping c, and the margin is small/neg
+    assert(out("a").getAs[String]("nearest_label") == "c")
+    assert(out("a").getAs[Double]("nearest_centroid_cosine") > 0.99)
+    assert(out("a").getAs[Double]("margin") < 0.01)
+    // d is orthogonal to everything: high cohesion, low confusion
+    assert(out("d").getAs[Double]("mean_self_cosine") == 1.0)
+    assert(out("d").getAs[Double]("nearest_centroid_cosine") < 0.2)
+    assert(out("d").getAs[Double]("margin") > 0.8)
+    assert(out("b").getAs[Long]("n") == 2L)
+  }
+
+  test("classSeparation: single label has NULL rival columns") {
+    val d = df("id BIGINT, label STRING, v ARRAY<DOUBLE>", Seq(
+      Row(1L, "only", Seq(1.0, 0.0)), Row(2L, "only", Seq(0.8, 0.2))))
+    val r = Centroids.classSeparation(d, "id", "v", "label").collect()(0)
+    assert(r.isNullAt(r.fieldIndex("nearest_label")))
+    assert(r.isNullAt(r.fieldIndex("margin")))
+  }
 }
