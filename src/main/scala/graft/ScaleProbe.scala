@@ -99,7 +99,10 @@ object ScaleProbe {
     // round-6 batch F: stride interleave, per-stratum weighted draw,
     // classification report
     "q_mix_interleave", "q_sample_weighted_perkey", "q_eval_classification",
-    "q_embed_separation")
+    "q_embed_separation",
+    // round-6 batch G: generation eval — (id, token)/(id, gram)-keyed
+    // explode-reduce joins, maxN rounds for BLEU
+    "q_eval_token_f1", "q_eval_bleu")
 
   private def caesar(c: org.apache.spark.sql.Column, k: Int) = {
     val lower = "abcdefghijklmnopqrstuvwxyz"

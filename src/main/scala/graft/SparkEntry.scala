@@ -52,6 +52,23 @@ object SparkEntry {
   private def embeddings(spark: SparkSession, dir: String): DataFrame =
     spark.read.parquet(s"$dir/embeddings.parquet")
 
+  /** (pred, gold) pairs for the generation-eval gates: every 7th document
+    * is the prediction; the reference alternates between the document
+    * itself (doc_id % 14 == 0 — exact match) and the NEXT document
+    * (partial overlap), so F1/BLEU exercise both regimes. Inner join
+    * drops a trailing doc whose successor doesn't exist — mirrored by
+    * the oracle's JOIN. */
+  private def evalPairs(s: SparkSession, d: String): DataFrame = {
+    val ds = docs(s, d)
+    ds.filter(col("doc_id") % 7 === 0)
+      .select(col("doc_id").as("id"), col("text").as("pred"),
+        when(col("doc_id") % 14 === 0, col("doc_id"))
+          .otherwise(col("doc_id") + 1).as("__gid"))
+      .join(ds.select(col("doc_id").as("__gid"), col("text").as("gold")),
+        Seq("__gid"))
+      .select("id", "pred", "gold")
+  }
+
   private def st(n: Int): String = s"stage_$n"
 
   /** Synthetic pHash corpus for the hamming-dedup gates: 64-bit hashes
@@ -2039,6 +2056,22 @@ object SparkEntry {
         .orderBy("query_id")
     }),
 
+    // Token-level generation eval (SQuAD F1): every 7th document scored
+    // against a reference that alternates self (exact match, F1 = 1) and
+    // the next document (partial bag overlap) — both branches of the
+    // metric exercised in one gate.
+    "q_eval_token_f1" -> ((s, d) =>
+      graft.operators.Eval.tokenF1(evalPairs(s, d), "id", "pred", "gold")
+        .orderBy("id")),
+
+    // Corpus BLEU over the same mixed pairs: the self half keeps every
+    // pooled p_n well above 0 (its 4-grams all match) while the next-doc
+    // half drags precision below 1 — a non-degenerate score with the
+    // unsmoothed corpus definition.
+    "q_eval_bleu" -> ((s, d) =>
+      graft.operators.Eval.corpusBleu(evalPairs(s, d),
+        "id", "pred", "gold", maxN = 4)),
+
     // Inter-rater agreement: Cohen's κ between two heuristic keep/drop
     // quality raters (char-length vs token-count threshold) — the "do my
     // filters even agree beyond chance?" audit run before trusting
@@ -2871,6 +2904,74 @@ object SparkEntry {
       |SELECT d.doc_id, CAST(coalesce(s.n_feats, 0) AS BIGINT) AS n_feats,
       |       s.dsir_weight
       |FROM documents d LEFT JOIN s USING (doc_id) ORDER BY doc_id""".stripMargin
+
+  /** Pair CTE shared by the generation-eval oracles — mirrors
+    * [[evalPairs]]: every 7th doc, reference = self on %14 else next. */
+  private val evalPairsSql =
+    """pairs AS (
+      |  SELECT a.doc_id AS id, a.text AS pred, b.text AS gold
+      |  FROM documents a JOIN documents b
+      |    ON b.doc_id = a.doc_id + (CASE WHEN a.doc_id % 14 = 0 THEN 0 ELSE 1 END)
+      |  WHERE a.doc_id % 7 = 0)""".stripMargin
+
+  /** Empty-dropping whitespace tokenization of an eval-pair column —
+    * mirrors Eval.toks (split(trim('')) would yield a phantom ['']). */
+  private def evalToksSql(c: String): String =
+    s"list_filter(regexp_split_to_array(trim(coalesce($c, '')), " +
+      s"'[ \\t\\n\\x0b\\f\\r]+'), x -> x <> '')"
+  private def predToksSql = evalToksSql("pred")
+  private def goldToksSql = evalToksSql("gold")
+
+  /**
+   * DuckDB mirror of Eval.corpusBleu over [[evalPairsSql]]: per-n clipped
+   * matches via (id, gram) count joins, p_n rounded to 9 dp before ln,
+   * per-n log terms accumulated as DECIMAL(20,9), BP rounded to 9 dp
+   * before the product — the exact float discipline of the operator.
+   */
+  private def bleuOracle(maxN: Int): String = {
+    def gramsSql(arr: String, n: Int): String =
+      s"unnest(list_transform(range(1, greatest(len($arr)-${n - 1}, 0)+1), " +
+        s"i -> array_to_string(list_slice($arr, i, i+${n - 1}), ' ')))"
+    val perN = (1 to maxN).map { n =>
+      s"""pg$n AS (SELECT id, g, count(*) AS cp FROM (
+         |  SELECT id, ${gramsSql("pt", n)} AS g FROM base) GROUP BY 1, 2),
+         |gg$n AS (SELECT id, g, count(*) AS cg FROM (
+         |  SELECT id, ${gramsSql("gt", n)} AS g FROM base) GROUP BY 1, 2),
+         |st$n AS (SELECT $n AS n,
+         |  (SELECT CAST(coalesce(sum(least(cp, cg)), 0) AS BIGINT)
+         |   FROM pg$n JOIN gg$n USING (id, g)) AS matched,
+         |  (SELECT CAST(coalesce(sum(greatest(len(pt)-${n - 1}, 0)), 0) AS BIGINT)
+         |   FROM base) AS total)""".stripMargin
+    }.mkString(",\n")
+    val unions = (1 to maxN).map(n => s"SELECT * FROM st$n").mkString(" UNION ALL ")
+    val precSel = (1 to maxN).map(n =>
+      s"max(CASE WHEN n = $n AND total > 0 THEN " +
+        s"round(CAST(matched AS DOUBLE)/total, 6) END) AS p_$n").mkString(",\n  ")
+    val precNames = (1 to maxN).map(n => s"p_$n").mkString(", ")
+    s"""WITH $evalPairsSql,
+       |base AS (SELECT id, $predToksSql AS pt, $goldToksSql AS gt FROM pairs),
+       |$perN,
+       |stats AS ($unions),
+       |agg AS (SELECT
+       |  sum(CASE WHEN matched = 0 OR total = 0 THEN 1 ELSE 0 END) AS zeros,
+       |  sum(CASE WHEN matched > 0 AND total > 0
+       |    THEN CAST(round(ln(round(CAST(matched AS DOUBLE)/total, 9))/$maxN.0, 9)
+       |         AS DECIMAL(20,9))
+       |    ELSE CAST(0 AS DECIMAL(20,9)) END) AS logsum FROM stats),
+       |precs AS (SELECT
+       |  $precSel FROM stats),
+       |lens AS (SELECT CAST(sum(len(pt)) AS BIGINT) AS pred_len,
+       |                CAST(sum(len(gt)) AS BIGINT) AS ref_len FROM base),
+       |bpv AS (SELECT CASE WHEN pred_len >= ref_len OR pred_len = 0
+       |    THEN CAST(1.0 AS DOUBLE)
+       |    ELSE round(exp(1.0 - CAST(ref_len AS DOUBLE)/pred_len), 9) END AS bp
+       |  FROM lens)
+       |SELECT pred_len, ref_len, $precNames,
+       |  round(bp, 6) AS brevity_penalty,
+       |  CASE WHEN zeros > 0 OR pred_len = 0 THEN CAST(0.0 AS DOUBLE)
+       |    ELSE round(bp * exp(CAST(logsum AS DOUBLE)), 6) END AS bleu
+       |FROM lens, precs, agg, bpv""".stripMargin
+  }
 
   /**
    * DuckDB oracle for n-gram Jaccard pairs — string shingles instead of
@@ -4571,6 +4672,33 @@ object SparkEntry {
         |       ELSE round(p.dcg / idcg, 6) END AS ndcg_at_k
         |FROM gct g LEFT JOIN perq p USING (query_id) CROSS JOIN ideal
         |ORDER BY query_id""".stripMargin,
+    // Bag-of-tokens intersection WITH multiplicity: per-token min of the
+    // two count tables; F1 = 2·overlap/(n_pred+n_gold) algebraically.
+    "q_eval_token_f1" ->
+      s"""WITH $evalPairsSql,
+        |base AS (SELECT id, $predToksSql AS pt, $goldToksSql AS gt,
+        |  regexp_replace(trim(coalesce(pred, '')), '[ \\t\\n\\x0b\\f\\r]+', ' ', 'g') AS pn,
+        |  regexp_replace(trim(coalesce(gold, '')), '[ \\t\\n\\x0b\\f\\r]+', ' ', 'g') AS gn
+        |  FROM pairs),
+        |ptc AS (SELECT id, t, count(*) AS cp
+        |        FROM (SELECT id, unnest(pt) AS t FROM base) GROUP BY 1, 2),
+        |gtc AS (SELECT id, t, count(*) AS cg
+        |        FROM (SELECT id, unnest(gt) AS t FROM base) GROUP BY 1, 2),
+        |ov AS (SELECT id, sum(least(cp, cg)) AS ov
+        |       FROM ptc JOIN gtc USING (id, t) GROUP BY 1)
+        |SELECT b.id,
+        |  CAST(len(pt) AS BIGINT) AS n_pred, CAST(len(gt) AS BIGINT) AS n_gold,
+        |  CAST(coalesce(o.ov, 0) AS BIGINT) AS overlap,
+        |  CASE WHEN len(pt) > 0
+        |    THEN round(CAST(coalesce(o.ov, 0) AS DOUBLE) / len(pt), 6) END AS "precision",
+        |  CASE WHEN len(gt) > 0
+        |    THEN round(CAST(coalesce(o.ov, 0) AS DOUBLE) / len(gt), 6) END AS recall,
+        |  CASE WHEN len(pt) + len(gt) > 0
+        |    THEN round(2.0 * coalesce(o.ov, 0) /
+        |               CAST(len(pt) + len(gt) AS DOUBLE), 6) END AS f1,
+        |  CASE WHEN pn = gn THEN 1 ELSE 0 END AS exact_match
+        |FROM base b LEFT JOIN ov o USING (id) ORDER BY id""".stripMargin,
+    "q_eval_bleu" -> bleuOracle(4),
     "q_rater_kappa" ->
       """WITH r AS (
         |  SELECT CASE WHEN n_chars >= 400 THEN 'keep' ELSE 'drop' END AS a,

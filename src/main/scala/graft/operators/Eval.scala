@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /**
@@ -207,6 +207,139 @@ object Eval {
         round(pe, 6).as("chance_agreement"),
         when(pe === lit(1.0), lit(null).cast("double"))
           .otherwise(round((po - pe) / (lit(1.0) - pe), 6)).as("kappa"))
+  }
+
+  /** Whitespace tokens with empty strings dropped — `split(trim(''))`
+    * yields `[""]`, which would count as a phantom token on blank rows. */
+  private def toks(c: Column): Column =
+    filter(split(trim(coalesce(c, lit(""))), "\\s+"), t => t =!= "")
+
+  /**
+   * Token-level generation eval (SQuAD-style): per `(pred, gold)` row,
+   * bag-of-tokens overlap WITH multiplicity and the derived
+   * precision / recall / F1 plus whitespace-normalized exact match:
+   * `(id, n_pred, n_gold, overlap, precision, recall, f1, exact_match)`.
+   * F1 = 2·overlap/(n_pred+n_gold) (the algebraic identity with
+   * 2PR/(P+R), defined even when one side is empty); precision/recall
+   * are NULL when their denominator is 0 (nothing predicted / no gold —
+   * masking as 0 would hide "empty output" vs "all wrong").
+   *
+   * Scale shape: token bags are exploded and reduced to `(id, token)`
+   * count cells with map-side combine, so the one shuffle is keyed by
+   * (id, token) and bounded by corpus token count — never quadratic in
+   * document length (a per-row `filter`-scan expression would be O(L²)
+   * on long documents). Counts are exact longs; the three ratios are
+   * single divisions rounded to 6 dp.
+   */
+  def tokenF1(df: DataFrame, idCol: String,
+              predCol: String, goldCol: String): DataFrame = {
+    val base = df.select(col(idCol).as("id"),
+      toks(col(predCol)).as("__pt"), toks(col(goldCol)).as("__gt"),
+      regexp_replace(trim(coalesce(col(predCol), lit(""))), "\\s+", " ")
+        .as("__pn"),
+      regexp_replace(trim(coalesce(col(goldCol), lit(""))), "\\s+", " ")
+        .as("__gn"))
+    val pc = base.select(col("id"), explode(col("__pt")).as("t"))
+      .groupBy("id", "t").agg(count(lit(1)).as("cp"))
+    val gc = base.select(col("id"), explode(col("__gt")).as("t"))
+      .groupBy("id", "t").agg(count(lit(1)).as("cg"))
+    val ov = pc.join(gc, Seq("id", "t"))
+      .groupBy("id").agg(sum(least(col("cp"), col("cg"))).as("__ov"))
+    base.join(ov, Seq("id"), "left")
+      .select(col("id"),
+        size(col("__pt")).cast("long").as("n_pred"),
+        size(col("__gt")).cast("long").as("n_gold"),
+        coalesce(col("__ov"), lit(0L)).as("overlap"),
+        col("__pn"), col("__gn"))
+      .select(col("id"), col("n_pred"), col("n_gold"), col("overlap"),
+        when(col("n_pred") > 0,
+          round(col("overlap").cast("double") / col("n_pred"), 6))
+          .as("precision"),
+        when(col("n_gold") > 0,
+          round(col("overlap").cast("double") / col("n_gold"), 6))
+          .as("recall"),
+        when(col("n_pred") + col("n_gold") > 0,
+          round(lit(2.0) * col("overlap") /
+            (col("n_pred") + col("n_gold")).cast("double"), 6))
+          .as("f1"),
+        (col("__pn") === col("__gn")).cast("int").as("exact_match"))
+  }
+
+  /** Contiguous n-grams of a token array as space-joined strings
+    * (tokens are whitespace-split, so ' ' cannot occur inside one). */
+  private def grams(tokArr: Column, n: Int): Column =
+    when(size(tokArr) >= n,
+      transform(sequence(lit(1), size(tokArr) - lit(n - 1)),
+        i => concat_ws(" ", slice(tokArr, i, lit(n)))))
+      .otherwise(array().cast("array<string>"))
+
+  /**
+   * Corpus-level BLEU (Papineni et al. 2002) of `predCol` against a
+   * single reference `goldCol`: one row
+   * `(pred_len, ref_len, p_1..p_{maxN}, brevity_penalty, bleu)` with
+   * clipped modified n-gram precisions p_n = Σ_rows min(count_pred,
+   * count_gold) / Σ_rows pred-n-gram-count pooled over the corpus,
+   * BP = min(1, e^(1−ref_len/pred_len)), and
+   * BLEU = BP·exp(Σ_n ln(p_n)/maxN) — 0 when any p_n is 0 (the
+   * unsmoothed corpus definition; with corpus-pooled counts a zero
+   * p_4 means literally no 4-gram matched anywhere).
+   *
+   * Float discipline: p_n rounds to 9 dp before the log (so both
+   * engines take ln of identical doubles), ln/exp are single fixed-
+   * shape libm calls, outputs round to 6 dp — the same contract the
+   * nDCG gate has held across engines. Scale shape: maxN explode-
+   * reduce rounds keyed by (id, gram), each map-side combined and
+   * bounded by corpus token count; the per-n stats reduce to a
+   * maxN-row table before any transcendental math.
+   */
+  def corpusBleu(df: DataFrame, idCol: String, predCol: String,
+                 goldCol: String, maxN: Int = 4): DataFrame = {
+    require(maxN >= 1 && maxN <= 8, "maxN must be in [1, 8]")
+    val base = df.select(col(idCol).as("id"),
+      toks(col(predCol)).as("__pt"), toks(col(goldCol)).as("__gt"))
+    val lens = base.agg(
+      sum(size(col("__pt")).cast("long")).as("pred_len"),
+      sum(size(col("__gt")).cast("long")).as("ref_len"))
+    val perN = (1 to maxN).map { n =>
+      val pg = base.select(col("id"), explode(grams(col("__pt"), n)).as("g"))
+        .groupBy("id", "g").agg(count(lit(1)).as("cp"))
+      val gg = base.select(col("id"), explode(grams(col("__gt"), n)).as("g"))
+        .groupBy("id", "g").agg(count(lit(1)).as("cg"))
+      val matched = pg.join(gg, Seq("id", "g"))
+        .agg(coalesce(sum(least(col("cp"), col("cg"))), lit(0L))
+          .as("matched"))
+      val total = base.agg(
+        coalesce(sum(greatest(size(col("__pt")).cast("long") - lit(n - 1L),
+          lit(0L))), lit(0L)).as("total"))
+      matched.crossJoin(total).select(lit(n).as("n"),
+        col("matched"), col("total"))
+    }.reduce(_ unionByName _)
+    // p_n rounded to 9 dp BEFORE ln so both engines log identical values
+    val pn = round(col("matched").cast("double") /
+      col("total").cast("double"), 9)
+    val stats = perN.agg(
+      sum(when(col("matched") === 0 || col("total") === 0, lit(1))
+        .otherwise(lit(0))).as("__zeros"),
+      sum(when(col("matched") > 0 && col("total") > 0,
+        round(log(pn) / lit(maxN.toDouble), 9).cast("decimal(20,9)"))
+        .otherwise(lit(java.math.BigDecimal.ZERO).cast("decimal(20,9)")))
+        .as("__logsum"))
+    val precCols = (1 to maxN).map(n => first(
+      when(col("n") === n && col("total") > 0,
+        round(col("matched").cast("double") / col("total"), 6)),
+      ignoreNulls = true).as(s"p_$n"))
+    val precs = perN.agg(precCols.head, precCols.tail: _*)
+    val bp = when(col("pred_len") >= col("ref_len") || col("pred_len") === 0,
+      lit(1.0))
+      .otherwise(round(exp(lit(1.0) - col("ref_len").cast("double") /
+        col("pred_len").cast("double")), 9))
+    lens.crossJoin(precs).crossJoin(stats)
+      .select((col("pred_len") +: col("ref_len") +:
+        (1 to maxN).map(n => col(s"p_$n"))) :+
+        round(bp, 6).as("brevity_penalty") :+
+        when(col("__zeros") > 0 || col("pred_len") === 0, lit(0.0))
+          .otherwise(round(bp * exp(col("__logsum").cast("double")), 6))
+          .as("bleu"): _*)
   }
 
   /**

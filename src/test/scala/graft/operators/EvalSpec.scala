@@ -143,4 +143,58 @@ class EvalSpec extends SparkTestBase {
     assert(a.getAs[Double]("f1") ==
       math.rint(2 * p * r / (p + r) * 1e6) / 1e6)
   }
+
+  test("tokenF1: bag overlap with multiplicity, NULL denominators, exact match") {
+    val in = Seq(
+      (1L, "a b a c", "a a b d"),   // overlap min-counts: a:2, b:1 → 3
+      (2L, " x  y ", "x y"),        // whitespace-normalized exact match
+      (3L, "", "a"),                // empty pred: precision NULL, recall 0
+      (4L, "", "")                  // both empty: all ratios NULL, EM 1
+    ).toDF("id", "pred", "gold")
+    val out = Eval.tokenF1(in, "id", "pred", "gold")
+      .orderBy("id").collect()
+    assert(out(0) == Row(1L, 4L, 4L, 3L, 0.75, 0.75, 0.75, 0))
+    assert(out(1) == Row(2L, 2L, 2L, 2L, 1.0, 1.0, 1.0, 1))
+    val r3 = out(2)
+    assert(r3.getLong(1) == 0L && r3.getLong(3) == 0L)
+    assert(r3.isNullAt(r3.fieldIndex("precision")))
+    assert(r3.getAs[Double]("recall") == 0.0 && r3.getAs[Double]("f1") == 0.0)
+    val r4 = out(3)
+    assert(r4.isNullAt(r4.fieldIndex("precision")) &&
+      r4.isNullAt(r4.fieldIndex("recall")) && r4.isNullAt(r4.fieldIndex("f1")))
+    assert(r4.getAs[Int]("exact_match") == 1)
+  }
+
+  test("corpusBleu: pooled clipped precisions, brevity penalty, zero n-gram rule") {
+    // identical pair → every p_n = 1, BP = 1, BLEU = 1
+    val same = Seq((1L, "the cat sat on the mat", "the cat sat on the mat"))
+      .toDF("id", "pred", "gold")
+    val r1 = Eval.corpusBleu(same, "id", "pred", "gold").collect()(0)
+    assert(r1.getAs[Double]("bleu") == 1.0 &&
+      r1.getAs[Double]("brevity_penalty") == 1.0 &&
+      r1.getAs[Double]("p_4") == 1.0)
+
+    // short pred, perfect prefix: p1 = p2 = 1, BP = e^(1 - 4/2)
+    val short0 = Seq((1L, "the cat", "the cat sat on")).toDF("id", "pred", "gold")
+    val r2 = Eval.corpusBleu(short0, "id", "pred", "gold", maxN = 2).collect()(0)
+    val bp = BigDecimal(math.exp(1.0 - 4.0 / 2.0))
+      .setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(r2.getAs[Double]("brevity_penalty") ==
+      BigDecimal(bp).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    assert(math.abs(r2.getAs[Double]("bleu") - bp) < 1e-6)
+
+    // corpus pooling across rows: p1 = 5/6, p2 = 3/4 → BLEU ≈ √(p1·p2)
+    val mix = Seq((1L, "a b c", "a b c"), (2L, "a b d", "a b x"))
+      .toDF("id", "pred", "gold")
+    val r3 = Eval.corpusBleu(mix, "id", "pred", "gold", maxN = 2).collect()(0)
+    assert(r3.getAs[Double]("p_1") == 0.833333 && r3.getAs[Double]("p_2") == 0.75)
+    assert(math.abs(r3.getAs[Double]("bleu") -
+      math.sqrt(0.833333333 * 0.75)) < 1e-5)
+
+    // any pooled p_n = 0 → unsmoothed BLEU is 0 (here: no 2-gram matches)
+    val none = Seq((1L, "a b", "b a")).toDF("id", "pred", "gold")
+    val r4 = Eval.corpusBleu(none, "id", "pred", "gold", maxN = 2).collect()(0)
+    assert(r4.getAs[Double]("p_1") == 1.0 && r4.getAs[Double]("p_2") == 0.0 &&
+      r4.getAs[Double]("bleu") == 0.0)
+  }
 }
