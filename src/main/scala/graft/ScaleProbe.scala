@@ -102,7 +102,11 @@ object ScaleProbe {
     "q_embed_separation",
     // round-6 batch G: generation eval — (id, token)/(id, gram)-keyed
     // explode-reduce joins, maxN rounds for BLEU
-    "q_eval_token_f1", "q_eval_bleu")
+    "q_eval_token_f1", "q_eval_bleu",
+    // round-6 batch H: threshold-sweep curve (|thresholds|× bounded
+    // pair-table expansion), curation-funnel attribution (one scan +
+    // |rules|-row window)
+    "q_dedup_sweep", "q_quality_funnel")
 
   private def caesar(c: org.apache.spark.sql.Column, k: Int) = {
     val lower = "abcdefghijklmnopqrstuvwxyz"

@@ -651,6 +651,19 @@ object SparkEntry {
       Dedup.ngramJaccardPairs(docs(s, d), "doc_id", "text", n = 3, threshold = 0.5)
         .orderBy("id_a", "id_b")),
 
+    // Threshold-sweep curve over a low-cutoff pair table: pairs kept and
+    // docs touched at each candidate dedup threshold — the read-before-
+    // you-cut audit of where boilerplate chains fuse into mega-clusters.
+    // 2-gram shingles at cutoff 0.1: the corpus curve is bimodal (a
+    // shared-vocab band in [0.1, 0.15) plus exact twins at 1.0), so the
+    // four thresholds produce a genuinely decreasing curve.
+    "q_dedup_sweep" -> ((s, d) =>
+      Dedup.thresholdSweep(
+          Dedup.ngramJaccardPairs(docs(s, d), "doc_id", "text",
+            n = 2, threshold = 0.1),
+          "id_a", "id_b", "jaccard", Seq(0.1, 0.12, 0.15, 0.5))
+        .orderBy("threshold")),
+
     // Winnowing-fingerprint near-dup pairs — fingerprint sets are ~1/w of
     // the shingle count, so the inverted-index cost shrinks ~w²× vs exact
     // n-gram Jaccard (rows-only: xxhash64-based).
@@ -1493,6 +1506,17 @@ object SparkEntry {
           col("n_stopwords").cast("long").as("n_stopwords"),
           col("dup_line_frac"), col("keep").cast("int").as("keep"))
         .orderBy("doc_id")),
+
+    // Sequential curation-funnel audit: four keep-rules in pipeline
+    // order; each doc charged to the FIRST rule it fails — per-rule
+    // n_in/n_removed/n_out, the C4/Gopher-paper-style attribution table.
+    "q_quality_funnel" -> ((s, d) =>
+      graft.operators.QualityFilter.funnelReport(docs(s, d), Seq(
+          "min_chars" -> (col("n_chars") >= 60),
+          "en_only" -> (col("lang") === "en"),
+          "min_tokens" -> (TF.tokenCount(col("text")) >= 25),
+          "max_chars" -> (col("n_chars") <= 900)))
+        .orderBy("rule_order")),
 
     // Compression-ratio quality signal (zlib entropy proxy for
     // repetition/boilerplate). Rows-only: the byte count is a function
@@ -2981,7 +3005,16 @@ object SparkEntry {
   private def ngramJaccardOracle(n: Int, threshold: Double,
                                  maxShingleFreq: Option[Int] = None,
                                  corpus: String = "documents",
-                                 containment: Boolean = false): String = {
+                                 containment: Boolean = false): String =
+    ngramPairsSql(n, threshold, maxShingleFreq, corpus, containment) +
+      "\nORDER BY id_a, id_b"
+
+  /** The pair query of [[ngramJaccardOracle]] without the trailing ORDER
+    * BY — embeddable as a CTE (the threshold-sweep oracle wraps it). */
+  private def ngramPairsSql(n: Int, threshold: Double,
+                            maxShingleFreq: Option[Int] = None,
+                            corpus: String = "documents",
+                            containment: Boolean = false): String = {
     val (metric, formula) =
       if (containment) ("containment", "CAST(inter AS DOUBLE)/least(sa.sz, sb.sz)")
       else ("jaccard", "CAST(inter AS DOUBLE)/(sa.sz+sb.sz-inter)")
@@ -3007,8 +3040,7 @@ object SparkEntry {
        |SELECT id_a, id_b,
        |       round($formula, 6) AS $metric
        |FROM co JOIN sz sa ON co.id_a = sa.doc_id JOIN sz sb ON co.id_b = sb.doc_id
-       |WHERE $formula >= $threshold
-       |ORDER BY id_a, id_b""".stripMargin
+       |WHERE $formula >= $threshold""".stripMargin
   }
 
   /** DuckDB oracle for langId, generated from the same stopword constants
@@ -3330,6 +3362,22 @@ object SparkEntry {
         |  ON levenshtein(replace(p.s_name, 'Supplier#', 'Suplier#'), r.s_name) <= 1
         |ORDER BY probe_id, ref_id""".stripMargin,
     "q_dedup_ngram" -> ngramJaccardOracle(n = 3, threshold = 0.5),
+    // Sweep over the same pair query at cutoff 0.25: both engines
+    // compare the ROUNDED score against each threshold, so the curve is
+    // reproducible from the persisted pair table.
+    "q_dedup_sweep" ->
+      s"""WITH pairsq AS (${ngramPairsSql(n = 2, threshold = 0.1)}),
+        |t AS (SELECT unnest([CAST(0.1 AS DOUBLE), 0.12, 0.15, 0.5]) AS threshold),
+        |j AS (SELECT t.threshold, p.id_a, p.id_b
+        |      FROM t JOIN pairsq p ON p.jaccard >= t.threshold),
+        |np AS (SELECT threshold, count(*) AS n_pairs FROM j GROUP BY 1),
+        |nd AS (SELECT threshold, count(*) AS n_docs FROM (
+        |  SELECT DISTINCT threshold, id FROM (
+        |    SELECT threshold, unnest([id_a, id_b]) AS id FROM j)) GROUP BY 1)
+        |SELECT t.threshold, CAST(coalesce(np.n_pairs, 0) AS BIGINT) AS n_pairs,
+        |       CAST(coalesce(nd.n_docs, 0) AS BIGINT) AS n_docs
+        |FROM t LEFT JOIN np USING (threshold) LEFT JOIN nd USING (threshold)
+        |ORDER BY threshold""".stripMargin,
     // Mirrors Dedup.substringDupSpans: sliding 30-char windows, matches
     // grouped into diagonal islands (pos_a - pos_b constant, consecutive
     // pos_a), longest island -> longest shared run. DuckDB joins on the
@@ -4130,6 +4178,31 @@ object SparkEntry {
         |  FROM h) t
         |WHERE neg_rank <= 3 ORDER BY anchor_id, neg_rank""".stripMargin,
     "q_quality_gopher" -> gopherOracle,
+    // First-failing-rule attribution via one nested CASE, then the
+    // |rules|-row cumulative window — mirrors funnelReport exactly.
+    "q_quality_funnel" ->
+      s"""WITH f AS (SELECT CASE
+        |    WHEN NOT coalesce(n_chars >= 60, FALSE) THEN 0
+        |    WHEN NOT coalesce(lang = 'en', FALSE) THEN 1
+        |    WHEN NOT coalesce(len($toksSql) >= 25, FALSE) THEN 2
+        |    WHEN NOT coalesce(n_chars <= 900, FALSE) THEN 3 END AS ff
+        |  FROM documents),
+        |c AS (SELECT ff, count(*) AS c FROM f GROUP BY 1),
+        |tot AS (SELECT count(*) AS total FROM f),
+        |meta AS (SELECT * FROM (VALUES (0, 'min_chars'), (1, 'en_only'),
+        |  (2, 'min_tokens'), (3, 'max_chars')) v(rule_order, rule)),
+        |r AS (SELECT m.rule_order, m.rule, coalesce(c.c, 0) AS n_removed
+        |      FROM meta m LEFT JOIN c ON c.ff = m.rule_order),
+        |w AS (SELECT rule_order, rule, n_removed,
+        |  total - coalesce(sum(n_removed) OVER (ORDER BY rule_order
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS n_in
+        |  FROM r CROSS JOIN tot)
+        |SELECT rule_order, rule, CAST(n_in AS BIGINT) AS n_in,
+        |  CAST(n_removed AS BIGINT) AS n_removed,
+        |  CAST(n_in - n_removed AS BIGINT) AS n_out,
+        |  CASE WHEN n_in > 0 THEN round(CAST(n_removed AS DOUBLE)/n_in, 6)
+        |  END AS removal_rate
+        |FROM w ORDER BY rule_order""".stripMargin,
     // GROUP BY text ≡ the digest grouping (nulls group together both
     // ways); strlen = UTF-8 bytes, matching Spark octet_length.
     "q_dedup_report" ->

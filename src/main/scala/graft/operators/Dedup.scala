@@ -114,6 +114,39 @@ object Dedup {
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
 
   /**
+   * Threshold-sweep audit over an already-scored pair table: for each
+   * candidate cutoff, how many pairs survive and how many distinct
+   * documents they touch — the dup-rate-vs-threshold curve you read
+   * BEFORE committing a dedup threshold (the knee of `n_docs` is where
+   * boilerplate chains start fusing into mega-clusters). One row per
+   * threshold: `(threshold, n_pairs, n_docs)`.
+   *
+   * Scale shape: the pair table was already candidate-bounded upstream
+   * (banded LSH / capped inverted index); this pass expands it
+   * |thresholds|× (a handful) and reduces with map-side combine —
+   * thresholds with zero survivors still emit a row. The score compared
+   * is the table's ROUNDED score column, so the curve is reproducible
+   * from the persisted pair table alone.
+   */
+  def thresholdSweep(pairs: DataFrame, idACol: String, idBCol: String,
+                     scoreCol: String, thresholds: Seq[Double]): DataFrame = {
+    require(thresholds.nonEmpty, "thresholds must be non-empty")
+    val tDf = pairs.sparkSession.range(1)
+      .select(explode(array(thresholds.map(lit): _*)).as("threshold"))
+    val joined = tDf.join(pairs, col(scoreCol) >= col("threshold"), "left")
+    val nPairs = joined.groupBy("threshold")
+      .agg(count(col(scoreCol)).as("n_pairs"))
+    val nDocs = tDf.join(pairs, col(scoreCol) >= col("threshold"))
+      .select(col("threshold"),
+        explode(array(col(idACol), col(idBCol))).as("__id"))
+      .distinct()
+      .groupBy("threshold").agg(count(lit(1)).as("n_docs"))
+    nPairs.join(nDocs, Seq("threshold"), "left")
+      .select(col("threshold"), col("n_pairs"),
+        coalesce(col("n_docs"), lit(0L)).as("n_docs"))
+  }
+
+  /**
    * Exact dedup on the NORMALIZED content key ([[Clean.dedupKey]]):
    * catches duplicates differing only in case, punctuation, or spacing —
    * the cheap fuzz level between byte-exact and MinHash. Same digest

@@ -155,6 +155,53 @@ object QualityFilter {
       CatalystBridge.expression(col(textCol)), minWords, maxWords)))
   }
 
+  /**
+   * Sequential curation funnel audit: apply keep-rules IN ORDER and
+   * report, per rule, how many documents reach it and how many it
+   * removes (a document is charged to the FIRST rule it fails — the
+   * attribution a pipeline owner needs to see which rule is doing the
+   * cutting, which C4/Gopher/RefinedWeb papers all report). One row per
+   * rule: `(rule_order, rule, n_in, n_removed, n_out, removal_rate)`;
+   * `n_out` of the last rule is the corpus that survives the funnel.
+   * A NULL rule verdict counts as a failure (a rule that cannot evaluate
+   * a document should not silently pass it).
+   *
+   * Scale shape: ONE corpus scan computes each row's first-failing-rule
+   * index (a nested conditional projection — no joins, no per-rule
+   * passes), reduced map-side to ≤|rules|+1 counts; the cumulative
+   * window runs on that |rules|-row table only (size-bounded, same
+   * justification as Mix's stats window).
+   */
+  def funnelReport(df: DataFrame, rules: Seq[(String, Column)]): DataFrame = {
+    require(rules.nonEmpty, "rules must be non-empty")
+    val firstFail = rules.zipWithIndex.foldRight(lit(null).cast("int")) {
+      case (((_, cond), i), acc) =>
+        when(!coalesce(cond, lit(false)), lit(i)).otherwise(acc)
+    }
+    val counts = df.select(firstFail.as("__ff"))
+      .groupBy("__ff").agg(count(lit(1)).as("__c"))
+    val spark = df.sparkSession
+    import spark.implicits._
+    val meta = rules.zipWithIndex
+      .map { case ((name, _), i) => (i, name) }.toDF("rule_order", "rule")
+    val removed = meta
+      .join(counts.withColumnRenamed("__ff", "rule_order"),
+        Seq("rule_order"), "left")
+      .select(col("rule_order"), col("rule"),
+        coalesce(col("__c"), lit(0L)).as("n_removed"))
+    val total = counts.agg(coalesce(sum("__c"), lit(0L)).as("__total"))
+    val w = org.apache.spark.sql.expressions.Window.orderBy("rule_order")
+      .rowsBetween(Long.MinValue, -1)
+    removed.crossJoin(total)
+      .withColumn("n_in",
+        col("__total") - coalesce(sum("n_removed").over(w), lit(0L)))
+      .select(col("rule_order"), col("rule"), col("n_in"), col("n_removed"),
+        (col("n_in") - col("n_removed")).as("n_out"),
+        when(col("n_in") > 0,
+          round(col("n_removed").cast("double") / col("n_in"), 6))
+          .as("removal_rate"))
+  }
+
   /** Count of listed words in the document, whole-token matches on the
     * lowercased whitespace tokenization ("class" never hits a list entry
     * "ass" — the C4 badword pass is word-boundary, not substring). */

@@ -739,4 +739,24 @@ class CurationSpec extends SparkTestBase {
     assert(r.getAs[Long]("n_overflow_packs") == 0L)
     assert(r.getAs[Double]("utilization") == 0.5)
   }
+
+  test("QualityFilter.funnelReport: first-fail attribution, NULL fails, zero-removal rows") {
+    import org.apache.spark.sql.functions.{col, length}
+    val d = df("id BIGINT, text STRING, lang STRING", Seq(
+      Row(1L, "good long text", "en"),
+      Row(2L, "x", "en"),            // fails rule 0 (too short)
+      Row(3L, "x", "fr"),            // fails rule 0 FIRST (also non-en)
+      Row(4L, "long enough here", "fr"), // survives 0, fails rule 1
+      Row(5L, "also long enough", null))) // NULL lang -> fails rule 1
+    val out = QualityFilter.funnelReport(d, Seq(
+        "min_len" -> (length(col("text")) >= 5),
+        "en_only" -> (col("lang") === "en"),
+        "never_fires" -> col("text").isNotNull))
+      .orderBy("rule_order").collect()
+      .map(r => (r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(out.toSeq == Seq(
+      ("min_len", 5L, 2L, 3L),      // docs 2,3 charged here only
+      ("en_only", 3L, 2L, 1L),      // docs 4 (fr) and 5 (NULL verdict)
+      ("never_fires", 1L, 0L, 1L))) // zero-removal rule still reported
+  }
 }

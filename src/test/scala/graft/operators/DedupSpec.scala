@@ -308,4 +308,20 @@ class DedupSpec extends SparkTestBase {
       (1L, 5L, 1), (1L, 7L, 2),   // b -> c, d
       (5L, 7L, 1)))               // c -> d
   }
+
+  test("thresholdSweep: decreasing curve, distinct doc counts, empty levels kept") {
+    val pairs = df("id_a BIGINT, id_b BIGINT, score DOUBLE", Seq(
+      Row(1L, 2L, 0.95), Row(1L, 3L, 0.95), // doc 1 in two pairs
+      Row(4L, 5L, 0.6),
+      Row(6L, 7L, 0.3)))
+    val out = Dedup.thresholdSweep(pairs, "id_a", "id_b", "score",
+        Seq(0.2, 0.5, 0.9, 0.99))
+      .orderBy("threshold").collect()
+      .map(r => (r.getDouble(0), r.getLong(1), r.getLong(2)))
+    assert(out.toSeq == Seq(
+      (0.2, 4L, 7L),   // all pairs; docs 1..7
+      (0.5, 3L, 5L),   // drops (6,7)
+      (0.9, 2L, 3L),   // docs 1,2,3 — doc 1 counted once
+      (0.99, 0L, 0L))) // nothing survives, row still emitted
+  }
 }
