@@ -106,7 +106,10 @@ object ScaleProbe {
     // round-6 batch H: threshold-sweep curve (|thresholds|× bounded
     // pair-table expansion), curation-funnel attribution (one scan +
     // |rules|-row window)
-    "q_dedup_sweep", "q_quality_funnel")
+    "q_dedup_sweep", "q_quality_funnel",
+    // round-6 batch I: margin mining — two k·N-row average reductions
+    // over already-ranked top-k tables + a ≤k-row per-source window
+    "q_mine_margin")
 
   private def caesar(c: org.apache.spark.sql.Column, k: Int) = {
     val lower = "abcdefghijklmnopqrstuvwxyz"

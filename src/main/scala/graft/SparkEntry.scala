@@ -2059,6 +2059,22 @@ object SparkEntry {
         .orderBy("id_a", "id_b")
     }),
 
+    // Margin-based pair mining (LASER bitext criterion): even vec_ids
+    // play the source "language", odd the target; each side's exact
+    // top-4 feeds the ratio margin, every source keeps its best-margin
+    // target at margin ≥ 1 — the hubness-robust alignment signal.
+    "q_mine_margin" -> ((s, d) => {
+      val e = embeddings(s, d)
+        .select(col("vec_id"), VF.asDouble(col("embedding")).as("v"))
+      val xs = e.filter(col("vec_id") % 2 === 0)
+      val ys = e.filter(col("vec_id") % 2 === 1)
+      val xp = xs.select(col("vec_id").as("qid"), col("v").as("qv"))
+      val yp = ys.select(col("vec_id").as("qid"), col("v").as("qv"))
+      val fwd = Ann.bruteForceTopK(ys, "vec_id", "v", xp, "qid", "qv", k = 4)
+      val bwd = Ann.bruteForceTopK(xs, "vec_id", "v", yp, "qid", "qv", k = 4)
+      Ann.marginPairs(fwd, bwd, threshold = 1.0).orderBy("src_id")
+    }),
+
     // Retrieval-quality audit: BM25 top-10 scored against the dense
     // exact-cosine top-10 as gold — recall@10 / MRR@10 / nDCG@10 per
     // query, the lexical-vs-dense agreement diagnostic behind the
@@ -4681,6 +4697,42 @@ object SparkEntry {
         |  ON a.query_id = b.vec_id AND a.vec_id = b.query_id
         |WHERE a.query_id < a.vec_id
         |ORDER BY id_a, id_b""".stripMargin,
+    // Neighborhood means = exact DECIMAL sums of the 6-dp top-4 cosines
+    // / count as DOUBLE, rounded 9 dp; margin = one division rounded
+    // 6 dp — the operator's float discipline, term for term.
+    "q_mine_margin" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |xs AS (SELECT * FROM e WHERE vec_id % 2 = 0),
+        |ys AS (SELECT * FROM e WHERE vec_id % 2 = 1),
+        |fs AS (SELECT x.vec_id AS query_id, y.vec_id AS vec_id,
+        |         list_cosine_similarity(x.v, y.v) AS c
+        |       FROM xs x CROSS JOIN ys y),
+        |fwd AS (SELECT query_id, vec_id, round(c, 6) AS cosine FROM (
+        |  SELECT query_id, vec_id, c, row_number() OVER (PARTITION BY query_id
+        |    ORDER BY c DESC, vec_id ASC) AS rank FROM fs) t WHERE rank <= 4),
+        |bs AS (SELECT y.vec_id AS query_id, x.vec_id AS vec_id,
+        |         list_cosine_similarity(y.v, x.v) AS c
+        |       FROM ys y CROSS JOIN xs x),
+        |bwd AS (SELECT query_id, vec_id, round(c, 6) AS cosine FROM (
+        |  SELECT query_id, vec_id, c, row_number() OVER (PARTITION BY query_id
+        |    ORDER BY c DESC, vec_id ASC) AS rank FROM bs) t WHERE rank <= 4),
+        |ax AS (SELECT query_id AS id,
+        |         round(CAST(sum(CAST(cosine AS DECIMAL(10,6))) AS DOUBLE)
+        |               / count(*), 9) AS ax
+        |       FROM fwd GROUP BY 1),
+        |ay AS (SELECT query_id AS id,
+        |         round(CAST(sum(CAST(cosine AS DECIMAL(10,6))) AS DOUBLE)
+        |               / count(*), 9) AS ay
+        |       FROM bwd GROUP BY 1),
+        |m AS (SELECT f.query_id, f.vec_id, f.cosine,
+        |        round(f.cosine / ((ax.ax + ay.ay) / 2.0), 6) AS margin
+        |      FROM fwd f JOIN ax ON f.query_id = ax.id
+        |                 JOIN ay ON f.vec_id = ay.id),
+        |best AS (SELECT * FROM (
+        |  SELECT m.*, row_number() OVER (PARTITION BY query_id
+        |    ORDER BY margin DESC, vec_id ASC) AS rn FROM m) t WHERE rn = 1)
+        |SELECT query_id AS src_id, vec_id AS tgt_id, cosine, margin
+        |FROM best WHERE margin >= 1.0 ORDER BY src_id""".stripMargin,
     // Same bm/ann CTEs as q_search_hybrid; ann's top-10 is the gold set
     // (n_gold = 10 per query here, so the ideal-DCG prefix is the
     // constant Σ_{i=1..10} — matching the operator's least(k, n_gold)).

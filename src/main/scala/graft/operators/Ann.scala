@@ -306,6 +306,50 @@ object Ann {
         col("cosine_ab"), col("cosine_ba"))
   }
 
+  /**
+   * Margin-based pair mining (Artetxe & Schwenk, ACL'19 — the LASER
+   * bitext-mining criterion): absolute cosine is miscalibrated across
+   * embedding-space density, so each candidate pair is scored by its
+   * RATIO margin — cos(x,y) over the mean of both endpoints' top-k
+   * neighborhoods, margin(x,y) = cos(x,y) / ((ā_x + ā_y)/2) — and each
+   * source keeps only its best-margin target at `threshold`+ (the
+   * paper's "forward max" strategy). Margin > 1 ⇔ y is closer to x than
+   * x's/y's typical near neighbors — the signal that survives hubness.
+   *
+   * Inputs are two ALREADY-RANKED top-k tables `(queryCol, docCol,
+   * scoreCol)` — `fwd` X→Y (its pairs are the candidates), `bwd` Y→X
+   * (used only for the target-side neighborhood means), from any of
+   * [[bruteForceTopK]] / [[lshTopK]] / [[ivfTopK]], so the mining cost
+   * profile is whatever the retrieval tier cost — this pass adds only
+   * k·N-row reductions. Output: `(src_id, tgt_id, cosine, margin)`.
+   *
+   * Float discipline: neighborhood means are exact DECIMAL sums of the
+   * 6-dp cosines divided as double and rounded to 9 dp; the margin is a
+   * single division rounded to 6 dp; best-per-source ties break on
+   * target id. Scale shape: two map-side-combining averages over the
+   * top-k tables, one broadcast-sized join per side, and a per-source
+   * window over ≤k rows — the corpus vectors never move again.
+   */
+  def marginPairs(fwd: DataFrame, bwd: DataFrame, threshold: Double = 1.0,
+                  queryCol: String = "query_id", docCol: String = "vec_id",
+                  scoreCol: String = "cosine"): DataFrame = {
+    def sideAvg(t: DataFrame, out: String) =
+      t.groupBy(col(queryCol).as(s"${out}_id"))
+        .agg(round(sum(col(scoreCol).cast("decimal(10,6)")).cast("double") /
+          count(lit(1)), 9).as(out))
+    val scored = fwd
+      .join(sideAvg(fwd, "__ax"), col(queryCol) === col("__ax_id"))
+      .join(sideAvg(bwd, "__ay"), col(docCol) === col("__ay_id"))
+      .withColumn("margin", round(col(scoreCol) /
+        ((col("__ax") + col("__ay")) / lit(2.0)), 6))
+    val w = Window.partitionBy(queryCol)
+      .orderBy(col("margin").desc, col(docCol).asc)
+    scored.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1 && col("margin") >= threshold)
+      .select(col(queryCol).as("src_id"), col(docCol).as("tgt_id"),
+        col(scoreCol).as("cosine"), col("margin"))
+  }
+
   private def topK(scored: DataFrame, k: Int): DataFrame = {
     val w = Window.partitionBy("query_id")
       .orderBy(col("cosine").desc, col("vec_id").asc)

@@ -269,4 +269,25 @@ class AnnSpec extends SparkTestBase {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(m2 == Set((1L, 2L), (1L, 3L), (2L, 3L)))
   }
+
+  test("marginPairs: ratio margin beats raw cosine, best-per-source, threshold cut") {
+    import org.apache.spark.sql.Row
+    // source 10: neighborhood mean (0.9+0.7)/2 = 0.8
+    //   candidate 1 (hub):   cos 0.9, hub's own mean 0.9 → den (0.8+0.9)/2
+    //   candidate 2 (quiet): cos 0.7, mean 0.4          → den (0.8+0.4)/2
+    // raw cosine prefers the hub; margin prefers the quiet target:
+    //   margin(10,1) = 0.9/0.85 ≈ 1.059 < margin(10,2) = 0.7/0.6 ≈ 1.167
+    val fwd = df("query_id BIGINT, vec_id BIGINT, cosine DOUBLE", Seq(
+      Row(10L, 1L, 0.9), Row(10L, 2L, 0.7),
+      Row(11L, 1L, 0.3), Row(11L, 2L, 0.2))) // src 11: mean 0.25, margins < 1
+    val bwd = df("query_id BIGINT, vec_id BIGINT, cosine DOUBLE", Seq(
+      Row(1L, 10L, 0.9), Row(1L, 11L, 0.9),   // hub target: mean 0.9
+      Row(2L, 10L, 0.5), Row(2L, 11L, 0.3)))  // quiet target: mean 0.4
+    val out = Ann.marginPairs(fwd, bwd, threshold = 1.0)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(3)))
+    // src 10 picks target 2 on margin (not the higher-cosine hub);
+    // src 11's best margin = 0.3/((0.25+0.65)/2)=0.667 — cut by threshold
+    assert(out.toSeq == Seq((10L, 2L,
+      BigDecimal(0.7 / 0.6).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)))
+  }
 }
