@@ -109,7 +109,10 @@ object ScaleProbe {
     "q_dedup_sweep", "q_quality_funnel",
     // round-6 batch I: margin mining — two k·N-row average reductions
     // over already-ranked top-k tables + a ≤k-row per-source window
-    "q_mine_margin")
+    "q_mine_margin",
+    // round-6 batch J: ROUGE family — rouge2 is an (id, gram)-keyed
+    // explode-reduce; rougeL is a PURE PROJECTION (native LCS DP)
+    "q_eval_rouge2", "q_eval_rouge_l", "q_eval_rouge_l_twin")
 
   private def caesar(c: org.apache.spark.sql.Column, k: Int) = {
     val lower = "abcdefghijklmnopqrstuvwxyz"

@@ -2112,6 +2112,35 @@ object SparkEntry {
       graft.operators.Eval.corpusBleu(evalPairs(s, d),
         "id", "pred", "gold", maxN = 4)),
 
+    // ROUGE-2 per pair (recall-oriented bigram overlap): self pairs pin
+    // the 1.0 diagonal, next-doc pairs the sparse-overlap regime.
+    "q_eval_rouge2" -> ((s, d) =>
+      graft.operators.Eval.rougeN(evalPairs(s, d),
+        "id", "pred", "gold", n = 2).orderBy("id")),
+
+    // ROUGE-L over the mixed eval pairs — real LCS through the native
+    // rolling-DP expression. Rows-only (LCS isn't SQL-expressible); the
+    // oracle-green surface is the _twin below.
+    "q_eval_rouge_l" -> ((s, d) =>
+      graft.operators.Eval.rougeL(evalPairs(s, d), "id", "pred", "gold")
+        .orderBy("id")),
+
+    // Closed-form ROUGE-L twin: even docs score against themselves
+    // (LCS = n); odd docs' prediction is the even-position subsequence
+    // plus a vocabulary-absent tail token, so LCS = ⌈n/2⌉ EXACTLY (a
+    // subsequence match can't be longer, and 'zzzz' appears in no
+    // document — asserted over all SFs). Pins the DP end-to-end against
+    // an arithmetic oracle.
+    "q_eval_rouge_l_twin" -> ((s, d) => {
+      val toksC = filter(split(trim(col("text")), "\\s+"), x => x =!= "")
+      val sub = filter(toksC, (_, i) => i % 2 === 0)
+      val pred = when(col("doc_id") % 2 === 0, col("text"))
+        .otherwise(concat_ws(" ", concat(sub, array(lit("zzzz")))))
+      val pairs = docs(s, d).select(col("doc_id").as("id"),
+        pred.as("pred"), col("text").as("gold"))
+      graft.operators.Eval.rougeL(pairs, "id", "pred", "gold").orderBy("id")
+    }),
+
     // Inter-rater agreement: Cohen's κ between two heuristic keep/drop
     // quality raters (char-length vs token-count threshold) — the "do my
     // filters even agree beyond chance?" audit run before trusting
@@ -4824,6 +4853,56 @@ object SparkEntry {
         |  CASE WHEN pn = gn THEN 1 ELSE 0 END AS exact_match
         |FROM base b LEFT JOIN ov o USING (id) ORDER BY id""".stripMargin,
     "q_eval_bleu" -> bleuOracle(4),
+    // Same clipped-count pattern as tokenF1, on bigrams.
+    "q_eval_rouge2" ->
+      s"""WITH $evalPairsSql,
+        |b0 AS (SELECT id, $predToksSql AS pt, $goldToksSql AS gt FROM pairs),
+        |base AS (SELECT id,
+        |  list_transform(range(1, greatest(len(pt)-1, 0)+1),
+        |    i -> array_to_string(list_slice(pt, i, i+1), ' ')) AS pg,
+        |  list_transform(range(1, greatest(len(gt)-1, 0)+1),
+        |    i -> array_to_string(list_slice(gt, i, i+1), ' ')) AS gg
+        |  FROM b0),
+        |ptc AS (SELECT id, g, count(*) AS cp
+        |        FROM (SELECT id, unnest(pg) AS g FROM base) GROUP BY 1, 2),
+        |gtc AS (SELECT id, g, count(*) AS cg
+        |        FROM (SELECT id, unnest(gg) AS g FROM base) GROUP BY 1, 2),
+        |ov AS (SELECT id, sum(least(cp, cg)) AS ov
+        |       FROM ptc JOIN gtc USING (id, g) GROUP BY 1)
+        |SELECT b.id,
+        |  CAST(len(pg) AS BIGINT) AS n_pred_ngrams,
+        |  CAST(len(gg) AS BIGINT) AS n_gold_ngrams,
+        |  CAST(coalesce(o.ov, 0) AS BIGINT) AS overlap,
+        |  CASE WHEN len(pg) > 0
+        |    THEN round(CAST(coalesce(o.ov, 0) AS DOUBLE) / len(pg), 6)
+        |  END AS "precision",
+        |  CASE WHEN len(gg) > 0
+        |    THEN round(CAST(coalesce(o.ov, 0) AS DOUBLE) / len(gg), 6)
+        |  END AS recall,
+        |  CASE WHEN len(pg) + len(gg) > 0
+        |    THEN round(2.0 * coalesce(o.ov, 0) /
+        |               CAST(len(pg) + len(gg) AS DOUBLE), 6)
+        |  END AS f1
+        |FROM base b LEFT JOIN ov o USING (id) ORDER BY id""".stripMargin,
+    // Closed-form LCS arithmetic: even docs n/n/n, odd docs
+    // (⌈n/2⌉+1)/n/⌈n/2⌉ — see the q_eval_rouge_l_twin gate comment.
+    "q_eval_rouge_l_twin" ->
+      s"""WITH b AS (SELECT doc_id AS id, len($toksSql) AS n FROM documents),
+        |c AS (SELECT id, n,
+        |  CASE WHEN id % 2 = 0 THEN n ELSE (n+1)//2 + 1 END AS n_pred,
+        |  n AS n_gold,
+        |  CASE WHEN id % 2 = 0 THEN n ELSE (n+1)//2 END AS lcs
+        |  FROM b)
+        |SELECT id, CAST(n_pred AS BIGINT) AS n_pred,
+        |  CAST(n_gold AS BIGINT) AS n_gold, CAST(lcs AS BIGINT) AS lcs,
+        |  CASE WHEN n_pred > 0
+        |    THEN round(CAST(lcs AS DOUBLE)/n_pred, 6) END AS "precision",
+        |  CASE WHEN n_gold > 0
+        |    THEN round(CAST(lcs AS DOUBLE)/n_gold, 6) END AS recall,
+        |  CASE WHEN n_pred + n_gold > 0
+        |    THEN round(2.0*lcs/CAST(n_pred + n_gold AS DOUBLE), 6)
+        |  END AS f1
+        |FROM c ORDER BY id""".stripMargin,
     "q_rater_kappa" ->
       """WITH r AS (
         |  SELECT CASE WHEN n_chars >= 400 THEN 'keep' ELSE 'drop' END AS a,

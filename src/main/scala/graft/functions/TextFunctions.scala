@@ -218,6 +218,12 @@ object TextFunctions {
   def deflateSize(text: Column): Column =
     CatalystBridge.column(DeflateSize(CatalystBridge.expression(text)))
 
+  /** Longest-common-subsequence length of two token arrays (ROUGE-L
+    * core) — native rolling-DP expression, pure projection. */
+  def lcsLength(a: Column, b: Column): Column =
+    CatalystBridge.column(LcsLength(
+      CatalystBridge.expression(a), CatalystBridge.expression(b)))
+
   /** Interpreted HOF formulation of winnowing — the executable spec the
     * native expression is pinned against (TextFunctionsSpec). */
   def winnowedFingerprintsHof(text: Column, k: Int = 5, w: Int = 4): Column = {

@@ -274,6 +274,85 @@ object Eval {
       .otherwise(array().cast("array<string>"))
 
   /**
+   * ROUGE-N (Lin 2004) per `(pred, gold)` row: clipped n-gram overlap
+   * with multiplicity and the derived precision / recall / F1 —
+   * `(id, n_pred_ngrams, n_gold_ngrams, overlap, precision, recall,
+   * f1)`. ROUGE proper is the RECALL column (how much of the reference
+   * the candidate covers — the summarization-eval convention); the
+   * precision/F1 columns make the table double as a per-row BLEU-n
+   * diagnostic. NULL ratios where the denominator side has no n-grams
+   * (too-short text is undefined, not zero); F1 =
+   * 2·overlap/(n_pred+n_gold), defined when either side has mass.
+   *
+   * Scale shape: same (id, gram)-keyed explode-reduce as [[tokenF1]] —
+   * one shuffle bounded by corpus n-gram count, map-side combined.
+   */
+  def rougeN(df: DataFrame, idCol: String, predCol: String,
+             goldCol: String, n: Int = 2): DataFrame = {
+    require(n >= 1 && n <= 8, "n must be in [1, 8]")
+    val base = df.select(col(idCol).as("id"),
+      grams(toks(col(predCol)), n).as("__pg"),
+      grams(toks(col(goldCol)), n).as("__gg"))
+    val pc = base.select(col("id"), explode(col("__pg")).as("g"))
+      .groupBy("id", "g").agg(count(lit(1)).as("cp"))
+    val gc = base.select(col("id"), explode(col("__gg")).as("g"))
+      .groupBy("id", "g").agg(count(lit(1)).as("cg"))
+    val ov = pc.join(gc, Seq("id", "g"))
+      .groupBy("id").agg(sum(least(col("cp"), col("cg"))).as("__ov"))
+    base.join(ov, Seq("id"), "left")
+      .select(col("id"),
+        size(col("__pg")).cast("long").as("n_pred_ngrams"),
+        size(col("__gg")).cast("long").as("n_gold_ngrams"),
+        coalesce(col("__ov"), lit(0L)).as("overlap"))
+      .select(col("id"), col("n_pred_ngrams"), col("n_gold_ngrams"),
+        col("overlap"),
+        when(col("n_pred_ngrams") > 0,
+          round(col("overlap").cast("double") / col("n_pred_ngrams"), 6))
+          .as("precision"),
+        when(col("n_gold_ngrams") > 0,
+          round(col("overlap").cast("double") / col("n_gold_ngrams"), 6))
+          .as("recall"),
+        when(col("n_pred_ngrams") + col("n_gold_ngrams") > 0,
+          round(lit(2.0) * col("overlap") /
+            (col("n_pred_ngrams") + col("n_gold_ngrams")).cast("double"), 6))
+          .as("f1"))
+  }
+
+  /**
+   * ROUGE-L (Lin 2004) per `(pred, gold)` row: longest common
+   * SUBSEQUENCE of the token streams — in-order matches that need not
+   * be contiguous, the summarization-eval signal n-gram overlap can't
+   * express (a reordered summary scores high on ROUGE-1 but low here).
+   * Output `(id, n_pred, n_gold, lcs, precision, recall, f1)` with
+   * precision = lcs/n_pred, recall = lcs/n_gold (each NULL when its
+   * side is empty), F1 = 2·lcs/(n_pred+n_gold).
+   *
+   * Scale shape: a PURE PROJECTION — the LCS is a native rolling-DP
+   * codegen'd expression ([[graft.functions.LcsLength]]), so the plan
+   * has zero shuffles and the corpus never moves. The O(L_pred·L_gold)
+   * cost is per-row arithmetic inside whole-stage codegen; cap document
+   * token lengths upstream (Chunk) if pairs can reach 10⁵×10⁵.
+   */
+  def rougeL(df: DataFrame, idCol: String, predCol: String,
+             goldCol: String): DataFrame = {
+    import graft.functions.{TextFunctions => TFN}
+    val base = df.select(col(idCol).as("id"),
+      toks(col(predCol)).as("__pt"), toks(col(goldCol)).as("__gt"))
+      .select(col("id"),
+        size(col("__pt")).cast("long").as("n_pred"),
+        size(col("__gt")).cast("long").as("n_gold"),
+        TFN.lcsLength(col("__pt"), col("__gt")).as("lcs"))
+    base.select(col("id"), col("n_pred"), col("n_gold"), col("lcs"),
+      when(col("n_pred") > 0,
+        round(col("lcs").cast("double") / col("n_pred"), 6)).as("precision"),
+      when(col("n_gold") > 0,
+        round(col("lcs").cast("double") / col("n_gold"), 6)).as("recall"),
+      when(col("n_pred") + col("n_gold") > 0,
+        round(lit(2.0) * col("lcs") /
+          (col("n_pred") + col("n_gold")).cast("double"), 6)).as("f1"))
+  }
+
+  /**
    * Corpus-level BLEU (Papineni et al. 2002) of `predCol` against a
    * single reference `goldCol`: one row
    * `(pred_len, ref_len, p_1..p_{maxN}, brevity_penalty, bleu)` with

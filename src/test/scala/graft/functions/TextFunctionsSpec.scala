@@ -209,4 +209,33 @@ class TextFunctionsSpec extends SparkTestBase {
         assert(r.getDouble(2) == r.getDouble(3), s"token: $r")
       }
   }
+
+  test("lcsLength: textbook cases, reference O(n·m) DP cross-check, null semantics") {
+    def lcsRef(a: Seq[String], b: Seq[String]): Long = {
+      val dp = Array.ofDim[Int](a.length + 1, b.length + 1)
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        dp(i)(j) = if (a(i - 1) == b(j - 1)) dp(i - 1)(j - 1) + 1
+                   else math.max(dp(i - 1)(j), dp(i)(j - 1))
+      dp(a.length)(b.length).toLong
+    }
+    val cases = Seq(
+      ("a b c d e", "a b c d e"),       // identical -> 5
+      ("a b c", "c b a"),               // reversal -> 1
+      ("a x b y c", "a b c"),           // subsequence -> 3
+      ("x y z", "p q r"),               // disjoint -> 0
+      ("a a b a", "a b a a"),           // repeats
+      ("", "a b"), ("a b", ""))         // empty sides -> 0
+    val d = df("pred STRING, gold STRING", cases.map { case (p, g) => Row(p, g) })
+    val out = d.select(TF.lcsLength(TF.tokens(col("pred")), TF.tokens(col("gold"))))
+      .collect().map(_.getLong(0))
+    // TF.tokens = split(trim, "\s+"): ""→[""] — mirror with the same raw split
+    cases.zip(out).foreach { case ((p, g), got) =>
+      val expected = lcsRef(p.trim.split("\\s+").toSeq, g.trim.split("\\s+").toSeq)
+      assert(got == expected, s"($p | $g): got $got expected $expected")
+    }
+    // null array -> null result
+    val nr = df("a ARRAY<STRING>, b ARRAY<STRING>", Seq(Row(null, Seq("x"))))
+      .select(TF.lcsLength(col("a"), col("b"))).collect()(0)
+    assert(nr.isNullAt(0))
+  }
 }

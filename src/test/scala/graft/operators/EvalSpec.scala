@@ -165,6 +165,36 @@ class EvalSpec extends SparkTestBase {
     assert(r4.getAs[Int]("exact_match") == 1)
   }
 
+  test("rougeN: clipped bigram overlap; short texts get NULL ratios") {
+    val in = Seq(
+      (1L, "the cat sat", "the cat ran"),  // bigrams: {the cat, cat sat} vs {the cat, cat ran} -> 1
+      (2L, "a", "a b c"),                  // pred too short for bigrams
+      (3L, "a b a b", "a b a")             // pred {ab, ba, ab} vs gold {ab, ba}: clip ab at 1 -> 2
+    ).toDF("id", "pred", "gold")
+    val out = Eval.rougeN(in, "id", "pred", "gold", n = 2).orderBy("id").collect()
+    assert(out(0) == Row(1L, 2L, 2L, 1L, 0.5, 0.5, 0.5))
+    val r2 = out(1)
+    assert(r2.getLong(1) == 0L && r2.isNullAt(r2.fieldIndex("precision")))
+    assert(r2.getAs[Double]("recall") == 0.0)
+    assert(out(2) == Row(3L, 3L, 2L, 2L, 0.666667, 1.0, 0.8))
+  }
+
+  test("rougeL: subsequence beats n-gram on reordering; plan is shuffle-free") {
+    val in = Seq(
+      (1L, "a x b y c", "a b c"),   // LCS 3: non-contiguous in-order match
+      (2L, "c b a", "a b c"),       // reversal: LCS 1
+      (3L, "same text here", "same text here")
+    ).toDF("id", "pred", "gold")
+    val out = Eval.rougeL(in, "id", "pred", "gold").orderBy("id").collect()
+    assert(out(0) == Row(1L, 5L, 3L, 3L, 0.6, 1.0, 0.75))
+    assert(out(1) == Row(2L, 3L, 3L, 1L, 0.333333, 0.333333, 0.333333))
+    assert(out(2) == Row(3L, 3L, 3L, 3L, 1.0, 1.0, 1.0))
+    // zero shuffles: a pure projection must have no Exchange in the plan
+    val plan = Eval.rougeL(in, "id", "pred", "gold")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan)
+  }
+
   test("corpusBleu: pooled clipped precisions, brevity penalty, zero n-gram rule") {
     // identical pair → every p_n = 1, BP = 1, BLEU = 1
     val same = Seq((1L, "the cat sat on the mat", "the cat sat on the mat"))
