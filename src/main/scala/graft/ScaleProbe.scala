@@ -112,7 +112,10 @@ object ScaleProbe {
     "q_mine_margin",
     // round-6 batch J: ROUGE family — rouge2 is an (id, gram)-keyed
     // explode-reduce; rougeL is a PURE PROJECTION (native LCS DP)
-    "q_eval_rouge2", "q_eval_rouge_l", "q_eval_rouge_l_twin")
+    "q_eval_rouge2", "q_eval_rouge_l", "q_eval_rouge_l_twin",
+    // round-6 batch K: Jaro-Winkler-scored blocked linkage (window
+    // lead-pairs + native comparator, no extra shuffle)
+    "q_linkage_jw")
 
   private def caesar(c: org.apache.spark.sql.Column, k: Int) = {
     val lower = "abcdefghijklmnopqrstuvwxyz"

@@ -2572,6 +2572,25 @@ object SparkEntry {
         keyExpr = "p_name", blockLen = 4, windowSize = 3)
         .orderBy("id_a", "id_b")),
 
+    // Jaro-Winkler-scored linkage candidates: sorted-neighborhood
+    // blocking on supplier names, each candidate pair scored by the
+    // native comparator — semantics pinned to DuckDB's
+    // jaro_winkler_similarity, which IS the oracle here.
+    "q_linkage_jw" -> ((s, d) => {
+      val sup = executor(s, d).table("supplier")
+      val pairs = Dedup.sortedNeighborhoodPairs(sup, "s_suppkey",
+        keyExpr = "s_name", blockLen = 9, windowSize = 3)
+      val names = sup.select(col("s_suppkey"), col("s_name"))
+      pairs
+        .join(names.select(col("s_suppkey").as("id_a"),
+          col("s_name").as("__na")), Seq("id_a"))
+        .join(names.select(col("s_suppkey").as("id_b"),
+          col("s_name").as("__nb")), Seq("id_b"))
+        .select(col("id_a"), col("id_b"), col("dist"),
+          round(TF.jaroWinkler(col("__na"), col("__nb")), 6).as("jw"))
+        .orderBy("id_a", "id_b")
+    }),
+
     // Fellegi-Sunter linkage scores: part self-linkage blocked on brand,
     // three field comparisons (type, name prefix, size) with fixed (m,u)
     // weights — per-pair fixed-order literal sum, so doubles are
@@ -5505,6 +5524,19 @@ object SparkEntry {
         |  FROM part)
         |SELECT a.id AS id_a, b.id AS id_b,
         |  CAST(b.rnk - a.rnk AS INTEGER) AS dist
+        |FROM ranked a JOIN ranked b
+        |  ON a.blk = b.blk AND b.rnk > a.rnk AND b.rnk - a.rnk <= 2
+        |ORDER BY id_a, id_b""".stripMargin,
+
+    "q_linkage_jw" ->
+      """WITH ranked AS (
+        |  SELECT s_suppkey AS id, s_name AS k, substr(s_name, 1, 9) AS blk,
+        |    row_number() OVER (PARTITION BY substr(s_name, 1, 9)
+        |                       ORDER BY s_name, s_suppkey) AS rnk
+        |  FROM supplier)
+        |SELECT a.id AS id_a, b.id AS id_b,
+        |  CAST(b.rnk - a.rnk AS INTEGER) AS dist,
+        |  round(jaro_winkler_similarity(a.k, b.k), 6) AS jw
         |FROM ranked a JOIN ranked b
         |  ON a.blk = b.blk AND b.rnk > a.rnk AND b.rnk - a.rnk <= 2
         |ORDER BY id_a, id_b""".stripMargin,

@@ -224,6 +224,13 @@ object TextFunctions {
     CatalystBridge.column(LcsLength(
       CatalystBridge.expression(a), CatalystBridge.expression(b)))
 
+  /** Jaro-Winkler similarity of two strings (record-linkage name
+    * comparator) — native expression, semantics pinned to DuckDB's
+    * `jaro_winkler_similarity` (see [[JaroWinkler]]). */
+  def jaroWinkler(a: Column, b: Column): Column =
+    CatalystBridge.column(JaroWinkler(
+      CatalystBridge.expression(a), CatalystBridge.expression(b)))
+
   /** Interpreted HOF formulation of winnowing — the executable spec the
     * native expression is pinned against (TextFunctionsSpec). */
   def winnowedFingerprintsHof(text: Column, k: Int = 5, w: Int = 4): Column = {

@@ -238,4 +238,27 @@ class TextFunctionsSpec extends SparkTestBase {
       .select(TF.lcsLength(col("a"), col("b"))).collect()(0)
     assert(nr.isNullAt(0))
   }
+
+  test("jaroWinkler matches DuckDB-probed reference values") {
+    // every expected value read directly off DuckDB's
+    // jaro_winkler_similarity (the gate oracle) — pins window math,
+    // transposition halving, the 0.7 boost threshold, and the prefix cap
+    val cases = Seq(
+      ("martha", "marhta", 0.9611111111111111),   // classic transposition
+      ("dixon", "dicksonx", 0.8133333333333332),  // prefix boost applies
+      ("jellyfish", "smellyfish", 0.8962962962962964), // no common prefix
+      ("abc", "abc", 1.0),
+      ("", "abc", 0.0), ("", "", 0.0),            // DuckDB: empty -> 0
+      ("a", "b", 0.0),
+      ("crate", "trace", 0.7333333333333334),     // window excludes ends
+      ("ab", "ba", 0.0),                          // window 0: no matches
+      ("abcdxxxxxx", "abcdyyyyyy", 0.6),          // jaro <= 0.7: NO boost
+      ("ab", "abcdefghij", 0.7866666666666667),   // boost over threshold
+      ("aaaaa", "aaaaabbbbbbbbbbbbbbb", 0.85))    // prefix capped at 4
+    val d = df("a STRING, b STRING", cases.map { case (a, b, _) => Row(a, b) })
+    val got = d.select(TF.jaroWinkler(col("a"), col("b"))).collect().map(_.getDouble(0))
+    cases.zip(got).foreach { case ((a, b, exp), g) =>
+      assert(math.abs(g - exp) < 1e-12, s"($a | $b): got $g expected $exp")
+    }
+  }
 }
