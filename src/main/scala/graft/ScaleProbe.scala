@@ -115,7 +115,9 @@ object ScaleProbe {
     "q_eval_rouge2", "q_eval_rouge_l", "q_eval_rouge_l_twin",
     // round-6 batch K: Jaro-Winkler-scored blocked linkage (window
     // lead-pairs + native comparator, no extra shuffle)
-    "q_linkage_jw")
+    "q_linkage_jw",
+    // round-6 batch L: chrF2 — char-gram explode-reduce, ≈bytes/order
+    "q_eval_chrf")
 
   private def caesar(c: org.apache.spark.sql.Column, k: Int) = {
     val lower = "abcdefghijklmnopqrstuvwxyz"

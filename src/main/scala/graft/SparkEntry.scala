@@ -2112,6 +2112,13 @@ object SparkEntry {
       graft.operators.Eval.corpusBleu(evalPairs(s, d),
         "id", "pred", "gold", maxN = 4)),
 
+    // Corpus chrF2 over the mixed pairs: character 1..6-gram F-score
+    // with β = 2 — the tokenization-robust MT metric; the self half
+    // keeps every order massed, the next-doc half pulls P/R below 1.
+    "q_eval_chrf" -> ((s, d) =>
+      graft.operators.Eval.corpusChrF(evalPairs(s, d),
+        "id", "pred", "gold", maxN = 6, beta = 2.0)),
+
     // ROUGE-2 per pair (recall-oriented bigram overlap): self pairs pin
     // the 1.0 diagonal, next-doc pairs the sparse-overlap regime.
     "q_eval_rouge2" -> ((s, d) =>
@@ -3059,6 +3066,58 @@ object SparkEntry {
        |  CASE WHEN zeros > 0 OR pred_len = 0 THEN CAST(0.0 AS DOUBLE)
        |    ELSE round(bp * exp(CAST(logsum AS DOUBLE)), 6) END AS bleu
        |FROM lens, precs, agg, bpv""".stripMargin
+  }
+
+  /**
+   * DuckDB mirror of Eval.corpusChrF over [[evalPairsSql]]: per-order
+   * char-gram clipped counts, 9-dp per-order ratios, DECIMAL macro-
+   * average over orders with mass, F-β rounded to 6 dp.
+   */
+  private def chrfOracle(maxN: Int, beta: Double): String = {
+    val b2 = beta * beta
+    val perN = (1 to maxN).map { n =>
+      s"""pg$n AS (SELECT id, gr, count(*) AS cp FROM (
+         |  SELECT id, unnest(list_transform(range(1, greatest(length(p)-${n - 1}, 0)+1),
+         |    i -> substr(p, i, $n))) AS gr FROM base) GROUP BY 1, 2),
+         |gg$n AS (SELECT id, gr, count(*) AS cg FROM (
+         |  SELECT id, unnest(list_transform(range(1, greatest(length(g)-${n - 1}, 0)+1),
+         |    i -> substr(g, i, $n))) AS gr FROM base) GROUP BY 1, 2),
+         |st$n AS (SELECT $n AS n,
+         |  (SELECT CAST(coalesce(sum(least(cp, cg)), 0) AS BIGINT)
+         |   FROM pg$n JOIN gg$n USING (id, gr)) AS matched,
+         |  (SELECT CAST(coalesce(sum(greatest(length(p)-${n - 1}, 0)), 0) AS BIGINT)
+         |   FROM base) AS tp,
+         |  (SELECT CAST(coalesce(sum(greatest(length(g)-${n - 1}, 0)), 0) AS BIGINT)
+         |   FROM base) AS tg)""".stripMargin
+    }.mkString(",\n")
+    val unions = (1 to maxN).map(n => s"SELECT * FROM st$n").mkString(" UNION ALL ")
+    s"""WITH $evalPairsSql,
+       |base AS (SELECT id,
+       |  regexp_replace(coalesce(pred, ''), '\\s+', '', 'g') AS p,
+       |  regexp_replace(coalesce(gold, ''), '\\s+', '', 'g') AS g FROM pairs),
+       |$perN,
+       |stats0 AS ($unions),
+       |stats AS (SELECT
+       |  sum(CASE WHEN tp > 0 THEN
+       |    CAST(round(CAST(matched AS DOUBLE)/tp, 9) AS DECIMAL(20,9)) END) AS psum,
+       |  sum(CASE WHEN tp > 0 THEN 1 END) AS pn,
+       |  sum(CASE WHEN tg > 0 THEN
+       |    CAST(round(CAST(matched AS DOUBLE)/tg, 9) AS DECIMAL(20,9)) END) AS rsum,
+       |  sum(CASE WHEN tg > 0 THEN 1 END) AS rn
+       |  FROM stats0),
+       |lens AS (SELECT CAST(sum(length(p)) AS BIGINT) AS pred_chars,
+       |                CAST(sum(length(g)) AS BIGINT) AS gold_chars FROM base),
+       |fin AS (SELECT round(CAST(psum AS DOUBLE)/pn, 9) AS p9,
+       |               round(CAST(rsum AS DOUBLE)/rn, 9) AS r9,
+       |               pn, rn FROM stats)
+       |SELECT pred_chars, gold_chars,
+       |  CASE WHEN pn IS NOT NULL THEN round(p9, 6) END AS "precision",
+       |  CASE WHEN rn IS NOT NULL THEN round(r9, 6) END AS recall,
+       |  CASE WHEN pn IS NOT NULL AND rn IS NOT NULL AND ($b2*p9 + r9) > 0
+       |    THEN round((1.0 + $b2)*p9*r9/($b2*p9 + r9), 6)
+       |    WHEN pn IS NOT NULL AND rn IS NOT NULL THEN 0.0
+       |  END AS chrf
+       |FROM lens, fin""".stripMargin
   }
 
   /**
@@ -4872,6 +4931,7 @@ object SparkEntry {
         |  CASE WHEN pn = gn THEN 1 ELSE 0 END AS exact_match
         |FROM base b LEFT JOIN ov o USING (id) ORDER BY id""".stripMargin,
     "q_eval_bleu" -> bleuOracle(4),
+    "q_eval_chrf" -> chrfOracle(6, 2.0),
     // Same clipped-count pattern as tokenF1, on bigrams.
     "q_eval_rouge2" ->
       s"""WITH $evalPairsSql,

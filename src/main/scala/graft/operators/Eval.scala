@@ -422,6 +422,83 @@ object Eval {
   }
 
   /**
+   * Corpus chrF (Popović 2015, the chrF2 configuration): character
+   * n-gram F-β over whitespace-stripped text, orders 1..`maxN` (6), the
+   * MT/generation metric robust to tokenization and morphology where
+   * word-level BLEU is brittle. Per order: corpus-pooled clipped
+   * matches give P_n = Σmin/Σpred-grams and R_n = Σmin/Σgold-grams;
+   * P and R macro-average the orders WITH MASS (a zero-total order is
+   * skipped, not counted as zero — the effective-order convention);
+   * chrF_β = (1+β²)·P·R/(β²·P+R), β = 2 (recall-weighted). One row:
+   * `(pred_chars, gold_chars, precision, recall, chrf)`.
+   *
+   * Unicode note: "character" = UTF-16 code unit on the Spark side and
+   * codepoint in the DuckDB oracle — identical for BMP text; documents
+   * beyond the BMP would need a codepoint split on the Spark side.
+   *
+   * Float discipline: per-order ratios round to 9 dp, macro-averages
+   * divide DECIMAL sums as double (rounded 9 dp), the F-β is one fixed-
+   * shape expression rounded to 6 dp. Scale shape: maxN explode-reduce
+   * rounds keyed by (id, gram) — identical profile to [[corpusBleu]],
+   * with character grams ≈ bytes of corpus per order.
+   */
+  def corpusChrF(df: DataFrame, idCol: String, predCol: String,
+                 goldCol: String, maxN: Int = 6, beta: Double = 2.0): DataFrame = {
+    require(maxN >= 1 && maxN <= 10, "maxN must be in [1, 10]")
+    require(beta > 0, "beta must be positive")
+    def stripped(c: Column): Column =
+      regexp_replace(coalesce(c, lit("")), "\\s+", "")
+    val base = df.select(col(idCol).as("id"),
+      stripped(col(predCol)).as("__p"), stripped(col(goldCol)).as("__g"))
+    def charGrams(c: Column, n: Int): Column =
+      when(length(c) >= n,
+        transform(sequence(lit(1), length(c) - lit(n - 1)),
+          i => c.substr(i, lit(n))))
+        .otherwise(array().cast("array<string>"))
+    val perN = (1 to maxN).map { n =>
+      val pg = base.select(col("id"), explode(charGrams(col("__p"), n)).as("g"))
+        .groupBy("id", "g").agg(count(lit(1)).as("cp"))
+      val gg = base.select(col("id"), explode(charGrams(col("__g"), n)).as("g"))
+        .groupBy("id", "g").agg(count(lit(1)).as("cg"))
+      val matched = pg.join(gg, Seq("id", "g"))
+        .agg(coalesce(sum(least(col("cp"), col("cg"))), lit(0L)).as("matched"))
+      val totals = base.agg(
+        coalesce(sum(greatest(length(col("__p")).cast("long") - lit(n - 1L),
+          lit(0L))), lit(0L)).as("tp"),
+        coalesce(sum(greatest(length(col("__g")).cast("long") - lit(n - 1L),
+          lit(0L))), lit(0L)).as("tg"))
+      matched.crossJoin(totals)
+        .select(lit(n).as("n"), col("matched"), col("tp"), col("tg"))
+    }.reduce(_ unionByName _)
+    val dec = "decimal(20,9)"
+    val stats = perN.agg(
+      sum(when(col("tp") > 0,
+        round(col("matched").cast("double") / col("tp"), 9).cast(dec)))
+        .as("__psum"),
+      sum(when(col("tp") > 0, lit(1))).as("__pn"),
+      sum(when(col("tg") > 0,
+        round(col("matched").cast("double") / col("tg"), 9).cast(dec)))
+        .as("__rsum"),
+      sum(when(col("tg") > 0, lit(1))).as("__rn"))
+    val lens = base.agg(
+      sum(length(col("__p")).cast("long")).as("pred_chars"),
+      sum(length(col("__g")).cast("long")).as("gold_chars"))
+    val p = round(col("__psum").cast("double") / col("__pn"), 9)
+    val r = round(col("__rsum").cast("double") / col("__rn"), 9)
+    val b2 = lit(beta * beta)
+    lens.crossJoin(stats)
+      .select(col("pred_chars"), col("gold_chars"),
+        when(col("__pn").isNotNull, round(p, 6)).as("precision"),
+        when(col("__rn").isNotNull, round(r, 6)).as("recall"),
+        when(col("__pn").isNotNull && col("__rn").isNotNull &&
+          (b2 * p + r) > 0,
+          round((lit(1.0) + b2) * p * r / (b2 * p + r), 6))
+          .otherwise(when(col("__pn").isNotNull && col("__rn").isNotNull,
+            lit(0.0)))
+          .as("chrf"))
+  }
+
+  /**
    * Per-class classification report — the audit of a quality/toxicity
    * classifier against gold labels before its verdicts filter a corpus:
    * one row per label in gold ∪ predicted,

@@ -195,6 +195,33 @@ class EvalSpec extends SparkTestBase {
     assert(!plan.contains("Exchange"), plan)
   }
 
+  test("corpusChrF: whitespace stripped, effective orders, beta=2 recall weighting") {
+    // whitespace-insensitive: "a b c" ≡ "abc" after stripping → perfect
+    val same = Seq((1L, "a b c", "abc")).toDF("id", "pred", "gold")
+    val r1 = Eval.corpusChrF(same, "id", "pred", "gold", maxN = 2).collect()(0)
+    assert(r1.getAs[Double]("chrf") == 1.0 && r1.getAs[Long]("pred_chars") == 3L)
+
+    // unigram-only hand case: P = R = 2/3 → F_β = 2/3 for any β
+    val uni = Seq((1L, "abc", "abd")).toDF("id", "pred", "gold")
+    val r2 = Eval.corpusChrF(uni, "id", "pred", "gold", maxN = 1).collect()(0)
+    assert(r2.getAs[Double]("precision") == 0.666667 &&
+      r2.getAs[Double]("recall") == 0.666667 &&
+      r2.getAs[Double]("chrf") == 0.666667)
+
+    // order 3 has no mass on either side ("ab" / "ab") → skipped, not
+    // zero-averaged: orders 1,2 are perfect so chrf stays 1.0
+    val short0 = Seq((1L, "ab", "ab")).toDF("id", "pred", "gold")
+    val r3 = Eval.corpusChrF(short0, "id", "pred", "gold", maxN = 3).collect()(0)
+    assert(r3.getAs[Double]("chrf") == 1.0)
+
+    // beta = 2 weights recall: pred "ab" vs gold "abcd" at maxN=1 —
+    // P = 1, R = 1/2 → chrF2 = 5·(1/2)/(4+1/2) = 5/9
+    val rec = Seq((1L, "ab", "abcd")).toDF("id", "pred", "gold")
+    val r4 = Eval.corpusChrF(rec, "id", "pred", "gold", maxN = 1).collect()(0)
+    assert(r4.getAs[Double]("chrf") ==
+      BigDecimal(5.0 / 9.0).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+  }
+
   test("corpusBleu: pooled clipped precisions, brevity penalty, zero n-gram rule") {
     // identical pair → every p_n = 1, BP = 1, BLEU = 1
     val same = Seq((1L, "the cat sat on the mat", "the cat sat on the mat"))
