@@ -117,7 +117,10 @@ object ScaleProbe {
     // lead-pairs + native comparator, no extra shuffle)
     "q_linkage_jw",
     // round-6 batch L: chrF2 — char-gram explode-reduce, ≈bytes/order
-    "q_eval_chrf")
+    "q_eval_chrf",
+    // round-6 batch M: T5 span corruption — one (id, pos) explode, two
+    // per-doc windows, ordered re-assembly
+    "q_augment_span")
 
   private def caesar(c: org.apache.spark.sql.Column, k: Int) = {
     val lower = "abcdefghijklmnopqrstuvwxyz"

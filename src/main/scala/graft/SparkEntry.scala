@@ -2112,6 +2112,13 @@ object SparkEntry {
       graft.operators.Eval.corpusBleu(evalPairs(s, d),
         "id", "pred", "gold", maxN = 4)),
 
+    // T5 span corruption (content-deterministic): 3-token blocks masked
+    // at density 0.2, adjacent dropped blocks fuse into one sentinel
+    // span; input/target pair + mask stats per document.
+    "q_augment_span" -> ((s, d) =>
+      graft.operators.Augment.spanCorrupt(docs(s, d), "doc_id", "text",
+        noiseDensity = 0.2, spanLen = 3).orderBy("id")),
+
     // Corpus chrF2 over the mixed pairs: character 1..6-gram F-score
     // with β = 2 — the tokenization-robust MT metric; the self half
     // keeps every order massed, the next-doc half pulls P/R below 1.
@@ -4932,6 +4939,46 @@ object SparkEntry {
         |FROM base b LEFT JOIN ov o USING (id) ORDER BY id""".stripMargin,
     "q_eval_bleu" -> bleuOracle(4),
     "q_eval_chrf" -> chrfOracle(6, 2.0),
+    // Replays the deterministic construction exactly: same md5 block
+    // hash (threshold 0.2 → '33333333'), same run merging, same ordered
+    // re-assembly — string_agg(… ORDER BY pos) ≡ the array_sort fold.
+    "q_augment_span" ->
+      s"""WITH base AS (SELECT doc_id AS id, $toksSql AS t FROM documents),
+        |tok0 AS (SELECT id, t, unnest(range(1, len(t)+1)) AS i FROM base),
+        |tok AS (SELECT id, i-1 AS pos, t[i] AS tok, (i-1)//3 AS blk FROM tok0),
+        |fl AS (SELECT id, pos, tok,
+        |  substr(md5('graft:' || CAST(id AS VARCHAR) || ':' ||
+        |             CAST(blk AS VARCHAR)), 1, 8)
+        |    < '${graft.operators.Split.thresholdHex(0.2)}' AS drp FROM tok),
+        |st AS (SELECT *, drp AND NOT coalesce(
+        |    lag(drp) OVER (PARTITION BY id ORDER BY pos), FALSE) AS strt
+        |  FROM fl),
+        |rn AS (SELECT *, sum(CASE WHEN strt THEN 1 ELSE 0 END)
+        |    OVER (PARTITION BY id ORDER BY pos
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run
+        |  FROM st),
+        |io AS (SELECT id, pos, drp, run,
+        |  CASE WHEN NOT drp THEN tok
+        |       WHEN strt THEN '<extra_id_' || CAST(run-1 AS VARCHAR) || '>'
+        |  END AS itok,
+        |  CASE WHEN drp AND strt
+        |         THEN '<extra_id_' || CAST(run-1 AS VARCHAR) || '> ' || tok
+        |       WHEN drp THEN tok END AS ttok
+        |  FROM rn),
+        |built AS (SELECT id,
+        |  string_agg(itok, ' ' ORDER BY pos) FILTER (WHERE itok IS NOT NULL)
+        |    AS input_text,
+        |  string_agg(ttok, ' ' ORDER BY pos) FILTER (WHERE ttok IS NOT NULL)
+        |    AS target_text,
+        |  sum(CASE WHEN drp THEN 1 ELSE 0 END) AS n_dropped,
+        |  max(run) AS n_spans
+        |  FROM io GROUP BY 1)
+        |SELECT b.id, coalesce(bu.input_text, '') AS input_text,
+        |  coalesce(bu.target_text, '') AS target_text,
+        |  CAST(len(t) AS BIGINT) AS n_tokens,
+        |  CAST(coalesce(bu.n_dropped, 0) AS BIGINT) AS n_dropped,
+        |  CAST(coalesce(bu.n_spans, 0) AS BIGINT) AS n_spans
+        |FROM base b LEFT JOIN built bu USING (id) ORDER BY id""".stripMargin,
     // Same clipped-count pattern as tokenF1, on bigrams.
     "q_eval_rouge2" ->
       s"""WITH $evalPairsSql,

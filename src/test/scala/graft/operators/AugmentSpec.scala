@@ -1,0 +1,64 @@
+package graft.operators
+
+import graft.SparkTestBase
+import org.apache.spark.sql.Row
+
+class AugmentSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def corrupt(texts: Seq[String], density: Double, spanLen: Int = 3) =
+    Augment.spanCorrupt(
+      texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("id", "text"),
+      "id", "text", noiseDensity = density, spanLen = spanLen)
+
+  /** Splice each target span back over its sentinel in the input. */
+  private def reconstruct(input: String, target: String): String = {
+    val spans = target.split("<extra_id_\\d+> ").filter(_.nonEmpty)
+      .map(_.trim)
+    var out = input
+    spans.zipWithIndex.foreach { case (s, k) =>
+      out = out.replace(s"<extra_id_$k>", s)
+    }
+    out
+  }
+
+  test("spanCorrupt: sentinel splice reconstructs the original text exactly") {
+    val texts = Seq(
+      "the quick brown fox jumps over the lazy dog again and again today",
+      "a b c d e f g h i j k l m n o p q r s t u v w x y z",
+      "short doc", "", "   ")
+    val out = corrupt(texts, density = 0.5, spanLen = 2)
+      .orderBy("id").collect()
+    texts.zipWithIndex.foreach { case (t, i) =>
+      val r = out(i)
+      val expected = t.trim.split("\\s+").filter(_.nonEmpty).mkString(" ")
+      assert(reconstruct(r.getString(1), r.getString(2)) == expected,
+        s"doc $i: ${r.getString(1)} | ${r.getString(2)}")
+      // stats agree: dropped + kept-in-input tokens == n_tokens
+      val sentinels = "<extra_id_\\d+>".r.findAllIn(r.getString(1)).size
+      assert(r.getAs[Long]("n_spans") == sentinels)
+    }
+  }
+
+  test("spanCorrupt: density 0 passes text through; density 1 masks everything as ONE span") {
+    val t = "alpha beta gamma delta epsilon zeta"
+    val none = corrupt(Seq(t), density = 0.0).collect()(0)
+    assert(none.getString(1) == t && none.getString(2) == "" &&
+      none.getAs[Long]("n_dropped") == 0L && none.getAs[Long]("n_spans") == 0L)
+    val all = corrupt(Seq(t), density = 1.0).collect()(0)
+    assert(all.getString(1) == "<extra_id_0>")
+    assert(all.getString(2) == s"<extra_id_0> $t")
+    assert(all.getAs[Long]("n_dropped") == 6L && all.getAs[Long]("n_spans") == 1L)
+  }
+
+  test("spanCorrupt is deterministic and seed-sensitive") {
+    val texts = (0 until 30).map(i => s"tok$i " * 20)
+    val a = corrupt(texts, density = 0.3).orderBy("id").collect().toSeq
+    val b = corrupt(texts, density = 0.3).orderBy("id").collect().toSeq
+    assert(a == b)
+    val other = Augment.spanCorrupt(
+      texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("id", "text"),
+      "id", "text", noiseDensity = 0.3, seed = "other").orderBy("id").collect().toSeq
+    assert(a != other) // a different seed moves the masks
+  }
+}
