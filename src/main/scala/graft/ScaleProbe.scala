@@ -120,7 +120,10 @@ object ScaleProbe {
     "q_eval_chrf",
     // round-6 batch M: T5 span corruption — one (id, pos) explode, two
     // per-doc windows, ordered re-assembly
-    "q_augment_span")
+    "q_augment_span",
+    // round-6 batch N: greedy k-center coreset — k nested 1-row argmax
+    // subplans, broadcast-only; corpus passes scale with k
+    "q_sample_kcenter")
 
   private def caesar(c: org.apache.spark.sql.Column, k: Int) = {
     val lower = "abcdefghijklmnopqrstuvwxyz"

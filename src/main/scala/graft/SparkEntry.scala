@@ -2112,6 +2112,16 @@ object SparkEntry {
       graft.operators.Eval.corpusBleu(evalPairs(s, d),
         "id", "pred", "gold", maxN = 4)),
 
+    // Greedy k-center coreset: 4 maximally-spread embedding exemplars,
+    // selection fully in-plan (1-row argmax subplans broadcast into the
+    // running min-distance), the oracle unrolls round for round.
+    "q_sample_kcenter" -> ((s, d) => {
+      val e = embeddings(s, d)
+        .select(col("vec_id"), VF.asDouble(col("embedding")).as("v"))
+      graft.operators.Centroids.kCenterGreedy(e, "vec_id", "v", k = 4)
+        .orderBy("center_order")
+    }),
+
     // T5 span corruption (content-deterministic): 3-token blocks masked
     // at density 0.2, adjacent dropped blocks fuse into one sentinel
     // span; input/target pair + mask stats per document.
@@ -3125,6 +3135,29 @@ object SparkEntry {
        |    WHEN pn IS NOT NULL AND rn IS NOT NULL THEN 0.0
        |  END AS chrf
        |FROM lens, fin""".stripMargin
+  }
+
+  /** DuckDB mirror of Centroids.kCenterGreedy — the greedy rounds
+    * unrolled as CTE pairs (argmax pick, min-distance update). */
+  private def kCenterOracle(k: Int): String = {
+    val rounds = (1 until k).map { r =>
+      s"""c$r AS (SELECT vec_id, v, mind FROM d${r - 1}
+         |  ORDER BY mind DESC, vec_id ASC LIMIT 1),
+         |d$r AS (SELECT d.vec_id, d.v,
+         |  least(d.mind, round(1 - list_cosine_similarity(d.v, c.v), 6)) AS mind
+         |  FROM d${r - 1} d, c$r c WHERE d.vec_id != c.vec_id)""".stripMargin
+    }.mkString(",\n")
+    val sel = (1 until k)
+      .map(r => s"UNION ALL SELECT $r, vec_id, mind FROM c$r").mkString("\n")
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |c0 AS (SELECT vec_id, v FROM e ORDER BY vec_id ASC LIMIT 1),
+       |d0 AS (SELECT e.vec_id, e.v,
+       |  round(1 - list_cosine_similarity(e.v, c.v), 6) AS mind
+       |  FROM e, c0 c WHERE e.vec_id != c.vec_id),
+       |$rounds
+       |SELECT 0 AS center_order, vec_id, CAST(NULL AS DOUBLE) AS min_dist FROM c0
+       |$sel
+       |ORDER BY center_order""".stripMargin
   }
 
   /**
@@ -4939,6 +4972,7 @@ object SparkEntry {
         |FROM base b LEFT JOIN ov o USING (id) ORDER BY id""".stripMargin,
     "q_eval_bleu" -> bleuOracle(4),
     "q_eval_chrf" -> chrfOracle(6, 2.0),
+    "q_sample_kcenter" -> kCenterOracle(4),
     // Replays the deterministic construction exactly: same md5 block
     // hash (threshold 0.2 → '33333333'), same run merging, same ordered
     // re-assembly — string_agg(… ORDER BY pos) ≡ the array_sort fold.

@@ -124,6 +124,52 @@ object Centroids {
     * aren't hash-agg-supported — but the partial pass still collapses
     * each vector's |labels| candidate rows before the exchange, so the
     * shuffle carries one row per vector). */
+  /**
+   * Greedy k-center coreset selection (Gonzalez 1985; the diversity-
+   * sampling backbone of active learning and "select the k most
+   * spread-out examples" data curation): start from the smallest id,
+   * then k−1 times pick the point FARTHEST (cosine distance) from
+   * everything selected so far — a 2-approximation of the optimal
+   * k-center cover. Output one row per center:
+   * `(center_order, vec_id, min_dist)` where `min_dist` is the covering
+   * radius the pick maximized (NULL for the seed); `min_dist` of center
+   * k is an upper bound on how far any remaining point sits from the
+   * coreset — the number you read to choose k.
+   *
+   * Fully IN-PLAN: each round is a 1-row `orderBy.limit(1)` subplan
+   * broadcast into a `least(mind, dist)` update — no driver collect,
+   * no RNG; distances round to 6 dp before every comparison (argmax
+   * ties break on id), so the selection is engine-exact and the gate
+   * unrolls round for round in SQL. Greedy selection is inherently
+   * sequential — the plan nests k stages; for k beyond a few dozen,
+   * localCheckpoint the running state every ~10 rounds (same lineage
+   * discipline as [[lloyd]]/Graph).
+   */
+  def kCenterGreedy(df: DataFrame, idCol: String, vecCol: String,
+                    k: Int): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    val e = df.select(col(idCol).as("vec_id"), col(vecCol).as("__v"))
+    // sentinel 2.0+ = "uncovered": cosine distance is bounded by 2
+    var state = e.withColumn("__mind", lit(3.0))
+    var out: DataFrame = null
+    for (r <- 0 until k) {
+      val chosen =
+        if (r == 0) state.orderBy(col("vec_id").asc).limit(1)
+        else state.orderBy(col("__mind").desc, col("vec_id").asc).limit(1)
+      val row = chosen.select(lit(r).as("center_order"), col("vec_id"),
+        (if (r == 0) lit(null).cast("double") else col("__mind"))
+          .as("min_dist"))
+      out = if (out == null) row else out.unionByName(row)
+      state = state
+        .join(broadcast(chosen.select(col("vec_id").as("__cid"),
+          col("__v").as("__cv"))), col("vec_id") =!= col("__cid"))
+        .withColumn("__mind", least(col("__mind"),
+          round(lit(1.0) - VF.cosine(col("__v"), col("__cv")), 6)))
+        .drop("__cid", "__cv")
+    }
+    out
+  }
+
   def assignNearest(df: DataFrame, idCol: String, vecCol: String,
                     labelCol: String): DataFrame =
     assignToCentroids(df, idCol, vecCol, labelCentroids(df, vecCol, labelCol))

@@ -114,4 +114,22 @@ class CentroidsSpec extends SparkTestBase {
     assert(r.isNullAt(r.fieldIndex("nearest_label")))
     assert(r.isNullAt(r.fieldIndex("margin")))
   }
+
+  test("kCenterGreedy: farthest-first on known geometry, radius non-increasing") {
+    // id 1 = +x (seed: smallest id). Farthest by cosine distance is -x
+    // (id 3, dist 2); then +y (id 2, dist 1 to both); near-duplicate of
+    // the seed (id 4) is picked LAST — diversity before redundancy.
+    val d = df("id BIGINT, v ARRAY<DOUBLE>", Seq(
+      Row(1L, Seq(1.0, 0.0)), Row(2L, Seq(0.0, 1.0)),
+      Row(3L, Seq(-1.0, 0.0)), Row(4L, Seq(0.999, 0.001))))
+    val out = Centroids.kCenterGreedy(d, "id", "v", k = 4)
+      .orderBy("center_order").collect()
+    assert(out.map(_.getLong(1)).toSeq == Seq(1L, 3L, 2L, 4L))
+    assert(out(0).isNullAt(2))
+    assert(out(1).getDouble(2) == 2.0) // antipodal: 1 - (-1)
+    assert(out(2).getDouble(2) == 1.0) // orthogonal
+    val radii = out.drop(1).map(_.getDouble(2))
+    assert(radii.sameElements(radii.sorted.reverse)) // covering radius shrinks
+    assert(radii.last < 0.001)                       // near-dup adds ~nothing
+  }
 }
