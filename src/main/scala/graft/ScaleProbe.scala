@@ -123,7 +123,10 @@ object ScaleProbe {
     "q_augment_span",
     // round-6 batch N: greedy k-center coreset — k nested 1-row argmax
     // subplans, broadcast-only; corpus passes scale with k
-    "q_sample_kcenter")
+    "q_sample_kcenter",
+    // round-6 batch O: JL sign projection (pure literal-matrix
+    // arithmetic) and per-dim embedding stats (d-cell reduce)
+    "q_embed_jl", "q_embed_dimstats")
 
   private def caesar(c: org.apache.spark.sql.Column, k: Int) = {
     val lower = "abcdefghijklmnopqrstuvwxyz"

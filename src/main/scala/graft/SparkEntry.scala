@@ -2112,6 +2112,25 @@ object SparkEntry {
       graft.operators.Eval.corpusBleu(evalPairs(s, d),
         "id", "pred", "gold", maxN = 4)),
 
+    // Johnson-Lindenstrauss sign projection 64→16: data-free seeded
+    // ±1 matrix (md5 parity), embedded as a literal — pure codegen'd
+    // arithmetic per row; the oracle regenerates the matrix from SQL
+    // md5 and folds in the same sequential order.
+    "q_embed_jl" -> ((s, d) =>
+      graft.operators.Quantize.jlProject(
+          embeddings(s, d).select(col("vec_id"),
+            VF.asDouble(col("embedding")).as("v")),
+          "vec_id", "v", sourceDims = 64, targetDims = 16)
+        .orderBy("vec_id")),
+
+    // Per-dimension embedding health: dead dims (variance ~ 0) and
+    // offset dims (|mean| >> 0) — the anisotropy audit before trusting
+    // raw cosine anywhere.
+    "q_embed_dimstats" -> ((s, d) =>
+      graft.operators.Profile.embeddingDimStats(
+          embeddings(s, d).select(VF.asDouble(col("embedding")).as("v")), "v")
+        .orderBy("dim")),
+
     // Greedy k-center coreset: 4 maximally-spread embedding exemplars,
     // selection fully in-plan (1-row argmax subplans broadcast into the
     // running min-distance), the oracle unrolls round for round.
@@ -4973,6 +4992,40 @@ object SparkEntry {
     "q_eval_bleu" -> bleuOracle(4),
     "q_eval_chrf" -> chrfOracle(6, 2.0),
     "q_sample_kcenter" -> kCenterOracle(4),
+    // Regenerates the ±1 matrix from SQL md5 (same seed:j:i strings,
+    // same first-nibble parity) and left-folds the products in index
+    // order — list_reduce starting from 0.0+t1 reproduces the exact
+    // IEEE partial sums of the operator's sequential aggregate.
+    "q_embed_jl" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+        |SELECT vec_id,
+        |  list_transform(range(1, 17), j ->
+        |    round(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+        |      list_transform(range(1, 65), i ->
+        |        (CASE WHEN substr(md5('graft:' || CAST(j AS VARCHAR) || ':' ||
+        |                              CAST(i AS VARCHAR)), 1, 1)
+        |                IN ('0', '2', '4', '6', '8', 'a', 'c', 'e')
+        |              THEN 1.0 ELSE -1.0 END) * v[i])),
+        |      (a, b) -> a + b) / sqrt(16.0), 6)) AS v
+        |FROM e ORDER BY vec_id""".stripMargin,
+    "q_embed_dimstats" ->
+      """WITH x AS (
+        |  SELECT i AS dim, round(v[i], 9) AS x FROM (
+        |    SELECT CAST(embedding AS DOUBLE[]) AS v,
+        |           unnest(range(1, len(embedding)+1)) AS i
+        |    FROM embeddings)),
+        |a AS (SELECT dim, count(*) AS n,
+        |        sum(CAST(x AS DECIMAL(28,9))) AS s,
+        |        sum(CAST(round(x*x, 9) AS DECIMAL(28,9))) AS s2,
+        |        min(x) AS min_val, max(x) AS max_val
+        |      FROM x GROUP BY 1),
+        |m AS (SELECT dim, n, round(CAST(s AS DOUBLE)/n, 9) AS mn,
+        |        round(CAST(s2 AS DOUBLE)/n, 9) AS e2, min_val, max_val
+        |      FROM a)
+        |SELECT CAST(dim AS INTEGER) AS dim, CAST(n AS BIGINT) AS n,
+        |  round(mn, 6) AS mean, round(e2 - mn*mn, 6) AS variance,
+        |  min_val, max_val
+        |FROM m ORDER BY dim""".stripMargin,
     // Replays the deterministic construction exactly: same md5 block
     // hash (threshold 0.2 → '33333333'), same run merging, same ordered
     // re-assembly — string_agg(… ORDER BY pos) ≡ the array_sort fold.

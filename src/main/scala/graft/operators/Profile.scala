@@ -634,4 +634,44 @@ object Profile {
         col("n_left_rows"), col("left_rows_matched"),
         col("n_right_rows"), col("right_rows_matched"), col("max_fanout"))
   }
+
+  /**
+   * Per-dimension embedding health audit: `(dim, n, mean, variance,
+   * min_val, max_val)` for each coordinate (1-based). The two failure
+   * modes this catches before any ANN/semantic-dedup run: DEAD
+   * dimensions (variance ≈ 0 — wasted index bits, and a symptom of a
+   * truncated or mis-exported model) and DOMINANT/offset dimensions
+   * (|mean| ≫ 0 — anisotropy that makes raw cosine cluster everything
+   * together; the "all embeddings look similar" bug). Read it next to
+   * [[giniConcentration]]: a healthy space has near-zero means and
+   * same-order variances across dims.
+   *
+   * Scale shape: one posexplode keyed by dim — the shuffle carries
+   * (dim, partial-sum) cells with map-side combine, d cells total.
+   * Determinism: values round to 9 dp, accumulate as DECIMAL (order-
+   * free), the mean/E[x²] divisions are single double ops rounded to
+   * 9 dp, variance = E[x²] − mean² rounded to 6.
+   */
+  def embeddingDimStats(df: DataFrame, vecCol: String): DataFrame = {
+    val d = df
+      .select(posexplode(col(vecCol).cast("array<double>"))
+        .as(Seq("pos", "__x")))
+      .select((col("pos") + 1).cast("int").as("dim"),
+        round(col("__x"), 9).as("x"))
+    val dec = "decimal(28,9)"
+    d.groupBy("dim").agg(
+        count(lit(1)).as("n"),
+        sum(col("x").cast(dec)).as("__s"),
+        sum(round(col("x") * col("x"), 9).cast(dec)).as("__s2"),
+        min(col("x")).as("min_val"),
+        max(col("x")).as("max_val"))
+      .select(col("dim"), col("n"),
+        round(col("__s").cast("double") / col("n"), 9).as("__m"),
+        round(col("__s2").cast("double") / col("n"), 9).as("__e2"),
+        col("min_val"), col("max_val"))
+      .select(col("dim"), col("n"),
+        round(col("__m"), 6).as("mean"),
+        round(col("__e2") - col("__m") * col("__m"), 6).as("variance"),
+        col("min_val"), col("max_val"))
+  }
 }

@@ -71,4 +71,56 @@ object Quantize {
           .otherwise(transform(col("__t"), x => x / col("__norm")))
           .as("v"))
   }
+
+  /**
+   * Deterministic Johnson-Lindenstrauss sign projection (Achlioptas
+   * 2003: ±1 entries preserve pairwise distances as well as Gaussian
+   * ones): out[j] = Σ_i v[i]·s(j,i) / √targetDims with
+   * s(j,i) ∈ {−1,+1} read off a hash of (j,i) — the DATA-FREE
+   * dimensionality reduction to run before banded-LSH or brute-force
+   * scoring when the source dimension is large. Unlike a fitted PCA,
+   * the projection matrix is pure code: any executor — or any other
+   * engine — regenerates the same matrix from the seed, so projections
+   * of two corpora made years apart still live in the same space.
+   *
+   * The sign bit is the parity of the first hex nibble of
+   * md5(seed:j:i) (1-based j, i — the repo's Split/Sample hash
+   * discipline, reproduced verbatim by the DuckDB oracle's own md5).
+   * The matrix is DATA-FREE, so it's generated once on the driver and
+   * embedded as a literal — per row the work is pure codegen'd
+   * arithmetic (O(sourceDims·targetDims) multiply-adds, zero md5 calls,
+   * zero shuffle); each output component is a sequential left-fold
+   * (engine-exact IEEE order) rounded to 6 dp.
+   *
+   * `sourceDims` must match the vectors' length (enforced by zip_with's
+   * null-on-length-mismatch poisoning the fold — malformed rows yield
+   * null components, not silent truncation).
+   */
+  def jlProject(df: DataFrame, idCol: String, vecCol: String,
+                sourceDims: Int, targetDims: Int,
+                seed: String = "graft"): DataFrame = {
+    require(targetDims >= 1, "targetDims must be >= 1")
+    require(sourceDims >= 1, "sourceDims must be >= 1")
+    val scale = lit(math.sqrt(targetDims.toDouble))
+    val signRows = (1 to targetDims).map { j =>
+      array((1 to sourceDims).map { i =>
+        lit(if (jlSign(seed, j, i)) 1.0 else -1.0)
+      }: _*)
+    }
+    val signLit = array(signRows: _*)
+    val out = transform(sequence(lit(1), lit(targetDims)), j =>
+      round(aggregate(
+        zip_with(col("__v"), element_at(signLit, j), (x, s) => x * s),
+        lit(0.0), (acc, t) => acc + t) / scale, 6))
+    df.select(col(idCol), col(vecCol).cast("array<double>").as("__v"))
+      .select(col(idCol), out.as("v"))
+  }
+
+  /** +1 iff the first hex nibble of md5("seed:j:i") is even — the same
+    * bit the oracle reads with SQL md5. */
+  def jlSign(seed: String, j: Int, i: Int): Boolean = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val h = md.digest(s"$seed:$j:$i".getBytes("UTF-8"))
+    ((h(0) >> 4) & 1) == 0
+  }
 }

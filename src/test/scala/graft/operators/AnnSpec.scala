@@ -270,6 +270,48 @@ class AnnSpec extends SparkTestBase {
     assert(m2 == Set((1L, 2L), (1L, 3L), (2L, 3L)))
   }
 
+  test("jlProject preserves pairwise distance structure and is seed-deterministic") {
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .filter(org.apache.spark.sql.functions.col("vec_id") < 40)
+      .selectExpr("vec_id", "CAST(embedding AS ARRAY<DOUBLE>) AS v")
+    val proj = Quantize.jlProject(e, "vec_id", "v", sourceDims = 64, targetDims = 24)
+    val orig = e.collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    val red = proj.collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    def d2(a: Seq[Double], b: Seq[Double]) =
+      a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+    // JL with ±1 entries: squared distances preserved in expectation;
+    // at 24 dims spot-check the ratio stays within a loose (0.4, 2.5)
+    // band for every sampled pair — catches sign/scale bugs, not tight
+    // concentration (which needs higher target dims)
+    val ids = orig.keys.toSeq.sorted.take(15)
+    for (a <- ids; b <- ids if a < b) {
+      val r = d2(red(a), red(b)) / d2(orig(a), orig(b))
+      assert(r > 0.4 && r < 2.5, s"pair ($a,$b) distorted by $r")
+    }
+    // deterministic across invocations; a different seed moves values
+    val again = Quantize.jlProject(e, "vec_id", "v", 64, 24).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    assert(again == red)
+    val other = Quantize.jlProject(e, "vec_id", "v", 64, 24, seed = "other")
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    assert(other != red)
+  }
+
+  test("embeddingDimStats: hand-computed moments per dimension") {
+    val d = df("v ARRAY<DOUBLE>", Seq(
+      Row(Seq(1.0, 2.0)), Row(Seq(3.0, 2.0)), Row(Seq(5.0, 2.0))))
+    val out = Profile.embeddingDimStats(d, "v").orderBy("dim").collect()
+    // dim 1: mean 3, E[x²] = (1+9+25)/3, var = 35/3 - 9 = 8/3
+    assert(out(0).getInt(0) == 1 && out(0).getLong(1) == 3L)
+    assert(out(0).getAs[Double]("mean") == 3.0)
+    assert(out(0).getAs[Double]("variance") == 2.666667)
+    assert(out(0).getAs[Double]("min_val") == 1.0 &&
+      out(0).getAs[Double]("max_val") == 5.0)
+    // dim 2: constant -> dead dimension, variance 0
+    assert(out(1).getAs[Double]("variance") == 0.0 &&
+      out(1).getAs[Double]("mean") == 2.0)
+  }
+
   test("marginPairs: ratio margin beats raw cosine, best-per-source, threshold cut") {
     import org.apache.spark.sql.Row
     // source 10: neighborhood mean (0.9+0.7)/2 = 0.8
