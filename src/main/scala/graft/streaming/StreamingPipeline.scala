@@ -14,7 +14,8 @@ import org.apache.spark.sql.functions._
  *  - FILTER / SELECT / CUSTOM(stateless SQL): map 1:1.
  *  - JOIN: stream-static joins supported (the static side is a lookup
  *    table, e.g. a dimension); stream-stream needs watermarks on both
- *    sides — out of scope for the stage algebra.
+ *    sides — out of scope for the stage algebra, but available as the
+ *    standalone [[intervalJoinStream]] (bounded-state interval join).
  *  - GROUP / AGGREGATE: supported as windowed aggregations with a
  *    watermark (append mode) or running aggregates (update mode).
  *  - SORT / UNION-distinct: unbounded total sort / global dedup are not
@@ -81,6 +82,39 @@ object StreamingPipeline {
                   watermarkDelay: String = "1 hour"): DataFrame =
     stream.withWatermark(tsCol, watermarkDelay)
       .dropDuplicatesWithinWatermark(keyCols.head, keyCols.tail: _*)
+
+  /**
+   * STREAM-STREAM interval join: points arriving on one stream matched
+   * to time ranges arriving on another (`rangeStart <= pointTs <
+   * rangeEnd`, plus optional key equality; output keeps the point
+   * side's key copy, like the batch [[graft.operators.IntervalJoin]]).
+   *
+   * Spark can only run a stream-stream join with BOUNDED state, and the
+   * bound must be readable from the join condition on the two
+   * WATERMARKED columns — `pointTs ∈ [rangeStart, rangeStart +
+   * maxRangeWidth]` is that bound (`maxRangeWidth` = the widest range
+   * you'll ever emit; ranges wider than it are silently clipped out of
+   * matches beyond the bound, so size it from the range source's
+   * contract). Each side keeps `watermarkDelay` + `maxRangeWidth` of
+   * state, evicted by the joint watermark — the forever-runnable shape.
+   * The exact `pointTs < rangeEnd` refine rides along as an ordinary
+   * predicate.
+   */
+  def intervalJoinStream(points: DataFrame, ranges: DataFrame,
+                         pointTs: String, rangeStart: String,
+                         rangeEnd: String, keys: Seq[String] = Nil,
+                         maxRangeWidth: String = "1 day",
+                         watermarkDelay: String = "10 minutes"): DataFrame = {
+    val p = points.withWatermark(pointTs, watermarkDelay)
+    val r = ranges.withWatermark(rangeStart, watermarkDelay)
+    val stateBound =
+      p(pointTs) >= r(rangeStart) &&
+        p(pointTs) <= r(rangeStart) + expr(s"INTERVAL $maxRangeWidth") &&
+        p(pointTs) < r(rangeEnd)
+    val cond = keys.map(k => p(k) === r(k))
+      .foldLeft(stateBound)(_ && _)
+    keys.map(r(_)).foldLeft(p.join(r, cond, "inner"))(_.drop(_))
+  }
 
   /** Open session carried in state: event-time bounds + event count. */
   final case class SessionState(start: Long, end: Long, n: Long)
