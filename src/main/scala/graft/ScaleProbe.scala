@@ -126,7 +126,10 @@ object ScaleProbe {
     "q_sample_kcenter",
     // round-6 batch O: JL sign projection (pure literal-matrix
     // arithmetic) and per-dim embedding stats (d-cell reduce)
-    "q_embed_jl", "q_embed_dimstats")
+    "q_embed_jl", "q_embed_dimstats",
+    // round-6 batch P: PSI drift (domain-sized reduce), SCD2 history
+    // (two windows over one key shuffle)
+    "q_drift_psi", "q_snapshot_scd2")
 
   private def caesar(c: org.apache.spark.sql.Column, k: Int) = {
     val lower = "abcdefghijklmnopqrstuvwxyz"

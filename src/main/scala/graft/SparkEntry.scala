@@ -788,6 +788,25 @@ object SparkEntry {
           docs(s, d).filter(col("n_chars") < 800).select("n_chars"),
           "n_chars", lo = 0.0, hi = 2000.0, nBins = 20)),
 
+    // PSI — the credit-scoring drift threshold number (0.1/0.25 bands):
+    // language mix of src0 vs the rest of the corpus, zero proportions
+    // floored at the standard 1e-4.
+    "q_drift_psi" -> ((s, d) => {
+      val ds = docs(s, d)
+      graft.operators.Drift.psi(
+        ds.filter(col("source") === "src0").select("lang"),
+        ds.filter(col("source") =!= "src0").select("lang"), "lang")
+    }),
+
+    // SCD type-2 history: the events change log rolled into validity
+    // intervals per user (no-op changes collapsed, half-open [from, to),
+    // open current row) — the warehouse-side shape of incremental state.
+    "q_snapshot_scd2" -> ((s, d) =>
+      graft.operators.Snapshot.scd2(
+          executor(s, d).table("events"), "user_id", "ts",
+          Seq("event_type"))
+        .orderBy("user_id", "valid_from")),
+
     // CRLF/blank-run normalization over synthesized line-ending damage —
     // the pass before any line-keyed operator on crawl text.
     "q_clean_newlines" -> ((s, d) =>
@@ -3795,6 +3814,31 @@ object SparkEntry {
     "q_drift_js" ->
       s"""WITH $driftCtes
          |$driftJsSelect""".stripMargin,
+    // Same scaffold, PSI tail: 9-dp-rounded proportions floored at 1e-4
+    // before the (p_a−p_b)·ln(p_a/p_b) term — mirrors Drift.psi.
+    "q_drift_psi" ->
+      s"""WITH ${driftScaffold(
+            "SELECT lang AS v FROM documents WHERE source = 'src0'",
+            "SELECT lang AS v FROM documents WHERE source != 'src0'")}
+         |SELECT CAST(count(*) AS BIGINT) AS n_values,
+         |  round(CAST(sum(CAST(round(
+         |    (greatest(round(p_a, 9), 0.0001) - greatest(round(p_b, 9), 0.0001)) *
+         |    ln(greatest(round(p_a, 9), 0.0001) / greatest(round(p_b, 9), 0.0001)),
+         |    9) AS DECIMAL(20,9))) AS DOUBLE), 6) AS psi
+         |FROM p""".stripMargin,
+    // Lag-collapse then lead-close — the two-window SCD2 build.
+    "q_snapshot_scd2" ->
+      """WITH d AS (SELECT user_id, ts, event_type,
+        |    lag(event_type) OVER (PARTITION BY user_id ORDER BY ts) AS pe
+        |  FROM events),
+        |k AS (SELECT user_id, ts, event_type FROM d
+        |      WHERE pe IS NULL OR pe != event_type),
+        |f AS (SELECT user_id, event_type, ts AS valid_from,
+        |        lead(ts) OVER (PARTITION BY user_id ORDER BY ts) AS valid_to
+        |      FROM k)
+        |SELECT user_id, event_type, valid_from, valid_to,
+        |       valid_to IS NULL AS is_current
+        |FROM f ORDER BY user_id, valid_from""".stripMargin,
     "q_drift_embedding" ->
       s"""WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
          |           FROM embeddings),

@@ -65,6 +65,46 @@ object Drift {
     jsDivergence(binned(a), binned(b), "bin")
   }
 
+  /**
+   * Population Stability Index — the model-monitoring drift number
+   * (credit-scoring convention: < 0.1 stable, 0.1–0.25 shifting,
+   * > 0.25 act): PSI = Σ_v (p_a − p_b)·ln(p_a/p_b) over the value
+   * domain, with zero proportions floored at `epsilon` (the standard
+   * substitution — PSI is undefined at 0, and a level that vanished
+   * IS the signal, so it must contribute a large finite term, not ∞ or
+   * a dropped row). One row: `(n_values, psi)`.
+   *
+   * Complements [[jsDivergence]] on the same domain reduce: JS is
+   * bounded (≤ ln 2) and symmetric-smoothed — good for dashboards; PSI
+   * is the unbounded industry threshold number. Same scale shape: one
+   * groupBy per side to domain-sized count tables, a full-outer join,
+   * 9-dp terms in decimal, 6-dp output.
+   */
+  def psi(a: DataFrame, b: DataFrame, valueCol: String,
+          epsilon: Double = 1e-4): DataFrame = {
+    require(epsilon > 0, "epsilon must be positive")
+    val pa = greatest(round(col("p_a"), 9), lit(epsilon))
+    val pb = greatest(round(col("p_b"), 9), lit(epsilon))
+    joined(a, b, valueCol)
+      .withColumn("w", round((pa - pb) * log(pa / pb), 9))
+      .agg(count(lit(1)).as("n_values"),
+        round(sum(col("w").cast("decimal(20,9)")).cast("double"), 6).as("psi"))
+  }
+
+  /** Numeric PSI over the same fixed binning as [[numericJs]]. */
+  def numericPsi(a: DataFrame, b: DataFrame, valueCol: String,
+                 lo: Double, hi: Double, nBins: Int,
+                 epsilon: Double = 1e-4): DataFrame = {
+    require(nBins >= 1 && hi > lo, "need hi > lo and at least one bin")
+    val width = (hi - lo) / nBins
+    def binned(df: DataFrame) = df
+      .where(col(valueCol).isNotNull)
+      .select(least(greatest(
+        floor((col(valueCol).cast("double") - lit(lo)) / lit(width)), lit(0)),
+        lit(nBins - 1)).cast("long").as("bin"))
+    psi(binned(a), binned(b), "bin", epsilon)
+  }
+
   private def joined(a: DataFrame, b: DataFrame, valueCol: String): DataFrame = {
     def counts(df: DataFrame, n: String) =
       df.groupBy(col(valueCol).as("value")).agg(count(lit(1)).as(n))

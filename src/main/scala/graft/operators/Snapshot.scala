@@ -66,4 +66,43 @@ object Snapshot {
     base.join(checked.select(col(idCol)), Seq(idCol), "left_anti")
       .unionByName(checked.filter(col(opCol) === "upsert").drop(opCol))
   }
+
+  /**
+   * Slowly-changing-dimension type-2 history build: turn an event/change
+   * log `(key, ts, attributes…)` into validity intervals —
+   * `(key, attributes…, valid_from, valid_to, is_current)` with
+   * `valid_to` = the NEXT change's timestamp (half-open `[from, to)`,
+   * NULL on the open current row). Consecutive rows whose attributes
+   * did not change are collapsed into the earlier interval first
+   * (a no-op change must not split history — the classic SCD2 dedup),
+   * compared via a null-sentinel digest so NULL attributes participate.
+   *
+   * Contract: at most one change per `(key, ts)` (enforce upstream with
+   * dedup; with duplicates the digest tie-break keeps the output
+   * deterministic but which duplicate wins is arbitrary).
+   *
+   * Scale shape: two windows over the same `(key, ts)` partitioning —
+   * one lag to drop no-ops, one lead to close intervals — so the corpus
+   * shuffles ONCE by key and both windows reuse the sort.
+   */
+  def scd2(changes: DataFrame, keyCol: String, tsCol: String,
+           attrCols: Seq[String]): DataFrame = {
+    require(attrCols.nonEmpty, "attrCols must be non-empty")
+    val digest = md5(concat_ws("\u0001",
+      attrCols.map(c => coalesce(col(c).cast("string"), lit("\u0000."))): _*))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(keyCol).orderBy(col(tsCol), col("__d"))
+    val deduped = changes
+      .withColumn("__d", digest)
+      .withColumn("__pd", lag(col("__d"), 1).over(w))
+      .filter(col("__pd").isNull || col("__pd") =!= col("__d"))
+    val w2 = org.apache.spark.sql.expressions.Window
+      .partitionBy(keyCol).orderBy(col(tsCol), col("__d"))
+    deduped
+      .withColumn("valid_from", col(tsCol))
+      .withColumn("valid_to", lead(col(tsCol), 1).over(w2))
+      .withColumn("is_current", col("valid_to").isNull)
+      .select((col(keyCol) +: attrCols.map(col)) ++
+        Seq(col("valid_from"), col("valid_to"), col("is_current")): _*)
+  }
 }

@@ -27,6 +27,30 @@ class DriftSpec extends SparkTestBase {
     assert(math.abs(disjoint.getDouble(1) - math.log(2)) < 1e-6)
   }
 
+  test("psi: hand formula, epsilon floor for vanished levels, zero when identical") {
+    // symmetric 3:1 flip -> psi = 0.5·ln 3 + 0.5·ln 3 = ln 3
+    val a = corpus("x", "x", "x", "y")
+    val b = corpus("x", "y", "y", "y")
+    val r1 = Drift.psi(a, b, "lang").collect()(0)
+    assert(r1.getLong(0) == 2L)
+    assert(r1.getAs[Double]("psi") ==
+      BigDecimal(math.log(3.0)).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    // identical distributions -> 0
+    assert(Drift.psi(a, a, "lang").collect()(0).getAs[Double]("psi") == 0.0)
+    // a level that vanished contributes a large FINITE term via the floor
+    val gone = Drift.psi(corpus("x", "x", "x", "x"),
+      corpus("x", "x", "z", "z"), "lang").collect()(0)
+    def t(pa: Double, pb: Double) = {
+      val fa = math.max(pa, 1e-4); val fb = math.max(pb, 1e-4)
+      BigDecimal((fa - fb) * math.log(fa / fb))
+        .setScale(9, BigDecimal.RoundingMode.HALF_UP)
+    }
+    val expected = (t(1.0, 0.5) + t(0.0, 0.5))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(gone.getAs[Double]("psi") == expected)
+    assert(gone.getAs[Double]("psi") > 4.0) // firmly in the "act" band
+  }
+
   test("numericJs bins with clamped edges and excludes NULLs") {
     val a = df("n BIGINT", Seq(1L, 5L, 15L, 25L, 999L).map(Row(_)))
     val b = df("n BIGINT", (Seq(1L, 5L, 15L, 25L, 999L) :+ null).map(Row(_)))

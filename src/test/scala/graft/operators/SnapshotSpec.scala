@@ -53,4 +53,24 @@ class SnapshotSpec extends SparkTestBase {
     assert(e.getMessage.contains("unknown op") ||
       Option(e.getCause).exists(_.getMessage.contains("unknown op")), e.getMessage)
   }
+
+  test("scd2: no-op changes collapse, intervals chain half-open, NULL attrs participate") {
+    import java.sql.Timestamp
+    def t(h: Int) = Timestamp.valueOf(f"2026-01-01 $h%02d:00:00")
+    val log = df("k STRING, ts TIMESTAMP, status STRING", Seq(
+      Row("A", t(1), "a"), Row("A", t(2), "a"),  // no-op: must not split
+      Row("A", t(3), "b"),
+      Row("B", t(1), "x"),
+      Row("C", t(1), null), Row("C", t(2), "v"))) // NULL is a real state
+    val out = Snapshot.scd2(log, "k", "ts", Seq("status"))
+      .orderBy("k", "valid_from").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getTimestamp(2),
+        r.getTimestamp(3), r.getBoolean(4)))
+    assert(out.toSeq == Seq(
+      ("A", "a", t(1), t(3), false),  // t2 no-op absorbed
+      ("A", "b", t(3), null, true),
+      ("B", "x", t(1), null, true),
+      ("C", null, t(1), t(2), false), // NULL state closed by 'v'
+      ("C", "v", t(2), null, true)))
+  }
 }
