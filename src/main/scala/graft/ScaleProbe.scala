@@ -129,7 +129,9 @@ object ScaleProbe {
     "q_embed_jl", "q_embed_dimstats",
     // round-6 batch P: PSI drift (domain-sized reduce), SCD2 history
     // (two windows over one key shuffle)
-    "q_drift_psi", "q_snapshot_scd2")
+    "q_drift_psi", "q_snapshot_scd2",
+    // round-6 batch Q: outlink extraction (one regexp_extract_all scan)
+    "q_web_links")
 
   private def caesar(c: org.apache.spark.sql.Column, k: Int) = {
     val lower = "abcdefghijklmnopqrstuvwxyz"

@@ -2035,6 +2035,18 @@ object SparkEntry {
           graft.operators.Web.extractText(col("html")).as("text"))
         .orderBy("doc_id")),
 
+    // Outlink extraction over synthesized link pages (double- and
+    // single-quoted hrefs; the fragment-only link is excluded), each
+    // link exploded with its position and host — the crawl-graph edge
+    // list PageRank runs on.
+    "q_web_links" -> ((s, d) =>
+      linkDocs(s, d)
+        .select(col("doc_id"), posexplode(
+          graft.operators.Web.extractLinks(col("html"))).as(Seq("pos", "url")))
+        .select(col("doc_id"), col("pos").cast("int").as("pos"), col("url"),
+          graft.operators.Web.host(col("url")).as("host"))
+        .orderBy("doc_id", "pos")),
+
     // BM25 top-k search for three fixed probe queries (mirrored in the
     // oracle's VALUES list).
     "q_search_bm25" -> ((s, d) => {
@@ -2880,6 +2892,21 @@ object SparkEntry {
   private val scriptSuffix =
     " 你好世界 Привет" +
       " مرحبا ١٢٣ 2024!"
+
+  /** Synthesized link pages: absolute double-quoted, relative
+    * single-quoted, fragment-only (excluded), and upper-cased-scheme
+    * hrefs per doc — mirrored verbatim in the q_web_links oracle. */
+  private def linkDocs(s: SparkSession, d: String): DataFrame =
+    docs(s, d).select(col("doc_id"), concat(
+      lit("<html><body><a href=\"http://site"),
+      (col("doc_id") % 7).cast("string"),
+      lit(".example.com/page/"), col("doc_id").cast("string"),
+      lit("\">first</a><p>"), substring(coalesce(col("text"), lit("")), 1, 40),
+      lit("</p><a class='x' href='/local/"), col("doc_id").cast("string"),
+      lit("'>rel</a><a href=\"#top\">frag</a>" +
+        "<a HREF=\"HTTPS://Ref.Example.ORG/d?id="),
+      (col("doc_id") + 1).cast("string"),
+      lit("&x=1\">case</a></body></html>")).as("html"))
 
   /** Synthesized HTML page per document (testdata has no raw HTML) —
     * mirrored verbatim in `htmlDocsSql`. */
@@ -4780,6 +4807,27 @@ object SparkEntry {
          |SELECT line, count(DISTINCT doc_id) AS n_docs FROM ex GROUP BY 1
          |HAVING count(DISTINCT doc_id) > 20
          |ORDER BY n_docs DESC, line ASC""".stripMargin,
+    // Same synthesized pages; regexp_extract_all in document order,
+    // positions via the range-unnest pattern, hosts via the shared
+    // host regex (NULL for the relative link).
+    "q_web_links" ->
+      """WITH h AS (SELECT doc_id,
+        |  '<html><body><a href="http://site' || CAST(doc_id % 7 AS VARCHAR) ||
+        |  '.example.com/page/' || CAST(doc_id AS VARCHAR) ||
+        |  '">first</a><p>' || substr(coalesce(text, ''), 1, 40) ||
+        |  '</p><a class=''x'' href=''/local/' || CAST(doc_id AS VARCHAR) ||
+        |  '''>rel</a><a href="#top">frag</a><a HREF="HTTPS://Ref.Example.ORG/d?id=' ||
+        |  CAST(doc_id + 1 AS VARCHAR) || '&x=1">case</a></body></html>' AS html
+        |  FROM documents),
+        |l AS (SELECT doc_id, regexp_extract_all(html,
+        |  '(?i)<a\s[^>]*href\s*=\s*["'']([^"''#>][^"''>]*)["'']', 1) AS ls FROM h),
+        |x AS (SELECT doc_id, i-1 AS pos, ls[i] AS url FROM (
+        |  SELECT doc_id, ls, unnest(range(1, len(ls)+1)) AS i FROM l))
+        |SELECT doc_id, CAST(pos AS INTEGER) AS pos, url,
+        |  regexp_replace(lower(nullif(regexp_extract(url,
+        |    '^[A-Za-z][A-Za-z0-9+.-]*://(?:[^/?#@]*@)?([^/:?#]+)', 1), '')),
+        |    '\.$', '') AS host
+        |FROM x ORDER BY doc_id, pos""".stripMargin,
     "q_web_extract" ->
       s"""WITH h AS ($htmlDocsSql)
          |SELECT doc_id,

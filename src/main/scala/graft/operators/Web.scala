@@ -140,6 +140,19 @@ object Web {
    * must not become a live tag) and `&amp;` decodes last (double-encoded
    * entities resolve one level, the HTML rule).
    */
+  /**
+   * All `<a href>` targets of an HTML page, in document order — the
+   * edge-list extractor for crawl-graph work (outlink counts, host
+   * graphs, PageRank over [[graft.operators.Graph]]). Matches double-
+   * OR single-quoted hrefs; fragment-only links (`#top`) and empty
+   * hrefs are excluded (they aren't navigation). One codegen'd
+   * `regexp_extract_all`, no shuffle; the pattern lives in the common
+   * Java-regex/RE2 subset so the DuckDB oracle states it verbatim.
+   */
+  def extractLinks(html: Column): Column =
+    regexp_extract_all(html,
+      lit("(?i)<a\\s[^>]*href\\s*=\\s*[\"']([^\"'#>][^\"'>]*)[\"']"), lit(1))
+
   def extractText(html: Column): Column = {
     val noBlocks = regexp_replace(regexp_replace(regexp_replace(html,
       "(?is)<script[^>]*>.*?</script>", ""),

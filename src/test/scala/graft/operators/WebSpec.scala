@@ -135,4 +135,19 @@ class WebSpec extends SparkTestBase {
     assert(out(3L) == "upper\ncase")
     assert(out(4L) == "")
   }
+
+  test("extractLinks: both quote styles, attribute order, fragments/empties excluded") {
+    import org.apache.spark.sql.functions.col
+    val html = df("id BIGINT, h STRING", Seq(
+      Row(1L, """<a href="http://a.com/x">1</a> <a class="z" href='/rel'>2</a>"""),
+      Row(2L, """<A HREF="https://B.org">up</A><a href="#frag">skip</a>"""),
+      Row(3L, """<a name="no-href">skip</a><a href="">empty skip</a>"""),
+      Row(4L, "no links at all")))
+    val out = html.select(col("id"), Web.extractLinks(col("h")).as("l"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    assert(out(1L) == Seq("http://a.com/x", "/rel"))
+    assert(out(2L) == Seq("https://B.org")) // case-insensitive tag, fragment skipped
+    assert(out(3L) == Nil)
+    assert(out(4L) == Nil)
+  }
 }
