@@ -131,7 +131,10 @@ object ScaleProbe {
     // (two windows over one key shuffle)
     "q_drift_psi", "q_snapshot_scd2",
     // round-6 batch Q: outlink extraction (one regexp_extract_all scan)
-    "q_web_links")
+    "q_web_links",
+    // round-6 batch R: NCD twins — three deflate passes per pair, pure
+    // projection over a 1-shift self-join
+    "q_text_ncd_twins")
 
   private def caesar(c: org.apache.spark.sql.Column, k: Int) = {
     val lower = "abcdefghijklmnopqrstuvwxyz"

@@ -1566,6 +1566,34 @@ object SparkEntry {
             .as("bounded_by_plain"))
         .orderBy("doc_id")),
 
+    // Normalized compression distance of each doc against its successor
+    // — the tokenizer-free similarity. Rows-only (zlib-versioned, like
+    // q_quality_compress); the oracle-green surface is the twin below.
+    "q_text_ncd" -> ((s, d) => {
+      val ds = docs(s, d)
+      ds.select(col("doc_id").as("id"), col("text").as("a"))
+        .join(ds.select((col("doc_id") - 1).as("id"), col("text").as("b")),
+          Seq("id"))
+        .select(col("id"), TF.ncd(col("a"), col("b")).as("ncd"))
+        .orderBy("id")
+    }),
+
+    // NCD structural twins (zlib guarantees, engine-independent): the
+    // self-distance beats the distance to a different document, and
+    // both land in the sane [0, 1.25] band.
+    "q_text_ncd_twins" -> ((s, d) => {
+      val ds = docs(s, d).filter(col("n_chars") >= 64)
+      ds.select(col("doc_id").as("id"), col("text").as("a"))
+        .join(ds.select((col("doc_id") - 1).as("id"), col("text").as("b")),
+          Seq("id"))
+        .select(col("id"),
+          (TF.ncd(col("a"), col("a")) < TF.ncd(col("a"), col("b")))
+            .as("self_beats_cross"),
+          (TF.ncd(col("a"), col("b")) >= 0.0 &&
+            TF.ncd(col("a"), col("b")) <= 1.25).as("in_band"))
+        .orderBy("id")
+    }),
+
     // PII detect + redact over a deterministically PII-injected corpus
     // (2/3 of docs get a synthetic email/SSN/phone/IP suffix built from
     // doc_id — both engines construct the identical text, so counts AND
@@ -4486,6 +4514,11 @@ object SparkEntry {
     "q_quality_compress_twins" ->
       """SELECT doc_id, true AS repetition_compresses, true AS bounded_by_plain
         |FROM documents WHERE n_chars >= 64 ORDER BY doc_id""".stripMargin,
+    "q_text_ncd_twins" ->
+      """SELECT a.doc_id AS id, true AS self_beats_cross, true AS in_band
+        |FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1
+        |WHERE a.n_chars >= 64 AND b.n_chars >= 64
+        |ORDER BY id""".stripMargin,
     "q_curate_pipeline" -> curateOracle,
     "q_sample_cap" ->
       """SELECT doc_id, source FROM (

@@ -231,6 +231,23 @@ object TextFunctions {
     CatalystBridge.column(JaroWinkler(
       CatalystBridge.expression(a), CatalystBridge.expression(b)))
 
+  /** Normalized compression distance (Cilibrasi & Vitányi 2005):
+    * NCD(a,b) = (C(ab) − min(C(a),C(b))) / max(C(a),C(b)) with C =
+    * [[deflateSize]] — the parameter-free similarity that needs no
+    * tokenizer, no embedding, no language assumption (the clustering-by-
+    * compression signal for weird corpora: code, DNA-like strings,
+    * mixed-script crawl). Same determinism scope as deflateSize:
+    * in-run stable, not a cross-engine contract — gate it with
+    * structural twins, not value oracles. Near 0 = near-duplicate,
+    * ~1 = unrelated (can exceed 1 slightly; deflate is not a perfect
+    * compressor). Three deflate passes per pair, all inside codegen. */
+  def ncd(a: Column, b: Column): Column = {
+    val ca = deflateSize(a)
+    val cb = deflateSize(b)
+    val cab = deflateSize(concat(a, b))
+    round((cab - least(ca, cb)).cast("double") / greatest(ca, cb), 6)
+  }
+
   /** Interpreted HOF formulation of winnowing — the executable spec the
     * native expression is pinned against (TextFunctionsSpec). */
   def winnowedFingerprintsHof(text: Column, k: Int = 5, w: Int = 4): Column = {
