@@ -656,10 +656,17 @@ object SparkEntry {
     // you-cut audit of where boilerplate chains fuse into mega-clusters.
     // 2-gram shingles at cutoff 0.1: the corpus curve is bimodal (a
     // shared-vocab band in [0.1, 0.15) plus exact twins at 1.0), so the
-    // four thresholds produce a genuinely decreasing curve.
+    // four thresholds produce a genuinely decreasing curve. The sweep
+    // runs on a BOUNDED deterministic sample (doc_id < 600 — the whole
+    // corpus at the oracle SF): that is the real methodology — you
+    // sweep thresholds on a sample, then run the chosen cutoff at
+    // scale — and it caps the deliberately-hot 2-gram index (low n +
+    // low threshold is Σf²-quadratic by construction; the production
+    // knob for full-corpus runs is maxShingleFreq).
     "q_dedup_sweep" -> ((s, d) =>
       Dedup.thresholdSweep(
-          Dedup.ngramJaccardPairs(docs(s, d), "doc_id", "text",
+          Dedup.ngramJaccardPairs(
+            docs(s, d).filter(col("doc_id") < 600), "doc_id", "text",
             n = 2, threshold = 0.1),
           "id_a", "id_b", "jaccard", Seq(0.1, 0.12, 0.15, 0.5))
         .orderBy("threshold")),
@@ -3622,7 +3629,8 @@ object SparkEntry {
     // compare the ROUNDED score against each threshold, so the curve is
     // reproducible from the persisted pair table.
     "q_dedup_sweep" ->
-      s"""WITH pairsq AS (${ngramPairsSql(n = 2, threshold = 0.1)}),
+      s"""WITH pairsq AS (${ngramPairsSql(n = 2, threshold = 0.1,
+             corpus = "(SELECT * FROM documents WHERE doc_id < 600)")}),
         |t AS (SELECT unnest([CAST(0.1 AS DOUBLE), 0.12, 0.15, 0.5]) AS threshold),
         |j AS (SELECT t.threshold, p.id_a, p.id_b
         |      FROM t JOIN pairsq p ON p.jaccard >= t.threshold),
