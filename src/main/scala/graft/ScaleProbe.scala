@@ -134,7 +134,10 @@ object ScaleProbe {
     "q_web_links",
     // round-6 batch R: NCD twins — three deflate passes per pair, pure
     // projection over a 1-shift self-join
-    "q_text_ncd_twins")
+    "q_text_ncd_twins",
+    // round-6 batch S: classifier audits — score-cell reduce + bounded
+    // window (AUC), nBins-cell reduce (calibration)
+    "q_eval_auc", "q_eval_calibration")
 
   private def caesar(c: org.apache.spark.sql.Column, k: Int) = {
     val lower = "abcdefghijklmnopqrstuvwxyz"

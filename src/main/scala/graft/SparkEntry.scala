@@ -52,6 +52,16 @@ object SparkEntry {
   private def embeddings(spark: SparkSession, dir: String): DataFrame =
     spark.read.parquet(s"$dir/embeddings.parquet")
 
+  /** Deterministic (score, label) pairs for the classifier-audit gates:
+    * score = 37·doc_id mod 101 scaled to [0, 1] plus a 0.15 bump for
+    * English docs (ties + class separation), label = lang = 'en'. */
+  private def scoredDocs(s: SparkSession, d: String): DataFrame =
+    docs(s, d).select(
+      round((col("doc_id") * 37 % 101).cast("double") / lit(100.0) +
+        when(col("lang") === "en", lit(0.15)).otherwise(lit(0.0)), 6)
+        .as("score"),
+      (col("lang") === "en").as("label"))
+
   /** (pred, gold) pairs for the generation-eval gates: every 7th document
     * is the prediction; the reference alternates between the document
     * itself (doc_id % 14 == 0 — exact match) and the NEXT document
@@ -2161,6 +2171,19 @@ object SparkEntry {
           "query_id", "doc_id", "rank", k = 10)
         .orderBy("query_id")
     }),
+
+    // AUC-ROC of a deterministic synthetic scorer (37·id mod 101 plus an
+    // English bump) against the lang='en' label — tie groups exercised
+    // by the 101-value score domain, average-rank Mann-Whitney.
+    "q_eval_auc" -> ((s, d) =>
+      graft.operators.Eval.aucRoc(scoredDocs(s, d), "score", "label")),
+
+    // Reliability bins for the same scorer: 10 fixed-width bins with
+    // mean confidence, observed rate, and the weighted gap whose sum is
+    // the Expected Calibration Error.
+    "q_eval_calibration" -> ((s, d) =>
+      graft.operators.Eval.calibrationBins(scoredDocs(s, d),
+        "score", "label", nBins = 10).orderBy("bin")),
 
     // Token-level generation eval (SQuAD F1): every 7th document scored
     // against a reference that alternates self (exact match, F1 = 1) and
@@ -5096,6 +5119,42 @@ object SparkEntry {
         |       ELSE round(p.dcg / idcg, 6) END AS ndcg_at_k
         |FROM gct g LEFT JOIN perq p USING (query_id) CROSS JOIN ideal
         |ORDER BY query_id""".stripMargin,
+    // Average-rank Mann-Whitney over per-score cells; ranks kept
+    // integral as ×2 until the one division.
+    "q_eval_auc" ->
+      """WITH sc AS (SELECT round(CAST((doc_id * 37) % 101 AS DOUBLE) / 100.0 +
+        |    CASE WHEN lang = 'en' THEN 0.15 ELSE 0.0 END, 6) AS s,
+        |  lang = 'en' AS y FROM documents),
+        |cells AS (SELECT s, count(*) AS n,
+        |    sum(CASE WHEN y THEN 1 ELSE 0 END) AS np FROM sc GROUP BY 1),
+        |r AS (SELECT *, coalesce(sum(n) OVER (ORDER BY s
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS bf
+        |  FROM cells),
+        |a AS (SELECT CAST(sum(np) AS BIGINT) AS n_pos,
+        |    CAST(sum(n - np) AS BIGINT) AS n_neg,
+        |    sum(np * (2*bf + n + 1)) AS s2 FROM r)
+        |SELECT n_pos, n_neg,
+        |  CASE WHEN n_pos > 0 AND n_neg > 0 THEN
+        |    round((CAST(s2 AS DOUBLE)/2.0 - CAST(n_pos AS DOUBLE)*(n_pos+1)/2.0)
+        |          / (CAST(n_pos AS DOUBLE)*CAST(n_neg AS DOUBLE)), 6) END AS auc
+        |FROM a""".stripMargin,
+    "q_eval_calibration" ->
+      """WITH sc AS (SELECT round(CAST((doc_id * 37) % 101 AS DOUBLE) / 100.0 +
+        |    CASE WHEN lang = 'en' THEN 0.15 ELSE 0.0 END, 6) AS s,
+        |  lang = 'en' AS y FROM documents),
+        |cl AS (SELECT least(greatest(s, 0.0), 1.0) AS s2, y FROM sc),
+        |cells AS (SELECT CAST(least(floor(s2 * 10), 9) AS INTEGER) AS bin,
+        |    count(*) AS n, sum(CAST(s2 AS DECIMAL(20,9))) AS ss,
+        |    sum(CASE WHEN y THEN 1 ELSE 0 END) AS np
+        |  FROM cl GROUP BY 1),
+        |t AS (SELECT sum(n) AS tt FROM cells)
+        |SELECT bin, CAST(n AS BIGINT) AS n,
+        |  round(CAST(ss AS DOUBLE)/n, 6) AS avg_score,
+        |  round(CAST(np AS DOUBLE)/n, 6) AS pos_rate,
+        |  round((CAST(n AS DOUBLE)/tt) *
+        |        abs(round(CAST(ss AS DOUBLE)/n, 6) -
+        |            round(CAST(np AS DOUBLE)/n, 6)), 6) AS ece_term
+        |FROM cells CROSS JOIN t ORDER BY bin""".stripMargin,
     // Bag-of-tokens intersection WITH multiplicity: per-token min of the
     // two count tables; F1 = 2·overlap/(n_pred+n_gold) algebraically.
     "q_eval_token_f1" ->

@@ -499,6 +499,85 @@ object Eval {
   }
 
   /**
+   * AUC-ROC of a scorer against binary labels — the threshold-free
+   * ranking audit of a quality/toxicity classifier (classificationReport
+   * grades ONE threshold; AUC grades them all): the Mann-Whitney
+   * formulation with AVERAGE ranks on ties,
+   * AUC = (Σ_pos rank̄ − P(P+1)/2) / (P·N). One row:
+   * `(n_pos, n_neg, auc)`; NULL when either class is absent. Rows with
+   * NULL score or label are excluded.
+   *
+   * Scale shape: the corpus reduces to per-score cells `(score, n,
+   * n_pos)` in one map-side-combining aggregate (scores are ROUNDED to
+   * 6 dp first, so the cell table is score-domain-sized — for
+   * [0,1]-calibrated scores that is ≤2·10⁶ cells however big the
+   * corpus); the cumulative rank walk is a window over that cell table
+   * only (size-bounded, the Mix-stats justification). Ranks are exact
+   * integers ×2 (half-ranks doubled to stay integral); the single
+   * division happens once, rounded to 6 dp.
+   */
+  def aucRoc(df: DataFrame, scoreCol: String, labelCol: String): DataFrame = {
+    val cells = df
+      .select(round(col(scoreCol).cast("double"), 6).as("s"),
+        col(labelCol).cast("boolean").as("y"))
+      .filter(col("s").isNotNull && col("y").isNotNull)
+      .groupBy("s").agg(count(lit(1)).as("n"),
+        sum(when(col("y"), lit(1L)).otherwise(lit(0L))).as("np"))
+    val w = org.apache.spark.sql.expressions.Window.orderBy("s")
+      .rowsBetween(Long.MinValue, -1)
+    // avg rank of a tie group ×2 = 2·cumBefore + n + 1 (kept integral)
+    val ranked = cells
+      .withColumn("__before", coalesce(sum("n").over(w), lit(0L)))
+      .withColumn("__r2", lit(2L) * col("__before") + col("n") + lit(1L))
+    ranked.agg(
+        sum("np").as("n_pos"),
+        sum(col("n") - col("np")).as("n_neg"),
+        sum(col("np") * col("__r2")).as("__s2"))
+      .select(col("n_pos"), col("n_neg"),
+        when(col("n_pos") > 0 && col("n_neg") > 0,
+          round((col("__s2").cast("double") / 2.0 -
+            col("n_pos").cast("double") * (col("n_pos") + 1) / 2.0) /
+            (col("n_pos").cast("double") * col("n_neg").cast("double")), 6))
+          .as("auc"))
+  }
+
+  /**
+   * Reliability-diagram bins for a [0,1]-calibrated scorer: fixed-width
+   * probability bins, each with its count, mean predicted score, and
+   * observed positive rate — plus the bin's weighted calibration gap,
+   * whose sum over bins IS the Expected Calibration Error. One row per
+   * NON-EMPTY bin: `(bin, n, avg_score, pos_rate, ece_term)`; scores
+   * are clamped into [0, 1] (bin nBins-1 takes 1.0).
+   *
+   * Scale shape: one corpus pass to nBins cells with map-side combine;
+   * mean scores accumulate 6-dp-rounded values in DECIMAL (exact),
+   * ratios are single divisions rounded to 6 dp.
+   */
+  def calibrationBins(df: DataFrame, scoreCol: String, labelCol: String,
+                      nBins: Int = 10): DataFrame = {
+    require(nBins >= 1, "nBins must be >= 1")
+    val s = least(greatest(round(col(scoreCol).cast("double"), 6),
+      lit(0.0)), lit(1.0))
+    val cells = df
+      .select(s.as("__s"), col(labelCol).cast("boolean").as("y"))
+      .filter(col("__s").isNotNull && col("y").isNotNull)
+      .select(least(floor(col("__s") * nBins), lit(nBins - 1L)).cast("int")
+        .as("bin"), col("__s"), col("y"))
+      .groupBy("bin").agg(count(lit(1)).as("n"),
+        sum(col("__s").cast("decimal(20,9)")).as("__ss"),
+        sum(when(col("y"), lit(1L)).otherwise(lit(0L))).as("__np"))
+    val total = cells.agg(sum("n").as("__t"))
+    cells.crossJoin(total)
+      .select(col("bin"), col("n"),
+        round(col("__ss").cast("double") / col("n"), 6).as("avg_score"),
+        round(col("__np").cast("double") / col("n"), 6).as("pos_rate"),
+        round((col("n").cast("double") / col("__t")) *
+          abs(round(col("__ss").cast("double") / col("n"), 6) -
+            round(col("__np").cast("double") / col("n"), 6)), 6)
+          .as("ece_term"))
+  }
+
+  /**
    * Per-class classification report — the audit of a quality/toxicity
    * classifier against gold labels before its verdicts filter a corpus:
    * one row per label in gold ∪ predicted,

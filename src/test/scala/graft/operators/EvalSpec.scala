@@ -165,6 +165,41 @@ class EvalSpec extends SparkTestBase {
     assert(r4.getAs[Int]("exact_match") == 1)
   }
 
+  test("aucRoc: average ranks on ties, hand-computed; degenerate class -> NULL") {
+    // sorted asc: 0.1(-) r1; {0.8(-), 0.8(+)} avg rank 2.5; 0.9(+) r4
+    // AUC = (2.5 + 4 - 2·3/2) / (2·2) = 0.875
+    val d = Seq((0.9, true), (0.8, false), (0.8, true), (0.1, false))
+      .toDF("score", "label")
+    val r = Eval.aucRoc(d, "score", "label").collect()(0)
+    assert(r.getLong(0) == 2L && r.getLong(1) == 2L)
+    assert(r.getAs[Double]("auc") == 0.875)
+    // perfect separation -> 1.0; reversed -> 0.0
+    val perfect = Seq((0.9, true), (0.1, false)).toDF("score", "label")
+    assert(Eval.aucRoc(perfect, "score", "label").collect()(0)
+      .getAs[Double]("auc") == 1.0)
+    // one class only -> NULL
+    val onecls = Seq((0.9, true), (0.1, true)).toDF("score", "label")
+    assert(Eval.aucRoc(onecls, "score", "label").collect()(0).isNullAt(2))
+  }
+
+  test("calibrationBins: bin edges, clamping, ECE terms sum to the gap") {
+    val d = Seq((0.05, false), (0.05, true), (0.95, true), (1.2, true))
+      .toDF("score", "label")
+    val out = Eval.calibrationBins(d, "score", "label", nBins = 10)
+      .orderBy("bin").collect()
+    assert(out.length == 2)
+    val b0 = out(0)
+    assert(b0.getInt(0) == 0 && b0.getLong(1) == 2L)
+    assert(b0.getAs[Double]("avg_score") == 0.05 &&
+      b0.getAs[Double]("pos_rate") == 0.5)
+    assert(b0.getAs[Double]("ece_term") == 0.225) // (2/4)·|0.05−0.5|
+    val b9 = out(1)
+    assert(b9.getInt(0) == 9 && b9.getLong(1) == 2L)
+    assert(b9.getAs[Double]("avg_score") == 0.975) // 1.2 clamped to 1.0
+    assert(b9.getAs[Double]("pos_rate") == 1.0)
+    assert(b9.getAs[Double]("ece_term") == 0.0125)
+  }
+
   test("rougeN: clipped bigram overlap; short texts get NULL ratios") {
     val in = Seq(
       (1L, "the cat sat", "the cat ran"),  // bigrams: {the cat, cat sat} vs {the cat, cat ran} -> 1
