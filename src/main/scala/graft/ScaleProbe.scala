@@ -137,7 +137,10 @@ object ScaleProbe {
     "q_text_ncd_twins",
     // round-6 batch S: classifier audits — score-cell reduce + bounded
     // window (AUC), nBins-cell reduce (calibration)
-    "q_eval_auc", "q_eval_calibration")
+    "q_eval_auc", "q_eval_calibration",
+    // round-6 batch T: 2-objective skyline — x-cell reduce + broadcast
+    // front membership join
+    "q_sample_pareto")
 
   private def caesar(c: org.apache.spark.sql.Column, k: Int) = {
     val lower = "abcdefghijklmnopqrstuvwxyz"

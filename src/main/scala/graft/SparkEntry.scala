@@ -2172,6 +2172,17 @@ object SparkEntry {
         .orderBy("query_id")
     }),
 
+    // 2-objective Pareto front over (length, independent synthetic
+    // score): the non-dominated staircase — multi-objective selection
+    // without a weighted collapse.
+    "q_sample_pareto" -> ((s, d) =>
+      graft.operators.Sample.paretoFront2(
+          docs(s, d).select(col("doc_id"),
+            col("n_chars").cast("double").as("q1"),
+            (col("doc_id") * 37 % 101).cast("double").as("q2")),
+          "q1", "q2")
+        .orderBy("doc_id")),
+
     // AUC-ROC of a deterministic synthetic scorer (37·id mod 101 plus an
     // English bump) against the lang='en' label — tie groups exercised
     // by the 101-value score domain, average-rank Mann-Whitney.
@@ -5119,6 +5130,18 @@ object SparkEntry {
         |       ELSE round(p.dcg / idcg, 6) END AS ndcg_at_k
         |FROM gct g LEFT JOIN perq p USING (query_id) CROSS JOIN ideal
         |ORDER BY query_id""".stripMargin,
+    // Per-x max-y cells, descending running max, membership join back.
+    "q_sample_pareto" ->
+      """WITH p AS (SELECT doc_id, CAST(n_chars AS DOUBLE) AS q1,
+        |    CAST((doc_id * 37) % 101 AS DOUBLE) AS q2 FROM documents),
+        |cells AS (SELECT q1 AS x, max(q2) AS my FROM p GROUP BY 1),
+        |f AS (SELECT x, my FROM (
+        |  SELECT x, my, max(my) OVER (ORDER BY x DESC
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS rm
+        |  FROM cells) t WHERE rm IS NULL OR my > rm)
+        |SELECT p.doc_id, p.q1, p.q2
+        |FROM p JOIN f ON p.q1 = f.x AND p.q2 = f.my
+        |ORDER BY doc_id""".stripMargin,
     // Average-rank Mann-Whitney over per-score cells; ranks kept
     // integral as ×2 until the one division.
     "q_eval_auc" ->

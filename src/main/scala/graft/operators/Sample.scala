@@ -328,6 +328,38 @@ object Sample {
         col(docCol).as("neg_id"), col(scoreCol).as("score"))
   }
 
+  /**
+   * 2-objective Pareto front (skyline): the rows NOT dominated in the
+   * (maximize `xCol`, maximize `yCol`) sense — multi-objective data
+   * selection without collapsing two signals into one weighted score
+   * (quality vs diversity, length vs perplexity: any fixed weighting
+   * silently buries one axis; the front is every defensible trade).
+   * A row is dominated iff some other row is ≥ in both objectives and
+   * > in at least one; exact duplicates of a front point all survive.
+   *
+   * Scale shape: objectives round to 6 dp and reduce to per-x cells
+   * `(x, max y)` with map-side combine — the running-max walk runs on
+   * that x-domain-sized cell table only (the AUC-cell discipline;
+   * calibrated/bounded scores keep it ≤~2·10⁶ rows), and the front
+   * (≤ cell count, typically tiny — it's a staircase) broadcasts back
+   * for the final membership join. The corpus shuffles once by x-cell.
+   */
+  def paretoFront2(df: DataFrame, xCol: String, yCol: String): DataFrame = {
+    val pts = df
+      .withColumn("__x", round(col(xCol).cast("double"), 6))
+      .withColumn("__y", round(col(yCol).cast("double"), 6))
+      .filter(col("__x").isNotNull && col("__y").isNotNull)
+    val cells = pts.groupBy("__x").agg(max("__y").as("__my"))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("__x").desc).rowsBetween(Long.MinValue, -1)
+    val front = cells
+      .withColumn("__rm", max("__my").over(w))
+      .filter(col("__rm").isNull || col("__my") > col("__rm"))
+      .select(col("__x"), col("__my").as("__y"))
+    pts.join(broadcast(front), Seq("__x", "__y"))
+      .drop("__x", "__y")
+  }
+
   def deterministicShuffle(df: DataFrame, idCol: String,
                            seed: String = "graft"): DataFrame = {
     val h = md5(concat(lit(seed), lit(":"), col(idCol).cast("string")))

@@ -740,6 +740,25 @@ class CurationSpec extends SparkTestBase {
     assert(r.getAs[Double]("utilization") == 0.5)
   }
 
+  test("Sample.paretoFront2: staircase semantics, duplicate front points survive") {
+    val d = df("id BIGINT, x DOUBLE, y DOUBLE", Seq(
+      Row(1L, 1.0, 9.0),  // front (best y)
+      Row(2L, 5.0, 5.0),  // front (middle trade)
+      Row(3L, 9.0, 1.0),  // front (best x)
+      Row(4L, 4.0, 4.0),  // dominated by (5,5)
+      Row(5L, 5.0, 5.0),  // duplicate of a front point -> kept
+      Row(6L, 1.0, 8.0),  // same x as 1, lower y -> dominated
+      Row(7L, 9.0, 1.0))) // duplicate of (9,1) -> kept
+    val out = Sample.paretoFront2(d, "x", "y")
+      .collect().map(_.getLong(0)).toSet
+    assert(out == Set(1L, 2L, 3L, 5L, 7L))
+    // a single point dominating everything leaves only itself (+copies)
+    val d2 = df("id BIGINT, x DOUBLE, y DOUBLE", Seq(
+      Row(1L, 9.0, 9.0), Row(2L, 8.0, 9.0), Row(3L, 9.0, 8.0)))
+    assert(Sample.paretoFront2(d2, "x", "y").collect()
+      .map(_.getLong(0)).toSeq == Seq(1L))
+  }
+
   test("QualityFilter.funnelReport: first-fail attribution, NULL fails, zero-removal rows") {
     import org.apache.spark.sql.functions.{col, length}
     val d = df("id BIGINT, text STRING, lang STRING", Seq(
