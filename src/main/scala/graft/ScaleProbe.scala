@@ -140,7 +140,9 @@ object ScaleProbe {
     "q_eval_auc", "q_eval_calibration",
     // round-6 batch T: 2-objective skyline — x-cell reduce + broadcast
     // front membership join
-    "q_sample_pareto")
+    "q_sample_pareto",
+    // round-6 batch U: mutual information — one |A|·|B|-cell reduce
+    "q_profile_mi")
 
   private def caesar(c: org.apache.spark.sql.Column, k: Int) = {
     val lower = "abcdefghijklmnopqrstuvwxyz"

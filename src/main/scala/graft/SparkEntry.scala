@@ -2172,6 +2172,11 @@ object SparkEntry {
         .orderBy("query_id")
     }),
 
+    // Mutual information lang ↔ source — "does provenance predict
+    // language?", the dependence audit behind leakage-safe splitting.
+    "q_profile_mi" -> ((s, d) =>
+      graft.operators.Profile.mutualInformation(docs(s, d), "lang", "source")),
+
     // 2-objective Pareto front over (length, independent synthetic
     // score): the non-dominated staircase — multi-objective selection
     // without a weighted collapse.
@@ -5130,6 +5135,32 @@ object SparkEntry {
         |       ELSE round(p.dcg / idcg, 6) END AS ndcg_at_k
         |FROM gct g LEFT JOIN perq p USING (query_id) CROSS JOIN ideal
         |ORDER BY query_id""".stripMargin,
+    // Joint cells + marginals; every plogp term 9-dp in DECIMAL.
+    "q_profile_mi" ->
+      """WITH cells AS (SELECT CAST(lang AS VARCHAR) AS a,
+        |    CAST(source AS VARCHAR) AS b, count(*) AS c
+        |  FROM documents GROUP BY 1, 2),
+        |nn AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM cells),
+        |ma AS (SELECT a, sum(c) AS na FROM cells GROUP BY 1),
+        |mb AS (SELECT b, sum(c) AS nb FROM cells GROUP BY 1),
+        |ha AS (SELECT sum(CAST(round(-(CAST(na AS DOUBLE)/n) *
+        |    ln(CAST(na AS DOUBLE)/n), 9) AS DECIMAL(20,9))) AS h
+        |  FROM ma CROSS JOIN nn),
+        |hb AS (SELECT sum(CAST(round(-(CAST(nb AS DOUBLE)/n) *
+        |    ln(CAST(nb AS DOUBLE)/n), 9) AS DECIMAL(20,9))) AS h
+        |  FROM mb CROSS JOIN nn),
+        |mi AS (SELECT sum(CAST(round((CAST(c AS DOUBLE)/n) *
+        |    ln((CAST(c AS DOUBLE)*n)/(CAST(na AS DOUBLE)*CAST(nb AS DOUBLE))),
+        |    9) AS DECIMAL(20,9))) AS m
+        |  FROM cells JOIN ma USING (a) JOIN mb USING (b) CROSS JOIN nn)
+        |SELECT n, round(CAST(ha.h AS DOUBLE), 6) AS h_a,
+        |  round(CAST(hb.h AS DOUBLE), 6) AS h_b,
+        |  round(CAST(mi.m AS DOUBLE), 6) AS mi,
+        |  CASE WHEN ha.h > 0 AND hb.h > 0 THEN
+        |    round(CAST(mi.m AS DOUBLE) /
+        |          sqrt(CAST(ha.h AS DOUBLE) * CAST(hb.h AS DOUBLE)), 6)
+        |  END AS nmi
+        |FROM nn CROSS JOIN ha CROSS JOIN hb CROSS JOIN mi""".stripMargin,
     // Per-x max-y cells, descending running max, membership join back.
     "q_sample_pareto" ->
       """WITH p AS (SELECT doc_id, CAST(n_chars AS DOUBLE) AS q1,

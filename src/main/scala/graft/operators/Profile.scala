@@ -636,6 +636,54 @@ object Profile {
   }
 
   /**
+   * Mutual information between two categorical columns (nats), with
+   * marginal entropies and the √-normalized NMI — the dependence audit
+   * behind split/leakage decisions ("does `source` predict `label`?
+   * then don't split by row") and feature triage, where
+   * [[functionalDeps]] only catches the deterministic extreme. NULLs
+   * count as a real level on both sides. One row:
+   * `(n, h_a, h_b, mi, nmi)`; NMI = MI/√(H_a·H_b), NULL when either
+   * entropy is 0 (a constant column carries no information to
+   * normalize by).
+   *
+   * Scale shape: ONE map-side-combining reduce to |A|·|B| joint cells;
+   * marginals re-aggregate the cell table. Each plogp term rounds to
+   * 9 dp and accumulates in DECIMAL (order-free); divisions are single
+   * fixed-shape ops rounded to 6 dp.
+   */
+  def mutualInformation(df: DataFrame, colA: String,
+                        colB: String): DataFrame = {
+    val cells = df
+      .select(col(colA).cast("string").as("a"),
+        col(colB).cast("string").as("b"))
+      .groupBy("a", "b").agg(count(lit(1)).as("c"))
+    val n = cells.agg(sum("c").as("n"))
+    val ma = cells.groupBy("a").agg(sum("c").as("na"))
+    val mb = cells.groupBy("b").agg(sum("c").as("nb"))
+    val dec = "decimal(20,9)"
+    def entropy(m: DataFrame, cnt: String) = m.crossJoin(n)
+      .agg(sum(round(-(col(cnt).cast("double") / col("n")) *
+        log(col(cnt).cast("double") / col("n")), 9).cast(dec)).as("h"))
+    val ha = entropy(ma, "na").withColumnRenamed("h", "__ha")
+    val hb = entropy(mb, "nb").withColumnRenamed("h", "__hb")
+    val joint = cells
+      .join(ma, Seq("a")).join(mb, Seq("b")).crossJoin(n)
+      .agg(sum(round((col("c").cast("double") / col("n")) *
+        log((col("c").cast("double") * col("n")) /
+          (col("na").cast("double") * col("nb"))), 9).cast(dec))
+        .as("__mi"))
+    n.crossJoin(ha).crossJoin(hb).crossJoin(joint)
+      .select(col("n"),
+        round(col("__ha").cast("double"), 6).as("h_a"),
+        round(col("__hb").cast("double"), 6).as("h_b"),
+        round(col("__mi").cast("double"), 6).as("mi"),
+        when(col("__ha") > 0 && col("__hb") > 0,
+          round(col("__mi").cast("double") /
+            sqrt(col("__ha").cast("double") * col("__hb").cast("double")), 6))
+          .as("nmi"))
+  }
+
+  /**
    * Per-dimension embedding health audit: `(dim, n, mean, variance,
    * min_val, max_val)` for each coordinate (1-based). The two failure
    * modes this catches before any ANN/semantic-dedup run: DEAD

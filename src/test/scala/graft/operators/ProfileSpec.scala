@@ -334,4 +334,26 @@ class ProfileSpec extends SparkTestBase {
     assert(r.getAs[Long]("left_rows_matched") == 0L)
     assert(r.getAs[Long]("max_fanout") == 0L)
   }
+
+  test("mutualInformation: MI = H under determinism, ~0 under independence, NULL NMI for constants") {
+    import org.apache.spark.sql.Row
+    // b = f(a), uniform over 2 levels: MI = H_a = H_b = ln 2, NMI = 1
+    val det = df("a STRING, b STRING", Seq(
+      Row("x", "1"), Row("x", "1"), Row("y", "2"), Row("y", "2")))
+    val r1 = Profile.mutualInformation(det, "a", "b").collect()(0)
+    val ln2 = BigDecimal(math.log(2.0))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(r1.getAs[Double]("h_a") == ln2 && r1.getAs[Double]("mi") == ln2)
+    assert(r1.getAs[Double]("nmi") == 1.0)
+    // perfectly independent 2×2 -> MI 0
+    val ind = df("a STRING, b STRING", Seq(
+      Row("x", "1"), Row("x", "2"), Row("y", "1"), Row("y", "2")))
+    val r2 = Profile.mutualInformation(ind, "a", "b").collect()(0)
+    assert(r2.getAs[Double]("mi") == 0.0 && r2.getAs[Double]("nmi") == 0.0)
+    // constant column: zero entropy -> NMI NULL, MI 0; NULL is a level
+    val const = df("a STRING, b STRING", Seq(Row("x", null), Row("y", null)))
+    val r3 = Profile.mutualInformation(const, "a", "b").collect()(0)
+    assert(r3.getAs[Double]("h_b") == 0.0 && r3.getAs[Double]("mi") == 0.0)
+    assert(r3.isNullAt(r3.fieldIndex("nmi")))
+  }
 }
