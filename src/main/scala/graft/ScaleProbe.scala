@@ -142,7 +142,9 @@ object ScaleProbe {
     // front membership join
     "q_sample_pareto",
     // round-6 batch U: mutual information — one |A|·|B|-cell reduce
-    "q_profile_mi")
+    "q_profile_mi",
+    // round-6 batch V: k-fold assignment — pure projection
+    "q_split_kfold")
 
   private def caesar(c: org.apache.spark.sql.Column, k: Int) = {
     val lower = "abcdefghijklmnopqrstuvwxyz"

@@ -931,6 +931,13 @@ object SparkEntry {
         docs(s, d).select(col("doc_id"), col("source")), "source", 0.5)
         .select(col("doc_id"), col("source"), col("split"))),
 
+    // 4-fold cross-validation assignment: content-keyed nibble mod k —
+    // folds stable across reruns and incremental appends.
+    "q_split_kfold" -> ((s, d) =>
+      graft.operators.Split.kFold(
+        docs(s, d).select(col("doc_id"), col("text")), "text", k = 4)
+        .select(col("doc_id"), col("fold"))),
+
     // Top-5 keywords per doc by (tf DESC, df ASC, term ASC) — tf-idf's
     // preference order with a pure-integer ranking, so both engines
     // produce identical rows (no FP score in the ordering).
@@ -4121,6 +4128,11 @@ object SparkEntry {
       ("SELECT doc_id, source, CASE WHEN substring(md5(source), 1, 8) < '" +
         graft.operators.Split.thresholdHex(0.5) +
         "' THEN 'train' ELSE 'test' END AS split FROM documents"),
+    // strpos over the hex alphabet = the nibble value conv() reads.
+    "q_split_kfold" ->
+      """SELECT doc_id, CAST((strpos('0123456789abcdef',
+        |  substring(md5(text), 1, 1)) - 1) % 4 AS INTEGER) AS fold
+        |FROM documents""".stripMargin,
     "q_keywords" ->
       """WITH toks AS (
         |  SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '[ \t\n\x0b\f\r]+')) AS term

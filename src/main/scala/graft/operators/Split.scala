@@ -74,6 +74,27 @@ object Split {
     hashSplit(df, groupCol, trainFrac, splitCol)
 
   /**
+   * K-fold assignment for cross-validation: fold = (hex-digit value of
+   * the key hash's first nibble) mod k — deterministic, content-keyed
+   * (the same key lands in the same fold forever, so folds stay stable
+   * across reruns and incremental appends), and engine-portable via a
+   * single-nibble arithmetic both engines can state exactly (`conv`
+   * here, `strpos` over the hex alphabet in the oracle — same value).
+   * `k` must divide 16 so folds get EQUAL hash mass (k ∤ 16 would bias
+   * low folds by one nibble value — fail loudly rather than skew
+   * silently). Pure projection, zero shuffle.
+   */
+  def kFoldColumn(key: Column, k: Int): Column = {
+    require(k >= 2 && 16 % k == 0, "k must be in {2, 4, 8, 16}")
+    (conv(substring(md5(key), 1, 1), 16, 10).cast("int") % k).cast("int")
+  }
+
+  /** Attach the fold column. */
+  def kFold(df: DataFrame, keyCol: String, k: Int,
+            foldCol: String = "fold"): DataFrame =
+    df.withColumn(foldCol, kFoldColumn(col(keyCol), k))
+
+  /**
    * TEMPORAL split — train on the past, evaluate on the future, the
    * split that hash assignment cannot give: forecasting/drift evals are
    * invalid if training rows postdate test rows. The cutoff is the
