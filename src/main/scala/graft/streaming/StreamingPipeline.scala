@@ -116,6 +116,30 @@ object StreamingPipeline {
     keys.map(r(_)).foldLeft(p.join(r, cond, "inner"))(_.drop(_))
   }
 
+  /**
+   * Streaming write-audit-publish sink body for `foreachBatch`: each
+   * micro-batch lands in its own `basePath/batch_<id>` directory via
+   * the batch [[graft.sources.Writer.writeAuditPublish]] — staged
+   * write, Expect-rule audit over the STAGED files, `_AUDIT.json`,
+   * atomic rename. A batch that fails its audit throws, which fails
+   * the streaming query BEFORE anything becomes visible: downstream
+   * readers only ever see fully-audited batch directories, and a
+   * restart re-processes the failed batch from the checkpoint (the
+   * rename is idempotent — re-publishing batch N replaces batch N).
+   *
+   * Usage: `stream.writeStream.foreachBatch(wapBatchSink(path, rules))
+   * .option("checkpointLocation", …).start()`.
+   */
+  def wapBatchSink(basePath: String,
+                   rules: Seq[graft.operators.Expect.Rule])
+      : (DataFrame, Long) => Unit = { (batch, batchId) =>
+    if (!batch.isEmpty) {
+      graft.sources.Writer.writeAuditPublish(
+        batch, s"$basePath/batch_$batchId", rules)
+      ()
+    }
+  }
+
   /** Open session carried in state: event-time bounds + event count. */
   final case class SessionState(start: Long, end: Long, n: Long)
 
