@@ -144,7 +144,10 @@ object ScaleProbe {
     // round-6 batch U: mutual information — one |A|·|B|-cell reduce
     "q_profile_mi",
     // round-6 batch V: k-fold assignment — pure projection
-    "q_split_kfold")
+    "q_split_kfold",
+    // round-6 batch W: log-odds distinctive terms — one term-cell
+    // reduce + TakeOrdered top-k
+    "q_keywords_logodds")
 
   private def caesar(c: org.apache.spark.sql.Column, k: Int) = {
     val lower = "abcdefghijklmnopqrstuvwxyz"

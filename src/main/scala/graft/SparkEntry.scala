@@ -2179,6 +2179,12 @@ object SparkEntry {
         .orderBy("query_id")
     }),
 
+    // Fightin'-Words distinctive vocabulary of the Spanish slice vs the
+    // rest — prior-shrunk log-odds z-scores, top-15.
+    "q_keywords_logodds" -> ((s, d) =>
+      graft.operators.Keywords.logOddsTerms(docs(s, d), "text", "lang",
+        targetClass = "es", alpha = 0.01, k = 15)),
+
     // Mutual information lang ↔ source — "does provenance predict
     // language?", the dependence audit behind leakage-safe splitting.
     "q_profile_mi" -> ((s, d) =>
@@ -5147,6 +5153,26 @@ object SparkEntry {
         |       ELSE round(p.dcg / idcg, 6) END AS ndcg_at_k
         |FROM gct g LEFT JOIN perq p USING (query_id) CROSS JOIN ideal
         |ORDER BY query_id""".stripMargin,
+    "q_keywords_logodds" ->
+      """WITH toks AS (SELECT lang = 'es' AS t,
+        |    unnest(regexp_split_to_array(trim(lower(text)),
+        |      '[ \t\n\x0b\f\r]+')) AS term
+        |  FROM documents),
+        |f AS (SELECT t, term FROM toks WHERE length(term) > 1),
+        |cells AS (SELECT term,
+        |    sum(CASE WHEN t THEN 1 ELSE 0 END) AS n_target,
+        |    sum(CASE WHEN t THEN 0 ELSE 1 END) AS n_rest
+        |  FROM f GROUP BY 1),
+        |tot AS (SELECT CAST(sum(n_target) AS DOUBLE) AS nt,
+        |    CAST(sum(n_rest) AS DOUBLE) AS nr, count(*) AS v FROM cells),
+        |s AS (SELECT term, n_target, n_rest,
+        |    round(ln((n_target + 0.01)/(nt + 0.01*v - n_target - 0.01)) -
+        |          ln((n_rest + 0.01)/(nr + 0.01*v - n_rest - 0.01)), 9) AS delta
+        |  FROM cells CROSS JOIN tot)
+        |SELECT term, CAST(n_target AS BIGINT) AS n_target,
+        |  CAST(n_rest AS BIGINT) AS n_rest,
+        |  round(delta / sqrt(1.0/(n_target + 0.01) + 1.0/(n_rest + 0.01)), 6) AS z
+        |FROM s ORDER BY z DESC, term ASC LIMIT 15""".stripMargin,
     // Joint cells + marginals; every plogp term 9-dp in DECIMAL.
     "q_profile_mi" ->
       """WITH cells AS (SELECT CAST(lang AS VARCHAR) AS a,

@@ -166,6 +166,27 @@ class SplitKeywordsSpec extends SparkTestBase {
     assert(maxTrain.before(minTest))
   }
 
+  test("logOddsTerms: exclusive frequent terms top the z ranking; prior shrinks rare ones") {
+    import org.apache.spark.sql.Row
+    val d = df("text STRING, cls STRING", Seq(
+      Row("hola hola hola mundo mundo shared shared", "es"),
+      Row("hola hola raro shared shared", "es"),
+      Row("hello hello hello world shared shared", "en"),
+      Row("hello world world shared shared", "en")))
+    val out = Keywords.logOddsTerms(d, "text", "cls", "es", k = 10)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    // es-exclusive terms have positive z, en-exclusive negative,
+    // balanced 'shared' ~0
+    assert(out("hola")._3 > 0 && out("mundo")._3 > 0)
+    assert(out("hello")._3 < 0 && out("world")._3 < 0)
+    assert(math.abs(out("shared")._3) < 0.3)
+    // frequency beats rarity under the prior: hola (5) > raro (1)
+    assert(out("hola")._3 > out("raro")._3 && out("raro")._3 > 0)
+    // counts faithful
+    assert(out("hola")._1 == 5L && out("hola")._2 == 0L)
+  }
+
   test("kFold: folds in range, stable across calls, k must divide 16") {
     import org.apache.spark.sql.Row
     val d = df("id BIGINT, key STRING",
