@@ -333,13 +333,19 @@ object Ann {
   def marginPairs(fwd: DataFrame, bwd: DataFrame, threshold: Double = 1.0,
                   queryCol: String = "query_id", docCol: String = "vec_id",
                   scoreCol: String = "cosine"): DataFrame = {
-    def sideAvg(t: DataFrame, out: String) =
-      t.groupBy(col(queryCol).as(s"${out}_id"))
-        .agg(round(sum(col(scoreCol).cast("decimal(10,6)")).cast("double") /
-          count(lit(1)), 9).as(out))
-    val scored = fwd
-      .join(sideAvg(fwd, "__ax"), col(queryCol) === col("__ax_id"))
-      .join(sideAvg(bwd, "__ay"), col(docCol) === col("__ay_id"))
+    // source-side neighborhood mean: a WINDOW over the rows already
+    // co-partitioned by query — no join, no extra shuffle (plan-asserted
+    // in PlanAuditSpec). Only the target-side mean, keyed by the OTHER
+    // id space, needs a join — both sides k·N, the one legitimate
+    // shuffle here (AQE broadcasts it when the query set is small).
+    val wq = Window.partitionBy(queryCol)
+    val ax = round(sum(col(scoreCol).cast("decimal(10,6)")).over(wq)
+      .cast("double") / count(lit(1)).over(wq), 9)
+    val ay = bwd.groupBy(col(queryCol).as("__ay_id"))
+      .agg(round(sum(col(scoreCol).cast("decimal(10,6)")).cast("double") /
+        count(lit(1)), 9).as("__ay"))
+    val scored = fwd.withColumn("__ax", ax)
+      .join(ay, col(docCol) === col("__ay_id"))
       .withColumn("margin", round(col(scoreCol) /
         ((col("__ax") + col("__ay")) / lit(2.0)), 6))
     val w = Window.partitionBy(queryCol)

@@ -183,4 +183,49 @@ class PlanAuditSpec extends SparkTestBase {
     // row data never meets row data
     assert("FullOuter".r.findAllIn(plan).size == 1, plan)
   }
+
+  test("margin mining: source mean is a window (no join); only the target mean joins") {
+    val plan = SparkEntry.queries("q_mine_margin")(spark, dir)
+      .queryExecution.executedPlan.toString
+    // exactly ONE equi-join in the whole margin pass — the target-side
+    // neighborhood mean keyed by the other id space; the source-side
+    // mean must ride the existing per-query partitioning as a Window
+    val joins = "SortMergeJoin|BroadcastHashJoin|ShuffledHashJoin".r
+      .findAllIn(plan).size
+    // (brute-force candidate generation upstream contributes its own
+    // BroadcastNestedLoopJoins; count only equi-joins)
+    assert(joins == 1, s"$joins equi-joins\n$plan")
+  }
+
+  test("pareto front: the membership join broadcasts the staircase, corpus unshuffled") {
+    val plan = SparkEntry.queries("q_sample_pareto")(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("SortMergeJoin"), plan)
+  }
+
+  test("rougeL twin: the LCS metric is a pure projection — only the output sort exchanges") {
+    val plan = SparkEntry.queries("q_eval_rouge_l_twin")(spark, dir)
+      .queryExecution.executedPlan.toString
+    // the gate's orderBy adds one rangepartitioning; the metric itself
+    // must add NO hash exchange (no shuffle, no join, no aggregation)
+    assert(!plan.contains("hashpartitioning"), plan)
+  }
+
+  test("JL projection: pure projection — no hash exchange, no md5 in the plan") {
+    val plan = SparkEntry.queries("q_embed_jl")(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("hashpartitioning"), plan)
+    // the sign matrix is a baked literal, not per-row hashing
+    assert(!plan.toLowerCase.contains("md5"), plan)
+  }
+
+  test("AUC: the rank walk runs on the score-cell table, after partial aggregation") {
+    val plan = SparkEntry.queries("q_eval_auc")(spark, dir)
+      .queryExecution.executedPlan.toString
+    // corpus reduces via partial_count/partial_sum before any Window
+    assert(plan.contains("partial_count") || plan.contains("partial count")
+      || plan.contains("HashAggregate"), plan)
+    assert(plan.contains("Window"), plan)
+  }
 }
