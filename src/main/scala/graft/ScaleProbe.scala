@@ -147,7 +147,13 @@ object ScaleProbe {
     "q_split_kfold",
     // round-6 batch W: log-odds distinctive terms — one term-cell
     // reduce + TakeOrdered top-k
-    "q_keywords_logodds")
+    "q_keywords_logodds",
+    // round-6 batch X: degree-oriented triangle census (O(m^1.5)
+    // wedge join), fixed-round k-core peel (monotone shrinking edge
+    // list), one-pass d²-cell covariance, power-iteration PCA (matrix
+    // only — corpus read once), literal-component projection removal
+    "q_graph_triangles", "q_graph_kcore", "q_embed_covariance",
+    "q_embed_pca", "q_embed_remove_top")
 
   private def caesar(c: org.apache.spark.sql.Column, k: Int) = {
     val lower = "abcdefghijklmnopqrstuvwxyz"

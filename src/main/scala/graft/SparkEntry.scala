@@ -2249,6 +2249,38 @@ object SparkEntry {
           embeddings(s, d).select(VF.asDouble(col("embedding")).as("v")), "v")
         .orderBy("dim")),
 
+    // Upper-triangle covariance of the embedding space — the full
+    // anisotropy picture (dimstats is just its diagonal): one corpus
+    // pass exploding each vector to its d(d+1)/2 products, reduced to a
+    // d²-cell table. 9-dp decimal-summed internals, 6-dp publish.
+    "q_embed_covariance" -> ((s, d) =>
+      graft.operators.Pca.covariance(
+          embeddings(s, d).select(VF.asDouble(col("embedding")).as("v")), "v")
+        .orderBy("i", "j")),
+
+    // Top principal component by 3 power-iteration rounds on that
+    // covariance matrix (never re-reading the corpus) — the direction
+    // "all-but-the-top" cosine correction subtracts. The oracle unrolls
+    // the same 3 rounds; 9-dp rounding at every step makes the
+    // iteration order-independent and cross-engine exact.
+    "q_embed_pca" -> ((s, d) =>
+      graft.operators.Pca.topComponent(
+          embeddings(s, d).select(VF.asDouble(col("embedding")).as("v")), "v",
+          iterations = 3)
+        .orderBy("dim")),
+
+    // "All-but-the-top" projection removal: x' = x − (x·v)v against a
+    // fixed alternating ±0.125 unit direction (exact in binary, so the
+    // literal-array plan and the oracle share every product bit): pure
+    // per-row zip_with/aggregate projection, no shuffle.
+    "q_embed_remove_top" -> ((s, d) => {
+      val comp = (1 to 64).map(i => if (i % 2 == 1) 0.125 else -0.125)
+      graft.operators.Pca.removeComponent(
+          embeddings(s, d).select(col("vec_id"), col("embedding")),
+          "vec_id", "embedding", comp)
+        .orderBy("vec_id")
+    }),
+
     // Greedy k-center coreset: 4 maximally-spread embedding exemplars,
     // selection fully in-plan (1-row argmax subplans broadcast into the
     // running min-distance), the oracle unrolls round for round.
@@ -2666,6 +2698,39 @@ object SparkEntry {
         edges, "src", "dst", iterations = 2)
       graft.operators.Graph.modularity(edges, "src", "dst",
         assign, "node", "community")
+    }),
+
+    // Degree-oriented triangle census over a chain + skip + decade-hub
+    // graph (consecutive-id triangles plus hub-closed wedges): per-node
+    // triangle counts and local clustering — the link-ring/spam audit.
+    // Exact integer counts; the oracle runs the same oriented join.
+    "q_graph_triangles" -> ((s, d) => {
+      val ids = docs(s, d).select(col("doc_id"))
+      val fwd = ids.select(col("doc_id").as("src"),
+          (col("doc_id") + 1).as("dst"))
+        .unionByName(ids.select(col("doc_id").as("src"),
+          (col("doc_id") + 2).as("dst")))
+        .unionByName(ids.filter(col("doc_id") % 10 =!= 0)
+          .select(col("doc_id").as("src"),
+            (col("doc_id") - (col("doc_id") % 10)).as("dst")))
+      graft.operators.Graph.triangles(fwd, "src", "dst").orderBy("node")
+    }),
+
+    // k-core peeling (k=3, 4 fixed synchronous rounds) on the same
+    // graph: survivors with their in-core degree plus a converged flag
+    // (last round deleted nothing). Fixed rounds keep the result a pure
+    // function of the data — the oracle unrolls the same 4 peels.
+    "q_graph_kcore" -> ((s, d) => {
+      val ids = docs(s, d).select(col("doc_id"))
+      val fwd = ids.select(col("doc_id").as("src"),
+          (col("doc_id") + 1).as("dst"))
+        .unionByName(ids.select(col("doc_id").as("src"),
+          (col("doc_id") + 2).as("dst")))
+        .unionByName(ids.filter(col("doc_id") % 10 =!= 0)
+          .select(col("doc_id").as("src"),
+            (col("doc_id") - (col("doc_id") % 10)).as("dst")))
+      graft.operators.Graph.kCore(fwd, "src", "dst", k = 3, rounds = 4)
+        .orderBy("node")
     }),
 
     // Z-order (Morton) clustering key: bit-interleave of two dims
@@ -5310,6 +5375,93 @@ object SparkEntry {
         |  round(mn, 6) AS mean, round(e2 - mn*mn, 6) AS variance,
         |  min_val, max_val
         |FROM m ORDER BY dim""".stripMargin,
+    // Same one-pass explode: each vector contributes its d(d+1)/2
+    // upper-triangle products. Rounds appear ONLY on sum operands
+    // (order-independence); cov itself is full IEEE double, published
+    // once at 6 dp with +0.0 collapsing -0.0 — rounding short decimals
+    // again would manufacture cross-engine .5 ties.
+    "q_embed_covariance" ->
+      """WITH x AS (SELECT CAST(embedding AS DOUBLE[]) AS v
+        |           FROM embeddings WHERE embedding IS NOT NULL),
+        |a AS (SELECT v, unnest(range(1, len(v)+1)) AS i FROM x),
+        |c AS (SELECT i, v, unnest(range(1, len(v)+1)) AS j FROM a),
+        |p AS (SELECT i, j, v[i] AS xi, v[j] AS xj FROM c WHERE j >= i),
+        |g AS (SELECT i, j, count(*) AS n,
+        |        sum(CAST(round(xi*xj, 9) AS DECIMAL(38,9))) AS sxy,
+        |        sum(CAST(round(xi, 9) AS DECIMAL(38,9))) AS sx,
+        |        sum(CAST(round(xj, 9) AS DECIMAL(38,9))) AS sy
+        |      FROM p GROUP BY 1, 2)
+        |SELECT CAST(i AS INTEGER) AS i, CAST(j AS INTEGER) AS j, n,
+        |  round(CAST(sxy AS DOUBLE)/n -
+        |    (CAST(sx AS DOUBLE)/n) * (CAST(sy AS DOUBLE)/n), 6) + 0.0
+        |    AS cov
+        |FROM g ORDER BY i, j""".stripMargin,
+    // Full-precision covariance mirrored to the full matrix, then 3
+    // unrolled power-iteration rounds (w = C.v, v = w/||w||). The only
+    // rounds are the 12-dp sum-operand rounds; means, norms and
+    // normalized components are raw IEEE doubles — bit-identical across
+    // engines — published once at 6 dp (+0.0 collapses -0.0).
+    "q_embed_pca" ->
+      """WITH x AS (SELECT CAST(embedding AS DOUBLE[]) AS v
+        |           FROM embeddings WHERE embedding IS NOT NULL),
+        |a AS (SELECT v, unnest(range(1, len(v)+1)) AS i FROM x),
+        |c AS (SELECT i, v, unnest(range(1, len(v)+1)) AS j FROM a),
+        |p AS (SELECT i, j, v[i] AS xi, v[j] AS xj FROM c WHERE j >= i),
+        |g AS (SELECT i, j, count(*) AS n,
+        |        sum(CAST(round(xi*xj, 9) AS DECIMAL(38,9))) AS sxy,
+        |        sum(CAST(round(xi, 9) AS DECIMAL(38,9))) AS sx,
+        |        sum(CAST(round(xj, 9) AS DECIMAL(38,9))) AS sy
+        |      FROM p GROUP BY 1, 2),
+        |up AS (SELECT i, j,
+        |         CAST(sxy AS DOUBLE)/n -
+        |           (CAST(sx AS DOUBLE)/n) * (CAST(sy AS DOUBLE)/n) AS cov
+        |       FROM g),
+        |cm AS (SELECT i, j, cov FROM up
+        |       UNION ALL SELECT j, i, cov FROM up WHERE i != j),
+        |dd AS (SELECT CAST(max(j) AS DOUBLE) AS d FROM up),
+        |v0 AS (SELECT DISTINCT i AS dim,
+        |         1.0 / sqrt((SELECT d FROM dd)) AS x FROM cm),
+        |w1 AS (SELECT cm.i AS wdim,
+        |         CAST(sum(CAST(round(cm.cov * v.x, 12)
+        |           AS DECIMAL(38,12))) AS DOUBLE) AS w
+        |       FROM cm JOIN v0 v ON cm.j = v.dim GROUP BY 1),
+        |n1 AS (SELECT sqrt(CAST(sum(CAST(round(w*w, 12)
+        |         AS DECIMAL(38,12))) AS DOUBLE)) AS nrm FROM w1),
+        |v1 AS (SELECT wdim AS dim, w / (SELECT nrm FROM n1) AS x FROM w1),
+        |w2 AS (SELECT cm.i AS wdim,
+        |         CAST(sum(CAST(round(cm.cov * v.x, 12)
+        |           AS DECIMAL(38,12))) AS DOUBLE) AS w
+        |       FROM cm JOIN v1 v ON cm.j = v.dim GROUP BY 1),
+        |n2 AS (SELECT sqrt(CAST(sum(CAST(round(w*w, 12)
+        |         AS DECIMAL(38,12))) AS DOUBLE)) AS nrm FROM w2),
+        |v2 AS (SELECT wdim AS dim, w / (SELECT nrm FROM n2) AS x FROM w2),
+        |w3 AS (SELECT cm.i AS wdim,
+        |         CAST(sum(CAST(round(cm.cov * v.x, 12)
+        |           AS DECIMAL(38,12))) AS DOUBLE) AS w
+        |       FROM cm JOIN v2 v ON cm.j = v.dim GROUP BY 1),
+        |n3 AS (SELECT sqrt(CAST(sum(CAST(round(w*w, 12)
+        |         AS DECIMAL(38,12))) AS DOUBLE)) AS nrm FROM w3),
+        |v3 AS (SELECT wdim AS dim, w / (SELECT nrm FROM n3) AS x FROM w3)
+        |SELECT dim, round(x, 6) + 0.0 AS loading,
+        |  round((SELECT nrm FROM n3), 6) + 0.0 AS eigenvalue
+        |FROM v3 ORDER BY dim""".stripMargin,
+    // Left-fold dot product (list_reduce with 0.0 prepended == Spark's
+    // aggregate init) against the same exact-binary ±0.125 direction,
+    // then the per-element correction, rounded once at 6 dp.
+    "q_embed_remove_top" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+        |           FROM embeddings),
+        |p AS (SELECT vec_id, v,
+        |  list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+        |    list_transform(range(1, 65), i ->
+        |      (CASE WHEN i % 2 = 1 THEN 0.125 ELSE -0.125 END) * v[i])),
+        |    (a, b) -> a + b) AS pr
+        |  FROM e)
+        |SELECT vec_id,
+        |  list_transform(range(1, 65), i ->
+        |    round(v[i] - pr * (CASE WHEN i % 2 = 1 THEN 0.125
+        |                            ELSE -0.125 END), 6) + 0.0) AS v
+        |FROM p ORDER BY vec_id""".stripMargin,
     // Replays the deterministic construction exactly: same md5 block
     // hash (threshold 0.2 → '33333333'), same run merging, same ordered
     // re-assembly — string_agg(… ORDER BY pos) ≡ the array_sort fold.
@@ -5941,6 +6093,65 @@ object SparkEntry {
         |    (CAST(dc AS DOUBLE) / (2.0 * CAST(m AS DOUBLE))), 9)
         |    AS DECIMAL(28,9))) AS DOUBLE), 6) AS modularity
         |FROM perc CROSS JOIN mm""".stripMargin,
+    // Same oriented-wedge join as the operator: orient each undirected
+    // edge from its lower-(degree, id) endpoint, build wedges, close
+    // them against the oriented list — each triangle once, integers only.
+    "q_graph_triangles" ->
+      """WITH ids AS (SELECT doc_id FROM documents),
+        |fwd AS (
+        |  SELECT doc_id AS src, doc_id + 1 AS dst FROM ids
+        |  UNION ALL SELECT doc_id, doc_id + 2 FROM ids
+        |  UNION ALL SELECT doc_id, doc_id - (doc_id % 10) FROM ids
+        |    WHERE doc_id % 10 != 0),
+        |und AS (SELECT DISTINCT a, b FROM (
+        |  SELECT src AS a, dst AS b FROM fwd
+        |  UNION ALL SELECT dst AS a, src AS b FROM fwd) t WHERE a != b),
+        |deg AS (SELECT a AS node, count(*) AS dg FROM und GROUP BY 1),
+        |o AS (SELECT u.a, u.b FROM und u
+        |      JOIN deg da ON u.a = da.node JOIN deg db ON u.b = db.node
+        |      WHERE da.dg < db.dg OR (da.dg = db.dg AND u.a < u.b)),
+        |tri AS (SELECT o1.a, o1.b, o2.b AS c
+        |        FROM o o1 JOIN o o2 ON o1.b = o2.a
+        |        JOIN o o3 ON o3.a = o1.a AND o3.b = o2.b),
+        |cr AS (SELECT node, count(*) AS t FROM (
+        |        SELECT a AS node FROM tri
+        |        UNION ALL SELECT b FROM tri
+        |        UNION ALL SELECT c FROM tri) u GROUP BY 1)
+        |SELECT d.node, d.dg AS degree,
+        |  coalesce(cr.t, 0) AS triangles,
+        |  CASE WHEN d.dg >= 2
+        |    THEN round(2.0 * coalesce(cr.t, 0) /
+        |               (CAST(d.dg AS DOUBLE) * (d.dg - 1)), 6)
+        |    ELSE 0.0 END AS clustering
+        |FROM deg d LEFT JOIN cr USING (node) ORDER BY node""".stripMargin,
+    // 4 unrolled synchronous peels at k=3: each round recomputes
+    // degrees over the surviving edges and keeps nodes with >= k;
+    // converged = the last peel deleted nothing (edge counts equal).
+    "q_graph_kcore" ->
+      """WITH ids AS (SELECT doc_id FROM documents),
+        |fwd AS (
+        |  SELECT doc_id AS src, doc_id + 1 AS dst FROM ids
+        |  UNION ALL SELECT doc_id, doc_id + 2 FROM ids
+        |  UNION ALL SELECT doc_id, doc_id - (doc_id % 10) FROM ids
+        |    WHERE doc_id % 10 != 0),
+        |e0 AS (SELECT DISTINCT a, b FROM (
+        |  SELECT src AS a, dst AS b FROM fwd
+        |  UNION ALL SELECT dst AS a, src AS b FROM fwd) t WHERE a != b),
+        |k1 AS (SELECT a AS node FROM e0 GROUP BY 1 HAVING count(*) >= 3),
+        |e1 AS (SELECT e.a, e.b FROM e0 e JOIN k1 x ON e.a = x.node
+        |       JOIN k1 y ON e.b = y.node),
+        |k2 AS (SELECT a AS node FROM e1 GROUP BY 1 HAVING count(*) >= 3),
+        |e2 AS (SELECT e.a, e.b FROM e1 e JOIN k2 x ON e.a = x.node
+        |       JOIN k2 y ON e.b = y.node),
+        |k3 AS (SELECT a AS node FROM e2 GROUP BY 1 HAVING count(*) >= 3),
+        |e3 AS (SELECT e.a, e.b FROM e2 e JOIN k3 x ON e.a = x.node
+        |       JOIN k3 y ON e.b = y.node),
+        |k4 AS (SELECT a AS node FROM e3 GROUP BY 1 HAVING count(*) >= 3),
+        |e4 AS (SELECT e.a, e.b FROM e3 e JOIN k4 x ON e.a = x.node
+        |       JOIN k4 y ON e.b = y.node)
+        |SELECT a AS node, count(*) AS core_degree,
+        |  (SELECT count(*) FROM e3) = (SELECT count(*) FROM e4) AS converged
+        |FROM e4 GROUP BY 1 ORDER BY node""".stripMargin,
     // 2-round synchronous label propagation, unrolled: each round is a
     // labeled-neighbor vote + (count desc, label asc) argmax; seeds
     // clamp via the coalesce order.

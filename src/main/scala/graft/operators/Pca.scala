@@ -1,0 +1,139 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/**
+ * Distributed covariance + principal-component extraction for embedding
+ * columns — the anisotropy toolkit: embedding spaces from real encoders
+ * concentrate mass in a few directions (Ethayarajh 2019), which
+ * inflates raw cosine similarity and hides near-duplicate structure.
+ * The covariance matrix quantifies it; the top principal component is
+ * what "all-but-the-top" post-processing (Mu & Viswanath, ICLR 2018)
+ * subtracts before cosine-based dedup/ANN.
+ *
+ * Scale shape: the corpus is touched ONCE — each vector explodes to its
+ * d(d+1)/2 upper-triangle products inside the scan (no self-join, no
+ * per-id shuffle) and everything reduces to a d²-cell aggregate. For
+ * d=1024 that is ~500k cells per partial — executor-memory bounded, and
+ * the only shuffle is the d²-sized cell table. Power iteration then
+ * runs entirely on that d²-row matrix: each step is a broadcast-sized
+ * join + d-cell reduce; the 100 TB corpus is never re-read.
+ *
+ * Determinism policy (deliberately SPARSER rounding than the repo's
+ * usual 9-dp-everywhere): a 9-dp round is applied ONLY where needed to
+ * make a sum order-independent (products entering a decimal SUM), and
+ * only to values whose decimal expansion is long — rounding a value
+ * that is itself a short decimal (e.g. the product of two already-9-dp
+ * numbers) manufactures exact .5 ties, where Spark's HALF_UP and
+ * DuckDB's float rounding disagree. Everything else (means, norms,
+ * normalized components) carries full IEEE-double precision, which both
+ * engines compute bit-identically; publishes round once to 6 dp with a
+ * `+ 0.0` to collapse -0.0.
+ */
+object Pca {
+
+  /**
+   * Upper-triangle sample covariance of `vecCol`: one row per (i, j)
+   * with i <= j (1-based dims), cov = E[xy] − E[x]E[y] (population
+   * normalization, /n). Output `(i, j, n, cov)` — callers order.
+   * Rows with NULL vectors are dropped.
+   */
+  def covariance(df: DataFrame, vecCol: String): DataFrame =
+    covarianceFull(df, vecCol)
+      .select(col("i"), col("j"), col("n"),
+        (round(col("cov"), 6) + lit(0.0)).as("cov"))
+
+  /**
+   * Top principal component of `vecCol` by power iteration on the
+   * covariance matrix: v₀ = uniform 1/√d, then `iterations` rounds of
+   * w = C·v; v = w/‖w‖ — all on the d²-row matrix from [[covariance]],
+   * never re-reading the corpus. Returns `(dim, loading, eigenvalue)` —
+   * `eigenvalue` is ‖w‖ of the final round (the Rayleigh estimate at
+   * convergence), identical on every row. Fixed iteration count keeps
+   * the result a pure function of the data, reproducible by an
+   * unrolled SQL oracle.
+   */
+  def topComponent(df: DataFrame, vecCol: String,
+                   iterations: Int): DataFrame = {
+    require(iterations >= 1, "at least one iteration")
+    // full matrix: mirror the upper triangle (full-precision cov)
+    val upper = covarianceFull(df, vecCol)
+    val cmat = upper.select(col("i"), col("j"), col("cov"))
+      .union(upper.filter(col("i") =!= col("j"))
+        .select(col("j").as("i"), col("i").as("j"), col("cov")))
+      .cache()
+    val d = upper.select(max(col("j")).as("d"))
+    var v = cmat.select(col("i").as("dim")).distinct()
+      .crossJoin(broadcast(d))
+      .select(col("dim"), (lit(1.0) / sqrt(col("d").cast("double"))).as("x"))
+    var lastNorm = v.select(lit(0.0).as("nrm")).limit(1)
+    for (_ <- 1 to iterations) {
+      val w = cmat.join(v, cmat("j") === v("dim"))
+        .groupBy(cmat("i").as("wdim"))
+        .agg(sum(round(col("cov") * col("x"), 12).cast("decimal(38,12)"))
+          .as("__s"))
+        .select(col("wdim"), col("__s").cast("double").as("w"))
+      val nrm = w.agg(
+        sqrt(sum(round(col("w") * col("w"), 12).cast("decimal(38,12)"))
+          .cast("double")).as("nrm"))
+      lastNorm = nrm
+      v = w.crossJoin(broadcast(nrm))
+        .select(col("wdim").as("dim"), (col("w") / col("nrm")).as("x"))
+    }
+    val out = v.crossJoin(broadcast(lastNorm))
+      .select(col("dim"), (round(col("x"), 6) + lit(0.0)).as("loading"),
+        (round(col("nrm"), 6) + lit(0.0)).as("eigenvalue"))
+      .localCheckpoint(eager = true)
+    cmat.unpersist()
+    out
+  }
+
+  /**
+   * "All-but-the-top" correction (Mu & Viswanath, ICLR 2018): subtract
+   * each vector's projection onto a dominant component —
+   * x' = x − (x·v)v — the standard fix before cosine-based
+   * dedup/ANN on anisotropic embeddings. The component (typically
+   * [[topComponent]]'s loadings, or a precomputed mean direction) is a
+   * driver-side d-length constant baked into the plan as a literal
+   * array, so the pass is a pure per-row projection — no join, no
+   * shuffle, fully codegen'd via `zip_with`/`aggregate`; published
+   * values round to 6 dp (+0.0 collapses -0.0).
+   */
+  def removeComponent(df: DataFrame, idCol: String, vecCol: String,
+                      component: Seq[Double]): DataFrame = {
+    require(component.nonEmpty, "component must be non-empty")
+    val v = array(component.map(lit): _*)
+    val x = col(vecCol).cast("array<double>")
+    val proj = aggregate(zip_with(x, v, (a, b) => a * b),
+      lit(0.0).cast("double"), (acc, e) => acc + e)
+    df.select(col(idCol), x.as("__x"), proj.as("__p"))
+      .select(col(idCol),
+        transform(zip_with(col("__x"), v, (a, b) => a - col("__p") * b),
+          e => round(e, 6) + lit(0.0)).as("v"))
+  }
+
+  /** Covariance cells at full double precision — the only rounds are
+    * the 9-dp product rounds that make the decimal sums
+    * order-independent. */
+  private def covarianceFull(df: DataFrame, vecCol: String): DataFrame = {
+    val cells = df.filter(col(vecCol).isNotNull)
+      .select(posexplode(col(vecCol).cast("array<double>"))
+        .as(Seq("__i0", "__xi")), col(vecCol).cast("array<double>").as("__v"))
+      .select(col("__i0"), col("__xi"),
+        posexplode(col("__v")).as(Seq("__j0", "__xj")))
+      .filter(col("__j0") >= col("__i0"))
+      .select((col("__i0") + 1).as("i"), (col("__j0") + 1).as("j"),
+        col("__xi"), col("__xj"))
+    cells.groupBy("i", "j").agg(
+        count(lit(1)).as("n"),
+        sum(round(col("__xi") * col("__xj"), 9).cast("decimal(38,9)"))
+          .as("__sxy"),
+        sum(round(col("__xi"), 9).cast("decimal(38,9)")).as("__sx"),
+        sum(round(col("__xj"), 9).cast("decimal(38,9)")).as("__sy"))
+      .select(col("i"), col("j"), col("n"),
+        (col("__sxy").cast("double") / col("n") -
+          (col("__sx").cast("double") / col("n")) *
+          (col("__sy").cast("double") / col("n"))).as("cov"))
+  }
+}

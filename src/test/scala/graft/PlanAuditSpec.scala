@@ -228,4 +228,27 @@ class PlanAuditSpec extends SparkTestBase {
       || plan.contains("HashAggregate"), plan)
     assert(plan.contains("Window"), plan)
   }
+
+  test("covariance: one pass — the only wide exchange is the (i,j) cell aggregate") {
+    val plan = SparkEntry.queries("q_embed_covariance")(spark, dir)
+      .queryExecution.executedPlan.toString
+    // no join anywhere (the explode pairs dims inside the scan) and the
+    // corpus shuffles only as d²-keyed partial-aggregate cells
+    assert(!plan.contains("Join"), plan)
+    assert(plan.contains("Generate explode") || plan.contains("Generate posexplode"), plan)
+  }
+
+  test("remove-top projection: no shuffle — the component is a baked literal") {
+    val plan = SparkEntry.queries("q_embed_remove_top")(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("hashpartitioning"), plan)
+    assert(!plan.contains("Join"), plan)
+  }
+
+  test("triangles: every join is on id keys; the corpus explode stays upstream") {
+    val plan = SparkEntry.queries("q_graph_triangles")(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
 }

@@ -111,4 +111,55 @@ class GraphSpec extends SparkTestBase {
       Seq("a" -> "keep", "b" -> "keep", "c" -> "drop"), 1)
     assert(r("y") == "keep")
   }
+
+  test("triangles: 4-clique nodes have 3 triangles and clustering 1.0; pendant has 0") {
+    val clique = for {
+      a <- Seq("a", "b", "c", "d"); b <- Seq("a", "b", "c", "d")
+      if a < b
+    } yield a -> b
+    val e = df("src STRING, dst STRING",
+      (clique :+ ("d" -> "p")).map { case (x, y) => Row(x, y) })
+    val t = Graph.triangles(e, "src", "dst").collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3))))
+      .toMap
+    assert(t("a") == ((3L, 3L, 1.0)))
+    assert(t("b") == ((3L, 3L, 1.0)))
+    assert(t("c") == ((3L, 3L, 1.0)))
+    assert(t("d") == ((4L, 3L, 0.5)))   // 2*3/(4*3)
+    assert(t("p") == ((1L, 0L, 0.0)))   // deg < 2 → clustering 0
+  }
+
+  test("triangles: direction and duplicate edges collapse; no self-loop triangles") {
+    val e = df("src STRING, dst STRING", Seq(
+      Row("a", "b"), Row("b", "a"), Row("a", "b"),
+      Row("b", "c"), Row("c", "a"), Row("a", "a")))
+    val t = Graph.triangles(e, "src", "dst").collect()
+      .map(r => r.getString(0) -> r.getLong(2)).toMap
+    assert(t == Map("a" -> 1L, "b" -> 1L, "c" -> 1L))
+  }
+
+  test("kCore: pendant chain peels, clique survives with in-core degrees") {
+    // 4-clique + a tail d—e—f: at k=2 the tail unravels in 2 rounds
+    val clique = for {
+      a <- Seq("a", "b", "c", "d"); b <- Seq("a", "b", "c", "d")
+      if a < b
+    } yield a -> b
+    val e = df("src STRING, dst STRING",
+      (clique ++ Seq("d" -> "e", "e" -> "f")).map { case (x, y) => Row(x, y) })
+    val core = Graph.kCore(e, "src", "dst", k = 2, rounds = 3).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getBoolean(2)))).toMap
+    assert(core.keySet == Set("a", "b", "c", "d"))
+    assert(core.values.forall { case (dg, conv) => dg == 3L && conv })
+  }
+
+  test("kCore: unconverged fixed rounds are flagged") {
+    // path graph a-b-c-d-e at k=2 dominoes one node per round
+    val e = df("src STRING, dst STRING",
+      Seq(Row("a", "b"), Row("b", "c"), Row("c", "d"), Row("d", "e")))
+    val r1 = Graph.kCore(e, "src", "dst", k = 2, rounds = 1).collect()
+    assert(r1.nonEmpty && r1.forall(!_.getBoolean(2)))
+    // enough rounds: the 2-core of a path is empty → zero rows
+    val r4 = Graph.kCore(e, "src", "dst", k = 2, rounds = 4).collect()
+    assert(r4.isEmpty)
+  }
 }
