@@ -153,7 +153,7 @@ object ScaleProbe {
     // list), one-pass d²-cell covariance, power-iteration PCA (matrix
     // only — corpus read once), literal-component projection removal
     "q_graph_triangles", "q_graph_kcore", "q_embed_covariance",
-    "q_embed_pca", "q_embed_remove_top")
+    "q_embed_pca", "q_embed_remove_top", "q_embed_standardize")
 
   private def caesar(c: org.apache.spark.sql.Column, k: Int) = {
     val lower = "abcdefghijklmnopqrstuvwxyz"
@@ -235,6 +235,9 @@ object ScaleProbe {
     val srcDir = if (args.length > 0) args(0) else "/root/testdata/sf0.1"
     val scaledDir = if (args.length > 1) args(1) else "/tmp/graft_sf_scaled"
     val rep = if (args.length > 2) args(2).toInt else 10
+    // optional trailing query names: probe only that subset (incremental
+    // refreshes after adding a family, instead of the full sweep)
+    val subset = args.drop(3).toSet
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = GraftSession.builder(
       master = s"local[$cpus]", shufflePartitions = cpus.toInt,
@@ -245,7 +248,9 @@ object ScaleProbe {
     // warmup compiles the codegen paths; not reported
     time(spark, "q_dedup_exact", srcDir)
 
-    val rows = probeQueries.map { n =>
+    val rows = probeQueries
+      .filter(n => subset.isEmpty || subset(n))
+      .map { n =>
       val base = math.min(time(spark, n, srcDir), time(spark, n, srcDir))
       val scaled = math.min(time(spark, n, scaledDir), time(spark, n, scaledDir))
       System.err.println(f"[scale] $n base=$base%.2fs scaled=$scaled%.2fs " +

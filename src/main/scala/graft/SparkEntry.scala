@@ -2281,6 +2281,15 @@ object SparkEntry {
         .orderBy("vec_id")
     }),
 
+    // Per-dimension z-score whitening: one d-cell stats reduce packed
+    // into broadcast arrays, then a pure zip_with projection — the
+    // corpus never shuffles. eps floors dead dimensions.
+    "q_embed_standardize" -> ((s, d) =>
+      graft.operators.Pca.standardize(
+          embeddings(s, d).select(col("vec_id"), col("embedding")),
+          "vec_id", "embedding")
+        .orderBy("vec_id")),
+
     // Greedy k-center coreset: 4 maximally-spread embedding exemplars,
     // selection fully in-plan (1-row argmax subplans broadcast into the
     // running min-distance), the oracle unrolls round for round.
@@ -5462,6 +5471,29 @@ object SparkEntry {
         |    round(v[i] - pr * (CASE WHEN i % 2 = 1 THEN 0.125
         |                            ELSE -0.125 END), 6) + 0.0) AS v
         |FROM p ORDER BY vec_id""".stripMargin,
+    // d-cell stats (decimal-summed operands, raw-double mean/sigma),
+    // assembled into dim-ordered lists, then the same (x-mu)/sd
+    // element math — one publish round at 6 dp.
+    "q_embed_standardize" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+        |           FROM embeddings),
+        |x AS (SELECT i AS d, v[i] AS x FROM
+        |        (SELECT v, unnest(range(1, len(v)+1)) AS i FROM e)),
+        |st AS (SELECT d, count(*) AS n,
+        |         sum(CAST(round(x, 9) AS DECIMAL(38,9))) AS s,
+        |         sum(CAST(round(x*x, 9) AS DECIMAL(38,9))) AS s2
+        |       FROM x GROUP BY 1),
+        |ms AS (SELECT d, CAST(s AS DOUBLE)/n AS mu,
+        |         sqrt(greatest(CAST(s2 AS DOUBLE)/n -
+        |           (CAST(s AS DOUBLE)/n)*(CAST(s AS DOUBLE)/n), 0.0))
+        |           AS sd
+        |       FROM st),
+        |arrs AS (SELECT list(mu ORDER BY d) AS mus,
+        |           list(greatest(sd, 1e-9) ORDER BY d) AS sds FROM ms)
+        |SELECT vec_id,
+        |  list_transform(range(1, 65), i ->
+        |    round((v[i] - mus[i]) / sds[i], 6) + 0.0) AS v
+        |FROM e CROSS JOIN arrs ORDER BY vec_id""".stripMargin,
     // Replays the deterministic construction exactly: same md5 block
     // hash (threshold 0.2 → '33333333'), same run merging, same ordered
     // re-assembly — string_agg(… ORDER BY pos) ≡ the array_sort fold.

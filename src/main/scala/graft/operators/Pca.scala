@@ -57,13 +57,19 @@ object Pca {
   def topComponent(df: DataFrame, vecCol: String,
                    iterations: Int): DataFrame = {
     require(iterations >= 1, "at least one iteration")
-    // full matrix: mirror the upper triangle (full-precision cov)
-    val upper = covarianceFull(df, vecCol)
-    val cmat = upper.select(col("i"), col("j"), col("cov"))
-      .union(upper.filter(col("i") =!= col("j"))
-        .select(col("j").as("i"), col("i").as("j"), col("cov")))
-      .cache()
-    val d = upper.select(max(col("j")).as("d"))
+    // full matrix: mirror the upper triangle (full-precision cov).
+    // Materialized EAGERLY: the corpus-sized covariance pass runs
+    // exactly once — a lazy .cache() would recompute it for each
+    // downstream subtree (the d lookup, v0, and every iteration's
+    // join race to fill the cache), and the matrix is only d² rows.
+    val cmat = {
+      val upper = covarianceFull(df, vecCol)
+      upper.select(col("i"), col("j"), col("cov"))
+        .union(upper.filter(col("i") =!= col("j"))
+          .select(col("j").as("i"), col("i").as("j"), col("cov")))
+        .localCheckpoint(eager = true)
+    }
+    val d = cmat.select(max(col("j")).as("d"))
     var v = cmat.select(col("i").as("dim")).distinct()
       .crossJoin(broadcast(d))
       .select(col("dim"), (lit(1.0) / sqrt(col("d").cast("double"))).as("x"))
@@ -81,12 +87,9 @@ object Pca {
       v = w.crossJoin(broadcast(nrm))
         .select(col("wdim").as("dim"), (col("w") / col("nrm")).as("x"))
     }
-    val out = v.crossJoin(broadcast(lastNorm))
+    v.crossJoin(broadcast(lastNorm))
       .select(col("dim"), (round(col("x"), 6) + lit(0.0)).as("loading"),
         (round(col("nrm"), 6) + lit(0.0)).as("eigenvalue"))
-      .localCheckpoint(eager = true)
-    cmat.unpersist()
-    out
   }
 
   /**
@@ -110,6 +113,53 @@ object Pca {
     df.select(col(idCol), x.as("__x"), proj.as("__p"))
       .select(col(idCol),
         transform(zip_with(col("__x"), v, (a, b) => a - col("__p") * b),
+          e => round(e, 6) + lit(0.0)).as("v"))
+  }
+
+  /**
+   * Per-dimension standardization (z-score whitening): x'ᵢ =
+   * (xᵢ − μᵢ)/max(σᵢ, eps) — the cheap diagonal version of the
+   * anisotropy correction ([[removeComponent]] handles the top
+   * direction; this flattens per-dimension offset/scale so no single
+   * dead or hot dimension dominates cosine). Population σ; `eps`
+   * floors near-constant dimensions instead of dividing by ~0.
+   *
+   * Scale shape: one corpus pass reduces to a d-cell stats table
+   * (posexplode + groupBy dim, decimal-summed), which is assembled
+   * into two d-length arrays in a 1-row frame and broadcast back — the
+   * corpus itself never shuffles; the correction is a zip_with
+   * projection. Published values round once to 6 dp (+0.0 collapses
+   * -0.0); means/σ are raw IEEE doubles (same sparse-rounding policy
+   * as [[topComponent]]).
+   */
+  def standardize(df: DataFrame, idCol: String, vecCol: String,
+                  eps: Double = 1e-9): DataFrame = {
+    val x = col(vecCol).cast("array<double>")
+    val stats = df.filter(col(vecCol).isNotNull)
+      .select(posexplode(x).as(Seq("__d", "__x")))
+      .groupBy("__d").agg(
+        count(lit(1)).as("__n"),
+        sum(round(col("__x"), 9).cast("decimal(38,9)")).as("__s"),
+        sum(round(col("__x") * col("__x"), 9).cast("decimal(38,9)"))
+          .as("__s2"))
+      .select(col("__d"),
+        (col("__s").cast("double") / col("__n")).as("__mu"),
+        sqrt(greatest(
+          col("__s2").cast("double") / col("__n") -
+            (col("__s").cast("double") / col("__n")) *
+            (col("__s").cast("double") / col("__n")),
+          lit(0.0))).as("__sd"))
+    val packed = stats
+      .agg(sort_array(collect_list(struct(col("__d"), col("__mu"),
+        col("__sd")))).as("__p"))
+      .select(transform(col("__p"), e => e("__mu")).as("__mus"),
+        transform(col("__p"), e => greatest(e("__sd"), lit(eps)))
+          .as("__sds"))
+    df.crossJoin(broadcast(packed))
+      .select(col(idCol),
+        transform(
+          zip_with(zip_with(x, col("__mus"), (a, m) => a - m),
+            col("__sds"), (c, s) => c / s),
           e => round(e, 6) + lit(0.0)).as("v"))
   }
 

@@ -245,6 +245,13 @@ class PlanAuditSpec extends SparkTestBase {
     assert(!plan.contains("Join"), plan)
   }
 
+  test("standardize: d-cell stats come back as a 1-row broadcast; no sort-merge join") {
+    val plan = SparkEntry.queries("q_embed_standardize")(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastNestedLoopJoin"), plan)
+    assert(!plan.contains("SortMergeJoin"), plan)
+  }
+
   test("triangles: every join is on id keys; the corpus explode stays upstream") {
     val plan = SparkEntry.queries("q_graph_triangles")(spark, dir)
       .queryExecution.executedPlan.toString

@@ -54,6 +54,17 @@ class PcaSpec extends SparkTestBase {
     assert(math.abs(dot) < 1e-5)
   }
 
+  test("standardize: z-scores per dimension; dead dimension floors to 0 via eps") {
+    val d = df("id INT, v ARRAY<DOUBLE>",
+      Seq(Row(1, Seq(1.0, 10.0)), Row(2, Seq(3.0, 10.0))))
+    val out = Pca.standardize(d, "id", "v")
+      .collect().map(r => r.getInt(0) -> r.getSeq[Double](1)).toMap
+    // dim1: mu=2, sigma=1 → -1/+1; dim2 constant → (10-10)/eps = 0
+    assert(out(1) == Seq(-1.0, 0.0))
+    assert(out(2) == Seq(1.0, 0.0))
+    assert(out.values.forall(v => 1.0 / v(1) > 0), "no -0.0 leaks")
+  }
+
   test("topComponent: null vectors are ignored; eigenvalue constant across rows") {
     val d = df("v ARRAY<DOUBLE>", Seq(Row(Seq(1.0, 1.0)), Row(null),
       Row(Seq(-1.0, -1.0))))
