@@ -233,11 +233,16 @@ object Graph {
    */
   def triangles(edges: DataFrame, srcCol: String, dstCol: String): DataFrame = {
     val fwd = edges.select(col(srcCol).as("a"), col(dstCol).as("b"))
+    // each stage below feeds SEVERAL downstream subtrees (deg is read
+    // three times, orient three times) — eager checkpoints make every
+    // corpus-sized shuffle happen exactly once instead of per-reference
     val und = fwd.union(fwd.select(col("b").as("a"), col("a").as("b")))
       .filter(col("a") =!= col("b"))
       .distinct()
+      .localCheckpoint(eager = true)
     val deg = und.groupBy(col("a").as("node"))
       .agg(count(lit(1)).as("deg"))
+      .localCheckpoint(eager = true)
     // orient: keep (a,b) iff (deg(a), a) < (deg(b), b) — each
     // undirected edge exactly once, out-degree bounded by O(sqrt(m))
     val da = deg.select(col("node").as("a"), col("deg").as("__da"))
@@ -246,7 +251,7 @@ object Graph {
       .filter(col("__da") < col("__db") ||
         (col("__da") === col("__db") && col("a") < col("b")))
       .select(col("a"), col("b"))
-      .cache()
+      .localCheckpoint(eager = true)
     val wedge = orient
       .join(orient.select(col("a").as("b"), col("b").as("c")), "b")
       .select(col("a"), col("b"), col("c"))
@@ -257,16 +262,13 @@ object Graph {
       .union(tri.select(col("b").as("node")))
       .union(tri.select(col("c").as("node")))
       .groupBy("node").agg(count(lit(1)).as("__t"))
-    val out = deg.join(credits, Seq("node"), "left")
+    deg.join(credits, Seq("node"), "left")
       .select(col("node"), col("deg").as("degree"),
         coalesce(col("__t"), lit(0L)).as("triangles"),
         when(col("deg") >= 2,
           round(lit(2.0) * coalesce(col("__t"), lit(0L)).cast("double") /
             (col("deg") * (col("deg") - 1)).cast("double"), 6))
           .otherwise(lit(0.0)).as("clustering"))
-      .localCheckpoint(eager = true)
-    orient.unpersist()
-    out
   }
 
   /**
