@@ -153,7 +153,10 @@ object ScaleProbe {
     // list), one-pass d²-cell covariance, power-iteration PCA (matrix
     // only — corpus read once), literal-component projection removal
     "q_graph_triangles", "q_graph_kcore", "q_embed_covariance",
-    "q_embed_pca", "q_embed_remove_top", "q_embed_standardize")
+    "q_embed_pca", "q_embed_remove_top", "q_embed_standardize",
+    // round-6 batch Y: survivorship merge — one cluster-keyed
+    // struct-max aggregate + per-mode-field (cluster, value) counts
+    "q_linkage_golden")
 
   private def caesar(c: org.apache.spark.sql.Column, k: Int) = {
     val lower = "abcdefghijklmnopqrstuvwxyz"

@@ -2847,6 +2847,21 @@ object SparkEntry {
         .orderBy("id_a", "id_b")
     }),
 
+    // Survivorship merge: collapse 100 synthetic customer clusters to
+    // golden records — longest name (fixed-width names, so the rule
+    // exercises its greatest-value tie-break on every cluster), modal
+    // market segment, latest (by custkey) account balance. Pure
+    // struct-max / windowed-mode plans; every tie-break is total.
+    "q_linkage_golden" -> ((s, d) => {
+      val c = executor(s, d).table("customer")
+        .withColumn("cluster", col("c_custkey") % 100)
+      graft.operators.Linkage.goldenRecord(c, "cluster",
+          longest = Seq("c_name"),
+          mostFrequent = Seq("c_mktsegment"),
+          latest = Seq("c_acctbal" -> "c_custkey"))
+        .orderBy("cluster")
+    }),
+
     // Per-field empirical agreement rates over the blocked pairs — the
     // u-probability estimation surface of the linkage model.
     "q_linkage_rates" -> ((s, d) => {
@@ -6267,6 +6282,34 @@ object SparkEntry {
       s"""SELECT * FROM ($linkageOracleBase) t
          |WHERE score >= 4.0 ORDER BY id_a, id_b""".stripMargin,
     "q_linkage_rates" -> linkageRatesOracle,
+    // Survivorship rules as windows: longest = (len DESC, value DESC)
+    // rank-1; mode = (count DESC, value ASC) rank-1; latest = greatest
+    // order column (custkey unique → no tie path exercised).
+    "q_linkage_golden" ->
+      """WITH c AS (SELECT c_custkey % 100 AS cluster, c_name,
+        |             c_mktsegment, c_acctbal, c_custkey FROM customer),
+        |n AS (SELECT cluster, count(*) AS n_members FROM c GROUP BY 1),
+        |lc AS (SELECT cluster, c_name FROM (
+        |  SELECT cluster, c_name, row_number() OVER (
+        |    PARTITION BY cluster
+        |    ORDER BY length(c_name) DESC, c_name DESC) AS rn
+        |  FROM c WHERE c_name IS NOT NULL) t WHERE rn = 1),
+        |mf AS (SELECT cluster, c_mktsegment FROM (
+        |  SELECT cluster, c_mktsegment, row_number() OVER (
+        |    PARTITION BY cluster
+        |    ORDER BY cnt DESC, c_mktsegment ASC) AS rn FROM (
+        |    SELECT cluster, c_mktsegment, count(*) AS cnt FROM c
+        |    WHERE c_mktsegment IS NOT NULL GROUP BY 1, 2) g) t
+        |  WHERE rn = 1),
+        |lt AS (SELECT cluster, c_acctbal FROM (
+        |  SELECT cluster, c_acctbal, row_number() OVER (
+        |    PARTITION BY cluster
+        |    ORDER BY c_custkey DESC, c_acctbal DESC) AS rn
+        |  FROM c WHERE c_acctbal IS NOT NULL) t WHERE rn = 1)
+        |SELECT n.cluster, n.n_members, lc.c_name, mf.c_mktsegment,
+        |  lt.c_acctbal
+        |FROM n LEFT JOIN lc USING (cluster) LEFT JOIN mf USING (cluster)
+        |LEFT JOIN lt USING (cluster) ORDER BY cluster""".stripMargin,
 
     "q_profile_key_overlap" ->
       """WITH lk AS (SELECT o_custkey AS k, count(*) AS nl FROM orders

@@ -124,4 +124,58 @@ object Linkage {
       .withColumn("agree_rate",
         round(col("n_agree").cast("double") / col("n_pairs"), 6))
   }
+
+  /**
+   * Survivorship merge ("golden record"): collapse each linkage/dedup
+   * cluster to ONE canonical row by per-field rules — the step after
+   * [[linkageMatches]] (or [[Dedup.connectedComponents]]) that actually
+   * produces the deduplicated master table. Rules, all deterministic:
+   *
+   *  - `longest`: longest non-null value wins; length ties break to the
+   *    lexicographically GREATEST value (a pure struct-max, no window).
+   *  - `mostFrequent`: the modal non-null value; count ties break to
+   *    the SMALLEST value (matching the label-vote convention of
+   *    [[Graph.labelPropagation]]).
+   *  - `latest`: the value carried by the row with the greatest order
+   *    column (version/timestamp); order ties break to the greatest
+   *    value.
+   *
+   * Output: `(cluster, n_members, <field columns>)`, one row per
+   * cluster; a field whose cluster values are all NULL stays NULL.
+   *
+   * Scale shape: longest/latest fold into ONE corpus aggregate
+   * (struct-max per field — a single cluster-keyed shuffle); each
+   * mostFrequent field adds one (cluster, value)-keyed count + a
+   * per-cluster window over |distinct values| rows, joined back on the
+   * |clusters|-sized result. No corpus self-joins, no collects.
+   */
+  def goldenRecord(df: DataFrame, clusterCol: String,
+                   longest: Seq[String] = Nil,
+                   mostFrequent: Seq[String] = Nil,
+                   latest: Seq[(String, String)] = Nil): DataFrame = {
+    val structMaxes =
+      longest.map { c =>
+        max(when(col(c).isNotNull,
+          struct(length(col(c)).as("l"), col(c).as("v"))))
+          .getField("v").as(c)
+      } ++
+      latest.map { case (c, ord) =>
+        max(when(col(c).isNotNull,
+          struct(col(ord).as("o"), col(c).as("v"))))
+          .getField("v").as(c)
+      }
+    val base = df.groupBy(col(clusterCol).as("cluster"))
+      .agg(count(lit(1)).as("n_members"), structMaxes: _*)
+    mostFrequent.foldLeft(base) { (acc, c) =>
+      val counts = df.filter(col(c).isNotNull)
+        .groupBy(col(clusterCol).as("cluster"), col(c))
+        .agg(count(lit(1)).as("__n"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("cluster").orderBy(col("__n").desc, col(c).asc)
+      val mode = counts.withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") === 1)
+        .select(col("cluster"), col(c))
+      acc.join(mode, Seq("cluster"), "left")
+    }
+  }
 }

@@ -67,4 +67,33 @@ class LinkageSpec extends SparkTestBase {
       Linkage.FieldSpec("a", "a", 0.2, 0.9) // m < u
     }
   }
+
+  test("goldenRecord: longest / mode / latest rules with documented tie-breaks") {
+    val d = df("cl INT, name STRING, seg STRING, bal DOUBLE, ver INT", Seq(
+      Row(1, "ab", "A", 10.0, 1),
+      Row(1, "xyz", "B", 20.0, 3),
+      Row(1, "pqr", "B", 15.0, 2),
+      Row(2, "qq", "C", 1.0, 7),
+      Row(2, null, null, null, 8)))
+    val g = Linkage.goldenRecord(d, "cl",
+        longest = Seq("name"), mostFrequent = Seq("seg"),
+        latest = Seq("bal" -> "ver"))
+      .collect().map(r => r.getInt(0) ->
+        ((r.getLong(1), r.getString(2), r.getString(4), r.getDouble(3))))
+      .toMap
+    // cluster 1: longest name ties ("xyz" vs "pqr", both 3) → greatest
+    // = xyz; mode seg = B (2 votes); latest bal by ver=3 → 20.0
+    assert(g(1) == ((3L, "xyz", "B", 20.0)))
+    // cluster 2: null row contributes nothing; survivors from the
+    // non-null member even though the NULL row is latest by ver
+    assert(g(2) == ((2L, "qq", "C", 1.0)))
+  }
+
+  test("goldenRecord: mode count ties break to the smallest value") {
+    val d = df("cl INT, seg STRING", Seq(
+      Row(1, "B"), Row(1, "A"), Row(1, "C"), Row(1, "A"), Row(1, "B")))
+    val g = Linkage.goldenRecord(d, "cl", mostFrequent = Seq("seg"))
+      .collect()(0)
+    assert(g.getString(2) == "A") // A and B both have 2 → smallest
+  }
 }
