@@ -155,8 +155,9 @@ object ScaleProbe {
     "q_graph_triangles", "q_graph_kcore", "q_embed_covariance",
     "q_embed_pca", "q_embed_remove_top", "q_embed_standardize",
     // round-6 batch Y: survivorship merge — one cluster-keyed
-    // struct-max aggregate + per-mode-field (cluster, value) counts
-    "q_linkage_golden")
+    // struct-max aggregate + per-mode-field (cluster, value) counts;
+    // Markov transitions — one user-keyed window + |types|² cells
+    "q_linkage_golden", "q_event_transitions")
 
   private def caesar(c: org.apache.spark.sql.Column, k: Int) = {
     val lower = "abcdefghijklmnopqrstuvwxyz"

@@ -2475,6 +2475,14 @@ object SparkEntry {
           "user_id", "ts", "event_type", Seq("view", "click", "purchase"))
         .orderBy("step")),
 
+    // First-order Markov transition matrix over per-user event streams
+    // (event_id breaks same-timestamp ties, so the lag pairing is
+    // engine-exact): |types|^2 cells with row-normalized probabilities.
+    "q_event_transitions" -> ((s, d) =>
+      graft.operators.Funnel.transitions(executor(s, d).table("events"),
+          "user_id", "ts", "event_type", "event_id")
+        .orderBy("from_event", "to_event")),
+
     // C4-style content filter: survivors after dropping docs containing
     // any listed word (whole-token match, pure filter).
     "q_filter_content" -> ((s, d) =>
@@ -5898,6 +5906,19 @@ object SparkEntry {
         |UNION ALL SELECT 2, 'click', (SELECT count(*) FROM s2)
         |UNION ALL SELECT 3, 'purchase', (SELECT count(*) FROM s3)
         |ORDER BY step""".stripMargin,
+    // Same lag pairing with the (ts, event_id) total order; p is an
+    // exact-integer count over an exact-integer row sum, one 6-dp round.
+    "q_event_transitions" ->
+      """WITH s AS (SELECT user_id, event_type, lag(event_type) OVER (
+        |    PARTITION BY user_id ORDER BY ts, event_id) AS prev
+        |  FROM events),
+        |g AS (SELECT prev AS from_event, event_type AS to_event,
+        |        count(*) AS n
+        |      FROM s WHERE prev IS NOT NULL GROUP BY 1, 2)
+        |SELECT from_event, to_event, n,
+        |  round(CAST(n AS DOUBLE) /
+        |    sum(n) OVER (PARTITION BY from_event), 6) AS p
+        |FROM g ORDER BY from_event, to_event""".stripMargin,
     "q_filter_content" ->
       """SELECT doc_id FROM (
         |  SELECT doc_id,

@@ -83,4 +83,37 @@ object Funnel {
           .agg(min("ts").as(s"t_${i + 1}")))
     }.get.withColumnRenamed("u", userCol)
   }
+
+  /**
+   * First-order Markov transition matrix over per-user event sequences:
+   * `(from_event, to_event, n, p)` where n counts adjacent
+   * (prev → next) pairs in each user's time-ordered stream and p is the
+   * row-normalized transition probability. The behavioral fingerprint
+   * next to [[conversion]]'s fixed-path view: unexpected transition
+   * mass (error → retry loops, skipped steps) shows up without
+   * declaring a funnel up front.
+   *
+   * `tieCol` totally orders same-timestamp events (an event id), so
+   * the lag pairing — and therefore every count — is a pure function
+   * of the data across engines.
+   *
+   * Scale shape: one user-keyed window pass (the same shuffle any
+   * sessionization already pays), then a |types|²-cell aggregate; the
+   * row normalization is a window over those cells, not the log.
+   */
+  def transitions(events: DataFrame, userCol: String, tsCol: String,
+                  typeCol: String, tieCol: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(userCol).orderBy(col(tsCol), col(tieCol))
+    val cells = events
+      .select(col(userCol), col(tsCol), col(tieCol), col(typeCol))
+      .withColumn("__prev", lag(col(typeCol), 1).over(w))
+      .filter(col("__prev").isNotNull)
+      .groupBy(col("__prev").as("from_event"), col(typeCol).as("to_event"))
+      .agg(count(lit(1)).as("n"))
+    val byFrom = org.apache.spark.sql.expressions.Window
+      .partitionBy("from_event")
+    cells.withColumn("p",
+      round(col("n").cast("double") / sum(col("n")).over(byFrom), 6))
+  }
 }

@@ -53,4 +53,28 @@ class FunnelSpec extends SparkTestBase {
     assert(out(0).getLong(0) == 1L)
     assert(out(0).getTimestamp(1) == ts(10) && out(0).getTimestamp(3) == ts(30))
   }
+
+  test("transitions: adjacent pairs per user, row-normalized; ties broken by id") {
+    val ev = df("user_id BIGINT, ts TIMESTAMP, event_type STRING, event_id BIGINT",
+      Seq(
+        Row(1L, ts(10), "view", 1L), Row(1L, ts(20), "click", 2L),
+        Row(1L, ts(30), "view", 3L),
+        // u2: same-timestamp pair — event_id orders click before view
+        Row(2L, ts(40), "click", 4L), Row(2L, ts(40), "view", 5L)))
+    val out = Funnel.transitions(ev, "user_id", "ts", "event_type", "event_id")
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) -> ((r.getLong(2), r.getDouble(3))))
+      .toMap
+    // from view: 1 transition (→click); from click: 2 (→view twice)
+    assert(out(("view", "click")) == ((1L, 1.0)))
+    assert(out(("click", "view")) == ((2L, 1.0)))
+    assert(out.size == 2)
+  }
+
+  test("transitions: single-event users contribute nothing") {
+    val ev = df("user_id BIGINT, ts TIMESTAMP, event_type STRING, event_id BIGINT",
+      Seq(Row(1L, ts(10), "view", 1L), Row(2L, ts(20), "click", 2L)))
+    assert(Funnel.transitions(ev, "user_id", "ts", "event_type", "event_id")
+      .collect().isEmpty)
+  }
 }
