@@ -157,7 +157,10 @@ object ScaleProbe {
     // round-6 batch Y: survivorship merge — one cluster-keyed
     // struct-max aggregate + per-mode-field (cluster, value) counts;
     // Markov transitions — one user-keyed window + |types|² cells
-    "q_linkage_golden", "q_event_transitions")
+    "q_linkage_golden", "q_event_transitions",
+    // k-NN label-noise audit: quadratic part bounded in the ANN tier,
+    // audit is a (query,label) count + per-query window
+    "q_label_knn_noise")
 
   private def caesar(c: org.apache.spark.sql.Column, k: Int) = {
     val lower = "abcdefghijklmnopqrstuvwxyz"

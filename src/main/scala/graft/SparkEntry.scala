@@ -1383,6 +1383,23 @@ object SparkEntry {
       Ann.bruteForceTopK(e, "vec_id", "v", probes, "query_id", "qv", k = 10)
     }),
 
+    // k-NN label-noise audit over the first 50 vectors: exact top-10
+    // neighborhoods vote on each point's label; disagreement flags a
+    // mislabeling suspect. The quadratic part stays in the ANN tier
+    // (swap in lshTopK/ivfTopK at corpus scale) — the audit itself is
+    // one (query, label) count + a per-query window.
+    "q_label_knn_noise" -> ((s, d) => {
+      val e = embeddings(s, d).select(col("vec_id"),
+        VF.asDouble(col("embedding")).as("v"), col("label"))
+      val probes = e.filter(col("vec_id") < 50)
+        .select(col("vec_id").as("query_id"), col("v").as("qv"))
+      val topk = Ann.bruteForceTopK(e.select(col("vec_id"), col("v")),
+        "vec_id", "v", probes, "query_id", "qv", k = 10)
+      graft.operators.Eval.knnLabelNoise(topk, "query_id", "vec_id",
+          e.select(col("vec_id"), col("label")), "vec_id", "label")
+        .orderBy("id")
+    }),
+
     // LSH-bucketed approximate top-10 — the corpus-linear scale path.
     // 16 bands × 8-bit keys: ~N/16 accidental candidates per probe (the
     // round-1 4-bit keys collapsed to all-pairs — see Ann scaladoc).
@@ -4596,6 +4613,39 @@ object SparkEntry {
         |  FROM scored)
         |SELECT query_id, rank, vec_id, round(cosine, 6) AS cosine
         |FROM ranked WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
+    // Same exact top-10 ranking (unrounded cosine, id tie-break), then
+    // neighbor labels vote: majority = (count DESC, label ASC) rank-1,
+    // agreement = exact-integer ratio rounded once at 6 dp.
+    "q_label_knn_noise" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+        |             label FROM embeddings),
+        |p AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 50),
+        |scored AS (
+        |  SELECT p.query_id, e.vec_id,
+        |    list_cosine_similarity(p.qv, e.v) AS cosine
+        |  FROM e CROSS JOIN p WHERE e.vec_id != p.query_id),
+        |ranked AS (
+        |  SELECT query_id, vec_id, row_number() OVER (
+        |    PARTITION BY query_id
+        |    ORDER BY cosine DESC, vec_id ASC) AS rank
+        |  FROM scored),
+        |top AS (SELECT query_id, vec_id FROM ranked WHERE rank <= 10),
+        |votes AS (SELECT t.query_id, e.label, count(*) AS n
+        |          FROM top t JOIN e ON t.vec_id = e.vec_id GROUP BY 1, 2),
+        |tot AS (SELECT query_id, sum(n) AS n_votes FROM votes GROUP BY 1),
+        |maj AS (SELECT query_id, label AS knn_label, n AS n_majority
+        |        FROM (SELECT query_id, label, n, row_number() OVER (
+        |                PARTITION BY query_id
+        |                ORDER BY n DESC, label ASC) AS rn FROM votes) t
+        |        WHERE rn = 1)
+        |SELECT m.query_id AS id, e.label, m.knn_label,
+        |  CAST(tot.n_votes AS BIGINT) AS n_votes, m.n_majority,
+        |  round(CAST(m.n_majority AS DOUBLE) / tot.n_votes, 6)
+        |    AS agreement,
+        |  e.label != m.knn_label AS suspect
+        |FROM maj m JOIN tot ON m.query_id = tot.query_id
+        |JOIN e ON m.query_id = e.vec_id
+        |ORDER BY id""".stripMargin,
     // Same bruteforce top-10; rank-1 rows are the positives, the rest
     // re-rank on the ROUNDED cosine (the operator consumes topK's
     // 6-dp output) with id tie-breaks.

@@ -622,4 +622,54 @@ object Eval {
         round(lit(2.0) * col("precision") * col("recall") /
           (col("precision") + col("recall")), 6)))
   }
+
+  /**
+   * k-NN label-noise audit (the neighborhood-consistency heart of
+   * confident-learning / cleanlab-style label-error detection): for
+   * each labeled point, the majority label among its nearest neighbors
+   * — a point whose neighborhood votes differently is a mislabeling
+   * suspect, reviewed before the label trains or filters anything.
+   *
+   * Takes ANY neighbor table (`topk`: one row per (query, neighbor)) —
+   * [[Ann.bruteForceTopK]] for exact audits, [[Ann.lshTopK]] /
+   * [[Ann.ivfTopK]] as the corpus-scale path — so the quadratic part
+   * stays in the ANN tier where it's already bounded. Majority ties
+   * break to the smallest label (the repo's vote convention); points
+   * absent from the top-k table produce no row.
+   *
+   * Output: `(id, label, knn_label, n_votes, n_majority, agreement,
+   * suspect)` — agreement = n_majority/n_votes at 6 dp, suspect =
+   * (knn_label != label). Scale shape: one (query, label) count over
+   * the k·|queries|-row top-k table, a per-query window over ≤|labels|
+   * candidate rows, and two id-keyed joins against the label table.
+   */
+  def knnLabelNoise(topk: DataFrame, queryIdCol: String,
+                    neighborIdCol: String,
+                    labels: DataFrame, idCol: String,
+                    labelCol: String): DataFrame = {
+    val nbrLabels = labels.select(col(idCol).as("__nid"),
+      col(labelCol).as("__nlabel"))
+    val votes = topk
+      .select(col(queryIdCol).as("id"), col(neighborIdCol).as("__nid"))
+      .join(nbrLabels, "__nid")
+      .groupBy(col("id"), col("__nlabel"))
+      .agg(count(lit(1)).as("__n"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("id").orderBy(col("__n").desc, col("__nlabel").asc)
+    val perQuery = votes
+      .withColumn("__rn", row_number().over(w))
+      .withColumn("__tot", sum(col("__n")).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("id")))
+      .filter(col("__rn") === 1)
+      .select(col("id"), col("__nlabel").as("knn_label"),
+        col("__tot").as("n_votes"), col("__n").as("n_majority"))
+    perQuery
+      .join(labels.select(col(idCol).as("id"), col(labelCol).as("label")),
+        "id")
+      .select(col("id"), col("label"), col("knn_label"), col("n_votes"),
+        col("n_majority"),
+        round(col("n_majority").cast("double") / col("n_votes"), 6)
+          .as("agreement"),
+        (col("knn_label") =!= col("label")).as("suspect"))
+  }
 }

@@ -289,4 +289,23 @@ class EvalSpec extends SparkTestBase {
     assert(r4.getAs[Double]("p_1") == 1.0 && r4.getAs[Double]("p_2") == 0.0 &&
       r4.getAs[Double]("bleu") == 0.0)
   }
+
+  test("knnLabelNoise: neighborhood majority flags disagreeing labels; ties to smallest") {
+    import spark.implicits._
+    // q1's 3 neighbors vote B,B,A → majority B; own label A → suspect.
+    // q2's 2 neighbors vote A,B (tie) → smallest label A; own A → clean.
+    val topk = Seq((1L, 10L), (1L, 11L), (1L, 12L), (2L, 10L), (2L, 11L))
+      .toDF("query_id", "vec_id")
+    val labels = Seq((1L, "A"), (2L, "A"), (10L, "B"), (11L, "A"),
+      (12L, "B")).toDF("id", "label")
+    val out = Eval.knnLabelNoise(topk, "query_id", "vec_id",
+        labels, "id", "label")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getString(2), r.getLong(3), r.getLong(4), r.getBoolean(6))))
+      .toMap
+    // q1 neighbors: 10=B, 11=A, 12=B → B majority 2/3
+    assert(out(1L) == (("B", 3L, 2L, true)))
+    // q2 neighbors: 10=B, 11=A → 1-1 tie → "A" (smallest), own A → clean
+    assert(out(2L) == (("A", 2L, 1L, false)))
+  }
 }
