@@ -2256,7 +2256,9 @@ object SparkEntry {
           embeddings(s, d).select(col("vec_id"),
             VF.asDouble(col("embedding")).as("v")),
           "vec_id", "v", sourceDims = 64, targetDims = 16)
-        .orderBy("vec_id")),
+        .select(col("vec_id"), posexplode(col("v")).as(Seq("__p", "value")))
+        .select(col("vec_id"), (col("__p") + 1).as("dim"), col("value"))
+        .orderBy("vec_id", "dim")),
 
     // Per-dimension embedding health: dead dims (variance ~ 0) and
     // offset dims (|mean| >> 0) — the anisotropy audit before trusting
@@ -2295,7 +2297,9 @@ object SparkEntry {
       graft.operators.Pca.removeComponent(
           embeddings(s, d).select(col("vec_id"), col("embedding")),
           "vec_id", "embedding", comp)
-        .orderBy("vec_id")
+        .select(col("vec_id"), posexplode(col("v")).as(Seq("__p", "value")))
+        .select(col("vec_id"), (col("__p") + 1).as("dim"), col("value"))
+        .orderBy("vec_id", "dim")
     }),
 
     // Per-dimension z-score whitening: one d-cell stats reduce packed
@@ -2305,7 +2309,9 @@ object SparkEntry {
       graft.operators.Pca.standardize(
           embeddings(s, d).select(col("vec_id"), col("embedding")),
           "vec_id", "embedding")
-        .orderBy("vec_id")),
+        .select(col("vec_id"), posexplode(col("v")).as(Seq("__p", "value")))
+        .select(col("vec_id"), (col("__p") + 1).as("dim"), col("value"))
+        .orderBy("vec_id", "dim")),
 
     // Greedy k-center coreset: 4 maximally-spread embedding exemplars,
     // selection fully in-plan (1-row argmax subplans broadcast into the
@@ -3376,8 +3382,8 @@ object SparkEntry {
     val unions = (1 to maxN).map(n => s"SELECT * FROM st$n").mkString(" UNION ALL ")
     s"""WITH $evalPairsSql,
        |base AS (SELECT id,
-       |  regexp_replace(coalesce(pred, ''), '\\s+', '', 'g') AS p,
-       |  regexp_replace(coalesce(gold, ''), '\\s+', '', 'g') AS g FROM pairs),
+       |  regexp_replace(coalesce(pred, ''), '[ \\t\\n\\x0b\\f\\r]+', '', 'g') AS p,
+       |  regexp_replace(coalesce(gold, ''), '[ \\t\\n\\x0b\\f\\r]+', '', 'g') AS g FROM pairs),
        |$perN,
        |stats0 AS ($unions),
        |stats AS (SELECT
@@ -5428,8 +5434,8 @@ object SparkEntry {
     // order — list_reduce starting from 0.0+t1 reproduces the exact
     // IEEE partial sums of the operator's sequential aggregate.
     "q_embed_jl" ->
-      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
-        |SELECT vec_id,
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |r AS (SELECT vec_id,
         |  list_transform(range(1, 17), j ->
         |    round(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
         |      list_transform(range(1, 65), i ->
@@ -5438,7 +5444,10 @@ object SparkEntry {
         |                IN ('0', '2', '4', '6', '8', 'a', 'c', 'e')
         |              THEN 1.0 ELSE -1.0 END) * v[i])),
         |      (a, b) -> a + b) / sqrt(16.0), 6)) AS v
-        |FROM e ORDER BY vec_id""".stripMargin,
+        |FROM e)
+        |SELECT vec_id, CAST(dim AS INTEGER) AS dim, v[dim] AS value
+        |FROM (SELECT vec_id, v, unnest(range(1, 17)) AS dim FROM r)
+        |ORDER BY vec_id, dim""".stripMargin,
     "q_embed_dimstats" ->
       """WITH x AS (
         |  SELECT i AS dim, round(v[i], 9) AS x FROM (
@@ -5538,12 +5547,15 @@ object SparkEntry {
         |    list_transform(range(1, 65), i ->
         |      (CASE WHEN i % 2 = 1 THEN 0.125 ELSE -0.125 END) * v[i])),
         |    (a, b) -> a + b) AS pr
-        |  FROM e)
-        |SELECT vec_id,
+        |  FROM e),
+        |r AS (SELECT vec_id,
         |  list_transform(range(1, 65), i ->
         |    round(v[i] - pr * (CASE WHEN i % 2 = 1 THEN 0.125
         |                            ELSE -0.125 END), 6) + 0.0) AS v
-        |FROM p ORDER BY vec_id""".stripMargin,
+        |FROM p)
+        |SELECT vec_id, CAST(dim AS INTEGER) AS dim, v[dim] AS value
+        |FROM (SELECT vec_id, v, unnest(range(1, 65)) AS dim FROM r)
+        |ORDER BY vec_id, dim""".stripMargin,
     // d-cell stats (decimal-summed operands, raw-double mean/sigma),
     // assembled into dim-ordered lists, then the same (x-mu)/sd
     // element math — one publish round at 6 dp.
@@ -5562,11 +5574,14 @@ object SparkEntry {
         |           AS sd
         |       FROM st),
         |arrs AS (SELECT list(mu ORDER BY d) AS mus,
-        |           list(greatest(sd, 1e-9) ORDER BY d) AS sds FROM ms)
-        |SELECT vec_id,
+        |           list(greatest(sd, 1e-9) ORDER BY d) AS sds FROM ms),
+        |r AS (SELECT vec_id,
         |  list_transform(range(1, 65), i ->
         |    round((v[i] - mus[i]) / sds[i], 6) + 0.0) AS v
-        |FROM e CROSS JOIN arrs ORDER BY vec_id""".stripMargin,
+        |FROM e CROSS JOIN arrs)
+        |SELECT vec_id, CAST(dim AS INTEGER) AS dim, v[dim] AS value
+        |FROM (SELECT vec_id, v, unnest(range(1, 65)) AS dim FROM r)
+        |ORDER BY vec_id, dim""".stripMargin,
     // Replays the deterministic construction exactly: same md5 block
     // hash (threshold 0.2 → '33333333'), same run merging, same ordered
     // re-assembly — string_agg(… ORDER BY pos) ≡ the array_sort fold.
