@@ -141,9 +141,10 @@ object Centroids {
    * no RNG; distances round to 6 dp before every comparison (argmax
    * ties break on id), so the selection is engine-exact and the gate
    * unrolls round for round in SQL. Greedy selection is inherently
-   * sequential — the plan nests k stages; for k beyond a few dozen,
-   * localCheckpoint the running state every ~10 rounds (same lineage
-   * discipline as [[lloyd]]/Graph).
+   * sequential and each round references the running state twice (via
+   * the argmax subplan), so the logical plan would grow O(2^k) —
+   * the loop localCheckpoints the state every 8 rounds (same lineage
+   * discipline as [[lloyd]]/Graph), keeping large k plannable.
    */
   def kCenterGreedy(df: DataFrame, idCol: String, vecCol: String,
                     k: Int): DataFrame = {
@@ -166,6 +167,9 @@ object Centroids {
         .withColumn("__mind", least(col("__mind"),
           round(lit(1.0) - VF.cosine(col("__v"), col("__cv")), 6)))
         .drop("__cid", "__cv")
+      // the state plan references itself twice per round (argmax subplan
+      // + update), so lineage doubles each pick — truncate it
+      if (r % 8 == 7 && r != k - 1) state = state.localCheckpoint(true)
     }
     out
   }

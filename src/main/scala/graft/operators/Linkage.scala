@@ -47,17 +47,74 @@ object Linkage {
     df.select(col(idCol).as("__id") +: col(blockCol).as("__blk") +:
       exprs.zipWithIndex.map { case (e, i) => expr(e).as(s"__f$i") }: _*)
 
-  /** The blocked pair stream with both sides' precomputed fields. */
+  /** The blocked pair stream with both sides' precomputed fields.
+    *
+    * `maxBlockSize` is the skew guard (the [[Dedup]] `maxShingleFreq`
+    * discipline applied to blocks): pair volume is Σ_b |A_b|·|B_b|, so a
+    * single low-cardinality or NULL-heavy block key value goes quadratic
+    * unannounced. With the cap set, any block whose size EXCEEDS the cap
+    * on either side is dropped from BOTH sides before the join — the hot
+    * set is small by construction (few keys can exceed the cap), so AQE
+    * broadcasts the anti-join; the under-cap complement never touches
+    * the driver. Dropped blocks are exactly the ones a practitioner must
+    * re-block on a finer key anyway ([[blockAudit]] names them). */
   private def blockedPairs(left: DataFrame, right: DataFrame,
                            leftId: String, rightId: String,
                            leftBlock: String, rightBlock: String,
                            fields: Seq[FieldSpec],
-                           selfPairs: Boolean): DataFrame = {
+                           selfPairs: Boolean,
+                           maxBlockSize: Option[Long]): DataFrame = {
     require(fields.nonEmpty, "at least one field comparison")
-    val a = project(left, leftId, leftBlock, fields.map(_.exprA)).alias("a")
-    val b = project(right, rightId, rightBlock, fields.map(_.exprB)).alias("b")
+    val a0 = project(left, leftId, leftBlock, fields.map(_.exprA))
+    val b0 = project(right, rightId, rightBlock, fields.map(_.exprB))
+    def hotBlocks(side: DataFrame, cap: Long) =
+      side.groupBy("__blk").agg(count(lit(1)).as("__n"))
+        .filter(col("__n") > cap).select("__blk")
+    val (a1, b1) = maxBlockSize match {
+      case Some(cap) =>
+        require(cap >= 1, s"maxBlockSize must be >= 1, got $cap")
+        val hot =
+          if (selfPairs) hotBlocks(a0, cap)
+          else hotBlocks(a0, cap).union(hotBlocks(b0, cap)).distinct()
+        (a0.join(hot, Seq("__blk"), "left_anti"),
+          b0.join(hot, Seq("__blk"), "left_anti"))
+      case None => (a0, b0)
+    }
+    val a = a1.alias("a")
+    val b = b1.alias("b")
     val guard = if (selfPairs) col("a.__id") < col("b.__id") else lit(true)
     a.join(b, col("a.__blk") === col("b.__blk") && guard)
+  }
+
+  /**
+   * Block-size audit — run this BEFORE committing a block key: one row
+   * per block value with both sides' sizes and the pair volume it will
+   * generate, largest first: `(block, n_left, n_right, n_pairs)`.
+   * Σ n_pairs is the exact join output size ([[linkageScores]] cost);
+   * a handful of rows carrying most of the total is the skew signature
+   * that says re-block or set `maxBlockSize`. Self-linkage counts each
+   * unordered pair once (n·(n−1)/2).
+   *
+   * Scale shape: two count-aggregates (map-side combined) on the block
+   * key and an outer join of the two |distinct blocks|-sized results —
+   * the corpus shuffles 8-byte counts, never rows; no pair is formed.
+   */
+  def blockAudit(left: DataFrame, right: DataFrame,
+                 leftBlock: String, rightBlock: String,
+                 selfPairs: Boolean = false): DataFrame = {
+    val a = left.groupBy(col(leftBlock).as("block"))
+      .agg(count(lit(1)).as("n_left"))
+    val b = right.groupBy(col(rightBlock).as("block"))
+      .agg(count(lit(1)).as("n_right"))
+    val joined = a.join(b, Seq("block"), "full_outer")
+      .select(col("block"),
+        coalesce(col("n_left"), lit(0L)).as("n_left"),
+        coalesce(col("n_right"), lit(0L)).as("n_right"))
+    val pairs =
+      if (selfPairs) col("n_left") * (col("n_left") - 1) / lit(2)
+      else col("n_left") * col("n_right")
+    joined.withColumn("n_pairs", pairs.cast("long"))
+      .orderBy(col("n_pairs").desc, col("block").asc)
   }
 
   private def agreeFlags(fields: Seq[FieldSpec]): Seq[Column] =
@@ -69,12 +126,14 @@ object Linkage {
    * log2-likelihood-ratio sum rounded to 6 dp. Self-linkage (dedup of
    * one table): pass the same frame twice with `selfPairs = true` and
    * the `id_a < id_b` guard keeps each unordered pair once.
+   * `maxBlockSize` drops over-cap blocks entirely (see [[blockAudit]]).
    */
   def linkageScores(left: DataFrame, right: DataFrame,
                     leftId: String, rightId: String,
                     leftBlock: String, rightBlock: String,
                     fields: Seq[FieldSpec],
-                    selfPairs: Boolean = false): DataFrame = {
+                    selfPairs: Boolean = false,
+                    maxBlockSize: Option[Long] = None): DataFrame = {
     val flags = agreeFlags(fields)
     // fixed-order literal sum: CASE₁ + CASE₂ + … — engine-portable
     val score = fields.zip(flags).map { case (f, ok) =>
@@ -82,7 +141,7 @@ object Linkage {
     }.reduce(_ + _)
     val nAgree = flags.map(ok => when(ok, 1).otherwise(0): Column).reduce(_ + _)
     blockedPairs(left, right, leftId, rightId, leftBlock, rightBlock,
-      fields, selfPairs)
+      fields, selfPairs, maxBlockSize)
       .select(col("a.__id").as("id_a"), col("b.__id").as("id_b"),
         nAgree.cast("int").as("n_agree"),
         round(score, 6).as("score"))
@@ -95,9 +154,10 @@ object Linkage {
                      leftId: String, rightId: String,
                      leftBlock: String, rightBlock: String,
                      fields: Seq[FieldSpec], threshold: Double,
-                     selfPairs: Boolean = false): DataFrame =
+                     selfPairs: Boolean = false,
+                     maxBlockSize: Option[Long] = None): DataFrame =
     linkageScores(left, right, leftId, rightId, leftBlock, rightBlock,
-      fields, selfPairs)
+      fields, selfPairs, maxBlockSize)
       .filter(col("score") >= threshold)
 
   /**
@@ -114,15 +174,103 @@ object Linkage {
                           leftId: String, rightId: String,
                           leftBlock: String, rightBlock: String,
                           fields: Seq[FieldSpec],
-                          selfPairs: Boolean = false): DataFrame = {
+                          selfPairs: Boolean = false,
+                          maxBlockSize: Option[Long] = None): DataFrame = {
     val flags = array(agreeFlags(fields).map(_.cast("int")): _*)
     blockedPairs(left, right, leftId, rightId, leftBlock, rightBlock,
-      fields, selfPairs)
+      fields, selfPairs, maxBlockSize)
       .select(posexplode(flags).as(Seq("field", "agree")))
       .groupBy("field")
       .agg(count(lit(1)).as("n_pairs"), sum("agree").as("n_agree"))
       .withColumn("agree_rate",
         round(col("n_agree").cast("double") / col("n_pairs"), 6))
+  }
+
+  /**
+   * EM re-estimation of the Fellegi–Sunter weights (Winkler 1988 —
+   * the standard unsupervised fit): starting from the seed `(m, u)` in
+   * `fields` and a prior match proportion `lambda`, each iteration
+   * computes every pair's posterior match probability
+   * p(γ) = λ·Π mᵢ^γᵢ(1−mᵢ)^(1−γᵢ) / (λ·Π… + (1−λ)·Π uᵢ^γᵢ(1−uᵢ)^(1−γᵢ))
+   * and re-estimates mᵢ = Σp·γᵢ/Σp, uᵢ = Σ(1−p)·γᵢ/Σ(1−p),
+   * λ = Σp/n — completing the loop [[fieldAgreementRates]] only seeds.
+   * Output, one row per field index: `(field, m_est, u_est,
+   * lambda_est)` (λ repeated per row), all rounded to 6 dp.
+   *
+   * Scale shape: the blocked pair stream reduces ONCE to its agreement-
+   * pattern histogram — at most 2^k rows for k fields (map-side
+   * combined), NULL comparisons folding to disagree exactly as
+   * [[linkageScores]] scores them. Every EM iteration then runs on that
+   * tiny table fully in-plan: a 1-row weights frame broadcast in, two
+   * scalar aggregates broadcast back — the corpus is never re-read and
+   * nothing data-sized touches the driver.
+   *
+   * Determinism: per-pattern posteriors are fixed-order products
+   * (left fold seeded with λ) rounded to 12 dp, and every cross-pattern
+   * sum is a DECIMAL(38,9) sum of 9-dp-rounded operands — iteration
+   * results are order-independent and cross-engine exact.
+   */
+  def emEstimate(left: DataFrame, right: DataFrame,
+                 leftId: String, rightId: String,
+                 leftBlock: String, rightBlock: String,
+                 fields: Seq[FieldSpec], lambda: Double = 0.1,
+                 iterations: Int = 1,
+                 selfPairs: Boolean = false,
+                 maxBlockSize: Option[Long] = None): DataFrame = {
+    require(iterations >= 1, "iterations must be >= 1")
+    require(lambda > 0 && lambda < 1, s"need 0 < lambda < 1, got $lambda")
+    val patterns = blockedPairs(left, right, leftId, rightId,
+        leftBlock, rightBlock, fields, selfPairs, maxBlockSize)
+      .select(array(agreeFlags(fields)
+        .map(f => coalesce(f.cast("int"), lit(0))): _*).as("__g"))
+      .groupBy("__g").agg(count(lit(1)).as("__c"))
+    val init = left.sparkSession.range(1).select(
+      lit(lambda).as("__lam"),
+      array(fields.map(f => lit(f.m)): _*).as("__m"),
+      array(fields.map(f => lit(f.u)): _*).as("__u"))
+    def decSum(c: Column): Column =
+      sum(round(c, 9).cast("decimal(38,9)")).cast("double")
+    val wFinal = (1 to iterations).foldLeft(init) { (w, _) =>
+      // posterior per agreement pattern: left-fold product seeded with
+      // the class prior — fixed index order on both engines
+      val pm = aggregate(
+        zip_with(col("__g"), col("__m"),
+          (g, m) => when(g === 1, m).otherwise(lit(1.0) - m)),
+        col("__lam"), (acc, t) => acc * t)
+      val pu = aggregate(
+        zip_with(col("__g"), col("__u"),
+          (g, u) => when(g === 1, u).otherwise(lit(1.0) - u)),
+        lit(1.0) - col("__lam"), (acc, t) => acc * t)
+      val scored = patterns.crossJoin(broadcast(w))
+        .select(col("__g"), col("__c"),
+          round(pm / (pm + pu), 12).as("__p"))
+      val tot = scored.agg(
+        sum(col("__c")).cast("double").as("__n"),
+        decSum(col("__c") * col("__p")).as("__sp"))
+      val perField = scored
+        .select(col("__c"), col("__p"), posexplode(col("__g")).as(Seq("__f", "__gi")))
+        .groupBy("__f").agg(
+          decSum(col("__c") * col("__p") * col("__gi")).as("__spg"),
+          decSum(col("__c") * (lit(1.0) - col("__p")) * col("__gi")).as("__sug"))
+      perField
+        .agg(sort_array(collect_list(
+          struct(col("__f"), col("__spg"), col("__sug")))).as("__pk"))
+        .crossJoin(broadcast(tot))
+        .select(
+          round(col("__sp") / col("__n"), 12).as("__lam"),
+          transform(col("__pk"),
+            e => round(e("__spg") / col("__sp"), 12)).as("__m"),
+          transform(col("__pk"),
+            e => round(e("__sug") / (col("__n") - col("__sp")), 12))
+            .as("__u"))
+    }
+    wFinal
+      .select(col("__lam"),
+        posexplode(arrays_zip(col("__m"), col("__u"))).as(Seq("__f", "__z")))
+      .select(col("__f").as("field"),
+        round(col("__z")("__m"), 6).as("m_est"),
+        round(col("__z")("__u"), 6).as("u_est"),
+        round(col("__lam"), 6).as("lambda_est"))
   }
 
   /**

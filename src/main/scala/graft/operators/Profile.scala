@@ -666,8 +666,13 @@ object Profile {
         log(col(cnt).cast("double") / col("n")), 9).cast(dec)).as("h"))
     val ha = entropy(ma, "na").withColumnRenamed("h", "__ha")
     val hb = entropy(mb, "nb").withColumnRenamed("h", "__hb")
+    // null-SAFE joins (<=>): the NULL level is a real row in `cells`
+    // and in both marginals — an equi-join would silently drop its
+    // joint terms while still counting it in n and the entropies
     val joint = cells
-      .join(ma, Seq("a")).join(mb, Seq("b")).crossJoin(n)
+      .join(ma.withColumnRenamed("a", "__ka"), col("a") <=> col("__ka"))
+      .join(mb.withColumnRenamed("b", "__kb"), col("b") <=> col("__kb"))
+      .crossJoin(n)
       .agg(sum(round((col("c").cast("double") / col("n")) *
         log((col("c").cast("double") * col("n")) /
           (col("na").cast("double") * col("nb"))), 9).cast(dec))

@@ -355,5 +355,14 @@ class ProfileSpec extends SparkTestBase {
     val r3 = Profile.mutualInformation(const, "a", "b").collect()(0)
     assert(r3.getAs[Double]("h_b") == 0.0 && r3.getAs[Double]("mi") == 0.0)
     assert(r3.isNullAt(r3.fieldIndex("nmi")))
+    // NULL as an INFORMATIVE level on both sides: b is NULL exactly when
+    // a is NULL -> the joint must include the NULL cells (null-safe
+    // joins), giving MI = H = ln 2, not the equi-join's silent 0
+    val nullDet = df("a STRING, b STRING", Seq(
+      Row("x", "1"), Row("x", "1"), Row(null, null), Row(null, null)))
+    val r4 = Profile.mutualInformation(nullDet, "a", "b").collect()(0)
+    assert(!r4.isNullAt(r4.fieldIndex("mi")))
+    assert(r4.getAs[Double]("mi") == ln2 && r4.getAs[Double]("nmi") == 1.0)
+    assert(r4.getAs[Double]("h_a") == ln2 && r4.getAs[Double]("h_b") == ln2)
   }
 }
