@@ -2903,6 +2903,43 @@ object SparkEntry {
         .orderBy("field")
     }),
 
+    // Block-size audit of the linkage gates' brand blocking: per block,
+    // side sizes and the EXACT pair volume it will generate — the skew
+    // report a practitioner reads before committing a block key. No
+    // pair is formed; the corpus shuffles 8-byte counts only.
+    "q_linkage_blocks" -> ((s, d) => {
+      val p = executor(s, d).table("part")
+      graft.operators.Linkage.blockAudit(p, p, "p_brand", "p_brand",
+        selfPairs = true)
+    }),
+
+    // Skew-guarded linkage: every 7th part is funneled into one "HOT"
+    // block (the classic NULL-ish catch-all failure), and maxBlockSize
+    // = 100 anti-joins that block out before any pair forms — at the
+    // driver's sf0.01 the hot block is ~290 rows, so the cap visibly
+    // bites; the under-cap brand blocks score exactly as q_linkage_score.
+    "q_linkage_capped" -> ((s, d) => {
+      val p = executor(s, d).table("part")
+        .withColumn("blk", when(col("p_partkey") % 7 === 0, lit("HOT"))
+          .otherwise(col("p_brand")))
+      graft.operators.Linkage.linkageScores(p, p, "p_partkey",
+        "p_partkey", "blk", "blk", linkageFields, selfPairs = true,
+        maxBlockSize = Some(100L))
+        .orderBy("id_a", "id_b")
+    }),
+
+    // One in-plan EM round of the Fellegi-Sunter weights from the
+    // fixed (m,u) seed at lambda = 0.05: the pair stream reduces to its
+    // <=2^3-row agreement-pattern histogram, the update runs on that —
+    // the oracle replays the identical fold/round/clamp arithmetic.
+    "q_linkage_em" -> ((s, d) => {
+      val p = executor(s, d).table("part")
+      graft.operators.Linkage.emEstimate(p, p, "p_partkey", "p_partkey",
+        "p_brand", "p_brand", linkageFields, lambda = 0.05,
+        iterations = 1, selfPairs = true)
+        .orderBy("field")
+    }),
+
     // Join-key overlap audit: orders.o_custkey vs customer.c_custkey —
     // key-set intersection, row match rates, and worst-case fanout, the
     // pre-join health check.
@@ -6368,6 +6405,15 @@ object SparkEntry {
       s"""SELECT * FROM ($linkageOracleBase) t
          |WHERE score >= 4.0 ORDER BY id_a, id_b""".stripMargin,
     "q_linkage_rates" -> linkageRatesOracle,
+    "q_linkage_blocks" ->
+      """WITH a AS (SELECT p_brand AS block, count(*) AS n
+        |           FROM part GROUP BY 1)
+        |SELECT block, CAST(n AS BIGINT) AS n_left,
+        |  CAST(n AS BIGINT) AS n_right,
+        |  CAST(n * (n - 1) // 2 AS BIGINT) AS n_pairs
+        |FROM a ORDER BY n_pairs DESC, block""".stripMargin,
+    "q_linkage_capped" -> linkageCappedOracle,
+    "q_linkage_em" -> linkageEmOracle(0.05),
     // Survivorship rules as windows: longest = (len DESC, value DESC)
     // rank-1; mode = (count DESC, value ASC) rank-1; latest = greatest
     // order column (custkey unique → no tie path exercised).
@@ -6893,6 +6939,79 @@ object SparkEntry {
        |  CAST($agrees AS INTEGER) AS n_agree,
        |  round($terms, 6) AS score
        |FROM pa a JOIN pa b ON a.blk = b.blk AND a.id < b.id""".stripMargin
+  }
+
+  /** Capped-linkage oracle: the same HOT-block funnel and the same
+    * over-cap anti-join semantics (blocks with count > 100 drop from
+    * both sides), then the identical fixed-order score arithmetic. */
+  private def linkageCappedOracle: String = {
+    val fs = linkageFields.zipWithIndex
+      .map { case (f, i) => s"${f.exprA} AS f$i" }.mkString(", ")
+    val terms = linkageFields.zipWithIndex.map { case (f, i) =>
+      s"CASE WHEN a.f$i = b.f$i THEN ${f.agreeWeight} " +
+        s"ELSE ${f.disagreeWeight} END"
+    }.mkString("(", " + ", ")")
+    val agrees = linkageFields.indices.map { i =>
+      s"CASE WHEN a.f$i = b.f$i THEN 1 ELSE 0 END"
+    }.mkString("(", " + ", ")")
+    s"""WITH pa AS (SELECT p_partkey AS id,
+       |  CASE WHEN p_partkey % 7 = 0 THEN 'HOT' ELSE p_brand END AS blk,
+       |  $fs FROM part),
+       |hot AS (SELECT blk FROM pa GROUP BY blk HAVING count(*) > 100),
+       |pb AS (SELECT * FROM pa WHERE blk NOT IN (SELECT blk FROM hot))
+       |SELECT a.id AS id_a, b.id AS id_b,
+       |  CAST($agrees AS INTEGER) AS n_agree,
+       |  round($terms, 6) AS score
+       |FROM pb a JOIN pb b ON a.blk = b.blk AND a.id < b.id
+       |ORDER BY id_a, id_b""".stripMargin
+  }
+
+  /** One-EM-round oracle: replays emEstimate exactly — the agreement-
+    * pattern histogram, the left-to-right posterior products (every
+    * probability literal CAST to DOUBLE so DuckDB's decimal literals
+    * can't sneak exact arithmetic in where Spark does IEEE), the 12-dp
+    * posterior round, DECIMAL(38,9) sums of 9-dp operands, and the
+    * [1e-6, 1-1e-6] clamp before the 6-dp publish. */
+  private def linkageEmOracle(lambda: Double): String = {
+    val gdefs = linkageFields.indices.map(i =>
+      s"CASE WHEN a.f$i = b.f$i THEN 1 ELSE 0 END AS g$i").mkString(", ")
+    val groupCols = linkageFields.indices.map(i => s"g$i").mkString(", ")
+    def dbl(x: Double) = s"CAST($x AS DOUBLE)"
+    val pmTerms = linkageFields.zipWithIndex.map { case (f, i) =>
+      s"(CASE WHEN g$i = 1 THEN ${dbl(f.m)} ELSE 1.0 - ${dbl(f.m)} END)"
+    }.mkString(" * ")
+    val puTerms = linkageFields.zipWithIndex.map { case (f, i) =>
+      s"(CASE WHEN g$i = 1 THEN ${dbl(f.u)} ELSE 1.0 - ${dbl(f.u)} END)"
+    }.mkString(" * ")
+    val arms = linkageFields.indices.map { i =>
+      s"""SELECT $i AS field,
+         |  CAST(sum(CAST(round((c*p)*g$i, 9) AS DECIMAL(38,9))) AS DOUBLE)
+         |    AS spg,
+         |  CAST(sum(CAST(round((c*(1.0-p))*g$i, 9) AS DECIMAL(38,9)))
+         |    AS DOUBLE) AS sug
+         |FROM sc""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    val lo = dbl(1e-6)
+    s"""WITH $linkageProjCte,
+       |pr AS (SELECT $gdefs
+       |       FROM pa a JOIN pa b ON a.blk = b.blk AND a.id < b.id),
+       |pat AS (SELECT $groupCols, count(*) AS c FROM pr
+       |        GROUP BY $groupCols),
+       |sc AS (SELECT $groupCols, c, round(pm / (pm + pu), 12) AS p FROM
+       |       (SELECT *, ${dbl(lambda)} * $pmTerms AS pm,
+       |          (1.0 - ${dbl(lambda)}) * $puTerms AS pu FROM pat)),
+       |tot AS (SELECT CAST(sum(c) AS DOUBLE) AS nn,
+       |        CAST(sum(CAST(round(c*p, 9) AS DECIMAL(38,9))) AS DOUBLE)
+       |          AS sp FROM sc),
+       |allf AS ($arms)
+       |SELECT CAST(field AS INTEGER) AS field,
+       |  round(greatest(least(round(spg / sp, 12), 1.0 - $lo), $lo), 6)
+       |    AS m_est,
+       |  round(greatest(least(round(sug / (nn - sp), 12), 1.0 - $lo), $lo), 6)
+       |    AS u_est,
+       |  round(greatest(least(round(sp / nn, 12), 1.0 - $lo), $lo), 6)
+       |    AS lambda_est
+       |FROM allf CROSS JOIN tot ORDER BY field""".stripMargin
   }
 
   private def linkageRatesOracle: String = {

@@ -208,7 +208,10 @@ object Linkage {
    * Determinism: per-pattern posteriors are fixed-order products
    * (left fold seeded with λ) rounded to 12 dp, and every cross-pattern
    * sum is a DECIMAL(38,9) sum of 9-dp-rounded operands — iteration
-   * results are order-independent and cross-engine exact.
+   * results are order-independent and cross-engine exact. Updated
+   * weights clamp to [1e-6, 1−1e-6] each round (the standard guard —
+   * an exact 0/1 weight makes the log-likelihood ratio infinite and
+   * freezes every later iteration).
    */
   def emEstimate(left: DataFrame, right: DataFrame,
                  leftId: String, rightId: String,
@@ -252,16 +255,18 @@ object Linkage {
         .groupBy("__f").agg(
           decSum(col("__c") * col("__p") * col("__gi")).as("__spg"),
           decSum(col("__c") * (lit(1.0) - col("__p")) * col("__gi")).as("__sug"))
+      def clamp(c: Column): Column =
+        greatest(least(c, lit(1.0) - lit(1e-6)), lit(1e-6))
       perField
         .agg(sort_array(collect_list(
           struct(col("__f"), col("__spg"), col("__sug")))).as("__pk"))
         .crossJoin(broadcast(tot))
         .select(
-          round(col("__sp") / col("__n"), 12).as("__lam"),
+          clamp(round(col("__sp") / col("__n"), 12)).as("__lam"),
           transform(col("__pk"),
-            e => round(e("__spg") / col("__sp"), 12)).as("__m"),
+            e => clamp(round(e("__spg") / col("__sp"), 12))).as("__m"),
           transform(col("__pk"),
-            e => round(e("__sug") / (col("__n") - col("__sp")), 12))
+            e => clamp(round(e("__sug") / (col("__n") - col("__sp")), 12)))
             .as("__u"))
     }
     wFinal

@@ -89,6 +89,65 @@ class LinkageSpec extends SparkTestBase {
     assert(g(2) == ((2L, "qq", "C", 1.0)))
   }
 
+  test("blockAudit: per-block sizes and exact pair volume, largest first") {
+    val out = Linkage.blockAudit(people, people, "city", "city",
+      selfPairs = true).collect()
+      .map(r => (r.getString(0), (r.getLong(1), r.getLong(2), r.getLong(3))))
+    // springfield: 3 rows -> 3 unordered pairs; shelbyville: 2 -> 1
+    assert(out.toSeq == Seq(
+      ("springfield", (3L, 3L, 3L)), ("shelbyville", (2L, 2L, 1L))))
+    // cross-table (no self guard): pair volume is n_left * n_right
+    val cross = Linkage.blockAudit(people, people.filter("id <= 2"),
+      "city", "city").collect()
+      .map(r => (r.getString(0), r.getLong(3))).toMap
+    assert(cross("springfield") == 6L && cross("shelbyville") == 0L)
+  }
+
+  test("maxBlockSize drops over-cap blocks from scoring entirely") {
+    val out = Linkage.linkageScores(people, people, "id", "id",
+      "city", "city", fields, selfPairs = true, maxBlockSize = Some(2L))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    // springfield (3 rows) is over the cap -> only shelbyville's pair
+    assert(out.toSeq == Seq((4L, 5L)))
+    // a cap above every block is a no-op
+    val all = Linkage.linkageScores(people, people, "id", "id",
+      "city", "city", fields, selfPairs = true, maxBlockSize = Some(10L))
+    assert(all.count() == 4)
+  }
+
+  test("emEstimate: one EM round matches the hand-run on pattern counts") {
+    // patterns over the 4 blocked pairs: (1,1,1) x1, (0,0,0) x2, (1,0,0) x1
+    val out = Linkage.emEstimate(people, people, "id", "id",
+      "city", "city", fields, lambda = 0.5, iterations = 1,
+      selfPairs = true)
+      .collect().map(r => r.getInt(0) ->
+        ((r.getDouble(1), r.getDouble(2), r.getDouble(3)))).toMap
+    // hand EM: p(111)=.324/.325, p(000)=.001/.217, p(100)=.009/.033
+    def close(a: Double, b: Double) = math.abs(a - b) < 1e-3
+    assert(close(out(0)._3, 0.319717)) // lambda' = sum(p)/4
+    assert(close(out(0)._1, 0.992793) && close(out(0)._2, 0.268399))
+    assert(close(out(1)._1, 0.779530) && close(out(1)._2, 0.001131))
+    assert(out(2)._1 == out(1)._1 && out(2)._2 == out(1)._2) // same pattern
+    // every field stays identified: m above u after the update
+    (0 to 2).foreach(f => assert(out(f)._1 > out(f)._2))
+  }
+
+  test("emEstimate: a second iteration sharpens toward the true partition") {
+    val one = Linkage.emEstimate(people, people, "id", "id",
+      "city", "city", fields, lambda = 0.5, iterations = 1,
+      selfPairs = true).collect().map(r => r.getDouble(3)).head
+    val two = Linkage.emEstimate(people, people, "id", "id",
+      "city", "city", fields, lambda = 0.5, iterations = 2,
+      selfPairs = true)
+      .collect().map(r => (r.getInt(0), r.getDouble(1), r.getDouble(2),
+        r.getDouble(3)))
+    // weights remain probabilities and stay identified
+    two.foreach { case (_, m, u, lam) =>
+      assert(m > 0 && m < 1 && u > 0 && u < 1 && m > u)
+      assert(lam > 0 && lam < 1 && lam != one) // the fit moved
+    }
+  }
+
   test("goldenRecord: mode count ties break to the smallest value") {
     val d = df("cl INT, seg STRING", Seq(
       Row(1, "B"), Row(1, "A"), Row(1, "C"), Row(1, "A"), Row(1, "B")))
