@@ -1441,6 +1441,26 @@ object SparkEntry {
         k = 1, nCentroids = 16, nProbe = 2)
     }),
 
+    // Persisted-IVF round-trip: the fitted index is SAVED (centroid
+    // file + corpus parquet partitioned by cell — the directory layout
+    // IS the inverted file), re-LOADED, and searched. Same twin
+    // construction and closed-form oracle as q_ann_ivf_twin, so the
+    // gate asserts save/load changes nothing; the cell-partition join
+    // lets a probe batch prune to its nProbe cell directories.
+    "q_ann_ivf_persisted" -> ((s, d) => {
+      val (e, probes) = annInputs(s, d)
+      val twins = e.select((col("vec_id") + lit(1000000L)).as("vec_id"),
+        transform(col("v"), x => x * lit(2.0)).as("v"))
+      val idx = Ann.ivfIndex(e.unionByName(twins), "vec_id", "v",
+        nCentroids = 16)
+      val path = System.getProperty("java.io.tmpdir") +
+        "/graft_ivf_gate_" + new java.io.File(d).getName
+      Ann.saveIvfIndex(idx, path)
+      val loaded = Ann.loadIvfIndex(s, path)
+      Ann.ivfSearch(loaded, "vec_id", "v", probes, "query_id", "qv",
+        k = 1, nProbe = 2)
+    }),
+
     // Embedding-cosine near-dup pairs: LSH-banded candidates (8×16-bit
     // bands — 65,536 buckets/band) + exact native-cosine confirm at the
     // true near-dup regime (0.9; round 1 ran threshold 0.3 with 4-bit
@@ -4098,15 +4118,22 @@ object SparkEntry {
          |    ln(greatest(round(p_a, 9), 0.0001) / greatest(round(p_b, 9), 0.0001)),
          |    9) AS DECIMAL(20,9))) AS DOUBLE), 6) AS psi
          |FROM p""".stripMargin,
-    // Lag-collapse then lead-close — the two-window SCD2 build.
+    // Lag-collapse then lead-close — the two-window SCD2 build. The
+    // window ORDER BY carries the operator's attribute-digest tie-break
+    // (md5 of the null-sentineled attr), so the gate stays exact even
+    // if testdata ever gains duplicate (user_id, ts) change rows.
     "q_snapshot_scd2" ->
       """WITH d AS (SELECT user_id, ts, event_type,
-        |    lag(event_type) OVER (PARTITION BY user_id ORDER BY ts) AS pe
+        |    lag(event_type) OVER (PARTITION BY user_id
+        |      ORDER BY ts, md5(coalesce(CAST(event_type AS VARCHAR),
+        |                               chr(0) || '.'))) AS pe
         |  FROM events),
         |k AS (SELECT user_id, ts, event_type FROM d
         |      WHERE pe IS NULL OR pe != event_type),
         |f AS (SELECT user_id, event_type, ts AS valid_from,
-        |        lead(ts) OVER (PARTITION BY user_id ORDER BY ts) AS valid_to
+        |        lead(ts) OVER (PARTITION BY user_id
+        |          ORDER BY ts, md5(coalesce(CAST(event_type AS VARCHAR),
+        |                                   chr(0) || '.'))) AS valid_to
         |      FROM k)
         |SELECT user_id, event_type, valid_from, valid_to,
         |       valid_to IS NULL AS is_current
@@ -4637,6 +4664,11 @@ object SparkEntry {
         "vec_id + 1000000 AS vec_id, CAST(1.0 AS DOUBLE) AS cosine " +
         "FROM embeddings WHERE vec_id < 5 ORDER BY query_id"),
     "q_ann_ivf_twin" ->
+      ("SELECT vec_id AS query_id, CAST(1 AS BIGINT) AS rank, " +
+        "vec_id + 1000000 AS vec_id, CAST(1.0 AS DOUBLE) AS cosine " +
+        "FROM embeddings WHERE vec_id < 5 ORDER BY query_id"),
+    // save/load must be a no-op on results: same closed-form oracle
+    "q_ann_ivf_persisted" ->
       ("SELECT vec_id AS query_id, CAST(1 AS BIGINT) AS rank, " +
         "vec_id + 1000000 AS vec_id, CAST(1.0 AS DOUBLE) AS cosine " +
         "FROM embeddings WHERE vec_id < 5 ORDER BY query_id"),

@@ -252,6 +252,17 @@ class PlanAuditSpec extends SparkTestBase {
     assert(!plan.contains("SortMergeJoin"), plan)
   }
 
+  test("persisted IVF: a probe batch prunes the cell-partitioned scan, not a full rescan") {
+    // the gate itself saves + reloads the index; its search plan must
+    // carry a partition filter on __cell (dynamic pruning from the
+    // probe-cells join) over the partitioned parquet — the layout IS
+    // the inverted file, so an unpruned scan would defeat it
+    val plan = SparkEntry.queries("q_ann_ivf_persisted")(spark, dir)
+      .queryExecution.executedPlan.toString
+    val lower = plan.toLowerCase
+    assert(lower.contains("dynamicpruning"), plan)
+  }
+
   test("triangles: every join is on id keys; the corpus explode stays upstream") {
     val plan = SparkEntry.queries("q_graph_triangles")(spark, dir)
       .queryExecution.executedPlan.toString
