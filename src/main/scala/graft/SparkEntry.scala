@@ -1461,6 +1461,23 @@ object SparkEntry {
         k = 1, nProbe = 2)
     }),
 
+    // Streaming-shaped IVF search: the stream-legal candidate plan
+    // (stateless cell-assign projection + stream-static join, no
+    // dropDuplicates, no in-stream window) run over the batch probes,
+    // then the per-micro-batch topK finalize — same twin construction,
+    // so the closed-form oracle pins that the stream path loses
+    // nothing. The true MemoryStream run is cross-checked row-for-row
+    // in StreamingAnnCrossCheckSpec.
+    "q_ann_ivf_stream" -> ((s, d) => {
+      val (e, probes) = annInputs(s, d)
+      val twins = e.select((col("vec_id") + lit(1000000L)).as("vec_id"),
+        transform(col("v"), x => x * lit(2.0)).as("v"))
+      val idx = Ann.ivfIndex(e.unionByName(twins), "vec_id", "v",
+        nCentroids = 16)
+      Ann.topK(Ann.ivfSearchStream(idx, "vec_id", "v",
+        probes, "query_id", "qv", nProbe = 2), 1)
+    }),
+
     // Embedding-cosine near-dup pairs: LSH-banded candidates (8×16-bit
     // bands — 65,536 buckets/band) + exact native-cosine confirm at the
     // true near-dup regime (0.9; round 1 ran threshold 0.3 with 4-bit
@@ -4669,6 +4686,11 @@ object SparkEntry {
         "FROM embeddings WHERE vec_id < 5 ORDER BY query_id"),
     // save/load must be a no-op on results: same closed-form oracle
     "q_ann_ivf_persisted" ->
+      ("SELECT vec_id AS query_id, CAST(1 AS BIGINT) AS rank, " +
+        "vec_id + 1000000 AS vec_id, CAST(1.0 AS DOUBLE) AS cosine " +
+        "FROM embeddings WHERE vec_id < 5 ORDER BY query_id"),
+    // the stream-legal plan must lose nothing: same closed-form oracle
+    "q_ann_ivf_stream" ->
       ("SELECT vec_id AS query_id, CAST(1 AS BIGINT) AS rank, " +
         "vec_id + 1000000 AS vec_id, CAST(1.0 AS DOUBLE) AS cosine " +
         "FROM embeddings WHERE vec_id < 5 ORDER BY query_id"),

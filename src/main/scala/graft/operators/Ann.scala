@@ -29,6 +29,21 @@ import org.apache.spark.sql.functions._
  */
 object Ann {
 
+  /** Derived LSH band width for a corpus of `n` vectors:
+    * ceil(log₂ n) clamped to [`floor`, `cap`]. Keeps the expected
+    * accidental-candidate count per (probe, band) — N/2^bits — at O(1)
+    * as the corpus grows, instead of letting a fixed width degenerate
+    * toward all-pairs. The cap bounds key sparsity (beyond ~2^24
+    * buckets/band, recall loss buys no additional real pruning on any
+    * single-cluster corpus); the floor keeps tiny corpora from
+    * degenerate handful-of-buckets keys. */
+  def derivedBandBits(n: Long, floor: Int = 8, cap: Int = 24): Int = {
+    val m = math.max(n, 2L)
+    // ceil(log2 m): position of the highest set bit of (m - 1), + 1
+    val lg = 64 - java.lang.Long.numberOfLeadingZeros(m - 1)
+    math.min(cap, math.max(floor, lg))
+  }
+
   /** id → one row per (band, key), via the native banded-signature pass. */
   private def banded(df: DataFrame, idCol: String, vecCol: String,
                      bands: Int, bandBits: Int): DataFrame =
@@ -66,19 +81,31 @@ object Ann {
    * (×(bandBits+1) rows on the tiny side); the corpus index and its
    * shuffle volume are unchanged — the right trade when the index is
    * big and the query batch is small.
+   *
+   * `bandBits = 0` (the default) DERIVES the band width from the
+   * corpus: ceil(log₂ N) clamped to [8, 24], via one count job.
+   * Accidental candidates per probe scale bands·N/2^bandBits, so a
+   * static width that was right at one N silently degenerates toward
+   * all-pairs at 1000× the corpus (SCALING.md measured 395 s → 1 s
+   * from exactly this mis-sizing); tracking log₂ N keeps the
+   * candidate volume per probe roughly flat as the corpus grows.
    */
   def lshTopK(corpus: DataFrame, idCol: String, vecCol: String,
               probes: DataFrame, probeIdCol: String, probeVecCol: String,
-              k: Int = 10, bands: Int = 16, bandBits: Int = 8,
+              k: Int = 10, bands: Int = 16, bandBits: Int = 0,
               probeHamming: Int = 0): DataFrame = {
     require(probeHamming >= 0 && probeHamming <= 1, "probeHamming must be 0 or 1")
-    val corpusB = banded(corpus, idCol, vecCol, bands, bandBits)
-    val probesB0 = banded(probes, probeIdCol, probeVecCol, bands, bandBits)
+    require(bandBits >= 0 && bandBits <= 32, "bandBits must be in [0, 32]")
+    val bits =
+      if (bandBits > 0) bandBits
+      else derivedBandBits(corpus.count())
+    val corpusB = banded(corpus, idCol, vecCol, bands, bits)
+    val probesB0 = banded(probes, probeIdCol, probeVecCol, bands, bits)
     val probesB =
       if (probeHamming == 0) probesB0
       else probesB0
         .select(col(probeIdCol), col("band"), explode(array(
-          col("key") +: (0 until bandBits).map(b =>
+          col("key") +: (0 until bits).map(b =>
             col("key").bitwiseXOR(lit(1L << b))): _*)).as("key"))
     val cand = corpusB.join(broadcast(probesB),
         corpusB("band") === probesB("band") && corpusB("key") === probesB("key") &&
@@ -262,6 +289,42 @@ object Ann {
     IvfIndex(centroids, spark.read.parquet(s"$path/assigned"))
   }
 
+  /**
+   * STREAM-static IVF search: a static fitted index probed by an
+   * unbounded probe stream — the similarity-search leg of a streaming
+   * curation loop (dedup, DSIR scoring and WAP already stream; this
+   * closes the gap). The cell-assignment expression is pure, so the
+   * probe side is a stateless projection; the candidate join is
+   * stream-static inner (NO state, no watermark); the result is the
+   * scored candidate stream `(query_id, vec_id, cosine)` in append
+   * mode. A probe's candidates are complete within its own micro-batch
+   * (the static side never changes mid-query), so finalize ranks per
+   * batch: `.writeStream.foreachBatch((b, _) => use(Ann.topK(b, k)))` —
+   * per-query top-k is not an append-mode streaming aggregate, and per
+   * micro-batch is exactly the semantics a static index justifies.
+   * For a big on-disk index prefer `foreachBatch((b, _) =>
+   * use(ivfSearch(index, …, probes = b, …)))` — the batch path
+   * broadcasts the probe batch and dynamically prunes the
+   * cell-partitioned scan, which micro-batch plans don't.
+   */
+  def ivfSearchStream(index: IvfIndex, idCol: String, vecCol: String,
+                      probes: DataFrame, probeIdCol: String,
+                      probeVecCol: String, nProbe: Int = 4): DataFrame = {
+    val assigned = index.assigned
+    val probeCells = probes
+      .select(col(probeIdCol), col(probeVecCol),
+        explode(VF.nearestCells(col(probeVecCol), index.centroids, nProbe))
+          .as("__cell"))
+    // no dropDuplicates: a corpus vector lives in exactly one cell and a
+    // probe's nProbe cells are distinct, so a (query, vec) pair can only
+    // arise once — the stream stays stateless
+    assigned.join(probeCells,
+        assigned("__cell") === probeCells("__cell") &&
+          col(idCol) =!= col(probeIdCol))
+      .select(col(probeIdCol).as("query_id"), col(idCol).as("vec_id"),
+        VF.cosine(col(probeVecCol), col(vecCol)).as("cosine"))
+  }
+
   /** Search a fitted [[IvfIndex]] with one probe batch. */
   def ivfSearch(index: IvfIndex, idCol: String, vecCol: String,
                 probes: DataFrame, probeIdCol: String, probeVecCol: String,
@@ -356,7 +419,10 @@ object Ann {
         col(scoreCol).as("cosine"), col("margin"))
   }
 
-  private def topK(scored: DataFrame, k: Int): DataFrame = {
+  /** Rank a scored candidate table `(query_id, vec_id, cosine)` to each
+    * query's top k — also the per-micro-batch finalize step of
+    * [[ivfSearchStream]] (inside `foreachBatch`). */
+  def topK(scored: DataFrame, k: Int): DataFrame = {
     val w = Window.partitionBy("query_id")
       .orderBy(col("cosine").desc, col("vec_id").asc)
     // rank as BIGINT: SQL row_number() is 64-bit, and the brute-force gate

@@ -147,6 +147,20 @@ class AnnSpec extends SparkTestBase {
     assert(viaExpr.except(viaPlan).isEmpty && viaPlan.except(viaExpr).isEmpty)
   }
 
+  test("derived band width tracks ceil(log2 N) and clamps to [8, 24]") {
+    assert(Ann.derivedBandBits(100) == 8)             // floor
+    assert(Ann.derivedBandBits(8000) == 13)           // ceil(log2 8000)
+    assert(Ann.derivedBandBits(1L << 20) == 20)       // exact power
+    assert(Ann.derivedBandBits((1L << 20) + 1) == 21) // next width up
+    assert(Ann.derivedBandBits(1L << 40) == 24)       // cap
+    // bandBits = 0 (default) derives the width from a corpus count;
+    // identical-vector recall must hold exactly as with explicit bits
+    val out = Ann.lshTopK(corpus, "id", "v", probes, "qid", "qv",
+      k = 3, bands = 16)
+      .collect().map(_.getLong(2))
+    assert(out.contains(1L))
+  }
+
   test("LSH recall vs brute force on the real embeddings table (top-1 of identical)") {
     val e = realEmbeddings
     val p = e.filter(col("vec_id") < 10)
