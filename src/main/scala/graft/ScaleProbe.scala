@@ -160,7 +160,14 @@ object ScaleProbe {
     "q_linkage_golden", "q_event_transitions",
     // k-NN label-noise audit: quadratic part bounded in the ANN tier,
     // audit is a (query,label) count + per-query window
-    "q_label_knn_noise")
+    "q_label_knn_noise",
+    // round-7 batch: linkage skew guard (hot-block anti-join before the
+    // pair join), in-plan EM (pattern-histogram reduce, ≤2^k rows),
+    // block audit (count-only — no pair forms), persisted-IVF
+    // round-trip (save + dynamically pruned reload search), and the
+    // stream-legal IVF candidate plan + per-batch top-k
+    "q_linkage_capped", "q_linkage_em", "q_linkage_blocks",
+    "q_ann_ivf_persisted", "q_ann_ivf_stream")
 
   private def caesar(c: org.apache.spark.sql.Column, k: Int) = {
     val lower = "abcdefghijklmnopqrstuvwxyz"
