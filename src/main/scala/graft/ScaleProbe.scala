@@ -167,7 +167,10 @@ object ScaleProbe {
     // round-trip (save + dynamically pruned reload search), and the
     // stream-legal IVF candidate plan + per-batch top-k
     "q_linkage_capped", "q_linkage_em", "q_linkage_blocks",
-    "q_ann_ivf_persisted", "q_ann_ivf_stream")
+    "q_ann_ivf_persisted", "q_ann_ivf_stream",
+    // product quantization: in-plan L2 Lloyd fit + codegen'd encode
+    // (one scan), ADC search at O(m) per candidate pair
+    "q_embed_pq_codes", "q_embed_pq_error", "q_ann_pq")
 
   private def caesar(c: org.apache.spark.sql.Column, k: Int) = {
     val lower = "abcdefghijklmnopqrstuvwxyz"

@@ -2350,6 +2350,49 @@ object SparkEntry {
         .select(col("vec_id"), (col("__p") + 1).as("dim"), col("value"))
         .orderBy("vec_id", "dim")),
 
+    // Product quantization codes: 2 subspaces × 4 centroids fit with
+    // one in-plan L2 Lloyd round from the 4 smallest-id seeds, then the
+    // codegen'd nearest-cell encode — (vec_id, subspace, code) rows;
+    // the oracle replays seed → assign → decimal-mean → assign exactly
+    // (raw-double fold distances need no rounding — same IEEE order).
+    "q_embed_pq_codes" -> ((s, d) => {
+      val e = embeddings(s, d).select(col("vec_id"),
+        VF.asDouble(col("embedding")).as("v"))
+      val cb = graft.operators.Pq.fit(e, "vec_id", "v",
+        subspaces = 2, k = 4, iterations = 1)
+      graft.operators.Pq.encode(e, "vec_id", "v", cb)
+        .select(col("vec_id"), posexplode(col("codes")).as(Seq("__s", "code")))
+        .select(col("vec_id"), col("__s").as("subspace"), col("code"))
+        .orderBy("vec_id", "subspace")
+    }),
+
+    // PQ reconstruction-error report — the read-before-you-trust-ADC
+    // number: per-vector L2 distance to the reconstruction, corpus
+    // mean/max at 6 dp.
+    "q_embed_pq_error" -> ((s, d) => {
+      val e = embeddings(s, d).select(col("vec_id"),
+        VF.asDouble(col("embedding")).as("v"))
+      val cb = graft.operators.Pq.fit(e, "vec_id", "v",
+        subspaces = 2, k = 4, iterations = 1)
+      graft.operators.Pq.reconstructionError(e, "vec_id", "v", cb)
+    }),
+
+    // Asymmetric-distance PQ search: 5 probes against the encoded
+    // corpus — per-probe m×k lookup table built in-plan, candidates
+    // scored with m table lookups (the codes corpus never materializes
+    // a vector); top-3 by reconstruction dot.
+    "q_ann_pq" -> ((s, d) => {
+      val e = embeddings(s, d).select(col("vec_id"),
+        VF.asDouble(col("embedding")).as("v"))
+      val cb = graft.operators.Pq.fit(e, "vec_id", "v",
+        subspaces = 2, k = 4, iterations = 1)
+      val codes = graft.operators.Pq.encode(e, "vec_id", "v", cb)
+      val probes = e.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("query_id"), col("v").as("qv"))
+      graft.operators.Pq.adcTopK(codes, "vec_id", "codes",
+        probes, "query_id", "qv", cb, k = 3)
+    }),
+
     // Greedy k-center coreset: 4 maximally-spread embedding exemplars,
     // selection fully in-plan (1-row argmax subplans broadcast into the
     // running min-distance), the oracle unrolls round for round.
@@ -5539,6 +5582,9 @@ object SparkEntry {
         |SELECT vec_id, CAST(dim AS INTEGER) AS dim, v[dim] AS value
         |FROM (SELECT vec_id, v, unnest(range(1, 17)) AS dim FROM r)
         |ORDER BY vec_id, dim""".stripMargin,
+    "q_embed_pq_codes" -> pqCodesOracle,
+    "q_embed_pq_error" -> pqErrorOracle,
+    "q_ann_pq" -> pqAdcOracle,
     "q_embed_dimstats" ->
       """WITH x AS (
         |  SELECT i AS dim, round(v[i], 9) AS x FROM (
@@ -7251,4 +7297,110 @@ object SparkEntry {
       |       'FROM ' || source || chr(10) ||
       |       substr(coalesce(text, ''), 81) AS text
       |FROM documents""".stripMargin
+
+  /**
+   * Shared CTE chain replaying the PQ gates' fit + encode exactly
+   * (m = 2 subspaces × 32 dims, k = 4, one L2 Lloyd round from the 4
+   * smallest-id seeds): raw-double fold distances (engine-identical,
+   * no rounding needed), argmin ties to the lower code, per-dim
+   * DECIMAL(38,9) means of 9-dp-rounded operands rounded once to 9 dp,
+   * empty clusters keeping their seed centroid. Ends with `cb` (the
+   * fitted codebook) and `codes` (the encoded corpus).
+   */
+  private val pqOracleCtes: String = {
+    def d2(x: String, c: String) =
+      s"""list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+         |  list_transform(range(1, 33), i -> ($x[i] - $c[i]) * ($x[i] - $c[i]))),
+         |  (a, b) -> a + b)""".stripMargin
+    s"""e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+       |      FROM embeddings WHERE embedding IS NOT NULL),
+       |sub AS (SELECT vec_id, s,
+       |          list_transform(range(1, 33), i -> v[s*32 + i]) AS x
+       |        FROM e CROSS JOIN (SELECT unnest(range(0, 2)) AS s)),
+       |sm AS (SELECT vec_id,
+       |         CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER)
+       |           AS code
+       |       FROM e QUALIFY row_number() OVER (ORDER BY vec_id) <= 4),
+       |seed AS (SELECT sub.s, sm.code, sub.x AS c
+       |         FROM sm JOIN sub USING (vec_id)),
+       |d0 AS (SELECT sub.vec_id, sub.s, seed.code, ${d2("x", "c")} AS d2
+       |       FROM sub JOIN seed ON sub.s = seed.s),
+       |a0 AS (SELECT vec_id, s, code FROM
+       |        (SELECT *, row_number() OVER (PARTITION BY vec_id, s
+       |           ORDER BY d2 ASC, code ASC) AS rn FROM d0)
+       |       WHERE rn = 1),
+       |mu AS (SELECT a0.s, a0.code, i AS dim,
+       |         round(CAST(sum(CAST(round(x[i], 9) AS DECIMAL(38,9)))
+       |           AS DOUBLE) / count(*), 9) AS m
+       |       FROM a0 JOIN sub USING (vec_id, s)
+       |         CROSS JOIN (SELECT unnest(range(1, 33)) AS i)
+       |       GROUP BY 1, 2, 3),
+       |cbm AS (SELECT s, code, list(m ORDER BY dim) AS c
+       |        FROM mu GROUP BY 1, 2),
+       |cb AS (SELECT seed.s, seed.code, coalesce(cbm.c, seed.c) AS c
+       |       FROM seed LEFT JOIN cbm
+       |         ON seed.s = cbm.s AND seed.code = cbm.code),
+       |d1 AS (SELECT sub.vec_id, sub.s, cb.code, ${d2("x", "c")} AS d2
+       |       FROM sub JOIN cb ON sub.s = cb.s),
+       |codes AS (SELECT vec_id, s, code FROM
+       |        (SELECT *, row_number() OVER (PARTITION BY vec_id, s
+       |           ORDER BY d2 ASC, code ASC) AS rn FROM d1)
+       |       WHERE rn = 1)""".stripMargin
+  }
+
+  private def pqCodesOracle: String =
+    s"""WITH $pqOracleCtes
+       |SELECT vec_id, CAST(s AS INTEGER) AS subspace,
+       |  CAST(code AS INTEGER) AS code
+       |FROM codes ORDER BY vec_id, subspace""".stripMargin
+
+  private def pqErrorOracle: String =
+    s"""WITH $pqOracleCtes,
+       |cs AS (SELECT vec_id,
+       |         max(CASE WHEN s = 0 THEN code END) AS c0,
+       |         max(CASE WHEN s = 1 THEN code END) AS c1
+       |       FROM codes GROUP BY 1),
+       |rec AS (SELECT cs.vec_id, cb0.c || cb1.c AS r
+       |        FROM cs
+       |        JOIN cb cb0 ON cb0.s = 0 AND cb0.code = cs.c0
+       |        JOIN cb cb1 ON cb1.s = 1 AND cb1.code = cs.c1),
+       |er AS (SELECT e.vec_id,
+       |         round(sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+       |           list_transform(range(1, 65),
+       |             i -> (v[i] - r[i]) * (v[i] - r[i]))),
+       |           (a, b) -> a + b)), 9) AS err
+       |       FROM e JOIN rec USING (vec_id))
+       |SELECT CAST(count(*) AS BIGINT) AS n,
+       |  round(CAST(sum(CAST(err AS DECIMAL(38,9))) AS DOUBLE) / count(*), 6)
+       |    AS mean_err,
+       |  round(max(err), 6) AS max_err
+       |FROM er""".stripMargin
+
+  private def pqAdcOracle: String =
+    s"""WITH $pqOracleCtes,
+       |lut AS (SELECT p.vec_id AS query_id, cb.s, cb.code,
+       |          list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+       |            list_transform(range(1, 33),
+       |              i -> p.v[cb.s*32 + i] * cb.c[i])),
+       |            (a, b) -> a + b) AS dot
+       |        FROM (SELECT vec_id, v FROM e WHERE vec_id < 5) p
+       |          CROSS JOIN cb),
+       |cs AS (SELECT vec_id,
+       |         max(CASE WHEN s = 0 THEN code END) AS c0,
+       |         max(CASE WHEN s = 1 THEN code END) AS c1
+       |       FROM codes GROUP BY 1),
+       |sc AS (SELECT l0.query_id, cs.vec_id,
+       |         CAST(0.0 AS DOUBLE) + l0.dot + l1.dot AS score
+       |       FROM cs
+       |       JOIN lut l0 ON l0.s = 0 AND l0.code = cs.c0
+       |       JOIN lut l1 ON l1.s = 1 AND l1.code = cs.c1
+       |         AND l1.query_id = l0.query_id
+       |       WHERE cs.vec_id != l0.query_id),
+       |ranked AS (SELECT query_id, vec_id, score,
+       |            row_number() OVER (PARTITION BY query_id
+       |              ORDER BY score DESC, vec_id ASC) AS rank
+       |           FROM sc)
+       |SELECT query_id, CAST(rank AS BIGINT) AS rank, vec_id,
+       |  round(score, 6) AS score
+       |FROM ranked WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin
 }

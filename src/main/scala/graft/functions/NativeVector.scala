@@ -166,6 +166,36 @@ object NativeVector {
     }
     new GenericArrayData(out)
   }
+
+  /**
+   * Index of the single centroid nearest to `vec` by SQUARED L2
+   * distance (ties → lower index; strict `<` keeps the first minimum) —
+   * the PQ code-assignment kernel. The distance is the raw sequential
+   * fold Σ(xⱼ−cⱼ)² in ascending j — bit-identical to a DuckDB
+   * list_reduce replay, so assignment is cross-engine exact without any
+   * rounding. A vector shorter than the centroid dim compares only its
+   * prefix (mirrors [[nearestCells]]' clamped loop).
+   */
+  def nearestCellL2(vec: ArrayData, flat: Array[Double], k: Int): Int = {
+    val dim = if (k == 0) 0 else flat.length / k
+    val vd = math.min(vec.numElements(), dim)
+    var best = -1
+    var bestD = Double.PositiveInfinity
+    var c = 0
+    while (c < k) {
+      var acc = 0.0
+      val off = c * dim
+      var j = 0
+      while (j < vd) {
+        val d = vec.getDouble(j) - flat(off + j)
+        acc += d * d
+        j += 1
+      }
+      if (best == -1 || acc < bestD) { best = c; bestD = acc }
+      c += 1
+    }
+    best
+  }
 }
 
 /** `hyperplane_sig(array<double>)` → bigint; see [[NativeVector.signature]]. */
@@ -219,6 +249,30 @@ case class NearestCells(child: Expression, centroidsFlat: Seq[Double],
       s"graft.functions.NativeVector.nearestCells($c, $matRef, $k, $n)")
   }
   override protected def withNewChildInternal(newChild: Expression): NearestCells =
+    copy(child = newChild)
+}
+
+/**
+ * `nearest_cell_l2(array<double>)` → int: the index of the nearest of
+ * `k` centroids by squared L2 distance (see
+ * [[NativeVector.nearestCellL2]]) — the PQ code-assignment expression.
+ * Same literal-matrix discipline as [[NearestCells]]: the flattened
+ * codebook rides as a codegen reference object, zero per-row setup.
+ */
+case class NearestCellL2(child: Expression, centroidsFlat: Seq[Double],
+                         k: Int) extends UnaryExpression {
+  require(k >= 1 && centroidsFlat.nonEmpty && centroidsFlat.length % k == 0)
+  @transient private lazy val flat: Array[Double] = centroidsFlat.toArray
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "nearest_cell_l2"
+  override protected def nullSafeEval(input: Any): Any =
+    NativeVector.nearestCellL2(input.asInstanceOf[ArrayData], flat, k)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val matRef = ctx.addReferenceObj("centroids", flat, "double[]")
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.NativeVector.nearestCellL2($c, $matRef, $k)")
+  }
+  override protected def withNewChildInternal(newChild: Expression): NearestCellL2 =
     copy(child = newChild)
 }
 

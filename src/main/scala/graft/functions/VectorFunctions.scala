@@ -78,4 +78,10 @@ object VectorFunctions {
   def nearestCells(v: Column, centroids: Array[Array[Double]], n: Int): Column =
     CatalystBridge.column(NearestCells(expr(v),
       centroids.flatten.toIndexedSeq, centroids.length, n))
+
+  /** The single nearest of `centroids` by squared L2 distance, as an
+    * int index (ties → lower index) — the PQ code assignment. */
+  def nearestCellL2(v: Column, centroids: Array[Array[Double]]): Column =
+    CatalystBridge.column(NearestCellL2(expr(v),
+      centroids.flatten.toIndexedSeq, centroids.length))
 }

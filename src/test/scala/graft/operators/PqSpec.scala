@@ -1,0 +1,106 @@
+package graft.operators
+
+import graft.SparkTestBase
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+
+class PqSpec extends SparkTestBase {
+
+  // d = 2, m = 2 subspaces of 1 dim each; two tight clusters per
+  // subspace, seeds = the two smallest ids (0 and 1)
+  private lazy val corpus = df("id BIGINT, v ARRAY<DOUBLE>", Seq(
+    Row(0L, Seq(0.0, 10.0)), Row(1L, Seq(1.0, 20.0)),
+    Row(2L, Seq(0.2, 10.2)), Row(3L, Seq(0.8, 19.8)),
+    Row(4L, Seq(0.1, 9.9)), Row(5L, Seq(0.9, 20.1))))
+
+  test("fit: one re-mean round lands the hand-computed per-subspace centroids") {
+    val cb = Pq.fit(corpus, "id", "v", subspaces = 2, k = 2, iterations = 1)
+    // subspace 0: seeds 0.0 / 1.0 -> clusters {0,.2,.1} and {1,.8,.9}
+    assert(cb(0)(0).toSeq == Seq(0.1) && cb(0)(1).toSeq == Seq(0.9))
+    // subspace 1: means round to 9 dp
+    assert(cb(1)(0).toSeq == Seq(10.033333333))
+    assert(cb(1)(1).toSeq == Seq(19.966666667))
+  }
+
+  test("encode: codes are the nearest centroid per subspace, ties to the lower code") {
+    val cb = Pq.fit(corpus, "id", "v", 2, 2, 1)
+    val codes = Pq.encode(corpus, "id", "v", cb).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    assert(codes(0L) == Seq(0, 0) && codes(2L) == Seq(0, 0) && codes(4L) == Seq(0, 0))
+    assert(codes(1L) == Seq(1, 1) && codes(3L) == Seq(1, 1) && codes(5L) == Seq(1, 1))
+    // EXACT ties (binary-exact centroids and midpoints) break to the
+    // lower code in both subspaces
+    val cb2: Array[Array[Array[Double]]] =
+      Array(Array(Array(0.0), Array(1.0)), Array(Array(10.0), Array(20.0)))
+    val mid = df("id BIGINT, v ARRAY<DOUBLE>", Seq(Row(9L, Seq(0.5, 15.0))))
+    assert(Pq.encode(mid, "id", "v", cb2).collect()(0).getSeq[Int](1) == Seq(0, 0))
+  }
+
+  test("reconstruct + error report: centroids round-trip exactly, corpus error is bounded") {
+    val cb = Pq.fit(corpus, "id", "v", 2, 2, 1)
+    val rec = Pq.reconstruct(Pq.encode(corpus, "id", "v", cb), "id", "codes", cb)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    assert(rec(0L) == Seq(0.1, 10.033333333))
+    assert(rec(1L) == Seq(0.9, 19.966666667))
+    val err = Pq.reconstructionError(corpus, "id", "v", cb).collect()(0)
+    assert(err.getLong(0) == 6L)
+    assert(err.getDouble(1) > 0 && err.getDouble(2) < 0.2)
+    // a corpus sitting exactly ON the centroids reconstructs losslessly
+    val exact = df("id BIGINT, v ARRAY<DOUBLE>", Seq(
+      Row(10L, Seq(0.1, 10.033333333)), Row(11L, Seq(0.9, 19.966666667))))
+    val e2 = Pq.reconstructionError(exact, "id", "v", cb).collect()(0)
+    assert(e2.getDouble(1) == 0.0 && e2.getDouble(2) == 0.0)
+  }
+
+  test("adcTopK: the ADC score IS dot(q, reconstruction), ranked with id tie-breaks") {
+    val cb = Pq.fit(corpus, "id", "v", 2, 2, 1)
+    val codes = Pq.encode(corpus, "id", "v", cb)
+    val probes = df("qid BIGINT, qv ARRAY<DOUBLE>", Seq(
+      Row(0L, Seq(0.0, 10.0)), Row(1L, Seq(1.0, 20.0))))
+    val out = Pq.adcTopK(codes, "id", "codes", probes, "qid", "qv", cb, k = 5)
+      .collect().map(r =>
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    // expected scores: dot(q, x̂) where x̂ is one of the two
+    // reconstructions; for q0 = [0, 10]: cluster-0 recon scores
+    // 0*0.1 + 10*10.033333333 = 100.33333333, cluster-1 recon
+    // 0*0.9 + 10*19.966666667 = 199.66666667 — so ids 1,3,5 rank
+    // first; published scores round to 6 dp
+    val q0 = out.filter(_._1 == 0L)
+    assert(q0.map(_._3).toSeq == Seq(1L, 3L, 5L, 2L, 4L)) // self (0) excluded
+    assert(q0.head._4 == 199.666667)
+    assert(q0.last._4 == 100.333333)
+    // ranks are 1..5 and ties broke to ascending id within equal scores
+    assert(q0.map(_._2).toSeq == Seq(1L, 2L, 3L, 4L, 5L))
+  }
+
+  test("fit keeps a seed centroid when its cluster empties (duplicate seeds)") {
+    val dup = df("id BIGINT, v ARRAY<DOUBLE>", Seq(
+      Row(0L, Seq(0.0, 1.0)), Row(1L, Seq(0.0, 1.0)), Row(2L, Seq(0.1, 1.1))))
+    // seeds 0 and 1 are identical -> every row ties to code 0; cluster 1
+    // keeps its seed value instead of vanishing
+    val cb = Pq.fit(dup, "id", "v", 2, 2, 1)
+    assert(cb(0).length == 2 && cb(1).length == 2)
+    assert(cb(0)(1).toSeq == Seq(0.0) && cb(1)(1).toSeq == Seq(1.0))
+    assert(cb(0)(0).toSeq == Seq(0.033333333)) // mean of all three
+  }
+
+  test("native nearestCellL2 agrees with a reference argmin on real embeddings") {
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .limit(50)
+    val cb = Pq.fit(e, "vec_id", "v", subspaces = 4, k = 4, iterations = 2)
+    val dsub = cb(0)(0).length
+    val rows = e.collect().map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+    val codes = Pq.encode(e, "vec_id", "v", cb).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    rows.foreach { case (id, v) =>
+      val expect = (0 until 4).map { s =>
+        val x = v.slice(s * dsub, (s + 1) * dsub)
+        val d2 = cb(s).map(c =>
+          x.zip(c).foldLeft(0.0) { case (acc, (a, b)) => acc + (a - b) * (a - b) })
+        d2.indexOf(d2.min) // first minimum = lowest code on ties
+      }
+      assert(codes(id) == expect, s"id $id")
+    }
+  }
+}
