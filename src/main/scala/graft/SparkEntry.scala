@@ -2393,6 +2393,22 @@ object SparkEntry {
         probes, "query_id", "qv", cb, k = 3)
     }),
 
+    // IVF-PQ composition (both quantizers in one corpus scan): probes
+    // explode to cells and score codes via the ADC lookup table. The
+    // gate probes ALL cells, so the result must equal plain ADC search
+    // exactly — the closed-form check that the cell tier subsets
+    // without corrupting; nProbe < nCentroids subsetting is spec'd.
+    "q_ann_ivfpq" -> ((s, d) => {
+      val e = embeddings(s, d).select(col("vec_id"),
+        VF.asDouble(col("embedding")).as("v"))
+      val idx = Ann.ivfPqIndex(e, "vec_id", "v", nCentroids = 4,
+        subspaces = 2, pqK = 4, lloydIter = 1, pqIter = 1)
+      val probes = e.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("query_id"), col("v").as("qv"))
+      Ann.ivfPqSearch(idx, "vec_id", probes, "query_id", "qv",
+        k = 3, nProbe = 4)
+    }),
+
     // Greedy k-center coreset: 4 maximally-spread embedding exemplars,
     // selection fully in-plan (1-row argmax subplans broadcast into the
     // running min-distance), the oracle unrolls round for round.
@@ -5585,6 +5601,8 @@ object SparkEntry {
     "q_embed_pq_codes" -> pqCodesOracle,
     "q_embed_pq_error" -> pqErrorOracle,
     "q_ann_pq" -> pqAdcOracle,
+    // all cells probed -> cell tier is a no-op -> plain ADC oracle
+    "q_ann_ivfpq" -> pqAdcOracle,
     "q_embed_dimstats" ->
       """WITH x AS (
         |  SELECT i AS dim, round(v[i], 9) AS x FROM (

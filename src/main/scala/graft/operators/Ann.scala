@@ -419,6 +419,61 @@ object Ann {
         col(scoreCol).as("cosine"), col("margin"))
   }
 
+  /**
+   * IVF-PQ index (the FAISS IVFFlat-PQ composition, non-residual
+   * variant): the IVF coarse quantizer bounds WHICH vectors a probe
+   * scores (nProbe/nCentroids of the corpus) and the PQ codes bound
+   * WHAT a score costs (m table adds, no vector read) — together the
+   * billion-vector memory/latency shape. `codes` carries
+   * `(id, __cell, codes)`: 8-ish bytes of payload per corpus vector
+   * instead of d doubles. The PQ codebook here encodes the RAW vectors,
+   * not per-cell residuals — rankings are identical to [[Pq.adcTopK]]
+   * restricted to the probed cells (the residual variant refines
+   * per-cell precision at the cost of cell-dependent codes; compose
+   * [[Pq.fit]] on `x − centroid` per cell if that trade is needed).
+   */
+  final case class IvfPqIndex(ivf: IvfIndex,
+                              codebook: Array[Array[Array[Double]]],
+                              codes: DataFrame)
+
+  /** Build both quantizers and encode the corpus once: the cell
+    * assignment and the PQ codes land in ONE scan over the corpus
+    * (both are literal-matrix codegen'd expressions — no join). */
+  def ivfPqIndex(corpus: DataFrame, idCol: String, vecCol: String,
+                 nCentroids: Int = 16, subspaces: Int = 8, pqK: Int = 16,
+                 seed: Long = 42L, lloydIter: Int = 2,
+                 pqIter: Int = 2): IvfPqIndex = {
+    val ivf = ivfIndex(corpus, idCol, vecCol, nCentroids, seed, lloydIter)
+    val cb = Pq.fit(corpus, idCol, vecCol, subspaces, pqK, pqIter)
+    val dsub = cb(0)(0).length
+    val v = col(vecCol).cast("array<double>")
+    val codes = ivf.assigned.select(col(idCol), col("__cell"),
+      array(cb.indices.map(s =>
+        graft.functions.VectorFunctions.nearestCellL2(
+          slice(v, s * dsub + 1, dsub), cb(s))): _*).as("codes"))
+    IvfPqIndex(ivf, cb, codes)
+  }
+
+  /**
+   * Search: probes explode to their nProbe cells, broadcast against the
+   * code corpus on cell id, and candidates score via the PQ lookup
+   * table — nProbe/nCentroids of the corpus touched, O(m) per pair,
+   * no corpus vector ever read. With `nProbe = nCentroids` the result
+   * equals [[Pq.adcTopK]] exactly (every cell probed) — the gate's
+   * closed-form check that the cell tier loses nothing it shouldn't.
+   */
+  def ivfPqSearch(index: IvfPqIndex, idCol: String,
+                  probes: DataFrame, probeIdCol: String,
+                  probeVecCol: String,
+                  k: Int = 10, nProbe: Int = 4): DataFrame =
+    Pq.adcTopKOverCandidates(
+      index.codes, idCol, "codes",
+      probes.select(col(probeIdCol), col(probeVecCol),
+        explode(VF.nearestCells(col(probeVecCol), index.ivf.centroids,
+          nProbe)).as("__cell")),
+      probeIdCol, probeVecCol, index.codebook, k,
+      joinOn = Some("__cell"))
+
   /** Rank a scored candidate table `(query_id, vec_id, cosine)` to each
     * query's top k — also the per-micro-batch finalize step of
     * [[ivfSearchStream]] (inside `foreachBatch`). */

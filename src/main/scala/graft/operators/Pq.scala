@@ -173,7 +173,24 @@ object Pq {
    */
   def adcTopK(codes: DataFrame, idCol: String, codesCol: String,
               probes: DataFrame, probeIdCol: String, probeVecCol: String,
-              codebook: Array[Array[Array[Double]]], k: Int = 10): DataFrame = {
+              codebook: Array[Array[Array[Double]]], k: Int = 10): DataFrame =
+    adcTopKOverCandidates(codes, idCol, codesCol, probes, probeIdCol,
+      probeVecCol, codebook, k, joinOn = None)
+
+  /**
+   * ADC core with an optional candidate-bounding equi-key: with
+   * `joinOn = Some(cell)` the probe side must already carry one row per
+   * (probe, cell) and only code rows in a probed cell are scored — the
+   * [[Ann.ivfPqSearch]] composition; with `None` every code row is a
+   * candidate (brute-force ADC). Either way the probe side broadcasts
+   * with its in-plan lookup tables and the code corpus never shuffles.
+   */
+  def adcTopKOverCandidates(codes: DataFrame, idCol: String,
+                            codesCol: String, probes: DataFrame,
+                            probeIdCol: String, probeVecCol: String,
+                            codebook: Array[Array[Array[Double]]],
+                            k: Int,
+                            joinOn: Option[String]): DataFrame = {
     val m = codebook.length
     val dsub = codebook(0)(0).length
     val cb = codebookLit(codebook)
@@ -182,14 +199,18 @@ object Pq {
       transform(element_at(cb, s), c =>
         aggregate(zip_with(slice(qv, (s - 1) * dsub + 1, lit(dsub)), c,
           (a, b) => a * b), lit(0.0), (acc, t) => acc + t)))
-    val probed = probes
-      .select(col(probeIdCol).as("query_id"), lut.as("__lut"))
+    val probed = probes.select(
+      col(probeIdCol).as("query_id") +: lut.as("__lut") +:
+        joinOn.map(c => col(c).as("__pkey")).toSeq: _*)
+    val cond = joinOn match {
+      case Some(c) => col(c) === col("__pkey") && col(idCol) =!= col("query_id")
+      case None    => col(idCol) =!= col("query_id")
+    }
     val score = aggregate(sequence(lit(1), lit(m)), lit(0.0),
       (acc, s) => acc +
         element_at(element_at(col("__lut"), s),
           element_at(col(codesCol), s) + 1))
-    val scored = codes.join(broadcast(probed),
-        col(idCol) =!= col("query_id"))
+    val scored = codes.join(broadcast(probed), cond)
       .select(col("query_id"), col(idCol).as("vec_id"),
         score.as("__score"))
     val w = org.apache.spark.sql.expressions.Window

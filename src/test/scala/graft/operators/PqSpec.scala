@@ -84,6 +84,56 @@ class PqSpec extends SparkTestBase {
     assert(cb(0)(0).toSeq == Seq(0.033333333)) // mean of all three
   }
 
+  test("ivfPq: all-cells probe equals plain ADC; nProbe subsets to probed cells only") {
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .limit(60)
+    val idx = Ann.ivfPqIndex(e, "vec_id", "v", nCentroids = 4,
+      subspaces = 2, pqK = 4, lloydIter = 1, pqIter = 1)
+    val probes = e.filter(col("vec_id") < 3)
+      .select(col("vec_id").as("qid"), col("v").as("qv"))
+    def rows(d: org.apache.spark.sql.DataFrame) = d.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSeq
+    // probing every cell makes the cell tier a no-op
+    val all = rows(Ann.ivfPqSearch(idx, "vec_id", probes, "qid", "qv",
+      k = 5, nProbe = 4))
+    val adc = rows(Pq.adcTopK(idx.codes.select("vec_id", "codes"), "vec_id",
+      "codes", probes, "qid", "qv", idx.codebook, k = 5))
+    assert(all == adc)
+    // nProbe = 1: the ADC ranking computed over ONLY the candidates in
+    // each probe's nearest cell (driver-side re-derivation, same fold
+    // association: per-subspace sub-dots summed in subspace order)
+    val one = rows(Ann.ivfPqSearch(idx, "vec_id", probes, "qid", "qv",
+      k = 5, nProbe = 1))
+    val meta = idx.codes.collect()
+      .map(r => (r.getLong(0), (r.getInt(1), r.getSeq[Int](2)))).toMap
+    val vecs = e.collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    val probeCell = probes.select(col("qid"),
+        graft.functions.VectorFunctions
+          .nearestCells(col("qv"), idx.ivf.centroids, 1)(0).as("c"))
+      .collect().map(r => (r.getLong(0), r.getInt(1))).toMap
+    val dsub2 = idx.codebook(0)(0).length
+    def score(q: Long, v: Long): Double = {
+      val qv = vecs(q)
+      val cs = meta(v)._2
+      val s = cs.zipWithIndex.foldLeft(0.0) { case (acc, (c, sp)) =>
+        acc + idx.codebook(sp)(c).zipWithIndex.foldLeft(0.0) {
+          case (a, (cv, i)) => a + qv(sp * dsub2 + i) * cv
+        }
+      }
+      BigDecimal(s).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    val expected = probeCell.keys.toSeq.sorted.flatMap { q =>
+      meta.keys.toSeq
+        .filter(v => v != q && meta(v)._1 == probeCell(q))
+        .map(v => (v, score(q, v)))
+        .sortBy { case (v, s) => (-s, v) }
+        .take(5).zipWithIndex
+        .map { case ((v, s), i) => (q, (i + 1).toLong, v, s) }
+    }
+    assert(one.sortBy(r => (r._1, r._2)) == expected)
+  }
+
   test("native nearestCellL2 agrees with a reference argmin on real embeddings") {
     val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
