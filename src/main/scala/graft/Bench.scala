@@ -47,13 +47,12 @@ object Bench {
     }
 
     // Warmup: representative ops (scan+join+agg+sort) compile the codegen
-    // paths; not reported. The d²-explode + DECIMAL-sum covariance kernel
-    // is its own heavyweight codegen family (~16 s of first-execution JIT
-    // at sf0.1, dominating q_embed_pca/q_embed_covariance's rows while
-    // ScaleProbe's warm marginal is corpus-linear) — warm it explicitly so
-    // those rows report steady-state cost like every other family.
+    // paths; not reported. (An explicit q_embed_covariance warmup was
+    // tried in r7 and MEASURED useless: the warmup run took 18.2 s and
+    // both timed runs still ~17 s — the family's cost is steady-state
+    // DECIMAL aggregation over ~10M d²-explode cells at sf0.1, not
+    // first-execution JIT as r6 hypothesized. See BASELINE.md r7.)
     runOnce("q_pipeline")
-    runOnce("q_embed_covariance")
 
     // Best-of-2: a single pass makes whichever query catches a GC pause or
     // codegen compile look 10x slower; min-of-2 reports steady-state cost.

@@ -170,7 +170,8 @@ object ScaleProbe {
     "q_ann_ivf_persisted", "q_ann_ivf_stream",
     // product quantization: in-plan L2 Lloyd fit + codegen'd encode
     // (one scan), ADC search at O(m) per candidate pair
-    "q_embed_pq_codes", "q_embed_pq_error", "q_ann_pq", "q_ann_ivfpq")
+    "q_embed_pq_codes", "q_embed_pq_error", "q_ann_pq", "q_ann_ivfpq",
+    "q_ann_ivfpq_residual")
 
   private def caesar(c: org.apache.spark.sql.Column, k: Int) = {
     val lower = "abcdefghijklmnopqrstuvwxyz"

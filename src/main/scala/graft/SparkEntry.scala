@@ -2409,6 +2409,23 @@ object SparkEntry {
         k = 3, nProbe = 4)
     }),
 
+    // Residual IVFADC, oracle-checkable construction: nCentroids = 1
+    // with one Lloyd round makes the cell centroid the seed-independent
+    // unit-normalized corpus mean, so the whole residual chain
+    // (centroid → x−c residuals → codebook on residuals → base + LUT
+    // scoring) replays in SQL end-to-end; the multi-cell subsetting is
+    // already pinned by q_ann_ivfpq + the PqSpec nProbe re-derivation.
+    "q_ann_ivfpq_residual" -> ((s, d) => {
+      val e = embeddings(s, d).select(col("vec_id"),
+        VF.asDouble(col("embedding")).as("v"))
+      val idx = Ann.ivfPqResidualIndex(e, "vec_id", "v", nCentroids = 1,
+        subspaces = 2, pqK = 4, lloydIter = 1, pqIter = 1)
+      val probes = e.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("query_id"), col("v").as("qv"))
+      Ann.ivfPqResidualSearch(idx, "vec_id", probes, "query_id", "qv",
+        k = 3, nProbe = 1)
+    }),
+
     // Greedy k-center coreset: 4 maximally-spread embedding exemplars,
     // selection fully in-plan (1-row argmax subplans broadcast into the
     // running min-distance), the oracle unrolls round for round.
@@ -5603,6 +5620,7 @@ object SparkEntry {
     "q_ann_pq" -> pqAdcOracle,
     // all cells probed -> cell tier is a no-op -> plain ADC oracle
     "q_ann_ivfpq" -> pqAdcOracle,
+    "q_ann_ivfpq_residual" -> pqResidualAdcOracle,
     "q_embed_dimstats" ->
       """WITH x AS (
         |  SELECT i AS dim, round(v[i], 9) AS x FROM (
@@ -7325,16 +7343,12 @@ object SparkEntry {
    * empty clusters keeping their seed centroid. Ends with `cb` (the
    * fitted codebook) and `codes` (the encoded corpus).
    */
-  private val pqOracleCtes: String = {
+  private def pqSubCtes(subDef: String): String = {
     def d2(x: String, c: String) =
       s"""list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
          |  list_transform(range(1, 33), i -> ($x[i] - $c[i]) * ($x[i] - $c[i]))),
          |  (a, b) -> a + b)""".stripMargin
-    s"""e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
-       |      FROM embeddings WHERE embedding IS NOT NULL),
-       |sub AS (SELECT vec_id, s,
-       |          list_transform(range(1, 33), i -> v[s*32 + i]) AS x
-       |        FROM e CROSS JOIN (SELECT unnest(range(0, 2)) AS s)),
+    s"""sub AS ($subDef),
        |sm AS (SELECT vec_id,
        |         CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER)
        |           AS code
@@ -7365,6 +7379,77 @@ object SparkEntry {
        |           ORDER BY d2 ASC, code ASC) AS rn FROM d1)
        |       WHERE rn = 1)""".stripMargin
   }
+
+  /** Plain PQ: subspace slices come straight off the raw vectors. */
+  private def pqOracleCtes: String =
+    s"""e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+       |      FROM embeddings WHERE embedding IS NOT NULL),
+       |${pqSubCtes(
+        """SELECT vec_id, s,
+          |          list_transform(range(1, 33), i -> v[s*32 + i]) AS x
+          |        FROM e CROSS JOIN (SELECT unnest(range(0, 2)) AS s)"""
+          .stripMargin)}""".stripMargin
+
+  /** Residual IVFADC with nCentroids = 1 and one Lloyd round: with a
+    * single cell, the residual centroid is the seed-independent RAW
+    * per-dim decimal mean of the corpus (labelCentroids' arithmetic —
+    * the unit-normalized spherical centroid is only the cell SELECTOR,
+    * and with one cell selection is trivial), so the whole chain
+    * (mean → residual → codebook on residuals → base + LUT scoring)
+    * replays in SQL. */
+  private def pqResidualCtes: String =
+    s"""e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+       |      FROM embeddings WHERE embedding IS NOT NULL),
+       |cen AS (SELECT i AS dim,
+       |          CAST(sum(CAST(round(v[i], 9) AS DECIMAL(27,9)))
+       |            AS DOUBLE) / count(*) AS c
+       |        FROM e CROSS JOIN (SELECT unnest(range(1, 65)) AS i)
+       |        GROUP BY 1),
+       |cl AS (SELECT list(c ORDER BY dim) AS c FROM cen),
+       |r AS (SELECT vec_id,
+       |        list_transform(range(1, 65), i -> v[i] - c[i]) AS rv
+       |      FROM e CROSS JOIN cl),
+       |${pqSubCtes(
+        """SELECT vec_id, s,
+          |          list_transform(range(1, 33), i -> rv[s*32 + i]) AS x
+          |        FROM r CROSS JOIN (SELECT unnest(range(0, 2)) AS s)"""
+          .stripMargin)}""".stripMargin
+
+  /** Residual-ADC ranking: score = dot(q, centroid) + Σ_s lut. */
+  private def pqResidualAdcOracle: String =
+    s"""WITH $pqResidualCtes,
+       |lut AS (SELECT p.vec_id AS query_id, cb.s, cb.code,
+       |          list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+       |            list_transform(range(1, 33),
+       |              i -> p.v[cb.s*32 + i] * cb.c[i])),
+       |            (a, b) -> a + b) AS dot
+       |        FROM (SELECT vec_id, v FROM e WHERE vec_id < 5) p
+       |          CROSS JOIN cb),
+       |base AS (SELECT p.vec_id AS query_id,
+       |           list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+       |             list_transform(range(1, 65), i -> p.v[i] * c[i])),
+       |             (a, b) -> a + b) AS b
+       |         FROM (SELECT vec_id, v FROM e WHERE vec_id < 5) p
+       |           CROSS JOIN cl),
+       |cs AS (SELECT vec_id,
+       |         max(CASE WHEN s = 0 THEN code END) AS c0,
+       |         max(CASE WHEN s = 1 THEN code END) AS c1
+       |       FROM codes GROUP BY 1),
+       |sc AS (SELECT l0.query_id, cs.vec_id,
+       |         base.b + l0.dot + l1.dot AS score
+       |       FROM cs
+       |       JOIN lut l0 ON l0.s = 0 AND l0.code = cs.c0
+       |       JOIN lut l1 ON l1.s = 1 AND l1.code = cs.c1
+       |         AND l1.query_id = l0.query_id
+       |       JOIN base ON base.query_id = l0.query_id
+       |       WHERE cs.vec_id != l0.query_id),
+       |ranked AS (SELECT query_id, vec_id, score,
+       |            row_number() OVER (PARTITION BY query_id
+       |              ORDER BY score DESC, vec_id ASC) AS rank
+       |           FROM sc)
+       |SELECT query_id, CAST(rank AS BIGINT) AS rank, vec_id,
+       |  round(score, 6) AS score
+       |FROM ranked WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin
 
   private def pqCodesOracle: String =
     s"""WITH $pqOracleCtes

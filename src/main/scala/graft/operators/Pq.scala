@@ -190,7 +190,8 @@ object Pq {
                             probeIdCol: String, probeVecCol: String,
                             codebook: Array[Array[Array[Double]]],
                             k: Int,
-                            joinOn: Option[String]): DataFrame = {
+                            joinOn: Option[String],
+                            baseCol: Option[String] = None): DataFrame = {
     val m = codebook.length
     val dsub = codebook(0)(0).length
     val cb = codebookLit(codebook)
@@ -201,12 +202,16 @@ object Pq {
           (a, b) => a * b), lit(0.0), (acc, t) => acc + t)))
     val probed = probes.select(
       col(probeIdCol).as("query_id") +: lut.as("__lut") +:
-        joinOn.map(c => col(c).as("__pkey")).toSeq: _*)
+        (joinOn.map(c => col(c).as("__pkey")).toSeq ++
+          baseCol.map(c => col(c).as("__base")).toSeq): _*)
     val cond = joinOn match {
       case Some(c) => col(c) === col("__pkey") && col(idCol) =!= col("query_id")
       case None    => col(idCol) =!= col("query_id")
     }
-    val score = aggregate(sequence(lit(1), lit(m)), lit(0.0),
+    // the score fold seeds with the residual variant's per-(probe, cell)
+    // base term when present — ((base + t1) + … left-assoc, oracle-exact)
+    val score = aggregate(sequence(lit(1), lit(m)),
+      baseCol.map(_ => col("__base")).getOrElse(lit(0.0)),
       (acc, s) => acc +
         element_at(element_at(col("__lut"), s),
           element_at(col(codesCol), s) + 1))

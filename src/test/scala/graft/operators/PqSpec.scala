@@ -134,6 +134,56 @@ class PqSpec extends SparkTestBase {
     assert(one.sortBy(r => (r._1, r._2)) == expected)
   }
 
+  test("residual IVFADC: scores are base + LUT, and residual coding cuts reconstruction error") {
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .limit(60)
+    val raw = Ann.ivfPqIndex(e, "vec_id", "v", nCentroids = 4,
+      subspaces = 2, pqK = 4, lloydIter = 1, pqIter = 1)
+    val res = Ann.ivfPqResidualIndex(e, "vec_id", "v", nCentroids = 4,
+      subspaces = 2, pqK = 4, lloydIter = 1, pqIter = 1)
+    val vecs = e.collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    def l2(a: Seq[Double], b: Seq[Double]) =
+      math.sqrt(a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum)
+    def recon(cb: Array[Array[Array[Double]]], cs: Seq[Int]) =
+      cs.zipWithIndex.flatMap { case (c, s) => cb(s)(c) }
+    // driver-side reconstruction error, raw vs residual (+ centroid)
+    val rawErr = raw.codes.collect().map { r =>
+      l2(vecs(r.getLong(0)), recon(raw.codebook, r.getSeq[Int](2)))
+    }.sum
+    val rawMeans = res.residualCentroids.get
+    val resErr = res.codes.collect().map { r =>
+      val cent = rawMeans(r.getInt(1)).toSeq
+      val rec = recon(res.codebook, r.getSeq[Int](2))
+        .zip(cent).map { case (a, b) => a + b }
+      l2(vecs(r.getLong(0)), rec)
+    }.sum
+    assert(resErr < rawErr,
+      s"residual coding should reconstruct better: $resErr vs $rawErr")
+    // search scores equal the driver-side base + LUT re-derivation
+    val probes = e.filter(col("vec_id") < 2)
+      .select(col("vec_id").as("qid"), col("v").as("qv"))
+    val out = Ann.ivfPqResidualSearch(res, "vec_id", probes, "qid", "qv",
+      k = 3, nProbe = 4)
+      .collect().map(r => ((r.getLong(0), r.getLong(2)), r.getDouble(3))).toMap
+    val dsub = res.codebook(0)(0).length
+    out.keys.foreach { case (q, v) =>
+      val meta = res.codes.filter(col("vec_id") === v).collect()(0)
+      val cell = meta.getInt(1); val cs = meta.getSeq[Int](2)
+      val qv = vecs(q)
+      val base = qv.zip(rawMeans(cell))
+        .foldLeft(0.0) { case (a, (x, y)) => a + x * y }
+      val score = cs.zipWithIndex.foldLeft(base) { case (acc, (c, sp)) =>
+        acc + res.codebook(sp)(c).zipWithIndex.foldLeft(0.0) {
+          case (a, (cv, i)) => a + qv(sp * dsub + i) * cv
+        }
+      }
+      val r6 = BigDecimal(score).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+        .toDouble
+      assert(out((q, v)) == r6, s"($q,$v)")
+    }
+  }
+
   test("native nearestCellL2 agrees with a reference argmin on real embeddings") {
     val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
