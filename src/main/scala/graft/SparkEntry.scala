@@ -3053,6 +3053,17 @@ object SparkEntry {
         .orderBy("field")
     }),
 
+    // Two EM rounds: verifies the in-plan weight-feedback loop itself
+    // (round-2 posteriors computed from round-1's clamped estimates) —
+    // the oracle chains the identical per-round CTE block twice.
+    "q_linkage_em2" -> ((s, d) => {
+      val p = executor(s, d).table("part")
+      graft.operators.Linkage.emEstimate(p, p, "p_partkey", "p_partkey",
+        "p_brand", "p_brand", linkageFields, lambda = 0.05,
+        iterations = 2, selfPairs = true)
+        .orderBy("field")
+    }),
+
     // Join-key overlap audit: orders.o_custkey vs customer.c_custkey —
     // key-set intersection, row match rates, and worst-case fanout, the
     // pre-join health check.
@@ -6550,6 +6561,7 @@ object SparkEntry {
         |FROM a ORDER BY n_pairs DESC, block""".stripMargin,
     "q_linkage_capped" -> linkageCappedOracle,
     "q_linkage_em" -> linkageEmOracle(0.05),
+    "q_linkage_em2" -> linkageEmOracle(0.05, iterations = 2),
     // Survivorship rules as windows: longest = (len DESC, value DESC)
     // rank-1; mode = (count DESC, value ASC) rank-1; latest = greatest
     // order column (custkey unique → no tie path exercised).
@@ -7102,52 +7114,70 @@ object SparkEntry {
        |ORDER BY id_a, id_b""".stripMargin
   }
 
-  /** One-EM-round oracle: replays emEstimate exactly — the agreement-
-    * pattern histogram, the left-to-right posterior products (every
-    * probability literal CAST to DOUBLE so DuckDB's decimal literals
-    * can't sneak exact arithmetic in where Spark does IEEE), the 12-dp
-    * posterior round, DECIMAL(38,9) sums of 9-dp operands, and the
-    * [1e-6, 1-1e-6] clamp before the 6-dp publish. */
-  private def linkageEmOracle(lambda: Double): String = {
-    val gdefs = linkageFields.indices.map(i =>
+  /** N-round EM oracle: replays emEstimate exactly — the agreement-
+    * pattern histogram computed ONCE, then per round the left-to-right
+    * posterior products (every probability literal CAST to DOUBLE so
+    * DuckDB's decimal literals can't sneak exact arithmetic in where
+    * Spark does IEEE), the 12-dp posterior round, DECIMAL(38,9) sums of
+    * 9-dp operands, and the [1e-6, 1-1e-6] clamp feeding the next
+    * round's weights — one CTE block per iteration, 6-dp publish from
+    * the final weights row. */
+  private def linkageEmOracle(lambda: Double, iterations: Int = 1): String = {
+    val idx = linkageFields.indices
+    val gdefs = idx.map(i =>
       s"CASE WHEN a.f$i = b.f$i THEN 1 ELSE 0 END AS g$i").mkString(", ")
-    val groupCols = linkageFields.indices.map(i => s"g$i").mkString(", ")
+    val groupCols = idx.map(i => s"g$i").mkString(", ")
     def dbl(x: Double) = s"CAST($x AS DOUBLE)"
-    val pmTerms = linkageFields.zipWithIndex.map { case (f, i) =>
-      s"(CASE WHEN g$i = 1 THEN ${dbl(f.m)} ELSE 1.0 - ${dbl(f.m)} END)"
-    }.mkString(" * ")
-    val puTerms = linkageFields.zipWithIndex.map { case (f, i) =>
-      s"(CASE WHEN g$i = 1 THEN ${dbl(f.u)} ELSE 1.0 - ${dbl(f.u)} END)"
-    }.mkString(" * ")
-    val arms = linkageFields.indices.map { i =>
-      s"""SELECT $i AS field,
-         |  CAST(sum(CAST(round((c*p)*g$i, 9) AS DECIMAL(38,9))) AS DOUBLE)
-         |    AS spg,
-         |  CAST(sum(CAST(round((c*(1.0-p))*g$i, 9) AS DECIMAL(38,9)))
-         |    AS DOUBLE) AS sug
-         |FROM sc""".stripMargin
-    }.mkString("\nUNION ALL\n")
     val lo = dbl(1e-6)
+    def clamp(x: String) = s"greatest(least($x, 1.0 - $lo), $lo)"
+    val w0 = (s"${dbl(lambda)} AS lam" +:
+      linkageFields.zipWithIndex.flatMap { case (f, i) =>
+        Seq(s"${dbl(f.m)} AS m$i", s"${dbl(f.u)} AS u$i") }.toSeq)
+      .mkString(", ")
+    val rounds = (1 to iterations).map { r =>
+      val pm = (s"w.lam" +: idx.map(i =>
+        s"(CASE WHEN g$i = 1 THEN w.m$i ELSE 1.0 - w.m$i END)"))
+        .mkString(" * ")
+      val pu = (s"(1.0 - w.lam)" +: idx.map(i =>
+        s"(CASE WHEN g$i = 1 THEN w.u$i ELSE 1.0 - w.u$i END)"))
+        .mkString(" * ")
+      val fcols = idx.flatMap(i => Seq(
+        s"""CAST(sum(CAST(round((c*p)*g$i, 9) AS DECIMAL(38,9)))
+           |    AS DOUBLE) AS spg$i""".stripMargin,
+        s"""CAST(sum(CAST(round((c*(1.0-p))*g$i, 9) AS DECIMAL(38,9)))
+           |    AS DOUBLE) AS sug$i""".stripMargin)).mkString(",\n  ")
+      val wcols = (s"${clamp(s"round(sp / nn, 12)")} AS lam" +:
+        idx.flatMap(i => Seq(
+          s"${clamp(s"round(spg$i / sp, 12)")} AS m$i",
+          s"${clamp(s"round(sug$i / (nn - sp), 12)")} AS u$i")))
+        .mkString(",\n  ")
+      s"""sc$r AS (SELECT $groupCols, c, round(pm / (pm + pu), 12) AS p FROM
+         |  (SELECT pat.*, $pm AS pm,
+         |     $pu AS pu FROM pat CROSS JOIN w${r - 1} w)),
+         |tot$r AS (SELECT CAST(sum(c) AS DOUBLE) AS nn,
+         |  CAST(sum(CAST(round(c*p, 9) AS DECIMAL(38,9))) AS DOUBLE) AS sp
+         |  FROM sc$r),
+         |fr$r AS (SELECT
+         |  $fcols
+         |  FROM sc$r),
+         |w$r AS (SELECT
+         |  $wcols
+         |  FROM fr$r CROSS JOIN tot$r)""".stripMargin
+    }.mkString(",\n")
+    val finalArms = idx.map(i =>
+      s"""SELECT $i AS field, round(m$i, 6) AS m_est,
+         |  round(u$i, 6) AS u_est, round(lam, 6) AS lambda_est
+         |FROM w$iterations""".stripMargin).mkString("\nUNION ALL\n")
     s"""WITH $linkageProjCte,
        |pr AS (SELECT $gdefs
        |       FROM pa a JOIN pa b ON a.blk = b.blk AND a.id < b.id),
        |pat AS (SELECT $groupCols, count(*) AS c FROM pr
        |        GROUP BY $groupCols),
-       |sc AS (SELECT $groupCols, c, round(pm / (pm + pu), 12) AS p FROM
-       |       (SELECT *, ${dbl(lambda)} * $pmTerms AS pm,
-       |          (1.0 - ${dbl(lambda)}) * $puTerms AS pu FROM pat)),
-       |tot AS (SELECT CAST(sum(c) AS DOUBLE) AS nn,
-       |        CAST(sum(CAST(round(c*p, 9) AS DECIMAL(38,9))) AS DOUBLE)
-       |          AS sp FROM sc),
-       |allf AS ($arms)
-       |SELECT CAST(field AS INTEGER) AS field,
-       |  round(greatest(least(round(spg / sp, 12), 1.0 - $lo), $lo), 6)
-       |    AS m_est,
-       |  round(greatest(least(round(sug / (nn - sp), 12), 1.0 - $lo), $lo), 6)
-       |    AS u_est,
-       |  round(greatest(least(round(sp / nn, 12), 1.0 - $lo), $lo), 6)
-       |    AS lambda_est
-       |FROM allf CROSS JOIN tot ORDER BY field""".stripMargin
+       |w0 AS (SELECT $w0),
+       |$rounds,
+       |allf AS ($finalArms)
+       |SELECT CAST(field AS INTEGER) AS field, m_est, u_est, lambda_est
+       |FROM allf ORDER BY field""".stripMargin
   }
 
   private def linkageRatesOracle: String = {
