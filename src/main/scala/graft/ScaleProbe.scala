@@ -171,7 +171,7 @@ object ScaleProbe {
     // product quantization: in-plan L2 Lloyd fit + codegen'd encode
     // (one scan), ADC search at O(m) per candidate pair
     "q_embed_pq_codes", "q_embed_pq_error", "q_ann_pq", "q_ann_ivfpq",
-    "q_ann_ivfpq_residual")
+    "q_ann_ivfpq_residual", "q_ann_ivf_append")
 
   private def caesar(c: org.apache.spark.sql.Column, k: Int) = {
     val lower = "abcdefghijklmnopqrstuvwxyz"

@@ -1461,6 +1461,27 @@ object SparkEntry {
         k = 1, nProbe = 2)
     }),
 
+    // Incremental IVF maintenance: the corpus index is saved, the twin
+    // batch APPENDED against the frozen centroids (new files land only
+    // in touched cells — no index rebuild), and the reloaded index
+    // searched. A twin's cell equals its probe's (argmax dot is
+    // scale-invariant), so rank 1 is deterministically the appended
+    // twin — the same closed-form oracle as q_ann_ivf_twin.
+    "q_ann_ivf_append" -> ((s, d) => {
+      val (e, probes) = annInputs(s, d)
+      val idx = Ann.ivfIndex(e, "vec_id", "v", nCentroids = 16)
+      val path = System.getProperty("java.io.tmpdir") +
+        "/graft_ivf_append_" + new java.io.File(d).getName
+      // save overwrites the assigned dir, so the append stays idempotent
+      Ann.saveIvfIndex(idx, path)
+      val twins = e.select((col("vec_id") + lit(1000000L)).as("vec_id"),
+        transform(col("v"), x => x * lit(2.0)).as("v"))
+      Ann.appendToIvfIndex(s, path, twins, "v")
+      val loaded = Ann.loadIvfIndex(s, path)
+      Ann.ivfSearch(loaded, "vec_id", "v", probes, "query_id", "qv",
+        k = 1, nProbe = 2)
+    }),
+
     // Streaming-shaped IVF search: the stream-legal candidate plan
     // (stateless cell-assign projection + stream-static join, no
     // dropDuplicates, no in-stream window) run over the batch probes,
@@ -4773,6 +4794,11 @@ object SparkEntry {
         "FROM embeddings WHERE vec_id < 5 ORDER BY query_id"),
     // save/load must be a no-op on results: same closed-form oracle
     "q_ann_ivf_persisted" ->
+      ("SELECT vec_id AS query_id, CAST(1 AS BIGINT) AS rank, " +
+        "vec_id + 1000000 AS vec_id, CAST(1.0 AS DOUBLE) AS cosine " +
+        "FROM embeddings WHERE vec_id < 5 ORDER BY query_id"),
+    // append against frozen centroids must find the appended twins
+    "q_ann_ivf_append" ->
       ("SELECT vec_id AS query_id, CAST(1 AS BIGINT) AS rank, " +
         "vec_id + 1000000 AS vec_id, CAST(1.0 AS DOUBLE) AS cosine " +
         "FROM embeddings WHERE vec_id < 5 ORDER BY query_id"),

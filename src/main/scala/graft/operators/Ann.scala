@@ -277,6 +277,30 @@ object Ann {
     finally out.close()
   }
 
+  /**
+   * Incrementally grow a persisted IVF index: assign a new batch to the
+   * EXISTING centroids (loaded from the centroid file — the quantizer
+   * is frozen; that is what makes append cheap and deterministic) and
+   * append its rows into the cell-partitioned layout. One batch scan,
+   * no shuffle of the existing index, and new files land only in the
+   * cells the batch actually touches — the daily-ingest maintenance
+   * path that avoids rebuilding a 100 TB index for a 0.1% delta.
+   * Re-fit (rebuild) when drift audits say the frozen centroids no
+   * longer describe the data; search results after append are
+   * identical to a fresh assignment of the union under the same
+   * centroids (spec-asserted). The batch must carry the same id/vector
+   * columns the index was built with.
+   */
+  def appendToIvfIndex(spark: org.apache.spark.sql.SparkSession,
+                       path: String, batch: DataFrame,
+                       vecCol: String): Unit = {
+    val idx = loadIvfIndex(spark, path)
+    batch
+      .withColumn("__cell", VF.nearestCells(col(vecCol), idx.centroids, 1)(0))
+      .write.mode("append").partitionBy("__cell")
+      .parquet(s"$path/assigned")
+  }
+
   /** Load a persisted [[IvfIndex]] (see [[saveIvfIndex]]). */
   def loadIvfIndex(spark: org.apache.spark.sql.SparkSession, path: String): IvfIndex = {
     val p = new org.apache.hadoop.fs.Path(s"$path/centroids.txt")

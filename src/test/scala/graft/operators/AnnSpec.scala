@@ -147,6 +147,39 @@ class AnnSpec extends SparkTestBase {
     assert(viaExpr.except(viaPlan).isEmpty && viaPlan.except(viaExpr).isEmpty)
   }
 
+  test("appendToIvfIndex equals a fresh assignment of the union under the same centroids") {
+    val e = realEmbeddings.limit(80)
+    val half1 = e.filter(col("vec_id") % 2 === 0)
+    val half2 = e.filter(col("vec_id") % 2 === 1)
+    val idx = Ann.ivfIndex(half1, "vec_id", "v", nCentroids = 4)
+    val path = System.getProperty("java.io.tmpdir") + "/graft_ivf_append_spec"
+    Ann.saveIvfIndex(idx, path)
+    Ann.appendToIvfIndex(spark, path, half2, "v")
+    val loaded = Ann.loadIvfIndex(spark, path)
+    // the appended index holds exactly the union, each row assigned to
+    // the frozen centroids' nearest cell
+    val got = loaded.assigned.select("vec_id", "__cell").collect()
+      .map(r => (r.getLong(0), r.getInt(1))).toMap
+    val want = e
+      .withColumn("__cell",
+        graft.functions.VectorFunctions
+          .nearestCells(col("v"), idx.centroids, 1)(0))
+      .collect().map(r => (r.getLong(0), r.getInt(2))).toMap
+    assert(got == want)
+    // and a search over the appended index behaves like one over a
+    // fresh union index with the same centroids
+    val probes = e.filter(col("vec_id") < 4)
+      .select(col("vec_id").as("qid"), col("v").as("qv"))
+    val fresh = Ann.IvfIndex(idx.centroids, e.withColumn("__cell",
+      graft.functions.VectorFunctions
+        .nearestCells(col("v"), idx.centroids, 1)(0)))
+    val a = Ann.ivfSearch(loaded, "vec_id", "v", probes, "qid", "qv",
+      k = 3, nProbe = 2).collect().map(_.toSeq).toSeq
+    val b = Ann.ivfSearch(fresh, "vec_id", "v", probes, "qid", "qv",
+      k = 3, nProbe = 2).collect().map(_.toSeq).toSeq
+    assert(a == b)
+  }
+
   test("derived band width tracks ceil(log2 N) and clamps to [8, 24]") {
     assert(Ann.derivedBandBits(100) == 8)             // floor
     assert(Ann.derivedBandBits(8000) == 13)           // ceil(log2 8000)
