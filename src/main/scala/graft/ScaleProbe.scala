@@ -171,7 +171,9 @@ object ScaleProbe {
     // product quantization: in-plan L2 Lloyd fit + codegen'd encode
     // (one scan), ADC search at O(m) per candidate pair
     "q_embed_pq_codes", "q_embed_pq_error", "q_ann_pq", "q_ann_ivfpq",
-    "q_ann_ivfpq_residual", "q_ann_ivf_append")
+    "q_ann_ivfpq_residual", "q_ann_ivf_append",
+    // WER: pure-projection rolling-DP expression (O(|h|*|r|) per row)
+    "q_eval_wer", "q_eval_wer_corpus")
 
   private def caesar(c: org.apache.spark.sql.Column, k: Int) = {
     val lower = "abcdefghijklmnopqrstuvwxyz"

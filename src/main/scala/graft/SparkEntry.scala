@@ -6,7 +6,7 @@ import graft.functions.{TextFunctions => TF, VectorFunctions => VF}
 import graft.functions.TimeFunctions.epochMicros
 import graft.pipeline.PipelineExecutor
 import graft.sources.Ingest
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -2464,6 +2464,30 @@ object SparkEntry {
       graft.operators.Augment.spanCorrupt(docs(s, d), "doc_id", "text",
         noiseDensity = 0.2, spanLen = 3).orderBy("id")),
 
+    // Word error rate over char tokens (ASCII-sanitized 80-char
+    // prefixes; odd docs get vowels stripped + a trailing X as the
+    // "hypothesis error"): char tokens make word-level Levenshtein
+    // coincide with DuckDB's native byte-level levenshtein — a full
+    // cross-engine check of the rolling-DP expression on real text.
+    // Word-granularity semantics are pinned by EvalSpec's hand DPs.
+    "q_eval_wer" -> ((s, d) => {
+      val p = werPairs(s, d)
+      graft.operators.Eval.tokenErrorRate(
+        p.select(col("id"), werChars(col("hs")).as("ht"),
+          werChars(col("rs")).as("rt")),
+        "id", "ht", "rt").orderBy("id")
+    }),
+
+    // Pooled corpus WER over the same pairs (Σedits / Σ|ref|).
+    "q_eval_wer_corpus" -> ((s, d) => {
+      val p = werPairs(s, d)
+      graft.operators.Eval.poolErrorRate(
+        graft.operators.Eval.tokenErrorRate(
+          p.select(col("id"), werChars(col("hs")).as("ht"),
+            werChars(col("rs")).as("rt")),
+          "id", "ht", "rt"))
+    }),
+
     // Corpus chrF2 over the mixed pairs: character 1..6-gram F-score
     // with β = 2 — the tokenization-robust MT metric; the self half
     // keeps every order massed, the next-doc half pulls P/R below 1.
@@ -3346,6 +3370,35 @@ object SparkEntry {
   private val csvFixture = s"$fixtureDir/parts_fixture.csv"
   private val quotedFixture = s"$fixtureDir/quoted_fixture.csv"
   private val jsonlFixture = s"$fixtureDir/docs_fixture.jsonl"
+
+  /** WER gate pairs: ASCII-only 80-char text prefixes as the
+    * hypothesis; even ids reference themselves (WER 0), odd ids get a
+    * vowel-stripped, 'X'-suffixed reference (real edit structure in
+    * both directions). Pure-ASCII strings keep DuckDB's byte-level
+    * levenshtein equal to the char-level distance. */
+  private def werPairs(s: SparkSession, d: String): DataFrame =
+    docs(s, d).select(col("doc_id").as("id"),
+        regexp_replace(substring(coalesce(col("text"), lit("")), 1, 80),
+          "[^ -~]", "").as("hs"))
+      .withColumn("rs",
+        when(col("id") % 2 === 0, col("hs"))
+          .otherwise(concat(regexp_replace(col("hs"), "[aeiou]", ""),
+            lit("X"))))
+
+  /** DuckDB mirror of [[werPairs]]. */
+  private val werPairsSql: String =
+    """p AS (SELECT doc_id AS id,
+      |  regexp_replace(substr(coalesce(text, ''), 1, 80),
+      |                 '[^ -~]', '', 'g') AS hs FROM documents),
+      |g AS (SELECT id, hs, CASE WHEN id % 2 = 0 THEN hs
+      |        ELSE regexp_replace(hs, '[aeiou]', '', 'g') || 'X'
+      |      END AS rs FROM p)""".stripMargin
+
+  /** A string as its character-token array (empty → empty array). */
+  private def werChars(c: Column): Column =
+    when(length(c) > 0,
+      transform(sequence(lit(1), length(c)), i => c.substr(i, lit(1))))
+      .otherwise(array().cast("array<string>"))
 
   private def annInputs(s: SparkSession, d: String): (DataFrame, DataFrame) = {
     val e = embeddings(s, d).select(col("vec_id"), VF.asDouble(col("embedding")).as("v"))
@@ -5631,6 +5684,25 @@ object SparkEntry {
         |  CASE WHEN pn = gn THEN 1 ELSE 0 END AS exact_match
         |FROM base b LEFT JOIN ov o USING (id) ORDER BY id""".stripMargin,
     "q_eval_bleu" -> bleuOracle(4),
+    "q_eval_wer" ->
+      s"""WITH $werPairsSql
+        |SELECT id, CAST(length(rs) AS BIGINT) AS n_ref,
+        |  CAST(length(hs) AS BIGINT) AS n_hyp,
+        |  CAST(levenshtein(hs, rs) AS BIGINT) AS edits,
+        |  CASE WHEN length(rs) > 0 THEN
+        |    round(CAST(levenshtein(hs, rs) AS DOUBLE) / length(rs), 6)
+        |  END AS wer
+        |FROM g ORDER BY id""".stripMargin,
+    "q_eval_wer_corpus" ->
+      s"""WITH $werPairsSql
+        |SELECT CAST(count(*) AS BIGINT) AS n_pairs,
+        |  CAST(sum(length(rs)) AS BIGINT) AS ref_tokens,
+        |  CAST(sum(levenshtein(hs, rs)) AS BIGINT) AS edits,
+        |  CASE WHEN sum(length(rs)) > 0 THEN
+        |    round(CAST(sum(levenshtein(hs, rs)) AS DOUBLE) /
+        |          sum(length(rs)), 6)
+        |  END AS wer
+        |FROM g""".stripMargin,
     "q_eval_chrf" -> chrfOracle(6, 2.0),
     "q_sample_kcenter" -> kCenterOracle(4),
     // Regenerates the ±1 matrix from SQL md5 (same seed:j:i strings,

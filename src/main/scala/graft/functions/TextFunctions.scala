@@ -224,6 +224,12 @@ object TextFunctions {
     CatalystBridge.column(LcsLength(
       CatalystBridge.expression(a), CatalystBridge.expression(b)))
 
+  /** Word-level Levenshtein distance of two token arrays (the WER/TER
+    * numerator) — native rolling-DP expression, pure projection. */
+  def tokenEditDistance(a: Column, b: Column): Column =
+    CatalystBridge.column(TokenEditDistance(
+      CatalystBridge.expression(a), CatalystBridge.expression(b)))
+
   /** Jaro-Winkler similarity of two strings (record-linkage name
     * comparator) — native expression, semantics pinned to DuckDB's
     * `jaro_winkler_similarity` (see [[JaroWinkler]]). */

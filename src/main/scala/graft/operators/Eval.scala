@@ -353,6 +353,61 @@ object Eval {
   }
 
   /**
+   * Word error rate over PRE-TOKENIZED hypothesis/reference arrays:
+   * `(id, n_ref, n_hyp, edits, wer)` with `edits` the word-level
+   * Levenshtein distance (unit-cost substitution/insertion/deletion —
+   * the S+I+D numerator) and WER = edits/n_ref, NULL on an empty
+   * reference (undefined, not 0; the edits column still reports the
+   * |hyp| pure insertions). Caller chooses the token granularity —
+   * words for ASR WER, chars for CER, BPE pieces for model-space TER.
+   *
+   * Scale shape: a PURE PROJECTION — the DP is the native rolling-DP
+   * codegen'd [[graft.functions.TokenEditDistance]], zero shuffle, the
+   * corpus never moves; O(|hyp|·|ref|) per-row arithmetic inside
+   * whole-stage codegen (cap transcript lengths upstream via Chunk if
+   * pairs can reach 10⁵×10⁵ tokens).
+   */
+  def tokenErrorRate(df: DataFrame, idCol: String,
+                     hypToksCol: String, refToksCol: String): DataFrame = {
+    import graft.functions.{TextFunctions => TFN}
+    df.select(col(idCol).as("id"),
+        size(col(refToksCol)).cast("long").as("n_ref"),
+        size(col(hypToksCol)).cast("long").as("n_hyp"),
+        TFN.tokenEditDistance(col(hypToksCol), col(refToksCol)).as("edits"))
+      .select(col("id"), col("n_ref"), col("n_hyp"), col("edits"),
+        when(col("n_ref") > 0,
+          round(col("edits").cast("double") / col("n_ref"), 6)).as("wer"))
+  }
+
+  /** Standard whitespace-token WER of hypothesis strings against
+    * references — [[tokenErrorRate]] over the shared Eval tokenizer. */
+  def wordErrorRate(df: DataFrame, idCol: String,
+                    hypCol: String, refCol: String): DataFrame =
+    tokenErrorRate(
+      df.select(col(idCol), toks(col(hypCol)).as("__ht"),
+        toks(col(refCol)).as("__rt")),
+      idCol, "__ht", "__rt")
+
+  /** Pool a [[tokenErrorRate]] / [[wordErrorRate]] table to corpus
+    * WER, one row: `(n_pairs, ref_tokens, edits, wer)` with
+    * WER = Σedits/Σ|ref| — the standard pooled definition (empty-ref
+    * rows still contribute their insertion edits to the numerator). */
+  def poolErrorRate(rates: DataFrame): DataFrame =
+    rates
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(col("n_ref")).as("ref_tokens"),
+        sum(col("edits")).as("edits"))
+      .select(col("n_pairs"), col("ref_tokens"), col("edits"),
+        when(col("ref_tokens") > 0,
+          round(col("edits").cast("double") / col("ref_tokens"), 6))
+          .as("wer"))
+
+  /** Corpus whitespace-token WER of hypothesis strings vs references. */
+  def corpusWer(df: DataFrame, idCol: String,
+                hypCol: String, refCol: String): DataFrame =
+    poolErrorRate(wordErrorRate(df, idCol, hypCol, refCol))
+
+  /**
    * Corpus-level BLEU (Papineni et al. 2002) of `predCol` against a
    * single reference `goldCol`: one row
    * `(pred_len, ref_len, p_1..p_{maxN}, brevity_penalty, bleu)` with

@@ -308,4 +308,44 @@ class EvalSpec extends SparkTestBase {
     // q2 neighbors: 10=B, 11=A → 1-1 tie → "A" (smallest), own A → clean
     assert(out(2L) == (("A", 2L, 1L, false)))
   }
+
+  test("wordErrorRate: hand-computed word-level Levenshtein cases") {
+    import org.apache.spark.sql.Row
+    val d = df("id BIGINT, hyp STRING, ref STRING", Seq(
+      Row(1L, "the cat sat", "the cat sat down"),    // 1 insertion
+      Row(2L, "a b a", "b a c"),                     // delete + substitute
+      Row(3L, "x y z", "x y z"),                     // exact
+      Row(4L, "completely different words", "alpha beta"), // 2 sub + 1 del
+      Row(5L, "", "ref only"),                       // all insertions
+      Row(6L, "hyp only words", "")))                // empty ref
+    val out = Eval.wordErrorRate(d, "id", "hyp", "ref").collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3),
+          if (r.isNullAt(4)) -1.0 else r.getDouble(4)))).toMap
+    assert(out(1L) == ((4L, 3L, 1L, 0.25)))
+    assert(out(2L) == ((3L, 3L, 2L, BigDecimal(2.0 / 3)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)))
+    assert(out(3L) == ((3L, 3L, 0L, 0.0)))
+    assert(out(4L) == ((2L, 3L, 3L, 1.5))) // WER can exceed 1
+    assert(out(5L) == ((2L, 0L, 2L, 1.0)))
+    // empty reference: edits = |hyp| insertions, WER undefined (NULL)
+    assert(out(6L) == ((0L, 3L, 3L, -1.0)))
+    // corpus pooling: Σedits / Σ|ref| over all six rows
+    val pooled = Eval.corpusWer(d, "id", "hyp", "ref").collect()(0)
+    assert(pooled.getLong(0) == 6L && pooled.getLong(1) == 14L)
+    assert(pooled.getLong(2) == 11L)
+    assert(pooled.getDouble(3) == BigDecimal(11.0 / 14)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+  }
+
+  test("tokenErrorRate: caller-chosen granularity (chars reproduce kitten/sitting = 3)") {
+    import org.apache.spark.sql.Row
+    val d = df("id BIGINT, h ARRAY<STRING>, r ARRAY<STRING>", Seq(
+      Row(1L, "kitten".split("").toSeq, "sitting".split("").toSeq),
+      Row(2L, Seq("multi", "char", "tokens"), Seq("multi", "chars", "tokens"))))
+    val out = Eval.tokenErrorRate(d, "id", "h", "r").collect()
+      .map(r => r.getLong(0) -> r.getLong(3)).toMap
+    assert(out(1L) == 3L) // the classic example
+    assert(out(2L) == 1L) // one substitution, whole-token equality
+  }
 }
