@@ -2430,6 +2430,39 @@ object SparkEntry {
         k = 3, nProbe = 4)
     }),
 
+    // ANN recall audit, itself oracle-verified: exact brute-force
+    // top-10 as gold vs ADC top-10 as the approximate tier — both
+    // deterministic and SQL-replayable, so the MEASUREMENT (per-query
+    // intersection / recall@10) hash-checks cross-engine. The pattern a
+    // deployment runs on a sample before trusting any approximate tier
+    // — and on this gate's deliberately tiny oracle-tractable codebook
+    // (2×4 = 16 reconstructions for 500 vectors) it correctly reports
+    // LOW recall (~0-0.3): the audit surfacing an under-sized (m, k)
+    // is the feature; production budgets (8×256) are what PqSpec's
+    // geometry and SCALING.md size for.
+    "q_ann_pq_recall" -> ((s, d) => {
+      val e = embeddings(s, d).select(col("vec_id"),
+        VF.asDouble(col("embedding")).as("v"))
+      val cb = graft.operators.Pq.fit(e, "vec_id", "v",
+        subspaces = 2, k = 4, iterations = 1)
+      val codes = graft.operators.Pq.encode(e, "vec_id", "v", cb)
+      val probes = e.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("query_id"), col("v").as("qv"))
+      val exact = Ann.bruteForceTopK(e, "vec_id", "v", probes,
+        "query_id", "qv", k = 10).select("query_id", "vec_id")
+      val approx = graft.operators.Pq.adcTopK(codes, "vec_id", "codes",
+        probes, "query_id", "qv", cb, k = 10).select("query_id", "vec_id")
+      val hits = exact.join(approx, Seq("query_id", "vec_id"))
+        .groupBy("query_id").agg(count(lit(1)).as("n_hits"))
+      probes.select(col("query_id"))
+        .join(hits, Seq("query_id"), "left")
+        .select(col("query_id"),
+          coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+          round(coalesce(col("n_hits"), lit(0L)).cast("double") / 10, 6)
+            .as("recall_at_10"))
+        .orderBy("query_id")
+    }),
+
     // Residual IVFADC, oracle-checkable construction: nCentroids = 1
     // with one Lloyd round makes the cell centroid the seed-independent
     // unit-normalized corpus mean, so the whole residual chain
@@ -5730,6 +5763,7 @@ object SparkEntry {
     // all cells probed -> cell tier is a no-op -> plain ADC oracle
     "q_ann_ivfpq" -> pqAdcOracle,
     "q_ann_ivfpq_residual" -> pqResidualAdcOracle,
+    "q_ann_pq_recall" -> pqRecallOracle,
     "q_embed_dimstats" ->
       """WITH x AS (
         |  SELECT i AS dim, round(v[i], 9) AS x FROM (
@@ -7607,26 +7641,31 @@ object SparkEntry {
        |  round(max(err), 6) AS max_err
        |FROM er""".stripMargin
 
+  /** ADC scoring CTEs shared by the plain-ADC oracle and the recall
+    * audit: per-probe LUT, pivoted codes, base-0 score per candidate. */
+  private val pqAdcScoreCtes: String =
+    """lut AS (SELECT p.vec_id AS query_id, cb.s, cb.code,
+      |          list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+      |            list_transform(range(1, 33),
+      |              i -> p.v[cb.s*32 + i] * cb.c[i])),
+      |            (a, b) -> a + b) AS dot
+      |        FROM (SELECT vec_id, v FROM e WHERE vec_id < 5) p
+      |          CROSS JOIN cb),
+      |cs AS (SELECT vec_id,
+      |         max(CASE WHEN s = 0 THEN code END) AS c0,
+      |         max(CASE WHEN s = 1 THEN code END) AS c1
+      |       FROM codes GROUP BY 1),
+      |sc AS (SELECT l0.query_id, cs.vec_id,
+      |         CAST(0.0 AS DOUBLE) + l0.dot + l1.dot AS score
+      |       FROM cs
+      |       JOIN lut l0 ON l0.s = 0 AND l0.code = cs.c0
+      |       JOIN lut l1 ON l1.s = 1 AND l1.code = cs.c1
+      |         AND l1.query_id = l0.query_id
+      |       WHERE cs.vec_id != l0.query_id)""".stripMargin
+
   private def pqAdcOracle: String =
     s"""WITH $pqOracleCtes,
-       |lut AS (SELECT p.vec_id AS query_id, cb.s, cb.code,
-       |          list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
-       |            list_transform(range(1, 33),
-       |              i -> p.v[cb.s*32 + i] * cb.c[i])),
-       |            (a, b) -> a + b) AS dot
-       |        FROM (SELECT vec_id, v FROM e WHERE vec_id < 5) p
-       |          CROSS JOIN cb),
-       |cs AS (SELECT vec_id,
-       |         max(CASE WHEN s = 0 THEN code END) AS c0,
-       |         max(CASE WHEN s = 1 THEN code END) AS c1
-       |       FROM codes GROUP BY 1),
-       |sc AS (SELECT l0.query_id, cs.vec_id,
-       |         CAST(0.0 AS DOUBLE) + l0.dot + l1.dot AS score
-       |       FROM cs
-       |       JOIN lut l0 ON l0.s = 0 AND l0.code = cs.c0
-       |       JOIN lut l1 ON l1.s = 1 AND l1.code = cs.c1
-       |         AND l1.query_id = l0.query_id
-       |       WHERE cs.vec_id != l0.query_id),
+       |$pqAdcScoreCtes,
        |ranked AS (SELECT query_id, vec_id, score,
        |            row_number() OVER (PARTITION BY query_id
        |              ORDER BY score DESC, vec_id ASC) AS rank
@@ -7634,4 +7673,30 @@ object SparkEntry {
        |SELECT query_id, CAST(rank AS BIGINT) AS rank, vec_id,
        |  round(score, 6) AS score
        |FROM ranked WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin
+
+  /** Recall audit oracle: exact brute-force top-10 vs ADC top-10, both
+    * fully replayed in SQL, intersected per query. */
+  private def pqRecallOracle: String =
+    s"""WITH $pqOracleCtes,
+       |$pqAdcScoreCtes,
+       |pr0 AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 5),
+       |ex AS (SELECT query_id, vec_id FROM (
+       |  SELECT pr0.query_id, e.vec_id,
+       |    row_number() OVER (PARTITION BY pr0.query_id
+       |      ORDER BY list_cosine_similarity(pr0.qv, e.v) DESC,
+       |               e.vec_id ASC) AS rank
+       |  FROM e CROSS JOIN pr0 WHERE e.vec_id != pr0.query_id)
+       |  WHERE rank <= 10),
+       |ap AS (SELECT query_id, vec_id FROM (
+       |  SELECT query_id, vec_id,
+       |    row_number() OVER (PARTITION BY query_id
+       |      ORDER BY score DESC, vec_id ASC) AS rank FROM sc)
+       |  WHERE rank <= 10),
+       |h AS (SELECT ex.query_id, count(*) AS n_hits
+       |      FROM ex JOIN ap USING (query_id, vec_id) GROUP BY 1)
+       |SELECT q.query_id, CAST(coalesce(h.n_hits, 0) AS BIGINT) AS n_hits,
+       |  round(CAST(coalesce(h.n_hits, 0) AS DOUBLE) / 10, 6)
+       |    AS recall_at_10
+       |FROM (SELECT DISTINCT query_id FROM pr0) q LEFT JOIN h USING (query_id)
+       |ORDER BY query_id""".stripMargin
 }
