@@ -229,12 +229,14 @@ class PlanAuditSpec extends SparkTestBase {
     assert(plan.contains("Window"), plan)
   }
 
-  test("covariance: one pass — the only wide exchange is the (i,j) cell aggregate") {
+  test("covariance: one corpus pass — d-row marginals broadcast back, no wide join") {
     val plan = SparkEntry.queries("q_embed_covariance")(spark, dir)
       .queryExecution.executedPlan.toString
-    // no join anywhere (the explode pairs dims inside the scan) and the
-    // corpus shuffles only as d²-keyed partial-aggregate cells
-    assert(!plan.contains("Join"), plan)
+    // the explode pairs dims inside the scan and the corpus shuffles
+    // only as d²-keyed partial-aggregate cells; the per-dim marginal
+    // sums (d rows) join back as broadcasts — never a shuffled join
+    assert(!plan.contains("SortMergeJoin"), plan)
+    assert(!plan.contains("ShuffledHashJoin"), plan)
     assert(plan.contains("Generate explode") || plan.contains("Generate posexplode"), plan)
   }
 
