@@ -173,7 +173,9 @@ object ScaleProbe {
     "q_embed_pq_codes", "q_embed_pq_error", "q_ann_pq", "q_ann_ivfpq",
     "q_ann_ivfpq_residual", "q_ann_ivf_append",
     // WER: pure-projection rolling-DP expression (O(|h|*|r|) per row)
-    "q_eval_wer", "q_eval_wer_corpus")
+    "q_eval_wer", "q_eval_wer_corpus",
+    // training-order shuffle: one shard-keyed shuffle + per-shard sort
+    "q_split_order", "q_ann_pq_recall", "q_linkage_em2")
 
   private def caesar(c: org.apache.spark.sql.Column, k: Int) = {
     val lower = "abcdefghijklmnopqrstuvwxyz"

@@ -3224,6 +3224,15 @@ object SparkEntry {
         .select(col("event_id"), col("split"))
         .orderBy("event_id")),
 
+    // Deterministic training-order shuffle: seeded md5 shard +
+    // within-shard rank — the (shard, position) every example carries
+    // into the final sharded write; engine-exact by the same md5/hex
+    // discipline as the split gates.
+    "q_split_order" -> ((s, d) =>
+      graft.operators.Split.trainingOrder(
+          docs(s, d).select(col("doc_id")), "doc_id", nShards = 8)
+        .orderBy("shard", "position")),
+
     // Conversation-structure audit over the sftTurns reshaping: parity
     // roles make full conversations valid; tail fragments exercise the
     // failure flags.
@@ -4529,6 +4538,21 @@ object SparkEntry {
       ("SELECT doc_id, source, CASE WHEN substring(md5(source), 1, 8) < '" +
         graft.operators.Split.thresholdHex(0.5) +
         "' THEN 'train' ELSE 'test' END AS split FROM documents"),
+    // first md5 byte via two strpos nibbles = Spark's conv(...,16,10);
+    // within-shard order is the HEX STRING itself (lexicographic on
+    // [0-9a-f] = numeric), so no cross-engine numeric parsing at all
+    "q_split_order" ->
+      """WITH h AS (SELECT doc_id,
+        |    md5('graft:' || CAST(doc_id AS VARCHAR)) AS hx FROM documents),
+        |s AS (SELECT doc_id, hx,
+        |    CAST(((strpos('0123456789abcdef', substring(hx, 1, 1)) - 1) * 16
+        |      + strpos('0123456789abcdef', substring(hx, 2, 1)) - 1) % 8
+        |      AS INTEGER) AS shard
+        |  FROM h)
+        |SELECT doc_id, shard,
+        |  CAST(row_number() OVER (PARTITION BY shard
+        |    ORDER BY hx ASC, doc_id ASC) AS BIGINT) AS position
+        |FROM s ORDER BY shard, position""".stripMargin,
     // strpos over the hex alphabet = the nibble value conv() reads.
     "q_split_kfold" ->
       """SELECT doc_id, CAST((strpos('0123456789abcdef',

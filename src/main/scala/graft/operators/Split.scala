@@ -113,6 +113,39 @@ object Split {
    * shuffle. The rank arithmetic mirrors Profile.quantiles: 9-dp round
    * before ceil so IEEE `frac·n` cannot cross an integer boundary.
    */
+  /**
+   * Deterministic training-order shuffle + sharding — the last mile of
+   * a curation pipeline: every example gets a `(shard, position)` so
+   * the training job can stream shard files in position order and see a
+   * seeded pseudo-random global order, reproducibly, with no RNG state
+   * anywhere. Shard = the first md5 byte of `seed:id` mod `nShards`
+   * (balanced in expectation); position = rank of the full md5 hex
+   * within the shard (ties → id). Same content + same seed = same
+   * order on any cluster, any partitioning, any engine — the md5/hex
+   * discipline every Split/Sample operator here shares.
+   *
+   * Scale shape: ONE hash shuffle keyed by shard and a per-shard sort —
+   * at 100 TB pick nShards so a shard fits a sort task comfortably
+   * (e.g. 10⁴–10⁵ shards); there is no global sort and no driver
+   * state. Downstream, `df.repartition(col("shard"))
+   * .sortWithinPartitions("position")` + a partitioned write lays the
+   * files out exactly as the trainer reads them.
+   */
+  def trainingOrder(df: DataFrame, idCol: String, nShards: Int,
+                    seed: String = "graft"): DataFrame = {
+    require(nShards >= 1 && nShards <= 256,
+      "nShards must be in [1, 256] (shard id is the first md5 byte)")
+    val h = md5(concat_ws(":", lit(seed), col(idCol).cast("string")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("shard").orderBy(col("__h").asc, col(idCol).asc)
+    df.withColumn("__h", h)
+      .withColumn("shard",
+        (conv(substring(col("__h"), 1, 2), 16, 10).cast("int")
+          % nShards).cast("int"))
+      .withColumn("position", row_number().over(w).cast("long"))
+      .drop("__h")
+  }
+
   def temporalSplit(df: DataFrame, tsCol: String, trainFrac: Double,
                     splitCol: String = "split"): DataFrame = {
     require(trainFrac > 0.0 && trainFrac < 1.0, "trainFrac must be in (0,1)")

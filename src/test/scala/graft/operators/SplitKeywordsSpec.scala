@@ -210,4 +210,31 @@ class SplitKeywordsSpec extends SparkTestBase {
       Split.kFold(d, "key", k = 3)
     }
   }
+
+  test("trainingOrder: deterministic (shard, position) independent of input partitioning") {
+    import spark.implicits._
+    val d = (0L until 200L).toDF("id")
+    val a = Split.trainingOrder(d, "id", nShards = 4).collect()
+      .map(r => r.getLong(0) -> ((r.getInt(1), r.getLong(2)))).toMap
+    // same content, radically different partitioning → identical order
+    val b = Split.trainingOrder(d.repartition(17), "id", nShards = 4)
+      .collect().map(r => r.getLong(0) -> ((r.getInt(1), r.getLong(2)))).toMap
+    assert(a == b)
+    // positions are contiguous 1..|shard| within every shard
+    a.values.groupBy(_._1).foreach { case (_, rows) =>
+      assert(rows.map(_._2).toSeq.sorted == (1L to rows.size).toSeq)
+    }
+    // hash sharding is balanced in expectation: no empty shard at n=200
+    assert(a.values.map(_._1).toSet == Set(0, 1, 2, 3))
+    // a different seed is a different permutation
+    val c = Split.trainingOrder(d, "id", nShards = 4, seed = "other")
+      .collect().map(r => r.getLong(0) -> ((r.getInt(1), r.getLong(2)))).toMap
+    assert(c != a)
+    // the order is NOT the id order (it actually shuffles)
+    val shard0 = a.toSeq.filter(_._2._1 == a(0L)._1).sortBy(_._2._2).map(_._1)
+    assert(shard0 != shard0.sorted)
+    intercept[IllegalArgumentException] {
+      Split.trainingOrder(d, "id", nShards = 300)
+    }
+  }
 }
