@@ -175,7 +175,8 @@ object ScaleProbe {
     // WER: pure-projection rolling-DP expression (O(|h|*|r|) per row)
     "q_eval_wer", "q_eval_wer_corpus",
     // training-order shuffle: one shard-keyed shuffle + per-shard sort
-    "q_split_order", "q_ann_pq_recall", "q_linkage_em2")
+    "q_split_order", "q_ann_pq_recall", "q_linkage_em2",
+    "q_ann_pq_persisted")
 
   private def caesar(c: org.apache.spark.sql.Column, k: Int) = {
     val lower = "abcdefghijklmnopqrstuvwxyz"

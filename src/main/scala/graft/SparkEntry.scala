@@ -2430,6 +2430,26 @@ object SparkEntry {
         k = 3, nProbe = 4)
     }),
 
+    // Persisted-PQ round-trip: codebook file + codes parquet saved,
+    // reloaded, and ADC-searched — must equal the in-memory search
+    // exactly (same plain-ADC oracle), proving codes stay decodable
+    // across the save/load boundary.
+    "q_ann_pq_persisted" -> ((s, d) => {
+      val e = embeddings(s, d).select(col("vec_id"),
+        VF.asDouble(col("embedding")).as("v"))
+      val cb = graft.operators.Pq.fit(e, "vec_id", "v",
+        subspaces = 2, k = 4, iterations = 1)
+      val codes = graft.operators.Pq.encode(e, "vec_id", "v", cb)
+      val path = System.getProperty("java.io.tmpdir") +
+        "/graft_pq_gate_" + new java.io.File(d).getName
+      graft.operators.Pq.savePqIndex(codes, cb, path)
+      val (cb2, codes2) = graft.operators.Pq.loadPqIndex(s, path)
+      val probes = e.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("query_id"), col("v").as("qv"))
+      graft.operators.Pq.adcTopK(codes2, "vec_id", "codes",
+        probes, "query_id", "qv", cb2, k = 3)
+    }),
+
     // ANN recall audit, itself oracle-verified: exact brute-force
     // top-10 as gold vs ADC top-10 as the approximate tier — both
     // deterministic and SQL-replayable, so the MEASUREMENT (per-query
@@ -5788,6 +5808,8 @@ object SparkEntry {
     "q_ann_ivfpq" -> pqAdcOracle,
     "q_ann_ivfpq_residual" -> pqResidualAdcOracle,
     "q_ann_pq_recall" -> pqRecallOracle,
+    // save/load must be a no-op on ADC results: same plain-ADC oracle
+    "q_ann_pq_persisted" -> pqAdcOracle,
     "q_embed_dimstats" ->
       """WITH x AS (
         |  SELECT i AS dim, round(v[i], 9) AS x FROM (

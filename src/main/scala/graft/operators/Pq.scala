@@ -123,6 +123,49 @@ object Pq {
     df.select(col(idCol), codes.as("codes"))
   }
 
+  /**
+   * Persist an encoded corpus: the codebook as a small text file (one
+   * line per (subspace, code) centroid — m·k rows, driver-side tiny)
+   * and the codes table as parquet. The codes ARE the index — reloading
+   * costs a codes scan, never a vector scan; the codebook file is the
+   * contract that makes old codes decodable forever (re-fitting
+   * invalidates codes, exactly like IVF centroids). Hadoop FileSystem
+   * API, so local disk / HDFS / object stores all work.
+   */
+  def savePqIndex(codes: DataFrame, codebook: Array[Array[Array[Double]]],
+                  path: String): Unit = {
+    val spark = codes.sparkSession
+    codes.write.mode("overwrite").parquet(s"$path/codes")
+    val p = new org.apache.hadoop.fs.Path(s"$path/codebook.txt")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(p, true)
+    val text = codebook.zipWithIndex.flatMap { case (sc, s) =>
+      sc.zipWithIndex.map { case (c, j) =>
+        s"$s $j ${c.mkString(",")}" }
+    }.mkString("\n")
+    try out.write(text.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+  }
+
+  /** Load a persisted PQ index: (codebook, codes). */
+  def loadPqIndex(spark: org.apache.spark.sql.SparkSession,
+                  path: String): (Array[Array[Array[Double]]], DataFrame) = {
+    val p = new org.apache.hadoop.fs.Path(s"$path/codebook.txt")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val buf = new Array[Byte](fs.getFileStatus(p).getLen.toInt)
+    val in = fs.open(p)
+    try in.readFully(buf) finally in.close()
+    val rows = new String(buf, java.nio.charset.StandardCharsets.UTF_8)
+      .split("\n").map { line =>
+        val Array(s, j, c) = line.split(" ", 3)
+        (s.toInt, j.toInt, c.split(",").map(_.toDouble))
+      }
+    val codebook = rows.groupBy(_._1).toSeq.sortBy(_._1).map { case (_, sc) =>
+      sc.sortBy(_._2).map(_._3)
+    }.toArray
+    (codebook, spark.read.parquet(s"$path/codes"))
+  }
+
   /** Codebook as a nested array literal: cb[s+1][j+1] = centroid. */
   private def codebookLit(codebook: Array[Array[Array[Double]]]): Column =
     array(codebook.map(sc =>

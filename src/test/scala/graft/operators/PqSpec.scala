@@ -240,6 +240,23 @@ class PqSpec extends SparkTestBase {
     assert(sink.toMap == batch)
   }
 
+  test("savePqIndex/loadPqIndex round-trips the codebook bit-for-bit and the codes") {
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .limit(40)
+    val cb = Pq.fit(e, "vec_id", "v", 2, 4, 1)
+    val codes = Pq.encode(e, "vec_id", "v", cb)
+    val path = System.getProperty("java.io.tmpdir") + "/graft_pq_spec"
+    Pq.savePqIndex(codes, cb, path)
+    val (cb2, codes2) = Pq.loadPqIndex(spark, path)
+    // Double.toString is shortest-round-trip: parsing returns the
+    // identical IEEE double, so reloaded ADC plans are bit-equal
+    assert(cb2.map(_.map(_.toSeq).toSeq).toSeq ==
+      cb.map(_.map(_.toSeq).toSeq).toSeq)
+    assert(codes2.collect().map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap ==
+      codes.collect().map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap)
+  }
+
   test("native nearestCellL2 agrees with a reference argmin on real embeddings") {
     val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
