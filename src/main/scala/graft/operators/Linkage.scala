@@ -127,6 +127,14 @@ object Linkage {
    * one table): pass the same frame twice with `selfPairs = true` and
    * the `id_a < id_b` guard keeps each unordered pair once.
    * `maxBlockSize` drops over-cap blocks entirely (see [[blockAudit]]).
+   *
+   * STREAM-legal with a streaming `left` and static `right` when
+   * `maxBlockSize` is None (the cap needs an aggregate over the
+   * stream): the blocked join is stream-static inner and scoring is a
+   * pure projection — zero state, no watermark. That is the
+   * incremental entity-resolution shape (score each arriving record
+   * against the master file), cross-checked row-for-row vs batch in
+   * StreamingLinkageCrossCheckSpec.
    */
   def linkageScores(left: DataFrame, right: DataFrame,
                     leftId: String, rightId: String,
