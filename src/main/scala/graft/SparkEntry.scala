@@ -62,6 +62,23 @@ object SparkEntry {
         .as("score"),
       (col("lang") === "en").as("label"))
 
+  /** Deterministic pairwise-comparison stream for the arena gates:
+    * each event pits item `event_id % 7` against `(event_id div 7) % 7`
+    * (self-matches dropped); the lower-numbered item wins unless
+    * `event_id % 3 == 0` (a 1-in-3 upset), so strengths decrease in
+    * item id with every matchup observed both ways. */
+  private def arenaComparisons(s: SparkSession, d: String): DataFrame = {
+    val base = executor(s, d).table("events")
+      .select(col("event_id"), (col("event_id") % 7).as("a"),
+        (expr("event_id div 7") % 7).as("b"))
+      .filter(col("a") =!= col("b"))
+    base.select(
+      when(col("event_id") % 3 > 0, least(col("a"), col("b")))
+        .otherwise(greatest(col("a"), col("b"))).as("w"),
+      when(col("event_id") % 3 > 0, greatest(col("a"), col("b")))
+        .otherwise(least(col("a"), col("b"))).as("l"))
+  }
+
   /** (pred, gold) pairs for the generation-eval gates: every 7th document
     * is the prediction; the reference alternates between the document
     * itself (doc_id % 14 == 0 — exact match) and the NEXT document
@@ -1353,6 +1370,47 @@ object SparkEntry {
           "group", "doc_id", "q", k = 3, minMargin = 0.0)
         .withColumnRenamed("group", "lang")
         .orderBy("lang", "rank")),
+
+    // Bradley-Terry arena fit over a deterministic comparison stream
+    // (7 items from the events table; lower-id items win 2 of 3) —
+    // 3 MM rounds; the oracle replays the identical per-round
+    // DECIMAL-fold arithmetic as unrolled CTEs (the q_linkage_em
+    // pattern).
+    "q_pref_bt" -> ((s, d) =>
+      graft.operators.Preference.bradleyTerry(
+          arenaComparisons(s, d), "w", "l", iterations = 3)
+        .orderBy("item")),
+
+    // Win-rate leaderboard over the same comparison stream — the naive
+    // companion gate (rank over rounded win rate, ties share rank).
+    "q_pref_leaderboard" -> ((s, d) =>
+      graft.operators.Preference.leaderboard(arenaComparisons(s, d), "w", "l")
+        .orderBy("item")),
+
+    // Z-order (Morton) code over (user_id, event_id) — exact integer
+    // scaling + bit interleave, all codegen'd builtins; the oracle
+    // replays the identical shift/mask arithmetic.
+    "q_layout_zorder" -> ((s, d) =>
+      graft.operators.Layout.zorderValue(
+          executor(s, d).table("events"), Seq("user_id", "event_id"),
+          bits = 8)
+        .select(col("event_id"), col("__z").as("z"))
+        .orderBy("event_id")),
+
+    // Per-z-bucket min/max pruning stats — the parquet-footer view of a
+    // z-ordered layout (tight ranges on BOTH columns at once).
+    "q_layout_audit" -> ((s, d) =>
+      graft.operators.Layout.pruningAudit(
+          executor(s, d).table("events"), Seq("user_id", "event_id"),
+          bits = 8, buckets = 16)
+        .orderBy("bucket")),
+
+    // File-skipping power of the layout for user_id BETWEEN 0 AND 37 —
+    // buckets scanned vs pruned under the min/max overlap rule.
+    "q_layout_prune" -> ((s, d) =>
+      graft.operators.Layout.pruneProbe(
+          executor(s, d).table("events"), Seq("user_id", "event_id"),
+          "user_id", 0L, 37L, bits = 8, buckets = 16)),
 
     // Nearest-centroid cluster assignment over the label centroids —
     // broadcast centroids, argmax per vector (relabeling/confusion pass).
@@ -4754,6 +4812,49 @@ object SparkEntry {
          |FROM t JOIN b USING (lang, rank)
          |WHERE round(s_best - s_worst, 6) >= 0.0
          |ORDER BY lang, rank""".stripMargin,
+    "q_pref_bt" -> btOracle(iterations = 3),
+    "q_layout_zorder" ->
+      s"""WITH ${layoutZCte(8)}
+         |SELECT event_id, z FROM zt ORDER BY event_id""".stripMargin,
+    "q_layout_audit" ->
+      s"""WITH ${layoutZCte(8)},
+         |b AS (SELECT user_id, event_id, (z * 16) // 65536 AS bucket
+         |      FROM zt)
+         |SELECT bucket, CAST(count(*) AS BIGINT) AS n_rows,
+         |  min(user_id) AS user_id_min, max(user_id) AS user_id_max,
+         |  min(event_id) AS event_id_min, max(event_id) AS event_id_max
+         |FROM b GROUP BY bucket ORDER BY bucket""".stripMargin,
+    "q_layout_prune" ->
+      s"""WITH ${layoutZCte(8)},
+         |b AS (SELECT user_id, event_id, (z * 16) // 65536 AS bucket
+         |      FROM zt),
+         |a AS (SELECT bucket, CAST(count(*) AS BIGINT) AS n_rows,
+         |        min(user_id) AS mn, max(user_id) AS mx
+         |      FROM b GROUP BY bucket),
+         |t AS (SELECT CAST(count(*) AS BIGINT) AS n_buckets,
+         |        CAST(sum(CASE WHEN mn <= 37 AND mx >= 0 THEN 1 ELSE 0 END)
+         |          AS BIGINT) AS n_overlapping,
+         |        CAST(sum(n_rows) AS BIGINT) AS rows_total,
+         |        CAST(sum(CASE WHEN mn <= 37 AND mx >= 0 THEN n_rows
+         |                 ELSE 0 END) AS BIGINT) AS rows_scanned
+         |      FROM a)
+         |SELECT n_buckets, n_overlapping, rows_total, rows_scanned,
+         |  round(1.0 - CAST(rows_scanned AS DOUBLE) / rows_total, 6)
+         |    AS frac_pruned
+         |FROM t""".stripMargin,
+    "q_pref_leaderboard" ->
+      s"""WITH $arenaCte,
+         |per AS (SELECT item, CAST(count(*) AS BIGINT) AS games,
+         |          CAST(sum(v) AS BIGINT) AS wins
+         |        FROM (SELECT w AS item, 1 AS v FROM raw
+         |              UNION ALL SELECT l AS item, 0 AS v FROM raw)
+         |        GROUP BY item),
+         |wr AS (SELECT item, games, wins,
+         |         round(CAST(wins AS DOUBLE) / games, 6) AS win_rate
+         |       FROM per)
+         |SELECT item, games, wins, win_rate,
+         |  CAST(rank() OVER (ORDER BY win_rate DESC) AS BIGINT) AS rank
+         |FROM wr ORDER BY item""".stripMargin,
     "q_cluster_assign" ->
       s"""WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
          |           FROM embeddings),
@@ -7300,6 +7401,77 @@ object SparkEntry {
     * 9-dp operands, and the [1e-6, 1-1e-6] clamp feeding the next
     * round's weights — one CTE block per iteration, 6-dp publish from
     * the final weights row. */
+  /** DuckDB mirror of `Layout.zorderValue` over (user_id, event_id):
+    * CTE `zt(user_id, event_id, z)` with the identical exact-integer
+    * scaling and bit-interleave arithmetic. */
+  private def layoutZCte(bits: Int): String = {
+    val levels = (1 << bits) - 1
+    val inter = (0 until bits).flatMap(i => Seq(
+      s"(((s0 >> $i) & 1) << ${2 * i})",
+      s"(((s1 >> $i) & 1) << ${2 * i + 1})")).mkString(" + ")
+    s"""s AS (SELECT min(user_id) AS mn0, max(user_id) AS mx0,
+       |          min(event_id) AS mn1, max(event_id) AS mx1 FROM events),
+       |sc AS (SELECT event_id, user_id,
+       |    ((user_id - mn0) * $levels) // greatest(mx0 - mn0, 1) AS s0,
+       |    ((event_id - mn1) * $levels) // greatest(mx1 - mn1, 1) AS s1
+       |  FROM events CROSS JOIN s),
+       |zt AS (SELECT user_id, event_id, $inter AS z FROM sc)""".stripMargin
+  }
+
+  /** DuckDB mirror of [[arenaComparisons]]: the deterministic
+    * (winner, loser) stream the arena gates share. */
+  private val arenaCte: String =
+    """base AS (SELECT event_id, event_id % 7 AS a, (event_id // 7) % 7 AS b
+      |         FROM events),
+      |raw AS (SELECT
+      |    CASE WHEN event_id % 3 > 0 THEN least(a, b)
+      |         ELSE greatest(a, b) END AS w,
+      |    CASE WHEN event_id % 3 > 0 THEN greatest(a, b)
+      |         ELSE least(a, b) END AS l
+      |  FROM base WHERE a <> b)""".stripMargin
+
+  /** DuckDB mirror of `Preference.bradleyTerry` over [[arenaCte]]:
+    * the MM rounds are unrolled CTE blocks replaying the identical
+    * DECIMAL(38,9)-fold / round(…,12) / clamp arithmetic (the
+    * [[linkageEmOracle]] discipline), with normalization as a
+    * whole-frame window exactly as the operator emits it. */
+  private def btOracle(iterations: Int): String = {
+    val rounds = (1 to iterations).map { r =>
+      s"""d$r AS (SELECT s.item AS item,
+         |  CAST(sum(CAST(round(s.n / (pi.p + pj.p), 9) AS DECIMAL(38,9)))
+         |    AS DOUBLE) AS d
+         |  FROM sides s
+         |  JOIN p${r - 1} pi ON s.item = pi.item
+         |  JOIN p${r - 1} pj ON s.opp = pj.item
+         |  GROUP BY s.item),
+         |r$r AS (SELECT d.item, round(w.wins / d.d, 12) AS p0
+         |  FROM d$r d JOIN wins w ON d.item = w.item),
+         |p$r AS (SELECT item,
+         |  greatest(round(p0 * count(*) OVER ()
+         |    / CAST(sum(CAST(round(p0, 9) AS DECIMAL(38,9))) OVER ()
+         |        AS DOUBLE), 12),
+         |    CAST(1e-6 AS DOUBLE)) AS p
+         |  FROM r$r)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH $arenaCte,
+       |pairs AS (SELECT least(w, l) AS i, greatest(w, l) AS j,
+       |    CAST(count(*) AS BIGINT) AS n,
+       |    CAST(sum(CASE WHEN w < l THEN 1 ELSE 0 END) AS BIGINT) AS win_i
+       |  FROM raw GROUP BY 1, 2),
+       |sides AS (SELECT i AS item, j AS opp, n, win_i AS wv FROM pairs
+       |  UNION ALL
+       |  SELECT j AS item, i AS opp, n, n - win_i AS wv FROM pairs),
+       |wins AS (SELECT item, CAST(sum(wv) AS DOUBLE) AS wins,
+       |    CAST(sum(n) AS BIGINT) AS games
+       |  FROM sides GROUP BY item),
+       |p0 AS (SELECT item, CAST(1.0 AS DOUBLE) AS p FROM wins),
+       |$rounds
+       |SELECT p.item AS item, round(p.p, 6) AS strength,
+       |  w.games AS games, CAST(w.wins AS BIGINT) AS wins
+       |FROM p$iterations p JOIN wins w ON p.item = w.item
+       |ORDER BY item""".stripMargin
+  }
+
   private def linkageEmOracle(lambda: Double, iterations: Int = 1): String = {
     val idx = linkageFields.indices
     val gdefs = idx.map(i =>

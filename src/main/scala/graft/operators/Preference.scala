@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -74,5 +74,120 @@ object Preference {
       .select(col("group"), col("rank"), col("chosen_id"), col("rejected_id"),
         round(col("s_best") - col("s_worst"), 6).as("margin"))
       .filter(col("margin") >= minMargin)
+  }
+
+  /**
+   * Bradley–Terry strength estimation from raw pairwise outcomes — the
+   * arena-leaderboard fit: given one `(winner, loser)` row per
+   * comparison, estimate per-item strengths p with
+   * P(i beats j) = pᵢ/(pᵢ+pⱼ), via Hunter's MM update
+   * pᵢ ← wᵢ / Σⱼ nᵢⱼ/(pᵢ+pⱼ), renormalized to mean 1 each round.
+   * Output: `(item, strength, games, wins)` — strength 6 dp.
+   *
+   * Scale shape: the comparison stream reduces ONCE to its unordered
+   * pair-count table (|item-pairs| rows, map-side combined) which is
+   * `localCheckpoint`ed so no MM round re-reads the corpus; every
+   * iteration is then two broadcast joins of the |items|-row strength
+   * frame against that table plus one item-keyed aggregate — nothing
+   * corpus-sized moves after the first pass, and a skewed matchup
+   * (one hot pair) is already a single count row. The strength frame
+   * is `localCheckpoint`ed EVERY round: each MM step references the
+   * previous strengths twice (once per join side), so an uncut lineage
+   * unfolds O(2^k) in Catalyst's `DeduplicateRelations` (observed as a
+   * StackOverflow at 25 rounds). The frame is |items| rows — i.e.
+   * leaderboard-sized — so the per-round materialization is a fixed
+   * tiny job, the same trade [[Centroids.kCenterGreedy]] makes but at
+   * every step because of the double self-reference. Normalization is
+   * a whole-frame window (not an agg + cross-join) for the same
+   * reason: the agg form references the round's output twice.
+   *
+   * Determinism: every cross-item sum is a DECIMAL(38,9) sum of
+   * 9-dp-rounded operands and every division rounds to 12 dp — the
+   * [[Linkage.emEstimate]] recipe — so results are partition-order
+   * independent and cross-engine exact. An item with zero wins (MM
+   * sends it to exactly 0) clamps to 1e-6, keeping later rounds'
+   * denominators finite. Standard BT caveat applies: strengths are
+   * only jointly identified within a connected component of the
+   * comparison graph; items never compared (directly or transitively)
+   * are each normalized into the same mean-1 scale but not mutually
+   * calibrated.
+   */
+  def bradleyTerry(df: DataFrame, winnerCol: String, loserCol: String,
+                   iterations: Int = 20): DataFrame = {
+    require(iterations >= 1, s"iterations must be >= 1, got $iterations")
+    val raw = df.select(col(winnerCol).cast("long").as("__w"),
+        col(loserCol).cast("long").as("__l"))
+      .filter(col("__w").isNotNull && col("__l").isNotNull &&
+        col("__w") =!= col("__l"))
+    // unordered pair counts: one corpus shuffle, then checkpointed
+    val pairs = raw.select(
+        least(col("__w"), col("__l")).as("__i"),
+        greatest(col("__w"), col("__l")).as("__j"),
+        (col("__w") < col("__l")).cast("long").as("__iw"))
+      .groupBy("__i", "__j")
+      .agg(count(lit(1)).as("__n"), sum(col("__iw")).as("__win_i"))
+      .localCheckpoint()
+    val sides = pairs.select(col("__i").as("__item"), col("__j").as("__opp"),
+        col("__n"), col("__win_i").as("__wv"))
+      .unionAll(pairs.select(col("__j").as("__item"), col("__i").as("__opp"),
+        col("__n"), (col("__n") - col("__win_i")).as("__wv")))
+    val wins = sides.groupBy("__item").agg(
+      sum(col("__wv")).cast("double").as("__wins"),
+      sum(col("__n")).cast("long").as("__games"))
+      .localCheckpoint()
+    def decSum(c: Column): Column =
+      sum(round(c, 9).cast("decimal(38,9)")).cast("double")
+    val all = Window.partitionBy(lit(1))
+    val init = wins.select(col("__item"), lit(1.0).as("__p"))
+    val pFinal = (1 to iterations).foldLeft(init) { (cur, _) =>
+      val pi = cur.select(col("__item").as("__ik"), col("__p").as("__pi"))
+      val pj = cur.select(col("__item").as("__jk"), col("__p").as("__pj"))
+      val denom = sides
+        .join(broadcast(pi), col("__item") === col("__ik"))
+        .join(broadcast(pj), col("__opp") === col("__jk"))
+        .groupBy("__item")
+        .agg(decSum(col("__n") / (col("__pi") + col("__pj"))).as("__d"))
+      denom
+        .join(broadcast(wins.select(col("__item"), col("__wins"))), Seq("__item"))
+        .select(col("__item"), round(col("__wins") / col("__d"), 12).as("__p0"))
+        .select(col("__item"),
+          greatest(round(col("__p0") * count(lit(1)).over(all) /
+            sum(round(col("__p0"), 9).cast("decimal(38,9)")).over(all)
+              .cast("double"), 12),
+            lit(1e-6)).as("__p"))
+        .localCheckpoint()
+    }
+    pFinal.join(wins, Seq("__item"))
+      .select(col("__item").as("item"), round(col("__p"), 6).as("strength"),
+        col("__games").as("games"), col("__wins").cast("long").as("wins"))
+  }
+
+  /**
+   * Win-rate leaderboard over raw `(winner, loser)` outcomes:
+   * `(item, games, wins, win_rate, rank)` — rank 1 = best, standard
+   * `rank()` so win-rate ties share a rank. The naive companion to
+   * [[bradleyTerry]] (win rate ignores opponent strength; BT doesn't).
+   *
+   * Scale shape: one item-keyed aggregate over the comparison stream
+   * (each row explodes to its two participants pre-shuffle, map-side
+   * combined), then a single-partition window over |items| rows — fine
+   * because the aggregate output is leaderboard-sized by construction.
+   */
+  def leaderboard(df: DataFrame, winnerCol: String, loserCol: String): DataFrame = {
+    val raw = df.select(col(winnerCol).cast("long").as("__w"),
+        col(loserCol).cast("long").as("__l"))
+      .filter(col("__w").isNotNull && col("__l").isNotNull &&
+        col("__w") =!= col("__l"))
+    val perItem = raw
+      .select(explode(array(
+        struct(col("__w").as("item"), lit(1L).as("__v")),
+        struct(col("__l").as("item"), lit(0L).as("__v")))).as("__e"))
+      .select(col("__e.item"), col("__e.__v"))
+      .groupBy("item")
+      .agg(count(lit(1)).as("games"), sum(col("__v")).as("wins"))
+      .withColumn("win_rate",
+        round(col("wins").cast("double") / col("games"), 6))
+    perItem.withColumn("rank",
+      rank().over(Window.orderBy(col("win_rate").desc)).cast("long"))
   }
 }

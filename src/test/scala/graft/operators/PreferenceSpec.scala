@@ -48,4 +48,61 @@ class PreferenceSpec extends SparkTestBase {
     assert(out.toSeq == Seq((1L, 2L)))
     assert(out.forall { case (c, rj) => c != rj })
   }
+
+  private def bt(rows: Seq[(Long, Long)], iters: Int) =
+    Preference.bradleyTerry(
+        df("w BIGINT, l BIGINT", rows.map { case (a, b) => Row(a, b) }),
+        "w", "l", iterations = iters)
+      .orderBy("item").collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getLong(2), r.getLong(3)))
+
+  test("bradleyTerry reaches the exact two-player fixed point") {
+    // 0 beats 1 three times, 1 beats 0 once: d = 4/(p0+p1) = 2 each
+    // round, so p = (3/2, 1/2) already normalized — a fixed point with
+    // P(0 beats 1) = 1.5/2.0 = 0.75, the empirical win rate.
+    for (iters <- Seq(1, 5)) {
+      val out = bt(Seq((0L, 1L), (0L, 1L), (0L, 1L), (1L, 0L)), iters)
+      assert(out.toSeq == Seq((0L, 1.5, 4L, 3L), (1L, 0.5, 4L, 1L)))
+    }
+  }
+
+  test("bradleyTerry orders a dominance chain and stays mean-1") {
+    // 0 > 1 > 2 with transitive evidence; strengths must be strictly
+    // decreasing and normalized to mean 1 (sum 3).
+    val games = Seq.fill(3)((0L, 1L)) ++ Seq.fill(3)((1L, 2L)) ++
+      Seq.fill(3)((0L, 2L))
+    val out = bt(games, iters = 25)
+    val s = out.map(_._2)
+    assert(s(0) > s(1) && s(1) > s(2), s.toSeq.toString)
+    assert(math.abs(s.sum - 3.0) < 1e-4, s.sum.toString)
+  }
+
+  test("bradleyTerry clamps an all-loss item instead of emitting zero") {
+    // item 1 never wins: MM sends it to exactly 0 → clamp to 1e-6;
+    // item 0 takes the whole normalized mass (k=2, sum p0 = p0_0).
+    val out = bt(Seq((0L, 1L), (0L, 1L)), iters = 3)
+    assert(out.toSeq == Seq((0L, 2.0, 2L, 2L), (1L, 1e-6, 2L, 0L)))
+  }
+
+  test("bradleyTerry is invariant to comparison row order") {
+    val games = Seq((0L, 1L), (1L, 2L), (2L, 0L), (0L, 1L), (1L, 0L))
+    assert(bt(games, 10).toSeq == bt(games.reverse, 10).toSeq)
+  }
+
+  test("leaderboard counts games/wins and ranks by win rate") {
+    val out = Preference.leaderboard(
+        df("w BIGINT, l BIGINT", Seq(
+          Row(0L, 1L), Row(0L, 1L), Row(1L, 2L), Row(2L, 0L))),
+        "w", "l")
+      .orderBy("item").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getLong(4)))
+    // item0: 3 games 2 wins (.667) rank 1; item1: 3 games 1 win (.333)
+    // rank 2 ties item2: 2 games 1 win (0.5)... 0.5 > 0.333 so item2
+    // rank 2, item1 rank 3.
+    assert(out.toSeq == Seq(
+      (0L, 3L, 2L, 0.666667, 1L),
+      (1L, 3L, 1L, 0.333333, 3L),
+      (2L, 2L, 1L, 0.5, 2L)))
+  }
 }
