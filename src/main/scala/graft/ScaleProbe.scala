@@ -176,7 +176,13 @@ object ScaleProbe {
     "q_eval_wer", "q_eval_wer_corpus",
     // training-order shuffle: one shard-keyed shuffle + per-shard sort
     "q_split_order", "q_ann_pq_recall", "q_linkage_em2",
-    "q_ann_pq_persisted")
+    "q_ann_pq_persisted",
+    // arena fits: one corpus reduce to pair counts, then items-sized
+    // MM rounds (BT) / one item-keyed reduce + tiny window (board)
+    "q_pref_bt", "q_pref_leaderboard",
+    // scaled-z layout audit: min/max scalar reduce + codegen'd
+    // interleave + bucket-sized reduce
+    "q_layout_audit")
 
   private def caesar(c: org.apache.spark.sql.Column, k: Int) = {
     val lower = "abcdefghijklmnopqrstuvwxyz"

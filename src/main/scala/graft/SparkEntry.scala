@@ -1387,20 +1387,12 @@ object SparkEntry {
       graft.operators.Preference.leaderboard(arenaComparisons(s, d), "w", "l")
         .orderBy("item")),
 
-    // Z-order (Morton) code over (user_id, event_id) — exact integer
-    // scaling + bit interleave, all codegen'd builtins; the oracle
-    // replays the identical shift/mask arithmetic.
-    "q_layout_zorder" -> ((s, d) =>
-      graft.operators.Layout.zorderValue(
-          executor(s, d).table("events"), Seq("user_id", "event_id"),
-          bits = 8)
-        .select(col("event_id"), col("__z").as("z"))
-        .orderBy("event_id")),
-
-    // Per-z-bucket min/max pruning stats — the parquet-footer view of a
-    // z-ordered layout (tight ranges on BOTH columns at once).
+    // Per-z-bucket min/max pruning stats over the min/max-scaled Morton
+    // key (user_id, event_id) — the parquet-footer view of a z-ordered
+    // layout (tight ranges on BOTH columns at once); the oracle replays
+    // the exact-integer scaling + shift/mask arithmetic.
     "q_layout_audit" -> ((s, d) =>
-      graft.operators.Layout.pruningAudit(
+      graft.sources.Layout.pruningAudit(
           executor(s, d).table("events"), Seq("user_id", "event_id"),
           bits = 8, buckets = 16)
         .orderBy("bucket")),
@@ -1408,7 +1400,7 @@ object SparkEntry {
     // File-skipping power of the layout for user_id BETWEEN 0 AND 37 —
     // buckets scanned vs pruned under the min/max overlap rule.
     "q_layout_prune" -> ((s, d) =>
-      graft.operators.Layout.pruneProbe(
+      graft.sources.Layout.pruneProbe(
           executor(s, d).table("events"), Seq("user_id", "event_id"),
           "user_id", 0L, 37L, bits = 8, buckets = 16)),
 
@@ -4813,9 +4805,6 @@ object SparkEntry {
          |WHERE round(s_best - s_worst, 6) >= 0.0
          |ORDER BY lang, rank""".stripMargin,
     "q_pref_bt" -> btOracle(iterations = 3),
-    "q_layout_zorder" ->
-      s"""WITH ${layoutZCte(8)}
-         |SELECT event_id, z FROM zt ORDER BY event_id""".stripMargin,
     "q_layout_audit" ->
       s"""WITH ${layoutZCte(8)},
          |b AS (SELECT user_id, event_id, (z * 16) // 65536 AS bucket

@@ -114,22 +114,44 @@ object Preference {
    */
   def bradleyTerry(df: DataFrame, winnerCol: String, loserCol: String,
                    iterations: Int = 20): DataFrame = {
-    require(iterations >= 1, s"iterations must be >= 1, got $iterations")
     val raw = df.select(col(winnerCol).cast("long").as("__w"),
         col(loserCol).cast("long").as("__l"))
       .filter(col("__w").isNotNull && col("__l").isNotNull &&
         col("__w") =!= col("__l"))
     // unordered pair counts: one corpus shuffle, then checkpointed
     val pairs = raw.select(
-        least(col("__w"), col("__l")).as("__i"),
-        greatest(col("__w"), col("__l")).as("__j"),
+        least(col("__w"), col("__l")).as("i"),
+        greatest(col("__w"), col("__l")).as("j"),
         (col("__w") < col("__l")).cast("long").as("__iw"))
-      .groupBy("__i", "__j")
-      .agg(count(lit(1)).as("__n"), sum(col("__iw")).as("__win_i"))
+      .groupBy("i", "j")
+      .agg(count(lit(1)).as("n"), sum(col("__iw")).as("win_i"))
+    bradleyTerryFromPairs(pairs, iterations = iterations)
+  }
+
+  /**
+   * [[bradleyTerry]] over an ALREADY-aggregated unordered pair-count
+   * table `(i, j, n, win_i)` with `i < j`, `n` total games between the
+   * pair and `win_i` games item `i` won — the streaming entry point:
+   * `StreamingPipeline.arenaPairCounts` maintains exactly this table
+   * incrementally, and a `foreachBatch` hands it here per trigger so
+   * live arena ratings cost items-sized work per update, never a
+   * corpus replay. Arithmetic is identical to [[bradleyTerry]] (which
+   * delegates), so batch and streaming fits agree bit-for-bit on the
+   * same comparison set.
+   */
+  def bradleyTerryFromPairs(pairs: DataFrame, iCol: String = "i",
+                            jCol: String = "j", nCol: String = "n",
+                            winICol: String = "win_i",
+                            iterations: Int = 20): DataFrame = {
+    require(iterations >= 1, s"iterations must be >= 1, got $iterations")
+    val pc = pairs.select(col(iCol).cast("long").as("__i"),
+        col(jCol).cast("long").as("__j"),
+        col(nCol).cast("long").as("__n"),
+        col(winICol).cast("long").as("__win_i"))
       .localCheckpoint()
-    val sides = pairs.select(col("__i").as("__item"), col("__j").as("__opp"),
+    val sides = pc.select(col("__i").as("__item"), col("__j").as("__opp"),
         col("__n"), col("__win_i").as("__wv"))
-      .unionAll(pairs.select(col("__j").as("__item"), col("__i").as("__opp"),
+      .unionAll(pc.select(col("__j").as("__item"), col("__i").as("__opp"),
         col("__n"), (col("__n") - col("__win_i")).as("__wv")))
     val wins = sides.groupBy("__item").agg(
       sum(col("__wv")).cast("double").as("__wins"),

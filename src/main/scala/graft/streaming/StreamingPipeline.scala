@@ -385,4 +385,50 @@ object StreamingPipeline {
           }
       }.toDF()
   }
+
+  /**
+   * Running unordered pair-count table over a stream of
+   * `(winner, loser)` comparison outcomes: `(i, j, n, win_i)` with
+   * `i < j` — the sufficient statistic for Bradley–Terry, maintained
+   * incrementally (update/complete mode running aggregate, state =
+   * |item-pairs| rows, never the comparison history). Per trigger, a
+   * `foreachBatch` hands the table to
+   * `Preference.bradleyTerryFromPairs` for an items-sized MM refit —
+   * live arena ratings without ever replaying the stream
+   * (StreamingArenaCrossCheckSpec proves batch/stream agreement).
+   */
+  def arenaPairCounts(stream: DataFrame, winnerCol: String,
+                      loserCol: String): DataFrame =
+    stream.select(col(winnerCol).cast("long").as("__w"),
+        col(loserCol).cast("long").as("__l"))
+      .filter(col("__w").isNotNull && col("__l").isNotNull &&
+        col("__w") =!= col("__l"))
+      .select(least(col("__w"), col("__l")).as("i"),
+        greatest(col("__w"), col("__l")).as("j"),
+        (col("__w") < col("__l")).cast("long").as("__iw"))
+      .groupBy("i", "j")
+      .agg(count(lit(1)).as("n"), sum(col("__iw")).as("win_i"))
+
+  /**
+   * Streaming win-rate leaderboard: per-item `(item, games, wins,
+   * win_rate)` as a running aggregate (state = |items| rows). Rank is
+   * deliberately absent — a global window over a streaming aggregate
+   * isn't incrementally computable; consumers rank the items-sized
+   * result per trigger (or in `foreachBatch`). Arithmetic matches
+   * `Preference.leaderboard` minus rank.
+   */
+  def leaderboardStream(stream: DataFrame, winnerCol: String,
+                        loserCol: String): DataFrame =
+    stream.select(col(winnerCol).cast("long").as("__w"),
+        col(loserCol).cast("long").as("__l"))
+      .filter(col("__w").isNotNull && col("__l").isNotNull &&
+        col("__w") =!= col("__l"))
+      .select(explode(array(
+        struct(col("__w").as("item"), lit(1L).as("__v")),
+        struct(col("__l").as("item"), lit(0L).as("__v")))).as("__e"))
+      .select(col("__e.item"), col("__e.__v"))
+      .groupBy("item")
+      .agg(count(lit(1)).as("games"), sum(col("__v")).as("wins"))
+      .withColumn("win_rate",
+        round(col("wins").cast("double") / col("games"), 6))
 }
