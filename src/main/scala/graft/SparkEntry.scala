@@ -1404,6 +1404,27 @@ object SparkEntry {
           executor(s, d).table("events"), Seq("user_id", "event_id"),
           "user_id", 0L, 37L, bits = 8, buckets = 16)),
 
+    // In-plan trained quality classifier: 3 full-batch GD rounds over
+    // hashed unigram+bigram presence features, algebraic-sigmoid link
+    // (pure ×/÷ arithmetic — exactly replayable cross-engine), label =
+    // (lang = 'en'). Output: the 65-row weight vector.
+    "q_classifier_fit" -> ((s, d) =>
+      graft.operators.Classifier.fitLogistic(
+          docs(s, d).withColumn("y", (col("lang") === "en").cast("double")),
+          "doc_id", "text", "y", buckets = 64, iterations = 3, lr = 0.5)
+        .orderBy("bucket")),
+
+    // Corpus scoring with the weights trained above — the CCNet-style
+    // "train filter, score corpus" loop end-to-end in one plan.
+    "q_classifier_score" -> ((s, d) => {
+      val ds = docs(s, d)
+      val w = graft.operators.Classifier.fitLogistic(
+        ds.withColumn("y", (col("lang") === "en").cast("double")),
+        "doc_id", "text", "y", buckets = 64, iterations = 3, lr = 0.5)
+      graft.operators.Classifier.scoreLogistic(ds, "doc_id", "text", w, 64)
+        .orderBy("id")
+    }),
+
     // Nearest-centroid cluster assignment over the label centroids —
     // broadcast centroids, argmax per vector (relabeling/confusion pass).
     "q_cluster_assign" -> ((s, d) =>
@@ -4805,6 +4826,10 @@ object SparkEntry {
          |WHERE round(s_best - s_worst, 6) >= 0.0
          |ORDER BY lang, rank""".stripMargin,
     "q_pref_bt" -> btOracle(iterations = 3),
+    "q_classifier_fit" ->
+      classifierOracle(buckets = 64, iterations = 3, lr = 0.5, score = false),
+    "q_classifier_score" ->
+      classifierOracle(buckets = 64, iterations = 3, lr = 0.5, score = true),
     "q_layout_audit" ->
       s"""WITH ${layoutZCte(8)},
          |b AS (SELECT user_id, event_id, (z * 16) // 65536 AS bucket
@@ -7405,6 +7430,81 @@ object SparkEntry {
        |    ((event_id - mn1) * $levels) // greatest(mx1 - mn1, 1) AS s1
        |  FROM events CROSS JOIN s),
        |zt AS (SELECT user_id, event_id, $inter AS z FROM sc)""".stripMargin
+  }
+
+  /** DuckDB mirror of `Classifier.fitLogistic` over documents with
+    * label `lang = 'en'`: hashed presence features via the same
+    * character-fold polynomial hash as [[dsirWeightsSql]], then
+    * `iterations` unrolled GD rounds replaying the DECIMAL-fold /
+    * round(…,12) / algebraic-sigmoid arithmetic. Yields CTEs ending in
+    * `w$iterations(b, wt)`; `score = true` appends corpus scoring with
+    * the 6-dp-rounded weights. */
+  private def classifierOracle(buckets: Int, iterations: Int, lr: Double,
+                               score: Boolean): String = {
+    def dec(x: String) = s"CAST(sum(CAST(round($x, 9) AS DECIMAL(38,9))) AS DOUBLE)"
+    val rounds = (1 to iterations).map { r =>
+      s"""z$r AS (SELECT d.doc_id, d.y,
+         |    round((SELECT wt FROM w${r - 1} WHERE b = -1)
+         |      + coalesce(s.zs, 0.0), 12) AS z
+         |  FROM docs0 d LEFT JOIN (
+         |    SELECT fb.doc_id, ${dec("wt")} AS zs
+         |    FROM fb JOIN w${r - 1} w ON fb.b = w.b GROUP BY fb.doc_id) s
+         |  USING (doc_id)),
+         |r$r AS (SELECT doc_id,
+         |    round(round(0.5 + z / (2.0 * (1.0 + abs(z))), 12) - y, 9)
+         |      AS res
+         |  FROM z$r),
+         |g$r AS (SELECT fb.b,
+         |    round(${dec("res")} / (SELECT nn FROM n), 12) AS g
+         |  FROM fb JOIN r$r USING (doc_id) GROUP BY fb.b
+         |  UNION ALL
+         |  SELECT -1, round(${dec("res")} / (SELECT nn FROM n), 12)
+         |  FROM r$r),
+         |w$r AS (SELECT w.b,
+         |    round(w.wt - $lr * coalesce(g.g, 0.0), 12) AS wt
+         |  FROM w${r - 1} w LEFT JOIN g$r g USING (b))""".stripMargin
+    }.mkString(",\n")
+    val base =
+      s"""docs0 AS (SELECT doc_id,
+         |    CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END AS y
+         |  FROM documents),
+         |toks AS (SELECT doc_id,
+         |    regexp_split_to_array(trim(lower(text)), '[ \\t\\n\\x0b\\f\\r]+')
+         |      AS ws
+         |  FROM documents),
+         |uni AS (SELECT doc_id, w, i
+         |  FROM (SELECT doc_id, unnest(ws) AS w,
+         |          unnest(range(1, len(ws) + 1)) AS i FROM toks)
+         |  WHERE length(w) > 0),
+         |feats AS (SELECT doc_id, w AS f FROM uni
+         |  UNION ALL
+         |  SELECT a.doc_id, a.w || ' ' || b.w
+         |  FROM uni a JOIN uni b ON a.doc_id = b.doc_id AND b.i = a.i + 1),
+         |fb AS (SELECT DISTINCT doc_id,
+         |    list_reduce(list_transform(string_split(f, ''), x -> unicode(x)),
+         |                (h, c) -> (h * 31 + c) % 2000003) % $buckets AS b
+         |  FROM feats),
+         |n AS (SELECT CAST(count(*) AS BIGINT) AS nn FROM docs0),
+         |w0 AS (SELECT unnest(range(-1, $buckets)) AS b,
+         |    CAST(0.0 AS DOUBLE) AS wt),
+         |$rounds""".stripMargin
+    if (!score)
+      s"""WITH $base
+         |SELECT b AS bucket, round(wt, 6) AS weight
+         |FROM w$iterations ORDER BY bucket""".stripMargin
+    else
+      s"""WITH $base,
+         |wf AS (SELECT b, round(wt, 6) AS wt FROM w$iterations),
+         |zf AS (SELECT d.doc_id,
+         |    round((SELECT wt FROM wf WHERE b = -1)
+         |      + coalesce(s.zs, 0.0), 12) AS z
+         |  FROM docs0 d LEFT JOIN (
+         |    SELECT fb.doc_id, ${dec("wt")} AS zs
+         |    FROM fb JOIN wf w ON fb.b = w.b GROUP BY fb.doc_id) s
+         |  USING (doc_id))
+         |SELECT doc_id AS id,
+         |  round(round(0.5 + z / (2.0 * (1.0 + abs(z))), 12), 6) AS score
+         |FROM zf ORDER BY id""".stripMargin
   }
 
   /** DuckDB mirror of [[arenaComparisons]]: the deterministic

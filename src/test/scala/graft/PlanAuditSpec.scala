@@ -271,4 +271,25 @@ class PlanAuditSpec extends SparkTestBase {
     assert(!plan.contains("CartesianProduct"), plan)
     assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
   }
+
+  test("z-layout audit: the events scan is pruned to the layout columns") {
+    // scaledZValue needs user_id/event_id only; the wide columns
+    // (props, event_type) must not survive into either scan (the stats
+    // reduce or the keyed pass)
+    val plan = SparkEntry.queries("q_layout_audit")(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("props"), plan)
+    assert(!plan.contains("event_type"), plan)
+  }
+
+  test("arena fit: iteration internals are checkpoint leaves, final join broadcasts") {
+    // bradleyTerry's returned plan must be flat: the MM loop ran behind
+    // localCheckpoints (items-sized), so the visible plan is one
+    // broadcast join of two checkpointed leaves — no residual iteration
+    // lineage (the O(2^k) DeduplicateRelations hazard)
+    val plan = SparkEntry.queries("q_pref_bt")(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("SortMergeJoin"), plan)
+    assert(plan.contains("Scan ExistingRDD"), plan)
+  }
 }
