@@ -182,7 +182,10 @@ object ScaleProbe {
     "q_pref_bt", "q_pref_leaderboard",
     // scaled-z layout audit: min/max scalar reduce + codegen'd
     // interleave + bucket-sized reduce
-    "q_layout_audit")
+    "q_layout_audit",
+    // in-plan classifier: one feature-matrix materialization + two
+    // corpus shuffles per GD round; score is one scan + broadcast join
+    "q_classifier_fit", "q_classifier_score")
 
   private def caesar(c: org.apache.spark.sql.Column, k: Int) = {
     val lower = "abcdefghijklmnopqrstuvwxyz"

@@ -119,6 +119,44 @@ object Classifier {
     round(lit(0.5) + z / (lit(2.0) * (lit(1.0) + abs(z))), 12)
 
   /**
+   * STREAM-legal scorer: the trained weights ship as a LITERAL array
+   * (buckets ≤ a few thousand — the model is filter-grade by design),
+   * so scoring is a pure per-row projection: no join, no shuffle, no
+   * state — legal in any streaming mode and exactly the plan shape of
+   * `Dsir.scoreWithWeights`. The per-row bucket sum accumulates in
+   * DECIMAL(38,9) (exact, hence order-independent), so scores match
+   * [[scoreLogistic]] bit-for-bit on the same weights
+   * (ClassifierStreamCrossCheckSpec proves it over a MemoryStream).
+   */
+  def scoreInline(df: DataFrame, idCol: String, textCol: String,
+                  bias: Double, weights: Map[Int, Double],
+                  buckets: Int): DataFrame = {
+    val warr = array((0 until buckets).map(b =>
+      lit(weights.getOrElse(b, 0.0))): _*)
+    val present = array_distinct(
+      TextFunctions.dsirBuckets(lower(col(textCol)), buckets))
+    // decimal(38,9) + decimal(38,9) widens to (38,8) under Spark's
+    // precision rules — cast the merge result back so the accumulator
+    // type stays fixed (exact either way: weights are 6 dp)
+    val zs = aggregate(present,
+      lit(BigDecimal(0)).cast("decimal(38,9)"),
+      (acc, b) => (acc + round(element_at(warr, b + 1), 9)
+        .cast("decimal(38,9)")).cast("decimal(38,9)"))
+      .cast("double")
+    df.select(col(idCol).cast("long").as("id"),
+      round(sigmoidAlg(round(lit(bias) + zs, 12)), 6).as("score"))
+  }
+
+  /** Collect a [[fitLogistic]] weight frame into the `(bias, map)` pair
+    * [[scoreInline]] wants — a documented (buckets+1)-row driver
+    * round-trip, the model hand-off point between train and serve. */
+  def collectWeights(weights: DataFrame): (Double, Map[Int, Double]) = {
+    val rows = weights.collect()
+      .map(r => r.getLong(0).toInt -> r.getDouble(1)).toMap
+    (rows.getOrElse(-1, 0.0), (rows - (-1)).map { case (k, v) => k -> v })
+  }
+
+  /**
    * Score documents with a trained weight vector: `(id, score)` with
    * score = σ̃(bias + Σ weights of present buckets), 6 dp — one
    * corpus scan + a broadcast join against the (buckets+1)-row model;
