@@ -60,7 +60,27 @@ object Demo {
     println(s"FEAT_W=${Multimodal.decodeFeatures(media, "payload")
       .select("feat.width").head().getInt(0)}")
 
-    // 4. Streaming: stage algebra over an unbounded source
+    // 4. Train-batch / serve-stream curation loop: fit the in-plan
+    // quality classifier, hand the weights to the stream-legal scorer,
+    // and rank an arena of model outputs with Bradley-Terry
+    val corpus = Seq((1L, "good clean prose", 1.0), (2L, "fine good text", 1.0),
+      (3L, "spam junk bad", 0.0), (4L, "bad noisy junk", 0.0))
+      .toDF("id", "text", "y")
+    val weights = Classifier.fitLogistic(corpus, "id", "text", "y",
+      buckets = 32, iterations = 4, lr = 1.0)
+    val (bias, wm) = Classifier.collectWeights(weights)
+    val scores = Classifier.scoreInline(corpus, "id", "text", bias, wm, 32)
+      .orderBy(org.apache.spark.sql.functions.col("score").desc)
+    println(s"CLASSIFIER_TOP=${scores.head().getLong(0)}")
+    val games = Seq((1L, 2L), (1L, 3L), (2L, 3L), (1L, 2L))
+      .toDF("winner", "loser")
+    val ratings = Preference.bradleyTerry(games, "winner", "loser",
+      iterations = 10)
+    println(s"ARENA_BEST=${ratings
+      .orderBy(org.apache.spark.sql.functions.col("strength").desc)
+      .head().getLong(0)}")
+
+    // 5. Streaming: stage algebra over an unbounded source
     implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
     val mem = MemoryStream[Ev]
     mem.addData(

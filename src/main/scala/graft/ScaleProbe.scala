@@ -179,7 +179,7 @@ object ScaleProbe {
     "q_ann_pq_persisted",
     // arena fits: one corpus reduce to pair counts, then items-sized
     // MM rounds (BT) / one item-keyed reduce + tiny window (board)
-    "q_pref_bt", "q_pref_leaderboard",
+    "q_pref_bt", "q_pref_bt_ties", "q_pref_leaderboard",
     // scaled-z layout audit: min/max scalar reduce + codegen'd
     // interleave + bucket-sized reduce
     "q_layout_audit",

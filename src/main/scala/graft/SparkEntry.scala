@@ -79,6 +79,19 @@ object SparkEntry {
         .otherwise(least(col("a"), col("b"))).as("l"))
   }
 
+  /** Tie-aware arena stream: `(a, b, outcome)` with outcome for side a
+    * — 0.5 (tie) when `event_id % 6 == 0`, else side a wins 2 of 3
+    * (`event_id % 3 > 0`), b the rest. */
+  private def arenaTies(s: SparkSession, d: String): DataFrame =
+    executor(s, d).table("events")
+      .select(col("event_id"), (col("event_id") % 7).as("a"),
+        (expr("event_id div 7") % 7).as("b"))
+      .filter(col("a") =!= col("b"))
+      .select(col("a"), col("b"),
+        when(col("event_id") % 6 === 0, lit(0.5))
+          .when(col("event_id") % 3 > 0, lit(1.0))
+          .otherwise(lit(0.0)).as("outcome"))
+
   /** (pred, gold) pairs for the generation-eval gates: every 7th document
     * is the prediction; the reference alternates between the document
     * itself (doc_id % 14 == 0 — exact match) and the NEXT document
@@ -1379,6 +1392,13 @@ object SparkEntry {
     "q_pref_bt" -> ((s, d) =>
       graft.operators.Preference.bradleyTerry(
           arenaComparisons(s, d), "w", "l", iterations = 3)
+        .orderBy("item")),
+
+    // Tie-aware Bradley-Terry (ties credit half a win each — the arena
+    // convention); fractional win totals, same unrolled-MM oracle.
+    "q_pref_bt_ties" -> ((s, d) =>
+      graft.operators.Preference.bradleyTerryTies(
+          arenaTies(s, d), "a", "b", "outcome", iterations = 3)
         .orderBy("item")),
 
     // Win-rate leaderboard over the same comparison stream — the naive
@@ -4826,6 +4846,7 @@ object SparkEntry {
          |WHERE round(s_best - s_worst, 6) >= 0.0
          |ORDER BY lang, rank""".stripMargin,
     "q_pref_bt" -> btOracle(iterations = 3),
+    "q_pref_bt_ties" -> btTiesOracle(iterations = 3),
     "q_classifier_fit" ->
       classifierOracle(buckets = 64, iterations = 3, lr = 0.5, score = false),
     "q_classifier_score" ->
@@ -7524,7 +7545,36 @@ object SparkEntry {
     * DECIMAL(38,9)-fold / round(…,12) / clamp arithmetic (the
     * [[linkageEmOracle]] discipline), with normalization as a
     * whole-frame window exactly as the operator emits it. */
-  private def btOracle(iterations: Int): String = {
+  private def btOracle(iterations: Int): String =
+    btOracleFromPairs(
+      s"""$arenaCte,
+         |pairs AS (SELECT least(w, l) AS i, greatest(w, l) AS j,
+         |    CAST(count(*) AS BIGINT) AS n,
+         |    CAST(sum(CASE WHEN w < l THEN 1 ELSE 0 END) AS DOUBLE)
+         |      AS win_i
+         |  FROM raw GROUP BY 1, 2)""".stripMargin, iterations)
+
+  /** Tie-aware arm: outcome 1/0/0.5 for the lower-id side a — ties
+    * credit half a win each (the arena convention), mirrored by
+    * `Preference.bradleyTerryTies`. */
+  private def btTiesOracle(iterations: Int): String =
+    btOracleFromPairs(
+      """base AS (SELECT event_id, event_id % 7 AS a, (event_id // 7) % 7 AS b
+        |         FROM events),
+        |g AS (SELECT a, b,
+        |    CAST(CASE WHEN event_id % 6 = 0 THEN 0.5
+        |              WHEN event_id % 3 > 0 THEN 1.0
+        |              ELSE 0.0 END AS DOUBLE) AS oa
+        |  FROM base WHERE a <> b),
+        |pairs AS (SELECT least(a, b) AS i, greatest(a, b) AS j,
+        |    CAST(count(*) AS BIGINT) AS n,
+        |    sum(CASE WHEN a < b THEN oa ELSE 1.0 - oa END) AS win_i
+        |  FROM g GROUP BY 1, 2)""".stripMargin, iterations)
+
+  /** Shared MM-round unroll over a `pairs(i, j, n, win_i)` CTE —
+    * win_i is DOUBLE (integral for the plain arm, half-wins for the
+    * tie-aware arm; dyadic sums are exact in both engines). */
+  private def btOracleFromPairs(pairsCte: String, iterations: Int): String = {
     val rounds = (1 to iterations).map { r =>
       s"""d$r AS (SELECT s.item AS item,
          |  CAST(sum(CAST(round(s.n / (pi.p + pj.p), 9) AS DECIMAL(38,9)))
@@ -7542,11 +7592,7 @@ object SparkEntry {
          |    CAST(1e-6 AS DOUBLE)) AS p
          |  FROM r$r)""".stripMargin
     }.mkString(",\n")
-    s"""WITH $arenaCte,
-       |pairs AS (SELECT least(w, l) AS i, greatest(w, l) AS j,
-       |    CAST(count(*) AS BIGINT) AS n,
-       |    CAST(sum(CASE WHEN w < l THEN 1 ELSE 0 END) AS BIGINT) AS win_i
-       |  FROM raw GROUP BY 1, 2),
+    s"""WITH $pairsCte,
        |sides AS (SELECT i AS item, j AS opp, n, win_i AS wv FROM pairs
        |  UNION ALL
        |  SELECT j AS item, i AS opp, n, n - win_i AS wv FROM pairs),
@@ -7556,7 +7602,7 @@ object SparkEntry {
        |p0 AS (SELECT item, CAST(1.0 AS DOUBLE) AS p FROM wins),
        |$rounds
        |SELECT p.item AS item, round(p.p, 6) AS strength,
-       |  w.games AS games, CAST(w.wins AS BIGINT) AS wins
+       |  w.games AS games, round(w.wins, 2) AS wins
        |FROM p$iterations p JOIN wins w ON p.item = w.item
        |ORDER BY item""".stripMargin
   }

@@ -144,10 +144,14 @@ object Preference {
                             winICol: String = "win_i",
                             iterations: Int = 20): DataFrame = {
     require(iterations >= 1, s"iterations must be >= 1, got $iterations")
+    // win_i is DOUBLE so tie-aware callers ([[bradleyTerryTies]]) can
+    // pass half-wins; 0/0.5/1 contributions are dyadic, so their sums
+    // are binary-exact and partition-order independent without the
+    // decimal fold
     val pc = pairs.select(col(iCol).cast("long").as("__i"),
         col(jCol).cast("long").as("__j"),
         col(nCol).cast("long").as("__n"),
-        col(winICol).cast("long").as("__win_i"))
+        col(winICol).cast("double").as("__win_i"))
       .localCheckpoint()
     val sides = pc.select(col("__i").as("__item"), col("__j").as("__opp"),
         col("__n"), col("__win_i").as("__wv"))
@@ -181,7 +185,33 @@ object Preference {
     }
     pFinal.join(wins, Seq("__item"))
       .select(col("__item").as("item"), round(col("__p"), 6).as("strength"),
-        col("__games").as("games"), col("__wins").cast("long").as("wins"))
+        col("__games").as("games"), round(col("__wins"), 2).as("wins"))
+  }
+
+  /**
+   * Tie-aware Bradley–Terry, the arena convention: each comparison is
+   * `(a, b, outcome)` with outcome = 1 (a wins), 0 (b wins), or 0.5
+   * (tie); a tie credits half a win to each side and the plain BT MM
+   * fit runs on the fractional win totals. Same scale shape and
+   * determinism as [[bradleyTerry]] (half-win sums are binary-exact);
+   * `wins` in the output is fractional (2 dp).
+   */
+  def bradleyTerryTies(df: DataFrame, aCol: String, bCol: String,
+                       outcomeCol: String,
+                       iterations: Int = 20): DataFrame = {
+    val raw = df.select(col(aCol).cast("long").as("__a"),
+        col(bCol).cast("long").as("__b"),
+        col(outcomeCol).cast("double").as("__o"))
+      .filter(col("__a").isNotNull && col("__b").isNotNull &&
+        col("__o").isNotNull && col("__a") =!= col("__b"))
+    val pairs = raw.select(
+        least(col("__a"), col("__b")).as("i"),
+        greatest(col("__a"), col("__b")).as("j"),
+        when(col("__a") < col("__b"), col("__o"))
+          .otherwise(lit(1.0) - col("__o")).as("__oi"))
+      .groupBy("i", "j")
+      .agg(count(lit(1)).as("n"), sum(col("__oi")).as("win_i"))
+    bradleyTerryFromPairs(pairs, iterations = iterations)
   }
 
   /**

@@ -54,7 +54,7 @@ class PreferenceSpec extends SparkTestBase {
         df("w BIGINT, l BIGINT", rows.map { case (a, b) => Row(a, b) }),
         "w", "l", iterations = iters)
       .orderBy("item").collect()
-      .map(r => (r.getLong(0), r.getDouble(1), r.getLong(2), r.getLong(3)))
+      .map(r => (r.getLong(0), r.getDouble(1), r.getLong(2), r.getDouble(3)))
 
   test("bradleyTerry reaches the exact two-player fixed point") {
     // 0 beats 1 three times, 1 beats 0 once: d = 4/(p0+p1) = 2 each
@@ -62,8 +62,37 @@ class PreferenceSpec extends SparkTestBase {
     // P(0 beats 1) = 1.5/2.0 = 0.75, the empirical win rate.
     for (iters <- Seq(1, 5)) {
       val out = bt(Seq((0L, 1L), (0L, 1L), (0L, 1L), (1L, 0L)), iters)
-      assert(out.toSeq == Seq((0L, 1.5, 4L, 3L), (1L, 0.5, 4L, 1L)))
+      assert(out.toSeq == Seq((0L, 1.5, 4L, 3.0), (1L, 0.5, 4L, 1.0)))
     }
+  }
+
+  private def btTies(rows: Seq[(Long, Long, Double)], iters: Int) =
+    Preference.bradleyTerryTies(
+        df("a BIGINT, b BIGINT, o DOUBLE",
+          rows.map { case (a, b, o) => Row(a, b, o) }),
+        "a", "b", "o", iterations = iters)
+      .orderBy("item").collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getLong(2), r.getDouble(3)))
+
+  test("bradleyTerryTies: all-tie players are exactly even") {
+    val out = btTies(Seq((0L, 1L, 0.5), (1L, 0L, 0.5)), iters = 5)
+    assert(out.toSeq == Seq((0L, 1.0, 2L, 1.0), (1L, 1.0, 2L, 1.0)))
+  }
+
+  test("bradleyTerryTies equals plain BT when a tie is two split games") {
+    // one tie between 0 and 1 on top of a 0-dominant record ≡ one win
+    // each at half weight... verified against the explicit half-win
+    // pair table through the SAME fromPairs path
+    val games = Seq((0L, 1L, 1.0), (0L, 1L, 1.0), (0L, 1L, 0.5))
+    val viaTies = btTies(games, iters = 8)
+    val pairs = df("i BIGINT, j BIGINT, n BIGINT, win_i DOUBLE",
+      Seq(Row(0L, 1L, 3L, 2.5)))
+    val viaPairs = Preference.bradleyTerryFromPairs(pairs, iterations = 8)
+      .orderBy("item").collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getLong(2), r.getDouble(3)))
+    assert(viaTies.toSeq == viaPairs.toSeq)
+    // and the dominant side ends stronger
+    assert(viaTies(0)._2 > viaTies(1)._2)
   }
 
   test("bradleyTerry orders a dominance chain and stays mean-1") {
@@ -81,7 +110,7 @@ class PreferenceSpec extends SparkTestBase {
     // item 1 never wins: MM sends it to exactly 0 → clamp to 1e-6;
     // item 0 takes the whole normalized mass (k=2, sum p0 = p0_0).
     val out = bt(Seq((0L, 1L), (0L, 1L)), iters = 3)
-    assert(out.toSeq == Seq((0L, 2.0, 2L, 2L), (1L, 1e-6, 2L, 0L)))
+    assert(out.toSeq == Seq((0L, 2.0, 2L, 2.0), (1L, 1e-6, 2L, 0.0)))
   }
 
   test("bradleyTerry is invariant to comparison row order") {

@@ -32,13 +32,13 @@ class StreamingArenaCrossCheckSpec extends SparkTestBase {
     val counts = StreamingPipeline.arenaPairCounts(
       mem.toDF().toDF("w", "l"), "w", "l")
 
-    var lastFit: Seq[(Long, Double, Long, Long)] = Nil
+    var lastFit: Seq[(Long, Double, Long, Double)] = Nil
     val q = counts.writeStream.outputMode("complete")
       .foreachBatch { (pairs: org.apache.spark.sql.DataFrame, _: Long) =>
         lastFit = Preference.bradleyTerryFromPairs(pairs, iterations = 5)
           .orderBy("item").collect()
           .map(r => (r.getLong(0), r.getDouble(1), r.getLong(2),
-            r.getLong(3))).toSeq
+            r.getDouble(3))).toSeq
       }.start()
     try {
       mem.addData(phase1: _*); q.processAllAvailable()
@@ -48,7 +48,7 @@ class StreamingArenaCrossCheckSpec extends SparkTestBase {
           iterations = 5)
         .orderBy("item").collect()
         .map(r => (r.getLong(0), r.getDouble(1), r.getLong(2),
-          r.getLong(3))).toSeq
+          r.getDouble(3))).toSeq
       assert(lastFit == expected)
       assert(mid != lastFit) // the stream genuinely accumulated
     } finally q.stop()
