@@ -150,4 +150,72 @@ object Writer {
       case e: Throwable => fs.delete(staging, true); throw e
     }
   }
+
+  /**
+   * File-level statistics manifest of a written dataset: one row per
+   * physical file — `(file, n_rows, <c>_min, <c>_max …)` — the
+   * engine-side view of the parquet footer stats every reader prunes
+   * by. Computed in ONE distributed scan keyed on `input_file_name()`
+   * (never a per-file driver loop), so it costs a single pass at any
+   * file count. Pair with [[graft.sources.Layout.clusterByZ]]: the
+   * manifest of a z-clustered write shows every clustered column's
+   * per-file ranges tight at once — the proof the layout job paid off,
+   * and the input to a "which files does this predicate touch" check
+   * (`Layout.pruneProbe` semantics against REAL files).
+   */
+  def manifest(spark: org.apache.spark.sql.SparkSession, path: String,
+               cols: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.functions.{count, input_file_name, lit, max, min}
+    val aggs = cols.flatMap { c =>
+      Seq(min(col(c)).as(s"${c}_min"), max(col(c)).as(s"${c}_max"))
+    }
+    spark.read.parquet(path)
+      .groupBy(input_file_name().as("file"))
+      .agg(count(lit(1)).as("n_rows"), aggs: _*)
+  }
+
+  /**
+   * Small-files repair: rewrite a parquet directory into
+   * `ceil(totalBytes / targetFileBytes)` files (size estimated from
+   * the source listing — metadata only, no data through the driver).
+   * With no `sortWithin`, a round-robin `repartition(n)` packs files
+   * skew-free. With `sortWithin` (the cluster key), the rewrite goes
+   * through `repartitionByRange` + in-partition sort instead — a
+   * compaction must not silently destroy a clustered layout, and
+   * range-repacking on the key RESTORES it (files regain disjoint key
+   * ranges). Writes to `outPath`: compaction is a
+   * write-audit-publish-shaped operation, and an in-place rewrite that
+   * dies mid-job would eat the source; callers publish with a rename
+   * (or [[writeAuditPublish]]).
+   *
+   * At 100 TB this is the maintenance job that keeps file counts sane:
+   * streaming sinks and fine-grained partitions accrete kilobyte
+   * files, and every downstream scan pays per-file open cost until a
+   * compact pass runs.
+   */
+  def compact(spark: org.apache.spark.sql.SparkSession, inPath: String,
+              outPath: String, targetFileBytes: Long = 128L << 20,
+              sortWithin: Seq[String] = Nil): Int = {
+    require(targetFileBytes > 0, "targetFileBytes must be positive")
+    import org.apache.hadoop.fs.Path
+    val src = new Path(inPath)
+    val fs = src.getFileSystem(spark.sessionState.newHadoopConf())
+    val totalBytes = {
+      val it = fs.listFiles(src, true)
+      var sum = 0L
+      while (it.hasNext) {
+        val f = it.next()
+        if (f.getPath.getName.endsWith(".parquet")) sum += f.getLen
+      }
+      sum
+    }
+    val nFiles = math.max(1, math.ceil(totalBytes.toDouble / targetFileBytes).toInt)
+    val src0 = spark.read.parquet(inPath)
+    val repacked =
+      if (sortWithin.isEmpty) src0.repartition(nFiles)
+      else src0.repartitionByRange(nFiles, sortWithin.map(col): _*)
+        .sortWithinPartitions(sortWithin.map(col): _*)
+    repacked.write.mode(SaveMode.Overwrite).parquet(outPath)
+    nFiles
+  }
 }
