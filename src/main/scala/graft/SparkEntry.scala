@@ -1434,6 +1434,16 @@ object SparkEntry {
           "doc_id", "text", "y", buckets = 64, iterations = 3, lr = 0.5)
         .orderBy("bucket")),
 
+    // Per-language model family trained in ONE plan (group key threads
+    // every join/reduce — no per-group driver loop); label = long doc.
+    "q_classifier_group" -> ((s, d) =>
+      graft.operators.Classifier.fitLogisticGrouped(
+          docs(s, d).withColumn("y",
+            (length(col("text")) > 200).cast("double")),
+          "lang", "doc_id", "text", "y",
+          buckets = 64, iterations = 2, lr = 0.5)
+        .orderBy("group", "bucket")),
+
     // Corpus scoring with the weights trained above — the CCNet-style
     // "train filter, score corpus" loop end-to-end in one plan.
     "q_classifier_score" -> ((s, d) => {
@@ -4849,6 +4859,8 @@ object SparkEntry {
     "q_pref_bt_ties" -> btTiesOracle(iterations = 3),
     "q_classifier_fit" ->
       classifierOracle(buckets = 64, iterations = 3, lr = 0.5, score = false),
+    "q_classifier_group" ->
+      classifierGroupOracle(buckets = 64, iterations = 2, lr = 0.5),
     "q_classifier_score" ->
       classifierOracle(buckets = 64, iterations = 3, lr = 0.5, score = true),
     "q_layout_audit" ->
@@ -7526,6 +7538,70 @@ object SparkEntry {
          |SELECT doc_id AS id,
          |  round(round(0.5 + z / (2.0 * (1.0 + abs(z))), 12), 6) AS score
          |FROM zf ORDER BY id""".stripMargin
+  }
+
+  /** DuckDB mirror of `Classifier.fitLogisticGrouped` over documents
+    * grouped by lang with label `length(text) > 200` — the
+    * [[classifierOracle]] arithmetic with the group key threaded
+    * through every CTE. */
+  private def classifierGroupOracle(buckets: Int, iterations: Int,
+                                    lr: Double): String = {
+    def dec(x: String) = s"CAST(sum(CAST(round($x, 9) AS DECIMAL(38,9))) AS DOUBLE)"
+    val rounds = (1 to iterations).map { r =>
+      s"""z$r AS (SELECT d.g, d.doc_id, d.y,
+         |    round(bias.w0 + coalesce(s.zs, 0.0), 12) AS z
+         |  FROM docs0 d
+         |  JOIN (SELECT g, wt AS w0 FROM w${r - 1} WHERE b = -1) bias
+         |    USING (g)
+         |  LEFT JOIN (
+         |    SELECT fb.g, fb.doc_id, ${dec("wt")} AS zs
+         |    FROM fb JOIN w${r - 1} w ON fb.g = w.g AND fb.b = w.b
+         |    GROUP BY fb.g, fb.doc_id) s
+         |  ON d.g = s.g AND d.doc_id = s.doc_id),
+         |r$r AS (SELECT g, doc_id,
+         |    round(round(0.5 + z / (2.0 * (1.0 + abs(z))), 12) - y, 9)
+         |      AS res
+         |  FROM z$r),
+         |g$r AS (SELECT fb.g, fb.b,
+         |    round(${dec("res")} / first(n.nn), 12) AS gr
+         |  FROM fb
+         |  JOIN r$r ON fb.g = r$r.g AND fb.doc_id = r$r.doc_id
+         |  JOIN n ON fb.g = n.g
+         |  GROUP BY fb.g, fb.b
+         |  UNION ALL
+         |  SELECT r.g, -1, round(${dec("res")} / first(n.nn), 12)
+         |  FROM r$r r JOIN n USING (g) GROUP BY r.g),
+         |w$r AS (SELECT w.g, w.b,
+         |    round(w.wt - $lr * coalesce(gg.gr, 0.0), 12) AS wt
+         |  FROM w${r - 1} w
+         |  LEFT JOIN g$r gg ON w.g = gg.g AND w.b = gg.b)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH docs0 AS (SELECT lang AS g, doc_id,
+       |    CASE WHEN length(text) > 200 THEN 1.0 ELSE 0.0 END AS y
+       |  FROM documents),
+       |toks AS (SELECT lang AS g, doc_id,
+       |    regexp_split_to_array(trim(lower(text)), '[ \\t\\n\\x0b\\f\\r]+')
+       |      AS ws
+       |  FROM documents),
+       |uni AS (SELECT g, doc_id, w, i
+       |  FROM (SELECT g, doc_id, unnest(ws) AS w,
+       |          unnest(range(1, len(ws) + 1)) AS i FROM toks)
+       |  WHERE length(w) > 0),
+       |feats AS (SELECT g, doc_id, w AS f FROM uni
+       |  UNION ALL
+       |  SELECT a.g, a.doc_id, a.w || ' ' || b.w
+       |  FROM uni a JOIN uni b ON a.doc_id = b.doc_id AND b.i = a.i + 1),
+       |fb AS (SELECT DISTINCT g, doc_id,
+       |    list_reduce(list_transform(string_split(f, ''), x -> unicode(x)),
+       |                (h, c) -> (h * 31 + c) % 2000003) % $buckets AS b
+       |  FROM feats),
+       |n AS (SELECT g, CAST(count(*) AS BIGINT) AS nn FROM docs0 GROUP BY g),
+       |w0 AS (SELECT g, unnest(range(-1, $buckets)) AS b,
+       |    CAST(0.0 AS DOUBLE) AS wt
+       |  FROM (SELECT DISTINCT g FROM docs0)),
+       |$rounds
+       |SELECT g AS "group", b AS bucket, round(wt, 6) AS weight
+       |FROM w$iterations ORDER BY "group", bucket""".stripMargin
   }
 
   /** DuckDB mirror of [[arenaComparisons]]: the deterministic

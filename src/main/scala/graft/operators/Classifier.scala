@@ -95,6 +95,73 @@ object Classifier {
     wFinal.select(col("b").as("bucket"), round(col("wt"), 6).as("weight"))
   }
 
+  /**
+   * Per-GROUP fit — one independent model per value of `groupCol`
+   * (CCNet trains one quality filter per language), all trained in a
+   * SINGLE plan: every join/reduce of the global fit just gains the
+   * group as a leading key, so Spark trains the whole model family in
+   * the same two shuffles per GD round a single model costs — no
+   * per-group driver loop, no G× replan. Weight state is
+   * `groups × (buckets+1)` rows (still model-sized; broadcast on the
+   * feature join). Returns `(group, bucket, weight)`.
+   *
+   * Exactly equivalent to running [[fitLogistic]] on each group's
+   * slice (ClassifierSpec proves bit-for-bit equality): groups never
+   * interact — separate counts, gradients, biases.
+   */
+  def fitLogisticGrouped(df: DataFrame, groupCol: String, idCol: String,
+                         textCol: String, labelCol: String,
+                         buckets: Int = 4096, iterations: Int = 5,
+                         lr: Double = 0.5): DataFrame = {
+    require(iterations >= 1, s"iterations must be >= 1, got $iterations")
+    require(buckets >= 1 && lr > 0, "buckets and lr must be positive")
+    val spark = df.sparkSession
+    val labels = df.select(col(groupCol).as("g"),
+        col(idCol).cast("long").as("id"),
+        col(labelCol).cast("double").as("y"))
+      .localCheckpoint()
+    val feats = df.select(col(groupCol).as("g"),
+        col(idCol).cast("long").as("id"),
+        explode(array_distinct(
+          TextFunctions.dsirBuckets(lower(col(textCol)), buckets))).as("b"))
+      .localCheckpoint()
+    val nDocs = labels.groupBy("g").agg(count(lit(1)).as("__n"))
+      .localCheckpoint()
+    val init = nDocs.select(col("g"))
+      .crossJoin(spark.range(-1L, buckets.toLong)
+        .select(col("id").cast("long").as("b")))
+      .withColumn("wt", lit(0.0))
+      .localCheckpoint()
+    val wFinal = (1 to iterations).foldLeft(init) { (w, _) =>
+      val zSums = feats
+        .join(broadcast(w.filter(col("b") >= 0)), Seq("g", "b"))
+        .groupBy("g", "id").agg(decSum(col("wt")).as("__zs"))
+      val bias = broadcast(w.filter(col("b") === -1)
+        .select(col("g"), col("wt").as("__w0")))
+      val margins = labels
+        .join(zSums, Seq("g", "id"), "left")
+        .join(bias, Seq("g"))
+        .join(broadcast(nDocs), Seq("g"))
+        .withColumn("__z",
+          round(col("__w0") + coalesce(col("__zs"), lit(0.0)), 12))
+        .select(col("g"), col("id"),
+          round(sigmoidAlg(col("__z")) - col("y"), 9).as("__r"), col("__n"))
+      val grads = feats.join(margins, Seq("g", "id"))
+        .groupBy("g", "b")
+        .agg(round(decSum(col("__r")) / first(col("__n")), 12).as("__g"))
+      val biasGrad = margins.groupBy("g")
+        .agg(round(decSum(col("__r")) / first(col("__n")), 12).as("__g"))
+        .select(col("g"), lit(-1L).as("b"), col("__g"))
+      w.join(grads.unionAll(biasGrad), Seq("g", "b"), "left")
+        .select(col("g"), col("b"),
+          round(col("wt") - lit(lr) * coalesce(col("__g"), lit(0.0)), 12)
+            .as("wt"))
+        .localCheckpoint()
+    }
+    wFinal.select(col("g").as("group"), col("b").as("bucket"),
+      round(col("wt"), 6).as("weight"))
+  }
+
   /** Per-doc residual frame `(id, __r, __n)`: __r = σ̃(z) − y at the
     * current weights, carried with the doc count for the gradient
     * divide. */

@@ -52,6 +52,25 @@ class ClassifierSpec extends SparkTestBase {
     assert(a.toSeq == b.toSeq)
   }
 
+  test("grouped fit equals per-group global fits bit-for-bit") {
+    val two = df("g STRING, id BIGINT, text STRING, y DOUBLE", Seq(
+      Row("a", 1L, "good stuff", 1.0), Row("a", 2L, "bad junk", 0.0),
+      Row("a", 3L, "good words", 1.0),
+      Row("b", 4L, "fine prose", 1.0), Row("b", 5L, "noisy junk", 0.0)))
+    val grouped = Classifier.fitLogisticGrouped(two, "g", "id", "text", "y",
+        buckets = 32, iterations = 4, lr = 1.0)
+      .orderBy("group", "bucket").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    for (g <- Seq("a", "b")) {
+      val solo = Classifier.fitLogistic(
+          two.filter(col("g") === g), "id", "text", "y",
+          buckets = 32, iterations = 4, lr = 1.0)
+        .orderBy("bucket").collect()
+        .map(r => (g, r.getLong(0), r.getDouble(1)))
+      assert(grouped.filter(_._1 == g).toSeq == solo.toSeq, s"group $g")
+    }
+  }
+
   test("sigmoidAlg is the algebraic link with the right fixed points") {
     val out = spark.range(1).select(
       Classifier.sigmoidAlg(lit(0.0)).as("a"),
