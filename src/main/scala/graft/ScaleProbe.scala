@@ -185,7 +185,8 @@ object ScaleProbe {
     "q_layout_audit",
     // in-plan classifier: one feature-matrix materialization + two
     // corpus shuffles per GD round; score is one scan + broadcast join
-    "q_classifier_fit", "q_classifier_score", "q_classifier_group")
+    "q_classifier_fit", "q_classifier_score", "q_classifier_group",
+    "q_classifier_group_score")
 
   private def caesar(c: org.apache.spark.sql.Column, k: Int) = {
     val lower = "abcdefghijklmnopqrstuvwxyz"

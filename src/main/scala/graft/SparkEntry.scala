@@ -1444,6 +1444,20 @@ object SparkEntry {
           buckets = 64, iterations = 2, lr = 0.5)
         .orderBy("group", "bucket")),
 
+    // Per-language serving: each doc scored by ITS language's model
+    // from the grouped fit — train + serve for the whole family in one
+    // plan.
+    "q_classifier_group_score" -> ((s, d) => {
+      val ds = docs(s, d)
+      val w = graft.operators.Classifier.fitLogisticGrouped(
+        ds.withColumn("y", (length(col("text")) > 200).cast("double")),
+        "lang", "doc_id", "text", "y",
+        buckets = 64, iterations = 2, lr = 0.5)
+      graft.operators.Classifier.scoreLogisticGrouped(
+          ds, "lang", "doc_id", "text", w, 64)
+        .orderBy("group", "id")
+    }),
+
     // Corpus scoring with the weights trained above — the CCNet-style
     // "train filter, score corpus" loop end-to-end in one plan.
     "q_classifier_score" -> ((s, d) => {
@@ -4861,6 +4875,9 @@ object SparkEntry {
       classifierOracle(buckets = 64, iterations = 3, lr = 0.5, score = false),
     "q_classifier_group" ->
       classifierGroupOracle(buckets = 64, iterations = 2, lr = 0.5),
+    "q_classifier_group_score" ->
+      classifierGroupOracle(buckets = 64, iterations = 2, lr = 0.5,
+        score = true),
     "q_classifier_score" ->
       classifierOracle(buckets = 64, iterations = 3, lr = 0.5, score = true),
     "q_layout_audit" ->
@@ -7545,7 +7562,8 @@ object SparkEntry {
     * [[classifierOracle]] arithmetic with the group key threaded
     * through every CTE. */
   private def classifierGroupOracle(buckets: Int, iterations: Int,
-                                    lr: Double): String = {
+                                    lr: Double,
+                                    score: Boolean = false): String = {
     def dec(x: String) = s"CAST(sum(CAST(round($x, 9) AS DECIMAL(38,9))) AS DOUBLE)"
     val rounds = (1 to iterations).map { r =>
       s"""z$r AS (SELECT d.g, d.doc_id, d.y,
@@ -7600,8 +7618,25 @@ object SparkEntry {
        |    CAST(0.0 AS DOUBLE) AS wt
        |  FROM (SELECT DISTINCT g FROM docs0)),
        |$rounds
-       |SELECT g AS "group", b AS bucket, round(wt, 6) AS weight
-       |FROM w$iterations ORDER BY "group", bucket""".stripMargin
+       |${if (!score)
+          s"""SELECT g AS "group", b AS bucket, round(wt, 6) AS weight
+             |FROM w$iterations ORDER BY "group", bucket""".stripMargin
+        else
+          s""", wf AS (SELECT g, b, round(wt, 6) AS wt FROM w$iterations),
+             |zf AS (SELECT d.g, d.doc_id,
+             |    round(bias.w0 + coalesce(s.zs, 0.0), 12) AS z
+             |  FROM docs0 d
+             |  JOIN (SELECT g, wt AS w0 FROM wf WHERE b = -1) bias
+             |    USING (g)
+             |  LEFT JOIN (
+             |    SELECT fb.g, fb.doc_id, ${dec("wt")} AS zs
+             |    FROM fb JOIN wf w ON fb.g = w.g AND fb.b = w.b
+             |    GROUP BY fb.g, fb.doc_id) s
+             |  ON d.g = s.g AND d.doc_id = s.doc_id)
+             |SELECT g AS "group", doc_id AS id,
+             |  round(round(0.5 + z / (2.0 * (1.0 + abs(z))), 12), 6)
+             |    AS score
+             |FROM zf ORDER BY "group", id""".stripMargin}""".stripMargin
   }
 
   /** DuckDB mirror of [[arenaComparisons]]: the deterministic

@@ -162,6 +162,35 @@ object Classifier {
       round(col("wt"), 6).as("weight"))
   }
 
+  /** Score each document with ITS group's model from a
+    * [[fitLogisticGrouped]] weight frame `(group, bucket, weight)`:
+    * `(group, id, score)` — the per-language serve path; the weights
+    * join carries (group, bucket) keys, still model-sized/broadcast. A
+    * document whose group has no model is dropped (inner join on the
+    * bias row — the explicit contract, not a silent 0.5). */
+  def scoreLogisticGrouped(df: DataFrame, groupCol: String, idCol: String,
+                           textCol: String, weights: DataFrame,
+                           buckets: Int): DataFrame = {
+    val w = weights.select(col("group").as("g"), col("bucket").as("b"),
+      col("weight").cast("double").as("wt"))
+    val feats = df.select(col(groupCol).as("g"),
+      col(idCol).cast("long").as("id"),
+      explode(array_distinct(
+        TextFunctions.dsirBuckets(lower(col(textCol)), buckets))).as("b"))
+    val zSums = feats
+      .join(broadcast(w.filter(col("b") >= 0)), Seq("g", "b"))
+      .groupBy("g", "id").agg(decSum(col("wt")).as("__zs"))
+    val bias = broadcast(w.filter(col("b") === -1)
+      .select(col("g"), col("wt").as("__w0")))
+    df.select(col(groupCol).as("g"), col(idCol).cast("long").as("id"))
+      .join(bias, Seq("g"))
+      .join(zSums, Seq("g", "id"), "left")
+      .select(col("g").as("group"), col("id"),
+        round(sigmoidAlg(
+          round(col("__w0") + coalesce(col("__zs"), lit(0.0)), 12)), 6)
+          .as("score"))
+  }
+
   /** Per-doc residual frame `(id, __r, __n)`: __r = σ̃(z) − y at the
     * current weights, carried with the doc count for the gradient
     * divide. */

@@ -71,6 +71,30 @@ class ClassifierSpec extends SparkTestBase {
     }
   }
 
+  test("grouped scoring equals per-group solo scoring") {
+    val two = df("g STRING, id BIGINT, text STRING, y DOUBLE", Seq(
+      Row("a", 1L, "good stuff", 1.0), Row("a", 2L, "bad junk", 0.0),
+      Row("b", 3L, "fine prose", 1.0), Row("b", 4L, "noisy junk", 0.0),
+      Row("c", 5L, "orphan doc", 1.0)))
+    val w = Classifier.fitLogisticGrouped(
+      two.filter(col("g") =!= "c"), "g", "id", "text", "y",
+      buckets = 32, iterations = 3, lr = 1.0)
+    val grouped = Classifier.scoreLogisticGrouped(two, "g", "id", "text",
+        w, 32)
+      .orderBy("id").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    // group c has no model → dropped, not silently scored
+    assert(grouped.map(_._1).toSet == Set("a", "b"))
+    for (g <- Seq("a", "b")) {
+      val solo = Classifier.scoreLogistic(
+          two.filter(col("g") === g), "id", "text",
+          w.filter(col("group") === g)
+            .select(col("bucket"), col("weight")), 32)
+        .orderBy("id").collect().map(r => (g, r.getLong(0), r.getDouble(1)))
+      assert(grouped.filter(_._1 == g).toSeq == solo.toSeq, s"group $g")
+    }
+  }
+
   test("sigmoidAlg is the algebraic link with the right fixed points") {
     val out = spark.range(1).select(
       Classifier.sigmoidAlg(lit(0.0)).as("a"),
