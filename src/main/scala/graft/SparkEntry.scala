@@ -3099,6 +3099,14 @@ object SparkEntry {
         .orderBy("node")
     }),
 
+    // Leaderboard with 95% Wilson intervals — the arena-UI view;
+    // bounds are +,x,/,sqrt only (sqrt is IEEE-exact), oracle replays
+    // the identical expression tree.
+    "q_pref_leaderboard_ci" -> ((s, d) =>
+      graft.operators.Preference.leaderboardWilson(
+          arenaComparisons(s, d), "w", "l")
+        .orderBy("item")),
+
     // Z-order (Morton) clustering key: bit-interleave of two dims
     // masked to 8 bits — the multi-dimensional data-skipping layout
     // (LayoutSpec measures the file-pruning win; this gate pins the key
@@ -4908,17 +4916,27 @@ object SparkEntry {
          |FROM t""".stripMargin,
     "q_pref_leaderboard" ->
       s"""WITH $arenaCte,
-         |per AS (SELECT item, CAST(count(*) AS BIGINT) AS games,
-         |          CAST(sum(v) AS BIGINT) AS wins
-         |        FROM (SELECT w AS item, 1 AS v FROM raw
-         |              UNION ALL SELECT l AS item, 0 AS v FROM raw)
-         |        GROUP BY item),
-         |wr AS (SELECT item, games, wins,
-         |         round(CAST(wins AS DOUBLE) / games, 6) AS win_rate
-         |       FROM per)
+         |$leaderboardCte
+         |SELECT item, games, wins, win_rate, rank
+         |FROM board ORDER BY item""".stripMargin,
+    "q_pref_leaderboard_ci" -> {
+      val z = 1.96; val z2 = z * z
+      s"""WITH $arenaCte,
+         |$leaderboardCte,
+         |ci AS (SELECT item, games, wins, win_rate, rank,
+         |    CAST(games AS DOUBLE) AS n,
+         |    CAST(wins AS DOUBLE) / CAST(games AS DOUBLE) AS p
+         |  FROM board)
          |SELECT item, games, wins, win_rate,
-         |  CAST(rank() OVER (ORDER BY win_rate DESC) AS BIGINT) AS rank
-         |FROM wr ORDER BY item""".stripMargin,
+         |  round(greatest((p + $z2 / (2.0 * n)) / (1.0 + $z2 / n)
+         |    - ($z * sqrt(p * (1.0 - p) / n + $z2 / (4.0 * n * n)))
+         |      / (1.0 + $z2 / n), 0.0), 6) AS ci_lo,
+         |  round(least((p + $z2 / (2.0 * n)) / (1.0 + $z2 / n)
+         |    + ($z * sqrt(p * (1.0 - p) / n + $z2 / (4.0 * n * n)))
+         |      / (1.0 + $z2 / n), 1.0), 6) AS ci_hi,
+         |  rank
+         |FROM ci ORDER BY item""".stripMargin
+    },
     "q_cluster_assign" ->
       s"""WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
          |           FROM embeddings),
@@ -7481,6 +7499,21 @@ object SparkEntry {
        |  FROM events CROSS JOIN s),
        |zt AS (SELECT user_id, event_id, $inter AS z FROM sc)""".stripMargin
   }
+
+  /** DuckDB mirror of `Preference.leaderboard` over [[arenaCte]]'s
+    * `raw(w, l)` stream — CTE `board(item, games, wins, win_rate,
+    * rank)`, shared by the plain and Wilson-CI leaderboard gates. */
+  private val leaderboardCte: String =
+    """per AS (SELECT item, CAST(count(*) AS BIGINT) AS games,
+      |          CAST(sum(v) AS BIGINT) AS wins
+      |        FROM (SELECT w AS item, 1 AS v FROM raw
+      |              UNION ALL SELECT l AS item, 0 AS v FROM raw)
+      |        GROUP BY item),
+      |board AS (SELECT item, games, wins,
+      |    round(CAST(wins AS DOUBLE) / games, 6) AS win_rate,
+      |    CAST(rank() OVER (ORDER BY round(CAST(wins AS DOUBLE) / games, 6)
+      |      DESC) AS BIGINT) AS rank
+      |  FROM per)""".stripMargin
 
   /** DuckDB mirror of `Classifier.fitLogistic` over documents with
     * label `lang = 'en'`: hashed presence features via the same

@@ -225,6 +225,33 @@ object Preference {
    * combined), then a single-partition window over |items| rows — fine
    * because the aggregate output is leaderboard-sized by construction.
    */
+  /**
+   * [[leaderboard]] plus a Wilson score interval per item —
+   * `(item, games, wins, win_rate, ci_lo, ci_hi, rank)` at z = 1.96
+   * (95%): the interval an arena UI shades behind each win rate, and
+   * the honest way to rank items with very different game counts
+   * (ranking by `ci_lo` is the standard lower-confidence-bound rule;
+   * rank here stays on win_rate for [[leaderboard]] parity — sort by
+   * `ci_lo` downstream for the LCB board). Wilson bounds are
+   * +,×,÷,√ only — √ is IEEE-correctly-rounded, so the oracle replays
+   * them exactly (unlike exp/ln, which are libm-dependent).
+   * Same scale shape as [[leaderboard]].
+   */
+  def leaderboardWilson(df: DataFrame, winnerCol: String, loserCol: String,
+                        z: Double = 1.96): DataFrame = {
+    val base = leaderboard(df, winnerCol, loserCol)
+    val n = col("games").cast("double")
+    val p = col("wins").cast("double") / n
+    val z2 = lit(z * z)
+    val center = (p + z2 / (lit(2.0) * n)) / (lit(1.0) + z2 / n)
+    val half = (lit(z) * sqrt(p * (lit(1.0) - p) / n +
+      z2 / (lit(4.0) * n * n))) / (lit(1.0) + z2 / n)
+    base.select(col("item"), col("games"), col("wins"), col("win_rate"),
+      round(greatest(center - half, lit(0.0)), 6).as("ci_lo"),
+      round(least(center + half, lit(1.0)), 6).as("ci_hi"),
+      col("rank"))
+  }
+
   def leaderboard(df: DataFrame, winnerCol: String, loserCol: String): DataFrame = {
     val raw = df.select(col(winnerCol).cast("long").as("__w"),
         col(loserCol).cast("long").as("__l"))

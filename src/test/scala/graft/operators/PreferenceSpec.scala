@@ -118,6 +118,32 @@ class PreferenceSpec extends SparkTestBase {
     assert(bt(games, 10).toSeq == bt(games.reverse, 10).toSeq)
   }
 
+  test("leaderboardWilson brackets the win rate with exact Wilson bounds") {
+    val out = Preference.leaderboardWilson(
+        df("w BIGINT, l BIGINT", Seq(
+          Row(0L, 1L), Row(0L, 1L), Row(1L, 0L))),
+        "w", "l")
+      .orderBy("item").collect()
+      .map(r => (r.getLong(0), r.getDouble(3), r.getDouble(4), r.getDouble(5)))
+    def wilson(wins: Double, n: Double): (Double, Double) = {
+      val z = 1.96; val z2 = z * z; val p = wins / n
+      val c = (p + z2 / (2.0 * n)) / (1.0 + z2 / n)
+      val h = (z * math.sqrt(p * (1.0 - p) / n + z2 / (4.0 * n * n))) /
+        (1.0 + z2 / n)
+      (math.max(c - h, 0.0), math.min(c + h, 1.0))
+    }
+    def r6(x: Double) =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    out.foreach { case (item, rate, lo, hi) =>
+      val (wins, n) = if (item == 0L) (2.0, 3.0) else (1.0, 3.0)
+      val (elo, ehi) = wilson(wins, n)
+      assert(lo == r6(elo), s"item $item lo")
+      assert(hi == r6(ehi), s"item $item hi")
+      assert(lo <= rate && rate <= hi)
+      assert(lo >= 0.0 && hi <= 1.0)
+    }
+  }
+
   test("leaderboard counts games/wins and ranks by win rate") {
     val out = Preference.leaderboard(
         df("w BIGINT, l BIGINT", Seq(
