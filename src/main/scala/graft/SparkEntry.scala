@@ -2769,6 +2769,14 @@ object SparkEntry {
           docs(s, d), "doc_id", "text")
         .orderBy("doc_id")),
 
+    // Kneser-Ney trigram (one order up — continuation counts from the
+    // trigram type table, Chen-Goodman recursion, same determinism
+    // policy); trained on and scoring the corpus itself.
+    "q_lm_kn3" -> ((s, d) =>
+      graft.operators.LmScore.knTrigramNll(docs(s, d), "text",
+          docs(s, d), "doc_id", "text")
+        .orderBy("doc_id")),
+
     // DSIR selection step: Gumbel top-50 over the importance weights —
     // the deterministic exp(weight)-proportional sample.
     "q_dsir_sample" -> ((s, d) => {
@@ -6418,6 +6426,59 @@ object SparkEntry {
         |  FROM con GROUP BY 1)
         |SELECT d.doc_id, CAST(coalesce(s.n_bigrams, 0) AS BIGINT) AS n_bigrams,
         |       s.kn_nll
+        |FROM documents d LEFT JOIN s USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
+    "q_lm_kn3" ->
+      """WITH tg AS (
+        |  SELECT doc_id, string_split(g, ' ')[1] AS w1,
+        |         string_split(g, ' ')[2] AS w2,
+        |         string_split(g, ' ')[3] AS w3
+        |  FROM (
+        |    SELECT doc_id, unnest(list_transform(
+        |      range(1, greatest(len(toks)-2, 1)+1),
+        |      i -> array_to_string(list_slice(toks, i, i+2), ' '))) AS g
+        |    FROM (SELECT doc_id, regexp_split_to_array(trim(lower(text)),
+        |            '[ \t\n\x0b\f\r]+') AS toks FROM documents))
+        |  WHERE len(string_split(g, ' ')) = 3),
+        |c123 AS (SELECT w1, w2, w3, count(*) AS c123 FROM tg GROUP BY 1, 2, 3),
+        |ctx12 AS (SELECT w1, w2, sum(c123) AS c12dot, count(*) AS n1fw12
+        |          FROM c123 GROUP BY 1, 2),
+        |t23 AS (SELECT w2, w3, count(*) AS ct23 FROM c123 GROUP BY 1, 2),
+        |mid AS (SELECT w2, sum(ct23) AS t2dot, count(*) AS n1fw2
+        |        FROM t23 GROUP BY 1),
+        |cont AS (SELECT w3, count(*) AS n1bw3 FROM t23 GROUP BY 1),
+        |tot AS (SELECT
+        |  (SELECT CAST(count(*) AS DOUBLE) FROM t23) AS nbt,
+        |  (SELECT CAST(count(DISTINCT w) AS DOUBLE) FROM
+        |     (SELECT unnest(regexp_split_to_array(trim(lower(text)),
+        |        '[ \t\n\x0b\f\r]+')) AS w FROM documents)
+        |     WHERE length(w) > 0) AS v),
+        |tf AS (SELECT doc_id, w1, w2, w3, count(*) AS tf
+        |       FROM tg GROUP BY 1, 2, 3, 4),
+        |p AS (SELECT doc_id, tf, v,
+        |  (greatest(CAST(coalesce(c123, 0) AS DOUBLE) - 0.75, 0.0) +
+        |   0.75 * CAST(coalesce(n1fw12, 0) AS DOUBLE) *
+        |     ((greatest(CAST(coalesce(ct23, 0) AS DOUBLE) - 0.75, 0.0) +
+        |       0.75 * CAST(coalesce(n1fw2, 0) AS DOUBLE) *
+        |         (CAST(coalesce(n1bw3, 0) AS DOUBLE) / nbt))
+        |      / CAST(t2dot AS DOUBLE)))
+        |  / CAST(c12dot AS DOUBLE) AS p0
+        |  FROM tf LEFT JOIN c123 USING (w1, w2, w3)
+        |       LEFT JOIN ctx12 USING (w1, w2)
+        |       LEFT JOIN t23 USING (w2, w3)
+        |       LEFT JOIN mid USING (w2)
+        |       LEFT JOIN cont USING (w3) CROSS JOIN tot),
+        |con AS (SELECT doc_id, tf,
+        |  round(-tf * ln(CASE WHEN p0 IS NULL OR p0 = 0.0
+        |                      THEN 1.0 / (v + 1.0) ELSE p0 END), 9) AS w
+        |  FROM p),
+        |s AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_trigrams,
+        |  round(CAST(sum(CAST(w AS DECIMAL(20,9))) AS DOUBLE) / sum(tf), 6)
+        |    AS kn3_nll
+        |  FROM con GROUP BY 1)
+        |SELECT d.doc_id,
+        |       CAST(coalesce(s.n_trigrams, 0) AS BIGINT) AS n_trigrams,
+        |       s.kn3_nll
         |FROM documents d LEFT JOIN s USING (doc_id)
         |ORDER BY doc_id""".stripMargin,
     // DSIR: the polynomial bucket hash is reproduced character-by-

@@ -144,6 +144,96 @@ object LmScore {
   }
 
   /**
+   * Interpolated Kneser-Ney TRIGRAM scoring — one order up from
+   * [[knBigramNll]], the next step toward KenLM's 5-gram (Chen &
+   * Goodman 1999 recursion, fixed discount D at every level):
+   *
+   *   p(w3|w1w2) = (max(c(w1w2w3) − D, 0) + D·N1+(w1w2·)·p_mid(w3|w2))
+   *                / c(w1w2·)
+   *   p_mid(w3|w2) = (max(N1+(·w2w3) − D, 0) + D·N1+mid(w2·)·p_cont(w3))
+   *                / N1+(·w2·)
+   *   p_cont(w3)  = N1+(··w3) / N1+(···)
+   *
+   * All lower-order quantities are CONTINUATION (type) counts derived
+   * from the trigram type table — the Chen-Goodman prescription for
+   * interior levels (the bottom level here also derives from trigram
+   * types rather than a separate bigram pass; self-consistent, and the
+   * difference is only at document edges). Documents score mean −ln p
+   * over interior trigram occurrences; docs with < 3 tokens get NULL.
+   * Unseen events floor at 1/(V+1) as in the bigram model — unreachable
+   * when scoring the training corpus itself.
+   *
+   * Scale shape: the model is four vocabulary-keyed count DataFrames,
+   * every one a map-side-combined aggregation of the trigram type
+   * table (itself one corpus scan through the codegen'd shingle
+   * expression); scoring joins per-(doc, trigram) tf against them (AQE
+   * broadcast when they fit) with the two scalar totals on a broadcast
+   * one-row frame. Same 9-dp/DECIMAL(20,9) determinism policy as
+   * [[knBigramNll]].
+   */
+  def knTrigramNll(train: DataFrame, trainTextCol: String,
+                   docs: DataFrame, idCol: String, textCol: String,
+                   discount: Double = 0.75): DataFrame = {
+    require(discount > 0 && discount < 1, "discount must be in (0,1)")
+    val d = lit(discount)
+
+    def trigrams(df: DataFrame, key: Column, out: String, tcol: String) = df
+      .select(key.as(out), explode(graft.functions.TextFunctions
+        .stringShingles(lower(col(tcol)), 3)).as("g"))
+      .filter(size(split(col("g"), " ")) === 3)
+      .select(col(out), split(col("g"), " ").getItem(0).as("w1"),
+        split(col("g"), " ").getItem(1).as("w2"),
+        split(col("g"), " ").getItem(2).as("w3"))
+
+    val c123 = trigrams(train, lit(1L), "__one", trainTextCol)
+      .groupBy("w1", "w2", "w3").agg(count(lit(1)).as("c123"))
+    val ctx12 = c123.groupBy("w1", "w2").agg(
+      sum("c123").as("c12dot"), count(lit(1)).as("n1fw12"))
+    val t23 = c123.groupBy("w2", "w3").agg(count(lit(1)).as("ct23"))
+    val mid = t23.groupBy("w2").agg(
+      sum("ct23").as("t2dot"), count(lit(1)).as("n1fw2"))
+    val cont = t23.groupBy("w3").agg(count(lit(1)).as("n1bw3"))
+    val totals = broadcast(
+      t23.agg(count(lit(1)).cast("double").as("nbt"))
+        .crossJoin(train.select(explode(graft.functions.TextFunctions
+            .stringShingles(lower(col(trainTextCol)), 1)).as("t"))
+          .filter(length(col("t")) > 0)
+          .agg(countDistinct(col("t")).cast("double").as("v"))))
+
+    val tf = trigrams(docs.select(col(idCol).as("doc_id"), col(textCol)),
+        col("doc_id"), "doc_id", textCol)
+      .groupBy("doc_id", "w1", "w2", "w3").agg(count(lit(1)).as("tf"))
+    val p = tf
+      .join(c123, Seq("w1", "w2", "w3"), "left")
+      .join(ctx12, Seq("w1", "w2"), "left")
+      .join(t23, Seq("w2", "w3"), "left")
+      .join(mid, Seq("w2"), "left")
+      .join(cont, Seq("w3"), "left")
+      .crossJoin(totals)
+      .withColumn("pm",
+        (greatest(coalesce(col("ct23"), lit(0L)).cast("double") - d,
+            lit(0.0)) +
+          d * coalesce(col("n1fw2"), lit(0L)) *
+            (coalesce(col("n1bw3"), lit(0L)) / col("nbt"))) /
+          col("t2dot").cast("double"))
+      .withColumn("p0",
+        (greatest(coalesce(col("c123"), lit(0L)).cast("double") - d,
+            lit(0.0)) +
+          d * coalesce(col("n1fw12"), lit(0L)) * col("pm")) /
+          col("c12dot").cast("double"))
+      .withColumn("p",
+        when(col("p0").isNull || col("p0") === 0.0,
+          lit(1.0) / (col("v") + lit(1.0))).otherwise(col("p0")))
+      .withColumn("w", round(-col("tf") * log(col("p")), 9))
+    val scored = p.groupBy("doc_id").agg(
+      sum("tf").as("n_trigrams"),
+      round((sum(col("w").cast("decimal(20,9)")).cast("double") /
+        sum("tf")), 6).as("kn3_nll"))
+    docs.select(col(idCol).as("doc_id")).join(scored, Seq("doc_id"), "left")
+      .withColumn("n_trigrams", coalesce(col("n_trigrams"), lit(0L)))
+  }
+
+  /**
    * CCNet-style perplexity bucketing (Wenzek et al., LREC 2020): per
    * LANGUAGE, rank documents by LM score and cut into `buckets`
    * equal-size tiers — bucket 1 = most in-distribution ("head"), last =

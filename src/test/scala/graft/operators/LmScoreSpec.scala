@@ -47,6 +47,28 @@ class LmScoreSpec extends SparkTestBase {
     assert(out(2).getLong(1) == 0L && out(2).isNullAt(2))
   }
 
+  test("knTrigramNll matches the hand-computed recursion") {
+    // train "a b c a b c a b d": trigram occurrences abc×2 bca×2 cab×2
+    // abd×1; t23 types (b,c)(c,a)(a,b)(b,d) all ct23=1 → nbt=4, V=4
+    val tr = df("text STRING", Seq(Row("a b c a b c a b d")))
+    val d3 = df("doc_id BIGINT, text STRING", Seq(
+      Row(1L, "a b c"),   // full recursion, all levels seen
+      Row(2L, "x a b"),   // unseen context (x,a) → floor 1/(V+1) = 0.2
+      Row(3L, "a b")))    // < 3 tokens → NULL
+    val out = LmScore.knTrigramNll(tr, "text", d3, "doc_id", "text")
+      .orderBy("doc_id").collect()
+    def r6(x: Double) = BigDecimal(x)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    // p_cont(c)=1/4; p_mid(c|b)=(0.25+0.75·2·0.25)/2; p(c|ab)=
+    // (1.25+0.75·2·p_mid)/3
+    val pMid = (0.25 + 0.75 * 2 * 0.25) / 2.0
+    val p1 = (1.25 + 0.75 * 2 * pMid) / 3.0
+    assert(out(0).getLong(1) == 1L)
+    assert(math.abs(out(0).getDouble(2) - r6(-math.log(p1))) < 1e-9)
+    assert(math.abs(out(1).getDouble(2) - r6(-math.log(0.2))) < 1e-9)
+    assert(out(2).getLong(1) == 0L && out(2).isNullAt(2))
+  }
+
   test("perplexityBuckets cuts per language, head = lowest nll, nulls last") {
     val d = df("doc_id BIGINT, text STRING, lang STRING", Seq(
       Row(1L, "a a b", "en"),   // pure training distribution -> head
