@@ -3293,6 +3293,15 @@ object SparkEntry {
         .orderBy("field")
     }),
 
+    // Pairwise Pearson correlation audit over lineitem numerics — one
+    // scalar-reduce pass for all pairs' exact-decimal moments, Pearson
+    // arithmetic replayed exactly (IEEE /,sqrt on exact inputs).
+    "q_profile_corr" -> ((s, d) =>
+      graft.operators.Profile.correlationMatrix(
+          executor(s, d).table("lineitem"),
+          Seq("l_quantity", "l_extendedprice", "l_discount"))
+        .orderBy("col_a", "col_b")),
+
     // Join-key overlap audit: orders.o_custkey vs customer.c_custkey —
     // key-set intersection, row match rates, and worst-case fanout, the
     // pre-join health check.
@@ -6428,6 +6437,8 @@ object SparkEntry {
         |       s.kn_nll
         |FROM documents d LEFT JOIN s USING (doc_id)
         |ORDER BY doc_id""".stripMargin,
+    "q_profile_corr" -> corrOracle("lineitem",
+      Seq("l_quantity", "l_extendedprice", "l_discount")),
     "q_lm_kn3" ->
       """WITH tg AS (
         |  SELECT doc_id, string_split(g, ' ')[1] AS w1,
@@ -7559,6 +7570,44 @@ object SparkEntry {
        |    ((event_id - mn1) * $levels) // greatest(mx1 - mn1, 1) AS s1
        |  FROM events CROSS JOIN s),
        |zt AS (SELECT user_id, event_id, $inter AS z FROM sc)""".stripMargin
+  }
+
+  /** DuckDB mirror of `Profile.correlationMatrix`: per-pair exact
+    * DECIMAL(18,2) moments in one aggregate, then the identical
+    * double-arithmetic Pearson (n·Σxy − ΣxΣy over the two √ terms). */
+  private def corrOracle(table: String, cols: Seq[String]): String = {
+    val pairs = for {
+      i <- cols.indices; j <- (i + 1) until cols.size
+    } yield (cols(i), cols(j))
+    val momentCols = pairs.zipWithIndex.flatMap { case ((a, b), k) =>
+      val da = s"CAST($a AS DECIMAL(18,2))"
+      val db = s"CAST($b AS DECIMAL(18,2))"
+      val both = s"$da IS NOT NULL AND $db IS NOT NULL"
+      Seq(
+        s"CAST(count(CASE WHEN $both THEN 1 END) AS BIGINT) AS n_$k",
+        s"sum(CASE WHEN $both THEN $da END) AS sx_$k",
+        s"sum(CASE WHEN $both THEN $db END) AS sy_$k",
+        s"sum(CASE WHEN $both THEN $da * $db END) AS sxy_$k",
+        s"sum(CASE WHEN $both THEN $da * $da END) AS sxx_$k",
+        s"sum(CASE WHEN $both THEN $db * $db END) AS syy_$k")
+    }.mkString(",\n  ")
+    val arms = pairs.zipWithIndex.map { case ((a, b), k) =>
+      val n = s"CAST(n_$k AS DOUBLE)"
+      def g(p: String) = s"CAST(${p}_$k AS DOUBLE)"
+      val num = s"$n * ${g("sxy")} - ${g("sx")} * ${g("sy")}"
+      val den = s"""sqrt($n * ${g("sxx")} - ${g("sx")} * ${g("sx")})
+                   | * sqrt($n * ${g("syy")} - ${g("sy")} * ${g("sy")})"""
+        .stripMargin
+      s"""SELECT '$a' AS col_a, '$b' AS col_b, n_$k AS n,
+         |  CASE WHEN $den = 0.0 OR $n < 2.0 THEN NULL
+         |       ELSE round(($num) / ($den), 6) END AS corr
+         |FROM m""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""WITH m AS (SELECT
+       |  $momentCols
+       |  FROM $table)
+       |$arms
+       |ORDER BY col_a, col_b""".stripMargin
   }
 
   /** DuckDB mirror of `Preference.leaderboard` over [[arenaCte]]'s

@@ -727,4 +727,54 @@ object Profile {
         round(col("__e2") - col("__m") * col("__m"), 6).as("variance"),
         col("min_val"), col("max_val"))
   }
+
+  /**
+   * Pairwise Pearson correlation audit over numeric columns:
+   * `(col_a, col_b, n, corr)` for every unordered pair — the standard
+   * profiling matrix ("is discount just a function of price?") that
+   * flags redundant features and surprising couplings before they leak
+   * into a model. Pairwise-complete semantics: each pair's moments use
+   * only rows where BOTH columns are non-null.
+   *
+   * Determinism: inputs snap to DECIMAL(18,2) and all six moments per
+   * pair (n, Σx, Σy, Σxy, Σx², Σy²) are EXACT decimal sums (the
+   * [[zscoreFlags]] recipe) — associative, partition-order
+   * independent; the final Pearson arithmetic is a pure double
+   * function of exact inputs (÷ and √ are IEEE-correctly-rounded).
+   * `corr` is NULL when either side has no dispersion or n < 2.
+   *
+   * Scale shape: ONE map-side-combined full aggregate produces all
+   * pairs' moments (k(k−1)/2 · 6 cells — a single 1-row frame for the
+   * handful of columns an audit targets); the matrix then unpivots in
+   * a pure projection. One corpus pass total, no joins, no shuffle
+   * beyond the scalar reduce.
+   */
+  def correlationMatrix(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.size >= 2, "need at least two columns")
+    val pairs = for {
+      i <- cols.indices; j <- (i + 1) until cols.size
+    } yield (cols(i), cols(j))
+    def d(c: String) = col(c).cast("decimal(18,2)")
+    val aggs = pairs.zipWithIndex.flatMap { case ((a, b), k) =>
+      val both = d(a).isNotNull && d(b).isNotNull
+      def s(e: Column, name: String) =
+        sum(when(both, e)).as(s"__${name}_$k")
+      Seq(count(when(both, lit(1))).as(s"__n_$k"),
+        s(d(a), "sx"), s(d(b), "sy"), s(d(a) * d(b), "sxy"),
+        s(d(a) * d(a), "sxx"), s(d(b) * d(b), "syy"))
+    }
+    val moments = df.agg(aggs.head, aggs.tail: _*)
+    val rows = pairs.zipWithIndex.map { case ((a, b), k) =>
+      val n = col(s"__n_$k").cast("double")
+      def g(p: String) = col(s"__${p}_$k").cast("double")
+      val num = n * g("sxy") - g("sx") * g("sy")
+      val den = sqrt(n * g("sxx") - g("sx") * g("sx")) *
+        sqrt(n * g("syy") - g("sy") * g("sy"))
+      struct(lit(a).as("col_a"), lit(b).as("col_b"),
+        col(s"__n_$k").as("n"),
+        when(den === 0.0 || n < 2.0, lit(null).cast("double"))
+          .otherwise(round(num / den, 6)).as("corr"))
+    }
+    moments.select(explode(array(rows: _*)).as("__r")).select(col("__r.*"))
+  }
 }

@@ -365,4 +365,23 @@ class ProfileSpec extends SparkTestBase {
     assert(r4.getAs[Double]("mi") == ln2 && r4.getAs[Double]("nmi") == 1.0)
     assert(r4.getAs[Double]("h_a") == ln2 && r4.getAs[Double]("h_b") == ln2)
   }
+
+  test("correlationMatrix: perfect, inverse, constant, and null-pair cases") {
+    val t = df("x DOUBLE, y DOUBLE, z DOUBLE, c DOUBLE, h DOUBLE", Seq(
+      Row(1.0, 2.0, 8.0, 2.0, 1.0),
+      Row(2.0, 4.0, 6.0, 2.0, null),
+      Row(3.0, 6.0, 4.0, 2.0, 3.0),
+      Row(4.0, 8.0, 2.0, 2.0, 4.0)))
+    val out = Profile.correlationMatrix(t, Seq("x", "y", "z", "c", "h"))
+      .collect()
+      .map(r => ((r.getString(0), r.getString(1)),
+        (r.getLong(2), if (r.isNullAt(3)) None else Some(r.getDouble(3)))))
+      .toMap
+    assert(out.size == 10)
+    assert(out(("x", "y")) == ((4L, Some(1.0))))   // y = 2x
+    assert(out(("x", "z")) == ((4L, Some(-1.0))))  // z = 10 - 2x
+    assert(out(("x", "c"))._2.isEmpty)             // constant → no dispersion
+    // null in h drops ONLY that pair's row: n = 3, still perfectly linear
+    assert(out(("x", "h")) == ((3L, Some(1.0))))
+  }
 }
