@@ -54,7 +54,7 @@ object ScaleProbe {
     // LM, CCNet perplexity tiers, PMI collocations, BPE encode,
     // tokenizer fertility, within-doc line dedup
     "q_text_diversity", "q_dedup_substring", "q_dsir_weights",
-    "q_dsir_sample", "q_lm_kn", "q_lm_kn3", "q_lm_buckets", "q_pmi_collocations",
+    "q_dsir_sample", "q_lm_kn", "q_lm_kn3", "q_lm_moore_lewis", "q_lm_buckets", "q_pmi_collocations",
     "q_vocab_encode", "q_vocab_fertility", "q_lines_dedup_within",
     // relational families over replicated TPC-H tables (10× sf0.1
     // lineitem ≈ 6M rows ≈ sf1): scan+partial-agg, equi-join,

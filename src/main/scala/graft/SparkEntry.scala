@@ -2769,6 +2769,17 @@ object SparkEntry {
           docs(s, d), "doc_id", "text")
         .orderBy("doc_id")),
 
+    // Moore-Lewis cross-entropy difference: target = the English
+    // slice, general = the whole corpus — ascending ce_diff is the
+    // in-domain selection order (ACL 2010).
+    "q_lm_moore_lewis" -> ((s, d) => {
+      val ds = docs(s, d)
+      graft.operators.LmScore.mooreLewis(
+          ds.filter(col("lang") === "en"), ds, "text",
+          ds, "doc_id", "text")
+        .orderBy("doc_id")
+    }),
+
     // Kneser-Ney trigram (one order up — continuation counts from the
     // trigram type table, Chen-Goodman recursion, same determinism
     // policy); trained on and scoring the corpus itself.
@@ -6439,6 +6450,57 @@ object SparkEntry {
         |ORDER BY doc_id""".stripMargin,
     "q_profile_corr" -> corrOracle("lineitem",
       Seq("l_quantity", "l_extendedprice", "l_discount")),
+    // Moore-Lewis: the q_lm_score CTE twice (target = English slice,
+    // general = whole corpus), diff of the two 6-dp scores.
+    "q_lm_moore_lewis" ->
+      """WITH dtoks AS (
+        |  SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)),
+        |    '[ \t\n\x0b\f\r]+')) AS term
+        |  FROM documents),
+        |tf AS (SELECT doc_id, term, count(*) AS tf FROM dtoks
+        |       WHERE length(term) > 0 GROUP BY 1, 2),
+        |ttoks AS (
+        |  SELECT unnest(regexp_split_to_array(trim(lower(text)),
+        |    '[ \t\n\x0b\f\r]+')) AS term
+        |  FROM documents WHERE lang = 'en'),
+        |tcounts AS (SELECT term, count(*) AS c FROM ttoks
+        |            WHERE length(term) > 0 GROUP BY 1),
+        |tstats AS (SELECT CAST(sum(c) AS DOUBLE) AS t_total,
+        |                  CAST(count(*) AS DOUBLE) AS v FROM tcounts),
+        |tcontrib AS (
+        |  SELECT doc_id, tf,
+        |    round(-tf * ln((coalesce(c, 0) + 0.5) /
+        |          (t_total + 0.5 * (v + 1.0))), 9) AS w
+        |  FROM tf LEFT JOIN tcounts USING (term) CROSS JOIN tstats),
+        |tscored AS (
+        |  SELECT doc_id, sum(tf) AS n_tokens,
+        |    round(CAST(sum(CAST(w AS DECIMAL(20,9))) AS DOUBLE) / sum(tf), 6)
+        |      AS nll
+        |  FROM tcontrib GROUP BY 1),
+        |gtoks AS (
+        |  SELECT unnest(regexp_split_to_array(trim(lower(text)),
+        |    '[ \t\n\x0b\f\r]+')) AS term
+        |  FROM documents),
+        |gcounts AS (SELECT term, count(*) AS c FROM gtoks
+        |            WHERE length(term) > 0 GROUP BY 1),
+        |gstats AS (SELECT CAST(sum(c) AS DOUBLE) AS t_total,
+        |                  CAST(count(*) AS DOUBLE) AS v FROM gcounts),
+        |gcontrib AS (
+        |  SELECT doc_id, tf,
+        |    round(-tf * ln((coalesce(c, 0) + 0.5) /
+        |          (t_total + 0.5 * (v + 1.0))), 9) AS w
+        |  FROM tf LEFT JOIN gcounts USING (term) CROSS JOIN gstats),
+        |gscored AS (
+        |  SELECT doc_id,
+        |    round(CAST(sum(CAST(w AS DECIMAL(20,9))) AS DOUBLE) / sum(tf), 6)
+        |      AS nll
+        |  FROM gcontrib GROUP BY 1)
+        |SELECT d.doc_id,
+        |  CAST(coalesce(t.n_tokens, 0) AS BIGINT) AS n_tokens,
+        |  round(t.nll - g.nll, 6) AS ce_diff
+        |FROM documents d LEFT JOIN tscored t USING (doc_id)
+        |     LEFT JOIN gscored g USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
     "q_lm_kn3" ->
       """WITH tg AS (
         |  SELECT doc_id, string_split(g, ' ')[1] AS w1,

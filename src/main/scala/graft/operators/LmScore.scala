@@ -65,6 +65,33 @@ object LmScore {
   }
 
   /**
+   * Moore–Lewis cross-entropy difference selection (Moore & Lewis, ACL
+   * 2010) — the classic domain-data filter: score each document by
+   * `H_target(d) − H_general(d)` under two add-α unigram models, one
+   * trained on the in-domain corpus and one on the general pool. Low
+   * (negative) scores are documents the TARGET model likes more than
+   * the general one — "looks in-domain, not just generically fluent";
+   * select ascending. Output `(doc_id, n_tokens, ce_diff)`; NULL when
+   * the document has no tokens.
+   *
+   * Scale shape: exactly two [[unigramNll]] passes (each one
+   * vocabulary-keyed count model + a tf join) and a doc-keyed join of
+   * the two score frames — nothing beyond the parts already proven,
+   * same determinism policy end-to-end.
+   */
+  def mooreLewis(target: DataFrame, general: DataFrame,
+                 trainTextCol: String, docs: DataFrame, idCol: String,
+                 textCol: String, alpha: Double = 0.5): DataFrame = {
+    val t = unigramNll(target, trainTextCol, docs, idCol, textCol, alpha)
+      .select(col("doc_id"), col("n_tokens"), col("nll").as("__t"))
+    val g = unigramNll(general, trainTextCol, docs, idCol, textCol, alpha)
+      .select(col("doc_id"), col("nll").as("__g"))
+    t.join(g, Seq("doc_id"))
+      .select(col("doc_id"), col("n_tokens"),
+        round(col("__t") - col("__g"), 6).as("ce_diff"))
+  }
+
+  /**
    * Interpolated Kneser-Ney BIGRAM scoring (Kneser & Ney, ICASSP 1995;
    * Chen & Goodman, 1999 — the model family behind KenLM, which CCNet
    * uses at 5-gram order): unlike the unigram model, KN scores a token

@@ -47,6 +47,25 @@ class LmScoreSpec extends SparkTestBase {
     assert(out(2).getLong(1) == 0L && out(2).isNullAt(2))
   }
 
+  test("mooreLewis: in-domain docs negative, off-domain positive, exact diff") {
+    val target = df("text STRING", Seq(Row("a a b")))
+    val general = df("text STRING", Seq(Row("a b z z")))
+    val d2 = df("doc_id BIGINT, text STRING", Seq(
+      Row(1L, "a"), Row(2L, "z"), Row(3L, "")))
+    val out = LmScore.mooreLewis(target, general, "text", d2,
+        "doc_id", "text")
+      .orderBy("doc_id").collect()
+    def r6(x: Double) = BigDecimal(x)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    // target: c(a)=2 T=3 V=2 → denom 4.5; general: c(a)=1,c(z)=2 T=4
+    // V=3 → denom 6
+    val dA = r6(r6(-math.log(2.5 / 4.5)) - r6(-math.log(1.5 / 6.0)))
+    val dZ = r6(r6(-math.log(0.5 / 4.5)) - r6(-math.log(2.5 / 6.0)))
+    assert(out(0).getDouble(2) == dA && dA < 0) // "a": in-domain
+    assert(out(1).getDouble(2) == dZ && dZ > 0) // "z": off-domain
+    assert(out(2).isNullAt(2))                  // empty doc
+  }
+
   test("knTrigramNll matches the hand-computed recursion") {
     // train "a b c a b c a b d": trigram occurrences abc×2 bca×2 cab×2
     // abd×1; t23 types (b,c)(c,a)(a,b)(b,d) all ct23=1 → nbt=4, V=4
