@@ -120,7 +120,7 @@ object ScaleProbe {
     "q_eval_chrf",
     // round-6 batch M: T5 span corruption — one (id, pos) explode, two
     // per-doc windows, ordered re-assembly
-    "q_augment_span",
+    "q_augment_span", "q_augment_dropout", "q_augment_mask",
     // round-6 batch N: greedy k-center coreset — k nested 1-row argmax
     // subplans, broadcast-only; corpus passes scale with k
     "q_sample_kcenter",

@@ -2769,6 +2769,19 @@ object SparkEntry {
           docs(s, d), "doc_id", "text")
         .orderBy("doc_id")),
 
+    // Deterministic word dropout (md5 seed:id:pos per token) — the
+    // denoising augmentation at token granularity.
+    "q_augment_dropout" -> ((s, d) =>
+      graft.operators.Augment.wordDropout(docs(s, d), "doc_id", "text",
+          rate = 0.1)
+        .orderBy("id")),
+
+    // BERT-style token masking over the same hash decisions.
+    "q_augment_mask" -> ((s, d) =>
+      graft.operators.Augment.tokenMask(docs(s, d), "doc_id", "text",
+          rate = 0.15)
+        .orderBy("id")),
+
     // Moore-Lewis cross-entropy difference: target = the English
     // slice, general = the whole corpus — ascending ce_diff is the
     // in-domain selection order (ACL 2010).
@@ -6450,6 +6463,8 @@ object SparkEntry {
         |ORDER BY doc_id""".stripMargin,
     "q_profile_corr" -> corrOracle("lineitem",
       Seq("l_quantity", "l_extendedprice", "l_discount")),
+    "q_augment_dropout" -> augmentTokenOracle(0.1, drop = true),
+    "q_augment_mask" -> augmentTokenOracle(0.15, drop = false),
     // Moore-Lewis: the q_lm_score CTE twice (target = English slice,
     // general = whole corpus), diff of the two 6-dp scores.
     "q_lm_moore_lewis" ->
@@ -7632,6 +7647,34 @@ object SparkEntry {
        |    ((event_id - mn1) * $levels) // greatest(mx1 - mn1, 1) AS s1
        |  FROM events CROSS JOIN s),
        |zt AS (SELECT user_id, event_id, $inter AS z FROM sc)""".stripMargin
+  }
+
+  /** DuckDB mirror of `Augment.wordDropout` (`drop = true`) /
+    * `tokenMask` (`drop = false`): per-token md5(seed:id:pos) decision
+    * against the same [[graft.operators.Split.thresholdHex]] literal,
+    * ordered string_agg re-assembly. */
+  private def augmentTokenOracle(rate: Double, drop: Boolean): String = {
+    val out = if (drop) "CASE WHEN NOT hit THEN tok END"
+      else "CASE WHEN hit THEN '<mask>' ELSE tok END"
+    val hits = if (drop) "n_dropped" else "n_masked"
+    s"""WITH base AS (SELECT doc_id AS id, ${evalToksSql("text")} AS t
+       |  FROM documents),
+       |tok0 AS (SELECT id, t, unnest(range(1, len(t)+1)) AS i FROM base),
+       |tok AS (SELECT id, i-1 AS pos, t[i] AS tok FROM tok0),
+       |fl AS (SELECT id, pos, tok,
+       |  substr(md5('graft:' || CAST(id AS VARCHAR) || ':' ||
+       |             CAST(pos AS VARCHAR)), 1, 8)
+       |    < '${graft.operators.Split.thresholdHex(rate)}' AS hit FROM tok),
+       |agg AS (SELECT id,
+       |    coalesce(string_agg($out, ' ' ORDER BY pos), '') AS text_out,
+       |    CAST(count(*) AS BIGINT) AS n_tokens,
+       |    CAST(sum(CASE WHEN hit THEN 1 ELSE 0 END) AS BIGINT) AS $hits
+       |  FROM fl GROUP BY id)
+       |SELECT d.doc_id AS id, coalesce(a.text_out, '') AS text_out,
+       |  CAST(coalesce(a.n_tokens, 0) AS BIGINT) AS n_tokens,
+       |  CAST(coalesce(a.$hits, 0) AS BIGINT) AS $hits
+       |FROM documents d LEFT JOIN agg a ON d.doc_id = a.id
+       |ORDER BY id""".stripMargin
   }
 
   /** DuckDB mirror of `Profile.correlationMatrix`: per-pair exact

@@ -87,4 +87,60 @@ object Augment {
         coalesce(col("n_dropped"), lit(0L)).as("n_dropped"),
         coalesce(col("n_spans"), lit(0L)).as("n_spans"))
   }
+
+  /** Per-token md5 decision `(id, pos, tok, __hit)` over `seed:id:pos`
+    * — the [[spanCorrupt]] hash discipline at token granularity,
+    * shared by [[wordDropout]] and [[tokenMask]]. */
+  private def tokenFlags(df: DataFrame, idCol: String, textCol: String,
+                         rate: Double, seed: String): DataFrame = {
+    require(rate >= 0.0 && rate <= 1.0, "rate must be in [0, 1]")
+    df.select(col(idCol).as("id"), toks(col(textCol)).as("__t"))
+      .select(col("id"), size(col("__t")).cast("long").as("__n"),
+        posexplode_outer(col("__t")).as(Seq("pos", "tok")))
+      .withColumn("__hit",
+        substring(md5(concat(lit(seed), lit(":"), col("id").cast("string"),
+          lit(":"), col("pos").cast("string"))), 1, 8) <
+          lit(Split.thresholdHex(rate)))
+  }
+
+  private def reassemble(flagged: DataFrame, outTok: Column,
+                         hitName: String): DataFrame =
+    flagged.groupBy("id").agg(
+      concat_ws(" ", transform(
+        array_sort(collect_list(when(outTok.isNotNull,
+          struct(col("pos"), outTok.as("s"))))),
+        x => x.getField("s"))).as("text_out"),
+      max(col("__n")).as("n_tokens"),
+      sum(when(col("__hit") && col("tok").isNotNull, lit(1L))
+        .otherwise(lit(0L))).as(hitName))
+
+  /**
+   * Word dropout (deterministic): drop each whitespace token with
+   * probability `rate`, decided by md5 over `seed:id:pos` — the same
+   * content-deterministic discipline as [[spanCorrupt]], so re-runs
+   * and the oracle reproduce byte-identically. Output
+   * `(id, text_out, n_tokens, n_dropped)`; empty documents pass
+   * through with empty text.
+   *
+   * Scale shape: one posexplode + one id-keyed re-assembly — a single
+   * corpus shuffle, no windows (per-token decisions don't need
+   * neighbor state, unlike span merging).
+   */
+  def wordDropout(df: DataFrame, idCol: String, textCol: String,
+                  rate: Double = 0.1, seed: String = "graft"): DataFrame =
+    reassemble(tokenFlags(df, idCol, textCol, rate, seed),
+      when(!col("__hit"), col("tok")), "n_dropped")
+
+  /**
+   * Token masking (deterministic): replace each selected token with
+   * `mask` instead of dropping it — the BERT-style corruption; same
+   * hash discipline and shape as [[wordDropout]]. Output
+   * `(id, text_out, n_tokens, n_masked)`.
+   */
+  def tokenMask(df: DataFrame, idCol: String, textCol: String,
+                rate: Double = 0.15, mask: String = "<mask>",
+                seed: String = "graft"): DataFrame =
+    reassemble(tokenFlags(df, idCol, textCol, rate, seed),
+      when(col("tok").isNotNull,
+        when(col("__hit"), lit(mask)).otherwise(col("tok"))), "n_masked")
 }

@@ -61,4 +61,46 @@ class AugmentSpec extends SparkTestBase {
       "id", "text", noiseDensity = 0.3, seed = "other").orderBy("id").collect().toSeq
     assert(a != other) // a different seed moves the masks
   }
+
+  test("wordDropout: rate bounds, order preserved, empty doc passes through") {
+    import spark.implicits._
+    val d = Seq((1L, "alpha beta gamma delta epsilon zeta"), (2L, ""))
+      .toDF("id", "text")
+    val zero = Augment.wordDropout(d, "id", "text", rate = 0.0)
+      .orderBy("id").collect()
+    assert(zero(0).getString(1) == "alpha beta gamma delta epsilon zeta")
+    assert(zero(0).getLong(2) == 6L && zero(0).getLong(3) == 0L)
+    assert(zero(1).getString(1) == "" && zero(1).getLong(2) == 0L)
+    val all = Augment.wordDropout(d, "id", "text", rate = 1.0)
+      .orderBy("id").collect()
+    assert(all(0).getString(1) == "" && all(0).getLong(3) == 6L)
+    // kept tokens preserve document order at a middling rate
+    val some = Augment.wordDropout(d, "id", "text", rate = 0.5)
+      .orderBy("id").collect()(0).getString(1).split(" ").filter(_.nonEmpty)
+    val orig = "alpha beta gamma delta epsilon zeta".split(" ")
+    assert(some.toSeq == orig.filter(some.contains(_)).toSeq)
+    // deterministic
+    assert(Augment.wordDropout(d, "id", "text", rate = 0.5)
+      .orderBy("id").collect()(0).getString(1).split(" ").toSeq ==
+      some.toSeq)
+  }
+
+  test("tokenMask: masks exactly the dropout positions, keeps length") {
+    import spark.implicits._
+    val d = Seq((7L, "one two three four five six seven eight"))
+      .toDF("id", "text")
+    val dropped = Augment.wordDropout(d, "id", "text", rate = 0.4)
+      .collect()(0)
+    val masked = Augment.tokenMask(d, "id", "text", rate = 0.4)
+      .collect()(0)
+    val toks = masked.getString(1).split(" ")
+    assert(toks.length == 8) // masking never changes token count
+    assert(masked.getLong(3) == dropped.getLong(3)) // same hash decisions
+    assert(toks.count(_ == "<mask>") == masked.getLong(3))
+    // non-masked positions carry the original tokens
+    val orig = "one two three four five six seven eight".split(" ")
+    toks.zip(orig).foreach { case (m, o) =>
+      assert(m == "<mask>" || m == o)
+    }
+  }
 }
