@@ -67,7 +67,7 @@ object ScaleProbe {
     // round-5 audit additions: retrieval-quality metrics (top-k-bounded
     // joins), rater-agreement reductions, native deflate quality signal
     "q_retrieval_eval", "q_rater_kappa", "q_rater_fleiss",
-    "q_quality_compress", "q_sample_topmass", "q_embed_pool",
+    "q_quality_compress", "q_sample_topmass", "q_sample_topk_heap", "q_embed_pool",
     "q_graph_labelprop", "q_rater_alpha", "q_sample_hard_negatives",
     "q_ann_mutual", "q_graph_communities", "q_graph_modularity",
     "q_profile_gini", "q_dedup_report",

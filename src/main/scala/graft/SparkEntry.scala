@@ -1906,6 +1906,16 @@ object SparkEntry {
         docs(s, d).select(col("source"), col("n_chars")),
         "source", "n_chars")),
 
+    // Heap-based top-k per key: the bounded TypedImperativeAggregate
+    // (k-entry buffers through partial agg — no per-key window sort);
+    // same (score desc, id asc) selection as the window form.
+    "q_sample_topk_heap" -> ((s, d) =>
+      graft.operators.Sample.topPerKeyHeap(
+          docs(s, d).select(col("lang"), col("doc_id"),
+            TF.qualityScore(col("text")).as("q")),
+          "lang", "q", k = 5, idCol = "doc_id")
+        .orderBy("lang", "doc_id")),
+
     // Nucleus (top-p) selection: per language, the minimal top-score
     // prefix carrying 80% of the char MASS (not row count) — decimal
     // cumulative sums, so the cut is engine-exact.
@@ -6463,6 +6473,16 @@ object SparkEntry {
         |ORDER BY doc_id""".stripMargin,
     "q_profile_corr" -> corrOracle("lineitem",
       Seq("l_quantity", "l_extendedprice", "l_discount")),
+    "q_sample_topk_heap" ->
+      s"""WITH q AS ($qualityOracle),
+         |s AS (SELECT d.lang, d.doc_id, q.quality AS score
+         |      FROM documents d JOIN q USING (doc_id)),
+         |r AS (SELECT lang, doc_id, score,
+         |        row_number() OVER (PARTITION BY lang
+         |          ORDER BY score DESC, doc_id ASC) AS rn
+         |      FROM s)
+         |SELECT lang, doc_id, score FROM r WHERE rn <= 5
+         |ORDER BY lang, doc_id""".stripMargin,
     "q_augment_dropout" -> augmentTokenOracle(0.1, drop = true),
     "q_augment_mask" -> augmentTokenOracle(0.15, drop = false),
     // Moore-Lewis: the q_lm_score CTE twice (target = English slice,

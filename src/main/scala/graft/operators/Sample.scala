@@ -137,6 +137,37 @@ object Sample {
   }
 
   /**
+   * Heap-based top-k per key — the custom-aggregate formulation of
+   * [[topPerKey]] via [[graft.functions.TopKPairs]] (the repo's
+   * bounded TypedImperativeAggregate): where the window form SORTS
+   * every key's rows to keep k, this carries at most k `(score, id)`
+   * entries per group through partial and final aggregation — a
+   * 10⁹-row key ships k·partitions triples instead of sorting 10⁹
+   * rows, the difference between a straggler and a non-event at
+   * 100 TB. Returns `(keyCol, idCol, score)` rows (score = the cast
+   * double of `orderCol`, 1-per-kept-id, NULL scores/ids skipped);
+   * semi-join on the id to recover full rows — ranking triples and
+   * re-joining is the scalable pattern, not ranking whole documents.
+   * Row-for-row equal to [[topPerKey]]'s selection under the same
+   * `(score desc, id asc)` total order (spec-proven, ties included).
+   */
+  def topPerKeyHeap(df: DataFrame, keyCol: String, orderCol: String,
+                    k: Int, idCol: String): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    import org.apache.spark.sql.graftshim.CatalystBridge
+    val agg = CatalystBridge.column(
+      graft.functions.TopKPairs(
+        CatalystBridge.expression(col(orderCol).cast("double")),
+        CatalystBridge.expression(col(idCol).cast("long")), k)
+        .toAggregateExpression())
+    df.groupBy(col(keyCol))
+      .agg(agg.as("__top"))
+      .select(col(keyCol), explode(col("__top")).as("__e"))
+      .select(col(keyCol), col("__e.id").as(idCol),
+        col("__e.score").as("score"))
+  }
+
+  /**
    * Nucleus (top-p) selection per key — keep the MINIMAL highest-score
    * prefix carrying at least `p` of the key's total score MASS (not row
    * count): "the documents holding 90% of the quality mass", the

@@ -318,6 +318,32 @@ class CurationSpec extends SparkTestBase {
     assert(top1 == Set(2L, 5L))
   }
 
+  test("topPerKeyHeap equals the window top-k; no Window in its plan") {
+    // ties on score AND enough rows per key to exercise eviction
+    val rows = (1L to 40L).map { i =>
+      org.apache.spark.sql.Row(i, if (i % 2 == 0) "a" else "b",
+        (i % 7).toDouble)
+    } :+ org.apache.spark.sql.Row(99L, "a", null)
+    val docs = df("doc_id BIGINT, lang STRING, s DOUBLE", rows)
+    val win = Sample.topPerKey(docs.filter(col("s").isNotNull),
+        "lang", "s", k = 5, idCol = "doc_id")
+      .select("lang", "doc_id").collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSet
+    val heapDf = Sample.topPerKeyHeap(docs.repartition(7),
+      "lang", "s", k = 5, idCol = "doc_id")
+    val heap = heapDf.select("lang", "doc_id").collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(heap == win) // incl. null-score row never ranking
+    // the whole point: the plan carries a bounded aggregate, no
+    // per-key sort window
+    val plan = heapDf.queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), plan)
+    assert(plan.contains("topk_pairs"), plan)
+    // partial aggregation present → shuffle carries ≤ k-entry buffers
+    assert(plan.contains("partial_topk_pairs") ||
+      plan.toLowerCase.contains("partial"), plan)
+  }
+
   test("topFraction keeps the top percent_rank share; singleton groups survive") {
     val rows = (1 to 10).map(i =>
       org.apache.spark.sql.Row(i.toLong, "web", i.toLong * 10)) :+
