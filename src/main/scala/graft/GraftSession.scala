@@ -86,6 +86,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     inject("simpson_tokens", cs => SimpsonTokens(cs.head), classOf[SimpsonTokens])
     inject("dsir_buckets", cs => DsirBuckets(cs(0),
       intArg(cs(1), "dsir_buckets", 1)), classOf[DsirBuckets])
+    // aggregate function: the analyzer wraps a bare AggregateFunction
+    // in its AggregateExpression, so the builder returns it directly
+    inject("topk_pairs", cs => TopKPairs(
+      org.apache.spark.sql.catalyst.expressions.Cast(cs(0),
+        org.apache.spark.sql.types.DoubleType),
+      org.apache.spark.sql.catalyst.expressions.Cast(cs(1),
+        org.apache.spark.sql.types.LongType),
+      intArg(cs(2), "topk_pairs", 2)), classOf[TopKPairs])
   }
 }
 

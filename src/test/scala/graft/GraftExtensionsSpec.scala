@@ -76,6 +76,21 @@ class GraftExtensionsSpec extends SparkTestBase {
     assert(r.getDouble(2) == 0.4)
   }
 
+  test("topk_pairs aggregates by SQL name with the heap's tie order") {
+    val out = spark.sql(
+      "SELECT g, topk_pairs(s, id, 2) AS top FROM VALUES " +
+        "('a', 3.0, 10L), ('a', 3.0, 11L), ('a', 1.0, 12L), " +
+        "('b', 5.0, 20L) AS t(g, s, id) " +
+        "GROUP BY g ORDER BY g").collect()
+    val a = out(0).getSeq[org.apache.spark.sql.Row](1)
+      .map(r => (r.getDouble(0), r.getLong(1)))
+    // score ties keep the SMALLER id first — the window-parity order
+    assert(a == Seq((3.0, 10L), (3.0, 11L)))
+    val b = out(1).getSeq[org.apache.spark.sql.Row](1)
+      .map(r => (r.getDouble(0), r.getLong(1)))
+    assert(b == Seq((5.0, 20L)))
+  }
+
   test("non-literal size parameters are rejected with a clear message") {
     val e = intercept[Exception] {
       spark.sql("SELECT minhash_sig(hashed_shingles('a b c', 3), doc_id) " +
