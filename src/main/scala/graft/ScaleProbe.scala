@@ -186,7 +186,13 @@ object ScaleProbe {
     // in-plan classifier: one feature-matrix materialization + two
     // corpus shuffles per GD round; score is one scan + broadcast join
     "q_classifier_fit", "q_classifier_score", "q_classifier_group",
-    "q_classifier_group_score")
+    "q_classifier_group_score",
+    // round-7 batch: KS (per-side value-count reduce + domain window),
+    // chi-square (cell reduce + window marginals), Spearman (two
+    // value-cell rank tables joined back — no corpus sort),
+    // readability (pure projection), RBO (two TakeOrdered top-k)
+    "q_drift_ks", "q_profile_chisq", "q_profile_spearman",
+    "q_text_readability", "q_eval_rbo")
 
   private def caesar(c: org.apache.spark.sql.Column, k: Int) = {
     val lower = "abcdefghijklmnopqrstuvwxyz"

@@ -3523,7 +3523,74 @@ object SparkEntry {
         embeddings(s, d).select(col("vec_id"),
           col("embedding").cast("array<double>").as("v"), col("label")),
         "vec_id", "v", "label")
-        .orderBy("label"))
+        .orderBy("label")),
+
+    // Two-sample KS over doc length: the full corpus vs its short-doc
+    // slice — the binning-free drift statistic (same sides as
+    // q_drift_numeric, no lo/hi/nBins to tune).
+    "q_drift_ks" -> ((s, d) =>
+      graft.operators.Drift.ksTest(
+        docs(s, d).select("n_chars"),
+        docs(s, d).filter(col("n_chars") < 800).select("n_chars"),
+        "n_chars")),
+
+    // Chi-square independence of lang × source with Cramér's V — the
+    // association-strength companion to q_profile_mi on the same
+    // contingency table.
+    "q_profile_chisq" -> ((s, d) =>
+      graft.operators.Profile.chiSquare(docs(s, d), "lang", "source")),
+
+    // Spearman rank correlation of quantity vs extended price —
+    // monotone association where raw Pearson (q_profile_corr) is
+    // distorted by the price scale; ranks come from domain-sized value
+    // tables, never a corpus-global sort.
+    "q_profile_spearman" -> ((s, d) =>
+      graft.operators.Profile.spearman(
+        executor(s, d).table("lineitem"), "l_quantity", "l_extendedprice")),
+
+    // Flesch reading ease + FK grade per document — the dictionary-free
+    // audience/complexity curation signal, one codegen'd projection.
+    "q_text_readability" -> ((s, d) =>
+      graft.operators.QualityFilter.readability(docs(s, d), "doc_id", "text")
+        .orderBy("doc_id")),
+
+    // Rank-biased overlap of two top-30 document rankings (raw length
+    // vs length with a deterministic per-doc perturbation) — the
+    // top-weighted ranker-agreement number; p = 0.5 keeps every depth
+    // weight a power of two, so both engines share each term exactly.
+    "q_eval_rbo" -> ((s, d) => {
+      val ds = docs(s, d)
+      graft.operators.Eval.rbo(
+        ds.select(col("doc_id"), col("n_chars").cast("double").as("score")),
+        ds.select(col("doc_id"),
+          (col("n_chars") + col("doc_id") % 50).cast("double").as("score")),
+        "doc_id", "score", k = 30, p = 0.5)
+    }),
+
+    // Two-proportion pooled z on a synthetic experiment: arm = user
+    // parity, success = purchase event — one wide aggregate pass.
+    "q_ab_proportion" -> ((s, d) =>
+      graft.operators.Experiment.proportionZ(
+        executor(s, d).table("events")
+          .select((col("user_id") % 2).cast("string").as("variant"),
+            (col("event_type") === "purchase").as("ok")),
+        "variant", "ok", "0", "1")),
+
+    // Welch's t on the event value by the same arms — the numeric
+    // outcome companion (unequal-variance safe), decimal-summed moments.
+    "q_ab_welch" -> ((s, d) =>
+      graft.operators.Experiment.welchT(
+        executor(s, d).table("events")
+          .select((col("user_id") % 2).cast("string").as("variant"),
+            col("value")),
+        "variant", "value", "0", "1")),
+
+    // Kendall τ-b of quantity vs discount (50×11 discrete levels) —
+    // exact integer concordance counts off the cell table; the
+    // bounded-domain companion to q_profile_spearman.
+    "q_profile_kendall" -> ((s, d) =>
+      graft.operators.Profile.kendallTau(
+        executor(s, d).table("lineitem"), "l_quantity", "l_discount"))
   )
 
   /** Shared field model for the linkage gates (weights are derived from
@@ -7482,7 +7549,300 @@ object SparkEntry {
          |      FROM (SELECT $a, $b, count(*) AS c FROM lineitem GROUP BY 1, 2) t
          |      GROUP BY 1) g""".stripMargin
     }.mkString("SELECT * FROM (\n", "\nUNION ALL\n",
-      "\n) u ORDER BY determinant, dependent")
+      "\n) u ORDER BY determinant, dependent"),
+
+    // KS: per-value counts per side, full-outer on the value, running
+    // ECDFs over the domain frame — gaps at 9 dp, statistic at 6.
+    "q_drift_ks" ->
+      """WITH ca AS (SELECT CAST(n_chars AS DOUBLE) AS value,
+        |              count(*) AS c_a
+        |            FROM documents WHERE n_chars IS NOT NULL GROUP BY 1),
+        |cb AS (SELECT CAST(n_chars AS DOUBLE) AS value, count(*) AS c_b
+        |       FROM documents
+        |       WHERE n_chars IS NOT NULL AND n_chars < 800 GROUP BY 1),
+        |j AS (SELECT coalesce(ca.value, cb.value) AS value,
+        |        coalesce(c_a, 0) AS c_a, coalesce(c_b, 0) AS c_b
+        |      FROM ca FULL OUTER JOIN cb ON ca.value = cb.value),
+        |c AS (SELECT
+        |        CAST(sum(c_a) OVER () AS BIGINT) AS t_a,
+        |        CAST(sum(c_b) OVER () AS BIGINT) AS t_b,
+        |        round(abs(
+        |          CAST(sum(c_a) OVER (ORDER BY value) AS DOUBLE) /
+        |            CAST(sum(c_a) OVER () AS DOUBLE) -
+        |          CAST(sum(c_b) OVER (ORDER BY value) AS DOUBLE) /
+        |            CAST(sum(c_b) OVER () AS DOUBLE)), 9) AS gap
+        |      FROM j)
+        |SELECT max(t_a) AS n_a, max(t_b) AS n_b,
+        |       round(max(gap), 6) AS ks FROM c""".stripMargin,
+
+    // Chi-square: one cell table, window marginals, 9-dp decimal-summed
+    // (O−E)²/E terms; V = sqrt(chi2 / (n·min(r−1, c−1))).
+    "q_profile_chisq" ->
+      """WITH cells AS (SELECT CAST(lang AS VARCHAR) AS a,
+        |                 CAST(source AS VARCHAR) AS b, count(*) AS o
+        |               FROM documents GROUP BY 1, 2),
+        |m AS (SELECT a, b, o,
+        |        sum(o) OVER (PARTITION BY a) AS ra,
+        |        sum(o) OVER (PARTITION BY b) AS cb,
+        |        sum(o) OVER () AS t
+        |      FROM cells),
+        |tt AS (SELECT a, b, t,
+        |         round((CAST(o AS DOUBLE) -
+        |                CAST(ra AS DOUBLE) * CAST(cb AS DOUBLE) /
+        |                  CAST(t AS DOUBLE)) *
+        |               (CAST(o AS DOUBLE) -
+        |                CAST(ra AS DOUBLE) * CAST(cb AS DOUBLE) /
+        |                  CAST(t AS DOUBLE)) /
+        |               (CAST(ra AS DOUBLE) * CAST(cb AS DOUBLE) /
+        |                  CAST(t AS DOUBLE)), 9) AS term
+        |       FROM m)
+        |SELECT CAST(max(t) AS BIGINT) AS n,
+        |  CAST((count(DISTINCT coalesce(a, chr(0) || '.')) - 1) *
+        |       (count(DISTINCT coalesce(b, chr(0) || '.')) - 1) AS BIGINT)
+        |    AS dof,
+        |  round(CAST(sum(CAST(term AS DECIMAL(28,9))) AS DOUBLE), 6) AS chi2,
+        |  CASE WHEN least(count(DISTINCT coalesce(a, chr(0) || '.')) - 1,
+        |                  count(DISTINCT coalesce(b, chr(0) || '.')) - 1) = 0
+        |       THEN NULL
+        |       ELSE round(sqrt(
+        |         CAST(sum(CAST(term AS DECIMAL(28,9))) AS DOUBLE) /
+        |         (CAST(max(t) AS DOUBLE) *
+        |          CAST(least(count(DISTINCT coalesce(a, chr(0) || '.')) - 1,
+        |                     count(DISTINCT coalesce(b, chr(0) || '.')) - 1)
+        |            AS DOUBLE))), 6)
+        |  END AS cramers_v
+        |FROM tt""".stripMargin,
+
+    // Spearman: mid ranks per row (min-rank + (ties−1)/2 ≡ the
+    // operator's prior + (ties+1)/2, both exact .5 multiples), exact
+    // decimal moment sums, one double Pearson at the end.
+    "q_profile_spearman" ->
+      """WITH base AS (SELECT CAST(l_quantity AS DOUBLE) AS a,
+        |                CAST(l_extendedprice AS DOUBLE) AS b
+        |              FROM lineitem
+        |              WHERE l_quantity IS NOT NULL
+        |                AND l_extendedprice IS NOT NULL),
+        |r AS (SELECT
+        |        CAST(rank() OVER (ORDER BY a) AS DOUBLE) +
+        |          (CAST(count(*) OVER (PARTITION BY a) AS DOUBLE) - 1.0) /
+        |            2.0 AS ra,
+        |        CAST(rank() OVER (ORDER BY b) AS DOUBLE) +
+        |          (CAST(count(*) OVER (PARTITION BY b) AS DOUBLE) - 1.0) /
+        |            2.0 AS rb
+        |      FROM base),
+        |m AS (SELECT CAST(count(*) AS BIGINT) AS n,
+        |        CAST(sum(CAST(CAST(ra AS DECIMAL(12,1)) AS DECIMAL(38,2)))
+        |          AS DOUBLE) AS sx,
+        |        CAST(sum(CAST(CAST(rb AS DECIMAL(12,1)) AS DECIMAL(38,2)))
+        |          AS DOUBLE) AS sy,
+        |        CAST(sum(CAST(CAST(ra AS DECIMAL(12,1)) *
+        |          CAST(rb AS DECIMAL(12,1)) AS DECIMAL(38,2))) AS DOUBLE)
+        |          AS sxy,
+        |        CAST(sum(CAST(CAST(ra AS DECIMAL(12,1)) *
+        |          CAST(ra AS DECIMAL(12,1)) AS DECIMAL(38,2))) AS DOUBLE)
+        |          AS sxx,
+        |        CAST(sum(CAST(CAST(rb AS DECIMAL(12,1)) *
+        |          CAST(rb AS DECIMAL(12,1)) AS DECIMAL(38,2))) AS DOUBLE)
+        |          AS syy
+        |      FROM r)
+        |SELECT n,
+        |  CASE WHEN sqrt(CAST(n AS DOUBLE) * sxx - sx * sx) *
+        |            sqrt(CAST(n AS DOUBLE) * syy - sy * sy) = 0.0
+        |         OR n < 2 THEN NULL
+        |       ELSE round((CAST(n AS DOUBLE) * sxy - sx * sy) /
+        |         (sqrt(CAST(n AS DOUBLE) * sxx - sx * sx) *
+        |          sqrt(CAST(n AS DOUBLE) * syy - sy * sy)), 6)
+        |  END AS rho
+        |FROM m""".stripMargin,
+
+    // Flesch: whitespace tokens (explicit Java-\s class), [.!?]+
+    // sentence runs floored at 1, per-word [aeiouy]+ vowel groups
+    // floored at 1 — the two linear forms mirrored token for token.
+    "q_text_readability" ->
+      """WITH w AS (SELECT doc_id,
+        |    list_filter(regexp_split_to_array(trim(coalesce(text, '')),
+        |      '[ \t\n\x0b\f\r]+'), x -> x <> '') AS ws,
+        |    greatest(1, len(regexp_extract_all(coalesce(text, ''),
+        |      '[.!?]+'))) AS ns
+        |  FROM documents),
+        |s AS (SELECT doc_id, len(ws) AS nw, ns,
+        |        coalesce(list_sum(list_transform(ws, x ->
+        |          greatest(1, len(regexp_extract_all(lower(x),
+        |            '[aeiouy]+'))))), 0) AS ny
+        |      FROM w)
+        |SELECT doc_id, CAST(nw AS BIGINT) AS n_words,
+        |  CAST(ns AS BIGINT) AS n_sentences,
+        |  CAST(ny AS BIGINT) AS n_syllables,
+        |  CASE WHEN nw = 0 THEN NULL
+        |       ELSE round(206.835 -
+        |         1.015 * (CAST(nw AS DOUBLE) / CAST(ns AS DOUBLE)) -
+        |         84.6 * (CAST(ny AS DOUBLE) / CAST(nw AS DOUBLE)), 6)
+        |  END AS flesch,
+        |  CASE WHEN nw = 0 THEN NULL
+        |       ELSE round(0.39 * (CAST(nw AS DOUBLE) / CAST(ns AS DOUBLE)) +
+        |         11.8 * (CAST(ny AS DOUBLE) / CAST(nw AS DOUBLE)) -
+        |         15.59, 6)
+        |  END AS fk_grade
+        |FROM s ORDER BY doc_id""".stripMargin,
+
+    // RBO@30, p = 0.5: top-30 per ranking (score DESC, doc_id
+    // tie-break), depth spine 1..30 with exact 2^{-(d-1)} weights,
+    // 9-dp decimal-summed terms, ×(1−p) and 6-dp at the end.
+    "q_eval_rbo" ->
+      """WITH sa AS (SELECT doc_id, CAST(n_chars AS DOUBLE) AS score
+        |            FROM documents ORDER BY score DESC, doc_id LIMIT 30),
+        |sb AS (SELECT doc_id,
+        |         CAST(n_chars + doc_id % 50 AS DOUBLE) AS score
+        |       FROM documents ORDER BY score DESC, doc_id LIMIT 30),
+        |ra AS (SELECT doc_id,
+        |         row_number() OVER (ORDER BY score DESC, doc_id) AS ra
+        |       FROM sa),
+        |rb AS (SELECT doc_id,
+        |         row_number() OVER (ORDER BY score DESC, doc_id) AS rb
+        |       FROM sb),
+        |pairs AS (SELECT ra.ra, rb.rb FROM ra
+        |          FULL OUTER JOIN rb ON ra.doc_id = rb.doc_id),
+        |depths AS (SELECT unnest(range(1, 31)) AS d),
+        |ov AS (SELECT d, count(p.ra) AS ov
+        |       FROM depths LEFT JOIN pairs p
+        |         ON coalesce(p.ra, 2147483647) <= d
+        |        AND coalesce(p.rb, 2147483647) <= d
+        |       GROUP BY d),
+        |terms AS (SELECT d,
+        |    round((1.0 / power(2.0, CAST(d - 1 AS DOUBLE))) *
+        |      (CAST(ov AS DOUBLE) / CAST(d AS DOUBLE)), 9) AS term
+        |  FROM ov)
+        |SELECT CAST(max(d) AS INT) AS k, 0.5 AS p,
+        |  round(0.5 * CAST(sum(CAST(term AS DECIMAL(20,9))) AS DOUBLE), 6)
+        |    AS rbo
+        |FROM terms""".stripMargin,
+
+    // Pooled two-proportion z: exact per-arm counts in one pass, z on
+    // the EXACT int/int rates (the 6-dp conv columns are display-only).
+    "q_ab_proportion" ->
+      """WITH m AS (SELECT
+        |    count(CASE WHEN CAST(user_id % 2 AS VARCHAR) = '0'
+        |               THEN 1 END) AS n_a,
+        |    count(CASE WHEN CAST(user_id % 2 AS VARCHAR) = '0'
+        |                AND coalesce(event_type = 'purchase', FALSE)
+        |               THEN 1 END) AS k_a,
+        |    count(CASE WHEN CAST(user_id % 2 AS VARCHAR) = '1'
+        |               THEN 1 END) AS n_b,
+        |    count(CASE WHEN CAST(user_id % 2 AS VARCHAR) = '1'
+        |                AND coalesce(event_type = 'purchase', FALSE)
+        |               THEN 1 END) AS k_b
+        |  FROM events)
+        |SELECT n_a, n_b,
+        |  CASE WHEN n_a = 0 THEN NULL
+        |       ELSE round(CAST(k_a AS DOUBLE) / CAST(n_a AS DOUBLE), 6)
+        |  END AS conv_a,
+        |  CASE WHEN n_b = 0 THEN NULL
+        |       ELSE round(CAST(k_b AS DOUBLE) / CAST(n_b AS DOUBLE), 6)
+        |  END AS conv_b,
+        |  CASE WHEN n_a = 0 OR n_b = 0 THEN NULL
+        |       ELSE round(CAST(k_a AS DOUBLE) / CAST(n_a AS DOUBLE) -
+        |                  CAST(k_b AS DOUBLE) / CAST(n_b AS DOUBLE), 6)
+        |  END AS lift,
+        |  CASE WHEN n_a = 0 OR n_b = 0 OR k_a + k_b = 0
+        |         OR k_a + k_b = n_a + n_b THEN NULL
+        |       ELSE round((CAST(k_a AS DOUBLE) / CAST(n_a AS DOUBLE) -
+        |                   CAST(k_b AS DOUBLE) / CAST(n_b AS DOUBLE)) /
+        |         sqrt((CAST(k_a + k_b AS DOUBLE) /
+        |                 CAST(n_a + n_b AS DOUBLE) *
+        |               (1.0 - CAST(k_a + k_b AS DOUBLE) /
+        |                 CAST(n_a + n_b AS DOUBLE))) *
+        |              (1.0 / CAST(n_a AS DOUBLE) +
+        |               1.0 / CAST(n_b AS DOUBLE))), 6)
+        |  END AS z
+        |FROM m""".stripMargin,
+
+    // Welch: 9-dp-snapped values into DECIMAL moment sums, mean/E[x²]
+    // divisions at 9 dp, sample variance (E[x²]−m²)·n/(n−1) at 9 dp,
+    // then the t and Welch–Satterthwaite df as pure double forms.
+    "q_ab_welch" ->
+      """WITH m AS (SELECT
+        |    count(CASE WHEN CAST(user_id % 2 AS VARCHAR) = '0'
+        |                AND value IS NOT NULL THEN 1 END) AS n_a,
+        |    sum(CASE WHEN CAST(user_id % 2 AS VARCHAR) = '0'
+        |             THEN CAST(round(value, 9) AS DECIMAL(28,9)) END) AS s_a,
+        |    sum(CASE WHEN CAST(user_id % 2 AS VARCHAR) = '0'
+        |             THEN CAST(round(round(value, 9) * round(value, 9), 9)
+        |                       AS DECIMAL(28,9)) END) AS s2_a,
+        |    count(CASE WHEN CAST(user_id % 2 AS VARCHAR) = '1'
+        |                AND value IS NOT NULL THEN 1 END) AS n_b,
+        |    sum(CASE WHEN CAST(user_id % 2 AS VARCHAR) = '1'
+        |             THEN CAST(round(value, 9) AS DECIMAL(28,9)) END) AS s_b,
+        |    sum(CASE WHEN CAST(user_id % 2 AS VARCHAR) = '1'
+        |             THEN CAST(round(round(value, 9) * round(value, 9), 9)
+        |                       AS DECIMAL(28,9)) END) AS s2_b
+        |  FROM events),
+        |st AS (SELECT n_a, n_b,
+        |    round(CAST(s_a AS DOUBLE) / CAST(n_a AS DOUBLE), 9) AS m_a,
+        |    round(CAST(s_b AS DOUBLE) / CAST(n_b AS DOUBLE), 9) AS m_b,
+        |    round(CAST(s2_a AS DOUBLE) / CAST(n_a AS DOUBLE), 9) AS e2_a,
+        |    round(CAST(s2_b AS DOUBLE) / CAST(n_b AS DOUBLE), 9) AS e2_b
+        |  FROM m),
+        |vv AS (SELECT n_a, n_b, m_a, m_b,
+        |    round((e2_a - m_a * m_a) *
+        |      (CAST(n_a AS DOUBLE) / (CAST(n_a AS DOUBLE) - 1.0)), 9) AS v_a,
+        |    round((e2_b - m_b * m_b) *
+        |      (CAST(n_b AS DOUBLE) / (CAST(n_b AS DOUBLE) - 1.0)), 9) AS v_b
+        |  FROM st)
+        |SELECT n_a, n_b,
+        |  CASE WHEN n_a = 0 THEN NULL ELSE round(m_a, 6) END AS mean_a,
+        |  CASE WHEN n_b = 0 THEN NULL ELSE round(m_b, 6) END AS mean_b,
+        |  CASE WHEN n_a < 2 OR n_b < 2 OR v_a + v_b = 0.0 THEN NULL
+        |       ELSE round((m_a - m_b) /
+        |         sqrt(v_a / CAST(n_a AS DOUBLE) +
+        |              v_b / CAST(n_b AS DOUBLE)), 6)
+        |  END AS t,
+        |  CASE WHEN n_a < 2 OR n_b < 2 OR v_a + v_b = 0.0 THEN NULL
+        |       ELSE round(
+        |         (v_a / CAST(n_a AS DOUBLE) + v_b / CAST(n_b AS DOUBLE)) *
+        |         (v_a / CAST(n_a AS DOUBLE) + v_b / CAST(n_b AS DOUBLE)) /
+        |         ((v_a / CAST(n_a AS DOUBLE)) * (v_a / CAST(n_a AS DOUBLE)) /
+        |            (CAST(n_a AS DOUBLE) - 1.0) +
+        |          (v_b / CAST(n_b AS DOUBLE)) * (v_b / CAST(n_b AS DOUBLE)) /
+        |            (CAST(n_b AS DOUBLE) - 1.0)), 6)
+        |  END AS df
+        |FROM vv""".stripMargin,
+
+    // Kendall τ-b: exact integer concordance/discordance off the cell
+    // table's ordered θ-self-join; ties corrected from the marginals;
+    // the only floats are two sqrt's and one division at the end.
+    "q_profile_kendall" ->
+      """WITH base AS (SELECT CAST(l_quantity AS DOUBLE) AS a,
+        |                CAST(l_discount AS DOUBLE) AS b
+        |              FROM lineitem
+        |              WHERE l_quantity IS NOT NULL
+        |                AND l_discount IS NOT NULL),
+        |cells AS (SELECT a, b, count(*) AS n FROM base GROUP BY 1, 2),
+        |p AS (SELECT
+        |    coalesce(sum(CASE WHEN c2.b > c1.b
+        |      THEN CAST(c1.n * c2.n AS DECIMAL(38,0)) END),
+        |      CAST(0 AS DECIMAL(38,0))) AS conc,
+        |    coalesce(sum(CASE WHEN c2.b < c1.b
+        |      THEN CAST(c1.n * c2.n AS DECIMAL(38,0)) END),
+        |      CAST(0 AS DECIMAL(38,0))) AS disc
+        |  FROM cells c1 JOIN cells c2
+        |    ON c2.a > c1.a AND c2.b <> c1.b),
+        |ta AS (SELECT coalesce(sum(CAST(t * (t - 1) // 2
+        |         AS DECIMAL(38,0))), CAST(0 AS DECIMAL(38,0))) AS n1
+        |       FROM (SELECT sum(n) AS t FROM cells GROUP BY a)),
+        |tb AS (SELECT coalesce(sum(CAST(t * (t - 1) // 2
+        |         AS DECIMAL(38,0))), CAST(0 AS DECIMAL(38,0))) AS n2
+        |       FROM (SELECT sum(n) AS t FROM cells GROUP BY b)),
+        |tot AS (SELECT CAST(sum(n) AS BIGINT) AS n,
+        |          CAST(sum(n) * (sum(n) - 1) // 2 AS DECIMAL(38,0)) AS n0
+        |        FROM cells)
+        |SELECT n, CAST(conc AS BIGINT) AS concordant,
+        |  CAST(disc AS BIGINT) AS discordant,
+        |  CASE WHEN n0 = n1 OR n0 = n2 THEN NULL
+        |       ELSE round(CAST(conc - disc AS DOUBLE) /
+        |         (sqrt(CAST(n0 - n1 AS DOUBLE)) *
+        |          sqrt(CAST(n0 - n2 AS DOUBLE))), 6)
+        |  END AS tau_b
+        |FROM tot, p, ta, tb""".stripMargin
     // q_dedup_minhash / q_dedup_simhash / q_text_fingerprint / q_ann_lsh /
     // q_ann_ivf: hash-based or deliberately approximate — not DuckDB-
     // expressible, so the driver records the weaker rows-only check.

@@ -105,6 +105,51 @@ object Drift {
     psi(binned(a), binned(b), "bin", epsilon)
   }
 
+  /**
+   * Two-sample Kolmogorov–Smirnov statistic over a numeric column:
+   * `D = max_x |F_a(x) − F_b(x)|` between the two empirical CDFs — the
+   * binning-free companion to [[numericJs]]/[[numericPsi]] (no lo/hi/
+   * nBins to tune, sensitive to ANY distributional difference, and the
+   * classic pre-promotion gate "did the score distribution move?").
+   * One row: `(n_a, n_b, ks)`. NULLs are excluded on both sides (a
+   * completeness concern, not an ordering one — diff their counts via
+   * [[categoricalDetail]]).
+   *
+   * Scale shape: one map-side-combined value count per side (corpus
+   * touched exactly once each), a full-outer join on the value, then
+   * ONE ordered window over the DOMAIN-sized joined frame for the two
+   * running sums — the same single-partition domain reduce every drift
+   * summary here ends in. The corpus itself never sorts.
+   *
+   * Determinism: counts are exact; each ECDF value is one exact
+   * int/int double division; the gap rounds to 9 dp and `max` is
+   * order-free; the published statistic rounds to 6 dp.
+   */
+  def ksTest(a: DataFrame, b: DataFrame, valueCol: String): DataFrame = {
+    def counts(df: DataFrame, n: String) = df
+      .where(col(valueCol).isNotNull)
+      .groupBy(col(valueCol).cast("double").as("value"))
+      .agg(count(lit(1)).as(n))
+    val ca = counts(a, "n_a").withColumnRenamed("value", "va")
+    val cb = counts(b, "n_b").withColumnRenamed("value", "vb")
+    val w = org.apache.spark.sql.expressions.Window
+    val all = w.partitionBy(lit(1))
+      .rowsBetween(w.unboundedPreceding, w.unboundedFollowing)
+    val cum = w.partitionBy(lit(1)).orderBy("value")
+      .rowsBetween(w.unboundedPreceding, w.currentRow)
+    ca.join(cb, col("va") === col("vb"), "full_outer")
+      .select(coalesce(col("va"), col("vb")).as("value"),
+        coalesce(col("n_a"), lit(0L)).as("n_a"),
+        coalesce(col("n_b"), lit(0L)).as("n_b"))
+      .withColumn("t_a", sum("n_a").over(all))
+      .withColumn("t_b", sum("n_b").over(all))
+      .withColumn("gap", round(abs(
+        sum("n_a").over(cum).cast("double") / col("t_a").cast("double") -
+        sum("n_b").over(cum).cast("double") / col("t_b").cast("double")), 9))
+      .agg(max(col("t_a")).as("n_a"), max(col("t_b")).as("n_b"),
+        round(max(col("gap")), 6).as("ks"))
+  }
+
   private def joined(a: DataFrame, b: DataFrame, valueCol: String): DataFrame = {
     def counts(df: DataFrame, n: String) =
       df.groupBy(col(valueCol).as("value")).agg(count(lit(1)).as(n))

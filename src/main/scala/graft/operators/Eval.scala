@@ -727,4 +727,66 @@ object Eval {
           .as("agreement"),
         (col("knn_label") =!= col("label")).as("suspect"))
   }
+
+  /**
+   * Rank-biased overlap (Webber et al. 2010) between the top-`k`
+   * rankings two scorers induce over the same item set — the
+   * top-weighted "do these rankers agree where it matters" number that
+   * plain set-overlap@k and rank correlation both miss (RBO discounts
+   * depth geometrically, so swapping ranks 1↔2 costs far more than
+   * 29↔30). Truncated form: `RBO@k = (1−p) Σ_{d=1..k} p^{d−1}·|A_d ∩
+   * B_d|/d` where `A_d`/`B_d` are the top-d prefixes. One row:
+   * `(k, p, rbo)`.
+   *
+   * Each side ranks by its score DESC with the item id as the
+   * deterministic tie-break. `p` must be a negative power of two
+   * (default 0.5): the depth weights `p^{d−1}` are then exactly
+   * representable and both engines compute every term bit-identically
+   * (an arbitrary `p` would hang cross-engine equality on libm `pow`).
+   *
+   * Scale shape: each side reduces to its top-k via orderBy+limit —
+   * TakeOrderedAndProject, a per-partition heap then a k-row driver
+   * merge, the same shape as `Sample.topK`; everything after (rank
+   * windows, the full-outer item join, the k-depth expansion) runs on
+   * ≤ 2k rows. The corpus is scanned once per side and never shuffles.
+   *
+   * Determinism: ranks and overlap counts are exact integers;
+   * `ov/d` is one exact int/int double division, the term rounds to
+   * 9 dp and sums as DECIMAL; the published `rbo` rounds to 6 dp.
+   */
+  def rbo(a: DataFrame, b: DataFrame, itemCol: String, scoreCol: String,
+          k: Int = 30, p: Double = 0.5): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    require(p > 0 && p < 1 &&
+      (java.lang.Double.doubleToLongBits(p) & 0x000FFFFFFFFFFFFFL) == 0L,
+      s"p must be a negative power of two for cross-engine exactness, got $p")
+    val w = org.apache.spark.sql.expressions.Window
+    def topRanked(df: DataFrame, out: String) = df
+      .select(col(itemCol).as("__item"), col(scoreCol).as("__s"))
+      .orderBy(col("__s").desc, col("__item"))
+      .limit(k)
+      .withColumn(out, row_number().over(
+        w.partitionBy(lit(1)).orderBy(col("__s").desc, col("__item"))))
+      .select(col("__item").as(s"__i$out"), col(out))
+    val ra = topRanked(a, "__ra")
+    val rb = topRanked(b, "__rb")
+    val pairs = ra.join(rb, col("__i__ra") === col("__i__rb"), "full_outer")
+      .select(col("__ra"), col("__rb"))
+    // literal depth spine with exact p^{d-1} weights — k rows, built
+    // driver-side (k is a parameter, not data)
+    val spark = a.sparkSession
+    import spark.implicits._
+    val depths = (1 to k).map(d => (d, math.pow(p, d - 1))).toDF("d", "__w")
+    depths.join(pairs,
+        coalesce(col("__ra"), lit(Int.MaxValue)) <= col("d") &&
+        coalesce(col("__rb"), lit(Int.MaxValue)) <= col("d"), "left")
+      .groupBy("d", "__w")
+      .agg(count(col("__ra")).as("__ov"))
+      .withColumn("__term",
+        round(col("__w") * (col("__ov").cast("double") / col("d").cast("double")), 9))
+      .agg(max(col("d")).as("k"), lit(p).as("p"),
+        round(lit(1.0 - p) *
+          sum(col("__term").cast("decimal(20,9)")).cast("double"), 6)
+          .as("rbo"))
+  }
 }

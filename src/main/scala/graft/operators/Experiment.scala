@@ -1,0 +1,127 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/**
+ * A/B experiment analysis — the decision layer over [[Funnel]]/[[Drift]]:
+ * given an assignment (variant) column, quantify whether the measured
+ * difference between two arms is real or noise. Two classical tests:
+ *
+ *  - [[proportionZ]]: two-proportion pooled z-test on a success flag
+ *    (conversion, click-through, retention) — the workhorse of binary
+ *    outcome experiments;
+ *  - [[welchT]]: Welch's unequal-variance t statistic on a numeric
+ *    outcome (revenue, latency, dwell time) with the
+ *    Welch–Satterthwaite degrees of freedom — Student's equal-variance
+ *    assumption is exactly what a treatment breaks, so Welch is the
+ *    safe default.
+ *
+ * Scale shape: both tests are ONE map-side-combined pass over the
+ * corpus — a single wide aggregate with per-arm conditional counts/
+ * sums, one scalar row out. No join, no window, no second scan;
+ * stream-legal as a snapshot aggregate.
+ *
+ * Float determinism (the SparkEntry policy): values snap to 9 dp and
+ * accumulate as DECIMAL (order-free); means/rates are exact int or
+ * decimal/int double divisions rounded to 9 dp; the final statistics
+ * are fixed-shape double arithmetic rounded to 6 dp — the DuckDB
+ * oracle mirrors every operation in order.
+ */
+object Experiment {
+
+  /**
+   * Two-proportion pooled z-test: one row `(n_a, n_b, conv_a, conv_b,
+   * lift, z)` where `lift = p_a − p_b` and
+   * `z = (p_a − p_b) / sqrt(p̂(1−p̂)(1/n_a + 1/n_b))` with p̂ the pooled
+   * rate. A NULL success flag counts as a failure (an unconverted
+   * subject, not a missing one — drop such rows upstream if truly
+   * missing); rows in neither arm are ignored. `z` is NULL when either
+   * arm is empty or the pooled rate is degenerate (0 or 1 — no
+   * variance). `conv_*` and `lift` round to 6 dp; the z arithmetic
+   * runs on the EXACT int/int rates, not the rounded display values.
+   */
+  def proportionZ(df: DataFrame, variantCol: String, successCol: String,
+                  variantA: String, variantB: String): DataFrame = {
+    val v = col(variantCol).cast("string")
+    val s = coalesce(col(successCol).cast("boolean"), lit(false))
+    val m = df.agg(
+      count(when(v === variantA, lit(1))).as("n_a"),
+      count(when(v === variantA && s, lit(1))).as("__k_a"),
+      count(when(v === variantB, lit(1))).as("n_b"),
+      count(when(v === variantB && s, lit(1))).as("__k_b"))
+    val na = col("n_a").cast("double")
+    val nb = col("n_b").cast("double")
+    val pa = col("__k_a").cast("double") / na
+    val pb = col("__k_b").cast("double") / nb
+    val ph = (col("__k_a") + col("__k_b")).cast("double") /
+      (col("n_a") + col("n_b")).cast("double")
+    val degenerate = col("n_a") === 0 || col("n_b") === 0 ||
+      col("__k_a") + col("__k_b") === 0 ||
+      col("__k_a") + col("__k_b") === col("n_a") + col("n_b")
+    m.select(
+      col("n_a"), col("n_b"),
+      when(col("n_a") === 0, lit(null).cast("double"))
+        .otherwise(round(pa, 6)).as("conv_a"),
+      when(col("n_b") === 0, lit(null).cast("double"))
+        .otherwise(round(pb, 6)).as("conv_b"),
+      when(col("n_a") === 0 || col("n_b") === 0, lit(null).cast("double"))
+        .otherwise(round(pa - pb, 6)).as("lift"),
+      when(degenerate, lit(null).cast("double"))
+        .otherwise(round((pa - pb) /
+          sqrt((ph * (lit(1.0) - ph)) * (lit(1.0) / na + lit(1.0) / nb)), 6))
+        .as("z"))
+  }
+
+  /**
+   * Welch's t on a numeric outcome: one row `(n_a, n_b, mean_a, mean_b,
+   * t, df)` with `t = (m_a − m_b) / sqrt(v_a/n_a + v_b/n_b)` (sample
+   * variances) and Welch–Satterthwaite
+   * `df = (v_a/n_a + v_b/n_b)² / ((v_a/n_a)²/(n_a−1) + (v_b/n_b)²/(n_b−1))`.
+   * NULL outcomes are excluded from their arm. `t`/`df` are NULL when
+   * either arm has < 2 values or both variances are 0.
+   *
+   * Internals: per-arm Σx and Σx² accumulate 9-dp-snapped values as
+   * DECIMAL (order-free); mean and E[x²] are single divisions rounded
+   * to 9 dp; sample variance is `(E[x²] − m²)·n/(n−1)` rounded to 9 dp
+   * — every downstream double op then has bit-identical inputs in both
+   * engines.
+   */
+  def welchT(df: DataFrame, variantCol: String, valueCol: String,
+             variantA: String, variantB: String): DataFrame = {
+    val v = col(variantCol).cast("string")
+    val x = round(col(valueCol).cast("double"), 9)
+    val dec = "decimal(28,9)"
+    def arm(value: String, suffix: String) = Seq(
+      count(when(v === value && x.isNotNull, lit(1))).as(s"n_$suffix"),
+      sum(when(v === value, x).cast(dec)).as(s"__s_$suffix"),
+      sum(when(v === value, round(x * x, 9)).cast(dec)).as(s"__s2_$suffix"))
+    val m = df.agg(arm(variantA, "a").head,
+      (arm(variantA, "a").tail ++ arm(variantB, "b")): _*)
+    def stats(suffix: String): (Column, Column, Column) = {
+      val n = col(s"n_$suffix").cast("double")
+      val mean = round(col(s"__s_$suffix").cast("double") / n, 9)
+      val e2 = round(col(s"__s2_$suffix").cast("double") / n, 9)
+      val variance = round((e2 - mean * mean) * (n / (n - lit(1.0))), 9)
+      (n, mean, variance)
+    }
+    val (na, ma, va) = stats("a")
+    val (nb, mb, vb) = stats("b")
+    val sea = va / na
+    val seb = vb / nb
+    val undef = col("n_a") < 2 || col("n_b") < 2
+    val zeroVar = undef || (va + vb) === 0.0
+    m.select(
+      col("n_a"), col("n_b"),
+      when(col("n_a") === 0, lit(null).cast("double"))
+        .otherwise(round(ma, 6)).as("mean_a"),
+      when(col("n_b") === 0, lit(null).cast("double"))
+        .otherwise(round(mb, 6)).as("mean_b"),
+      when(zeroVar, lit(null).cast("double"))
+        .otherwise(round((ma - mb) / sqrt(sea + seb), 6)).as("t"),
+      when(zeroVar, lit(null).cast("double"))
+        .otherwise(round((sea + seb) * (sea + seb) /
+          (sea * sea / (na - lit(1.0)) + seb * seb / (nb - lit(1.0))), 6))
+        .as("df"))
+  }
+}

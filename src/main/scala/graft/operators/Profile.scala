@@ -777,4 +777,186 @@ object Profile {
     }
     moments.select(explode(array(rows: _*)).as("__r")).select(col("__r.*"))
   }
+
+  /**
+   * Chi-square test of independence between two categorical columns,
+   * with Cramér's V — the [[mutualInformation]] companion on the same
+   * contingency table: MI answers "how many nats do they share", V
+   * answers "how strong is the association on a [0, 1] scale" with the
+   * classic Σ (O−E)²/E significance statistic behind it. One row:
+   * `(n, dof, chi2, cramers_v)`. NULLs count as a real level on both
+   * sides (window partitioning groups them — no sentinel, no drop).
+   *
+   * Scale shape: ONE corpus pass to the (a, b) cell counts (map-side
+   * combined); marginals and the grand total come from windows over the
+   * DOMAIN-sized cell frame — the corpus is never re-scanned and
+   * nothing joins. Determinism: counts exact; each expected count is
+   * pure double arithmetic on exact longs; the per-cell term rounds to
+   * 9 dp and sums as DECIMAL; chi2 and V round to 6 dp.
+   *
+   * Note dof counts OBSERVED levels (empty rows/columns of the
+   * theoretical domain never reach the cell frame — same convention as
+   * the entropy/MI profiles).
+   */
+  def chiSquare(df: DataFrame, aCol: String, bCol: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+    val all = w.partitionBy(lit(1))
+      .rowsBetween(w.unboundedPreceding, w.unboundedFollowing)
+    val byA = w.partitionBy("a")
+      .rowsBetween(w.unboundedPreceding, w.unboundedFollowing)
+    val byB = w.partitionBy("b")
+      .rowsBetween(w.unboundedPreceding, w.unboundedFollowing)
+    val cells = df
+      .select(col(aCol).cast("string").as("a"), col(bCol).cast("string").as("b"))
+      .groupBy("a", "b").agg(count(lit(1)).as("o"))
+      .withColumn("ra", sum("o").over(byA))
+      .withColumn("cb", sum("o").over(byB))
+      .withColumn("t", sum("o").over(all))
+    val e = col("ra").cast("double") * col("cb").cast("double") /
+      col("t").cast("double")
+    val o = col("o").cast("double")
+    // countDistinct skips NULL — sentinel the level so a NULL category
+    // counts toward r/c like it does toward the cells (chr(0) prefix,
+    // the house NULL-sentinel convention)
+    def levels(c: Column) =
+      countDistinct(coalesce(c, lit(0.toChar.toString + ".")))
+    val minSide = least(levels(col("a")) - 1, levels(col("b")) - 1)
+    cells
+      .withColumn("term", round((o - e) * (o - e) / e, 9))
+      .agg(
+        max(col("t")).as("n"),
+        ((levels(col("a")) - 1) * (levels(col("b")) - 1)).as("dof"),
+        round(sum(col("term").cast("decimal(28,9)")).cast("double"), 6)
+          .as("chi2"),
+        // V is undefined when either variable has a single level
+        when(minSide === 0, lit(null).cast("double"))
+          .otherwise(round(sqrt(
+            sum(col("term").cast("decimal(28,9)")).cast("double") /
+              (max(col("t")).cast("double") * minSide.cast("double"))), 6))
+          .as("cramers_v"))
+  }
+
+  /**
+   * Spearman rank correlation between two numeric columns — Pearson on
+   * average (mid) ranks, the monotone-association profile that survives
+   * outliers and nonlinearity where [[correlationMatrix]]'s raw Pearson
+   * lies ("does the quality score RANK documents like the compression
+   * ratio does?"). One row: `(n, rho)`; rows with a NULL on either side
+   * are excluded (complete-case, like pairwise-complete Pearson).
+   *
+   * Scale shape: ranks come from VALUE-LEVEL count tables — one
+   * map-side-combined groupBy per column, an ordered window over each
+   * DOMAIN-sized count frame (mid rank = prior-count + (ties+1)/2),
+   * then two equi-joins keyed on the value to carry ranks back to the
+   * corpus. The corpus itself never globally sorts (a per-row
+   * `rank() OVER (ORDER BY x)` would be a single-partition corpus
+   * window — the trap this shape avoids); at 100 TB the rank tables are
+   * |domain|-sized and typically broadcast.
+   *
+   * Determinism: mid ranks are exact multiples of 0.5; all five moment
+   * sums accumulate the exact DECIMAL(·,2) products (rank·rank has at
+   * most .25 granularity), so partitioning cannot move a bit; the final
+   * Pearson arithmetic is pure double on exact inputs, rounded to 6 dp.
+   */
+  def spearman(df: DataFrame, aCol: String, bCol: String): DataFrame = {
+    val base = df
+      .where(col(aCol).isNotNull && col(bCol).isNotNull)
+      .select(col(aCol).cast("double").as("__a"),
+        col(bCol).cast("double").as("__b"))
+    val w = org.apache.spark.sql.expressions.Window
+    def rankTable(c: String, out: String) = {
+      base.groupBy(col(c).as("value")).agg(count(lit(1)).as("__c"))
+        .withColumn("__prior",
+          coalesce(sum("__c").over(w.partitionBy(lit(1)).orderBy("value")
+            .rowsBetween(w.unboundedPreceding, -1)), lit(0L)))
+        .select(col("value").as(s"__v$out"),
+          (col("__prior").cast("double") +
+            (col("__c").cast("double") + 1.0) / 2.0).as(out))
+    }
+    val ra = rankTable("__a", "__ra")
+    val rb = rankTable("__b", "__rb")
+    val ranked = base
+      .join(ra, col("__a") === col("__v__ra")).drop("__v__ra")
+      .join(rb, col("__b") === col("__v__rb")).drop("__v__rb")
+    val dec = "decimal(38,2)"
+    def dd(c: Column) = c.cast("decimal(20,1)")
+    val m = ranked.agg(
+      count(lit(1)).as("n"),
+      sum(dd(col("__ra")).cast(dec)).as("__sx"),
+      sum(dd(col("__rb")).cast(dec)).as("__sy"),
+      sum((dd(col("__ra")) * dd(col("__rb"))).cast(dec)).as("__sxy"),
+      sum((dd(col("__ra")) * dd(col("__ra"))).cast(dec)).as("__sxx"),
+      sum((dd(col("__rb")) * dd(col("__rb"))).cast(dec)).as("__syy"))
+    val n = col("n").cast("double")
+    def g(p: String) = col(s"__$p").cast("double")
+    val num = n * g("sxy") - g("sx") * g("sy")
+    val den = sqrt(n * g("sxx") - g("sx") * g("sx")) *
+      sqrt(n * g("syy") - g("sy") * g("sy"))
+    m.select(col("n"),
+      when(den === 0.0 || n < 2.0, lit(null).cast("double"))
+        .otherwise(round(num / den, 6)).as("rho"))
+  }
+
+  /**
+   * Kendall's τ-b between two DISCRETE numeric columns — the
+   * concordance twin of [[spearman]] (τ counts pair agreements, so it
+   * is interpretable as P(concordant) − P(discordant) and more robust
+   * to a few extreme ranks), with the tie-corrected τ-b denominator:
+   * `τ_b = (C − D) / sqrt((n₀ − n₁)(n₀ − n₂))` where `n₀ = n(n−1)/2`
+   * and `n₁`/`n₂` are the per-column tie-pair counts. One row:
+   * `(n, concordant, discordant, tau_b)`; complete-case (NULL on
+   * either side drops the row); NULL τ when a side is constant.
+   *
+   * EXACT arithmetic end to end: C, D and every tie term are integer
+   * pair counts summed as DECIMAL; the only floating ops are the final
+   * two sqrt's and one division, rounded to 6 dp — cross-engine exact
+   * by construction.
+   *
+   * Scale shape & contract: the corpus reduces to the (a, b) CELL
+   * table first (one map-side-combined pass); C/D come from a
+   * θ-self-join of that cell table, so cost is |cells|² — this is a
+   * DOMAIN-BOUNDED audit statistic for discrete/bucketed columns
+   * (scores, grades, bin ids), the same bounded-domain contract as the
+   * exact n-gram Jaccard audit. Bucket continuous columns first (or
+   * use [[spearman]], which stays domain-linear).
+   */
+  def kendallTau(df: DataFrame, aCol: String, bCol: String): DataFrame = {
+    val base = df
+      .where(col(aCol).isNotNull && col(bCol).isNotNull)
+      .select(col(aCol).cast("double").as("a"),
+        col(bCol).cast("double").as("b"))
+    val cells = base.groupBy("a", "b").agg(count(lit(1)).as("n"))
+    val dec = "decimal(38,0)"
+    // ordered θ-join (a2 > a1) visits each unordered cell pair once
+    val pairs = cells.select(col("a").as("a1"), col("b").as("b1"),
+        col("n").as("n1"))
+      .join(cells.select(col("a").as("a2"), col("b").as("b2"),
+        col("n").as("n2")),
+        col("a2") > col("a1") && col("b2") =!= col("b1"))
+      .agg(
+        coalesce(sum(when(col("b2") > col("b1"),
+          (col("n1") * col("n2")).cast(dec))), lit(0).cast(dec))
+          .as("__conc"),
+        coalesce(sum(when(col("b2") < col("b1"),
+          (col("n1") * col("n2")).cast(dec))), lit(0).cast(dec))
+          .as("__disc"))
+    def tiePairs(c: String, out: String) = cells
+      .groupBy(c).agg(sum("n").as("__t"))
+      .agg(coalesce(sum(expr("__t * (__t - 1) div 2").cast(dec)),
+        lit(0).cast(dec)).as(out))
+    val totals = cells.agg(
+      coalesce(sum("n"), lit(0L)).as("__n"))
+      .select(col("__n"), expr("__n * (__n - 1) div 2").cast(dec).as("__n0"))
+    val j = totals.crossJoin(pairs)
+      .crossJoin(tiePairs("a", "__n1")).crossJoin(tiePairs("b", "__n2"))
+    val num = (col("__conc") - col("__disc")).cast("double")
+    val den = sqrt((col("__n0") - col("__n1")).cast("double")) *
+      sqrt((col("__n0") - col("__n2")).cast("double"))
+    j.select(col("__n").as("n"),
+      col("__conc").cast("long").as("concordant"),
+      col("__disc").cast("long").as("discordant"),
+      when(col("__n0") === col("__n1") || col("__n0") === col("__n2"),
+        lit(null).cast("double"))
+        .otherwise(round(num / den, 6)).as("tau_b"))
+  }
 }

@@ -251,4 +251,63 @@ object QualityFilter {
         round(col("__mean"), 6).as("domain_mean"),
         (col("__mean") >= minMean).as("keep"))
   }
+
+  /**
+   * Flesch readability per document — reading ease and the
+   * Flesch–Kincaid grade level, the classic curation signal for
+   * audience/complexity bucketing (too-simple boilerplate and
+   * unreadable symbol soup both score at the extremes):
+   *
+   *  - `n_words`      non-empty whitespace tokens
+   *  - `n_sentences`  `[.!?]+` terminator runs, floored at 1 (a
+   *                   fragment is one sentence, not zero)
+   *  - `n_syllables`  per word, `[aeiouy]+` vowel-group runs of the
+   *                   lowercased token floored at 1 — the standard
+   *                   dictionary-free approximation
+   *  - `flesch`       206.835 − 1.015·(words/sentences) −
+   *                   84.6·(syllables/words)
+   *  - `fk_grade`     0.39·(words/sentences) + 11.8·(syllables/words)
+   *                   − 15.59
+   *
+   * Both scores are NULL for word-less documents. Like the rest of the
+   * battery this is ONE codegen'd projection of built-ins (split /
+   * regexp_extract_all / aggregate) — no UDF, no shuffle, stream-legal,
+   * scan-speed at 100 TB. Determinism: all three counts are exact
+   * integers; words/sentences and syllables/words are single exact
+   * int/int double divisions and the two linear forms are fixed-shape
+   * double arithmetic, rounded to 6 dp — the DuckDB oracle mirrors the
+   * formulas token for token.
+   */
+  def readability(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    // NULL text reads as empty (0 words → NULL scores), not a NULL array
+    val ws = words(coalesce(col(textCol), lit("")))
+    val nw = size(ws).cast("long")
+    val ns = greatest(lit(1L),
+      size(regexp_extract_all(coalesce(col(textCol), lit("")),
+        lit("[.!?]+"), lit(0))).cast("long"))
+    val ny = aggregate(ws, lit(0L), (acc, w) =>
+      acc + greatest(lit(1L),
+        size(regexp_extract_all(lower(w), lit("[aeiouy]+"), lit(0)))
+          .cast("long")))
+    df.select(col(idCol), nw.as("n_words"), ns.as("n_sentences"),
+        ny.as("n_syllables"))
+      // guards INSIDE the ratio columns: ANSI mode faults a 0-divisor
+      // double division even when a later CASE would discard it
+      .withColumn("__wps", when(col("n_words") === 0, lit(null).cast("double"))
+        .otherwise(
+          col("n_words").cast("double") / col("n_sentences").cast("double")))
+      .withColumn("__ypw", when(col("n_words") === 0, lit(null).cast("double"))
+        .otherwise(
+          col("n_syllables").cast("double") / col("n_words").cast("double")))
+      .select(col(idCol), col("n_words"), col("n_sentences"),
+        col("n_syllables"),
+        when(col("n_words") === 0, lit(null).cast("double"))
+          .otherwise(round(
+            lit(206.835) - lit(1.015) * col("__wps") -
+              lit(84.6) * col("__ypw"), 6)).as("flesch"),
+        when(col("n_words") === 0, lit(null).cast("double"))
+          .otherwise(round(
+            lit(0.39) * col("__wps") + lit(11.8) * col("__ypw") -
+              lit(15.59), 6)).as("fk_grade"))
+  }
 }

@@ -220,6 +220,26 @@ class PlanAuditSpec extends SparkTestBase {
     assert(!plan.toLowerCase.contains("md5"), plan)
   }
 
+  test("readability: pure projection — only the output sort exchanges") {
+    val plan = SparkEntry.queries("q_text_readability")(spark, dir)
+      .queryExecution.executedPlan.toString
+    // split/regexp_extract_all/aggregate are all codegen'd built-ins in
+    // one projection; a hash exchange would mean a join or agg crept in
+    assert(!plan.contains("hashpartitioning"), plan)
+  }
+
+  test("spearman: ranks come from value-cell tables, never a corpus-global sort") {
+    val qe = SparkEntry.queries("q_profile_spearman")(spark, dir)
+      .queryExecution
+    val plan = qe.executedPlan.toString
+    // each rank table partially aggregates the corpus to value counts
+    // BEFORE its ordered window; the corpus itself is never range-
+    // partitioned (a per-row rank() OVER (ORDER BY x) would show up as
+    // rangepartitioning over the scan)
+    assert(plan.contains("HashAggregate"), plan)
+    assert(!plan.contains("rangepartitioning"), plan)
+  }
+
   test("AUC: the rank walk runs on the score-cell table, after partial aggregation") {
     val plan = SparkEntry.queries("q_eval_auc")(spark, dir)
       .queryExecution.executedPlan.toString

@@ -66,6 +66,28 @@ class CurationSpec extends SparkTestBase {
     assert(m(2).getAs[Double]("mean_word_len") == 1.1) // 11 chars / 10 words
   }
 
+  test("QualityFilter.readability: hand Flesch counts, floors, NULL text") {
+    val docs = df("doc_id INT, text STRING", Seq(
+      doc(1, "The cat sat. It ran!"),
+      doc(2, "tsk tsk"),           // no vowels -> 1 syllable per word floor
+      doc(3, "no terminator here"),// 0 runs -> sentence floor of 1
+      org.apache.spark.sql.Row(4, null)))
+    val m = QualityFilter.readability(docs, "doc_id", "text")
+      .collect().map(r => r.getInt(0) -> r).toMap
+    // 5 words, 2 sentences ('.'+'!'), 5 single-vowel-group syllables
+    assert(m(1).getAs[Long]("n_words") == 5L)
+    assert(m(1).getAs[Long]("n_sentences") == 2L)
+    assert(m(1).getAs[Long]("n_syllables") == 5L)
+    // 206.835 - 1.015·(5/2) - 84.6·(5/5) = 119.6975
+    assert(m(1).getAs[Double]("flesch") == 119.6975)
+    // 0.39·2.5 + 11.8·1 - 15.59 = -2.815
+    assert(m(1).getAs[Double]("fk_grade") == -2.815)
+    assert(m(2).getAs[Long]("n_syllables") == 2L)
+    assert(m(3).getAs[Long]("n_sentences") == 1L)
+    assert(m(4).getAs[Long]("n_words") == 0L && m(4).isNullAt(4)
+      && m(4).isNullAt(5))
+  }
+
   test("Pii.detect counts each category without cross-matching") {
     val docs = df("doc_id INT, text STRING", Seq(
       doc(1, "mail a@b.co ip 10.1.2.3 ssn 123-45-6789 tel 555-123-4567"),

@@ -75,4 +75,21 @@ class DriftSpec extends SparkTestBase {
       (Some("y"), 0L, 1L),
       (None, 2L, 0L)))   // NULL level aligned on one row, not split
   }
+
+  test("ksTest: hand ECDF gap, zero for identical, one for disjoint") {
+    def nums(vs: Double*) = df("n DOUBLE", vs.map(Row(_)))
+    // F_a over {1,2,3,4}: .25 .5 .75 1; F_b over {3,4,5}: 0 0 1/3 2/3 1
+    // gaps: .25 .5 .416667 .333333 0 -> D = 0.5 at value 2
+    val out = Drift.ksTest(nums(1, 2, 3, 4), nums(3, 4, 5), "n").head()
+    assert(out.getLong(0) == 4L && out.getLong(1) == 3L)
+    assert(out.getAs[Double]("ks") == 0.5)
+    val same = nums(1, 2, 2, 9)
+    assert(Drift.ksTest(same, same, "n").head().getAs[Double]("ks") == 0.0)
+    assert(Drift.ksTest(nums(1, 2), nums(10, 11), "n")
+      .head().getAs[Double]("ks") == 1.0)
+    // NULLs excluded from both sides, not counted in n
+    val withNull = df("n DOUBLE", Seq(Row(1.0), Row(null)))
+    val r = Drift.ksTest(withNull, nums(1), "n").head()
+    assert(r.getLong(0) == 1L && r.getAs[Double]("ks") == 0.0)
+  }
 }

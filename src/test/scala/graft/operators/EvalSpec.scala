@@ -348,4 +348,27 @@ class EvalSpec extends SparkTestBase {
     assert(out(1L) == 3L) // the classic example
     assert(out(2L) == 1L) // one substitution, whole-token equality
   }
+
+  test("rbo: identical, swapped and disjoint top-2 rankings at p = 0.5") {
+    import org.apache.spark.sql.Row
+    def ranking(scores: (Long, Double)*) =
+      df("item BIGINT, s DOUBLE", scores.map { case (i, v) => Row(i, v) })
+    val a = ranking(1L -> 9.0, 2L -> 5.0)
+    // identical: rbo@2 = (1-p)(p^0·1/1 + p^1·2/2) = 0.5·1.5 = 0.75
+    val same = Eval.rbo(a, a, "item", "s", k = 2, p = 0.5).head()
+    assert(same.getInt(0) == 2 && same.getDouble(1) == 0.5)
+    assert(same.getAs[Double]("rbo") == 0.75)
+    // swapped heads: d=1 overlap 0, d=2 overlap 2 -> 0.5·(0 + 0.5·1) = 0.25
+    val b = ranking(1L -> 5.0, 2L -> 9.0)
+    assert(Eval.rbo(a, b, "item", "s", k = 2, p = 0.5)
+      .head().getAs[Double]("rbo") == 0.25)
+    // disjoint item sets -> 0
+    val c = ranking(7L -> 9.0, 8L -> 5.0)
+    assert(Eval.rbo(a, c, "item", "s", k = 2, p = 0.5)
+      .head().getAs[Double]("rbo") == 0.0)
+    // p that is not a negative power of two is rejected
+    assertThrows[IllegalArgumentException] {
+      Eval.rbo(a, b, "item", "s", k = 2, p = 0.9)
+    }
+  }
 }

@@ -384,4 +384,68 @@ class ProfileSpec extends SparkTestBase {
     // null in h drops ONLY that pair's row: n = 3, still perfectly linear
     assert(out(("x", "h")) == ((3L, Some(1.0))))
   }
+
+  test("chiSquare: 2x2 hand value, Cramér's V, zero under independence") {
+    import org.apache.spark.sql.Row
+    // O = [[2,1],[1,2]]: all E = 1.5 -> chi2 = 4·(0.25/1.5) = 2/3
+    val d = df("a STRING, b STRING", Seq(
+      Row("x", "u"), Row("x", "u"), Row("x", "v"),
+      Row("y", "u"), Row("y", "v"), Row("y", "v")))
+    val r = Profile.chiSquare(d, "a", "b").head()
+    assert(r.getLong(0) == 6L && r.getLong(1) == 1L)
+    assert(r.getAs[Double]("chi2") == 0.666667)
+    // V = sqrt((2/3) / (6·1)) = sqrt(1/9) = 1/3
+    assert(r.getAs[Double]("cramers_v") == 0.333333)
+    // perfectly independent table -> chi2 = 0
+    val ind = df("a STRING, b STRING", Seq(
+      Row("x", "u"), Row("x", "v"), Row("y", "u"), Row("y", "v")))
+    assert(Profile.chiSquare(ind, "a", "b").head().getAs[Double]("chi2") == 0.0)
+    // NULL counts as a real level (windows group it; no drop)
+    val withNull = df("a STRING, b STRING", Seq(
+      Row(null, "u"), Row(null, "u"), Row("y", "v")))
+    val rn = Profile.chiSquare(withNull, "a", "b").head()
+    assert(rn.getLong(0) == 3L)
+  }
+
+  test("spearman: monotone ±1, mid-rank ties, NULL rows excluded") {
+    import org.apache.spark.sql.Row
+    val up = df("a DOUBLE, b DOUBLE",
+      Seq(Row(1.0, 10.0), Row(2.0, 20.0), Row(3.0, 90.0)))
+    assert(Profile.spearman(up, "a", "b").head().getAs[Double]("rho") == 1.0)
+    val down = df("a DOUBLE, b DOUBLE",
+      Seq(Row(1.0, 90.0), Row(2.0, 20.0), Row(3.0, 10.0)))
+    assert(Profile.spearman(down, "a", "b").head().getAs[Double]("rho") == -1.0)
+    // ties in a -> mid ranks (1.5, 1.5, 3): rho = 1.5/sqrt(1.5·2)
+    val ties = df("a DOUBLE, b DOUBLE",
+      Seq(Row(1.0, 10.0), Row(1.0, 20.0), Row(2.0, 30.0)))
+    assert(Profile.spearman(ties, "a", "b").head().getAs[Double]("rho")
+      == 0.866025)
+    // complete-case: the NULL row is excluded from n and the ranks
+    val withNull = df("a DOUBLE, b DOUBLE",
+      Seq(Row(1.0, 10.0), Row(2.0, 20.0), Row(null, 99.0), Row(3.0, 30.0)))
+    val r = Profile.spearman(withNull, "a", "b").head()
+    assert(r.getLong(0) == 3L && r.getAs[Double]("rho") == 1.0)
+  }
+
+  test("kendallTau: monotone ±1, tie-corrected zero, constant-side NULL") {
+    import org.apache.spark.sql.Row
+    def d2(rows: (Double, Double)*) =
+      df("a DOUBLE, b DOUBLE", rows.map { case (a, b) => Row(a, b) })
+    val up = Profile.kendallTau(d2(1.0 -> 1.0, 2.0 -> 2.0, 3.0 -> 3.0), "a", "b")
+      .head()
+    assert(up.getLong(0) == 3L && up.getLong(1) == 3L && up.getLong(2) == 0L)
+    assert(up.getAs[Double]("tau_b") == 1.0)
+    val down = Profile.kendallTau(d2(1.0 -> 3.0, 2.0 -> 2.0, 3.0 -> 1.0), "a", "b")
+      .head()
+    assert(down.getAs[Double]("tau_b") == -1.0)
+    // balanced 2x2 with one row per cell: C = D = 1, tied pairs drop
+    // from both counts; n0=6, n1=n2=2 -> tau = 0
+    val square = Profile.kendallTau(
+      d2(1.0 -> 1.0, 1.0 -> 2.0, 2.0 -> 1.0, 2.0 -> 2.0), "a", "b").head()
+    assert(square.getLong(1) == 1L && square.getLong(2) == 1L)
+    assert(square.getAs[Double]("tau_b") == 0.0)
+    // constant b -> all pairs tied in b -> denominator undefined
+    assert(Profile.kendallTau(
+      d2(1.0 -> 7.0, 2.0 -> 7.0, 3.0 -> 7.0), "a", "b").head().isNullAt(3))
+  }
 }
