@@ -193,9 +193,9 @@ object ScaleProbe {
     // readability (pure projection), RBO (two TakeOrdered top-k)
     "q_drift_ks", "q_profile_chisq", "q_profile_spearman",
     "q_text_readability", "q_eval_rbo",
-    // A/B tests (one wide conditional-aggregate pass each) and the
-    // cell-table θ-join Kendall τ-b (domain-bounded)
-    "q_ab_proportion", "q_ab_welch", "q_profile_kendall")
+    // A/B tests + CUPED (one wide conditional-aggregate pass each)
+    // and the cell-table θ-join Kendall τ-b (domain-bounded)
+    "q_ab_proportion", "q_ab_welch", "q_ab_cuped", "q_profile_kendall")
 
   private def caesar(c: org.apache.spark.sql.Column, k: Int) = {
     val lower = "abcdefghijklmnopqrstuvwxyz"

@@ -3590,7 +3590,18 @@ object SparkEntry {
     // bounded-domain companion to q_profile_spearman.
     "q_profile_kendall" -> ((s, d) =>
       graft.operators.Profile.kendallTau(
-        executor(s, d).table("lineitem"), "l_quantity", "l_discount"))
+        executor(s, d).table("lineitem"), "l_quantity", "l_discount")),
+
+    // CUPED variance reduction on the same arms: covariate =
+    // floor(value) (a near-perfect pre-metric, θ ≈ 1), so the adjusted
+    // variance collapses to the fractional part — the demonstrative
+    // case; one corpus pass, everything a closed form of the moments.
+    "q_ab_cuped" -> ((s, d) =>
+      graft.operators.Experiment.cuped(
+        executor(s, d).table("events")
+          .select((col("user_id") % 2).cast("string").as("variant"),
+            col("value"), floor(col("value")).cast("double").as("pre")),
+        "variant", "value", "pre", "0", "1"))
   )
 
   /** Shared field model for the linkage gates (weights are derived from
@@ -7806,6 +7817,104 @@ object SparkEntry {
         |            (CAST(n_b AS DOUBLE) - 1.0)), 6)
         |  END AS df
         |FROM vv""".stripMargin,
+
+    // CUPED: one conditional-aggregate pass to per-arm (x, y) moments,
+    // then the pooled-θ / adjusted-mean / adjusted-variance closed
+    // forms with a 9-dp round at every named checkpoint — the t and
+    // variance-reduction figures are pure double forms of those.
+    "q_ab_cuped" ->
+      """WITH b AS (SELECT CAST(user_id % 2 AS VARCHAR) AS v,
+        |             round(value, 9) AS y,
+        |             round(floor(value), 9) AS x
+        |           FROM events),
+        |m AS (SELECT
+        |    count(CASE WHEN v = '0' AND y IS NOT NULL AND x IS NOT NULL
+        |               THEN 1 END) AS n_a,
+        |    sum(CASE WHEN v = '0' AND y IS NOT NULL AND x IS NOT NULL
+        |             THEN CAST(x AS DECIMAL(28,9)) END) AS sx_a,
+        |    sum(CASE WHEN v = '0' AND y IS NOT NULL AND x IS NOT NULL
+        |             THEN CAST(y AS DECIMAL(28,9)) END) AS sy_a,
+        |    sum(CASE WHEN v = '0' AND y IS NOT NULL AND x IS NOT NULL
+        |             THEN CAST(round(x * y, 9) AS DECIMAL(28,9)) END) AS sxy_a,
+        |    sum(CASE WHEN v = '0' AND y IS NOT NULL AND x IS NOT NULL
+        |             THEN CAST(round(x * x, 9) AS DECIMAL(28,9)) END) AS sxx_a,
+        |    sum(CASE WHEN v = '0' AND y IS NOT NULL AND x IS NOT NULL
+        |             THEN CAST(round(y * y, 9) AS DECIMAL(28,9)) END) AS syy_a,
+        |    count(CASE WHEN v = '1' AND y IS NOT NULL AND x IS NOT NULL
+        |               THEN 1 END) AS n_b,
+        |    sum(CASE WHEN v = '1' AND y IS NOT NULL AND x IS NOT NULL
+        |             THEN CAST(x AS DECIMAL(28,9)) END) AS sx_b,
+        |    sum(CASE WHEN v = '1' AND y IS NOT NULL AND x IS NOT NULL
+        |             THEN CAST(y AS DECIMAL(28,9)) END) AS sy_b,
+        |    sum(CASE WHEN v = '1' AND y IS NOT NULL AND x IS NOT NULL
+        |             THEN CAST(round(x * y, 9) AS DECIMAL(28,9)) END) AS sxy_b,
+        |    sum(CASE WHEN v = '1' AND y IS NOT NULL AND x IS NOT NULL
+        |             THEN CAST(round(x * x, 9) AS DECIMAL(28,9)) END) AS sxx_b,
+        |    sum(CASE WHEN v = '1' AND y IS NOT NULL AND x IS NOT NULL
+        |             THEN CAST(round(y * y, 9) AS DECIMAL(28,9)) END) AS syy_b
+        |  FROM b),
+        |pool AS (SELECT *,
+        |    CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE) AS n,
+        |    CAST(sx_a AS DOUBLE) + CAST(sx_b AS DOUBLE) AS sx,
+        |    CAST(sy_a AS DOUBLE) + CAST(sy_b AS DOUBLE) AS sy,
+        |    CAST(sxy_a AS DOUBLE) + CAST(sxy_b AS DOUBLE) AS sxy,
+        |    CAST(sxx_a AS DOUBLE) + CAST(sxx_b AS DOUBLE) AS sxx
+        |  FROM m),
+        |th AS (SELECT *,
+        |    round(sx / n, 9) AS xbar,
+        |    round((sxy - sx * sy / n) / (n - 1.0), 9) AS cov_p,
+        |    round((sxx - sx * sx / n) / (n - 1.0), 9) AS var_p
+        |  FROM pool),
+        |t2 AS (SELECT *, round(cov_p / var_p, 9) AS theta FROM th
+        |       WHERE var_p <> 0.0),
+        |aa AS (SELECT *,
+        |    round(CAST(sx_a AS DOUBLE) / CAST(n_a AS DOUBLE), 9) AS mx_a,
+        |    round(CAST(sy_a AS DOUBLE) / CAST(n_a AS DOUBLE), 9) AS my_a,
+        |    round((CAST(sxy_a AS DOUBLE) - CAST(sx_a AS DOUBLE) *
+        |      CAST(sy_a AS DOUBLE) / CAST(n_a AS DOUBLE)) /
+        |      (CAST(n_a AS DOUBLE) - 1.0), 9) AS cov_a,
+        |    round((CAST(sxx_a AS DOUBLE) - CAST(sx_a AS DOUBLE) *
+        |      CAST(sx_a AS DOUBLE) / CAST(n_a AS DOUBLE)) /
+        |      (CAST(n_a AS DOUBLE) - 1.0), 9) AS vx_a,
+        |    round((CAST(syy_a AS DOUBLE) - CAST(sy_a AS DOUBLE) *
+        |      CAST(sy_a AS DOUBLE) / CAST(n_a AS DOUBLE)) /
+        |      (CAST(n_a AS DOUBLE) - 1.0), 9) AS vy_a,
+        |    round(CAST(sx_b AS DOUBLE) / CAST(n_b AS DOUBLE), 9) AS mx_b,
+        |    round(CAST(sy_b AS DOUBLE) / CAST(n_b AS DOUBLE), 9) AS my_b,
+        |    round((CAST(sxy_b AS DOUBLE) - CAST(sx_b AS DOUBLE) *
+        |      CAST(sy_b AS DOUBLE) / CAST(n_b AS DOUBLE)) /
+        |      (CAST(n_b AS DOUBLE) - 1.0), 9) AS cov_b,
+        |    round((CAST(sxx_b AS DOUBLE) - CAST(sx_b AS DOUBLE) *
+        |      CAST(sx_b AS DOUBLE) / CAST(n_b AS DOUBLE)) /
+        |      (CAST(n_b AS DOUBLE) - 1.0), 9) AS vx_b,
+        |    round((CAST(syy_b AS DOUBLE) - CAST(sy_b AS DOUBLE) *
+        |      CAST(sy_b AS DOUBLE) / CAST(n_b AS DOUBLE)) /
+        |      (CAST(n_b AS DOUBLE) - 1.0), 9) AS vy_b
+        |  FROM t2),
+        |fin AS (SELECT *,
+        |    round(my_a - theta * (mx_a - xbar), 9) AS ma,
+        |    round(vy_a - 2.0 * theta * cov_a + theta * theta * vx_a, 9)
+        |      AS va,
+        |    round(my_b - theta * (mx_b - xbar), 9) AS mb,
+        |    round(vy_b - 2.0 * theta * cov_b + theta * theta * vx_b, 9)
+        |      AS vb
+        |  FROM aa)
+        |SELECT n_a, n_b,
+        |  CASE WHEN n_a < 2 OR n_b < 2 THEN NULL
+        |       ELSE round(theta, 6) END AS theta,
+        |  CASE WHEN n_a < 2 OR n_b < 2 THEN NULL
+        |       ELSE round(ma, 6) END AS mean_a_adj,
+        |  CASE WHEN n_a < 2 OR n_b < 2 THEN NULL
+        |       ELSE round(mb, 6) END AS mean_b_adj,
+        |  CASE WHEN n_a < 2 OR n_b < 2 THEN NULL
+        |       ELSE round(ma - mb, 6) END AS lift_adj,
+        |  CASE WHEN n_a < 2 OR n_b < 2 OR va + vb = 0.0 THEN NULL
+        |       ELSE round((ma - mb) / sqrt(va / CAST(n_a AS DOUBLE) +
+        |         vb / CAST(n_b AS DOUBLE)), 6) END AS t,
+        |  CASE WHEN n_a < 2 OR n_b < 2 OR vy_a + vy_b = 0.0 THEN NULL
+        |       ELSE round(1.0 - (va + vb) / (vy_a + vy_b), 6)
+        |  END AS var_reduction
+        |FROM fin""".stripMargin,
 
     // Kendall τ-b: exact integer concordance/discordance off the cell
     // table's ordered θ-self-join; ties corrected from the marginals;

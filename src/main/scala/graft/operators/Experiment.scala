@@ -30,6 +30,15 @@ import org.apache.spark.sql.functions._
  */
 object Experiment {
 
+  /** Division that cannot fault: the divisor is swapped for 1.0 when it
+    * is 0. Every caller NULL-guards the case where the divisor was 0,
+    * but ANSI mode faults a 0-divisor division even inside an untaken
+    * CASE branch once whole-stage codegen's subexpression elimination
+    * hoists a shared division out of its guard — so the division itself
+    * must be total, and the guard only decides what the reader sees. */
+  private def sdiv(a: Column, b: Column): Column =
+    a / when(b === 0.0, lit(1.0)).otherwise(b)
+
   /**
    * Two-proportion pooled z-test: one row `(n_a, n_b, conv_a, conv_b,
    * lift, z)` where `lift = p_a − p_b` and
@@ -52,10 +61,10 @@ object Experiment {
       count(when(v === variantB && s, lit(1))).as("__k_b"))
     val na = col("n_a").cast("double")
     val nb = col("n_b").cast("double")
-    val pa = col("__k_a").cast("double") / na
-    val pb = col("__k_b").cast("double") / nb
-    val ph = (col("__k_a") + col("__k_b")).cast("double") /
-      (col("n_a") + col("n_b")).cast("double")
+    val pa = sdiv(col("__k_a").cast("double"), na)
+    val pb = sdiv(col("__k_b").cast("double"), nb)
+    val ph = sdiv((col("__k_a") + col("__k_b")).cast("double"),
+      (col("n_a") + col("n_b")).cast("double"))
     val degenerate = col("n_a") === 0 || col("n_b") === 0 ||
       col("__k_a") + col("__k_b") === 0 ||
       col("__k_a") + col("__k_b") === col("n_a") + col("n_b")
@@ -69,8 +78,91 @@ object Experiment {
         .otherwise(round(pa - pb, 6)).as("lift"),
       when(degenerate, lit(null).cast("double"))
         .otherwise(round((pa - pb) /
-          sqrt((ph * (lit(1.0) - ph)) * (lit(1.0) / na + lit(1.0) / nb)), 6))
+          sqrt((ph * (lit(1.0) - ph)) *
+            (sdiv(lit(1.0), na) + sdiv(lit(1.0), nb))), 6))
         .as("z"))
+  }
+
+  /**
+   * CUPED variance reduction (Deng et al. 2013): adjust the outcome by
+   * a pre-experiment covariate, `y' = y − θ(x − x̄)` with
+   * `θ = cov(x, y) / var(x)` pooled across arms — the standard way to
+   * shrink an experiment's confidence intervals without more traffic
+   * (a good covariate is the same metric measured before assignment).
+   * One row: `(n_a, n_b, theta, mean_a_adj, mean_b_adj, lift_adj, t,
+   * var_reduction)` where `t` is Welch's t on the ADJUSTED outcome and
+   * `var_reduction = 1 − (v'_a + v'_b)/(v_a + v_b)`.
+   *
+   * Everything derives from per-arm moment sums in the SAME single
+   * pass as [[welchT]] — the adjusted per-arm mean and variance are
+   * closed forms of the raw moments (`m' = ȳ_arm − θ(x̄_arm − x̄)`,
+   * `v' = v_y − 2θ·cov_arm + θ²·v_x`), so CUPED costs exactly one
+   * corpus scan, no materialized adjusted column. Complete-case: rows
+   * missing either metric or covariate drop from their arm. NULL
+   * statistics when an arm has < 2 rows or the covariate is constant
+   * (θ undefined).
+   */
+  def cuped(df: DataFrame, variantCol: String, metricCol: String,
+            covariateCol: String, variantA: String, variantB: String)
+      : DataFrame = {
+    val v = col(variantCol).cast("string")
+    val y0 = round(col(metricCol).cast("double"), 9)
+    val x0 = round(col(covariateCol).cast("double"), 9)
+    val both = y0.isNotNull && x0.isNotNull
+    val dec = "decimal(28,9)"
+    def arm(value: String, sfx: String) = {
+      val in = v === value && both
+      Seq(
+        count(when(in, lit(1))).as(s"n_$sfx"),
+        sum(when(in, x0).cast(dec)).as(s"__sx_$sfx"),
+        sum(when(in, y0).cast(dec)).as(s"__sy_$sfx"),
+        sum(when(in, round(x0 * y0, 9)).cast(dec)).as(s"__sxy_$sfx"),
+        sum(when(in, round(x0 * x0, 9)).cast(dec)).as(s"__sxx_$sfx"),
+        sum(when(in, round(y0 * y0, 9)).cast(dec)).as(s"__syy_$sfx"))
+    }
+    val m = df.agg(arm(variantA, "a").head,
+      (arm(variantA, "a").tail ++ arm(variantB, "b")): _*)
+    def d(c: String) = col(c).cast("double")
+    val na = d("n_a"); val nb = d("n_b")
+    val n = na + nb
+    // pooled θ from pooled sums (arms share one adjustment)
+    val sx = d("__sx_a") + d("__sx_b")
+    val sy = d("__sy_a") + d("__sy_b")
+    val sxy = d("__sxy_a") + d("__sxy_b")
+    val sxx = d("__sxx_a") + d("__sxx_b")
+    val xbar = round(sdiv(sx, n), 9)
+    val covP = round(sdiv(sxy - sdiv(sx * sy, n), n - lit(1.0)), 9)
+    val varP = round(sdiv(sxx - sdiv(sx * sx, n), n - lit(1.0)), 9)
+    val theta = round(sdiv(covP, varP), 9)
+    def adj(sfx: String): (Column, Column, Column) = {
+      val nn = d(s"n_$sfx")
+      val mx = round(sdiv(d(s"__sx_$sfx"), nn), 9)
+      val my = round(sdiv(d(s"__sy_$sfx"), nn), 9)
+      val cov = round(sdiv(d(s"__sxy_$sfx") - sdiv(d(s"__sx_$sfx") *
+        d(s"__sy_$sfx"), nn), nn - lit(1.0)), 9)
+      val vx = round(sdiv(d(s"__sxx_$sfx") - sdiv(d(s"__sx_$sfx") *
+        d(s"__sx_$sfx"), nn), nn - lit(1.0)), 9)
+      val vy = round(sdiv(d(s"__syy_$sfx") - sdiv(d(s"__sy_$sfx") *
+        d(s"__sy_$sfx"), nn), nn - lit(1.0)), 9)
+      val meanAdj = round(my - theta * (mx - xbar), 9)
+      val varAdj = round(vy - lit(2.0) * theta * cov + theta * theta * vx, 9)
+      (meanAdj, varAdj, vy)
+    }
+    val (ma, va, vya) = adj("a")
+    val (mb, vb, vyb) = adj("b")
+    val undef = col("n_a") < 2 || col("n_b") < 2
+    def guard(c: Column, extra: Column = lit(false)) =
+      when(undef || extra, lit(null).cast("double")).otherwise(c)
+    m.select(
+      col("n_a"), col("n_b"),
+      guard(round(theta, 6), varP === 0.0).as("theta"),
+      guard(round(ma, 6), varP === 0.0).as("mean_a_adj"),
+      guard(round(mb, 6), varP === 0.0).as("mean_b_adj"),
+      guard(round(ma - mb, 6), varP === 0.0).as("lift_adj"),
+      guard(round((ma - mb) / sqrt(sdiv(va, na) + sdiv(vb, nb)), 6),
+        varP === 0.0 || (va + vb) === 0.0).as("t"),
+      guard(round(lit(1.0) - sdiv(va + vb, vya + vyb), 6),
+        varP === 0.0 || (vya + vyb) === 0.0).as("var_reduction"))
   }
 
   /**
@@ -100,15 +192,15 @@ object Experiment {
       (arm(variantA, "a").tail ++ arm(variantB, "b")): _*)
     def stats(suffix: String): (Column, Column, Column) = {
       val n = col(s"n_$suffix").cast("double")
-      val mean = round(col(s"__s_$suffix").cast("double") / n, 9)
-      val e2 = round(col(s"__s2_$suffix").cast("double") / n, 9)
-      val variance = round((e2 - mean * mean) * (n / (n - lit(1.0))), 9)
+      val mean = round(sdiv(col(s"__s_$suffix").cast("double"), n), 9)
+      val e2 = round(sdiv(col(s"__s2_$suffix").cast("double"), n), 9)
+      val variance = round((e2 - mean * mean) * sdiv(n, n - lit(1.0)), 9)
       (n, mean, variance)
     }
     val (na, ma, va) = stats("a")
     val (nb, mb, vb) = stats("b")
-    val sea = va / na
-    val seb = vb / nb
+    val sea = sdiv(va, na)
+    val seb = sdiv(vb, nb)
     val undef = col("n_a") < 2 || col("n_b") < 2
     val zeroVar = undef || (va + vb) === 0.0
     m.select(
@@ -120,8 +212,8 @@ object Experiment {
       when(zeroVar, lit(null).cast("double"))
         .otherwise(round((ma - mb) / sqrt(sea + seb), 6)).as("t"),
       when(zeroVar, lit(null).cast("double"))
-        .otherwise(round((sea + seb) * (sea + seb) /
-          (sea * sea / (na - lit(1.0)) + seb * seb / (nb - lit(1.0))), 6))
+        .otherwise(round(sdiv((sea + seb) * (sea + seb),
+          sdiv(sea * sea, na - lit(1.0)) + sdiv(seb * seb, nb - lit(1.0))), 6))
         .as("df"))
   }
 }

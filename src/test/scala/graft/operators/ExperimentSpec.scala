@@ -68,4 +68,35 @@ class ExperimentSpec extends SparkTestBase {
       Seq(Row("A", 5.0), Row("A", 5.0), Row("B", 5.0), Row("B", 5.0)))
     assert(Experiment.welchT(const, "v", "x", "A", "B").head().isNullAt(4))
   }
+
+  test("cuped: exact-binary hand case — pooled theta, adjusted moments, reduction") {
+    // pooled: sx=20 sxx=144 sy=20 sxy=136, n=5 -> varP=16 covP=14
+    // theta = 0.875 (exact); xbar = 4
+    // A (0,1),(8,7): m'=4, v' = 18 - 2·0.875·24 + 0.875²·32 = 0.5
+    // B (0,0),(8,8),(4,4): m'=4, v' = 16 - 28 + 12.25 = 0.25
+    val d = df("v STRING, y DOUBLE, x DOUBLE", Seq(
+      Row("A", 1.0, 0.0), Row("A", 7.0, 8.0),
+      Row("B", 0.0, 0.0), Row("B", 8.0, 8.0), Row("B", 4.0, 4.0)))
+    val r = Experiment.cuped(d, "v", "y", "x", "A", "B").head()
+    assert(r.getLong(0) == 2L && r.getLong(1) == 3L)
+    assert(r.getAs[Double]("theta") == 0.875)
+    assert(r.getAs[Double]("mean_a_adj") == 4.0)
+    assert(r.getAs[Double]("mean_b_adj") == 4.0)
+    assert(r.getAs[Double]("lift_adj") == 0.0)
+    assert(r.getAs[Double]("t") == 0.0)
+    // 1 - (0.5+0.25)/(18+16) = 0.977941
+    assert(r.getAs[Double]("var_reduction") == 0.977941)
+    // constant covariate -> theta undefined -> NULL statistics
+    val flat = df("v STRING, y DOUBLE, x DOUBLE", Seq(
+      Row("A", 1.0, 3.0), Row("A", 2.0, 3.0),
+      Row("B", 3.0, 3.0), Row("B", 4.0, 3.0)))
+    val rf = Experiment.cuped(flat, "v", "y", "x", "A", "B").head()
+    assert(rf.isNullAt(2) && rf.isNullAt(6))
+    // a NULL covariate drops the row from its arm (complete-case)
+    val miss = df("v STRING, y DOUBLE, x DOUBLE", Seq(
+      Row("A", 1.0, 0.0), Row("A", 7.0, 8.0), Row("A", 9.0, null),
+      Row("B", 0.0, 0.0), Row("B", 8.0, 8.0), Row("B", 4.0, 4.0)))
+    assert(Experiment.cuped(miss, "v", "y", "x", "A", "B")
+      .head().getLong(0) == 2L)
+  }
 }
