@@ -195,7 +195,9 @@ object ScaleProbe {
     "q_text_readability", "q_eval_rbo",
     // A/B tests + CUPED (one wide conditional-aggregate pass each)
     // and the cell-table θ-join Kendall τ-b (domain-bounded)
-    "q_ab_proportion", "q_ab_welch", "q_ab_cuped", "q_profile_kendall")
+    "q_ab_proportion", "q_ab_welch", "q_ab_cuped", "q_profile_kendall",
+    // HITS: same cached-edge iterative discipline as pagerank
+    "q_graph_hits")
 
   private def caesar(c: org.apache.spark.sql.Column, k: Int) = {
     val lower = "abcdefghijklmnopqrstuvwxyz"

@@ -3601,7 +3601,21 @@ object SparkEntry {
         executor(s, d).table("events")
           .select((col("user_id") % 2).cast("string").as("variant"),
             col("value"), floor(col("value")).cast("double").as("pre")),
-        "variant", "value", "pre", "0", "1"))
+        "variant", "value", "pre", "0", "1")),
+
+    // HITS over the DIRECTED customer→supplier purchase graph (the
+    // bipartite case PageRank's single score can't express): customers
+    // score as hubs, suppliers as authorities; 2 max-normalized
+    // rounds, oracle-unrolled like q_graph_pagerank.
+    "q_graph_hits" -> ((s, d) => {
+      val ex = executor(s, d)
+      val edges = ex.table("lineitem").join(ex.table("orders"),
+          col("l_orderkey") === col("o_orderkey"))
+        .select(concat(lit("c:"), col("o_custkey")).as("src"),
+          concat(lit("s:"), col("l_suppkey")).as("dst"))
+      graft.operators.Graph.hits(edges, "src", "dst", iterations = 2)
+        .orderBy("node")
+    })
   )
 
   /** Shared field model for the linkage gates (weights are derived from
@@ -6943,6 +6957,7 @@ object SparkEntry {
         |GROUP BY o_orderpriority
         |ORDER BY o_orderpriority""".stripMargin,
     "q_graph_pagerank" -> pageRankOracle(iterations = 3, damping = 0.85),
+    "q_graph_hits" -> hitsOracle(iterations = 2),
     // Unseeded LPA, 2 rounds unrolled: l0 = own id as string; majority
     // votes with (count desc, label asc) STRING-order ties; no clamping.
     "q_graph_communities" ->
@@ -8649,6 +8664,38 @@ object SparkEntry {
        |$rounds
        |SELECT node, round(rank, 6) AS rank FROM r$iterations
        |ORDER BY node""".stripMargin
+  }
+
+  /** DuckDB mirror of q_graph_hits: the same max-normalized rounds
+    * unrolled as CTEs — decimal contribution sums, one double division
+    * per normalization, 9-dp per step, 6-dp publish. */
+  private def hitsOracle(iterations: Int): String = {
+    val rounds = (1 to iterations).map { i =>
+      s"""ar$i AS (SELECT e.dst AS node, sum(CAST(h AS DECIMAL(22,9))) AS s
+         |  FROM edges e JOIN h${i - 1} ON e.src = h${i - 1}.node GROUP BY 1),
+         |am$i AS (SELECT max(s) AS m FROM ar$i),
+         |a$i AS (SELECT n.node,
+         |  round(coalesce(CAST(s AS DOUBLE), 0.0) / CAST(m AS DOUBLE), 9) AS a
+         |  FROM nodes n LEFT JOIN ar$i ON n.node = ar$i.node CROSS JOIN am$i),
+         |hr$i AS (SELECT e.src AS node, sum(CAST(a AS DECIMAL(22,9))) AS s
+         |  FROM edges e JOIN a$i ON e.dst = a$i.node GROUP BY 1),
+         |hm$i AS (SELECT max(s) AS m FROM hr$i),
+         |h$i AS (SELECT n.node,
+         |  round(coalesce(CAST(s AS DOUBLE), 0.0) / CAST(m AS DOUBLE), 9) AS h
+         |  FROM nodes n LEFT JOIN hr$i ON n.node = hr$i.node CROSS JOIN hm$i)"""
+        .stripMargin
+    }.mkString(",\n")
+    s"""WITH edges AS (
+       |  SELECT DISTINCT 'c:' || o_custkey AS src, 's:' || l_suppkey AS dst
+       |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+       |nodes AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges),
+       |h0 AS (SELECT node, CAST(1.0 AS DOUBLE) AS h FROM nodes),
+       |$rounds
+       |SELECT h$iterations.node AS node, round(h, 6) AS hub,
+       |  round(a, 6) AS authority
+       |FROM h$iterations JOIN a$iterations
+       |  ON h$iterations.node = a$iterations.node
+       |ORDER BY h$iterations.node""".stripMargin
   }
 
   private def driftScaffold(aSql: String, bSql: String): String =

@@ -88,6 +88,77 @@ object Graph {
   }
 
   /**
+   * HITS hubs and authorities (Kleinberg 1999) over a DIRECTED edge
+   * list — the second classic link-quality signal next to [[pageRank]]:
+   * an authority is pointed to by good hubs, a hub points to good
+   * authorities (for corpus curation: directory/aggregator pages vs
+   * canonical content pages; in a bipartite click/citation graph the
+   * two sides score independently, which PageRank's single score
+   * can't express). Returns `(node, hub, authority)` for every node on
+   * either side.
+   *
+   * Per iteration: `a(v) = Σ_{u→v} h(u)` then `h(u) = Σ_{u→v} a(v)`,
+   * each half-step normalized by its MAX (not L2 — max keeps the
+   * normalization a single exact decimal and the division one double
+   * op, where an L2 norm would stack a sum of squares and a sqrt into
+   * the round-off chain). Nodes with no in-edges get authority 0, no
+   * out-edges hub 0.
+   *
+   * Scale shape: the deduped edge list is cached TWICE, partitioned by
+   * src (the hub→authority join) and by dst (the authority→hub join) —
+   * each iteration then shuffles only the |V|-sized score table, never
+   * the edges (same discipline as [[pageRank]], including the
+   * localCheckpoint lineage truncation). The max is a 1-row reduce
+   * broadcast back.
+   *
+   * Determinism: contributions are 9-dp scores summed as
+   * DECIMAL(22,9) (order-free); each normalized score is one double
+   * division rounded to 9 dp; published scores round to 6 dp — the
+   * oracle unrolls the same rounds.
+   */
+  def hits(edges: DataFrame, srcCol: String, dstCol: String,
+           iterations: Int, checkpointEvery: Int = 5): DataFrame = {
+    require(iterations >= 1, "at least one iteration")
+    val eSrc = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+      .distinct()
+      .repartition(col("src"))
+      .cache()
+    val eDst = eSrc.repartition(col("dst")).cache()
+    val nodes = eSrc.select(col("src").as("node"))
+      .union(eSrc.select(col("dst").as("node")))
+      .distinct().cache()
+    def halfStep(scores: DataFrame, scoreCol: String, joinSide: String,
+                 outSide: String, e: DataFrame, out: String): DataFrame = {
+      val raw = e.join(scores, e(joinSide) === scores("node"))
+        .select(col(outSide).as("node"),
+          col(scoreCol).cast("decimal(22,9)").as("__c"))
+        .groupBy("node").agg(sum(col("__c")).as("__s"))
+      val mx = raw.agg(max(col("__s")).as("__m"))
+      nodes.join(raw, Seq("node"), "left").crossJoin(mx)
+        .select(col("node"),
+          round(coalesce(col("__s").cast("double"), lit(0.0)) /
+            col("__m").cast("double"), 9).as(out))
+    }
+    var hubs = nodes.withColumn("h", lit(1.0))
+    var auths: DataFrame = null
+    for (i <- 1 to iterations) {
+      auths = halfStep(hubs, "h", "src", "dst", eSrc, "a")
+      hubs = halfStep(auths, "a", "dst", "src", eDst, "h")
+      if (i % checkpointEvery == 0 && i < iterations) {
+        auths = auths.localCheckpoint(eager = true)
+        hubs = hubs.localCheckpoint(eager = true)
+      }
+    }
+    val out = hubs
+      .join(auths.withColumnRenamed("a", "__auth"), Seq("node"))
+      .select(col("node"), round(col("h"), 6).as("hub"),
+        round(col("__auth"), 6).as("authority"))
+      .localCheckpoint(eager = true)
+    Seq(eSrc, eDst, nodes).foreach(_.unpersist())
+    out
+  }
+
+  /**
    * Synchronous label propagation over an UNDIRECTED graph — spread a
    * small audited seed set's labels (keep/drop, license class, topic)
    * across a similarity/link graph: near-duplicates of junk are junk,

@@ -162,4 +162,22 @@ class GraphSpec extends SparkTestBase {
     val r4 = Graph.kCore(e, "src", "dst", k = 2, rounds = 4).collect()
     assert(r4.isEmpty)
   }
+
+  test("hits: hand-iterated hubs/authorities with max normalization") {
+    // 1→3, 2→3, 2→4: round 1 — a = (3:1, 4:0.5); h = (1:2/3, 2:1)
+    // round 2 — a_raw(3)=1.666666667 → a=(3:1, 4:0.6); h=(1:0.625, 2:1)
+    val e = df("src STRING, dst STRING",
+      Seq(Row("1", "3"), Row("2", "3"), Row("2", "4")))
+    val out = Graph.hits(e, "src", "dst", iterations = 2).collect()
+      .map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    assert(out("1") == ((0.625, 0.0)))
+    assert(out("2") == ((1.0, 0.0)))
+    assert(out("3") == ((0.0, 1.0)))
+    assert(out("4") == ((0.0, 0.6)))
+    // one iteration for comparison: h(1) = (2/3 rounded), a(4) = 0.5
+    val one = Graph.hits(e, "src", "dst", iterations = 1).collect()
+      .map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    assert(one("1") == ((0.666667, 0.0)))
+    assert(one("4") == ((0.0, 0.5)))
+  }
 }
