@@ -197,7 +197,10 @@ object ScaleProbe {
     // and the cell-table θ-join Kendall τ-b (domain-bounded)
     "q_ab_proportion", "q_ab_welch", "q_ab_cuped", "q_profile_kendall",
     // HITS: same cached-edge iterative discipline as pagerank
-    "q_graph_hits")
+    "q_graph_hits",
+    // simplified silhouette: broadcast centroids, one bounded
+    // struct-array collapse per vector
+    "q_cluster_silhouette")
 
   private def caesar(c: org.apache.spark.sql.Column, k: Int) = {
     val lower = "abcdefghijklmnopqrstuvwxyz"

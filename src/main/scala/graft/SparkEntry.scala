@@ -3603,6 +3603,17 @@ object SparkEntry {
             col("value"), floor(col("value")).cast("double").as("pre")),
         "variant", "value", "pre", "0", "1")),
 
+    // Simplified silhouette against the label centroids — the
+    // per-example clustering-quality audit (a = own-centroid cosine
+    // distance, b = nearest-other; s = (b−a)/max): which examples
+    // straddle label clusters in the embedding space.
+    "q_cluster_silhouette" -> ((s, d) =>
+      graft.operators.Centroids.labelSilhouette(
+          embeddings(s, d).select(col("vec_id"), col("label"),
+            VF.asDouble(col("embedding")).as("v")),
+          "vec_id", "v", "label")
+        .orderBy("vec_id")),
+
     // HITS over the DIRECTED customer→supplier purchase graph (the
     // bipartite case PageRank's single score can't express): customers
     // score as hubs, suppliers as authorities; 2 max-normalized
@@ -5098,6 +5109,40 @@ object SparkEntry {
          |       first(c ORDER BY c DESC, label ASC) AS cosine
          |FROM sc GROUP BY vec_id ORDER BY vec_id""".stripMargin,
     "q_cluster_lloyd" -> lloydOracle(iterations = 2),
+    // Simplified silhouette: same centroid/score CTEs as
+    // q_cluster_assign, then a = 1 − best cosine, b = 1 − best cosine
+    // among the OTHER labels, s = (b − a)/max(a, b).
+    "q_cluster_silhouette" ->
+      """WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+        |           FROM embeddings),
+        |ex AS (SELECT vec_id, label, unnest(v) AS x,
+        |              unnest(range(1, len(v) + 1)) AS pos FROM e),
+        |cent AS (
+        |  SELECT label, pos,
+        |    CAST(sum(CAST(round(x, 9) AS DECIMAL(27,9))) AS DOUBLE) /
+        |      count(*) AS c
+        |  FROM ex GROUP BY 1, 2),
+        |cl AS (SELECT label, list(c ORDER BY pos) AS cv FROM cent GROUP BY 1),
+        |sc AS (SELECT e.vec_id, cl.label,
+        |              round(list_cosine_similarity(e.v, cl.cv), 6) AS c
+        |       FROM e CROSS JOIN cl),
+        |top AS (SELECT vec_id,
+        |          first(label ORDER BY c DESC, label ASC) AS cluster,
+        |          round(1.0 - first(c ORDER BY c DESC, label ASC), 6) AS a
+        |        FROM sc GROUP BY vec_id),
+        |sec AS (SELECT sc.vec_id,
+        |          round(1.0 - first(sc.c ORDER BY sc.c DESC, sc.label ASC),
+        |            6) AS b
+        |        FROM sc JOIN top ON sc.vec_id = top.vec_id
+        |          AND sc.label <> top.cluster
+        |        GROUP BY sc.vec_id)
+        |SELECT t.vec_id, t.cluster, t.a, s.b,
+        |  CASE WHEN s.b IS NULL THEN NULL
+        |       WHEN greatest(t.a, s.b) = 0.0 THEN 0.0
+        |       ELSE round((s.b - t.a) / greatest(t.a, s.b), 6)
+        |  END AS silhouette
+        |FROM top t LEFT JOIN sec s ON t.vec_id = s.vec_id
+        |ORDER BY t.vec_id""".stripMargin,
     "q_dedup_minhash_estimate" ->
       ("SELECT doc_id AS id_a, doc_id + 1000000 AS id_b, " +
         "CAST(1.0 AS DOUBLE) AS jaccard_est FROM documents ORDER BY id_a"),

@@ -193,6 +193,57 @@ object Centroids {
         (-col("m.nc")).as("cosine"))
 
   /**
+   * Simplified silhouette (centroid-based, Hruschka 2004) — the
+   * clustering-quality audit that classic silhouette's O(n²) pairwise
+   * distances can't deliver at corpus scale: per vector,
+   * `s = (b − a) / max(a, b)` with `a` the cosine distance to its OWN
+   * (nearest) centroid and `b` the distance to the nearest OTHER
+   * centroid. s → 1 well-placed, s ≈ 0 boundary, s < 0 likely belongs
+   * to the other cluster — the per-example companion to
+   * [[classSeparation]]'s per-label margins, and the standard "is k
+   * right / which examples straddle clusters" screen after [[lloyd]].
+   * Output: `(idCol, cluster, a, b, silhouette)`; `b` and `s` are NULL
+   * with a single centroid.
+   *
+   * Scale shape: centroids broadcast; the candidate scores collapse
+   * per vector into ONE sorted |centroids|-length struct array (a
+   * bounded collect_list — |centroids| is k, not corpus), so the
+   * shuffle carries one row per vector. Determinism: cosines round to
+   * 6 dp with (cosine DESC, label ASC) struct ordering — the
+   * [[assignToCentroids]] tie-break — and a/b/s are fixed-shape double
+   * forms of those 6-dp values.
+   */
+  def simplifiedSilhouette(df: DataFrame, idCol: String, vecCol: String,
+                           cents: DataFrame): DataFrame = {
+    val scored = df.select(col(idCol), col(vecCol).as("__v"))
+      .crossJoin(broadcast(cents))
+      .select(col(idCol),
+        struct((-round(VF.cosine(col("__v"), col("centroid")), 6)).as("nc"),
+          col("label").as("l")).as("__s"))
+    val top2 = scored.groupBy(idCol)
+      .agg(sort_array(collect_list(col("__s"))).as("__arr"))
+      .select(col(idCol),
+        // get() (not getItem) — a single-centroid call has no second
+        // element and ANSI faults an out-of-bounds index
+        get(col("__arr"), lit(0)).getField("l").as("cluster"),
+        round(lit(1.0) + get(col("__arr"), lit(0)).getField("nc"), 6).as("a"),
+        round(lit(1.0) + get(col("__arr"), lit(1)).getField("nc"), 6).as("b"))
+    val mx = greatest(col("a"), col("b"))
+    top2.withColumn("silhouette",
+      when(col("b").isNull, lit(null).cast("double"))
+        .when(mx === 0.0, lit(0.0))
+        .otherwise(round((col("b") - col("a")) /
+          when(mx === 0.0, lit(1.0)).otherwise(mx), 6)))
+  }
+
+  /** [[simplifiedSilhouette]] against the label-derived centroids —
+    * audit how well the LABELING clusters the embedding space. */
+  def labelSilhouette(df: DataFrame, idCol: String, vecCol: String,
+                      labelCol: String): DataFrame =
+    simplifiedSilhouette(df, idCol, vecCol,
+      labelCentroids(df, vecCol, labelCol))
+
+  /**
    * Distributed Lloyd iterations (spherical k-means): assign → re-mean →
    * repeat, entirely in-plan — the 100 TB-scale FIT path, complementing
    * [[Ann.ivfIndex]]'s bounded-sample driver fit. Each iteration is one

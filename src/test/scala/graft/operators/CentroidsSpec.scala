@@ -132,4 +132,41 @@ class CentroidsSpec extends SparkTestBase {
     assert(radii.sameElements(radii.sorted.reverse)) // covering radius shrinks
     assert(radii.last < 0.001)                       // near-dup adds ~nothing
   }
+
+  test("labelSilhouette: well-placed, bounded range, and single-label cases") {
+    import org.apache.spark.sql.Row
+    val d = df("id BIGINT, label STRING, v ARRAY<DOUBLE>", Seq(
+      Row(1L, "u", Seq(1.0, 0.0)),
+      Row(2L, "u", Seq(1.0, 0.0)),
+      Row(3L, "w", Seq(0.0, 1.0)),
+      Row(4L, "w", Seq(0.7071067811865475, 0.7071067811865475))))
+    val out = Centroids.labelSilhouette(d, "id", "v", "label")
+      .collect().map(r => r.getLong(0) ->
+        (r.getString(1), r.getDouble(2), r.getDouble(3),
+          r.getDouble(4))).toMap
+    // vec 1/2 sit ON the u centroid: a = 0, s = 1
+    assert(out(1L)._1 == "u" && out(1L)._2 == 0.0 && out(1L)._4 == 1.0)
+    assert(out(2L)._4 == 1.0)
+    // every silhouette is in [-1, 1] and cluster is one of the labels
+    assert(out.values.forall(t => t._4 >= -1.0 && t._4 <= 1.0))
+    assert(out.values.forall(t => Set("u", "w").contains(t._1)))
+    // single label -> no second centroid -> NULL b and s
+    val single = df("id BIGINT, label STRING, v ARRAY<DOUBLE>", Seq(
+      Row(1L, "u", Seq(1.0, 0.0)), Row(2L, "u", Seq(0.0, 1.0))))
+    val r = Centroids.labelSilhouette(single, "id", "v", "label").head()
+    assert(r.isNullAt(3) && r.isNullAt(4))
+  }
+
+  test("simplifiedSilhouette: exact tie between centroids gives s = 0") {
+    import org.apache.spark.sql.Row
+    val vecs = df("id BIGINT, v ARRAY<DOUBLE>",
+      Seq(Row(9L, Seq(0.7071067811865475, 0.7071067811865475))))
+    val cents = df("label STRING, centroid ARRAY<DOUBLE>",
+      Seq(Row("p", Seq(1.0, 0.0)), Row("q", Seq(0.0, 1.0))))
+    val r = Centroids.simplifiedSilhouette(vecs, "id", "v", cents).head()
+    // cos to both = 0.707107 -> tie to smaller label, a = b, s = 0
+    assert(r.getString(1) == "p")
+    assert(r.getDouble(2) == r.getDouble(3))
+    assert(r.getDouble(4) == 0.0)
+  }
 }
