@@ -200,7 +200,10 @@ object ScaleProbe {
     "q_graph_hits",
     // simplified silhouette: broadcast centroids, one bounded
     // struct-array collapse per vector
-    "q_cluster_silhouette")
+    "q_cluster_silhouette",
+    // quantile treatment effect (value-cell rank quantiles per arm)
+    // and HHI concentration (one domain reduce)
+    "q_ab_quantiles", "q_profile_concentration")
 
   private def caesar(c: org.apache.spark.sql.Column, k: Int) = {
     val lower = "abcdefghijklmnopqrstuvwxyz"

@@ -3603,6 +3603,24 @@ object SparkEntry {
             col("value"), floor(col("value")).cast("double").as("pre")),
         "variant", "value", "pre", "0", "1")),
 
+    // Quantile treatment effect on the same arms: p50/p90/p99 of the
+    // outcome per arm and their differences — the fat-tail view the
+    // mean lift (q_ab_welch) hides; exact discrete quantiles via the
+    // value-cell rank machinery.
+    "q_ab_quantiles" -> ((s, d) =>
+      graft.operators.Experiment.quantileLift(
+        executor(s, d).table("events")
+          .select((col("user_id") % 2).cast("string").as("variant"),
+            col("value")),
+        "variant", "value", "0", "1", Seq(0.5, 0.9, 0.99))
+        .orderBy("p")),
+
+    // Source-mix concentration: HHI + effective source count over the
+    // documents' source column — the "is this corpus really
+    // multi-source" diversity gauge.
+    "q_profile_concentration" -> ((s, d) =>
+      graft.operators.Profile.concentration(docs(s, d), "source")),
+
     // Simplified silhouette against the label centroids — the
     // per-example clustering-quality audit (a = own-centroid cosine
     // distance, b = nearest-other; s = (b−a)/max): which examples
@@ -7975,6 +7993,46 @@ object SparkEntry {
         |       ELSE round(1.0 - (va + vb) / (vy_a + vy_b), 6)
         |  END AS var_reduction
         |FROM fin""".stripMargin,
+
+    // Quantile treatment effect: per-arm rank quantiles (the same
+    // ceil(round(p·n, 9)) discipline as q_profile_quantiles), pivoted
+    // to (p, q_a, q_b, diff).
+    "q_ab_quantiles" ->
+      """WITH base AS (SELECT CAST(user_id % 2 AS VARCHAR) AS v,
+        |                value AS x
+        |              FROM events
+        |              WHERE value IS NOT NULL
+        |                AND CAST(user_id % 2 AS VARCHAR) IN ('0', '1')),
+        |ranked AS (SELECT v, x,
+        |    row_number() OVER (PARTITION BY v ORDER BY x ASC) AS rn,
+        |    count(*) OVER (PARTITION BY v) AS n
+        |  FROM base),
+        |qq AS (SELECT v, CAST(p AS DOUBLE) AS p, CAST(x AS DOUBLE) AS x
+        |       FROM ranked
+        |       CROSS JOIN (VALUES (0.5), (0.9), (0.99)) AS ps(p)
+        |       WHERE rn = CAST(ceil(round(p * n, 9)) AS BIGINT))
+        |SELECT coalesce(a.p, b.p) AS p, a.x AS q_a, b.x AS q_b,
+        |  round(a.x - b.x, 6) AS diff
+        |FROM (SELECT p, x FROM qq WHERE v = '0') a
+        |FULL JOIN (SELECT p, x FROM qq WHERE v = '1') b ON a.p = b.p
+        |ORDER BY p""".stripMargin,
+
+    // HHI concentration: domain-sized share terms, 9-dp decimal sum,
+    // 6-dp hhi and effective count.
+    "q_profile_concentration" ->
+      """WITH c AS (SELECT source AS value, count(*) AS c FROM documents
+        |           GROUP BY 1),
+        |t AS (SELECT value, c, sum(c) OVER () AS t FROM c),
+        |s AS (SELECT t,
+        |        round((CAST(c AS DOUBLE) / CAST(t AS DOUBLE)) *
+        |              (CAST(c AS DOUBLE) / CAST(t AS DOUBLE)), 9) AS sh
+        |      FROM t)
+        |SELECT CAST(max(t) AS BIGINT) AS n,
+        |  count(*) AS n_values,
+        |  round(CAST(sum(CAST(sh AS DECIMAL(20,9))) AS DOUBLE), 6) AS hhi,
+        |  round(1.0 / CAST(sum(CAST(sh AS DECIMAL(20,9))) AS DOUBLE), 6)
+        |    AS effective_values
+        |FROM s""".stripMargin,
 
     // Kendall τ-b: exact integer concordance/discordance off the cell
     // table's ordered θ-self-join; ties corrected from the marginals;

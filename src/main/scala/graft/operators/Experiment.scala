@@ -166,6 +166,35 @@ object Experiment {
   }
 
   /**
+   * Quantile treatment effect: per-arm EXACT discrete quantiles of the
+   * outcome and their difference — the robust companion to [[welchT]]'s
+   * mean lift (a fat-tailed outcome like revenue moves its p50 and p99
+   * very differently, and the mean hides which). One row per p:
+   * `(p, q_a, q_b, diff)`; an arm with no rows yields NULLs on its
+   * side. Rides [[Profile.quantiles]] (value-cell compression, one
+   * shuffle for all ps, rank = ceil(round(p·n, 9)) — see its scaladoc
+   * for the exactness discipline); the arm pivot is a |ps|-row join.
+   */
+  def quantileLift(df: DataFrame, variantCol: String, valueCol: String,
+                   variantA: String, variantB: String,
+                   ps: Seq[Double]): DataFrame = {
+    val base = df
+      .where(col(variantCol).cast("string").isin(variantA, variantB) &&
+        col(valueCol).isNotNull)
+      .select(col(variantCol).cast("string").as("__v"),
+        col(valueCol).as("__x"))
+    val q = Profile.quantiles(base, "__v", "__x", ps)
+    val qa = q.filter(col("__v") === variantA)
+      .select(col("p"), col("value").cast("double").as("q_a"))
+    val qb = q.filter(col("__v") === variantB)
+      .select(col("p").as("__pb"), col("value").cast("double").as("q_b"))
+    qa.join(qb, col("p") === col("__pb"), "full_outer")
+      .select(coalesce(col("p"), col("__pb")).as("p"),
+        col("q_a"), col("q_b"),
+        round(col("q_a") - col("q_b"), 6).as("diff"))
+  }
+
+  /**
    * Welch's t on a numeric outcome: one row `(n_a, n_b, mean_a, mean_b,
    * t, df)` with `t = (m_a − m_b) / sqrt(v_a/n_a + v_b/n_b)` (sample
    * variances) and Welch–Satterthwaite

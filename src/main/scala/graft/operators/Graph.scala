@@ -129,10 +129,15 @@ object Graph {
       .distinct().cache()
     def halfStep(scores: DataFrame, scoreCol: String, joinSide: String,
                  outSide: String, e: DataFrame, out: String): DataFrame = {
+      // the raw sums feed BOTH the max subplan and the normalize join —
+      // left live, every half-step would re-execute the whole history
+      // twice (2^steps blowup); the checkpoint makes the |V|-row frame
+      // a leaf both consumers read (same discipline as the arena fit)
       val raw = e.join(scores, e(joinSide) === scores("node"))
         .select(col(outSide).as("node"),
           col(scoreCol).cast("decimal(22,9)").as("__c"))
         .groupBy("node").agg(sum(col("__c")).as("__s"))
+        .localCheckpoint(eager = true)
       val mx = raw.agg(max(col("__s")).as("__m"))
       nodes.join(raw, Seq("node"), "left").crossJoin(mx)
         .select(col("node"),

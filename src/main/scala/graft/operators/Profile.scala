@@ -898,6 +898,38 @@ object Profile {
   }
 
   /**
+   * Concentration of a categorical mix — Herfindahl–Hirschman index
+   * `HHI = Σ (n_v/n)²` plus its reciprocal, the EFFECTIVE number of
+   * categories (1/HHI = how many equally-sized sources this mixture
+   * behaves like): the one-number diversity gauge for "is the corpus
+   * really multi-source or 90% one crawl" next to [[columnEntropy]]'s
+   * nat-denominated view. One row: `(n, n_values, hhi,
+   * effective_values)`. NULL counts as a real level.
+   *
+   * Scale shape: one map-side-combined value count; the share terms
+   * and the reduce run on the DOMAIN-sized count table. Determinism:
+   * shares are exact int/int double divisions, each squared term
+   * rounds to 9 dp and sums as DECIMAL; hhi and 1/hhi round to 6 dp.
+   */
+  def concentration(df: DataFrame, valueCol: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+    val all = w.partitionBy(lit(1))
+      .rowsBetween(w.unboundedPreceding, w.unboundedFollowing)
+    val share = col("__c").cast("double") / col("__t").cast("double")
+    df.groupBy(col(valueCol).as("value")).agg(count(lit(1)).as("__c"))
+      .withColumn("__t", sum("__c").over(all))
+      .withColumn("__s", round(share * share, 9))
+      .agg(
+        max(col("__t")).as("n"),
+        count(lit(1)).as("n_values"),
+        round(sum(col("__s").cast("decimal(20,9)")).cast("double"), 6)
+          .as("hhi"),
+        round(lit(1.0) /
+          sum(col("__s").cast("decimal(20,9)")).cast("double"), 6)
+          .as("effective_values"))
+  }
+
+  /**
    * Kendall's τ-b between two DISCRETE numeric columns — the
    * concordance twin of [[spearman]] (τ counts pair agreements, so it
    * is interpretable as P(concordant) − P(discordant) and more robust

@@ -69,6 +69,25 @@ class ExperimentSpec extends SparkTestBase {
     assert(Experiment.welchT(const, "v", "x", "A", "B").head().isNullAt(4))
   }
 
+  test("quantileLift: per-arm discrete quantiles and their differences") {
+    import org.apache.spark.sql.Row
+    val d = df("v STRING, x DOUBLE",
+      (1 to 10).map(i => Row("A", i.toDouble)) ++
+        Seq(Row("B", 2.0), Row("B", 4.0), Row("B", 6.0)) :+
+        Row("C", 99.0))    // unlisted arm is ignored
+    val out = Experiment.quantileLift(d, "v", "x", "A", "B", Seq(0.5, 0.9))
+      .collect().map(r => r.getDouble(0) ->
+        (r.getDouble(1), r.getDouble(2), r.getDouble(3))).toMap
+    // A p50 = rank 5 -> 5, p90 = rank 9 -> 9; B p50 = rank 2 -> 4,
+    // p90 = rank ceil(2.7) = 3 -> 6
+    assert(out(0.5) == ((5.0, 4.0, 1.0)))
+    assert(out(0.9) == ((9.0, 6.0, 3.0)))
+    // one empty arm -> NULLs on its side, rows survive via full-outer
+    val lone = df("v STRING, x DOUBLE", Seq(Row("A", 1.0), Row("A", 2.0)))
+    val r = Experiment.quantileLift(lone, "v", "x", "A", "B", Seq(0.5)).head()
+    assert(r.getDouble(1) == 1.0 && r.isNullAt(2) && r.isNullAt(3))
+  }
+
   test("cuped: exact-binary hand case — pooled theta, adjusted moments, reduction") {
     // pooled: sx=20 sxx=144 sy=20 sxy=136, n=5 -> varP=16 covP=14
     // theta = 0.875 (exact); xbar = 4

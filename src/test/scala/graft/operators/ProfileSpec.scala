@@ -427,6 +427,28 @@ class ProfileSpec extends SparkTestBase {
     assert(r.getLong(0) == 3L && r.getAs[Double]("rho") == 1.0)
   }
 
+  test("concentration: HHI and effective category count, NULL a real level") {
+    import org.apache.spark.sql.Row
+    val skew = df("s STRING", Seq(Row("x"), Row("x"), Row("x"), Row("y")))
+    val r = Profile.concentration(skew, "s").head()
+    assert(r.getLong(0) == 4L && r.getLong(1) == 2L)
+    assert(r.getAs[Double]("hhi") == 0.625)        // .75² + .25²
+    assert(r.getAs[Double]("effective_values") == 1.6)
+    val uniform = df("s STRING", Seq(Row("a"), Row("b"), Row("c"), Row("d")))
+    val u = Profile.concentration(uniform, "s").head()
+    assert(u.getAs[Double]("hhi") == 0.25)
+    assert(u.getAs[Double]("effective_values") == 4.0)
+    // NULL is a level: (null, null, z) -> shares (2/3)² + (1/3)²
+    val withNull = df("s STRING", Seq(Row(null), Row(null), Row("z")))
+    val n = Profile.concentration(withNull, "s").head()
+    assert(n.getLong(1) == 2L)
+    val expect = BigDecimal(
+      BigDecimal(2.0 / 3 * (2.0 / 3)).setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble +
+        BigDecimal(1.0 / 3 * (1.0 / 3)).setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(n.getAs[Double]("hhi") == expect)
+  }
+
   test("kendallTau: monotone ±1, tie-corrected zero, constant-side NULL") {
     import org.apache.spark.sql.Row
     def d2(rows: (Double, Double)*) =
