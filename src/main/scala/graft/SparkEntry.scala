@@ -3615,6 +3615,25 @@ object SparkEntry {
         "variant", "value", "0", "1", Seq(0.5, 0.9, 0.99))
         .orderBy("p")),
 
+    // Stratified CMH over user-quintet strata: the Simpson's-paradox-
+    // safe combination of per-stratum 2×2 evidence, plus the MH common
+    // odds ratio — one |strata|-sized conditional-count pass.
+    "q_ab_cmh" -> ((s, d) =>
+      graft.operators.Experiment.cmh(
+        executor(s, d).table("events")
+          .select((col("user_id") % 5).cast("string").as("stratum"),
+            (col("user_id") % 2).cast("string").as("variant"),
+            (col("event_type") === "purchase").as("ok")),
+        "stratum", "variant", "ok", "0", "1")),
+
+    // Sample-ratio-mismatch check on the same arms at the designed
+    // 50/50 — the assignment-health gate every readout runs first.
+    "q_ab_srm" -> ((s, d) =>
+      graft.operators.Experiment.srm(
+        executor(s, d).table("events")
+          .select((col("user_id") % 2).cast("string").as("variant")),
+        "variant", "0", "1")),
+
     // Source-mix concentration: HHI + effective source count over the
     // documents' source column — the "is this corpus really
     // multi-source" diversity gauge.
@@ -8016,6 +8035,81 @@ object SparkEntry {
         |FROM (SELECT p, x FROM qq WHERE v = '0') a
         |FULL JOIN (SELECT p, x FROM qq WHERE v = '1') b ON a.p = b.p
         |ORDER BY p""".stripMargin,
+
+    // CMH: per-stratum 2×2 cells in one pass, 9-dp E/Var/OR terms
+    // decimal-summed, the two statistics as double forms at the end.
+    "q_ab_cmh" ->
+      """WITH b AS (SELECT CAST(user_id % 5 AS VARCHAR) AS st,
+        |             CAST(user_id % 2 AS VARCHAR) AS v,
+        |             coalesce(event_type = 'purchase', FALSE) AS ok
+        |           FROM events),
+        |cells AS (SELECT st,
+        |    count(CASE WHEN v = '0' THEN 1 END) AS n_a,
+        |    count(CASE WHEN v = '0' AND ok THEN 1 END) AS s_a,
+        |    count(CASE WHEN v = '1' THEN 1 END) AS n_b,
+        |    count(CASE WHEN v = '1' AND ok THEN 1 END) AS s_b
+        |  FROM b GROUP BY 1),
+        |t AS (SELECT n_a, n_b,
+        |    round(CAST(n_a AS DOUBLE) * CAST(s_a + s_b AS DOUBLE) /
+        |      CAST(n_a + n_b AS DOUBLE), 9) AS e,
+        |    CASE WHEN n_a + n_b < 2 THEN 0.0
+        |         ELSE round(CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE) *
+        |           CAST(s_a + s_b AS DOUBLE) *
+        |           (CAST(n_a + n_b AS DOUBLE) - CAST(s_a + s_b AS DOUBLE)) /
+        |           (CAST(n_a + n_b AS DOUBLE) * CAST(n_a + n_b AS DOUBLE) *
+        |            (CAST(n_a + n_b AS DOUBLE) - 1.0)), 9)
+        |    END AS var,
+        |    CAST(s_a AS DOUBLE) AS sa_d,
+        |    round(CAST(s_a AS DOUBLE) *
+        |      (CAST(n_b AS DOUBLE) - CAST(s_b AS DOUBLE)) /
+        |      CAST(n_a + n_b AS DOUBLE), 9) AS orn,
+        |    round(CAST(s_b AS DOUBLE) *
+        |      (CAST(n_a AS DOUBLE) - CAST(s_a AS DOUBLE)) /
+        |      CAST(n_a + n_b AS DOUBLE), 9) AS ord_
+        |  FROM cells WHERE n_a + n_b > 0)
+        |SELECT CAST(count(*) AS BIGINT) AS n_strata,
+        |  CAST(sum(n_a + n_b) AS BIGINT) AS n,
+        |  CASE WHEN CAST(sum(CAST(var AS DECIMAL(28,9))) AS DOUBLE) = 0.0
+        |       THEN NULL
+        |       ELSE round(
+        |         (CAST(sum(CAST(sa_d AS DECIMAL(28,9))) AS DOUBLE) -
+        |          CAST(sum(CAST(e AS DECIMAL(28,9))) AS DOUBLE)) *
+        |         (CAST(sum(CAST(sa_d AS DECIMAL(28,9))) AS DOUBLE) -
+        |          CAST(sum(CAST(e AS DECIMAL(28,9))) AS DOUBLE)) /
+        |         CAST(sum(CAST(var AS DECIMAL(28,9))) AS DOUBLE), 6)
+        |  END AS chi2_cmh,
+        |  CASE WHEN CAST(sum(CAST(ord_ AS DECIMAL(28,9))) AS DOUBLE) = 0.0
+        |       THEN NULL
+        |       ELSE round(CAST(sum(CAST(orn AS DECIMAL(28,9))) AS DOUBLE) /
+        |         CAST(sum(CAST(ord_ AS DECIMAL(28,9))) AS DOUBLE), 6)
+        |  END AS or_mh
+        |FROM t""".stripMargin,
+
+    // SRM: two conditional counts, the designed-split expectations at
+    // 9 dp, one 6-dp chi-square against the 95% critical value.
+    "q_ab_srm" ->
+      """WITH m AS (SELECT
+        |    count(CASE WHEN CAST(user_id % 2 AS VARCHAR) = '0'
+        |               THEN 1 END) AS n_a,
+        |    count(CASE WHEN CAST(user_id % 2 AS VARCHAR) = '1'
+        |               THEN 1 END) AS n_b
+        |  FROM events),
+        |e AS (SELECT n_a, n_b,
+        |    round(0.5 * CAST(n_a + n_b AS DOUBLE), 9) AS ea,
+        |    round(0.5 * CAST(n_a + n_b AS DOUBLE), 9) AS eb
+        |  FROM m),
+        |c AS (SELECT n_a, n_b, ea,
+        |    round((CAST(n_a AS DOUBLE) - ea) * (CAST(n_a AS DOUBLE) - ea) /
+        |            ea +
+        |          (CAST(n_b AS DOUBLE) - eb) * (CAST(n_b AS DOUBLE) - eb) /
+        |            eb, 6) AS chi2
+        |  FROM e)
+        |SELECT n_a, n_b,
+        |  CASE WHEN n_a + n_b = 0 THEN NULL ELSE ea END AS expected_a,
+        |  CASE WHEN n_a + n_b = 0 THEN NULL ELSE chi2 END AS chi2,
+        |  CASE WHEN n_a + n_b = 0 THEN NULL
+        |       ELSE chi2 > 3.841459 END AS srm_detected
+        |FROM c""".stripMargin,
 
     // HHI concentration: domain-sized share terms, 9-dp decimal sum,
     // 6-dp hhi and effective count.

@@ -166,6 +166,106 @@ object Experiment {
   }
 
   /**
+   * Cochran–Mantel–Haenszel test over K strata (2×2×K): the stratified
+   * version of [[proportionZ]] — when assignment is balanced WITHIN
+   * strata (country, platform, signup cohort) but the mix differs,
+   * pooling naively invites Simpson's paradox; CMH combines the
+   * per-stratum 2×2 evidence instead. One row:
+   * `(n_strata, n, chi2_cmh, or_mh)` — the CMH chi-square
+   * `(Σ s_a − Σ E)² / Σ Var` (no continuity correction) and the
+   * Mantel–Haenszel common odds ratio. NULL success = failure (as in
+   * [[proportionZ]]); rows outside both arms drop; single-subject
+   * strata contribute expectation but zero variance. `chi2_cmh` NULL
+   * when ΣVar = 0; `or_mh` NULL when its denominator is 0.
+   *
+   * Scale shape: ONE corpus pass to per-stratum conditional counts
+   * (map-side combined, |strata|-sized), then 9-dp per-stratum terms
+   * DECIMAL-summed into the two scalar statistics. Stream-legal like
+   * the rest of the battery.
+   */
+  def cmh(df: DataFrame, stratumCol: String, variantCol: String,
+          successCol: String, variantA: String, variantB: String)
+      : DataFrame = {
+    val v = col(variantCol).cast("string")
+    val s = coalesce(col(successCol).cast("boolean"), lit(false))
+    val cells = df
+      .groupBy(col(stratumCol).cast("string").as("stratum"))
+      .agg(
+        count(when(v === variantA, lit(1))).as("n_a"),
+        count(when(v === variantA && s, lit(1))).as("s_a"),
+        count(when(v === variantB, lit(1))).as("n_b"),
+        count(when(v === variantB && s, lit(1))).as("s_b"))
+      .where(col("n_a") + col("n_b") > 0)
+    def d(c: Column) = c.cast("double")
+    val nk = d(col("n_a") + col("n_b"))
+    val sk = d(col("s_a") + col("s_b"))
+    val fk = nk - sk
+    val e = round(sdiv(d(col("n_a")) * sk, nk), 9)
+    val variance = round(sdiv(
+      d(col("n_a")) * d(col("n_b")) * sk * fk,
+      nk * nk * (nk - lit(1.0))), 9)
+    // single-subject strata: Var's (N−1) term is 0 — contribute 0
+    val varTerm = when(col("n_a") + col("n_b") < 2, lit(0.0))
+      .otherwise(variance)
+    val orNum = round(sdiv(d(col("s_a")) * (d(col("n_b")) - d(col("s_b"))),
+      nk), 9)
+    val orDen = round(sdiv(d(col("s_b")) * (d(col("n_a")) - d(col("s_a"))),
+      nk), 9)
+    val dec = "decimal(28,9)"
+    val m = cells.agg(
+      count(lit(1)).as("n_strata"),
+      sum(col("n_a") + col("n_b")).as("n"),
+      sum(d(col("s_a")).cast(dec)).as("__sa"),
+      sum(e.cast(dec)).as("__e"),
+      sum(varTerm.cast(dec)).as("__var"),
+      sum(orNum.cast(dec)).as("__on"),
+      sum(orDen.cast(dec)).as("__od"))
+    val dev = col("__sa").cast("double") - col("__e").cast("double")
+    m.select(
+      col("n_strata"), col("n"),
+      when(col("__var").cast("double") === 0.0, lit(null).cast("double"))
+        .otherwise(round(dev * dev /
+          when(col("__var").cast("double") === 0.0, lit(1.0))
+            .otherwise(col("__var").cast("double")), 6)).as("chi2_cmh"),
+      when(col("__od").cast("double") === 0.0, lit(null).cast("double"))
+        .otherwise(round(sdiv(col("__on").cast("double"),
+          col("__od").cast("double")), 6)).as("or_mh"))
+  }
+
+  /**
+   * Sample-ratio-mismatch check — the FIRST thing to run on any
+   * experiment readout: if the realized arm split is statistically
+   * incompatible with the designed split, the assignment machinery is
+   * broken and every downstream statistic is invalid. Chi-square
+   * goodness-of-fit of the two arm counts against `ratioA : 1−ratioA`,
+   * flagged against the 95% critical value (3.841459, 1 dof). One
+   * row: `(n_a, n_b, expected_a, chi2, srm_detected)`; NULL chi2/flag
+   * on an empty experiment. One conditional-count pass, stream-legal.
+   */
+  def srm(df: DataFrame, variantCol: String,
+          variantA: String, variantB: String,
+          ratioA: Double = 0.5): DataFrame = {
+    require(ratioA > 0 && ratioA < 1, s"ratioA must be in (0,1), got $ratioA")
+    val v = col(variantCol).cast("string")
+    val m = df.agg(
+      count(when(v === variantA, lit(1))).as("n_a"),
+      count(when(v === variantB, lit(1))).as("n_b"))
+    val n = (col("n_a") + col("n_b")).cast("double")
+    val ea = round(lit(ratioA) * n, 9)
+    val eb = round(lit(1.0 - ratioA) * n, 9)
+    val chi2 = round(
+      sdiv((col("n_a").cast("double") - ea) * (col("n_a").cast("double") - ea),
+        ea) +
+      sdiv((col("n_b").cast("double") - eb) * (col("n_b").cast("double") - eb),
+        eb), 6)
+    m.select(col("n_a"), col("n_b"),
+      when(n === 0.0, lit(null).cast("double")).otherwise(ea).as("expected_a"),
+      when(n === 0.0, lit(null).cast("double")).otherwise(chi2).as("chi2"),
+      when(n === 0.0, lit(null).cast("boolean"))
+        .otherwise(chi2 > lit(3.841459)).as("srm_detected"))
+  }
+
+  /**
    * Quantile treatment effect: per-arm EXACT discrete quantiles of the
    * outcome and their difference — the robust companion to [[welchT]]'s
    * mean lift (a fat-tailed outcome like revenue moves its p50 and p99

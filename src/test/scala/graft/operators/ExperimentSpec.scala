@@ -69,6 +69,56 @@ class ExperimentSpec extends SparkTestBase {
     assert(Experiment.welchT(const, "v", "x", "A", "B").head().isNullAt(4))
   }
 
+  test("cmh: hand-computed 2-stratum chi-square and MH odds ratio") {
+    import org.apache.spark.sql.Row
+    // stratum 1: A 6/10, B 4/10; stratum 2: A 1/5, B 3/15
+    def rows(st: String, v: String, succ: Int, total: Int) =
+      (0 until total).map(i => Row(st, v, i < succ))
+    val d = df("st STRING, v STRING, ok BOOLEAN",
+      rows("s1", "A", 6, 10) ++ rows("s1", "B", 4, 10) ++
+        rows("s2", "A", 1, 5) ++ rows("s2", "B", 3, 15))
+    val r = Experiment.cmh(d, "st", "v", "ok", "A", "B").head()
+    assert(r.getLong(0) == 2L && r.getLong(1) == 40L)
+    // E = 5 + 1 = 6; Var = 10000/7600 + 4800/7600 (9 dp each);
+    // chi2 = (7-6)^2 / 1.947368421
+    val v1 = BigDecimal(10000.0 / 7600.0)
+      .setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val v2 = BigDecimal(4800.0 / 7600.0)
+      .setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val chi2 = BigDecimal(1.0 / (v1 + v2))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(r.getAs[Double]("chi2_cmh") == chi2)
+    // OR_MH = (1.8 + 0.6) / (0.8 + 0.6) = 2.4/1.4
+    assert(r.getAs[Double]("or_mh") ==
+      BigDecimal(2.4 / 1.4).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+        .toDouble)
+    // all-failure strata -> OR denominator 0 -> NULL or, chi2 defined
+    val flat = df("st STRING, v STRING, ok BOOLEAN",
+      rows("s1", "A", 2, 4) ++ rows("s1", "B", 0, 4))
+    val rf = Experiment.cmh(flat, "st", "v", "ok", "A", "B").head()
+    assert(rf.isNullAt(3) && !rf.isNullAt(2))
+  }
+
+  test("srm: goodness-of-fit against the designed split, 95% flag") {
+    import org.apache.spark.sql.Row
+    def arms(na: Int, nb: Int) = df("v STRING",
+      (0 until na).map(_ => Row("A")) ++ (0 until nb).map(_ => Row("B")))
+    // 60/40 at design 0.5: chi2 = 100/50 + 100/50 = 4 > 3.841459
+    val bad = Experiment.srm(arms(60, 40), "v", "A", "B").head()
+    assert(bad.getLong(0) == 60L && bad.getAs[Double]("expected_a") == 50.0)
+    assert(bad.getAs[Double]("chi2") == 4.0 && bad.getAs[Boolean]("srm_detected"))
+    // 52/48: chi2 = 0.16 -> healthy
+    val ok = Experiment.srm(arms(52, 48), "v", "A", "B").head()
+    assert(ok.getAs[Double]("chi2") == 0.16 && !ok.getAs[Boolean]("srm_detected"))
+    // designed 3:1 split realized exactly -> chi2 = 0
+    val skewed = Experiment.srm(arms(75, 25), "v", "A", "B", ratioA = 0.75)
+      .head()
+    assert(skewed.getAs[Double]("chi2") == 0.0)
+    // empty experiment -> NULL statistics
+    val empty = Experiment.srm(arms(0, 0), "v", "A", "B").head()
+    assert(empty.isNullAt(2) && empty.isNullAt(3) && empty.isNullAt(4))
+  }
+
   test("quantileLift: per-arm discrete quantiles and their differences") {
     import org.apache.spark.sql.Row
     val d = df("v STRING, x DOUBLE",
