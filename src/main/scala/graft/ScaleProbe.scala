@@ -203,7 +203,15 @@ object ScaleProbe {
     "q_cluster_silhouette",
     // quantile treatment effect (value-cell rank quantiles per arm)
     // and HHI concentration (one domain reduce)
-    "q_ab_quantiles", "q_profile_concentration")
+    "q_ab_quantiles", "q_profile_concentration",
+    // stratified CMH + SRM (strata-cell reduces)
+    "q_ab_cmh", "q_ab_srm",
+    // survival: one subject reduce, then windows over the aggregated
+    // (group, t) time grid — bounded by distinct durations, not users
+    "q_survival_km", "q_survival_logrank",
+    // attribution: one user-keyed shuffle (windows inside), then a
+    // map-side-combined channel rollup
+    "q_attribution_linear", "q_attribution_decay")
 
   private def caesar(c: org.apache.spark.sql.Column, k: Int) = {
     val lower = "abcdefghijklmnopqrstuvwxyz"

@@ -52,6 +52,47 @@ object SparkEntry {
   private def embeddings(spark: SparkSession, dir: String): DataFrame =
     spark.read.parquet(s"$dir/embeddings.parquet")
 
+  /** Subject table for the survival gates: one row per user with
+    * duration = whole days (µs delta DIV 86400000000 — exact integer
+    * division, engine-identical) from first event to first purchase,
+    * censored at the last observed event when the user never purchases;
+    * grouped by user-id parity so the two curves are comparable. */
+  private def survivalSubjects(events: DataFrame): DataFrame =
+    events
+      .groupBy(col("user_id"))
+      .agg(
+        min(epochMicros(col("ts"))).as("t0"),
+        min(when(col("event_type") === "purchase", epochMicros(col("ts"))))
+          .as("tp"),
+        max(epochMicros(col("ts"))).as("tmax"))
+      .select(
+        when(col("user_id") % 2 === 0, lit("even")).otherwise(lit("odd"))
+          .as("grp0"),
+        expr("CAST((coalesce(tp, tmax) - t0) DIV 86400000000 AS DOUBLE)")
+          .as("dur"),
+        col("tp").isNotNull.as("ev"))
+
+  /** Shared shape of the basket gates: baskets = users, items = the
+    * props.k JSON tag. */
+  private def basketGate(events: DataFrame, cap: Option[Long]): DataFrame =
+    graft.operators.Basket.associationRules(
+        events.select(col("user_id"),
+          get_json_object(col("props"), "$.k").as("item")),
+        "user_id", "item", minSupport = 0.25, maxBasketSize = cap)
+      .orderBy("antecedent", "consequent")
+
+  /** Shared shape of the four attribution gates: conversions are
+    * purchase events, channels are the other event types, event_id
+    * breaks same-timestamp ties. */
+  private def attributionGate(events: DataFrame, model: String): DataFrame =
+    graft.operators.Attribution.credit(
+        events.select(
+          col("user_id"), epochMicros(col("ts")).as("t_us"), col("event_id"),
+          col("event_type").as("channel"),
+          (col("event_type") === "purchase").as("is_conv")),
+        "user_id", "t_us", "event_id", "channel", "is_conv", model)
+      .orderBy("channel")
+
   /** Deterministic (score, label) pairs for the classifier-audit gates:
     * score = 37·doc_id mod 101 scaled to [0, 1] plus a 0.15 bump for
     * English docs (ties + class separation), label = lang = 'en'. */
@@ -2913,6 +2954,77 @@ object SparkEntry {
           "user_id", "ts")
         .orderBy("cohort", "period_offset")),
 
+    // Kaplan–Meier time-to-first-purchase: subjects are users (duration
+    // = whole days from first event to first purchase, censored at the
+    // last observed event otherwise), grouped by user-id parity.
+    "q_survival_km" -> ((s, d) =>
+      graft.operators.Survival.kaplanMeier(
+          survivalSubjects(executor(s, d).table("events")),
+          "grp0", "dur", "ev")
+        .withColumnRenamed("group", "grp")
+        .orderBy("grp", "t")),
+
+    // Mantel–Cox log-rank comparing the two parity cohorts' curves.
+    "q_survival_logrank" -> ((s, d) =>
+      graft.operators.Survival.logRank(
+        survivalSubjects(executor(s, d).table("events")),
+        "grp0", "dur", "ev", "even", "odd")),
+
+    // Nelson–Aalen cumulative hazard + Fleming–Harrington survival on
+    // the same subject grid.
+    "q_survival_hazard" -> ((s, d) =>
+      graft.operators.Survival.nelsonAalen(
+          survivalSubjects(executor(s, d).table("events")),
+          "grp0", "dur", "ev")
+        .withColumnRenamed("group", "grp")
+        .orderBy("grp", "t")),
+
+    // Multi-touch attribution over the event log: touches are a user's
+    // non-purchase events strictly before their first purchase; each
+    // converting journey distributes one credit unit across channels.
+    "q_attribution_first" -> ((s, d) =>
+      attributionGate(executor(s, d).table("events"), "first")),
+    "q_attribution_linear" -> ((s, d) =>
+      attributionGate(executor(s, d).table("events"), "linear")),
+    "q_attribution_position" -> ((s, d) =>
+      attributionGate(executor(s, d).table("events"), "position")),
+    "q_attribution_decay" -> ((s, d) =>
+      attributionGate(executor(s, d).table("events"), "decay")),
+
+    // Data-driven (Markov removal-effect) attribution over the same
+    // journeys — 12 in-plan fixed-point rounds on the transition matrix.
+    "q_attribution_markov" -> ((s, d) =>
+      graft.operators.Attribution.markovRemoval(
+          executor(s, d).table("events").select(
+            col("user_id"), epochMicros(col("ts")).as("t_us"),
+            col("event_id"), col("event_type").as("channel"),
+            (col("event_type") === "purchase").as("is_conv")),
+          "user_id", "t_us", "event_id", "channel", "is_conv",
+          iterations = 12)
+        .orderBy("channel")),
+
+    // Market-basket association rules: baskets are users, items the
+    // props.k tag; A-Priori double support floor at 25% of baskets.
+    "q_basket_rules" -> ((s, d) =>
+      basketGate(executor(s, d).table("events"), cap = None)),
+
+    // Same with the basket-size skew guard engaged (oversized baskets
+    // dropped BEFORE the quadratic pair join).
+    "q_basket_rules_capped" -> ((s, d) =>
+      basketGate(executor(s, d).table("events"), cap = Some(45L))),
+
+    // Daily event-count grid, interior gaps zero-filled.
+    "q_ts_daily" -> ((s, d) =>
+      graft.operators.Timeseries.dailyCounts(
+          executor(s, d).table("events"), "ts")
+        .orderBy("day")),
+
+    // STL-lite decomposition + weekday-aware volume anomaly flags.
+    "q_ts_anomaly" -> ((s, d) =>
+      graft.operators.Timeseries.weekdayAnomaly(
+          executor(s, d).table("events"), "ts")
+        .orderBy("day")),
+
     // Categorical profiling: top-k frequent values with deterministic
     // tie-breaks (all sources tie at sf0.01 — the cut is the point).
     "q_profile_top_values" -> ((s, d) =>
@@ -3843,6 +3955,179 @@ object SparkEntry {
   /** DuckDB oracle for [[graft.operators.Vocab.bpeTokenCount]]: the same
     * char-spacing regex and rank-ordered literal-replace chain, built
     * from the same merge list. */
+  /** Shared subject derivation for the survival oracles — mirrors
+    * [[survivalSubjects]] (whole-day integer division, parity groups). */
+  private val survivalSubjSql: String =
+    """ev0 AS (SELECT user_id AS u, epoch_us(CAST(ts AS TIMESTAMP)) AS t_us,
+      |               event_type AS et FROM events),
+      |subj AS (
+      |  SELECT CASE WHEN u % 2 = 0 THEN 'even' ELSE 'odd' END AS grp0,
+      |    CAST((coalesce(min(CASE WHEN et = 'purchase' THEN t_us END),
+      |                   max(t_us)) - min(t_us)) // 86400000000 AS DOUBLE)
+      |      AS dur,
+      |    min(CASE WHEN et = 'purchase' THEN t_us END) IS NOT NULL AS ev
+      |  FROM ev0 GROUP BY u)""".stripMargin
+
+  /** Shared journey derivation + credit rollup for the attribution
+    * oracles; `credit` is the per-touch DuckDB expression over
+    * (u, t, id, ch, ct, rn, k) — window functions over u allowed. */
+  private def attributionOracle(credit: String): String =
+    s"""WITH base AS (
+       |  SELECT user_id AS u, epoch_us(CAST(ts AS TIMESTAMP)) AS t,
+       |         event_id AS id, event_type AS ch,
+       |         event_type = 'purchase' AS c
+       |  FROM events),
+       |cv AS (SELECT u, min(t) AS ct FROM base WHERE c GROUP BY 1),
+       |cid AS (SELECT b.u, min(b.id) AS cid FROM base b
+       |        JOIN cv ON b.u = cv.u AND b.t = cv.ct
+       |        WHERE b.c GROUP BY 1),
+       |tch AS (SELECT b.u, b.t, b.id, b.ch, cv.ct FROM base b
+       |        JOIN cv ON b.u = cv.u JOIN cid ON b.u = cid.u
+       |        WHERE NOT b.c AND (b.t < cv.ct OR
+       |              (b.t = cv.ct AND b.id < cid.cid))),
+       |rk AS (SELECT *, row_number() OVER (
+       |         PARTITION BY u ORDER BY t, id) AS rn,
+       |       count(*) OVER (PARTITION BY u) AS k FROM tch),
+       |cr AS (SELECT u, ch, $credit AS credit FROM rk)
+       |SELECT ch AS channel,
+       |  round(CAST(sum(CAST(credit AS DECIMAL(28,9))) AS DOUBLE), 6)
+       |    AS conversions,
+       |  count(*) AS touches
+       |FROM cr GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** The decay model's per-touch weight (9-dp ln/exp discipline). */
+  private val attributionDecayW: String =
+    "round(exp(round(-0.1 * CAST(ct - t AS DOUBLE) / 86400000000.0, 9)), 9)"
+
+  /** Mirror of `Attribution.markovRemoval`: journey edges → transition
+    * matrix → `iterations` unrolled fixed-point CTEs (the
+    * [[linkageEmOracle]] unrolled-iteration discipline) → removal
+    * effects and proportional credits. */
+  private def markovOracle(iterations: Int): String = {
+    val its = (1 to iterations).map { k =>
+      s"""it$k AS (
+         |  SELECT s.rc, s.fs,
+         |    round(coalesce(c.cc, 0.0) +
+         |          coalesce(CAST(d.dyn AS DOUBLE), 0.0), 9) AS pv
+         |  FROM states s
+         |  LEFT JOIN ct_ c ON s.rc = c.rc AND s.fs = c.fs
+         |  LEFT JOIN (
+         |    SELECT dy.rc, dy.fs,
+         |      sum(CAST(round(dy.p * pk.pv, 9) AS DECIMAL(28,9))) AS dyn
+         |    FROM dy JOIN it${k - 1} pk
+         |      ON dy.rc = pk.rc AND dy.tsx = pk.fs
+         |    GROUP BY 1, 2) d ON s.rc = d.rc AND s.fs = d.fs)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH base AS (
+       |  SELECT user_id AS u, epoch_us(CAST(ts AS TIMESTAMP)) AS t,
+       |         event_id AS id, event_type AS ch,
+       |         event_type = 'purchase' AS c
+       |  FROM events),
+       |cv AS (SELECT u, min(t) AS ct FROM base WHERE c GROUP BY 1),
+       |cid AS (SELECT b.u, min(b.id) AS cid FROM base b
+       |        JOIN cv ON b.u = cv.u AND b.t = cv.ct
+       |        WHERE b.c GROUP BY 1),
+       |tch AS (SELECT b.u, b.t, b.id, b.ch, cv.ct FROM base b
+       |        LEFT JOIN cv ON b.u = cv.u LEFT JOIN cid ON b.u = cid.u
+       |        WHERE NOT b.c AND (cv.ct IS NULL OR b.t < cv.ct OR
+       |              (b.t = cv.ct AND b.id < cid.cid))),
+       |sq AS (SELECT u, ch, ct,
+       |    row_number() OVER (PARTITION BY u ORDER BY t, id) AS rn,
+       |    lead(ch) OVER (PARTITION BY u ORDER BY t, id) AS nxt
+       |  FROM tch),
+       |edges AS (
+       |  SELECT ch AS fs,
+       |    coalesce(nxt, CASE WHEN ct IS NOT NULL THEN '__CONV__'
+       |                       ELSE '__NULL__' END) AS tsx
+       |  FROM sq
+       |  UNION ALL SELECT '__START__', ch FROM sq WHERE rn = 1
+       |  UNION ALL SELECT '__START__', '__CONV__' FROM cv
+       |    WHERE u NOT IN (SELECT u FROM tch)),
+       |tn AS (SELECT fs, tsx, count(*) AS n FROM edges GROUP BY 1, 2),
+       |trans AS (SELECT fs, tsx,
+       |    round(CAST(n AS DOUBLE) /
+       |          CAST(sum(n) OVER (PARTITION BY fs) AS DOUBLE), 9) AS p
+       |  FROM tn),
+       |rcs AS (SELECT DISTINCT fs AS rc FROM trans
+       |        WHERE fs <> '__START__'
+       |        UNION ALL SELECT '__NONE__'),
+       |keyed AS (SELECT r.rc, t.fs, t.tsx, t.p
+       |          FROM rcs r CROSS JOIN trans t
+       |          WHERE r.rc = '__NONE__' OR
+       |                (t.fs <> r.rc AND t.tsx <> r.rc)),
+       |ct_ AS (SELECT rc, fs, p AS cc FROM keyed WHERE tsx = '__CONV__'),
+       |dy AS (SELECT * FROM keyed
+       |       WHERE tsx <> '__CONV__' AND tsx <> '__NULL__'),
+       |states AS (SELECT DISTINCT rc, fs FROM keyed),
+       |it0 AS (SELECT rc, fs, CAST(0.0 AS DOUBLE) AS pv FROM states),
+       |$its,
+       |fin AS (SELECT rc, pv FROM it$iterations WHERE fs = '__START__'),
+       |pf AS (SELECT pv AS pfv FROM fin WHERE rc = '__NONE__'),
+       |re AS (SELECT f.rc AS channel,
+       |    CASE WHEN pf.pfv = 0.0 THEN CAST(NULL AS DOUBLE)
+       |         ELSE round(1.0 - f.pv / pf.pfv, 9) END AS re9
+       |  FROM fin f CROSS JOIN pf WHERE f.rc <> '__NONE__'),
+       |nc AS (SELECT count(DISTINCT u) AS ncv FROM cv),
+       |tre AS (SELECT sum(CAST(re9 AS DECIMAL(28,9))) AS tot FROM re)
+       |SELECT channel, round(re9, 6) AS removal_effect,
+       |  CASE WHEN tot IS NULL OR CAST(tot AS DOUBLE) = 0.0
+       |       THEN CAST(NULL AS DOUBLE)
+       |       ELSE round(re9 / CAST(tot AS DOUBLE) * CAST(ncv AS DOUBLE), 6)
+       |  END AS credit
+       |FROM re CROSS JOIN tre CROSS JOIN nc
+       |ORDER BY channel""".stripMargin
+  }
+
+  /** Mirror of [[basketGate]]: A-Priori pairwise rules, support floor
+    * compared in DOUBLE space exactly like the operator. */
+  private def basketOracle(minSupport: Double, cap: Option[Long]): String = {
+    val presCte = cap match {
+      case Some(c) =>
+        s"""pres AS (SELECT p.* FROM pres0 p JOIN (
+           |  SELECT b FROM pres0 GROUP BY b HAVING count(*) <= $c) ok
+           |  ON p.b = ok.b),""".stripMargin
+      case None => "pres AS (SELECT * FROM pres0),"
+    }
+    s"""WITH pres0 AS (
+       |  SELECT DISTINCT CAST(user_id AS VARCHAR) AS b,
+       |         json_extract_string(props, '$$.k') AS i
+       |  FROM events
+       |  WHERE user_id IS NOT NULL AND props IS NOT NULL
+       |    AND json_extract_string(props, '$$.k') IS NOT NULL),
+       |$presCte
+       |nb AS (SELECT count(DISTINCT b) AS nbv FROM pres),
+       |ic AS (SELECT i, count(*) AS ni FROM pres GROUP BY 1),
+       |freq AS (SELECT ic.i FROM ic, nb
+       |         WHERE CAST(ni AS DOUBLE) >=
+       |               CAST($minSupport AS DOUBLE) * CAST(nbv AS DOUBLE)),
+       |pp AS (SELECT p.b, p.i FROM pres p JOIN freq f ON p.i = f.i),
+       |pr AS (SELECT a.i AS ia, b2.i AS ib, count(*) AS np
+       |       FROM pp a JOIN pp b2 ON a.b = b2.b AND a.i < b2.i
+       |       GROUP BY 1, 2),
+       |prf AS (SELECT pr.*, nbv FROM pr, nb
+       |        WHERE CAST(np AS DOUBLE) >=
+       |              CAST($minSupport AS DOUBLE) * CAST(nbv AS DOUBLE)),
+       |bidir AS (SELECT ia AS ante, ib AS cons, np, nbv FROM prf
+       |          UNION ALL SELECT ib, ia, np, nbv FROM prf)
+       |SELECT ante AS antecedent, cons AS consequent, np AS pair_count,
+       |  round(CAST(np AS DOUBLE) / CAST(nbv AS DOUBLE), 6) AS support,
+       |  round(CAST(np AS DOUBLE) / CAST(a.ni AS DOUBLE), 6) AS confidence,
+       |  round(CAST(np AS DOUBLE) * CAST(nbv AS DOUBLE) /
+       |        (CAST(a.ni AS DOUBLE) * CAST(c.ni AS DOUBLE)), 6) AS lift
+       |FROM bidir JOIN ic a ON bidir.ante = a.i JOIN ic c ON bidir.cons = c.i
+       |ORDER BY antecedent, consequent""".stripMargin
+  }
+
+  /** Shared day-grid CTEs for the time-series oracles. */
+  private val tsGridSql: String =
+    """counts AS (SELECT CAST(ts AS DATE) AS day, count(*) AS n
+      |           FROM events WHERE ts IS NOT NULL GROUP BY 1),
+      |bnds AS (SELECT min(day) AS d0, max(day) AS d1 FROM counts),
+      |grid AS (SELECT CAST(unnest(generate_series(d0, d1, INTERVAL 1 DAY))
+      |                AS DATE) AS day FROM bnds),
+      |g2 AS (SELECT g.day, coalesce(c.n, 0) AS n
+      |       FROM grid g LEFT JOIN counts c ON g.day = c.day)""".stripMargin
+
   private def bpeEncodeOracle(merges: Seq[(String, String)]): String = {
     val spaced = "trim(regexp_replace(w, '(.)', '\\1 ', 'g'))"
     val merged = merges.foldLeft(spaced) { case (e, (a, b)) =>
@@ -6945,6 +7230,173 @@ object SparkEntry {
         |  round(n_users / CAST(max(CASE WHEN period_offset = 0 THEN n_users END)
         |        OVER (PARTITION BY cohort) AS DOUBLE), 6) AS rate
         |FROM tri ORDER BY cohort, period_offset""".stripMargin,
+    // Kaplan–Meier: the product-limit estimator in the operator's exact
+    // log-space DECIMAL discipline (9-dp terms, 9-dp ln, 6-dp exp).
+    "q_survival_km" ->
+      s"""WITH $survivalSubjSql,
+         |cells AS (
+         |  SELECT grp0 AS grp, dur AS t,
+         |    count(*) FILTER (WHERE ev) AS events,
+         |    count(*) FILTER (WHERE NOT ev) AS cens
+         |  FROM subj GROUP BY 1, 2),
+         |steps AS (
+         |  SELECT grp, t, events,
+         |    CAST(sum(events + cens) OVER (PARTITION BY grp)
+         |      - sum(events + cens) OVER (PARTITION BY grp ORDER BY t)
+         |      + events + cens AS BIGINT) AS at_risk
+         |  FROM cells),
+         |st AS (
+         |  SELECT grp, t, at_risk, events,
+         |    round(1.0 - CAST(events AS DOUBLE) / CAST(at_risk AS DOUBLE), 9)
+         |      AS term
+         |  FROM steps WHERE events > 0),
+         |acc AS (
+         |  SELECT grp, t, at_risk, events,
+         |    max(CASE WHEN term = 0.0 THEN 1 ELSE 0 END)
+         |      OVER (PARTITION BY grp ORDER BY t) AS dead,
+         |    sum(CAST(round(ln(CASE WHEN term > 0.0 THEN term ELSE 1.0 END), 9)
+         |             AS DECIMAL(28,9)))
+         |      OVER (PARTITION BY grp ORDER BY t) AS logsum
+         |  FROM st)
+         |SELECT grp, t, at_risk, events,
+         |  CASE WHEN dead = 1 THEN 0.0
+         |       ELSE round(exp(CAST(logsum AS DOUBLE)), 6) END AS survival
+         |FROM acc ORDER BY grp, t""".stripMargin,
+    // Mantel–Cox: per-event-time hypergeometric expectation/variance,
+    // DECIMAL-accumulated, one final 6-dp round.
+    "q_survival_logrank" ->
+      s"""WITH $survivalSubjSql,
+         |cells AS (
+         |  SELECT dur AS t,
+         |    count(*) FILTER (WHERE grp0 = 'even' AND ev) AS d_a,
+         |    count(*) FILTER (WHERE grp0 = 'even') AS r_a,
+         |    count(*) FILTER (WHERE grp0 = 'odd' AND ev) AS d_b,
+         |    count(*) FILTER (WHERE grp0 = 'odd') AS r_b
+         |  FROM subj GROUP BY 1),
+         |tm AS (
+         |  SELECT t, d_a, d_b,
+         |    CAST(sum(r_a) OVER () AS BIGINT) AS n_a_tot,
+         |    CAST(sum(r_b) OVER () AS BIGINT) AS n_b_tot,
+         |    CAST(sum(r_a) OVER () - sum(r_a) OVER (ORDER BY t) + r_a
+         |         AS BIGINT) AS n1,
+         |    CAST(sum(r_b) OVER () - sum(r_b) OVER (ORDER BY t) + r_b
+         |         AS BIGINT) AS n2
+         |  FROM cells),
+         |terms AS (
+         |  SELECT *, CAST(d_a + d_b AS DOUBLE) AS dt,
+         |         CAST(n1 + n2 AS DOUBLE) AS nt
+         |  FROM tm WHERE d_a + d_b > 0),
+         |vals AS (
+         |  SELECT n_a_tot, n_b_tot, d_a,
+         |    round(dt * CAST(n1 AS DOUBLE) / nt, 9) AS e1,
+         |    CASE WHEN n1 + n2 < 2 THEN 0.0
+         |         ELSE round(dt * CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)
+         |                    * (nt - dt) / (nt * nt * (nt - 1.0)), 9)
+         |    END AS v
+         |  FROM terms),
+         |agg AS (
+         |  SELECT count(*) AS n_times,
+         |    CAST(max(n_a_tot) AS BIGINT) AS n_a,
+         |    CAST(max(n_b_tot) AS BIGINT) AS n_b,
+         |    CAST(sum(d_a) AS BIGINT) AS observed_a,
+         |    sum(CAST(e1 AS DECIMAL(28,9))) AS e,
+         |    sum(CAST(v AS DECIMAL(28,9))) AS vv
+         |  FROM vals)
+         |SELECT n_times, n_a, n_b, observed_a,
+         |  round(CAST(e AS DOUBLE), 6) AS expected_a,
+         |  CASE WHEN CAST(vv AS DOUBLE) = 0.0 THEN CAST(NULL AS DOUBLE)
+         |       ELSE round((CAST(observed_a AS DOUBLE) - CAST(e AS DOUBLE))
+         |                  * (CAST(observed_a AS DOUBLE) - CAST(e AS DOUBLE))
+         |                  / CAST(vv AS DOUBLE), 6) END AS chi2
+         |FROM agg""".stripMargin,
+    // Nelson–Aalen: per-step 9-dp hazards, DECIMAL cumsum, 6-dp
+    // publish; exp(−H) is the Fleming–Harrington survival.
+    "q_survival_hazard" ->
+      s"""WITH $survivalSubjSql,
+         |cells AS (
+         |  SELECT grp0 AS grp, dur AS t,
+         |    count(*) FILTER (WHERE ev) AS events,
+         |    count(*) FILTER (WHERE NOT ev) AS cens
+         |  FROM subj GROUP BY 1, 2),
+         |steps AS (
+         |  SELECT grp, t, events,
+         |    CAST(sum(events + cens) OVER (PARTITION BY grp)
+         |      - sum(events + cens) OVER (PARTITION BY grp ORDER BY t)
+         |      + events + cens AS BIGINT) AS at_risk
+         |  FROM cells),
+         |st AS (
+         |  SELECT grp, t, at_risk, events,
+         |    round(CAST(events AS DOUBLE) / CAST(at_risk AS DOUBLE), 9) AS h
+         |  FROM steps WHERE events > 0),
+         |acc AS (
+         |  SELECT grp, t, at_risk, events,
+         |    sum(CAST(h AS DECIMAL(28,9)))
+         |      OVER (PARTITION BY grp ORDER BY t) AS hsum
+         |  FROM st)
+         |SELECT grp, t, at_risk, events,
+         |  round(CAST(hsum AS DOUBLE), 6) AS cum_hazard,
+         |  round(exp(-CAST(hsum AS DOUBLE)), 6) AS survival_fh
+         |FROM acc ORDER BY grp, t""".stripMargin,
+    "q_attribution_first" -> attributionOracle(
+      "CAST(CASE WHEN rn = 1 THEN 1.0 ELSE 0.0 END AS DOUBLE)"),
+    "q_attribution_linear" -> attributionOracle(
+      "round(CAST(1.0 AS DOUBLE) / CAST(k AS DOUBLE), 9)"),
+    "q_attribution_position" -> attributionOracle(
+      """CAST(CASE WHEN k = 1 THEN 1.0 WHEN k = 2 THEN 0.5
+        |     WHEN rn = 1 OR rn = k THEN 0.4
+        |     ELSE round(CAST(0.2 AS DOUBLE) / (CAST(k AS DOUBLE) - 2.0), 9)
+        |     END AS DOUBLE)""".stripMargin),
+    "q_attribution_decay" -> attributionOracle(
+      s"""round($attributionDecayW /
+         |  CAST(sum(CAST($attributionDecayW AS DECIMAL(28,9)))
+         |       OVER (PARTITION BY u) AS DOUBLE), 9)""".stripMargin),
+    "q_attribution_markov" -> markovOracle(12),
+    "q_basket_rules" -> basketOracle(0.25, None),
+    "q_basket_rules_capped" -> basketOracle(0.25, Some(45L)),
+    "q_ts_daily" ->
+      s"""WITH $tsGridSql
+         |SELECT day, n FROM g2 ORDER BY day""".stripMargin,
+    // STL-lite mirror: 9-dp trend/seasonal/residual, DECIMAL cross-row
+    // sums, population sigma, 6-dp publish.
+    "q_ts_anomaly" ->
+      s"""WITH $tsGridSql,
+         |tr AS (SELECT day, n, (day - DATE '1970-01-05') % 7 AS wd,
+         |    CASE WHEN count(*) OVER w = 7
+         |         THEN round(CAST(sum(n) OVER w AS DOUBLE) / 7.0, 9) END
+         |      AS trend
+         |  FROM g2
+         |  WINDOW w AS (ORDER BY day ROWS BETWEEN 3 PRECEDING
+         |               AND 3 FOLLOWING)),
+         |dv AS (SELECT *, round(CAST(n AS DOUBLE) - trend, 9) AS dev
+         |       FROM tr),
+         |se AS (SELECT *,
+         |    round(CAST(sum(CAST(dev AS DECIMAL(28,9)))
+         |               OVER (PARTITION BY wd) AS DOUBLE) /
+         |          CAST(count(dev) OVER (PARTITION BY wd) AS DOUBLE), 9)
+         |      AS seasonal
+         |  FROM dv),
+         |rs AS (SELECT *,
+         |    round(CAST(n AS DOUBLE) - trend - seasonal, 9) AS resid
+         |  FROM se),
+         |gl AS (SELECT *,
+         |    round(CAST(sum(CAST(resid AS DECIMAL(28,9))) OVER ()
+         |               AS DOUBLE) /
+         |          CAST(count(resid) OVER () AS DOUBLE), 9) AS rmean,
+         |    round(CAST(sum(CAST(round(resid * resid, 9) AS DECIMAL(28,9)))
+         |               OVER () AS DOUBLE) /
+         |          CAST(count(resid) OVER () AS DOUBLE), 9) AS rsq
+         |  FROM rs),
+         |sg AS (SELECT *,
+         |    round(sqrt(greatest(round(rsq - rmean * rmean, 9), 0.0)), 9)
+         |      AS sigma
+         |  FROM gl),
+         |zt AS (SELECT *, CASE WHEN sigma > 0.0
+         |                      THEN round(resid / sigma, 6) END AS zz
+         |       FROM sg)
+         |SELECT day, n, round(trend, 6) AS trend,
+         |  round(seasonal, 6) AS seasonal, zz AS z,
+         |  coalesce(abs(zz) > 3.0, false) AS anomaly
+         |FROM zt ORDER BY day""".stripMargin,
     "q_profile_top_values" ->
       """SELECT value, n, CAST(row_number() OVER (ORDER BY n DESC, value ASC) AS BIGINT) AS rank
         |FROM (SELECT source AS value, count(*) AS n FROM documents GROUP BY 1

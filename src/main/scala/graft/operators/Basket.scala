@@ -1,0 +1,92 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/**
+ * Market-basket association-rule mining over (basket, item) presence
+ * rows — "users who touched X also touched Y" for curation (co-occurring
+ * tags/sources/domains) and product analytics. A-Priori pruned to the
+ * pairwise level: only items meeting the support floor enter the pair
+ * join, and only pairs meeting it again become rules.
+ *
+ * Scale shape: presence dedup is ONE (basket, item) shuffle; the pair
+ * generator is a basket-keyed self-join whose per-basket cost is
+ * |basket|² — bounded by BOTH the frequent-item prune and the explicit
+ * `maxBasketSize` guard (the [[Linkage]] `maxBlockSize` / [[Dedup]]
+ * `maxShingleFreq` discipline: a degenerate catch-all basket cannot go
+ * quadratic unannounced); pair counts map-side combine into the
+ * item-pair domain, never back into baskets.
+ *
+ * Determinism: counts are exact; support/confidence/lift are single
+ * IEEE-double expressions with a fixed operand order, published at
+ * 6 dp. The support floor compares in DOUBLE space
+ * (`n ≥ minSupport · nBaskets` both sides as doubles) — exact-integer
+ * boundary cases follow IEEE multiplication, identically cross-engine.
+ */
+object Basket {
+
+  private def d(c: Column): Column = c.cast("double")
+
+  /**
+   * Pairwise association rules. Input rows are (basket, item)
+   * observations (duplicates fine — presence is deduped; NULL basket
+   * or item drops). Emits one row per ordered rule A⇒B over unordered
+   * frequent pairs: `(antecedent, consequent, pair_count, support,
+   * confidence, lift)`.
+   *
+   * @param minSupport    support floor as a fraction of baskets,
+   *                      applied to items AND pairs (A-Priori)
+   * @param maxBasketSize drop baskets with more distinct (frequent)
+   *                      items than this — the skew guard for the
+   *                      quadratic pair step
+   */
+  def associationRules(df: DataFrame, basketCol: String, itemCol: String,
+                       minSupport: Double,
+                       maxBasketSize: Option[Long] = None): DataFrame = {
+    require(minSupport > 0.0 && minSupport <= 1.0,
+      s"minSupport must be in (0, 1], got $minSupport")
+    val pres0 = df
+      .where(col(basketCol).isNotNull && col(itemCol).isNotNull)
+      .select(col(basketCol).cast("string").as("__b"),
+        col(itemCol).cast("string").as("__i"))
+      .distinct()
+    val pres = maxBasketSize match {
+      case Some(cap) =>
+        require(cap >= 2, s"maxBasketSize must be >= 2, got $cap")
+        val hot = pres0.groupBy(col("__b")).agg(count(lit(1)).as("__sz"))
+          .where(col("__sz") > cap).select(col("__b"))
+        pres0.join(hot, Seq("__b"), "left_anti")
+      case None => pres0
+    }
+    val nB = pres.agg(countDistinct(col("__b")).as("__nb"))
+    val itemCounts = pres.groupBy(col("__i")).agg(count(lit(1)).as("__ni"))
+    val frequent = itemCounts.crossJoin(nB)
+      .where(d(col("__ni")) >= lit(minSupport) * d(col("__nb")))
+      .select(col("__i"))
+    val pruned = pres.join(frequent, Seq("__i"), "left_semi")
+    val pairs = pruned.select(col("__b"), col("__i").as("__ia"))
+      .join(pruned.select(col("__b"), col("__i").as("__ib")), Seq("__b"))
+      .where(col("__ia") < col("__ib"))
+      .groupBy(col("__ia"), col("__ib")).agg(count(lit(1)).as("__np"))
+      .crossJoin(nB)
+      .where(d(col("__np")) >= lit(minSupport) * d(col("__nb")))
+    val both = pairs
+      .select(col("__ia").as("__ante"), col("__ib").as("__cons"),
+        col("__np"), col("__nb"))
+      .unionAll(pairs.select(col("__ib").as("__ante"),
+        col("__ia").as("__cons"), col("__np"), col("__nb")))
+    both
+      .join(itemCounts.select(col("__i"), col("__ni").as("__na")),
+        col("__ante") === col("__i")).drop("__i")
+      .join(itemCounts.select(col("__i"), col("__ni").as("__nc")),
+        col("__cons") === col("__i")).drop("__i")
+      .select(
+        col("__ante").as("antecedent"), col("__cons").as("consequent"),
+        col("__np").as("pair_count"),
+        round(d(col("__np")) / d(col("__nb")), 6).as("support"),
+        round(d(col("__np")) / d(col("__na")), 6).as("confidence"),
+        round(d(col("__np")) * d(col("__nb")) /
+          (d(col("__na")) * d(col("__nc"))), 6).as("lift"))
+  }
+}
