@@ -211,7 +211,13 @@ object ScaleProbe {
     "q_survival_km", "q_survival_logrank",
     // attribution: one user-keyed shuffle (windows inside), then a
     // map-side-combined channel rollup
-    "q_attribution_linear", "q_attribution_decay")
+    "q_attribution_linear", "q_attribution_decay",
+    // ts diagnostics: one daily reduce, then calendar-bounded grid
+    // work (ACF lag join, EWMA grid×grid closed form)
+    "q_ts_acf", "q_ts_ewma",
+    // RFM: one customer reduce, then distinct-value bucket windows +
+    // three value equi-joins back
+    "q_rfm")
 
   private def caesar(c: org.apache.spark.sql.Column, k: Int) = {
     val lower = "abcdefghijklmnopqrstuvwxyz"

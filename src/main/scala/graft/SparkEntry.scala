@@ -3025,6 +3025,45 @@ object SparkEntry {
           executor(s, d).table("events"), "ts")
         .orderBy("day")),
 
+    // Autocorrelation of daily volume at lags 1..14 (the weekly cycle
+    // shows at lag 7).
+    "q_ts_acf" -> ((s, d) =>
+      graft.operators.Timeseries.acf(
+          executor(s, d).table("events"), "ts", maxLag = 14)
+        .orderBy("lag")),
+
+    // CUSUM curve + the single most-likely level-change day.
+    "q_ts_cusum" -> ((s, d) =>
+      graft.operators.Timeseries.cusum(
+          executor(s, d).table("events"), "ts")
+        .orderBy("day")),
+    "q_ts_changepoint" -> ((s, d) =>
+      graft.operators.Timeseries.changepoint(
+          executor(s, d).table("events"), "ts")),
+
+    // EWMA smoothing via the closed form (grid×grid, calendar-bounded).
+    "q_ts_ewma" -> ((s, d) =>
+      graft.operators.Timeseries.ewma(
+          executor(s, d).table("events"), "ts", alpha = 0.3)
+        .orderBy("day")),
+
+    // Seasonal-naive (same-day-last-week) forecast backtest.
+    "q_ts_backtest" -> ((s, d) =>
+      graft.operators.Timeseries.seasonalNaiveBacktest(
+          executor(s, d).table("events"), "ts", season = 7)),
+
+    // RFM segmentation of order customers (empirical-CDF quintiles,
+    // 5 = best) + the segment-level spend rollup.
+    "q_rfm" -> ((s, d) =>
+      graft.operators.Rfm.scores(executor(s, d).table("orders"),
+          "o_custkey", "o_orderdate", "o_totalprice")
+        .withColumnRenamed("customer", "o_custkey")
+        .orderBy("o_custkey")),
+    "q_rfm_segments" -> ((s, d) =>
+      graft.operators.Rfm.segmentSummary(executor(s, d).table("orders"),
+          "o_custkey", "o_orderdate", "o_totalprice")
+        .orderBy("segment")),
+
     // Categorical profiling: top-k frequent values with deterministic
     // tie-breaks (all sources tie at sf0.01 — the cut is the point).
     "q_profile_top_values" -> ((s, d) =>
@@ -4127,6 +4166,42 @@ object SparkEntry {
       |                AS DATE) AS day FROM bnds),
       |g2 AS (SELECT g.day, coalesce(c.n, 0) AS n
       |       FROM grid g LEFT JOIN counts c ON g.day = c.day)""".stripMargin
+
+  /** Empirical-CDF bucket map for one RFM metric of the `mt` CTE:
+    * bucket = ceil(round(cum/N · 5, 9)) over per-value counts —
+    * Rfm.bucketMap's exact mirror. */
+  private def rfmBucketSql(metric: String): String =
+    s"""(SELECT v, CAST(ceil(round(CAST(cum AS DOUBLE) /
+       |    CAST(nn AS DOUBLE) * 5.0, 9)) AS INT) AS b
+       |  FROM (SELECT v, sum(c) OVER (ORDER BY v) AS cum,
+       |          sum(c) OVER () AS nn
+       |        FROM (SELECT CAST($metric AS DOUBLE) AS v, count(*) AS c
+       |              FROM mt GROUP BY 1)))""".stripMargin
+
+  /** Shared RFM scoring CTEs ending in `sc` — Rfm.scores' mirror on
+    * the orders table (B = 5, 5 = best, recency inverted). */
+  private val rfmScoresSql: String =
+    s"""pc AS (SELECT o_custkey, max(CAST(o_orderdate AS DATE)) AS last_d,
+       |         count(*) AS frequency,
+       |         round(CAST(coalesce(sum(CAST(o_totalprice
+       |           AS DECIMAL(18,2))), 0) AS DOUBLE), 2) AS monetary
+       |       FROM orders WHERE o_orderdate IS NOT NULL GROUP BY 1),
+       |rfd AS (SELECT max(last_d) AS refd FROM pc),
+       |mt AS (SELECT o_custkey,
+       |         CAST(date_diff('day', last_d, refd) AS BIGINT)
+       |           AS recency_days,
+       |         frequency, monetary FROM pc, rfd),
+       |rbk AS ${rfmBucketSql("recency_days")},
+       |fbk AS ${rfmBucketSql("frequency")},
+       |mbk AS ${rfmBucketSql("monetary")},
+       |sc AS (SELECT mt.o_custkey, recency_days, frequency, monetary,
+       |         6 - rbk.b AS r, fbk.b AS f, mbk.b AS m,
+       |         CAST(6 - rbk.b AS VARCHAR) || CAST(fbk.b AS VARCHAR) ||
+       |           CAST(mbk.b AS VARCHAR) AS segment
+       |       FROM mt
+       |       JOIN rbk ON CAST(recency_days AS DOUBLE) = rbk.v
+       |       JOIN fbk ON CAST(frequency AS DOUBLE) = fbk.v
+       |       JOIN mbk ON monetary = mbk.v)""".stripMargin
 
   private def bpeEncodeOracle(merges: Seq[(String, String)]): String = {
     val spaced = "trim(regexp_replace(w, '(.)', '\\1 ', 'g'))"
@@ -7397,6 +7472,121 @@ object SparkEntry {
          |  round(seasonal, 6) AS seasonal, zz AS z,
          |  coalesce(abs(zz) > 3.0, false) AS anomaly
          |FROM zt ORDER BY day""".stripMargin,
+    // ACF mirror: 9-dp mean/dev, DECIMAL sums, 6-dp publish; the lag
+    // join runs on the same zero-filled grid.
+    "q_ts_acf" ->
+      s"""WITH $tsGridSql,
+         |b AS (SELECT day, n, CAST(row_number() OVER (ORDER BY day)
+         |             AS BIGINT) AS rn FROM g2),
+         |m AS (SELECT round(CAST(sum(CAST(n AS DECIMAL(28,9))) AS DOUBLE) /
+         |             CAST(count(*) AS DOUBLE), 9) AS mean FROM b),
+         |dv AS (SELECT rn, round(CAST(n AS DOUBLE) - mean, 9) AS dev
+         |       FROM b, m),
+         |den AS (SELECT CAST(sum(CAST(round(dev * dev, 9) AS DECIMAL(28,9)))
+         |               AS DOUBLE) AS denom FROM dv),
+         |lg AS (SELECT CAST(unnest(generate_series(1, 14)) AS BIGINT)
+         |         AS "lag"),
+         |nm AS (SELECT "lag", count(*) AS n_pairs,
+         |    CAST(sum(CAST(round(a.dev * b2.dev, 9) AS DECIMAL(28,9)))
+         |         AS DOUBLE) AS num
+         |  FROM lg JOIN dv a ON a.rn > "lag"
+         |          JOIN dv b2 ON b2.rn = a.rn - "lag"
+         |  GROUP BY "lag")
+         |SELECT "lag", coalesce(n_pairs, 0) AS n_pairs,
+         |  CASE WHEN denom > 0 AND num IS NOT NULL
+         |       THEN round(num / denom, 6) END AS acf
+         |FROM lg LEFT JOIN nm USING ("lag"), den ORDER BY "lag"""".stripMargin,
+    "q_ts_cusum" ->
+      s"""WITH $tsGridSql,
+         |m AS (SELECT round(CAST(sum(CAST(n AS DECIMAL(28,9))) AS DOUBLE) /
+         |             CAST(count(*) AS DOUBLE), 9) AS mean FROM g2),
+         |dv AS (SELECT day, n, round(CAST(n AS DOUBLE) - mean, 9) AS dev
+         |       FROM g2, m)
+         |SELECT day, n,
+         |  round(CAST(sum(CAST(dev AS DECIMAL(28,9)))
+         |    OVER (ORDER BY day ROWS UNBOUNDED PRECEDING) AS DOUBLE), 6)
+         |    AS cusum
+         |FROM dv ORDER BY day""".stripMargin,
+    "q_ts_changepoint" ->
+      s"""WITH $tsGridSql,
+         |m AS (SELECT
+         |    round(CAST(sum(CAST(n AS DECIMAL(28,9))) AS DOUBLE) /
+         |          CAST(count(*) AS DOUBLE), 9) AS mean,
+         |    round(CAST(sum(CAST(round(CAST(n AS DOUBLE) * CAST(n AS DOUBLE),
+         |          9) AS DECIMAL(28,9))) AS DOUBLE) /
+         |          CAST(count(*) AS DOUBLE), 9) AS rsq,
+         |    count(*) AS t FROM g2),
+         |s AS (SELECT day,
+         |    round(CAST(sum(CAST(round(CAST(n AS DOUBLE) - mean, 9)
+         |      AS DECIMAL(28,9))) OVER (ORDER BY day ROWS UNBOUNDED
+         |      PRECEDING) AS DOUBLE), 9) AS s9 FROM g2, m),
+         |sg AS (SELECT round(sqrt(greatest(round(rsq - mean * mean, 9),
+         |         0.0)), 9) AS sigma, t FROM m),
+         |mx AS (SELECT max(abs(s9)) AS a FROM s),
+         |cd AS (SELECT min(day) AS change_day FROM s, mx
+         |       WHERE abs(s9) = a)
+         |SELECT change_day, round(a, 6) AS cusum_abs,
+         |  CASE WHEN sigma > 0 THEN round(a /
+         |    round(sigma * round(sqrt(CAST(t AS DOUBLE)), 9), 9), 6) END
+         |    AS stat
+         |FROM cd, mx, sg""".stripMargin,
+    // EWMA closed-form mirror: ln/exp 9-dp decay powers, same term
+    // nesting and DECIMAL accumulation as the operator.
+    "q_ts_ewma" ->
+      s"""WITH $tsGridSql,
+         |b AS (SELECT day, n, CAST(row_number() OVER (ORDER BY day)
+         |             AS BIGINT) AS rn FROM g2),
+         |p AS (SELECT t.day, t.n, a.rn AS ri, t.rn - a.rn AS k,
+         |             CAST(a.n AS DOUBLE) AS x
+         |      FROM b t JOIN b a ON a.rn <= t.rn),
+         |w AS (SELECT day, n, ri, x,
+         |    CASE WHEN k = 0 THEN 1.0
+         |         ELSE round(exp(round(k * round(ln(0.7), 9), 9)), 9) END
+         |      AS wt FROM p),
+         |tm AS (SELECT day, n,
+         |    CASE WHEN ri = 1 THEN round(wt * x, 9)
+         |         ELSE round(0.3 * wt * x, 9) END AS term FROM w)
+         |SELECT day, n,
+         |  round(CAST(sum(CAST(term AS DECIMAL(28,9))) AS DOUBLE), 6)
+         |    AS ewma
+         |FROM tm GROUP BY day, n ORDER BY day""".stripMargin,
+    "q_ts_backtest" ->
+      s"""WITH $tsGridSql,
+         |f AS (SELECT day, n, lag(n, 7) OVER (ORDER BY day) AS fc FROM g2),
+         |e AS (SELECT day, n, fc,
+         |    round(CAST(n AS DOUBLE) - CAST(fc AS DOUBLE), 9) AS err
+         |  FROM f WHERE fc IS NOT NULL),
+         |s AS (SELECT day, n, fc, err,
+         |    CASE WHEN n = 0 AND fc = 0 THEN 0.0
+         |         ELSE round(2.0 * abs(err) /
+         |           (CAST(n AS DOUBLE) + CAST(fc AS DOUBLE)), 9) END AS sm
+         |  FROM e)
+         |SELECT count(*) AS n_days,
+         |  round(CAST(sum(CAST(round(abs(err), 9) AS DECIMAL(28,9)))
+         |    AS DOUBLE) / CAST(count(*) AS DOUBLE), 6) AS mae,
+         |  round(sqrt(round(CAST(sum(CAST(round(err * err, 9)
+         |    AS DECIMAL(28,9))) AS DOUBLE) /
+         |    CAST(count(*) AS DOUBLE), 9)), 6) AS rmse,
+         |  round(CAST(sum(CAST(sm AS DECIMAL(28,9))) AS DOUBLE) /
+         |    CAST(count(*) AS DOUBLE), 6) AS smape
+         |FROM s""".stripMargin,
+    "q_rfm" ->
+      s"""WITH $rfmScoresSql
+         |SELECT o_custkey, recency_days, frequency, monetary, r, f, m,
+         |  segment
+         |FROM sc ORDER BY o_custkey""".stripMargin,
+    "q_rfm_segments" ->
+      s"""WITH $rfmScoresSql,
+         |ag AS (SELECT segment, count(*) AS customers,
+         |         sum(CAST(monetary AS DECIMAL(18,2))) AS sm FROM sc
+         |       GROUP BY 1),
+         |tt AS (SELECT sum(sm) AS tot FROM ag)
+         |SELECT segment, customers, round(CAST(sm AS DOUBLE), 2)
+         |    AS monetary_sum,
+         |  CASE WHEN CAST(tot AS DOUBLE) = 0 THEN NULL
+         |       ELSE round(CAST(sm AS DOUBLE) / CAST(tot AS DOUBLE), 6) END
+         |    AS monetary_share
+         |FROM ag, tt ORDER BY segment""".stripMargin,
     "q_profile_top_values" ->
       """SELECT value, n, CAST(row_number() OVER (ORDER BY n DESC, value ASC) AS BIGINT) AS rank
         |FROM (SELECT source AS value, count(*) AS n FROM documents GROUP BY 1

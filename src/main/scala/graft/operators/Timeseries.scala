@@ -91,4 +91,173 @@ object Timeseries {
       col("__z").as("z"),
       coalesce(abs(col("__z")) > zThreshold, lit(false)).as("anomaly"))
   }
+
+  /** Grid + 1-based day index + 9-dp global mean + 9-dp deviations —
+    * the shared front half of the second-moment diagnostics below.
+    * Runs entirely on the calendar-bounded grid. */
+  private def devGrid(df: DataFrame, tsCol: String): DataFrame = {
+    val wAll = Window.partitionBy()
+    val wOrd = Window.orderBy(col("day"))
+    dailyCounts(df, tsCol)
+      .withColumn("__rn", row_number().over(wOrd).cast("long"))
+      .withColumn("__mean",
+        round(d(sum(col("n").cast(dec)).over(wAll)) /
+          d(count(lit(1)).over(wAll)), 9))
+      .withColumn("__dev", round(d(col("n")) - col("__mean"), 9))
+  }
+
+  /**
+   * Sample autocorrelation of the daily-count series at lags
+   * 1..`maxLag`: r(h) = Σ_{t>h} devₜ·devₜ₋ₕ / Σ devₜ² over the
+   * zero-filled grid — the seasonality detector (a weekly cycle shows
+   * as a spike at lag 7). Output `(lag, n_pairs, acf)`; `acf` is NULL
+   * when the series is constant (zero variance) or the lag exceeds the
+   * span. Per-term products snap to 9 dp, sums accumulate as DECIMAL,
+   * publish at 6 dp.
+   *
+   * Scale shape: the lag join runs on the aggregated grid (calendar ×
+   * maxLag rows), never the corpus; the corpus contributes exactly the
+   * one [[dailyCounts]] reduce.
+   */
+  def acf(df: DataFrame, tsCol: String, maxLag: Int = 14): DataFrame = {
+    require(maxLag >= 1 && maxLag <= 366,
+      s"maxLag must be in [1, 366], got $maxLag")
+    val base = devGrid(df, tsCol)
+    val denom = base
+      .agg(sum(round(col("__dev") * col("__dev"), 9).cast(dec))
+        .cast("double").as("__denom"))
+    val lags = df.sparkSession.range(1, maxLag + 1)
+      .select(col("id").as("lag"))
+    val a = base.select(col("__rn").as("__r1"), col("__dev").as("__d1"))
+    val b = base.select(col("__rn").as("__r2"), col("__dev").as("__d2"))
+    val nums = a.join(broadcast(lags), col("__r1") > col("lag"))
+      .join(b, col("__r2") === col("__r1") - col("lag"))
+      .groupBy(col("lag"))
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(round(col("__d1") * col("__d2"), 9).cast(dec))
+          .cast("double").as("__num"))
+    lags.join(nums, Seq("lag"), "left").crossJoin(denom)
+      .select(col("lag"), coalesce(col("n_pairs"), lit(0L)).as("n_pairs"),
+        when(col("__denom") > 0.0 && col("__num").isNotNull,
+          round(col("__num") / col("__denom"), 6)).as("acf"))
+  }
+
+  /**
+   * CUSUM of mean deviations: Sₜ = Σ_{i≤t}(nᵢ − n̄) per day — the
+   * level-shift detector (a sustained volume change bends the curve
+   * into a V at the change day). Output `(day, n, cusum)`.
+   */
+  def cusum(df: DataFrame, tsCol: String): DataFrame = {
+    val wCum = Window.orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    devGrid(df, tsCol)
+      .withColumn("__s", sum(col("__dev").cast(dec)).over(wCum))
+      .select(col("day"), col("n"),
+        round(col("__s").cast("double"), 6).as("cusum"))
+  }
+
+  /**
+   * Single most-likely level change: the day maximizing |CUSUM|
+   * (earliest on ties) plus the normalized statistic
+   * max|Sₜ| / (σ·√T) — the classic CUSUM test scale (≳1.36 ≈ 5%
+   * Kolmogorov critical value under no change). One row:
+   * `(change_day, cusum_abs, stat)`; `stat` is NULL for a constant
+   * series (σ = 0).
+   */
+  def changepoint(df: DataFrame, tsCol: String): DataFrame = {
+    val wCum = Window.orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy()
+    val scored = devGrid(df, tsCol)
+      .withColumn("__s9",
+        round(sum(col("__dev").cast(dec)).over(wCum).cast("double"), 9))
+      .withColumn("__abs", abs(col("__s9")))
+      .withColumn("__rsq",
+        round(d(sum(round(d(col("n")) * d(col("n")), 9).cast(dec))
+          .over(wAll)) / d(count(lit(1)).over(wAll)), 9))
+      .withColumn("__sigma",
+        round(sqrt(greatest(
+          round(col("__rsq") - col("__mean") * col("__mean"), 9),
+          lit(0.0))), 9))
+      .withColumn("__t", count(lit(1)).over(wAll))
+    val top = scored
+      .withColumn("__mx", max(col("__abs")).over(wAll))
+      .where(col("__abs") === col("__mx"))
+      .agg(min(col("day")).as("change_day"), max(col("__abs")).as("__a"),
+        max(col("__sigma")).as("__sg"), max(col("__t")).as("__tt"))
+    top.select(col("change_day"), round(col("__a"), 6).as("cusum_abs"),
+      when(col("__sg") > 0.0,
+        round(sdiv(col("__a"),
+          round(col("__sg") * round(sqrt(d(col("__tt"))), 9), 9)), 6))
+        .as("stat"))
+  }
+
+  /** Total division (see [[Experiment]]). */
+  private def sdiv(a: Column, b: Column): Column =
+    a / when(b === 0.0, lit(1.0)).otherwise(b)
+
+  /**
+   * Exponentially-weighted moving average of the daily counts,
+   * sₜ = α·nₜ + (1−α)·sₜ₋₁ (s₁ = n₁), computed in CLOSED form —
+   * sₜ = (1−α)^(t−1)·n₁ + α·Σ_{i=2..t}(1−α)^(t−i)·nᵢ — so the engine
+   * pays one grid×grid join (calendar-bounded, so O(days²) is
+   * thousands-squared at most, never corpus-shaped) instead of an
+   * inexpressible sequential recursion. Output `(day, n, ewma)`.
+   *
+   * Determinism: decay powers go through the ln/exp 9-dp discipline
+   * ((1−α)^k = exp(k·ln(1−α)) with ln, the product, and exp each
+   * snapped to 9 dp), per-term products snap to 9 dp, the per-day sum
+   * accumulates as DECIMAL, publish at 6 dp — bit-exact against the
+   * DuckDB mirror of the same closed form.
+   */
+  def ewma(df: DataFrame, tsCol: String, alpha: Double = 0.3): DataFrame = {
+    require(alpha > 0.0 && alpha < 1.0, s"alpha must be in (0,1), got $alpha")
+    val lnb = BigDecimal(math.log(1.0 - alpha))
+      .setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val wOrd = Window.orderBy(col("day"))
+    val base = dailyCounts(df, tsCol)
+      .withColumn("__rn", row_number().over(wOrd).cast("long"))
+    val t = base.select(col("day"), col("n"), col("__rn").as("__rt"))
+    val i = base.select(col("__rn").as("__ri"), col("n").as("__xi"))
+    val k = d(col("__rt") - col("__ri"))
+    val w = when(col("__rt") === col("__ri"), lit(1.0))
+      .otherwise(round(exp(round(k * lit(lnb), 9)), 9))
+    val term = when(col("__ri") === 1, round(w * d(col("__xi")), 9))
+      .otherwise(round(lit(alpha) * w * d(col("__xi")), 9))
+    t.join(i, col("__ri") <= col("__rt"))
+      .withColumn("__term", term)
+      .groupBy(col("day"), col("n"))
+      .agg(round(sum(col("__term").cast(dec)).cast("double"), 6).as("ewma"))
+  }
+
+  /**
+   * Seasonal-naive forecast backtest: predict each day as the count
+   * `season` days earlier (the "same day last week" baseline every
+   * real forecaster must beat) and score the fit over the grid. One
+   * row: `(n_days, mae, rmse, smape)`; sMAPE terms with both actual
+   * and forecast zero contribute 0 (the 0/0 convention). NULL-safe:
+   * the first `season` days have no forecast and are excluded.
+   */
+  def seasonalNaiveBacktest(df: DataFrame, tsCol: String,
+                            season: Int = 7): DataFrame = {
+    require(season >= 1, s"season must be >= 1, got $season")
+    val wOrd = Window.orderBy(col("day"))
+    val scored = dailyCounts(df, tsCol)
+      .withColumn("__f", lag(col("n"), season).over(wOrd))
+      .where(col("__f").isNotNull)
+      .withColumn("__err", round(d(col("n")) - d(col("__f")), 9))
+      .withColumn("__sm",
+        when(col("n") === 0 && col("__f") === 0, lit(0.0))
+          .otherwise(round(sdiv(lit(2.0) * abs(col("__err")),
+            d(col("n")) + d(col("__f"))), 9)))
+    scored.agg(
+      count(lit(1)).as("n_days"),
+      round(d(sum(round(abs(col("__err")), 9).cast(dec))) /
+        d(count(lit(1))), 6).as("mae"),
+      round(sqrt(round(
+        d(sum(round(col("__err") * col("__err"), 9).cast(dec))) /
+          d(count(lit(1))), 9)), 6).as("rmse"),
+      round(d(sum(col("__sm").cast(dec))) / d(count(lit(1))), 6)
+        .as("smape"))
+  }
 }

@@ -64,4 +64,69 @@ class TimeseriesSpec extends SparkTestBase {
     assert(out(1).getDouble(2) == r6(r9(7.0 / 3)))
     assert(out(0).isNullAt(2) && out(6).isNullAt(2))
   }
+
+  test("acf: period-2 alternation is negative at lag 1, positive at 2") {
+    // 1,3,1,3,1,3 -> dev = ±1, denom 6; lag1 = -5/6, lag2 = 4/6
+    val cs = (1 to 6).map(d => d -> (if (d % 2 == 0) 3 else 1))
+    val out = Timeseries.acf(events(cs), "ts", maxLag = 6)
+      .orderBy("lag").collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+        if (r.isNullAt(2)) null else r.getDouble(2))).toSeq
+    assert(out(0) == ((1L, 5L, r6(-5.0 / 6))))
+    assert(out(1) == ((2L, 4L, r6(4.0 / 6))))
+    // lag beyond the span: zero pairs, NULL acf
+    assert(out(5) == ((6L, 0L, null)))
+  }
+
+  test("acf: constant series has zero variance -> NULL everywhere") {
+    val out = Timeseries.acf(events((1 to 5).map(_ -> 2)), "ts", maxLag = 2)
+      .collect()
+    assert(out.forall(_.isNullAt(2)))
+  }
+
+  test("cusum + changepoint: level shift bends the curve at the step") {
+    // 5,5,5,9,9,9: mean 7, S = -2,-4,-6,-4,-2,0 -> change day 3
+    val cs = (1 to 6).map(d => d -> (if (d <= 3) 5 else 9))
+    val c = Timeseries.cusum(events(cs), "ts").orderBy("day").collect()
+      .map(_.getDouble(2)).toSeq
+    assert(c == Seq(-2.0, -4.0, -6.0, -4.0, -2.0, 0.0))
+    val cp = Timeseries.changepoint(events(cs), "ts").collect()(0)
+    assert(cp.getDate(0).toString == "2024-01-03")
+    assert(cp.getDouble(1) == 6.0)
+    // sigma 2, stat = 6 / (2 * sqrt(6)) under the 9-dp discipline
+    val stat = r6(6.0 / r9(2.0 * r9(math.sqrt(6.0))))
+    assert(cp.getDouble(2) == stat)
+  }
+
+  test("changepoint: constant series has NULL stat") {
+    val cp = Timeseries.changepoint(
+      events((1 to 4).map(_ -> 3)), "ts").collect()(0)
+    assert(cp.getDouble(1) == 0.0 && cp.isNullAt(2))
+  }
+
+  test("ewma closed form equals the recursion") {
+    // alpha 0.5 over 2,4,8: s = 2, 3, 5.5 ((1-a)^k exact at 9 dp)
+    val out = Timeseries.ewma(events(
+      Seq(1 -> 2, 2 -> 4, 3 -> 8)), "ts", alpha = 0.5)
+      .orderBy("day").collect().map(_.getDouble(2)).toSeq
+    assert(out == Seq(2.0, 3.0, 5.5))
+  }
+
+  test("ewma zero-fills gaps (the gap day pulls the average down)") {
+    val out = Timeseries.ewma(events(Seq(1 -> 4, 3 -> 4)), "ts", alpha = 0.5)
+      .orderBy("day").collect().map(_.getDouble(2)).toSeq
+    assert(out == Seq(4.0, 2.0, 3.0))
+  }
+
+  test("seasonal-naive backtest: hand-checked errors") {
+    // season 2 over 1..6: errors all 2; smape = mean(1, 2/3, 1/2, 2/5)
+    val out = Timeseries.seasonalNaiveBacktest(
+      events((1 to 6).map(d => d -> d)), "ts", season = 2).collect()(0)
+    assert(out.getLong(0) == 4L)
+    assert(out.getDouble(1) == 2.0)
+    assert(out.getDouble(2) == 2.0)
+    val sm = Seq(1.0, 2.0 / 3, 0.5, 0.4)
+      .map(x => BigDecimal(r9(x))).sum.toDouble / 4
+    assert(out.getDouble(3) == r6(sm))
+  }
 }
