@@ -3052,6 +3052,37 @@ object SparkEntry {
       graft.operators.Timeseries.seasonalNaiveBacktest(
           executor(s, d).table("events"), "ts", season = 7)),
 
+    // Median/MAD robust daily anomalies (Iglewicz–Hoaglin 3.5 fence).
+    "q_ts_robust" -> ((s, d) =>
+      graft.operators.Timeseries.robustAnomaly(
+          executor(s, d).table("events"), "ts")
+        .orderBy("day")),
+
+    // Top first-5-event user paths ranked by frequency.
+    "q_path_top" -> ((s, d) =>
+      graft.operators.Funnel.topPaths(executor(s, d).table("events"),
+          "user_id", "ts", "event_id", "event_type",
+          maxSteps = 5, k = 20)
+        .orderBy("rank")),
+
+    // Brown's double exponential smoothing: trend-aware daily forecast.
+    "q_ts_holt" -> ((s, d) =>
+      graft.operators.Timeseries.holt(
+          executor(s, d).table("events"), "ts", alpha = 0.3)
+        .orderBy("day")),
+
+    // Mann–Kendall trend verdict + Sen's slope (one row).
+    "q_ts_trend" -> ((s, d) =>
+      graft.operators.Timeseries.trendTest(
+          executor(s, d).table("events"), "ts")),
+
+    // Contiguous event trigrams by distinct-user support.
+    "q_seq_trigram" -> ((s, d) =>
+      graft.operators.Funnel.frequentSequences(
+          executor(s, d).table("events"),
+          "user_id", "ts", "event_id", "event_type", n = 3, k = 20)
+        .orderBy("rank")),
+
     // RFM segmentation of order customers (empirical-CDF quintiles,
     // 5 = best) + the segment-level spend rollup.
     "q_rfm" -> ((s, d) =>
@@ -3736,6 +3767,44 @@ object SparkEntry {
             col("value")),
         "variant", "value", "0", "1")),
 
+    // Rank-based (Mann–Whitney U) arm comparison on the same parity
+    // split — the heavy-tail-proof companion to q_ab_welch.
+    "q_ab_mannwhitney" -> ((s, d) =>
+      graft.operators.Experiment.mannWhitney(
+        executor(s, d).table("events")
+          .select((col("user_id") % 2).cast("string").as("variant"),
+            col("value")),
+        "variant", "value", "0", "1")),
+
+    // Minimum detectable effect + required per-arm n on the parity
+    // arms — the power audit that says whether q_ab_welch could even
+    // have seen the lift it reports.
+    "q_ab_mde" -> ((s, d) =>
+      graft.operators.Experiment.minDetectableEffect(
+        executor(s, d).table("events")
+          .select((col("user_id") % 2).cast("string").as("variant"),
+            col("value")),
+        "variant", "value", "0", "1")),
+
+    // Per-returnflag OLS of quantity on discount: the discount
+    // elasticity readout, grouped.
+    "q_ols_group" -> ((s, d) =>
+      graft.operators.Regression.olsByGroup(
+          executor(s, d).table("lineitem"),
+          "l_returnflag", "l_discount", "l_quantity")
+        .orderBy("key")),
+
+    // Difference-in-differences: parity arms × first/second half of
+    // the event window as pre/post.
+    "q_ab_did" -> ((s, d) =>
+      graft.operators.Experiment.did(
+        executor(s, d).table("events")
+          .select((col("user_id") % 2).cast("string").as("grp"),
+            when(dayofmonth(to_date(col("ts"))) <= 15, lit("pre"))
+              .otherwise(lit("post")).as("period"),
+            col("value")),
+        "grp", "period", "value", "1", "0", "pre", "post")),
+
     // Kendall τ-b of quantity vs discount (50×11 discrete levels) —
     // exact integer concordance counts off the cell table; the
     // bounded-domain companion to q_profile_spearman.
@@ -4166,6 +4235,54 @@ object SparkEntry {
       |                AS DATE) AS day FROM bnds),
       |g2 AS (SELECT g.day, coalesce(c.n, 0) AS n
       |       FROM grid g LEFT JOIN counts c ON g.day = c.day)""".stripMargin
+
+  /** α/(1−α) for q_ts_holt (α = 0.3) at 9 dp — the same driver-side
+    * constant Timeseries.holt folds into its plan. */
+  private val holtAc: Double = BigDecimal(0.3 / 0.7)
+    .setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+
+  /** z_{α/2} + z_β for q_ab_mde (α = .05, power = .8) at 9 dp — the
+    * same constant Experiment.minDetectableEffect folds in. */
+  private val mdeZsum: Double = BigDecimal(
+    graft.operators.Experiment.normalQuantile(0.975) +
+      graft.operators.Experiment.normalQuantile(0.8))
+    .setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+
+  /** One closed-form EWMA pass for the q_ts_holt oracle: `src`(rn, x)
+    * → `out`(rn, x) with per-term 9-dp snaps, DECIMAL sum, 9-dp
+    * result — Timeseries.holt's inner pass, α = 0.3. */
+  private def holtPassSql(src: String, out: String): String = {
+    val wt = "CASE WHEN k = 0 THEN 1.0 ELSE " +
+      "round(exp(round(k * round(ln(0.7), 9), 9)), 9) END"
+    s"""p_$out AS (SELECT t.rn, a.rn AS ri, t.rn - a.rn AS k, a.x AS x
+       |       FROM $src t JOIN $src a ON a.rn <= t.rn),
+       |$out AS (SELECT rn, round(CAST(sum(CAST(
+       |    CASE WHEN ri = 1 THEN round($wt * x, 9)
+       |         ELSE round(0.3 * $wt * x, 9) END
+       |    AS DECIMAL(28,9))) AS DOUBLE), 9) AS x
+       |  FROM p_$out GROUP BY rn)""".stripMargin
+  }
+
+  /** One DiD cell's (count, Σx, Σx²) conditional aggregates over the
+    * `e` CTE (columns g, p, value) — Experiment.did's mirror. */
+  private def didCellSql(g: String, p: String, sfx: String): String =
+    s"""count(CASE WHEN g = '$g' AND p = '$p' AND value IS NOT NULL
+       |        THEN 1 END) AS n_$sfx,
+       |  sum(CASE WHEN g = '$g' AND p = '$p'
+       |      THEN CAST(round(value, 9) AS DECIMAL(28,9)) END) AS s_$sfx,
+       |  sum(CASE WHEN g = '$g' AND p = '$p'
+       |      THEN CAST(round(round(value, 9) * round(value, 9), 9)
+       |           AS DECIMAL(28,9)) END) AS s2_$sfx""".stripMargin
+
+  private def didStatSql(sfx: String): String =
+    s"""round(CAST(s_$sfx AS DOUBLE) / CAST(n_$sfx AS DOUBLE), 9)
+       |    AS m_$sfx,
+       |  round(CAST(s2_$sfx AS DOUBLE) / CAST(n_$sfx AS DOUBLE), 9)
+       |    AS e2_$sfx""".stripMargin
+
+  private def didVarSql(sfx: String): String =
+    s"""round((e2_$sfx - m_$sfx * m_$sfx) * (CAST(n_$sfx AS DOUBLE) /
+       |    (CAST(n_$sfx AS DOUBLE) - 1.0)), 9) AS v_$sfx""".stripMargin
 
   /** Empirical-CDF bucket map for one RFM metric of the `mt` CTE:
     * bucket = ceil(round(cum/N · 5, 9)) over per-value counts —
@@ -7570,6 +7687,129 @@ object SparkEntry {
          |  round(CAST(sum(CAST(sm AS DECIMAL(28,9))) AS DOUBLE) /
          |    CAST(count(*) AS DOUBLE), 6) AS smape
          |FROM s""".stripMargin,
+    // Median/MAD mirror: both medians via the discrete rank-⌈N/2⌉
+    // convention over per-value counts, 9-dp adev, 6-dp z.
+    "q_ts_robust" ->
+      s"""WITH $tsGridSql,
+         |vc AS (SELECT CAST(n AS DOUBLE) AS v, count(*) AS c
+         |       FROM g2 GROUP BY 1),
+         |m1 AS (SELECT v AS med FROM
+         |  (SELECT v, c, sum(c) OVER (ORDER BY v) AS cum,
+         |          sum(c) OVER () AS nn FROM vc)
+         |  WHERE cum - c < CAST(ceil(round(0.5 * CAST(nn AS DOUBLE), 9))
+         |          AS BIGINT)
+         |    AND CAST(ceil(round(0.5 * CAST(nn AS DOUBLE), 9)) AS BIGINT)
+         |          <= cum),
+         |ad AS (SELECT day, n, med,
+         |         round(abs(CAST(n AS DOUBLE) - med), 9) AS adev
+         |       FROM g2, m1),
+         |ac AS (SELECT adev AS v, count(*) AS c FROM ad GROUP BY 1),
+         |m2 AS (SELECT v AS madv FROM
+         |  (SELECT v, c, sum(c) OVER (ORDER BY v) AS cum,
+         |          sum(c) OVER () AS nn FROM ac)
+         |  WHERE cum - c < CAST(ceil(round(0.5 * CAST(nn AS DOUBLE), 9))
+         |          AS BIGINT)
+         |    AND CAST(ceil(round(0.5 * CAST(nn AS DOUBLE), 9)) AS BIGINT)
+         |          <= cum),
+         |z AS (SELECT day, n, med, madv,
+         |    CASE WHEN madv > 0 THEN
+         |      CAST(round(CAST(round(
+         |        0.6745 * round(CAST(n AS DOUBLE) - med, 9) / madv, 9)
+         |        AS DECIMAL(28,9)), 6) AS DOUBLE)
+         |    END AS zz
+         |  FROM ad, m2)
+         |SELECT day, n, med AS median, madv AS mad, zz AS z,
+         |  coalesce(abs(zz) > 3.5, false) AS anomaly
+         |FROM z ORDER BY day""".stripMargin,
+    "q_path_top" ->
+      """WITH e AS (SELECT user_id, event_type,
+        |    row_number() OVER (PARTITION BY user_id
+        |                       ORDER BY ts, event_id) AS rn
+        |  FROM events),
+        |p AS (SELECT user_id, string_agg(event_type, '>' ORDER BY rn)
+        |        AS path, CAST(count(*) AS INT) AS steps
+        |      FROM e WHERE rn <= 5 GROUP BY user_id),
+        |c AS (SELECT path, steps, count(*) AS n FROM p GROUP BY 1, 2)
+        |SELECT path, steps, n,
+        |  CAST(row_number() OVER (ORDER BY n DESC, path) AS BIGINT) AS rank
+        |FROM c ORDER BY n DESC, path LIMIT 20""".stripMargin,
+    // Holt/Brown mirror: two closed-form EWMA passes, exact-decimal
+    // 6-dp publishes.
+    "q_ts_holt" ->
+      s"""WITH $tsGridSql,
+         |b AS (SELECT day, n, CAST(row_number() OVER (ORDER BY day)
+         |             AS BIGINT) AS rn FROM g2),
+         |b1 AS (SELECT rn, CAST(n AS DOUBLE) AS x FROM b),
+         |${holtPassSql("b1", "s1")},
+         |${holtPassSql("s1", "s2")},
+         |f AS (SELECT b.day, b.n, s1.x AS v1, s2.x AS v2,
+         |        round(2.0 * s1.x - s2.x, 9) AS lvl,
+         |        round($holtAc * round(s1.x - s2.x, 9), 9) AS tr
+         |      FROM b JOIN s1 ON b.rn = s1.rn JOIN s2 ON b.rn = s2.rn)
+         |SELECT day, n,
+         |  CAST(round(CAST(v1 AS DECIMAL(28,9)), 6) AS DOUBLE) AS smooth1,
+         |  CAST(round(CAST(v2 AS DECIMAL(28,9)), 6) AS DOUBLE) AS smooth2,
+         |  CAST(round(CAST(lvl AS DECIMAL(28,9)), 6) AS DOUBLE) AS level,
+         |  CAST(round(CAST(tr AS DECIMAL(28,9)), 6) AS DOUBLE) AS trend,
+         |  CAST(round(CAST(round(lvl + tr, 9) AS DECIMAL(28,9)), 6)
+         |       AS DOUBLE) AS forecast
+         |FROM f ORDER BY day""".stripMargin,
+    // Mann–Kendall mirror: exact integer S and tie term, discrete
+    // median of pairwise slopes.
+    "q_ts_trend" ->
+      s"""WITH $tsGridSql,
+         |b AS (SELECT n, CAST(row_number() OVER (ORDER BY day) AS BIGINT)
+         |             AS rn FROM g2),
+         |pr AS (SELECT CAST(a.n AS DOUBLE) AS ni, CAST(t.n AS DOUBLE) AS nj,
+         |              t.rn - a.rn AS dk
+         |       FROM b a JOIN b t ON a.rn < t.rn),
+         |s AS (SELECT coalesce(sum(CASE WHEN nj > ni THEN 1
+         |                               WHEN nj < ni THEN -1 ELSE 0 END), 0)
+         |        AS sv FROM pr),
+         |nn AS (SELECT count(*) AS n_days FROM b),
+         |tt AS (SELECT coalesce(sum(t * (t - 1) * (2 * t + 5)), 0) AS ttv
+         |       FROM (SELECT count(*) AS t FROM b GROUP BY n)),
+         |sl AS (SELECT round((nj - ni) / CAST(dk AS DOUBLE), 9) AS v,
+         |              count(*) AS c FROM pr GROUP BY 1),
+         |med AS (SELECT v AS sen FROM
+         |  (SELECT v, c, sum(c) OVER (ORDER BY v) AS cum,
+         |          sum(c) OVER () AS nt FROM sl)
+         |  WHERE cum - c < CAST(ceil(round(0.5 * CAST(nt AS DOUBLE), 9))
+         |          AS BIGINT)
+         |    AND CAST(ceil(round(0.5 * CAST(nt AS DOUBLE), 9)) AS BIGINT)
+         |          <= cum),
+         |mw AS (SELECT max(sen) AS sen FROM med),
+         |fin AS (SELECT n_days, sv,
+         |    round((CAST(n_days AS DOUBLE) * (CAST(n_days AS DOUBLE) - 1.0) *
+         |      (2.0 * CAST(n_days AS DOUBLE) + 5.0) - CAST(ttv AS DOUBLE))
+         |      / 18.0, 9) AS vs
+         |  FROM nn, s, tt)
+         |SELECT n_days, CAST(sv AS BIGINT) AS s,
+         |  CAST(round(CAST(vs AS DECIMAL(28,9)), 6) AS DOUBLE) AS var_s,
+         |  CASE WHEN round(sqrt(greatest(vs, 0.0)), 9) = 0.0 THEN NULL
+         |       WHEN sv > 0 THEN round((CAST(sv AS DOUBLE) - 1.0) /
+         |         round(sqrt(greatest(vs, 0.0)), 9), 6)
+         |       WHEN sv < 0 THEN round((CAST(sv AS DOUBLE) + 1.0) /
+         |         round(sqrt(greatest(vs, 0.0)), 9), 6)
+         |       ELSE 0.0 END AS z,
+         |  sen AS sen_slope
+         |FROM fin, mw""".stripMargin,
+    "q_seq_trigram" ->
+      """WITH e AS (SELECT user_id, event_type AS t0,
+        |    lead(event_type, 1) OVER (PARTITION BY user_id
+        |                              ORDER BY ts, event_id) AS t1,
+        |    lead(event_type, 2) OVER (PARTITION BY user_id
+        |                              ORDER BY ts, event_id) AS t2
+        |  FROM events WHERE event_type IS NOT NULL),
+        |g AS (SELECT user_id, t0 || '>' || t1 || '>' || t2 AS seq FROM e
+        |      WHERE t2 IS NOT NULL),
+        |u AS (SELECT user_id, seq, count(*) AS c FROM g GROUP BY 1, 2),
+        |cc AS (SELECT seq, count(*) AS n_users,
+        |         CAST(sum(c) AS BIGINT) AS n_occurrences FROM u GROUP BY 1)
+        |SELECT seq, n_users, n_occurrences,
+        |  CAST(row_number() OVER (ORDER BY n_users DESC, seq) AS BIGINT)
+        |    AS rank
+        |FROM cc ORDER BY n_users DESC, seq LIMIT 20""".stripMargin,
     "q_rfm" ->
       s"""WITH $rfmScoresSql
          |SELECT o_custkey, recency_days, frequency, monetary, r, f, m,
@@ -8509,6 +8749,177 @@ object SparkEntry {
     // Welch: 9-dp-snapped values into DECIMAL moment sums, mean/E[x²]
     // divisions at 9 dp, sample variance (E[x²]−m²)·n/(n−1) at 9 dp,
     // then the t and Welch–Satterthwaite df as pure double forms.
+    // Mann–Whitney mirror: average ranks from cumulative cell counts
+    // over distinct values, tie-corrected normal approximation.
+    "q_ab_mannwhitney" ->
+      """WITH cells AS (SELECT CAST(value AS DOUBLE) AS v,
+        |    count(CASE WHEN CAST(user_id % 2 AS VARCHAR) = '0'
+        |               THEN 1 END) AS ca,
+        |    count(CASE WHEN CAST(user_id % 2 AS VARCHAR) = '1'
+        |               THEN 1 END) AS cb
+        |  FROM events WHERE value IS NOT NULL GROUP BY 1),
+        |rk AS (SELECT ca, cb, ca + cb AS c,
+        |    sum(ca + cb) OVER (ORDER BY v) AS cum FROM cells),
+        |r2 AS (SELECT ca, cb, c,
+        |    round(CAST(cum - c AS DOUBLE) +
+        |      (CAST(c AS DOUBLE) + 1.0) / 2.0, 9) AS avgr FROM rk),
+        |m AS (SELECT CAST(sum(ca) AS BIGINT) AS n_a,
+        |    CAST(sum(cb) AS BIGINT) AS n_b,
+        |    sum(CAST(round(avgr * CAST(ca AS DOUBLE), 9)
+        |        AS DECIMAL(28,9))) AS ra,
+        |    sum(CAST(c * c * c - c AS DECIMAL(38,0))) AS t3 FROM r2),
+        |c1 AS (SELECT n_a, n_b, CAST(n_a AS DOUBLE) AS na,
+        |    CAST(n_b AS DOUBLE) AS nb, CAST(ra AS DOUBLE) AS rad,
+        |    CAST(t3 AS DOUBLE) AS t3d FROM m),
+        |c2 AS (SELECT *, na + nb AS nn,
+        |    round(rad - round(na * (na + 1.0) / 2.0, 9), 9) AS ua,
+        |    round(na * nb / 2.0, 9) AS mu FROM c1),
+        |c3 AS (SELECT *, round(nn + 1.0 -
+        |    t3d / round(nn * (nn - 1.0), 9), 9) AS corr FROM c2),
+        |c4 AS (SELECT *, round(sqrt(greatest(
+        |    round(na * nb / 12.0 * corr, 9), 0.0)), 9) AS sg FROM c3)
+        |SELECT n_a, n_b,
+        |  CASE WHEN n_a = 0 THEN NULL ELSE round(rad, 6) END
+        |    AS rank_sum_a,
+        |  CASE WHEN n_a = 0 OR n_b = 0 THEN NULL ELSE round(ua, 6) END
+        |    AS u_a,
+        |  CASE WHEN n_a = 0 OR n_b = 0 OR sg = 0.0 THEN NULL
+        |       ELSE round((ua - mu) / sg, 6) END AS z
+        |FROM c4""".stripMargin,
+    "q_ab_did" ->
+      s"""WITH e AS (SELECT CAST(user_id % 2 AS VARCHAR) AS g,
+         |    CASE WHEN extract(day FROM CAST(ts AS DATE)) <= 15
+         |         THEN 'pre' ELSE 'post' END AS p, value FROM events),
+         |m AS (SELECT
+         |  ${didCellSql("1", "pre", "tp")},
+         |  ${didCellSql("1", "post", "tq")},
+         |  ${didCellSql("0", "pre", "cp")},
+         |  ${didCellSql("0", "post", "cq")}
+         |  FROM e),
+         |st AS (SELECT *,
+         |  ${didStatSql("tp")}, ${didStatSql("tq")},
+         |  ${didStatSql("cp")}, ${didStatSql("cq")} FROM m),
+         |vv AS (SELECT *,
+         |  ${didVarSql("tp")}, ${didVarSql("tq")},
+         |  ${didVarSql("cp")}, ${didVarSql("cq")} FROM st),
+         |fin AS (SELECT *,
+         |    round(m_tq - m_tp - (m_cq - m_cp), 9) AS didv,
+         |    round(sqrt(greatest(round(
+         |      v_tp / CAST(n_tp AS DOUBLE) + v_tq / CAST(n_tq AS DOUBLE) +
+         |      v_cp / CAST(n_cp AS DOUBLE) + v_cq / CAST(n_cq AS DOUBLE),
+         |      9), 0.0)), 9) AS se9
+         |  FROM vv)
+         |SELECT n_tp AS n_treat_pre, n_tq AS n_treat_post,
+         |  n_cp AS n_ctrl_pre, n_cq AS n_ctrl_post,
+         |  CASE WHEN n_tp < 2 OR n_tq < 2 OR n_cp < 2 OR n_cq < 2
+         |       THEN NULL ELSE round(didv, 6) END AS did,
+         |  CASE WHEN n_tp < 2 OR n_tq < 2 OR n_cp < 2 OR n_cq < 2
+         |       THEN NULL ELSE round(se9, 6) END AS se,
+         |  CASE WHEN n_tp < 2 OR n_tq < 2 OR n_cp < 2 OR n_cq < 2
+         |       OR se9 = 0.0 THEN NULL
+         |       ELSE round(didv / se9, 6) END AS z
+         |FROM fin""".stripMargin,
+    // MDE mirror: welch's moment cells, the driver-side z constant
+    // interpolated identically on both engines.
+    "q_ab_mde" ->
+      s"""WITH m AS (SELECT
+         |    count(CASE WHEN CAST(user_id % 2 AS VARCHAR) = '0'
+         |                AND value IS NOT NULL THEN 1 END) AS n_a,
+         |    sum(CASE WHEN CAST(user_id % 2 AS VARCHAR) = '0'
+         |             THEN CAST(round(value, 9) AS DECIMAL(28,9)) END) AS s_a,
+         |    sum(CASE WHEN CAST(user_id % 2 AS VARCHAR) = '0'
+         |             THEN CAST(round(round(value, 9) * round(value, 9), 9)
+         |                       AS DECIMAL(28,9)) END) AS s2_a,
+         |    count(CASE WHEN CAST(user_id % 2 AS VARCHAR) = '1'
+         |                AND value IS NOT NULL THEN 1 END) AS n_b,
+         |    sum(CASE WHEN CAST(user_id % 2 AS VARCHAR) = '1'
+         |             THEN CAST(round(value, 9) AS DECIMAL(28,9)) END) AS s_b,
+         |    sum(CASE WHEN CAST(user_id % 2 AS VARCHAR) = '1'
+         |             THEN CAST(round(round(value, 9) * round(value, 9), 9)
+         |                       AS DECIMAL(28,9)) END) AS s2_b
+         |  FROM events),
+         |st AS (SELECT n_a, n_b,
+         |    round(CAST(s_a AS DOUBLE) / CAST(n_a AS DOUBLE), 9) AS m_a,
+         |    round(CAST(s_b AS DOUBLE) / CAST(n_b AS DOUBLE), 9) AS m_b,
+         |    round(CAST(s2_a AS DOUBLE) / CAST(n_a AS DOUBLE), 9) AS e2_a,
+         |    round(CAST(s2_b AS DOUBLE) / CAST(n_b AS DOUBLE), 9) AS e2_b
+         |  FROM m),
+         |vv AS (SELECT n_a, n_b, m_a, m_b,
+         |    round((e2_a - m_a * m_a) *
+         |      (CAST(n_a AS DOUBLE) / (CAST(n_a AS DOUBLE) - 1.0)), 9) AS v_a,
+         |    round((e2_b - m_b * m_b) *
+         |      (CAST(n_b AS DOUBLE) / (CAST(n_b AS DOUBLE) - 1.0)), 9) AS v_b
+         |  FROM st),
+         |f AS (SELECT *,
+         |    round(CAST($mdeZsum AS DOUBLE) * round(sqrt(greatest(round(
+         |      v_a / CAST(n_a AS DOUBLE) + v_b / CAST(n_b AS DOUBLE), 9),
+         |      0.0)), 9), 9) AS mde,
+         |    round(m_a - m_b, 9) AS delta
+         |  FROM vv)
+         |SELECT n_a, n_b,
+         |  CASE WHEN n_a = 0 THEN NULL ELSE round(m_a, 6) END AS mean_a,
+         |  CASE WHEN n_b = 0 THEN NULL ELSE round(m_b, 6) END AS mean_b,
+         |  CASE WHEN n_a < 2 OR n_b < 2 THEN NULL
+         |       ELSE round(mde, 6) END AS mde_abs,
+         |  CASE WHEN n_a < 2 OR n_b < 2 OR m_a = 0.0 THEN NULL
+         |       ELSE round(mde / abs(m_a), 6) END AS mde_rel,
+         |  CASE WHEN n_a < 2 OR n_b < 2 OR delta = 0.0 THEN NULL
+         |       ELSE CAST(ceil(round(round(
+         |         CAST($mdeZsum AS DOUBLE) * CAST($mdeZsum AS DOUBLE) *
+         |         round(v_a + v_b, 9), 9) / round(delta * delta, 9), 9))
+         |         AS BIGINT) END AS n_required
+         |FROM f""".stripMargin,
+    // Grouped-OLS mirror: per-group moment cells, mean-centered solve,
+    // exact-decimal 6-dp publishes.
+    "q_ols_group" ->
+      """WITH m AS (SELECT l_returnflag AS key, count(*) AS n,
+        |    sum(CAST(round(CAST(l_discount AS DOUBLE), 9)
+        |        AS DECIMAL(28,9))) AS sx,
+        |    sum(CAST(round(CAST(l_quantity AS DOUBLE), 9)
+        |        AS DECIMAL(28,9))) AS sy,
+        |    sum(CAST(round(round(CAST(l_discount AS DOUBLE), 9) *
+        |                   round(CAST(l_quantity AS DOUBLE), 9), 9)
+        |        AS DECIMAL(28,9))) AS sxy,
+        |    sum(CAST(round(round(CAST(l_discount AS DOUBLE), 9) *
+        |                   round(CAST(l_discount AS DOUBLE), 9), 9)
+        |        AS DECIMAL(28,9))) AS sxx,
+        |    sum(CAST(round(round(CAST(l_quantity AS DOUBLE), 9) *
+        |                   round(CAST(l_quantity AS DOUBLE), 9), 9)
+        |        AS DECIMAL(28,9))) AS syy
+        |  FROM lineitem
+        |  WHERE l_discount IS NOT NULL AND l_quantity IS NOT NULL
+        |  GROUP BY 1),
+        |st AS (SELECT key, n,
+        |    round(CAST(sx AS DOUBLE) / CAST(n AS DOUBLE), 9) AS mx,
+        |    round(CAST(sy AS DOUBLE) / CAST(n AS DOUBLE), 9) AS my,
+        |    round(CAST(sxy AS DOUBLE) / CAST(n AS DOUBLE), 9) AS exy,
+        |    round(CAST(sxx AS DOUBLE) / CAST(n AS DOUBLE), 9) AS ex2,
+        |    round(CAST(syy AS DOUBLE) / CAST(n AS DOUBLE), 9) AS ey2
+        |  FROM m),
+        |cm AS (SELECT key, n, mx, my,
+        |    round(exy - round(mx * my, 9), 9) AS vxy,
+        |    round(ex2 - round(mx * mx, 9), 9) AS vxx,
+        |    round(ey2 - round(my * my, 9), 9) AS vyy
+        |  FROM st),
+        |f AS (SELECT key, n, mx, my, vxy, vxx, vyy,
+        |    round(vxy / CASE WHEN vxx = 0.0 THEN 1.0 ELSE vxx END, 9)
+        |      AS slope
+        |  FROM cm)
+        |SELECT key, n,
+        |  CASE WHEN n < 2 OR vxx = 0.0 THEN NULL
+        |       ELSE CAST(round(CAST(slope AS DECIMAL(28,9)), 6) AS DOUBLE)
+        |  END AS slope,
+        |  CASE WHEN n < 2 OR vxx = 0.0 THEN NULL
+        |       ELSE CAST(round(CAST(round(my - round(slope * mx, 9), 9)
+        |            AS DECIMAL(28,9)), 6) AS DOUBLE)
+        |  END AS intercept,
+        |  CASE WHEN n < 2 OR vxx = 0.0 OR vyy = 0.0 THEN NULL
+        |       ELSE CAST(round(CAST(round(round(vxy * vxy, 9) /
+        |            CASE WHEN round(vxx * vyy, 9) = 0.0 THEN 1.0
+        |                 ELSE round(vxx * vyy, 9) END, 9)
+        |            AS DECIMAL(28,9)), 6) AS DOUBLE)
+        |  END AS r2
+        |FROM f ORDER BY key""".stripMargin,
     "q_ab_welch" ->
       """WITH m AS (SELECT
         |    count(CASE WHEN CAST(user_id % 2 AS VARCHAR) = '0'

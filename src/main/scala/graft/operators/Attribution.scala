@@ -178,7 +178,10 @@ object Attribution {
     val rcs = trans.select(col("__fs").as("__rc"))
       .where(col("__rc") =!= START).distinct()
       .unionAll(trans.select(lit("__NONE__").as("__rc")).limit(1))
-    val keyed = rcs.crossJoin(trans).where(col("__rc") === "__NONE__" ||
+    // every removal-variant expansion broadcasts the |channels|-sized
+    // side: BroadcastNestedLoopJoin, never a CartesianProduct shuffle
+    val keyed = trans.crossJoin(broadcast(rcs))
+      .where(col("__rc") === "__NONE__" ||
       (col("__fs") =!= col("__rc") && col("__ts") =!= col("__rc")))
     val constT = keyed.where(col("__ts") === CONV)
       .select(col("__rc"), col("__fs"), col("__p").as("__cc"))
@@ -188,7 +191,8 @@ object Attribution {
     // channel — built from `trans`, NOT `keyed`: a removal that severs
     // ALL of a state's out-edges (e.g. every START path runs through
     // the removed channel) must keep the state with p = 0, not drop it
-    val states = rcs.crossJoin(trans.select(col("__fs")).distinct())
+    val states = trans.select(col("__fs")).distinct()
+      .crossJoin(broadcast(rcs))
       .where(col("__rc") === "__NONE__" || col("__fs") =!= col("__rc"))
     var p = states.withColumn("__pv", lit(0.0))
     for (i <- 1 to iterations) {
@@ -214,14 +218,14 @@ object Attribution {
       .select(col("__pv").as("__pf"))
     val nConv = withConv.where(col("__ct").isNotNull)
       .agg(countDistinct(col("__u")).as("__nc"))
-    val re = fin.where(col("__rc") =!= "__NONE__").crossJoin(pf)
+    val re = fin.where(col("__rc") =!= "__NONE__").crossJoin(broadcast(pf))
       .select(col("__rc").as("channel"),
         when(col("__pf") === 0.0, lit(null).cast("double"))
           .otherwise(round(lit(1.0) - col("__pv") /
             when(col("__pf") === 0.0, lit(1.0)).otherwise(col("__pf")), 9))
           .as("__re9"))
     val tre = re.agg(sum(col("__re9").cast(dec)).as("__tre"))
-    re.crossJoin(tre).crossJoin(nConv)
+    re.crossJoin(broadcast(tre)).crossJoin(broadcast(nConv))
       .select(col("channel"),
         round(col("__re9"), 6).as("removal_effect"),
         when(col("__tre").isNull || col("__tre").cast("double") === 0.0,

@@ -345,4 +345,234 @@ object Experiment {
           sdiv(sea * sea, na - lit(1.0)) + sdiv(seb * seb, nb - lit(1.0))), 6))
         .as("df"))
   }
+
+  /**
+   * Standard-normal quantile Φ⁻¹(p) (Acklam's rational approximation,
+   * |ε| < 1.15e-9), snapped to 9 dp — a DRIVER-side constant for
+   * α/power knobs, never a per-row expression.
+   */
+  private[graft] def normalQuantile(p: Double): Double = {
+    require(p > 0.0 && p < 1.0, s"p must be in (0,1), got $p")
+    val a = Array(-3.969683028665376e+01, 2.209460984245205e+02,
+      -2.759285104469687e+02, 1.383577518672690e+02,
+      -3.066479806614716e+01, 2.506628277459239e+00)
+    val b = Array(-5.447609879822406e+01, 1.615858368580409e+02,
+      -1.556989798598866e+02, 6.680131188771972e+01,
+      -1.328068155288572e+01)
+    val c = Array(-7.784894002430293e-03, -3.223964580411365e-01,
+      -2.400758277161838e+00, -2.549732539343734e+00,
+      4.374664141464968e+00, 2.938163982698783e+00)
+    val dd = Array(7.784695709041462e-03, 3.224671290700398e-01,
+      2.445134137142996e+00, 3.754408661907416e+00)
+    val pl = 0.02425
+    val x =
+      if (p < pl) {
+        val q = math.sqrt(-2.0 * math.log(p))
+        (((((c(0) * q + c(1)) * q + c(2)) * q + c(3)) * q + c(4)) * q + c(5)) /
+          ((((dd(0) * q + dd(1)) * q + dd(2)) * q + dd(3)) * q + 1.0)
+      } else if (p <= 1.0 - pl) {
+        val q = p - 0.5
+        val r = q * q
+        (((((a(0) * r + a(1)) * r + a(2)) * r + a(3)) * r + a(4)) * r + a(5)) * q /
+          (((((b(0) * r + b(1)) * r + b(2)) * r + b(3)) * r + b(4)) * r + 1.0)
+      } else {
+        val q = math.sqrt(-2.0 * math.log(1.0 - p))
+        -(((((c(0) * q + c(1)) * q + c(2)) * q + c(3)) * q + c(4)) * q + c(5)) /
+          ((((dd(0) * q + dd(1)) * q + dd(2)) * q + dd(3)) * q + 1.0)
+      }
+    BigDecimal(x).setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+  }
+
+  /**
+   * Minimum detectable effect + required sample size: "could this test
+   * even have seen the lift you care about?" — the pre/post-mortem
+   * every underpowered A/B needs. From the two arms' observed
+   * variances: `mde_abs = (z_{α/2} + z_β)·√(v_a/n_a + v_b/n_b)` (the
+   * smallest true |Δmeans| detected with the requested power),
+   * `mde_rel` = mde_abs / mean_a, and `n_required` = the per-arm n
+   * for the OBSERVED |Δ| to reach that power,
+   * `⌈(z_{α/2}+z_β)²·(v_a+v_b)/Δ²⌉`. One row: `(n_a, n_b, mean_a,
+   * mean_b, mde_abs, mde_rel, n_required)`; guards NULL the stats
+   * when an arm has < 2 values, `mde_rel` when mean_a = 0, and
+   * `n_required` when the observed Δ = 0.
+   *
+   * The z quantiles are DRIVER-computed constants ([[normalQuantile]],
+   * 9 dp) folded into the plan — α/power are configuration, not data,
+   * so no per-row special function is needed.
+   *
+   * Scale shape: identical to [[welchT]] — ONE map-side-combined
+   * moment pass, one scalar row out; stream-legal.
+   */
+  def minDetectableEffect(df: DataFrame, variantCol: String,
+                          valueCol: String, variantA: String,
+                          variantB: String, alpha: Double = 0.05,
+                          power: Double = 0.8): DataFrame = {
+    require(alpha > 0.0 && alpha < 1.0, s"alpha must be in (0,1), got $alpha")
+    require(power > 0.0 && power < 1.0, s"power must be in (0,1), got $power")
+    val v = col(variantCol).cast("string")
+    val x = round(col(valueCol).cast("double"), 9)
+    val dec = "decimal(28,9)"
+    val zsum = BigDecimal(normalQuantile(1.0 - alpha / 2.0) +
+      normalQuantile(power))
+      .setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+    def arm(value: String, suffix: String) = Seq(
+      count(when(v === value && x.isNotNull, lit(1))).as(s"n_$suffix"),
+      sum(when(v === value, x).cast(dec)).as(s"__s_$suffix"),
+      sum(when(v === value, round(x * x, 9)).cast(dec)).as(s"__s2_$suffix"))
+    val m = df.agg(arm(variantA, "a").head,
+      (arm(variantA, "a").tail ++ arm(variantB, "b")): _*)
+    def stats(suffix: String): (Column, Column, Column) = {
+      val n = col(s"n_$suffix").cast("double")
+      val mean = round(sdiv(col(s"__s_$suffix").cast("double"), n), 9)
+      val e2 = round(sdiv(col(s"__s2_$suffix").cast("double"), n), 9)
+      val variance = round((e2 - mean * mean) * sdiv(n, n - lit(1.0)), 9)
+      (n, mean, variance)
+    }
+    val (na, ma, va) = stats("a")
+    val (nb, mb, vb) = stats("b")
+    val undef = col("n_a") < 2 || col("n_b") < 2
+    val mde = round(lit(zsum) *
+      round(sqrt(greatest(round(sdiv(va, na) + sdiv(vb, nb), 9),
+        lit(0.0))), 9), 9)
+    val delta = round(ma - mb, 9)
+    val nReq = ceil(round(sdiv(
+      round(lit(zsum) * lit(zsum) * round(va + vb, 9), 9),
+      round(delta * delta, 9)), 9)).cast("long")
+    m.select(
+      col("n_a"), col("n_b"),
+      when(col("n_a") === 0, lit(null).cast("double"))
+        .otherwise(round(ma, 6)).as("mean_a"),
+      when(col("n_b") === 0, lit(null).cast("double"))
+        .otherwise(round(mb, 6)).as("mean_b"),
+      when(undef, lit(null).cast("double"))
+        .otherwise(round(mde, 6)).as("mde_abs"),
+      when(undef || ma === 0.0, lit(null).cast("double"))
+        .otherwise(round(sdiv(mde, abs(ma)), 6)).as("mde_rel"),
+      when(undef || delta === 0.0, lit(null).cast("long"))
+        .otherwise(nReq).as("n_required"))
+  }
+
+  /**
+   * Mann–Whitney U (Wilcoxon rank-sum) with the normal approximation
+   * and tie correction — the nonparametric Welch: compares the two
+   * arms' value DISTRIBUTIONS by rank, so a heavy-tailed metric
+   * (revenue, latency) can't hand the verdict to a few whales. One
+   * row: `(n_a, n_b, rank_sum_a, u_a, z)` where ties take average
+   * ranks, `z = (U_A − n_An_B/2) / σ` with the tie-corrected
+   * `σ² = n_An_B/12 · ((n+1) − Σ(t³−t)/(n(n−1)))`. `z` is NULL when
+   * either arm is empty or every value ties (σ = 0).
+   *
+   * Scale shape: the corpus reduces in ONE map-side-combined pass to
+   * per-VALUE cells with per-arm counts; the rank window runs over
+   * distinct values (the [[Profile.quantiles]] compression — average
+   * ranks come out of cumulative cell counts, identical to ranking raw
+   * rows), and the test folds the cells to one scalar row. Tie cubes
+   * accumulate as DECIMAL(38,0) so a million-row tie can't overflow.
+   *
+   * Determinism: average ranks and rank-sum terms snap to 9 dp and
+   * accumulate as DECIMAL; the z pipeline is fixed-shape double
+   * arithmetic at 9 dp, published at 6 dp.
+   */
+  def mannWhitney(df: DataFrame, variantCol: String, valueCol: String,
+                  variantA: String, variantB: String): DataFrame = {
+    val v = col(variantCol).cast("string")
+    val dec = "decimal(28,9)"
+    def d(c: Column) = c.cast("double")
+    val cells = df
+      .where(col(valueCol).isNotNull && v.isin(variantA, variantB))
+      .groupBy(col(valueCol).cast("double").as("__v"))
+      .agg(count(when(v === variantA, lit(1))).as("__ca"),
+        count(when(v === variantB, lit(1))).as("__cb"))
+    val wCum = org.apache.spark.sql.expressions.Window.orderBy(col("__v"))
+    val ranked = cells
+      .withColumn("__c", col("__ca") + col("__cb"))
+      .withColumn("__cum", sum(col("__c")).over(wCum))
+      .withColumn("__avgr",
+        round(d(col("__cum") - col("__c")) + (d(col("__c")) + lit(1.0)) /
+          lit(2.0), 9))
+    val m = ranked.agg(
+      sum(col("__ca")).as("n_a"), sum(col("__cb")).as("n_b"),
+      sum(round(col("__avgr") * d(col("__ca")), 9).cast(dec)).as("__ra"),
+      sum((col("__c") * col("__c") * col("__c") - col("__c"))
+        .cast("decimal(38,0)")).as("__t3"))
+    val na = d(col("n_a"))
+    val nb = d(col("n_b"))
+    val n = na + nb
+    val ra = col("__ra").cast("double")
+    val ua = round(ra - round(na * (na + lit(1.0)) / lit(2.0), 9), 9)
+    val mu = round(na * nb / lit(2.0), 9)
+    val corr = round(n + lit(1.0) -
+      sdiv(col("__t3").cast("double"), round(n * (n - lit(1.0)), 9)), 9)
+    val s2 = round(na * nb / lit(12.0) * corr, 9)
+    val sg = round(sqrt(greatest(s2, lit(0.0))), 9)
+    m.select(col("n_a"), col("n_b"),
+      when(col("n_a") === 0, lit(null).cast("double"))
+        .otherwise(round(ra, 6)).as("rank_sum_a"),
+      when(col("n_a") === 0 || col("n_b") === 0, lit(null).cast("double"))
+        .otherwise(round(ua, 6)).as("u_a"),
+      when(col("n_a") === 0 || col("n_b") === 0 || sg === 0.0,
+        lit(null).cast("double"))
+        .otherwise(round(sdiv(ua - mu, sg), 6)).as("z"))
+  }
+
+  /**
+   * Difference-in-differences: the quasi-experimental lift estimate
+   * when assignment wasn't randomized but a pre-period exists —
+   * DiD = (treat_post − treat_pre) − (ctrl_post − ctrl_pre), with the
+   * large-sample normal z from the four cells' variance sum
+   * (se² = Σ vᵢ/nᵢ; the parallel-trends assumption is the caller's to
+   * defend). One row: `(n_treat_pre, n_treat_post, n_ctrl_pre,
+   * n_ctrl_post, did, se, z)`; `z` NULL when any cell has < 2 values
+   * or all variances are 0.
+   *
+   * Scale shape: ONE map-side-combined pass — a single wide aggregate
+   * of 4×(count, Σx, Σx²) conditional cells, one scalar row out; no
+   * join, no window, stream-legal as a snapshot aggregate. Same 9-dp /
+   * DECIMAL / 6-dp discipline as [[welchT]].
+   */
+  def did(df: DataFrame, groupCol: String, periodCol: String,
+          metricCol: String, treatValue: String, controlValue: String,
+          preValue: String, postValue: String): DataFrame = {
+    val g = col(groupCol).cast("string")
+    val p = col(periodCol).cast("string")
+    val x = round(col(metricCol).cast("double"), 9)
+    val dec = "decimal(28,9)"
+    def cell(gv: String, pv: String, sfx: String) = {
+      val in = g === gv && p === pv && x.isNotNull
+      Seq(count(when(in, lit(1))).as(s"n_$sfx"),
+        sum(when(in, x).cast(dec)).as(s"__s_$sfx"),
+        sum(when(in, round(x * x, 9)).cast(dec)).as(s"__s2_$sfx"))
+    }
+    val aggs = cell(treatValue, preValue, "treat_pre") ++
+      cell(treatValue, postValue, "treat_post") ++
+      cell(controlValue, preValue, "ctrl_pre") ++
+      cell(controlValue, postValue, "ctrl_post")
+    val m = df.agg(aggs.head, aggs.tail: _*)
+    def d(c: Column) = c.cast("double")
+    def stats(sfx: String): (Column, Column, Column) = {
+      val n = d(col(s"n_$sfx"))
+      val mean = round(sdiv(col(s"__s_$sfx").cast("double"), n), 9)
+      val e2 = round(sdiv(col(s"__s2_$sfx").cast("double"), n), 9)
+      val variance = round((e2 - mean * mean) * sdiv(n, n - lit(1.0)), 9)
+      (n, mean, variance)
+    }
+    val (ntp, mtp, vtp) = stats("treat_pre")
+    val (ntq, mtq, vtq) = stats("treat_post")
+    val (ncp, mcp, vcp) = stats("ctrl_pre")
+    val (ncq, mcq, vcq) = stats("ctrl_post")
+    val didv = round(mtq - mtp - (mcq - mcp), 9)
+    val se2 = round(sdiv(vtp, ntp) + sdiv(vtq, ntq) + sdiv(vcp, ncp) +
+      sdiv(vcq, ncq), 9)
+    val se = round(sqrt(greatest(se2, lit(0.0))), 9)
+    val undef = col("n_treat_pre") < 2 || col("n_treat_post") < 2 ||
+      col("n_ctrl_pre") < 2 || col("n_ctrl_post") < 2
+    m.select(col("n_treat_pre"), col("n_treat_post"), col("n_ctrl_pre"),
+      col("n_ctrl_post"),
+      when(undef, lit(null).cast("double"))
+        .otherwise(round(didv, 6)).as("did"),
+      when(undef, lit(null).cast("double"))
+        .otherwise(round(se, 6)).as("se"),
+      when(undef || se === 0.0, lit(null).cast("double"))
+        .otherwise(round(sdiv(didv, se), 6)).as("z"))
+  }
 }

@@ -116,4 +116,94 @@ object Funnel {
     cells.withColumn("p",
       round(col("n").cast("double") / sum(col("n")).over(byFrom), 6))
   }
+
+  /**
+   * Frequent contiguous event subsequences: every length-`n` window of
+   * each user's time-ordered stream, supported by the number of
+   * DISTINCT users exhibiting it — [[transitions]] generalized past
+   * bigrams ("view>click>buy happens for 400 users; view>click>error
+   * for 80"). Output `(seq, n_users, n_occurrences, rank)` for the `k`
+   * best-supported sequences (ties rank by seq string).
+   *
+   * Scale shape: one user-keyed window pass builds the n-grams via
+   * `lead` (no self-join — the classic PrefixSpan blowup never
+   * appears because contiguous n-grams are linear in the log), then a
+   * map-side-combined (user, seq)-dedup + count, and the global top-k
+   * plans as TakeOrderedAndProject. Sequence strings are bounded by
+   * n·|type| bytes.
+   */
+  def frequentSequences(events: DataFrame, userCol: String, tsCol: String,
+                        tieCol: String, typeCol: String, n: Int = 3,
+                        k: Int = 20): DataFrame = {
+    require(n >= 2 && n <= 16, s"n must be in [2, 16], got $n")
+    require(k >= 1, s"k must be >= 1, got $k")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("__u").orderBy(col("__ts"), col("__tie"))
+    // NULL types drop BEFORE pairing (their neighbors become adjacent):
+    // a NULL inside concat_ws would silently shorten the string in Spark
+    // but void the row in most SQL engines — neither is a sequence
+    val withLeads = (1 until n).foldLeft(
+      events.where(col(typeCol).isNotNull)
+        .select(col(userCol).as("__u"), col(tsCol).as("__ts"),
+          col(tieCol).as("__tie"), col(typeCol).cast("string").as("__t0"))) {
+      case (acc, i) => acc.withColumn(s"__t$i", lead(col("__t0"), i).over(w))
+    }
+    val grams = withLeads
+      .where(col(s"__t${n - 1}").isNotNull)
+      .select(col("__u"),
+        concat_ws(">", (0 until n).map(i => col(s"__t$i")): _*).as("seq"))
+    val counted = grams
+      .groupBy(col("__u"), col("seq")).agg(count(lit(1)).as("__c"))
+      .groupBy(col("seq"))
+      .agg(count(lit(1)).as("n_users"), sum(col("__c")).as("n_occurrences"))
+      .orderBy(col("n_users").desc, col("seq").asc)
+      .limit(k)
+    counted.withColumn("rank",
+      row_number().over(org.apache.spark.sql.expressions.Window
+        .orderBy(col("n_users").desc, col("seq").asc)).cast("long"))
+  }
+
+  /**
+   * Top user paths: each user's first `maxSteps` events (by
+   * (ts, tie)) joined into a `"a>b>c"` path string, counted across
+   * users, ranked by frequency — "what do people actually do first?",
+   * the product-analytics staple behind every Sankey. Output
+   * `(path, steps, n, rank)` for the `k` most frequent paths
+   * (ties rank by path string; rank is dense-free row_number).
+   *
+   * Scale shape: one user-keyed window pass truncates to ≤ maxSteps
+   * rows per user, one groupBy collapses each user to a single path
+   * row (sort_array inside the aggregate — no second shuffle), one
+   * map-side-combined count by path, and the global top-k plans as
+   * TakeOrderedAndProject (limit k), never a full sort. Path strings
+   * are bounded by maxSteps · |type| bytes.
+   */
+  def topPaths(events: DataFrame, userCol: String, tsCol: String,
+               tieCol: String, typeCol: String, maxSteps: Int = 5,
+               k: Int = 20): DataFrame = {
+    require(maxSteps >= 1 && maxSteps <= 64,
+      s"maxSteps must be in [1, 64], got $maxSteps")
+    require(k >= 1, s"k must be >= 1, got $k")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(userCol).orderBy(col("__ts"), col("__tie"))
+    val perUser = events
+      .select(col(userCol), col(tsCol).as("__ts"), col(tieCol).as("__tie"),
+        col(typeCol).cast("string").as("__t"))
+      .withColumn("__rn", row_number().over(w))
+      .where(col("__rn") <= maxSteps)
+      .groupBy(col(userCol))
+      .agg(sort_array(collect_list(
+        struct(col("__rn").as("r"), col("__t").as("t")))).as("__arr"))
+      .select(
+        array_join(transform(col("__arr"), x => x.getField("t")), ">")
+          .as("path"),
+        size(col("__arr")).as("steps"))
+    val counted = perUser.groupBy(col("path"), col("steps"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("path").asc)
+      .limit(k)
+    counted.withColumn("rank",
+      row_number().over(org.apache.spark.sql.expressions.Window
+        .orderBy(col("n").desc, col("path").asc)).cast("long"))
+  }
 }

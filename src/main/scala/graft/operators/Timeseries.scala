@@ -28,6 +28,15 @@ object Timeseries {
   private def d(c: Column): Column = c.cast("double")
   private val dec = "decimal(28,9)"
 
+  /** 6-dp publish of an ALREADY-9-dp value via exact decimal rounding:
+    * values that are exact 9-dp decimals (DECIMAL sums, integer±9-dp
+    * arithmetic) land on a ...500 half-tie about 1/1000 of the time,
+    * where Spark's string-BigDecimal round and a binary-double round
+    * disagree — snapping through DECIMAL makes the half-up tie-break
+    * arithmetic on BOTH engines. */
+  private def pub6(c: Column): Column =
+    round(c.cast(dec), 6).cast("double")
+
   /** Complete zero-filled daily counts `(day, n)` spanning
     * [min-day, max-day] of `tsCol` (NULL timestamps drop). */
   def dailyCounts(df: DataFrame, tsCol: String): DataFrame = {
@@ -228,6 +237,177 @@ object Timeseries {
       .withColumn("__term", term)
       .groupBy(col("day"), col("n"))
       .agg(round(sum(col("__term").cast(dec)).cast("double"), 6).as("ewma"))
+  }
+
+  /**
+   * Brown's double exponential smoothing (Holt's linear trend with one
+   * knob): S′ = EWMA(n), S″ = EWMA(S′), level = 2S′ − S″, trend =
+   * α/(1−α)·(S′ − S″), one-step forecast = level + trend — the
+   * cheapest trend-aware daily forecaster, and the natural upgrade
+   * from [[ewma]] when the series actually drifts. Output one row per
+   * day: `(day, n, smooth1, smooth2, level, trend, forecast)` where
+   * `forecast` predicts day t+1 from day t's state.
+   *
+   * Scale shape: two grid×grid closed-form passes (see [[ewma]] — the
+   * recursion is inexpressible, the closed form is a bounded
+   * calendar-sized join, NEVER corpus-shaped); the corpus itself is
+   * touched exactly once by the [[dailyCounts]] reduce.
+   *
+   * Determinism: both passes snap per-term products to 9 dp,
+   * accumulate DECIMAL, re-snap each smoothed value to 9 dp before it
+   * feeds the next pass; level/trend/forecast are fixed-shape 9-dp
+   * arithmetic published at 6 dp.
+   */
+  def holt(df: DataFrame, tsCol: String, alpha: Double = 0.3): DataFrame = {
+    require(alpha > 0.0 && alpha < 1.0, s"alpha must be in (0,1), got $alpha")
+    val lnb = BigDecimal(math.log(1.0 - alpha))
+      .setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val ac = BigDecimal(alpha / (1.0 - alpha))
+      .setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val wOrd = Window.orderBy(col("day"))
+    val base = dailyCounts(df, tsCol)
+      .withColumn("__rn", row_number().over(wOrd).cast("long"))
+    // one closed-form EWMA pass over (__rn, __x) -> (__rn, __s) at 9 dp
+    def pass(src: DataFrame): DataFrame = {
+      val t = src.select(col("__rn").as("__rt"))
+      val i = src.select(col("__rn").as("__ri"), col("__x").as("__xi"))
+      val k = d(col("__rt") - col("__ri"))
+      val w = when(col("__rt") === col("__ri"), lit(1.0))
+        .otherwise(round(exp(round(k * lit(lnb), 9)), 9))
+      val term = when(col("__ri") === 1, round(w * col("__xi"), 9))
+        .otherwise(round(lit(alpha) * w * col("__xi"), 9))
+      t.join(i, col("__ri") <= col("__rt"))
+        .withColumn("__term", term)
+        .groupBy(col("__rt").as("__rn"))
+        .agg(round(sum(col("__term").cast(dec)).cast("double"), 9).as("__s"))
+    }
+    val s1 = pass(base.select(col("__rn"), d(col("n")).as("__x")))
+      .withColumnRenamed("__s", "__s1")
+    val s2 = pass(s1.select(col("__rn"), col("__s1").as("__x")))
+      .withColumnRenamed("__s", "__s2")
+    val lvl = round(lit(2.0) * col("__s1") - col("__s2"), 9)
+    val tr = round(lit(ac) * round(col("__s1") - col("__s2"), 9), 9)
+    base.join(s1, "__rn").join(s2, "__rn")
+      .select(col("day"), col("n"),
+        pub6(col("__s1")).as("smooth1"),
+        pub6(col("__s2")).as("smooth2"),
+        pub6(lvl).as("level"),
+        pub6(tr).as("trend"),
+        pub6(round(lvl + tr, 9)).as("forecast"))
+  }
+
+  /**
+   * Mann–Kendall trend test + Sen's slope over the daily counts: the
+   * distribution-free "is this series actually trending?" — S counts
+   * concordant-minus-discordant day pairs, z uses the tie-corrected
+   * variance (continuity-corrected: S∓1), and Sen's slope is the
+   * median of all pairwise slopes (n_j−n_i)/(j−i), robust where OLS
+   * would chase one spike. One row: `(n_days, s, var_s, z, sen_slope)`;
+   * `z` is NULL when the variance degenerates (constant series),
+   * `sen_slope` NULL when fewer than 2 days.
+   *
+   * Scale shape: ONE corpus reduce to the calendar grid, then an
+   * O(days²) pair join that is calendar-bounded (a decade ≈ 3.7k days
+   * ≈ 6.7M pairs — trivial), with S and the tie table map-side
+   * combined; the slope median runs on per-VALUE counts
+   * ([[Profile.quantiles]]' compression).
+   *
+   * Determinism: S, N, and the tie term are exact integers; var_s is
+   * one fixed division published at 6 dp; slopes snap to 9 dp before
+   * counting; z follows the 9-dp/6-dp discipline.
+   */
+  def trendTest(df: DataFrame, tsCol: String): DataFrame = {
+    val wOrd = Window.orderBy(col("day"))
+    val base = dailyCounts(df, tsCol)
+      .withColumn("__rn", row_number().over(wOrd).cast("long"))
+    val j = base.select(col("__rn").as("__rj"), col("n").as("__nj"))
+    val i = base.select(col("__rn").as("__ri"), col("n").as("__ni"))
+    val pairs = i.join(j, col("__ri") < col("__rj"))
+    val sRow = pairs.agg(coalesce(
+      sum(signum(d(col("__nj")) - d(col("__ni"))).cast("long")),
+      lit(0L)).as("__S"))
+    val nRow = base.agg(count(lit(1)).as("n_days"))
+    val tieRow = base.groupBy(col("n")).agg(count(lit(1)).as("__t"))
+      .agg(coalesce(sum(col("__t") * (col("__t") - 1) *
+        (lit(2L) * col("__t") + 5)), lit(0L)).as("__tt"))
+    val slopes = pairs
+      .select(round(d(col("__nj") - col("__ni")) /
+        d(col("__rj") - col("__ri")), 9).as("__v"))
+      .groupBy(col("__v")).agg(count(lit(1)).as("__c"))
+    // max-wrap: an empty median (< 2 days) must yield a NULL cell,
+    // not an empty frame that a crossJoin would erase
+    val senRow = discreteMedian(slopes, "__v", "__c")
+      .agg(max(col("med")).as("__sen"))
+    val nD = d(col("n_days"))
+    val varS = round((nD * (nD - lit(1.0)) * (lit(2.0) * nD + lit(5.0)) -
+      d(col("__tt"))) / lit(18.0), 9)
+    val sD = d(col("__S"))
+    val sg = round(sqrt(greatest(varS, lit(0.0))), 9)
+    val zRaw = when(sD > 0.0, round(sdiv(sD - lit(1.0), sg), 6))
+      .when(sD < 0.0, round(sdiv(sD + lit(1.0), sg), 6))
+      .otherwise(lit(0.0))
+    nRow.crossJoin(broadcast(sRow)).crossJoin(broadcast(tieRow))
+      .crossJoin(broadcast(senRow))
+      .select(col("n_days"), col("__S").as("s"),
+        pub6(varS).as("var_s"),
+        when(sg === 0.0, lit(null).cast("double"))
+          .otherwise(zRaw).as("z"),
+        col("__sen").as("sen_slope"))
+  }
+
+  /** Discrete median of a (value, count) table: the value at rank
+    * ⌈round(0.5·N, 9)⌉ — [[Profile.quantiles]]' convention (an actual
+    * data value, no interpolation). Returns a 1-row frame `(med)`. */
+  private def discreteMedian(cells: DataFrame, valueCol: String,
+                             cntCol: String): DataFrame = {
+    val wCum = Window.orderBy(col(valueCol).asc)
+    val wAll = Window.partitionBy()
+    cells
+      .withColumn("__cum", sum(col(cntCol)).over(wCum))
+      .withColumn("__nn", sum(col(cntCol)).over(wAll))
+      .withColumn("__r",
+        ceil(round(lit(0.5) * col("__nn").cast("double"), 9)).cast("long"))
+      .where(col("__cum") - col(cntCol) < col("__r") &&
+        col("__r") <= col("__cum"))
+      .select(col(valueCol).cast("double").as("med"))
+  }
+
+  /**
+   * Robust (median/MAD) daily-volume anomalies: z = 0.6745·(n − med) /
+   * MAD, flagged at |z| > `zThreshold` (3.5 is the Iglewicz–Hoaglin
+   * convention) — unlike [[weekdayAnomaly]]'s mean/σ residuals, a few
+   * giant spikes cannot drag the baseline toward themselves, so
+   * repeated outliers still flag. Output `(day, n, median, mad, z,
+   * anomaly)`; z is NULL when MAD = 0 (a majority-constant series).
+   *
+   * Both medians run on per-VALUE counts of the calendar-bounded grid
+   * ([[Profile.quantiles]]' compression), so the ordered windows see
+   * distinct counts, never days, never the corpus.
+   */
+  def robustAnomaly(df: DataFrame, tsCol: String,
+                    zThreshold: Double = 3.5): DataFrame = {
+    val grid = dailyCounts(df, tsCol)
+    val med = discreteMedian(
+      grid.groupBy(col("n").cast("double").as("__v"))
+        .agg(count(lit(1)).as("__c")), "__v", "__c")
+    val withMed = grid.crossJoin(broadcast(med))
+      .withColumn("__adev", round(abs(d(col("n")) - col("med")), 9))
+    val mad = discreteMedian(
+      withMed.groupBy(col("__adev").as("__v"))
+        .agg(count(lit(1)).as("__c")), "__v", "__c")
+      .select(col("med").as("madv"))
+    // z is tie-prone at the 6-dp publish (MAD is typically a small
+    // integer, so 0.6745·diff/MAD often lands exactly on a ...5): snap
+    // to 9 dp, then round as an EXACT decimal so the half-up tie-break
+    // is arithmetic, not double-representation luck.
+    withMed.crossJoin(broadcast(mad))
+      .withColumn("__z",
+        when(col("madv") > 0.0,
+          round(round(lit(0.6745) * round(d(col("n")) - col("med"), 9) /
+              col("madv"), 9).cast("decimal(28,9)"), 6).cast("double")))
+      .select(col("day"), col("n"), col("med").as("median"),
+        col("madv").as("mad"), col("__z").as("z"),
+        coalesce(abs(col("__z")) > zThreshold, lit(false)).as("anomaly"))
   }
 
   /**

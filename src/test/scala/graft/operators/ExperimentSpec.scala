@@ -8,6 +8,11 @@ class ExperimentSpec extends SparkTestBase {
   private def trials(rows: (String, Boolean)*) =
     df("v STRING, ok BOOLEAN", rows.map { case (v, ok) => Row(v, ok) })
 
+  private def r9(x: Double) =
+    BigDecimal(x).setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+  private def r6(x: Double) =
+    BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+
   test("proportionZ: pooled z hand value, NULL success = failure, degenerate guards") {
     // A: 4/10, B: 2/8 -> pooled 6/18
     val d = trials(
@@ -167,5 +172,96 @@ class ExperimentSpec extends SparkTestBase {
       Row("B", 0.0, 0.0), Row("B", 8.0, 8.0), Row("B", 4.0, 4.0)))
     assert(Experiment.cuped(miss, "v", "y", "x", "A", "B")
       .head().getLong(0) == 2L)
+  }
+
+  test("mannWhitney: tie-corrected hand case") {
+    // A = 1,2,3; B = 2,4 -> avg ranks 1, 2.5(tie), 4, 5
+    // R_A = 7.5, U = 1.5, mu = 3, corr = 6 - 6/20, s2 = 0.5*5.7
+    val d = df("v STRING, x DOUBLE", Seq(
+      Row("A", 1.0), Row("A", 2.0), Row("A", 3.0),
+      Row("B", 2.0), Row("B", 4.0)))
+    val r = Experiment.mannWhitney(d, "v", "x", "A", "B").head()
+    assert(r.getLong(0) == 3L && r.getLong(1) == 2L)
+    assert(r.getAs[Double]("rank_sum_a") == 7.5)
+    assert(r.getAs[Double]("u_a") == 1.5)
+    val sg = r9(math.sqrt(r9(6.0 / 12.0 * r9(6.0 - 6.0 / 20.0))))
+    assert(r.getAs[Double]("z") == r6(-1.5 / sg))
+  }
+
+  test("mannWhitney: all-tied values -> sigma 0 -> NULL z") {
+    val d = df("v STRING, x DOUBLE", Seq(
+      Row("A", 2.0), Row("A", 2.0), Row("B", 2.0)))
+    val r = Experiment.mannWhitney(d, "v", "x", "A", "B").head()
+    // every value tied: rank 2 each, R_A = 4, corr = 4 - 24/12 = 2...
+    // but s2 > 0 only through corr; with one value t=n so corr = n+1 -
+    // (n^3-n)/(n(n-1)) = n+1 - (n+1) = 0 -> z NULL
+    assert(r.getAs[Double]("rank_sum_a") == 4.0)
+    assert(r.isNullAt(4))
+  }
+
+  test("mannWhitney: empty arm guards") {
+    val d = df("v STRING, x DOUBLE", Seq(Row("A", 1.0), Row("A", 2.0)))
+    val r = Experiment.mannWhitney(d, "v", "x", "A", "B").head()
+    assert(r.getLong(1) == 0L && r.isNullAt(3) && r.isNullAt(4))
+  }
+
+  test("did: hand-computed lift and z; parallel shift cancels") {
+    val d = df("g STRING, p STRING, x DOUBLE", Seq(
+      Row("t", "pre", 1.0), Row("t", "pre", 2.0),
+      Row("t", "post", 4.0), Row("t", "post", 6.0),
+      Row("c", "pre", 1.0), Row("c", "pre", 3.0),
+      Row("c", "post", 2.0), Row("c", "post", 4.0)))
+    val r = Experiment.did(d, "g", "p", "x", "t", "c", "pre", "post").head()
+    assert((0 to 3).map(r.getLong) == Seq(2L, 2L, 2L, 2L))
+    assert(r.getAs[Double]("did") == 2.5)
+    // se^2 = 0.5/2 + 2/2 + 2/2 + 2/2 = 3.25
+    val se = r9(math.sqrt(3.25))
+    assert(r.getAs[Double]("se") == r6(se))
+    assert(r.getAs[Double]("z") == r6(2.5 / se))
+    // control moves identically to treatment -> did 0
+    val par = df("g STRING, p STRING, x DOUBLE", Seq(
+      Row("t", "pre", 1.0), Row("t", "pre", 3.0),
+      Row("t", "post", 5.0), Row("t", "post", 7.0),
+      Row("c", "pre", 2.0), Row("c", "pre", 4.0),
+      Row("c", "post", 6.0), Row("c", "post", 8.0)))
+    assert(Experiment.did(par, "g", "p", "x", "t", "c", "pre", "post")
+      .head().getAs[Double]("did") == 0.0)
+  }
+
+  test("mde: hand moments, observed-delta sample size, degenerate guards") {
+    // A = 1,3 (v=2); B = 2,6 (v=8)
+    val d = df("v STRING, x DOUBLE", Seq(
+      Row("A", 1.0), Row("A", 3.0), Row("B", 2.0), Row("B", 6.0)))
+    val r = Experiment.minDetectableEffect(d, "v", "x", "A", "B").head()
+    val zs = r9(Experiment.normalQuantile(0.975) +
+      Experiment.normalQuantile(0.8))
+    val mde = r9(zs * r9(math.sqrt(5.0)))
+    assert(r.getLong(0) == 2L && r.getLong(1) == 2L)
+    assert(r.getAs[Double]("mean_a") == 2.0)
+    assert(r.getAs[Double]("mde_abs") == r6(mde))
+    assert(r.getAs[Double]("mde_rel") == r6(mde / 2.0))
+    assert(r.getAs[Long]("n_required") ==
+      math.ceil(r9(r9(zs * zs * 10.0) / 4.0)).toLong)
+    // identical arms: delta 0 -> n_required NULL, mde still real
+    val same = df("v STRING, x DOUBLE", Seq(
+      Row("A", 1.0), Row("A", 3.0), Row("B", 1.0), Row("B", 3.0)))
+    val r2 = Experiment.minDetectableEffect(same, "v", "x", "A", "B").head()
+    assert(!r2.isNullAt(4) && r2.isNullAt(6))
+    // 1-value arm voids every statistic
+    val tiny = df("v STRING, x DOUBLE", Seq(
+      Row("A", 1.0), Row("B", 2.0), Row("B", 3.0)))
+    val r3 = Experiment.minDetectableEffect(tiny, "v", "x", "A", "B").head()
+    assert(r3.isNullAt(4) && r3.isNullAt(5) && r3.isNullAt(6))
+  }
+
+  test("did: a 1-value cell voids the statistics but not the counts") {
+    val d = df("g STRING, p STRING, x DOUBLE", Seq(
+      Row("t", "pre", 1.0),
+      Row("t", "post", 4.0), Row("t", "post", 6.0),
+      Row("c", "pre", 1.0), Row("c", "pre", 3.0),
+      Row("c", "post", 2.0), Row("c", "post", 4.0)))
+    val r = Experiment.did(d, "g", "p", "x", "t", "c", "pre", "post").head()
+    assert(r.getLong(0) == 1L)
+    assert(r.isNullAt(4) && r.isNullAt(5) && r.isNullAt(6))
   }
 }

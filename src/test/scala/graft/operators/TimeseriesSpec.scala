@@ -118,6 +118,27 @@ class TimeseriesSpec extends SparkTestBase {
     assert(out == Seq(4.0, 2.0, 3.0))
   }
 
+  test("robust anomaly: MAD flags the spike, median ignores it") {
+    // counts 10,12,11,13,12,100,12 -> med 12, MAD 1
+    val cs = Seq(1 -> 10, 2 -> 12, 3 -> 11, 4 -> 13, 5 -> 12,
+      6 -> 100, 7 -> 12)
+    val out = Timeseries.robustAnomaly(events(cs), "ts")
+      .orderBy("day").collect()
+    assert(out(0).getDouble(2) == 12.0 && out(0).getDouble(3) == 1.0)
+    assert(out(5).getDouble(4) == r6(0.6745 * 88.0))
+    assert(out.filter(_.getBoolean(5)).map(_.getDate(0).toString).toSeq ==
+      Seq("2024-01-06"))
+    // day 1 (n=10): z = -1.349, inside the fence
+    assert(out(0).getDouble(4) == r6(0.6745 * -2.0))
+  }
+
+  test("robust anomaly: majority-constant series has MAD 0 -> NULL z") {
+    val cs = Seq(1 -> 5, 2 -> 5, 3 -> 5, 4 -> 5, 5 -> 50)
+    val out = Timeseries.robustAnomaly(events(cs), "ts").collect()
+    assert(out.forall(r => r.isNullAt(4) && !r.getBoolean(5)))
+    assert(out.head.getDouble(3) == 0.0)
+  }
+
   test("seasonal-naive backtest: hand-checked errors") {
     // season 2 over 1..6: errors all 2; smape = mean(1, 2/3, 1/2, 2/5)
     val out = Timeseries.seasonalNaiveBacktest(
@@ -128,5 +149,48 @@ class TimeseriesSpec extends SparkTestBase {
     val sm = Seq(1.0, 2.0 / 3, 0.5, 0.4)
       .map(x => BigDecimal(r9(x))).sum.toDouble / 4
     assert(out.getDouble(3) == r6(sm))
+  }
+
+  test("holt: alpha=0.5 hand recursion (S', S'', level, trend, forecast)") {
+    // counts 2,4,6: S' = 2,3,4.5; S'' = 2,2.5,3.5; ac = 1.0
+    val out = Timeseries.holt(events(Seq(1 -> 2, 2 -> 4, 3 -> 6)), "ts",
+      alpha = 0.5).orderBy("day").collect()
+    def row(i: Int) = (2 to 6).map(out(i).getDouble)
+    assert(row(0) == Seq(2.0, 2.0, 2.0, 0.0, 2.0))
+    assert(row(1) == Seq(3.0, 2.5, 3.5, 0.5, 4.0))
+    assert(row(2) == Seq(4.5, 3.5, 5.5, 1.0, 6.5))
+  }
+
+  test("holt: constant series -> zero trend, forecast = level = n") {
+    val out = Timeseries.holt(events((1 to 5).map(_ -> 7)), "ts",
+      alpha = 0.3).orderBy("day").collect()
+    assert(out.forall(r => r.getDouble(4) == 7.0 &&
+      r.getDouble(5) == 0.0 && r.getDouble(6) == 7.0))
+  }
+
+  test("trendTest: hand-computed S, tie-corrected variance, Sen slope") {
+    // counts 1,2,2,4: S = 5; ties {2:2} -> tt = 18;
+    // var = (4*3*13 - 18)/18 = 138/18; sen = median of
+    // [1, .5, 1, 0, 1, 2] -> 1
+    val r = Timeseries.trendTest(
+      events(Seq(1 -> 1, 2 -> 2, 3 -> 2, 4 -> 4)), "ts").head()
+    assert(r.getLong(0) == 4L && r.getLong(1) == 5L)
+    val vs = r9(138.0 / 18.0)
+    assert(r.getAs[Double]("var_s") == r6(vs))
+    assert(r.getAs[Double]("z") == r6(4.0 / r9(math.sqrt(vs))))
+    assert(r.getAs[Double]("sen_slope") == 1.0)
+  }
+
+  test("trendTest: constant series -> zero variance, NULL z, sen 0") {
+    val r = Timeseries.trendTest(events((1 to 3).map(_ -> 3)), "ts").head()
+    assert(r.getLong(1) == 0L && r.getAs[Double]("var_s") == 0.0)
+    assert(r.isNullAt(3))
+    assert(r.getAs[Double]("sen_slope") == 0.0)
+  }
+
+  test("trendTest: single day -> no pairs, NULL z and sen") {
+    val r = Timeseries.trendTest(events(Seq(1 -> 9)), "ts").head()
+    assert(r.getLong(0) == 1L && r.getLong(1) == 0L)
+    assert(r.isNullAt(3) && r.isNullAt(4))
   }
 }
