@@ -3065,6 +3065,24 @@ object SparkEntry {
           maxSteps = 5, k = 20)
         .orderBy("rank")),
 
+    // Daily DAU/WAU/MAU + stickiness over the calendar grid.
+    "q_engagement" -> ((s, d) =>
+      graft.operators.Cohort.engagement(
+          executor(s, d).table("events"), "user_id", "ts")
+        .orderBy("day")),
+
+    // Weekly active/new/retained/churned split (open last period).
+    "q_churn" -> ((s, d) =>
+      graft.operators.Cohort.churn(
+          executor(s, d).table("events"), "user_id", "ts", periodDays = 7)
+        .orderBy("period")),
+
+    // ABC / Pareto classification of parts by revenue mass.
+    "q_abc" -> ((s, d) =>
+      graft.operators.Olap.abcClassification(
+          executor(s, d).table("lineitem"), "l_partkey", "l_extendedprice")
+        .orderBy("cum_share", "key")),
+
     // Brown's double exponential smoothing: trend-aware daily forecast.
     "q_ts_holt" -> ((s, d) =>
       graft.operators.Timeseries.holt(
@@ -7733,6 +7751,80 @@ object SparkEntry {
         |SELECT path, steps, n,
         |  CAST(row_number() OVER (ORDER BY n DESC, path) AS BIGINT) AS rank
         |FROM c ORDER BY n DESC, path LIMIT 20""".stripMargin,
+    // Engagement mirror: distinct (user, day) pairs exploded into the
+    // trailing windows they serve.
+    "q_engagement" ->
+      """WITH pairs AS (SELECT DISTINCT user_id AS u, CAST(ts AS DATE) AS day
+        |               FROM events
+        |               WHERE ts IS NOT NULL AND user_id IS NOT NULL),
+        |b AS (SELECT min(day) AS d0, max(day) AS d1 FROM pairs),
+        |grid AS (SELECT CAST(unnest(generate_series(d0, d1,
+        |                INTERVAL 1 DAY)) AS DATE) AS day FROM b),
+        |dau AS (SELECT day, count(DISTINCT u) AS dau FROM pairs GROUP BY 1),
+        |wau AS (SELECT day, count(DISTINCT u) AS wau FROM (
+        |    SELECT p.u, CAST(unnest(generate_series(p.day,
+        |      least(CAST(p.day + INTERVAL 6 DAY AS DATE), b.d1),
+        |      INTERVAL 1 DAY)) AS DATE) AS day
+        |    FROM pairs p, b) GROUP BY 1),
+        |mau AS (SELECT day, count(DISTINCT u) AS mau FROM (
+        |    SELECT p.u, CAST(unnest(generate_series(p.day,
+        |      least(CAST(p.day + INTERVAL 27 DAY AS DATE), b.d1),
+        |      INTERVAL 1 DAY)) AS DATE) AS day
+        |    FROM pairs p, b) GROUP BY 1)
+        |SELECT g.day, coalesce(d.dau, 0) AS dau, coalesce(w.wau, 0) AS wau,
+        |  coalesce(m.mau, 0) AS mau,
+        |  CASE WHEN coalesce(m.mau, 0) = 0 THEN NULL
+        |       ELSE round(CAST(coalesce(d.dau, 0) AS DOUBLE) /
+        |         CAST(m.mau AS DOUBLE), 6) END AS stickiness
+        |FROM grid g LEFT JOIN dau d ON g.day = d.day
+        |  LEFT JOIN wau w ON g.day = w.day
+        |  LEFT JOIN mau m ON g.day = m.day
+        |ORDER BY g.day""".stripMargin,
+    // Churn mirror: distinct (user, period) pairs, +1-shifted self-join.
+    "q_churn" ->
+      """WITH raw AS (SELECT user_id AS u, CAST(ts AS DATE) AS day
+        |             FROM events
+        |             WHERE ts IS NOT NULL AND user_id IS NOT NULL),
+        |dz AS (SELECT min(day) AS d0 FROM raw),
+        |up AS (SELECT DISTINCT u, CAST(floor(
+        |         date_diff('day', dz.d0, day) / 7) AS BIGINT) AS p
+        |       FROM raw, dz),
+        |fp AS (SELECT u, min(p) AS fp FROM up GROUP BY 1),
+        |mx AS (SELECT max(p) AS mp FROM up),
+        |j AS (SELECT a.p, a.u, f.fp, b.u AS un
+        |      FROM up a JOIN fp f ON a.u = f.u
+        |      LEFT JOIN up b ON a.u = b.u AND b.p = a.p + 1),
+        |g AS (SELECT p, count(*) AS n_active,
+        |        count(CASE WHEN fp = p THEN 1 END) AS n_new,
+        |        count(un) AS ret
+        |      FROM j GROUP BY 1)
+        |SELECT dz.d0 + CAST(p * 7 AS INT) AS period, n_active, n_new,
+        |  CASE WHEN p = mx.mp THEN NULL ELSE ret END AS n_retained,
+        |  CASE WHEN p = mx.mp THEN NULL ELSE n_active - ret END
+        |    AS n_churned,
+        |  CASE WHEN p = mx.mp THEN NULL
+        |       ELSE round(CAST(n_active - ret AS DOUBLE) /
+        |         CAST(n_active AS DOUBLE), 6) END AS churn_rate
+        |FROM g, dz, mx ORDER BY period""".stripMargin,
+    // ABC mirror: exact DECIMAL mass, previous-cum-share class cut.
+    "q_abc" ->
+      """WITH perkey AS (SELECT l_partkey AS key,
+        |    sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS value
+        |  FROM lineitem WHERE l_partkey IS NOT NULL GROUP BY 1),
+        |w AS (SELECT key, value,
+        |    sum(value) OVER (ORDER BY value DESC, key) AS cum,
+        |    sum(value) OVER () AS tot FROM perkey),
+        |c AS (SELECT key, value,
+        |    round(CAST(value AS DOUBLE) / CAST(tot AS DOUBLE), 6) AS share,
+        |    round(CAST(cum AS DOUBLE) / CAST(tot AS DOUBLE), 6)
+        |      AS cum_share,
+        |    round(CAST(cum - value AS DOUBLE) / CAST(tot AS DOUBLE), 9)
+        |      AS prev
+        |  FROM w)
+        |SELECT key, value, share, cum_share,
+        |  CASE WHEN prev < 0.8 THEN 'A' WHEN prev < 0.95 THEN 'B'
+        |       ELSE 'C' END AS abc
+        |FROM c ORDER BY cum_share, key""".stripMargin,
     // Holt/Brown mirror: two closed-form EWMA passes, exact-decimal
     // 6-dp publishes.
     "q_ts_holt" ->

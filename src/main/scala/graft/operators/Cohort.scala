@@ -64,4 +64,104 @@ object Cohort {
         round(col("n_users") / col("__size").cast("double"), 6))
       .drop("__size")
   }
+
+  /**
+   * Daily engagement: `(day, dau, wau, mau, stickiness)` over the
+   * zero-filled calendar — DAU = distinct users that day, WAU/MAU =
+   * distinct users in the trailing 7/28 days (inclusive), stickiness =
+   * dau/mau at 6 dp ("of everyone monthly-active, what share showed up
+   * today?"), NULL on an all-idle trailing month. The product-health
+   * dashboard's first row.
+   *
+   * Scale shape: the corpus reduces ONCE to distinct (user, day) pairs
+   * (map-side combined); each pair then EXPLODES into the ≤7/≤28
+   * trailing days it contributes to, and `count(distinct user)` per day
+   * dedups map-side again — all shuffles carry (user, day)-sized keys,
+   * linear in |pairs|, never a per-day set intersection or a
+   * range-window over the log. Days beyond the observed max are
+   * clipped so a last-day user doesn't invent future rows.
+   */
+  def engagement(events: DataFrame, userCol: String,
+                 tsCol: String): DataFrame = {
+    val pairs = events
+      .where(col(tsCol).isNotNull && col(userCol).isNotNull)
+      .select(col(userCol).as("u"), to_date(col(tsCol)).as("day"))
+      .distinct()
+    val bounds = pairs.agg(min(col("day")).as("__d0"),
+      max(col("day")).as("__d1"))
+    val grid = bounds
+      .select(explode(sequence(col("__d0"), col("__d1"))).as("day"))
+    def trailing(n: Int, out: String) = pairs
+      .crossJoin(broadcast(bounds))
+      .select(col("u"), explode(sequence(col("day"),
+        least(date_add(col("day"), n - 1), col("__d1")))).as("day"))
+      .groupBy("day").agg(countDistinct(col("u")).as(out))
+    val dau = pairs.groupBy("day").agg(countDistinct(col("u")).as("dau"))
+    grid
+      .join(dau, Seq("day"), "left")
+      .join(trailing(7, "wau"), Seq("day"), "left")
+      .join(trailing(28, "mau"), Seq("day"), "left")
+      .select(col("day"),
+        coalesce(col("dau"), lit(0L)).as("dau"),
+        coalesce(col("wau"), lit(0L)).as("wau"),
+        coalesce(col("mau"), lit(0L)).as("mau"),
+        when(coalesce(col("mau"), lit(0L)) === 0,
+          lit(null).cast("double"))
+          .otherwise(round(coalesce(col("dau"), lit(0L)).cast("double") /
+            col("mau").cast("double"), 6)).as("stickiness"))
+  }
+
+  /**
+   * Period-over-period churn: users active in period p split by whether
+   * they returned in p+1. Output `(period, n_active, n_new, n_retained,
+   * n_churned, churn_rate)` — `period` is the p-th `periodDays`-day
+   * bucket's start date (anchored at the corpus' first day), `n_new`
+   * counts first-ever-seen users, `n_churned = n_active − n_retained`,
+   * rate at 6 dp; the LAST period's retained/churned are NULL (its
+   * successor is unobserved), not zero — absence of evidence.
+   *
+   * Scale shape: one reduce to distinct (user, period) pairs, one
+   * self-join shifted by +1 period on (user, period) — equi-join on
+   * composite key, broadcast-eligible per AQE — and a first-seen min
+   * per user (map-side combined). Everything after the reduce is
+   * |user-period|-sized.
+   */
+  def churn(events: DataFrame, userCol: String, tsCol: String,
+            periodDays: Int = 7): DataFrame = {
+    require(periodDays >= 1, s"periodDays must be >= 1, got $periodDays")
+    val raw = events
+      .where(col(tsCol).isNotNull && col(userCol).isNotNull)
+      .select(col(userCol).as("u"), to_date(col(tsCol)).as("__day"))
+    val d0 = raw.agg(min(col("__day")).as("__d0"))
+    val up = raw.crossJoin(broadcast(d0))
+      // explicit floor: a bare double->long cast truncates in Spark but
+      // ROUNDS in several SQL engines — floor is unambiguous in both
+      .select(col("u"),
+        floor(datediff(col("__day"), col("__d0")) / periodDays)
+          .cast("long").as("__p"),
+        col("__d0"))
+      .distinct()
+    val firstP = up.groupBy(col("u")).agg(min(col("__p")).as("__fp"))
+    val next = up.select(col("u").as("__un"), (col("__p") - 1).as("__pn"))
+      .distinct()
+    val maxP = up.agg(max(col("__p")).as("__mp"))
+    up.join(firstP, "u")
+      .join(next, col("u") === col("__un") && col("__p") === col("__pn"),
+        "left")
+      .groupBy(col("__p"), col("__d0"))
+      .agg(count(lit(1)).as("n_active"),
+        count(when(col("__fp") === col("__p"), lit(1))).as("n_new"),
+        count(col("__un")).as("__ret"))
+      .crossJoin(broadcast(maxP))
+      .select(date_add(col("__d0"),
+          (col("__p") * periodDays).cast("int")).as("period"),
+        col("n_active"), col("n_new"),
+        when(col("__p") === col("__mp"), lit(null).cast("long"))
+          .otherwise(col("__ret")).as("n_retained"),
+        when(col("__p") === col("__mp"), lit(null).cast("long"))
+          .otherwise(col("n_active") - col("__ret")).as("n_churned"),
+        when(col("__p") === col("__mp"), lit(null).cast("double"))
+          .otherwise(round((col("n_active") - col("__ret")).cast("double") /
+            col("n_active").cast("double"), 6)).as("churn_rate"))
+  }
 }

@@ -79,4 +79,47 @@ object Olap {
               valueName: String = "value"): DataFrame =
     df.unpivot(idCols.map(col).toArray, valueCols.map(col).toArray,
       varName, valueName)
+
+  /**
+   * ABC (Pareto-class) analysis: keys ranked by descending value mass,
+   * classed `A` while the running share is ≤ `aCut` (default 0.8), `B`
+   * up to `bCut` (0.95), `C` after — "which 20% of parts carry 80% of
+   * revenue?". Output `(key, value, share, cum_share, abc)` with
+   * `value` the exact DECIMAL(18,2) per-key sum and shares at 6 dp.
+   * The class boundary uses the PREVIOUS key's cumulative share
+   * (first-over-the-line still belongs to the class it completes),
+   * NULL-key rows drop, and ties order by key so ranks are a pure
+   * function of the data.
+   *
+   * Scale shape: one map-side-combined per-key sum (|keys| ≪ rows),
+   * then one ordered window over the KEY table only. |keys| is the
+   * dimension cardinality — if that itself is corpus-sized, ABC is the
+   * wrong question.
+   */
+  def abcClassification(df: DataFrame, keyCol: String, valueCol: String,
+                        aCut: Double = 0.8,
+                        bCut: Double = 0.95): DataFrame = {
+    require(aCut > 0.0 && aCut < bCut && bCut < 1.0,
+      s"need 0 < aCut < bCut < 1, got ($aCut, $bCut)")
+    val perKey = df.where(col(keyCol).isNotNull)
+      .groupBy(col(keyCol).as("key"))
+      .agg(sum(col(valueCol).cast("decimal(18,2)")).as("value"))
+    val wOrd = org.apache.spark.sql.expressions.Window
+      .orderBy(col("value").desc, col("key").asc)
+    val tot = org.apache.spark.sql.expressions.Window.partitionBy()
+    perKey
+      .withColumn("__cum", sum(col("value")).over(wOrd))
+      .withColumn("__tot", sum(col("value")).over(tot))
+      .withColumn("__prev",
+        round((col("__cum") - col("value")).cast("double") /
+          col("__tot").cast("double"), 9))
+      .select(col("key"), col("value"),
+        round(col("value").cast("double") /
+          col("__tot").cast("double"), 6).as("share"),
+        round(col("__cum").cast("double") /
+          col("__tot").cast("double"), 6).as("cum_share"),
+        when(col("__prev") < aCut, lit("A"))
+          .when(col("__prev") < bCut, lit("B"))
+          .otherwise(lit("C")).as("abc"))
+  }
 }

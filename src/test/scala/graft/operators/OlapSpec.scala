@@ -89,4 +89,27 @@ class OlapSpec extends SparkTestBase {
     assert(byRegion("east") == ((2L, 1L, 0L)))
     assert(byRegion("west") == ((1L, 0L, 0L))) // empty cells are 0, not null
   }
+
+  test("abcClassification: previous-cum-share class boundaries") {
+    // a 50, b 30, c 15, d 5 -> prev shares 0, .5, .8, .95 -> A A B C
+    val d = df("k STRING, v DOUBLE", Seq(
+      Row("a", 20.0), Row("a", 30.0), Row("b", 30.0),
+      Row("c", 15.0), Row("d", 5.0), Row(null, 99.0)))
+    val out = Olap.abcClassification(d, "k", "v").orderBy("cum_share")
+      .collect()
+      .map(r => (r.getString(0), r.getDecimal(1).doubleValue(),
+        r.getDouble(2), r.getDouble(3), r.getString(4))).toSeq
+    assert(out == Seq(
+      ("a", 50.0, 0.5, 0.5, "A"),
+      ("b", 30.0, 0.3, 0.8, "A"),
+      ("c", 15.0, 0.15, 0.95, "B"),
+      ("d", 5.0, 0.05, 1.0, "C")))
+  }
+
+  test("abcClassification: value ties order by key") {
+    val d = df("k STRING, v DOUBLE", Seq(Row("z", 1.0), Row("y", 1.0)))
+    val out = Olap.abcClassification(d, "k", "v").orderBy("cum_share")
+      .collect().map(_.getString(0)).toSeq
+    assert(out == Seq("y", "z"))
+  }
 }
