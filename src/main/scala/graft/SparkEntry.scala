@@ -3094,6 +3094,29 @@ object SparkEntry {
       graft.operators.Timeseries.trendTest(
           executor(s, d).table("events"), "ts")),
 
+    // MASE: seasonal-naive MAE scaled by naive-1 MAE (one row).
+    "q_ts_mase" -> ((s, d) =>
+      graft.operators.Timeseries.maseBacktest(
+          executor(s, d).table("events"), "ts", season = 7)),
+
+    // Personalized PageRank from the 1%-custkey seed set over the
+    // customer–supplier co-order graph.
+    "q_graph_ppr" -> ((s, d) => {
+      val ex = executor(s, d)
+      val pairs = ex.table("lineitem").join(ex.table("orders"),
+          col("l_orderkey") === col("o_orderkey"))
+        .select(concat(lit("c:"), col("o_custkey")).as("c"),
+          concat(lit("s:"), col("l_suppkey")).as("p"))
+      val edges = pairs.select(col("c").as("src"), col("p").as("dst"))
+        .unionByName(pairs.select(col("p").as("src"), col("c").as("dst")))
+      val seeds = ex.table("customer")
+        .where(col("c_custkey") % 100 === 0)
+        .select(concat(lit("c:"), col("c_custkey")).as("node"))
+      graft.operators.Graph.personalizedPageRank(edges, "src", "dst",
+          seeds, "node", iterations = 3)
+        .orderBy("node")
+    }),
+
     // Contiguous event trigrams by distinct-user support.
     "q_seq_trigram" -> ((s, d) =>
       graft.operators.Funnel.frequentSequences(
@@ -3793,6 +3816,22 @@ object SparkEntry {
           .select((col("user_id") % 2).cast("string").as("variant"),
             col("value")),
         "variant", "value", "0", "1")),
+
+    // Proportion-metric MDE on purchase conversion by the parity arms.
+    "q_ab_mde_prop" -> ((s, d) =>
+      graft.operators.Experiment.minDetectableEffectProportion(
+        executor(s, d).table("events")
+          .select((col("user_id") % 2).cast("string").as("variant"),
+            (col("event_type") === "purchase").as("ok")),
+        "variant", "ok", "0", "1")),
+
+    // Always-valid mSPRT on the event value by the parity arms.
+    "q_ab_msprt" -> ((s, d) =>
+      graft.operators.Experiment.msprt(
+        executor(s, d).table("events")
+          .select((col("user_id") % 2).cast("string").as("variant"),
+            col("value")),
+        "variant", "value", "0", "1", tau = 1.0)),
 
     // Minimum detectable effect + required per-arm n on the parity
     // arms — the power audit that says whether q_ab_welch could even
@@ -7886,6 +7925,32 @@ object SparkEntry {
          |       ELSE 0.0 END AS z,
          |  sen AS sen_slope
          |FROM fin, mw""".stripMargin,
+    "q_ts_mase" ->
+      s"""WITH $tsGridSql,
+         |f AS (SELECT day, n, lag(n, 7) OVER (ORDER BY day) AS fc,
+         |             lag(n, 1) OVER (ORDER BY day) AS l1 FROM g2),
+         |e AS (SELECT n, fc, l1 FROM f
+         |      WHERE fc IS NOT NULL AND l1 IS NOT NULL),
+         |m AS (SELECT count(*) AS n_eval, sum(abs(n - fc)) AS sf,
+         |             sum(abs(n - l1)) AS sn FROM e),
+         |c AS (SELECT n_eval,
+         |    round(CAST(sf AS DOUBLE) /
+         |      CASE WHEN n_eval = 0 THEN 1.0
+         |           ELSE CAST(n_eval AS DOUBLE) END, 9) AS maef,
+         |    round(CAST(sn AS DOUBLE) /
+         |      CASE WHEN n_eval = 0 THEN 1.0
+         |           ELSE CAST(n_eval AS DOUBLE) END, 9) AS maen
+         |  FROM m)
+         |SELECT n_eval,
+         |  CASE WHEN n_eval = 0 THEN NULL ELSE round(maef, 6) END
+         |    AS mae_forecast,
+         |  CASE WHEN n_eval = 0 THEN NULL ELSE round(maen, 6) END
+         |    AS mae_naive,
+         |  CASE WHEN n_eval = 0 OR maen = 0.0 THEN NULL
+         |       ELSE round(maef /
+         |         CASE WHEN maen = 0.0 THEN 1.0 ELSE maen END, 6) END
+         |    AS mase
+         |FROM c""".stripMargin,
     "q_seq_trigram" ->
       """WITH e AS (SELECT user_id, event_type AS t0,
         |    lead(event_type, 1) OVER (PARTITION BY user_id
@@ -8013,6 +8078,7 @@ object SparkEntry {
         |GROUP BY o_orderpriority
         |ORDER BY o_orderpriority""".stripMargin,
     "q_graph_pagerank" -> pageRankOracle(iterations = 3, damping = 0.85),
+    "q_graph_ppr" -> pprOracle(iterations = 3, damping = 0.85),
     "q_graph_hits" -> hitsOracle(iterations = 2),
     // Unseeded LPA, 2 rounds unrolled: l0 = own id as string; majority
     // votes with (count desc, label asc) STRING-order ties; no clamping.
@@ -8911,6 +8977,111 @@ object SparkEntry {
          |       OR se9 = 0.0 THEN NULL
          |       ELSE round(didv / se9, 6) END AS z
          |FROM fin""".stripMargin,
+    // Proportion-MDE mirror: conversion cells, observed-rate variances.
+    "q_ab_mde_prop" ->
+      s"""WITH m AS (SELECT
+         |    count(CASE WHEN CAST(user_id % 2 AS VARCHAR) = '0'
+         |               THEN 1 END) AS n_a,
+         |    count(CASE WHEN CAST(user_id % 2 AS VARCHAR) = '0'
+         |                AND coalesce(event_type = 'purchase', FALSE)
+         |               THEN 1 END) AS k_a,
+         |    count(CASE WHEN CAST(user_id % 2 AS VARCHAR) = '1'
+         |               THEN 1 END) AS n_b,
+         |    count(CASE WHEN CAST(user_id % 2 AS VARCHAR) = '1'
+         |                AND coalesce(event_type = 'purchase', FALSE)
+         |               THEN 1 END) AS k_b
+         |  FROM events),
+         |p AS (SELECT n_a, n_b,
+         |    round(CAST(k_a AS DOUBLE) /
+         |      CASE WHEN n_a = 0 THEN 1.0 ELSE CAST(n_a AS DOUBLE) END, 9)
+         |      AS pa,
+         |    round(CAST(k_b AS DOUBLE) /
+         |      CASE WHEN n_b = 0 THEN 1.0 ELSE CAST(n_b AS DOUBLE) END, 9)
+         |      AS pb
+         |  FROM m),
+         |v AS (SELECT *, round(pa * round(1.0 - pa, 9), 9) AS va,
+         |             round(pb * round(1.0 - pb, 9), 9) AS vb FROM p),
+         |f AS (SELECT *,
+         |    round(va / CASE WHEN n_a = 0 THEN 1.0
+         |                    ELSE CAST(n_a AS DOUBLE) END +
+         |          vb / CASE WHEN n_b = 0 THEN 1.0
+         |                    ELSE CAST(n_b AS DOUBLE) END, 9) AS se2,
+         |    round(pa - pb, 9) AS delta
+         |  FROM v),
+         |g AS (SELECT *, round(CAST($mdeZsum AS DOUBLE) *
+         |        round(sqrt(greatest(se2, 0.0)), 9), 9) AS mde FROM f)
+         |SELECT n_a, n_b,
+         |  CASE WHEN n_a = 0 THEN NULL ELSE round(pa, 6) END AS conv_a,
+         |  CASE WHEN n_b = 0 THEN NULL ELSE round(pb, 6) END AS conv_b,
+         |  CASE WHEN n_a = 0 OR n_b = 0 OR va + vb = 0.0 THEN NULL
+         |       ELSE CAST(round(CAST(mde AS DECIMAL(28,9)), 6) AS DOUBLE)
+         |  END AS mde_abs,
+         |  CASE WHEN n_a = 0 OR n_b = 0 OR va + vb = 0.0 OR delta = 0.0
+         |       THEN NULL
+         |       ELSE CAST(ceil(round(round(
+         |         CAST($mdeZsum AS DOUBLE) * CAST($mdeZsum AS DOUBLE) *
+         |         round(va + vb, 9), 9) /
+         |         CASE WHEN round(delta * delta, 9) = 0.0 THEN 1.0
+         |              ELSE round(delta * delta, 9) END, 9)) AS BIGINT)
+         |  END AS n_required
+         |FROM g""".stripMargin,
+    // mSPRT mirror: welch's moment cells, ln-sqrt evidence term,
+    // exact-decimal publishes.
+    "q_ab_msprt" ->
+      """WITH m AS (SELECT
+        |    count(CASE WHEN CAST(user_id % 2 AS VARCHAR) = '0'
+        |                AND value IS NOT NULL THEN 1 END) AS n_a,
+        |    sum(CASE WHEN CAST(user_id % 2 AS VARCHAR) = '0'
+        |             THEN CAST(round(value, 9) AS DECIMAL(28,9)) END) AS s_a,
+        |    sum(CASE WHEN CAST(user_id % 2 AS VARCHAR) = '0'
+        |             THEN CAST(round(round(value, 9) * round(value, 9), 9)
+        |                       AS DECIMAL(28,9)) END) AS s2_a,
+        |    count(CASE WHEN CAST(user_id % 2 AS VARCHAR) = '1'
+        |                AND value IS NOT NULL THEN 1 END) AS n_b,
+        |    sum(CASE WHEN CAST(user_id % 2 AS VARCHAR) = '1'
+        |             THEN CAST(round(value, 9) AS DECIMAL(28,9)) END) AS s_b,
+        |    sum(CASE WHEN CAST(user_id % 2 AS VARCHAR) = '1'
+        |             THEN CAST(round(round(value, 9) * round(value, 9), 9)
+        |                       AS DECIMAL(28,9)) END) AS s2_b
+        |  FROM events),
+        |st AS (SELECT n_a, n_b,
+        |    round(CAST(s_a AS DOUBLE) / CAST(n_a AS DOUBLE), 9) AS m_a,
+        |    round(CAST(s_b AS DOUBLE) / CAST(n_b AS DOUBLE), 9) AS m_b,
+        |    round(CAST(s2_a AS DOUBLE) / CAST(n_a AS DOUBLE), 9) AS e2_a,
+        |    round(CAST(s2_b AS DOUBLE) / CAST(n_b AS DOUBLE), 9) AS e2_b
+        |  FROM m),
+        |vv AS (SELECT n_a, n_b, m_a, m_b,
+        |    round((e2_a - m_a * m_a) *
+        |      (CAST(n_a AS DOUBLE) / (CAST(n_a AS DOUBLE) - 1.0)), 9) AS v_a,
+        |    round((e2_b - m_b * m_b) *
+        |      (CAST(n_b AS DOUBLE) / (CAST(n_b AS DOUBLE) - 1.0)), 9) AS v_b
+        |  FROM st),
+        |f AS (SELECT *,
+        |    round(v_a / CAST(n_a AS DOUBLE) + v_b / CAST(n_b AS DOUBLE), 9)
+        |      AS bv,
+        |    round(m_a - m_b, 9) AS delta FROM vv),
+        |g AS (SELECT *, round(bv + 1.0, 9) AS vpt FROM f),
+        |h AS (SELECT *,
+        |    round(ln(sqrt(CASE WHEN bv = 0.0 THEN 1.0 ELSE bv END /
+        |      CASE WHEN vpt = 0.0 THEN 1.0 ELSE vpt END)), 9) AS t1,
+        |    round(round(round(delta * delta, 9) * 1.0, 9) /
+        |      CASE WHEN round(2.0 * bv * vpt, 9) = 0.0 THEN 1.0
+        |           ELSE round(2.0 * bv * vpt, 9) END, 9) AS t2 FROM g),
+        |i2 AS (SELECT *, round(t1 + t2, 9) AS lnl FROM h)
+        |SELECT n_a, n_b,
+        |  CASE WHEN n_a = 0 OR n_b = 0 THEN NULL
+        |       ELSE CAST(round(CAST(delta AS DECIMAL(28,9)), 6) AS DOUBLE)
+        |  END AS lift,
+        |  CASE WHEN n_a < 2 OR n_b < 2 OR bv = 0.0 THEN NULL
+        |       ELSE CAST(round(CAST(bv AS DECIMAL(28,9)), 6) AS DOUBLE)
+        |  END AS se2,
+        |  CASE WHEN n_a < 2 OR n_b < 2 OR bv = 0.0 THEN NULL
+        |       ELSE CAST(round(CAST(lnl AS DECIMAL(28,9)), 6) AS DOUBLE)
+        |  END AS log_lambda,
+        |  CASE WHEN n_a < 2 OR n_b < 2 OR bv = 0.0 THEN NULL
+        |       WHEN lnl <= 0.0 THEN 1.0
+        |       ELSE round(exp(0.0 - lnl), 6) END AS p_always
+        |FROM i2""".stripMargin,
     // MDE mirror: welch's moment cells, the driver-side z constant
     // interpolated identically on both engines.
     "q_ab_mde" ->
@@ -8952,7 +9123,8 @@ object SparkEntry {
          |  CASE WHEN n_a = 0 THEN NULL ELSE round(m_a, 6) END AS mean_a,
          |  CASE WHEN n_b = 0 THEN NULL ELSE round(m_b, 6) END AS mean_b,
          |  CASE WHEN n_a < 2 OR n_b < 2 THEN NULL
-         |       ELSE round(mde, 6) END AS mde_abs,
+         |       ELSE CAST(round(CAST(mde AS DECIMAL(28,9)), 6) AS DOUBLE)
+         |  END AS mde_abs,
          |  CASE WHEN n_a < 2 OR n_b < 2 OR m_a = 0.0 THEN NULL
          |       ELSE round(mde / abs(m_a), 6) END AS mde_rel,
          |  CASE WHEN n_a < 2 OR n_b < 2 OR delta = 0.0 THEN NULL
@@ -10006,6 +10178,41 @@ object SparkEntry {
        |$rounds
        |SELECT node, round(rank, 6) AS rank FROM r$iterations
        |ORDER BY node""".stripMargin
+  }
+
+  /** DuckDB mirror of q_graph_ppr: [[pageRankOracle]] with the teleport
+    * mass restricted to the seed flag (r₀ = seed indicator). */
+  private def pprOracle(iterations: Int, damping: Double): String = {
+    val d = damping.toString
+    val rounds = (1 to iterations).map { i =>
+      s"""c$i AS (SELECT e.dst AS node,
+         |  CAST(round(r.rank / o.deg, 9) AS DECIMAL(22,9)) AS c
+         |  FROM edges e JOIN r${i - 1} r ON e.src = r.node
+         |  JOIN outdeg o ON e.src = o.src),
+         |s$i AS (SELECT node, sum(c) AS s FROM c$i GROUP BY node),
+         |r$i AS (SELECT n.node, n.sf,
+         |  round((1 - $d) * n.sf + $d * CAST(coalesce(s.s, 0) AS DOUBLE), 9)
+         |    AS rank
+         |  FROM n2 n LEFT JOIN s$i s ON n.node = s.node)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH pairs AS (
+       |  SELECT DISTINCT 'c:' || o_custkey AS c, 's:' || l_suppkey AS p
+       |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+       |edges AS (SELECT c AS src, p AS dst FROM pairs
+       |          UNION SELECT p, c FROM pairs),
+       |outdeg AS (SELECT src, count(*) AS deg FROM edges GROUP BY src),
+       |nodes AS (SELECT src AS node FROM edges
+       |          UNION SELECT dst FROM edges),
+       |seeds AS (SELECT DISTINCT 'c:' || c_custkey AS node FROM customer
+       |          WHERE c_custkey % 100 = 0),
+       |n2 AS (SELECT n.node,
+       |         CASE WHEN s.node IS NULL THEN 0.0 ELSE 1.0 END AS sf
+       |       FROM nodes n LEFT JOIN seeds s ON n.node = s.node),
+       |r0 AS (SELECT node, sf, CAST(sf AS DOUBLE) AS rank FROM n2),
+       |$rounds
+       |SELECT node,
+       |  CAST(round(CAST(rank AS DECIMAL(22,9)), 6) AS DOUBLE) AS rank
+       |FROM r$iterations ORDER BY node""".stripMargin
   }
 
   /** DuckDB mirror of q_graph_hits: the same max-normalized rounds

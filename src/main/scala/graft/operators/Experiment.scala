@@ -39,6 +39,13 @@ object Experiment {
   private def sdiv(a: Column, b: Column): Column =
     a / when(b === 0.0, lit(1.0)).otherwise(b)
 
+  /** 6-dp publish of an already-9-dp value via EXACT decimal rounding
+    * (see [[Timeseries]] — half-ties at digit 7 of an exact 9-dp
+    * decimal are where string-based and binary double rounding
+    * disagree across engines). */
+  private def pub6(c: Column): Column =
+    round(c.cast("decimal(28,9)"), 6).cast("double")
+
   /**
    * Two-proportion pooled z-test: one row `(n_a, n_b, conv_a, conv_b,
    * lift, z)` where `lift = p_a − p_b` and
@@ -445,11 +452,133 @@ object Experiment {
       when(col("n_b") === 0, lit(null).cast("double"))
         .otherwise(round(mb, 6)).as("mean_b"),
       when(undef, lit(null).cast("double"))
-        .otherwise(round(mde, 6)).as("mde_abs"),
+        .otherwise(pub6(mde)).as("mde_abs"),
       when(undef || ma === 0.0, lit(null).cast("double"))
         .otherwise(round(sdiv(mde, abs(ma)), 6)).as("mde_rel"),
       when(undef || delta === 0.0, lit(null).cast("long"))
         .otherwise(nReq).as("n_required"))
+  }
+
+  /**
+   * Proportion-metric MDE: [[minDetectableEffect]] for conversion
+   * rates — `mde_abs = (z_{α/2}+z_β)·√(p̂_aq̂_a/n_a + p̂_bq̂_b/n_b)`
+   * on the observed rates (NULL success = failure, as
+   * [[proportionZ]]), plus the per-arm `n_required` for the OBSERVED
+   * lift. One row: `(n_a, n_b, conv_a, conv_b, mde_abs, n_required)`;
+   * guards NULL the stats when an arm is empty, mde when both rates
+   * are degenerate (0 or 1 → zero variance), and n_required when the
+   * lift is 0.
+   *
+   * Same single-pass scalar shape and driver-side z constants as the
+   * means version.
+   */
+  def minDetectableEffectProportion(df: DataFrame, variantCol: String,
+                                    successCol: String, variantA: String,
+                                    variantB: String, alpha: Double = 0.05,
+                                    power: Double = 0.8): DataFrame = {
+    require(alpha > 0.0 && alpha < 1.0, s"alpha must be in (0,1), got $alpha")
+    require(power > 0.0 && power < 1.0, s"power must be in (0,1), got $power")
+    val v = col(variantCol).cast("string")
+    val s = coalesce(col(successCol).cast("boolean"), lit(false))
+    val zsum = BigDecimal(normalQuantile(1.0 - alpha / 2.0) +
+      normalQuantile(power))
+      .setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val m = df.agg(
+      count(when(v === variantA, lit(1))).as("n_a"),
+      count(when(v === variantA && s, lit(1))).as("__k_a"),
+      count(when(v === variantB, lit(1))).as("n_b"),
+      count(when(v === variantB && s, lit(1))).as("__k_b"))
+    val na = col("n_a").cast("double")
+    val nb = col("n_b").cast("double")
+    val pa = round(sdiv(col("__k_a").cast("double"), na), 9)
+    val pb = round(sdiv(col("__k_b").cast("double"), nb), 9)
+    val va = round(pa * round(lit(1.0) - pa, 9), 9)
+    val vb = round(pb * round(lit(1.0) - pb, 9), 9)
+    val se2 = round(sdiv(va, na) + sdiv(vb, nb), 9)
+    val mde = round(lit(zsum) * round(sqrt(greatest(se2, lit(0.0))), 9), 9)
+    val delta = round(pa - pb, 9)
+    val nReq = ceil(round(sdiv(
+      round(lit(zsum) * lit(zsum) * round(va + vb, 9), 9),
+      round(delta * delta, 9)), 9)).cast("long")
+    val empty = col("n_a") === 0 || col("n_b") === 0
+    m.select(col("n_a"), col("n_b"),
+      when(col("n_a") === 0, lit(null).cast("double"))
+        .otherwise(round(pa, 6)).as("conv_a"),
+      when(col("n_b") === 0, lit(null).cast("double"))
+        .otherwise(round(pb, 6)).as("conv_b"),
+      when(empty || (va + vb) === 0.0, lit(null).cast("double"))
+        .otherwise(pub6(mde)).as("mde_abs"),
+      when(empty || (va + vb) === 0.0 || delta === 0.0,
+        lit(null).cast("long"))
+        .otherwise(nReq).as("n_required"))
+  }
+
+  /**
+   * Always-valid mSPRT (mixture sequential probability ratio test,
+   * Johari et al. 2017) for a mean difference: the likelihood ratio
+   * you may peek at after EVERY event without inflating false
+   * positives — the fixed-n [[welchT]]'s sequential sibling. With
+   * `V = v_a/n_a + v_b/n_b` (the observed variance of the lift) and a
+   * N(0, τ²) mixture over effects,
+   * `ln Λ = ½·ln(V/(V+τ²)) + Δ̂²τ²/(2V(V+τ²))`, and the always-valid
+   * p-value is `min(1, 1/Λ)`. One row: `(n_a, n_b, lift, se2,
+   * log_lambda, p_always)` — `log_lambda` published (Λ itself
+   * overflows once the evidence is strong). NULL when an arm has < 2
+   * values or V = 0.
+   *
+   * τ is a DRIVER-side tuning constant (snap 9 dp) — pick it near the
+   * effect size worth detecting; the test stays valid for any choice.
+   * Same one-pass moment reduce as [[welchT]]; ln/exp follow the
+   * [[Timeseries.ewma]] 9-dp discipline.
+   */
+  def msprt(df: DataFrame, variantCol: String, valueCol: String,
+            variantA: String, variantB: String,
+            tau: Double = 1.0): DataFrame = {
+    require(tau > 0.0, s"tau must be > 0, got $tau")
+    val t2 = BigDecimal(tau * tau)
+      .setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val v = col(variantCol).cast("string")
+    val x = round(col(valueCol).cast("double"), 9)
+    val dec = "decimal(28,9)"
+    def arm(value: String, suffix: String) = Seq(
+      count(when(v === value && x.isNotNull, lit(1))).as(s"n_$suffix"),
+      sum(when(v === value, x).cast(dec)).as(s"__s_$suffix"),
+      sum(when(v === value, round(x * x, 9)).cast(dec)).as(s"__s2_$suffix"))
+    val m = df.agg(arm(variantA, "a").head,
+      (arm(variantA, "a").tail ++ arm(variantB, "b")): _*)
+    def stats(suffix: String): (Column, Column, Column) = {
+      val n = col(s"n_$suffix").cast("double")
+      val mean = round(sdiv(col(s"__s_$suffix").cast("double"), n), 9)
+      val e2 = round(sdiv(col(s"__s2_$suffix").cast("double"), n), 9)
+      val variance = round((e2 - mean * mean) * sdiv(n, n - lit(1.0)), 9)
+      (n, mean, variance)
+    }
+    val (na, ma, va) = stats("a")
+    val (nb, mb, vb) = stats("b")
+    val bigV = round(sdiv(va, na) + sdiv(vb, nb), 9)
+    val delta = round(ma - mb, 9)
+    val vpt = round(bigV + lit(t2), 9)
+    // ½·ln(x) as ln(√x): halving a 9-dp decimal lands EXACTLY on a
+    // half-tie at digit 10 every other time — ln∘sqrt keeps the value
+    // transcendental until its single snap. The V=0 guard keeps ln's
+    // argument positive even in the NULLed branch (engines differ on
+    // ln(0): NULL vs hard error)
+    val term1 = round(log(sqrt(sdiv(
+      when(bigV === 0.0, lit(1.0)).otherwise(bigV), vpt))), 9)
+    val term2 = round(sdiv(round(round(delta * delta, 9) * lit(t2), 9),
+      round(lit(2.0) * bigV * vpt, 9)), 9)
+    val lnl = round(term1 + term2, 9)
+    val undef = col("n_a") < 2 || col("n_b") < 2 || bigV === 0.0
+    m.select(col("n_a"), col("n_b"),
+      when(col("n_a") === 0 || col("n_b") === 0, lit(null).cast("double"))
+        .otherwise(pub6(delta)).as("lift"),
+      when(undef, lit(null).cast("double"))
+        .otherwise(pub6(bigV)).as("se2"),
+      when(undef, lit(null).cast("double"))
+        .otherwise(pub6(lnl)).as("log_lambda"),
+      when(undef, lit(null).cast("double"))
+        .otherwise(when(lnl <= 0.0, lit(1.0))
+          .otherwise(round(exp(lit(0.0) - lnl), 6))).as("p_always"))
   }
 
   /**

@@ -440,4 +440,40 @@ object Timeseries {
       round(d(sum(col("__sm").cast(dec))) / d(count(lit(1))), 6)
         .as("smape"))
   }
+
+  /**
+   * MASE (mean absolute scaled error) backtest: the seasonal-naive
+   * forecast's MAE divided by the one-step-naive's MAE on the SAME
+   * evaluation rows — the scale-free "is this forecast better than
+   * 'same as yesterday'?" (Hyndman & Koehler 2006); < 1 beats naïve-1.
+   * One row: `(n_eval, mae_forecast, mae_naive, mase)`; rows need both
+   * the `season`-lag and the 1-lag, and `mase` is NULL when the naive
+   * MAE is 0 (a constant series scales nothing).
+   *
+   * Same corpus-reduce-then-tiny-grid shape as
+   * [[seasonalNaiveBacktest]]; integer errors, so only the final
+   * divisions round.
+   */
+  def maseBacktest(df: DataFrame, tsCol: String,
+                   season: Int = 7): DataFrame = {
+    require(season >= 1, s"season must be >= 1, got $season")
+    val wOrd = Window.orderBy(col("day"))
+    val scored = dailyCounts(df, tsCol)
+      .withColumn("__f", lag(col("n"), season).over(wOrd))
+      .withColumn("__l1", lag(col("n"), 1).over(wOrd))
+      .where(col("__f").isNotNull && col("__l1").isNotNull)
+    val m = scored.agg(
+      count(lit(1)).as("n_eval"),
+      sum(abs(col("n") - col("__f"))).as("__sf"),
+      sum(abs(col("n") - col("__l1"))).as("__sn"))
+    val maef = round(sdiv(d(col("__sf")), d(col("n_eval"))), 9)
+    val maen = round(sdiv(d(col("__sn")), d(col("n_eval"))), 9)
+    m.select(col("n_eval"),
+      when(col("n_eval") === 0, lit(null).cast("double"))
+        .otherwise(round(maef, 6)).as("mae_forecast"),
+      when(col("n_eval") === 0, lit(null).cast("double"))
+        .otherwise(round(maen, 6)).as("mae_naive"),
+      when(col("n_eval") === 0 || maen === 0.0, lit(null).cast("double"))
+        .otherwise(round(sdiv(maef, maen), 6)).as("mase"))
+  }
 }

@@ -254,6 +254,50 @@ class ExperimentSpec extends SparkTestBase {
     assert(r3.isNullAt(4) && r3.isNullAt(5) && r3.isNullAt(6))
   }
 
+  test("mdeProportion: observed-rate variances and required n") {
+    val d = df("v STRING, ok BOOLEAN", Seq(
+      Row("A", true), Row("A", true), Row("A", false), Row("A", false),
+      Row("B", true), Row("B", false), Row("B", false), Row("B", false)))
+    val r = Experiment.minDetectableEffectProportion(
+      d, "v", "ok", "A", "B").head()
+    val zs = r9(Experiment.normalQuantile(0.975) +
+      Experiment.normalQuantile(0.8))
+    assert(r.getAs[Double]("conv_a") == 0.5 &&
+      r.getAs[Double]("conv_b") == 0.25)
+    val se2 = r9(0.25 / 4.0 + 0.1875 / 4.0)
+    assert(r.getAs[Double]("mde_abs") == r6(r9(zs * r9(math.sqrt(se2)))))
+    assert(r.getAs[Long]("n_required") ==
+      math.ceil(r9(r9(zs * zs * r9(0.4375)) / r9(0.0625))).toLong)
+    // both arms fully converted: zero variance -> NULL mde
+    val sat = df("v STRING, ok BOOLEAN", Seq(
+      Row("A", true), Row("B", true)))
+    assert(Experiment.minDetectableEffectProportion(
+      sat, "v", "ok", "A", "B").head().isNullAt(4))
+  }
+
+  test("msprt: negative evidence caps p at 1; strong lift drives it down") {
+    // A = 1,3; B = 2,6, tau 1: V = 5, delta -2 -> ln-lambda < 0 -> p 1
+    val weak = df("v STRING, x DOUBLE", Seq(
+      Row("A", 1.0), Row("A", 3.0), Row("B", 2.0), Row("B", 6.0)))
+    val rw = Experiment.msprt(weak, "v", "x", "A", "B").head()
+    val lnlW = r9(r9(math.log(math.sqrt(5.0 / 6.0))) +
+      r9(r9(r9(4.0) * 1.0) / r9(2.0 * 5.0 * 6.0)))
+    assert(rw.getAs[Double]("log_lambda") == r6(lnlW))
+    assert(rw.getAs[Double]("p_always") == 1.0)
+    // A = 0,1; B = 10,11: V = 0.5, delta -10 -> overwhelming evidence
+    val strong = df("v STRING, x DOUBLE", Seq(
+      Row("A", 0.0), Row("A", 1.0), Row("B", 10.0), Row("B", 11.0)))
+    val rs = Experiment.msprt(strong, "v", "x", "A", "B").head()
+    val lnlS = r9(r9(math.log(math.sqrt(0.5 / 1.5))) +
+      r9(r9(r9(100.0) * 1.0) / r9(2.0 * 0.5 * 1.5)))
+    assert(rs.getAs[Double]("log_lambda") == r6(lnlS))
+    assert(rs.getAs[Double]("p_always") == r6(math.exp(0.0 - lnlS)))
+    // degenerate: identical constant arms -> V = 0 -> NULLs
+    val flat = df("v STRING, x DOUBLE", Seq(
+      Row("A", 2.0), Row("A", 2.0), Row("B", 2.0), Row("B", 2.0)))
+    assert(Experiment.msprt(flat, "v", "x", "A", "B").head().isNullAt(4))
+  }
+
   test("did: a 1-value cell voids the statistics but not the counts") {
     val d = df("g STRING, p STRING, x DOUBLE", Seq(
       Row("t", "pre", 1.0),

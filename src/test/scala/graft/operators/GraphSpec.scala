@@ -32,6 +32,27 @@ class GraphSpec extends SparkTestBase {
     assert(r("b") == 0.2775)                     // 0.15 + 0.85 * 0.15, 9-dp rounded
   }
 
+  test("personalizedPageRank: teleport mass stays on the seed set") {
+    // a -> b -> c chain, seed {a}, 2 iterations:
+    // r1 = (a .15, b .85, c 0); r2 = (a .15, b .1275, c .7225)
+    val e = df("src STRING, dst STRING",
+      Seq(Row("a", "b"), Row("b", "c")))
+    val seeds = df("node STRING", Seq(Row("a")))
+    val r = Graph.personalizedPageRank(e, "src", "dst", seeds, "node",
+      iterations = 2)
+      .collect().map(x => x.getString(0) -> x.getDouble(1)).toMap
+    assert(r == Map("a" -> 0.15, "b" -> 0.1275, "c" -> 0.7225))
+  }
+
+  test("personalizedPageRank: unknown seeds are ignored; no seeds -> all 0") {
+    val e = df("src STRING, dst STRING", Seq(Row("a", "b")))
+    val ghost = df("node STRING", Seq(Row("zz")))
+    val r = Graph.personalizedPageRank(e, "src", "dst", ghost, "node",
+      iterations = 2)
+      .collect().map(x => x.getString(0) -> x.getDouble(1)).toMap
+    assert(r == Map("a" -> 0.0, "b" -> 0.0))
+  }
+
   test("duplicate edges count once") {
     val once = ranks(Seq("a" -> "b", "b" -> "a"), 2)
     val dup = ranks(Seq("a" -> "b", "a" -> "b", "b" -> "a"), 2)

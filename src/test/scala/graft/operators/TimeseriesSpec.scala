@@ -188,6 +188,22 @@ class TimeseriesSpec extends SparkTestBase {
     assert(r.getAs[Double]("sen_slope") == 0.0)
   }
 
+  test("maseBacktest: seasonal MAE scaled by the naive-1 MAE") {
+    // counts 1..6, season 2: eval days 3-6, |n-lag2| = 2, |n-lag1| = 1
+    val r = Timeseries.maseBacktest(
+      events((1 to 6).map(d => d -> d)), "ts", season = 2).head()
+    assert(r.getLong(0) == 4L)
+    assert(r.getDouble(1) == 2.0 && r.getDouble(2) == 1.0)
+    assert(r.getDouble(3) == 2.0)
+  }
+
+  test("maseBacktest: constant series -> naive MAE 0 -> NULL mase") {
+    val r = Timeseries.maseBacktest(
+      events((1 to 5).map(_ -> 4)), "ts", season = 2).head()
+    assert(r.getDouble(1) == 0.0 && r.getDouble(2) == 0.0)
+    assert(r.isNullAt(3))
+  }
+
   test("trendTest: single day -> no pairs, NULL z and sen") {
     val r = Timeseries.trendTest(events(Seq(1 -> 9)), "ts").head()
     assert(r.getLong(0) == 1L && r.getLong(1) == 0L)
