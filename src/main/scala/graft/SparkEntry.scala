@@ -3347,6 +3347,24 @@ object SparkEntry {
       graft.operators.Graph.triangles(fwd, "src", "dst").orderBy("node")
     }),
 
+    // Link prediction on the same graph: non-adjacent distance-2 pairs
+    // with common-neighbor / jaccard / adamic-adar scores; center cap 8
+    // exercises the hub skew guard (decade hubs are excluded as wedge
+    // centers but keep their exact degrees in jaccard).
+    "q_graph_linkpred" -> ((s, d) => {
+      val ids = docs(s, d).select(col("doc_id"))
+      val fwd = ids.select(col("doc_id").as("src"),
+          (col("doc_id") + 1).as("dst"))
+        .unionByName(ids.select(col("doc_id").as("src"),
+          (col("doc_id") + 2).as("dst")))
+        .unionByName(ids.filter(col("doc_id") % 10 =!= 0)
+          .select(col("doc_id").as("src"),
+            (col("doc_id") - (col("doc_id") % 10)).as("dst")))
+      graft.operators.Graph.linkPrediction(fwd, "src", "dst",
+          maxCenterDegree = Some(8))
+        .orderBy("node_a", "node_b")
+    }),
+
     // k-core peeling (k=3, 4 fixed synchronous rounds) on the same
     // graph: survivors with their in-core degree plus a converged flag
     // (last round deleted nothing). Fixed rounds keep the result a pure
@@ -8186,6 +8204,38 @@ object SparkEntry {
         |               (CAST(d.dg AS DOUBLE) * (d.dg - 1)), 6)
         |    ELSE 0.0 END AS clustering
         |FROM deg d LEFT JOIN cr USING (node) ORDER BY node""".stripMargin,
+    // Same symmetrize/degree scaffold as the triangle oracle; wedge
+    // self-join through centers with 2 <= deg <= 8, per-center
+    // 1/ln(deg) snapped to 9 dp and summed as DECIMAL(28,9).
+    "q_graph_linkpred" ->
+      """WITH ids AS (SELECT doc_id FROM documents),
+        |fwd AS (
+        |  SELECT doc_id AS src, doc_id + 1 AS dst FROM ids
+        |  UNION ALL SELECT doc_id, doc_id + 2 FROM ids
+        |  UNION ALL SELECT doc_id, doc_id - (doc_id % 10) FROM ids
+        |    WHERE doc_id % 10 != 0),
+        |und AS (SELECT DISTINCT a, b FROM (
+        |  SELECT src AS a, dst AS b FROM fwd
+        |  UNION ALL SELECT dst AS a, src AS b FROM fwd) t WHERE a != b),
+        |deg AS (SELECT a AS node, count(*) AS dg FROM und GROUP BY 1),
+        |star AS (SELECT u.a AS c, u.b,
+        |           round(1.0 / ln(CAST(d.dg AS DOUBLE)), 9) AS aa
+        |         FROM und u JOIN deg d ON u.a = d.node
+        |         WHERE d.dg >= 2 AND d.dg <= 8),
+        |w AS (SELECT l.b AS na, r.b AS nb, l.aa
+        |      FROM star l JOIN star r ON l.c = r.c WHERE l.b < r.b),
+        |s AS (SELECT na, nb, count(*) AS cn,
+        |        sum(CAST(aa AS DECIMAL(28,9))) AS aas
+        |      FROM w GROUP BY 1, 2),
+        |n AS (SELECT s.* FROM s LEFT JOIN und u
+        |        ON s.na = u.a AND s.nb = u.b
+        |      WHERE u.a IS NULL)
+        |SELECT na AS node_a, nb AS node_b, cn AS common_neighbors,
+        |  round(CAST(cn AS DOUBLE) /
+        |    CAST(da.dg + db.dg - cn AS DOUBLE), 6) AS jaccard,
+        |  CAST(round(aas, 6) AS DOUBLE) AS adamic_adar
+        |FROM n JOIN deg da ON n.na = da.node JOIN deg db ON n.nb = db.node
+        |ORDER BY node_a, node_b""".stripMargin,
     // 4 unrolled synchronous peels at k=3: each round recomputes
     // degrees over the surviving edges and keeps nodes with >= k;
     // converged = the last peel deleted nothing (edge counts equal).

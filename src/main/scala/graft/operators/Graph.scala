@@ -514,4 +514,79 @@ object Graph {
         count(lit(1)).as("n_communities"),
         round(sum(term).cast("double"), 6).as("modularity"))
   }
+
+  /**
+   * Neighborhood link prediction: for every NON-adjacent distance-2
+   * pair `(node_a, node_b)` of the symmetrized simple graph, the three
+   * classic scores — `common_neighbors` |Γ(a)∩Γ(b)|, `jaccard`
+   * |Γ(a)∩Γ(b)| / |Γ(a)∪Γ(b)|, and `adamic_adar`
+   * Σ_{v∈Γ(a)∩Γ(b)} 1/ln(deg v) (Adamic & Adar 2003) — the standard
+   * "which edge appears next" ranking for recommendation and
+   * record-graph completion. Each pair is emitted once with
+   * `node_a < node_b`.
+   *
+   * Scale shape: candidates come from ONE wedge self-join through the
+   * shared neighbor (id-only rows), so pair volume is Σ_v C(deg v, 2)
+   * — quadratic in HUB degree, the same failure mode as
+   * [[graft.operators.Linkage]] blocks. `maxCenterDegree` is the skew
+   * guard ([[graft.operators.Dedup]] `maxShingleFreq` discipline):
+   * wedges through centers above the cap are skipped, bounding the
+   * join at cap·|E| rows while endpoint degrees (and so jaccard)
+   * stay exact. A 10⁶-degree crawl hub contributes C(10⁶,2) ≈ 5·10¹¹
+   * pairs — at 100 TB the cap is not optional; pick it at the degree
+   * where "shared neighbor" stops being evidence (everyone shares the
+   * mega-hub).
+   *
+   * Determinism: counts are exact integers; each 1/ln(deg) term snaps
+   * to 9 dp and sums as DECIMAL(28,9) (order-independent), publishing
+   * at 6 dp via exact decimal rounding; a wedge center has deg ≥ 2 so
+   * ln is never 0. Jaccard's denominator ≥ common_neighbors ≥ 1.
+   */
+  def linkPrediction(edges: DataFrame, srcCol: String, dstCol: String,
+                     maxCenterDegree: Option[Long] = None): DataFrame = {
+    val fwd = edges.select(col(srcCol).as("a"), col(dstCol).as("b"))
+    val und = fwd.union(fwd.select(col("b").as("a"), col("a").as("b")))
+      .filter(col("a") =!= col("b"))
+      .distinct()
+      .localCheckpoint(eager = true)
+    val deg = und.groupBy(col("a").as("node"))
+      .agg(count(lit(1)).as("deg"))
+      .localCheckpoint(eager = true)
+    // deg-1 nodes can't center a wedge — dropping them up front also
+    // keeps ln's argument >= 2 (ANSI division: 1/ln(1) would throw)
+    val centerDeg = maxCenterDegree match {
+      case Some(cap) =>
+        require(cap >= 2, s"maxCenterDegree must be >= 2, got $cap")
+        deg.filter(col("deg") >= 2 && col("deg") <= cap)
+      case None => deg.filter(col("deg") >= 2)
+    }
+    // half-open star per admitted center, scored once: the wedge join
+    // carries the center's 1/ln(deg) term instead of re-joining deg
+    // onto the (much larger) wedge output
+    val star = und.join(
+        centerDeg.select(col("node").as("a"),
+          round(lit(1.0) / log(col("deg").cast("double")), 9).as("__aa")),
+        "a")
+      .select(col("a").as("__c"), col("b"), col("__aa"))
+      .localCheckpoint(eager = true)
+    val wedges = star.select(col("__c"), col("b").as("node_a"), col("__aa"))
+      .join(star.select(col("__c"), col("b").as("node_b")), "__c")
+      .filter(col("node_a") < col("node_b"))
+    val scored = wedges.groupBy("node_a", "node_b").agg(
+      count(lit(1)).as("common_neighbors"),
+      sum(col("__aa").cast("decimal(28,9)")).as("__aas"))
+    val nonAdj = scored.join(
+      und.select(col("a").as("node_a"), col("b").as("node_b")),
+      Seq("node_a", "node_b"), "left_anti")
+    nonAdj
+      .join(deg.select(col("node").as("node_a"), col("deg").as("__da")),
+        "node_a")
+      .join(deg.select(col("node").as("node_b"), col("deg").as("__db")),
+        "node_b")
+      .select(col("node_a"), col("node_b"), col("common_neighbors"),
+        round(col("common_neighbors").cast("double") /
+          (col("__da") + col("__db") - col("common_neighbors"))
+            .cast("double"), 6).as("jaccard"),
+        round(col("__aas"), 6).cast("double").as("adamic_adar"))
+  }
 }

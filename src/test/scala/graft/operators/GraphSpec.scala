@@ -5,6 +5,11 @@ import graft.SparkTestBase
 
 class GraphSpec extends SparkTestBase {
 
+  private def r9(x: Double) =
+    BigDecimal(x).setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+  private def r6(x: Double) =
+    BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+
   private def ranks(edges: Seq[(String, String)], iters: Int): Map[String, Double] = {
     val e = df("src STRING, dst STRING",
       edges.map { case (a, b) => Row(a, b) })
@@ -42,6 +47,42 @@ class GraphSpec extends SparkTestBase {
       iterations = 2)
       .collect().map(x => x.getString(0) -> x.getDouble(1)).toMap
     assert(r == Map("a" -> 0.15, "b" -> 0.1275, "c" -> 0.7225))
+  }
+
+  test("linkPrediction: square graph — all three scores exact") {
+    // a-b, a-c, d-b, d-c: (a,d) share {b,c}; (b,c) share {a,d};
+    // adjacent pairs never appear
+    val e = df("src STRING, dst STRING", Seq(
+      Row("a", "b"), Row("a", "c"), Row("d", "b"), Row("d", "c")))
+    val r = Graph.linkPrediction(e, "src", "dst")
+      .collect().map(x => (x.getString(0), x.getString(1)) ->
+        (x.getLong(2), x.getDouble(3), x.getDouble(4))).toMap
+    val aa2 = r6(2 * r9(1.0 / math.log(2.0)))
+    assert(r == Map(("a", "d") -> ((2L, 1.0, aa2)),
+      ("b", "c") -> ((2L, 1.0, aa2))))
+  }
+
+  test("linkPrediction: path endpoints score through the middle node") {
+    // a-b-c: only (a,c), one shared neighbor of degree 2;
+    // jaccard = |{b}| / |{b}| = 1 (both endpoints have degree 1)
+    val e = df("src STRING, dst STRING", Seq(Row("a", "b"), Row("b", "c")))
+    val r = Graph.linkPrediction(e, "src", "dst").collect()
+    assert(r.length == 1)
+    assert(r(0).getString(0) == "a" && r(0).getString(1) == "c")
+    assert(r(0).getLong(2) == 1L && r(0).getDouble(3) == 1.0)
+    assert(r(0).getDouble(4) == r6(r9(1.0 / math.log(2.0))))
+  }
+
+  test("linkPrediction: maxCenterDegree drops hub-mediated candidates") {
+    // hub h touches a,b,c; chain a-b keeps (a,?) wedges alive elsewhere
+    val e = df("src STRING, dst STRING", Seq(
+      Row("h", "a"), Row("h", "b"), Row("h", "c"), Row("a", "x")))
+    val all = Graph.linkPrediction(e, "src", "dst").collect()
+    assert(all.length == 4)                      // (a,b),(a,c),(b,c) via h; (h,x) via a
+    val capped = Graph.linkPrediction(e, "src", "dst",
+      maxCenterDegree = Some(2))
+      .collect().map(x => (x.getString(0), x.getString(1))).toSet
+    assert(capped == Set(("h", "x")))            // only the deg-2 center a survives
   }
 
   test("personalizedPageRank: unknown seeds are ignored; no seeds -> all 0") {
