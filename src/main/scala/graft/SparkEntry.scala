@@ -3013,6 +3013,18 @@ object SparkEntry {
     "q_basket_rules_capped" -> ((s, d) =>
       basketGate(executor(s, d).table("events"), cap = Some(45L))),
 
+    // Item-item co-occurrence recommender: order baskets, 50 part
+    // buckets as items, pair floor 5, basket cap 10, top-5 cosine
+    // neighbors per item.
+    "q_item_similarity" -> ((s, d) =>
+      graft.operators.Basket.itemSimilarity(
+          executor(s, d).table("lineitem")
+            .select(col("l_orderkey").as("basket"),
+              (col("l_partkey") % 50).as("item")),
+          "basket", "item", minPairCount = 5,
+          maxBasketSize = Some(10L), topK = Some(5))
+        .orderBy("item", "neighbor")),
+
     // Daily event-count grid, interior gaps zero-filled.
     "q_ts_daily" -> ((s, d) =>
       graft.operators.Timeseries.dailyCounts(
@@ -7618,6 +7630,39 @@ object SparkEntry {
          |  CAST(sum(CAST($attributionDecayW AS DECIMAL(28,9)))
          |       OVER (PARTITION BY u) AS DOUBLE), 9)""".stripMargin),
     "q_attribution_markov" -> markovOracle(12),
+    // Cosine/lift mirror of the recommender table: same presence
+    // dedup, basket cap, pair floor, and (cosine DESC, pair_count
+    // DESC, neighbor ASC) top-5 window.
+    "q_item_similarity" ->
+      """WITH pres0 AS (
+        |  SELECT DISTINCT CAST(l_orderkey AS VARCHAR) AS b,
+        |         CAST(l_partkey % 50 AS VARCHAR) AS i
+        |  FROM lineitem
+        |  WHERE l_orderkey IS NOT NULL AND l_partkey IS NOT NULL),
+        |pres AS (SELECT p.* FROM pres0 p JOIN (
+        |  SELECT b FROM pres0 GROUP BY b HAVING count(*) <= 10) ok
+        |  ON p.b = ok.b),
+        |nb AS (SELECT count(DISTINCT b) AS nbv FROM pres),
+        |ic AS (SELECT i, count(*) AS ni FROM pres GROUP BY 1),
+        |pr AS (SELECT a.i AS ia, b2.i AS ib, count(*) AS np
+        |       FROM pres a JOIN pres b2 ON a.b = b2.b AND a.i < b2.i
+        |       GROUP BY 1, 2 HAVING count(*) >= 5),
+        |bidir AS (SELECT ia AS item, ib AS neighbor, np FROM pr
+        |          UNION ALL SELECT ib, ia, np FROM pr),
+        |sc AS (SELECT item, neighbor, np AS pair_count,
+        |         round(CAST(np AS DOUBLE) /
+        |           sqrt(CAST(a.ni AS DOUBLE) * CAST(n2.ni AS DOUBLE)), 6)
+        |           AS cosine,
+        |         round(CAST(np AS DOUBLE) * CAST(nbv AS DOUBLE) /
+        |           (CAST(a.ni AS DOUBLE) * CAST(n2.ni AS DOUBLE)), 6)
+        |           AS lift
+        |       FROM bidir JOIN ic a ON bidir.item = a.i
+        |                  JOIN ic n2 ON bidir.neighbor = n2.i, nb),
+        |rk AS (SELECT *, row_number() OVER (PARTITION BY item
+        |         ORDER BY cosine DESC, pair_count DESC, neighbor ASC)
+        |         AS rn FROM sc)
+        |SELECT item, neighbor, pair_count, cosine, lift FROM rk
+        |WHERE rn <= 5 ORDER BY item, neighbor""".stripMargin,
     "q_basket_rules" -> basketOracle(0.25, None),
     "q_basket_rules_capped" -> basketOracle(0.25, Some(45L)),
     "q_ts_daily" ->

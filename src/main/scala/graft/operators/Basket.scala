@@ -89,4 +89,76 @@ object Basket {
         round(d(col("__np")) * d(col("__nb")) /
           (d(col("__na")) * d(col("__nc"))), 6).as("lift"))
   }
+
+  /**
+   * Item-item co-occurrence similarity — the classic neighborhood
+   * recommender table ("users who touched X also touched Y, ranked"):
+   * for each surviving item, its co-items with `cosine =
+   * n_xy / √(n_x·n_y)` over basket presence and `lift =
+   * n_xy·N / (n_x·n_y)`. Rows are DIRECTED `(item, neighbor,
+   * pair_count, cosine, lift)` — each unordered pair appears once per
+   * direction — so `topK` can keep the k nearest neighbors per item
+   * (rank by published cosine desc, pair_count desc, neighbor asc:
+   * a total, engine-independent order).
+   *
+   * Scale shape: same presence-dedup + basket-keyed self-join as
+   * [[associationRules]] with the same `maxBasketSize` skew guard;
+   * `minPairCount` floors the pair table BEFORE the per-item window,
+   * and the topK window partitions by item — no global sort.
+   *
+   * Determinism: counts exact; cosine/lift are fixed-operand-order
+   * IEEE expressions (√ is correctly rounded) published at 6 dp.
+   */
+  def itemSimilarity(df: DataFrame, basketCol: String, itemCol: String,
+                     minPairCount: Long = 1,
+                     maxBasketSize: Option[Long] = None,
+                     topK: Option[Int] = None): DataFrame = {
+    require(minPairCount >= 1, s"minPairCount must be >= 1, got $minPairCount")
+    val pres0 = df
+      .where(col(basketCol).isNotNull && col(itemCol).isNotNull)
+      .select(col(basketCol).cast("string").as("__b"),
+        col(itemCol).cast("string").as("__i"))
+      .distinct()
+    val pres = maxBasketSize match {
+      case Some(cap) =>
+        require(cap >= 2, s"maxBasketSize must be >= 2, got $cap")
+        val hot = pres0.groupBy(col("__b")).agg(count(lit(1)).as("__sz"))
+          .where(col("__sz") > cap).select(col("__b"))
+        pres0.join(hot, Seq("__b"), "left_anti")
+      case None => pres0
+    }
+    val nB = pres.agg(countDistinct(col("__b")).as("__nb"))
+    val itemCounts = pres.groupBy(col("__i")).agg(count(lit(1)).as("__ni"))
+    val pairs = pres.select(col("__b"), col("__i").as("__ia"))
+      .join(pres.select(col("__b"), col("__i").as("__ib")), Seq("__b"))
+      .where(col("__ia") < col("__ib"))
+      .groupBy(col("__ia"), col("__ib")).agg(count(lit(1)).as("__np"))
+      .where(col("__np") >= minPairCount)
+    val directed = pairs
+      .select(col("__ia").as("item"), col("__ib").as("neighbor"), col("__np"))
+      .unionAll(pairs.select(col("__ib").as("item"),
+        col("__ia").as("neighbor"), col("__np")))
+      .join(itemCounts.select(col("__i"), col("__ni").as("__na")),
+        col("item") === col("__i")).drop("__i")
+      .join(itemCounts.select(col("__i"), col("__ni").as("__nn")),
+        col("neighbor") === col("__i")).drop("__i")
+      .crossJoin(broadcast(nB))
+      .select(col("item"), col("neighbor"),
+        col("__np").as("pair_count"),
+        round(d(col("__np")) /
+          sqrt(d(col("__na")) * d(col("__nn"))), 6).as("cosine"),
+        round(d(col("__np")) * d(col("__nb")) /
+          (d(col("__na")) * d(col("__nn"))), 6).as("lift"))
+    topK match {
+      case Some(k) =>
+        require(k >= 1, s"topK must be >= 1, got $k")
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy(col("item"))
+          .orderBy(col("cosine").desc, col("pair_count").desc,
+            col("neighbor").asc)
+        directed.withColumn("__rn", row_number().over(w))
+          .where(col("__rn") <= k).drop("__rn")
+      case None => directed
+    }
+  }
 }

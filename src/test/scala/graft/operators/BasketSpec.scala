@@ -51,6 +51,35 @@ class BasketSpec extends SparkTestBase {
     assert(un.length == 2 && un.forall(_.getLong(2) == 3L))
   }
 
+  test("itemSimilarity: hand-computed cosine/lift; floor prunes pairs") {
+    // pres fixture: 5 baskets; n_a=4, n_b=3, n_c=2; {a,b}=3, {a,c}=2,
+    // {b,c}=1, {rare,*}=1
+    val out = Basket.itemSimilarity(pres, "b", "i", minPairCount = 2)
+      .orderBy("item", "neighbor").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4))).toSeq
+    assert(out.map(t => (t._1, t._2)) ==
+      Seq(("a", "b"), ("a", "c"), ("b", "a"), ("c", "a")))
+    val ab = out.head
+    assert(ab._3 == 3L && ab._4 == r6(3.0 / math.sqrt(4.0 * 3.0)) &&
+      ab._5 == r6(3.0 * 5 / (4.0 * 3.0)))
+    val ca = out(3)
+    assert(ca._3 == 2L && ca._4 == r6(2.0 / math.sqrt(2.0 * 4.0)))
+  }
+
+  test("itemSimilarity: topK keeps the cosine-nearest per item") {
+    // b's neighbors: a (3/sqrt(12)=.866) beats c if c qualified; force
+    // a two-neighbor item by lowering the floor to 1
+    val out = Basket.itemSimilarity(pres, "b", "i",
+      minPairCount = 1, topK = Some(1))
+      .orderBy("item", "neighbor").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toSeq
+    // every item keeps exactly its single best neighbor
+    assert(out.count(_._1 == "a") == 1 && out.count(_._1 == "b") == 1)
+    assert(out.contains("b" -> "a"))  // cosine .866 beats b-c .408
+    assert(out.contains("a" -> "b"))  // .866 beats a-c .5 and a-rare
+  }
+
   test("guards: bad params rejected, NULLs drop") {
     intercept[IllegalArgumentException] {
       Basket.associationRules(pres, "b", "i", 0.0)
