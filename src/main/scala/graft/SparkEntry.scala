@@ -3377,6 +3377,38 @@ object SparkEntry {
         .orderBy("node_a", "node_b")
     }),
 
+    // BFS hop distance (3 synchronous relaxations) from the
+    // century-doc seed set: everything within 3 hops, exact integers.
+    "q_graph_bfs" -> ((s, d) => {
+      val ids = docs(s, d).select(col("doc_id"))
+      val fwd = ids.select(col("doc_id").as("src"),
+          (col("doc_id") + 1).as("dst"))
+        .unionByName(ids.select(col("doc_id").as("src"),
+          (col("doc_id") + 2).as("dst")))
+        .unionByName(ids.filter(col("doc_id") % 10 =!= 0)
+          .select(col("doc_id").as("src"),
+            (col("doc_id") - (col("doc_id") % 10)).as("dst")))
+      val seeds = ids.filter(col("doc_id") % 100 === 0)
+        .select(col("doc_id").as("node"))
+      graft.operators.Graph.bfsDistance(fwd, "src", "dst",
+          seeds, "node", rounds = 3)
+        .orderBy("node")
+    }),
+
+    // Degree assortativity of the same graph — one-row structural
+    // fingerprint (hub-leaf wiring is disassortative).
+    "q_graph_assortativity" -> ((s, d) => {
+      val ids = docs(s, d).select(col("doc_id"))
+      val fwd = ids.select(col("doc_id").as("src"),
+          (col("doc_id") + 1).as("dst"))
+        .unionByName(ids.select(col("doc_id").as("src"),
+          (col("doc_id") + 2).as("dst")))
+        .unionByName(ids.filter(col("doc_id") % 10 =!= 0)
+          .select(col("doc_id").as("src"),
+            (col("doc_id") - (col("doc_id") % 10)).as("dst")))
+      graft.operators.Graph.degreeAssortativity(fwd, "src", "dst")
+    }),
+
     // k-core peeling (k=3, 4 fixed synchronous rounds) on the same
     // graph: survivors with their in-core degree plus a converged flag
     // (last round deleted nothing). Fixed rounds keep the result a pure
@@ -8281,6 +8313,63 @@ object SparkEntry {
         |  CAST(round(aas, 6) AS DOUBLE) AS adamic_adar
         |FROM n JOIN deg da ON n.na = da.node JOIN deg db ON n.nb = db.node
         |ORDER BY node_a, node_b""".stripMargin,
+    // 3 unrolled min-relaxations from the century seeds over the same
+    // symmetrized scaffold; reached nodes only.
+    "q_graph_bfs" ->
+      """WITH ids AS (SELECT doc_id FROM documents),
+        |fwd AS (
+        |  SELECT doc_id AS src, doc_id + 1 AS dst FROM ids
+        |  UNION ALL SELECT doc_id, doc_id + 2 FROM ids
+        |  UNION ALL SELECT doc_id, doc_id - (doc_id % 10) FROM ids
+        |    WHERE doc_id % 10 != 0),
+        |und AS (SELECT DISTINCT a, b FROM (
+        |  SELECT src AS a, dst AS b FROM fwd
+        |  UNION ALL SELECT dst AS a, src AS b FROM fwd) t WHERE a != b),
+        |nodes AS (SELECT DISTINCT a AS node FROM und),
+        |d0 AS (SELECT node, CAST(0 AS BIGINT) AS dist FROM nodes
+        |       JOIN ids ON node = doc_id WHERE node % 100 = 0),
+        |d1 AS (SELECT node, min(dist) AS dist FROM (
+        |  SELECT node, dist FROM d0
+        |  UNION ALL SELECT u.b, d.dist + 1 FROM und u
+        |    JOIN d0 d ON u.a = d.node) t GROUP BY 1),
+        |d2 AS (SELECT node, min(dist) AS dist FROM (
+        |  SELECT node, dist FROM d1
+        |  UNION ALL SELECT u.b, d.dist + 1 FROM und u
+        |    JOIN d1 d ON u.a = d.node) t GROUP BY 1),
+        |d3 AS (SELECT node, min(dist) AS dist FROM (
+        |  SELECT node, dist FROM d2
+        |  UNION ALL SELECT u.b, d.dist + 1 FROM und u
+        |    JOIN d2 d ON u.a = d.node) t GROUP BY 1)
+        |SELECT node, dist FROM d3 ORDER BY node""".stripMargin,
+    // Newman assortativity: Pearson of endpoint degrees over both
+    // orientations; exact integer moments, 9-dp means, 6-dp publish.
+    "q_graph_assortativity" ->
+      """WITH ids AS (SELECT doc_id FROM documents),
+        |fwd AS (
+        |  SELECT doc_id AS src, doc_id + 1 AS dst FROM ids
+        |  UNION ALL SELECT doc_id, doc_id + 2 FROM ids
+        |  UNION ALL SELECT doc_id, doc_id - (doc_id % 10) FROM ids
+        |    WHERE doc_id % 10 != 0),
+        |und AS (SELECT DISTINCT a, b FROM (
+        |  SELECT src AS a, dst AS b FROM fwd
+        |  UNION ALL SELECT dst AS a, src AS b FROM fwd) t WHERE a != b),
+        |deg AS (SELECT a AS node, count(*) AS dg FROM und GROUP BY 1),
+        |bt AS (SELECT dx.dg AS x, dy.dg AS y FROM und u
+        |       JOIN deg dx ON u.a = dx.node JOIN deg dy ON u.b = dy.node),
+        |m AS (SELECT count(*) AS mm,
+        |        sum(CAST(x AS DECIMAL(28,0))) AS sx,
+        |        sum(CAST(x * x AS DECIMAL(28,0))) AS sxx,
+        |        sum(CAST(x * y AS DECIMAL(28,0))) AS sxy FROM bt),
+        |c AS (SELECT mm,
+        |        round(CAST(sx AS DOUBLE) / mm, 9) AS mx,
+        |        round(CAST(sxx AS DOUBLE) / mm, 9) AS exx,
+        |        round(CAST(sxy AS DOUBLE) / mm, 9) AS exy FROM m),
+        |v AS (SELECT *, round(exx - mx * mx, 9) AS varx FROM c)
+        |SELECT CAST(mm // 2 AS BIGINT) AS n_edges,
+        |  CASE WHEN mm = 0 OR varx <= 0.0 THEN NULL
+        |       ELSE round(round(exy - mx * mx, 9) / varx, 6)
+        |  END AS assortativity
+        |FROM v""".stripMargin,
     // 4 unrolled synchronous peels at k=3: each round recomputes
     // degrees over the surviving edges and keeps nodes with >= k;
     // converged = the last peel deleted nothing (edge counts equal).

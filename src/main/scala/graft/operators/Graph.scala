@@ -589,4 +589,89 @@ object Graph {
             .cast("double"), 6).as("jaccard"),
         round(col("__aas"), 6).cast("double").as("adamic_adar"))
   }
+
+  /**
+   * Unweighted BFS hop distance from a seed set over the symmetrized
+   * simple graph — blast-radius / coverage queries ("everything within
+   * k hops of the flagged accounts"). Runs a FIXED `rounds` count of
+   * synchronous relaxations (dist ← min(dist, min over neighbors + 1)),
+   * so the result is exact for all nodes within `rounds` hops and a
+   * pure function of the input — the oracle unrolls the same rounds.
+   * Returns `(node, dist)` for REACHED graph nodes only; seeds absent
+   * from the graph are ignored (same contract as
+   * [[personalizedPageRank]]).
+   *
+   * Scale shape: edges symmetrize once (eager checkpoint, reused every
+   * round); a round shuffles only the reached-frontier dist table
+   * (≤ |V| id+long rows) through one join + one min-aggregate, and
+   * lineage truncates per round. Distances are exact integers — no
+   * float policy needed.
+   */
+  def bfsDistance(edges: DataFrame, srcCol: String, dstCol: String,
+                  seeds: DataFrame, seedCol: String,
+                  rounds: Int): DataFrame = {
+    require(rounds >= 1, s"rounds must be >= 1, got $rounds")
+    val fwd = edges.select(col(srcCol).as("a"), col(dstCol).as("b"))
+    val und = fwd.union(fwd.select(col("b").as("a"), col("a").as("b")))
+      .filter(col("a") =!= col("b"))
+      .distinct()
+      .localCheckpoint(eager = true)
+    val nodes = und.select(col("a").as("node")).distinct()
+    var dist = nodes.join(
+        seeds.select(col(seedCol).as("node")).distinct(),
+        Seq("node"), "left_semi")
+      .withColumn("dist", lit(0L))
+      .localCheckpoint(eager = true)
+    for (_ <- 1 to rounds) {
+      val relaxed = und
+        .join(dist.select(col("node").as("a"), col("dist")), "a")
+        .select(col("b").as("node"), (col("dist") + 1L).as("dist"))
+      dist = dist.union(relaxed)
+        .groupBy("node").agg(min(col("dist")).as("dist"))
+        .localCheckpoint(eager = true)
+    }
+    dist
+  }
+
+  /**
+   * Degree assortativity (Newman 2002): the Pearson correlation of
+   * endpoint degrees over the symmetrized edge list, each undirected
+   * edge contributing both orientations (which makes the x and y
+   * marginals identical — the standard estimator). Positive = hubs
+   * link to hubs (social graphs), negative = hubs link to leaves (the
+   * web, star-spam) — a one-row structural fingerprint next to
+   * [[triangles]]' clustering. Output `(n_edges, assortativity)`;
+   * NULL when the degree sequence is constant (zero variance).
+   *
+   * One degree join + one moment reduce over the directed edge rows;
+   * degree products snap to exact integer sums in DECIMAL, means round
+   * to 9 dp, publish 6 dp.
+   */
+  def degreeAssortativity(edges: DataFrame, srcCol: String,
+                          dstCol: String): DataFrame = {
+    val fwd = edges.select(col(srcCol).as("a"), col(dstCol).as("b"))
+    val und = fwd.union(fwd.select(col("b").as("a"), col("a").as("b")))
+      .filter(col("a") =!= col("b"))
+      .distinct()
+      .localCheckpoint(eager = true)
+    val deg = und.groupBy(col("a").as("node")).agg(count(lit(1)).as("deg"))
+    val both = und
+      .join(deg.select(col("node").as("a"), col("deg").as("__x")), "a")
+      .join(deg.select(col("node").as("b"), col("deg").as("__y")), "b")
+    val dec = "decimal(28,0)"
+    val m = both.agg(
+      count(lit(1)).as("__m"),
+      sum(col("__x").cast(dec)).as("__sx"),
+      sum((col("__x") * col("__x")).cast(dec)).as("__sxx"),
+      sum((col("__x") * col("__y")).cast(dec)).as("__sxy"))
+    val n = col("__m").cast("double")
+    val mx = round(col("__sx").cast("double") / n, 9)
+    val exx = round(col("__sxx").cast("double") / n, 9)
+    val exy = round(col("__sxy").cast("double") / n, 9)
+    val varx = round(exx - mx * mx, 9)
+    m.select((col("__m") / lit(2)).cast("long").as("n_edges"),
+      when(col("__m") === 0 || varx <= 0.0, lit(null).cast("double"))
+        .otherwise(round(round(exy - mx * mx, 9) / varx, 6))
+        .as("assortativity"))
+  }
 }

@@ -85,6 +85,41 @@ class GraphSpec extends SparkTestBase {
     assert(capped == Set(("h", "x")))            // only the deg-2 center a survives
   }
 
+  test("bfsDistance: exact hops within rounds; beyond stays unreached") {
+    // path a-b-c-d-e, seed a, 2 rounds: a0 b1 c2; d,e unreached
+    val e = df("src STRING, dst STRING", Seq(
+      Row("a", "b"), Row("b", "c"), Row("c", "d"), Row("d", "e")))
+    val seeds = df("node STRING", Seq(Row("a")))
+    val r = Graph.bfsDistance(e, "src", "dst", seeds, "node", rounds = 2)
+      .collect().map(x => x.getString(0) -> x.getLong(1)).toMap
+    assert(r == Map("a" -> 0L, "b" -> 1L, "c" -> 2L))
+  }
+
+  test("bfsDistance: multiple seeds take the min; ghost seeds ignored") {
+    val e = df("src STRING, dst STRING", Seq(
+      Row("a", "b"), Row("b", "c"), Row("c", "d")))
+    val seeds = df("node STRING", Seq(Row("a"), Row("d"), Row("zz")))
+    val r = Graph.bfsDistance(e, "src", "dst", seeds, "node", rounds = 3)
+      .collect().map(x => x.getString(0) -> x.getLong(1)).toMap
+    assert(r == Map("a" -> 0L, "b" -> 1L, "c" -> 1L, "d" -> 0L))
+  }
+
+  test("degreeAssortativity: star is perfectly disassortative") {
+    val e = df("src STRING, dst STRING", Seq(
+      Row("h", "a"), Row("h", "b"), Row("h", "c")))
+    val r = Graph.degreeAssortativity(e, "src", "dst").head()
+    assert(r.getLong(0) == 3L)
+    assert(r.getDouble(1) == -1.0)
+  }
+
+  test("degreeAssortativity: regular graph has zero variance -> NULL") {
+    // 4-cycle: every node degree 2
+    val e = df("src STRING, dst STRING", Seq(
+      Row("a", "b"), Row("b", "c"), Row("c", "d"), Row("d", "a")))
+    val r = Graph.degreeAssortativity(e, "src", "dst").head()
+    assert(r.getLong(0) == 4L && r.isNullAt(1))
+  }
+
   test("personalizedPageRank: unknown seeds are ignored; no seeds -> all 0") {
     val e = df("src STRING, dst STRING", Seq(Row("a", "b")))
     val ghost = df("node STRING", Seq(Row("zz")))
