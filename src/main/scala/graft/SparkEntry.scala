@@ -2079,6 +2079,23 @@ object SparkEntry {
         .orderBy(col("lang").asc_nulls_last, col("source").asc_nulls_last,
           col("len_bucket").asc_nulls_last)),
 
+    // l-diversity audit: (lang, source) classes whose len-bucket
+    // diversity is under 10 — the sensitive-value leak check next to
+    // q_pii_kanon.
+    "q_pii_ldiv" -> ((s, d) =>
+      graft.operators.Pii.lDiversityViolations(
+          docs(s, d).withColumn("len_bucket", col("n_chars") % 10)
+            .select(col("lang"), col("source"), col("len_bucket")),
+          Seq("lang", "source"), "len_bucket", l = 10)
+        .orderBy(col("lang").asc_nulls_last, col("source").asc_nulls_last)),
+
+    // Daily OHLC resample of the event value stream, event_id
+    // tie-break.
+    "q_ts_ohlc" -> ((s, d) =>
+      graft.operators.Timeseries.ohlc(
+          executor(s, d).table("events"), "ts", "value", "event_id")
+        .orderBy("day")),
+
     // Per-key rolling aggregate over event time (trailing 1h, RANGE
     // frame over integer epoch micros — tied timestamps are peers, so
     // the result is deterministic; decimal sum stays exact under the
@@ -6202,6 +6219,27 @@ object SparkEntry {
         |FROM documents GROUP BY 1, 2, 3 HAVING count(*) < 4
         |ORDER BY lang NULLS LAST, source NULLS LAST,
         |  len_bucket NULLS LAST""".stripMargin,
+    "q_pii_ldiv" ->
+      """SELECT lang, source, count(*) AS n,
+        |  count(DISTINCT n_chars % 10) AS n_sensitive
+        |FROM documents GROUP BY 1, 2
+        |HAVING count(DISTINCT n_chars % 10) < 10
+        |ORDER BY lang NULLS LAST, source NULLS LAST""".stripMargin,
+    // OHLC mirror: identical (ts, event_id) row_number tie-break for
+    // open/close; extremes and counts exact.
+    "q_ts_ohlc" ->
+      """WITH r AS (SELECT CAST(ts AS DATE) AS day, value,
+        |    row_number() OVER (PARTITION BY CAST(ts AS DATE)
+        |      ORDER BY ts ASC, event_id ASC) AS ra,
+        |    row_number() OVER (PARTITION BY CAST(ts AS DATE)
+        |      ORDER BY ts DESC, event_id DESC) AS rd
+        |  FROM events WHERE ts IS NOT NULL AND value IS NOT NULL)
+        |SELECT day, count(*) AS n,
+        |  round(max(CASE WHEN ra = 1 THEN value END), 6) AS open,
+        |  round(max(value), 6) AS high,
+        |  round(min(value), 6) AS low,
+        |  round(max(CASE WHEN rd = 1 THEN value END), 6) AS close
+        |FROM r GROUP BY day ORDER BY day""".stripMargin,
     "q_rolling_window" ->
       """SELECT event_id, count(*) OVER w AS n_window,
         |  CAST(sum(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE) AS sum_window

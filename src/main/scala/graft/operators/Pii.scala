@@ -106,6 +106,30 @@ object Pii {
   }
 
   /**
+   * l-diversity audit (Machanavajjhala 2007) — k-anonymity's
+   * complement: an equivalence class whose rows all share ONE sensitive
+   * value leaks that value even when the class is large. Returns the
+   * classes `(quasiCols..., n, n_sensitive)` whose count of DISTINCT
+   * sensitive values is below `l`; empty ⇒ the dataset is l-diverse on
+   * that column. NULL quasi-identifier values group as real levels
+   * (same as [[kAnonymityViolations]]); NULL sensitive values do NOT
+   * count as a level (SQL COUNT DISTINCT semantics) — an all-NULL
+   * class reports `n_sensitive = 0`.
+   *
+   * Same single map-side-combined aggregation shape; output bounded by
+   * the number of low-diversity classes, not corpus size.
+   */
+  def lDiversityViolations(df: DataFrame, quasiCols: Seq[String],
+                           sensitiveCol: String, l: Long): DataFrame = {
+    require(quasiCols.nonEmpty, "need at least one quasi-identifier")
+    require(l >= 2, "l < 2 is vacuous")
+    df.groupBy(quasiCols.map(col): _*)
+      .agg(count(lit(1)).as("n"),
+        countDistinct(col(sensitiveCol)).as("n_sensitive"))
+      .filter(col("n_sensitive") < l)
+  }
+
+  /**
    * Corpus-level PII exposure report — the audit run BEFORE deciding to
    * scrub: one row per category, `(category, n_docs, n_matches,
    * doc_frac)` where `n_docs` counts documents containing ≥1 match,

@@ -450,6 +450,50 @@ object Timeseries {
    * the `season`-lag and the 1-lag, and `mase` is NULL when the naive
    * MAE is 0 (a constant series scales nothing).
    *
+   * Daily OHLC resample of a value stream — the standard downsample
+   * for any metric-over-time view: per day `(day, n, open, high, low,
+   * close)` where open/close are the values of the first/last row by
+   * `(ts, id)` and high/low the exact extremes. `idCol` totally orders
+   * same-timestamp rows (the [[graft.operators.Funnel.transitions]]
+   * tie discipline), so every cell is a pure function of the data.
+   * NULL values drop; days with no surviving rows are absent (OHLC of
+   * nothing is undefined — join against [[dailyCounts]] for a gapless
+   * calendar).
+   *
+   * Scale shape: one day-keyed shuffle; open/close ride two
+   * row_number windows over that same partitioning (no global sort),
+   * high/low/n map-side combine. Published values round to 6 dp.
+   */
+  def ohlc(df: DataFrame, tsCol: String, valueCol: String,
+           idCol: String): DataFrame = {
+    val rows = df
+      .where(col(tsCol).isNotNull && col(valueCol).isNotNull)
+      .select(to_date(col(tsCol)).as("day"), col(tsCol).as("__ts"),
+        col(idCol).as("__id"), col(valueCol).cast("double").as("__v"))
+    val wAsc = Window.partitionBy(col("day"))
+      .orderBy(col("__ts").asc, col("__id").asc)
+    val wDesc = Window.partitionBy(col("day"))
+      .orderBy(col("__ts").desc, col("__id").desc)
+    rows
+      .withColumn("__ra", row_number().over(wAsc))
+      .withColumn("__rd", row_number().over(wDesc))
+      .groupBy(col("day"))
+      .agg(count(lit(1)).as("n"),
+        round(max(when(col("__ra") === 1, col("__v"))), 6).as("open"),
+        round(max(col("__v")), 6).as("high"),
+        round(min(col("__v")), 6).as("low"),
+        round(max(when(col("__rd") === 1, col("__v"))), 6).as("close"))
+  }
+
+  /**
+   * MASE (mean absolute scaled error) backtest: the seasonal-naive
+   * forecast's MAE divided by the one-step-naive's MAE on the SAME
+   * evaluation rows — the scale-free "is this forecast better than
+   * 'same as yesterday'?" (Hyndman & Koehler 2006); < 1 beats naïve-1.
+   * One row: `(n_eval, mae_forecast, mae_naive, mase)`; rows need both
+   * the `season`-lag and the 1-lag, and `mase` is NULL when the naive
+   * MAE is 0 (a constant series scales nothing).
+   *
    * Same corpus-reduce-then-tiny-grid shape as
    * [[seasonalNaiveBacktest]]; integer errors, so only the final
    * divisions round.

@@ -121,6 +121,19 @@ class CurationSpec extends SparkTestBase {
     assert(out == Set((Some("10002"), 1L), (None, 2L)))
   }
 
+  test("Pii.lDiversityViolations flags low-diversity classes; NULL sensitive not a level") {
+    val rows = df("zip STRING, dx STRING", Seq(
+      org.apache.spark.sql.Row("10001", "flu"), org.apache.spark.sql.Row("10001", "flu"),
+      org.apache.spark.sql.Row("10001", "flu"),
+      org.apache.spark.sql.Row("10002", "flu"), org.apache.spark.sql.Row("10002", "cold"),
+      org.apache.spark.sql.Row("10003", null), org.apache.spark.sql.Row("10003", "flu")))
+    val out = Pii.lDiversityViolations(rows, Seq("zip"), "dx", l = 2)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    // 10001: 3 rows, 1 value -> violation; 10002: 2 values -> diverse;
+    // 10003: NULL doesn't count, 1 value -> violation
+    assert(out == Set(("10001", 3L, 1L), ("10003", 2L, 1L)))
+  }
+
   test("NgramStats.topNgrams counts bigrams with deterministic tie-break") {
     val docs = df("doc_id INT, text STRING", Seq(
       doc(1, "a b a b c"), doc(2, "a b x")))

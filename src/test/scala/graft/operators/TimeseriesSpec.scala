@@ -188,6 +188,24 @@ class TimeseriesSpec extends SparkTestBase {
     assert(r.getAs[Double]("sen_slope") == 0.0)
   }
 
+  test("ohlc: first/last by (ts, id), exact extremes, NULL values drop") {
+    val d1 = df("ts TIMESTAMP, id LONG, v DOUBLE", Seq(
+      Row(Timestamp.valueOf("2024-01-01 01:00:00"), 2L, 10.0),
+      Row(Timestamp.valueOf("2024-01-01 01:00:00"), 1L, 7.0),  // same ts: id 1 opens
+      Row(Timestamp.valueOf("2024-01-01 05:00:00"), 3L, 3.0),
+      Row(Timestamp.valueOf("2024-01-01 09:00:00"), 4L, null),  // drops
+      Row(Timestamp.valueOf("2024-01-02 00:00:00"), 5L, 4.0)))
+    val out = Timeseries.ohlc(d1, "ts", "v", "id").orderBy("day").collect()
+    assert(out.length == 2)
+    val r1 = out(0)
+    assert(r1.getLong(1) == 3L && r1.getDouble(2) == 7.0 &&
+      r1.getDouble(3) == 10.0 && r1.getDouble(4) == 3.0 &&
+      r1.getDouble(5) == 3.0)
+    val r2 = out(1)
+    assert(r2.getLong(1) == 1L && r2.getDouble(2) == 4.0 &&
+      r2.getDouble(5) == 4.0)
+  }
+
   test("maseBacktest: seasonal MAE scaled by the naive-1 MAE") {
     // counts 1..6, season 2: eval days 3-6, |n-lag2| = 2, |n-lag1| = 1
     val r = Timeseries.maseBacktest(
