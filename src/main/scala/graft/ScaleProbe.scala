@@ -217,7 +217,21 @@ object ScaleProbe {
     "q_ts_acf", "q_ts_ewma",
     // RFM: one customer reduce, then distinct-value bucket windows +
     // three value equi-joins back
-    "q_rfm")
+    "q_rfm",
+    // round-7 graph batch: PPR (pagerank discipline + one broadcast
+    // seed flag), link prediction (capped wedge self-join — the Σdeg²
+    // guard under test), BFS (frontier-table min-relaxations),
+    // assortativity (degree join + one moment reduce)
+    "q_graph_ppr", "q_graph_linkpred", "q_graph_bfs",
+    "q_graph_assortativity",
+    // co-occurrence recommender: capped basket self-join + per-item
+    // top-k window over the bounded pair table
+    "q_item_similarity",
+    // l-diversity (one map-side-combined class reduce), OHLC (one
+    // day-keyed shuffle), MASE (daily reduce + grid lags), sequential
+    // + proportion A/B stats (one conditional-aggregate pass each)
+    "q_pii_ldiv", "q_ts_ohlc", "q_ts_mase", "q_ab_msprt",
+    "q_ab_mde_prop")
 
   private def caesar(c: org.apache.spark.sql.Column, k: Int) = {
     val lower = "abcdefghijklmnopqrstuvwxyz"

@@ -3106,6 +3106,13 @@ object SparkEntry {
           executor(s, d).table("events"), "user_id", "ts", periodDays = 7)
         .orderBy("period")),
 
+    // Daily growth accounting: new/retained/resurrected partition of
+    // actives plus the next-day churn flow.
+    "q_growth_accounting" -> ((s, d) =>
+      graft.operators.Cohort.growthAccounting(
+          executor(s, d).table("events"), "user_id", "ts")
+        .orderBy("day")),
+
     // ABC / Pareto classification of parts by revenue mass.
     "q_abc" -> ((s, d) =>
       graft.operators.Olap.abcClassification(
@@ -7953,6 +7960,35 @@ object SparkEntry {
         |  LEFT JOIN mau m ON g.day = m.day
         |ORDER BY g.day""".stripMargin,
     // Churn mirror: distinct (user, period) pairs, +1-shifted self-join.
+    // Growth-accounting mirror: same per-user lag/lead window over
+    // distinct (user, day) pairs; churn credited to day + 1.
+    "q_growth_accounting" ->
+      """WITH pairs AS (SELECT DISTINCT user_id AS u, CAST(ts AS DATE) AS day
+        |               FROM events
+        |               WHERE ts IS NOT NULL AND user_id IS NOT NULL),
+        |t AS (SELECT u, day,
+        |        lag(day) OVER (PARTITION BY u ORDER BY day) AS prev,
+        |        lead(day) OVER (PARTITION BY u ORDER BY day) AS nxt
+        |      FROM pairs),
+        |st AS (SELECT day, count(*) AS n_active,
+        |         count(CASE WHEN prev IS NULL THEN 1 END) AS n_new,
+        |         count(CASE WHEN date_diff('day', prev, day) = 1 THEN 1 END)
+        |           AS n_retained,
+        |         count(CASE WHEN prev IS NOT NULL
+        |                     AND date_diff('day', prev, day) > 1 THEN 1 END)
+        |           AS n_resurrected
+        |       FROM t GROUP BY 1),
+        |cf AS (SELECT day + 1 AS day, count(*) AS n_churned FROM t
+        |       WHERE nxt IS NULL OR date_diff('day', day, nxt) > 1
+        |       GROUP BY 1)
+        |SELECT coalesce(st.day, cf.day) AS day,
+        |  coalesce(n_active, 0) AS n_active,
+        |  coalesce(n_new, 0) AS n_new,
+        |  coalesce(n_retained, 0) AS n_retained,
+        |  coalesce(n_resurrected, 0) AS n_resurrected,
+        |  coalesce(n_churned, 0) AS n_churned
+        |FROM st FULL OUTER JOIN cf ON st.day = cf.day
+        |ORDER BY 1""".stripMargin,
     "q_churn" ->
       """WITH raw AS (SELECT user_id AS u, CAST(ts AS DATE) AS day
         |             FROM events

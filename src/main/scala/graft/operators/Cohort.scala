@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /**
@@ -163,5 +164,57 @@ object Cohort {
         when(col("__p") === col("__mp"), lit(null).cast("double"))
           .otherwise(round((col("n_active") - col("__ret")).cast("double") /
             col("n_active").cast("double"), 6)).as("churn_rate"))
+  }
+
+  /**
+   * Daily growth accounting (the Social Capital decomposition): every
+   * active day of every user is exactly one of `n_new` (first-ever
+   * day), `n_retained` (also active the previous day), or
+   * `n_resurrected` (returning after a gap) — so
+   * `n_active = n_new + n_retained + n_resurrected` by construction —
+   * and `n_churned` counts users active the previous day who did NOT
+   * return today. Output one row per day of `[first activity,
+   * last activity + 1]`; the trailing day exists because the last
+   * active users all churn there (same absence-of-evidence honesty as
+   * [[churn]]'s NULL last period, but here the successor day IS
+   * observed to be empty within the log's span).
+   *
+   * Scale shape: one reduce to distinct (user, day) pairs, then ONE
+   * user-keyed window (lag + running min) — the sessionize shuffle —
+   * and a day-keyed count rollup; the churn flow reuses the same
+   * window's lead. Pure integer/date arithmetic, no float policy.
+   */
+  def growthAccounting(events: DataFrame, userCol: String,
+                       tsCol: String): DataFrame = {
+    val pairs = events
+      .where(col(tsCol).isNotNull && col(userCol).isNotNull)
+      .select(col(userCol).as("u"), to_date(col(tsCol)).as("day"))
+      .distinct()
+    val w = Window.partitionBy(col("u")).orderBy(col("day"))
+    val tagged = pairs
+      .withColumn("__prev", lag(col("day"), 1).over(w))
+      .withColumn("__next", lead(col("day"), 1).over(w))
+    val status = tagged.groupBy(col("day")).agg(
+      count(lit(1)).as("n_active"),
+      count(when(col("__prev").isNull, lit(1))).as("n_new"),
+      count(when(datediff(col("day"), col("__prev")) === 1, lit(1)))
+        .as("n_retained"),
+      count(when(col("__prev").isNotNull &&
+        datediff(col("day"), col("__prev")) > 1, lit(1)))
+        .as("n_resurrected"))
+    // a user active on d churns at d+1 unless their next active day IS
+    // d+1; credited to the day the absence is first observable
+    val churnFlow = tagged
+      .where(col("__next").isNull ||
+        datediff(col("__next"), col("day")) > 1)
+      .groupBy(date_add(col("day"), 1).as("day"))
+      .agg(count(lit(1)).as("n_churned"))
+    status.join(churnFlow, Seq("day"), "full_outer")
+      .select(col("day"),
+        coalesce(col("n_active"), lit(0L)).as("n_active"),
+        coalesce(col("n_new"), lit(0L)).as("n_new"),
+        coalesce(col("n_retained"), lit(0L)).as("n_retained"),
+        coalesce(col("n_resurrected"), lit(0L)).as("n_resurrected"),
+        coalesce(col("n_churned"), lit(0L)).as("n_churned"))
   }
 }

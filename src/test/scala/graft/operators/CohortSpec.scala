@@ -26,6 +26,26 @@ class CohortSpec extends SparkTestBase {
         Seq("2024-01-08", 1L, 1L)))
   }
 
+  test("growthAccounting: new/retained/resurrected partition actives; churn flows next day") {
+    // u1: d1, d2, d5; u2: d2
+    val ev = df("user_id BIGINT, ts TIMESTAMP", Seq(
+      Row(1L, ts("2024-01-01 10:00:00")), Row(1L, ts("2024-01-02 10:00:00")),
+      Row(1L, ts("2024-01-05 10:00:00")),
+      Row(2L, ts("2024-01-02 12:00:00"))))
+    val out = Cohort.growthAccounting(ev, "user_id", "ts")
+      .orderBy("day").collect()
+      .map(r => (r.getDate(0).toString, r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5))).toSeq
+    assert(out == Seq(
+      ("2024-01-01", 1L, 1L, 0L, 0L, 0L),   // u1 new
+      ("2024-01-02", 2L, 1L, 1L, 0L, 0L),   // u2 new, u1 retained
+      ("2024-01-03", 0L, 0L, 0L, 0L, 2L),   // both absent -> churned
+      ("2024-01-05", 1L, 0L, 0L, 1L, 0L),   // u1 resurrects
+      ("2024-01-06", 0L, 0L, 0L, 0L, 1L)))  // u1's trailing churn
+    // identity: active = new + retained + resurrected on every row
+    assert(out.forall(r => r._2 == r._3 + r._4 + r._5))
+  }
+
   test("retentionRate normalizes by cohort size; offset 0 is exactly 1.0") {
     val out = Cohort.retentionRate(events, "user_id", "ts")
       .orderBy("cohort", "period_offset").collect()
