@@ -66,6 +66,48 @@ object Writer {
   }
 
   /**
+   * Bucketed table write — the OTHER shuffle killer next to hive
+   * partitioning: rows are hash-clustered into a FIXED `nBuckets`
+   * files per partition on `bucketCols`, and Spark records the layout
+   * in the catalog, so an equi-join or aggregation on those columns
+   * reads the buckets ALIGNED — no Exchange on either bucketed side
+   * (BucketedJoinSpec asserts the plan). At 100 TB this converts the
+   * recurring join shuffle of a fact table (every run, every
+   * downstream consumer) into a one-time write-side cost: exactly the
+   * trade a curation pipeline wants for its (doc_id-keyed) master
+   * corpus joined per-run against scores/labels/dedup verdicts.
+   *
+   * `sortCols` additionally sorts within each bucket file (catalog-
+   * recorded; columnar encodings and range readers win immediately —
+   * the JOIN's sort elision additionally needs Spark's legacy
+   * `bucketedTableScan.outputOrdering` flag, and the remaining sort is
+   * task-local over one bucket, not a shuffle). Buckets
+   * are per-TASK files — the writer repartitions on the bucket
+   * columns to `nBuckets` tasks first so the file count is exactly
+   * nBuckets (not tasks × nBuckets, the same explosion
+   * [[writePartitioned]] guards against).
+   *
+   * Catalog-backed (`saveAsTable`) because pure-path parquet carries
+   * no bucket metadata — readers must go through `spark.table(name)`.
+   * Pick nBuckets once per table family: both sides of a bucketed
+   * join must agree (or one be a multiple of the other).
+   */
+  def writeBucketed(df: DataFrame, tableName: String,
+                    bucketCols: Seq[String], nBuckets: Int,
+                    sortCols: Seq[String] = Nil,
+                    mode: SaveMode = SaveMode.Overwrite): Unit = {
+    require(bucketCols.nonEmpty, "need at least one bucket column")
+    require(nBuckets >= 1, s"nBuckets must be >= 1, got $nBuckets")
+    val repartitioned =
+      df.repartition(nBuckets, bucketCols.map(col): _*)
+    val w0 = repartitioned.write.mode(mode).format("parquet")
+      .bucketBy(nBuckets, bucketCols.head, bucketCols.tail: _*)
+    val w = if (sortCols.nonEmpty)
+      w0.sortBy(sortCols.head, sortCols.tail: _*) else w0
+    w.saveAsTable(tableName)
+  }
+
+  /**
    * Sharded JSONL export — the training-data handoff format (one JSON
    * object per line, newline-safe by escaping, readable by any loader).
    *
