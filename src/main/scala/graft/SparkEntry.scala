@@ -3106,6 +3106,13 @@ object SparkEntry {
           executor(s, d).table("events"), "user_id", "ts", periodDays = 7)
         .orderBy("period")),
 
+    // Trending event types: 7-day half-life decayed counts.
+    "q_ts_trending" -> ((s, d) =>
+      graft.operators.Timeseries.decayedCounts(
+          executor(s, d).table("events"), "ts", "event_type",
+          halfLifeDays = 7)
+        .orderBy("key")),
+
     // Daily growth accounting: new/retained/resurrected partition of
     // actives plus the next-day churn flow.
     "q_growth_accounting" -> ((s, d) =>
@@ -7960,6 +7967,22 @@ object SparkEntry {
         |  LEFT JOIN mau m ON g.day = m.day
         |ORDER BY g.day""".stripMargin,
     // Churn mirror: distinct (user, period) pairs, +1-shifted self-join.
+    // Decayed-count mirror: ln2 at the same 9-dp driver constant, exp
+    // through the shared ln/exp snap discipline, DECIMAL cell sums.
+    "q_ts_trending" ->
+      """WITH d AS (SELECT event_type AS key, CAST(ts AS DATE) AS day
+        |           FROM events
+        |           WHERE ts IS NOT NULL AND event_type IS NOT NULL),
+        |mx AS (SELECT max(day) AS m FROM d),
+        |cells AS (SELECT key, day, count(*) AS n FROM d GROUP BY 1, 2),
+        |w AS (SELECT key, n,
+        |        round(exp(round(-0.693147181 *
+        |          date_diff('day', day, m) / 7.0, 9)), 9) AS wt
+        |      FROM cells, mx)
+        |SELECT key, CAST(sum(n) AS BIGINT) AS n_events,
+        |  CAST(round(sum(CAST(round(wt * n, 9) AS DECIMAL(28,9))), 6)
+        |       AS DOUBLE) AS score
+        |FROM w GROUP BY 1 ORDER BY key""".stripMargin,
     // Growth-accounting mirror: same per-user lag/lead window over
     // distinct (user, day) pairs; churn credited to day + 1.
     "q_growth_accounting" ->

@@ -442,14 +442,6 @@ object Timeseries {
   }
 
   /**
-   * MASE (mean absolute scaled error) backtest: the seasonal-naive
-   * forecast's MAE divided by the one-step-naive's MAE on the SAME
-   * evaluation rows — the scale-free "is this forecast better than
-   * 'same as yesterday'?" (Hyndman & Koehler 2006); < 1 beats naïve-1.
-   * One row: `(n_eval, mae_forecast, mae_naive, mase)`; rows need both
-   * the `season`-lag and the 1-lag, and `mase` is NULL when the naive
-   * MAE is 0 (a constant series scales nothing).
-   *
    * Daily OHLC resample of a value stream — the standard downsample
    * for any metric-over-time view: per day `(day, n, open, high, low,
    * close)` where open/close are the values of the first/last row by
@@ -483,6 +475,44 @@ object Timeseries {
         round(max(col("__v")), 6).as("high"),
         round(min(col("__v")), 6).as("low"),
         round(max(when(col("__rd") === 1, col("__v"))), 6).as("close"))
+  }
+
+  /**
+   * Exponentially-decayed activity counts per key — the "trending"
+   * leaderboard: each event contributes `2^(−age_days/halfLife)`
+   * relative to the corpus' last day, so a key active yesterday
+   * outranks one equally active last month. Output `(key, n_events,
+   * score)`; score is the decayed mass at 6 dp, `n_events` the raw
+   * count for context.
+   *
+   * Scale shape: the corpus reduces ONCE to (key, day) cells; decay
+   * weights and the final rollup run on that bounded grid (keys ×
+   * active days), so corpus growth only widens the map-side combine.
+   *
+   * Determinism: age is an exact integer day diff; the weight goes
+   * through the [[ewma]] ln/exp discipline (ln 2 snapped to 9 dp
+   * driver-side, exponent and weight each snapped to 9 dp, per-cell
+   * products DECIMAL-summed).
+   */
+  def decayedCounts(df: DataFrame, tsCol: String, keyCol: String,
+                    halfLifeDays: Int = 7): DataFrame = {
+    require(halfLifeDays >= 1,
+      s"halfLifeDays must be >= 1, got $halfLifeDays")
+    val ln2 = BigDecimal(math.log(2.0))
+      .setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val days = df
+      .where(col(tsCol).isNotNull && col(keyCol).isNotNull)
+      .select(col(keyCol).as("key"), to_date(col(tsCol)).as("__day"))
+    val mx = days.agg(max(col("__day")).as("__mx"))
+    days.groupBy(col("key"), col("__day")).agg(count(lit(1)).as("__n"))
+      .crossJoin(broadcast(mx))
+      .withColumn("__w", round(exp(round(
+        lit(-ln2) * datediff(col("__mx"), col("__day")) /
+          lit(halfLifeDays.toDouble), 9)), 9))
+      .groupBy(col("key"))
+      .agg(sum(col("__n")).as("n_events"),
+        round(sum(round(col("__w") * col("__n"), 9).cast(dec)), 6)
+          .cast("double").as("score"))
   }
 
   /**

@@ -206,6 +206,19 @@ class TimeseriesSpec extends SparkTestBase {
       r2.getDouble(5) == 4.0)
   }
 
+  test("decayedCounts: half-life halves yesterday's weight; exact dyadics") {
+    // max day = Jan 3; halfLife 1 -> weights 1, 0.5, 0.25 by age
+    val d1 = df("ts TIMESTAMP, k STRING", Seq(
+      Row(Timestamp.valueOf("2024-01-03 10:00:00"), "a"),
+      Row(Timestamp.valueOf("2024-01-01 10:00:00"), "a"),
+      Row(Timestamp.valueOf("2024-01-01 11:00:00"), "a"),
+      Row(Timestamp.valueOf("2024-01-02 10:00:00"), "b")))
+    val out = Timeseries.decayedCounts(d1, "ts", "k", halfLifeDays = 1)
+      .orderBy("key").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(out == Seq(("a", 3L, 1.5), ("b", 1L, 0.5)))
+  }
+
   test("maseBacktest: seasonal MAE scaled by the naive-1 MAE") {
     // counts 1..6, season 2: eval days 3-6, |n-lag2| = 2, |n-lag1| = 1
     val r = Timeseries.maseBacktest(
