@@ -3106,6 +3106,14 @@ object SparkEntry {
           executor(s, d).table("events"), "user_id", "ts", periodDays = 7)
         .orderBy("period")),
 
+    // Per-day PSI of the event-type mix vs the first-week baseline —
+    // the drift monitoring timeline.
+    "q_drift_timeline" -> ((s, d) =>
+      graft.operators.Drift.psiTimeline(
+          executor(s, d).table("events"), "ts", "event_type",
+          baselineDays = 7)
+        .orderBy("day")),
+
     // Trending event types: 7-day half-life decayed counts.
     "q_ts_trending" -> ((s, d) =>
       graft.operators.Timeseries.decayedCounts(
@@ -7967,6 +7975,40 @@ object SparkEntry {
         |  LEFT JOIN mau m ON g.day = m.day
         |ORDER BY g.day""".stripMargin,
     // Churn mirror: distinct (user, period) pairs, +1-shifted self-join.
+    // PSI-timeline mirror: baseline probs from the first-week rows,
+    // days × values grid, per-cell 9-dp floored terms, DECIMAL sums.
+    "q_drift_timeline" ->
+      """WITH r AS (SELECT CAST(ts AS DATE) AS day, event_type AS value
+        |           FROM events WHERE ts IS NOT NULL),
+        |d0 AS (SELECT min(day) AS dz FROM r),
+        |base AS (SELECT value, count(*) AS nb FROM r, d0
+        |         WHERE date_diff('day', dz, day) < 7 GROUP BY 1),
+        |basep AS (SELECT value, CAST(nb AS DOUBLE) /
+        |            CAST((SELECT sum(nb) FROM base) AS DOUBLE) AS pb
+        |          FROM base),
+        |dc AS (SELECT day, value, count(*) AS nd FROM r GROUP BY 1, 2),
+        |dt AS (SELECT day, CAST(sum(nd) AS BIGINT) AS td FROM dc
+        |       GROUP BY 1),
+        |grid AS (SELECT dt.day, dt.td, v.value FROM dt
+        |         CROSS JOIN (SELECT DISTINCT value FROM r) v),
+        |cells AS (SELECT g.day, g.td,
+        |            coalesce(dc.nd, 0) AS nd, coalesce(bp.pb, 0.0) AS pb
+        |          FROM grid g
+        |          LEFT JOIN dc ON g.day = dc.day
+        |            AND g.value IS NOT DISTINCT FROM dc.value
+        |          LEFT JOIN basep bp
+        |            ON g.value IS NOT DISTINCT FROM bp.value),
+        |w AS (SELECT day, td,
+        |        round((greatest(round(CAST(nd AS DOUBLE) /
+        |                 CAST(td AS DOUBLE), 9), 0.0001) -
+        |               greatest(round(pb, 9), 0.0001)) *
+        |          ln(greatest(round(CAST(nd AS DOUBLE) /
+        |               CAST(td AS DOUBLE), 9), 0.0001) /
+        |             greatest(round(pb, 9), 0.0001)), 9) AS wv
+        |      FROM cells)
+        |SELECT day, max(td) AS n_day,
+        |  CAST(round(sum(CAST(wv AS DECIMAL(20,9))), 6) AS DOUBLE) AS psi
+        |FROM w GROUP BY 1 ORDER BY 1""".stripMargin,
     // Decayed-count mirror: ln2 at the same 9-dp driver constant, exp
     // through the shared ln/exp snap discipline, DECIMAL cell sums.
     "q_ts_trending" ->
@@ -8052,7 +8094,7 @@ object SparkEntry {
         |    round(CAST(cum - value AS DOUBLE) / CAST(tot AS DOUBLE), 9)
         |      AS prev
         |  FROM w)
-        |SELECT key, value, share, cum_share,
+        |SELECT key, CAST(value AS DOUBLE) AS value, share, cum_share,
         |  CASE WHEN prev < 0.8 THEN 'A' WHEN prev < 0.95 THEN 'B'
         |       ELSE 'C' END AS abc
         |FROM c ORDER BY cum_share, key""".stripMargin,

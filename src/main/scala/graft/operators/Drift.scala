@@ -150,6 +150,67 @@ object Drift {
         round(max(col("gap")), 6).as("ks"))
   }
 
+  /**
+   * Per-day PSI timeline of a categorical (or pre-bucketed) column
+   * against the corpus' first `baselineDays` days — [[psi]] turned
+   * into the monitoring view: one row `(day, n_day, psi)` per active
+   * day, so a mixture shift shows up as the DAY it happened instead of
+   * one corpus-level number. Baseline days score too (their PSI is the
+   * within-baseline wobble — a useful noise floor).
+   *
+   * Scale shape: the corpus reduces once to (day, value) cells;
+   * everything after — baseline probabilities, the days × values
+   * grid, the per-day DECIMAL sums — is domain-sized (|days|·|values|).
+   * Same low-cardinality contract as [[psi]].
+   *
+   * Determinism: [[psi]]'s exact policy per cell — probabilities are
+   * exact-count divisions rounded to 9 dp and floored at `epsilon`,
+   * per-value terms snap to 9 dp and sum as DECIMAL, 6-dp publish.
+   * NULL category values count as a real level (null-safe joins).
+   */
+  def psiTimeline(df: DataFrame, tsCol: String, valueCol: String,
+                  baselineDays: Int = 7,
+                  epsilon: Double = 1e-4): DataFrame = {
+    require(baselineDays >= 1,
+      s"baselineDays must be >= 1, got $baselineDays")
+    require(epsilon > 0, "epsilon must be positive")
+    import org.apache.spark.sql.expressions.Window
+    val rows = df.where(col(tsCol).isNotNull)
+      .select(to_date(col(tsCol)).as("day"), col(valueCol).as("value"))
+    val d0 = rows.agg(min(col("day")).as("__d0"))
+    val base = rows.crossJoin(broadcast(d0))
+      .where(datediff(col("day"), col("__d0")) < baselineDays)
+      .groupBy(col("value")).agg(count(lit(1)).as("__nb"))
+    val all = Window.partitionBy(lit(1))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val baseP = base
+      .withColumn("__tb", sum("__nb").over(all).cast("double"))
+      .select(col("value").as("__bv"),
+        (col("__nb") / col("__tb")).as("__pb"))
+    val dayCounts = rows.groupBy(col("day"), col("value"))
+      .agg(count(lit(1)).as("__nd"))
+    val dayTotals = dayCounts.groupBy("day").agg(sum("__nd").as("__td"))
+    val grid = dayTotals.crossJoin(rows.select(col("value")).distinct())
+    val cells = grid
+      .join(dayCounts.select(col("day").as("__dd"),
+          col("value").as("__dv"), col("__nd")),
+        col("day") === col("__dd") && col("value") <=> col("__dv"),
+        "left")
+      .join(broadcast(baseP), col("value") <=> col("__bv"), "left")
+      .select(col("day"), col("__td"),
+        coalesce(col("__nd"), lit(0L)).as("__nd"),
+        coalesce(col("__pb"), lit(0.0)).as("__pb"))
+    val pd = greatest(
+      round(col("__nd").cast("double") / col("__td").cast("double"), 9),
+      lit(epsilon))
+    val pb = greatest(round(col("__pb"), 9), lit(epsilon))
+    cells.withColumn("__w", round((pd - pb) * log(pd / pb), 9))
+      .groupBy("day")
+      .agg(max(col("__td")).as("n_day"),
+        round(sum(col("__w").cast("decimal(20,9)")).cast("double"), 6)
+          .as("psi"))
+  }
+
   private def joined(a: DataFrame, b: DataFrame, valueCol: String): DataFrame = {
     def counts(df: DataFrame, n: String) =
       df.groupBy(col(valueCol).as("value")).agg(count(lit(1)).as(n))

@@ -113,7 +113,11 @@ object Olap {
       .withColumn("__prev",
         round((col("__cum") - col("value")).cast("double") /
           col("__tot").cast("double"), 9))
-      .select(col("key"), col("value"),
+      .select(col("key"),
+        // exact decimal ranking above; DOUBLE publish (the repo-wide
+        // no-decimal-output policy — decimal rendering differs across
+        // engines)
+        col("value").cast("double").as("value"),
         round(col("value").cast("double") /
           col("__tot").cast("double"), 6).as("share"),
         round(col("__cum").cast("double") /

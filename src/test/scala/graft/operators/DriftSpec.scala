@@ -27,6 +27,23 @@ class DriftSpec extends SparkTestBase {
     assert(math.abs(disjoint.getDouble(1) - math.log(2)) < 1e-6)
   }
 
+  test("psiTimeline: baseline days score ~0; the flipped day scores ln 3") {
+    import java.sql.Timestamp
+    // baseline (days 1-2): x:y = 3:1 each day; day 3 flips to 1:3
+    def rows(day: Int, vals: Seq[String]) = vals.map(v =>
+      Row(Timestamp.valueOf(f"2024-01-0$day 10:00:00"), v))
+    val ev = df("ts TIMESTAMP, lang STRING",
+      rows(1, Seq("x", "x", "x", "y")) ++ rows(2, Seq("x", "x", "x", "y")) ++
+        rows(3, Seq("x", "y", "y", "y")))
+    val out = Drift.psiTimeline(ev, "ts", "lang", baselineDays = 2)
+      .orderBy("day").collect()
+      .map(r => (r.getDate(0).toString, r.getLong(1), r.getDouble(2))).toSeq
+    val ln3 = BigDecimal(math.log(3.0))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(out == Seq(("2024-01-01", 4L, 0.0), ("2024-01-02", 4L, 0.0),
+      ("2024-01-03", 4L, ln3)))
+  }
+
   test("psi: hand formula, epsilon floor for vanished levels, zero when identical") {
     // symmetric 3:1 flip -> psi = 0.5·ln 3 + 0.5·ln 3 = ln 3
     val a = corpus("x", "x", "x", "y")
