@@ -3106,6 +3106,24 @@ object SparkEntry {
           executor(s, d).table("events"), "user_id", "ts", periodDays = 7)
         .orderBy("period")),
 
+    // Week-over-week movers per event type; gaps give NULL growth.
+    "q_ts_growth" -> ((s, d) =>
+      graft.operators.Timeseries.periodGrowth(
+          executor(s, d).table("events"), "ts", "event_type",
+          periodDays = 7)
+        .orderBy("key", "period")),
+
+    // Encoding-damage audit over deterministically corrupted docs
+    // (every 7th doc gets a mojibake tail): flags exactly those.
+    "q_clean_mojibake" -> ((s, d) =>
+      graft.operators.Clean.mojibakeAudit(
+          docs(s, d).withColumn("text",
+            when(col("doc_id") % 7 === 0,
+              concat(col("text"), lit(" cafÃ© â€” lossy �")))
+              .otherwise(col("text"))),
+          "doc_id", "text")
+        .orderBy("doc_id")),
+
     // Per-day PSI of the event-type mix vs the first-week baseline —
     // the drift monitoring timeline.
     "q_drift_timeline" -> ((s, d) =>
@@ -7975,6 +7993,45 @@ object SparkEntry {
         |  LEFT JOIN mau m ON g.day = m.day
         |ORDER BY g.day""".stripMargin,
     // Churn mirror: distinct (user, period) pairs, +1-shifted self-join.
+    // WoW-growth mirror: same anchored period index and adjacency
+    // condition on the lag.
+    "q_ts_growth" ->
+      """WITH r AS (SELECT event_type AS key, CAST(ts AS DATE) AS day
+        |           FROM events
+        |           WHERE ts IS NOT NULL AND event_type IS NOT NULL),
+        |dz AS (SELECT min(day) AS d0 FROM r),
+        |cells AS (SELECT key, CAST(floor(
+        |            date_diff('day', dz.d0, day) / 7) AS BIGINT) AS p,
+        |            count(*) AS n
+        |          FROM r, dz GROUP BY 1, 2),
+        |w AS (SELECT key, p, n,
+        |        lag(p) OVER (PARTITION BY key ORDER BY p) AS pp,
+        |        lag(n) OVER (PARTITION BY key ORDER BY p) AS pn
+        |      FROM cells)
+        |SELECT key, dz.d0 + CAST(p * 7 AS INT) AS period, n,
+        |  CASE WHEN pp = p - 1 THEN pn END AS prev_n,
+        |  CASE WHEN pp = p - 1
+        |       THEN round(CAST(n - pn AS DOUBLE) / CAST(pn AS DOUBLE), 6)
+        |  END AS growth
+        |FROM w, dz ORDER BY key, period""".stripMargin,
+    // Mojibake mirror: identical literal alternation pattern, identical
+    // deterministic corruption.
+    "q_clean_mojibake" ->
+      ("""WITH d AS (SELECT doc_id,
+        |  CASE WHEN doc_id % 7 = 0
+        |       THEN text || ' cafÃ© â€” lossy �' ELSE text END AS text
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CAST(len(regexp_extract_all(text, '�')) AS BIGINT)
+        |    AS n_replacement,
+        |  CAST(len(regexp_extract_all(text, '""".stripMargin +
+        "Ã©|Ã¨|Ã¤|Ã¶|Ã¼|Ã±|Ã¡|Ã­|Ã³|Ãº|â€™|â€œ|â€|â€“|â€”|â€¦|Â '" +
+        """)) AS BIGINT) AS n_mojibake,
+        |  len(regexp_extract_all(text, '�')) > 0 OR
+        |  len(regexp_extract_all(text, '""".stripMargin +
+        "Ã©|Ã¨|Ã¤|Ã¶|Ã¼|Ã±|Ã¡|Ã­|Ã³|Ãº|â€™|â€œ|â€|â€“|â€”|â€¦|Â '" +
+        """)) > 0 AS damaged
+        |FROM d ORDER BY doc_id""".stripMargin),
     // PSI-timeline mirror: baseline probs from the first-week rows,
     // days × values grid, per-cell 9-dp floored terms, DECIMAL sums.
     "q_drift_timeline" ->

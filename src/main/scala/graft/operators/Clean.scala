@@ -79,6 +79,43 @@ object Clean {
    * Clean every string column in one pass: whitespace-normalize +
    * nullify junk spellings. Non-string columns pass through.
    */
+  // ---- encoding-damage detection ---------------------------------------
+
+  /** U+FFFD — what lossy decoders emit for undecodable bytes. */
+  private val ReplacementChar = "�"
+
+  /** The classic UTF-8-read-as-Latin-1 digraphs: 'Ã'+vowel rows (é è ä
+    * ö ü ñ á í ó ú), the 'â€¦' smart-punctuation family, and NBSP as
+    * 'Â '. Literal alternation — identical semantics in Java regex and
+    * RE2, no class-escape parity risk. */
+  private val MojibakePattern =
+    Seq("Ã©", "Ã¨", "Ã¤", "Ã¶", "Ã¼", "Ã±", "Ã¡", "Ã­", "Ã³", "Ãº",
+      "â€™", "â€œ", "â€", "â€“", "â€”", "â€¦", "Â ").mkString("|")
+
+  /**
+   * Encoding-damage audit — the pretraining-cleanup signal nobody
+   * sees until a model emits 'Ã©' for 'é': per document, counts of
+   * U+FFFD replacement characters (lossy decode happened upstream) and
+   * of the classic UTF-8-decoded-as-Latin-1 digraphs (double-encoding
+   * happened upstream), plus the combined flag. Flagged documents
+   * should be re-decoded from source, not "cleaned" — the information
+   * is already gone.
+   *
+   * Pure projection (streaming-legal); counts via `regexp_extract_all`
+   * size so the identical pattern runs in the DuckDB oracle.
+   */
+  def mojibakeAudit(df: DataFrame, idCol: String,
+                    textCol: String): DataFrame = {
+    val t = col(textCol)
+    df.select(col(idCol),
+      size(regexp_extract_all(t, lit(ReplacementChar), lit(0)))
+        .cast("long").as("n_replacement"),
+      size(regexp_extract_all(t, lit(MojibakePattern), lit(0)))
+        .cast("long").as("n_mojibake"))
+      .withColumn("damaged",
+        col("n_replacement") > 0 || col("n_mojibake") > 0)
+  }
+
   def cleanStrings(df: DataFrame,
                    tokens: Seq[String] = defaultNullTokens): DataFrame = {
     val cols = df.schema.fields.map { f =>

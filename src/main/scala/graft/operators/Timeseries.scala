@@ -478,6 +478,48 @@ object Timeseries {
   }
 
   /**
+   * Period-over-period growth per key — the "movers" report
+   * (week-over-week gainers and losers by event type / source /
+   * product): per (key, period) the activity count, the IMMEDIATELY
+   * previous period's count (NULL across gaps — a key silent last
+   * period has no defined growth, the [[graft.operators.Cohort.churn]]
+   * absence-of-evidence stance), and `growth = (n − prev)/prev` at
+   * 6 dp. Periods anchor at the corpus' first day.
+   *
+   * Scale shape: one corpus reduce to (key, period) cells, then a
+   * key-partitioned lag window over the bounded cell table. Growth is
+   * one exact int/int double division.
+   */
+  def periodGrowth(df: DataFrame, tsCol: String, keyCol: String,
+                   periodDays: Int = 7): DataFrame = {
+    require(periodDays >= 1, s"periodDays must be >= 1, got $periodDays")
+    val rows = df
+      .where(col(tsCol).isNotNull && col(keyCol).isNotNull)
+      .select(col(keyCol).as("key"), to_date(col(tsCol)).as("__day"))
+    val d0 = rows.agg(min(col("__day")).as("__d0"))
+    val cells = rows.crossJoin(broadcast(d0))
+      .select(col("key"),
+        floor(datediff(col("__day"), col("__d0")) / periodDays)
+          .cast("long").as("__p"),
+        col("__d0"))
+      .groupBy(col("key"), col("__p"), col("__d0"))
+      .agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy(col("key")).orderBy(col("__p"))
+    cells
+      .withColumn("__prevp", lag(col("__p"), 1).over(w))
+      .withColumn("__prevn", lag(col("n"), 1).over(w))
+      .select(col("key"),
+        date_add(col("__d0"), (col("__p") * periodDays).cast("int"))
+          .as("period"),
+        col("n"),
+        when(col("__prevp") === col("__p") - 1, col("__prevn"))
+          .as("prev_n"),
+        when(col("__prevp") === col("__p") - 1,
+          round((col("n") - col("__prevn")).cast("double") /
+            col("__prevn").cast("double"), 6)).as("growth"))
+  }
+
+  /**
    * Exponentially-decayed activity counts per key — the "trending"
    * leaderboard: each event contributes `2^(−age_days/halfLife)`
    * relative to the corpus' last day, so a key active yesterday

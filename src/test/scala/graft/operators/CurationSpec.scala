@@ -121,6 +121,22 @@ class CurationSpec extends SparkTestBase {
     assert(out == Set((Some("10002"), 1L), (None, 2L)))
   }
 
+  test("Clean.mojibakeAudit counts U+FFFD and Latin-1 digraphs; clean text passes") {
+    val docs = df("doc_id INT, text STRING", Seq(
+      doc(1, "café normal text"),              // real é — clean
+      doc(2, "cafÃ© said â€œhiâ€"),          // double-encoded
+      doc(3, "lossy �� decode"),
+      doc(4, null)))
+    val out = Clean.mojibakeAudit(docs, "doc_id", "text")
+      .collect().map(r => r.getInt(0) ->
+        (if (r.isNullAt(1)) -1L else r.getLong(1),
+         if (r.isNullAt(2)) -1L else r.getLong(2))).toMap
+    assert(out(1) == ((0L, 0L)))
+    assert(out(2)._2 >= 2L && out(2)._1 == 0L)
+    assert(out(3) == ((2L, 0L)))
+    assert(out(4) == ((-1L, -1L)))  // NULL text -> NULL counts
+  }
+
   test("Pii.lDiversityViolations flags low-diversity classes; NULL sensitive not a level") {
     val rows = df("zip STRING, dx STRING", Seq(
       org.apache.spark.sql.Row("10001", "flu"), org.apache.spark.sql.Row("10001", "flu"),

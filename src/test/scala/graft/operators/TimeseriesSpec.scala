@@ -206,6 +206,25 @@ class TimeseriesSpec extends SparkTestBase {
       r2.getDouble(5) == 4.0)
   }
 
+  test("periodGrowth: WoW deltas; gaps yield NULL growth, not stale baselines") {
+    // key a: periods 0,1,3 (gap at 2); period anchored at Jan 1
+    val d1 = df("ts TIMESTAMP, k STRING", Seq(
+      Row(Timestamp.valueOf("2024-01-01 10:00:00"), "a"),
+      Row(Timestamp.valueOf("2024-01-02 10:00:00"), "a"),
+      Row(Timestamp.valueOf("2024-01-08 10:00:00"), "a"),
+      Row(Timestamp.valueOf("2024-01-09 10:00:00"), "a"),
+      Row(Timestamp.valueOf("2024-01-10 10:00:00"), "a"),
+      Row(Timestamp.valueOf("2024-01-22 10:00:00"), "a")))
+    val out = Timeseries.periodGrowth(d1, "ts", "k", periodDays = 7)
+      .orderBy("period").collect()
+      .map(r => (r.getDate(1).toString, r.getLong(2),
+        if (r.isNullAt(3)) -1L else r.getLong(3),
+        if (r.isNullAt(4)) Double.NaN else r.getDouble(4))).toSeq
+    assert(out(0) == ("2024-01-01", 2L, -1L, out(0)._4) && out(0)._4.isNaN)
+    assert(out(1) == ("2024-01-08", 3L, 2L, 0.5))
+    assert(out(2)._1 == "2024-01-22" && out(2)._3 == -1L && out(2)._4.isNaN)
+  }
+
   test("decayedCounts: half-life halves yesterday's weight; exact dyadics") {
     // max day = Jan 3; halfLife 1 -> weights 1, 0.5, 0.25 by age
     val d1 = df("ts TIMESTAMP, k STRING", Seq(
