@@ -231,7 +231,16 @@ object ScaleProbe {
     // day-keyed shuffle), MASE (daily reduce + grid lags), sequential
     // + proportion A/B stats (one conditional-aggregate pass each)
     "q_pii_ldiv", "q_ts_ohlc", "q_ts_mase", "q_ab_msprt",
-    "q_ab_mde_prop")
+    "q_ab_mde_prop",
+    // round-7 tail: growth accounting (one user-keyed lag/lead window
+    // over distinct user-days), trending (decayed (key, day) cells),
+    // WoW movers (cell lag window), PSI timeline (days × values grid),
+    // mojibake audit (pure regexp projection)
+    "q_growth_accounting", "q_ts_trending", "q_ts_growth",
+    "q_drift_timeline", "q_clean_mojibake",
+    // Markov removal: one journey shuffle into a checkpointed |S|²
+    // transition table; K absorption rounds are corpus-independent
+    "q_attribution_markov")
 
   private def caesar(c: org.apache.spark.sql.Column, k: Int) = {
     val lower = "abcdefghijklmnopqrstuvwxyz"

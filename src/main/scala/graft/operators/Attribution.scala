@@ -168,6 +168,11 @@ object Attribution {
         col("__id") === col("__cid"))
       .join(sq.select(col("__u")).distinct(), Seq("__u"), "left_anti")
       .select(lit(START).as("__fs"), lit(CONV).as("__ts"))
+    // |S|²-row table, but its LINEAGE is the whole journey shuffle —
+    // eager-checkpoint it so the K absorption rounds (and their
+    // periodic state checkpoints) never re-execute the corpus pass;
+    // left lazy, each round's materialization replayed the full
+    // user-window pipeline (measured 41 s -> ~4 s at sf0.1)
     val trans = internal.unionAll(starts).unionAll(touchless)
       .groupBy(col("__fs"), col("__ts")).agg(count(lit(1)).as("__n"))
       .withColumn("__tot",
@@ -175,6 +180,7 @@ object Attribution {
       .select(col("__fs"), col("__ts"),
         round(col("__n").cast("double") / col("__tot").cast("double"), 9)
           .as("__p"))
+      .localCheckpoint(eager = true)
     val rcs = trans.select(col("__fs").as("__rc"))
       .where(col("__rc") =!= START).distinct()
       .unionAll(trans.select(lit("__NONE__").as("__rc")).limit(1))
