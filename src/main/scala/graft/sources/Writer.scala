@@ -66,48 +66,6 @@ object Writer {
   }
 
   /**
-   * Bucketed table write — the OTHER shuffle killer next to hive
-   * partitioning: rows are hash-clustered into a FIXED `nBuckets`
-   * files per partition on `bucketCols`, and Spark records the layout
-   * in the catalog, so an equi-join or aggregation on those columns
-   * reads the buckets ALIGNED — no Exchange on either bucketed side
-   * (BucketedJoinSpec asserts the plan). At 100 TB this converts the
-   * recurring join shuffle of a fact table (every run, every
-   * downstream consumer) into a one-time write-side cost: exactly the
-   * trade a curation pipeline wants for its (doc_id-keyed) master
-   * corpus joined per-run against scores/labels/dedup verdicts.
-   *
-   * `sortCols` additionally sorts within each bucket file (catalog-
-   * recorded; columnar encodings and range readers win immediately —
-   * the JOIN's sort elision additionally needs Spark's legacy
-   * `bucketedTableScan.outputOrdering` flag, and the remaining sort is
-   * task-local over one bucket, not a shuffle). Buckets
-   * are per-TASK files — the writer repartitions on the bucket
-   * columns to `nBuckets` tasks first so the file count is exactly
-   * nBuckets (not tasks × nBuckets, the same explosion
-   * [[writePartitioned]] guards against).
-   *
-   * Catalog-backed (`saveAsTable`) because pure-path parquet carries
-   * no bucket metadata — readers must go through `spark.table(name)`.
-   * Pick nBuckets once per table family: both sides of a bucketed
-   * join must agree (or one be a multiple of the other).
-   */
-  def writeBucketed(df: DataFrame, tableName: String,
-                    bucketCols: Seq[String], nBuckets: Int,
-                    sortCols: Seq[String] = Nil,
-                    mode: SaveMode = SaveMode.Overwrite): Unit = {
-    require(bucketCols.nonEmpty, "need at least one bucket column")
-    require(nBuckets >= 1, s"nBuckets must be >= 1, got $nBuckets")
-    val repartitioned =
-      df.repartition(nBuckets, bucketCols.map(col): _*)
-    val w0 = repartitioned.write.mode(mode).format("parquet")
-      .bucketBy(nBuckets, bucketCols.head, bucketCols.tail: _*)
-    val w = if (sortCols.nonEmpty)
-      w0.sortBy(sortCols.head, sortCols.tail: _*) else w0
-    w.saveAsTable(tableName)
-  }
-
-  /**
    * Sharded JSONL export — the training-data handoff format (one JSON
    * object per line, newline-safe by escaping, readable by any loader).
    *
@@ -235,6 +193,86 @@ object Writer {
    * files, and every downstream scan pays per-file open cost until a
    * compact pass runs.
    */
+  /**
+   * Targeted erasure (the GDPR/right-to-be-forgotten rewrite): delete
+   * every row whose `keyCol` is in `subjects` by rewriting ONLY the
+   * files whose footer-level [min, max] key range can contain a
+   * subject — untouched files are carried over byte-identical. On a
+   * key-clustered layout ([[compact]] with `sortWithin`, or
+   * [[writeBucketed]]) an erasure batch touches a handful of files; a
+   * naive `anti-join → full rewrite` rewrites 100 TB to delete
+   * kilobytes.
+   *
+   * Mechanics: per-file (min, max, rows) from one scan (at real scale
+   * pass a PERSISTED [[manifest]] instead — `stats` — so only file
+   * pruning and the affected-file rewrite touch data at all); affected
+   * = files whose range brackets ≥1 broadcast subject; those files are
+   * re-read (an explicit file-list scan — nothing else is opened),
+   * anti-joined, and rewritten into `outPath` alongside copies of the
+   * untouched files. Output dir is fresh (write-audit-publish
+   * discipline: an in-place rewrite that dies mid-job eats the
+   * source); the untouched-file carry-over is a driver-side FS copy
+   * loop — bounded by FILE COUNT, not data, and on object stores the
+   * copy becomes a manifest re-reference.
+   *
+   * Returns `(n_files, n_files_rewritten, n_rows_deleted)`.
+   */
+  def targetedDelete(spark: org.apache.spark.sql.SparkSession,
+                     inPath: String, outPath: String, keyCol: String,
+                     subjects: DataFrame,
+                     stats: Option[DataFrame] = None)
+      : (Long, Long, Long) = {
+    import org.apache.spark.sql.functions.{broadcast, count, lit, max => fmax, min => fmin, input_file_name, sum => fsum}
+    import org.apache.hadoop.fs.{FileUtil, Path}
+    val fileStats = stats.getOrElse {
+      spark.read.parquet(inPath)
+        .groupBy(input_file_name().as("file"))
+        .agg(count(lit(1)).as("n_rows"),
+          fmin(col(keyCol)).as(s"${keyCol}_min"),
+          fmax(col(keyCol)).as(s"${keyCol}_max"))
+    }
+    val subj = subjects.select(col(subjects.columns.head).as("__s"))
+      .distinct()
+    val flagged = fileStats.join(broadcast(subj),
+        col(s"${keyCol}_min") <= col("__s") &&
+          col("__s") <= col(s"${keyCol}_max"), "left")
+      .groupBy(col("file"), col("n_rows"))
+      .agg(fmax(col("__s").isNotNull).as("__hit"))
+    // file list is driver-side by necessity (it drives the FS plan) —
+    // bounded by file count, the same scale class as any commit protocol
+    val rows = flagged.collect()
+    val affected = rows.filter(_.getAs[Boolean]("__hit"))
+      .map(_.getAs[String]("file"))
+    val untouched = rows.filterNot(_.getAs[Boolean]("__hit"))
+      .map(_.getAs[String]("file"))
+    val conf = spark.sessionState.newHadoopConf()
+    val out = new Path(outPath)
+    val fs = out.getFileSystem(conf)
+    fs.mkdirs(out)
+    var deleted = 0L
+    if (affected.nonEmpty) {
+      val before = rows.filter(_.getAs[Boolean]("__hit"))
+        .map(_.getAs[Long]("n_rows")).sum
+      val kept = spark.read.parquet(affected.toIndexedSeq: _*)
+        .join(broadcast(subj), col(keyCol) === col("__s"), "left_anti")
+      val keptPath = s"$outPath/rewritten"
+      kept.write.mode(SaveMode.Overwrite).parquet(keptPath)
+      val after = spark.read.parquet(keptPath).count()
+      deleted = before - after
+      // hoist the rewritten part-files up next to the carried files
+      fs.listStatus(new Path(keptPath)).foreach { st =>
+        if (st.getPath.getName.endsWith(".parquet"))
+          fs.rename(st.getPath, new Path(out, st.getPath.getName))
+      }
+      fs.delete(new Path(keptPath), true)
+    }
+    untouched.foreach { f =>
+      val src = new Path(new java.net.URI(f))
+      FileUtil.copy(fs, src, fs, new Path(out, src.getName), false, conf)
+    }
+    (rows.length.toLong, affected.length.toLong, deleted)
+  }
+
   def compact(spark: org.apache.spark.sql.SparkSession, inPath: String,
               outPath: String, targetFileBytes: Long = 128L << 20,
               sortWithin: Seq[String] = Nil): Int = {

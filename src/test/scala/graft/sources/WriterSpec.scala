@@ -90,6 +90,35 @@ class WriterSpec extends SparkTestBase {
     }, ranges.toSeq.toString)
   }
 
+  test("targetedDelete rewrites only the range-bracketing files") {
+    import org.apache.spark.sql.Row
+    val data = df("id BIGINT, v STRING",
+      (1L to 300L).map(i => Row(i, s"v$i")))
+    val in = tmp("td_in")
+    // key-clustered layout: 3 files with disjoint id ranges
+    data.repartitionByRange(3, col("id")).sortWithinPartitions("id")
+      .write.parquet(in)
+    assert(parquetFiles(in).size == 3)
+
+    val out = tmp("td_out")
+    val subjects = df("id BIGINT", Seq(Row(5L), Row(7L), Row(7L)))
+    val (n, nRewritten, nDeleted) =
+      Writer.targetedDelete(spark, in, out, "id", subjects)
+    assert(n == 3L && nRewritten == 1L && nDeleted == 2L)
+    val res = spark.read.parquet(out)
+    assert(res.count() == 298L)
+    assert(res.where(col("id").isin(5L, 7L)).count() == 0L)
+    assert(res.agg(sum(col("id"))).head().getLong(0) ==
+      (1L to 300L).sum - 12L)
+
+    // subjects outside every file's range: zero rewrites, pure carry
+    val out2 = tmp("td_none")
+    val ghost = df("id BIGINT", Seq(Row(9999L)))
+    val (n2, r2, d2) = Writer.targetedDelete(spark, in, out2, "id", ghost)
+    assert(n2 == 3L && r2 == 0L && d2 == 0L)
+    assert(spark.read.parquet(out2).count() == 300L)
+  }
+
   test("compact repacks many small files and preserves content (and layout)") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val pIn = tmp("compact_in")
