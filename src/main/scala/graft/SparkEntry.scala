@@ -3936,6 +3936,30 @@ object SparkEntry {
             col("value")),
         "variant", "value", "0", "1")),
 
+    // Per-segment z sweep: one conditional-aggregate pass tests every
+    // event type at once, two-sided p via the cross-engine erf chain.
+    "q_ab_z_grouped" -> ((s, d) =>
+      graft.operators.Experiment.proportionZGrouped(
+        executor(s, d).table("events")
+          .select(col("event_type").as("seg"),
+            (col("user_id") % 2).cast("string").as("variant"),
+            (col("value") > 50).as("ok")),
+        "seg", "variant", "ok", "0", "1")
+        .orderBy("group")),
+
+    // BH step-up over the segment sweep: FDR-corrected q-values and
+    // the discovery set at alpha 0.05.
+    "q_ab_fdr" -> ((s, d) =>
+      graft.operators.Experiment.benjaminiHochberg(
+        graft.operators.Experiment.proportionZGrouped(
+          executor(s, d).table("events")
+            .select(col("event_type").as("seg"),
+              (col("user_id") % 2).cast("string").as("variant"),
+              (col("value") > 50).as("ok")),
+          "seg", "variant", "ok", "0", "1"),
+        "group", "p_value", alpha = 0.05)
+        .orderBy("rank")),
+
     // Proportion-metric MDE on purchase conversion by the parity arms.
     "q_ab_mde_prop" -> ((s, d) =>
       graft.operators.Experiment.minDetectableEffectProportion(
@@ -4416,6 +4440,47 @@ object SparkEntry {
     * constant Timeseries.holt folds into its plan. */
   private val holtAc: Double = BigDecimal(0.3 / 0.7)
     .setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+
+  /** Shared WITH-prefix of the q_ab_z_grouped / q_ab_fdr oracles:
+    * per-event-type proportion cells on the parity arms (success =
+    * value > 50), the 9-dp pooled z, and the A&S-7.1.26 two-sided
+    * p-value chain (y → t → Horner poly × exp, each snapped to 9 dp —
+    * Experiment.twoSidedP's exact mirror). Ends mid-WITH (trailing
+    * comma) so each oracle appends its own final CTEs/SELECT. */
+  private val abZGroupedSql: String =
+    """WITH m AS (SELECT event_type AS grp,
+      |    count(CASE WHEN CAST(user_id % 2 AS VARCHAR) = '0'
+      |               THEN 1 END) AS n_a,
+      |    count(CASE WHEN CAST(user_id % 2 AS VARCHAR) = '0'
+      |                AND coalesce(value > 50, FALSE) THEN 1 END) AS k_a,
+      |    count(CASE WHEN CAST(user_id % 2 AS VARCHAR) = '1'
+      |               THEN 1 END) AS n_b,
+      |    count(CASE WHEN CAST(user_id % 2 AS VARCHAR) = '1'
+      |                AND coalesce(value > 50, FALSE) THEN 1 END) AS k_b
+      |  FROM events GROUP BY 1),
+      |zc AS (SELECT *,
+      |    (n_a = 0 OR n_b = 0 OR k_a + k_b = 0
+      |      OR k_a + k_b = n_a + n_b) AS degen,
+      |    CASE WHEN n_a = 0 OR n_b = 0 OR k_a + k_b = 0
+      |           OR k_a + k_b = n_a + n_b THEN NULL
+      |    ELSE round((CAST(k_a AS DOUBLE) / CAST(n_a AS DOUBLE) -
+      |                CAST(k_b AS DOUBLE) / CAST(n_b AS DOUBLE)) /
+      |      sqrt((CAST(k_a + k_b AS DOUBLE) / CAST(n_a + n_b AS DOUBLE) *
+      |            (1.0 - CAST(k_a + k_b AS DOUBLE) /
+      |                   CAST(n_a + n_b AS DOUBLE))) *
+      |           (1.0 / CAST(n_a AS DOUBLE) +
+      |            1.0 / CAST(n_b AS DOUBLE))), 9)
+      |    END AS z9
+      |  FROM m),
+      |py AS (SELECT *, round(abs(z9) * 0.707106781, 9) AS y FROM zc),
+      |pt AS (SELECT *, round(1.0 / (1.0 + 0.3275911 * y), 9) AS t
+      |       FROM py),
+      |pchain AS (SELECT *,
+      |    round(round(t * (0.254829592 + t * (-0.284496736 +
+      |      t * (1.421413741 + t * (-1.453152027 + t * 1.061405429)))),
+      |      9) * round(exp(round(0.0 - y * y, 9)), 9), 9) AS p9
+      |  FROM pt),
+      |""".stripMargin
 
   /** z_{α/2} + z_β for q_ab_mde (α = .05, power = .8) at 9 dp — the
     * same constant Experiment.minDetectableEffect folds in. */
@@ -9357,6 +9422,37 @@ object SparkEntry {
          |       OR se9 = 0.0 THEN NULL
          |       ELSE round(didv / se9, 6) END AS z
          |FROM fin""".stripMargin,
+    // Grouped-z mirror: per-segment cells, 9-dp z, then the erf-chain
+    // two-sided p (identical snaps on both engines).
+    "q_ab_z_grouped" -> (abZGroupedSql +
+      """fin AS (SELECT * FROM pchain)
+        |SELECT grp AS "group", n_a, n_b,
+        |  CASE WHEN n_a = 0 THEN NULL
+        |       ELSE round(CAST(k_a AS DOUBLE) / CAST(n_a AS DOUBLE), 6)
+        |  END AS conv_a,
+        |  CASE WHEN n_b = 0 THEN NULL
+        |       ELSE round(CAST(k_b AS DOUBLE) / CAST(n_b AS DOUBLE), 6)
+        |  END AS conv_b,
+        |  CASE WHEN degen THEN NULL ELSE round(z9, 6) END AS z,
+        |  CASE WHEN degen THEN NULL ELSE round(p9, 6) END AS p_value
+        |FROM fin ORDER BY grp NULLS FIRST""".stripMargin),
+    // BH mirror: (p ASC, key ASC) rank, qraw = p·m/rank at 9 dp,
+    // right-to-left running min capped at 1.
+    "q_ab_fdr" -> (abZGroupedSql +
+      """r AS (SELECT grp, round(p9, 6) AS p_value FROM pchain
+        |      WHERE NOT degen),
+        |rk AS (SELECT grp, p_value,
+        |         row_number() OVER (ORDER BY p_value ASC, grp ASC)
+        |           AS rnk,
+        |         count(*) OVER () AS mm FROM r),
+        |q1 AS (SELECT *, round(p_value * mm / rnk, 9) AS qraw FROM rk),
+        |q2 AS (SELECT *, least(min(qraw) OVER (ORDER BY rnk
+        |         ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING),
+        |         1.0) AS qv
+        |       FROM q1)
+        |SELECT grp AS "group", p_value, rnk AS "rank",
+        |  round(qv, 6) AS q_value, qv <= 0.05 AS significant
+        |FROM q2 ORDER BY rnk""".stripMargin),
     // Proportion-MDE mirror: conversion cells, observed-rate variances.
     "q_ab_mde_prop" ->
       s"""WITH m AS (SELECT

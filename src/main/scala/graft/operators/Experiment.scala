@@ -514,6 +514,106 @@ object Experiment {
   }
 
   /**
+   * Two-sided normal p-value `2(1−Φ(|z|))`, which collapses to
+   * `S(t)·e^(−z²/2)` under the Abramowitz & Stegun 7.1.26 erf
+   * approximation (|ε| < 1.5·10⁻⁷ on erf, < 10⁻⁶ on the two-sided p —
+   * below the 6-dp publish grid): with `y = |z|/√2`,
+   * `t = 1/(1 + 0.3275911·y)`,
+   * `p = (a₁t + a₂t² + a₃t³ + a₄t⁴ + a₅t⁵)·e^(−y²)`. Pure
+   * arithmetic plus one `exp` — expressible identically in the DuckDB
+   * oracle, unlike the exact Φ. Snapping: 1/√2 folds at 9 dp; y, t,
+   * the Horner polynomial, the exponent, e, and p each snap to 9 dp
+   * (the [[graft.operators.Timeseries.ewma]] ln/exp discipline).
+   */
+  private[graft] def twoSidedP(z: Column): Column = {
+    val y = round(abs(z) * lit(0.707106781), 9)
+    val t = round(lit(1.0) / (lit(1.0) + lit(0.3275911) * y), 9)
+    val poly = round(t * (lit(0.254829592) + t * (lit(-0.284496736) +
+      t * (lit(1.421413741) + t * (lit(-1.453152027) +
+        t * lit(1.061405429))))), 9)
+    val e = round(exp(round(lit(0.0) - y * y, 9)), 9)
+    round(poly * e, 9)
+  }
+
+  /**
+   * [[proportionZ]] PER GROUP — the "run the same test across every
+   * segment/metric" sweep that makes multiple-testing correction
+   * necessary: one row per group with the two-proportion pooled z AND
+   * its two-sided p-value (via [[twoSidedP]]), ready for
+   * [[benjaminiHochberg]]. Same NULL guards as the global test,
+   * per group.
+   *
+   * Scale shape: ONE map-side-combined conditional-aggregate pass with
+   * the group key — testing 10 000 segments costs the same single
+   * corpus scan as testing one.
+   */
+  def proportionZGrouped(df: DataFrame, groupCol: String,
+                         variantCol: String, successCol: String,
+                         variantA: String, variantB: String): DataFrame = {
+    val v = col(variantCol).cast("string")
+    val s = coalesce(col(successCol).cast("boolean"), lit(false))
+    val m = df.groupBy(col(groupCol).as("group")).agg(
+      count(when(v === variantA, lit(1))).as("n_a"),
+      count(when(v === variantA && s, lit(1))).as("__k_a"),
+      count(when(v === variantB, lit(1))).as("n_b"),
+      count(when(v === variantB && s, lit(1))).as("__k_b"))
+    val na = col("n_a").cast("double")
+    val nb = col("n_b").cast("double")
+    val pa = sdiv(col("__k_a").cast("double"), na)
+    val pb = sdiv(col("__k_b").cast("double"), nb)
+    val ph = sdiv((col("__k_a") + col("__k_b")).cast("double"),
+      (col("n_a") + col("n_b")).cast("double"))
+    val z9 = round((pa - pb) /
+      sqrt((ph * (lit(1.0) - ph)) *
+        (sdiv(lit(1.0), na) + sdiv(lit(1.0), nb))), 9)
+    val degenerate = col("n_a") === 0 || col("n_b") === 0 ||
+      col("__k_a") + col("__k_b") === 0 ||
+      col("__k_a") + col("__k_b") === col("n_a") + col("n_b")
+    m.select(col("group"), col("n_a"), col("n_b"),
+      when(col("n_a") === 0, lit(null).cast("double"))
+        .otherwise(round(pa, 6)).as("conv_a"),
+      when(col("n_b") === 0, lit(null).cast("double"))
+        .otherwise(round(pb, 6)).as("conv_b"),
+      when(degenerate, lit(null).cast("double"))
+        .otherwise(round(z9, 6)).as("z"),
+      when(degenerate, lit(null).cast("double"))
+        .otherwise(round(twoSidedP(z9), 6)).as("p_value"))
+  }
+
+  /**
+   * Benjamini–Hochberg FDR step-up over a table of per-test p-values —
+   * what keeps a 10 000-segment sweep from "discovering" 500 false
+   * positives at α = 0.05: adjusted `q_i = min_{j ≥ i} (p_j · m / j)`
+   * (capped at 1) over the (p ASC, key ASC) ranking, `significant ⇔
+   * q ≤ α` (exactly the classic "largest k with p_k ≤ k·α/m" rule).
+   * NULL p-values (degenerate tests) are excluded — they neither count
+   * in m nor can be discoveries.
+   *
+   * Runs AFTER the corpus has reduced to one row per test, so the
+   * global ordering windows see an |tests|-sized frame — fine at any
+   * corpus scale; it is the number of HYPOTHESES that bounds this
+   * operator.
+   */
+  def benjaminiHochberg(df: DataFrame, keyCol: String, pCol: String,
+                        alpha: Double = 0.05): DataFrame = {
+    require(alpha > 0.0 && alpha < 1.0, s"alpha must be in (0,1), got $alpha")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.orderBy(col(pCol).asc, col(keyCol).asc)
+    val all = Window.partitionBy()
+    val wTail = Window.orderBy(col("rank"))
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    df.where(col(pCol).isNotNull)
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .withColumn("__m", count(lit(1)).over(all))
+      .withColumn("__qraw", round(col(pCol) * col("__m").cast("double") /
+        col("rank").cast("double"), 9))
+      .withColumn("__q", least(min(col("__qraw")).over(wTail), lit(1.0)))
+      .select(col(keyCol), col(pCol), col("rank"),
+        round(col("__q"), 6).as("q_value"),
+        (col("__q") <= alpha).as("significant"))
+  }
+
+  /**
    * Always-valid mSPRT (mixture sequential probability ratio test,
    * Johari et al. 2017) for a mean difference: the likelihood ratio
    * you may peek at after EVERY event without inflating false

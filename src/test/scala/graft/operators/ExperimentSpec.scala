@@ -275,6 +275,43 @@ class ExperimentSpec extends SparkTestBase {
       sat, "v", "ok", "A", "B").head().isNullAt(4))
   }
 
+  test("twoSidedP via grouped z: matches the exact normal within 1e-6") {
+    // group g1: strong effect (A 9/10, B 1/10); g2: null (5/10 both)
+    def arm(g: String, v: String, k: Int) =
+      (1 to 10).map(i => Row(g, v, i <= k))
+    val d = df("g STRING, v STRING, ok BOOLEAN",
+      arm("g1", "A", 9) ++ arm("g1", "B", 1) ++
+        arm("g2", "A", 5) ++ arm("g2", "B", 5))
+    val out = Experiment.proportionZGrouped(d, "g", "v", "ok", "A", "B")
+      .collect().map(r => r.getString(0) ->
+        (r.getAs[Double]("z"), r.getAs[Double]("p_value"))).toMap
+    // exact two-sided p for the g1 z against the erf approximation
+    val z1 = out("g1")._1
+    val exact = 2.0 * (1.0 - 0.5 *
+      (1.0 + org.apache.commons.math3.special.Erf.erf(
+        math.abs(z1) / math.sqrt(2.0))))
+    assert(math.abs(out("g1")._2 - exact) < 1e-6)
+    assert(out("g2")._1 == 0.0 && out("g2")._2 == 1.0)
+  }
+
+  test("benjaminiHochberg: step-up q-values, monotone from the right") {
+    // classic example: p = .01, .02, .03, .04 with m = 4
+    val d = df("k STRING, p DOUBLE", Seq(
+      Row("a", 0.01), Row("b", 0.04), Row("c", 0.03), Row("d", 0.02),
+      Row("x", null)))
+    val out = Experiment.benjaminiHochberg(d, "k", "p", alpha = 0.05)
+      .orderBy("rank").collect()
+      .map(r => (r.getString(0), r.getLong(2), r.getDouble(3),
+        r.getBoolean(4))).toSeq
+    // qraw = .04, .04, .04, .04 -> all q = .04, all significant
+    assert(out == Seq(("a", 1L, 0.04, true), ("d", 2L, 0.04, true),
+      ("c", 3L, 0.04, true), ("b", 4L, 0.04, true)))
+    // only the smallest p survives a tighter alpha
+    val tight = Experiment.benjaminiHochberg(d, "k", "p", alpha = 0.039)
+      .orderBy("rank").collect().map(_.getBoolean(4)).toSeq
+    assert(tight == Seq(false, false, false, false))
+  }
+
   test("msprt: negative evidence caps p at 1; strong lift drives it down") {
     // A = 1,3; B = 2,6, tau 1: V = 5, delta -2 -> ln-lambda < 0 -> p 1
     val weak = df("v STRING, x DOUBLE", Seq(
