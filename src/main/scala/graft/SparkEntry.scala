@@ -3936,6 +3936,17 @@ object SparkEntry {
             col("value")),
         "variant", "value", "0", "1")),
 
+    // Per-segment Welch sweep on the event value: t, Welch df, and the
+    // normal-approximation p per event type in one grouped pass.
+    "q_ab_welch_grouped" -> ((s, d) =>
+      graft.operators.Experiment.welchTGrouped(
+        executor(s, d).table("events")
+          .select(col("event_type").as("seg"),
+            (col("user_id") % 2).cast("string").as("variant"),
+            col("value")),
+        "seg", "variant", "value", "0", "1")
+        .orderBy("group")),
+
     // Per-segment z sweep: one conditional-aggregate pass tests every
     // event type at once, two-sided p via the cross-engine erf chain.
     "q_ab_z_grouped" -> ((s, d) =>
@@ -9422,6 +9433,68 @@ object SparkEntry {
          |       OR se9 = 0.0 THEN NULL
          |       ELSE round(didv / se9, 6) END AS z
          |FROM fin""".stripMargin,
+    // Grouped-Welch mirror: per-segment moment cells, 9-dp t, Welch
+    // df, and the same erf-chain p on |t|.
+    "q_ab_welch_grouped" ->
+      """WITH m AS (SELECT event_type AS grp,
+        |    count(CASE WHEN CAST(user_id % 2 AS VARCHAR) = '0'
+        |                AND value IS NOT NULL THEN 1 END) AS n_a,
+        |    sum(CASE WHEN CAST(user_id % 2 AS VARCHAR) = '0'
+        |             THEN CAST(round(value, 9) AS DECIMAL(28,9)) END) AS s_a,
+        |    sum(CASE WHEN CAST(user_id % 2 AS VARCHAR) = '0'
+        |             THEN CAST(round(round(value, 9) * round(value, 9), 9)
+        |                       AS DECIMAL(28,9)) END) AS s2_a,
+        |    count(CASE WHEN CAST(user_id % 2 AS VARCHAR) = '1'
+        |                AND value IS NOT NULL THEN 1 END) AS n_b,
+        |    sum(CASE WHEN CAST(user_id % 2 AS VARCHAR) = '1'
+        |             THEN CAST(round(value, 9) AS DECIMAL(28,9)) END) AS s_b,
+        |    sum(CASE WHEN CAST(user_id % 2 AS VARCHAR) = '1'
+        |             THEN CAST(round(round(value, 9) * round(value, 9), 9)
+        |                       AS DECIMAL(28,9)) END) AS s2_b
+        |  FROM events GROUP BY 1),
+        |st AS (SELECT grp, n_a, n_b,
+        |    round(CAST(s_a AS DOUBLE) / CAST(n_a AS DOUBLE), 9) AS m_a,
+        |    round(CAST(s_b AS DOUBLE) / CAST(n_b AS DOUBLE), 9) AS m_b,
+        |    round(CAST(s2_a AS DOUBLE) / CAST(n_a AS DOUBLE), 9) AS e2_a,
+        |    round(CAST(s2_b AS DOUBLE) / CAST(n_b AS DOUBLE), 9) AS e2_b
+        |  FROM m),
+        |vv AS (SELECT grp, n_a, n_b, m_a, m_b,
+        |    round((e2_a - m_a * m_a) *
+        |      (CAST(n_a AS DOUBLE) / (CAST(n_a AS DOUBLE) - 1.0)), 9) AS v_a,
+        |    round((e2_b - m_b * m_b) *
+        |      (CAST(n_b AS DOUBLE) / (CAST(n_b AS DOUBLE) - 1.0)), 9) AS v_b
+        |  FROM st),
+        |tt AS (SELECT *,
+        |    (n_a < 2 OR n_b < 2 OR v_a + v_b = 0.0) AS degen,
+        |    CASE WHEN n_a < 2 OR n_b < 2 OR v_a + v_b = 0.0 THEN NULL
+        |    ELSE round((m_a - m_b) /
+        |      sqrt(v_a / CAST(n_a AS DOUBLE) +
+        |           v_b / CAST(n_b AS DOUBLE)), 9) END AS t9
+        |  FROM vv),
+        |py AS (SELECT *, round(abs(t9) * 0.707106781, 9) AS y FROM tt),
+        |pt AS (SELECT *, round(1.0 / (1.0 + 0.3275911 * y), 9) AS tq
+        |       FROM py),
+        |pc AS (SELECT *,
+        |    round(round(tq * (0.254829592 + tq * (-0.284496736 +
+        |      tq * (1.421413741 + tq * (-1.453152027 +
+        |        tq * 1.061405429)))), 9) *
+        |      round(exp(round(0.0 - y * y, 9)), 9), 9) AS p9
+        |  FROM pt)
+        |SELECT grp AS "group", n_a, n_b,
+        |  CASE WHEN n_a = 0 THEN NULL ELSE round(m_a, 6) END AS mean_a,
+        |  CASE WHEN n_b = 0 THEN NULL ELSE round(m_b, 6) END AS mean_b,
+        |  CASE WHEN degen THEN NULL ELSE round(t9, 6) END AS t,
+        |  CASE WHEN degen THEN NULL
+        |       ELSE round(
+        |         (v_a / CAST(n_a AS DOUBLE) + v_b / CAST(n_b AS DOUBLE)) *
+        |         (v_a / CAST(n_a AS DOUBLE) + v_b / CAST(n_b AS DOUBLE)) /
+        |         ((v_a / CAST(n_a AS DOUBLE)) * (v_a / CAST(n_a AS DOUBLE)) /
+        |            (CAST(n_a AS DOUBLE) - 1.0) +
+        |          (v_b / CAST(n_b AS DOUBLE)) * (v_b / CAST(n_b AS DOUBLE)) /
+        |            (CAST(n_b AS DOUBLE) - 1.0)), 6)
+        |  END AS df,
+        |  CASE WHEN degen THEN NULL ELSE round(p9, 6) END AS p_normal
+        |FROM pc ORDER BY grp NULLS FIRST""".stripMargin,
     // Grouped-z mirror: per-segment cells, 9-dp z, then the erf-chain
     // two-sided p (identical snaps on both engines).
     "q_ab_z_grouped" -> (abZGroupedSql +

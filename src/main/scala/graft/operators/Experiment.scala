@@ -354,6 +354,60 @@ object Experiment {
   }
 
   /**
+   * [[welchT]] PER GROUP, with a two-sided p-value from the NORMAL
+   * approximation of the t statistic (`p_normal` — named honestly: at
+   * the Welch df this sweep targets, thousands of rows per cell, the
+   * normal and t CDFs agree to ~1e-4; at df < 30 prefer the single
+   * [[welchT]] + a table). One row per group `(group, n_a, n_b,
+   * mean_a, mean_b, t, df, p_normal)`, ready for
+   * [[benjaminiHochberg]]. Same guards as the global test, per group.
+   *
+   * Scale shape: ONE grouped conditional moment pass — the segment
+   * count rides the group-by key, not extra scans.
+   */
+  def welchTGrouped(df: DataFrame, groupCol: String, variantCol: String,
+                    valueCol: String, variantA: String,
+                    variantB: String): DataFrame = {
+    val v = col(variantCol).cast("string")
+    val x = round(col(valueCol).cast("double"), 9)
+    val dec = "decimal(28,9)"
+    def arm(value: String, suffix: String) = Seq(
+      count(when(v === value && x.isNotNull, lit(1))).as(s"n_$suffix"),
+      sum(when(v === value, x).cast(dec)).as(s"__s_$suffix"),
+      sum(when(v === value, round(x * x, 9)).cast(dec)).as(s"__s2_$suffix"))
+    val m = df.groupBy(col(groupCol).as("group"))
+      .agg(arm(variantA, "a").head,
+        (arm(variantA, "a").tail ++ arm(variantB, "b")): _*)
+    def stats(suffix: String): (Column, Column, Column) = {
+      val n = col(s"n_$suffix").cast("double")
+      val mean = round(sdiv(col(s"__s_$suffix").cast("double"), n), 9)
+      val e2 = round(sdiv(col(s"__s2_$suffix").cast("double"), n), 9)
+      val variance = round((e2 - mean * mean) * sdiv(n, n - lit(1.0)), 9)
+      (n, mean, variance)
+    }
+    val (na, ma, va) = stats("a")
+    val (nb, mb, vb) = stats("b")
+    val sea = sdiv(va, na)
+    val seb = sdiv(vb, nb)
+    val t9 = round((ma - mb) / sqrt(sea + seb), 9)
+    val undef = col("n_a") < 2 || col("n_b") < 2
+    val zeroVar = undef || (va + vb) === 0.0
+    m.select(col("group"), col("n_a"), col("n_b"),
+      when(col("n_a") === 0, lit(null).cast("double"))
+        .otherwise(round(ma, 6)).as("mean_a"),
+      when(col("n_b") === 0, lit(null).cast("double"))
+        .otherwise(round(mb, 6)).as("mean_b"),
+      when(zeroVar, lit(null).cast("double"))
+        .otherwise(round(t9, 6)).as("t"),
+      when(zeroVar, lit(null).cast("double"))
+        .otherwise(round(sdiv((sea + seb) * (sea + seb),
+          sdiv(sea * sea, na - lit(1.0)) + sdiv(seb * seb, nb - lit(1.0))),
+          6)).as("df"),
+      when(zeroVar, lit(null).cast("double"))
+        .otherwise(round(twoSidedP(t9), 6)).as("p_normal"))
+  }
+
+  /**
    * Standard-normal quantile Φ⁻¹(p) (Acklam's rational approximation,
    * |ε| < 1.15e-9), snapped to 9 dp — a DRIVER-side constant for
    * α/power knobs, never a per-row expression.

@@ -2,6 +2,7 @@ package graft.operators
 
 import graft.SparkTestBase
 import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions.col
 
 class ExperimentSpec extends SparkTestBase {
 
@@ -292,6 +293,24 @@ class ExperimentSpec extends SparkTestBase {
         math.abs(z1) / math.sqrt(2.0))))
     assert(math.abs(out("g1")._2 - exact) < 1e-6)
     assert(out("g2")._1 == 0.0 && out("g2")._2 == 1.0)
+  }
+
+  test("welchTGrouped matches the global welchT per group; p from |t|") {
+    val d = df("g STRING, v STRING, x DOUBLE", Seq(
+      Row("g1", "A", 1.0), Row("g1", "A", 3.0),
+      Row("g1", "B", 6.0), Row("g1", "B", 8.0),
+      Row("g2", "A", 2.0), Row("g2", "A", 2.0),
+      Row("g2", "B", 2.0), Row("g2", "B", 2.0)))
+    val grouped = Experiment.welchTGrouped(d, "g", "v", "x", "A", "B")
+      .collect().map(r => r.getString(0) -> r).toMap
+    val global = Experiment.welchT(
+      d.where(col("g") === "g1"), "v", "x", "A", "B").head()
+    assert(grouped("g1").getAs[Double]("t") == global.getAs[Double]("t"))
+    assert(grouped("g1").getAs[Double]("df") == global.getAs[Double]("df"))
+    assert(grouped("g1").getAs[Double]("p_normal") > 0.0 &&
+      grouped("g1").getAs[Double]("p_normal") < 0.05)
+    // zero-variance group -> NULL stats
+    assert(grouped("g2").isNullAt(5) && grouped("g2").isNullAt(7))
   }
 
   test("benjaminiHochberg: step-up q-values, monotone from the right") {
