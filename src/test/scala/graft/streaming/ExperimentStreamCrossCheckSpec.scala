@@ -14,6 +14,7 @@ import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
  */
 object ExperimentStreamCrossCheckSpec {
   case class Trial(v: String, ok: Boolean, y: Double, x: Double)
+  case class SegTrial(g: String, v: String, ok: Boolean, y: Double)
 }
 
 class ExperimentStreamCrossCheckSpec extends SparkTestBase {
@@ -54,5 +55,39 @@ class ExperimentStreamCrossCheckSpec extends SparkTestBase {
   test("cuped runs unchanged on a stream and equals batch") {
     crossCheck("ab_cuped_stream")(d =>
       Experiment.cuped(d, "v", "y", "x", "A", "B"))
+  }
+
+  test("msprt runs unchanged on a stream — the always-valid monitor IS its deployment") {
+    crossCheck("ab_msprt_stream")(d =>
+      Experiment.msprt(d, "v", "y", "A", "B", tau = 1.0))
+  }
+
+  private val segBatches = Seq(
+    Seq(ExperimentStreamCrossCheckSpec.SegTrial("s1", "A", true, 1.0),
+      ExperimentStreamCrossCheckSpec.SegTrial("s1", "B", false, 3.0),
+      ExperimentStreamCrossCheckSpec.SegTrial("s2", "A", false, 2.0)),
+    Seq(ExperimentStreamCrossCheckSpec.SegTrial("s2", "B", true, 4.0),
+      ExperimentStreamCrossCheckSpec.SegTrial("s1", "A", false, 2.0),
+      ExperimentStreamCrossCheckSpec.SegTrial("s1", "B", true, 1.0)),
+    Seq(ExperimentStreamCrossCheckSpec.SegTrial("s2", "A", true, 5.0),
+      ExperimentStreamCrossCheckSpec.SegTrial("s2", "B", false, 1.5)))
+
+  test("proportionZGrouped runs unchanged on a stream — the segment sweep dashboard") {
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    val mem = MemoryStream[ExperimentStreamCrossCheckSpec.SegTrial]
+    val q = Experiment.proportionZGrouped(mem.toDF(), "g", "v", "ok", "A", "B")
+      .writeStream.format("memory").queryName("ab_zg_stream")
+      .outputMode("complete").start()
+    val streamed = try {
+      segBatches.foreach { b => mem.addData(b); q.processAllAvailable() }
+      spark.table("ab_zg_stream").collect()
+        .map(_.toSeq).sortBy(_.head.toString).toSeq
+    } finally q.stop()
+    val batch = Experiment.proportionZGrouped(
+        segBatches.flatten.toDF(), "g", "v", "ok", "A", "B")
+      .collect().map(_.toSeq).sortBy(_.head.toString).toSeq
+    assert(streamed == batch)
+    assert(batch.size == 2)
   }
 }
