@@ -240,7 +240,10 @@ object ScaleProbe {
     "q_drift_timeline", "q_clean_mojibake",
     // Markov removal: one journey shuffle into a checkpointed |S|²
     // transition table; K absorption rounds are corpus-independent
-    "q_attribution_markov")
+    "q_attribution_markov",
+    // multiple-testing battery: grouped conditional-aggregate sweeps
+    // (z and Welch) + the |tests|-row BH windows
+    "q_ab_z_grouped", "q_ab_welch_grouped", "q_ab_fdr")
 
   private def caesar(c: org.apache.spark.sql.Column, k: Int) = {
     val lower = "abcdefghijklmnopqrstuvwxyz"
