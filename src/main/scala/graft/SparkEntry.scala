@@ -3186,6 +3186,23 @@ object SparkEntry {
         .orderBy("node")
     }),
 
+    // Weighted PageRank over the co-order MULTIPLICITY graph: repeat
+    // business carries proportional authority.
+    "q_graph_pagerank_weighted" -> ((s, d) => {
+      val ex = executor(s, d)
+      val pairs = ex.table("lineitem").join(ex.table("orders"),
+          col("l_orderkey") === col("o_orderkey"))
+        .select(concat(lit("c:"), col("o_custkey")).as("c"),
+          concat(lit("s:"), col("l_suppkey")).as("p"))
+      val edges = pairs
+        .select(col("c").as("src"), col("p").as("dst"), lit(1.0).as("w"))
+        .unionByName(pairs.select(col("p").as("src"), col("c").as("dst"),
+          lit(1.0).as("w")))
+      graft.operators.Graph.pageRankWeighted(edges, "src", "dst", "w",
+          iterations = 3)
+        .orderBy("node")
+    }),
+
     // Contiguous event trigrams by distinct-user support.
     "q_seq_trigram" -> ((s, d) =>
       graft.operators.Funnel.frequentSequences(
@@ -8446,6 +8463,8 @@ object SparkEntry {
         |ORDER BY o_orderpriority""".stripMargin,
     "q_graph_pagerank" -> pageRankOracle(iterations = 3, damping = 0.85),
     "q_graph_ppr" -> pprOracle(iterations = 3, damping = 0.85),
+    "q_graph_pagerank_weighted" ->
+      weightedPrOracle(iterations = 3, damping = 0.85),
     "q_graph_hits" -> hitsOracle(iterations = 2),
     // Unseeded LPA, 2 rounds unrolled: l0 = own id as string; majority
     // votes with (count desc, label asc) STRING-order ties; no clamping.
@@ -10727,6 +10746,42 @@ object SparkEntry {
        |$rounds
        |SELECT node, round(rank, 6) AS rank FROM r$iterations
        |ORDER BY node""".stripMargin
+  }
+
+  /** DuckDB mirror of q_graph_pagerank_weighted: [[pageRankOracle]]
+    * with per-edge weight SHARES (multiplicity-summed DECIMAL weights,
+    * 9-dp share snap) replacing the uniform 1/deg split. */
+  private def weightedPrOracle(iterations: Int, damping: Double): String = {
+    val d = damping.toString
+    val rounds = (1 to iterations).map { i =>
+      s"""c$i AS (SELECT e.dst AS node,
+         |  CAST(round(r.rank * e.share, 9) AS DECIMAL(22,9)) AS c
+         |  FROM edges e JOIN r${i - 1} r ON e.src = r.node),
+         |s$i AS (SELECT node, sum(c) AS s FROM c$i GROUP BY node),
+         |r$i AS (SELECT n.node,
+         |  round((1 - $d) + $d * CAST(coalesce(s.s, 0) AS DOUBLE), 9) AS rank
+         |  FROM nodes n LEFT JOIN s$i s ON n.node = s.node)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH pairs AS (
+       |  SELECT 'c:' || o_custkey AS c, 's:' || l_suppkey AS p
+       |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+       |raw AS (SELECT c AS src, p AS dst FROM pairs
+       |        UNION ALL SELECT p, c FROM pairs),
+       |e0 AS (SELECT src, dst,
+       |         sum(CAST(round(1.0, 9) AS DECIMAL(28,9))) AS w
+       |       FROM raw GROUP BY 1, 2),
+       |ws AS (SELECT src, sum(w) AS tw FROM e0 GROUP BY 1),
+       |edges AS (SELECT e0.src, e0.dst,
+       |            round(CAST(e0.w AS DOUBLE) / CAST(ws.tw AS DOUBLE), 9)
+       |              AS share
+       |          FROM e0 JOIN ws ON e0.src = ws.src),
+       |nodes AS (SELECT src AS node FROM e0
+       |          UNION SELECT dst FROM e0),
+       |r0 AS (SELECT node, CAST(1.0 AS DOUBLE) AS rank FROM nodes),
+       |$rounds
+       |SELECT node,
+       |  CAST(round(CAST(rank AS DECIMAL(22,9)), 6) AS DOUBLE) AS rank
+       |FROM r$iterations ORDER BY node""".stripMargin
   }
 
   /** DuckDB mirror of q_graph_ppr: [[pageRankOracle]] with the teleport

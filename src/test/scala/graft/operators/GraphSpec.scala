@@ -49,6 +49,36 @@ class GraphSpec extends SparkTestBase {
     assert(r == Map("a" -> 0.15, "b" -> 0.1275, "c" -> 0.7225))
   }
 
+  test("pageRankWeighted: uniform weights equal plain pageRank; skew shifts mass") {
+    val pairs = Seq("a" -> "b", "a" -> "c", "b" -> "a", "c" -> "a")
+    val plain = ranks(pairs, 3)
+    val ew = df("src STRING, dst STRING, w DOUBLE",
+      pairs.map { case (s2, d2) => Row(s2, d2, 1.0) })
+    val uniform = Graph.pageRankWeighted(ew, "src", "dst", "w", 3)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(uniform == plain)
+    // a -> b gets 3x the weight of a -> c: 1 iteration from rank 1.0
+    // gives b = 0.15 + 0.85 * 0.75, c = 0.15 + 0.85 * 0.25
+    val skew = df("src STRING, dst STRING, w DOUBLE", Seq(
+      Row("a", "b", 3.0), Row("a", "c", 1.0)))
+    val r = Graph.pageRankWeighted(skew, "src", "dst", "w", 1)
+      .collect().map(x => x.getString(0) -> x.getDouble(1)).toMap
+    assert(r("b") == 0.7875 && r("c") == 0.3625 && r("a") == 0.15)
+  }
+
+  test("pageRankWeighted: duplicate edges add weight; non-positive drop") {
+    // duplicated a->b row == single a->b with w 2
+    val dup = df("src STRING, dst STRING, w DOUBLE", Seq(
+      Row("a", "b", 1.0), Row("a", "b", 1.0), Row("a", "c", 2.0)))
+    val merged = df("src STRING, dst STRING, w DOUBLE", Seq(
+      Row("a", "b", 2.0), Row("a", "c", 2.0), Row("a", "z", -1.0)))
+    val r1 = Graph.pageRankWeighted(dup, "src", "dst", "w", 2)
+      .collect().map(x => x.getString(0) -> x.getDouble(1)).toMap
+    val r2 = Graph.pageRankWeighted(merged, "src", "dst", "w", 2)
+      .collect().map(x => x.getString(0) -> x.getDouble(1)).toMap
+    assert(r1 == r2 && !r1.contains("z"))
+  }
+
   test("linkPrediction: square graph — all three scores exact") {
     // a-b, a-c, d-b, d-c: (a,d) share {b,c}; (b,c) share {a,d};
     // adjacent pairs never appear
