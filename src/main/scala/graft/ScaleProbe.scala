@@ -243,7 +243,10 @@ object ScaleProbe {
     "q_attribution_markov",
     // multiple-testing battery: grouped conditional-aggregate sweeps
     // (z and Welch) + the |tests|-row BH windows
-    "q_ab_z_grouped", "q_ab_welch_grouped", "q_ab_fdr")
+    "q_ab_z_grouped", "q_ab_welch_grouped", "q_ab_fdr",
+    // weighted PageRank: pageRank's iteration shape + one |E|-keyed
+    // share aggregate at setup
+    "q_graph_pagerank_weighted")
 
   private def caesar(c: org.apache.spark.sql.Column, k: Int) = {
     val lower = "abcdefghijklmnopqrstuvwxyz"
