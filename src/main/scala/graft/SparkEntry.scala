@@ -3648,6 +3648,29 @@ object SparkEntry {
         selfPairs = true)
     }),
 
+    // Multi-pass blocking: brand#size ∪ name-prefix-12 candidate union,
+    // pair-deduped before scoring — the recall repair for matches the
+    // single brand key can never pair. Oracle replays the same UNION
+    // (DISTINCT) of two blocked self-joins then scores each pair once.
+    "q_linkage_multi" -> ((s, d) => {
+      val p = executor(s, d).table("part")
+      val blk1 = "concat(p_brand, '#', cast(p_size as string))"
+      val blk2 = "substring(p_name, 1, 12)"
+      graft.operators.Linkage.linkageScoresMulti(p, p, "p_partkey",
+        "p_partkey", Seq(blk1 -> blk1, blk2 -> blk2), linkageFields,
+        selfPairs = true)
+        .orderBy("id_a", "id_b")
+    }),
+
+    // Per-pass audit of the multi-pass plan: (pass, block) pair volumes.
+    "q_linkage_multi_blocks" -> ((s, d) => {
+      val p = executor(s, d).table("part")
+      val blk1 = "concat(p_brand, '#', cast(p_size as string))"
+      val blk2 = "substring(p_name, 1, 12)"
+      graft.operators.Linkage.blockAuditMulti(p, p,
+        Seq(blk1 -> blk1, blk2 -> blk2), selfPairs = true)
+    }),
+
     // Skew-guarded linkage: every 7th part is funneled into one "HOT"
     // block (the classic NULL-ish catch-all failure), and maxBlockSize
     // = 100 anti-joins that block out before any pair forms — at the
@@ -5001,6 +5024,26 @@ object SparkEntry {
        |  $redacted AS redacted
        |FROM injected ORDER BY doc_id""".stripMargin
   }
+
+  /** Twin annotations for the gates that legitimately have NO SQL
+    * oracle (xxhash64-based signatures, zlib byte counts, float ANN
+    * distances, binary decode): each maps to the hash-green gate that
+    * certifies the same code path through a closed-form construction
+    * (exact-twin corpus, threshold-1.0 signatures, deterministic fake
+    * codec). Dumped by [[Verify]] as `twins.json` so the board can count
+    * a `no_oracle` row as covered-by-twin instead of an unexplained err. */
+  def twins: Map[String, String] = Map(
+    "q_ann_ivf" -> "q_ann_ivf_twin",
+    "q_ann_lsh" -> "q_ann_lsh_twin",
+    "q_dedup_minhash" -> "q_dedup_minhash_exact",
+    "q_dedup_simhash" -> "q_dedup_simhash_twins",
+    "q_dedup_winnow" -> "q_dedup_winnow_twins",
+    "q_eval_rouge_l" -> "q_eval_rouge_l_twin",
+    "q_multimodal_decode" -> "q_multimodal_decode_real",
+    "q_quality_compress" -> "q_quality_compress_twins",
+    "q_text_fingerprint" -> "q_text_fingerprint_twins",
+    "q_text_ncd" -> "q_text_ncd_twins",
+    "q_text_winnow" -> "q_text_winnow_twins")
 
   /** DuckDB oracle for the stratified sample, generated from the same
     * fraction constants (thresholds via Split.thresholdHex). */
@@ -8779,6 +8822,17 @@ object SparkEntry {
         |  CAST(n AS BIGINT) AS n_right,
         |  CAST(n * (n - 1) // 2 AS BIGINT) AS n_pairs
         |FROM a ORDER BY n_pairs DESC, block""".stripMargin,
+    "q_linkage_multi" -> linkageMultiOracle,
+    "q_linkage_multi_blocks" ->
+      """WITH pm AS (SELECT p_brand || '#' || CAST(p_size AS VARCHAR) AS blk1,
+        |  substring(p_name, 1, 12) AS blk2 FROM part),
+        |u AS (SELECT 0 AS pass, blk1 AS block, count(*) AS n FROM pm GROUP BY 2
+        |      UNION ALL
+        |      SELECT 1 AS pass, blk2 AS block, count(*) AS n FROM pm GROUP BY 2)
+        |SELECT CAST(pass AS INTEGER) AS pass, block,
+        |  CAST(n AS BIGINT) AS n_left, CAST(n AS BIGINT) AS n_right,
+        |  CAST(n * (n - 1) // 2 AS BIGINT) AS n_pairs
+        |FROM u ORDER BY pass, n_pairs DESC, block""".stripMargin,
     "q_linkage_capped" -> linkageCappedOracle,
     "q_linkage_em" -> linkageEmOracle(0.05),
     "q_linkage_em2" -> linkageEmOracle(0.05, iterations = 2),
@@ -10183,6 +10237,35 @@ object SparkEntry {
        |  CAST($agrees AS INTEGER) AS n_agree,
        |  round($terms, 6) AS score
        |FROM pa a JOIN pa b ON a.blk = b.blk AND a.id < b.id""".stripMargin
+  }
+
+  /** Multi-pass blocking oracle: UNION (distinct) of the two blocked
+    * self-joins' id pairs — exactly the operator's pair-dedup — then
+    * each pair scored once with the shared fixed-order arithmetic. */
+  private def linkageMultiOracle: String = {
+    val fs = linkageFields.zipWithIndex
+      .map { case (f, i) => s"${f.exprA} AS f$i" }.mkString(", ")
+    val terms = linkageFields.zipWithIndex.map { case (f, i) =>
+      s"CASE WHEN a.f$i = b.f$i THEN ${f.agreeWeight} " +
+        s"ELSE ${f.disagreeWeight} END"
+    }.mkString("(", " + ", ")")
+    val agrees = linkageFields.indices.map { i =>
+      s"CASE WHEN a.f$i = b.f$i THEN 1 ELSE 0 END"
+    }.mkString("(", " + ", ")")
+    s"""WITH pm AS (SELECT p_partkey AS id,
+       |  p_brand || '#' || CAST(p_size AS VARCHAR) AS blk1,
+       |  substring(p_name, 1, 12) AS blk2, $fs FROM part),
+       |cand AS (
+       |  SELECT a.id AS id_a, b.id AS id_b FROM pm a JOIN pm b
+       |    ON a.blk1 = b.blk1 AND a.id < b.id
+       |  UNION
+       |  SELECT a.id, b.id FROM pm a JOIN pm b
+       |    ON a.blk2 = b.blk2 AND a.id < b.id)
+       |SELECT c.id_a, c.id_b,
+       |  CAST($agrees AS INTEGER) AS n_agree,
+       |  round($terms, 6) AS score
+       |FROM cand c JOIN pm a ON a.id = c.id_a JOIN pm b ON b.id = c.id_b
+       |ORDER BY id_a, id_b""".stripMargin
   }
 
   /** Capped-linkage oracle: the same HOT-block funnel and the same

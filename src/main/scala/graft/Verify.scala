@@ -41,6 +41,11 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // no-oracle gate -> its hash-green twin, so the board can mark
+    // `no_oracle` rows covered-by-twin instead of err
+    val twinsJson = SparkEntry.twins
+      .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
+    Files.writeString(Paths.get(s"$outDir/twins.json"), twinsJson)
     spark.stop()
   }
 }

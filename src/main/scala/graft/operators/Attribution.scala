@@ -217,6 +217,7 @@ object Attribution {
       // the state frame references itself through two joins per round —
       // flatten the plan so K stays cheap to (re)plan
       if (i % 4 == 0 && i != iterations) p = p.localCheckpoint(true)
+      graft.plans.IterationAudit.record("attribution.markovRemoval", p)
     }
     val fin = p.where(col("__fs") === START)
       .select(col("__rc"), col("__pv"))

@@ -37,9 +37,14 @@ object Basket {
    *
    * @param minSupport    support floor as a fraction of baskets,
    *                      applied to items AND pairs (A-Priori)
-   * @param maxBasketSize drop baskets with more distinct (frequent)
-   *                      items than this — the skew guard for the
-   *                      quadratic pair step
+   * @param maxBasketSize drop baskets whose RAW distinct-item count
+   *                      exceeds this, BEFORE frequent-item pruning —
+   *                      the skew guard for the quadratic pair step.
+   *                      Deliberate: a catch-all basket (bot session,
+   *                      default bucket) is pathological regardless of
+   *                      which of its items survive the support floor,
+   *                      and capping pre-prune keeps the guard a single
+   *                      pass that also bounds the support-count step.
    */
   def associationRules(df: DataFrame, basketCol: String, itemCol: String,
                        minSupport: Double,

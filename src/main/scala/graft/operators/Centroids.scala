@@ -154,9 +154,13 @@ object Centroids {
     var state = e.withColumn("__mind", lit(3.0))
     var out: DataFrame = null
     for (r <- 0 until k) {
+      // the 1-row pick is referenced TWICE (output row + state update):
+      // materialize it or the state plan doubles every round between
+      // checkpoints (2^8 plan growth at the old %8 cadence)
       val chosen =
-        if (r == 0) state.orderBy(col("vec_id").asc).limit(1)
-        else state.orderBy(col("__mind").desc, col("vec_id").asc).limit(1)
+        (if (r == 0) state.orderBy(col("vec_id").asc).limit(1)
+         else state.orderBy(col("__mind").desc, col("vec_id").asc).limit(1))
+          .localCheckpoint(eager = true)
       val row = chosen.select(lit(r).as("center_order"), col("vec_id"),
         (if (r == 0) lit(null).cast("double") else col("__mind"))
           .as("min_dist"))
@@ -170,6 +174,7 @@ object Centroids {
       // the state plan references itself twice per round (argmax subplan
       // + update), so lineage doubles each pick — truncate it
       if (r % 8 == 7 && r != k - 1) state = state.localCheckpoint(true)
+      graft.plans.IterationAudit.record("centroids.kCenterGreedy", state)
     }
     out
   }
@@ -272,6 +277,7 @@ object Centroids {
         df.join(asg.select(col(idCol), col("cluster").as("label")), idCol),
         vecCol, "label").localCheckpoint(true)
       asg = assignToCentroids(df, idCol, vecCol, cents)
+      graft.plans.IterationAudit.record("centroids.lloyd", asg)
     }
     asg
   }

@@ -479,6 +479,7 @@ object Dedup {
         .first().getLong(0)
       converged = nChanged == 0L
       labels = next.select("id", "comp")
+      graft.plans.IterationAudit.record("dedup.connectedComponents", labels)
       iter += 1
     }
     if (!converged) {
@@ -573,6 +574,7 @@ object Dedup {
         .count()
       done = chained == 0L
       edges = ss
+      graft.plans.IterationAudit.record("dedup.connectedComponentsStar", edges)
       iter += 1
     }
     nodes.join(edges.groupBy("hi").agg(min(col("lo")).as("__c")),

@@ -330,7 +330,10 @@ object Experiment {
       val n = col(s"n_$suffix").cast("double")
       val mean = round(sdiv(col(s"__s_$suffix").cast("double"), n), 9)
       val e2 = round(sdiv(col(s"__s2_$suffix").cast("double"), n), 9)
-      val variance = round((e2 - mean * mean) * sdiv(n, n - lit(1.0)), 9)
+      // clamp: 9-dp rounding can push a near-constant column's e2-mean²
+      // fractionally negative, which would make sqrt(se²) NaN downstream
+      val variance =
+        greatest(round((e2 - mean * mean) * sdiv(n, n - lit(1.0)), 9), lit(0.0))
       (n, mean, variance)
     }
     val (na, ma, va) = stats("a")
@@ -382,7 +385,10 @@ object Experiment {
       val n = col(s"n_$suffix").cast("double")
       val mean = round(sdiv(col(s"__s_$suffix").cast("double"), n), 9)
       val e2 = round(sdiv(col(s"__s2_$suffix").cast("double"), n), 9)
-      val variance = round((e2 - mean * mean) * sdiv(n, n - lit(1.0)), 9)
+      // clamp: 9-dp rounding can push a near-constant column's e2-mean²
+      // fractionally negative, which would make sqrt(se²) NaN downstream
+      val variance =
+        greatest(round((e2 - mean * mean) * sdiv(n, n - lit(1.0)), 9), lit(0.0))
       (n, mean, variance)
     }
     val (na, ma, va) = stats("a")
@@ -486,7 +492,10 @@ object Experiment {
       val n = col(s"n_$suffix").cast("double")
       val mean = round(sdiv(col(s"__s_$suffix").cast("double"), n), 9)
       val e2 = round(sdiv(col(s"__s2_$suffix").cast("double"), n), 9)
-      val variance = round((e2 - mean * mean) * sdiv(n, n - lit(1.0)), 9)
+      // clamp: 9-dp rounding can push a near-constant column's e2-mean²
+      // fractionally negative, which would make sqrt(se²) NaN downstream
+      val variance =
+        greatest(round((e2 - mean * mean) * sdiv(n, n - lit(1.0)), 9), lit(0.0))
       (n, mean, variance)
     }
     val (na, ma, va) = stats("a")
@@ -704,7 +713,10 @@ object Experiment {
       val n = col(s"n_$suffix").cast("double")
       val mean = round(sdiv(col(s"__s_$suffix").cast("double"), n), 9)
       val e2 = round(sdiv(col(s"__s2_$suffix").cast("double"), n), 9)
-      val variance = round((e2 - mean * mean) * sdiv(n, n - lit(1.0)), 9)
+      // clamp: 9-dp rounding can push a near-constant column's e2-mean²
+      // fractionally negative, which would make sqrt(se²) NaN downstream
+      val variance =
+        greatest(round((e2 - mean * mean) * sdiv(n, n - lit(1.0)), 9), lit(0.0))
       (n, mean, variance)
     }
     val (na, ma, va) = stats("a")
@@ -776,8 +788,13 @@ object Experiment {
     val m = ranked.agg(
       sum(col("__ca")).as("n_a"), sum(col("__cb")).as("n_b"),
       sum(round(col("__avgr") * d(col("__ca")), 9).cast(dec)).as("__ra"),
-      sum((col("__c") * col("__c") * col("__c") - col("__c"))
-        .cast("decimal(38,0)")).as("__t3"))
+      // cast each factor to decimal BEFORE multiplying: a tie group of
+      // ~2.1M+ rows would overflow the LONG cube c*c*c even though the
+      // running sum is decimal
+      sum {
+        val cDec = col("__c").cast("decimal(38,0)")
+        cDec * cDec * cDec - cDec
+      }.as("__t3"))
     val na = d(col("n_a"))
     val nb = d(col("n_b"))
     val n = na + nb
@@ -836,7 +853,10 @@ object Experiment {
       val n = d(col(s"n_$sfx"))
       val mean = round(sdiv(col(s"__s_$sfx").cast("double"), n), 9)
       val e2 = round(sdiv(col(s"__s2_$sfx").cast("double"), n), 9)
-      val variance = round((e2 - mean * mean) * sdiv(n, n - lit(1.0)), 9)
+      // clamp: 9-dp rounding can push a near-constant column's e2-mean²
+      // fractionally negative, which would make sqrt(se²) NaN downstream
+      val variance =
+        greatest(round((e2 - mean * mean) * sdiv(n, n - lit(1.0)), 9), lit(0.0))
       (n, mean, variance)
     }
     val (ntp, mtp, vtp) = stats("treat_pre")

@@ -82,6 +82,7 @@ object Graph {
             coalesce(col("__s").cast("double"), lit(0.0)), 9).as("rank"))
       if (i % checkpointEvery == 0 && i < iterations)
         ranks = ranks.localCheckpoint(eager = true)
+      graft.plans.IterationAudit.record("graph.pageRank", ranks)
     }
     (ranks.select(col("node"), round(col("rank"), 6).as("rank")),
       Seq(withDeg, e, nodes))
@@ -143,6 +144,7 @@ object Graph {
             coalesce(col("__s").cast("double"), lit(0.0)), 9).as("rank"))
       if (i % checkpointEvery == 0 && i < iterations)
         ranks = ranks.localCheckpoint(eager = true)
+      graft.plans.IterationAudit.record("graph.pageRankWeighted", ranks)
     }
     val out = ranks
       .select(col("node"),
@@ -209,6 +211,7 @@ object Graph {
             coalesce(col("__s").cast("double"), lit(0.0)), 9).as("rank"))
       if (i % checkpointEvery == 0 && i < iterations)
         ranks = ranks.localCheckpoint(eager = true)
+      graft.plans.IterationAudit.record("graph.personalizedPageRank", ranks)
     }
     // exact-decimal 6-dp publish: ranks are exact 9-dp decimals, where
     // string-based vs binary double rounding can split on half-ties
@@ -286,6 +289,7 @@ object Graph {
         auths = auths.localCheckpoint(eager = true)
         hubs = hubs.localCheckpoint(eager = true)
       }
+      graft.plans.IterationAudit.record("graph.hits", hubs)
     }
     val out = hubs
       .join(auths.withColumnRenamed("a", "__auth"), Seq("node"))
@@ -352,6 +356,7 @@ object Graph {
         .select(col("node"), coalesce(col("__seed"), col("__ml")).as("label"))
       if (i % checkpointEvery == 0 && i < iterations)
         labels = labels.localCheckpoint(eager = true)
+      graft.plans.IterationAudit.record("graph.labelPropagation", labels)
     }
     val out = labels.localCheckpoint(eager = true)
     und.unpersist(); nodes.unpersist()
@@ -408,6 +413,7 @@ object Graph {
           coalesce(col("__ml"), col("node").cast("string")).as("label"))
       if (i % checkpointEvery == 0 && i < iterations)
         labels = labels.localCheckpoint(eager = true)
+      graft.plans.IterationAudit.record("graph.communities", labels)
     }
     val out = labels.select(col("node"), col("label").as("community"))
       .localCheckpoint(eager = true)
@@ -520,6 +526,7 @@ object Graph {
         .join(keep.select(col("node").as("b")), "b")
         .select(col("a"), col("b"))
         .localCheckpoint(eager = true)
+      graft.plans.IterationAudit.record("graph.kCore", und)
     }
     // convergence = the LAST round deleted nothing; both frames are
     // checkpointed, so this is two cheap counts, not per-round actions
@@ -695,6 +702,7 @@ object Graph {
       dist = dist.union(relaxed)
         .groupBy("node").agg(min(col("dist")).as("dist"))
         .localCheckpoint(eager = true)
+      graft.plans.IterationAudit.record("graph.bfsDistance", dist)
     }
     dist
   }

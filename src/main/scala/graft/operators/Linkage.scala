@@ -155,6 +155,72 @@ object Linkage {
         round(score, 6).as("score"))
   }
 
+  /**
+   * Multi-pass blocking — the standard recall repair for single-key
+   * blocking (Splink's `blocking_rules_to_generate_predictions`,
+   * Christen 2012 ch.4): a true match that disagrees on THE one block
+   * key is an unrecoverable false negative, so production linkage
+   * unions several independent blocking passes (brand, zip+name-prefix,
+   * phone, …) and dedups candidate pairs before scoring. Each pass is
+   * one `(leftBlockExpr, rightBlockExpr)` SQL-expression pair evaluated
+   * inside the side's scan; NULL block values never pair (equi-join
+   * semantics), and `maxBlockSize` applies per pass.
+   *
+   * Scale shape: per pass one blocked equi-join (same contract as
+   * [[linkageScores]]); the passes union and dedup on (id_a, id_b) —
+   * ONE extra shuffle on 2 ids, carrying the precomputed field values
+   * so no re-join against the corpora is needed. Pair-dedup happens
+   * BEFORE scoring, so a pair found by k passes scores once. Output is
+   * identical to [[linkageScores]]: `(id_a, id_b, n_agree, score)`.
+   */
+  def linkageScoresMulti(left: DataFrame, right: DataFrame,
+                         leftId: String, rightId: String,
+                         blocks: Seq[(String, String)],
+                         fields: Seq[FieldSpec],
+                         selfPairs: Boolean = false,
+                         maxBlockSize: Option[Long] = None): DataFrame = {
+    require(blocks.nonEmpty, "at least one blocking pass")
+    val perPass = blocks.map { case (lb, rb) =>
+      blockedPairs(left.withColumn("__mblk", expr(lb)),
+          right.withColumn("__mblk", expr(rb)),
+          leftId, rightId, "__mblk", "__mblk",
+          fields, selfPairs, maxBlockSize)
+        .select(col("a.__id").as("__ida") +: col("b.__id").as("__idb") +:
+          fields.indices.flatMap(i => Seq(col(s"a.__f$i").as(s"__fa$i"),
+            col(s"b.__f$i").as(s"__fb$i"))): _*)
+    }.reduce(_ unionAll _)
+    // pair-dedup BEFORE scoring: every duplicate row for a pair carries
+    // the identical precomputed field values, so keep-any is exact
+    val pairs = perPass.dropDuplicates("__ida", "__idb")
+    val flags = fields.indices.map(i => col(s"__fa$i") === col(s"__fb$i"))
+    val score = fields.zip(flags).map { case (f, ok) =>
+      when(ok, lit(f.agreeWeight)).otherwise(lit(f.disagreeWeight))
+    }.reduce(_ + _)
+    val nAgree = flags.map(ok => when(ok, 1).otherwise(0): Column).reduce(_ + _)
+    pairs.select(col("__ida").as("id_a"), col("__idb").as("id_b"),
+      nAgree.cast("int").as("n_agree"), round(score, 6).as("score"))
+  }
+
+  /** Per-pass [[blockAudit]] for a multi-pass blocking plan: one row per
+    * (pass, block) with the pair volume that pass will generate —
+    * `(pass, block, n_left, n_right, n_pairs)`, largest blocks first
+    * within each pass. Block values cast to string so heterogeneous
+    * pass keys (brand vs size) union cleanly. */
+  def blockAuditMulti(left: DataFrame, right: DataFrame,
+                      blocks: Seq[(String, String)],
+                      selfPairs: Boolean = false): DataFrame = {
+    require(blocks.nonEmpty, "at least one blocking pass")
+    blocks.zipWithIndex.map { case ((lb, rb), i) =>
+      blockAudit(left.withColumn("__mblk", expr(lb).cast("string")),
+          right.withColumn("__mblk", expr(rb).cast("string")),
+          "__mblk", "__mblk", selfPairs)
+        .withColumn("pass", lit(i))
+    }.reduce(_ unionAll _)
+      .select(col("pass"), col("block"), col("n_left"), col("n_right"),
+        col("n_pairs"))
+      .orderBy(col("pass").asc, col("n_pairs").desc, col("block").asc)
+  }
+
   /** Links only: scored pairs at or above `threshold`. The filter sits
     * directly on the join output, so Catalyst evaluates it inside the
     * join stage — sub-threshold pairs never leave the executor. */
@@ -235,6 +301,9 @@ object Linkage {
       .select(array(agreeFlags(fields)
         .map(f => coalesce(f.cast("int"), lit(0))): _*).as("__g"))
       .groupBy("__g").agg(count(lit(1)).as("__c"))
+      // ≤2^|fields| rows, but its subtree is the FULL blocked-pair join —
+      // materialize once or every EM round re-embeds (and re-executes) it
+      .localCheckpoint(true)
     val init = left.sparkSession.range(1).select(
       lit(lambda).as("__lam"),
       array(fields.map(f => lit(f.m)): _*).as("__m"),
@@ -265,7 +334,7 @@ object Linkage {
           decSum(col("__c") * (lit(1.0) - col("__p")) * col("__gi")).as("__sug"))
       def clamp(c: Column): Column =
         greatest(least(c, lit(1.0) - lit(1e-6)), lit(1e-6))
-      perField
+      val next = perField
         .agg(sort_array(collect_list(
           struct(col("__f"), col("__spg"), col("__sug")))).as("__pk"))
         .crossJoin(broadcast(tot))
@@ -276,6 +345,12 @@ object Linkage {
           transform(col("__pk"),
             e => clamp(round(e("__sug") / (col("__n") - col("__sp")), 12)))
             .as("__u"))
+        // `tot` and `perField` BOTH re-embed the previous round's weights,
+        // so an unmaterialized fold doubles the plan every round; the
+        // frame is one row — checkpointing it is one trivial job
+        .localCheckpoint(eager = true)
+      graft.plans.IterationAudit.record("linkage.weightFitEm", next)
+      next
     }
     wFinal
       .select(col("__lam"),

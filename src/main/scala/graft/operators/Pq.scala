@@ -98,6 +98,7 @@ object Pq {
             .select(col("__code"),
               coalesce(col("__cNew"), col("__c")).as("__c"))
             .localCheckpoint(true)
+          graft.plans.IterationAudit.record("pq.fit", cents)
         }
         cents.orderBy("__code").collect()
           .map(_.getSeq[Double](1).toArray)

@@ -959,6 +959,14 @@ object Profile {
         col(bCol).cast("double").as("b"))
     val cells = base.groupBy("a", "b").agg(count(lit(1)).as("n"))
     val dec = "decimal(38,0)"
+    // every product is cast to decimal BEFORE multiplying: counts are
+    // corpus-scale, so LONG products (n1*n2, n*(n-1)) overflow past ~4.3e9
+    // rows even when the cell domain stays small
+    def halfPairs(c: Column): Column = {
+      val t = c.cast(dec)
+      // t*(t-1) is even, so the decimal /2 is exact; re-cast drops the .0
+      ((t * (t - lit(1))) / lit(2)).cast(dec)
+    }
     // ordered θ-join (a2 > a1) visits each unordered cell pair once
     val pairs = cells.select(col("a").as("a1"), col("b").as("b1"),
         col("n").as("n1"))
@@ -967,18 +975,17 @@ object Profile {
         col("a2") > col("a1") && col("b2") =!= col("b1"))
       .agg(
         coalesce(sum(when(col("b2") > col("b1"),
-          (col("n1") * col("n2")).cast(dec))), lit(0).cast(dec))
+          col("n1").cast(dec) * col("n2").cast(dec))), lit(0).cast(dec))
           .as("__conc"),
         coalesce(sum(when(col("b2") < col("b1"),
-          (col("n1") * col("n2")).cast(dec))), lit(0).cast(dec))
+          col("n1").cast(dec) * col("n2").cast(dec))), lit(0).cast(dec))
           .as("__disc"))
     def tiePairs(c: String, out: String) = cells
       .groupBy(c).agg(sum("n").as("__t"))
-      .agg(coalesce(sum(expr("__t * (__t - 1) div 2").cast(dec)),
-        lit(0).cast(dec)).as(out))
+      .agg(coalesce(sum(halfPairs(col("__t"))), lit(0).cast(dec)).as(out))
     val totals = cells.agg(
       coalesce(sum("n"), lit(0L)).as("__n"))
-      .select(col("__n"), expr("__n * (__n - 1) div 2").cast(dec).as("__n0"))
+      .select(col("__n"), halfPairs(col("__n")).as("__n0"))
     val j = totals.crossJoin(pairs)
       .crossJoin(tiePairs("a", "__n1")).crossJoin(tiePairs("b", "__n2"))
     val num = (col("__conc") - col("__disc")).cast("double")

@@ -248,6 +248,22 @@ object Writer {
     val conf = spark.sessionState.newHadoopConf()
     val out = new Path(outPath)
     val fs = out.getFileSystem(conf)
+    // The rewrite path reads affected leaf files directly (losing hive
+    // partition columns) and the carry path would collide identical
+    // basenames across partition dirs — so the operator is defined only
+    // on flat / non-hive layouts. Detect `col=value` path segments under
+    // inPath and fail fast rather than silently dropping rows.
+    val inRootUri = fs.makeQualified(new Path(inPath)).toUri
+    def relativeTo(root: java.net.URI, file: String): String = {
+      val rel = root.relativize(
+        fs.makeQualified(new Path(new java.net.URI(file))).toUri).getPath
+      require(!rel.split('/').dropRight(1).exists(_.contains("=")),
+        s"targetedDelete requires a flat (non-hive-partitioned) layout; " +
+          s"found partition directory segment in '$rel' under $inPath")
+      rel
+    }
+    val untouchedRel = untouched.map(f => f -> relativeTo(inRootUri, f))
+    affected.foreach(f => relativeTo(inRootUri, f)) // validate before rewrite
     fs.mkdirs(out)
     var deleted = 0L
     if (affected.nonEmpty) {
@@ -266,9 +282,11 @@ object Writer {
       }
       fs.delete(new Path(keptPath), true)
     }
-    untouched.foreach { f =>
+    untouchedRel.foreach { case (f, rel) =>
       val src = new Path(new java.net.URI(f))
-      FileUtil.copy(fs, src, fs, new Path(out, src.getName), false, conf)
+      val dst = new Path(out, rel) // preserve layout: no basename collisions
+      fs.mkdirs(dst.getParent)
+      FileUtil.copy(fs, src, fs, dst, false, conf)
     }
     (rows.length.toLong, affected.length.toLong, deleted)
   }

@@ -15,6 +15,17 @@ class SparkEntrySpec extends SparkTestBase {
     assert(missing.isEmpty, s"oracle without query: $missing")
   }
 
+  test("twins exactly annotate the no-oracle gates with hash-checked gates") {
+    val noOracle = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
+    assert(SparkEntry.twins.keySet == noOracle,
+      s"twins/no-oracle mismatch: unannotated=${noOracle -- SparkEntry.twins.keySet}, " +
+        s"stale=${SparkEntry.twins.keySet -- noOracle}")
+    SparkEntry.twins.foreach { case (gate, twin) =>
+      assert(SparkEntry.oracleSql.contains(twin),
+        s"$gate's twin $twin has no oracle — a twin must be hash-checked")
+    }
+  }
+
   for ((name, fn) <- SparkEntry.queries) {
     test(s"query $name runs and returns rows at sf0.001") {
       val out = fn(spark, sf)

@@ -155,4 +155,53 @@ class LinkageSpec extends SparkTestBase {
       .collect()(0)
     assert(g.getString(2) == "A") // A and B both have 2 → smallest
   }
+
+  // person 6 shares zip (not city) with the true dups 1/2 — the pair a
+  // city-only block key can never recover
+  private lazy val peoplePlus = people.unionByName(df(
+    "id BIGINT, city STRING, zip STRING, initial STRING, active BOOLEAN",
+    Seq(Row(6L, "capital", "11111", "A", true))))
+
+  test("linkageScoresMulti: a second pass recovers cross-block matches") {
+    val single = Linkage.linkageScores(peoplePlus, peoplePlus, "id", "id",
+      "city", "city", fields, selfPairs = true)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val multi = Linkage.linkageScoresMulti(peoplePlus, peoplePlus, "id", "id",
+      Seq("city" -> "city", "zip" -> "zip"), fields, selfPairs = true)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)),
+        (r.getInt(2), r.getDouble(3)))).toMap
+    // city pass alone misses (1,6)/(2,6); zip pass recovers them
+    assert(!single((1L, 6L)) && !single((2L, 6L)))
+    assert(multi.keySet == single ++ Set((1L, 6L), (2L, 6L)))
+    // a pair found by BOTH passes ((1,2): same city AND zip) scores once,
+    // with the identical fixed-order score as the single-pass operator
+    val base = Linkage.linkageScores(peoplePlus, peoplePlus, "id", "id",
+      "city", "city", fields, selfPairs = true)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)),
+        (r.getInt(2), r.getDouble(3)))).toMap
+    assert(multi((1L, 2L)) == base((1L, 2L)))
+    // the recovered pair agrees on zip + initial + active = all 3 fields
+    assert(multi((1L, 6L))._1 == 3)
+  }
+
+  test("linkageScoresMulti: expression block keys and per-pass cap") {
+    // pass on a composed expression; cap kills the over-cap zip block
+    val out = Linkage.linkageScoresMulti(peoplePlus, peoplePlus, "id", "id",
+      Seq("zip" -> "zip"), fields, selfPairs = true, maxBlockSize = Some(2L))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // zip 11111 has 3 members (1,2,6) > cap -> dropped; 22222 (4,5) kept
+    assert(out == Set((4L, 5L)))
+  }
+
+  test("blockAuditMulti: one audit row per (pass, block), pair volumes exact") {
+    val rows = Linkage.blockAuditMulti(peoplePlus, peoplePlus,
+      Seq("city" -> "city", "zip" -> "zip"), selfPairs = true)
+      .collect().map(r => ((r.getInt(0), r.getString(1)), r.getLong(4))).toMap
+    assert(rows((0, "springfield")) == 3L) // C(3,2)
+    assert(rows((0, "shelbyville")) == 1L)
+    assert(rows((0, "capital")) == 0L)
+    assert(rows((1, "11111")) == 3L)       // zip pass: {1,2,6}
+    assert(rows((1, "22222")) == 1L)
+    assert(rows((1, "99999")) == 0L)
+  }
 }

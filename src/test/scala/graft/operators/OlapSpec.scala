@@ -97,7 +97,7 @@ class OlapSpec extends SparkTestBase {
       Row("c", 15.0), Row("d", 5.0), Row(null, 99.0)))
     val out = Olap.abcClassification(d, "k", "v").orderBy("cum_share")
       .collect()
-      .map(r => (r.getString(0), r.getDecimal(1).doubleValue(),
+      .map(r => (r.getString(0), r.getDouble(1),
         r.getDouble(2), r.getDouble(3), r.getString(4))).toSeq
     assert(out == Seq(
       ("a", 50.0, 0.5, 0.5, "A"),
