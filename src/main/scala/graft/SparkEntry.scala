@@ -3146,6 +3146,15 @@ object SparkEntry {
           executor(s, d).table("events"), "user_id", "ts")
         .orderBy("day")),
 
+    // Per-user-day growth flags — growthAccounting BEFORE the rollup,
+    // shared fold with the streaming variant (cross-checked in
+    // StreamingGrowthCrossCheckSpec); churn rows dated day+1 incl. each
+    // user's trailing exit.
+    "q_growth_flags" -> ((s, d) =>
+      graft.operators.Cohort.growthFlags(
+          executor(s, d).table("events"), "user_id", "ts")
+        .orderBy("user", "day", "status")),
+
     // ABC / Pareto classification of parts by revenue mass.
     "q_abc" -> ((s, d) =>
       graft.operators.Olap.abcClassification(
@@ -3646,6 +3655,32 @@ object SparkEntry {
       val p = executor(s, d).table("part")
       graft.operators.Linkage.blockAudit(p, p, "p_brand", "p_brand",
         selfPairs = true)
+    }),
+
+    // Stage-DAG edge derivation (ref:ui/src/StageGraphFlow.tsx:46-108,
+    // 651-757) over a fixture flow exercising every ported quirk:
+    // forward-LOAD resolution, join-output table registration, the
+    // GROUP implicit-chain fallback, AGGREGATE's no-input switch case,
+    // and LOAD breaking the implicit chain. The oracle pins the
+    // hand-derived reference edge list as literals.
+    "q_stage_dag" -> ((s, _) => {
+      import graft.model._
+      val cond = Seq(FilterCondition("a", "=", "1"))
+      val agg = Seq(Aggregation("COUNT", "*", Some("n")))
+      val flow = Seq(
+        JoinStage("j0", "", "INNER", "orders", "extra", "k", "k"),
+        LoadStage("l1", "", "customers", "customers.csv"),
+        LoadStage("l2", "", "orders", "orders.csv"),
+        JoinStage("j1", "", "INNER", "orders", "customers", "k", "k"),
+        FilterStage("f1", "", Some("joined_orders_customers"), cond),
+        GroupStage("g1", "", None, Seq("a"), agg),
+        LoadStage("l3", "", "extra", "extra.csv"),
+        AggregateStage("a1", "", Some("extra"), agg),
+        UnionStage("u1", "", "UNION", Seq("customers", "extra")))
+      val rows = graft.pipeline.StageGraph.edges(flow)
+        .map(e => (e.id, e.source, e.target))
+      import s.implicits._
+      rows.toDF("id", "source", "target").orderBy("id")
     }),
 
     // Multi-pass blocking: brand#size ∪ name-prefix-12 candidate union,
@@ -8247,6 +8282,24 @@ object SparkEntry {
         |  coalesce(n_churned, 0) AS n_churned
         |FROM st FULL OUTER JOIN cf ON st.day = cf.day
         |ORDER BY 1""".stripMargin,
+    "q_growth_flags" ->
+      """WITH pairs AS (SELECT DISTINCT user_id AS u, CAST(ts AS DATE) AS day
+        |               FROM events
+        |               WHERE ts IS NOT NULL AND user_id IS NOT NULL),
+        |t AS (SELECT u, day,
+        |        lag(day) OVER (PARTITION BY u ORDER BY day) AS prev,
+        |        lead(day) OVER (PARTITION BY u ORDER BY day) AS nxt
+        |      FROM pairs)
+        |SELECT * FROM (
+        |  SELECT CAST(u AS VARCHAR) AS "user", day,
+        |    CASE WHEN prev IS NULL THEN 'new'
+        |         WHEN date_diff('day', prev, day) = 1 THEN 'retained'
+        |         ELSE 'resurrected' END AS status
+        |  FROM t
+        |  UNION ALL
+        |  SELECT CAST(u AS VARCHAR), day + 1, 'churned' FROM t
+        |  WHERE nxt IS NULL OR date_diff('day', day, nxt) > 1)
+        |ORDER BY "user", day, status""".stripMargin,
     "q_churn" ->
       """WITH raw AS (SELECT user_id AS u, CAST(ts AS DATE) AS day
         |             FROM events
@@ -8822,6 +8875,17 @@ object SparkEntry {
         |  CAST(n AS BIGINT) AS n_right,
         |  CAST(n * (n - 1) // 2 AS BIGINT) AS n_pairs
         |FROM a ORDER BY n_pairs DESC, block""".stripMargin,
+    "q_stage_dag" ->
+      """SELECT * FROM (VALUES
+        |  ('f1-g1', 'f1', 'g1'),
+        |  ('j1-f1-0', 'j1', 'f1'),
+        |  ('l1-j1-1', 'l1', 'j1'),
+        |  ('l1-u1-0', 'l1', 'u1'),
+        |  ('l2-j0-0', 'l2', 'j0'),
+        |  ('l2-j1-0', 'l2', 'j1'),
+        |  ('l3-j0-1', 'l3', 'j0'),
+        |  ('l3-u1-1', 'l3', 'u1')) AS t(id, source, target)
+        |ORDER BY id""".stripMargin,
     "q_linkage_multi" -> linkageMultiOracle,
     "q_linkage_multi_blocks" ->
       """WITH pm AS (SELECT p_brand || '#' || CAST(p_size AS VARCHAR) AS blk1,

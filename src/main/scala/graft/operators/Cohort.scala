@@ -217,4 +217,144 @@ object Cohort {
         coalesce(col("n_resurrected"), lit(0L)).as("n_resurrected"),
         coalesce(col("n_churned"), lit(0L)).as("n_churned"))
   }
+
+  /** Per-user growth state: last active day (epoch days) and whether
+    * that day's follow-on churn has already been published (so a
+    * stream's timeout-driven churn and a later resurrection never
+    * double-emit). */
+  final case class GrowthState(lastDay: Long, churnEmitted: Boolean)
+
+  /** One classified user-day: `status` ∈ new/retained/resurrected, or a
+    * `churned` row dated the day the absence became observable. */
+  final case class GrowthFlag(user: String, day: java.sql.Date, status: String)
+
+  private def epochDate(d: Long): java.sql.Date =
+    java.sql.Date.valueOf(java.time.LocalDate.ofEpochDay(d))
+
+  /** The shared per-user growth fold — the SINGLE definition of the
+    * new/retained/resurrected/churned classification, used by both the
+    * batch [[growthFlags]] and the incremental [[growthFlagsStream]] so
+    * the two cannot drift. `days` must be sorted ascending; duplicate
+    * days no-op; a day at or behind the carried state no-ops (the
+    * stream's late-arrival caveat — the watermark bounds how late). */
+  private[graft] def foldGrowthDays(user: String, days: Array[Long],
+                                    init: Option[GrowthState])
+      : (List[GrowthFlag], Option[GrowthState]) = {
+    var state = init
+    var out = List.empty[GrowthFlag]
+    days.foreach { d =>
+      state match {
+        case None =>
+          out ::= GrowthFlag(user, epochDate(d), "new")
+          state = Some(GrowthState(d, churnEmitted = false))
+        case Some(s) if d <= s.lastDay => () // duplicate or late day
+        case Some(s) if d == s.lastDay + 1 =>
+          out ::= GrowthFlag(user, epochDate(d), "retained")
+          state = Some(GrowthState(d, churnEmitted = false))
+        case Some(s) => // gap: the old day's churn plus a resurrection
+          if (!s.churnEmitted)
+            out ::= GrowthFlag(user, epochDate(s.lastDay + 1), "churned")
+          out ::= GrowthFlag(user, epochDate(d), "resurrected")
+          state = Some(GrowthState(d, churnEmitted = false))
+      }
+    }
+    (out.reverse, state)
+  }
+
+  /**
+   * Per-user-day growth classification — [[growthAccounting]] BEFORE the
+   * day rollup: one row per active (user, day) tagged
+   * new/retained/resurrected plus one `churned` row per exit (dated
+   * day+1, including every user's trailing exit after their last active
+   * day). Grouping by (day, status) reproduces [[growthAccounting]]
+   * exactly; the per-user rows are what audits and per-segment slicing
+   * need.
+   *
+   * Scale shape: one reduce to distinct (user, day) pairs, then one
+   * user-keyed groupByKey whose per-group state is the sorted day list
+   * (bounded by a user's active-day count, the same cardinality the
+   * window variant shuffles).
+   */
+  def growthFlags(events: DataFrame, userCol: String,
+                  tsCol: String): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .where(col(tsCol).isNotNull && col(userCol).isNotNull)
+      .select(col(userCol).cast("string").as("u"),
+        datediff(to_date(col(tsCol)), to_date(lit("1970-01-01")))
+          .cast("long").as("d"))
+      .distinct()
+      .as[(String, Long)]
+      .groupByKey(_._1)
+      .flatMapGroups { (u: String, it: Iterator[(String, Long)]) =>
+        val days = it.map(_._2).toArray.sorted
+        val (flags, st) = foldGrowthDays(u, days, None)
+        // the batch sees the whole log, so every user's trailing exit is
+        // observable: churn at lastDay + 1 (growthAccounting parity)
+        val trailing = st.map(s =>
+          GrowthFlag(u, epochDate(s.lastDay + 1), "churned"))
+        (flags ++ trailing).iterator
+      }
+      .toDF("user", "day", "status")
+  }
+
+  /**
+   * Streaming growth accounting — the canonical incremental computation
+   * (per-user last-seen state + per-day flags) as a continuous query:
+   * the same [[foldGrowthDays]] classification over arriving events,
+   * with gap churn emitted inline and trailing churn emitted by
+   * event-time TIMEOUT once the watermark proves the user's next day
+   * stayed empty (timeout at the end of lastDay + 1). State per user is
+   * one (lastDay, churnEmitted) pair — bounded by user cardinality, the
+   * same bound the batch rollup shuffles; `churnEmitted` stops a
+   * timeout-churned user's later resurrection from re-publishing the
+   * same exit.
+   *
+   * Parity caveat (inherent, stated honestly): days are processed in
+   * sorted order within each micro-batch; an event arriving in a LATER
+   * batch for a day at or behind the user's carried state no-ops, so
+   * exact batch parity holds when each user's days arrive in
+   * non-decreasing batch order (the watermark bounds the damage window).
+   * Cross-checked row-for-row against [[growthFlags]] in
+   * StreamingGrowthCrossCheckSpec.
+   */
+  def growthFlagsStream(stream: DataFrame, tsCol: String, userCol: String,
+                        watermarkDelay: String = "10 minutes"): DataFrame = {
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+    val spark = stream.sparkSession
+    import spark.implicits._
+    stream
+      .select(col(userCol).cast("string").as("u"),
+        col(tsCol).cast("timestamp").as("ts"))
+      .withWatermark("ts", watermarkDelay)
+      .as[(String, java.sql.Timestamp)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[GrowthState, GrowthFlag](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (u, events, state) =>
+          if (state.hasTimedOut) {
+            // watermark passed the end of lastDay + 1 with no activity:
+            // the exit is now observable. Keep the state (a later return
+            // must classify as resurrected, not new) but mark the churn
+            // published; no new timeout until the user returns.
+            val s = state.get
+            state.update(GrowthState(s.lastDay, churnEmitted = true))
+            Iterator(GrowthFlag(u, epochDate(s.lastDay + 1), "churned"))
+          } else {
+            val days = events.map(_._2.getTime / 86400000L)
+              .toArray.distinct.sorted
+            val (flags, st) = foldGrowthDays(u, days, state.getOption)
+            st.foreach { s =>
+              state.update(s)
+              // churn at lastDay+1 is observable once the watermark
+              // passes the END of that day = start of lastDay + 2
+              if (!s.churnEmitted)
+                state.setTimeoutTimestamp((s.lastDay + 2) * 86400000L)
+            }
+            flags.iterator
+          }
+      }
+      .toDF("user", "day", "status")
+  }
 }
