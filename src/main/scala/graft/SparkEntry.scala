@@ -2472,6 +2472,13 @@ object SparkEntry {
       graft.operators.Eval.calibrationBins(scoredDocs(s, d),
         "score", "label", nBins = 10).orderBy("bin")),
 
+    // Brier score + Murphy decomposition for the same scorer: exact
+    // unbinned brier, binned reliability/resolution, base-rate
+    // uncertainty — one cell reduce, one-row output.
+    "q_eval_brier" -> ((s, d) =>
+      graft.operators.Eval.brierDecomposition(scoredDocs(s, d),
+        "score", "label", nBins = 10)),
+
     // Token-level generation eval (SQuAD F1): every 7th document scored
     // against a reference that alternates self (exact match, F1 = 1) and
     // the next document (partial bag overlap) — both branches of the
@@ -4001,6 +4008,18 @@ object SparkEntry {
           .select((col("user_id") % 2).cast("string").as("variant"),
             col("value")),
         "variant", "value", "0", "1")),
+
+    // Uplift/Qini by score bucket: parity arms, event value as the
+    // targeting score, event_id%3 as conversion — ties-together decile
+    // cut on the score-cell table, cumulative qini over the 10-row frame.
+    "q_ab_uplift" -> ((s, d) =>
+      graft.operators.Experiment.upliftByBucket(
+        executor(s, d).table("events")
+          .select((col("user_id") % 2).cast("string").as("variant"),
+            col("value").as("score"),
+            (col("event_id") % 3 === 0).cast("int").as("converted")),
+        "variant", "score", "converted", "0", "1", nBuckets = 10)
+        .orderBy("bucket")),
 
     // Rank-based (Mann–Whitney U) arm comparison on the same parity
     // split — the heavy-tail-proof companion to q_ab_welch.
@@ -6987,6 +7006,39 @@ object SparkEntry {
         |        abs(round(CAST(ss AS DOUBLE)/n, 6) -
         |            round(CAST(np AS DOUBLE)/n, 6)), 6) AS ece_term
         |FROM cells CROSS JOIN t ORDER BY bin""".stripMargin,
+    "q_eval_brier" ->
+      """WITH sc AS (SELECT round(CAST((doc_id * 37) % 101 AS DOUBLE) / 100.0 +
+        |    CASE WHEN lang = 'en' THEN 0.15 ELSE 0.0 END, 6) AS s,
+        |  lang = 'en' AS b FROM documents),
+        |cl AS (SELECT least(greatest(s, 0.0), 1.0) AS s2,
+        |    CASE WHEN b THEN 1.0 ELSE 0.0 END AS y FROM sc),
+        |cells AS (SELECT CAST(least(floor(s2 * 10), 9) AS INTEGER) AS bin,
+        |    count(*) AS n, sum(CAST(s2 AS DECIMAL(28,9))) AS ss,
+        |    sum(CAST(y AS DECIMAL(28,9))) AS sy,
+        |    sum(CAST(round((s2 - y) * (s2 - y), 9) AS DECIMAL(28,9))) AS sq
+        |  FROM cl GROUP BY 1),
+        |t AS (SELECT sum(n) AS n, sum(sq) AS sqt, sum(sy) AS syt FROM cells),
+        |terms AS (SELECT t.n, t.sqt,
+        |    round(CAST(t.syt AS DOUBLE) / t.n, 9) AS yb,
+        |    CAST(round(CAST(c.n AS DOUBLE) *
+        |      round((round(CAST(c.ss AS DOUBLE)/c.n, 9) -
+        |             round(CAST(c.sy AS DOUBLE)/c.n, 9)) *
+        |            (round(CAST(c.ss AS DOUBLE)/c.n, 9) -
+        |             round(CAST(c.sy AS DOUBLE)/c.n, 9)), 9), 9)
+        |      AS DECIMAL(28,9)) AS rel,
+        |    CAST(round(CAST(c.n AS DOUBLE) *
+        |      round((round(CAST(c.sy AS DOUBLE)/c.n, 9) -
+        |             round(CAST(t.syt AS DOUBLE)/t.n, 9)) *
+        |            (round(CAST(c.sy AS DOUBLE)/c.n, 9) -
+        |             round(CAST(t.syt AS DOUBLE)/t.n, 9)), 9), 9)
+        |      AS DECIMAL(28,9)) AS res
+        |  FROM cells c CROSS JOIN t)
+        |SELECT CAST(n AS BIGINT) AS n,
+        |  round(CAST(sqt AS DOUBLE) / n, 6) AS brier,
+        |  round(CAST(sum(rel) AS DOUBLE) / n, 6) AS reliability,
+        |  round(CAST(sum(res) AS DOUBLE) / n, 6) AS resolution,
+        |  round(yb * (1.0 - yb), 6) AS uncertainty
+        |FROM terms GROUP BY n, sqt, yb""".stripMargin,
     // Bag-of-tokens intersection WITH multiplicity: per-token min of the
     // two count tables; F1 = 2·overlap/(n_pred+n_gold) algebraically.
     "q_eval_token_f1" ->
@@ -9870,6 +9922,43 @@ object SparkEntry {
         |            AS DECIMAL(28,9)), 6) AS DOUBLE)
         |  END AS r2
         |FROM f ORDER BY key""".stripMargin,
+    "q_ab_uplift" ->
+      """WITH base AS (SELECT CAST(user_id % 2 AS VARCHAR) AS v,
+        |    round(value, 9) AS s,
+        |    CASE WHEN event_id % 3 = 0 THEN 1 ELSE 0 END AS c
+        |  FROM events WHERE value IS NOT NULL),
+        |cells AS (SELECT s,
+        |    count(CASE WHEN v = '0' THEN 1 END) AS nt,
+        |    count(CASE WHEN v = '1' THEN 1 END) AS nc,
+        |    count(CASE WHEN v = '0' AND c <> 0 THEN 1 END) AS ct,
+        |    count(CASE WHEN v = '1' AND c <> 0 THEN 1 END) AS cc
+        |  FROM base GROUP BY 1),
+        |b AS (SELECT *, sum(nt + nc) OVER (ORDER BY s DESC) AS cum,
+        |        sum(nt + nc) OVER () AS n FROM cells),
+        |pb AS (SELECT least(10, (cum * 10 + n - 1) // n) AS bucket,
+        |         sum(nt) AS n_treat, sum(nc) AS n_ctrl,
+        |         sum(ct) AS ct, sum(cc) AS cc
+        |       FROM b GROUP BY 1),
+        |q AS (SELECT *, sum(ct) OVER (ORDER BY bucket) AS cum_ct,
+        |        sum(cc) OVER (ORDER BY bucket) AS cum_cc,
+        |        sum(n_treat) OVER (ORDER BY bucket) AS cum_nt,
+        |        sum(n_ctrl) OVER (ORDER BY bucket) AS cum_nc
+        |      FROM pb)
+        |SELECT CAST(bucket AS INTEGER) AS bucket,
+        |  CAST(n_treat AS BIGINT) AS n_treat,
+        |  CAST(n_ctrl AS BIGINT) AS n_ctrl,
+        |  CASE WHEN n_treat = 0 THEN NULL
+        |       ELSE round(CAST(ct AS DOUBLE) / n_treat, 6) END AS rate_treat,
+        |  CASE WHEN n_ctrl = 0 THEN NULL
+        |       ELSE round(CAST(cc AS DOUBLE) / n_ctrl, 6) END AS rate_ctrl,
+        |  CASE WHEN n_treat = 0 OR n_ctrl = 0 THEN NULL
+        |       ELSE round(CAST(ct AS DOUBLE) / n_treat
+        |                  - CAST(cc AS DOUBLE) / n_ctrl, 6) END AS uplift,
+        |  CASE WHEN cum_nc = 0 THEN NULL
+        |       ELSE round(CAST(cum_ct AS DOUBLE) - CAST(cum_cc AS DOUBLE)
+        |                  * round(CAST(cum_nt AS DOUBLE) / cum_nc, 9), 6)
+        |       END AS qini
+        |FROM q ORDER BY bucket""".stripMargin,
     "q_ab_welch" ->
       """WITH m AS (SELECT
         |    count(CASE WHEN CAST(user_id % 2 AS VARCHAR) = '0'

@@ -633,6 +633,64 @@ object Eval {
   }
 
   /**
+   * Brier score with the Murphy (1973) decomposition over the same
+   * fixed-width bins as [[calibrationBins]]: one row
+   * `(n, brier, reliability, resolution, uncertainty)` where
+   * `brier = mean((s−y)²)` exactly, `reliability = Σ n_k(s̄_k−ȳ_k)²/N`
+   * (calibration error — lower is better), `resolution =
+   * Σ n_k(ȳ_k−ȳ)²/N` (how much the bins separate outcomes — higher is
+   * better), and `uncertainty = ȳ(1−ȳ)`. The textbook identity
+   * `brier = reliability − resolution + uncertainty` holds up to the
+   * within-bin score variance (binned REL/RES are the standard
+   * estimates); `brier` itself is computed unbinned and exact.
+   *
+   * Scale shape: ONE corpus pass to ≤nBins cells (map-side combine);
+   * every mean/term then computes on the cell table. Determinism:
+   * scores clamp+round to 6 dp, squared terms round to 9 dp and sum as
+   * DECIMAL, bin means round to 9 dp, published values to 6 dp.
+   */
+  def brierDecomposition(df: DataFrame, scoreCol: String, labelCol: String,
+                         nBins: Int = 10): DataFrame = {
+    require(nBins >= 1, "nBins must be >= 1")
+    def d(c: Column) = c.cast("double")
+    val s = least(greatest(round(col(scoreCol).cast("double"), 6),
+      lit(0.0)), lit(1.0))
+    val dec = "decimal(28,9)"
+    val cells = df
+      .select(s.as("__s"), col(labelCol).cast("boolean").as("__b"))
+      .filter(col("__s").isNotNull && col("__b").isNotNull)
+      .select(col("__s"),
+        when(col("__b"), lit(1.0)).otherwise(lit(0.0)).as("__y"),
+        least(floor(col("__s") * nBins), lit(nBins - 1L)).cast("int")
+          .as("bin"))
+      .groupBy("bin").agg(
+        count(lit(1)).as("__n"),
+        sum(col("__s").cast(dec)).as("__ss"),
+        sum(col("__y").cast(dec)).as("__sy"),
+        sum(round((col("__s") - col("__y")) * (col("__s") - col("__y")), 9)
+          .cast(dec)).as("__sq"))
+    val totals = cells.agg(sum("__n").as("n"),
+      sum(col("__sq")).as("__sqt"), sum(col("__sy")).as("__syt"))
+    val withTot = cells.crossJoin(broadcast(totals))
+    val sbar = round(d(col("__ss")) / d(col("__n")), 9)
+    val ybar = round(d(col("__sy")) / d(col("__n")), 9)
+    val yAll = round(d(col("__syt")) / d(col("n")), 9)
+    withTot
+      .select(col("n"), col("__sqt"), yAll.as("__yb"),
+        round(d(col("__n")) * round((sbar - ybar) * (sbar - ybar), 9), 9)
+          .cast(dec).as("__rel"),
+        round(d(col("__n")) * round((ybar - yAll) * (ybar - yAll), 9), 9)
+          .cast(dec).as("__res"))
+      .groupBy(col("n"), col("__sqt"), col("__yb")) // constants: 1 group
+      .agg(sum(col("__rel")).as("__rels"), sum(col("__res")).as("__ress"))
+      .select(col("n"),
+        round(d(col("__sqt")) / d(col("n")), 6).as("brier"),
+        round(d(col("__rels")) / d(col("n")), 6).as("reliability"),
+        round(d(col("__ress")) / d(col("n")), 6).as("resolution"),
+        round(col("__yb") * (lit(1.0) - col("__yb")), 6).as("uncertainty"))
+  }
+
+  /**
    * Per-class classification report — the audit of a quality/toxicity
    * classifier against gold labels before its verdicts filter a corpus:
    * one row per label in gold ∪ predicted,

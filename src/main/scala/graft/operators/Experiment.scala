@@ -302,6 +302,88 @@ object Experiment {
   }
 
   /**
+   * Uplift by score bucket + the Qini curve (Radcliffe 2007) — the
+   * standard audit of an uplift/targeting model: rank the population by
+   * model score (best first), cut into `nBuckets` quantile buckets, and
+   * per bucket compare treated vs control conversion. `uplift` is the
+   * bucket's incremental rate (rate_treat − rate_ctrl); `qini` is the
+   * CUMULATIVE incremental conversions through this bucket,
+   * `ΣconvT − ΣconvC · ΣnT/ΣnC` — the curve whose area ranks targeting
+   * models. A model with no signal gives a flat uplift profile and a
+   * straight-line qini.
+   *
+   * Bucketing: rows reduce to (score, arm) VALUE CELLS first; buckets
+   * cut the DESC-cumulative cell counts at ceil(cum·B/N) with TIES KEPT
+   * TOGETHER (a score value never splits across buckets — the same
+   * choice every quantile-binned audit here makes, and what makes the
+   * assignment a pure function of the data rather than of row order).
+   * Under heavy ties a bucket can absorb its neighbours' mass; swallowed
+   * buckets emit no row (readers zero-fill, the scan doesn't).
+   *
+   * Scale shape: ONE map-side-combined reduce to |distinct scores|
+   * cells (scores snap to 9 dp), then windows over the CELL table and a
+   * ≤B-row rollup — corpus rows never enter a window. The cell-table
+   * window is single-partition by construction; bound the score domain
+   * (model outputs at ≤9 dp) exactly like the quantile/Kendall audits.
+   *
+   * Determinism: counts exact; rates/uplift/qini are fixed-order double
+   * expressions published at 6 dp.
+   */
+  def upliftByBucket(df: DataFrame, variantCol: String, scoreCol: String,
+                     outcomeCol: String, variantA: String, variantB: String,
+                     nBuckets: Int = 10): DataFrame = {
+    require(nBuckets >= 2, s"nBuckets must be >= 2, got $nBuckets")
+    val v = col(variantCol).cast("string")
+    def d(c: Column) = c.cast("double")
+    val cells = df
+      .where(col(scoreCol).isNotNull && col(outcomeCol).isNotNull &&
+        v.isin(variantA, variantB))
+      .groupBy(round(col(scoreCol).cast("double"), 9).as("__s"))
+      .agg(
+        count(when(v === variantA, lit(1))).as("__nt"),
+        count(when(v === variantB, lit(1))).as("__nc"),
+        count(when(v === variantA &&
+          col(outcomeCol).cast("double") =!= 0.0, lit(1))).as("__ct"),
+        count(when(v === variantB &&
+          col(outcomeCol).cast("double") =!= 0.0, lit(1))).as("__cc"))
+    val wCum = org.apache.spark.sql.expressions.Window
+      .orderBy(col("__s").desc)
+    val wAll = org.apache.spark.sql.expressions.Window.partitionBy()
+    // bucket of a cell: ceil(B * cumulative rows through the cell / N),
+    // clamped to B (exact-integer arithmetic — no float boundary risk)
+    val bucketed = cells
+      .withColumn("__cum", sum(col("__nt") + col("__nc")).over(wCum))
+      .withColumn("__n", sum(col("__nt") + col("__nc")).over(wAll))
+      .withColumn("bucket",
+        least(lit(nBuckets.toLong),
+          expr(s"(__cum * $nBuckets + __n - 1) div __n")).cast("int"))
+    val perBucket = bucketed.groupBy("bucket").agg(
+      sum(col("__nt")).as("n_treat"), sum(col("__nc")).as("n_ctrl"),
+      sum(col("__ct")).as("__ct"), sum(col("__cc")).as("__cc"))
+    val wQ = org.apache.spark.sql.expressions.Window
+      .orderBy(col("bucket").asc)
+    val rt = sdiv(d(col("__ct")), d(col("n_treat")))
+    val rc = sdiv(d(col("__cc")), d(col("n_ctrl")))
+    perBucket
+      .withColumn("__cumCt", sum(col("__ct")).over(wQ))
+      .withColumn("__cumCc", sum(col("__cc")).over(wQ))
+      .withColumn("__cumNt", sum(col("n_treat")).over(wQ))
+      .withColumn("__cumNc", sum(col("n_ctrl")).over(wQ))
+      .select(col("bucket"), col("n_treat"), col("n_ctrl"),
+        when(col("n_treat") === 0, lit(null).cast("double"))
+          .otherwise(round(rt, 6)).as("rate_treat"),
+        when(col("n_ctrl") === 0, lit(null).cast("double"))
+          .otherwise(round(rc, 6)).as("rate_ctrl"),
+        when(col("n_treat") === 0 || col("n_ctrl") === 0,
+          lit(null).cast("double"))
+          .otherwise(round(rt - rc, 6)).as("uplift"),
+        when(col("__cumNc") === 0, lit(null).cast("double"))
+          .otherwise(round(d(col("__cumCt")) - d(col("__cumCc")) *
+            round(sdiv(d(col("__cumNt")), d(col("__cumNc"))), 9), 6))
+          .as("qini"))
+  }
+
+  /**
    * Welch's t on a numeric outcome: one row `(n_a, n_b, mean_a, mean_b,
    * t, df)` with `t = (m_a − m_b) / sqrt(v_a/n_a + v_b/n_b)` (sample
    * variances) and Welch–Satterthwaite

@@ -371,4 +371,23 @@ class EvalSpec extends SparkTestBase {
       Eval.rbo(a, b, "item", "s", k = 2, p = 0.9)
     }
   }
+
+  test("brierDecomposition: perfect scorer and pure-noise bin, identity holds") {
+    // perfect: brier 0, rel 0; two pure bins split the base rate 0.5
+    val perfect = df("s DOUBLE, y BOOLEAN", Seq(
+      Row(1.0, true), Row(0.0, false)))
+    val p = Eval.brierDecomposition(perfect, "s", "y").head()
+    assert(p.getLong(0) == 2L)
+    assert(p.getDouble(1) == 0.0)   // brier
+    assert(p.getDouble(2) == 0.0)   // reliability
+    assert(p.getDouble(3) == 0.25)  // resolution = base-rate variance
+    assert(p.getDouble(4) == 0.25)  // uncertainty
+    // one bin, 0.5 scores over a 50/50 outcome: calibrated but useless —
+    // rel 0, res 0, brier = unc = 0.25 (identity exact: one constant bin)
+    val noise = df("s DOUBLE, y BOOLEAN", Seq(
+      Row(0.5, true), Row(0.5, false)))
+    val q = Eval.brierDecomposition(noise, "s", "y").head()
+    assert(q.getDouble(1) == 0.25 && q.getDouble(2) == 0.0 &&
+      q.getDouble(3) == 0.0 && q.getDouble(4) == 0.25)
+  }
 }

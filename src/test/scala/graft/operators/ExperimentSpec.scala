@@ -354,6 +354,37 @@ class ExperimentSpec extends SparkTestBase {
     assert(Experiment.msprt(flat, "v", "x", "A", "B").head().isNullAt(4))
   }
 
+  test("upliftByBucket: hand-computed two-bucket qini; ties stay together") {
+    val d = df("v STRING, s DOUBLE, c INT", Seq(
+      Row("0", 0.9, 1), Row("1", 0.9, 0),
+      Row("0", 0.5, 0), Row("1", 0.5, 1)))
+    val out = Experiment.upliftByBucket(d, "v", "s", "c", "0", "1",
+      nBuckets = 2).orderBy("bucket").collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2),
+        r.getDouble(5), r.getDouble(6)))
+    // bucket 1 = score cell 0.9 (cum 2 of 4): uplift 1-0=1, qini 1-0·1=1
+    // bucket 2 = cell 0.5: uplift 0-1=-1; cumulative qini 1-1·1=0
+    assert(out.toSeq == Seq((1, 1L, 1L, 1.0, 1.0), (2, 1L, 1L, -1.0, 0.0)))
+
+    // one score value for everyone: ties never split, so every row lands
+    // in the LAST bucket (cum = N -> bucket B) and no other row appears
+    val tied = df("v STRING, s DOUBLE, c INT", Seq(
+      Row("0", 0.7, 1), Row("1", 0.7, 0), Row("0", 0.7, 0), Row("1", 0.7, 1)))
+    val tb = Experiment.upliftByBucket(tied, "v", "s", "c", "0", "1",
+      nBuckets = 2).collect()
+    assert(tb.map(_.getInt(0)).toSeq == Seq(2))
+    assert(tb(0).getLong(1) == 2L && tb(0).getLong(2) == 2L)
+
+    // an arm-empty bucket publishes NULL rates/uplift but keeps counts
+    val oneArm = df("v STRING, s DOUBLE, c INT", Seq(
+      Row("0", 0.9, 1), Row("0", 0.8, 0), Row("1", 0.2, 1), Row("1", 0.1, 0)))
+    val ob = Experiment.upliftByBucket(oneArm, "v", "s", "c", "0", "1",
+      nBuckets = 2).orderBy("bucket").collect()
+    assert(ob(0).getLong(1) == 2L && ob(0).getLong(2) == 0L)
+    assert(ob(0).isNullAt(4) && ob(0).isNullAt(5)) // rate_ctrl, uplift
+    assert(ob(0).isNullAt(6)) // qini needs control mass
+  }
+
   test("did: a 1-value cell voids the statistics but not the counts") {
     val d = df("g STRING, p STRING, x DOUBLE", Seq(
       Row("t", "pre", 1.0),
