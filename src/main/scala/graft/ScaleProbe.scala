@@ -246,7 +246,14 @@ object ScaleProbe {
     "q_ab_z_grouped", "q_ab_welch_grouped", "q_ab_fdr",
     // weighted PageRank: pageRank's iteration shape + one |E|-keyed
     // share aggregate at setup
-    "q_graph_pagerank_weighted")
+    "q_graph_pagerank_weighted",
+    // round-8 batch: multi-pass blocked linkage (two blocked joins +
+    // one (id,id)-keyed pair dedup), per-pass block audit (counts only),
+    // per-user-day growth flags (one groupByKey fold over distinct
+    // user-days), uplift/Qini (score-cell reduce + ≤B-row windows),
+    // Brier decomposition (nBins-cell reduce)
+    "q_linkage_multi", "q_linkage_multi_blocks", "q_growth_flags",
+    "q_ab_uplift", "q_eval_brier")
 
   private def caesar(c: org.apache.spark.sql.Column, k: Int) = {
     val lower = "abcdefghijklmnopqrstuvwxyz"
