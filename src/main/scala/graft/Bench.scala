@@ -54,11 +54,14 @@ object Bench {
     // first-execution JIT as r6 hypothesized. See BASELINE.md r7.)
     runOnce("q_pipeline")
 
-    // Best-of-2: a single pass makes whichever query catches a GC pause or
-    // codegen compile look 10x slower; min-of-2 reports steady-state cost.
+    // Best-of-2 by default: a single pass makes whichever query catches a
+    // GC pause or codegen compile look 10x slower; min-of-2 reports
+    // steady-state cost. SPARK_GRAFT_BENCH_REPS=1 opts into one pass for
+    // long boards (the sf1 full-board run) where wall-clock dominates.
+    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "2").toInt
     val results = SparkEntry.queries.keys.toSeq.sorted.map { n =>
-      val a = runOnce(n); val b = runOnce(n)
-      n -> Run(math.min(a.sec, b.sec), a.ok && b.ok)
+      val runs = (1 to math.max(1, reps)).map(_ => runOnce(n))
+      n -> Run(runs.map(_.sec).min, runs.forall(_.ok))
     }
     val qs = results.map { case (k, r) =>
       "\"" + k + "\":" + (if (r.ok) r.sec else -1)

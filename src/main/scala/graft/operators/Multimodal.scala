@@ -97,8 +97,39 @@ object Multimodal {
    * of source size). Payloads ImageIO cannot parse (audio/video/garbage)
    * fall back to the deterministic stub.
    */
+  /**
+   * Magic-byte gate before any global-SPI codec call. `ImageIO.read` /
+   * `AudioSystem.getAudioInputStream` walk JVM-GLOBAL provider
+   * registries whose probing serializes under executor concurrency —
+   * measured on the sf1 board: a corpus of non-media payloads decoded
+   * 25× (not 10×) slower at 10× data once 32 tasks contended on SPI
+   * scans, while a single sf0.1 partition hid the contention entirely.
+   * Every reader a stock JRE ships carries one of these signatures
+   * (PNG/JPEG/GIF/BMP/TIFF; WBMP is deliberately excluded — it has no
+   * magic and accepts arbitrary bytes), so payloads without one go
+   * straight to the fallback without touching the registry.
+   */
+  private def looksLikeImage(b: Array[Byte]): Boolean =
+    b.length >= 4 && (
+      (b(0) == 0x89.toByte && b(1) == 0x50) ||                     // PNG
+      (b(0) == 0xFF.toByte && b(1) == 0xD8.toByte) ||              // JPEG
+      (b(0) == 'G' && b(1) == 'I' && b(2) == 'F') ||               // GIF
+      (b(0) == 'B' && b(1) == 'M') ||                              // BMP
+      (b(0) == 'I' && b(1) == 'I' && b(2) == 42 && b(3) == 0) ||   // TIFF LE
+      (b(0) == 'M' && b(1) == 'M' && b(2) == 0 && b(3) == 42))     // TIFF BE
+
+  /** RIFF/WAVE or AIFF `FORM` header — the PCM containers
+    * [[decodeAudio]] can actually parse; same SPI-contention rationale
+    * as [[looksLikeImage]]. */
+  private def looksLikeAudio(b: Array[Byte]): Boolean =
+    b.length >= 12 && (
+      (b(0) == 'R' && b(1) == 'I' && b(2) == 'F' && b(3) == 'F' &&
+        b(8) == 'W' && b(9) == 'A' && b(10) == 'V' && b(11) == 'E') ||
+      (b(0) == 'F' && b(1) == 'O' && b(2) == 'R' && b(3) == 'M'))
+
   private[operators] def decodeImage(bytes: Array[Byte]): Row = {
     if (bytes == null || bytes.isEmpty) return Row(0, 0, 0, Array.empty[Float])
+    if (!looksLikeImage(bytes)) return decodeAudio(bytes)
     val img =
       try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
       catch { case _: Exception => null }
@@ -136,6 +167,7 @@ object Multimodal {
 
   private[operators] def phashOne(bytes: Array[Byte]): java.lang.Long = {
     if (bytes == null || bytes.isEmpty) return null
+    if (!looksLikeImage(bytes)) return null // never probe the SPI registry
     val img =
       try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
       catch { case _: Exception => null }
@@ -202,6 +234,10 @@ object Multimodal {
    */
   private[operators] def decodeAudio(bytes: Array[Byte]): Row = {
     import javax.sound.sampled.{AudioFormat, AudioSystem}
+    // non-PCM-container payloads skip the AudioSystem SPI probe but still
+    // reach the ffmpeg seam (video/compressed audio have their own magics
+    // the subprocess prober understands)
+    if (bytes == null || !looksLikeAudio(bytes)) return ffmpegOrStub(bytes)
     val parsed =
       try {
         val in = AudioSystem.getAudioInputStream(new java.io.ByteArrayInputStream(bytes))
@@ -315,6 +351,7 @@ object Multimodal {
 
   private[operators] def resizeOne(bytes: Array[Byte], w: Int, h: Int): Array[Byte] = {
     if (bytes == null || bytes.isEmpty) return null
+    if (!looksLikeImage(bytes)) return null // never probe the SPI registry
     val img =
       try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
       catch { case _: Exception => null }
