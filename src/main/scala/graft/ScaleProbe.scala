@@ -253,7 +253,9 @@ object ScaleProbe {
     // user-days), uplift/Qini (score-cell reduce + ≤B-row windows),
     // Brier decomposition (nBins-cell reduce)
     "q_linkage_multi", "q_linkage_multi_blocks", "q_growth_flags",
-    "q_ab_uplift", "q_eval_brier")
+    "q_ab_uplift", "q_eval_brier",
+    // seeded-DP counts (|types| cells) and LOCF (grid-bounded window)
+    "q_pii_dp", "q_ts_locf")
 
   private def caesar(c: org.apache.spark.sql.Column, k: Int) = {
     val lower = "abcdefghijklmnopqrstuvwxyz"

@@ -3162,6 +3162,22 @@ object SparkEntry {
           executor(s, d).table("events"), "user_id", "ts")
         .orderBy("user", "day", "status")),
 
+    // Seeded Laplace-noised per-type counts (ε = 1): the reproducible
+    // DP-release mechanism; the inverse-CDF replays exactly via the
+    // conv(md5)/strpos nibble arithmetic both engines share.
+    "q_pii_dp" -> ((s, d) =>
+      graft.operators.Pii.noisyCounts(
+          executor(s, d).table("events"), "event_type", epsilon = 1.0)
+        .orderBy("key")),
+
+    // LOCF daily resample: per event type, the latest value each day
+    // forward-filled onto a dense grid from the type's first day to the
+    // corpus's last.
+    "q_ts_locf" -> ((s, d) =>
+      graft.operators.Timeseries.locf(
+          executor(s, d).table("events"), "ts", "event_type", "value")
+        .orderBy("key", "day")),
+
     // ABC / Pareto classification of parts by revenue mass.
     "q_abc" -> ((s, d) =>
       graft.operators.Olap.abcClassification(
@@ -8334,6 +8350,43 @@ object SparkEntry {
         |  coalesce(n_churned, 0) AS n_churned
         |FROM st FULL OUTER JOIN cf ON st.day = cf.day
         |ORDER BY 1""".stripMargin,
+    "q_pii_dp" ->
+      """WITH c AS (SELECT event_type AS key, count(*) AS n
+        |           FROM events WHERE event_type IS NOT NULL GROUP BY 1),
+        |h AS (SELECT key, n, md5('graft-dp:' || key) AS hx FROM c),
+        |v AS (SELECT key, n,
+        |    (((((strpos('0123456789abcdef', substring(hx, 1, 1)) - 1) * 16
+        |      + strpos('0123456789abcdef', substring(hx, 2, 1)) - 1) * 16
+        |      + strpos('0123456789abcdef', substring(hx, 3, 1)) - 1) * 16
+        |      + strpos('0123456789abcdef', substring(hx, 4, 1)) - 1) * 16
+        |      + strpos('0123456789abcdef', substring(hx, 5, 1)) - 1) * 16
+        |      + strpos('0123456789abcdef', substring(hx, 6, 1)) - 1 AS hv
+        |  FROM h),
+        |u AS (SELECT key, n,
+        |        (CAST(hv AS DOUBLE) + 0.5) / 16777216.0 - 0.5 AS c FROM v)
+        |SELECT key, CAST(n AS BIGINT) AS n,
+        |  round(n + round(-1.0 * sign(c) *
+        |    round(ln(1.0 - 2.0 * abs(c)), 9), 9), 6) AS noisy_n
+        |FROM u ORDER BY key""".stripMargin,
+    "q_ts_locf" ->
+      """WITH e AS (SELECT event_type AS key, CAST(ts AS DATE) AS day, ts,
+        |    CAST(value AS DOUBLE) AS v
+        |  FROM events WHERE ts IS NOT NULL AND event_type IS NOT NULL
+        |    AND value IS NOT NULL),
+        |obs AS (SELECT key, day, v AS o FROM (
+        |    SELECT key, day, v, row_number() OVER (PARTITION BY key, day
+        |      ORDER BY ts DESC, v DESC) AS rn FROM e) t WHERE rn = 1),
+        |spans AS (SELECT key, min(day) AS d0 FROM obs GROUP BY 1),
+        |mx AS (SELECT max(day) AS d1 FROM obs),
+        |grid AS (SELECT key, CAST(unnest(generate_series(d0, d1,
+        |    INTERVAL 1 DAY)) AS DATE) AS day FROM spans CROSS JOIN mx)
+        |SELECT g.key, g.day,
+        |  last_value(o.o IGNORE NULLS) OVER (PARTITION BY g.key
+        |    ORDER BY g.day
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value,
+        |  o.o IS NOT NULL AS observed
+        |FROM grid g LEFT JOIN obs o ON g.key = o.key AND g.day = o.day
+        |ORDER BY g.key, g.day""".stripMargin,
     "q_growth_flags" ->
       """WITH pairs AS (SELECT DISTINCT user_id AS u, CAST(ts AS DATE) AS day
         |               FROM events

@@ -159,4 +159,42 @@ object Pii {
         col("s.n_matches").as("n_matches"),
         round(col("s.n_docs").cast("double") / col("__n"), 6).as("doc_frac"))
   }
+
+  /**
+   * Laplace-noised group counts — the differential-privacy release
+   * mechanism for publishing per-key tallies (Dwork et al. 2006): each
+   * count gets additive Laplace(1/ε) noise (count queries have L1
+   * sensitivity 1), `(key, n, noisy_n)`.
+   *
+   * SEEDING CAVEAT, stated honestly: the noise draw is a DETERMINISTIC
+   * hash of (seed, key) — a reproducible release the pipeline can
+   * replay and the oracle can verify, which is an engineering
+   * compromise: against an adversary who learns the seed this is NOT
+   * differential privacy (the noise is recomputable). Rotate the seed
+   * per release and guard it like the data. The Laplace inverse-CDF
+   * itself is exact: u ∈ (0,1) from 24 md5 bits (cell-center offset
+   * keeps the log argument strictly positive),
+   * noise = −(1/ε)·sign(u−½)·ln(1−2|u−½|).
+   *
+   * Scale shape: one map-side-combined count per key + a pure
+   * projection; the noise hash is the same engine-portable
+   * `conv(md5)` nibble arithmetic as [[Split.kFoldColumn]]. ln snaps
+   * once to 9 dp (the repo's transcendental discipline); published
+   * noisy counts round to 6 dp.
+   */
+  def noisyCounts(df: DataFrame, keyCol: String, epsilon: Double,
+                  seed: String = "graft-dp"): DataFrame = {
+    require(epsilon > 0.0, s"epsilon must be positive, got $epsilon")
+    val counts = df.where(col(keyCol).isNotNull)
+      .groupBy(col(keyCol).cast("string").as("key"))
+      .agg(count(lit(1)).as("n"))
+    val v = conv(substring(md5(concat(lit(seed), lit(":"), col("key"))),
+      1, 6), 16, 10).cast("double")
+    val u = (v + lit(0.5)) / lit(16777216.0) // 16^6; strictly inside (0,1)
+    val c = u - lit(0.5)
+    val noise = round(lit(-1.0 / epsilon) * signum(c) *
+      round(log(lit(1.0) - lit(2.0) * abs(c)), 9), 9)
+    counts.select(col("key"), col("n"),
+      round(col("n") + noise, 6).as("noisy_n"))
+  }
 }

@@ -570,6 +570,49 @@ object Timeseries {
    * [[seasonalNaiveBacktest]]; integer errors, so only the final
    * divisions round.
    */
+  /**
+   * Last-observation-carried-forward resample onto a dense daily grid —
+   * the feature-engineering join shape for sparse per-key signals
+   * (price, config, score): each key's grid runs from ITS first
+   * observation to the GLOBAL last day, with the day's value = the
+   * latest observation that day (ties on ts break to the larger value —
+   * a total struct-max, no window over raw events) and gap days
+   * forward-filled from the last observed day. Output one row per
+   * (key, day): `(key, day, value, observed)` with `observed` false on
+   * filled days. Days before a key's first observation do not exist
+   * (nothing to carry); NULL keys/ts/values drop.
+   *
+   * Scale shape: one (key, day) struct-max reduce (map-side combined —
+   * events collapse before the shuffle), one |keys|-row span aggregate
+   * joined to the calendar explode, then ONE key-partitioned
+   * forward-fill window over the GRID (keys × days — calendar-bounded,
+   * not event-bounded). Same discipline as [[dailyCounts]].
+   */
+  def locf(df: DataFrame, tsCol: String, keyCol: String,
+           valueCol: String): DataFrame = {
+    val obs = df
+      .where(col(tsCol).isNotNull && col(keyCol).isNotNull &&
+        col(valueCol).isNotNull)
+      .select(col(keyCol).cast("string").as("key"),
+        to_date(col(tsCol)).as("day"),
+        col(tsCol).cast("timestamp").as("__ts"),
+        col(valueCol).cast("double").as("__v"))
+      .groupBy("key", "day")
+      .agg(max(struct(col("__ts"), col("__v"))).as("__m"))
+      .select(col("key"), col("day"), col("__m")("__v").as("__obs"))
+    val spans = obs.groupBy("key").agg(min(col("day")).as("__d0"))
+    val maxDay = obs.agg(max(col("day")).as("__d1"))
+    val grid = spans.crossJoin(broadcast(maxDay))
+      .select(col("key"),
+        explode(sequence(col("__d0"), col("__d1"))).as("day"))
+    val wFill = Window.partitionBy(col("key")).orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    grid.join(obs, Seq("key", "day"), "left")
+      .select(col("key"), col("day"),
+        last(col("__obs"), ignoreNulls = true).over(wFill).as("value"),
+        col("__obs").isNotNull.as("observed"))
+  }
+
   def maseBacktest(df: DataFrame, tsCol: String,
                    season: Int = 7): DataFrame = {
     require(season >= 1, s"season must be >= 1, got $season")

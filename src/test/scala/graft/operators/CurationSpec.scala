@@ -855,4 +855,25 @@ class CurationSpec extends SparkTestBase {
       ("en_only", 3L, 2L, 1L),      // docs 4 (fr) and 5 (NULL verdict)
       ("never_fires", 1L, 0L, 1L))) // zero-removal rule still reported
   }
+
+  test("noisyCounts: reproducible Laplace release, epsilon scales the noise") {
+    val d = df("k STRING", Seq(
+      Row("a"), Row("a"), Row("a"), Row("b"), Row(null)))
+    def run(eps: Double, seed: String = "graft-dp") =
+      Pii.noisyCounts(d, "k", eps, seed).orderBy("key").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    val one = run(1.0)
+    assert(one.map(t => (t._1, t._2)).toSeq == Seq(("a", 3L), ("b", 1L)))
+    assert(one.toSeq == run(1.0).toSeq)            // deterministic replay
+    assert(one.toSeq != run(1.0, "other").toSeq)   // seed moves the noise
+    // Laplace scale: the eps=2 noise is half the eps=1 noise per key
+    val two = run(2.0)
+    one.zip(two).foreach { case ((k1, n1, x1), (k2, n2, x2)) =>
+      assert(k1 == k2 && n1 == n2)
+      assert(math.abs((x2 - n2) - (x1 - n1) / 2.0) < 1e-6)
+    }
+    Seq(0.0, -1.0).foreach { bad =>
+      assertThrows[IllegalArgumentException](Pii.noisyCounts(d, "k", bad))
+    }
+  }
 }

@@ -259,4 +259,21 @@ class TimeseriesSpec extends SparkTestBase {
     assert(r.getLong(0) == 1L && r.getLong(1) == 0L)
     assert(r.isNullAt(3) && r.isNullAt(4))
   }
+
+  test("locf: per-key grid to the global last day, latest-per-day, forward fill") {
+    val d = df("k STRING, ts TIMESTAMP, v DOUBLE", Seq(
+      Row("A", Timestamp.valueOf("2024-01-01 08:00:00"), 4.0),
+      Row("A", Timestamp.valueOf("2024-01-01 18:00:00"), 5.0), // latest wins
+      Row("A", Timestamp.valueOf("2024-01-03 09:00:00"), 7.0),
+      Row("B", Timestamp.valueOf("2024-01-02 12:00:00"), 1.0)))
+    val out = Timeseries.locf(d, "ts", "k", "v").orderBy("key", "day")
+      .collect().map(r => (r.getString(0), r.getDate(1).toString,
+        r.getDouble(2), r.getBoolean(3))).toSeq
+    assert(out == Seq(
+      ("A", "2024-01-01", 5.0, true),  // day's LATEST observation
+      ("A", "2024-01-02", 5.0, false), // gap forward-filled
+      ("A", "2024-01-03", 7.0, true),
+      ("B", "2024-01-02", 1.0, true),  // B's grid starts at ITS first day
+      ("B", "2024-01-03", 1.0, false))) // ...and runs to the GLOBAL last
+  }
 }
