@@ -255,7 +255,10 @@ object ScaleProbe {
     "q_linkage_multi", "q_linkage_multi_blocks", "q_growth_flags",
     "q_ab_uplift", "q_eval_brier",
     // seeded-DP counts (|types| cells) and LOCF (grid-bounded window)
-    "q_pii_dp", "q_ts_locf")
+    "q_pii_dp", "q_ts_locf",
+    // rolling correlation (grid-bounded moments) and split-conformal
+    // calibration (score-cell cumulative walk)
+    "q_ts_rollcorr", "q_eval_conformal")
 
   private def caesar(c: org.apache.spark.sql.Column, k: Int) = {
     val lower = "abcdefghijklmnopqrstuvwxyz"

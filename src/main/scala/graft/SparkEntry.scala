@@ -3162,6 +3162,28 @@ object SparkEntry {
           executor(s, d).table("events"), "user_id", "ts")
         .orderBy("user", "day", "status")),
 
+    // Trailing-7-day Pearson correlation of two daily signals (event
+    // value vs a pseudo-independent event_id%97 series) on the calendar
+    // grid; unobserved days break the window rather than zero-fill.
+    "q_ts_rollcorr" -> ((s, d) =>
+      graft.operators.Timeseries.rollingCorrelation(
+          executor(s, d).table("events")
+            .withColumn("y", (col("event_id") % 97).cast("double")),
+          "ts", "value", "y", window = 7)
+        .orderBy("day")),
+
+    // Split-conformal calibration: even doc_ids calibrate, odd test;
+    // the (n+1)(1-alpha) order statistic walks the score-cell table.
+    "q_eval_conformal" -> ((s, d) => {
+      val sc = docs(s, d).select(col("doc_id"),
+        round((col("doc_id") * 37 % 101).cast("double") / lit(100.0) +
+          when(col("lang") === "en", lit(0.15)).otherwise(lit(0.0)), 6)
+          .as("score"))
+      graft.operators.Eval.conformal(
+        sc.where(col("doc_id") % 2 === 0),
+        sc.where(col("doc_id") % 2 === 1), "score", alpha = 0.1)
+    }),
+
     // Seeded Laplace-noised per-type counts (ε = 1): the reproducible
     // DP-release mechanism; the inverse-CDF replays exactly via the
     // conv(md5)/strpos nibble arithmetic both engines share.
@@ -8350,6 +8372,68 @@ object SparkEntry {
         |  coalesce(n_churned, 0) AS n_churned
         |FROM st FULL OUTER JOIN cf ON st.day = cf.day
         |ORDER BY 1""".stripMargin,
+    "q_ts_rollcorr" ->
+      """WITH e AS (SELECT CAST(ts AS DATE) AS day,
+        |    round(CAST(value AS DOUBLE), 9) AS x,
+        |    round(CAST(event_id % 97 AS DOUBLE), 9) AS y
+        |  FROM events WHERE ts IS NOT NULL AND value IS NOT NULL),
+        |daily AS (SELECT day, count(*) AS n,
+        |    sum(CAST(x AS DECIMAL(28,9))) AS sx,
+        |    sum(CAST(y AS DECIMAL(28,9))) AS sy
+        |  FROM e GROUP BY 1),
+        |dm AS (SELECT day, round(CAST(sx AS DOUBLE)/n, 9) AS mx,
+        |              round(CAST(sy AS DOUBLE)/n, 9) AS my FROM daily),
+        |b AS (SELECT min(day) AS d0, max(day) AS d1 FROM dm),
+        |grid AS (SELECT CAST(unnest(generate_series(d0, d1,
+        |    INTERVAL 1 DAY)) AS DATE) AS day FROM b),
+        |g AS (SELECT grid.day, dm.mx, dm.my
+        |      FROM grid LEFT JOIN dm ON grid.day = dm.day),
+        |r AS (SELECT day, mx, my, count(mx) OVER w AS k,
+        |    CAST(sum(CAST(mx AS DECIMAL(28,9))) OVER w AS DOUBLE) AS sx,
+        |    CAST(sum(CAST(my AS DECIMAL(28,9))) OVER w AS DOUBLE) AS sy,
+        |    CAST(sum(CAST(round(mx*mx, 9) AS DECIMAL(28,9))) OVER w
+        |      AS DOUBLE) AS sxx,
+        |    CAST(sum(CAST(round(my*my, 9) AS DECIMAL(28,9))) OVER w
+        |      AS DOUBLE) AS syy,
+        |    CAST(sum(CAST(round(mx*my, 9) AS DECIMAL(28,9))) OVER w
+        |      AS DOUBLE) AS sxy
+        |  FROM g WINDOW w AS (ORDER BY day
+        |    ROWS BETWEEN 6 PRECEDING AND CURRENT ROW))
+        |SELECT day, round(mx, 6) AS x_mean, round(my, 6) AS y_mean,
+        |  CASE WHEN k < 7
+        |    OR round(sxx - round(sx*sx/CAST(k AS DOUBLE), 9), 9) <= 0
+        |    OR round(syy - round(sy*sy/CAST(k AS DOUBLE), 9), 9) <= 0
+        |  THEN NULL ELSE
+        |    round(round(sxy - round(sx*sy/CAST(k AS DOUBLE), 9), 9) /
+        |      round(sqrt(round(sxx - round(sx*sx/CAST(k AS DOUBLE), 9), 9)) *
+        |            sqrt(round(syy - round(sy*sy/CAST(k AS DOUBLE), 9), 9)),
+        |        9), 6)
+        |  END AS corr
+        |FROM r ORDER BY day""".stripMargin,
+    "q_eval_conformal" ->
+      """WITH sc AS (SELECT doc_id,
+        |    round(CAST((doc_id * 37) % 101 AS DOUBLE) / 100.0 +
+        |      CASE WHEN lang = 'en' THEN 0.15 ELSE 0.0 END, 6) AS score
+        |  FROM documents),
+        |calc AS (SELECT round(score, 9) AS s, count(*) AS c FROM sc
+        |         WHERE doc_id % 2 = 0 GROUP BY 1),
+        |tot AS (SELECT sum(c) AS n_cal FROM calc),
+        |rk AS (SELECT n_cal, CAST(ceil((CAST(n_cal AS DOUBLE) + 1.0) * 0.9)
+        |         AS BIGINT) AS rank FROM tot),
+        |cum AS (SELECT s, sum(c) OVER (ORDER BY s ASC) AS cum FROM calc),
+        |thr AS (SELECT min(s) AS t FROM cum CROSS JOIN rk WHERE cum >= rank),
+        |tc AS (SELECT round(score, 9) AS s, count(*) AS c FROM sc
+        |       WHERE doc_id % 2 = 1 GROUP BY 1),
+        |nt AS (SELECT coalesce(sum(c), 0) AS n_test FROM tc),
+        |h AS (SELECT coalesce(sum(c), 0) AS hits
+        |      FROM tc CROSS JOIN thr WHERE s <= t)
+        |SELECT CAST(rk.n_cal AS BIGINT) AS n_cal, rk.rank,
+        |  CASE WHEN rk.rank > rk.n_cal THEN NULL ELSE thr.t END AS threshold,
+        |  CAST(nt.n_test AS BIGINT) AS n_test,
+        |  CASE WHEN rk.rank > rk.n_cal OR nt.n_test = 0 THEN NULL
+        |       ELSE round(CAST(h.hits AS DOUBLE) / nt.n_test, 6)
+        |  END AS coverage
+        |FROM rk CROSS JOIN thr CROSS JOIN nt CROSS JOIN h""".stripMargin,
     "q_pii_dp" ->
       """WITH c AS (SELECT event_type AS key, count(*) AS n
         |           FROM events WHERE event_type IS NOT NULL GROUP BY 1),

@@ -633,6 +633,64 @@ object Eval {
   }
 
   /**
+   * Split-conformal calibration (Vovk et al.; Papadopoulos 2002): from
+   * a CALIBRATION set of nonconformity scores (higher = worse), the
+   * finite-sample threshold q̂ = the ⌈(n+1)(1−α)⌉-th smallest score —
+   * predictions on fresh data with score ≤ q̂ then miscover at most α
+   * (exchangeability assumed). One row: `(n_cal, rank, threshold,
+   * n_test, coverage)` where `coverage` is the TEST set's empirical
+   * fraction at or under the threshold (the sanity check that should
+   * land near 1−α). `threshold` is NULL when the rank exceeds n_cal
+   * (α too small for the calibration size — the honest "no finite
+   * guarantee" answer, not a fabricated max).
+   *
+   * Scale shape: both sides reduce to 9-dp score VALUE CELLS (map-side
+   * combined); the order statistic is a cumulative-count walk on the
+   * calibration CELL table and the coverage a broadcast threshold
+   * filter — corpus rows never enter a window. Rank arithmetic
+   * ⌈(n+1)(1−α)⌉ is one IEEE double expression, bit-identical across
+   * engines (both evaluate the same product before ceil).
+   */
+  def conformal(cal: DataFrame, test: DataFrame, scoreCol: String,
+                alpha: Double = 0.1): DataFrame = {
+    require(alpha > 0.0 && alpha < 1.0, s"alpha must be in (0,1), got $alpha")
+    def cells(df: DataFrame) = df
+      .where(col(scoreCol).isNotNull)
+      .groupBy(round(col(scoreCol).cast("double"), 9).as("__s"))
+      .agg(count(lit(1)).as("__c"))
+    val c = cells(cal)
+    val wCum = org.apache.spark.sql.expressions.Window
+      .orderBy(col("__s").asc)
+    val ranked = c
+      .withColumn("__cum", sum(col("__c")).over(wCum))
+      .crossJoin(broadcast(c.agg(sum(col("__c")).as("n_cal"))))
+      .withColumn("__rank",
+        ceil((col("n_cal").cast("double") + lit(1.0)) *
+          lit(1.0 - alpha)).cast("long"))
+    val thr = ranked
+      .where(col("__cum") >= col("__rank"))
+      .agg(min(col("__s")).as("__thr"))
+    val head = ranked
+      .groupBy(col("n_cal"), col("__rank")).agg(count(lit(1)))
+      .select(col("n_cal"), col("__rank"))
+      .crossJoin(broadcast(thr))
+      .select(col("n_cal"), col("__rank").as("rank"),
+        when(col("__rank") > col("n_cal"), lit(null).cast("double"))
+          .otherwise(col("__thr")).as("threshold"))
+    val t = cells(test)
+    val nTest = t.agg(coalesce(sum(col("__c")), lit(0L)).as("n_test"))
+    val hits = t.crossJoin(broadcast(thr))
+      .where(col("__s") <= col("__thr")) // NULL threshold drops all
+      .agg(coalesce(sum(col("__c")), lit(0L)).as("__hits"))
+    head.crossJoin(broadcast(nTest)).crossJoin(broadcast(hits))
+      .select(col("n_cal"), col("rank"), col("threshold"), col("n_test"),
+        when(col("threshold").isNull || col("n_test") === 0,
+          lit(null).cast("double"))
+          .otherwise(round(col("__hits").cast("double") /
+            col("n_test").cast("double"), 6)).as("coverage"))
+  }
+
+  /**
    * Brier score with the Murphy (1973) decomposition over the same
    * fixed-width bins as [[calibrationBins]]: one row
    * `(n, brier, reliability, resolution, uncertainty)` where

@@ -613,6 +613,62 @@ object Timeseries {
         col("__obs").isNotNull.as("observed"))
   }
 
+  /**
+   * Trailing-window Pearson correlation of two signals on the daily
+   * grid — the co-movement diagnostic (metric vs spend, quality vs
+   * volume) that a single global correlation hides: per day, the
+   * correlation of the two daily MEANS over the trailing `window` days.
+   * Output `(day, x_mean, y_mean, corr)`; `corr` NULL until the window
+   * is full and on zero variance. Days with no observations carry NULL
+   * means and break the window (they count toward the span but
+   * contribute nothing — the honest gap treatment; zero-filling would
+   * fabricate correlation).
+   *
+   * Scale shape: ONE map-side-combined daily reduce (events collapse to
+   * the calendar grid), then fixed-width rolling moment sums over the
+   * GRID — corpus rows never enter a window. Determinism: daily means
+   * round to 9 dp; rolling moments sum 9-dp products as DECIMAL; the
+   * final correlation is one fixed-order double chain published at 6 dp.
+   */
+  def rollingCorrelation(df: DataFrame, tsCol: String, xCol: String,
+                         yCol: String, window: Int = 7): DataFrame = {
+    require(window >= 2, s"window must be >= 2, got $window")
+    val daily = df
+      .where(col(tsCol).isNotNull && col(xCol).isNotNull &&
+        col(yCol).isNotNull)
+      .groupBy(to_date(col(tsCol)).as("day"))
+      .agg(count(lit(1)).as("__n"),
+        sum(round(col(xCol).cast("double"), 9).cast(dec)).as("__sx"),
+        sum(round(col(yCol).cast("double"), 9).cast(dec)).as("__sy"))
+      .select(col("day"),
+        round(d(col("__sx")) / d(col("__n")), 9).as("__mx"),
+        round(d(col("__sy")) / d(col("__n")), 9).as("__my"))
+    val grid = daily.agg(min(col("day")).as("__d0"), max(col("day")).as("__d1"))
+      .select(explode(sequence(col("__d0"), col("__d1"))).as("day"))
+      .join(daily, Seq("day"), "left")
+    val w = Window.orderBy(col("day")).rowsBetween(-(window - 1), 0)
+    val k = count(col("__mx")).over(w)
+    def roll(c: Column) = d(sum(c.cast(dec)).over(w))
+    val n = d(k)
+    val sx = roll(col("__mx"))
+    val sy = roll(col("__my"))
+    val sxx = roll(round(col("__mx") * col("__mx"), 9))
+    val syy = roll(round(col("__my") * col("__my"), 9))
+    val sxy = roll(round(col("__mx") * col("__my"), 9))
+    val covn = round(sxy - round(sx * sy / n, 9), 9)
+    val vxn = round(sxx - round(sx * sx / n, 9), 9)
+    val vyn = round(syy - round(sy * sy / n, 9), 9)
+    grid
+      .withColumn("__k", k)
+      .withColumn("corr",
+        when(col("__k") < window || vxn <= 0.0 || vyn <= 0.0,
+          lit(null).cast("double"))
+          .otherwise(round(covn / round(sqrt(vxn) * sqrt(vyn), 9), 6)))
+      .select(col("day"),
+        round(col("__mx"), 6).as("x_mean"),
+        round(col("__my"), 6).as("y_mean"), col("corr"))
+  }
+
   def maseBacktest(df: DataFrame, tsCol: String,
                    season: Int = 7): DataFrame = {
     require(season >= 1, s"season must be >= 1, got $season")

@@ -372,6 +372,19 @@ class EvalSpec extends SparkTestBase {
     }
   }
 
+  test("conformal: finite-sample order statistic, coverage, and the no-guarantee case") {
+    val cal = df("s DOUBLE", (1 to 10).map(i => Row(i.toDouble)))
+    val test = df("s DOUBLE", Seq(Row(5.0), Row(9.5), Row(10.0)))
+    // alpha=0.2: rank = ceil(11*0.8) = 9 -> threshold = 9.0; 1 of 3 covered
+    val r = Eval.conformal(cal, test, "s", alpha = 0.2).head()
+    assert(r.getLong(0) == 10L && r.getLong(1) == 9L)
+    assert(r.getDouble(2) == 9.0)
+    assert(r.getLong(3) == 3L && r.getDouble(4) == 0.333333)
+    // alpha too small for n: rank 11 > 10 -> NULL threshold and coverage
+    val ng = Eval.conformal(cal, test, "s", alpha = 0.01).head()
+    assert(ng.getLong(1) == 11L && ng.isNullAt(2) && ng.isNullAt(4))
+  }
+
   test("brierDecomposition: perfect scorer and pure-noise bin, identity holds") {
     // perfect: brier 0, rel 0; two pure bins split the base rate 0.5
     val perfect = df("s DOUBLE, y BOOLEAN", Seq(

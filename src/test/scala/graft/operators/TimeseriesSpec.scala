@@ -260,6 +260,27 @@ class TimeseriesSpec extends SparkTestBase {
     assert(r.isNullAt(3) && r.isNullAt(4))
   }
 
+  test("rollingCorrelation: exact ±1 on linear series; gaps break the window") {
+    def ev(day: Int, x: Double, y: Double) =
+      Row(Timestamp.valueOf(f"2024-01-$day%02d 10:00:00"), x, y)
+    val lin = df("ts TIMESTAMP, x DOUBLE, y DOUBLE",
+      (1 to 4).map(d => ev(d, d.toDouble, 2.0 * d)))
+    val out = Timeseries.rollingCorrelation(lin, "ts", "x", "y", window = 3)
+      .orderBy("day").collect()
+    assert(out(0).isNullAt(3) && out(1).isNullAt(3)) // ramp-up
+    assert(out(2).getDouble(3) == 1.0 && out(3).getDouble(3) == 1.0)
+    val anti = df("ts TIMESTAMP, x DOUBLE, y DOUBLE",
+      (1 to 3).map(d => ev(d, d.toDouble, -d.toDouble)))
+    assert(Timeseries.rollingCorrelation(anti, "ts", "x", "y", 3)
+      .orderBy("day").collect()(2).getDouble(3) == -1.0)
+    // missing day 3 voids every window spanning it (no zero-fill)
+    val gap = df("ts TIMESTAMP, x DOUBLE, y DOUBLE",
+      Seq(1, 2, 4, 5).map(d => ev(d, d.toDouble, 2.0 * d)))
+    val g = Timeseries.rollingCorrelation(gap, "ts", "x", "y", 3)
+      .orderBy("day").collect()
+    assert(g.length == 5 && g.forall(_.isNullAt(3)))
+  }
+
   test("locf: per-key grid to the global last day, latest-per-day, forward fill") {
     val d = df("k STRING, ts TIMESTAMP, v DOUBLE", Seq(
       Row("A", Timestamp.valueOf("2024-01-01 08:00:00"), 4.0),
