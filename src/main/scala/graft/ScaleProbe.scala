@@ -258,7 +258,9 @@ object ScaleProbe {
     "q_pii_dp", "q_ts_locf",
     // rolling correlation (grid-bounded moments) and split-conformal
     // calibration (score-cell cumulative walk)
-    "q_ts_rollcorr", "q_eval_conformal")
+    "q_ts_rollcorr", "q_eval_conformal",
+    // windowed PSI vs static reference (windows × domain cells)
+    "q_drift_windowed")
 
   private def caesar(c: org.apache.spark.sql.Column, k: Int) = {
     val lower = "abcdefghijklmnopqrstuvwxyz"

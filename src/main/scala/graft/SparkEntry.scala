@@ -3162,6 +3162,18 @@ object SparkEntry {
           executor(s, d).table("events"), "user_id", "ts")
         .orderBy("user", "day", "status")),
 
+    // Windowed PSI drift monitor: odd users' event-type mix per
+    // epoch-aligned 7-day tumble vs the even users' static reference
+    // distribution — the production drift-gate shape; stream twin
+    // cross-checked in StreamingPsiCrossCheckSpec.
+    "q_drift_windowed" -> ((s, d) => {
+      val e = executor(s, d).table("events")
+      graft.operators.Drift.psiWindowed(
+        e.where(col("user_id") % 2 === 1), "ts", "event_type",
+        e.where(col("user_id") % 2 === 0), windowDays = 7)
+        .orderBy("window_start")
+    }),
+
     // Trailing-7-day Pearson correlation of two daily signals (event
     // value vs a pseudo-independent event_id%97 series) on the calendar
     // grid; unobserved days break the window rather than zero-fill.
@@ -8372,6 +8384,36 @@ object SparkEntry {
         |  coalesce(n_churned, 0) AS n_churned
         |FROM st FULL OUTER JOIN cf ON st.day = cf.day
         |ORDER BY 1""".stripMargin,
+    "q_drift_windowed" ->
+      """WITH mon AS (SELECT CAST(ts AS DATE) AS day, event_type AS value
+        |  FROM events WHERE ts IS NOT NULL AND event_type IS NOT NULL
+        |    AND user_id % 2 = 1),
+        |rws AS (SELECT day - CAST(date_diff('day', DATE '1970-01-01', day)
+        |          % 7 AS INTEGER) AS window_start, value FROM mon),
+        |ref AS (SELECT event_type AS value FROM events
+        |        WHERE event_type IS NOT NULL AND user_id % 2 = 0),
+        |refp AS (SELECT value AS bv, CAST(count(*) AS DOUBLE) /
+        |           (SELECT count(*) FROM ref) AS pb FROM ref GROUP BY 1),
+        |wc AS (SELECT window_start, value, count(*) AS nw
+        |       FROM rws GROUP BY 1, 2),
+        |wt AS (SELECT window_start, sum(nw) AS tw FROM wc GROUP BY 1),
+        |dom AS (SELECT DISTINCT value FROM
+        |         (SELECT value FROM rws UNION ALL SELECT bv FROM refp)),
+        |cells AS (SELECT wt.window_start, wt.tw,
+        |    coalesce(wc.nw, 0) AS nw, coalesce(refp.pb, 0.0) AS pb
+        |  FROM wt CROSS JOIN dom
+        |  LEFT JOIN wc ON wc.window_start = wt.window_start
+        |    AND wc.value = dom.value
+        |  LEFT JOIN refp ON refp.bv = dom.value),
+        |t AS (SELECT window_start, tw,
+        |    round((greatest(round(CAST(nw AS DOUBLE) / tw, 9), 0.0001)
+        |        - greatest(round(pb, 9), 0.0001))
+        |      * ln(greatest(round(CAST(nw AS DOUBLE) / tw, 9), 0.0001)
+        |          / greatest(round(pb, 9), 0.0001)), 9) AS w
+        |  FROM cells)
+        |SELECT window_start, CAST(max(tw) AS BIGINT) AS n,
+        |  round(CAST(sum(CAST(w AS DECIMAL(20,9))) AS DOUBLE), 6) AS psi
+        |FROM t GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_ts_rollcorr" ->
       """WITH e AS (SELECT CAST(ts AS DATE) AS day,
         |    round(CAST(value AS DOUBLE), 9) AS x,

@@ -211,6 +211,71 @@ object Drift {
           .as("psi"))
   }
 
+  /**
+   * PSI per TUMBLING WINDOW against a STATIC reference distribution —
+   * the deployed drift-monitor shape ([[psiTimeline]] compares each day
+   * to the corpus's own first week; this compares every `windowDays`
+   * bucket to a fixed reference snapshot, the thing a production
+   * monitor actually pins). Buckets are epoch-aligned k-day tumbles
+   * (`1970-01-01 + i·k`), so bucket identity is a pure function of the
+   * timestamp — no min-date pre-pass, and the STREAMING twin
+   * ([[graft.streaming.StreamingPipeline.psiStream]], cross-checked
+   * row-for-row) assigns buckets statelessly. One row per observed
+   * window: `(window_start, n, psi)` over the value domain
+   * window ∪ reference (a vanished level contributes its full
+   * ε-floored term — that IS the signal). NULL values drop on both
+   * sides (level-completeness drift belongs to [[categoricalDetail]]).
+   *
+   * Determinism: [[psi]]'s exact policy — 9-dp ε-floored shares, 9-dp
+   * terms summed as DECIMAL, 6-dp publish. Scale shape: one
+   * (window, value) map-side-combined reduce; everything after runs on
+   * windows × domain cells.
+   */
+  def psiWindowed(df: DataFrame, tsCol: String, valueCol: String,
+                  reference: DataFrame, windowDays: Int = 7,
+                  epsilon: Double = 1e-4): DataFrame = {
+    require(windowDays >= 1, s"windowDays must be >= 1, got $windowDays")
+    require(epsilon > 0, "epsilon must be positive")
+    val day = to_date(col(tsCol))
+    val rows = df.where(col(tsCol).isNotNull && col(valueCol).isNotNull)
+      .select(date_sub(day,
+          pmod(datediff(day, to_date(lit("1970-01-01"))),
+            lit(windowDays)).cast("int")).as("window_start"),
+        col(valueCol).cast("string").as("value"))
+    val all = org.apache.spark.sql.expressions.Window.partitionBy(lit(1))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.unboundedFollowing)
+    val refP = reference.where(col(valueCol).isNotNull)
+      .groupBy(col(valueCol).cast("string").as("__bv"))
+      .agg(count(lit(1)).as("__nb"))
+      .withColumn("__tb", sum("__nb").over(all).cast("double"))
+      .select(col("__bv"), (col("__nb") / col("__tb")).as("__pb"))
+    val winCounts = rows.groupBy(col("window_start"), col("value"))
+      .agg(count(lit(1)).as("__nw"))
+    val winTotals = winCounts.groupBy("window_start")
+      .agg(sum("__nw").as("__tw"))
+    val domain = rows.select("value")
+      .unionByName(refP.select(col("__bv").as("value"))).distinct()
+    val cells = winTotals.crossJoin(domain)
+      .join(winCounts.select(col("window_start").as("__ww"),
+          col("value").as("__wv"), col("__nw")),
+        col("window_start") === col("__ww") && col("value") === col("__wv"),
+        "left")
+      .join(broadcast(refP), col("value") === col("__bv"), "left")
+      .select(col("window_start"), col("__tw"),
+        coalesce(col("__nw"), lit(0L)).as("__nw"),
+        coalesce(col("__pb"), lit(0.0)).as("__pb"))
+    val pw = greatest(
+      round(col("__nw").cast("double") / col("__tw").cast("double"), 9),
+      lit(epsilon))
+    val pb = greatest(round(col("__pb"), 9), lit(epsilon))
+    cells.withColumn("__w", round((pw - pb) * log(pw / pb), 9))
+      .groupBy("window_start")
+      .agg(max(col("__tw")).as("n"),
+        round(sum(col("__w").cast("decimal(20,9)")).cast("double"), 6)
+          .as("psi"))
+  }
+
   private def joined(a: DataFrame, b: DataFrame, valueCol: String): DataFrame = {
     def counts(df: DataFrame, n: String) =
       df.groupBy(col(valueCol).as("value")).agg(count(lit(1)).as(n))

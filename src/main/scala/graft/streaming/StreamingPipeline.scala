@@ -431,4 +431,98 @@ object StreamingPipeline {
       .agg(count(lit(1)).as("games"), sum(col("__v")).as("wins"))
       .withColumn("win_rate",
         round(col("wins").cast("double") / col("games"), 6))
+
+  final case class PsiWindowState(counts: Map[String, Long])
+
+  /** One closed monitoring window (streaming PSI output). */
+  final case class PsiWindow(window_start: java.sql.Date, n: Long,
+                             psi: Double)
+
+  /**
+   * Streaming PSI drift monitor — `Drift.psiWindowed`'s continuous
+   * twin (cross-checked row-for-row in StreamingPsiCrossCheckSpec):
+   * events bucket into the SAME epoch-aligned `windowDays` tumbles (a
+   * pure function of the timestamp — no state needed to assign), a
+   * per-window value histogram accumulates as GroupState (bounded by
+   * open windows × value domain), and when the event-time watermark
+   * passes a window's end the window closes and emits ONE
+   * `(window_start, n, psi)` row against the STATIC reference
+   * distribution (collected once — |domain| rows, the bounded-collect
+   * class of the centroid matrices). NULL values drop, matching the
+   * batch twin.
+   *
+   * The PSI arithmetic replays the batch operator digit-for-digit:
+   * 9-dp ε-floored shares over the window ∪ reference domain, 9-dp
+   * terms summed exactly (BigDecimal — the closure's stand-in for the
+   * plan's DECIMAL(20,9) accumulator), 6-dp publish.
+   */
+  def psiStream(stream: DataFrame, tsCol: String, valueCol: String,
+                reference: DataFrame, windowDays: Int = 7,
+                watermarkDelay: String = "1 day",
+                epsilon: Double = 1e-4): DataFrame = {
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+    require(windowDays >= 1, s"windowDays must be >= 1, got $windowDays")
+    require(epsilon > 0, "epsilon must be positive")
+    val spark = stream.sparkSession
+    import spark.implicits._
+    val refRows = reference
+      .where(col(valueCol).isNotNull)
+      .groupBy(col(valueCol).cast("string").as("v"))
+      .agg(count(lit(1)).as("n")).collect()
+    val refTotal = refRows.map(_.getLong(1)).sum.toDouble
+    val refP: Map[String, Double] =
+      refRows.map(r => r.getString(0) -> r.getLong(1) / refTotal).toMap
+    // valueOf (= Double.toString) semantics — what Spark's round() uses;
+    // the exact-binary constructor would split on half-way cases
+    def r9(x: Double): java.math.BigDecimal =
+      java.math.BigDecimal.valueOf(x)
+        .setScale(9, java.math.RoundingMode.HALF_UP)
+    def psiOf(counts: Map[String, Long]): Double = {
+      val total = counts.values.sum.toDouble
+      val domain = counts.keySet ++ refP.keySet
+      val sum = domain.foldLeft(java.math.BigDecimal.ZERO) { (acc, v) =>
+        val pw = math.max(
+          r9(counts.getOrElse(v, 0L) / total).doubleValue(), epsilon)
+        val pb = math.max(r9(refP.getOrElse(v, 0.0)).doubleValue(), epsilon)
+        acc.add(r9((pw - pb) * math.log(pw / pb)))
+      }
+      java.math.BigDecimal.valueOf(sum.doubleValue())
+        .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+    }
+    val dayMs = 86400000L
+    stream
+      .select(col(tsCol).cast("timestamp").as("ts"),
+        col(valueCol).cast("string").as("v"))
+      .where(col("v").isNotNull)
+      .withWatermark("ts", watermarkDelay)
+      .as[(java.sql.Timestamp, String)]
+      // key computed INSIDE groupByKey (AppendColumns) — a .map here
+      // would re-key the attributes and drop the watermark tag
+      .groupByKey { case (ts, _) =>
+        val epochDay = ts.getTime / dayMs
+        epochDay - (epochDay % windowDays)
+      }
+      .flatMapGroupsWithState[PsiWindowState, PsiWindow](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (winStart, events, state) =>
+          if (state.hasTimedOut) {
+            val counts = state.get.counts
+            state.remove()
+            Iterator(PsiWindow(
+              java.sql.Date.valueOf(java.time.LocalDate.ofEpochDay(winStart)),
+              counts.values.sum, psiOf(counts)))
+          } else {
+            var counts = state.getOption.map(_.counts)
+              .getOrElse(Map.empty[String, Long])
+            events.foreach { case (_, v) =>
+              counts = counts.updated(v, counts.getOrElse(v, 0L) + 1L)
+            }
+            state.update(PsiWindowState(counts))
+            // close once the watermark passes the end of the window
+            state.setTimeoutTimestamp((winStart + windowDays) * dayMs)
+            Iterator.empty
+          }
+      }
+      .toDF("window_start", "n", "psi")
+  }
 }
