@@ -260,7 +260,9 @@ object ScaleProbe {
     // calibration (score-cell cumulative walk)
     "q_ts_rollcorr", "q_eval_conformal",
     // windowed PSI vs static reference (windows × domain cells)
-    "q_drift_windowed")
+    "q_drift_windowed",
+    // DoReMi update (|domains| rows end-to-end after one lang reduce)
+    "q_mix_doremi")
 
   private def caesar(c: org.apache.spark.sql.Column, k: Int) = {
     val lower = "abcdefghijklmnopqrstuvwxyz"

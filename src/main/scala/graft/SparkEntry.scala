@@ -3162,6 +3162,31 @@ object SparkEntry {
           executor(s, d).table("events"), "user_id", "ts")
         .orderBy("user", "day", "status")),
 
+    // DoReMi multiplicative mixture update over per-language domains:
+    // proxy/ref losses derived from mean text length (fixed-order
+    // division chains), baseline = corpus share; eta 0.5, smoothing 0.2.
+    "q_mix_doremi" -> ((s, d) => {
+      val stats = docs(s, d).groupBy(col("lang").as("domain"))
+        .agg(count(lit(1)).as("__n"),
+          sum(length(col("text")).cast("long")).as("__L"))
+      val all = org.apache.spark.sql.expressions.Window.partitionBy(lit(1))
+        .rowsBetween(
+          org.apache.spark.sql.expressions.Window.unboundedPreceding,
+          org.apache.spark.sql.expressions.Window.unboundedFollowing)
+      val domains = stats
+        .withColumn("__tot", sum(col("__n")).over(all).cast("double"))
+        .select(
+        col("domain"),
+        round(col("__L").cast("double") / col("__n") / lit(100.0), 9)
+          .as("proxy_loss"),
+        round(col("__L").cast("double") / col("__n") / lit(120.0), 9)
+          .as("ref_loss"),
+        round(col("__n").cast("double") / col("__tot"), 9).as("baseline"))
+      graft.operators.Mix.doremiWeights(domains, "domain", "proxy_loss",
+          "ref_loss", "baseline", eta = 0.5, smoothing = 0.2)
+        .orderBy("domain")
+    }),
+
     // Windowed PSI drift monitor: odd users' event-type mix per
     // epoch-aligned 7-day tumble vs the even users' static reference
     // distribution — the production drift-gate shape; stream twin
@@ -8384,6 +8409,26 @@ object SparkEntry {
         |  coalesce(n_churned, 0) AS n_churned
         |FROM st FULL OUTER JOIN cf ON st.day = cf.day
         |ORDER BY 1""".stripMargin,
+    "q_mix_doremi" ->
+      """WITH stats AS (SELECT lang AS domain, count(*) AS n,
+        |    sum(length(text)) AS L FROM documents GROUP BY 1),
+        |tot AS (SELECT sum(n) AS nn FROM stats),
+        |doms AS (SELECT domain,
+        |    round(CAST(L AS DOUBLE) / n / 100.0, 9) AS proxy_loss,
+        |    round(CAST(L AS DOUBLE) / n / 120.0, 9) AS ref_loss,
+        |    round(CAST(n AS DOUBLE) / nn, 9) AS baseline
+        |  FROM stats CROSS JOIN tot),
+        |raws AS (SELECT domain,
+        |    round(greatest(proxy_loss - ref_loss, 0.0), 9) AS excess,
+        |    round(baseline *
+        |      round(exp(0.5 * round(greatest(proxy_loss - ref_loss, 0.0),
+        |        9)), 9), 9) AS raw
+        |  FROM doms),
+        |z AS (SELECT CAST(sum(CAST(raw AS DECIMAL(28,9))) AS DOUBLE) AS z,
+        |        count(*) AS k FROM raws)
+        |SELECT domain, excess,
+        |  round(0.8 * round(raw / z, 9) + 0.2 / k, 6) AS weight
+        |FROM raws CROSS JOIN z ORDER BY domain""".stripMargin,
     "q_drift_windowed" ->
       """WITH mon AS (SELECT CAST(ts AS DATE) AS day, event_type AS value
         |  FROM events WHERE ts IS NOT NULL AND event_type IS NOT NULL

@@ -187,6 +187,48 @@ object Mix {
   }
 
   /**
+   * DoReMi-style multiplicative mixture reweighting (Xie et al. 2023,
+   * Alg. 1's per-round update): given each domain's PROXY-model loss,
+   * REFERENCE-model loss, and the baseline mixture weight, upweight
+   * domains where the proxy still lags the reference —
+   * `excess = max(0, proxy − ref)`, `raw = baseline · exp(η·excess)`,
+   * `weight = (1−c)·raw/Σraw + c/k` (uniform smoothing c, k domains).
+   * One row per domain: `(domain, excess, weight)`. The training loop
+   * that PRODUCES the losses lives outside (that is the GPU half of
+   * DoReMi); this is the distributable update the data pipeline owns —
+   * feed the weights to [[budgetMix]] / [[interleave]].
+   *
+   * Determinism: exp snaps once to 9 dp (the transcendental
+   * discipline), products/shares round to 9 dp with the normalizing sum
+   * in DECIMAL, published weights at 6 dp. Scale shape: |domains| rows
+   * end to end — the corpus never appears.
+   */
+  def doremiWeights(df: DataFrame, domainCol: String, proxyLossCol: String,
+                    refLossCol: String, baselineCol: String,
+                    eta: Double = 1.0, smoothing: Double = 0.0): DataFrame = {
+    require(eta > 0, s"eta must be positive, got $eta")
+    require(smoothing >= 0 && smoothing < 1,
+      s"smoothing must be in [0,1), got $smoothing")
+    val base = df
+      .where(col(domainCol).isNotNull && col(proxyLossCol).isNotNull &&
+        col(refLossCol).isNotNull && col(baselineCol).isNotNull)
+      .select(col(domainCol).cast("string").as("domain"),
+        round(greatest(col(proxyLossCol).cast("double") -
+          col(refLossCol).cast("double"), lit(0.0)), 9).as("excess"),
+        col(baselineCol).cast("double").as("__b"))
+      .withColumn("__raw",
+        round(col("__b") * round(exp(lit(eta) * col("excess")), 9), 9))
+    val tot = base.agg(
+      sum(col("__raw").cast("decimal(28,9)")).cast("double").as("__z"),
+      count(lit(1)).as("__k"))
+    base.crossJoin(broadcast(tot))
+      .select(col("domain"), col("excess"),
+        round(lit(1.0 - smoothing) *
+          round(col("__raw") / col("__z"), 9) +
+          lit(smoothing) / col("__k").cast("double"), 6).as("weight"))
+  }
+
+  /**
    * Deterministic stride-scheduled interleave — the DATA-LOADER order
    * for a weighted mixture: each row gets `mix_key = rank_in_source /
    * weight` (rank = the source-internal deterministic-shuffle position),

@@ -191,4 +191,27 @@ class MixSpec extends SparkTestBase {
     // heavy a-rows dominate their stratum's draw
     assert(byKey("a").map(_._2).count(_ <= 25L) == 5)
   }
+
+  test("doremiWeights: lagging domains upweight; zero excess recovers baseline") {
+    val d = df("dom STRING, p DOUBLE, r DOUBLE, b DOUBLE", Seq(
+      Row("lags", 2.0, 1.0, 0.5), Row("fits", 1.0, 1.5, 0.5)))
+    val out = Mix.doremiWeights(d, "dom", "p", "r", "b", eta = 1.0)
+      .collect().map(x => x.getString(0) ->
+        ((x.getDouble(1), x.getDouble(2)))).toMap
+    assert(out("lags")._1 == 1.0 && out("fits")._1 == 0.0) // excess clamps
+    val e = BigDecimal(math.exp(1.0)).setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val raw = BigDecimal(0.5 * e).setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val expect = BigDecimal(raw / (raw + 0.5)).setScale(9,
+      BigDecimal.RoundingMode.HALF_UP).setScale(6,
+      BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(out("lags")._2 == expect)
+    assert(math.abs(out("lags")._2 + out("fits")._2 - 1.0) < 1e-5)
+    // all-zero excess: weights = normalized baseline (smoothing mixes uniform)
+    val flat = df("dom STRING, p DOUBLE, r DOUBLE, b DOUBLE", Seq(
+      Row("x", 1.0, 1.0, 0.75), Row("y", 1.0, 2.0, 0.25)))
+    val w = Mix.doremiWeights(flat, "dom", "p", "r", "b", eta = 2.0,
+        smoothing = 0.2)
+      .collect().map(x => x.getString(0) -> x.getDouble(2)).toMap
+    assert(w("x") == 0.7 && w("y") == 0.3) // 0.8·b/Σb + 0.2/2
+  }
 }
