@@ -262,7 +262,12 @@ object ScaleProbe {
     // windowed PSI vs static reference (windows × domain cells)
     "q_drift_windowed",
     // DoReMi update (|domains| rows end-to-end after one lang reduce)
-    "q_mix_doremi")
+    "q_mix_doremi",
+    // round-9: rank-sum tests — 6-dp value-cell reduce + the bounded
+    // cell-table rank walk; the dense variant feeds a full-precision
+    // continuous metric so the cell bound (not fixture ties) does the
+    // work
+    "q_ab_mannwhitney", "q_ab_mannwhitney_dense")
 
   private def caesar(c: org.apache.spark.sql.Column, k: Int) = {
     val lower = "abcdefghijklmnopqrstuvwxyz"

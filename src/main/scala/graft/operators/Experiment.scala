@@ -321,10 +321,13 @@ object Experiment {
    * buckets emit no row (readers zero-fill, the scan doesn't).
    *
    * Scale shape: ONE map-side-combined reduce to |distinct scores|
-   * cells (scores snap to 9 dp), then windows over the CELL table and a
-   * ≤B-row rollup — corpus rows never enter a window. The cell-table
-   * window is single-partition by construction; bound the score domain
-   * (model outputs at ≤9 dp) exactly like the quantile/Kendall audits.
+   * cells (scores snap to 6 dp — the [[Eval.aucRoc]] discipline, a
+   * ≤2·10⁶-cell bound for the usual [0,1] model scores), then windows
+   * over the CELL table and a ≤B-row rollup — corpus rows never enter
+   * a window. The cell-table window is single-partition by
+   * construction and bounded by the quantized score domain; 6-dp
+   * quantization can only merge adjacent cells, which changes bucket
+   * boundaries by at most one cell's mass.
    *
    * Determinism: counts exact; rates/uplift/qini are fixed-order double
    * expressions published at 6 dp.
@@ -338,7 +341,7 @@ object Experiment {
     val cells = df
       .where(col(scoreCol).isNotNull && col(outcomeCol).isNotNull &&
         v.isin(variantA, variantB))
-      .groupBy(round(col(scoreCol).cast("double"), 9).as("__s"))
+      .groupBy(round(col(scoreCol).cast("double"), 6).as("__s"))
       .agg(
         count(when(v === variantA, lit(1))).as("__nt"),
         count(when(v === variantB, lit(1))).as("__nc"),
@@ -840,11 +843,20 @@ object Experiment {
    * either arm is empty or every value ties (σ = 0).
    *
    * Scale shape: the corpus reduces in ONE map-side-combined pass to
-   * per-VALUE cells with per-arm counts; the rank window runs over
-   * distinct values (the [[Profile.quantiles]] compression — average
-   * ranks come out of cumulative cell counts, identical to ranking raw
-   * rows), and the test folds the cells to one scalar row. Tie cubes
-   * accumulate as DECIMAL(38,0) so a million-row tie can't overflow.
+   * per-VALUE cells with per-arm counts, where a "value" is the metric
+   * QUANTIZED TO 6 DECIMAL PLACES (the [[Eval.aucRoc]] discipline):
+   * without quantization a continuous metric (revenue·fx, latency)
+   * has ≈ corpus-many distinct doubles and the unpartitioned rank
+   * window degenerates into a single-reducer global sort. At 6 dp the
+   * cell table is bounded by the metric's value RANGE (≤2·10⁶ cells
+   * per unit of range), rank statistics on 6-dp ties are
+   * statistically indistinguishable from exact ranks for any real
+   * metric, and quantization only ever MERGES ties — the
+   * tie-correction term absorbs it exactly. The rank window then runs
+   * over the bounded cell table (average ranks come out of cumulative
+   * cell counts, identical to ranking raw rows), and the test folds
+   * the cells to one scalar row. Tie cubes accumulate as
+   * DECIMAL(38,0) so a million-row tie can't overflow.
    *
    * Determinism: average ranks and rank-sum terms snap to 9 dp and
    * accumulate as DECIMAL; the z pipeline is fixed-shape double
@@ -857,7 +869,7 @@ object Experiment {
     def d(c: Column) = c.cast("double")
     val cells = df
       .where(col(valueCol).isNotNull && v.isin(variantA, variantB))
-      .groupBy(col(valueCol).cast("double").as("__v"))
+      .groupBy(round(col(valueCol).cast("double"), 6).as("__v"))
       .agg(count(when(v === variantA, lit(1))).as("__ca"),
         count(when(v === variantB, lit(1))).as("__cb"))
     val wCum = org.apache.spark.sql.expressions.Window.orderBy(col("__v"))

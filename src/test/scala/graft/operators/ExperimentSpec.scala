@@ -189,6 +189,20 @@ class ExperimentSpec extends SparkTestBase {
     assert(r.getAs[Double]("z") == r6(-1.5 / sg))
   }
 
+  test("mannWhitney: 6-dp quantization merges sub-precision near-ties") {
+    // 1.0 vs 1.0000000001 differ only past 6 dp -> one cell, full tie:
+    // avg ranks 1.5, 1.5, 3 -> R_A = 4.5, same as exact ties at 1.0.
+    val d = df("v STRING, x DOUBLE", Seq(
+      Row("A", 1.0), Row("A", 3.0), Row("B", 1.0000000001)))
+    val r = Experiment.mannWhitney(d, "v", "x", "A", "B").head()
+    assert(r.getAs[Double]("rank_sum_a") == 4.5)
+    // ...while a >=1e-6 gap stays a distinct cell (ranks 1, 2, 3)
+    val d2 = df("v STRING, x DOUBLE", Seq(
+      Row("A", 1.0), Row("A", 3.0), Row("B", 1.000001)))
+    val r2m = Experiment.mannWhitney(d2, "v", "x", "A", "B").head()
+    assert(r2m.getAs[Double]("rank_sum_a") == 4.0)
+  }
+
   test("mannWhitney: all-tied values -> sigma 0 -> NULL z") {
     val d = df("v STRING, x DOUBLE", Seq(
       Row("A", 2.0), Row("A", 2.0), Row("B", 2.0)))
