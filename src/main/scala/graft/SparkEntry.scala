@@ -798,6 +798,7 @@ object SparkEntry {
     // builder is test scaffolding, not the operator under test.)
     "q_dedup_components_chain" -> ((s, d) => {
       val ids = docs(s, d).select(col("doc_id"))
+      // bounded-window: test-scaffold — gate-local diameter-chain fixture builder, documented non-production
       val w = org.apache.spark.sql.expressions.Window.orderBy("doc_id")
       val pairs = ids
         .withColumn("__next", lead(col("doc_id"), 1).over(w))
@@ -7966,7 +7967,7 @@ object SparkEntry {
     "q_survival_logrank" ->
       s"""WITH $survivalSubjSql,
          |cells AS (
-         |  SELECT dur AS t,
+         |  SELECT round(CAST(dur AS DOUBLE), 6) AS t,
          |    count(*) FILTER (WHERE grp0 = 'even' AND ev) AS d_a,
          |    count(*) FILTER (WHERE grp0 = 'even') AS r_a,
          |    count(*) FILTER (WHERE grp0 = 'odd' AND ev) AS d_b,
@@ -8514,14 +8515,14 @@ object SparkEntry {
         |    round(CAST((doc_id * 37) % 101 AS DOUBLE) / 100.0 +
         |      CASE WHEN lang = 'en' THEN 0.15 ELSE 0.0 END, 6) AS score
         |  FROM documents),
-        |calc AS (SELECT round(score, 9) AS s, count(*) AS c FROM sc
+        |calc AS (SELECT round(score, 6) AS s, count(*) AS c FROM sc
         |         WHERE doc_id % 2 = 0 GROUP BY 1),
-        |tot AS (SELECT sum(c) AS n_cal FROM calc),
+        |tot AS (SELECT coalesce(sum(c), 0) AS n_cal FROM calc),
         |rk AS (SELECT n_cal, CAST(ceil((CAST(n_cal AS DOUBLE) + 1.0) * 0.9)
         |         AS BIGINT) AS rank FROM tot),
         |cum AS (SELECT s, sum(c) OVER (ORDER BY s ASC) AS cum FROM calc),
         |thr AS (SELECT min(s) AS t FROM cum CROSS JOIN rk WHERE cum >= rank),
-        |tc AS (SELECT round(score, 9) AS s, count(*) AS c FROM sc
+        |tc AS (SELECT round(score, 6) AS s, count(*) AS c FROM sc
         |       WHERE doc_id % 2 = 1 GROUP BY 1),
         |nt AS (SELECT coalesce(sum(c), 0) AS n_test FROM tc),
         |h AS (SELECT coalesce(sum(c), 0) AS hits

@@ -234,6 +234,7 @@ object Ann {
       .where(col("__fv").isNotNull)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val hashOrd = Seq(xxhash64(col("__fid"), lit(seed)).asc, col("__fid").asc)
+    // bounded-window: topk — ranks the nCentroids-row seed slice (limit below)
     val w = org.apache.spark.sql.expressions.Window.orderBy(hashOrd: _*)
     val seeds = vecs.orderBy(hashOrd: _*).limit(nCentroids)
       .withColumn("label", row_number().over(w).cast("long"))

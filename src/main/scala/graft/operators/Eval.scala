@@ -578,6 +578,7 @@ object Eval {
       .filter(col("s").isNotNull && col("y").isNotNull)
       .groupBy("s").agg(count(lit(1)).as("n"),
         sum(when(col("y"), lit(1L)).otherwise(lit(0L))).as("np"))
+    // bounded-window: quantized-cells — 6-dp score cells, range-bounded (scaladoc above)
     val w = org.apache.spark.sql.expressions.Window.orderBy("s")
       .rowsBetween(Long.MinValue, -1)
     // avg rank of a tie group ×2 = 2·cumBefore + n + 1 (kept integral)
@@ -644,35 +645,44 @@ object Eval {
    * (α too small for the calibration size — the honest "no finite
    * guarantee" answer, not a fabricated max).
    *
-   * Scale shape: both sides reduce to 9-dp score VALUE CELLS (map-side
-   * combined); the order statistic is a cumulative-count walk on the
-   * calibration CELL table and the coverage a broadcast threshold
-   * filter — corpus rows never enter a window. Rank arithmetic
-   * ⌈(n+1)(1−α)⌉ is one IEEE double expression, bit-identical across
-   * engines (both evaluate the same product before ceil).
+   * Scale shape: both sides reduce to 6-dp score VALUE CELLS (map-side
+   * combined — the [[aucRoc]] discipline, so the cell table is bounded
+   * by the score RANGE at ≤2·10⁶ cells per unit, not by the corpus);
+   * the order statistic is a cumulative-count walk on the calibration
+   * CELL table and the coverage a broadcast threshold filter — corpus
+   * rows never enter a window. Rank arithmetic ⌈(n+1)(1−α)⌉ is one
+   * IEEE double expression, bit-identical across engines (both
+   * evaluate the same product before ceil). An EMPTY calibration set
+   * still yields the one documented row: `n_cal = 0`, rank from the
+   * same formula, NULL threshold/coverage.
    */
   def conformal(cal: DataFrame, test: DataFrame, scoreCol: String,
                 alpha: Double = 0.1): DataFrame = {
     require(alpha > 0.0 && alpha < 1.0, s"alpha must be in (0,1), got $alpha")
     def cells(df: DataFrame) = df
       .where(col(scoreCol).isNotNull)
-      .groupBy(round(col(scoreCol).cast("double"), 9).as("__s"))
+      .groupBy(round(col(scoreCol).cast("double"), 6).as("__s"))
       .agg(count(lit(1)).as("__c"))
     val c = cells(cal)
+    // aggregate (not a group over the cell table) so an EMPTY
+    // calibration set still produces the one documented head row
+    // bounded-window: quantized-cells — 6-dp calibration score cells (scaladoc above)
+    val nCal = c.agg(coalesce(sum(col("__c")), lit(0L)).as("n_cal"))
     val wCum = org.apache.spark.sql.expressions.Window
       .orderBy(col("__s").asc)
     val ranked = c
       .withColumn("__cum", sum(col("__c")).over(wCum))
-      .crossJoin(broadcast(c.agg(sum(col("__c")).as("n_cal"))))
+      .crossJoin(broadcast(nCal))
       .withColumn("__rank",
         ceil((col("n_cal").cast("double") + lit(1.0)) *
           lit(1.0 - alpha)).cast("long"))
     val thr = ranked
       .where(col("__cum") >= col("__rank"))
       .agg(min(col("__s")).as("__thr"))
-    val head = ranked
-      .groupBy(col("n_cal"), col("__rank")).agg(count(lit(1)))
-      .select(col("n_cal"), col("__rank"))
+    val head = nCal
+      .withColumn("__rank",
+        ceil((col("n_cal").cast("double") + lit(1.0)) *
+          lit(1.0 - alpha)).cast("long"))
       .crossJoin(broadcast(thr))
       .select(col("n_cal"), col("__rank").as("rank"),
         when(col("__rank") > col("n_cal"), lit(null).cast("double"))

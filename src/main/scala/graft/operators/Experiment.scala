@@ -349,6 +349,7 @@ object Experiment {
           col(outcomeCol).cast("double") =!= 0.0, lit(1))).as("__ct"),
         count(when(v === variantB &&
           col(outcomeCol).cast("double") =!= 0.0, lit(1))).as("__cc"))
+    // bounded-window: quantized-cells — 6-dp score cells, range-bounded (scaladoc above)
     val wCum = org.apache.spark.sql.expressions.Window
       .orderBy(col("__s").desc)
     val wAll = org.apache.spark.sql.expressions.Window.partitionBy()
@@ -363,6 +364,7 @@ object Experiment {
     val perBucket = bucketed.groupBy("bucket").agg(
       sum(col("__nt")).as("n_treat"), sum(col("__nc")).as("n_ctrl"),
       sum(col("__ct")).as("__ct"), sum(col("__cc")).as("__cc"))
+    // bounded-window: fixed-fanout — rolls up the <=nBuckets-row bucket table
     val wQ = org.apache.spark.sql.expressions.Window
       .orderBy(col("bucket").asc)
     val rt = sdiv(d(col("__ct")), d(col("n_treat")))
@@ -746,6 +748,7 @@ object Experiment {
                         alpha: Double = 0.05): DataFrame = {
     require(alpha > 0.0 && alpha < 1.0, s"alpha must be in (0,1), got $alpha")
     import org.apache.spark.sql.expressions.Window
+    // bounded-window: rules — one row per hypothesis (|tests|-sized, scaladoc above)
     val w = Window.orderBy(col(pCol).asc, col(keyCol).asc)
     val all = Window.partitionBy()
     val wTail = Window.orderBy(col("rank"))
@@ -872,6 +875,7 @@ object Experiment {
       .groupBy(round(col(valueCol).cast("double"), 6).as("__v"))
       .agg(count(when(v === variantA, lit(1))).as("__ca"),
         count(when(v === variantB, lit(1))).as("__cb"))
+    // bounded-window: quantized-cells — 6-dp value cells, range-bounded (scaladoc above)
     val wCum = org.apache.spark.sql.expressions.Window.orderBy(col("__v"))
     val ranked = cells
       .withColumn("__c", col("__ca") + col("__cb"))

@@ -159,6 +159,7 @@ object Funnel {
       .orderBy(col("n_users").desc, col("seq").asc)
       .limit(k)
     counted.withColumn("rank",
+      // bounded-window: topk — re-ranks the limit(k) result
       row_number().over(org.apache.spark.sql.expressions.Window
         .orderBy(col("n_users").desc, col("seq").asc)).cast("long"))
   }
@@ -203,6 +204,7 @@ object Funnel {
       .orderBy(col("n").desc, col("path").asc)
       .limit(k)
     counted.withColumn("rank",
+      // bounded-window: topk — re-ranks the limit(k) result
       row_number().over(org.apache.spark.sql.expressions.Window
         .orderBy(col("n").desc, col("path").asc)).cast("long"))
   }

@@ -117,6 +117,7 @@ object Mix {
       .agg(count(lit(1)).cast("double").as("__cap"),
         max(weightOf).cast("double").as("__w"))
       .crossJoin(broadcast(bRow))
+    // bounded-window: rules — one row per mixture domain key
     val ord = Window.orderBy(col("__ratio").asc, col(keyCol).asc)
     val s2 = stats
       .withColumn("__ratio", col("__cap") / col("__w"))

@@ -107,6 +107,7 @@ object NgramStats {
    * (TakeOrderedAndProject — never a full sort), and a k-row reduce.
    */
   def zipfFit(df: DataFrame, textCol: String, k: Int = 1000): DataFrame = {
+    // bounded-window: topk — ranks the k-row topVocabulary result
     val w = org.apache.spark.sql.expressions.Window
       .orderBy(col("n_occurrences").desc, col("term").asc)
     val ranked = Vocab.topVocabulary(df, textCol, k)

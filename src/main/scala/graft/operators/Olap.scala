@@ -104,6 +104,7 @@ object Olap {
     val perKey = df.where(col(keyCol).isNotNull)
       .groupBy(col(keyCol).as("key"))
       .agg(sum(col(valueCol).cast("decimal(18,2)")).as("value"))
+    // bounded-window: key-domain — ABC ranks the declared catalog dimension; the output is itself |keys| rows
     val wOrd = org.apache.spark.sql.expressions.Window
       .orderBy(col("value").desc, col("key").asc)
     val tot = org.apache.spark.sql.expressions.Window.partitionBy()

@@ -74,6 +74,7 @@ object Pq {
         val xs = vecs.select(col("__id"), sub(col("__v"), s, dsub).as("__x"))
         var cents = xs.orderBy(col("__id").asc).limit(k)
           .select(col("__x").as("__c"),
+            // bounded-window: topk — codes the k-row seed slice (limit above)
             (row_number().over(org.apache.spark.sql.expressions.Window
               .orderBy(col("__id").asc)) - 1).as("__code"))
           .select(col("__code"), col("__c"))

@@ -267,6 +267,7 @@ object Preference {
       .withColumn("win_rate",
         round(col("wins").cast("double") / col("games"), 6))
     perItem.withColumn("rank",
+      // bounded-window: key-domain — one row per competitor item, the declared unit of analysis
       rank().over(Window.orderBy(col("win_rate").desc)).cast("long"))
   }
 }

@@ -81,6 +81,7 @@ object Profile {
       .orderBy(col("n").desc, col("value").asc_nulls_last)
       .limit(k)
       .withColumn("rank",
+        // bounded-window: topk — re-ranks the limit(k) result
         row_number().over(org.apache.spark.sql.expressions.Window
           .orderBy(col("n").desc, col("value").asc_nulls_last)).cast("long"))
   }
@@ -192,6 +193,7 @@ object Profile {
     val totals = df
       .groupBy(col(keyCol).as("k"))
       .agg(sum(wExpr).as("t"))
+    // bounded-window: key-domain — concentration ranks the declared grouping dimension (scaladoc above)
     val w = org.apache.spark.sql.expressions.Window
       .orderBy(col("t").asc, col("k").asc)
     totals

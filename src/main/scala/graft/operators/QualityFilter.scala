@@ -190,6 +190,7 @@ object QualityFilter {
       .select(col("rule_order"), col("rule"),
         coalesce(col("__c"), lit(0L)).as("n_removed"))
     val total = counts.agg(coalesce(sum("__c"), lit(0L)).as("__total"))
+    // bounded-window: rules — |rules|-row funnel walk
     val w = org.apache.spark.sql.expressions.Window.orderBy("rule_order")
       .rowsBetween(Long.MinValue, -1)
     removed.crossJoin(total)

@@ -68,6 +68,7 @@ object Rfm {
     // bucket = ceil(round(cum/N · B, 9)) over per-value counts;
     // ascending metric → bucket B = highest values
     def bucketMap(valueCol: String): DataFrame = {
+      // bounded-window: integer-cells — 2-dp monetary / integer day+count cells, range-bounded
       val wCum = Window.orderBy(col("__v").asc)
       val wAll = Window.partitionBy()
       metrics.groupBy(col(valueCol).cast("double").as("__v"))
@@ -104,6 +105,7 @@ object Rfm {
    */
   def segmentSummary(df: DataFrame, custCol: String, tsCol: String,
                      amountCol: String, buckets: Int = 5): DataFrame = {
+    // bounded-window: fixed-fanout — share-of-total over the <=buckets^3 segment rollup
     val wAll = Window.partitionBy()
     scores(df, custCol, tsCol, amountCol, buckets)
       .groupBy(col("segment"))

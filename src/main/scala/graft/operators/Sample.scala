@@ -381,6 +381,7 @@ object Sample {
       .withColumn("__y", round(col(yCol).cast("double"), 6))
       .filter(col("__x").isNotNull && col("__y").isNotNull)
     val cells = pts.groupBy("__x").agg(max("__y").as("__my"))
+    // bounded-window: quantized-cells — 6-dp (x, max y) cells, range-bounded (scaladoc above)
     val w = org.apache.spark.sql.expressions.Window
       .orderBy(col("__x").desc).rowsBetween(Long.MinValue, -1)
     val front = cells
@@ -397,6 +398,7 @@ object Sample {
     val keyed = df.withColumn("__h", h).withColumn("__b", substring(col("__h"), 1, 2))
     val offsets = keyed.groupBy("__b").agg(count(lit(1)).as("__n"))
       .withColumn("__offset",
+        // bounded-window: fixed-fanout — 256 two-hex-char bucket offsets
         coalesce(sum("__n").over(org.apache.spark.sql.expressions.Window
           .orderBy("__b")
           .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)),

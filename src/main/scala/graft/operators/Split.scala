@@ -152,6 +152,7 @@ object Split {
     val days = df.groupBy(to_date(col(tsCol)).as("__d"))
       .agg(count(lit(1)).as("__c"))
     val cum = days
+      // bounded-window: calendar-grid — one row per observed day
       .withColumn("__cum", sum("__c").over(
         org.apache.spark.sql.expressions.Window.orderBy("__d")))
       .withColumn("__n", sum("__c").over(

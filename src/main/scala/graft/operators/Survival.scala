@@ -124,6 +124,13 @@ object Survival {
    * NULL when the variance sum is 0 (no information, e.g. one group
    * empty). Single-subject risk sets contribute expectation but zero
    * variance, mirroring [[Experiment.cmh]].
+   *
+   * Scale shape: durations QUANTIZE TO 6 DP before the per-time cell
+   * reduce (the [[Experiment.mannWhitney]]/aucRoc discipline), so the
+   * unpartitioned event-time walk runs over a cell table bounded by
+   * the duration RANGE (≤2·10⁶ cells per unit) even for continuous
+   * durations — event times ties at 6 dp merge into one risk-set
+   * step, which is the standard handling of tied survival times.
    */
   def logRank(df: DataFrame, groupCol: String, durationCol: String,
               eventCol: String, groupA: String, groupB: String)
@@ -132,12 +139,13 @@ object Survival {
     val e = coalesce(col(eventCol).cast("boolean"), lit(false))
     val cells = df
       .where(col(durationCol).isNotNull && g.isin(groupA, groupB))
-      .groupBy(col(durationCol).cast("double").as("t"))
+      .groupBy(round(col(durationCol).cast("double"), 6).as("t"))
       .agg(
         count(when(g === groupA && e, lit(1))).as("d_a"),
         count(when(g === groupA, lit(1))).as("r_a"),
         count(when(g === groupB && e, lit(1))).as("d_b"),
         count(when(g === groupB, lit(1))).as("r_b"))
+    // bounded-window: quantized-cells — 6-dp duration cells, range-bounded (scaladoc above)
     val wCum = Window.orderBy(col("t").asc)
     val wAll = Window.partitionBy()
     def atRisk(total: Column, removed: Column, here: Column): Column =

@@ -63,6 +63,7 @@ object Timeseries {
                      zThreshold: Double = 3.0): DataFrame = {
     require(halfWindow >= 1, s"halfWindow must be >= 1, got $halfWindow")
     val span = 2 * halfWindow + 1
+    // bounded-window: calendar-grid — one row per observed day
     val wC = Window.orderBy(col("day"))
       .rowsBetween(-halfWindow, halfWindow)
     val wAll = Window.partitionBy()
@@ -105,6 +106,7 @@ object Timeseries {
     * the shared front half of the second-moment diagnostics below.
     * Runs entirely on the calendar-bounded grid. */
   private def devGrid(df: DataFrame, tsCol: String): DataFrame = {
+    // bounded-window: calendar-grid — one row per observed day
     val wAll = Window.partitionBy()
     val wOrd = Window.orderBy(col("day"))
     dailyCounts(df, tsCol)
@@ -157,6 +159,7 @@ object Timeseries {
    * into a V at the change day). Output `(day, n, cusum)`.
    */
   def cusum(df: DataFrame, tsCol: String): DataFrame = {
+    // bounded-window: calendar-grid — one row per observed day
     val wCum = Window.orderBy(col("day"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     devGrid(df, tsCol)
@@ -174,6 +177,7 @@ object Timeseries {
    * series (σ = 0).
    */
   def changepoint(df: DataFrame, tsCol: String): DataFrame = {
+    // bounded-window: calendar-grid — one row per observed day
     val wCum = Window.orderBy(col("day"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val wAll = Window.partitionBy()
@@ -223,6 +227,7 @@ object Timeseries {
     require(alpha > 0.0 && alpha < 1.0, s"alpha must be in (0,1), got $alpha")
     val lnb = BigDecimal(math.log(1.0 - alpha))
       .setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+    // bounded-window: calendar-grid — one row per observed day
     val wOrd = Window.orderBy(col("day"))
     val base = dailyCounts(df, tsCol)
       .withColumn("__rn", row_number().over(wOrd).cast("long"))
@@ -264,6 +269,7 @@ object Timeseries {
       .setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
     val ac = BigDecimal(alpha / (1.0 - alpha))
       .setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+    // bounded-window: calendar-grid — one row per observed day
     val wOrd = Window.orderBy(col("day"))
     val base = dailyCounts(df, tsCol)
       .withColumn("__rn", row_number().over(wOrd).cast("long"))
@@ -317,6 +323,7 @@ object Timeseries {
    * counting; z follows the 9-dp/6-dp discipline.
    */
   def trendTest(df: DataFrame, tsCol: String): DataFrame = {
+    // bounded-window: calendar-grid — one row per observed day
     val wOrd = Window.orderBy(col("day"))
     val base = dailyCounts(df, tsCol)
       .withColumn("__rn", row_number().over(wOrd).cast("long"))
@@ -360,6 +367,7 @@ object Timeseries {
     * data value, no interpolation). Returns a 1-row frame `(med)`. */
   private def discreteMedian(cells: DataFrame, valueCol: String,
                              cntCol: String): DataFrame = {
+    // bounded-window: integer-cells — callers feed integer daily counts or 9-dp day-pair slopes (calendar-derived)
     val wCum = Window.orderBy(col(valueCol).asc)
     val wAll = Window.partitionBy()
     cells
@@ -421,6 +429,7 @@ object Timeseries {
   def seasonalNaiveBacktest(df: DataFrame, tsCol: String,
                             season: Int = 7): DataFrame = {
     require(season >= 1, s"season must be >= 1, got $season")
+    // bounded-window: calendar-grid — one row per observed day
     val wOrd = Window.orderBy(col("day"))
     val scored = dailyCounts(df, tsCol)
       .withColumn("__f", lag(col("n"), season).over(wOrd))
@@ -646,6 +655,7 @@ object Timeseries {
     val grid = daily.agg(min(col("day")).as("__d0"), max(col("day")).as("__d1"))
       .select(explode(sequence(col("__d0"), col("__d1"))).as("day"))
       .join(daily, Seq("day"), "left")
+    // bounded-window: calendar-grid — one row per grid day
     val w = Window.orderBy(col("day")).rowsBetween(-(window - 1), 0)
     val k = count(col("__mx")).over(w)
     def roll(c: Column) = d(sum(c.cast(dec)).over(w))
@@ -672,6 +682,7 @@ object Timeseries {
   def maseBacktest(df: DataFrame, tsCol: String,
                    season: Int = 7): DataFrame = {
     require(season >= 1, s"season must be >= 1, got $season")
+    // bounded-window: calendar-grid — one row per observed day
     val wOrd = Window.orderBy(col("day"))
     val scored = dailyCounts(df, tsCol)
       .withColumn("__f", lag(col("n"), season).over(wOrd))

@@ -50,6 +50,7 @@ object Vocab {
       .orderBy(col("cnt").desc, col("pair").asc)
       .limit(k)
       .withColumn("rank",
+        // bounded-window: topk — re-ranks the limit(k) result
         row_number().over(org.apache.spark.sql.expressions.Window
           .orderBy(col("cnt").desc, col("pair").asc)).cast("long"))
       .select("rank", "pair", "cnt")
@@ -173,6 +174,7 @@ object Vocab {
       .select(explode(TextFunctions.tokens(lower(col(textCol)))).as("term"))
       .filter(length(col("term")) > 0)
       .groupBy("term").agg(count(lit(1)).as("__n"))
+    // bounded-window: key-domain — ranks the term vocabulary, the declared unit of analysis (Heaps-sublinear; scaladoc above)
     val w = org.apache.spark.sql.expressions.Window
       .orderBy(col("__n").desc, col("term").asc)
     val ranked = counts

@@ -385,6 +385,18 @@ class EvalSpec extends SparkTestBase {
     assert(ng.getLong(1) == 11L && ng.isNullAt(2) && ng.isNullAt(4))
   }
 
+  test("conformal: empty calibration set still yields the one-row contract") {
+    val cal = df("s DOUBLE", Seq.empty[Row])
+    val test = df("s DOUBLE", Seq(Row(5.0), Row(9.5)))
+    val out = Eval.conformal(cal, test, "s", alpha = 0.1).collect()
+    assert(out.length == 1, s"expected one head row, got ${out.length}")
+    val r = out.head
+    // n_cal = 0, rank = ceil(1*0.9) = 1 > 0 -> NULL threshold/coverage,
+    // but n_test still reports
+    assert(r.getLong(0) == 0L && r.getLong(1) == 1L)
+    assert(r.isNullAt(2) && r.getLong(3) == 2L && r.isNullAt(4))
+  }
+
   test("brierDecomposition: perfect scorer and pure-noise bin, identity holds") {
     // perfect: brier 0, rel 0; two pure bins split the base rate 0.5
     val perfect = df("s DOUBLE, y BOOLEAN", Seq(
