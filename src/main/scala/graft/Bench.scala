@@ -34,8 +34,12 @@ object Bench {
       val t0 = System.nanoTime()
       val ok =
         try {
-          SparkEntry.queries(name)(spark, sfDir)
-            .write.format("noop").mode("overwrite").save()
+          val df = SparkEntry.queries(name)(spark, sfDir)
+          df.write.format("noop").mode("overwrite").save()
+          // checkpoint-lifetime contract (Checkpoints scaladoc): free
+          // the result's caller-owned checkpoint blocks so a heavy
+          // iterative query doesn't tax every query after it
+          graft.plans.Checkpoints.release(df)
           true
         } catch { case e: Throwable =>
           System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
@@ -63,6 +67,15 @@ object Bench {
       val runs = (1 to math.max(1, reps)).map(_ => runOnce(n))
       n -> Run(runs.map(_.sec).min, runs.forall(_.ok))
     }
+    // board-coverage contract (round-8 postmortem: q_mix_doremi landed
+    // oracle-green but appeared on no board because the boards were run
+    // before the final commit): the emitted board must cover EVERY
+    // SparkEntry query, so a filtered or stale-tree run fails loudly
+    // instead of silently under-reporting.
+    val missing = SparkEntry.queries.keySet -- results.map(_._1).toSet
+    require(missing.isEmpty,
+      s"bench board is missing ${missing.size} quer(ies): " +
+        missing.toSeq.sorted.mkString(", "))
     val qs = results.map { case (k, r) =>
       "\"" + k + "\":" + (if (r.ok) r.sec else -1)
     }.mkString("{", ",", "}")

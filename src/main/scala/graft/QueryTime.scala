@@ -17,10 +17,12 @@ object QueryTime {
     def once(n: String): Unit = {
       System.gc()
       val t0 = System.nanoTime()
-      SparkEntry.queries(n)(spark, sfDir)
-        .write.format("noop").mode("overwrite").save()
+      val df = SparkEntry.queries(n)(spark, sfDir)
+      df.write.format("noop").mode("overwrite").save()
       println(f"[qt] $n ${(System.nanoTime() - t0) / 1e9}%.2fs")
       Console.out.flush()
+      // free caller-owned checkpoint blocks between runs (Checkpoints)
+      graft.plans.Checkpoints.release(df)
     }
     once("q_pipeline") // warmup
     args.tail.foreach { n => once(n); once(n) }

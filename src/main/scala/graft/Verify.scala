@@ -20,8 +20,13 @@ object Verify {
     SparkEntry.queries
       .filter { case (name, _) => subset.isEmpty || subset(name) }
       .foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
+      try {
+        val df = fn(spark, sfDir)
+        df.coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
+        // free caller-owned checkpoint blocks between queries — 381
+        // results in one JVM otherwise accumulate dead storage
+        graft.plans.Checkpoints.release(df)
+      }
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }

@@ -318,11 +318,18 @@ object Cohort {
    * non-decreasing batch order (the watermark bounds the damage window).
    * Cross-checked row-for-row against [[growthFlags]] in
    * StreamingGrowthCrossCheckSpec.
+   *
+   * REQUIRES a UTC session (asserted, same contract as
+   * [[graft.streaming.StreamingPipeline.psiStream]]): days bucket as
+   * UTC epoch days in the state closure while the batch twin uses
+   * session-timezone `to_date`, so parity only holds under UTC.
    */
   def growthFlagsStream(stream: DataFrame, tsCol: String, userCol: String,
                         watermarkDelay: String = "10 minutes"): DataFrame = {
     import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
     val spark = stream.sparkSession
+    graft.streaming.StreamingPipeline.requireUtcSession(
+      spark, "growthFlagsStream")
     import spark.implicits._
     stream
       .select(col(userCol).cast("string").as("u"),

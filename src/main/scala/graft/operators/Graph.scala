@@ -20,6 +20,14 @@ import org.apache.spark.sql.functions._
  * [[Dedup.connectedComponents]]) so the plan stays flat at high
  * iteration counts.
  *
+ * Result lifetime: every iterative entry point here returns an
+ * eager-localCheckpoint frame whose block-manager storage has
+ * CALLER-OWNED lifetime. A session running many heavy queries
+ * back-to-back should free each consumed result with
+ * [[graft.plans.Checkpoints.release]] (after which the frame is dead)
+ * — Bench/QueryTime/Verify do; see Checkpoints' scaladoc for the sf1
+ * measurement that motivated the contract.
+ *
  * Determinism across engines (the repo's float policy): per-edge
  * contributions round to 9 dp and sum as DECIMAL(22,9) — an
  * order-independent reduction, immune to partitioning — then the rank

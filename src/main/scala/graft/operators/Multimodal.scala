@@ -66,11 +66,17 @@ object Multimodal {
    * the input schema + a typed feature struct; input partition count is
    * preserved so upstream `repartition` controls task granularity.
    *
-   * Decode: [[decodeImage]] (real, javax.imageio) for anything ImageIO
-   * recognizes; then [[decodeAudio]] (real, javax.sound.sampled) for PCM
-   * WAV/AIFF; everything else falls back to [[decodeStub]]'s
-   * deterministic pseudo-features (clearly a stub — no video/compressed-
-   * audio codecs here).
+   * Decode: [[decodeImage]] (real, javax.imageio) for payloads carrying
+   * a stock-JRE image signature — PNG, JPEG, GIF, BMP, TIFF only; then
+   * [[decodeAudio]] (real, javax.sound.sampled) for RIFF/WAVE and AIFF
+   * PCM; everything else falls back to [[decodeStub]]'s deterministic
+   * pseudo-features (clearly a stub — no video/compressed-audio codecs
+   * here). The signature gate is deliberate (SPI-registry contention,
+   * see [[looksLikeImage]]) and EXCLUDES two decodable-in-principle
+   * classes: WBMP (magic-less — any byte stream "parses", so gating on
+   * it is impossible) and plugin formats registered by third-party
+   * ImageIO providers (WebP/ICO readers etc.) — both stub rather than
+   * decode.
    */
   def decodeFeatures(df: DataFrame, binCol: String,
                      featCol: String = "feat", batchSize: Int = 64): DataFrame = {
@@ -94,8 +100,12 @@ object Multimodal {
    * REAL image decode via `javax.imageio`: dimensions + color channels +
    * a 4×4 mean-luminance grid (16 floats in [0,1], resolution-independent
    * — downstream similarity/grouping sees a stable signature regardless
-   * of source size). Payloads ImageIO cannot parse (audio/video/garbage)
-   * fall back to the deterministic stub.
+   * of source size). Only payloads with a PNG/JPEG/GIF/BMP/TIFF
+   * signature reach ImageIO (the [[looksLikeImage]] gate — WBMP and
+   * plugin-registered formats are deliberately excluded); everything
+   * else, including images the gate skips and payloads ImageIO then
+   * fails to parse, falls back to audio probing and finally the
+   * deterministic stub.
    */
   /**
    * Magic-byte gate before any global-SPI codec call. `ImageIO.read` /
@@ -151,7 +161,10 @@ object Multimodal {
    * and the mean move together); near-identical images differ in few
    * bits, so downstream exact-or-Hamming grouping (the SimHash chunk
    * trick) finds visual near-dups that byte-level md5 never can. NULL
-   * for anything ImageIO cannot parse.
+   * for anything outside the decoded set: only PNG/JPEG/GIF/BMP/TIFF
+   * signatures reach ImageIO ([[looksLikeImage]] — WBMP and
+   * plugin-registered formats deliberately excluded), and payloads the
+   * decoder then rejects are NULL too.
    */
   def imagePhash(df: DataFrame, binCol: String,
                  hashCol: String = "phash"): DataFrame = {
@@ -327,7 +340,10 @@ object Multimodal {
   /**
    * REAL image resize via `java.awt` (bilinear, deterministic for a given
    * JRE): decode → scale to (targetW, targetH) → re-encode as PNG bytes
-   * in a new binary column (null for undecodable payloads). Same batched
+   * in a new binary column. NULL for anything outside the decoded set —
+   * the PNG/JPEG/GIF/BMP/TIFF signature gate applies here as to
+   * [[imagePhash]] (WBMP and plugin-registered formats deliberately
+   * excluded), as does the parse-failure fallback. Same batched
    * `mapPartitions` shape as [[decodeFeatures]]: codec init once per
    * partition, partition count preserved, so upstream `repartition` /
    * `maxPartitionBytes` size the tasks.

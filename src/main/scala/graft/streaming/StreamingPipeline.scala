@@ -24,6 +24,22 @@ import org.apache.spark.sql.functions._
  */
 object StreamingPipeline {
 
+  /** Guard for stateful operators that bucket days as UTC epoch days
+    * (closure arithmetic on `Timestamp.getTime`) while their batch
+    * twins bucket with session-timezone `to_date`: the documented
+    * digit-identical cross-check only holds under a UTC session, so a
+    * non-UTC one is rejected loudly instead of silently shifting
+    * near-midnight events across a day boundary. */
+  private[graft] def requireUtcSession(
+      spark: org.apache.spark.sql.SparkSession, op: String): Unit = {
+    val tz = spark.conf.get("spark.sql.session.timeZone")
+    require(tz == "UTC",
+      s"$op buckets events into UTC epoch days but the session timezone " +
+        s"is '$tz'; its batch twin uses session-timezone to_date, so " +
+        "batch/stream parity requires spark.sql.session.timeZone=UTC " +
+        "(GraftSession.builder pins it)")
+  }
+
   def unsupported(stage: Stage): Option[String] = stage match {
     case _: SortStage => Some("SORT: total order over an unbounded stream is undefined; sort per micro-batch downstream instead")
     case u: UnionStage if u.unionType.toUpperCase != "UNION ALL" =>
@@ -455,6 +471,15 @@ object StreamingPipeline {
    * 9-dp ε-floored shares over the window ∪ reference domain, 9-dp
    * terms summed exactly (BigDecimal — the closure's stand-in for the
    * plan's DECIMAL(20,9) accumulator), 6-dp publish.
+   *
+   * REQUIRES a UTC session (asserted): windows bucket on UTC epoch
+   * days (`getTime / 86400000`) because the event-time TIMEOUT must be
+   * an absolute instant, while the batch twin buckets with
+   * session-timezone `to_date` — the documented digit-identical
+   * cross-check only holds when the session timezone is UTC (which
+   * [[graft.GraftSession]] pins). A non-UTC session would silently
+   * shift events near midnight into the neighboring window, so it is
+   * rejected up front instead.
    */
   def psiStream(stream: DataFrame, tsCol: String, valueCol: String,
                 reference: DataFrame, windowDays: Int = 7,
@@ -464,6 +489,7 @@ object StreamingPipeline {
     require(windowDays >= 1, s"windowDays must be >= 1, got $windowDays")
     require(epsilon > 0, "epsilon must be positive")
     val spark = stream.sparkSession
+    requireUtcSession(spark, "psiStream")
     import spark.implicits._
     val refRows = reference
       .where(col(valueCol).isNotNull)

@@ -111,4 +111,20 @@ class StreamingGrowthCrossCheckSpec extends SparkTestBase {
       ("1", Date.valueOf("2026-03-12"), "resurrected"),
       ("1", Date.valueOf("2026-03-13"), "churned")))
   }
+
+  test("non-UTC session is rejected up front (epoch-day parity guard)") {
+    // the stream buckets UTC epoch days in its closure while the batch
+    // twin uses session-timezone to_date — a non-UTC session would
+    // silently shift near-midnight events, so it must fail loudly
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    val mem = MemoryStream[Ev]
+    spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+    try {
+      val e = intercept[IllegalArgumentException] {
+        Cohort.growthFlagsStream(mem.toDF(), "ts", "user_id")
+      }
+      assert(e.getMessage.contains("UTC"))
+    } finally spark.conf.set("spark.sql.session.timeZone", "UTC")
+  }
 }

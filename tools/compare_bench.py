@@ -19,6 +19,10 @@ for q in shared:
     ratios.append((b / a, q, a, b))
 ratios.sort()
 n = len(ratios)
+if n == 0:
+    print("no shared queries with valid timings — nothing to compare")
+    print(f"new-only queries: {sorted(set(new) - set(old))}")
+    sys.exit(0)
 med = ratios[n // 2][0]
 p90 = ratios[int(n * 0.9)][0]
 print(f"shared={n} median={med:.2f}x p90={p90:.2f}x")
