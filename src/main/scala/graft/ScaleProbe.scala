@@ -267,7 +267,11 @@ object ScaleProbe {
     // cell-table rank walk; the dense variant feeds a full-precision
     // continuous metric so the cell bound (not fixture ties) does the
     // work
-    "q_ab_mannwhitney", "q_ab_mannwhitney_dense")
+    "q_ab_mannwhitney", "q_ab_mannwhitney_dense",
+    // round-9: stream-legal twins — end-day-keyed rolling correlation
+    // (grid×window cell replication, no window function) and the
+    // stream-static conformal aggregate
+    "q_ts_rollcorr_stream", "q_eval_conformal_stream")
 
   private def caesar(c: org.apache.spark.sql.Column, k: Int) = {
     val lower = "abcdefghijklmnopqrstuvwxyz"

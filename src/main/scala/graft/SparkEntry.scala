@@ -3210,6 +3210,18 @@ object SparkEntry {
           "ts", "value", "y", window = 7)
         .orderBy("day")),
 
+    // The stream-legal shape of the same computation: end-day-keyed
+    // cell replication instead of an ordered grid window (no window
+    // function at all — end-days reduce independently). Digits match
+    // q_ts_rollcorr on observed days; the true MemoryStream twin is
+    // cross-checked row-for-row in StreamingRollCorrCrossCheckSpec.
+    "q_ts_rollcorr_stream" -> ((s, d) =>
+      graft.operators.Timeseries.rollingCorrelationEndKeyed(
+          executor(s, d).table("events")
+            .withColumn("y", (col("event_id") % 97).cast("double")),
+          "ts", "value", "y", window = 7)
+        .orderBy("day")),
+
     // Split-conformal calibration: even doc_ids calibrate, odd test;
     // the (n+1)(1-alpha) order statistic walks the score-cell table.
     "q_eval_conformal" -> ((s, d) => {
@@ -3218,6 +3230,22 @@ object SparkEntry {
           when(col("lang") === "en", lit(0.15)).otherwise(lit(0.0)), 6)
           .as("score"))
       graft.operators.Eval.conformal(
+        sc.where(col("doc_id") % 2 === 0),
+        sc.where(col("doc_id") % 2 === 1), "score", alpha = 0.1)
+    }),
+
+    // The stream-static shape of the same calibration: threshold
+    // collected once from the static calibration head, the test side a
+    // single running aggregate (here folded over the batch test frame —
+    // the identical plan a Complete-mode sink runs continuously). The
+    // true MemoryStream twin is cross-checked in
+    // StreamingConformalCrossCheckSpec.
+    "q_eval_conformal_stream" -> ((s, d) => {
+      val sc = docs(s, d).select(col("doc_id"),
+        round((col("doc_id") * 37 % 101).cast("double") / lit(100.0) +
+          when(col("lang") === "en", lit(0.15)).otherwise(lit(0.0)), 6)
+          .as("score"))
+      graft.operators.Eval.conformalStream(
         sc.where(col("doc_id") % 2 === 0),
         sc.where(col("doc_id") % 2 === 1), "score", alpha = 0.1)
     }),
@@ -4458,6 +4486,33 @@ object SparkEntry {
     * from the same merge list. */
   /** Shared subject derivation for the survival oracles — mirrors
     * [[survivalSubjects]] (whole-day integer division, parity groups). */
+  /** Shared DuckDB mirror for q_eval_conformal and its
+    * stream-shaped twin gate (both compute the same row). */
+  private val conformalOracleSql: String =
+    """WITH sc AS (SELECT doc_id,
+        |    round(CAST((doc_id * 37) % 101 AS DOUBLE) / 100.0 +
+        |      CASE WHEN lang = 'en' THEN 0.15 ELSE 0.0 END, 6) AS score
+        |  FROM documents),
+        |calc AS (SELECT round(score, 6) AS s, count(*) AS c FROM sc
+        |         WHERE doc_id % 2 = 0 GROUP BY 1),
+        |tot AS (SELECT coalesce(sum(c), 0) AS n_cal FROM calc),
+        |rk AS (SELECT n_cal, CAST(ceil((CAST(n_cal AS DOUBLE) + 1.0) * 0.9)
+        |         AS BIGINT) AS rank FROM tot),
+        |cum AS (SELECT s, sum(c) OVER (ORDER BY s ASC) AS cum FROM calc),
+        |thr AS (SELECT min(s) AS t FROM cum CROSS JOIN rk WHERE cum >= rank),
+        |tc AS (SELECT round(score, 6) AS s, count(*) AS c FROM sc
+        |       WHERE doc_id % 2 = 1 GROUP BY 1),
+        |nt AS (SELECT coalesce(sum(c), 0) AS n_test FROM tc),
+        |h AS (SELECT coalesce(sum(c), 0) AS hits
+        |      FROM tc CROSS JOIN thr WHERE s <= t)
+        |SELECT CAST(rk.n_cal AS BIGINT) AS n_cal, rk.rank,
+        |  CASE WHEN rk.rank > rk.n_cal THEN NULL ELSE thr.t END AS threshold,
+        |  CAST(nt.n_test AS BIGINT) AS n_test,
+        |  CASE WHEN rk.rank > rk.n_cal OR nt.n_test = 0 THEN NULL
+        |       ELSE round(CAST(h.hits AS DOUBLE) / nt.n_test, 6)
+        |  END AS coverage
+        |FROM rk CROSS JOIN thr CROSS JOIN nt CROSS JOIN h""".stripMargin
+
   private val survivalSubjSql: String =
     """ev0 AS (SELECT user_id AS u, epoch_us(CAST(ts AS TIMESTAMP)) AS t_us,
       |               event_type AS et FROM events),
@@ -8510,30 +8565,55 @@ object SparkEntry {
         |        9), 6)
         |  END AS corr
         |FROM r ORDER BY day""".stripMargin,
-    "q_eval_conformal" ->
-      """WITH sc AS (SELECT doc_id,
-        |    round(CAST((doc_id * 37) % 101 AS DOUBLE) / 100.0 +
-        |      CASE WHEN lang = 'en' THEN 0.15 ELSE 0.0 END, 6) AS score
-        |  FROM documents),
-        |calc AS (SELECT round(score, 6) AS s, count(*) AS c FROM sc
-        |         WHERE doc_id % 2 = 0 GROUP BY 1),
-        |tot AS (SELECT coalesce(sum(c), 0) AS n_cal FROM calc),
-        |rk AS (SELECT n_cal, CAST(ceil((CAST(n_cal AS DOUBLE) + 1.0) * 0.9)
-        |         AS BIGINT) AS rank FROM tot),
-        |cum AS (SELECT s, sum(c) OVER (ORDER BY s ASC) AS cum FROM calc),
-        |thr AS (SELECT min(s) AS t FROM cum CROSS JOIN rk WHERE cum >= rank),
-        |tc AS (SELECT round(score, 6) AS s, count(*) AS c FROM sc
-        |       WHERE doc_id % 2 = 1 GROUP BY 1),
-        |nt AS (SELECT coalesce(sum(c), 0) AS n_test FROM tc),
-        |h AS (SELECT coalesce(sum(c), 0) AS hits
-        |      FROM tc CROSS JOIN thr WHERE s <= t)
-        |SELECT CAST(rk.n_cal AS BIGINT) AS n_cal, rk.rank,
-        |  CASE WHEN rk.rank > rk.n_cal THEN NULL ELSE thr.t END AS threshold,
-        |  CAST(nt.n_test AS BIGINT) AS n_test,
-        |  CASE WHEN rk.rank > rk.n_cal OR nt.n_test = 0 THEN NULL
-        |       ELSE round(CAST(h.hits AS DOUBLE) / nt.n_test, 6)
-        |  END AS coverage
-        |FROM rk CROSS JOIN thr CROSS JOIN nt CROSS JOIN h""".stripMargin,
+
+    // End-day-keyed mirror: each daily mean-cell replicates to the 7
+    // end-days it serves; per-end-day exact DECIMAL moment sums, same
+    // 9-dp/6-dp chain; only observed end days emit.
+    "q_ts_rollcorr_stream" ->
+      """WITH e AS (SELECT CAST(ts AS DATE) AS day,
+        |    round(CAST(value AS DOUBLE), 9) AS x,
+        |    round(CAST(event_id % 97 AS DOUBLE), 9) AS y
+        |  FROM events WHERE ts IS NOT NULL AND value IS NOT NULL),
+        |daily AS (SELECT day, count(*) AS n,
+        |    sum(CAST(x AS DECIMAL(28,9))) AS sx,
+        |    sum(CAST(y AS DECIMAL(28,9))) AS sy
+        |  FROM e GROUP BY 1),
+        |dm AS (SELECT day, round(CAST(sx AS DOUBLE)/n, 9) AS mx,
+        |              round(CAST(sy AS DOUBLE)/n, 9) AS my FROM daily),
+        |keyed AS (SELECT dm.day, dm.mx, dm.my, o.off,
+        |    dm.day + to_days(CAST(o.off AS INTEGER)) AS end_day
+        |  FROM dm CROSS JOIN
+        |    (SELECT unnest(generate_series(0, 6)) AS off) o),
+        |agg AS (SELECT end_day AS day, count(*) AS k,
+        |    CAST(sum(CAST(mx AS DECIMAL(28,9))) AS DOUBLE) AS sx,
+        |    CAST(sum(CAST(my AS DECIMAL(28,9))) AS DOUBLE) AS sy,
+        |    CAST(sum(CAST(round(mx*mx, 9) AS DECIMAL(28,9)))
+        |      AS DOUBLE) AS sxx,
+        |    CAST(sum(CAST(round(my*my, 9) AS DECIMAL(28,9)))
+        |      AS DOUBLE) AS syy,
+        |    CAST(sum(CAST(round(mx*my, 9) AS DECIMAL(28,9)))
+        |      AS DOUBLE) AS sxy,
+        |    max(CASE WHEN off = 0 THEN mx END) AS mxe,
+        |    max(CASE WHEN off = 0 THEN my END) AS mye,
+        |    max(CASE WHEN off = 0 THEN 1 ELSE 0 END) AS obs
+        |  FROM keyed GROUP BY 1)
+        |SELECT day, round(mxe, 6) AS x_mean, round(mye, 6) AS y_mean,
+        |  CASE WHEN k < 7
+        |    OR round(sxx - round(sx*sx/CAST(k AS DOUBLE), 9), 9) <= 0
+        |    OR round(syy - round(sy*sy/CAST(k AS DOUBLE), 9), 9) <= 0
+        |  THEN NULL ELSE
+        |    round(round(sxy - round(sx*sy/CAST(k AS DOUBLE), 9), 9) /
+        |      round(sqrt(round(sxx - round(sx*sx/CAST(k AS DOUBLE), 9), 9)) *
+        |            sqrt(round(syy - round(sy*sy/CAST(k AS DOUBLE), 9), 9)),
+        |        9), 6)
+        |  END AS corr
+        |FROM agg WHERE obs = 1 ORDER BY day""".stripMargin,
+    "q_eval_conformal" -> conformalOracleSql,
+
+    // The stream-static plan computes the same row: same head math,
+    // same 6-dp test cells, same rounding — one oracle body serves both.
+    "q_eval_conformal_stream" ->
+      conformalOracleSql,
     "q_pii_dp" ->
       """WITH c AS (SELECT event_type AS key, count(*) AS n
         |           FROM events WHERE event_type IS NOT NULL GROUP BY 1),

@@ -659,15 +659,35 @@ object Eval {
   def conformal(cal: DataFrame, test: DataFrame, scoreCol: String,
                 alpha: Double = 0.1): DataFrame = {
     require(alpha > 0.0 && alpha < 1.0, s"alpha must be in (0,1), got $alpha")
-    def cells(df: DataFrame) = df
-      .where(col(scoreCol).isNotNull)
-      .groupBy(round(col(scoreCol).cast("double"), 6).as("__s"))
-      .agg(count(lit(1)).as("__c"))
-    val c = cells(cal)
-    // aggregate (not a group over the cell table) so an EMPTY
-    // calibration set still produces the one documented head row
-    // bounded-window: quantized-cells — 6-dp calibration score cells (scaladoc above)
+    val head = conformalHead(cal, scoreCol, alpha)
+    val t = conformalCells(test, scoreCol)
+    val nTest = t.agg(coalesce(sum(col("__c")), lit(0L)).as("n_test"))
+    val hits = t.crossJoin(broadcast(head))
+      .where(col("__s") <= col("threshold")) // NULL threshold drops all
+      .agg(coalesce(sum(col("__c")), lit(0L)).as("__hits"))
+    head.crossJoin(broadcast(nTest)).crossJoin(broadcast(hits))
+      .select(col("n_cal"), col("rank"), col("threshold"), col("n_test"),
+        when(col("threshold").isNull || col("n_test") === 0,
+          lit(null).cast("double"))
+          .otherwise(round(col("__hits").cast("double") /
+            col("n_test").cast("double"), 6)).as("coverage"))
+  }
+
+  private def conformalCells(df: DataFrame, scoreCol: String): DataFrame = df
+    .where(col(scoreCol).isNotNull)
+    .groupBy(round(col(scoreCol).cast("double"), 6).as("__s"))
+    .agg(count(lit(1)).as("__c"))
+
+  /** [[conformal]]'s calibration half: ONE row `(n_cal, rank,
+    * threshold)` — the finite-sample order statistic walked on the
+    * 6-dp calibration cell table. Built from an aggregate (not a group
+    * over the cell table) so an EMPTY calibration set still produces
+    * the documented head row. */
+  private[operators] def conformalHead(cal: DataFrame, scoreCol: String,
+                                       alpha: Double): DataFrame = {
+    val c = conformalCells(cal, scoreCol)
     val nCal = c.agg(coalesce(sum(col("__c")), lit(0L)).as("n_cal"))
+    // bounded-window: quantized-cells — 6-dp calibration score cells (scaladoc above)
     val wCum = org.apache.spark.sql.expressions.Window
       .orderBy(col("__s").asc)
     val ranked = c
@@ -679,7 +699,7 @@ object Eval {
     val thr = ranked
       .where(col("__cum") >= col("__rank"))
       .agg(min(col("__s")).as("__thr"))
-    val head = nCal
+    nCal
       .withColumn("__rank",
         ceil((col("n_cal").cast("double") + lit(1.0)) *
           lit(1.0 - alpha)).cast("long"))
@@ -687,17 +707,40 @@ object Eval {
       .select(col("n_cal"), col("__rank").as("rank"),
         when(col("__rank") > col("n_cal"), lit(null).cast("double"))
           .otherwise(col("__thr")).as("threshold"))
-    val t = cells(test)
-    val nTest = t.agg(coalesce(sum(col("__c")), lit(0L)).as("n_test"))
-    val hits = t.crossJoin(broadcast(thr))
-      .where(col("__s") <= col("__thr")) // NULL threshold drops all
-      .agg(coalesce(sum(col("__c")), lit(0L)).as("__hits"))
-    head.crossJoin(broadcast(nTest)).crossJoin(broadcast(hits))
-      .select(col("n_cal"), col("rank"), col("threshold"), col("n_test"),
-        when(col("threshold").isNull || col("n_test") === 0,
-          lit(null).cast("double"))
+  }
+
+  /**
+   * Streaming split-conformal monitor — [[conformal]]'s stream-static
+   * twin (cross-checked in StreamingConformalCrossCheckSpec): the
+   * calibration threshold is computed ONCE from the static calibration
+   * set (the same cell walk as the batch head, collected — one bounded
+   * row, the psiStream static-reference pattern), and the TEST side is
+   * the stream: a single running aggregate of (count, hits-under-
+   * threshold), published with the batch row's exact shape and
+   * rounding. State is one aggregation row — run the sink in Complete
+   * (or Update) mode; the row after the final micro-batch is
+   * digit-identical to [[conformal]] on the same data. Works on a
+   * batch `test` frame too (the same plan folds to one row), which is
+   * what the oracle gate runs.
+   */
+  def conformalStream(cal: DataFrame, testStream: DataFrame,
+                      scoreCol: String, alpha: Double = 0.1): DataFrame = {
+    require(alpha > 0.0 && alpha < 1.0, s"alpha must be in (0,1), got $alpha")
+    val h = conformalHead(cal, scoreCol, alpha).head()
+    val nCal = h.getLong(0)
+    val rank = h.getLong(1)
+    val thrCol =
+      if (h.isNullAt(2)) lit(null).cast("double") else lit(h.getDouble(2))
+    testStream
+      .where(col(scoreCol).isNotNull)
+      .select(round(col(scoreCol).cast("double"), 6).as("__s"))
+      .agg(count(lit(1)).as("__n"),
+        count(when(col("__s") <= thrCol, lit(1))).as("__hits"))
+      .select(lit(nCal).as("n_cal"), lit(rank).as("rank"),
+        thrCol.as("threshold"), col("__n").as("n_test"),
+        when(thrCol.isNull || col("__n") === 0, lit(null).cast("double"))
           .otherwise(round(col("__hits").cast("double") /
-            col("n_test").cast("double"), 6)).as("coverage"))
+            col("__n").cast("double"), 6)).as("coverage"))
   }
 
   /**

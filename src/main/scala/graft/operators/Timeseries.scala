@@ -679,6 +679,70 @@ object Timeseries {
         round(col("__my"), 6).as("y_mean"), col("corr"))
   }
 
+  /**
+   * [[rollingCorrelation]] re-keyed by WINDOW-END day — the
+   * stream-legal shape (and the one
+   * [[graft.streaming.StreamingPipeline.rollingCorrelationStream]]'s
+   * state replays): each daily mean-cell replicates to the `window`
+   * end-days it participates in, and every end-day reduces its ≤window
+   * cells independently — no window function at all, so end-days
+   * parallelize freely instead of sharing one calendar-ordered frame.
+   *
+   * Contract difference vs the grid variant (deliberate, stream-
+   * matching): one row per OBSERVED day only — the dense grid's
+   * NULL-mean rows for unobserved days don't exist here, because a
+   * stream cannot know the global span. On observed days the digits
+   * are identical: same 9-dp daily means, same exact DECIMAL moment
+   * sums over the same present cells, same fixed-order correlation
+   * chain at 6 dp (k counts present days, so gaps break the window
+   * exactly as in the grid variant).
+   */
+  def rollingCorrelationEndKeyed(df: DataFrame, tsCol: String, xCol: String,
+                                 yCol: String, window: Int = 7): DataFrame = {
+    require(window >= 2, s"window must be >= 2, got $window")
+    val daily = df
+      .where(col(tsCol).isNotNull && col(xCol).isNotNull &&
+        col(yCol).isNotNull)
+      .groupBy(to_date(col(tsCol)).as("day"))
+      .agg(count(lit(1)).as("__n"),
+        sum(round(col(xCol).cast("double"), 9).cast(dec)).as("__sx"),
+        sum(round(col(yCol).cast("double"), 9).cast(dec)).as("__sy"))
+      .select(col("day"),
+        round(d(col("__sx")) / d(col("__n")), 9).as("__mx"),
+        round(d(col("__sy")) / d(col("__n")), 9).as("__my"))
+    // |grid|×window cell replication — bounded by the calendar, never
+    // by the corpus (the corpus already reduced to daily cells above)
+    val keyed = daily
+      .select(col("day"), col("__mx"), col("__my"),
+        explode(sequence(lit(0), lit(window - 1))).as("__off"))
+      .withColumn("__end", date_add(col("day"), col("__off")))
+    val agg = keyed.groupBy(col("__end").as("day")).agg(
+      count(lit(1)).as("__k"),
+      sum(col("__mx").cast(dec)).as("__rsx"),
+      sum(col("__my").cast(dec)).as("__rsy"),
+      sum(round(col("__mx") * col("__mx"), 9).cast(dec)).as("__rsxx"),
+      sum(round(col("__my") * col("__my"), 9).cast(dec)).as("__rsyy"),
+      sum(round(col("__mx") * col("__my"), 9).cast(dec)).as("__rsxy"),
+      max(when(col("__off") === 0, col("__mx"))).as("__mxe"),
+      max(when(col("__off") === 0, col("__my"))).as("__mye"),
+      max(when(col("__off") === 0, lit(1)).otherwise(lit(0))).as("__obs"))
+    val n = d(col("__k"))
+    val sx = d(col("__rsx")); val sy = d(col("__rsy"))
+    val sxx = d(col("__rsxx")); val syy = d(col("__rsyy"))
+    val sxy = d(col("__rsxy"))
+    val covn = round(sxy - round(sx * sy / n, 9), 9)
+    val vxn = round(sxx - round(sx * sx / n, 9), 9)
+    val vyn = round(syy - round(sy * sy / n, 9), 9)
+    agg.where(col("__obs") === 1)
+      .select(col("day"),
+        round(col("__mxe"), 6).as("x_mean"),
+        round(col("__mye"), 6).as("y_mean"),
+        when(col("__k") < window || vxn <= 0.0 || vyn <= 0.0,
+          lit(null).cast("double"))
+          .otherwise(round(covn / round(sqrt(vxn) * sqrt(vyn), 9), 6))
+          .as("corr"))
+  }
+
   def maseBacktest(df: DataFrame, tsCol: String,
                    season: Int = 7): DataFrame = {
     require(season >= 1, s"season must be >= 1, got $season")

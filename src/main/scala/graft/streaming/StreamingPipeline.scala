@@ -551,4 +551,121 @@ object StreamingPipeline {
       }
       .toDF("window_start", "n", "psi")
   }
+
+  /** Per-day cell inside an open rolling-correlation window: exact
+    * DECIMAL sums carried as plain strings (the encoder-proof stand-in
+    * for the plan's DECIMAL(28,9) accumulators). */
+  final case class RollCell(n: Long, sx: String, sy: String)
+  final case class RollCorrState(cells: Map[Long, RollCell])
+  final case class RollCorrDay(day: java.sql.Date, x_mean: java.lang.Double,
+                               y_mean: java.lang.Double,
+                               corr: java.lang.Double)
+
+  /**
+   * Streaming rolling correlation —
+   * [[graft.operators.Timeseries.rollingCorrelationEndKeyed]]'s
+   * continuous twin (cross-checked row-for-row in
+   * StreamingRollCorrCrossCheckSpec): every event replicates to the
+   * `window` END-day groups its day participates in (a pure projection
+   * — `explode(sequence(0, window-1))` before the watermark), each
+   * end-day group accumulates per-day exact sums as GroupState
+   * (bounded: ≤window day-cells per open window), and when the
+   * event-time watermark passes the end day the window closes and
+   * emits ONE `(day, x_mean, y_mean, corr)` row — only for OBSERVED
+   * end days, the end-keyed batch contract.
+   *
+   * The arithmetic replays the batch plan digit-for-digit: inputs snap
+   * to 9 dp in-plan before the closure, per-day sums accumulate as
+   * exact BigDecimal, daily means round to 9 dp, moment sums of
+   * 9-dp-rounded products accumulate exactly, and the correlation is
+   * the same fixed-order double chain published at 6 dp.
+   *
+   * REQUIRES a UTC session (asserted) — same epoch-day/timeout-instant
+   * contract as [[psiStream]].
+   */
+  def rollingCorrelationStream(stream: DataFrame, tsCol: String,
+                               xCol: String, yCol: String, window: Int = 7,
+                               watermarkDelay: String = "1 day"): DataFrame = {
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+    require(window >= 2, s"window must be >= 2, got $window")
+    val spark = stream.sparkSession
+    requireUtcSession(spark, "rollingCorrelationStream")
+    import spark.implicits._
+    val dayMs = 86400000L
+    def r9(x: Double): java.math.BigDecimal =
+      java.math.BigDecimal.valueOf(x)
+        .setScale(9, java.math.RoundingMode.HALF_UP)
+    def r9d(x: Double): Double = r9(x).doubleValue()
+    def r6d(x: Double): Double =
+      java.math.BigDecimal.valueOf(x)
+        .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+    stream
+      .select(col(tsCol).cast("timestamp").as("ts"),
+        round(col(xCol).cast("double"), 9).as("x"),
+        round(col(yCol).cast("double"), 9).as("y"),
+        explode(sequence(lit(0), lit(window - 1))).as("off"))
+      .where(col("x").isNotNull && col("y").isNotNull)
+      .withWatermark("ts", watermarkDelay)
+      .as[(java.sql.Timestamp, Double, Double, Int)]
+      // key computed INSIDE groupByKey, as in psiStream: end day =
+      // event's UTC epoch day + its replication offset
+      .groupByKey { case (ts, _, _, off) => ts.getTime / dayMs + off }
+      .flatMapGroupsWithState[RollCorrState, RollCorrDay](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (endDay, events, state) =>
+          if (state.hasTimedOut) {
+            val cells = state.get.cells
+            state.remove()
+            if (!cells.contains(endDay)) Iterator.empty
+            else {
+              // same fold as the end-keyed batch plan, over the same
+              // present cells
+              val present = (endDay - window + 1 to endDay)
+                .flatMap(dd => cells.get(dd).map(dd -> _))
+              val means = present.map { case (dd, c) =>
+                val mx = r9d(new java.math.BigDecimal(c.sx)
+                  .doubleValue() / c.n)
+                val my = r9d(new java.math.BigDecimal(c.sy)
+                  .doubleValue() / c.n)
+                (dd, mx, my)
+              }
+              val k = means.size
+              def sumExact(f: ((Long, Double, Double)) => Double): Double =
+                means.foldLeft(java.math.BigDecimal.ZERO) { (acc, m) =>
+                  acc.add(r9(f(m)))
+                }.doubleValue()
+              val sx = sumExact(_._2); val sy = sumExact(_._3)
+              val sxx = sumExact(m => r9d(m._2 * m._2))
+              val syy = sumExact(m => r9d(m._3 * m._3))
+              val sxy = sumExact(m => r9d(m._2 * m._3))
+              val n = k.toDouble
+              val covn = r9d(sxy - r9d(sx * sy / n))
+              val vxn = r9d(sxx - r9d(sx * sx / n))
+              val vyn = r9d(syy - r9d(sy * sy / n))
+              val corr: java.lang.Double =
+                if (k < window || vxn <= 0.0 || vyn <= 0.0) null
+                else r6d(covn / r9d(math.sqrt(vxn) * math.sqrt(vyn)))
+              val (_, mxe, mye) = means.find(_._1 == endDay).get
+              Iterator(RollCorrDay(
+                java.sql.Date.valueOf(java.time.LocalDate.ofEpochDay(endDay)),
+                r6d(mxe), r6d(mye), corr))
+            }
+          } else {
+            var cells = state.getOption.map(_.cells)
+              .getOrElse(Map.empty[Long, RollCell])
+            events.foreach { case (ts, x, y, _) =>
+              val dd = ts.getTime / dayMs
+              val c = cells.getOrElse(dd, RollCell(0L, "0", "0"))
+              cells = cells.updated(dd, RollCell(c.n + 1L,
+                new java.math.BigDecimal(c.sx).add(r9(x)).toPlainString,
+                new java.math.BigDecimal(c.sy).add(r9(y)).toPlainString))
+            }
+            state.update(RollCorrState(cells))
+            // close once the watermark passes the end of the END day
+            state.setTimeoutTimestamp((endDay + 1) * dayMs)
+            Iterator.empty
+          }
+      }
+      .toDF("day", "x_mean", "y_mean", "corr")
+  }
 }
