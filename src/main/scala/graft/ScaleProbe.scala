@@ -273,11 +273,35 @@ object ScaleProbe {
     // stream-static conformal aggregate
     "q_ts_rollcorr_stream", "q_eval_conformal_stream")
 
+  /** Per-replica letter substitution: an AFFINE cipher i → a·i + b
+    * (mod 26) with a = the (k/26 mod 12)-th unit of Z26 and b = k mod
+    * 26. For k < 26 this is exactly the original Caesar rotation
+    * (a = 1), so 10×-replica builds are bit-identical to earlier
+    * rounds; beyond 26 replicas the affine family keeps every
+    * replica's letter permutation DISTINCT up to k = 311 (two distinct
+    * affine maps agree on at most 2 letters), so shingle/term/name
+    * sets stay disjoint across replicas at 100× the way rotation alone
+    * guarantees only to 26×. */
+  private val affineUnits = Seq(1, 3, 5, 7, 9, 11, 15, 17, 19, 21, 23, 25)
   private def caesar(c: org.apache.spark.sql.Column, k: Int) = {
     val lower = "abcdefghijklmnopqrstuvwxyz"
     val upper = lower.toUpperCase
-    def rot(s: String) = s.drop(k % 26) + s.take(k % 26)
-    translate(c, lower + upper, rot(lower) + rot(upper))
+    val a = affineUnits((k / 26) % affineUnits.length)
+    val b = k % 26
+    def img(s: String) = (0 until 26).map(i => s((a * i + b) % 26)).mkString
+    translate(c, lower + upper, img(lower) + img(upper))
+  }
+
+  /** Per-replica digit substitution, same construction over Z10
+    * (a ∈ units of Z10 chosen by k/10, b = k mod 10): distinct digit
+    * permutations for k < 40, and the letter cipher disambiguates
+    * beyond that. k < 10 reproduces the original digit rotation. */
+  private val digitUnits = Seq(1, 3, 7, 9)
+  private def digitCipher(c: org.apache.spark.sql.Column, k: Int) = {
+    val a = digitUnits((k / 10) % digitUnits.length)
+    val b = k % 10
+    val img = (0 until 10).map(i => ('0' + (a * i + b) % 10).toChar).mkString
+    translate(c, "0123456789", img)
   }
 
   /** Builds `scaledDir` with `rep` shifted replicas of documents,
@@ -304,15 +328,17 @@ object ScaleProbe {
     replicate("events", (d, k) => d
       .withColumn("event_id", col("event_id") + lit(k * 100000000L))
       .withColumn("user_id", col("user_id") + lit(k * 10000000L)))
-    // supplier (fuzzy-join probe): rotate DIGITS by k — names keep their
-    // length and within-replica edit structure, while cross-replica name
-    // pairs differ in every digit position (edit distance way past the
-    // bound). Naive duplication would instead create rep² exact-match
-    // pairs — a workload artifact, not operator cost.
+    // supplier (fuzzy-join probe): per-replica digit AND letter
+    // substitution — names keep their length and within-replica edit
+    // structure (bijective char maps), while cross-replica name pairs
+    // differ in nearly every position (edit distance way past the
+    // bound) for ANY replication factor: the digit cipher alone is
+    // distinct to 40 replicas and the letter cipher to 312, and they
+    // only repeat together past lcm — naive duplication would instead
+    // create rep² exact-match pairs, a workload artifact.
     replicate("supplier", (d, k) => d
       .withColumn("s_suppkey", col("s_suppkey") + lit(k * 100000000L))
-      .withColumn("s_name", translate(col("s_name"), "0123456789",
-        "0123456789".drop(k % 10) + "0123456789".take(k % 10))))
+      .withColumn("s_name", caesar(digitCipher(col("s_name"), k), k)))
     // TPC-H relational tables: join keys shift IN LOCKSTEP so every
     // join stays within its replica — 10× fact rows meet 10× dimension
     // rows through 10× disjoint key ranges, exactly like real growth.
@@ -334,11 +360,17 @@ object ScaleProbe {
     // blocks of the same size, like a catalog gaining new brands, not
     // 10×-bigger blocks (which would 100× the blocked pair count — a
     // replication artifact the linkage operator would be blamed for).
+    // brand digits cipher per replica; past 10 replicas the two-digit
+    // brand space can't stay disjoint under any char bijection, so a
+    // per-decade suffix keeps the equality-blocking domains disjoint
+    // by construction (k < 10 is suffix-free — bit-identical to the
+    // earlier 10× builds)
     replicate("part", (d, k) => d
       .withColumn("p_partkey", col("p_partkey") + lit(k * 10000000L))
       .withColumn("p_name", caesar(col("p_name"), k))
-      .withColumn("p_brand", translate(col("p_brand"), "0123456789",
-        "0123456789".drop(k % 10) + "0123456789".take(k % 10))))
+      .withColumn("p_brand",
+        if (k < 10) digitCipher(col("p_brand"), k)
+        else concat(digitCipher(col("p_brand"), k), lit("-" + k / 10))))
   }
 
   private def time(spark: SparkSession, name: String, dir: String): Double = {
