@@ -160,12 +160,17 @@ object Vocab {
    * `vocab_terms = min(k, |vocab|)`, rank by (count DESC, term ASC).
    *
    * Scale shape: the corpus collapses to the term-count table in one
-   * map-side-combined aggregate; the cumulative rank window then runs
-   * over |vocab| rows — bounded by distinct terms, orders of magnitude
-   * under corpus size, the standard trade of every vocabulary job (the
-   * same single-order window topVocabulary's sort already pays).
-   * Each k picks ONE row of the cumulative table (rank = vocab_terms),
-   * so the curve costs one filter-join regardless of |ks|.
+   * map-side-combined aggregate, and the cumulative walk then runs on
+   * COUNT-VALUE CELLS, not terms: all terms sharing an occurrence
+   * count contribute interchangeable mass, so the mass covered through
+   * rank r is (full higher-count cells) + (r − terms before the cell)
+   * × the cell's count — exact integer arithmetic, identical to
+   * ranking the raw vocabulary (the per-term tie-break only ordered
+   * equal-mass terms). Distinct counts are HARD-bounded by √(2N)
+   * (counts are positive integers summing to N — all-distinct forces
+   * 1+2+…+V ≤ N), so a 10⁸-term vocabulary walks a ≤√(2N)-row frame
+   * instead of 10⁸ rows. Each k picks ONE cell, so the curve costs one
+   * broadcast-join regardless of |ks|.
    */
   def coverageCurve(df: DataFrame, textCol: String, ks: Seq[Int]): DataFrame = {
     require(ks.nonEmpty && ks.forall(_ >= 1) && ks.distinct == ks,
@@ -174,23 +179,25 @@ object Vocab {
       .select(explode(TextFunctions.tokens(lower(col(textCol)))).as("term"))
       .filter(length(col("term")) > 0)
       .groupBy("term").agg(count(lit(1)).as("__n"))
-    // bounded-window: key-domain — ranks the term vocabulary, the declared unit of analysis (Heaps-sublinear; scaladoc above)
-    val w = org.apache.spark.sql.expressions.Window
-      .orderBy(col("__n").desc, col("term").asc)
-    val ranked = counts
-      .withColumn("__rank", row_number().over(w).cast("long"))
-      .withColumn("__cum", sum("__n").over(
-        w.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)))
-    val totals = ranked.agg(
-      coalesce(sum("__n"), lit(0L)).as("__total"),
-      count(lit(1)).as("__v"))
+    val cells = counts.groupBy(col("__n")).agg(count(lit(1)).as("__m"))
+    // bounded-window: integer-cells — distinct occurrence counts, ≤ √(2N) by the partition bound (scaladoc above)
+    val wC = org.apache.spark.sql.expressions.Window
+      .orderBy(col("__n").desc)
+    val walk = cells
+      .withColumn("__cumT", sum(col("__m")).over(wC))
+      .withColumn("__cumM", sum(col("__m") * col("__n")).over(wC))
+    val totals = walk.agg(
+      coalesce(sum(col("__m") * col("__n")), lit(0L)).as("__total"),
+      coalesce(sum(col("__m")), lit(0L)).as("__v"))
     val spark = df.sparkSession
     import spark.implicits._
-    ranked.crossJoin(broadcast(totals))
+    val r = least(col("k").cast("long"), col("__v"))
+    val covered = col("__cumM") - (col("__cumT") - r) * col("__n")
+    walk.crossJoin(broadcast(totals))
       .join(broadcast(ks.toDF("k")),
-        col("__rank") === least(col("k").cast("long"), col("__v")))
-      .select(col("k"), col("__rank").as("vocab_terms"),
-        col("__cum").as("covered_occurrences"),
-        round(col("__cum").cast("double") / col("__total"), 6).as("coverage"))
+        col("__cumT") - col("__m") < r && r <= col("__cumT"))
+      .select(col("k"), r.as("vocab_terms"),
+        covered.as("covered_occurrences"),
+        round(covered.cast("double") / col("__total"), 6).as("coverage"))
   }
 }
