@@ -69,13 +69,25 @@ object Bench {
     }
     // board-coverage contract (round-8 postmortem: q_mix_doremi landed
     // oracle-green but appeared on no board because the boards were run
-    // before the final commit): the emitted board must cover EVERY
-    // SparkEntry query, so a filtered or stale-tree run fails loudly
-    // instead of silently under-reporting.
-    val missing = SparkEntry.queries.keySet -- results.map(_._1).toSet
-    require(missing.isEmpty,
-      s"bench board is missing ${missing.size} quer(ies): " +
-        missing.toSeq.sorted.mkString(", "))
+    // before the final commit): the emitted board must cover every query
+    // in the COMMITTED manifest (tools/expected_queries.txt, kept in
+    // lockstep with SparkEntry.queries by BenchManifestSpec). Comparing
+    // against the on-disk manifest — not this JVM's own keySet, which is
+    // stale exactly when the tree is — is what actually catches a
+    // stale-compiled-tree board run against a fresh checkout.
+    val manifest = new java.io.File("tools/expected_queries.txt")
+    if (manifest.isFile) {
+      val src = scala.io.Source.fromFile(manifest, "UTF-8")
+      val expected =
+        try src.getLines().map(_.trim).filter(_.nonEmpty).toSet
+        finally src.close()
+      val missing = expected -- results.map(_._1).toSet
+      require(missing.isEmpty,
+        s"bench board is missing ${missing.size} manifest quer(ies) — " +
+          "stale compiled tree? " + missing.toSeq.sorted.mkString(", "))
+    } else System.err.println(
+      "[bench] tools/expected_queries.txt not found (non-repo CWD?) — " +
+        "board-coverage check skipped")
     val qs = results.map { case (k, r) =>
       "\"" + k + "\":" + (if (r.ok) r.sec else -1)
     }.mkString("{", ",", "}")

@@ -604,7 +604,9 @@ object StreamingPipeline {
         round(col(xCol).cast("double"), 9).as("x"),
         round(col(yCol).cast("double"), 9).as("y"),
         explode(sequence(lit(0), lit(window - 1))).as("off"))
-      .where(col("x").isNotNull && col("y").isNotNull)
+      // ts.isNotNull matches the batch twin's filter (a null ts would
+      // NPE at ts.getTime inside the groupByKey closure)
+      .where(col("ts").isNotNull && col("x").isNotNull && col("y").isNotNull)
       .withWatermark("ts", watermarkDelay)
       .as[(java.sql.Timestamp, Double, Double, Int)]
       // key computed INSIDE groupByKey, as in psiStream: end day =

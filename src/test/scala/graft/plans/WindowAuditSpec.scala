@@ -74,6 +74,32 @@ class WindowAuditSpec extends AnyFunSuite {
       s"got $sites")
   }
 
+  test("canary: a '\"' char literal before an unannotated window does " +
+      "not blank it (tokenizer fail-open regression)") {
+    // the r9 ADVICE failure mode: stripComments tracked only
+    // double-quoted strings, so `case '"' =>` flipped the mode tracker
+    // and every site after it was silently skipped
+    val src =
+      """object Quote {
+        |  def f(c: Char) = c match { case '"' => 1; case '\'' => 2; case _ => 0 }
+        |  val w = Window.orderBy(col("x"))
+        |}""".stripMargin
+    val sites = WindowAudit.scan("Quote.scala", src)
+    assert(sites.map(s => (s.line, s.tag)) == Seq((3, None)), s"got $sites")
+  }
+
+  test("canary: odd quote count inside a triple-quoted SQL string does " +
+      "not blank a following unannotated window") {
+    val q = "\"\"\""
+    val src =
+      s"""object Sql {
+         |  val sql = $q SELECT "a from t $q
+         |  val w = Window.orderBy(col("x"))
+         |}""".stripMargin
+    val sites = WindowAudit.scan("Sql.scala", src)
+    assert(sites.map(s => (s.line, s.tag)) == Seq((3, None)), s"got $sites")
+  }
+
   test("canary: prose in comments does not count as a site, and an " +
       "unknown tag is distinguishable") {
     val src =
