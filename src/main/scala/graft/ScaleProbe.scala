@@ -140,7 +140,7 @@ object ScaleProbe {
     "q_eval_auc", "q_eval_calibration",
     // round-6 batch T: 2-objective skyline — x-cell reduce + broadcast
     // front membership join
-    "q_sample_pareto",
+    "q_sample_pareto", "q_sample_pareto_wide",
     // round-6 batch U: mutual information — one |A|·|B|-cell reduce
     "q_profile_mi",
     // round-6 batch V: k-fold assignment — pure projection
@@ -208,7 +208,7 @@ object ScaleProbe {
     "q_ab_cmh", "q_ab_srm",
     // survival: one subject reduce, then windows over the aggregated
     // (group, t) time grid — bounded by distinct durations, not users
-    "q_survival_km", "q_survival_logrank",
+    "q_survival_km", "q_survival_logrank", "q_survival_logrank_wide",
     // attribution: one user-keyed shuffle (windows inside), then a
     // map-side-combined channel rollup
     "q_attribution_linear", "q_attribution_decay",
@@ -267,7 +267,7 @@ object ScaleProbe {
     // cell-table rank walk; the dense variant feeds a full-precision
     // continuous metric so the cell bound (not fixture ties) does the
     // work
-    "q_ab_mannwhitney", "q_ab_mannwhitney_dense",
+    "q_ab_mannwhitney", "q_ab_mannwhitney_dense", "q_ab_mannwhitney_wide",
     // round-9: stream-legal twins — end-day-keyed rolling correlation
     // (grid×window cell replication, no window function) and the
     // stream-static conformal aggregate

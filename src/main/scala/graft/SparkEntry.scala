@@ -72,6 +72,25 @@ object SparkEntry {
           .as("dur"),
         col("tp").isNotNull.as("ev"))
 
+  /** [[survivalSubjects]] with durations in fractional SECONDS
+    * (µs delta / 10⁶, an exact double for deltas < 2⁵³ µs) — the
+    * wide-range gate's continuous-duration shape: nearly every
+    * subject is a distinct 6-dp event time. */
+  private def survivalSubjectsSeconds(events: DataFrame): DataFrame =
+    events
+      .groupBy(col("user_id"))
+      .agg(
+        min(epochMicros(col("ts"))).as("t0"),
+        min(when(col("event_type") === "purchase", epochMicros(col("ts"))))
+          .as("tp"),
+        max(epochMicros(col("ts"))).as("tmax"))
+      .select(
+        when(col("user_id") % 2 === 0, lit("even")).otherwise(lit("odd"))
+          .as("grp0"),
+        (coalesce(col("tp"), col("tmax")) - col("t0")).cast("double")
+          ./(lit(1000000.0)).as("dur"),
+        col("tp").isNotNull.as("ev"))
+
   /** Shared shape of the basket gates: baskets = users, items = the
     * props.k JSON tag. */
   private def basketGate(events: DataFrame, cap: Option[Long]): DataFrame =
@@ -425,6 +444,60 @@ object SparkEntry {
 
     // -------- chained pipeline with implicit input resolution
     "q_pipeline" -> ((s, d) => chainedPipeline(s, d)),
+
+    // Representative chains promoted from PipelineFuzzSpec's random
+    // pipeline space (r9 directive #5) so the multi-stage compiler path
+    // gets a TRUE DuckDB differential, not just the in-engine
+    // SQL-render one: join→filter→group→select→sort, ...
+    "q_pipeline_fuzz1" -> ((s, d) => pipe(
+      JoinStage(st(1), "orders with customers", JoinType.Left,
+        "orders", "customer", "o_custkey", "c_custkey"),
+      FilterStage(st(2), "big or building", None, Seq(
+        FilterCondition("o_totalprice", ">", 50000),
+        FilterCondition("c_mktsegment", "=", "BUILDING", Some("OR")))),
+      GroupStage(st(3), "by segment/status", None,
+        Seq("c_mktsegment", "o_orderstatus"), Seq(
+          Aggregation("sum", "CAST(o_totalprice AS DECIMAL(18,2))",
+            Some("f1_sum_dec")),
+          Aggregation("count", "*", Some("f1_n")))),
+      SelectStage(st(4), "double-cast sum", None, Seq(
+        "c_mktsegment", "o_orderstatus",
+        "CAST(f1_sum_dec AS DOUBLE) AS f1_sum", "f1_n")),
+      SortStage(st(5), "deterministic order", None, Seq(
+        SortKey("c_mktsegment", "ASC"), SortKey("o_orderstatus", "ASC"))))
+      (s, d)),
+
+    // ...union(distinct)→filter(IN + range)→select→sort, ...
+    "q_pipeline_fuzz2" -> ((s, d) => pipe(
+      UnionStage(st(1), "self-union distinct", "UNION",
+        Seq("customer", "customer")),
+      FilterStage(st(2), "segment slice", None, Seq(
+        FilterCondition("c_acctbal", ">=", 0),
+        FilterCondition("c_mktsegment", "IN",
+          "('BUILDING', 'AUTOMOBILE')", Some("AND")))),
+      SelectStage(st(3), "narrow", None,
+        Seq("c_custkey", "c_mktsegment", "c_acctbal")),
+      SortStage(st(4), "deterministic order", None, Seq(
+        SortKey("c_custkey", "ASC"))))
+      (s, d)),
+
+    // ...and join→filter(LIKE + OR)→global aggregate.
+    "q_pipeline_fuzz3" -> ((s, d) => pipe(
+      JoinStage(st(1), "customers with nations", JoinType.Inner,
+        "customer", "nation", "c_nationkey", "n_nationkey"),
+      FilterStage(st(2), "A-nations or small balances", None, Seq(
+        FilterCondition("n_name", "LIKE", "A%"),
+        FilterCondition("c_acctbal", "<", 1000, Some("OR")))),
+      AggregateStage(st(3), "grand totals", None, Seq(
+        Aggregation("count", "*", Some("f3_n")),
+        Aggregation("min", "c_custkey", Some("f3_min")),
+        Aggregation("max", "n_name", Some("f3_maxname")),
+        Aggregation("sum", "CAST(c_acctbal AS DECIMAL(18,2))",
+          Some("f3_bal_dec")))),
+      SelectStage(st(4), "double-cast sum", None, Seq(
+        "f3_n", "f3_min", "f3_maxname",
+        "CAST(f3_bal_dec AS DOUBLE) AS f3_bal")))
+      (s, d)),
 
     // LOAD fallback tier: manual all-VARCHAR parse (ui/src/App.tsx:417-420)
     // vs DuckDB's all_varchar read of the same fixture.
@@ -2460,6 +2533,17 @@ object SparkEntry {
           "q1", "q2")
         .orderBy("doc_id")),
 
+    // Wide-range skyline: x = doc_id·π — one distinct 6-dp x-cell per
+    // document over a corpus-growing range (the r9 verdict's
+    // degenerate shape); pins the CumWalk running-max walk.
+    "q_sample_pareto_wide" -> ((s, d) =>
+      graft.operators.Sample.paretoFront2(
+          docs(s, d).select(col("doc_id"),
+            (col("doc_id") * lit(math.Pi)).as("q1"),
+            (col("doc_id") * 37 % 101).cast("double").as("q2")),
+          "q1", "q2")
+        .orderBy("doc_id")),
+
     // AUC-ROC of a deterministic synthetic scorer (37·id mod 101 plus an
     // English bump) against the lang='en' label — tie groups exercised
     // by the 101-value score domain, average-rank Mann-Whitney.
@@ -2993,6 +3077,15 @@ object SparkEntry {
     "q_survival_logrank" -> ((s, d) =>
       graft.operators.Survival.logRank(
         survivalSubjects(executor(s, d).table("events")),
+        "grp0", "dur", "ev", "even", "odd")),
+
+    // Wide-range log-rank: durations in fractional SECONDS (µs/10⁶)
+    // instead of whole days — nearly every subject a distinct 6-dp
+    // event time over a corpus-growing range, the exact shape the r9
+    // verdict flagged; pins the CumWalk risk-set walk.
+    "q_survival_logrank_wide" -> ((s, d) =>
+      graft.operators.Survival.logRank(
+        survivalSubjectsSeconds(executor(s, d).table("events")),
         "grp0", "dur", "ev", "even", "odd")),
 
     // Nelson–Aalen cumulative hazard + Fleming–Harrington survival on
@@ -4146,6 +4239,18 @@ object SparkEntry {
             (col("value") * lit(math.Pi)).as("value")),
         "variant", "value", "0", "1")),
 
+    // The WIDE-RANGE variant: metric = value + event_id·π — every row
+    // a distinct 6-dp cell and the value RANGE grows with the corpus,
+    // so the cell table is corpus-sized and NO per-unit-of-range bound
+    // applies. Pins the CumWalk rank walk (r9 verdict #1): under the
+    // retired single-reducer window this shape degenerated at scale.
+    "q_ab_mannwhitney_wide" -> ((s, d) =>
+      graft.operators.Experiment.mannWhitney(
+        executor(s, d).table("events")
+          .select((col("user_id") % 2).cast("string").as("variant"),
+            (col("value") + col("event_id") * lit(math.Pi)).as("value")),
+        "variant", "value", "0", "1")),
+
     // Per-segment Welch sweep on the event value: t, Welch df, and the
     // normal-approximation p per event type in one grouped pass.
     "q_ab_welch_grouped" -> ((s, d) =>
@@ -4512,6 +4617,128 @@ object SparkEntry {
         |       ELSE round(CAST(h.hits AS DOUBLE) / nt.n_test, 6)
         |  END AS coverage
         |FROM rk CROSS JOIN thr CROSS JOIN nt CROSS JOIN h""".stripMargin
+
+  /** 2-objective Pareto-front oracle: `q1Expr` is the raw x objective
+    * (a DuckDB expression over `documents`); rounding to the
+    * operator's 6-dp cells happens INSIDE (membership is decided on
+    * rounded cells, output keeps the raw objective values — exactly
+    * [[graft.operators.Sample.paretoFront2]]'s contract). Shared by
+    * the base (integer n_chars) and wide-range (doc_id·π) gates. */
+  private def paretoOracle(q1Expr: String): String =
+    s"""WITH p AS (SELECT doc_id, $q1Expr AS q1,
+       |    CAST((doc_id * 37) % 101 AS DOUBLE) AS q2 FROM documents),
+       |pr AS (SELECT doc_id, q1, q2,
+       |    round(q1, 6) AS x, round(q2, 6) AS y FROM p),
+       |cells AS (SELECT x, max(y) AS my FROM pr GROUP BY 1),
+       |f AS (SELECT x, my FROM (
+       |  SELECT x, my, max(my) OVER (ORDER BY x DESC
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS rm
+       |  FROM cells) t WHERE rm IS NULL OR my > rm)
+       |SELECT pr.doc_id, pr.q1, pr.q2
+       |FROM pr JOIN f ON pr.x = f.x AND pr.y = f.my
+       |ORDER BY doc_id""".stripMargin
+
+  /** Tie-corrected Mann–Whitney oracle over 6-dp cells of `metric`
+    * (a DuckDB expression over `events` columns) — shared by the
+    * base, dense (·π), and wide-range (+ event_id·π) gates. */
+  private def mannWhitneyOracle(metric: String): String =
+    s"""WITH cells AS (SELECT round(CAST($metric AS DOUBLE), 6) AS v,
+       |    count(CASE WHEN CAST(user_id % 2 AS VARCHAR) = '0'
+       |               THEN 1 END) AS ca,
+       |    count(CASE WHEN CAST(user_id % 2 AS VARCHAR) = '1'
+       |               THEN 1 END) AS cb
+       |  FROM events WHERE value IS NOT NULL GROUP BY 1),
+       |rk AS (SELECT ca, cb, ca + cb AS c,
+       |    sum(ca + cb) OVER (ORDER BY v) AS cum FROM cells),
+       |r2 AS (SELECT ca, cb, c,
+       |    round(CAST(cum - c AS DOUBLE) +
+       |      (CAST(c AS DOUBLE) + 1.0) / 2.0, 9) AS avgr FROM rk),
+       |m AS (SELECT CAST(sum(ca) AS BIGINT) AS n_a,
+       |    CAST(sum(cb) AS BIGINT) AS n_b,
+       |    sum(CAST(round(avgr * CAST(ca AS DOUBLE), 9)
+       |        AS DECIMAL(28,9))) AS ra,
+       |    sum(CAST(c * c * c - c AS DECIMAL(38,0))) AS t3 FROM r2),
+       |c1 AS (SELECT n_a, n_b, CAST(n_a AS DOUBLE) AS na,
+       |    CAST(n_b AS DOUBLE) AS nb, CAST(ra AS DOUBLE) AS rad,
+       |    CAST(t3 AS DOUBLE) AS t3d FROM m),
+       |c2 AS (SELECT *, na + nb AS nn,
+       |    round(rad - round(na * (na + 1.0) / 2.0, 9), 9) AS ua,
+       |    round(na * nb / 2.0, 9) AS mu FROM c1),
+       |c3 AS (SELECT *, round(nn + 1.0 -
+       |    t3d / round(nn * (nn - 1.0), 9), 9) AS corr FROM c2),
+       |c4 AS (SELECT *, round(sqrt(greatest(
+       |    round(na * nb / 12.0 * corr, 9), 0.0)), 9) AS sg FROM c3)
+       |SELECT n_a, n_b,
+       |  CASE WHEN n_a = 0 THEN NULL ELSE round(rad, 6) END
+       |    AS rank_sum_a,
+       |  CASE WHEN n_a = 0 OR n_b = 0 THEN NULL ELSE round(ua, 6) END
+       |    AS u_a,
+       |  CASE WHEN n_a = 0 OR n_b = 0 OR sg = 0.0 THEN NULL
+       |       ELSE round((ua - mu) / sg, 6) END AS z
+       |FROM c4""".stripMargin
+
+  /** Mantel–Cox log-rank oracle over the given subject CTE —
+    * shared by the whole-day and wide-range (fractional-second)
+    * gates. */
+  private def logRankOracle(subjSql: String): String =
+    s"""WITH $subjSql,
+         |cells AS (
+         |  SELECT round(CAST(dur AS DOUBLE), 6) AS t,
+         |    count(*) FILTER (WHERE grp0 = 'even' AND ev) AS d_a,
+         |    count(*) FILTER (WHERE grp0 = 'even') AS r_a,
+         |    count(*) FILTER (WHERE grp0 = 'odd' AND ev) AS d_b,
+         |    count(*) FILTER (WHERE grp0 = 'odd') AS r_b
+         |  FROM subj GROUP BY 1),
+         |tm AS (
+         |  SELECT t, d_a, d_b,
+         |    CAST(sum(r_a) OVER () AS BIGINT) AS n_a_tot,
+         |    CAST(sum(r_b) OVER () AS BIGINT) AS n_b_tot,
+         |    CAST(sum(r_a) OVER () - sum(r_a) OVER (ORDER BY t) + r_a
+         |         AS BIGINT) AS n1,
+         |    CAST(sum(r_b) OVER () - sum(r_b) OVER (ORDER BY t) + r_b
+         |         AS BIGINT) AS n2
+         |  FROM cells),
+         |terms AS (
+         |  SELECT *, CAST(d_a + d_b AS DOUBLE) AS dt,
+         |         CAST(n1 + n2 AS DOUBLE) AS nt
+         |  FROM tm WHERE d_a + d_b > 0),
+         |vals AS (
+         |  SELECT n_a_tot, n_b_tot, d_a,
+         |    round(dt * CAST(n1 AS DOUBLE) / nt, 9) AS e1,
+         |    CASE WHEN n1 + n2 < 2 THEN 0.0
+         |         ELSE round(dt * CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)
+         |                    * (nt - dt) / (nt * nt * (nt - 1.0)), 9)
+         |    END AS v
+         |  FROM terms),
+         |agg AS (
+         |  SELECT count(*) AS n_times,
+         |    CAST(max(n_a_tot) AS BIGINT) AS n_a,
+         |    CAST(max(n_b_tot) AS BIGINT) AS n_b,
+         |    CAST(sum(d_a) AS BIGINT) AS observed_a,
+         |    sum(CAST(e1 AS DECIMAL(28,9))) AS e,
+         |    sum(CAST(v AS DECIMAL(28,9))) AS vv
+         |  FROM vals)
+         |SELECT n_times, n_a, n_b, observed_a,
+         |  round(CAST(e AS DOUBLE), 6) AS expected_a,
+         |  CASE WHEN CAST(vv AS DOUBLE) = 0.0 THEN CAST(NULL AS DOUBLE)
+         |       ELSE round((CAST(observed_a AS DOUBLE) - CAST(e AS DOUBLE))
+         |                  * (CAST(observed_a AS DOUBLE) - CAST(e AS DOUBLE))
+         |                  / CAST(vv AS DOUBLE), 6) END AS chi2
+         |FROM agg""".stripMargin
+
+  /** [[survivalSubjSql]] with durations in fractional SECONDS
+    * (µs delta / 10⁶) — the wide-range twin of the whole-day
+    * subject table. */
+  private val survivalSubjSecondsSql: String =
+    """ev0 AS (SELECT user_id AS u, epoch_us(CAST(ts AS TIMESTAMP)) AS t_us,
+      |               event_type AS et FROM events),
+      |subj AS (
+      |  SELECT CASE WHEN u % 2 = 0 THEN 'even' ELSE 'odd' END AS grp0,
+      |    CAST(coalesce(min(CASE WHEN et = 'purchase' THEN t_us END),
+      |                  max(t_us)) - min(t_us) AS DOUBLE) / 1000000.0
+      |      AS dur,
+      |    min(CASE WHEN et = 'purchase' THEN t_us END) IS NOT NULL AS ev
+      |  FROM ev0 GROUP BY u)""".stripMargin
 
   private val survivalSubjSql: String =
     """ev0 AS (SELECT user_id AS u, epoch_us(CAST(ts AS TIMESTAMP)) AS t_us,
@@ -5366,6 +5593,36 @@ object SparkEntry {
         "FROM orders JOIN customer ON o_custkey = c_custkey " +
         "WHERE o_totalprice > 1000 GROUP BY c_mktsegment " +
         "ORDER BY n_orders DESC, c_mktsegment ASC"),
+    // Fuzz-promoted chains, rendered per the reference's per-stage SQL
+    // (each CTE = one stage's materialized result table).
+    "q_pipeline_fuzz1" ->
+      """WITH s1 AS (SELECT l.*, r.* FROM orders l LEFT JOIN customer r
+        |    ON l.o_custkey = r.c_custkey),
+        |s2 AS (SELECT * FROM s1
+        |    WHERE o_totalprice > 50000 OR c_mktsegment = 'BUILDING'),
+        |s3 AS (SELECT c_mktsegment, o_orderstatus,
+        |    sum(CAST(o_totalprice AS DECIMAL(18,2))) AS f1_sum_dec,
+        |    count(*) AS f1_n
+        |  FROM s2 GROUP BY c_mktsegment, o_orderstatus),
+        |s4 AS (SELECT c_mktsegment, o_orderstatus,
+        |    CAST(f1_sum_dec AS DOUBLE) AS f1_sum, f1_n FROM s3)
+        |SELECT * FROM s4
+        |ORDER BY c_mktsegment NULLS LAST, o_orderstatus NULLS LAST""".stripMargin,
+    "q_pipeline_fuzz2" ->
+      """WITH s1 AS (SELECT * FROM customer UNION SELECT * FROM customer),
+        |s2 AS (SELECT * FROM s1 WHERE c_acctbal >= 0
+        |    AND c_mktsegment IN ('BUILDING', 'AUTOMOBILE'))
+        |SELECT c_custkey, c_mktsegment, c_acctbal FROM s2
+        |ORDER BY c_custkey NULLS LAST""".stripMargin,
+    "q_pipeline_fuzz3" ->
+      """WITH s1 AS (SELECT l.*, r.* FROM customer l INNER JOIN nation r
+        |    ON l.c_nationkey = r.n_nationkey),
+        |s2 AS (SELECT * FROM s1 WHERE n_name LIKE 'A%' OR c_acctbal < 1000),
+        |s3 AS (SELECT count(*) AS f3_n, min(c_custkey) AS f3_min,
+        |    max(n_name) AS f3_maxname,
+        |    sum(CAST(c_acctbal AS DECIMAL(18,2))) AS f3_bal_dec FROM s2)
+        |SELECT f3_n, f3_min, f3_maxname,
+        |  CAST(f3_bal_dec AS DOUBLE) AS f3_bal FROM s3""".stripMargin,
     "q_dedup_exact" ->
       ("SELECT * FROM documents WHERE doc_id IN " +
         "(SELECT min(doc_id) FROM documents GROUP BY text)"),
@@ -7102,17 +7359,12 @@ object SparkEntry {
         |  END AS nmi
         |FROM nn CROSS JOIN ha CROSS JOIN hb CROSS JOIN mi""".stripMargin,
     // Per-x max-y cells, descending running max, membership join back.
-    "q_sample_pareto" ->
-      """WITH p AS (SELECT doc_id, CAST(n_chars AS DOUBLE) AS q1,
-        |    CAST((doc_id * 37) % 101 AS DOUBLE) AS q2 FROM documents),
-        |cells AS (SELECT q1 AS x, max(q2) AS my FROM p GROUP BY 1),
-        |f AS (SELECT x, my FROM (
-        |  SELECT x, my, max(my) OVER (ORDER BY x DESC
-        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS rm
-        |  FROM cells) t WHERE rm IS NULL OR my > rm)
-        |SELECT p.doc_id, p.q1, p.q2
-        |FROM p JOIN f ON p.q1 = f.x AND p.q2 = f.my
-        |ORDER BY doc_id""".stripMargin,
+    "q_sample_pareto" -> paretoOracle("CAST(n_chars AS DOUBLE)"),
+    // Wide-range skyline twin: x = doc_id·π, one distinct 6-dp x-cell
+    // per document over a corpus-growing range (the oracle applies
+    // the operator's 6-dp rounding internally; output keeps raw q1).
+    "q_sample_pareto_wide" ->
+      paretoOracle("CAST(doc_id AS DOUBLE) * pi()"),
     // Average-rank Mann-Whitney over per-score cells; ranks kept
     // integral as ×2 until the one division.
     "q_eval_auc" ->
@@ -8019,51 +8271,10 @@ object SparkEntry {
          |FROM acc ORDER BY grp, t""".stripMargin,
     // Mantel–Cox: per-event-time hypergeometric expectation/variance,
     // DECIMAL-accumulated, one final 6-dp round.
-    "q_survival_logrank" ->
-      s"""WITH $survivalSubjSql,
-         |cells AS (
-         |  SELECT round(CAST(dur AS DOUBLE), 6) AS t,
-         |    count(*) FILTER (WHERE grp0 = 'even' AND ev) AS d_a,
-         |    count(*) FILTER (WHERE grp0 = 'even') AS r_a,
-         |    count(*) FILTER (WHERE grp0 = 'odd' AND ev) AS d_b,
-         |    count(*) FILTER (WHERE grp0 = 'odd') AS r_b
-         |  FROM subj GROUP BY 1),
-         |tm AS (
-         |  SELECT t, d_a, d_b,
-         |    CAST(sum(r_a) OVER () AS BIGINT) AS n_a_tot,
-         |    CAST(sum(r_b) OVER () AS BIGINT) AS n_b_tot,
-         |    CAST(sum(r_a) OVER () - sum(r_a) OVER (ORDER BY t) + r_a
-         |         AS BIGINT) AS n1,
-         |    CAST(sum(r_b) OVER () - sum(r_b) OVER (ORDER BY t) + r_b
-         |         AS BIGINT) AS n2
-         |  FROM cells),
-         |terms AS (
-         |  SELECT *, CAST(d_a + d_b AS DOUBLE) AS dt,
-         |         CAST(n1 + n2 AS DOUBLE) AS nt
-         |  FROM tm WHERE d_a + d_b > 0),
-         |vals AS (
-         |  SELECT n_a_tot, n_b_tot, d_a,
-         |    round(dt * CAST(n1 AS DOUBLE) / nt, 9) AS e1,
-         |    CASE WHEN n1 + n2 < 2 THEN 0.0
-         |         ELSE round(dt * CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)
-         |                    * (nt - dt) / (nt * nt * (nt - 1.0)), 9)
-         |    END AS v
-         |  FROM terms),
-         |agg AS (
-         |  SELECT count(*) AS n_times,
-         |    CAST(max(n_a_tot) AS BIGINT) AS n_a,
-         |    CAST(max(n_b_tot) AS BIGINT) AS n_b,
-         |    CAST(sum(d_a) AS BIGINT) AS observed_a,
-         |    sum(CAST(e1 AS DECIMAL(28,9))) AS e,
-         |    sum(CAST(v AS DECIMAL(28,9))) AS vv
-         |  FROM vals)
-         |SELECT n_times, n_a, n_b, observed_a,
-         |  round(CAST(e AS DOUBLE), 6) AS expected_a,
-         |  CASE WHEN CAST(vv AS DOUBLE) = 0.0 THEN CAST(NULL AS DOUBLE)
-         |       ELSE round((CAST(observed_a AS DOUBLE) - CAST(e AS DOUBLE))
-         |                  * (CAST(observed_a AS DOUBLE) - CAST(e AS DOUBLE))
-         |                  / CAST(vv AS DOUBLE), 6) END AS chi2
-         |FROM agg""".stripMargin,
+    "q_survival_logrank" -> logRankOracle(survivalSubjSql),
+    // Wide-range twin: fractional-second durations (distinct 6-dp
+    // event time per subject, corpus-growing range).
+    "q_survival_logrank_wide" -> logRankOracle(survivalSubjSecondsSql),
     // Nelson–Aalen: per-step 9-dp hazards, DECIMAL cumsum, 6-dp
     // publish; exp(−H) is the Fleming–Harrington survival.
     "q_survival_hazard" ->
@@ -9872,80 +10083,15 @@ object SparkEntry {
     // Mann–Whitney mirror: average ranks from cumulative cell counts
     // over distinct 6-dp-quantized values (the aucRoc cell-bound
     // discipline), tie-corrected normal approximation.
-    "q_ab_mannwhitney" ->
-      """WITH cells AS (SELECT round(CAST(value AS DOUBLE), 6) AS v,
-        |    count(CASE WHEN CAST(user_id % 2 AS VARCHAR) = '0'
-        |               THEN 1 END) AS ca,
-        |    count(CASE WHEN CAST(user_id % 2 AS VARCHAR) = '1'
-        |               THEN 1 END) AS cb
-        |  FROM events WHERE value IS NOT NULL GROUP BY 1),
-        |rk AS (SELECT ca, cb, ca + cb AS c,
-        |    sum(ca + cb) OVER (ORDER BY v) AS cum FROM cells),
-        |r2 AS (SELECT ca, cb, c,
-        |    round(CAST(cum - c AS DOUBLE) +
-        |      (CAST(c AS DOUBLE) + 1.0) / 2.0, 9) AS avgr FROM rk),
-        |m AS (SELECT CAST(sum(ca) AS BIGINT) AS n_a,
-        |    CAST(sum(cb) AS BIGINT) AS n_b,
-        |    sum(CAST(round(avgr * CAST(ca AS DOUBLE), 9)
-        |        AS DECIMAL(28,9))) AS ra,
-        |    sum(CAST(c * c * c - c AS DECIMAL(38,0))) AS t3 FROM r2),
-        |c1 AS (SELECT n_a, n_b, CAST(n_a AS DOUBLE) AS na,
-        |    CAST(n_b AS DOUBLE) AS nb, CAST(ra AS DOUBLE) AS rad,
-        |    CAST(t3 AS DOUBLE) AS t3d FROM m),
-        |c2 AS (SELECT *, na + nb AS nn,
-        |    round(rad - round(na * (na + 1.0) / 2.0, 9), 9) AS ua,
-        |    round(na * nb / 2.0, 9) AS mu FROM c1),
-        |c3 AS (SELECT *, round(nn + 1.0 -
-        |    t3d / round(nn * (nn - 1.0), 9), 9) AS corr FROM c2),
-        |c4 AS (SELECT *, round(sqrt(greatest(
-        |    round(na * nb / 12.0 * corr, 9), 0.0)), 9) AS sg FROM c3)
-        |SELECT n_a, n_b,
-        |  CASE WHEN n_a = 0 THEN NULL ELSE round(rad, 6) END
-        |    AS rank_sum_a,
-        |  CASE WHEN n_a = 0 OR n_b = 0 THEN NULL ELSE round(ua, 6) END
-        |    AS u_a,
-        |  CASE WHEN n_a = 0 OR n_b = 0 OR sg = 0.0 THEN NULL
-        |       ELSE round((ua - mu) / sg, 6) END AS z
-        |FROM c4""".stripMargin,
+    "q_ab_mannwhitney" -> mannWhitneyOracle("value"),
 
     // Dense variant: the metric is value·π (no exact ties at full
     // precision); the oracle applies the SAME 6-dp quantization the
-    // operator documents, so a hash match pins the cell-table bound.
-    "q_ab_mannwhitney_dense" ->
-      """WITH cells AS (SELECT round(CAST(value * pi() AS DOUBLE), 6) AS v,
-        |    count(CASE WHEN CAST(user_id % 2 AS VARCHAR) = '0'
-        |               THEN 1 END) AS ca,
-        |    count(CASE WHEN CAST(user_id % 2 AS VARCHAR) = '1'
-        |               THEN 1 END) AS cb
-        |  FROM events WHERE value IS NOT NULL GROUP BY 1),
-        |rk AS (SELECT ca, cb, ca + cb AS c,
-        |    sum(ca + cb) OVER (ORDER BY v) AS cum FROM cells),
-        |r2 AS (SELECT ca, cb, c,
-        |    round(CAST(cum - c AS DOUBLE) +
-        |      (CAST(c AS DOUBLE) + 1.0) / 2.0, 9) AS avgr FROM rk),
-        |m AS (SELECT CAST(sum(ca) AS BIGINT) AS n_a,
-        |    CAST(sum(cb) AS BIGINT) AS n_b,
-        |    sum(CAST(round(avgr * CAST(ca AS DOUBLE), 9)
-        |        AS DECIMAL(28,9))) AS ra,
-        |    sum(CAST(c * c * c - c AS DECIMAL(38,0))) AS t3 FROM r2),
-        |c1 AS (SELECT n_a, n_b, CAST(n_a AS DOUBLE) AS na,
-        |    CAST(n_b AS DOUBLE) AS nb, CAST(ra AS DOUBLE) AS rad,
-        |    CAST(t3 AS DOUBLE) AS t3d FROM m),
-        |c2 AS (SELECT *, na + nb AS nn,
-        |    round(rad - round(na * (na + 1.0) / 2.0, 9), 9) AS ua,
-        |    round(na * nb / 2.0, 9) AS mu FROM c1),
-        |c3 AS (SELECT *, round(nn + 1.0 -
-        |    t3d / round(nn * (nn - 1.0), 9), 9) AS corr FROM c2),
-        |c4 AS (SELECT *, round(sqrt(greatest(
-        |    round(na * nb / 12.0 * corr, 9), 0.0)), 9) AS sg FROM c3)
-        |SELECT n_a, n_b,
-        |  CASE WHEN n_a = 0 THEN NULL ELSE round(rad, 6) END
-        |    AS rank_sum_a,
-        |  CASE WHEN n_a = 0 OR n_b = 0 THEN NULL ELSE round(ua, 6) END
-        |    AS u_a,
-        |  CASE WHEN n_a = 0 OR n_b = 0 OR sg = 0.0 THEN NULL
-        |       ELSE round((ua - mu) / sg, 6) END AS z
-        |FROM c4""".stripMargin,
+    // operator documents, so a hash match pins the tie discipline.
+    "q_ab_mannwhitney_dense" -> mannWhitneyOracle("value * pi()"),
+    // Wide-range variant: value + event_id·π — distinct 6-dp cell per
+    // row over a corpus-growing range; pins the CumWalk rank walk.
+    "q_ab_mannwhitney_wide" -> mannWhitneyOracle("value + event_id * pi()"),
     "q_ab_did" ->
       s"""WITH e AS (SELECT CAST(user_id % 2 AS VARCHAR) AS g,
          |    CASE WHEN extract(day FROM CAST(ts AS DATE)) <= 15

@@ -1,5 +1,6 @@
 package graft.operators
 
+import graft.plans.Checkpoints.LineageOps
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -180,7 +181,7 @@ object Attribution {
       .select(col("__fs"), col("__ts"),
         round(col("__n").cast("double") / col("__tot").cast("double"), 9)
           .as("__p"))
-      .localCheckpoint(eager = true)
+      .truncateLineage(eager = true)
     val rcs = trans.select(col("__fs").as("__rc"))
       .where(col("__rc") =!= START).distinct()
       .unionAll(trans.select(lit("__NONE__").as("__rc")).limit(1))
@@ -216,7 +217,7 @@ object Attribution {
             coalesce(col("__dyn").cast("double"), lit(0.0)), 9).as("__pv"))
       // the state frame references itself through two joins per round —
       // flatten the plan so K stays cheap to (re)plan
-      if (i % 4 == 0 && i != iterations) p = p.localCheckpoint(true)
+      if (i % 4 == 0 && i != iterations) p = p.truncateLineage(true)
       graft.plans.IterationAudit.record("attribution.markovRemoval", p)
     }
     val fin = p.where(col("__fs") === START)

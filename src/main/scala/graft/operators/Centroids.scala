@@ -1,5 +1,6 @@
 package graft.operators
 
+import graft.plans.Checkpoints.LineageOps
 import graft.functions.{VectorFunctions => VF}
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
@@ -160,7 +161,7 @@ object Centroids {
       val chosen =
         (if (r == 0) state.orderBy(col("vec_id").asc).limit(1)
          else state.orderBy(col("__mind").desc, col("vec_id").asc).limit(1))
-          .localCheckpoint(eager = true)
+          .truncateLineage(eager = true)
       val row = chosen.select(lit(r).as("center_order"), col("vec_id"),
         (if (r == 0) lit(null).cast("double") else col("__mind"))
           .as("min_dist"))
@@ -173,7 +174,7 @@ object Centroids {
         .drop("__cid", "__cv")
       // the state plan references itself twice per round (argmax subplan
       // + update), so lineage doubles each pick — truncate it
-      if (r % 8 == 7 && r != k - 1) state = state.localCheckpoint(true)
+      if (r % 8 == 7 && r != k - 1) state = state.truncateLineage(true)
       graft.plans.IterationAudit.record("centroids.kCenterGreedy", state)
     }
     out
@@ -275,7 +276,7 @@ object Centroids {
     for (_ <- 2 to iterations) {
       cents = labelCentroids(
         df.join(asg.select(col(idCol), col("cluster").as("label")), idCol),
-        vecCol, "label").localCheckpoint(true)
+        vecCol, "label").truncateLineage(true)
       asg = assignToCentroids(df, idCol, vecCol, cents)
       graft.plans.IterationAudit.record("centroids.lloyd", asg)
     }

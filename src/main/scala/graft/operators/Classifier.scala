@@ -1,5 +1,6 @@
 package graft.operators
 
+import graft.plans.Checkpoints.LineageOps
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
@@ -68,15 +69,15 @@ object Classifier {
     val spark = df.sparkSession
     val labels = df.select(col(idCol).cast("long").as("id"),
         col(labelCol).cast("double").as("y"))
-      .localCheckpoint()
+      .truncateLineage()
     val feats = hashedPresence(
         df.select(col(idCol).cast("long").as("id"), col(textCol)),
         "id", textCol, buckets)
-      .localCheckpoint()
+      .truncateLineage()
     val nDocs = broadcast(labels.agg(count(lit(1)).as("__n")))
     val init = spark.range(-1L, buckets.toLong)
       .select(col("id").cast("long").as("b"), lit(0.0).as("wt"))
-      .localCheckpoint()
+      .truncateLineage()
     val wFinal = (1 to iterations).foldLeft(init: DataFrame) { (w, _) =>
       val margins = residuals(labels, feats, w, nDocs)
       val grads = feats.join(margins, Seq("id"))
@@ -90,7 +91,7 @@ object Classifier {
         .select(col("b"),
           round(col("wt") - lit(lr) * coalesce(col("__g"), lit(0.0)), 12)
             .as("wt"))
-        .localCheckpoint()
+        .truncateLineage()
     }
     wFinal.select(col("b").as("bucket"), round(col("wt"), 6).as("weight"))
   }
@@ -119,19 +120,19 @@ object Classifier {
     val labels = df.select(col(groupCol).as("g"),
         col(idCol).cast("long").as("id"),
         col(labelCol).cast("double").as("y"))
-      .localCheckpoint()
+      .truncateLineage()
     val feats = df.select(col(groupCol).as("g"),
         col(idCol).cast("long").as("id"),
         explode(array_distinct(
           TextFunctions.dsirBuckets(lower(col(textCol)), buckets))).as("b"))
-      .localCheckpoint()
+      .truncateLineage()
     val nDocs = labels.groupBy("g").agg(count(lit(1)).as("__n"))
-      .localCheckpoint()
+      .truncateLineage()
     val init = nDocs.select(col("g"))
       .crossJoin(spark.range(-1L, buckets.toLong)
         .select(col("id").cast("long").as("b")))
       .withColumn("wt", lit(0.0))
-      .localCheckpoint()
+      .truncateLineage()
     val wFinal = (1 to iterations).foldLeft(init) { (w, _) =>
       val zSums = feats
         .join(broadcast(w.filter(col("b") >= 0)), Seq("g", "b"))
@@ -156,7 +157,7 @@ object Classifier {
         .select(col("g"), col("b"),
           round(col("wt") - lit(lr) * coalesce(col("__g"), lit(0.0)), 12)
             .as("wt"))
-        .localCheckpoint()
+        .truncateLineage()
     }
     wFinal.select(col("g").as("group"), col("b").as("bucket"),
       round(col("wt"), 6).as("weight"))

@@ -1,5 +1,6 @@
 package graft.operators
 
+import graft.plans.Checkpoints.LineageOps
 import graft.GraftSession.simhash64
 import graft.functions.TextFunctions._
 import org.apache.spark.sql.DataFrame
@@ -450,10 +451,10 @@ object Dedup {
                           maxIter: Int = 20): DataFrame = {
     val edges = pairs.select(col(idA).as("src"), col(idB).as("dst"))
       .union(pairs.select(col(idB).as("src"), col(idA).as("dst")))
-      .localCheckpoint(true)
+      .truncateLineage(true)
     var labels = edges.select(col("src").as("id")).distinct()
       .withColumn("comp", col("id"))
-      .localCheckpoint(true)
+      .truncateLineage(true)
     var converged = false
     var iter = 0
     while (!converged && iter < maxIter) {
@@ -473,7 +474,7 @@ object Dedup {
           min(when(col("__own"), col("comp"))).as("__own_comp"))
         .withColumn("__changed", col("comp") < col("__own_comp"))
         .select("id", "comp", "__changed")
-        .localCheckpoint(false)
+        .truncateLineage(false)
       val nChanged = next
         .agg(count(when(col("__changed"), lit(1))).as("n"))
         .first().getLong(0)
@@ -536,14 +537,14 @@ object Dedup {
     val nodes = pairs.select(col(idA).as("id"))
       .union(pairs.select(col(idB).as("id")))
       .distinct()
-      .localCheckpoint(true)
+      .truncateLineage(true)
     var edges = pairs
       .select(col(idA).as("a"), col(idB).as("b"))
       .filter(col("a") =!= col("b"))
       .select(greatest(col("a"), col("b")).as("hi"),
         least(col("a"), col("b")).as("lo"))
       .distinct()
-      .localCheckpoint(true)
+      .truncateLineage(true)
     var done = false
     var iter = 0
     while (!done && iter < maxIter) {
@@ -566,7 +567,7 @@ object Dedup {
         .select(col("lo").as("hi"), col("m").as("lo"))
         .union(withM.select(col("hi"), col("m").as("lo")))
         .distinct()
-        .localCheckpoint(false)
+        .truncateLineage(false)
       // fixed point = star forest: no id appears as both child (hi) and
       // parent (lo); this count also materializes the lazy checkpoint
       val chained = ss.select(col("hi").as("x")).distinct()

@@ -563,13 +563,14 @@ object Eval {
    * NULL score or label are excluded.
    *
    * Scale shape: the corpus reduces to per-score cells `(score, n,
-   * n_pos)` in one map-side-combining aggregate (scores are ROUNDED to
-   * 6 dp first, so the cell table is score-domain-sized — for
-   * [0,1]-calibrated scores that is ≤2·10⁶ cells however big the
-   * corpus); the cumulative rank walk is a window over that cell table
-   * only (size-bounded, the Mix-stats justification). Ranks are exact
-   * integers ×2 (half-ranks doubled to stay integral); the single
-   * division happens once, rounded to 6 dp.
+   * n_pos)` in one map-side-combining aggregate (scores are ROUNDED
+   * to 6 dp first — a pure tie discipline: quantization merges ties
+   * and average ranks absorb the merge exactly); the cumulative rank
+   * walk runs over the cell table through [[graft.plans.CumWalk]],
+   * partition-parallel even for an UNCALIBRATED wide-range scorer
+   * (logits, BM25) whose 6-dp cell table approaches corpus size.
+   * Ranks are exact integers ×2 (half-ranks doubled to stay
+   * integral); the single division happens once, rounded to 6 dp.
    */
   def aucRoc(df: DataFrame, scoreCol: String, labelCol: String): DataFrame = {
     val cells = df
@@ -578,12 +579,13 @@ object Eval {
       .filter(col("s").isNotNull && col("y").isNotNull)
       .groupBy("s").agg(count(lit(1)).as("n"),
         sum(when(col("y"), lit(1L)).otherwise(lit(0L))).as("np"))
-    // bounded-window: quantized-cells — 6-dp score cells, range-bounded (scaladoc above)
-    val w = org.apache.spark.sql.expressions.Window.orderBy("s")
-      .rowsBetween(Long.MinValue, -1)
+    // distributed strict-predecessor count over the cell table
+    // (CumWalk — partition-parallel even for an uncalibrated
+    // wide-range scorer whose cell table approaches corpus size)
     // avg rank of a tie group ×2 = 2·cumBefore + n + 1 (kept integral)
-    val ranked = cells
-      .withColumn("__before", coalesce(sum("n").over(w), lit(0L)))
+    val ranked = graft.plans.CumWalk.walk(cells, "s", asc = true,
+        Seq(graft.plans.CumWalk.CumSum("n", "__b0", inclusive = false)))
+      .withColumn("__before", coalesce(col("__b0"), lit(0L)))
       .withColumn("__r2", lit(2L) * col("__before") + col("n") + lit(1L))
     ranked.agg(
         sum("np").as("n_pos"),
@@ -645,12 +647,12 @@ object Eval {
    * (α too small for the calibration size — the honest "no finite
    * guarantee" answer, not a fabricated max).
    *
-   * Scale shape: both sides reduce to 6-dp score VALUE CELLS (map-side
-   * combined — the [[aucRoc]] discipline, so the cell table is bounded
-   * by the score RANGE at ≤2·10⁶ cells per unit, not by the corpus);
-   * the order statistic is a cumulative-count walk on the calibration
-   * CELL table and the coverage a broadcast threshold filter — corpus
-   * rows never enter a window. Rank arithmetic ⌈(n+1)(1−α)⌉ is one
+   * Scale shape: both sides reduce to 6-dp score VALUE CELLS
+   * (map-side combined — the [[aucRoc]] tie discipline); the order
+   * statistic is a [[graft.plans.CumWalk]] cumulative-count walk on
+   * the calibration cell table (partition-parallel for wide-range
+   * nonconformity scores) and the coverage a broadcast threshold
+   * filter — corpus rows never enter a window. Rank arithmetic ⌈(n+1)(1−α)⌉ is one
    * IEEE double expression, bit-identical across engines (both
    * evaluate the same product before ceil). An EMPTY calibration set
    * still yields the one documented row: `n_cal = 0`, rank from the
@@ -687,11 +689,10 @@ object Eval {
                                        alpha: Double): DataFrame = {
     val c = conformalCells(cal, scoreCol)
     val nCal = c.agg(coalesce(sum(col("__c")), lit(0L)).as("n_cal"))
-    // bounded-window: quantized-cells — 6-dp calibration score cells (scaladoc above)
-    val wCum = org.apache.spark.sql.expressions.Window
-      .orderBy(col("__s").asc)
-    val ranked = c
-      .withColumn("__cum", sum(col("__c")).over(wCum))
+    // cumulative calibration count via CumWalk — the order statistic
+    // stays partition-parallel for wide-range nonconformity scores
+    val ranked = graft.plans.CumWalk.walk(c, "__s", asc = true,
+        Seq(graft.plans.CumWalk.CumSum("__c", "__cum")))
       .crossJoin(broadcast(nCal))
       .withColumn("__rank",
         ceil((col("n_cal").cast("double") + lit(1.0)) *

@@ -321,13 +321,13 @@ object Experiment {
    * buckets emit no row (readers zero-fill, the scan doesn't).
    *
    * Scale shape: ONE map-side-combined reduce to |distinct scores|
-   * cells (scores snap to 6 dp — the [[Eval.aucRoc]] discipline, a
-   * ≤2·10⁶-cell bound for the usual [0,1] model scores), then windows
-   * over the CELL table and a ≤B-row rollup — corpus rows never enter
-   * a window. The cell-table window is single-partition by
-   * construction and bounded by the quantized score domain; 6-dp
-   * quantization can only merge adjacent cells, which changes bucket
-   * boundaries by at most one cell's mass.
+   * cells (scores snap to 6 dp — the [[Eval.aucRoc]] tie discipline),
+   * a [[graft.plans.CumWalk]] cumulative count over the cell table
+   * (partition-parallel even for an uncalibrated wide-range scorer),
+   * and a ≤B-row rollup — corpus rows never enter a window and no
+   * window is single-reducer. 6-dp quantization can only merge
+   * adjacent cells, which changes bucket boundaries by at most one
+   * cell's mass.
    *
    * Determinism: counts exact; rates/uplift/qini are fixed-order double
    * expressions published at 6 dp.
@@ -349,15 +349,15 @@ object Experiment {
           col(outcomeCol).cast("double") =!= 0.0, lit(1))).as("__ct"),
         count(when(v === variantB &&
           col(outcomeCol).cast("double") =!= 0.0, lit(1))).as("__cc"))
-    // bounded-window: quantized-cells — 6-dp score cells, range-bounded (scaladoc above)
-    val wCum = org.apache.spark.sql.expressions.Window
-      .orderBy(col("__s").desc)
-    val wAll = org.apache.spark.sql.expressions.Window.partitionBy()
     // bucket of a cell: ceil(B * cumulative rows through the cell / N),
-    // clamped to B (exact-integer arithmetic — no float boundary risk)
-    val bucketed = cells
-      .withColumn("__cum", sum(col("__nt") + col("__nc")).over(wCum))
-      .withColumn("__n", sum(col("__nt") + col("__nc")).over(wAll))
+    // clamped to B (exact-integer arithmetic — no float boundary risk);
+    // the cumulative count walks through CumWalk (no single-reducer
+    // window) and the grand total is a 1-row broadcast aggregate
+    val totalN = cells.agg(sum(col("__nt") + col("__nc")).as("__n"))
+    val bucketed = graft.plans.CumWalk.walk(
+      cells.withColumn("__ntc", col("__nt") + col("__nc")),
+      "__s", asc = false, Seq(graft.plans.CumWalk.CumSum("__ntc", "__cum")))
+      .crossJoin(broadcast(totalN))
       .withColumn("bucket",
         least(lit(nBuckets.toLong),
           expr(s"(__cum * $nBuckets + __n - 1) div __n")).cast("int"))
@@ -847,19 +847,20 @@ object Experiment {
    *
    * Scale shape: the corpus reduces in ONE map-side-combined pass to
    * per-VALUE cells with per-arm counts, where a "value" is the metric
-   * QUANTIZED TO 6 DECIMAL PLACES (the [[Eval.aucRoc]] discipline):
-   * without quantization a continuous metric (revenue·fx, latency)
-   * has ≈ corpus-many distinct doubles and the unpartitioned rank
-   * window degenerates into a single-reducer global sort. At 6 dp the
-   * cell table is bounded by the metric's value RANGE (≤2·10⁶ cells
-   * per unit of range), rank statistics on 6-dp ties are
+   * QUANTIZED TO 6 DECIMAL PLACES (the [[Eval.aucRoc]] tie
+   * discipline: quantization only ever MERGES ties, which the
+   * tie-correction term absorbs exactly, and 6-dp rank statistics are
    * statistically indistinguishable from exact ranks for any real
-   * metric, and quantization only ever MERGES ties — the
-   * tie-correction term absorbs it exactly. The rank window then runs
-   * over the bounded cell table (average ranks come out of cumulative
-   * cell counts, identical to ranking raw rows), and the test folds
-   * the cells to one scalar row. Tie cubes accumulate as
-   * DECIMAL(38,0) so a million-row tie can't overflow.
+   * metric). The cumulative rank walk over the cell table runs
+   * through [[graft.plans.CumWalk]] — sampled range boundaries,
+   * per-bucket offsets, partitioned in-bucket walk — so a WIDE-RANGE
+   * continuous metric (latency in µs, micro-unit revenue: ~10¹¹
+   * six-dp cells over [0, 10⁵]) still never lands on one reducer;
+   * the cell table may grow corpus-sized and the plan stays
+   * partition-parallel (average ranks come out of cumulative cell
+   * counts, identical to ranking raw rows). The test then folds the
+   * cells to one scalar row. Tie cubes accumulate as DECIMAL(38,0)
+   * so a million-row tie can't overflow.
    *
    * Determinism: average ranks and rank-sum terms snap to 9 dp and
    * accumulate as DECIMAL; the z pipeline is fixed-shape double
@@ -875,11 +876,11 @@ object Experiment {
       .groupBy(round(col(valueCol).cast("double"), 6).as("__v"))
       .agg(count(when(v === variantA, lit(1))).as("__ca"),
         count(when(v === variantB, lit(1))).as("__cb"))
-    // bounded-window: quantized-cells — 6-dp value cells, range-bounded (scaladoc above)
-    val wCum = org.apache.spark.sql.expressions.Window.orderBy(col("__v"))
-    val ranked = cells
-      .withColumn("__c", col("__ca") + col("__cb"))
-      .withColumn("__cum", sum(col("__c")).over(wCum))
+    // two-pass distributed cumulative count over the cell table — no
+    // single-reducer window however wide the metric's range (CumWalk)
+    val ranked = graft.plans.CumWalk.walk(
+      cells.withColumn("__c", col("__ca") + col("__cb")),
+      "__v", asc = true, Seq(graft.plans.CumWalk.CumSum("__c", "__cum")))
       .withColumn("__avgr",
         round(d(col("__cum") - col("__c")) + (d(col("__c")) + lit(1.0)) /
           lit(2.0), 9))

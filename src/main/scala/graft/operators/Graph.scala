@@ -1,5 +1,6 @@
 package graft.operators
 
+import graft.plans.Checkpoints.LineageOps
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
@@ -52,7 +53,7 @@ object Graph {
     val (ranks, caches) = pageRankRaw(edges, srcCol, dstCol, iterations,
       damping, checkpointEvery)
     // materialize before releasing the cached inputs the lineage reads
-    val out = ranks.localCheckpoint(eager = true)
+    val out = ranks.truncateLineage(eager = true)
     caches.foreach(_.unpersist())
     out
   }
@@ -89,7 +90,7 @@ object Graph {
           round(teleport + lit(damping) *
             coalesce(col("__s").cast("double"), lit(0.0)), 9).as("rank"))
       if (i % checkpointEvery == 0 && i < iterations)
-        ranks = ranks.localCheckpoint(eager = true)
+        ranks = ranks.truncateLineage(eager = true)
       graft.plans.IterationAudit.record("graph.pageRank", ranks)
     }
     (ranks.select(col("node"), round(col("rank"), 6).as("rank")),
@@ -151,14 +152,14 @@ object Graph {
           round(teleport + lit(damping) *
             coalesce(col("__s").cast("double"), lit(0.0)), 9).as("rank"))
       if (i % checkpointEvery == 0 && i < iterations)
-        ranks = ranks.localCheckpoint(eager = true)
+        ranks = ranks.truncateLineage(eager = true)
       graft.plans.IterationAudit.record("graph.pageRankWeighted", ranks)
     }
     val out = ranks
       .select(col("node"),
         round(col("rank").cast("decimal(22,9)"), 6).cast("double")
           .as("rank"))
-      .localCheckpoint(eager = true)
+      .truncateLineage(eager = true)
     Seq(withShare, nodes).foreach(_.unpersist())
     out
   }
@@ -218,7 +219,7 @@ object Graph {
           round(teleport * col("__seed") + lit(damping) *
             coalesce(col("__s").cast("double"), lit(0.0)), 9).as("rank"))
       if (i % checkpointEvery == 0 && i < iterations)
-        ranks = ranks.localCheckpoint(eager = true)
+        ranks = ranks.truncateLineage(eager = true)
       graft.plans.IterationAudit.record("graph.personalizedPageRank", ranks)
     }
     // exact-decimal 6-dp publish: ranks are exact 9-dp decimals, where
@@ -226,7 +227,7 @@ object Graph {
     val out = ranks.select(col("node"),
         round(col("rank").cast("decimal(22,9)"), 6).cast("double")
           .as("rank"))
-      .localCheckpoint(eager = true)
+      .truncateLineage(eager = true)
     Seq(withDeg, e, nodes).foreach(_.unpersist())
     out
   }
@@ -281,7 +282,7 @@ object Graph {
         .select(col(outSide).as("node"),
           col(scoreCol).cast("decimal(22,9)").as("__c"))
         .groupBy("node").agg(sum(col("__c")).as("__s"))
-        .localCheckpoint(eager = true)
+        .truncateLineage(eager = true)
       val mx = raw.agg(max(col("__s")).as("__m"))
       nodes.join(raw, Seq("node"), "left").crossJoin(mx)
         .select(col("node"),
@@ -294,8 +295,8 @@ object Graph {
       auths = halfStep(hubs, "h", "src", "dst", eSrc, "a")
       hubs = halfStep(auths, "a", "dst", "src", eDst, "h")
       if (i % checkpointEvery == 0 && i < iterations) {
-        auths = auths.localCheckpoint(eager = true)
-        hubs = hubs.localCheckpoint(eager = true)
+        auths = auths.truncateLineage(eager = true)
+        hubs = hubs.truncateLineage(eager = true)
       }
       graft.plans.IterationAudit.record("graph.hits", hubs)
     }
@@ -303,7 +304,7 @@ object Graph {
       .join(auths.withColumnRenamed("a", "__auth"), Seq("node"))
       .select(col("node"), round(col("h"), 6).as("hub"),
         round(col("__auth"), 6).as("authority"))
-      .localCheckpoint(eager = true)
+      .truncateLineage(eager = true)
     Seq(eSrc, eDst, nodes).foreach(_.unpersist())
     out
   }
@@ -363,10 +364,10 @@ object Graph {
         .join(majority, col("node") === col("__mn"), "left")
         .select(col("node"), coalesce(col("__seed"), col("__ml")).as("label"))
       if (i % checkpointEvery == 0 && i < iterations)
-        labels = labels.localCheckpoint(eager = true)
+        labels = labels.truncateLineage(eager = true)
       graft.plans.IterationAudit.record("graph.labelPropagation", labels)
     }
-    val out = labels.localCheckpoint(eager = true)
+    val out = labels.truncateLineage(eager = true)
     und.unpersist(); nodes.unpersist()
     out
   }
@@ -420,11 +421,11 @@ object Graph {
         .select(col("node"),
           coalesce(col("__ml"), col("node").cast("string")).as("label"))
       if (i % checkpointEvery == 0 && i < iterations)
-        labels = labels.localCheckpoint(eager = true)
+        labels = labels.truncateLineage(eager = true)
       graft.plans.IterationAudit.record("graph.communities", labels)
     }
     val out = labels.select(col("node"), col("label").as("community"))
-      .localCheckpoint(eager = true)
+      .truncateLineage(eager = true)
     und.unpersist(); nodes.unpersist()
     out
   }
@@ -462,10 +463,10 @@ object Graph {
     val und = fwd.union(fwd.select(col("b").as("a"), col("a").as("b")))
       .filter(col("a") =!= col("b"))
       .distinct()
-      .localCheckpoint(eager = true)
+      .truncateLineage(eager = true)
     val deg = und.groupBy(col("a").as("node"))
       .agg(count(lit(1)).as("deg"))
-      .localCheckpoint(eager = true)
+      .truncateLineage(eager = true)
     // orient: keep (a,b) iff (deg(a), a) < (deg(b), b) — each
     // undirected edge exactly once, out-degree bounded by O(sqrt(m))
     val da = deg.select(col("node").as("a"), col("deg").as("__da"))
@@ -474,7 +475,7 @@ object Graph {
       .filter(col("__da") < col("__db") ||
         (col("__da") === col("__db") && col("a") < col("b")))
       .select(col("a"), col("b"))
-      .localCheckpoint(eager = true)
+      .truncateLineage(eager = true)
     val wedge = orient
       .join(orient.select(col("a").as("b"), col("b").as("c")), "b")
       .select(col("a"), col("b"), col("c"))
@@ -521,7 +522,7 @@ object Graph {
     var und = fwd.union(fwd.select(col("b").as("a"), col("a").as("b")))
       .filter(col("a") =!= col("b"))
       .distinct()
-      .localCheckpoint(eager = true)
+      .truncateLineage(eager = true)
     var prev = und
     for (_ <- 1 to rounds) {
       val keep = und.groupBy(col("a").as("node"))
@@ -533,7 +534,7 @@ object Graph {
         .join(keep.select(col("node").as("a")), "a")
         .join(keep.select(col("node").as("b")), "b")
         .select(col("a"), col("b"))
-        .localCheckpoint(eager = true)
+        .truncateLineage(eager = true)
       graft.plans.IterationAudit.record("graph.kCore", und)
     }
     // convergence = the LAST round deleted nothing; both frames are
@@ -629,10 +630,10 @@ object Graph {
     val und = fwd.union(fwd.select(col("b").as("a"), col("a").as("b")))
       .filter(col("a") =!= col("b"))
       .distinct()
-      .localCheckpoint(eager = true)
+      .truncateLineage(eager = true)
     val deg = und.groupBy(col("a").as("node"))
       .agg(count(lit(1)).as("deg"))
-      .localCheckpoint(eager = true)
+      .truncateLineage(eager = true)
     // deg-1 nodes can't center a wedge — dropping them up front also
     // keeps ln's argument >= 2 (ANSI division: 1/ln(1) would throw)
     val centerDeg = maxCenterDegree match {
@@ -649,7 +650,7 @@ object Graph {
           round(lit(1.0) / log(col("deg").cast("double")), 9).as("__aa")),
         "a")
       .select(col("a").as("__c"), col("b"), col("__aa"))
-      .localCheckpoint(eager = true)
+      .truncateLineage(eager = true)
     val wedges = star.select(col("__c"), col("b").as("node_a"), col("__aa"))
       .join(star.select(col("__c"), col("b").as("node_b")), "__c")
       .filter(col("node_a") < col("node_b"))
@@ -696,20 +697,20 @@ object Graph {
     val und = fwd.union(fwd.select(col("b").as("a"), col("a").as("b")))
       .filter(col("a") =!= col("b"))
       .distinct()
-      .localCheckpoint(eager = true)
+      .truncateLineage(eager = true)
     val nodes = und.select(col("a").as("node")).distinct()
     var dist = nodes.join(
         seeds.select(col(seedCol).as("node")).distinct(),
         Seq("node"), "left_semi")
       .withColumn("dist", lit(0L))
-      .localCheckpoint(eager = true)
+      .truncateLineage(eager = true)
     for (_ <- 1 to rounds) {
       val relaxed = und
         .join(dist.select(col("node").as("a"), col("dist")), "a")
         .select(col("b").as("node"), (col("dist") + 1L).as("dist"))
       dist = dist.union(relaxed)
         .groupBy("node").agg(min(col("dist")).as("dist"))
-        .localCheckpoint(eager = true)
+        .truncateLineage(eager = true)
       graft.plans.IterationAudit.record("graph.bfsDistance", dist)
     }
     dist
@@ -735,7 +736,7 @@ object Graph {
     val und = fwd.union(fwd.select(col("b").as("a"), col("a").as("b")))
       .filter(col("a") =!= col("b"))
       .distinct()
-      .localCheckpoint(eager = true)
+      .truncateLineage(eager = true)
     val deg = und.groupBy(col("a").as("node")).agg(count(lit(1)).as("deg"))
     val both = und
       .join(deg.select(col("node").as("a"), col("deg").as("__x")), "a")

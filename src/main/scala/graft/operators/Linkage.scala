@@ -1,5 +1,6 @@
 package graft.operators
 
+import graft.plans.Checkpoints.LineageOps
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
@@ -303,7 +304,7 @@ object Linkage {
       .groupBy("__g").agg(count(lit(1)).as("__c"))
       // ≤2^|fields| rows, but its subtree is the FULL blocked-pair join —
       // materialize once or every EM round re-embeds (and re-executes) it
-      .localCheckpoint(true)
+      .truncateLineage(true)
     val init = left.sparkSession.range(1).select(
       lit(lambda).as("__lam"),
       array(fields.map(f => lit(f.m)): _*).as("__m"),
@@ -348,7 +349,7 @@ object Linkage {
         // `tot` and `perField` BOTH re-embed the previous round's weights,
         // so an unmaterialized fold doubles the plan every round; the
         // frame is one row — checkpointing it is one trivial job
-        .localCheckpoint(eager = true)
+        .truncateLineage(eager = true)
       graft.plans.IterationAudit.record("linkage.weightFitEm", next)
       next
     }

@@ -1,5 +1,6 @@
 package graft.operators
 
+import graft.plans.Checkpoints.LineageOps
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
@@ -67,7 +68,7 @@ object Pca {
       upper.select(col("i"), col("j"), col("cov"))
         .union(upper.filter(col("i") =!= col("j"))
           .select(col("j").as("i"), col("i").as("j"), col("cov")))
-        .localCheckpoint(eager = true)
+        .truncateLineage(eager = true)
     }
     val d = cmat.select(max(col("j")).as("d"))
     var v = cmat.select(col("i").as("dim")).distinct()

@@ -1,5 +1,6 @@
 package graft.operators
 
+import graft.plans.Checkpoints.LineageOps
 import graft.functions.{VectorFunctions => VF}
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
@@ -98,7 +99,7 @@ object Pq {
           cents = cents.join(means, Seq("__code"), "left")
             .select(col("__code"),
               coalesce(col("__cNew"), col("__c")).as("__c"))
-            .localCheckpoint(true)
+            .truncateLineage(true)
           graft.plans.IterationAudit.record("pq.fit", cents)
         }
         cents.orderBy("__code").collect()

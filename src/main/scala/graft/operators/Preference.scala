@@ -1,5 +1,6 @@
 package graft.operators
 
+import graft.plans.Checkpoints.LineageOps
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -152,7 +153,7 @@ object Preference {
         col(jCol).cast("long").as("__j"),
         col(nCol).cast("long").as("__n"),
         col(winICol).cast("double").as("__win_i"))
-      .localCheckpoint()
+      .truncateLineage()
     val sides = pc.select(col("__i").as("__item"), col("__j").as("__opp"),
         col("__n"), col("__win_i").as("__wv"))
       .unionAll(pc.select(col("__j").as("__item"), col("__i").as("__opp"),
@@ -160,7 +161,7 @@ object Preference {
     val wins = sides.groupBy("__item").agg(
       sum(col("__wv")).cast("double").as("__wins"),
       sum(col("__n")).cast("long").as("__games"))
-      .localCheckpoint()
+      .truncateLineage()
     def decSum(c: Column): Column =
       sum(round(c, 9).cast("decimal(38,9)")).cast("double")
     val all = Window.partitionBy(lit(1))
@@ -181,7 +182,7 @@ object Preference {
             sum(round(col("__p0"), 9).cast("decimal(38,9)")).over(all)
               .cast("double"), 12),
             lit(1e-6)).as("__p"))
-        .localCheckpoint()
+        .truncateLineage()
     }
     pFinal.join(wins, Seq("__item"))
       .select(col("__item").as("item"), round(col("__p"), 6).as("strength"),

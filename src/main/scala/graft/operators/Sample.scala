@@ -369,11 +369,12 @@ object Sample {
    * > in at least one; exact duplicates of a front point all survive.
    *
    * Scale shape: objectives round to 6 dp and reduce to per-x cells
-   * `(x, max y)` with map-side combine — the running-max walk runs on
-   * that x-domain-sized cell table only (the AUC-cell discipline;
-   * calibrated/bounded scores keep it ≤~2·10⁶ rows), and the front
-   * (≤ cell count, typically tiny — it's a staircase) broadcasts back
-   * for the final membership join. The corpus shuffles once by x-cell.
+   * `(x, max y)` with map-side combine — the running-max walk runs
+   * over that cell table through [[graft.plans.CumWalk]], so a
+   * wide-range x objective (a corpus-sized cell table) stays
+   * partition-parallel — and the front (≤ cell count, typically tiny:
+   * it's a staircase) broadcasts back for the final membership join.
+   * The corpus shuffles once by x-cell.
    */
   def paretoFront2(df: DataFrame, xCol: String, yCol: String): DataFrame = {
     val pts = df
@@ -381,11 +382,10 @@ object Sample {
       .withColumn("__y", round(col(yCol).cast("double"), 6))
       .filter(col("__x").isNotNull && col("__y").isNotNull)
     val cells = pts.groupBy("__x").agg(max("__y").as("__my"))
-    // bounded-window: quantized-cells — 6-dp (x, max y) cells, range-bounded (scaladoc above)
-    val w = org.apache.spark.sql.expressions.Window
-      .orderBy(col("__x").desc).rowsBetween(Long.MinValue, -1)
-    val front = cells
-      .withColumn("__rm", max("__my").over(w))
+    // strict-predecessor running max via CumWalk — the skyline walk
+    // stays partition-parallel however wide the x-objective's range
+    val front = graft.plans.CumWalk.walk(cells, "__x", asc = false,
+        Seq(graft.plans.CumWalk.CumMax("__my", "__rm", inclusive = false)))
       .filter(col("__rm").isNull || col("__my") > col("__rm"))
       .select(col("__x"), col("__my").as("__y"))
     pts.join(broadcast(front), Seq("__x", "__y"))

@@ -19,11 +19,12 @@ import org.apache.spark.sql.functions._
  *    structurally [[Experiment.cmh]] with event times as the strata.
  *
  * Scale shape: the corpus pass is ONE map-side-combined groupBy to
- * per-(group, t) death/censor cells; every window after that runs on
- * the AGGREGATED time grid, whose size is bounded by the number of
- * distinct durations (days/weeks — thousands), not by subjects. The
- * per-group ordered window therefore sorts thousands of rows, never
- * 100 TB. No self-join, no corpus window.
+ * per-(group, t) death/censor cells; every cumulative walk after that
+ * runs on the AGGREGATED time grid through [[graft.plans.CumWalk]]
+ * (sampled range boundaries → per-bucket offsets → partitioned
+ * in-bucket walk), so even a single group with CONTINUOUS wide-range
+ * durations — where the grid approaches corpus size — never lands on
+ * one reducer. No self-join, no corpus window.
  *
  * Float determinism: the survival product is computed in log space —
  * per-step terms snap to 9 dp, ln(term) snaps to 9 dp, steps
@@ -64,14 +65,20 @@ object Survival {
         col(durationCol).cast("double").as("t"))
       .agg(count(when(e, lit(1))).as("events"),
         count(when(!e, lit(1))).as("__cens"))
-    val wCum = Window.partitionBy(col("group")).orderBy(col("t").asc)
-    val wAll = Window.partitionBy(col("group"))
-    cells
-      .withColumn("__n", sum(col("events") + col("__cens")).over(wAll))
-      .withColumn("at_risk",
-        col("__n") - sum(col("events") + col("__cens")).over(wCum) +
-          col("events") + col("__cens"))
+    // risk sets via CumWalk (not a per-group ordered window): one
+    // giant group with wide-range continuous durations would otherwise
+    // put the whole grid on one reducer; group totals are a grid-sized
+    // aggregate joined back
+    val totals = cells.groupBy("group")
+      .agg(sum(col("events") + col("__cens")).as("__n"))
+    graft.plans.CumWalk.walk(
+        cells.withColumn("__sz", col("events") + col("__cens")),
+        "t", asc = true, Seq(graft.plans.CumWalk.CumSum("__sz", "__cumsz")),
+        partitionCols = Seq("group"))
+      .join(totals, "group")
+      .withColumn("at_risk", col("__n") - col("__cumsz") + col("__sz"))
       .where(col("events") > 0)
+      .drop("__sz", "__cumsz")
   }
 
   def kaplanMeier(df: DataFrame, groupCol: String, durationCol: String,
@@ -80,13 +87,14 @@ object Survival {
       .withColumn("__term",
         round(lit(1.0) - sdiv(col("events").cast("double"),
           col("at_risk").cast("double")), 9))
-    val wStep = Window.partitionBy(col("group")).orderBy(col("t").asc)
-    steps
-      .withColumn("__dead", max(col("__term") === 0.0).over(wStep))
-      .withColumn("__logsum",
-        sum(when(col("__term") > 0.0,
-          round(log(col("__term")), 9).cast(dec))
-          .otherwise(lit(0.0).cast(dec))).over(wStep))
+      .withColumn("__dead0", col("__term") === 0.0)
+      .withColumn("__lterm",
+        when(col("__term") > 0.0, round(log(col("__term")), 9).cast(dec))
+          .otherwise(lit(0.0).cast(dec)))
+    graft.plans.CumWalk.walk(steps, "t", asc = true,
+        Seq(graft.plans.CumWalk.CumMax("__dead0", "__dead"),
+          graft.plans.CumWalk.CumSum("__lterm", "__logsum")),
+        partitionCols = Seq("group"))
       .select(col("group"), col("t"), col("at_risk"), col("events"),
         when(col("__dead"), lit(0.0))
           .otherwise(round(exp(col("__logsum").cast("double")), 6))
@@ -105,11 +113,12 @@ object Survival {
    */
   def nelsonAalen(df: DataFrame, groupCol: String, durationCol: String,
                   eventCol: String): DataFrame = {
-    val wStep = Window.partitionBy(col("group")).orderBy(col("t").asc)
-    eventSteps(df, groupCol, durationCol, eventCol)
+    val steps = eventSteps(df, groupCol, durationCol, eventCol)
       .withColumn("__h", round(sdiv(col("events").cast("double"),
-        col("at_risk").cast("double")), 9))
-      .withColumn("__hsum", sum(col("__h").cast(dec)).over(wStep))
+        col("at_risk").cast("double")), 9).cast(dec))
+    graft.plans.CumWalk.walk(steps, "t", asc = true,
+        Seq(graft.plans.CumWalk.CumSum("__h", "__hsum")),
+        partitionCols = Seq("group"))
       .select(col("group"), col("t"), col("at_risk"), col("events"),
         round(col("__hsum").cast("double"), 6).as("cum_hazard"),
         round(exp(-col("__hsum").cast("double")), 6).as("survival_fh"))
@@ -126,11 +135,12 @@ object Survival {
    * variance, mirroring [[Experiment.cmh]].
    *
    * Scale shape: durations QUANTIZE TO 6 DP before the per-time cell
-   * reduce (the [[Experiment.mannWhitney]]/aucRoc discipline), so the
-   * unpartitioned event-time walk runs over a cell table bounded by
-   * the duration RANGE (≤2·10⁶ cells per unit) even for continuous
-   * durations — event times ties at 6 dp merge into one risk-set
-   * step, which is the standard handling of tied survival times.
+   * reduce (the [[Experiment.mannWhitney]]/aucRoc tie discipline —
+   * event-time ties at 6 dp merge into one risk-set step, the
+   * standard handling of tied survival times), and the event-time
+   * risk-set walk runs through [[graft.plans.CumWalk]], so a
+   * continuous wide-range duration (a corpus-sized cell table) stays
+   * partition-parallel instead of collapsing onto one reducer.
    */
   def logRank(df: DataFrame, groupCol: String, durationCol: String,
               eventCol: String, groupA: String, groupB: String)
@@ -145,16 +155,16 @@ object Survival {
         count(when(g === groupA, lit(1))).as("r_a"),
         count(when(g === groupB && e, lit(1))).as("d_b"),
         count(when(g === groupB, lit(1))).as("r_b"))
-    // bounded-window: quantized-cells — 6-dp duration cells, range-bounded (scaladoc above)
-    val wCum = Window.orderBy(col("t").asc)
-    val wAll = Window.partitionBy()
-    def atRisk(total: Column, removed: Column, here: Column): Column =
-      total - sum(removed).over(wCum) + here
-    val times = cells
-      .withColumn("n_a_tot", sum(col("r_a")).over(wAll))
-      .withColumn("n_b_tot", sum(col("r_b")).over(wAll))
-      .withColumn("n1", atRisk(col("n_a_tot"), col("r_a"), col("r_a")))
-      .withColumn("n2", atRisk(col("n_b_tot"), col("r_b"), col("r_b")))
+    // risk-set walk via CumWalk (partition-parallel however wide the
+    // duration range); arm totals are a 1-row broadcast aggregate
+    val totals = cells.agg(sum(col("r_a")).as("n_a_tot"),
+      sum(col("r_b")).as("n_b_tot"))
+    val times = graft.plans.CumWalk.walk(cells, "t", asc = true,
+        Seq(graft.plans.CumWalk.CumSum("r_a", "__cra"),
+          graft.plans.CumWalk.CumSum("r_b", "__crb")))
+      .crossJoin(broadcast(totals))
+      .withColumn("n1", col("n_a_tot") - col("__cra") + col("r_a"))
+      .withColumn("n2", col("n_b_tot") - col("__crb") + col("r_b"))
       .where(col("d_a") + col("d_b") > 0)
     def d(c: Column) = c.cast("double")
     val dt = d(col("d_a") + col("d_b"))

@@ -31,10 +31,11 @@ object WindowAudit {
   /** The documented bounded-domain vocabulary. Every tag names WHY the
     * frame the window runs over cannot grow with the corpus. */
   val allowedTags: Set[String] = Set(
-    // values snapped to a documented decimal precision before the cell
-    // reduce, so the frame is bounded by the metric's RANGE (aucRoc /
-    // mannWhitney discipline: ≤2·10⁶ cells per unit at 6 dp)
-    "quantized-cells",
+    // ("quantized-cells" — a frame bounded by the metric's RANGE via
+    // 6-dp snapping — was RETIRED in r10: the bound was per-unit-of-
+    // range, so wide-range continuous metrics degenerated to one
+    // reducer. Rank/risk-set walks now go through [[CumWalk]], whose
+    // only unpartitioned window is its fixed-fanout offsets table.)
     // a naturally discrete, range-bounded metric: integer day counts,
     // 2-dp currency, per-day slopes over a calendar grid
     "integer-cells",
