@@ -352,11 +352,14 @@ object Experiment {
     // bucket of a cell: ceil(B * cumulative rows through the cell / N),
     // clamped to B (exact-integer arithmetic — no float boundary risk);
     // the cumulative count walks through CumWalk (no single-reducer
-    // window) and the grand total is a 1-row broadcast aggregate
-    val totalN = cells.agg(sum(col("__nt") + col("__nc")).as("__n"))
-    val bucketed = graft.plans.CumWalk.walk(
+    // window) and the grand total is a 1-row broadcast aggregate over
+    // the WALKED frame (materialized cells — aggregating the raw cells
+    // would re-run the corpus reduce a second time)
+    val walked = graft.plans.CumWalk.walk(
       cells.withColumn("__ntc", col("__nt") + col("__nc")),
       "__s", asc = false, Seq(graft.plans.CumWalk.CumSum("__ntc", "__cum")))
+    val totalN = walked.agg(sum(col("__ntc")).as("__n"))
+    val bucketed = walked
       .crossJoin(broadcast(totalN))
       .withColumn("bucket",
         least(lit(nBuckets.toLong),

@@ -68,13 +68,15 @@ object Survival {
     // risk sets via CumWalk (not a per-group ordered window): one
     // giant group with wide-range continuous durations would otherwise
     // put the whole grid on one reducer; group totals are a grid-sized
-    // aggregate joined back
-    val totals = cells.groupBy("group")
-      .agg(sum(col("events") + col("__cens")).as("__n"))
-    graft.plans.CumWalk.walk(
-        cells.withColumn("__sz", col("events") + col("__cens")),
-        "t", asc = true, Seq(graft.plans.CumWalk.CumSum("__sz", "__cumsz")),
-        partitionCols = Seq("group"))
+    // aggregate joined back — computed over the WALKED frame (whose
+    // cell table CumWalk materialized), not the raw cells, so the
+    // corpus aggregation beneath the grid runs exactly once
+    val walked = graft.plans.CumWalk.walk(
+      cells.withColumn("__sz", col("events") + col("__cens")),
+      "t", asc = true, Seq(graft.plans.CumWalk.CumSum("__sz", "__cumsz")),
+      partitionCols = Seq("group"))
+    val totals = walked.groupBy("group").agg(sum(col("__sz")).as("__n"))
+    walked
       .join(totals, "group")
       .withColumn("at_risk", col("__n") - col("__cumsz") + col("__sz"))
       .where(col("events") > 0)
@@ -156,12 +158,15 @@ object Survival {
         count(when(g === groupB && e, lit(1))).as("d_b"),
         count(when(g === groupB, lit(1))).as("r_b"))
     // risk-set walk via CumWalk (partition-parallel however wide the
-    // duration range); arm totals are a 1-row broadcast aggregate
-    val totals = cells.agg(sum(col("r_a")).as("n_a_tot"),
+    // duration range); arm totals are a 1-row broadcast aggregate over
+    // the WALKED frame (materialized cells) — aggregating the raw
+    // cells here would re-run the corpus reduce a second time
+    val walked = graft.plans.CumWalk.walk(cells, "t", asc = true,
+      Seq(graft.plans.CumWalk.CumSum("r_a", "__cra"),
+        graft.plans.CumWalk.CumSum("r_b", "__crb")))
+    val totals = walked.agg(sum(col("r_a")).as("n_a_tot"),
       sum(col("r_b")).as("n_b_tot"))
-    val times = graft.plans.CumWalk.walk(cells, "t", asc = true,
-        Seq(graft.plans.CumWalk.CumSum("r_a", "__cra"),
-          graft.plans.CumWalk.CumSum("r_b", "__crb")))
+    val times = walked
       .crossJoin(broadcast(totals))
       .withColumn("n1", col("n_a_tot") - col("__cra") + col("r_a"))
       .withColumn("n2", col("n_b_tot") - col("__crb") + col("r_b"))

@@ -43,7 +43,14 @@ import org.apache.spark.sql.functions._
  * content hash, boundaries by sorted order statistics — so the two
  * plan branches that re-derive the bucket column (totals and walk)
  * cannot disagree even if Catalyst declines to reuse the exchange, and
- * re-executions are bit-identical. No persist, no collect, no RDD.
+ * re-executions are bit-identical. The cell table is checkpointed once
+ * up front (it is read by the sample, the totals and the final join —
+ * left lazy each reference re-ran the corpus aggregation beneath it)
+ * and its MEASURED row count picks the physical shape: at or below
+ * [[WindowCutoffConf]] rows a plain window walks the counted table
+ * (identical values, none of the two-pass fixed cost); above it the
+ * bucketed two-pass engages. No data ever reaches the driver beyond
+ * that single count.
  *
  * Exactness contract: walked sums must be over exact types (integral /
  * DECIMAL — order-free addition); running max is order-free for any
@@ -77,6 +84,15 @@ object CumWalk {
    * `Window.partitionBy(partitionCols).orderBy(key)` plan — only the
    * physical shape changes.
    */
+  /** Session conf: cell-table sizes at or below this take the plain
+    * single-window path (the two-pass machinery's fixed cost — sample,
+    * totals, offsets join — exceeds one modest window sort below it);
+    * above it the bucketed two-pass engages. The value bounds the rows
+    * a single reducer may ever see, VERIFIED by counting the
+    * materialized cell table, not assumed from the metric's range. */
+  val WindowCutoffConf = "spark.graft.cumwalk.windowCutoff"
+  val WindowCutoffDefault: Long = 1L << 18
+
   def walk(cells: DataFrame, keyCol: String, asc: Boolean, specs: Seq[Spec],
            partitionCols: Seq[String] = Nil, buckets: Int = 256,
            sampleTarget: Int = 65536): DataFrame = {
@@ -87,21 +103,59 @@ object CumWalk {
     val reserved = cells.columns.filter(_.startsWith("__cw_"))
     require(reserved.isEmpty,
       s"input already has __cw_-prefixed columns: ${reserved.mkString(",")}")
+    specs.map(_.in).distinct.foreach { in =>
+      require(!(specs.exists(s => s.in == in && s.isInstanceOf[CumMax]) &&
+          specs.exists(s => s.in == in && s.isInstanceOf[CumSum])),
+        s"column $in walked as both CumSum and CumMax — split the column")
+    }
 
     val key = col(keyCol)
-    // ---- pass 1a: cell count -> deterministic sample rate ----------
-    val n = cells.agg(count(lit(1)).as("__cw_n"))
-    // rate r = max(1, n div target): expected sample size in [target, 2·target)
-    // (floor() because Column./ is DOUBLE division even on longs)
-    val rate = greatest(lit(1L),
-      floor(col("__cw_n") / lit(sampleTarget)).cast("long"))
-    // ---- pass 1b: hash-sampled keys -> equi-depth boundaries -------
-    // xxhash64 of the key VALUE: content-addressed, so every
-    // re-evaluation of this subtree picks the same sample
-    val sampled = cells
+    // ---- pass 0: materialize the cell table ONCE -------------------
+    // The walk reads `cells` several times (count/sample, bucket
+    // totals, the final join) and the subtree is typically the FULL
+    // CORPUS aggregation — left lazy, every reference re-executes that
+    // pass (measured at sf0.1: mannWhitney 0.49 s → 3.68 s, uplift
+    // 0.62 s → 5.37 s on the r10-pre board). The cell table itself is
+    // the post-reduce small side by construction, and the checkpoint
+    // leaf stays in the result's lineage for Checkpoints.release.
+    val mat = Checkpoints.truncate(cells, eager = true)
+    val nCells = mat.count() // a count of already-materialized blocks
+    val cutoff = math.max(1L, cells.sparkSession.conf
+      .getOption(WindowCutoffConf).map(_.toLong)
+      .getOrElse(WindowCutoffDefault))
+
+    // ---- small-cell path: sizes at/below the cutoff ----------------
+    // One (partitioned) running-aggregate window over the materialized
+    // cells — value-identical to the two-pass plan (same frames, same
+    // exact-type sums), just without its fixed 3-extra-job cost. The
+    // single reducer sees at most `cutoff` MEASURED rows; the wide
+    // gates at bench SF exceed the cutoff and keep the two-pass path
+    // oracle-pinned.
+    if (nCells <= cutoff) {
+      val ordered = if (asc) key.asc else key.desc
+      val wSmall = if (partitionCols.isEmpty) {
+        // bounded-window: counted-cells — nCells counted ≤ cutoff above
+        Window.orderBy(ordered)
+      } else Window.partitionBy(partitionCols.map(col): _*).orderBy(ordered)
+      return specs.foldLeft(mat) { (df, spec) =>
+        val frame =
+          if (spec.inclusive) wSmall.rowsBetween(Window.unboundedPreceding, 0)
+          else wSmall.rowsBetween(Window.unboundedPreceding, -1)
+        df.withColumn(spec.out, spec match {
+          case _: CumSum => sum(col(spec.in)).over(frame)
+          case _: CumMax => max(col(spec.in)).over(frame)
+        })
+      }
+    }
+
+    // ---- pass 1: hash-sampled keys -> equi-depth boundaries --------
+    // rate r = max(1, n div target): expected sample size in
+    // [target, 2·target). xxhash64 of the key VALUE: content-
+    // addressed, so every re-evaluation picks the same sample.
+    val rate = math.max(1L, nCells / sampleTarget)
+    val sampled = mat
       .select(key.cast("double").as("__cw_k"))
-      .crossJoin(broadcast(n))
-      .where(pmod(xxhash64(col("__cw_k")), rate) === 0L)
+      .where(pmod(xxhash64(col("__cw_k")), lit(rate)) === 0L)
     val ks = col("__cw_ks")
     val sz = size(ks).cast("long")
     val bnds = sampled
@@ -121,7 +175,7 @@ object CumWalk {
       size(filter(col("__cw_bnds"),
         b => if (asc) b < k else b > k)).cast("int")
     }
-    val bucketed = cells.crossJoin(broadcast(bnds))
+    val bucketed = mat.crossJoin(broadcast(bnds))
       .withColumn("__cw_bkt", bktOf)
       .drop("__cw_bnds")
 
@@ -173,7 +227,7 @@ object CumWalk {
           // allowPrecisionLoss), so operands narrow to precision 37
           // first — values needing 28+ integer digits would overflow
           // the single window's accumulator type just the same.
-          val sumDt = cells.select(sum(v).as("__cw_t")).schema.head.dataType
+          val sumDt = mat.select(sum(v).as("__cw_t")).schema.head.dataType
           val keep: Column => Column = sumDt match {
             case d: org.apache.spark.sql.types.DecimalType
                 if d.precision >= 38 =>

@@ -53,6 +53,11 @@ object WindowAudit {
     // a constant-size domain fixed by the algorithm (256 byte buckets,
     // PQ codebook entries, subspace codes)
     "fixed-fanout",
+    // the frame's row count was COUNTED on a materialized table at
+    // plan-build time and is at or below the configured cutoff
+    // (CumWalk's small-cell path; larger tables take the bucketed
+    // two-pass, so no reducer ever sees more than the cutoff)
+    "counted-cells",
     // gate-local fixture scaffolding, documented non-production
     "test-scaffold")
 

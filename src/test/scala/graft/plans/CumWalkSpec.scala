@@ -16,6 +16,14 @@ import org.apache.spark.sql.functions._
 class CumWalkSpec extends SparkTestBase {
   import CumWalk._
 
+  /** Pin the small-cell cutoff for a block: most tests force the
+    * TWO-PASS path at test row counts (the production-hazard machinery
+    * under test); the dedicated small-path tests use the default. */
+  private def withCutoff[T](v: Long)(body: => T): T = {
+    spark.conf.set(CumWalk.WindowCutoffConf, v.toString)
+    try body finally spark.conf.unset(CumWalk.WindowCutoffConf)
+  }
+
   // seeded LCG cells: unique keys (walk precondition), skewed values
   private def cellDf(n: Int, seed: Long, grouped: Boolean = false): DataFrame = {
     val rng = new scala.util.Random(seed)
@@ -44,7 +52,7 @@ class CumWalkSpec extends SparkTestBase {
     }
   }
 
-  test("global asc inclusive long sum matches the single window") {
+  test("global asc inclusive long sum matches the single window") { withCutoff(1) {
     val cells = cellDf(500, 1)
     val w = Window.orderBy(col("k").asc) // test-only reference plan
     val out = walk(cells, "k", asc = true, Seq(CumSum("c", "cum")),
@@ -54,9 +62,9 @@ class CumWalkSpec extends SparkTestBase {
     assert(out.columns.toSeq == cells.columns.toSeq :+ "cum",
       s"got ${out.columns.toSeq}")
     assertSame(out, cells.withColumn("cum", sum("c").over(w)))
-  }
+  }}
 
-  test("global desc exclusive sum keeps the first row NULL") {
+  test("global desc exclusive sum keeps the first row NULL") { withCutoff(1) {
     val cells = cellDf(301, 2)
     val w = Window.orderBy(col("k").desc)
       .rowsBetween(Window.unboundedPreceding, -1)
@@ -64,9 +72,9 @@ class CumWalkSpec extends SparkTestBase {
       walk(cells, "k", asc = false, Seq(CumSum("c", "cumb", inclusive = false)),
         buckets = 5, sampleTarget = 32),
       cells.withColumn("cumb", sum("c").over(w)))
-  }
+  }}
 
-  test("global desc exclusive running max (the paretoFront2 shape)") {
+  test("global desc exclusive running max (the paretoFront2 shape)") { withCutoff(1) {
     val cells = cellDf(200, 3)
     val w = Window.orderBy(col("k").desc)
       .rowsBetween(Window.unboundedPreceding, -1)
@@ -74,9 +82,9 @@ class CumWalkSpec extends SparkTestBase {
       walk(cells, "k", asc = false, Seq(CumMax("d", "rm", inclusive = false)),
         buckets = 6, sampleTarget = 24),
       cells.withColumn("rm", max("d").over(w)))
-  }
+  }}
 
-  test("grouped decimal sum + boolean max match the per-group window") {
+  test("grouped decimal sum + boolean max match the per-group window") { withCutoff(1) {
     val cells = cellDf(400, 4, grouped = true)
     val w = Window.partitionBy("g").orderBy(col("k").asc)
     assertSame(
@@ -85,9 +93,9 @@ class CumWalkSpec extends SparkTestBase {
         partitionCols = Seq("g"), buckets = 4, sampleTarget = 16),
       cells.withColumn("ds", sum("d").over(w))
         .withColumn("anyb", max("b").over(w)))
-  }
+  }}
 
-  test("multiple sums in one walk (the logRank shape)") {
+  test("multiple sums in one walk (the logRank shape)") { withCutoff(1) {
     val cells = cellDf(256, 5).withColumn("c2", col("c") * 2 + 1)
     val w = Window.orderBy(col("k").asc)
     assertSame(
@@ -96,7 +104,7 @@ class CumWalkSpec extends SparkTestBase {
         buckets = 9, sampleTarget = 16),
       cells.withColumn("ca", sum("c").over(w))
         .withColumn("cb", sum("c2").over(w)))
-  }
+  }}
 
   test("degenerate inputs: empty, single row, fewer rows than buckets") {
     for (n <- Seq(0, 1, 3)) {
@@ -112,8 +120,39 @@ class CumWalkSpec extends SparkTestBase {
     }
   }
 
+  test("small-cell path: at/below the counted cutoff the walk is ONE " +
+      "window over the checkpointed cells, values identical") {
+    val cells = cellDf(300, 8)
+    val w = Window.orderBy(col("k").asc)
+    // default cutoff (1 << 18) far above 300 rows -> small path
+    val out = walk(cells, "k", asc = true, Seq(CumSum("c", "cum"),
+      CumSum("d", "ds", inclusive = false)), buckets = 7, sampleTarget = 64)
+    assertSame(out, cells.withColumn("cum", sum("c").over(w))
+      .withColumn("ds", sum("d").over(w.rowsBetween(
+        Window.unboundedPreceding, -1))))
+    // plan shape: no bucket machinery — one window, over the
+    // materialized (LogicalRDD) cell table, no join/aggregate above it
+    val windows = out.queryExecution.optimizedPlan.collect {
+      case win: org.apache.spark.sql.catalyst.plans.logical.Window => win
+    }
+    assert(windows.size == 1, s"expected one window, got ${windows.size}")
+    assert(out.queryExecution.optimizedPlan.collectFirst {
+      case j: org.apache.spark.sql.catalyst.plans.logical.Join => j
+    }.isEmpty, "small path must not join bucket offsets")
+  }
+
+  test("the cutoff conf flips the physical shape, never the values") {
+    val cells = cellDf(64, 9)
+    val small = walk(cells, "k", asc = true, Seq(CumSum("c", "cum")))
+    val big = withCutoff(1) {
+      walk(cells, "k", asc = true, Seq(CumSum("c", "cum")),
+        buckets = 5, sampleTarget = 8)
+    }
+    assertSame(big, small)
+  }
+
   test("the only unpartitioned window in the plan is the bucket-offset " +
-      "walk over the totals table") {
+      "walk over the totals table") { withCutoff(1) {
     val cells = cellDf(300, 6)
     val out = walk(cells, "k", asc = true, Seq(CumSum("c", "cum")),
       buckets = 7, sampleTarget = 64)
@@ -132,7 +171,7 @@ class CumWalkSpec extends SparkTestBase {
     }.isDefined, "offset window must sit above the per-bucket aggregate")
     val partitioned = windows.filter(_.partitionSpec.nonEmpty)
     assert(partitioned.nonEmpty, "in-bucket walk must be a partitioned window")
-  }
+  }}
 
   test("reserved column prefix and duplicate-spec misuse are rejected") {
     val cells = cellDf(10, 7)
