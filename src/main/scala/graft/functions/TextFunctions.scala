@@ -224,6 +224,13 @@ object TextFunctions {
     CatalystBridge.column(LcsLength(
       CatalystBridge.expression(a), CatalystBridge.expression(b)))
 
+  /** Clipped multiset-intersection size Σ_t min(count_a(t), count_b(t))
+    * of two token/gram arrays (the tokenF1/ROUGE-N/BLEU/chrF overlap
+    * numerator) — native hash-count expression, pure projection. */
+  def clippedOverlap(a: Column, b: Column): Column =
+    CatalystBridge.column(ClippedOverlap(
+      CatalystBridge.expression(a), CatalystBridge.expression(b)))
+
   /** Word-level Levenshtein distance of two token arrays (the WER/TER
     * numerator) — native rolling-DP expression, pure projection. */
   def tokenEditDistance(a: Column, b: Column): Column =

@@ -224,32 +224,28 @@ object Eval {
    * are NULL when their denominator is 0 (nothing predicted / no gold —
    * masking as 0 would hide "empty output" vs "all wrong").
    *
-   * Scale shape: token bags are exploded and reduced to `(id, token)`
-   * count cells with map-side combine, so the one shuffle is keyed by
-   * (id, token) and bounded by corpus token count — never quadratic in
-   * document length (a per-row `filter`-scan expression would be O(L²)
-   * on long documents). Counts are exact longs; the three ratios are
-   * single divisions rounded to 6 dp.
+   * Scale shape: a PURE PROJECTION — the clipped overlap is the native
+   * hash-count expression [[graft.functions.ClippedOverlap]] over the
+   * two token bags of the SAME row (O(|pred| + |gold|) per row, not the
+   * O(L²) filter-scan), so the plan has zero shuffles and the corpus
+   * never moves (r9 exploded to (id, token) cells and shuffled every
+   * token three times for an identical Σ min count). Counts are exact
+   * longs; the three ratios are single divisions rounded to 6 dp.
    */
   def tokenF1(df: DataFrame, idCol: String,
               predCol: String, goldCol: String): DataFrame = {
+    import graft.functions.{TextFunctions => TFN}
     val base = df.select(col(idCol).as("id"),
       toks(col(predCol)).as("__pt"), toks(col(goldCol)).as("__gt"),
       regexp_replace(trim(coalesce(col(predCol), lit(""))), "\\s+", " ")
         .as("__pn"),
       regexp_replace(trim(coalesce(col(goldCol), lit(""))), "\\s+", " ")
         .as("__gn"))
-    val pc = base.select(col("id"), explode(col("__pt")).as("t"))
-      .groupBy("id", "t").agg(count(lit(1)).as("cp"))
-    val gc = base.select(col("id"), explode(col("__gt")).as("t"))
-      .groupBy("id", "t").agg(count(lit(1)).as("cg"))
-    val ov = pc.join(gc, Seq("id", "t"))
-      .groupBy("id").agg(sum(least(col("cp"), col("cg"))).as("__ov"))
-    base.join(ov, Seq("id"), "left")
-      .select(col("id"),
+    base.select(col("id"),
         size(col("__pt")).cast("long").as("n_pred"),
         size(col("__gt")).cast("long").as("n_gold"),
-        coalesce(col("__ov"), lit(0L)).as("overlap"),
+        coalesce(TFN.clippedOverlap(col("__pt"), col("__gt")), lit(0L))
+          .as("overlap"),
         col("__pn"), col("__gn"))
       .select(col("id"), col("n_pred"), col("n_gold"), col("overlap"),
         when(col("n_pred") > 0,
@@ -284,26 +280,24 @@ object Eval {
    * (too-short text is undefined, not zero); F1 =
    * 2·overlap/(n_pred+n_gold), defined when either side has mass.
    *
-   * Scale shape: same (id, gram)-keyed explode-reduce as [[tokenF1]] —
-   * one shuffle bounded by corpus n-gram count, map-side combined.
+   * Scale shape: a PURE PROJECTION — same native clipped-overlap
+   * expression as [[tokenF1]], applied to the two same-row n-gram
+   * arrays: zero shuffles, the corpus' n-grams never cross the network
+   * (r9 shuffled every n-gram three times through (id, gram) cells for
+   * the identical Σ min count).
    */
   def rougeN(df: DataFrame, idCol: String, predCol: String,
              goldCol: String, n: Int = 2): DataFrame = {
     require(n >= 1 && n <= 8, "n must be in [1, 8]")
+    import graft.functions.{TextFunctions => TFN}
     val base = df.select(col(idCol).as("id"),
       grams(toks(col(predCol)), n).as("__pg"),
       grams(toks(col(goldCol)), n).as("__gg"))
-    val pc = base.select(col("id"), explode(col("__pg")).as("g"))
-      .groupBy("id", "g").agg(count(lit(1)).as("cp"))
-    val gc = base.select(col("id"), explode(col("__gg")).as("g"))
-      .groupBy("id", "g").agg(count(lit(1)).as("cg"))
-    val ov = pc.join(gc, Seq("id", "g"))
-      .groupBy("id").agg(sum(least(col("cp"), col("cg"))).as("__ov"))
-    base.join(ov, Seq("id"), "left")
-      .select(col("id"),
+    base.select(col("id"),
         size(col("__pg")).cast("long").as("n_pred_ngrams"),
         size(col("__gg")).cast("long").as("n_gold_ngrams"),
-        coalesce(col("__ov"), lit(0L)).as("overlap"))
+        coalesce(TFN.clippedOverlap(col("__pg"), col("__gg")), lit(0L))
+          .as("overlap"))
       .select(col("id"), col("n_pred_ngrams"), col("n_gold_ngrams"),
         col("overlap"),
         when(col("n_pred_ngrams") > 0,
@@ -421,33 +415,40 @@ object Eval {
    * Float discipline: p_n rounds to 9 dp before the log (so both
    * engines take ln of identical doubles), ln/exp are single fixed-
    * shape libm calls, outputs round to 6 dp — the same contract the
-   * nDCG gate has held across engines. Scale shape: maxN explode-
-   * reduce rounds keyed by (id, gram), each map-side combined and
-   * bounded by corpus token count; the per-n stats reduce to a
-   * maxN-row table before any transcendental math.
+   * nDCG gate has held across engines. Scale shape: ONE corpus pass —
+   * per row, every order's clipped match count is the native
+   * [[graft.functions.ClippedOverlap]] over the same-row n-gram arrays
+   * (r9 ran maxN explode-reduce rounds, re-scanning the corpus 3·maxN+1
+   * times and shuffling every n-gram), and all 2·maxN+2 sums reduce in
+   * one aggregate; the 1-row result is checkpointed so the maxN-row
+   * unpivot and the stats/precision subtrees never re-run the scan.
    */
   def corpusBleu(df: DataFrame, idCol: String, predCol: String,
                  goldCol: String, maxN: Int = 4): DataFrame = {
     require(maxN >= 1 && maxN <= 8, "maxN must be in [1, 8]")
+    import graft.functions.{TextFunctions => TFN}
+    import graft.plans.Checkpoints.LineageOps
     val base = df.select(col(idCol).as("id"),
       toks(col(predCol)).as("__pt"), toks(col(goldCol)).as("__gt"))
-    val lens = base.agg(
+    val sums = (1 to maxN).flatMap { n =>
+      Seq(
+        sum(coalesce(TFN.clippedOverlap(grams(col("__pt"), n),
+          grams(col("__gt"), n)), lit(0L))).as(s"__m$n"),
+        sum(greatest(size(col("__pt")).cast("long") - lit(n - 1L),
+          lit(0L))).as(s"__t$n"))
+    } ++ Seq(
       sum(size(col("__pt")).cast("long")).as("pred_len"),
       sum(size(col("__gt")).cast("long")).as("ref_len"))
-    val perN = (1 to maxN).map { n =>
-      val pg = base.select(col("id"), explode(grams(col("__pt"), n)).as("g"))
-        .groupBy("id", "g").agg(count(lit(1)).as("cp"))
-      val gg = base.select(col("id"), explode(grams(col("__gt"), n)).as("g"))
-        .groupBy("id", "g").agg(count(lit(1)).as("cg"))
-      val matched = pg.join(gg, Seq("id", "g"))
-        .agg(coalesce(sum(least(col("cp"), col("cg"))), lit(0L))
-          .as("matched"))
-      val total = base.agg(
-        coalesce(sum(greatest(size(col("__pt")).cast("long") - lit(n - 1L),
-          lit(0L))), lit(0L)).as("total"))
-      matched.crossJoin(total).select(lit(n).as("n"),
-        col("matched"), col("total"))
-    }.reduce(_ unionByName _)
+    val onePass = base.agg(sums.head, sums.tail: _*)
+      .truncateLineage(eager = true)
+    val lens = onePass.select(col("pred_len"), col("ref_len"))
+    val perN = onePass
+      .select(explode(array((1 to maxN).map(n =>
+        struct(lit(n).as("n"),
+          coalesce(col(s"__m$n"), lit(0L)).as("matched"),
+          coalesce(col(s"__t$n"), lit(0L)).as("total"))): _*)).as("__r"))
+      .select(col("__r.n").as("n"), col("__r.matched").as("matched"),
+        col("__r.total").as("total"))
     // p_n rounded to 9 dp BEFORE ln so both engines log identical values
     val pn = round(col("matched").cast("double") /
       col("total").cast("double"), 9)
@@ -493,14 +494,20 @@ object Eval {
    *
    * Float discipline: per-order ratios round to 9 dp, macro-averages
    * divide DECIMAL sums as double (rounded 9 dp), the F-β is one fixed-
-   * shape expression rounded to 6 dp. Scale shape: maxN explode-reduce
-   * rounds keyed by (id, gram) — identical profile to [[corpusBleu]],
-   * with character grams ≈ bytes of corpus per order.
+   * shape expression rounded to 6 dp. Scale shape: ONE corpus pass —
+   * per row, every order's clipped match count is the native
+   * [[graft.functions.ClippedOverlap]] over the same-row char-gram
+   * arrays (r9 ran maxN explode-reduce rounds keyed by (id, gram),
+   * re-scanning the corpus 3·maxN+1 times and shuffling ≈ corpus bytes
+   * per order); all 3·maxN+2 sums reduce in one aggregate whose 1-row
+   * result is checkpointed before the per-order unpivot.
    */
   def corpusChrF(df: DataFrame, idCol: String, predCol: String,
                  goldCol: String, maxN: Int = 6, beta: Double = 2.0): DataFrame = {
     require(maxN >= 1 && maxN <= 10, "maxN must be in [1, 10]")
     require(beta > 0, "beta must be positive")
+    import graft.functions.{TextFunctions => TFN}
+    import graft.plans.Checkpoints.LineageOps
     def stripped(c: Column): Column =
       regexp_replace(coalesce(c, lit("")), "\\s+", "")
     val base = df.select(col(idCol).as("id"),
@@ -510,21 +517,27 @@ object Eval {
         transform(sequence(lit(1), length(c) - lit(n - 1)),
           i => c.substr(i, lit(n))))
         .otherwise(array().cast("array<string>"))
-    val perN = (1 to maxN).map { n =>
-      val pg = base.select(col("id"), explode(charGrams(col("__p"), n)).as("g"))
-        .groupBy("id", "g").agg(count(lit(1)).as("cp"))
-      val gg = base.select(col("id"), explode(charGrams(col("__g"), n)).as("g"))
-        .groupBy("id", "g").agg(count(lit(1)).as("cg"))
-      val matched = pg.join(gg, Seq("id", "g"))
-        .agg(coalesce(sum(least(col("cp"), col("cg"))), lit(0L)).as("matched"))
-      val totals = base.agg(
-        coalesce(sum(greatest(length(col("__p")).cast("long") - lit(n - 1L),
-          lit(0L))), lit(0L)).as("tp"),
-        coalesce(sum(greatest(length(col("__g")).cast("long") - lit(n - 1L),
-          lit(0L))), lit(0L)).as("tg"))
-      matched.crossJoin(totals)
-        .select(lit(n).as("n"), col("matched"), col("tp"), col("tg"))
-    }.reduce(_ unionByName _)
+    val sums = (1 to maxN).flatMap { n =>
+      Seq(
+        sum(coalesce(TFN.clippedOverlap(charGrams(col("__p"), n),
+          charGrams(col("__g"), n)), lit(0L))).as(s"__m$n"),
+        sum(greatest(length(col("__p")).cast("long") - lit(n - 1L),
+          lit(0L))).as(s"__tp$n"),
+        sum(greatest(length(col("__g")).cast("long") - lit(n - 1L),
+          lit(0L))).as(s"__tg$n"))
+    } ++ Seq(
+      sum(length(col("__p")).cast("long")).as("pred_chars"),
+      sum(length(col("__g")).cast("long")).as("gold_chars"))
+    val onePass = base.agg(sums.head, sums.tail: _*)
+      .truncateLineage(eager = true)
+    val perN = onePass
+      .select(explode(array((1 to maxN).map(n =>
+        struct(lit(n).as("n"),
+          coalesce(col(s"__m$n"), lit(0L)).as("matched"),
+          coalesce(col(s"__tp$n"), lit(0L)).as("tp"),
+          coalesce(col(s"__tg$n"), lit(0L)).as("tg"))): _*)).as("__r"))
+      .select(col("__r.n").as("n"), col("__r.matched").as("matched"),
+        col("__r.tp").as("tp"), col("__r.tg").as("tg"))
     val dec = "decimal(20,9)"
     val stats = perN.agg(
       sum(when(col("tp") > 0,
@@ -535,9 +548,7 @@ object Eval {
         round(col("matched").cast("double") / col("tg"), 9).cast(dec)))
         .as("__rsum"),
       sum(when(col("tg") > 0, lit(1))).as("__rn"))
-    val lens = base.agg(
-      sum(length(col("__p")).cast("long")).as("pred_chars"),
-      sum(length(col("__g")).cast("long")).as("gold_chars"))
+    val lens = onePass.select(col("pred_chars"), col("gold_chars"))
     val p = round(col("__psum").cast("double") / col("__pn"), 9)
     val r = round(col("__rsum").cast("double") / col("__rn"), 9)
     val b2 = lit(beta * beta)
@@ -688,11 +699,14 @@ object Eval {
   private[operators] def conformalHead(cal: DataFrame, scoreCol: String,
                                        alpha: Double): DataFrame = {
     val c = conformalCells(cal, scoreCol)
-    val nCal = c.agg(coalesce(sum(col("__c")), lit(0L)).as("n_cal"))
     // cumulative calibration count via CumWalk — the order statistic
-    // stays partition-parallel for wide-range nonconformity scores
-    val ranked = graft.plans.CumWalk.walk(c, "__s", asc = true,
-        Seq(graft.plans.CumWalk.CumSum("__c", "__cum")))
+    // stays partition-parallel for wide-range nonconformity scores;
+    // n_cal aggregates the WALKED frame (materialized cells), not the
+    // raw cells, so the corpus reduce beneath them runs exactly once
+    val walked = graft.plans.CumWalk.walk(c, "__s", asc = true,
+      Seq(graft.plans.CumWalk.CumSum("__c", "__cum")))
+    val nCal = walked.agg(coalesce(sum(col("__c")), lit(0L)).as("n_cal"))
+    val ranked = walked
       .crossJoin(broadcast(nCal))
       .withColumn("__rank",
         ceil((col("n_cal").cast("double") + lit(1.0)) *
