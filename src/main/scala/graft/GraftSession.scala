@@ -118,6 +118,15 @@ object GraftSession {
       .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      // Coalescing floor: the default 1 MB floor collapses BYTE-small
+      // but COMPUTE-heavy post-shuffle stages (pair explosion, decimal
+      // reduces over cell tables) to 1-2 tasks — measured on
+      // q_basket_rules: two 1.2 s stages of 1-2 tasks over a 1.9 MB /
+      // 200k-row shuffle. 64 KB keeps parallelismFirst effective down
+      // to small cell tables; cluster deployments sizing for network
+      // efficiency can raise it back (guide §2.2 wants 100 MB-1 GB
+      // partitions only when the BYTES are the cost — here it's CPU).
+      .config("spark.sql.adaptive.coalescePartitions.minPartitionSize", "64k")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       // Split even small files across all cores: a single-file scan
       // otherwise pins compute-heavy per-row expressions (shingling,

@@ -46,11 +46,35 @@ object SparkEntry {
   private def pipe(stages: Stage*)(spark: SparkSession, dir: String): DataFrame =
     executor(spark, dir).run(stages.toSeq)
 
+  /** Round-robin-spread a SMALL unsplittable scan across the cluster.
+    * The driver's testdata parquet is written as ONE row group per
+    * file, and parquet cannot split below row-group granularity:
+    * whatever `files.minPartitionNum` asks for, every row lands in one
+    * split, so every pre-shuffle per-row expression (shingling,
+    * hashing, the covariance d²-explode, decimal moment products) runs
+    * on ONE task (measured: q_dedup_substring spent 1.78 s of 3.38 s
+    * in a single-task window-digest scan; q_embed_covariance ran its
+    * whole 10M-cell explode serially). Guide §2.5: an unsplittable
+    * input is repartitioned immediately after the read. Engages only
+    * while the relation's stats size is at or below
+    * `spark.graft.scan.spreadMaxBytes` (default 64 MB): a
+    * production-scale input has many row groups, splits naturally,
+    * and must never pay a corpus shuffle here — the spread shuffle is
+    * by construction bounded by that threshold. */
+  private def spread(df: DataFrame): DataFrame = {
+    val spark = df.sparkSession
+    val maxBytes = spark.conf.getOption("spark.graft.scan.spreadMaxBytes")
+      .map(_.toLong).getOrElse(64L << 20)
+    if (df.queryExecution.optimizedPlan.stats.sizeInBytes <= maxBytes)
+      df.repartition(spark.sparkContext.defaultParallelism)
+    else df
+  }
+
   private def docs(spark: SparkSession, dir: String): DataFrame =
-    spark.read.parquet(s"$dir/documents.parquet")
+    spread(spark.read.parquet(s"$dir/documents.parquet"))
 
   private def embeddings(spark: SparkSession, dir: String): DataFrame =
-    spark.read.parquet(s"$dir/embeddings.parquet")
+    spread(spark.read.parquet(s"$dir/embeddings.parquet"))
 
   /** Subject table for the survival gates: one row per user with
     * duration = whole days (µs delta DIV 86400000000 — exact integer
