@@ -118,15 +118,19 @@ object GraftSession {
       .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
-      // Coalescing floor: the default 1 MB floor collapses BYTE-small
-      // but COMPUTE-heavy post-shuffle stages (pair explosion, decimal
-      // reduces over cell tables) to 1-2 tasks — measured on
-      // q_basket_rules: two 1.2 s stages of 1-2 tasks over a 1.9 MB /
-      // 200k-row shuffle. 64 KB keeps parallelismFirst effective down
-      // to small cell tables; cluster deployments sizing for network
-      // efficiency can raise it back (guide §2.2 wants 100 MB-1 GB
-      // partitions only when the BYTES are the cost — here it's CPU).
-      .config("spark.sql.adaptive.coalescePartitions.minPartitionSize", "64k")
+      // AQE coalescing floor and the small-scan spread cap stay
+      // env-overridable for A/B runs. The floor KEEPS Spark's 1 MB
+      // default: a 64 KB floor was tried this round (it parallelizes
+      // byte-small compute-heavy reduce stages, e.g. q_basket_rules'
+      // 1.9 MB pair-explosion stage) but measured a NET loss — the
+      // extra tiny tasks taxed the many window/agg queries more than
+      // the few CPU-bound stages gained (OPTIMIZATION_r10.md, A/B/C/D
+      // subset experiments).
+      .config("spark.sql.adaptive.coalescePartitions.minPartitionSize",
+        sys.env.getOrElse("SPARK_GRAFT_AQE_MIN_PARTITION", "1m"))
+      .config("spark.graft.scan.spreadMaxBytes",
+        sys.env.getOrElse("SPARK_GRAFT_SPREAD_MAX",
+          (64L * 1024 * 1024).toString))
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       // Split even small files across all cores: a single-file scan
       // otherwise pins compute-heavy per-row expressions (shingling,

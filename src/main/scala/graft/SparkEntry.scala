@@ -57,10 +57,16 @@ object SparkEntry {
     * whole 10M-cell explode serially). Guide §2.5: an unsplittable
     * input is repartitioned immediately after the read. Engages only
     * while the relation's stats size is at or below
-    * `spark.graft.scan.spreadMaxBytes` (default 64 MB): a
+    * `spark.graft.scan.spreadMaxBytes` (default 64 MB; 0 disables): a
     * production-scale input has many row groups, splits naturally,
     * and must never pay a corpus shuffle here — the spread shuffle is
-    * by construction bounded by that threshold. */
+    * by construction bounded by that threshold. Applied PER GATE, only
+    * where a single-task scan stage measurably dominates (the
+    * covariance/PCA d²-explode, the substring window-digest pass) —
+    * a blanket spread of the docs/embeddings helpers was tried and
+    * measurably TAXED the many light consumers (the exchange costs
+    * more than the 1-task scan it parallelizes; A/B/C/D experiments in
+    * OPTIMIZATION_r10.md). */
   private def spread(df: DataFrame): DataFrame = {
     val spark = df.sparkSession
     val maxBytes = spark.conf.getOption("spark.graft.scan.spreadMaxBytes")
@@ -71,10 +77,10 @@ object SparkEntry {
   }
 
   private def docs(spark: SparkSession, dir: String): DataFrame =
-    spread(spark.read.parquet(s"$dir/documents.parquet"))
+    spark.read.parquet(s"$dir/documents.parquet")
 
   private def embeddings(spark: SparkSession, dir: String): DataFrame =
-    spread(spark.read.parquet(s"$dir/embeddings.parquet"))
+    spark.read.parquet(s"$dir/embeddings.parquet")
 
   /** Subject table for the survival gates: one row per user with
     * duration = whole days (µs delta DIV 86400000000 — exact integer
@@ -765,7 +771,9 @@ object SparkEntry {
     // quote inside two otherwise-different docs has near-zero Jaccard
     // but a 100+-char max_run_chars here.
     "q_dedup_substring" -> ((s, d) =>
-      Dedup.substringDupSpans(docs(s, d), "doc_id", "text", minLen = 30)
+      // spread: the windowed-digest pass ran 1.78 s on ONE task
+      Dedup.substringDupSpans(spread(docs(s, d)), "doc_id", "text",
+          minLen = 30)
         .orderBy("id_a", "id_b")),
 
     // The ExactSubstr TRANSFORM (Lee et al. ACL'22 §4.1): every ≥30-char
@@ -776,7 +784,7 @@ object SparkEntry {
     // merge, and the reconstruction fold must all agree char-for-char.
     "q_dedup_substring_remove" -> ((s, d) =>
       Dedup.removeDupSubstrings(
-        docs(s, d).select(col("doc_id"), col("text")),
+        spread(docs(s, d)).select(col("doc_id"), col("text")),
         "doc_id", "text", minLen = 30)
         .orderBy("doc_id")),
 
@@ -2503,7 +2511,9 @@ object SparkEntry {
     // top-4 feeds the ratio margin, every source keeps its best-margin
     // target at margin ≥ 1 — the hubness-robust alignment signal.
     "q_mine_margin" -> ((s, d) => {
-      val e = embeddings(s, d)
+      // spread: 2500 broadcast probes x 2500 corpus vectors of 64-dim
+      // dots ran inside the single-task scan on each side
+      val e = spread(embeddings(s, d))
         .select(col("vec_id"), VF.asDouble(col("embedding")).as("v"))
       val xs = e.filter(col("vec_id") % 2 === 0)
       val ys = e.filter(col("vec_id") % 2 === 1)
@@ -2630,8 +2640,11 @@ object SparkEntry {
     // pass exploding each vector to its d(d+1)/2 products, reduced to a
     // d²-cell table. 9-dp decimal-summed internals, 6-dp publish.
     "q_embed_covariance" -> ((s, d) =>
+      // spread: the 10M-cell d²-explode ran serially on the 1-row-group
+      // scan (6.7 s -> 2.7 s with the explode parallelized)
       graft.operators.Pca.covariance(
-          embeddings(s, d).select(VF.asDouble(col("embedding")).as("v")), "v")
+          spread(embeddings(s, d))
+            .select(VF.asDouble(col("embedding")).as("v")), "v")
         .orderBy("i", "j")),
 
     // Top principal component by 3 power-iteration rounds on that
@@ -2641,7 +2654,8 @@ object SparkEntry {
     // iteration order-independent and cross-engine exact.
     "q_embed_pca" -> ((s, d) =>
       graft.operators.Pca.topComponent(
-          embeddings(s, d).select(VF.asDouble(col("embedding")).as("v")), "v",
+          spread(embeddings(s, d))
+            .select(VF.asDouble(col("embedding")).as("v")), "v",
           iterations = 3)
         .orderBy("dim")),
 
@@ -3834,7 +3848,7 @@ object SparkEntry {
     // weights — per-pair fixed-order literal sum, so doubles are
     // engine-identical before the 6-dp round.
     "q_linkage_score" -> ((s, d) => {
-      val p = executor(s, d).table("part")
+      val p = spread(executor(s, d).table("part"))
       graft.operators.Linkage.linkageScores(p, p, "p_partkey", "p_partkey",
         "p_brand", "p_brand", linkageFields, selfPairs = true)
         .orderBy("id_a", "id_b")
@@ -3843,7 +3857,7 @@ object SparkEntry {
     // Same model, links only (score >= 4.0 — two agreeing fields
     // including at least one strong one).
     "q_linkage_match" -> ((s, d) => {
-      val p = executor(s, d).table("part")
+      val p = spread(executor(s, d).table("part"))
       graft.operators.Linkage.linkageMatches(p, p, "p_partkey", "p_partkey",
         "p_brand", "p_brand", linkageFields, threshold = 4.0,
         selfPairs = true)
@@ -3868,7 +3882,7 @@ object SparkEntry {
     // Per-field empirical agreement rates over the blocked pairs — the
     // u-probability estimation surface of the linkage model.
     "q_linkage_rates" -> ((s, d) => {
-      val p = executor(s, d).table("part")
+      val p = spread(executor(s, d).table("part"))
       graft.operators.Linkage.fieldAgreementRates(p, p, "p_partkey",
         "p_partkey", "p_brand", "p_brand", linkageFields,
         selfPairs = true)
@@ -3916,7 +3930,7 @@ object SparkEntry {
     // single brand key can never pair. Oracle replays the same UNION
     // (DISTINCT) of two blocked self-joins then scores each pair once.
     "q_linkage_multi" -> ((s, d) => {
-      val p = executor(s, d).table("part")
+      val p = spread(executor(s, d).table("part"))
       val blk1 = "concat(p_brand, '#', cast(p_size as string))"
       val blk2 = "substring(p_name, 1, 12)"
       graft.operators.Linkage.linkageScoresMulti(p, p, "p_partkey",
@@ -3940,7 +3954,7 @@ object SparkEntry {
     // driver's sf0.01 the hot block is ~290 rows, so the cap visibly
     // bites; the under-cap brand blocks score exactly as q_linkage_score.
     "q_linkage_capped" -> ((s, d) => {
-      val p = executor(s, d).table("part")
+      val p = spread(executor(s, d).table("part"))
         .withColumn("blk", when(col("p_partkey") % 7 === 0, lit("HOT"))
           .otherwise(col("p_brand")))
       graft.operators.Linkage.linkageScores(p, p, "p_partkey",
@@ -3954,7 +3968,7 @@ object SparkEntry {
     // <=2^3-row agreement-pattern histogram, the update runs on that —
     // the oracle replays the identical fold/round/clamp arithmetic.
     "q_linkage_em" -> ((s, d) => {
-      val p = executor(s, d).table("part")
+      val p = spread(executor(s, d).table("part"))
       graft.operators.Linkage.emEstimate(p, p, "p_partkey", "p_partkey",
         "p_brand", "p_brand", linkageFields, lambda = 0.05,
         iterations = 1, selfPairs = true)
@@ -3965,7 +3979,7 @@ object SparkEntry {
     // (round-2 posteriors computed from round-1's clamped estimates) —
     // the oracle chains the identical per-round CTE block twice.
     "q_linkage_em2" -> ((s, d) => {
-      val p = executor(s, d).table("part")
+      val p = spread(executor(s, d).table("part"))
       graft.operators.Linkage.emEstimate(p, p, "p_partkey", "p_partkey",
         "p_brand", "p_brand", linkageFields, lambda = 0.05,
         iterations = 2, selfPairs = true)
@@ -3976,8 +3990,10 @@ object SparkEntry {
     // scalar-reduce pass for all pairs' exact-decimal moments, Pearson
     // arithmetic replayed exactly (IEEE /,sqrt on exact inputs).
     "q_profile_corr" -> ((s, d) =>
+      // spread: the 18-accumulator decimal moment reduce ran inside the
+      // single-task 1-row-group scan (guide §2.5 unsplittable input)
       graft.operators.Profile.correlationMatrix(
-          executor(s, d).table("lineitem"),
+          spread(executor(s, d).table("lineitem")),
           Seq("l_quantity", "l_extendedprice", "l_discount"))
         .orderBy("col_a", "col_b")),
 
@@ -4340,7 +4356,7 @@ object SparkEntry {
     // elasticity readout, grouped.
     "q_ols_group" -> ((s, d) =>
       graft.operators.Regression.olsByGroup(
-          executor(s, d).table("lineitem"),
+          spread(executor(s, d).table("lineitem")),
           "l_returnflag", "l_discount", "l_quantity")
         .orderBy("key")),
 

@@ -65,9 +65,13 @@ object Graph {
                                  iterations: Int, damping: Double = 0.85,
                                  checkpointEvery: Int = 5): (DataFrame, Seq[DataFrame]) = {
     require(iterations >= 1, "at least one iteration")
+    // repartition BEFORE the dedup: HashPartitioning(src) satisfies the
+    // (src, dst) clustering the distinct-aggregate requires, so it
+    // reuses the exchange — ONE |E| shuffle where r9 paid two
+    // (distinct by (src,dst), then repartition by src)
     val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
-      .distinct()
       .repartition(col("src"))
+      .dropDuplicates("src", "dst")
       .cache()
     val outdeg = e.groupBy("src").agg(count(lit(1)).as("__deg"))
     // edge list pre-joined with out-degree: reused every iteration
@@ -122,17 +126,22 @@ object Graph {
                        checkpointEvery: Int = 5): DataFrame = {
     require(iterations >= 1, "at least one iteration")
     val dec = "decimal(28,9)"
+    // ONE src-keyed exchange up front: HashPartitioning(src) satisfies
+    // the (src, dst) clustering of the weight aggregate, the src
+    // clustering of the share-denominator aggregate AND the join, so
+    // everything below reuses it — r9 paid three exchanges here
+    // ((src,dst) groupBy, src groupBy side, final repartition)
     val e = edges
       .select(col(srcCol).as("src"), col(dstCol).as("dst"),
         round(col(weightCol).cast("double"), 9).as("__w"))
       .where(col("__w") > 0.0)
+      .repartition(col("src"))
       .groupBy("src", "dst").agg(sum(col("__w").cast(dec)).as("__w"))
     val wsum = e.groupBy("src").agg(sum(col("__w")).as("__ws"))
     val withShare = e.join(wsum, "src")
       .select(col("src"), col("dst"),
         round(col("__w").cast("double") / col("__ws").cast("double"), 9)
           .as("__share"))
-      .repartition(col("src"))
       .cache()
     val nodes = e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node")))
@@ -190,9 +199,13 @@ object Graph {
                            damping: Double = 0.85,
                            checkpointEvery: Int = 5): DataFrame = {
     require(iterations >= 1, "at least one iteration")
+    // repartition BEFORE the dedup: HashPartitioning(src) satisfies the
+    // (src, dst) clustering the distinct-aggregate requires, so it
+    // reuses the exchange — ONE |E| shuffle where r9 paid two
+    // (distinct by (src,dst), then repartition by src)
     val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
-      .distinct()
       .repartition(col("src"))
+      .dropDuplicates("src", "dst")
       .cache()
     val outdeg = e.groupBy("src").agg(count(lit(1)).as("__deg"))
     val withDeg = e.join(outdeg, "src").cache()
@@ -264,9 +277,10 @@ object Graph {
   def hits(edges: DataFrame, srcCol: String, dstCol: String,
            iterations: Int, checkpointEvery: Int = 5): DataFrame = {
     require(iterations >= 1, "at least one iteration")
+    // repartition before the dedup (exchange reuse — see pageRankRaw)
     val eSrc = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
-      .distinct()
       .repartition(col("src"))
+      .dropDuplicates("src", "dst")
       .cache()
     val eDst = eSrc.repartition(col("dst")).cache()
     val nodes = eSrc.select(col("src").as("node"))
