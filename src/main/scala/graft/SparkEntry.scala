@@ -3954,7 +3954,7 @@ object SparkEntry {
     // driver's sf0.01 the hot block is ~290 rows, so the cap visibly
     // bites; the under-cap brand blocks score exactly as q_linkage_score.
     "q_linkage_capped" -> ((s, d) => {
-      val p = spread(executor(s, d).table("part"))
+      val p = executor(s, d).table("part")
         .withColumn("blk", when(col("p_partkey") % 7 === 0, lit("HOT"))
           .otherwise(col("p_brand")))
       graft.operators.Linkage.linkageScores(p, p, "p_partkey",
